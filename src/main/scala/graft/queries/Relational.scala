@@ -1,0 +1,393 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational operator surface: scans, projections, filters, joins, sorts,
+  * set ops, pagination (SURVEY.md §2.1-§2.3, §2.6-§2.7).
+  *
+  * Every query has a DuckDB-oracle twin in [[Relational.oracles]]; output
+  * column names are aliased identically on both sides, doubles are rounded
+  * at a scale where the exact rational value terminates (so the two engines
+  * cannot disagree on a tie), and a total deterministic ORDER BY is applied.
+  *
+  * Scale notes (100 TB): all filters/projections here reach the parquet scan
+  * (PushedFilters / ReadSchema — asserted in PlanSpec); dimension joins are
+  * explicitly broadcast; the one fact-fact join (orders x lineitem in
+  * q_join_star) shuffles on the join key with AQE handling skew.
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary: partial (map-side) aggregation then a
+    * 6-group final — the canonical "agg that scales linearly" shape. */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Column projection + pushed temporal predicate (P1/P7): the scan must
+    * read only 4 columns and skip row groups past the cutoff. */
+  def qProjection(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") < lit("1999-06-01"))
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Derived-column arithmetic (P2/F12). Products of 2-dp inputs are exact
+    * at 4/6 dp, so rounding there is tie-free across engines. */
+  def qDerived(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") < 500)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6).as("charge"),
+        round(col("l_quantity") * col("l_extendedprice"), 2).as("gross"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Cast + rename (P3/P4). floor() before int-cast: Spark truncates
+    * double→int while DuckDB rounds, floor makes both exact. */
+  def qCastRename(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") < 200)
+      .select(
+        col("l_orderkey").as("order_id"),
+        col("l_linenumber").cast("long").as("line_no"),
+        floor(col("l_quantity")).cast("int").as("qty_int"),
+        col("l_returnflag").as("flag"))
+      .orderBy("order_id", "line_no")
+
+  /** Compound predicate (P6): conjunction of null-check, inequality,
+    * BETWEEN — all pushed to the scan. */
+  def qFilterCompound(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(
+        col("l_quantity") > 45 && col("l_returnflag") =!= "N" &&
+        col("l_discount").isNotNull &&
+        col("l_shipdate").between(lit("1999-01-01"), lit("2000-01-01")))
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Membership filter (P8). */
+  def qFilterIsin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE") && col("c_acctbal") > 9000)
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  /** Null injection + imputation (P11/P12): nullif → fill, then grouped
+    * count over the imputed key. */
+  def qNullHandling(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .withColumn("d", when(col("l_discount") === 0.0, lit(null)).otherwise(col("l_discount")))
+      .na.fill(Map("d" -> -1.0))
+      .groupBy("d").agg(count(lit(1)).as("cnt"))
+      .orderBy("d")
+
+  /** Left equi-join fact x dimension (J1/J2): customer is broadcast. */
+  def qJoinLeft(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"), "left")
+      .filter(col("o_totalprice") > 490000)
+      .select(col("o_orderkey"), col("o_totalprice"), col("c_name"), col("c_mktsegment"))
+      .orderBy("o_orderkey")
+
+  /** Broadcast equi-join + grouped rollup of revenue per brand (J1+A3). */
+  def qJoinBroadcast(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("p_brand")
+
+  /** Left-semi join (J3): customers having at least one big order. */
+  def qJoinSemi(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).filter(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Left-anti join: customers with no order above the threshold. */
+  def qJoinAnti(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).filter(col("o_totalprice") > 450000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** 5-table star join: region ⋈ nation ⋈ customer (all broadcast) against
+    * the orders ⋈ lineitem fact-fact shuffle join, then grouped revenue.
+    * The canonical TPC-H Q5 shape; AQE coalesces the post-shuffle
+    * partitions at small SF and skew-splits at large SF. */
+  def qJoinStar(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o  = Tables.orders(spark, dir)
+    val c  = Tables.customer(spark, dir)
+    val n  = Tables.nation(spark, dir)
+    val r  = Tables.region(spark, dir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** Top-k by measure (O2/O3): TakeOrderedAndProject, no global sort. */
+  def qTopk(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      .limit(10)
+
+  /** Pagination (O5): row_number over a total order, page 3 (rows 21-30). */
+  def qPagination(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(desc("c_acctbal"), col("c_custkey"))
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn").between(21, 30))
+      .orderBy("rn")
+  }
+
+  /** Distinct (A7). */
+  def qDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select("o_orderstatus", "o_orderpriority")
+      .distinct()
+      .orderBy("o_orderstatus", "o_orderpriority")
+
+  /** Grouped count (A3). */
+  def qGroupCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("cnt"))
+      .orderBy("o_orderpriority")
+
+  /** Rollup with subtotal rows (beyond-reference; Spark `rollup` ≡ SQL
+    * GROUP BY ROLLUP). Grouping nulls are coalesced to 'ALL' on both
+    * sides so the sort is engine-independent. */
+  def qRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("cnt"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("sum_qty"), col("cnt"))
+      .orderBy("flag", "status")
+
+  /** UNION DISTINCT (§2.7). */
+  def qUnion(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      .union(
+        Tables.orders(spark, dir)
+          .filter(col("o_totalprice") > 450000).select(col("o_custkey").as("c_custkey")))
+      .distinct()
+      .orderBy("c_custkey")
+
+  /** INTERSECT (distinct semantics in both engines). */
+  def qIntersect(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "MACHINERY").select(col("c_custkey"))
+      .intersect(
+        Tables.orders(spark, dir)
+          .filter(col("o_totalprice") > 300000).select(col("o_custkey").as("c_custkey")))
+      .orderBy("c_custkey")
+
+  /** EXCEPT (distinct semantics in both engines). */
+  def qExcept(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .filter(col("c_acctbal") > 9500).select(col("c_custkey"))
+      .except(
+        Tables.orders(spark, dir)
+          .filter(col("o_totalprice") > 350000).select(col("o_custkey").as("c_custkey")))
+      .orderBy("c_custkey")
+
+  /** Schema-driven null audit (A1): one count(*)−count(col) per column,
+    * generated from df.schema — the reference's dynamic-schema idiom
+    * (regression.py:58-72) without a driver-side loop over data. */
+  def qNullAudit(spark: SparkSession, dir: String): DataFrame = {
+    val df = Tables.orders(spark, dir)
+    val audits: Seq[Column] =
+      df.schema.fields.toSeq.map(f => (count(lit(1)) - count(col(f.name))).as(f.name))
+    df.agg(audits.head, audits.tail: _*)
+  }
+
+  /** Temporal train/test split stats (M13): the cutoff scalar stays
+    * in-plan via a broadcast single-row cross join — no driver round-trip,
+    * unlike the reference (regression.py:216-218). */
+  def qTemporalSplit(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val cutoff = o.agg((max(col("o_orderdate")) - expr("INTERVAL 14 DAYS")).as("cutoff"))
+    o.crossJoin(broadcast(cutoff))
+      .withColumn("split", when(col("o_orderdate") < col("cutoff"), lit("train")).otherwise(lit("test")))
+      .groupBy("split")
+      .agg(
+        count(lit(1)).as("cnt"),
+        to_date(min(col("o_orderdate"))).as("min_d"),
+        to_date(max(col("o_orderdate"))).as("max_d"))
+      .orderBy("split")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> q1PricingSummary _,
+    "q_projection" -> qProjection _,
+    "q_derived" -> qDerived _,
+    "q_cast_rename" -> qCastRename _,
+    "q_filter_compound" -> qFilterCompound _,
+    "q_filter_isin" -> qFilterIsin _,
+    "q_null_handling" -> qNullHandling _,
+    "q_join_left" -> qJoinLeft _,
+    "q_join_broadcast" -> qJoinBroadcast _,
+    "q_join_semi" -> qJoinSemi _,
+    "q_join_anti" -> qJoinAnti _,
+    "q_join_star" -> qJoinStar _,
+    "q_topk" -> qTopk _,
+    "q_pagination" -> qPagination _,
+    "q_distinct" -> qDistinct _,
+    "q_group_count" -> qGroupCount _,
+    "q_rollup" -> qRollup _,
+    "q_union" -> qUnion _,
+    "q_intersect" -> qIntersect _,
+    "q_except" -> qExcept _,
+    "q_null_audit" -> qNullAudit _,
+    "q_temporal_split" -> qTemporalSplit _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_projection" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |WHERE l_shipdate < '1999-06-01' ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_derived" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(l_extendedprice * (1 - l_discount), 4) AS revenue,
+        |  round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS charge,
+        |  round(l_quantity * l_extendedprice, 2) AS gross
+        |FROM lineitem WHERE l_orderkey < 500 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_cast_rename" ->
+      """SELECT l_orderkey AS order_id, CAST(l_linenumber AS BIGINT) AS line_no,
+        |  CAST(floor(l_quantity) AS INTEGER) AS qty_int, l_returnflag AS flag
+        |FROM lineitem WHERE l_orderkey < 200 ORDER BY order_id, line_no""".stripMargin,
+    "q_filter_compound" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem
+        |WHERE l_quantity > 45 AND l_returnflag != 'N' AND l_discount IS NOT NULL
+        |  AND l_shipdate BETWEEN '1999-01-01' AND '2000-01-01'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_filter_isin" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE') AND c_acctbal > 9000
+        |ORDER BY c_custkey""".stripMargin,
+    "q_null_handling" ->
+      """SELECT coalesce(nullif(l_discount, 0.0), -1.0) AS d, count(*) AS cnt
+        |FROM lineitem GROUP BY 1 ORDER BY d""".stripMargin,
+    "q_join_left" ->
+      """SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |WHERE o_totalprice > 490000 ORDER BY o_orderkey""".stripMargin,
+    "q_join_broadcast" ->
+      """SELECT p_brand,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_star" ->
+      """SELECT r_name, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_pagination" ->
+      """SELECT c_custkey, c_name, c_acctbal, rn FROM (
+        |  SELECT c_custkey, c_name, c_acctbal,
+        |    row_number() OVER (ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |  FROM customer) WHERE rn BETWEEN 21 AND 30 ORDER BY rn""".stripMargin,
+    "q_distinct" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    "q_group_count" ->
+      """SELECT o_orderpriority, count(*) AS cnt FROM orders
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |  coalesce(l_linestatus, 'ALL') AS status,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
+    "q_union" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |UNION
+        |SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 450000
+        |ORDER BY c_custkey""".stripMargin,
+    "q_intersect" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+        |INTERSECT
+        |SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000
+        |ORDER BY c_custkey""".stripMargin,
+    "q_except" ->
+      """SELECT c_custkey FROM customer WHERE c_acctbal > 9500
+        |EXCEPT
+        |SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 350000
+        |ORDER BY c_custkey""".stripMargin,
+    "q_null_audit" ->
+      """SELECT
+        |  count(*) - count(o_orderkey) AS o_orderkey,
+        |  count(*) - count(o_custkey) AS o_custkey,
+        |  count(*) - count(o_orderstatus) AS o_orderstatus,
+        |  count(*) - count(o_totalprice) AS o_totalprice,
+        |  count(*) - count(o_orderdate) AS o_orderdate,
+        |  count(*) - count(o_orderpriority) AS o_orderpriority
+        |FROM orders""".stripMargin,
+    "q_temporal_split" ->
+      """SELECT CASE WHEN o_orderdate < c.cutoff THEN 'train' ELSE 'test' END AS split,
+        |  count(*) AS cnt,
+        |  CAST(min(o_orderdate) AS DATE) AS min_d,
+        |  CAST(max(o_orderdate) AS DATE) AS max_d
+        |FROM orders,
+        |  (SELECT max(o_orderdate) - INTERVAL 14 DAY AS cutoff FROM orders) c
+        |GROUP BY 1 ORDER BY split""".stripMargin,
+  )
+}
