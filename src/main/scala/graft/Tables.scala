@@ -11,8 +11,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * see reference `ml-algorithms/regression.py:48-53`).
   */
 object Tables {
-  def read(spark: SparkSession, dir: String, name: String): DataFrame =
+  def read(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
+    // reader rejects; read nanos as epoch-nano longs instead. Ordering and
+    // lag/window semantics over the long are identical to the timestamp;
+    // eventTs/eventDay (TimeSeriesQueries) convert where wall-clock
+    // values are needed. Set here (not in the session builder) so
+    // driver-created sessions that call queries directly also get it.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "nation")

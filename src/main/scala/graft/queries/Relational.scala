@@ -25,11 +25,11 @@ object Relational {
     Tables.lineitem(spark, dir)
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(avg("l_quantity"), 4).as("avg_qty"),
-        round(avg("l_discount"), 4).as("avg_disc"),
+        rnd(sum("l_quantity"), 2).as("sum_qty"),
+        rnd(sum("l_extendedprice"), 2).as("sum_base_price"),
+        rnd(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+        rnd(avg("l_quantity"), 4).as("avg_qty"),
+        rnd(sum(round(col("l_discount") * 100).cast("long")) / (count(col("l_discount")) * lit(100.0)), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -48,9 +48,9 @@ object Relational {
       .filter(col("l_orderkey") < 500)
       .select(
         col("l_orderkey"), col("l_linenumber"),
-        round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"),
-        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6).as("charge"),
-        round(col("l_quantity") * col("l_extendedprice"), 2).as("gross"))
+        rnd(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"),
+        rnd(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6).as("charge"),
+        rnd(col("l_quantity") * col("l_extendedprice"), 2).as("gross"))
       .orderBy("l_orderkey", "l_linenumber")
 
   /** Cast + rename (P3/P4). floor() before int-cast: Spark truncates
@@ -107,7 +107,7 @@ object Relational {
       .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand")
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        rnd(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy("p_brand")
 
@@ -143,7 +143,7 @@ object Relational {
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name", "n_name")
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        rnd(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy("r_name", "n_name")
   }
@@ -185,7 +185,7 @@ object Relational {
   def qRollup(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .rollup("l_returnflag", "l_linestatus")
-      .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("cnt"))
+      .agg(rnd(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("cnt"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("status"),
@@ -274,11 +274,11 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |  round(avg(l_quantity), 4) AS avg_qty,
-        |  round(avg(l_discount), 4) AS avg_disc,
+        |  floor((sum(l_quantity)) * 1e2 + 0.5) / 1e2 AS sum_qty,
+        |  floor((sum(l_extendedprice)) * 1e2 + 0.5) / 1e2 AS sum_base_price,
+        |  floor((sum(l_extendedprice * (1 - l_discount))) * 1e4 + 0.5) / 1e4 AS sum_disc_price,
+        |  floor((avg(l_quantity)) * 1e4 + 0.5) / 1e4 AS avg_qty,
+        |  floor((sum(CAST(round(l_discount * 100) AS BIGINT)) / (count(l_discount) * 100.0)) * 1e4 + 0.5) / 1e4 AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
@@ -287,9 +287,9 @@ object Relational {
         |WHERE l_shipdate < '1999-06-01' ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_derived" ->
       """SELECT l_orderkey, l_linenumber,
-        |  round(l_extendedprice * (1 - l_discount), 4) AS revenue,
-        |  round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS charge,
-        |  round(l_quantity * l_extendedprice, 2) AS gross
+        |  floor((l_extendedprice * (1 - l_discount)) * 1e4 + 0.5) / 1e4 AS revenue,
+        |  floor((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 1e6 + 0.5) / 1e6 AS charge,
+        |  floor((l_quantity * l_extendedprice) * 1e2 + 0.5) / 1e2 AS gross
         |FROM lineitem WHERE l_orderkey < 500 ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_cast_rename" ->
       """SELECT l_orderkey AS order_id, CAST(l_linenumber AS BIGINT) AS line_no,
@@ -313,7 +313,7 @@ object Relational {
         |WHERE o_totalprice > 490000 ORDER BY o_orderkey""".stripMargin,
     "q_join_broadcast" ->
       """SELECT p_brand,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  floor((sum(l_extendedprice * (1 - l_discount))) * 1e4 + 0.5) / 1e4 AS revenue,
         |  count(*) AS n_items
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
@@ -329,7 +329,7 @@ object Relational {
         |ORDER BY c_custkey""".stripMargin,
     "q_join_star" ->
       """SELECT r_name, n_name,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  floor((sum(l_extendedprice * (1 - l_discount))) * 1e4 + 0.5) / 1e4 AS revenue,
         |  count(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -354,7 +354,7 @@ object Relational {
     "q_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS flag,
         |  coalesce(l_linestatus, 'ALL') AS status,
-        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
+        |  floor((sum(l_quantity)) * 1e2 + 0.5) / 1e2 AS sum_qty, count(*) AS cnt
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY flag, status""".stripMargin,
     "q_union" ->

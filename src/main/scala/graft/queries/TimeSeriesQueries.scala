@@ -1,0 +1,383 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TimeSeries._
+
+/** Window-function surface over the `events` stream table (SURVEY.md §2.5
+  * W1-W11, §2.4 A8-A9, §2.9 ST3-as-batch) — the reference's analytical core
+  * re-expressed as per-user ordered windows.
+  *
+  * All per-user features share ONE WindowSpec (partitionBy user_id,
+  * orderBy ts, event_id) so Catalyst's CollapseWindow folds them into a
+  * single WindowExec: one hash-partition shuffle on user_id + one sort,
+  * regardless of feature count. event_id is the total-order tiebreaker —
+  * without it, equal timestamps make lag/lead nondeterministic.
+  *
+  * The two deliberately-global computations (W10 diff over the flattened
+  * frame, A9 z-score) follow the reference's unpartitioned semantics
+  * (spark_stream.py:131-138): the z-score scalars are computed by an
+  * aggregate and broadcast back (no single-partition window), the global
+  * diff is a genuine total-order sort — kept as the reference defines it,
+  * flagged in Scaladoc as the one operator that cannot scale horizontally.
+  */
+object TimeSeriesQueries {
+
+  private val ORDER = "PARTITION BY user_id ORDER BY ts, event_id"
+
+  private def w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+
+  /** events.ts arrives as epoch-nano long (see Tables.read); wall-clock
+    * calendar day for grouping. `div` keeps the arithmetic integral —
+    * a double division would lose precision above 2^53. */
+  private def eventDay = to_date(timestamp_micros(expr("ts div 1000")))
+
+  /** DuckDB twin of TimeSeries.smaCents: exact integer-cent average over a
+    * row frame — engine-identical doubles (see smaCents Scaladoc). */
+  private def centsAvgSql(e: String, frame: String): String =
+    s"(sum(CAST(round(($e) * 100) AS BIGINT)) OVER ($ORDER ROWS BETWEEN $frame)" +
+      s" / (count($e) OVER ($ORDER ROWS BETWEEN $frame) * 100.0))"
+
+  /** W1+W2: lags 1/3/5 and lead 1 of value per user. */
+  def qLagLead(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value"),
+        lagK(col("value"), 1, w).as("lag1"),
+        lagK(col("value"), 3, w).as("lag3"),
+        lagK(col("value"), 5, w).as("lag5"),
+        lead1(col("value"), w).as("next_value"))
+      .orderBy("user_id", "event_id")
+
+  /** W3: trailing moving averages (frames [-5,-1] and [-20,-1]). */
+  def qRollingMean(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        rnd(smaCents(col("value"), w, -5, -1), 4).as("ma5"),
+        rnd(smaCents(col("value"), w, -20, -1), 4).as("ma20"))
+      .orderBy("user_id", "event_id")
+
+  /** W4: rolling sample stddev (volatility14). */
+  def qRollingStd(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        rnd(volatility(col("value"), w, 14), 4).as("volatility14"))
+      .orderBy("user_id", "event_id")
+
+  /** W5: RSI-14, reference semantics (current row excluded, +1e-6 guard). */
+  def qRsi(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        rnd(rsi(col("value"), 14, w), 4).as("rsi14"))
+      .orderBy("user_id", "event_id")
+
+  /** W6: absolute + relative momentum. */
+  def qMomentum(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        rnd(momentum(col("value"), 3, w), 2).as("mom3"),
+        rnd(momentumPct(col("value"), 5, w), 4).as("mom5_pct"))
+      .orderBy("user_id", "event_id")
+
+  /** W7: spike flag vs 1.5× the trailing 5-row mean. */
+  def qSpike(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        spikeFlag(col("value"), 5, 1.5, w).as("spike"))
+      .orderBy("user_id", "event_id")
+
+  /** W8: MACD from the reference's SMA-"EMAs". */
+  def qMacd(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        rnd(macd(col("value"), w), 4).as("macd"))
+      .orderBy("user_id", "event_id")
+
+  /** W9: forward fill across a deterministically injected null run
+    * (error events lose their value, ffill carries the last good one). */
+  def qFfill(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("v", when(col("event_type") === "error", lit(null)).otherwise(col("value")))
+      .select(col("event_id"), col("user_id"),
+        ffill(col("v"), w).as("filled"))
+      .orderBy("user_id", "event_id")
+
+  /** W10: global (unpartitioned) first-difference + percent change in the
+    * reference's flattened-frame order — a deliberate total-order sort. */
+  def qDiffGlobal(spark: SparkSession, dir: String): DataFrame = {
+    val wg = Window.orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        rnd(diff1(col("value"), wg), 2).as("diff"),
+        rnd(pctChange(col("value"), wg), 4).as("pct_change"))
+      .orderBy("event_id")
+  }
+
+  /** MA crossover events: rows where the 5/20 signal flips (index.js
+    * crossover chart as a window query). */
+  def qCrossover(spark: SparkSession, dir: String): DataFrame = {
+    val sig = crossSignal(col("value"), w, 5, 20)
+    Tables.events(spark, dir)
+      .withColumn("signal", sig)
+      .withColumn("prev_signal", lag(col("signal"), 1).over(w))
+      .filter(col("prev_signal").isNotNull && col("signal") =!= col("prev_signal"))
+      .select(col("event_id"), col("user_id"), col("signal"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Running sum + row_number per user (O5 building block). */
+  def qRunningSum(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        rnd(runningSum(col("value"), w), 2).as("cum_value"),
+        row_number().over(w).as("rn"))
+      .orderBy("user_id", "event_id")
+
+  /** Ranking functions (beyond-reference: row_number/rank/dense_rank),
+    * top-3 events per user by value. */
+  def qRanked(spark: SparkSession, dir: String): DataFrame = {
+    val wv = Window.partitionBy("user_id").orderBy(desc("value"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value"),
+        row_number().over(wv).as("rn"),
+        rank().over(wv).as("rk"),
+        dense_rank().over(wv).as("drk"))
+      .filter(col("rn") <= 3)
+      .orderBy("user_id", "rn")
+  }
+
+  /** A9+F13: global z-score anomalies, population stddev (scipy ddof=0).
+    * Scalars via aggregate + broadcast cross join — not a single-partition
+    * window — so the pattern survives 100 TB. */
+  def qZscoreAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val stats = e.agg(
+      (sum(round(col("value") * 100).cast("long")) / (count(col("value")) * lit(100.0))).as("mu"),
+      stddev_pop(col("value")).as("sigma"))
+    e.crossJoin(broadcast(stats))
+      .withColumn("z", (col("value") - col("mu")) / col("sigma"))
+      .filter(abs(col("z")) > 3)
+      .select(col("event_id"), col("value"), rnd(col("z"), 4).as("z"))
+      .orderBy("event_id")
+  }
+
+  /** A8: anomaly count per calendar day. */
+  def qAnomalyDaily(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val stats = e.agg(
+      (sum(round(col("value") * 100).cast("long")) / (count(col("value")) * lit(100.0))).as("mu"),
+      stddev_pop(col("value")).as("sigma"))
+    e.crossJoin(broadcast(stats))
+      .filter(abs((col("value") - col("mu")) / col("sigma")) > 3)
+      .groupBy(eventDay.as("day"))
+      .agg(count(lit(1)).as("n_anomalies"))
+      .orderBy("day")
+  }
+
+  /** ST3 as batch: threshold alert on >5% jump vs previous event of the
+    * same user (the streaming twin lives in graft.streaming.Ingest). */
+  def qThresholdAlert(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("pct", pctChange(col("value"), w))
+      .filter(col("pct") > 5)
+      .select(col("event_id"), col("user_id"), rnd(col("pct"), 4).as("pct"))
+      .orderBy("user_id", "event_id")
+
+  /** F-explode analog: extract the JSON payload key and aggregate it
+    * per event type (spark_stream.py's schema-on-read flatten). */
+  def qEventJson(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy("event_type")
+      .agg(
+        rnd(sum(col("k")) / (count(col("k")) * lit(1.0)), 4).as("avg_k"),
+        count(lit(1)).as("cnt"))
+      .orderBy("event_type")
+
+  /** M15: the full shared feature matrix — every per-user feature in one
+    * projection; CollapseWindow must reduce this to a single WindowExec
+    * (asserted in PlanSpec). Restricted to user_id < 20 to bound the
+    * oracle diff size. */
+  def qMlFeatures(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("user_id") < 20)
+      .select(col("event_id"), col("user_id"), col("value"),
+        lagK(col("value"), 1, w).as("lag1"),
+        lagK(col("value"), 3, w).as("lag3"),
+        rnd(smaCents(col("value"), w, -5, -1), 4).as("ma5"),
+        rnd(volatility(col("value"), w, 14), 4).as("volatility14"),
+        rnd(rsi(col("value"), 14, w), 4).as("rsi14"),
+        rnd(momentum(col("value"), 3, w), 2).as("mom3"),
+        rnd(macd(col("value"), w), 4).as("macd"),
+        spikeFlag(col("value"), 5, 1.5, w).as("spike"),
+        lead1(col("value"), w).as("next_value"))
+      .orderBy("user_id", "event_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lag_lead" -> qLagLead _,
+    "q_rolling_mean" -> qRollingMean _,
+    "q_rolling_std" -> qRollingStd _,
+    "q_rsi" -> qRsi _,
+    "q_momentum" -> qMomentum _,
+    "q_spike" -> qSpike _,
+    "q_macd" -> qMacd _,
+    "q_ffill" -> qFfill _,
+    "q_diff_global" -> qDiffGlobal _,
+    "q_crossover" -> qCrossover _,
+    "q_running_sum" -> qRunningSum _,
+    "q_ranked" -> qRanked _,
+    "q_zscore_anomaly" -> qZscoreAnomaly _,
+    "q_anomaly_daily" -> qAnomalyDaily _,
+    "q_threshold_alert" -> qThresholdAlert _,
+    "q_event_json" -> qEventJson _,
+    "q_ml_features" -> qMlFeatures _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_lag_lead" ->
+      s"""SELECT event_id, user_id, value,
+         |  lag(value, 1) OVER ($ORDER) AS lag1,
+         |  lag(value, 3) OVER ($ORDER) AS lag3,
+         |  lag(value, 5) OVER ($ORDER) AS lag5,
+         |  lead(value, 1) OVER ($ORDER) AS next_value
+         |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q_rolling_mean" ->
+      s"""SELECT event_id, user_id,
+         |  floor((${centsAvgSql("value", "5 PRECEDING AND 1 PRECEDING")}) * 1e4 + 0.5) / 1e4 AS ma5,
+         |  floor((${centsAvgSql("value", "20 PRECEDING AND 1 PRECEDING")}) * 1e4 + 0.5) / 1e4 AS ma20
+         |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q_rolling_std" ->
+      s"""SELECT event_id, user_id,
+         |  floor((stddev_samp(value) OVER ($ORDER ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING)) * 1e4 + 0.5) / 1e4 AS volatility14
+         |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q_rsi" ->
+      s"""WITH d AS (
+         |  SELECT event_id, user_id, ts,
+         |    CASE WHEN value - lag(value, 1) OVER ($ORDER) > 0
+         |      THEN CAST(round((value - lag(value, 1) OVER ($ORDER)) * 100) AS BIGINT)
+         |      ELSE 0 END AS gain_c,
+         |    CASE WHEN value - lag(value, 1) OVER ($ORDER) < 0
+         |      THEN CAST(round(-(value - lag(value, 1) OVER ($ORDER)) * 100) AS BIGINT)
+         |      ELSE 0 END AS loss_c
+         |  FROM events),
+         |g AS (
+         |  SELECT event_id, user_id,
+         |    sum(gain_c) OVER ($ORDER ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING)
+         |      / (count(gain_c) OVER ($ORDER ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING) * 100.0) AS avg_gain,
+         |    sum(loss_c) OVER ($ORDER ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING)
+         |      / (count(loss_c) OVER ($ORDER ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING) * 100.0) AS avg_loss
+         |  FROM d)
+         |SELECT event_id, user_id,
+         |  floor((100.0 - 100.0 / (1.0 + avg_gain / (avg_loss + 1e-6))) * 1e4 + 0.5) / 1e4 AS rsi14
+         |FROM g ORDER BY user_id, event_id""".stripMargin,
+    "q_momentum" ->
+      s"""SELECT event_id, user_id,
+         |  floor((value - lag(value, 3) OVER ($ORDER)) * 1e2 + 0.5) / 1e2 AS mom3,
+         |  floor((value / lag(value, 5) OVER ($ORDER) - 1) * 1e4 + 0.5) / 1e4 AS mom5_pct
+         |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q_spike" ->
+      s"""SELECT event_id, user_id,
+         |  CASE WHEN value > 1.5 * ${centsAvgSql("value", "5 PRECEDING AND 1 PRECEDING")}
+         |  THEN 1 ELSE 0 END AS spike
+         |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q_macd" ->
+      s"""SELECT event_id, user_id,
+         |  floor((${centsAvgSql("value", "12 PRECEDING AND CURRENT ROW")}
+         |      - ${centsAvgSql("value", "26 PRECEDING AND CURRENT ROW")}) * 1e4 + 0.5) / 1e4 AS macd
+         |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q_ffill" ->
+      s"""SELECT event_id, user_id,
+         |  last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END IGNORE NULLS)
+         |    OVER ($ORDER ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+         |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q_diff_global" ->
+      """SELECT event_id,
+        |  floor((value - lag(value, 1) OVER (ORDER BY ts, event_id)) * 1e2 + 0.5) / 1e2 AS diff,
+        |  floor(((value - lag(value, 1) OVER (ORDER BY ts, event_id))
+        |      / lag(value, 1) OVER (ORDER BY ts, event_id) * 100) * 1e4 + 0.5) / 1e4 AS pct_change
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_crossover" ->
+      s"""WITH s AS (
+         |  SELECT event_id, user_id, ts,
+         |    CASE WHEN ${centsAvgSql("value", "5 PRECEDING AND 1 PRECEDING")}
+         |            > ${centsAvgSql("value", "20 PRECEDING AND 1 PRECEDING")}
+         |    THEN 1 ELSE 0 END AS signal
+         |  FROM events),
+         |p AS (
+         |  SELECT event_id, user_id, signal,
+         |    lag(signal, 1) OVER ($ORDER) AS prev_signal
+         |  FROM s)
+         |SELECT event_id, user_id, signal FROM p
+         |WHERE prev_signal IS NOT NULL AND signal != prev_signal
+         |ORDER BY user_id, event_id""".stripMargin,
+    "q_running_sum" ->
+      s"""SELECT event_id, user_id,
+         |  floor((sum(value) OVER ($ORDER ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 1e2 + 0.5) / 1e2 AS cum_value,
+         |  row_number() OVER ($ORDER) AS rn
+         |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q_ranked" ->
+      """SELECT event_id, user_id, value, rn, rk, drk FROM (
+        |  SELECT event_id, user_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn,
+        |    rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rk,
+        |    dense_rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS drk
+        |  FROM events) WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin,
+    "q_zscore_anomaly" ->
+      """SELECT event_id, value, floor((z) * 1e4 + 0.5) / 1e4 AS z FROM (
+        |  SELECT event_id, value,
+        |    (value - s.mu) / s.sigma AS z
+        |  FROM events,
+        |    (SELECT sum(CAST(round(value * 100) AS BIGINT)) / (count(value) * 100.0) AS mu,
+        |            stddev_pop(value) AS sigma FROM events) s)
+        |WHERE abs(z) > 3 ORDER BY event_id""".stripMargin,
+    "q_anomaly_daily" ->
+      """SELECT CAST(ts AS DATE) AS day, count(*) AS n_anomalies
+        |FROM events,
+        |  (SELECT sum(CAST(round(value * 100) AS BIGINT)) / (count(value) * 100.0) AS mu,
+        |          stddev_pop(value) AS sigma FROM events) s
+        |WHERE abs((value - s.mu) / s.sigma) > 3
+        |GROUP BY 1 ORDER BY day""".stripMargin,
+    "q_threshold_alert" ->
+      s"""SELECT event_id, user_id, floor((pct) * 1e4 + 0.5) / 1e4 AS pct FROM (
+         |  SELECT event_id, user_id,
+         |    (value - lag(value, 1) OVER ($ORDER))
+         |      / lag(value, 1) OVER ($ORDER) * 100 AS pct
+         |  FROM events) WHERE pct > 5 ORDER BY user_id, event_id""".stripMargin,
+    "q_event_json" ->
+      """SELECT event_type,
+        |  floor((sum(CAST(json_extract_string(props, '$.k') AS INTEGER))
+        |    / (count(CAST(json_extract_string(props, '$.k') AS INTEGER)) * 1.0)) * 1e4 + 0.5) / 1e4 AS avg_k,
+        |  count(*) AS cnt
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_ml_features" ->
+      s"""WITH d AS (
+         |  SELECT event_id, user_id, ts, value,
+         |    CASE WHEN value - lag(value, 1) OVER ($ORDER) > 0
+         |      THEN CAST(round((value - lag(value, 1) OVER ($ORDER)) * 100) AS BIGINT)
+         |      ELSE 0 END AS gain_c,
+         |    CASE WHEN value - lag(value, 1) OVER ($ORDER) < 0
+         |      THEN CAST(round(-(value - lag(value, 1) OVER ($ORDER)) * 100) AS BIGINT)
+         |      ELSE 0 END AS loss_c
+         |  FROM events WHERE user_id < 20),
+         |f AS (
+         |  SELECT event_id, user_id, value,
+         |    lag(value, 1) OVER ($ORDER) AS lag1,
+         |    lag(value, 3) OVER ($ORDER) AS lag3,
+         |    floor((${centsAvgSql("value", "5 PRECEDING AND 1 PRECEDING")}) * 1e4 + 0.5) / 1e4 AS ma5,
+         |    floor((stddev_samp(value) OVER ($ORDER ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING)) * 1e4 + 0.5) / 1e4 AS volatility14,
+         |    floor((100.0 - 100.0 / (1.0 +
+         |      (sum(gain_c) OVER ($ORDER ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING)
+         |        / (count(gain_c) OVER ($ORDER ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING) * 100.0))
+         |      / ((sum(loss_c) OVER ($ORDER ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING)
+         |        / (count(loss_c) OVER ($ORDER ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING) * 100.0)) + 1e-6))) * 1e4 + 0.5) / 1e4 AS rsi14,
+         |    floor((value - lag(value, 3) OVER ($ORDER)) * 1e2 + 0.5) / 1e2 AS mom3,
+         |    floor((${centsAvgSql("value", "12 PRECEDING AND CURRENT ROW")}
+         |        - ${centsAvgSql("value", "26 PRECEDING AND CURRENT ROW")}) * 1e4 + 0.5) / 1e4 AS macd,
+         |    CASE WHEN value > 1.5 * ${centsAvgSql("value", "5 PRECEDING AND 1 PRECEDING")}
+         |    THEN 1 ELSE 0 END AS spike,
+         |    lead(value, 1) OVER ($ORDER) AS next_value
+         |  FROM d)
+         |SELECT * FROM f ORDER BY user_id, event_id""".stripMargin,
+  )
+}
