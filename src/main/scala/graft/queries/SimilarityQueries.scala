@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorFunctions._
+import graft.operators.Similarity
+
+/** Embedding-similarity surface over `embeddings` (array<float>, 64-dim):
+  * norms, per-label stats, cosine near-dup pairs, exact brute-force ANN
+  * and the LSH-bucketed scale path (BASELINE.json north star).
+  *
+  * Oracle parity: all vector math happens in double (cast BEFORE multiply)
+  * with strict left-fold accumulation on the Spark side and
+  * list_sum(list_transform(list_zip(...))) on the DuckDB side; cosine is
+  * irrational so floor-rounding at 1e-4/1e-6 is far from any boundary.
+  */
+object SimilarityQueries {
+
+  private val DOT =
+    "list_sum(list_transform(list_zip(a.embedding, b.embedding), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))"
+  private def normSql(t: String) =
+    s"sqrt(list_sum(list_transform($t.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+  private val COS = s"$DOT / (${normSql("a")} * ${normSql("b")})"
+
+  /** Per-vector L2 norm (bounded ids for the oracle diff). */
+  def qEmbeddingNorm(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < 100)
+      .select(col("vec_id"), col("label"), rnd(l2Norm(col("embedding")), 4).as("norm"))
+      .orderBy("vec_id")
+
+  /** Aggregate norm statistics per label. */
+  def qEmbeddingStats(spark: SparkSession, dir: String): DataFrame = {
+    val n = l2Norm(col("embedding"))
+    Tables.embeddings(spark, dir)
+      .select(col("label"), n.as("norm"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("cnt"),
+        rnd(sum(col("norm")) / count(col("norm")), 4).as("avg_norm"),
+        rnd(min(col("norm")), 4).as("min_norm"),
+        rnd(max(col("norm")), 4).as("max_norm"))
+      .orderBy("label")
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ 0.45 over all (a<b). */
+  def qEmbeddingNeardup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairs(Tables.embeddings(spark, dir), 0.45)
+      .select(col("a"), col("b"), rnd(col("cos"), 4).as("cos"))
+      .orderBy("a", "b")
+
+  /** Exact brute-force top-5 cosine neighbors for query vectors id<20. */
+  def qAnnBruteforce(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20), 5)
+      .select(col("query_id"), col("neighbor_id"), rnd(col("cos"), 6).as("cos"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** LSH-bucketed ANN (4 hyperplanes → 16 buckets): the 100 TB path.
+    * No SQL oracle — the driver records a rows-only check; correctness is
+    * covered by SimilaritySpec's recall assertion against brute force. */
+  def qAnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 20), 5, planes = 4)
+      .select(col("query_id"), col("neighbor_id"), rnd(col("cos"), 6).as("cos"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embedding_norm" -> qEmbeddingNorm _,
+    "q_embedding_stats" -> qEmbeddingStats _,
+    "q_embedding_neardup" -> qEmbeddingNeardup _,
+    "q_ann_bruteforce" -> qAnnBruteforce _,
+    "q_ann_lsh" -> qAnnLsh _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_embedding_norm" ->
+      s"""SELECT vec_id, label,
+         |  floor((${normSql("a")}) * 1e4 + 0.5) / 1e4 AS norm
+         |FROM embeddings a WHERE vec_id < 100 ORDER BY vec_id""".stripMargin,
+    "q_embedding_stats" ->
+      s"""WITH n AS (SELECT label, ${normSql("a")} AS norm FROM embeddings a)
+         |SELECT label, count(*) AS cnt,
+         |  floor((sum(norm) / count(norm)) * 1e4 + 0.5) / 1e4 AS avg_norm,
+         |  floor((min(norm)) * 1e4 + 0.5) / 1e4 AS min_norm,
+         |  floor((max(norm)) * 1e4 + 0.5) / 1e4 AS max_norm
+         |FROM n GROUP BY label ORDER BY label""".stripMargin,
+    "q_embedding_neardup" ->
+      s"""SELECT a.vec_id AS a, b.vec_id AS b,
+         |  floor(($COS) * 1e4 + 0.5) / 1e4 AS cos
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE $COS >= 0.45 ORDER BY a, b""".stripMargin,
+    "q_ann_bruteforce" ->
+      s"""WITH scored AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $COS AS cos
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+         |  WHERE a.vec_id < 20),
+         |r AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, floor((cos) * 1e6 + 0.5) / 1e6 AS cos, rank
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+  )
+}

@@ -1,0 +1,243 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.operators.Dedup
+
+/** Text-analysis + deduplication surface over `documents` (BASELINE.json
+  * north-star operators: language ID, quality scoring, token counting,
+  * fingerprinting; exact / MinHash+LSH / SimHash / n-gram-Jaccard dedup).
+  *
+  * Oracle-parity notes: DuckDB regexp_replace needs the 'g' flag (Spark
+  * replaces all matches by default); md5 is the shared cross-engine hash
+  * (murmur hash()/xxhash64 differ between engines); pairwise queries are
+  * bounded to doc_id<100 to keep the oracle diff small — the engine-side
+  * operators in graft.operators.Dedup scale past that via LSH bucketing.
+  */
+object TextQueries {
+
+  /** Token/char statistics per document (token counting op). */
+  def qTextStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).as("len_chars"),
+        rnd(length(regexp_replace(col("text"), "\\s", "")).cast("double") /
+          tokenCount(col("text")), 4).as("avg_tok_len"))
+      .orderBy("doc_id")
+
+  /** Composite quality score + bucket (quality-scoring op). */
+  def qTextQuality(spark: SparkSession, dir: String): DataFrame = {
+    val q = qualityScore(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        rnd(stopwordRatio(col("text")), 4).as("stop_ratio"),
+        rnd(q, 4).as("quality"),
+        when(q >= 0.75, lit("high")).when(q >= 0.5, lit("mid")).otherwise(lit("low")).as("bucket"))
+      .orderBy("doc_id")
+  }
+
+  /** Stopword-heuristic language ID vs the declared label. */
+  def qLangId(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang").as("declared"),
+        langId(col("text")).as("predicted"))
+      .withColumn("agree", (col("declared") === col("predicted")).cast("int"))
+      .orderBy("doc_id")
+
+  /** Normalized-content fingerprint per document. */
+  def qTextFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  /** Exact dedup groups (hash-groupBy over the fingerprint). */
+  def qDedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(Tables.documents(spark, dir))
+      .orderBy("fp")
+
+  /** Exact 1-gram (word-set) Jaccard dedup pairs at threshold 0.8. */
+  def qDedupJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(Tables.documents(spark, dir).filter(col("doc_id") < 100), 1, 0.8)
+      .select(col("a"), col("b"), rnd(col("jaccard"), 4).as("jaccard"))
+      .orderBy("a", "b")
+
+  /** Bigram-shingle similarity pairs (n-gram Jaccard at low threshold). */
+  def qNgramSim(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(Tables.documents(spark, dir).filter(col("doc_id") < 100), 2, 0.05)
+      .select(col("a"), col("b"), rnd(col("jaccard"), 4).as("jaccard"))
+      .orderBy("a", "b")
+
+  /** MinHash signatures (k=8) for every document. */
+  def qMinhashSig(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashSignatures(Tables.documents(spark, dir), 8)
+      .orderBy("doc_id")
+
+  /** MinHash+LSH dedup pairs: banded candidates verified at Jaccard ≥ 0.8
+    * (bounded ids for the oracle; unbounded it stays linear via LSH). */
+  def qDedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashDedupPairs(Tables.documents(spark, dir).filter(col("doc_id") < 100))
+      .select(col("a"), col("b"), rnd(col("jaccard"), 4).as("jaccard"))
+      .orderBy("a", "b")
+
+  /** 32-bit SimHash signature per document. */
+  def qSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(Tables.documents(spark, dir))
+      .orderBy("doc_id")
+
+  /** Multimodal plumbing: opaque binary payload + derived frame layout
+    * (the decode itself is the stubbed mapPartitions op in
+    * graft.operators.Multimodal — this query checks the schema/shape
+    * math that surrounds it). */
+  def qMultimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        length(col("text").cast("binary")).as("n_bytes"),
+        floor((length(col("text").cast("binary")) + lit(255)) / lit(256)).as("n_frames"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_stats" -> qTextStats _,
+    "q_text_quality" -> qTextQuality _,
+    "q_lang_id" -> qLangId _,
+    "q_text_fingerprint" -> qTextFingerprint _,
+    "q_dedup_exact" -> qDedupExact _,
+    "q_dedup_jaccard" -> qDedupJaccard _,
+    "q_ngram_sim" -> qNgramSim _,
+    "q_minhash_sig" -> qMinhashSig _,
+    "q_dedup_minhash" -> qDedupMinhash _,
+    "q_simhash" -> qSimhash _,
+    "q_multimodal_meta" -> qMultimodalMeta _,
+  )
+
+  private val NORM =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+  private val TOKS = "string_split_regex(trim(text), '\\s+')"
+  private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+  private def hitSql(ws: Seq[String]) =
+    s"len(list_filter($TOKS, x -> x IN (${inList(ws)})))"
+
+  private val TOKHASH =
+    s"""tok AS (SELECT doc_id, unnest($TOKS) AS t FROM documents),
+       |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS hv FROM tok)""".stripMargin
+
+  private def jaccardSql(shingleCte: String, threshold: Double): String =
+    s"""WITH $shingleCte,
+       |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |i AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+       |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2),
+       |j AS (
+       |  SELECT a, b, c * 1.0 / (na.n + nb.n - c) AS jaccard
+       |  FROM i JOIN n na ON na.doc_id = a JOIN n nb ON nb.doc_id = b)
+       |SELECT a, b, floor((jaccard) * 1e4 + 0.5) / 1e4 AS jaccard
+       |FROM j WHERE jaccard >= $threshold ORDER BY a, b""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_text_stats" ->
+      s"""SELECT doc_id, source,
+         |  len($TOKS) AS n_tokens,
+         |  length(text) AS len_chars,
+         |  floor((length(regexp_replace(text, '\\s', '', 'g')) * 1.0 / len($TOKS)) * 1e4 + 0.5) / 1e4 AS avg_tok_len
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_quality" ->
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |    ${hitSql(EnStop)} * 1.0 / len($TOKS) AS stop_ratio,
+         |    least(len($TOKS) / 50.0, 1.0) * 0.4
+         |      + least((${hitSql(EnStop)} * 1.0 / len($TOKS)) * 5.0, 1.0) * 0.3
+         |      + (length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) * 1.0 / length(text)) * 0.3 AS quality
+         |  FROM documents)
+         |SELECT doc_id,
+         |  floor((stop_ratio) * 1e4 + 0.5) / 1e4 AS stop_ratio,
+         |  floor((quality) * 1e4 + 0.5) / 1e4 AS quality,
+         |  CASE WHEN quality >= 0.75 THEN 'high' WHEN quality >= 0.5 THEN 'mid' ELSE 'low' END AS bucket
+         |FROM q ORDER BY doc_id""".stripMargin,
+    "q_lang_id" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, lang AS declared,
+         |    ${hitSql(EnStop)} * 1.0 / len($TOKS) AS s_en,
+         |    ${hitSql(DeStop)} * 1.0 / len($TOKS) AS s_de,
+         |    ${hitSql(EsStop)} * 1.0 / len($TOKS) AS s_es,
+         |    ${hitSql(FrStop)} * 1.0 / len($TOKS) AS s_fr
+         |  FROM documents)
+         |SELECT doc_id, declared,
+         |  CASE WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |       WHEN s_de > 0 AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |       WHEN s_es > 0 AND s_es >= s_fr THEN 'es'
+         |       WHEN s_fr > 0 THEN 'fr'
+         |       ELSE 'und' END AS predicted,
+         |  CAST(declared = (CASE WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |       WHEN s_de > 0 AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |       WHEN s_es > 0 AND s_es >= s_fr THEN 'es'
+         |       WHEN s_fr > 0 THEN 'fr'
+         |       ELSE 'und' END) AS INTEGER) AS agree
+         |FROM s ORDER BY doc_id""".stripMargin,
+    "q_text_fingerprint" ->
+      s"""SELECT doc_id, md5($NORM) AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_dedup_exact" ->
+      s"""SELECT md5($NORM) AS fp, min(doc_id) AS canonical_id, count(*) AS cnt
+         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+    "q_dedup_jaccard" -> jaccardSql(
+      s"""sh AS (
+         |  SELECT DISTINCT doc_id, unnest($TOKS) AS s
+         |  FROM documents WHERE doc_id < 100)""".stripMargin, 0.8),
+    "q_ngram_sim" -> jaccardSql(
+      s"""t AS (SELECT doc_id, $TOKS AS ts FROM documents WHERE doc_id < 100),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i + 1] AS s
+         |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i))""".stripMargin, 0.05),
+    "q_minhash_sig" ->
+      s"""WITH $TOKHASH
+         |SELECT doc_id,
+         |  ${(0 until 8).map(i => s"min(${Dedup.minhashSqlExpr(i)}) AS mh$i").mkString(",\n  ")}
+         |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_dedup_minhash" ->
+      s"""WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+         |tok AS (SELECT doc_id, unnest($TOKS) AS t FROM docs),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS hv FROM tok),
+         |sig AS (
+         |  SELECT doc_id,
+         |    ${(0 until 8).map(i => s"min(${Dedup.minhashSqlExpr(i)}) AS mh$i").mkString(",\n    ")}
+         |  FROM h GROUP BY doc_id),
+         |bands AS (
+         |  ${(0 until 4).map(b =>
+            s"SELECT doc_id, $b AS band, md5(mh${2*b}::VARCHAR || '_' || mh${2*b+1}::VARCHAR) AS bkey FROM sig")
+            .mkString("\n  UNION ALL\n  ")}),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |sh AS (SELECT DISTINCT doc_id, unnest($TOKS) AS s FROM docs),
+         |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |i AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+         |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2),
+         |j AS (
+         |  SELECT a, b, c * 1.0 / (na.n + nb.n - c) AS jaccard
+         |  FROM i JOIN n na ON na.doc_id = a JOIN n nb ON nb.doc_id = b)
+         |SELECT j.a, j.b, floor((jaccard) * 1e4 + 0.5) / 1e4 AS jaccard
+         |FROM j JOIN cand ON j.a = cand.a AND j.b = cand.b
+         |WHERE jaccard >= 0.8 ORDER BY j.a, j.b""".stripMargin,
+    "q_simhash" ->
+      s"""WITH $TOKHASH,
+         |v AS (
+         |  SELECT doc_id,
+         |    ${(0 until 32).map(j =>
+            s"sum(CASE WHEN (hv >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(",\n    ")}
+         |  FROM h GROUP BY doc_id)
+         |SELECT doc_id,
+         |  ${(0 until 32).map(j => s"(CASE WHEN b$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
+            .mkString(" + ")} AS simhash
+         |FROM v ORDER BY doc_id""".stripMargin,
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        |  octet_length(CAST(text AS BLOB)) AS n_bytes,
+        |  CAST(floor((octet_length(CAST(text AS BLOB)) + 255) / 256) AS BIGINT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions (SURVEY §5.5): the physical properties the
+  * 100 TB design depends on — broadcast for dimension joins, filter/column
+  * pushdown into the parquet scan, and CollapseWindow folding the whole
+  * feature block into one WindowExec (one shuffle + sort). */
+class PlanSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private def physical(name: String): String =
+    SparkEntry.queries(name)(spark, TestSpark.Sf)
+      .queryExecution.executedPlan.toString
+
+  test("q_join_left broadcasts the customer dimension") {
+    assert(physical("q_join_left").contains("BroadcastHashJoin"))
+  }
+
+  test("q_join_star broadcasts all three dimensions") {
+    val p = physical("q_join_star")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3)
+  }
+
+  test("q_projection pushes the shipdate filter and prunes columns") {
+    val p = physical("q_projection")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"))
+    assert(p.contains("ReadSchema") &&
+      !p.contains("l_comment") && !p.contains("l_tax"))
+  }
+
+  test("q_ml_features: one shuffle + one sort for the whole feature block") {
+    // Nested window expressions (RSI consumes lag output) legitimately
+    // split into chained WindowExec nodes, but they must share ONE
+    // hash-partition exchange and ONE sort — that is what makes a
+    // 30-feature block a single pass at 100 TB.
+    // (string-matched: AQE wraps the plan so collect() can't reach the
+    // nodes; the final rangepartitioning exchange is presentation-only)
+    val p = physical("q_ml_features")
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    val windowSorts = "Sort \\[user_id[^\\n]*ts".r.findAllIn(p).size
+    assert(hashShuffles == 1, s"expected 1 hash shuffle, got $hashShuffles:\n$p")
+    assert(windowSorts == 1, s"expected 1 window sort, got $windowSorts:\n$p")
+  }
+
+  test("q_topk plans as TakeOrderedAndProject (no global sort)") {
+    assert(physical("q_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("q1_pricing_summary uses partial (map-side) aggregation") {
+    val p = physical("q1_pricing_summary")
+    assert(p.contains("HashAggregate"))
+    assert(p.contains("partial_"))
+  }
+}

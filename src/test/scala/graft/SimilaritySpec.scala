@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.VectorFunctions._
+import graft.operators.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    val d = Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f), Array(0.0f, 2.0f)))
+      .toDF("a", "b", "c")
+    val r = d.select(cosine($"a", $"b"), cosine($"a", $"c")).as[(Double, Double)].head()
+    assert(math.abs(r._1 - 1.0) < 1e-12 && math.abs(r._2) < 1e-12)
+  }
+
+  test("brute force top-k: k rows per query, self excluded, ranked desc") {
+    val emb = Tables.embeddings(spark, TestSpark.Sf)
+    val res = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 5), 3)
+    val rows = res.orderBy("query_id", "rank")
+      .select("query_id", "neighbor_id", "cos", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(rows.groupBy(_._1).forall(_._2.length == 3))
+    assert(rows.forall { case (q, n, _, _) => q != n })
+    rows.groupBy(_._1).values.foreach { g =>
+      val cs = g.sortBy(_._4).map(_._3)
+      assert(cs.zip(cs.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
+  test("lsh top-k results are a subset of correct cosine ordering") {
+    val emb = Tables.embeddings(spark, TestSpark.Sf)
+    val q = emb.filter($"vec_id" < 10)
+    val lsh = Similarity.lshTopK(emb, q, 5, planes = 4)
+    val rows = lsh.select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (a, b, _) => a != b })
+    // same bucket => recall of exact top-1 not guaranteed, but ranks
+    // within a query must be contiguous from 1
+    rows.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._3).sorted.toSeq == (1 to g.length).toSeq)
+    }
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.TimeSeries._
+
+/** Hand-computed window-feature edge cases (SURVEY §5.1): partition
+  * boundaries produce nulls for the first k lags, short frames average the
+  * available rows, forward fill crosses null runs, RSI stays in [0,100]. */
+class TimeSeriesSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val w = Window.partitionBy("g").orderBy("i")
+
+  private def df = Seq(
+    ("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 15.0), ("a", 4, 25.0),
+    ("b", 1, 5.0), ("b", 2, 5.0)
+  ).toDF("g", "i", "v")
+
+  test("lag is null at partition start and partition-local") {
+    val r = df.withColumn("l", lagK($"v", 1, w)).orderBy("g", "i")
+      .select("l").as[Option[Double]].collect()
+    assert(r.toSeq == Seq(None, Some(10.0), Some(20.0), Some(15.0), None, Some(5.0)))
+  }
+
+  test("lead produces next value, null at partition end") {
+    val r = df.withColumn("n", lead1($"v", w)).orderBy("g", "i")
+      .select("n").as[Option[Double]].collect()
+    assert(r.toSeq == Seq(Some(20.0), Some(15.0), Some(25.0), None, Some(5.0), None))
+  }
+
+  test("sma averages only available rows (min_periods=1 semantics)") {
+    val r = df.withColumn("m", sma($"v", w, -2, -1)).orderBy("g", "i")
+      .select("m").as[Option[Double]].collect()
+    assert(r.toSeq == Seq(None, Some(10.0), Some(15.0), Some(17.5), None, Some(5.0)))
+  }
+
+  test("smaCents equals plain sma on 2-decimal data") {
+    val a = df.withColumn("m", smaCents($"v", w, -2, -1)).orderBy("g", "i")
+      .select("m").as[Option[Double]].collect()
+    val b = df.withColumn("m", sma($"v", w, -2, -1)).orderBy("g", "i")
+      .select("m").as[Option[Double]].collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("forward fill carries last non-null within partition") {
+    val d = Seq(("a", 1, Some(1.0)), ("a", 2, None), ("a", 3, None),
+      ("a", 4, Some(4.0)), ("b", 1, None)).toDF("g", "i", "v")
+    val r = d.withColumn("f", ffill($"v", w)).orderBy("g", "i")
+      .select("f").as[Option[Double]].collect()
+    assert(r.toSeq == Seq(Some(1.0), Some(1.0), Some(1.0), Some(4.0), None))
+  }
+
+  test("rsi bounded in [0, 100] and null while frame empty") {
+    val d = Tables.events(spark, TestSpark.Sf)
+    val w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val r = d.select(rsi($"value", 14, w2).as("r"))
+      .agg(min("r"), max("r")).as[(Double, Double)].head()
+    assert(r._1 >= 0.0 && r._2 <= 100.0)
+  }
+
+  test("spike flag is 0/1 only") {
+    val vals = df.withColumn("s", spikeFlag($"v", 3, 1.5, w))
+      .select("s").distinct().as[Int].collect().toSet
+    assert(vals.subsetOf(Set(0, 1)))
+  }
+
+  test("zscore of constant series: stddev_pop is zero") {
+    val d = Seq.fill(5)(3.14).toDF("v")
+    assert(d.agg(stddev_pop($"v")).as[Double].head() == 0.0)
+  }
+}
