@@ -19,7 +19,8 @@ object SparkEntry {
     graft.queries.Relational.queries ++
     graft.queries.TimeSeriesQueries.queries ++
     graft.queries.TextQueries.queries ++
-    graft.queries.SimilarityQueries.queries
+    graft.queries.SimilarityQueries.queries ++
+    graft.queries.MlQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +28,6 @@ object SparkEntry {
     graft.queries.Relational.oracles ++
     graft.queries.TimeSeriesQueries.oracles ++
     graft.queries.TextQueries.oracles ++
-    graft.queries.SimilarityQueries.oracles
+    graft.queries.SimilarityQueries.oracles ++
+    graft.queries.MlQueries.oracles
 }

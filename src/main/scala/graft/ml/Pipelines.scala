@@ -1,0 +1,151 @@
+package graft.ml
+
+import org.apache.spark.ml.{Pipeline, PipelineModel}
+import org.apache.spark.ml.classification.{GBTClassificationModel, GBTClassifier}
+import org.apache.spark.ml.evaluation.{BinaryClassificationEvaluator, RegressionEvaluator}
+import org.apache.spark.ml.feature.{RobustScaler, StringIndexer, VectorAssembler}
+import org.apache.spark.ml.regression.{GBTRegressionModel, GBTRegressor}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TimeSeries._
+
+/** MLlib surface (SURVEY.md §2.10 M1-M16), kept entirely on executors —
+  * the reference funnels everything through toPandas()+sklearn/XGBoost on
+  * one process (regression.py:223-224); here feature engineering, scaling,
+  * training, and evaluation are all distributed, and the fitted
+  * PipelineModel persists as ONE artifact (S9) instead of 8 pickles.
+  *
+  * The supervised task mirrors the reference's: window features per entity
+  * (lags, SMA, volatility, RSI, MACD, momentum, spike), label = next-step
+  * direction (classifier, classifier.py:23-24) or next-step return
+  * (regressor, regression.py:119-126), temporal — never random — split
+  * (M13, regression.py:216-218).
+  */
+object Pipelines {
+
+  val FeatureCols: Array[String] = Array(
+    "lag1", "lag3", "ma5", "volatility14", "rsi14", "mom3", "macd", "spike")
+
+  /** The shared feature module (M15): one implementation serves training,
+    * evaluation, and serving — eliminating the reference's drifting dual
+    * pandas/PySpark re-implementations (ml_impl.py:73-104). */
+  def featureFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        lagK(col("value"), 1, w).as("lag1"),
+        lagK(col("value"), 3, w).as("lag3"),
+        smaCents(col("value"), w, -5, -1).as("ma5"),
+        volatility(col("value"), w, 14).as("volatility14"),
+        rsi(col("value"), 14, w).as("rsi14"),
+        momentum(col("value"), 3, w).as("mom3"),
+        macd(col("value"), w).as("macd"),
+        spikeFlag(col("value"), 5, 1.5, w).cast("double").as("spike"),
+        lead1(col("value"), w).as("next_value"))
+      .withColumn("target", (col("next_value") - col("value")) / col("value"))
+      .withColumn("label", when(col("next_value") > col("value"), 1.0).otherwise(0.0))
+      .na.drop(FeatureCols :+ "next_value")
+  }
+
+  /** M13: temporal split at (max ts − `holdoutDays` days of nanos); the
+    * cutoff stays in-plan via a broadcast join — no driver round-trip. */
+  def temporalSplit(df: DataFrame, holdoutDays: Int): (DataFrame, DataFrame) = {
+    val cutoff = df.agg((max(col("ts")) - lit(holdoutDays * 86400e9.toLong)).as("cutoff"))
+    val tagged = df.crossJoin(broadcast(cutoff))
+    (tagged.filter(col("ts") < col("cutoff")).drop("cutoff"),
+      tagged.filter(col("ts") >= col("cutoff")).drop("cutoff"))
+  }
+
+  /** M1+M8 assembly/scaling stages shared by both trainers. */
+  private def featureStages = Array(
+    new VectorAssembler().setInputCols(FeatureCols).setOutputCol("rawFeatures"),
+    new RobustScaler().setInputCol("rawFeatures").setOutputCol("features")
+      .setWithCentering(true))
+
+  /** M2-M6: class-weighted GBT direction classifier.
+    * Weights = total/(2·count_class) (classifier.py:62-67), computed with
+    * an aggregate→broadcast join instead of collectAsMap. */
+  def trainClassifier(train: DataFrame, maxIter: Int = 20): (PipelineModel, DataFrame => DataFrame) = {
+    val counts = train.groupBy("label").agg(count(lit(1)).as("n_class"))
+    val total = train.count().toDouble
+    val weighted = train.join(broadcast(counts), "label")
+      .withColumn("weight", lit(total) / (lit(2.0) * col("n_class")))
+    val gbt = new GBTClassifier()
+      .setFeaturesCol("features").setLabelCol("label").setWeightCol("weight")
+      .setMaxIter(maxIter).setMaxDepth(5).setStepSize(0.1)
+      .setSubsamplingRate(0.8).setMaxBins(32).setSeed(42)
+    val model = new Pipeline().setStages(featureStages :+ gbt).fit(weighted)
+    (model, df => model.transform(
+      df.withColumn("weight", lit(1.0))))
+  }
+
+  /** M4+M5: AUC, accuracy, and the grouped-count confusion matrix. */
+  def evalClassifier(scored: DataFrame): DataFrame = {
+    val auc = new BinaryClassificationEvaluator()
+      .setLabelCol("label").setRawPredictionCol("rawPrediction")
+      .setMetricName("areaUnderROC").evaluate(scored)
+    val agg = scored.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("label") === col("prediction"), 1).otherwise(0)).as("n_correct"),
+      sum(when(col("label") === 1 && col("prediction") === 1, 1).otherwise(0)).as("tp"),
+      sum(when(col("label") === 0 && col("prediction") === 1, 1).otherwise(0)).as("fp"),
+      sum(when(col("label") === 1 && col("prediction") === 0, 1).otherwise(0)).as("fn"),
+      sum(when(col("label") === 0 && col("prediction") === 0, 1).otherwise(0)).as("tn"))
+    agg.withColumn("accuracy", col("n_correct") / col("n"))
+      .withColumn("auc", lit(auc))
+  }
+
+  /** M9-M10: GBT return regressor with direction-balanced sample weights
+    * (inverse sign frequency, regression.py:351-371). */
+  def trainRegressor(train: DataFrame, maxIter: Int = 20): PipelineModel = {
+    val signCounts = train.withColumn("sgn", signum(col("target")))
+      .groupBy("sgn").agg(count(lit(1)).as("n_sign"))
+    val total = train.count().toDouble
+    val weighted = train.withColumn("sgn", signum(col("target")))
+      .join(broadcast(signCounts), "sgn")
+      .withColumn("weight", lit(total) / (lit(2.0) * col("n_sign")))
+    val gbt = new GBTRegressor()
+      .setFeaturesCol("features").setLabelCol("target").setWeightCol("weight")
+      .setMaxIter(maxIter).setMaxDepth(5).setStepSize(0.1)
+      .setSubsamplingRate(0.8).setMaxBins(32).setSeed(42)
+    new Pipeline().setStages(featureStages :+ gbt).fit(weighted)
+  }
+
+  /** M11+M12: RMSE/MSE/MAE/R² + directional accuracy and sign confusion. */
+  def evalRegressor(scored: DataFrame): DataFrame = {
+    def metric(m: String): Double = new RegressionEvaluator()
+      .setLabelCol("target").setPredictionCol("prediction")
+      .setMetricName(m).evaluate(scored)
+    val dir = scored.agg(
+      count(lit(1)).as("n"),
+      sum(when(signum(col("target")) === signum(col("prediction")), 1).otherwise(0))
+        .as("n_dir_correct"))
+    dir
+      .withColumn("dir_accuracy", col("n_dir_correct") / col("n"))
+      .withColumn("rmse", lit(metric("rmse")))
+      .withColumn("mse", lit(metric("mse")))
+      .withColumn("mae", lit(metric("mae")))
+      .withColumn("r2", lit(metric("r2")))
+  }
+
+  /** M16: serving post-processing — predicted next value from predicted
+    * return, next-step timestamp, ranked output (ml_impl.py:146-156,191). */
+  def servePredictions(scored: DataFrame, topK: Int = 20): DataFrame =
+    scored.select(
+      col("event_id"), col("user_id"),
+      col("value"),
+      col("prediction").as("predicted_return"),
+      (col("value") * (lit(1.0) + col("prediction"))).as("predicted_value"))
+      .orderBy(desc("predicted_return"), col("event_id"))
+      .limit(topK)
+
+  /** Leakage guard used by tests and the verify query: max train ts must
+    * precede min test ts. */
+  def splitIsLeakFree(train: DataFrame, test: DataFrame): Boolean = {
+    val a = train.agg(max("ts")).head().getLong(0)
+    val b = test.agg(min("ts")).head().getLong(0)
+    a < b
+  }
+}

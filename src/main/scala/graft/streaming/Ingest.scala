@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Streaming ingest (SURVEY.md §2.9): the reference's scraper→Firebase→
+  * listener chain (scraper/main.py:62-99, spark_stream.py:52-66) as one
+  * Structured Streaming job — 5-minute micro-batches, day-level dedup,
+  * threshold + stateful percent-change alerting, and a dual sink (landing
+  * table + alert stream). The reference's save_processed_data is called
+  * but never defined (spark_stream.py:46, silently swallowed at :48-49);
+  * here the enriched write is real.
+  *
+  * Scale: dedup state is keyed (user_id, day) under a watermark so state
+  * is bounded and evicted; the landing write partitions by day, giving
+  * the batch layer static+dynamic partition pruning (ST2 as idempotent
+  * date-partitioned layout).
+  */
+object Ingest {
+
+  case class Event(event_id: Long, ts: Long, user_id: Long, event_type: String, value: Double)
+  case class PctAlert(user_id: Long, event_id: Long, value: Double, prev_value: Double, pct: Double)
+
+  /** Epoch-nano long → event-time timestamp + calendar day columns. */
+  def withEventTime(events: DataFrame): DataFrame =
+    events
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withColumn("day", to_date(col("event_time")))
+
+  /** ST2: at-most-one event per (user, day), late data bounded by the
+    * watermark; works identically on batch frames (no-op watermark). */
+  def dedupDaily(events: DataFrame, watermark: String = "1 day"): DataFrame =
+    withEventTime(events)
+      .withWatermark("event_time", watermark)
+      .dropDuplicates("user_id", "day")
+
+  /** ST3 (threshold form): flag events whose value exceeds `threshold`. */
+  def thresholdAlerts(events: DataFrame, threshold: Double = 400.0): DataFrame =
+    withEventTime(events).filter(col("value") > threshold)
+
+  /** ST3 (true reference semantics — percentage_change > 5 vs the user's
+    * previous event, spark_stream.py:38-46): per-key state holds the last
+    * value; arbitrary stateful processing via flatMapGroupsWithState. */
+  def statefulPctAlerts(events: Dataset[Event], pctThreshold: Double = 5.0): Dataset[PctAlert] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Event], state: GroupState[Double]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts, e.event_id))
+          var prev = if (state.exists) Some(state.get) else None
+          val alerts = sorted.flatMap { e =>
+            val out = prev match {
+              case Some(p) if p != 0.0 =>
+                val pct = (e.value - p) / p * 100.0
+                if (pct > pctThreshold) Some(PctAlert(user, e.event_id, e.value, p, pct)) else None
+              case _ => None
+            }
+            prev = Some(e.value)
+            out
+          }
+          prev.foreach(state.update)
+          alerts.iterator
+      }
+  }
+
+  /** ST1+ST4+ST7: micro-batch ingest with a dual sink — append the
+    * deduped batch to the day-partitioned landing table and the alert
+    * subset to the alert table — via foreachBatch. */
+  def startIngest(stream: DataFrame, landingPath: String, alertPath: String,
+                  trigger: Trigger = Trigger.ProcessingTime("5 minutes"),
+                  checkpoint: String = "/tmp/graft-ingest-ckpt"): StreamingQuery =
+    dedupDaily(stream)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.persist()
+        batch.write.mode("append").partitionBy("day").parquet(landingPath)
+        batch.filter(col("value") > 400.0)
+          .write.mode("append").parquet(alertPath)
+        batch.unpersist()
+        ()
+      }
+      .start()
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.ml.PipelineModel
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ml.Pipelines
+
+/** ML surface (SURVEY §5.6): leak-free temporal split, bounded metrics,
+  * pipeline save/load round trip. */
+class MlSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val features = Pipelines.featureFrame(spark, TestSpark.Sf).cache()
+  private lazy val split = Pipelines.temporalSplit(features, 7)
+
+  test("temporal split is leak-free and non-empty") {
+    val (train, test) = split
+    assert(train.count() > 0 && test.count() > 0)
+    assert(Pipelines.splitIsLeakFree(train, test))
+  }
+
+  test("classifier: AUC in [0,1], confusion sums to n, accuracy bounded") {
+    val (train, test) = split
+    val (_, score) = Pipelines.trainClassifier(train, maxIter = 5)
+    val m = Pipelines.evalClassifier(score(test)).head()
+    val (n, tp, fp, fn, tn) = (m.getAs[Long]("n"), m.getAs[Long]("tp"),
+      m.getAs[Long]("fp"), m.getAs[Long]("fn"), m.getAs[Long]("tn"))
+    assert(tp + fp + fn + tn == n)
+    val auc = m.getAs[Double]("auc")
+    val acc = m.getAs[Double]("accuracy")
+    assert(auc >= 0.0 && auc <= 1.0)
+    assert(acc >= 0.0 && acc <= 1.0)
+  }
+
+  test("regressor: metrics finite, directional accuracy bounded") {
+    val (train, test) = split
+    val model = Pipelines.trainRegressor(train, maxIter = 5)
+    val m = Pipelines.evalRegressor(model.transform(test)).head()
+    Seq("rmse", "mse", "mae").foreach { k =>
+      val v = m.getAs[Double](k)
+      assert(!v.isNaN && v >= 0.0, s"$k = $v")
+    }
+    val da = m.getAs[Double]("dir_accuracy")
+    assert(da >= 0.0 && da <= 1.0)
+  }
+
+  test("pipeline save/load round trip scores identically (S9: one artifact)") {
+    val (train, test) = split
+    val model = Pipelines.trainRegressor(train, maxIter = 3)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-model").toString + "/m"
+    model.write.overwrite().save(tmp)
+    val loaded = PipelineModel.load(tmp)
+    val a = model.transform(test).select("event_id", "prediction")
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    val b = loaded.transform(test).select("event_id", "prediction")
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(a == b)
+  }
+
+  test("serving output ranks by predicted return descending") {
+    val (train, test) = split
+    val model = Pipelines.trainRegressor(train, maxIter = 3)
+    val served = Pipelines.servePredictions(model.transform(test), topK = 10)
+      .select("predicted_return").as[Double].collect()
+    assert(served.nonEmpty)
+    assert(served.zip(served.tail).forall { case (x, y) => x >= y })
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.Ingest
+import graft.streaming.Ingest.{Event, PctAlert}
+
+/** Streaming semantics (SURVEY §2.9 / §5.7): MemoryStream-driven day
+  * dedup under out-of-order batches, threshold alerts, and the stateful
+  * per-user percent-change alert. */
+class StreamingSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+  implicit private val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private val DayNs = 86400L * 1000000000L
+
+  private def ev(id: Long, day: Long, user: Long, v: Double, offNs: Long = 0L) =
+    Event(id, day * DayNs + offNs, user, "view", v)
+
+  test("dedupDaily keeps one event per user per day across batches") {
+    val src = MemoryStream[Event]
+    val q = Ingest.dedupDaily(src.toDF(), watermark = "10 days")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      src.addData(ev(1, 1, 7, 10.0), ev(2, 1, 7, 11.0, 3600L * 1000000000L)) // same user+day
+      q.processAllAvailable()
+      src.addData(ev(3, 1, 7, 12.0, 7200L * 1000000000L)) // dup in later batch
+      src.addData(ev(4, 2, 7, 13.0), ev(5, 1, 8, 14.0))   // new day, new user
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").select("event_id").as[Long].collect().toSet
+      assert(got.contains(1L) && got.contains(4L) && got.contains(5L))
+      assert(!got.contains(2L) && !got.contains(3L), s"duplicates leaked: $got")
+    } finally q.stop()
+  }
+
+  test("threshold alerts fire only above the threshold") {
+    val src = MemoryStream[Event]
+    val q = Ingest.thresholdAlerts(src.toDF(), threshold = 100.0)
+      .writeStream.format("memory").queryName("alert_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      src.addData(ev(1, 1, 1, 50.0), ev(2, 1, 2, 150.0), ev(3, 1, 3, 100.0))
+      q.processAllAvailable()
+      val got = spark.table("alert_out").select("event_id").as[Long].collect().toSet
+      assert(got == Set(2L))
+    } finally q.stop()
+  }
+
+  test("stateful pct-change alert tracks per-user state across batches") {
+    val src = MemoryStream[Event]
+    val q = Ingest.statefulPctAlerts(src.toDS(), pctThreshold = 5.0)
+      .writeStream.format("memory").queryName("pct_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      src.addData(ev(1, 1, 1, 100.0), ev(2, 1, 1, 104.0, 1000L)) // +4% no alert
+      q.processAllAvailable()
+      src.addData(ev(3, 1, 1, 120.0, 2000L)) // +15.4% vs state 104 → alert
+      src.addData(ev(4, 1, 2, 100.0))        // first event, no alert
+      q.processAllAvailable()
+      val got = spark.table("pct_out").as[PctAlert].collect()
+      assert(got.map(_.event_id).toSet == Set(3L))
+      assert(math.abs(got.head.pct - (120.0 - 104.0) / 104.0 * 100.0) < 1e-9)
+    } finally q.stop()
+  }
+
+  test("batch replay through startIngest writes landing + alert tables") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    val src = MemoryStream[Event]
+    val q = Ingest.startIngest(src.toDF(), s"$tmp/landing", s"$tmp/alerts",
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      checkpoint = s"$tmp/ckpt")
+    try {
+      src.addData(ev(1, 1, 1, 500.0), ev(2, 1, 2, 10.0), ev(3, 2, 1, 20.0))
+      q.awaitTermination(60000)
+      val landing = spark.read.parquet(s"$tmp/landing")
+      assert(landing.count() == 3)
+      assert(landing.columns.contains("day"))
+      val alerts = spark.read.parquet(s"$tmp/alerts")
+      assert(alerts.select("event_id").as[Long].collect().toSet == Set(1L))
+    } finally q.stop()
+  }
+}
