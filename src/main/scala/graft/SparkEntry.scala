@@ -10,9 +10,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    queries("q_join_star")(spark, "/root/testdata/sf0.001")
+  /** Flagship query on /root/testdata/sf0.001 (SURVEY §7.2 slice:
+    * scan → window features → join → agg → top-k); driver smoke-checks
+    * rows>0. */
+  def entry(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val features = graft.ml.Pipelines.featureFrame(spark, dir)
+    val userDim = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), max(col("value")).as("max_value"))
+    features
+      .join(broadcast(userDim), "user_id")
+      .filter(col("rsi14").isNotNull)
+      .orderBy(desc("macd"), col("event_id"))
+      .limit(10)
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -20,7 +33,8 @@ object SparkEntry {
     graft.queries.TimeSeriesQueries.queries ++
     graft.queries.TextQueries.queries ++
     graft.queries.SimilarityQueries.queries ++
-    graft.queries.MlQueries.queries
+    graft.queries.MlQueries.queries ++
+    graft.queries.ScalarQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +43,6 @@ object SparkEntry {
     graft.queries.TimeSeriesQueries.oracles ++
     graft.queries.TextQueries.oracles ++
     graft.queries.SimilarityQueries.oracles ++
-    graft.queries.MlQueries.oracles
+    graft.queries.MlQueries.oracles ++
+    graft.queries.ScalarQueries.oracles
 }

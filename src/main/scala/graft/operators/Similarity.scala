@@ -27,10 +27,14 @@ object Similarity {
   /** Exact top-k neighbors for each query vector (excludes self-match). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    // Norms are precomputed per side so the O(|q|·|corpus|) pair stage
+    // evaluates only one dot product per pair (cosine would fold three).
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      l2Norm(col(vecCol)).as("qn")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      l2Norm(col(vecCol)).as("cn"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -50,12 +54,12 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, planes: Int = 8,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cb = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      bucketId(vecCol, planes).as("bucket"))
+      l2Norm(col(vecCol)).as("cn"), bucketId(vecCol, planes).as("bucket"))
     val qb = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      bucketId(vecCol, planes).as("bucket")))
+      l2Norm(col(vecCol)).as("qn"), bucketId(vecCol, planes).as("bucket")))
     val scored = qb.join(cb, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -67,10 +71,10 @@ object Similarity {
     * detection. Bounded-id oracle form; at scale feed LSH buckets. */
   def nearDupPairs(emb: DataFrame, threshold: Double,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val a = emb.select(col(idCol).as("a"), col(vecCol).as("va"))
-    val b = emb.select(col(idCol).as("b"), col(vecCol).as("vb"))
+    val a = emb.select(col(idCol).as("a"), col(vecCol).as("va"), l2Norm(col(vecCol)).as("na"))
+    val b = emb.select(col(idCol).as("b"), col(vecCol).as("vb"), l2Norm(col(vecCol)).as("nb"))
     a.join(b, col("a") < col("b"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select("a", "b", "cos")
   }

@@ -30,7 +30,10 @@ object MlQueries {
   /** M1-M6: class-weighted GBT direction classifier, temporal split,
     * AUC + accuracy + confusion counts (rows-only). */
   def qMlClassifier(spark: SparkSession, dir: String): DataFrame = {
-    val (train, test) = Pipelines.temporalSplit(Pipelines.featureFrame(spark, dir), 7)
+    // cache: the split + GBT iterations re-read the feature frame many
+    // times; without this the window block recomputes per pass
+    val features = Pipelines.featureFrame(spark, dir).cache()
+    val (train, test) = Pipelines.temporalSplit(features, 7)
     val (_, score) = Pipelines.trainClassifier(train, maxIter = 10)
     Pipelines.evalClassifier(score(test))
   }
@@ -38,7 +41,8 @@ object MlQueries {
   /** M9-M12: direction-weighted GBT return regressor, RMSE/MSE/MAE/R² +
     * directional accuracy (rows-only). */
   def qMlRegressor(spark: SparkSession, dir: String): DataFrame = {
-    val (train, test) = Pipelines.temporalSplit(Pipelines.featureFrame(spark, dir), 7)
+    val features = Pipelines.featureFrame(spark, dir).cache()
+    val (train, test) = Pipelines.temporalSplit(features, 7)
     val model = Pipelines.trainRegressor(train, maxIter = 10)
     Pipelines.evalRegressor(model.transform(test))
   }
@@ -46,7 +50,8 @@ object MlQueries {
   /** M15-M16: ranked serving output — top predicted next-step returns on
     * the holdout (rows-only). */
   def qMlServe(spark: SparkSession, dir: String): DataFrame = {
-    val (train, test) = Pipelines.temporalSplit(Pipelines.featureFrame(spark, dir), 7)
+    val features = Pipelines.featureFrame(spark, dir).cache()
+    val (train, test) = Pipelines.temporalSplit(features, 7)
     val model = Pipelines.trainRegressor(train, maxIter = 10)
     Pipelines.servePredictions(model.transform(test), topK = 20)
   }

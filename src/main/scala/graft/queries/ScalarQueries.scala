@@ -1,0 +1,63 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.sources.Sources
+
+/** Scalar-function coverage queries (SURVEY.md §2.8): date component
+  * extraction/arithmetic (F5-F7) and the unit-suffixed magnitude parse
+  * (§1.2/§7.4 — "41.77B" → 4.177e10). Suffixed strings are synthesized
+  * from integer columns so both engines render identical text. */
+object ScalarQueries {
+
+  def qDateParts(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderkey") < 100)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        date_add(to_date(col("o_orderdate")), 1).as("next_day"),
+        date_sub(to_date(col("o_orderdate")), 7).as("week_before"))
+      .orderBy("o_orderkey")
+
+  def qUnitSuffix(spark: SparkSession, dir: String): DataFrame = {
+    val suffix = element_at(
+      array(lit("K"), lit("M"), lit("B"), lit("T")),
+      (pmod(col("p_partkey"), lit(4)) + 1).cast("int"))
+    Tables.part(spark, dir)
+      .filter(col("p_partkey") < 100)
+      .withColumn("raw", concat(col("p_size").cast("string"), suffix))
+      .select(col("p_partkey"), col("raw"),
+        Sources.parseMagnitude(col("raw")).as("value"))
+      .orderBy("p_partkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_date_parts" -> qDateParts _,
+    "q_unit_suffix" -> qUnitSuffix _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_date_parts" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INTEGER) AS y,
+        |  CAST(month(o_orderdate) AS INTEGER) AS m,
+        |  CAST(day(o_orderdate) AS INTEGER) AS d,
+        |  CAST(o_orderdate AS DATE) + 1 AS next_day,
+        |  CAST(o_orderdate AS DATE) - 7 AS week_before
+        |FROM orders WHERE o_orderkey < 100 ORDER BY o_orderkey""".stripMargin,
+    "q_unit_suffix" ->
+      """WITH s AS (
+        |  SELECT p_partkey,
+        |    p_size::VARCHAR || (['K', 'M', 'B', 'T'])[(p_partkey % 4) + 1] AS raw
+        |  FROM part WHERE p_partkey < 100)
+        |SELECT p_partkey, raw,
+        |  CAST(regexp_extract(raw, '^([0-9]*\.?[0-9]+)', 1) AS DOUBLE) *
+        |    (CASE upper(regexp_extract(raw, '([KMBT])$', 1))
+        |      WHEN 'K' THEN 1e3 WHEN 'M' THEN 1e6
+        |      WHEN 'B' THEN 1e9 WHEN 'T' THEN 1e12 ELSE 1.0 END) AS value
+        |FROM s ORDER BY p_partkey""".stripMargin,
+  )
+}

@@ -1,0 +1,84 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink layer (SURVEY.md §2.1): schema-explicit CSV/JSON readers
+  * with the reference's column-name sanitization, the day-partitioned
+  * landing-table sink, and the NaN-scrubbed JSON export.
+  *
+  * Schema policy (SURVEY §1.3): explicit StructType by default — schema
+  * inference re-scans the input (the reference pays that on every run,
+  * regression.py:48) and is only offered as an opt-in for exploration.
+  */
+object Sources {
+
+  /** F2: the scraper's column sanitization — `[$#\[\]/. ]` → `_`
+    * (reference scraper/main.py:57, producing names like
+    * `**Last_Trade_(Rs_)` that every consumer must reproduce). */
+  def sanitizeName(name: String): String = name.replaceAll("[\\$#\\[\\]/\\.\\s]", "_")
+
+  def sanitizeColumns(df: DataFrame): DataFrame =
+    df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, sanitizeName(c)))
+
+  /** S1: CSV scan — explicit schema (prod) or opt-in inference. */
+  def readCsv(spark: SparkSession, path: String, schema: Option[StructType] = None,
+              header: Boolean = true): DataFrame = {
+    val r = spark.read.option("header", header.toString)
+    sanitizeColumns(schema.fold(r.option("inferSchema", "true"))(r.schema).csv(path))
+  }
+
+  /** S4/S7: JSON snapshot scan (schema-on-read with explicit option). */
+  def readJson(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read
+    sanitizeColumns(schema.fold(r)(r.schema).json(path))
+  }
+
+  /** S3/ST2: idempotent day-partitioned landing write — re-running a day
+    * replaces it instead of duplicating (the reference's check-then-write
+    * dedup race, scraper/main.py:69-77, made safe). */
+  def writeLanding(df: DataFrame, path: String, dayCol: String = "day"): Unit =
+    df.write
+      .mode("overwrite")
+      .partitionBy(dayCol)
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(path)
+
+  /** S8: JSON export with the NaN→0 scrub (spark_stream.py:149-156). */
+  def exportJson(df: DataFrame, path: String): Unit = {
+    val doubles = df.schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.DoubleType => f.name
+    }
+    df.na.fill(0.0, doubles).write.mode("overwrite").json(path)
+  }
+
+  /** F4: multi-format date parse — try yyyy-MM-dd, then yyyyMMdd, then
+    * the reference's dd/MMM/yyyy issueDate form (ml_impl.py:22-30). */
+  def parseDateMulti(c: Column): Column =
+    coalesce(
+      try_to_date(c, "yyyy-MM-dd"),   // ANSI-mode to_date throws on
+      try_to_date(c, "yyyyMMdd"),     // mismatch; try_ returns null
+      try_to_date(c, "dd/MMM/yyyy"))  // so coalesce can fall through
+
+  /** F1+F3: the reference's Date column carries a ".csv" suffix
+    * (regression.py:55). */
+  def parseDateFromCsvName(c: Column): Column =
+    to_date(regexp_replace(c, "\\.csv$", ""), "yyyyMMdd")
+
+  /** F8: UTC → exchange-local wall clock (scraper/main.py:33-34). */
+  def toExchangeTime(c: Column, tz: String = "Asia/Colombo"): Column =
+    from_utc_timestamp(c, tz)
+
+  /** §1.2/§7.4: unit-suffixed magnitude parse — "41.77B" → 4.177e10,
+    * supporting K/M/B/T, bare numbers pass through. */
+  def parseMagnitude(c: Column): Column = {
+    val num = regexp_extract(c, "^([0-9]*\\.?[0-9]+)", 1).cast("double")
+    val suffix = upper(regexp_extract(c, "([KMBT])$", 1))
+    num * when(suffix === "K", lit(1e3))
+      .when(suffix === "M", lit(1e6))
+      .when(suffix === "B", lit(1e9))
+      .when(suffix === "T", lit(1e12))
+      .otherwise(lit(1.0))
+  }
+}

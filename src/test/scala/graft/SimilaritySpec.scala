@@ -16,6 +16,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(r._1 - 1.0) < 1e-12 && math.abs(r._2) < 1e-12)
   }
 
+  test("native DotProduct expression is bit-identical to the composable form") {
+    val emb = Tables.embeddings(spark, TestSpark.Sf).filter($"vec_id" < 50)
+    val a = emb.select($"vec_id".as("a"), $"embedding".as("va"))
+    val b = emb.select($"vec_id".as("b"), $"embedding".as("vb"))
+    val diffs = a.join(b, $"a" < $"b")
+      .select(dot($"va", $"vb").as("fast"), dotComposable($"va", $"vb").as("ref"))
+      .filter($"fast" =!= $"ref")
+      .count()
+    assert(diffs == 0, s"$diffs pairs diverge between codegen and composable dot")
+  }
+
   test("brute force top-k: k rows per query, self excluded, ranked desc") {
     val emb = Tables.embeddings(spark, TestSpark.Sf)
     val res = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 5), 3)

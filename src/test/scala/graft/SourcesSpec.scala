@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Sources
+
+class SourcesSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("sanitizeName reproduces the reference's rule") {
+    assert(Sources.sanitizeName("**Last Trade (Rs.)") == "**Last_Trade_(Rs_)")
+    assert(Sources.sanitizeName("Change(%)") == "Change(%)")
+    assert(Sources.sanitizeName("a$b#c[d]e/f.g h") == "a_b_c_d_e_f_g_h")
+  }
+
+  test("csv round trip with dirty headers and explicit schema") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-csv").toString
+    Seq((1L, 2.5), (2L, 3.5)).toDF("id col", "price.value")
+      .write.option("header", "true").mode("overwrite").csv(tmp)
+    val schema = StructType(Seq(
+      StructField("id col", LongType), StructField("price.value", DoubleType)))
+    val back = Sources.readCsv(spark, tmp, Some(schema))
+    assert(back.columns.toSeq == Seq("id_col", "price_value"))
+    assert(back.as[(Long, Double)].collect().toSet == Set((1L, 2.5), (2L, 3.5)))
+  }
+
+  test("writeLanding is idempotent per day partition") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-landing").toString + "/t"
+    val day1 = Seq((1L, "2024-01-01"), (2L, "2024-01-01")).toDF("id", "day")
+    Sources.writeLanding(day1, tmp)
+    Sources.writeLanding(day1, tmp) // re-run same day: replaces, no dup
+    assert(spark.read.parquet(tmp).count() == 2)
+  }
+
+  test("exportJson scrubs NaN doubles to 0") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-json").toString + "/j"
+    Sources.exportJson(Seq((1L, Double.NaN), (2L, 1.5)).toDF("id", "v"), tmp)
+    val back = spark.read.json(tmp).orderBy("id").select("v").as[Double].collect()
+    assert(back.toSeq == Seq(0.0, 1.5))
+  }
+
+  test("parseDateMulti handles all three reference formats") {
+    val r = Seq("2023-03-10", "20230310", "01/JAN/1984", "garbage")
+      .toDF("s").select(Sources.parseDateMulti($"s").cast("string")).as[Option[String]].collect()
+    assert(r.toSeq == Seq(Some("2023-03-10"), Some("2023-03-10"), Some("1984-01-01"), None))
+  }
+
+  test("parseDateFromCsvName strips the .csv suffix") {
+    val r = Seq("20230310.csv").toDF("s")
+      .select(Sources.parseDateFromCsvName($"s").cast("string")).as[String].head()
+    assert(r == "2023-03-10")
+  }
+
+  test("toExchangeTime shifts UTC to Asia/Colombo (+5:30)") {
+    val r = Seq("2023-03-10 10:00:00").toDF("s")
+      .select(Sources.toExchangeTime($"s".cast("timestamp")).cast("string")).as[String].head()
+    assert(r == "2023-03-10 15:30:00")
+  }
+
+  test("parseMagnitude expands K/M/B/T suffixes and passes bare numbers") {
+    val r = Seq("41.77B", "5.28M", "12K", "3T", "7.5")
+      .toDF("s").select(Sources.parseMagnitude($"s")).as[Double].collect()
+    assert(r.toSeq == Seq(4.177e10, 5.28e6, 1.2e4, 3e12, 7.5))
+  }
+}
