@@ -34,7 +34,8 @@ object SparkEntry {
     graft.queries.TextQueries.queries ++
     graft.queries.SimilarityQueries.queries ++
     graft.queries.MlQueries.queries ++
-    graft.queries.ScalarQueries.queries
+    graft.queries.ScalarQueries.queries ++
+    graft.queries.TemporalJoinQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -44,5 +45,6 @@ object SparkEntry {
     graft.queries.TextQueries.oracles ++
     graft.queries.SimilarityQueries.oracles ++
     graft.queries.MlQueries.oracles ++
-    graft.queries.ScalarQueries.oracles
+    graft.queries.ScalarQueries.oracles ++
+    graft.queries.TemporalJoinQueries.oracles
 }

@@ -34,9 +34,45 @@ object ScalarQueries {
       .orderBy("p_partkey")
   }
 
+  /** CUBE grouping sets (beyond-reference, free from Catalyst). */
+  def qCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(rnd(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("cnt"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("sum_qty"), col("cnt"))
+      .orderBy("flag", "status")
+
+  /** Exact distinct counts per group (the approx HLL twin is spec-tested
+    * against these in ScalarSpec — approx values can't hash-match). */
+  def qCountDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("nd_parts"),
+        countDistinct(col("l_suppkey")).as("nd_supps"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag")
+
+  /** Exact percentiles with linear interpolation. Quantity is integral so
+    * interpolated values are exact quarters — tie-free across engines. */
+  def qPercentile(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("p25"),
+        expr("percentile(l_quantity, 0.5)").as("median"),
+        expr("percentile(l_quantity, 0.75)").as("p75"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_date_parts" -> qDateParts _,
     "q_unit_suffix" -> qUnitSuffix _,
+    "q_cube" -> qCube _,
+    "q_count_distinct" -> qCountDistinct _,
+    "q_percentile" -> qPercentile _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -59,5 +95,23 @@ object ScalarQueries {
         |      WHEN 'K' THEN 1e3 WHEN 'M' THEN 1e6
         |      WHEN 'B' THEN 1e9 WHEN 'T' THEN 1e12 ELSE 1.0 END) AS value
         |FROM s ORDER BY p_partkey""".stripMargin,
+    "q_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |  coalesce(l_linestatus, 'ALL') AS status,
+        |  floor((sum(l_quantity)) * 1e2 + 0.5) / 1e2 AS sum_qty, count(*) AS cnt
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
+    "q_count_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS nd_parts,
+        |  count(DISTINCT l_suppkey) AS nd_supps,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.5) AS median,
+        |  quantile_cont(l_quantity, 0.75) AS p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }

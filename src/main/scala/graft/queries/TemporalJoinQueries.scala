@@ -1,0 +1,69 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{AsOfJoin, Sessionize}
+
+/** Temporal-alignment operators: backward as-of join and gap
+  * sessionization over `events`. The DuckDB oracles use the native ASOF
+  * JOIN / window formulations on epoch_ns(ts) (bit-identical to the
+  * engine's epoch-nano longs). */
+object TemporalJoinQueries {
+
+  /** As-of join: each purchase gets the user's most recent signup value
+    * at-or-before its timestamp. */
+  def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val signups = e.filter(col("event_type") === "signup")
+      .select("user_id", "ts", "value")
+    AsOfJoin.asofBackward(purchases, signups, "user_id", "ts", "value")
+      .select("event_id", "user_id", "value", "asof_value")
+      .orderBy("event_id")
+  }
+
+  /** Sessionization with a 6-hour gap; per-session summaries. */
+  def qSessionize(spark: SparkSession, dir: String): DataFrame =
+    Sessionize.sessionSummary(
+      Tables.events(spark, dir), "user_id", "ts",
+      gapNanos = 6L * 3600L * 1000000000L, idCol = "event_id")
+      .select("user_id", "session_idx", "n_events", "duration_s", "first_event")
+      .orderBy("user_id", "session_idx")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_join" -> qAsofJoin _,
+    "q_sessionize" -> qSessionize _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_asof_join" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) AS tsn, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |r AS (
+        |  SELECT user_id, epoch_ns(ts) AS tsn, max(value) AS rv
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id, l.value, r.rv AS asof_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.tsn >= r.tsn
+        |ORDER BY l.event_id""".stripMargin,
+    "q_sessionize" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS tsn FROM events),
+        |f AS (
+        |  SELECT *, CASE WHEN tsn - lag(tsn)
+        |      OVER (PARTITION BY user_id ORDER BY tsn, event_id) > 21600000000000
+        |    THEN 1 ELSE 0 END AS flag
+        |  FROM o),
+        |s AS (
+        |  SELECT *, CAST(sum(flag) OVER (PARTITION BY user_id
+        |    ORDER BY tsn, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        |  FROM f)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |  (max(tsn) - min(tsn)) // 1000000000 AS duration_s,
+        |  min(event_id) AS first_event
+        |FROM s GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
+  )
+}

@@ -65,6 +65,19 @@ object Ingest {
       }
   }
 
+  /** ST6 extension: watermarked tumbling-window aggregation — event count
+    * and value sum per (5-minute window, event_type); late events beyond
+    * the watermark are dropped, state is evicted as the watermark
+    * advances (bounded state at any scale). */
+  def windowedCounts(events: DataFrame,
+                     windowLen: String = "5 minutes",
+                     watermark: String = "10 minutes"): DataFrame =
+    withEventTime(events)
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
+
   /** ST1+ST4+ST7: micro-batch ingest with a dual sink — append the
     * deduped batch to the day-partitioned landing table and the alert
     * subset to the alert table — via foreachBatch. */

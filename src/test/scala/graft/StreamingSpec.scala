@@ -66,6 +66,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowed counts aggregate per 5-min window and drop late events") {
+    val src = MemoryStream[Event]
+    val q = Ingest.windowedCounts(src.toDF(), windowLen = "5 minutes", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val MinNs = 60L * 1000000000L
+      src.addData(ev(1, 1, 1, 10.0, 0), ev(2, 1, 2, 20.0, 2 * MinNs),
+        ev(3, 1, 3, 30.0, 6 * MinNs))
+      q.processAllAvailable()
+      // advance the watermark far past the first windows to close them
+      src.addData(ev(4, 1, 4, 40.0, 60 * MinNs))
+      q.processAllAvailable()
+      src.addData(ev(5, 1, 5, 50.0, 1 * MinNs)) // late beyond watermark → dropped
+      q.processAllAvailable()
+      src.addData(ev(6, 1, 6, 60.0, 120 * MinNs))
+      q.processAllAvailable()
+      val rows = spark.table("win_out")
+        .select("n", "sum_value").as[(Long, Double)].collect().toSet
+      assert(rows.contains((2L, 30.0)), s"first window wrong: $rows") // events 1+2
+      assert(rows.contains((1L, 30.0)), s"second window wrong: $rows") // event 3
+      assert(!rows.contains((3L, 80.0)), "late event was not dropped")
+    } finally q.stop()
+  }
+
   test("batch replay through startIngest writes landing + alert tables") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-ingest").toString
     val src = MemoryStream[Event]
