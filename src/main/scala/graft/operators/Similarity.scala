@@ -67,6 +67,47 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
+  /** IVF (inverted-file) ANN: a KMeans coarse quantizer (seeded,
+    * deterministic) partitions the corpus into `nlist` cells; each query
+    * probes its `nprobe` nearest cells and scores only those vectors.
+    * The 100 TB shape: the corpus is written partitioned by cell id, a
+    * query touches nprobe/nlist of the data, and the centroid table is a
+    * broadcast of nlist×dim floats. Recall is tuned by nprobe. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.clustering.KMeans
+    val vecs = corpus.withColumn("__features", array_to_vector(col(vecCol)))
+    val km = new KMeans().setK(nlist).setSeed(42).setFeaturesCol("__features")
+      .setPredictionCol("__cell").fit(vecs)
+    val cells = km.transform(vecs)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        l2Norm(col(vecCol)).as("cn"), col("__cell").as("cell"))
+    val centroids = broadcast(
+      corpus.sparkSession.createDataFrame(
+        km.clusterCenters.zipWithIndex.toSeq
+          .map { case (c, i) => (i, c.toArray.map(_.toFloat)) })
+        .toDF("cell", "centroid"))
+    // nprobe nearest cells per query (distance via dot on unit-agnostic
+    // cosine ordering: larger cosine = closer for normalized comparisons)
+    val qb = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      l2Norm(col(vecCol)).as("qn"))
+    val wCell = Window.partitionBy("query_id").orderBy(desc("c_cos"), col("cell"))
+    val probes = qb.crossJoin(centroids)
+      .withColumn("c_cos", dot(col("qv"), col("centroid")))
+      .withColumn("__pr", row_number().over(wCell))
+      .filter(col("__pr") <= nprobe)
+      .select("query_id", "qv", "qn", "cell")
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
+    broadcast(probes).join(cells, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
   /** All (a<b) pairs above a cosine threshold — embedding near-dup
     * detection. Bounded-id oracle form; at scale feed LSH buckets. */
   def nearDupPairs(emb: DataFrame, threshold: Double,

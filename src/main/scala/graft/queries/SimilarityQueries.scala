@@ -67,12 +67,23 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF ANN (KMeans coarse quantizer, nprobe cells probed): the other
+    * scale path. No SQL oracle (KMeans isn't SQL-expressible) — rows-only
+    * check; recall + score-exactness vs brute force in SimilaritySpec. */
+  def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20), 5, nlist = 16, nprobe = 4)
+      .select(col("query_id"), col("neighbor_id"), rnd(col("cos"), 6).as("cos"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embedding_norm" -> qEmbeddingNorm _,
     "q_embedding_stats" -> qEmbeddingStats _,
     "q_embedding_neardup" -> qEmbeddingNeardup _,
     "q_ann_bruteforce" -> qAnnBruteforce _,
     "q_ann_lsh" -> qAnnLsh _,
+    "q_ann_ivf" -> qAnnIvf _,
   )
 
   val oracles: Map[String, String] = Map(

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Sources
+
+/** Property-based invariants (SURVEY §5.4) via scalacheck. Pure-function
+  * properties run hundreds of generated cases; Spark properties generate
+  * one randomized panel and assert the invariant over every row in one
+  * job (a per-sample Spark job would be quadratically slow). */
+class PropertySpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("sanitizeName is idempotent and emits no forbidden characters") {
+    check(Prop.forAll(Gen.asciiPrintableStr) { s =>
+      val once = Sources.sanitizeName(s)
+      Sources.sanitizeName(once) == once && !once.exists("$#[]/. ".contains(_))
+    })
+  }
+
+  test("rnd-style floor rounding is within half a unit of the input") {
+    check(Prop.forAll(Gen.chooseNum(-1e6, 1e6)) { x =>
+      val r = math.floor(x * 1e4 + 0.5) / 1e4
+      math.abs(r - x) <= 5e-5 + 1e-9
+    })
+  }
+
+  test("parseMagnitude inverts suffix construction for integral bases") {
+    val gen = for {
+      v <- Gen.chooseNum(0, 999999)
+      (sfx, mult) <- Gen.oneOf(("K", 1e3), ("M", 1e6), ("B", 1e9), ("T", 1e12), ("", 1.0))
+    } yield (v, sfx, mult)
+    val cases = Gen.listOfN(300, gen).sample.get.distinct
+    val got = cases.map { case (v, sfx, _) => s"$v$sfx" }.toDF("s")
+      .select(Sources.parseMagnitude($"s")).as[Double].collect()
+    cases.zip(got).foreach { case ((v, _, mult), parsed) =>
+      assert(parsed == v * mult, s"$v $mult -> $parsed")
+    }
+  }
+
+  test("window invariants over a generated panel (one Spark job)") {
+    val gen = for {
+      sym <- Gen.oneOf("S1", "S2", "S3")
+      i <- Gen.chooseNum(0, 200)
+      v <- Gen.chooseNum(1, 50000)
+    } yield (sym, i, v / 100.0)
+    val rows = Gen.listOfN(600, gen).sample.get
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq // unique (sym, i)
+    val df = rows.toDF("g", "i", "v")
+    val w = Window.partitionBy("g").orderBy("i")
+    val checked = df
+      .withColumn("rsi", graft.functions.TimeSeries.rsi($"v", 14, w))
+      .withColumn("spike", graft.functions.TimeSeries.spikeFlag($"v", 5, 1.5, w))
+      .withColumn("roundtrip", lead(lag($"v", 1).over(w), 1).over(w))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("nrows", count(lit(1)).over(Window.partitionBy("g")))
+    // RSI bounded; spike binary; lead∘lag identity on interior rows
+    assert(checked.filter($"rsi".isNotNull && ($"rsi" < 0 || $"rsi" > 100)).count() == 0)
+    assert(checked.filter(!$"spike".isin(0, 1)).count() == 0)
+    assert(checked.filter($"rn" > 1 && $"rn" < $"nrows" && $"roundtrip" =!= $"v").count() == 0)
+  }
+
+  test("exact dedup is idempotent (fixpoint after one pass)") {
+    val docs = Tables.documents(spark, TestSpark.Sf)
+    val once = graft.operators.Dedup.exactDedup(docs)
+    val twice = graft.operators.Dedup.exactDedup(once)
+    assert(once.count() == twice.count())
+  }
+}

@@ -41,6 +41,25 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("ivf top-k: exact scores, plausible recall vs brute force") {
+    val emb = Tables.embeddings(spark, TestSpark.Sf)
+    val q = emb.filter($"vec_id" < 10)
+    val brute = Similarity.bruteForceTopK(emb, q, 5)
+      .select("query_id", "neighbor_id", "cos").as[(Long, Long, Double)].collect()
+    val ivf = Similarity.ivfTopK(emb, q, 5, nlist = 8, nprobe = 3)
+      .select("query_id", "neighbor_id", "cos").as[(Long, Long, Double)].collect()
+    assert(ivf.nonEmpty)
+    // every IVF score must equal the brute-force cosine for that pair
+    val bruteAll = Similarity.bruteForceTopK(emb, q, Int.MaxValue)
+      .select("query_id", "neighbor_id", "cos").as[(Long, Long, Double)]
+      .collect().map { case (a, b, c) => (a, b) -> c }.toMap
+    assert(ivf.forall { case (a, b, c) => math.abs(bruteAll((a, b)) - c) < 1e-12 })
+    // recall@5 against brute force is nonzero (probing 3/8 cells)
+    val bSet = brute.map(t => (t._1, t._2)).toSet
+    val overlap = ivf.count(t => bSet((t._1, t._2)))
+    assert(overlap.toDouble / brute.length > 0.2, s"recall ${overlap}/${brute.length}")
+  }
+
   test("lsh top-k results are a subset of correct cosine ordering") {
     val emb = Tables.embeddings(spark, TestSpark.Sf)
     val q = emb.filter($"vec_id" < 10)
