@@ -55,9 +55,11 @@ object TimeSeries {
   /** W6: absolute momentum over k rows. */
   def momentum(c: Column, k: Int, w: WindowSpec): Column = c - lag(c, k).over(w)
 
-  /** W6: relative momentum (ratio to the k-lagged value, minus 1). */
+  /** W6: relative momentum (ratio to the k-lagged value, minus 1).
+    * Zero lag → null (nullif guard): ANSI-mode Spark throws on x/0 while
+    * DuckDB yields inf — null is the one value both engines agree on. */
   def momentumPct(c: Column, k: Int, w: WindowSpec): Column =
-    c / lag(c, k).over(w) - lit(1)
+    c / nullif(lag(c, k).over(w), lit(0)) - lit(1)
 
   /** W5: RSI over n rows, current row excluded, epsilon-guarded.
     * gain_t = max(c_t - c_{t-1}, 0); loss_t = max(c_{t-1} - c_t, 0);
@@ -92,9 +94,10 @@ object TimeSeries {
   /** W10: first difference over the given window's order. */
   def diff1(c: Column, w: WindowSpec): Column = c - lag(c, 1).over(w)
 
-  /** Percent change vs the previous row, in percent units. */
+  /** Percent change vs the previous row, in percent units (null when the
+    * previous value is 0 — see momentumPct guard note). */
   def pctChange(c: Column, w: WindowSpec): Column =
-    (c - lag(c, 1).over(w)) / lag(c, 1).over(w) * lit(100)
+    (c - lag(c, 1).over(w)) / nullif(lag(c, 1).over(w), lit(0)) * lit(100)
 
   /** Running (cumulative) sum. */
   def runningSum(c: Column, w: WindowSpec): Column =

@@ -44,9 +44,12 @@ object Pipelines {
         macd(col("value"), w).as("macd"),
         spikeFlag(col("value"), 5, 1.5, w).cast("double").as("spike"),
         lead1(col("value"), w).as("next_value"))
-      .withColumn("target", (col("next_value") - col("value")) / col("value"))
+      // nullif: ANSI-mode Spark throws on /0 (zero-valued events exist at
+      // sf0.1); null targets are dropped below
+      .withColumn("target",
+        (col("next_value") - col("value")) / nullif(col("value"), lit(0)))
       .withColumn("label", when(col("next_value") > col("value"), 1.0).otherwise(0.0))
-      .na.drop(FeatureCols :+ "next_value")
+      .na.drop(FeatureCols ++ Seq("next_value", "target"))
   }
 
   /** M13: temporal split at (max ts − `holdoutDays` days of nanos); the

@@ -342,7 +342,7 @@ object TimeSeriesQueries {
       s"""SELECT event_id, user_id, floor((pct) * 1e4 + 0.5) / 1e4 AS pct FROM (
          |  SELECT event_id, user_id,
          |    (value - lag(value, 1) OVER ($ORDER))
-         |      / lag(value, 1) OVER ($ORDER) * 100 AS pct
+         |      / nullif(lag(value, 1) OVER ($ORDER), 0) * 100 AS pct
          |  FROM events) WHERE pct > 5 ORDER BY user_id, event_id""".stripMargin,
     "q_event_json" ->
       """SELECT event_type,
