@@ -67,12 +67,52 @@ object ScalarQueries {
         expr("percentile(l_quantity, 0.75)").as("p75"))
       .orderBy("l_returnflag")
 
+  /** Explode/flatten (§2.7's flatten-union pattern): classic wordcount
+    * over the document corpus — split → explode → grouped count. */
+  def qWordcount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy("token")
+
+  /** Pivot: per-user event-type counts as columns (fixed value list keeps
+    * the schema deterministic; oracle via portable CASE sums). */
+  def qPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0)
+      .orderBy("user_id")
+
+  /** Histogram binning: 50-unit value buckets with counts + bucket sums. */
+  def qHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("bucket", floor(col("value") / 50).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"), rnd(sum(col("value")), 2).as("sum_value"))
+      .orderBy("bucket")
+
+  /** Correlation / covariance statistics per group (irrational outputs —
+    * engine noise is far below the rounding scale). */
+  def qStatsCorr(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        rnd(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+        rnd(covar_samp(col("l_quantity"), col("l_discount")), 4).as("cov_qty_disc"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_date_parts" -> qDateParts _,
     "q_unit_suffix" -> qUnitSuffix _,
     "q_cube" -> qCube _,
     "q_count_distinct" -> qCountDistinct _,
     "q_percentile" -> qPercentile _,
+    "q_wordcount" -> qWordcount _,
+    "q_pivot" -> qPivot _,
+    "q_histogram" -> qHistogram _,
+    "q_stats_corr" -> qStatsCorr _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -112,6 +152,29 @@ object ScalarQueries {
         |  quantile_cont(l_quantity, 0.25) AS p25,
         |  quantile_cont(l_quantity, 0.5) AS median,
         |  quantile_cont(l_quantity, 0.75) AS p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_wordcount" ->
+      """SELECT token, count(*) AS cnt FROM (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents)
+        |GROUP BY token ORDER BY token""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(floor(value / 50) AS BIGINT) AS bucket,
+        |  count(*) AS cnt,
+        |  floor((sum(value)) * 1e2 + 0.5) / 1e2 AS sum_value
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q_stats_corr" ->
+      """SELECT l_returnflag,
+        |  floor((corr(l_quantity, l_extendedprice)) * 1e4 + 0.5) / 1e4 AS corr_qty_price,
+        |  floor((covar_samp(l_quantity, l_discount)) * 1e4 + 0.5) / 1e4 AS cov_qty_disc
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }
