@@ -113,7 +113,32 @@ object ScalarQueries {
     "q_pivot" -> qPivot _,
     "q_histogram" -> qHistogram _,
     "q_stats_corr" -> qStatsCorr _,
+    "q_offset_limit" -> qOffsetLimit _,
+    "q_string_funcs" -> qStringFuncs _,
   )
+
+  /** OFFSET/LIMIT pagination (Spark 3.4+ df.offset — the server-side form
+    * of the dashboard's slice(page*10, ...) paging). */
+  def qOffsetLimit(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+      .offset(40).limit(10)
+
+  /** String-function breadth (F-family): case, trim/pad, substring,
+    * concat, replace, length — engine-identical per-row transforms. */
+  def qStringFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .filter(col("c_custkey") < 50)
+      .select(col("c_custkey"),
+        upper(col("c_mktsegment")).as("seg_upper"),
+        lower(col("c_name")).as("name_lower"),
+        substring(col("c_name"), 1, 8).as("name_prefix"),
+        concat_ws("|", col("c_mktsegment"), col("c_custkey").cast("string")).as("tagged"),
+        regexp_replace(col("c_name"), "[aeiou]", "_").as("devoweled"),
+        length(col("c_name")).as("name_len"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("padded_id"))
+      .orderBy("c_custkey")
 
   val oracles: Map[String, String] = Map(
     "q_date_parts" ->
@@ -176,5 +201,18 @@ object ScalarQueries {
         |  floor((corr(l_quantity, l_extendedprice)) * 1e4 + 0.5) / 1e4 AS corr_qty_price,
         |  floor((covar_samp(l_quantity, l_discount)) * 1e4 + 0.5) / 1e4 AS cov_qty_disc
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_offset_limit" ->
+      """SELECT c_custkey, c_name FROM customer
+        |ORDER BY c_custkey LIMIT 10 OFFSET 40""".stripMargin,
+    "q_string_funcs" ->
+      """SELECT c_custkey,
+        |  upper(c_mktsegment) AS seg_upper,
+        |  lower(c_name) AS name_lower,
+        |  substring(c_name, 1, 8) AS name_prefix,
+        |  c_mktsegment || '|' || c_custkey::VARCHAR AS tagged,
+        |  regexp_replace(c_name, '[aeiou]', '_', 'g') AS devoweled,
+        |  CAST(length(c_name) AS INTEGER) AS name_len,
+        |  lpad(c_custkey::VARCHAR, 8, '0') AS padded_id
+        |FROM customer WHERE c_custkey < 50 ORDER BY c_custkey""".stripMargin,
   )
 }
