@@ -34,13 +34,18 @@ object TextFunctions {
     * murmur-based hash()/xxhash64() which differ from DuckDB's hash(). */
   def hash32(c: Column): Column = conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
-  /** Word n-gram shingles: n=1 gives the distinct-word set, n=2 bigrams… */
+  /** Word n-gram shingles: n=1 gives the distinct-word set, n=2 bigrams…
+    * Documents with fewer than n tokens yield an empty array — without
+    * the guard, sequence(1, size-n+1) runs BACKWARDS for short docs
+    * (Spark infers step -1) and element_at(_, 0) throws under ANSI. */
   def shingles(c: Column, n: Int): Column = {
     val ts = tokens(c)
     if (n == 1) ts
-    else transform(
-      sequence(lit(1), size(ts) - lit(n - 1)),
-      i => concat_ws(" ", (0 until n).map(o => element_at(ts, i + lit(o))): _*))
+    else when(size(ts) >= n,
+      transform(
+        sequence(lit(1), size(ts) - lit(n - 1)),
+        i => concat_ws(" ", (0 until n).map(o => element_at(ts, i + lit(o))): _*)))
+      .otherwise(array().cast("array<string>"))
   }
 
   val EnStop: Seq[String] = Seq("the", "a", "of", "to", "and", "in", "is", "on", "for", "with")
@@ -78,8 +83,8 @@ object TextFunctions {
     val n = tokenCount(c).cast("double")
     val lengthScore = least(n / 50.0, lit(1.0))
     val stopScore   = least(stopwordRatio(c) * 5.0, lit(1.0))
-    val cleanScore  =
-      length(regexp_replace(c, "[^a-zA-Z0-9 ]", "")).cast("double") / length(c)
-    lengthScore * 0.4 + stopScore * 0.3 + cleanScore * 0.3
+    val cleanScore  = // nullif: ANSI throws on /0 for empty text
+      length(regexp_replace(c, "[^a-zA-Z0-9 ]", "")).cast("double") / nullif(length(c), lit(0))
+    lengthScore * 0.4 + stopScore * 0.3 + coalesce(cleanScore, lit(0.0)) * 0.3
   }
 }

@@ -32,8 +32,11 @@ object VectorFunctions {
   /** L2 norm. */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity in double precision. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+  /** Cosine similarity in double precision; null for zero vectors (ANSI
+    * Spark throws on /0 where DuckDB yields inf/nan — null is safe and
+    * unreachable for real embedding data). */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / nullif(l2Norm(a) * l2Norm(b), lit(0.0))
 
   /** Sign bit of the projection of `a` onto a deterministic pseudo-random
     * hyperplane (per plane index): the building block of the LSH bucketer

@@ -63,9 +63,10 @@ object Multimodal {
     * pure arithmetic on the frame layout (no decode needed). */
   def sampleFrameOffsets(media: Dataset[MediaRecord], stride: Int): DataFrame = {
     val m = media.toDF()
-    m.select(col("doc_id"),
-      explode(sequence(lit(0),
-        floor((length(col("payload")) - 1) / FrameBytes).cast("int"))).as("frame_idx"))
+    m.filter(length(col("payload")) > 0) // empty payload has no frames
+      .select(col("doc_id"),
+        explode(sequence(lit(0),
+          floor((length(col("payload")) - 1) / FrameBytes).cast("int"))).as("frame_idx"))
       .filter(col("frame_idx") % stride === 0)
       .withColumn("byte_offset", col("frame_idx") * FrameBytes)
   }

@@ -156,7 +156,7 @@ object TimeSeriesQueries {
       (sum(round(col("value") * 100).cast("long")) / (count(col("value")) * lit(100.0))).as("mu"),
       stddev_pop(col("value")).as("sigma"))
     e.crossJoin(broadcast(stats))
-      .withColumn("z", (col("value") - col("mu")) / col("sigma"))
+      .withColumn("z", (col("value") - col("mu")) / nullif(col("sigma"), lit(0.0)))
       .filter(abs(col("z")) > 3)
       .select(col("event_id"), col("value"), rnd(col("z"), 4).as("z"))
       .orderBy("event_id")
@@ -169,7 +169,7 @@ object TimeSeriesQueries {
       (sum(round(col("value") * 100).cast("long")) / (count(col("value")) * lit(100.0))).as("mu"),
       stddev_pop(col("value")).as("sigma"))
     e.crossJoin(broadcast(stats))
-      .filter(abs((col("value") - col("mu")) / col("sigma")) > 3)
+      .filter(abs((col("value") - col("mu")) / nullif(col("sigma"), lit(0.0))) > 3)
       .groupBy(eventDay.as("day"))
       .agg(count(lit(1)).as("n_anomalies"))
       .orderBy("day")

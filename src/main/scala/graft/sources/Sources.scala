@@ -73,7 +73,9 @@ object Sources {
   /** §1.2/§7.4: unit-suffixed magnitude parse — "41.77B" → 4.177e10,
     * supporting K/M/B/T, bare numbers pass through. */
   def parseMagnitude(c: Column): Column = {
-    val num = regexp_extract(c, "^([0-9]*\\.?[0-9]+)", 1).cast("double")
+    // nullif before the cast: regexp_extract yields "" on no match and
+    // ANSI-mode cast(''→double) throws; null propagates instead
+    val num = nullif(regexp_extract(c, "^([0-9]*\\.?[0-9]+)", 1), lit("")).cast("double")
     val suffix = upper(regexp_extract(c, "([KMBT])$", 1))
     num * when(suffix === "K", lit(1e3))
       .when(suffix === "M", lit(1e6))

@@ -28,4 +28,25 @@ class ScalarSpec extends AnyFunSuite {
       .agg(sum(Sources.parseMagnitude($"s"))).as[Double].head()
     assert(total == 503000.0)
   }
+
+  test("parseMagnitude yields null (not an ANSI crash) on garbage input") {
+    val r = Seq("N/A", "", "abcB").toDF("s")
+      .select(Sources.parseMagnitude($"s")).as[Option[Double]].collect()
+    assert(r.toSeq == Seq(None, None, None))
+  }
+
+  test("shingles on docs shorter than n yield empty arrays, not errors") {
+    import graft.functions.TextFunctions
+    val r = Seq("solo", "two words", "a b c").toDF("t")
+      .select(size(TextFunctions.shingles($"t", 3)).as("n")).as[Int].collect()
+    assert(r.toSeq == Seq(0, 0, 1))
+  }
+
+  test("frame sampling skips empty payloads") {
+    import graft.operators.Multimodal
+    val docs = Seq((1L, ""), (2L, "x" * 300)).toDF("doc_id", "text")
+    val got = Multimodal.sampleFrameOffsets(Multimodal.packText(docs), 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(2L))
+  }
 }
