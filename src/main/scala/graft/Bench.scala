@@ -21,21 +21,27 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    Seq("lineitem", "orders", "customer", "part", "events", "documents", "embeddings")
-      .foreach(t => Tables.read(spark, sfDir, t).count())
-    Seq("q1_pricing_summary", "q_lag_lead").foreach { q =>
-      try SparkEntry.queries(q)(spark, sfDir).count()
-      catch { case _: Throwable => () }
-    }
+    // warmup is best-effort: a missing table must not kill the run before
+    // the per-query loop gets to report -1s
+    (Seq("lineitem", "orders", "customer", "part", "events", "documents", "embeddings")
+      .map(t => () => Tables.read(spark, sfDir, t).count()) ++
+      Seq("q1_pricing_summary", "q_lag_lead")
+        .map(q => () => SparkEntry.queries(q)(spark, sfDir).count()))
+      .foreach(f => try f() catch { case _: Throwable => () })
 
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      // a failed query records -1, not its time-to-throw — otherwise a
+      // crash reads as a fast success in the timing JSON
+      val ok = try { fn(spark, sfDir).count(); true }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+      }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
