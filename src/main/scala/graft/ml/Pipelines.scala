@@ -116,6 +116,35 @@ object Pipelines {
     new Pipeline().setStages(featureStages :+ gbt).fit(weighted)
   }
 
+  /** M9's search component: cross-validated hyperparameter tuning
+    * (ParamGridBuilder × CrossValidator) over the GBT regressor — the
+    * MLlib analog of the reference's RandomizedSearchCV(50×5-fold,
+    * regression.py:399-404), with the folds and fits distributed instead
+    * of single-process n_jobs. Grid size × folds is caller-controlled;
+    * the reference's 250 fits are a parameter choice, not a code shape. */
+  def tuneRegressor(train: DataFrame,
+                    maxIter: Int = 10,
+                    numFolds: Int = 2): org.apache.spark.ml.tuning.CrossValidatorModel = {
+    import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
+    val gbt = new GBTRegressor()
+      .setFeaturesCol("features").setLabelCol("target")
+      .setMaxIter(maxIter).setSeed(42)
+    val pipeline = new Pipeline().setStages(featureStages :+ gbt)
+    val grid = new ParamGridBuilder()
+      .addGrid(gbt.maxDepth, Array(3, 5))
+      .addGrid(gbt.stepSize, Array(0.1, 0.05))
+      .build()
+    new CrossValidator()
+      .setEstimator(pipeline)
+      .setEvaluator(new RegressionEvaluator()
+        .setLabelCol("target").setPredictionCol("prediction").setMetricName("rmse"))
+      .setEstimatorParamMaps(grid)
+      .setNumFolds(numFolds)
+      .setParallelism(2)
+      .setSeed(42)
+      .fit(train)
+  }
+
   /** M11+M12: RMSE/MSE/MAE/R² + directional accuracy and sign confusion. */
   def evalRegressor(scored: DataFrame): DataFrame = {
     def metric(m: String): Double = new RegressionEvaluator()

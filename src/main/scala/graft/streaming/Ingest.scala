@@ -65,6 +65,40 @@ object Ingest {
       }
   }
 
+  case class ZAnomaly(user_id: Long, event_id: Long, value: Double, z: Double)
+
+  /** Incremental streaming z-score anomalies: per-user Welford moments
+    * carried in GroupState — exact running mean/σ with O(1) state per key
+    * and no history recompute (the reference recomputes scipy.zscore over
+    * the FULL snapshot on every request, spark_stream.py:95-156). Events
+    * are scored against the state BEFORE they update it, so an outlier
+    * flags itself rather than masking itself. Scores start once `minN`
+    * observations exist. */
+  def streamingZscoreAnomalies(events: Dataset[Event], threshold: Double = 3.0,
+                               minN: Long = 20): Dataset[ZAnomaly] = {
+    import events.sparkSession.implicits._
+    import graft.functions.WelfordAggregator
+    import graft.functions.WelfordAggregator.Moments
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Event], state: GroupState[Moments]) =>
+          var m = if (state.exists) state.get else WelfordAggregator.zero
+          val out = it.toSeq.sortBy(e => (e.ts, e.event_id)).flatMap { e =>
+            val alert =
+              if (m.n >= minN && m.stddevPop > 0) {
+                val z = m.zscore(e.value)
+                if (math.abs(z) > threshold) Some(ZAnomaly(user, e.event_id, e.value, z))
+                else None
+              } else None
+            m = WelfordAggregator.update(m, e.value)
+            alert
+          }
+          state.update(m)
+          out.iterator
+      }
+  }
+
   /** ST6 extension: watermarked tumbling-window aggregation — event count
     * and value sum per (5-minute window, event_type); late events beyond
     * the watermark are dropped, state is evicted as the watermark

@@ -44,6 +44,17 @@ class MlSpec extends AnyFunSuite {
     assert(da >= 0.0 && da <= 1.0)
   }
 
+  test("cross-validated tuning searches the grid and picks a best model (M9)") {
+    val (train, test) = split
+    val cv = Pipelines.tuneRegressor(train, maxIter = 3, numFolds = 2)
+    assert(cv.avgMetrics.length == 4) // 2 maxDepth × 2 stepSize
+    assert(cv.avgMetrics.forall(m => !m.isNaN && m > 0))
+    val scored = cv.bestModel.transform(test)
+    assert(scored.count() == test.count())
+    val best = cv.getEstimatorParamMaps(cv.avgMetrics.indexOf(cv.avgMetrics.min))
+    assert(best.toSeq.nonEmpty)
+  }
+
   test("pipeline save/load round trip scores identically (S9: one artifact)") {
     val (train, test) = split
     val model = Pipelines.trainRegressor(train, maxIter = 3)

@@ -91,6 +91,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("incremental z-score: state accrues across batches, outlier flagged") {
+    val src = MemoryStream[Event]
+    val q = Ingest.streamingZscoreAnomalies(src.toDS(), threshold = 3.0, minN = 10)
+      .writeStream.format("memory").queryName("z_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // 12 calm events (values 10 ± 1) over two batches build the state
+      src.addData((1 to 6).map(i => ev(i, 1, 1, 10.0 + (i % 3) - 1, i * 1000L)): _*)
+      q.processAllAvailable()
+      src.addData((7 to 12).map(i => ev(i, 1, 1, 10.0 + (i % 3) - 1, i * 1000L)): _*)
+      q.processAllAvailable()
+      // an extreme value arrives: z >> 3 against the accrued moments
+      src.addData(ev(13, 1, 1, 1000.0, 13000L), ev(14, 1, 1, 10.0, 14000L))
+      q.processAllAvailable()
+      val got = spark.table("z_out").as[Ingest.ZAnomaly].collect()
+      assert(got.map(_.event_id).toSet == Set(13L), s"got $got")
+      assert(got.head.z > 3.0)
+    } finally q.stop()
+  }
+
   test("batch replay through startIngest writes landing + alert tables") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-ingest").toString
     val src = MemoryStream[Event]
