@@ -77,33 +77,56 @@ object Dedup {
       .select("a", "b").distinct()
   }
 
-  /** Exact n-gram Jaccard similarity for all (a<b) pairs induced by a
-    * shingle equi-join — feed it LSH candidates or a bounded id range;
-    * at corpus scale never call it unfiltered. */
+  /** Exact n-gram Jaccard similarity over (a<b) pairs.
+    *
+    * With `cands = Some(pairs)` the shingle-match enumeration is generated
+    * FROM the candidate pairs (cands ⋈ shingles(a) ⋈ shingles(b)), so the
+    * widest stage is O(|cands| · shingles-per-doc) — never the unfiltered
+    * shingle self-join. This is the 100 TB path; LSH proposes, this
+    * verifies. With `cands = None` it runs the full (a<b) self-join —
+    * only for a bounded id range (oracle form).
+    *
+    * The per-document `sizes` table shuffles (sort-merge/AQE choice); it
+    * is O(n_docs) rows and must NOT be broadcast at corpus scale. */
   def jaccardPairs(docs: DataFrame, n: Int, threshold: Double,
-                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                   idCol: String = "doc_id", textCol: String = "text",
+                   cands: Option[DataFrame] = None): DataFrame = {
     val sh = docs
       .select(col(idCol), explode(shingles(col(textCol), n)).as("sh"))
       .distinct()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-    val inter = sh.select(col(idCol).as("a"), col("sh"))
-      .join(sh.select(col(idCol).as("b"), col("sh")), "sh")
-      .filter(col("a") < col("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+    val inter = cands match {
+      case Some(c) =>
+        // Pair enumeration bounded by the candidate set: for each proposed
+        // (a,b), count shared shingles via two equi-joins. A pair with an
+        // empty intersection drops out of the inner join — correct, since
+        // its Jaccard is 0 < threshold.
+        c.select(col("a"), col("b"))
+          .join(sh.select(col(idCol).as("a"), col("sh")), "a")
+          .join(sh.select(col(idCol).as("b"), col("sh")), Seq("b", "sh"))
+          .groupBy("a", "b").agg(count(lit(1)).as("c"))
+      case None =>
+        sh.select(col(idCol).as("a"), col("sh"))
+          .join(sh.select(col(idCol).as("b"), col("sh")), "sh")
+          .filter(col("a") < col("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("c"))
+    }
     inter
-      .join(broadcast(sizes.select(col(idCol).as("a"), col("n").as("na"))), "a")
-      .join(broadcast(sizes.select(col(idCol).as("b"), col("n").as("nb"))), "b")
+      .join(sizes.select(col(idCol).as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col(idCol).as("b"), col("n").as("nb")), "b")
       .withColumn("jaccard", col("c") / (col("na") + col("nb") - col("c")).cast("double"))
       .filter(col("jaccard") >= threshold)
   }
 
   /** MinHash+LSH dedup end-to-end: candidates from [[lshCandidates]],
-    * verified with exact 1-gram Jaccard. */
+    * verified with exact 1-gram Jaccard *restricted to those candidates* —
+    * the exact check enumerates shingle matches only for LSH-proposed
+    * pairs, so total work is signatures (one shuffle) + banded buckets
+    * (bounded by bucket size) + per-candidate verification. */
   def minhashDedupPairs(docs: DataFrame, k: Int = 8, r: Int = 2, threshold: Double = 0.8,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val cands = lshCandidates(minhashSignatures(docs, k, idCol, textCol), k, r, idCol)
-    jaccardPairs(docs, 1, threshold, idCol, textCol)
-      .join(cands, Seq("a", "b"), "left_semi")
+    jaccardPairs(docs, 1, threshold, idCol, textCol, Some(cands))
   }
 
   /** 32-bit SimHash: per-bit ±1 votes over token hashes, majority sign. */

@@ -109,7 +109,10 @@ object Similarity {
   }
 
   /** All (a<b) pairs above a cosine threshold — embedding near-dup
-    * detection. Bounded-id oracle form; at scale feed LSH buckets. */
+    * detection, spec-baseline form. The `a < b` non-equi join plans as a
+    * BroadcastNestedLoopJoin (one side fully broadcast), which OOMs at
+    * corpus scale — kept ONLY as the correctness baseline for
+    * [[nearDupPairsBlocked]] / [[nearDupPairsLsh]] in SimilaritySpec. */
   def nearDupPairs(emb: DataFrame, threshold: Double,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val a = emb.select(col(idCol).as("a"), col(vecCol).as("va"), l2Norm(col(vecCol)).as("na"))
@@ -118,5 +121,73 @@ object Similarity {
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select("a", "b", "cos")
+  }
+
+  /** EXACT all-pairs cosine threshold via a blocked grid self-join — the
+    * scale path for [[nearDupPairs]], with an identical result set.
+    *
+    * Why not LSH here: random-hyperplane LSH only prunes usefully when the
+    * threshold is high. At cos ≥ 0.45 (θ up to 63°) the per-plane
+    * agreement probability is ~0.65, so any (bands × planes) scheme with
+    * near-1 recall replicates each row so many times it exceeds the n²/2
+    * work of the exact join — measured on the fixture, qualifying pairs
+    * sit at cos 0.45-0.60, squarely in that regime. Use
+    * [[nearDupPairsLsh]] when the threshold is ≥ ~0.8 and bounded recall
+    * loss is acceptable; use this when the answer must be exact.
+    *
+    * Shape: each row gets a hash block r ∈ [0, B); the left side is
+    * replicated across grid keys (r, 0..B-1), the right across (0..B-1, r),
+    * and the join is an EQUI-join on (ra, rb). Every unordered pair meets
+    * in exactly one task after the a<b filter (pair (x,y) co-occurs at
+    * (r_x, r_y) and (r_y, r_x); the id filter keeps one). Total shuffle is
+    * 2nB rows, each of the B² tasks scores n²/B² pairs — flat parallelism,
+    * no broadcast, no nested loop; B scales with cluster size. */
+  def nearDupPairsBlocked(emb: DataFrame, threshold: Double, blocks: Int = 8,
+                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val base = emb.select(col(idCol), col(vecCol),
+      l2Norm(col(vecCol)).as("nrm"),
+      pmod(crc32(col(idCol).cast("string")), lit(blocks)).cast("int").as("blk"))
+    val grid = explode(sequence(lit(0), lit(blocks - 1)))
+    val left = base.select(col(idCol).as("a"), col(vecCol).as("va"), col("nrm").as("na"),
+      col("blk").as("ra"), grid.as("rb"))
+    val right = base.select(col(idCol).as("b"), col(vecCol).as("vb"), col("nrm").as("nb"),
+      grid.as("ra"), col("blk").as("rb"))
+    left.join(right, Seq("ra", "rb"))
+      .filter(col("a") < col("b"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select("a", "b", "cos")
+  }
+
+  /** APPROXIMATE near-dup pairs via banded hyperplane LSH: `bands`
+    * independent bands of `planesPerBand` hyperplanes each; a pair is a
+    * candidate iff it shares any band's full sign pattern, then exact
+    * cosine verifies. Miss probability for a pair at angle θ is
+    * (1-(1-θ/π)^r)^b — effective for high thresholds (cos ≥ 0.8 → θ ≤ 37°,
+    * r=4, b=8 → miss < 2%); see [[nearDupPairsBlocked]] for why low
+    * thresholds need the exact path. Candidate work is bounded by bucket
+    * collisions (equi-join on band key), never all-pairs. */
+  def nearDupPairsLsh(emb: DataFrame, threshold: Double,
+                      bands: Int = 8, planesPerBand: Int = 4,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val keys = (0 until bands).map { b =>
+      val key = (0 until planesPerBand)
+        .map(j => hyperplaneSign(col(vecCol), b * planesPerBand + j).cast("long") * lit(1L << j))
+        .reduce(_ + _)
+      struct(lit(b).as("band"), key.as("key"))
+    }
+    val bucketed = emb.select(col(idCol), col(vecCol), l2Norm(col(vecCol)).as("nrm"),
+      explode(array(keys: _*)).as("bk"))
+      .select(col(idCol), col(vecCol), col("nrm"), col("bk.band"), col("bk.key"))
+    val l = bucketed.select(col("band"), col("key"),
+      col(idCol).as("a"), col(vecCol).as("va"), col("nrm").as("na"))
+    val r = bucketed.select(col("band"), col("key"),
+      col(idCol).as("b"), col(vecCol).as("vb"), col("nrm").as("nb"))
+    l.join(r, Seq("band", "key"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+      .distinct()
+      .filter(col("cos") >= threshold)
   }
 }

@@ -43,9 +43,12 @@ object SimilarityQueries {
       .orderBy("label")
   }
 
-  /** Embedding near-duplicate pairs: cosine ≥ 0.45 over all (a<b). */
+  /** Embedding near-duplicate pairs: cosine ≥ 0.45 over all (a<b), via
+    * the blocked grid self-join (exact result, equi-join plan — no
+    * BroadcastNestedLoopJoin; see Similarity.nearDupPairsBlocked for why
+    * LSH cannot hold recall at this threshold). */
   def qEmbeddingNeardup(spark: SparkSession, dir: String): DataFrame =
-    Similarity.nearDupPairs(Tables.embeddings(spark, dir), 0.45)
+    Similarity.nearDupPairsBlocked(Tables.embeddings(spark, dir), 0.45)
       .select(col("a"), col("b"), rnd(col("cos"), 4).as("cos"))
       .orderBy("a", "b")
 

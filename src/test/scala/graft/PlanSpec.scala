@@ -43,6 +43,12 @@ class PlanSpec extends AnyFunSuite {
     assert(windowSorts == 1, s"expected 1 window sort, got $windowSorts:\n$p")
   }
 
+  test("q_embedding_neardup has no BroadcastNestedLoopJoin (blocked equi-join)") {
+    val p = physical("q_embedding_neardup")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("q_topk plans as TakeOrderedAndProject (no global sort)") {
     assert(physical("q_topk").contains("TakeOrderedAndProject"))
   }

@@ -60,6 +60,43 @@ class SimilaritySpec extends AnyFunSuite {
     assert(overlap.toDouble / brute.length > 0.2, s"recall ${overlap}/${brute.length}")
   }
 
+  test("blocked near-dup pairs equal the all-pairs baseline exactly") {
+    val emb = Tables.embeddings(spark, TestSpark.Sf)
+    val brute = Similarity.nearDupPairs(emb, 0.45)
+      .select("a", "b", "cos").as[(Long, Long, Double)].collect().sorted
+    val blocked = Similarity.nearDupPairsBlocked(emb, 0.45, blocks = 8)
+      .select("a", "b", "cos").as[(Long, Long, Double)].collect().sorted
+    assert(blocked.toSeq == brute.toSeq)
+  }
+
+  test("blocked near-dup plan has no BroadcastNestedLoopJoin") {
+    val emb = Tables.embeddings(spark, TestSpark.Sf)
+    val plan = Similarity.nearDupPairsBlocked(emb, 0.45)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
+  test("lsh near-dup pairs: high recall on planted high-similarity pairs") {
+    // 40 base vectors plus a tiny perturbation of each (cos ≥ ~0.99):
+    // banded LSH (8 bands × 4 planes) must recover nearly all planted
+    // pairs; the exact blocked join is the ground truth.
+    val dim = 16
+    val rows = (0 until 40).flatMap { i =>
+      val base = Array.tabulate(dim)(j => math.sin(i * 31 + j * 7).toFloat)
+      val pert = base.zipWithIndex.map { case (v, j) => v + 0.01f * math.cos(i + j).toFloat }
+      Seq((i.toLong * 2, base), (i.toLong * 2 + 1, pert))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val exact = Similarity.nearDupPairsBlocked(emb, 0.98, blocks = 4)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.nearDupPairsLsh(emb, 0.98, bands = 8, planesPerBand = 4)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(exact.size >= 40, s"fixture should plant ≥40 pairs, got ${exact.size}")
+    assert(lsh.subsetOf(exact), "LSH emitted a pair the exact join did not")
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall (${lsh.size}/${exact.size})")
+  }
+
   test("lsh top-k results are a subset of correct cosine ordering") {
     val emb = Tables.embeddings(spark, TestSpark.Sf)
     val q = emb.filter($"vec_id" < 10)
