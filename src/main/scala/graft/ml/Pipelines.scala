@@ -28,6 +28,11 @@ object Pipelines {
   val FeatureCols: Array[String] = Array(
     "lag1", "lag3", "ma5", "volatility14", "rsi14", "mom3", "macd", "spike")
 
+  /** Feature-vector slot names in assembly order: the scaled numeric block
+    * then the indexed categorical (M7). Importances (M6) report against
+    * this ordering. */
+  val AssembledFeatureNames: Array[String] = FeatureCols :+ "event_type"
+
   /** The shared feature module (M15): one implementation serves training,
     * evaluation, and serving — eliminating the reference's drifting dual
     * pandas/PySpark re-implementations (ml_impl.py:73-104). */
@@ -35,6 +40,7 @@ object Pipelines {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("event_type"),
         lagK(col("value"), 1, w).as("lag1"),
         lagK(col("value"), 3, w).as("lag3"),
         smaCents(col("value"), w, -5, -1).as("ma5"),
@@ -61,11 +67,32 @@ object Pipelines {
       tagged.filter(col("ts") >= col("cutoff")).drop("cutoff"))
   }
 
-  /** M1+M8 assembly/scaling stages shared by both trainers. */
+  /** M1+M7+M8 assembly stages shared by both trainers: numeric block
+    * assembled and robust-scaled; the categorical `event_type` is
+    * label-encoded by a train-fitted StringIndexer (M7,
+    * regression.py:265-271) and appended UNscaled — centering a category
+    * index is meaningless and GBT splits are scale-invariant.
+    * handleInvalid="skip" drops rows whose category was never seen in
+    * training — the reference's P8 drop-unseen serving rule. */
   private def featureStages = Array(
+    new StringIndexer().setInputCol("event_type").setOutputCol("event_type_idx")
+      .setHandleInvalid("skip"),
     new VectorAssembler().setInputCols(FeatureCols).setOutputCol("rawFeatures"),
-    new RobustScaler().setInputCol("rawFeatures").setOutputCol("features")
-      .setWithCentering(true))
+    new RobustScaler().setInputCol("rawFeatures").setOutputCol("scaledFeatures")
+      .setWithCentering(true),
+    new VectorAssembler().setInputCols(Array("scaledFeatures", "event_type_idx"))
+      .setOutputCol("features"))
+
+  /** M6: per-feature importances of a fitted GBT pipeline, named by
+    * [[AssembledFeatureNames]] (ref classifier.py:96-100 prints the same
+    * sorted list from sklearn's feature_importances_). */
+  def featureImportances(model: PipelineModel): Seq[(String, Double)] = {
+    val imp = model.stages.last match {
+      case m: GBTClassificationModel => m.featureImportances
+      case m: GBTRegressionModel     => m.featureImportances
+    }
+    AssembledFeatureNames.toSeq.zip(imp.toArray)
+  }
 
   /** M2-M6: class-weighted GBT direction classifier.
     * Weights = total/(2·count_class) (classifier.py:62-67), computed with

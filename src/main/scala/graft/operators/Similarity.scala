@@ -50,13 +50,26 @@ object Similarity {
       .reduce(_ + _)
 
   /** ANN via LSH buckets: candidates share the query's bucket; exact
-    * cosine + top-k within the bucket. */
+    * cosine + top-k within the bucket.
+    *
+    * `multiProbe` = h additionally probes every bucket within Hamming
+    * distance h of the query's bucket (classic multi-probe LSH): the
+    * query side fans out to Σ_{i≤h} C(planes,i) buckets while the corpus
+    * stays single-bucketed, trading a bounded candidate-set growth for
+    * recall — the right knob when neighbors sit at mid cosine where a
+    * single sign-pattern match is unlikely. Candidates per query ≈
+    * corpus × (probes / 2^planes). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, planes: Int = 8,
+              multiProbe: Int = 0,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cb = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       l2Norm(col(vecCol)).as("cn"), bucketId(vecCol, planes).as("bucket"))
+    val masks = (0 until (1 << planes)).filter(m => Integer.bitCount(m) <= multiProbe)
     val qb = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      l2Norm(col(vecCol)).as("qn"), bucketId(vecCol, planes).as("bucket")))
+      l2Norm(col(vecCol)).as("qn"), bucketId(vecCol, planes).as("home"))
+      .withColumn("bucket",
+        explode(array(masks.map(m => col("home").bitwiseXOR(lit(m.toLong))): _*)))
+      .drop("home"))
     val scored = qb.join(cb, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
@@ -67,35 +80,53 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
-  /** IVF (inverted-file) ANN: a KMeans coarse quantizer (seeded,
-    * deterministic) partitions the corpus into `nlist` cells; each query
-    * probes its `nprobe` nearest cells and scores only those vectors.
-    * The 100 TB shape: the corpus is written partitioned by cell id, a
-    * query touches nprobe/nlist of the data, and the centroid table is a
-    * broadcast of nlist×dim floats. Recall is tuned by nprobe. */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nlist: Int = 16, nprobe: Int = 4,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  /** Fit-once IVF coarse quantizer: seeded KMeans over a (seeded) sample
+    * of the corpus. At 100 TB this runs ONCE on a sample, the model is
+    * persisted (KMeansModel is MLWritable — one artifact), and every
+    * subsequent query probes against it; refitting per query would both
+    * dominate latency and make results layout-dependent. */
+  def fitQuantizer(corpus: DataFrame, nlist: Int, sampleFraction: Double = 1.0,
+                   vecCol: String = "embedding"): org.apache.spark.ml.clustering.KMeansModel = {
     import org.apache.spark.ml.functions.array_to_vector
     import org.apache.spark.ml.clustering.KMeans
+    val sampled =
+      if (sampleFraction >= 1.0) corpus
+      else corpus.sample(withReplacement = false, sampleFraction, seed = 42)
+    new KMeans().setK(nlist).setSeed(42).setFeaturesCol("__features")
+      .setPredictionCol("__cell")
+      .fit(sampled.withColumn("__features", array_to_vector(col(vecCol))))
+  }
+
+  /** IVF (inverted-file) ANN: the pre-fitted coarse quantizer partitions
+    * the corpus into cells; each query probes its `nprobe` nearest cells
+    * and scores only those vectors. The 100 TB shape: the corpus is
+    * written partitioned by cell id (assignment is a map-side transform
+    * against the broadcast model), a query touches nprobe/nlist of the
+    * data, and the centroid table is a broadcast of nlist×dim floats.
+    *
+    * Probe cells are ranked by squared Euclidean distance to the query
+    * (‖c‖² − 2·q·c, the ‖q‖² term is constant per query) — the SAME
+    * metric KMeans used to form the cells. Ranking probes by raw dot
+    * product disagrees with the Euclidean assignment for unnormalized
+    * embeddings and silently degrades recall. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              km: org.apache.spark.ml.clustering.KMeansModel, nprobe: Int,
+              idCol: String, vecCol: String): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
     val vecs = corpus.withColumn("__features", array_to_vector(col(vecCol)))
-    val km = new KMeans().setK(nlist).setSeed(42).setFeaturesCol("__features")
-      .setPredictionCol("__cell").fit(vecs)
     val cells = km.transform(vecs)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
         l2Norm(col(vecCol)).as("cn"), col("__cell").as("cell"))
     val centroids = broadcast(
       corpus.sparkSession.createDataFrame(
         km.clusterCenters.zipWithIndex.toSeq
-          .map { case (c, i) => (i, c.toArray.map(_.toFloat)) })
-        .toDF("cell", "centroid"))
-    // nprobe nearest cells per query (distance via dot on unit-agnostic
-    // cosine ordering: larger cosine = closer for normalized comparisons)
+          .map { case (c, i) => (i, c.toArray.map(_.toFloat), c.toArray.map(x => x * x).sum) })
+        .toDF("cell", "centroid", "cn2"))
     val qb = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       l2Norm(col(vecCol)).as("qn"))
-    val wCell = Window.partitionBy("query_id").orderBy(desc("c_cos"), col("cell"))
+    val wCell = Window.partitionBy("query_id").orderBy(col("c_d2"), col("cell"))
     val probes = qb.crossJoin(centroids)
-      .withColumn("c_cos", dot(col("qv"), col("centroid")))
+      .withColumn("c_d2", col("cn2") - lit(2.0) * dot(col("qv"), col("centroid")))
       .withColumn("__pr", row_number().over(wCell))
       .filter(col("__pr") <= nprobe)
       .select("query_id", "qv", "qn", "cell")
@@ -107,6 +138,13 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cos", "rank")
   }
+
+  /** Convenience overload that fits the quantizer inline (spec/baseline
+    * use — production callers fit once via [[fitQuantizer]] and reuse). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfTopK(corpus, queries, k, fitQuantizer(corpus, nlist, 1.0, vecCol), nprobe, idCol, vecCol)
 
   /** All (a<b) pairs above a cosine threshold — embedding near-dup
     * detection, spec-baseline form. The `a < b` non-equi join plans as a

@@ -23,9 +23,32 @@ object MlQueries {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private val regressorMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), org.apache.spark.ml.PipelineModel]
+  private val classifierMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), org.apache.spark.ml.PipelineModel]
+
+  /** Memo eviction: entries are dropped (and cached plans unpersisted)
+    * when their owning session's SparkContext ends, so a long-lived driver
+    * that cycles sessions does not accumulate dead DataFrames/models. */
+  private val evictionHooked =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, Boolean]
+
+  private def hookEviction(spark: SparkSession): Unit =
+    evictionHooked.getOrElseUpdate(spark, {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          featureMemo.filterInPlace { case ((s, _), _) => s != spark }
+          regressorMemo.filterInPlace { case ((s, _), _) => s != spark }
+          classifierMemo.filterInPlace { case ((s, _), _) => s != spark }
+          evictionHooked.remove(spark)
+        }
+      })
+      true
+    })
 
   private def cachedFeatures(spark: SparkSession, dir: String): DataFrame =
     featureMemo.getOrElseUpdate((spark, dir), {
+      hookEviction(spark)
       val f = Pipelines.featureFrame(spark, dir).cache()
       f.count() // materialize once
       f
@@ -35,6 +58,12 @@ object MlQueries {
     regressorMemo.getOrElseUpdate((spark, dir), {
       val (train, _) = Pipelines.temporalSplit(cachedFeatures(spark, dir), 7)
       Pipelines.trainRegressor(train, maxIter = 10)
+    })
+
+  private def cachedClassifier(spark: SparkSession, dir: String): org.apache.spark.ml.PipelineModel =
+    classifierMemo.getOrElseUpdate((spark, dir), {
+      val (train, _) = Pipelines.temporalSplit(cachedFeatures(spark, dir), 7)
+      Pipelines.trainClassifier(train, maxIter = 10)._1
     })
 
   /** M14+P8: serving-time whitelist — events in the 7-day holdout keep
@@ -54,9 +83,20 @@ object MlQueries {
   /** M1-M6: class-weighted GBT direction classifier, temporal split,
     * AUC + accuracy + confusion counts (rows-only). */
   def qMlClassifier(spark: SparkSession, dir: String): DataFrame = {
-    val (train, test) = Pipelines.temporalSplit(cachedFeatures(spark, dir), 7)
-    val (_, score) = Pipelines.trainClassifier(train, maxIter = 10)
-    Pipelines.evalClassifier(score(test))
+    val (_, test) = Pipelines.temporalSplit(cachedFeatures(spark, dir), 7)
+    val model = cachedClassifier(spark, dir)
+    Pipelines.evalClassifier(model.transform(test.withColumn("weight", lit(1.0))))
+  }
+
+  /** M6: named, ranked GBT feature importances from the (seeded,
+    * deterministic) classifier — ref classifier.py:96-100 (rows-only:
+    * importances are model internals, not SQL-expressible). */
+  def qMlImportances(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Pipelines.featureImportances(cachedClassifier(spark, dir))
+      .toDF("feature", "importance")
+      .select(col("feature"), rnd(col("importance"), 6).as("importance"))
+      .orderBy(desc("importance"), col("feature"))
   }
 
   /** M9-M12: direction-weighted GBT return regressor, RMSE/MSE/MAE/R² +
@@ -76,6 +116,7 @@ object MlQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ml_whitelist" -> qMlWhitelist _,
     "q_ml_classifier" -> qMlClassifier _,
+    "q_ml_importances" -> qMlImportances _,
     "q_ml_regressor" -> qMlRegressor _,
     "q_ml_serve" -> qMlServe _,
   )

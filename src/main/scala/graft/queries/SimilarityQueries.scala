@@ -60,24 +60,66 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
-  /** LSH-bucketed ANN (4 hyperplanes → 16 buckets): the 100 TB path.
-    * No SQL oracle — the driver records a rows-only check; correctness is
-    * covered by SimilaritySpec's recall assertion against brute force. */
-  def qAnnLsh(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 20), 5, planes = 4)
-      .select(col("query_id"), col("neighbor_id"), rnd(col("cos"), 6).as("cos"), col("rank"))
-      .orderBy("query_id", "rank")
+  /** Fit-once IVF quantizer per (session, dir, nlist) — the artifact the
+    * 100 TB design persists; evicted with the owning session's context. */
+  private val quantMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int), org.apache.spark.ml.clustering.KMeansModel]
+
+  private def cachedQuantizer(spark: SparkSession, dir: String, nlist: Int) =
+    quantMemo.getOrElseUpdate((spark, dir, nlist), {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          quantMemo.filterInPlace { case ((s, _, _), _) => s != spark }
+      })
+      Similarity.fitQuantizer(Tables.embeddings(spark, dir), nlist)
+    })
+
+  /** Per-query recall@k of an approximate ANN result against the exact
+    * brute-force result computed in the same plan, gated on the mean:
+    * if mean recall over all queries drops below `floor`, EVERY row is
+    * filtered out, so the driver's rows-only check (spark_rows = number
+    * of queries) becomes a hard recall gate rather than a bare count. */
+  private def recallGated(approx: DataFrame, exact: DataFrame, floor: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perQuery = exact.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id"), lit(1).as("hit")),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(rnd(sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)), 4)
+        .as("recall_at_5"))
+    // 20 post-aggregation rows — the single-partition window is trivial
+    perQuery
+      .withColumn("mean_recall", avg(col("recall_at_5")).over(Window.partitionBy(lit(1))))
+      .filter(col("mean_recall") >= floor)
+      .select(col("query_id"), col("recall_at_5"))
+      .orderBy("query_id")
   }
 
-  /** IVF ANN (KMeans coarse quantizer, nprobe cells probed): the other
-    * scale path. No SQL oracle (KMeans isn't SQL-expressible) — rows-only
-    * check; recall + score-exactness vs brute force in SimilaritySpec. */
+  /** LSH-bucketed ANN (4 hyperplanes → 16 buckets): the 100 TB path.
+    * Emits per-query recall@5 against brute force computed in-plan; the
+    * whole result vanishes if mean recall < 0.25, so the driver's
+    * rows-only CORRECTNESS entry is a live recall gate (the serving query
+    * is Similarity.lshTopK itself — this is its quality harness). */
+  def qAnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") < 20)
+    recallGated(
+      Similarity.lshTopK(emb, q, 5, planes = 4, multiProbe = 1),
+      Similarity.bruteForceTopK(emb, q, 5),
+      floor = 0.25)
+  }
+
+  /** IVF ANN against the memoized fit-once quantizer, probes ranked by
+    * the quantizer's own Euclidean metric. Same in-plan recall gate;
+    * IVF probing 4/16 cells must clear a higher floor than LSH. */
   def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20), 5, nlist = 16, nprobe = 4)
-      .select(col("query_id"), col("neighbor_id"), rnd(col("cos"), 6).as("cos"), col("rank"))
-      .orderBy("query_id", "rank")
+    val q = emb.filter(col("vec_id") < 20)
+    recallGated(
+      Similarity.ivfTopK(emb, q, 5, cachedQuantizer(spark, dir, 16), 4, "vec_id", "embedding"),
+      Similarity.bruteForceTopK(emb, q, 5),
+      floor = 0.5)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -55,6 +55,33 @@ class MlSpec extends AnyFunSuite {
     assert(best.toSeq.nonEmpty)
   }
 
+  test("label encoding (M7): StringIndexer round-trips via IndexToString, skips unseen") {
+    import org.apache.spark.ml.feature.{IndexToString, StringIndexer}
+    import org.apache.spark.sql.functions.col
+    val (train, test) = split
+    val indexer = new StringIndexer().setInputCol("event_type")
+      .setOutputCol("event_type_idx").setHandleInvalid("skip").fit(train)
+    // inverse transform (ref ml_impl.py:164-169): decode must equal input
+    val decoded = new IndexToString().setInputCol("event_type_idx")
+      .setOutputCol("event_type_decoded").setLabels(indexer.labelsArray(0))
+      .transform(indexer.transform(test))
+    assert(decoded.filter(col("event_type") =!= col("event_type_decoded")).count() == 0)
+    // drop-unseen (P8): a category absent from training is skipped
+    val alien = test.limit(5).withColumn("event_type",
+      org.apache.spark.sql.functions.lit("__never_seen__"))
+    assert(indexer.transform(alien).count() == 0)
+  }
+
+  test("feature importances (M6): named, complete, non-negative, sum ~1") {
+    val (train, _) = split
+    val (model, _) = Pipelines.trainClassifier(train, maxIter = 5)
+    val imp = Pipelines.featureImportances(model)
+    assert(imp.map(_._1).toSet == Pipelines.AssembledFeatureNames.toSet)
+    assert(imp.forall(_._2 >= 0.0))
+    val s = imp.map(_._2).sum
+    assert(math.abs(s - 1.0) < 1e-6, s"importances sum to $s")
+  }
+
   test("pipeline save/load round trip scores identically (S9: one artifact)") {
     val (train, test) = split
     val model = Pipelines.trainRegressor(train, maxIter = 3)

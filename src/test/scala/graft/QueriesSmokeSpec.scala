@@ -26,7 +26,8 @@ class QueriesSmokeSpec extends AnyFunSuite {
   test("every query has an oracle or is documented rows-only") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle.subsetOf(
-      Set("q_ann_lsh", "q_ann_ivf", "q_ml_classifier", "q_ml_regressor", "q_ml_serve")),
+      Set("q_ann_lsh", "q_ann_ivf", "q_ml_classifier", "q_ml_regressor", "q_ml_serve",
+        "q_ml_importances")),
       s"undocumented rows-only: $noOracle")
   }
 

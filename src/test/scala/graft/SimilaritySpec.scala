@@ -60,6 +60,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(overlap.toDouble / brute.length > 0.2, s"recall ${overlap}/${brute.length}")
   }
 
+  test("ivf quantizer: fit-once artifact save/load round-trips centroids") {
+    val emb = Tables.embeddings(spark, TestSpark.Sf)
+    val km = Similarity.fitQuantizer(emb, nlist = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-quant").toString + "/km"
+    km.write.overwrite().save(dir)
+    val loaded = org.apache.spark.ml.clustering.KMeansModel.load(dir)
+    val orig = km.clusterCenters.map(_.toArray.toSeq).toSeq
+    val back = loaded.clusterCenters.map(_.toArray.toSeq).toSeq
+    assert(orig == back)
+    // probing against the loaded artifact gives the same answer
+    val q = emb.filter($"vec_id" < 5)
+    val a = Similarity.ivfTopK(emb, q, 3, km, 2, "vec_id", "embedding")
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().sorted.toSeq
+    val b = Similarity.ivfTopK(emb, q, 3, loaded, 2, "vec_id", "embedding")
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().sorted.toSeq
+    assert(a == b)
+  }
+
+  test("ann recall gates: q_ann_lsh and q_ann_ivf emit one recall row per query") {
+    val lsh = queries.SimilarityQueries.qAnnLsh(spark, TestSpark.Sf)
+      .select("query_id", "recall_at_5").as[(Long, Double)].collect()
+    val ivf = queries.SimilarityQueries.qAnnIvf(spark, TestSpark.Sf)
+      .select("query_id", "recall_at_5").as[(Long, Double)].collect()
+    assert(lsh.length == 20, s"lsh gate collapsed: ${lsh.length} rows")
+    assert(ivf.length == 20, s"ivf gate collapsed: ${ivf.length} rows")
+    assert(lsh.forall(r => r._2 >= 0.0 && r._2 <= 1.0))
+    assert(ivf.map(_._2).sum / 20 >= 0.5)
+  }
+
   test("blocked near-dup pairs equal the all-pairs baseline exactly") {
     val emb = Tables.embeddings(spark, TestSpark.Sf)
     val brute = Similarity.nearDupPairs(emb, 0.45)
