@@ -22,6 +22,21 @@ object Ingest {
   case class Event(event_id: Long, ts: Long, user_id: Long, event_type: String, value: Double)
   case class PctAlert(user_id: Long, event_id: Long, value: Double, prev_value: Double, pct: Double)
 
+  /** Event with the derived event-time column kept alongside, so the
+    * watermark attribute survives into the stateful operators. */
+  case class EventT(event_id: Long, ts: Long, user_id: Long, event_type: String,
+                    value: Double, event_time: java.sql.Timestamp)
+
+  /** Attach event time + watermark ahead of the stateful operators; the
+    * watermark both bounds late data and drives event-time state TTL. */
+  private def watermarked(events: Dataset[Event], delay: String): Dataset[EventT] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_time", delay)
+      .as[EventT]
+  }
+
   /** Epoch-nano long → event-time timestamp + calendar day columns. */
   def withEventTime(events: DataFrame): DataFrame =
     events
@@ -41,27 +56,47 @@ object Ingest {
 
   /** ST3 (true reference semantics — percentage_change > 5 vs the user's
     * previous event, spark_stream.py:38-46): per-key state holds the last
-    * value; arbitrary stateful processing via flatMapGroupsWithState. */
-  def statefulPctAlerts(events: Dataset[Event], pctThreshold: Double = 5.0): Dataset[PctAlert] = {
+    * value; arbitrary stateful processing via flatMapGroupsWithState.
+    *
+    * State is TTL-bounded by EVENT time: a key whose last event is
+    * `idleTimeout` behind the watermark is evicted (its next event then
+    * has no baseline, like a new user) — without this, months of
+    * streaming accumulate one state slot per user ever seen. Event-time
+    * (not processing-time) TTL is deliberate: it is replay/backfill-safe
+    * (a paused job does not mass-evict live state on resume) and it
+    * doesn't force the micro-batch engine into continuous empty batches
+    * the way processing-time timers do. Timeouts never fire in batch
+    * mode, where state is per-job anyway. */
+  def statefulPctAlerts(events: Dataset[Event], pctThreshold: Double = 5.0,
+                        idleTimeout: java.time.Duration = java.time.Duration.ofDays(30),
+                        watermarkDelay: String = "1 hour"): Dataset[PctAlert] = {
     import events.sparkSession.implicits._
-    events
+    val streaming = events.isStreaming
+    watermarked(events, watermarkDelay)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (user: Long, it: Iterator[Event], state: GroupState[Double]) =>
-          val sorted = it.toSeq.sortBy(e => (e.ts, e.event_id))
-          var prev = if (state.exists) Some(state.get) else None
-          val alerts = sorted.flatMap { e =>
-            val out = prev match {
-              case Some(p) if p != 0.0 =>
-                val pct = (e.value - p) / p * 100.0
-                if (pct > pctThreshold) Some(PctAlert(user, e.event_id, e.value, p, pct)) else None
-              case _ => None
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[EventT], state: GroupState[Double]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts, e.event_id))
+            var prev = if (state.exists) Some(state.get) else None
+            val alerts = sorted.flatMap { e =>
+              val out = prev match {
+                case Some(p) if p != 0.0 =>
+                  val pct = (e.value - p) / p * 100.0
+                  if (pct > pctThreshold) Some(PctAlert(user, e.event_id, e.value, p, pct)) else None
+                case _ => None
+              }
+              prev = Some(e.value)
+              out
             }
-            prev = Some(e.value)
-            out
+            prev.foreach(state.update)
+            if (streaming && state.exists)
+              state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + idleTimeout.toMillis)
+            alerts.iterator
           }
-          prev.foreach(state.update)
-          alerts.iterator
       }
   }
 
@@ -75,27 +110,37 @@ object Ingest {
     * flags itself rather than masking itself. Scores start once `minN`
     * observations exist. */
   def streamingZscoreAnomalies(events: Dataset[Event], threshold: Double = 3.0,
-                               minN: Long = 20): Dataset[ZAnomaly] = {
+                               minN: Long = 20,
+                               idleTimeout: java.time.Duration = java.time.Duration.ofDays(30),
+                               watermarkDelay: String = "1 hour"): Dataset[ZAnomaly] = {
     import events.sparkSession.implicits._
     import graft.functions.WelfordAggregator
     import graft.functions.WelfordAggregator.Moments
-    events
+    val streaming = events.isStreaming
+    watermarked(events, watermarkDelay)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (user: Long, it: Iterator[Event], state: GroupState[Moments]) =>
-          var m = if (state.exists) state.get else WelfordAggregator.zero
-          val out = it.toSeq.sortBy(e => (e.ts, e.event_id)).flatMap { e =>
-            val alert =
-              if (m.n >= minN && m.stddevPop > 0) {
-                val z = m.zscore(e.value)
-                if (math.abs(z) > threshold) Some(ZAnomaly(user, e.event_id, e.value, z))
-                else None
-              } else None
-            m = WelfordAggregator.update(m, e.value)
-            alert
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[EventT], state: GroupState[Moments]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var m = if (state.exists) state.get else WelfordAggregator.zero
+            val out = it.toSeq.sortBy(e => (e.ts, e.event_id)).flatMap { e =>
+              val alert =
+                if (m.n >= minN && m.stddevPop > 0) {
+                  val z = m.zscore(e.value)
+                  if (math.abs(z) > threshold) Some(ZAnomaly(user, e.event_id, e.value, z))
+                  else None
+                } else None
+              m = WelfordAggregator.update(m, e.value)
+              alert
+            }
+            state.update(m)
+            if (streaming)
+              state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + idleTimeout.toMillis)
+            out.iterator
           }
-          state.update(m)
-          out.iterator
       }
   }
 
@@ -117,7 +162,8 @@ object Ingest {
     * subset to the alert table — via foreachBatch. */
   def startIngest(stream: DataFrame, landingPath: String, alertPath: String,
                   trigger: Trigger = Trigger.ProcessingTime("5 minutes"),
-                  checkpoint: String = "/tmp/graft-ingest-ckpt"): StreamingQuery =
+                  checkpoint: String = "/tmp/graft-ingest-ckpt",
+                  alertThreshold: Double = 400.0): StreamingQuery =
     dedupDaily(stream)
       .writeStream
       .outputMode("append")
@@ -126,7 +172,9 @@ object Ingest {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch.persist()
         batch.write.mode("append").partitionBy("day").parquet(landingPath)
-        batch.filter(col("value") > 400.0)
+        // the alert sink is the documented ST3 threshold operator — one
+        // definition, no drift between the stream and batch paths
+        thresholdAlerts(batch, alertThreshold)
           .write.mode("append").parquet(alertPath)
         batch.unpersist()
         ()

@@ -66,6 +66,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful pct-change state evicts idle keys after the event-time TTL") {
+    val src = MemoryStream[Event]
+    val q = Ingest.statefulPctAlerts(src.toDS(), pctThreshold = 5.0,
+      idleTimeout = java.time.Duration.ofDays(2), watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("pct_ttl_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      src.addData(ev(1, 1, 1, 100.0)) // user1 baseline; TTL deadline ≈ day 3
+      q.processAllAvailable()
+      src.addData(ev(2, 1, 2, 1.0, 1000L)) // watermark ~day1: user1 still live
+      q.processAllAvailable()
+      src.addData(ev(3, 1, 1, 120.0, 2000L)) // +20% vs live baseline → alert
+      q.processAllAvailable()
+      src.addData(ev(4, 6, 2, 1.0)) // day6 advances watermark past the deadline
+      q.processAllAvailable()
+      src.addData(ev(5, 6, 2, 1.0, 1000L)) // next batch fires user1's timeout
+      q.processAllAvailable()
+      // user1 returns with +317%: state was evicted, fresh baseline, NO alert
+      src.addData(ev(6, 6, 1, 500.0, 2000L))
+      q.processAllAvailable()
+      val got = spark.table("pct_ttl_out").as[PctAlert].collect()
+      assert(got.map(_.event_id).toSet == Set(3L), s"eviction broken: ${got.toSeq}")
+      // and the rebuilt baseline is live again: +100% → alert
+      src.addData(ev(7, 6, 1, 1000.0, 3000L))
+      q.processAllAvailable()
+      val after = spark.table("pct_ttl_out").as[PctAlert].collect()
+      assert(after.map(_.event_id).toSet == Set(3L, 7L), s"live key broken: ${after.toSeq}")
+    } finally q.stop()
+  }
+
   test("windowed counts aggregate per 5-min window and drop late events") {
     val src = MemoryStream[Event]
     val q = Ingest.windowedCounts(src.toDF(), windowLen = "5 minutes", watermark = "10 minutes")
