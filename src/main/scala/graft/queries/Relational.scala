@@ -155,7 +155,10 @@ object Relational {
       .orderBy(desc("o_totalprice"), col("o_orderkey"))
       .limit(10)
 
-  /** Pagination (O5): row_number over a total order, page 3 (rows 21-30). */
+  /** Pagination (O5): row_number over a total order, page 3 (rows 21-30).
+    * SCALE HAZARD: the unpartitioned row_number serializes the whole
+    * relation through one task — kept as the reference's offset-paging
+    * semantics; [[qKeysetPage]] is the scale-safe recommended form. */
   def qPagination(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy(desc("c_acctbal"), col("c_custkey"))
@@ -165,6 +168,18 @@ object Relational {
       .filter(col("rn").between(21, 30))
       .orderBy("rn")
   }
+
+  /** Keyset ("seek") pagination — the scale-safe twin of [[qPagination]]:
+    * WHERE key > last-seen ORDER BY key LIMIT n. The predicate pushes
+    * into the scan (partition/row-group pruning on the sort key) and the
+    * limit plans as TakeOrderedAndProject — no global row numbering, no
+    * single-partition window, O(page) state per request. */
+  def qKeysetPage(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderkey") > 1000)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+      .limit(20)
 
   /** Distinct (A7). */
   def qDistinct(spark: SparkSession, dir: String): DataFrame =
@@ -261,6 +276,7 @@ object Relational {
     "q_join_star" -> qJoinStar _,
     "q_topk" -> qTopk _,
     "q_pagination" -> qPagination _,
+    "q_keyset_page" -> qKeysetPage _,
     "q_distinct" -> qDistinct _,
     "q_group_count" -> qGroupCount _,
     "q_rollup" -> qRollup _,
@@ -345,6 +361,10 @@ object Relational {
         |  SELECT c_custkey, c_name, c_acctbal,
         |    row_number() OVER (ORDER BY c_acctbal DESC, c_custkey) AS rn
         |  FROM customer) WHERE rn BETWEEN 21 AND 30 ORDER BY rn""".stripMargin,
+    "q_keyset_page" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders WHERE o_orderkey > 1000
+        |ORDER BY o_orderkey LIMIT 20""".stripMargin,
     "q_distinct" ->
       """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
         |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,

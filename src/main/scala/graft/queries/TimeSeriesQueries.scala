@@ -184,6 +184,20 @@ object TimeSeriesQueries {
       .select(col("event_id"), col("user_id"), rnd(col("pct"), 4).as("pct"))
       .orderBy("user_id", "event_id")
 
+  /** Hot-key-safe rolling window: 1-hour trailing RANGE-frame sum of
+    * value per user, computed by graft.operators.SaltedWindow with
+    * (user, day-chunk) parallelism + boundary frame-stitch. Result is
+    * identical to the unsalted per-user window (TemporalOpsSpec) — this
+    * is the declared form because it survives a pathological hot entity
+    * at 100 TB where the plain per-key partition serializes. */
+  def qSaltedRolling(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.SaltedWindow.saltedRollingSum(
+      Tables.events(spark, dir).select("event_id", "user_id", "ts", "value"),
+      "user_id", "ts", "value",
+      frameNs = 3600L * 1000000000L, chunkNs = 86400L * 1000000000L)
+      .select(col("event_id"), col("user_id"), rnd(col("rolling_sum"), 4).as("rolling_sum"))
+      .orderBy("user_id", "event_id")
+
   /** F-explode analog: extract the JSON payload key and aggregate it
     * per event type (spark_stream.py's schema-on-read flatten). */
   def qEventJson(spark: SparkSession, dir: String): DataFrame =
@@ -230,6 +244,7 @@ object TimeSeriesQueries {
     "q_zscore_anomaly" -> qZscoreAnomaly _,
     "q_anomaly_daily" -> qAnomalyDaily _,
     "q_threshold_alert" -> qThresholdAlert _,
+    "q_salted_rolling" -> qSaltedRolling _,
     "q_event_json" -> qEventJson _,
     "q_ml_features" -> qMlFeatures _,
   )
@@ -344,6 +359,12 @@ object TimeSeriesQueries {
          |    (value - lag(value, 1) OVER ($ORDER))
          |      / nullif(lag(value, 1) OVER ($ORDER), 0) * 100 AS pct
          |  FROM events) WHERE pct > 5 ORDER BY user_id, event_id""".stripMargin,
+    "q_salted_rolling" ->
+      """SELECT event_id, user_id,
+        |  floor((sum(value) OVER (PARTITION BY user_id ORDER BY ts
+        |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)) * 1e4 + 0.5) / 1e4
+        |    AS rolling_sum
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
     "q_event_json" ->
       """SELECT event_type,
         |  floor((sum(CAST(json_extract_string(props, '$.k') AS INTEGER))

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{AsOfJoin, Sessionize, SkewJoin}
+import graft.operators.{AsOfJoin, SaltedWindow, Sessionize, SkewJoin}
 
 /** Edge cases for the temporal-alignment and skew operators. */
 class TemporalOpsSpec extends AnyFunSuite {
@@ -33,6 +33,26 @@ class TemporalOpsSpec extends AnyFunSuite {
     assert(got == 9.0)
   }
 
+  test("asofBackward matches a null-valued right row instead of skipping past it") {
+    val left = Seq((1L, "u1", 350L, 1.0)).toDF("event_id", "k", "ts", "v")
+    val right = Seq(("u1", 100L, Some(7.0)), ("u1", 300L, None))
+      .toDF("k", "ts", "rv")
+    // the most recent right row (ts=300) has a NULL value: ASOF semantics
+    // return that row's null, NOT the older 7.0
+    val got = AsOfJoin.asofBackward(left, right, "k", "ts", "rv")
+      .select("asof_value").as[Option[Double]].head()
+    assert(got.isEmpty, s"expected null from the ts=300 row, got $got")
+  }
+
+  test("asofBackward rejects reserved column names") {
+    val left = Seq((1L, "u1", 1L)).toDF("__k", "k", "ts")
+    val right = Seq(("u1", 1L, 2.0)).toDF("k", "ts", "rv")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asofBackward(left, right, "k", "ts", "rv")
+    }
+    assert(e.getMessage.contains("__k"))
+  }
+
   test("sessionize splits on gaps and counts durations exactly") {
     val NsPerS = 1000000000L
     val ev = Seq(
@@ -45,6 +65,28 @@ class TemporalOpsSpec extends AnyFunSuite {
       .as[(String, Long, Long, Long, Long)].collect()
     assert(got.toSeq == Seq(
       ("u1", 0L, 2L, 10L, 1L), ("u1", 1L, 2L, 2L, 3L), ("u2", 0L, 1L, 0L, 5L)))
+  }
+
+  test("saltedRollingSum equals the unsalted window on a skewed fixture") {
+    // hot key: 2000 rows spread over ~20 chunks; cold key: 10 rows.
+    // Timestamps land on, just before, and just after chunk boundaries so
+    // the carry/frame-stitch paths are all exercised.
+    val chunk = 1000L
+    val frame = 300L
+    val rows =
+      (0 until 2000).map(i => ("hot", i * 10L + (i % 3), i * 1.0 + 0.25)) ++
+      (0 until 10).map(i => ("cold", i * 995L, 1.0)) ++
+      Seq(("edge", 999L, 1.0), ("edge", 1000L, 2.0), ("edge", 1001L, 4.0),
+        ("edge", 1299L, 8.0), ("edge", 1301L, 16.0))
+    val df = rows.toDF("k", "ts", "v")
+    val salted = SaltedWindow.saltedRollingSum(df, "k", "ts", "v", frame, chunk)
+      .select("k", "ts", "rolling_sum").as[(String, Long, Double)].collect().sorted.toSeq
+    val plain = SaltedWindow.rollingSum(df, "k", "ts", "v", frame)
+      .select("k", "ts", "rolling_sum").as[(String, Long, Double)].collect().sorted.toSeq
+    assert(salted == plain)
+    // sanity on the stitched boundary: edge @1001 must see 999+1000+1001
+    val edge = salted.collect { case ("edge", 1001L, s) => s }
+    assert(edge == Seq(1.0 + 2.0 + 4.0))
   }
 
   test("saltedInnerJoin equals the plain inner join") {
