@@ -25,6 +25,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats1.map(_.features.toSeq).toSeq == feats2.map(_.features.toSeq).toSeq)
   }
 
+  test("image payloads are really decoded: grid luma reflects pixel content") {
+    import java.awt.image.BufferedImage
+    def png(fill: (Int, Int) => Int, w: Int = 8, h: Int = 8): Array[Byte] = {
+      val im = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) im.setRGB(x, y, fill(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      bos.toByteArray
+    }
+    val white = png((_, _) => 0xFFFFFF)
+    val black = png((_, _) => 0x000000)
+    // left half white, right half black → left grid cells ~1, right ~0
+    val split = png((x, _) => if (x < 4) 0xFFFFFF else 0x000000)
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image/png", white),
+      Multimodal.MediaRecord(2L, "image/png", black),
+      Multimodal.MediaRecord(3L, "image/png", split),
+      Multimodal.MediaRecord(4L, "image/png", Array[Byte](1, 2, 3)) // corrupt → fallback
+    ).toDS()
+    val f = Multimodal.decodeFeatures(media).collect().sortBy(_.doc_id)
+    assert(f(0).features.forall(v => math.abs(v - 1.0f) < 1e-3), "white != 1.0")
+    assert(f(1).features.forall(v => v < 1e-3), "black != 0.0")
+    val grid = f(2).features.grouped(4).toSeq // rows of the 4x4 grid
+    assert(grid.forall(row => row(0) > 0.99f && row(1) > 0.99f &&
+      row(2) < 0.01f && row(3) < 0.01f), s"split grid wrong: ${f(2).features.toSeq}")
+    assert(f(3).features.toSeq == Multimodal.byteFoldFeatures(Array[Byte](1, 2, 3)).toSeq)
+  }
+
   test("frame sampling keeps every stride-th frame with byte offsets") {
     val docs = Seq((1L, "x" * 1000)).toDF("doc_id", "text")
     val frames = Multimodal.sampleFrameOffsets(Multimodal.packText(docs), stride = 2)

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.sources.Sources
+import graft.sources.{HtmlSource, Sources}
 
 class SourcesSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
@@ -24,6 +24,34 @@ class SourcesSpec extends AnyFunSuite {
     val back = Sources.readCsv(spark, tmp, Some(schema))
     assert(back.columns.toSeq == Seq("id_col", "price_value"))
     assert(back.as[(Long, Double)].collect().toSet == Set((1L, 2.5), (2L, 3.5)))
+  }
+
+  test("html table adapter: scrape → sanitize headers → landing round trip (S2)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-html").toString
+    // the reference's quote-table shape: styled cells, dirty headers,
+    // a ragged row, entities
+    val page =
+      """<html><body><div>noise</div>
+        |<table class="quotes">
+        |  <tr><th>Symbol</th><th>**Last Trade (Rs.)</th><th>Change(%)</th></tr>
+        |  <tr><td><b>ABC&amp;Co</b></td><td>12.50</td><td>1.2</td></tr>
+        |  <tr><td>DEF</td><td>99.00</td></tr>
+        |  <tr><td>GHI</td><td>5.25</td><td>-0.4</td></tr>
+        |</table></body></html>""".stripMargin
+    java.nio.file.Files.write(java.nio.file.Paths.get(tmp, "page1.html"),
+      page.getBytes("UTF-8"))
+    val df = HtmlSource.readTable(spark, tmp)
+    assert(df.columns.toSeq == Seq("Symbol", "**Last_Trade_(Rs_)", "Change(%)"))
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows.toSet == Set(
+      ("ABC&Co", "12.50", "1.2"),
+      ("DEF", "99.00", null),       // ragged row padded
+      ("GHI", "5.25", "-0.4")))
+    // landed like any other source: sanitized frame flows into the
+    // day-partitioned landing sink unchanged
+    val landing = tmp + "/landing"
+    Sources.writeLanding(df.withColumn("day", lit("2026-08-12")), landing)
+    assert(spark.read.parquet(landing).count() == 3)
   }
 
   test("writeLanding is idempotent per day partition") {
