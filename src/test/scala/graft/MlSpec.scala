@@ -55,6 +55,24 @@ class MlSpec extends AnyFunSuite {
     assert(best.toSeq.nonEmpty)
   }
 
+  test("GBT metrics are seeded-deterministic: retrain reproduces identical numbers") {
+    val (train, test) = split
+    def classifierMetrics(): (Double, Double) = {
+      val (_, score) = Pipelines.trainClassifier(train, maxIter = 5)
+      val m = Pipelines.evalClassifier(score(test)).head()
+      (m.getAs[Double]("auc"), m.getAs[Double]("accuracy"))
+    }
+    def regressorMetrics(): (Double, Double) = {
+      val model = Pipelines.trainRegressor(train, maxIter = 5)
+      val m = Pipelines.evalRegressor(model.transform(test)).head()
+      (m.getAs[Double]("rmse"), m.getAs[Double]("r2"))
+    }
+    assert(classifierMetrics() == classifierMetrics(),
+      "classifier retrain with the same seed diverged")
+    assert(regressorMetrics() == regressorMetrics(),
+      "regressor retrain with the same seed diverged")
+  }
+
   test("label encoding (M7): StringIndexer round-trips via IndexToString, skips unseen") {
     import org.apache.spark.ml.feature.{IndexToString, StringIndexer}
     import org.apache.spark.sql.functions.col
