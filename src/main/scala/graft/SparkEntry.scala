@@ -35,7 +35,8 @@ object SparkEntry {
     graft.queries.SimilarityQueries.queries ++
     graft.queries.MlQueries.queries ++
     graft.queries.ScalarQueries.queries ++
-    graft.queries.TemporalJoinQueries.queries
+    graft.queries.TemporalJoinQueries.queries ++
+    graft.queries.TrainingDataQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -46,5 +47,6 @@ object SparkEntry {
     graft.queries.SimilarityQueries.oracles ++
     graft.queries.MlQueries.oracles ++
     graft.queries.ScalarQueries.oracles ++
-    graft.queries.TemporalJoinQueries.oracles
+    graft.queries.TemporalJoinQueries.oracles ++
+    graft.queries.TrainingDataQueries.oracles
 }

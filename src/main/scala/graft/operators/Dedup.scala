@@ -129,6 +129,51 @@ object Dedup {
     jaccardPairs(docs, 1, threshold, idCol, textCol, Some(cands))
   }
 
+  /** Canonical dedup-group assignment: connected components over the
+    * undirected (a, b) dup-pair graph by iterative min-label propagation
+    * (the MapReduce-CC pattern — each node repeatedly adopts the minimum
+    * label among itself and its neighbours until a fixpoint).
+    *
+    * Each iteration is one equi-join + one min-aggregation — ordinary
+    * shuffles, executor-side; the driver sees only the per-iteration
+    * change COUNT (a scalar), never row data. Dup clusters are
+    * near-cliques in practice, so the fixpoint lands in 2-3 iterations;
+    * `maxIters` bounds adversarial chains. Returns (id, label) where
+    * label = the minimum doc id of the node's component. Nodes touching
+    * no pair are absent — callers coalesce to self. */
+  def canonicalGroups(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a"), col("b"))
+      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .cache()
+    // localCheckpoint (eager) each round: iterative self-reference would
+    // otherwise DOUBLE the logical plan per iteration (labels appears in
+    // both the propagation union and the convergence check) — lineage
+    // must be truncated, not just cached.
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = labels.isEmpty
+    while (!converged && iter < maxIters) {
+      val prop = edges
+        .join(labels.select(col("id").as("b"), col("label").as("nl")), "b")
+        .select(col("a").as("id"), col("nl").as("label"))
+        .union(labels)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      val changes = prop
+        .join(labels.select(col("id"), col("label").as("old")), "id")
+        .filter(col("label") =!= col("old"))
+        .count()
+      labels = prop
+      converged = changes == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** 32-bit SimHash: per-bit ±1 votes over token hashes, majority sign. */
   def simhash(docs: DataFrame, bits: Int = 32,
               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

@@ -87,6 +87,41 @@ object TextQueries {
     Dedup.simhash(Tables.documents(spark, dir))
       .orderBy("doc_id")
 
+  /** Canonical dedup groups: connected components over the MinHash+LSH
+    * dup pairs (min-label propagation, Dedup.canonicalGroups); docs in
+    * no pair are their own canonical. THE actual dedup output — which
+    * row survives — rather than just the pair list. */
+  def qDedupGroups(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 100)
+    val labels = Dedup.canonicalGroups(Dedup.minhashDedupPairs(docs))
+    docs
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("canonical_id"))
+      .orderBy("doc_id")
+  }
+
+  /** TF-IDF: whitespace-token term weights, smooth idf ln((N+1)/(df+1));
+    * document frequency is corpus-global, output bounded to doc_id < 20
+    * top-3 terms for the oracle diff. */
+  def qTfidf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+    val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val dlen = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), col("t"))
+    tf.join(dlen, "doc_id").join(dfreq, "t").crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        (col("tf") / col("dl")) * log((col("n_docs") + 1.0) / (col("df") + 1.0)))
+      .filter(col("doc_id") < 20)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("t").as("term"), rnd(col("tfidf"), 6).as("tfidf"), col("rank"))
+      .orderBy("doc_id", "rank")
+  }
+
   /** Multimodal plumbing: opaque binary payload + derived frame layout
     * (the decode itself is the stubbed mapPartitions op in
     * graft.operators.Multimodal — this query checks the schema/shape
@@ -108,6 +143,8 @@ object TextQueries {
     "q_ngram_sim" -> qNgramSim _,
     "q_minhash_sig" -> qMinhashSig _,
     "q_dedup_minhash" -> qDedupMinhash _,
+    "q_dedup_groups" -> qDedupGroups _,
+    "q_tfidf" -> qTfidf _,
     "q_simhash" -> qSimhash _,
     "q_multimodal_meta" -> qMultimodalMeta _,
   )
@@ -122,6 +159,35 @@ object TextQueries {
   private val TOKHASH =
     s"""tok AS (SELECT doc_id, unnest($TOKS) AS t FROM documents),
        |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS hv FROM tok)""".stripMargin
+
+  /** Shared CTE chain of the MinHash+LSH dedup oracle (docs → token hash
+    * → signatures → bands → candidates → exact-Jaccard `j`); consumed by
+    * q_dedup_minhash (pair list) and q_dedup_groups (connected
+    * components over the same pairs). */
+  private val MinhashCtes: String =
+    s"""docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+       |tok AS (SELECT doc_id, unnest($TOKS) AS t FROM docs),
+       |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS hv FROM tok),
+       |sig AS (
+       |  SELECT doc_id,
+       |    ${(0 until 8).map(i => s"min(${Dedup.minhashSqlExpr(i)}) AS mh$i").mkString(",\n    ")}
+       |  FROM h GROUP BY doc_id),
+       |bands AS (
+       |  ${(0 until 4).map(b =>
+          s"SELECT doc_id, $b AS band, md5(mh${2*b}::VARCHAR || '_' || mh${2*b+1}::VARCHAR) AS bkey FROM sig")
+          .mkString("\n  UNION ALL\n  ")}),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |sh AS (SELECT DISTINCT doc_id, unnest($TOKS) AS s FROM docs),
+       |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |i AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+       |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2),
+       |j AS (
+       |  SELECT a, b, c * 1.0 / (na.n + nb.n - c) AS jaccard
+       |  FROM i JOIN n na ON na.doc_id = a JOIN n nb ON nb.doc_id = b)""".stripMargin
 
   private def jaccardSql(shingleCte: String, threshold: Double): String =
     s"""WITH $shingleCte,
@@ -197,32 +263,41 @@ object TextQueries {
          |  ${(0 until 8).map(i => s"min(${Dedup.minhashSqlExpr(i)}) AS mh$i").mkString(",\n  ")}
          |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_dedup_minhash" ->
-      s"""WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
-         |tok AS (SELECT doc_id, unnest($TOKS) AS t FROM docs),
-         |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS hv FROM tok),
-         |sig AS (
-         |  SELECT doc_id,
-         |    ${(0 until 8).map(i => s"min(${Dedup.minhashSqlExpr(i)}) AS mh$i").mkString(",\n    ")}
-         |  FROM h GROUP BY doc_id),
-         |bands AS (
-         |  ${(0 until 4).map(b =>
-            s"SELECT doc_id, $b AS band, md5(mh${2*b}::VARCHAR || '_' || mh${2*b+1}::VARCHAR) AS bkey FROM sig")
-            .mkString("\n  UNION ALL\n  ")}),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-         |sh AS (SELECT DISTINCT doc_id, unnest($TOKS) AS s FROM docs),
-         |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         |i AS (
-         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
-         |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
-         |  GROUP BY 1, 2),
-         |j AS (
-         |  SELECT a, b, c * 1.0 / (na.n + nb.n - c) AS jaccard
-         |  FROM i JOIN n na ON na.doc_id = a JOIN n nb ON nb.doc_id = b)
+      s"""WITH $MinhashCtes
          |SELECT j.a, j.b, floor((jaccard) * 1e4 + 0.5) / 1e4 AS jaccard
          |FROM j JOIN cand ON j.a = cand.a AND j.b = cand.b
          |WHERE jaccard >= 0.8 ORDER BY j.a, j.b""".stripMargin,
+    "q_dedup_groups" ->
+      s"""WITH RECURSIVE $MinhashCtes,
+         |p AS (
+         |  SELECT j.a, j.b FROM j JOIN cand ON j.a = cand.a AND j.b = cand.b
+         |  WHERE jaccard >= 0.8),
+         |e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+         |reach(id, r) AS (
+         |  SELECT a, a FROM e
+         |  UNION
+         |  SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.id),
+         |lbl AS (SELECT id, min(r) AS canonical_id FROM reach GROUP BY id)
+         |SELECT d.doc_id, coalesce(lbl.canonical_id, d.doc_id) AS canonical_id
+         |FROM documents d LEFT JOIN lbl ON d.doc_id = lbl.id
+         |WHERE d.doc_id < 100 ORDER BY d.doc_id""".stripMargin,
+    "q_tfidf" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($TOKS) AS t FROM documents),
+         |tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dlen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+         |dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+         |nd AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.t,
+         |    (tf.tf * 1.0 / dlen.dl) * ln((nd.n_docs + 1.0) / (dfreq.df + 1.0)) AS tfidf
+         |  FROM tf JOIN dlen USING (doc_id) JOIN dfreq USING (t) CROSS JOIN nd
+         |  WHERE tf.doc_id < 20),
+         |r AS (
+         |  SELECT doc_id, t, tfidf,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, t) AS rank
+         |  FROM scored)
+         |SELECT doc_id, t AS term, floor((tfidf) * 1e6 + 0.5) / 1e6 AS tfidf, rank
+         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "q_simhash" ->
       s"""WITH $TOKHASH,
          |v AS (

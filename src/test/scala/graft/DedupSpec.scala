@@ -50,6 +50,23 @@ class DedupSpec extends AnyFunSuite {
       assert(lsh.size.toDouble / exact.size >= 0.8, s"recall ${lsh.size}/${exact.size}")
   }
 
+  test("canonicalGroups: min-label propagation finds connected components") {
+    // components: {1,2,3,9} (chain 1-2, 2-3, 3-9), {5,7}, and 8-as-singleton
+    // (absent from pairs entirely)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (5L, 7L)).toDF("a", "b")
+    val got = Dedup.canonicalGroups(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 7L -> 5L))
+    // a chain converges (label crosses one hop per iteration: length
+    // must stay under maxIters; dup clusters are near-cliques so real
+    // diameters are tiny)
+    val chain = (0L until 15L).map(i => (i, i + 1)).toDF("a", "b")
+    val chainLabels = Dedup.canonicalGroups(chain).as[(Long, Long)].collect()
+    assert(chainLabels.forall(_._2 == 0L), s"chain did not converge: ${chainLabels.toSeq}")
+    // empty pair set → empty labels (no infinite loop)
+    assert(Dedup.canonicalGroups(Seq.empty[(Long, Long)].toDF("a", "b")).isEmpty)
+  }
+
   test("simhash: identical docs hash identically, hamming 0") {
     val sh = Dedup.simhash(docs).orderBy("doc_id").select("simhash").as[Long].collect()
     assert(sh(0) == sh(1))
