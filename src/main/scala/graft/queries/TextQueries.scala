@@ -82,6 +82,24 @@ object TextQueries {
       .select(col("a"), col("b"), rnd(col("jaccard"), 4).as("jaccard"))
       .orderBy("a", "b")
 
+  /** Rule-based content/PII filter flags: email and URL detection plus
+    * digit-density — the cheap regex tier of a training-data quality
+    * funnel (rows failing `keep` would route to redaction/quarantine).
+    * Pure codegen'd expressions over the scan; no shuffle. */
+  def qContentFilter(spark: SparkSession, dir: String): DataFrame = {
+    val email = col("text").rlike("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")
+    val url = col("text").rlike("https?://")
+    val digitRatio = length(regexp_replace(col("text"), "[^0-9]", "")).cast("double") /
+      length(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        email.cast("int").as("has_email"),
+        url.cast("int").as("has_url"),
+        rnd(digitRatio, 4).as("digit_ratio"),
+        (!email && !url && digitRatio < 0.3).cast("int").as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** 32-bit SimHash signature per document. */
   def qSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhash(Tables.documents(spark, dir))
@@ -145,6 +163,7 @@ object TextQueries {
     "q_dedup_minhash" -> qDedupMinhash _,
     "q_dedup_groups" -> qDedupGroups _,
     "q_tfidf" -> qTfidf _,
+    "q_content_filter" -> qContentFilter _,
     "q_simhash" -> qSimhash _,
     "q_multimodal_meta" -> qMultimodalMeta _,
   )
@@ -281,6 +300,17 @@ object TextQueries {
          |SELECT d.doc_id, coalesce(lbl.canonical_id, d.doc_id) AS canonical_id
          |FROM documents d LEFT JOIN lbl ON d.doc_id = lbl.id
          |WHERE d.doc_id < 100 ORDER BY d.doc_id""".stripMargin,
+    "q_content_filter" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(regexp_matches(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}') AS INT) AS has_email,
+        |    CAST(regexp_matches(text, 'https?://') AS INT) AS has_url,
+        |    length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / length(text) AS dr
+        |  FROM documents)
+        |SELECT doc_id, has_email, has_url,
+        |  floor((dr) * 1e4 + 0.5) / 1e4 AS digit_ratio,
+        |  CAST(has_email = 0 AND has_url = 0 AND dr < 0.3 AS INT) AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
     "q_tfidf" ->
       s"""WITH tok AS (SELECT doc_id, unnest($TOKS) AS t FROM documents),
          |tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),

@@ -60,9 +60,32 @@ object TrainingDataQueries {
       .orderBy("split")
   }
 
+  /** Sequence packing (concat-and-chunk): documents in a stable order
+    * are packed into contiguous training bins of ~`budget` tokens by
+    * bucketing the running token count — the distributed analog of the
+    * greedy packer every LLM data pipeline runs before tokenized-batch
+    * writing. One window cumsum (per-source partition) + one aggregate;
+    * a doc straddling a boundary starts the next bin (no splitting). */
+  def qSeqPacking(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFunctions.tokenCount
+    val budget = 2048L
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), tokenCount(col("text")).cast("long").as("n_tok"))
+      .withColumn("cum", coalesce(sum("n_tok").over(w), lit(0L)))
+      .withColumn("bin", expr(s"cum div $budget")) // div: exact integer quotient
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("total_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("source", "bin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stratified_sample" -> qStratifiedSample _,
     "q_hash_split" -> qHashSplit _,
+    "q_seq_packing" -> qSeqPacking _,
   )
 
   private def hSql(expr: String, salt: String) =
@@ -85,5 +108,19 @@ object TrainingDataQueries {
          |            ELSE 'test' END AS split,
          |  count(*) AS n_events, count(DISTINCT user_id) AS n_users
          |FROM events GROUP BY 1 ORDER BY split""".stripMargin,
+    "q_seq_packing" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, n_tok,
+        |    coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM t)
+        |SELECT source, cum // 2048 AS bin, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1, 2 ORDER BY source, bin""".stripMargin,
   )
 }
