@@ -45,6 +45,15 @@ object Sources {
       .option("partitionOverwriteMode", "dynamic")
       .parquet(path)
 
+  /** Columnar ORC twin of the parquet landing layout — same predicate
+    * pushdown / column pruning machinery (asserted in SourcesSpec), for
+    * estates standardized on ORC. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** S8: JSON export with the NaN→0 scrub (spark_stream.py:149-156). */
   def exportJson(df: DataFrame, path: String): Unit = {
     val doubles = df.schema.fields.collect {

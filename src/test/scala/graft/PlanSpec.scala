@@ -49,6 +49,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("q_content_filter is scan-parallel: no exchange before the sort") {
+    // presentation ORDER BY adds one range exchange at the end; the
+    // filter/flag computation itself must not shuffle
+    val p = physical("q_content_filter")
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashShuffles == 0, s"content filter should not hash-shuffle:\n$p")
+  }
+
+  test("q_keyset_page pushes the seek predicate and plans TakeOrdered") {
+    val p = physical("q_keyset_page")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderkey), GreaterThan(o_orderkey"),
+      p.take(1500))
+  }
+
   test("q_topk plans as TakeOrderedAndProject (no global sort)") {
     assert(physical("q_topk").contains("TakeOrderedAndProject"))
   }

@@ -62,6 +62,17 @@ class SourcesSpec extends AnyFunSuite {
     assert(spark.read.parquet(tmp).count() == 2)
   }
 
+  test("orc round trip preserves data and pushes filters into the scan") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-orc").toString + "/o"
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5)).toDF("id", "s", "v")
+    Sources.writeOrc(df, tmp)
+    val back = Sources.readOrc(spark, tmp).filter(col("id") > 1).select("id", "v")
+    assert(back.as[(Long, Double)].collect().toSet == Set((2L, 2.5), (3L, 3.5)))
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,1)]"), plan.take(1200))
+    assert(!plan.contains("\"s\""), "column s not pruned from ORC read schema")
+  }
+
   test("exportJson scrubs NaN doubles to 0") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-json").toString + "/j"
     Sources.exportJson(Seq((1L, Double.NaN), (2L, 1.5)).toDF("id", "v"), tmp)
