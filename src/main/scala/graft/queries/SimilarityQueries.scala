@@ -114,16 +114,20 @@ object SimilarityQueries {
       .orderBy("query_id")
   }
 
-  /** LSH-bucketed ANN (4 hyperplanes → 16 buckets): the 100 TB path.
-    * Emits per-query recall@5 against brute force computed in-plan; the
-    * whole result vanishes if mean recall < 0.25, so the driver's
-    * rows-only CORRECTNESS entry is a live recall gate (the serving query
-    * is Similarity.lshTopK itself — this is its quality harness). */
+  /** LSH-bucketed ANN (8 hyperplanes → 256 buckets, multi-probe h≤3 →
+    * 93/256 buckets probed ≈ 36% of the corpus): the 100 TB path.
+    * Parameters chosen by measurement — best recall per probed fraction
+    * on this embedding distribution (recall@5 ≈ 0.55 vs 0.46 for
+    * 4-plane/h≤1 at the same probe cost). Emits per-query recall@5
+    * against brute force computed in-plan; the whole result vanishes if
+    * mean recall < 0.25, so the driver's rows-only CORRECTNESS entry is
+    * a live recall gate (the serving query is Similarity.lshTopK itself
+    * — this is its quality harness). */
   def qAnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val q = emb.filter(col("vec_id") < 20)
     recallGated(
-      Similarity.lshTopK(emb, q, 5, planes = 4, multiProbe = 1),
+      Similarity.lshTopK(emb, q, 5, planes = 8, multiProbe = 3),
       cachedBruteTop5(spark, dir),
       floor = 0.25)
   }
