@@ -100,6 +100,27 @@ object Ingest {
       }
   }
 
+  /** ST3 on the Spark 4 arbitrary-state v2 API ([[statefulPctAlerts]]'s
+    * modern twin): `transformWithState` with a typed [[PctAlertProcessor]]
+    * — per-key `ValueState` replaces raw GroupState, and state TTL is
+    * DECLARATIVE (`TTLConfig`) instead of hand-rolled timer arithmetic.
+    * Requires the RocksDB state store provider.
+    *
+    * `ttl = Some(d)` runs in processing-time mode with per-key TTL (the
+    * production form); `None` runs timeless — note that processing-time
+    * mode schedules micro-batches continuously (time always advances),
+    * so `processAllAvailable`-style test drivers should use `None` and
+    * cover TTL via the event-time path in [[statefulPctAlerts]]. */
+  def pctAlertsTws(events: Dataset[Event], pctThreshold: Double = 5.0,
+                   ttl: Option[java.time.Duration] = None): Dataset[PctAlert] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val timeMode = if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new PctAlertProcessor(pctThreshold, ttl), timeMode, OutputMode.Append())
+  }
+
   case class ZAnomaly(user_id: Long, event_id: Long, value: Double, z: Double)
 
   /** Incremental streaming z-score anomalies: per-user Welford moments

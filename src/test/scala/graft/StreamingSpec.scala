@@ -121,6 +121,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState twin matches flatMapGroupsWithState pct semantics") {
+    // TWS requires the RocksDB state store provider (read at query start)
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val src = MemoryStream[Event]
+    val q = Ingest.pctAlertsTws(src.toDS(), pctThreshold = 5.0)
+      .writeStream.format("memory").queryName("tws_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      src.addData(ev(1, 1, 1, 100.0), ev(2, 1, 1, 104.0, 1000L)) // +4% no alert
+      q.processAllAvailable()
+      src.addData(ev(3, 1, 1, 120.0, 2000L)) // +15.4% vs state 104 → alert
+      src.addData(ev(4, 1, 2, 100.0))        // first event, no alert
+      q.processAllAvailable()
+      val got = spark.table("tws_out").as[PctAlert].collect()
+      assert(got.map(_.event_id).toSet == Set(3L), s"got ${got.toSeq}")
+      assert(math.abs(got.head.pct - (120.0 - 104.0) / 104.0 * 100.0) < 1e-9)
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("incremental z-score: state accrues across batches, outlier flagged") {
     val src = MemoryStream[Event]
     val q = Ingest.streamingZscoreAnomalies(src.toDS(), threshold = 3.0, minN = 10)
