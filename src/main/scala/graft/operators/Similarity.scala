@@ -146,6 +146,60 @@ object Similarity {
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     ivfTopK(corpus, queries, k, fitQuantizer(corpus, nlist, 1.0, vecCol), nprobe, idCol, vecCol)
 
+  /** Materialize the IVF index: cell assignment is a map-side transform
+    * against the broadcast quantizer, the corpus lands PARTITIONED BY
+    * cell with per-vector norms precomputed — the layout the 100 TB
+    * design statement promises, so a probe reads nprobe/nlist of the
+    * files, not a filtered full scan. */
+  def writeIvfIndex(corpus: DataFrame, km: org.apache.spark.ml.clustering.KMeansModel,
+                    path: String,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    import org.apache.spark.ml.functions.array_to_vector
+    km.transform(corpus.withColumn("__features", array_to_vector(col(vecCol))))
+      .select(col(idCol), col(vecCol), l2Norm(col(vecCol)).as("cn"), col("__cell").as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+  }
+
+  /** Probe a materialized IVF index: per-query probe cells come from the
+    * quantizer's centroids (nlist rows — driver metadata, like the
+    * centroid broadcast itself); their UNION becomes a literal partition
+    * filter on the index scan, so pruning happens at file-listing time
+    * (PartitionFilters — asserted in SimilaritySpec). Scoring then joins
+    * the broadcast probe set per cell exactly like the in-memory path,
+    * and returns identical results. */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                     queries: DataFrame, k: Int,
+                     km: org.apache.spark.ml.clustering.KMeansModel, nprobe: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids = broadcast(
+      spark.createDataFrame(
+        km.clusterCenters.zipWithIndex.toSeq
+          .map { case (c, i) => (i, c.toArray.map(_.toFloat), c.toArray.map(x => x * x).sum) })
+        .toDF("cell", "centroid", "cn2"))
+    val qb = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      l2Norm(col(vecCol)).as("qn"))
+    val wCell = Window.partitionBy("query_id").orderBy(col("c_d2"), col("cell"))
+    val probes = qb.crossJoin(centroids)
+      .withColumn("c_d2", col("cn2") - lit(2.0) * dot(col("qv"), col("centroid")))
+      .withColumn("__pr", row_number().over(wCell))
+      .filter(col("__pr") <= nprobe)
+      .select("query_id", "qv", "qn", "cell")
+    // the probed-cell union is bounded by nlist — driver metadata, and
+    // the literal isin is what turns into a partition-pruning filter
+    val probedCells = probes.select("cell").distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    val cells = spark.read.parquet(indexPath)
+      .filter(col("cell").isin(probedCells: _*))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("cn"), col("cell"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
+    broadcast(probes).join(cells, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
   /** All (a<b) pairs above a cosine threshold — embedding near-dup
     * detection, spec-baseline form. The `a < b` non-equi join plans as a
     * BroadcastNestedLoopJoin (one side fully broadcast), which OOMs at

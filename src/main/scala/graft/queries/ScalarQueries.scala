@@ -103,7 +103,28 @@ object ScalarQueries {
         rnd(covar_samp(col("l_quantity"), col("l_discount")), 4).as("cov_qty_disc"))
       .orderBy("l_returnflag")
 
+  /** Sketch family: HyperLogLog++ distinct counts and t-digest-style
+    * approximate percentiles next to their exact twins, self-gated — a
+    * stratum row survives only if BOTH approximations land within 5% of
+    * exact, so the driver's rows-only entry (no SQL oracle: DuckDB's
+    * approx algorithms differ) is a live accuracy gate. At 100 TB the
+    * sketches are the point: mergeable partial state, one pass, no
+    * giant distinct shuffle. */
+  def qApproxSketch(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id")).as("users_approx"),
+        countDistinct(col("user_id")).as("users_exact"),
+        rnd(percentile_approx(col("value"), lit(0.5), lit(1000)), 4).as("p50_approx"),
+        rnd(expr("percentile(value, 0.5)"), 4).as("p50_exact"))
+      .filter(
+        abs(col("users_approx") - col("users_exact")) / col("users_exact") < 0.05 &&
+        abs(col("p50_approx") - col("p50_exact")) / col("p50_exact") < 0.05)
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_approx_sketch" -> qApproxSketch _,
     "q_date_parts" -> qDateParts _,
     "q_unit_suffix" -> qUnitSuffix _,
     "q_cube" -> qCube _,

@@ -27,7 +27,7 @@ class QueriesSmokeSpec extends AnyFunSuite {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle.subsetOf(
       Set("q_ann_lsh", "q_ann_ivf", "q_ml_classifier", "q_ml_regressor", "q_ml_serve",
-        "q_ml_importances")),
+        "q_ml_importances", "q_approx_sketch")),
       s"undocumented rows-only: $noOracle")
   }
 

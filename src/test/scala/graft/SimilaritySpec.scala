@@ -78,6 +78,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("materialized IVF index: partition-pruned probes, identical results") {
+    val emb = Tables.embeddings(spark, TestSpark.Sf)
+    val km = Similarity.fitQuantizer(emb, nlist = 8)
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/idx"
+    Similarity.writeIvfIndex(emb, km, idx)
+    val q = emb.filter($"vec_id" < 10)
+    val indexed = Similarity.ivfTopKIndexed(spark, idx, q, 5, km, nprobe = 3)
+    val inMem = Similarity.ivfTopK(emb, q, 5, km, 3, "vec_id", "embedding")
+    assert(indexed.select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)]
+      .collect().sorted.toSeq ==
+      inMem.select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)]
+        .collect().sorted.toSeq)
+    // the probe filter must prune at partition level, not post-scan
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"), plan.take(1500))
+  }
+
   test("ann recall gates: q_ann_lsh and q_ann_ivf emit one recall row per query") {
     val lsh = queries.SimilarityQueries.qAnnLsh(spark, TestSpark.Sf)
       .select("query_id", "recall_at_5").as[(Long, Double)].collect()
