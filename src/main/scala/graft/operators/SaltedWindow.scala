@@ -38,12 +38,17 @@ object SaltedWindow {
                        frameNs: Long, chunkNs: Long,
                        out: String = "rolling_sum"): DataFrame = {
     require(frameNs <= chunkNs, "frame must not exceed the chunk length")
-    val base = df.withColumn("__chunk", floor(col(ts) / lit(chunkNs)))
-    val carry = base
-      .filter(col(ts) >= (col("__chunk") + 1) * lit(chunkNs) - lit(frameNs))
-      .withColumn("__chunk", col("__chunk") + 1)
-      .withColumn("__carry", lit(1))
-    val all = base.withColumn("__carry", lit(0)).unionByName(carry)
+    // ONE scan: each row explodes to its own chunk plus (iff it lies
+    // within `frame` of the chunk end) a carry copy in the next chunk —
+    // a union of two filtered projections would read the source twice.
+    val home = floor(col(ts) / lit(chunkNs))
+    val assignment = when(
+      col(ts) >= (home + 1) * lit(chunkNs) - lit(frameNs),
+      array(struct(home.as("chunk"), lit(0).as("carry")),
+        struct((home + 1).as("chunk"), lit(1).as("carry"))))
+      .otherwise(array(struct(home.as("chunk"), lit(0).as("carry"))))
+    val all = df.select(df.columns.map(col) :+ explode(assignment).as("__a"): _*)
+      .select(df.columns.map(col) :+ col("__a.chunk").as("__chunk") :+ col("__a.carry").as("__carry"): _*)
     val w = Window.partitionBy(col(key), col("__chunk")).orderBy(col(ts))
       .rangeBetween(-frameNs, 0)
     all

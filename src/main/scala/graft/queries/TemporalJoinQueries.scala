@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{AsOfJoin, Sessionize}
+import graft.operators.{AsOfJoin, BandJoin, Sessionize}
 
 /** Temporal-alignment operators: backward as-of join and gap
   * sessionization over `events`. The DuckDB oracles use the native ASOF
@@ -32,12 +32,35 @@ object TemporalJoinQueries {
       .select("user_id", "session_idx", "n_events", "duration_s", "first_event")
       .orderBy("user_id", "session_idx")
 
+  /** Band join: purchases within ±1 hour of an error by the same user —
+    * bucketed equi-join (operators.BandJoin), never a key-only join with
+    * a post-filter band. */
+  def qBandJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).filter(col("user_id") < 30)
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("error_id"), col("ts").as("error_ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+    BandJoin.bandJoin(errors, purchases, "user_id", "error_ts", "purchase_ts",
+      tol = 3600L * 1000000000L)
+      .select(col("user_id"), col("error_id"), col("purchase_id"))
+      .orderBy("user_id", "error_id", "purchase_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join" -> qAsofJoin _,
     "q_sessionize" -> qSessionize _,
+    "q_band_join" -> qBandJoin _,
   )
 
   val oracles: Map[String, String] = Map(
+    "q_band_join" ->
+      """SELECT e.user_id, e.event_id AS error_id, p.event_id AS purchase_id
+        |FROM events e JOIN events p ON e.user_id = p.user_id
+        |  AND e.event_type = 'error' AND p.event_type = 'purchase'
+        |  AND abs(epoch_ns(e.ts) - epoch_ns(p.ts)) <= 3600000000000
+        |WHERE e.user_id < 30
+        |ORDER BY e.user_id, error_id, purchase_id""".stripMargin,
     "q_asof_join" ->
       """WITH l AS (
         |  SELECT event_id, user_id, epoch_ns(ts) AS tsn, value

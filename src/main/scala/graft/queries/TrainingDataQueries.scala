@@ -65,7 +65,10 @@ object TrainingDataQueries {
     * bucketing the running token count — the distributed analog of the
     * greedy packer every LLM data pipeline runs before tokenized-batch
     * writing. One window cumsum (per-source partition) + one aggregate;
-    * a doc straddling a boundary starts the next bin (no splitting). */
+    * a doc straddling a boundary starts the next bin (no splitting).
+    * SCALE NOTE: the prefix sum serializes per source by definition —
+    * at 100 TB pack per (source, shard) with shards cut by an id range,
+    * which only perturbs bin boundaries at shard edges. */
   def qSeqPacking(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.TextFunctions.tokenCount

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{AsOfJoin, SaltedWindow, Sessionize, SkewJoin}
+import graft.operators.{AsOfJoin, BandJoin, SaltedWindow, Sessionize, SkewJoin}
 
 /** Edge cases for the temporal-alignment and skew operators. */
 class TemporalOpsSpec extends AnyFunSuite {
@@ -65,6 +65,25 @@ class TemporalOpsSpec extends AnyFunSuite {
       .as[(String, Long, Long, Long, Long)].collect()
     assert(got.toSeq == Seq(
       ("u1", 0L, 2L, 10L, 1L), ("u1", 1L, 2L, 2L, 3L), ("u2", 0L, 1L, 0L, 5L)))
+  }
+
+  test("bandJoin equals the naive band predicate, joins on (key, bucket)") {
+    val left = Seq((1L, "u1", 1000L), (2L, "u1", 5000L), (3L, "u2", 1000L))
+      .toDF("lid", "k", "lts")
+    val right = Seq((10L, "u1", 900L), (11L, "u1", 2100L), (12L, "u1", 6000L),
+      (13L, "u2", 3000L), (14L, "u3", 1000L))
+      .toDF("rid", "k", "rts")
+    val banded = BandJoin.bandJoin(left, right, "k", "lts", "rts", tol = 1000L)
+      .select("lid", "rid").as[(Long, Long)].collect().sorted.toSeq
+    val naive = left.join(right, Seq("k"))
+      .filter(abs($"lts" - $"rts") <= 1000L)
+      .select("lid", "rid").as[(Long, Long)].collect().sorted.toSeq
+    assert(banded == naive)
+    assert(banded == Seq((1L, 10L), (2L, 12L)), s"got $banded")
+    val plan = BandJoin.bandJoin(left, right, "k", "lts", "rts", 1000L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan.take(1200))
   }
 
   test("saltedRollingSum equals the unsalted window on a skewed fixture") {
