@@ -181,6 +181,21 @@ object Relational {
       .orderBy("o_orderkey")
       .limit(20)
 
+  /** Latest-row-per-key compaction (the CDC-upsert / merge-on-read
+    * snapshot over the keyed landing table): ONE max_by aggregation with
+    * map-side partials — no per-key sort, no window shuffle-then-filter;
+    * (ts, event_id) is the deterministic recency tiebreak. */
+  def qUpsertLatest(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(max_by(
+        struct(col("event_id"), col("value")),
+        struct(col("ts"), col("event_id"))).as("last"))
+      .select(col("user_id"),
+        col("last.event_id").as("last_event_id"),
+        col("last.value").as("last_value"))
+      .orderBy("user_id")
+
   /** Distinct (A7). */
   def qDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
@@ -277,6 +292,7 @@ object Relational {
     "q_topk" -> qTopk _,
     "q_pagination" -> qPagination _,
     "q_keyset_page" -> qKeysetPage _,
+    "q_upsert_latest" -> qUpsertLatest _,
     "q_distinct" -> qDistinct _,
     "q_group_count" -> qGroupCount _,
     "q_rollup" -> qRollup _,
@@ -365,6 +381,14 @@ object Relational {
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders WHERE o_orderkey > 1000
         |ORDER BY o_orderkey LIMIT 20""".stripMargin,
+    "q_upsert_latest" ->
+      """SELECT user_id, event_id AS last_event_id, value AS last_value
+        |FROM (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "q_distinct" ->
       """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
         |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,

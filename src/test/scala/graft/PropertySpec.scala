@@ -19,6 +19,39 @@ class PropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("saltedRollingSum equals unsalted on a randomized panel (any frame/chunk)") {
+    val rng = new scala.util.Random(42)
+    val rows = Seq.fill(800)((
+      s"k${rng.nextInt(5)}", rng.nextInt(20000).toLong, rng.nextInt(100) / 1.0))
+    val df = rows.toDF("k", "ts", "v")
+    for ((frame, chunk) <- Seq((100L, 1000L), (999L, 1000L), (1000L, 1000L), (1L, 7L))) {
+      val salted = graft.operators.SaltedWindow.saltedRollingSum(df, "k", "ts", "v", frame, chunk)
+        .select("k", "ts", "v", "rolling_sum")
+        .as[(String, Long, Double, Double)].collect().sorted.toSeq
+      val plain = graft.operators.SaltedWindow.rollingSum(df, "k", "ts", "v", frame)
+        .select("k", "ts", "v", "rolling_sum")
+        .as[(String, Long, Double, Double)].collect().sorted.toSeq
+      assert(salted == plain, s"frame=$frame chunk=$chunk diverged")
+    }
+  }
+
+  test("bandJoin equals the naive band predicate on a randomized panel") {
+    val rng = new scala.util.Random(7)
+    val l = Seq.fill(300)((rng.nextInt(10000).toLong, s"k${rng.nextInt(4)}",
+      rng.nextInt(5000).toLong)).toDF("lid", "k", "lts")
+    val r = Seq.fill(300)((rng.nextInt(10000).toLong, s"k${rng.nextInt(4)}",
+      rng.nextInt(5000).toLong)).toDF("rid", "k", "rts")
+    for (tol <- Seq(1L, 97L, 500L)) {
+      val banded = graft.operators.BandJoin.bandJoin(l, r, "k", "lts", "rts", tol)
+        .select("lid", "rid", "lts", "rts")
+        .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+      val naive = l.join(r, Seq("k")).filter(abs($"lts" - $"rts") <= tol)
+        .select("lid", "rid", "lts", "rts")
+        .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+      assert(banded == naive, s"tol=$tol diverged")
+    }
+  }
+
   test("sanitizeName is idempotent and emits no forbidden characters") {
     check(Prop.forAll(Gen.asciiPrintableStr) { s =>
       val once = Sources.sanitizeName(s)
