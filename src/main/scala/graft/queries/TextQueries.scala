@@ -89,8 +89,10 @@ object TextQueries {
   def qContentFilter(spark: SparkSession, dir: String): DataFrame = {
     val email = col("text").rlike("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")
     val url = col("text").rlike("https?://")
+    // nullif: ANSI Spark throws on /0 for an empty document (none in the
+    // fixtures, but dirty corpora have them); DuckDB twin guards likewise
     val digitRatio = length(regexp_replace(col("text"), "[^0-9]", "")).cast("double") /
-      length(col("text"))
+      nullif(length(col("text")), lit(0))
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         email.cast("int").as("has_email"),
@@ -305,7 +307,7 @@ object TextQueries {
         |  SELECT doc_id,
         |    CAST(regexp_matches(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}') AS INT) AS has_email,
         |    CAST(regexp_matches(text, 'https?://') AS INT) AS has_url,
-        |    length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / length(text) AS dr
+        |    length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / nullif(length(text), 0) AS dr
         |  FROM documents)
         |SELECT doc_id, has_email, has_url,
         |  floor((dr) * 1e4 + 0.5) / 1e4 AS digit_ratio,
