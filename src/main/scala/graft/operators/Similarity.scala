@@ -43,11 +43,11 @@ object Similarity {
   }
 
   /** Deterministic random-hyperplane bucket id (planes sign bits packed
-    * into a long). */
+    * into a long) — the single-pass codegen'd expression; bit-identical
+    * to packing `VectorFunctions.hyperplaneSign` per plane (asserted in
+    * SimilaritySpec), ~planes× fewer array walks per row. */
   def bucketId(vecCol: String, planes: Int) =
-    (0 until planes)
-      .map(p => hyperplaneSign(col(vecCol), p).cast("long") * lit(1L << p))
-      .reduce(_ + _)
+    graft.plans.HyperplaneBuckets(col(vecCol), 0, planes)
 
   /** ANN via LSH buckets: candidates share the query's bucket; exact
     * cosine + top-k within the bucket.
@@ -263,9 +263,7 @@ object Similarity {
                       bands: Int = 8, planesPerBand: Int = 4,
                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val keys = (0 until bands).map { b =>
-      val key = (0 until planesPerBand)
-        .map(j => hyperplaneSign(col(vecCol), b * planesPerBand + j).cast("long") * lit(1L << j))
-        .reduce(_ + _)
+      val key = graft.plans.HyperplaneBuckets(col(vecCol), b * planesPerBand, planesPerBand)
       struct(lit(b).as("band"), key.as("key"))
     }
     val bucketed = emb.select(col(idCol), col(vecCol), l2Norm(col(vecCol)).as("nrm"),

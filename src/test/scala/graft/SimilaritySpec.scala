@@ -27,6 +27,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(diffs == 0, s"$diffs pairs diverge between codegen and composable dot")
   }
 
+  test("native HyperplaneBuckets is bit-identical to the composable sign packing") {
+    val emb = Tables.embeddings(spark, TestSpark.Sf).limit(200)
+    val composable = (0 until 8)
+      .map(p => hyperplaneSign($"embedding", p).cast("long") * lit(1L << p))
+      .reduce(_ + _)
+    val diffs = emb
+      .select(Similarity.bucketId("embedding", 8).as("fast"), composable.as("ref"))
+      .filter($"fast" =!= $"ref")
+      .count()
+    assert(diffs == 0, s"$diffs vectors bucket differently")
+  }
+
   test("brute force top-k: k rows per query, self excluded, ranked desc") {
     val emb = Tables.embeddings(spark, TestSpark.Sf)
     val res = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 5), 3)
