@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-/** SQL exposure of the native expressions: `graft_dot(a, b)` becomes
+/** SQL exposure of the native expressions: `graft_dot(a, b)` and
+  * `graft_hyperplane_bucket(vec, planeOffset, planeCount)` become
   * callable from `spark.sql(...)` and SQL-only clients.
   *
   * Two registration paths:
@@ -14,18 +15,42 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   *  - [[GraftFunctions.register]] for an already-running session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  import GraftFunctions.{buildBucket, litInt}
+
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProduct(exprs(0), exprs(1))))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_hyperplane_bucket"),
+      new ExpressionInfo(classOf[HyperplaneBuckets].getName, "graft_hyperplane_bucket"),
+      buildBucket))
+  }
 }
 
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
+  private[plans] def litInt(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+    e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"graft_hyperplane_bucket expects integer literals for the plane arguments, got $other")
+    }
+
+  private[plans] val buildBucket:
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression =
+    exprs => HyperplaneBuckets(exprs(0), litInt(exprs(1)), litInt(exprs(2)))
+
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot",
       exprs => DotProduct(exprs(0), exprs(1)),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hyperplane_bucket",
+      buildBucket,
+      "scala_udf")
+  }
 }

@@ -39,4 +39,17 @@ class BucketingSpec extends AnyFunSuite {
       .as[Double].head()
     assert(r == 11.0)
   }
+
+  test("graft_hyperplane_bucket is callable from SQL and matches the Column form") {
+    GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, TestSpark.Sf).limit(50)
+    emb.createOrReplaceTempView("emb_sql_test")
+    val viaSql = spark.sql(
+      "SELECT vec_id, graft_hyperplane_bucket(embedding, 0, 8) AS b FROM emb_sql_test")
+      .as[(Long, Long)].collect().sorted.toSeq
+    val viaCol = emb.select($"vec_id",
+      graft.operators.Similarity.bucketId("embedding", 8).as("b"))
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(viaSql == viaCol)
+  }
 }
