@@ -171,6 +171,14 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    // a capped non-converged result is silently WRONG (mid-chain labels)
+    // — refuse rather than return it; real dup clusters are near-cliques,
+    // so hitting this means an adversarial chain: raise maxIters
+    if (!converged) {
+      throw new IllegalStateException(
+        s"canonicalGroups did not converge within $maxIters iterations — " +
+          "component diameter exceeds the bound; raise maxIters")
+    }
     labels
   }
 

@@ -53,9 +53,13 @@ object Multimodal {
     * ((r+g+b)/3/255 averaged per cell), a classic cheap visual
     * fingerprint. Returns None when the payload is not decodable. */
   def imageFeatures(payload: Array[Byte]): Option[Array[Float]] = {
+    // NonFatal, not just IOException: ImageIO codecs throw
+    // RuntimeExceptions (AIOOBE, IllegalArgumentException, CMMException)
+    // on signature-valid-but-corrupt payloads, and a dirty corpus must
+    // fall back, not kill the job
     val img =
       try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
-      catch { case _: java.io.IOException => None }
+      catch { case scala.util.control.NonFatal(_) => None }
     img.map { im =>
       val (wpx, hpx) = (im.getWidth, im.getHeight)
       val grid = 4 // FeatureDim = grid²

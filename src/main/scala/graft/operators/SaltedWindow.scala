@@ -38,10 +38,16 @@ object SaltedWindow {
                        frameNs: Long, chunkNs: Long,
                        out: String = "rolling_sum"): DataFrame = {
     require(frameNs <= chunkNs, "frame must not exceed the chunk length")
+    val clash = df.columns.filter(Set("__a", "__chunk", "__carry"))
+    require(clash.isEmpty, s"saltedRollingSum reserves __a/__chunk/__carry; rename: ${clash.mkString(", ")}")
     // ONE scan: each row explodes to its own chunk plus (iff it lies
     // within `frame` of the chunk end) a carry copy in the next chunk —
     // a union of two filtered projections would read the source twice.
-    val home = floor(col(ts) / lit(chunkNs))
+    // Exact-integer floor division: double `/` misrounds epoch-nano
+    // longs (ulp ≈ 256 ns at 2024 epochs) and would misplace rows that
+    // sit within ~128 ns of a chunk boundary. (ts − pmod) is exactly
+    // divisible, so `div` equals floor for negative ts too.
+    val home = expr(s"(`$ts` - pmod(`$ts`, ${chunkNs}L)) div ${chunkNs}L")
     val assignment = when(
       col(ts) >= (home + 1) * lit(chunkNs) - lit(frameNs),
       array(struct(home.as("chunk"), lit(0).as("carry")),

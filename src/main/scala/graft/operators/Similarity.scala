@@ -62,6 +62,12 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, planes: Int = 8,
               multiProbe: Int = 0,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // the mask enumeration is O(2^planes) on the driver and 1 << planes
+    // overflows Int at 31 — beyond ~24 planes multi-probe enumeration is
+    // the wrong tool anyway (use more bands instead)
+    require(planes >= 1 && planes <= 24, s"planes must be in [1, 24], got $planes")
+    require(multiProbe >= 0 && multiProbe <= planes,
+      s"multiProbe must be in [0, planes], got $multiProbe")
     val cb = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       l2Norm(col(vecCol)).as("cn"), bucketId(vecCol, planes).as("bucket"))
     val masks = (0 until (1 << planes)).filter(m => Integer.bitCount(m) <= multiProbe)

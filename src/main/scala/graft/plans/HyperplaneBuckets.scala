@@ -36,7 +36,12 @@ case class HyperplaneBuckets(child: Expression, planeOffset: Int, planeCount: In
 
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), HyperplaneBuckets.MaxDim)
+    if (x.numElements() > HyperplaneBuckets.MaxDim) {
+      throw new IllegalArgumentException(
+        s"HyperplaneBuckets supports up to ${HyperplaneBuckets.MaxDim} dimensions, " +
+          s"got ${x.numElements()}")
+    }
+    val n = x.numElements()
     val acc = new Array[Double](planeCount)
     var i = 0
     while (i < n) {
@@ -67,7 +72,11 @@ case class HyperplaneBuckets(child: Expression, planeOffset: Int, planeCount: In
       val b = ctx.freshName("bucket")
       val p = ctx.freshName("p")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), ${HyperplaneBuckets.MaxDim});
+         |int $n = $a.numElements();
+         |if ($n > ${HyperplaneBuckets.MaxDim}) {
+         |  throw new IllegalArgumentException(
+         |    "HyperplaneBuckets supports up to ${HyperplaneBuckets.MaxDim} dimensions, got " + $n);
+         |}
          |double[] $acc = new double[$planeCount];
          |for (int $i = 0; $i < $n; $i++) {
          |  double $v = (double) $a.getFloat($i);

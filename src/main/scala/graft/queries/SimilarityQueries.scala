@@ -65,28 +65,38 @@ object SimilarityQueries {
   private val quantMemo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, Int), org.apache.spark.ml.clustering.KMeansModel]
 
-  private def cachedQuantizer(spark: SparkSession, dir: String, nlist: Int) =
-    quantMemo.getOrElseUpdate((spark, dir, nlist), {
-      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-        override def onApplicationEnd(
-            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-          quantMemo.filterInPlace { case ((s, _, _), _) => s != spark }
-      })
-      Similarity.fitQuantizer(Tables.embeddings(spark, dir), nlist)
-    })
-
   /** The exact top-5 ground truth both recall gates compare against —
     * computed once per (session, dir) and kept cached (100 rows). */
   private val bruteMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  private def cachedBruteTop5(spark: SparkSession, dir: String): DataFrame =
-    bruteMemo.getOrElseUpdate((spark, dir), {
+  /** ONE eviction listener per session (not per memo miss) covering both
+    * memos. */
+  private val evictionHooked =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, Boolean]
+
+  private def hookEviction(spark: SparkSession): Unit =
+    evictionHooked.getOrElseUpdate(spark, {
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onApplicationEnd(
-            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          quantMemo.filterInPlace { case ((s, _, _), _) => s != spark }
           bruteMemo.filterInPlace { case ((s, _), _) => s != spark }
+          evictionHooked.remove(spark)
+        }
       })
+      true
+    })
+
+  private def cachedQuantizer(spark: SparkSession, dir: String, nlist: Int) =
+    quantMemo.getOrElseUpdate((spark, dir, nlist), {
+      hookEviction(spark)
+      Similarity.fitQuantizer(Tables.embeddings(spark, dir), nlist)
+    })
+
+  private def cachedBruteTop5(spark: SparkSession, dir: String): DataFrame =
+    bruteMemo.getOrElseUpdate((spark, dir), {
+      hookEviction(spark)
       val emb = Tables.embeddings(spark, dir)
       val df = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20), 5).cache()
       df.count()
@@ -99,16 +109,15 @@ object SimilarityQueries {
     * filtered out, so the driver's rows-only check (spark_rows = number
     * of queries) becomes a hard recall gate rather than a bare count. */
   private def recallGated(approx: DataFrame, exact: DataFrame, floor: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val perQuery = exact.select(col("query_id"), col("neighbor_id"))
       .join(approx.select(col("query_id"), col("neighbor_id"), lit(1).as("hit")),
         Seq("query_id", "neighbor_id"), "left")
       .groupBy("query_id")
       .agg(rnd(sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)), 4)
         .as("recall_at_5"))
-    // 20 post-aggregation rows — the single-partition window is trivial
-    perQuery
-      .withColumn("mean_recall", avg(col("recall_at_5")).over(Window.partitionBy(lit(1))))
+    // the gate scalar comes back as a broadcast — no global window
+    val gate = perQuery.agg(avg(col("recall_at_5")).as("mean_recall"))
+    perQuery.crossJoin(broadcast(gate))
       .filter(col("mean_recall") >= floor)
       .select(col("query_id"), col("recall_at_5"))
       .orderBy("query_id")

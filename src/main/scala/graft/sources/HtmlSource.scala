@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.input_file_name
 
 /** S2: HTML-table ingestion adapter (ref scraper/main.py:36-49 — the
   * scraper selects every table row of a quotes page and sanitizes the
@@ -48,13 +49,22 @@ object HtmlSource {
       .flatMap(t => RowRe.findAllMatchIn(t.group(1)).map(_.group(1)))
 
   /** Landed HTML pages → DataFrame of strings. `path` may glob many
-    * pages; all must share the header (first page's header wins —
+    * pages; all must share the header (the lexicographically-FIRST
+    * page's header wins — Spark orders splits by size, so the donor is
+    * chosen by explicit file-name order, deterministic across crawls;
     * mismatched pages produce padded/truncated rows, as in the
     * reference's forgiving scrape). */
   def readTable(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val pages = spark.read.option("wholetext", "true").textFile(path)
-    val header = tableRows(pages.head()).headOption
+    val firstPage = spark.read.option("wholetext", "true").text(path)
+      .select(input_file_name().as("f"), org.apache.spark.sql.functions.col("value"))
+      .as[(String, String)]
+      .orderBy("f")
+      .limit(1)
+      .collect()
+    require(firstPage.nonEmpty, s"no input pages found under $path")
+    val header = tableRows(firstPage.head._2).headOption
       .map(rowCells(_).map(Sources.sanitizeName))
       .getOrElse(Seq.empty)
     require(header.nonEmpty, s"no <table> header row found under $path")

@@ -86,6 +86,31 @@ class TemporalOpsSpec extends AnyFunSuite {
       plan.take(1200))
   }
 
+  test("salted window and band join use exact integer bucketing at epoch-nano scale") {
+    // ts values within a few ns of a chunk/tolerance boundary at 2024
+    // epochs (~1.7e18 ns, double ulp ≈ 256 ns): double division would
+    // misplace them; integer div must not
+    val chunk = 86400L * 1000000000L
+    val base = 1704067200L * 1000000000L // 2024-01-01 in ns, a chunk multiple
+    val rows = Seq(
+      ("k", base - 1L, 1.0), ("k", base, 2.0), ("k", base + 1L, 4.0),
+      ("k", base + chunk - 3L, 8.0), ("k", base + chunk, 16.0))
+    val df = rows.toDF("k", "ts", "v")
+    val frame = 10L
+    val salted = SaltedWindow.saltedRollingSum(df, "k", "ts", "v", frame, chunk)
+      .select("ts", "rolling_sum").as[(Long, Double)].collect().toMap
+    // base is the first ts of its chunk; base-1 is the last of the
+    // previous chunk but within the 10ns frame → carried over correctly
+    assert(salted(base) == 1.0 + 2.0, s"boundary row got ${salted(base)}")
+    assert(salted(base + 1L) == 1.0 + 2.0 + 4.0)
+    assert(salted(base + chunk) == 8.0 + 16.0)
+    val l = Seq((1L, "k", base - 1L)).toDF("lid", "k", "lts")
+    val r = Seq((2L, "k", base + 1L), (3L, "k", base + 100L)).toDF("rid", "k", "rts")
+    val pairs = BandJoin.bandJoin(l, r, "k", "lts", "rts", tol = 2L)
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq
+    assert(pairs == Seq((1L, 2L)), s"got $pairs") // |Δ|=2 qualifies, |Δ|=101 not
+  }
+
   test("saltedRollingSum equals the unsalted window on a skewed fixture") {
     // hot key: 2000 rows spread over ~20 chunks; cold key: 10 rows.
     // Timestamps land on, just before, and just after chunk boundaries so
