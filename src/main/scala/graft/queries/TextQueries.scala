@@ -78,7 +78,7 @@ object TextQueries {
   /** MinHash+LSH dedup pairs: banded candidates verified at Jaccard ≥ 0.8
     * (bounded ids for the oracle; unbounded it stays linear via LSH). */
   def qDedupMinhash(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minhashDedupPairs(Tables.documents(spark, dir).filter(col("doc_id") < 100))
+    cachedMinhashPairs(spark, dir)
       .select(col("a"), col("b"), rnd(col("jaccard"), 4).as("jaccard"))
       .orderBy("a", "b")
 
@@ -107,13 +107,32 @@ object TextQueries {
     Dedup.simhash(Tables.documents(spark, dir))
       .orderBy("doc_id")
 
+  /** The MinHash+LSH dup-pair set shared by q_dedup_minhash and
+    * q_dedup_groups — computed once per (session, dir) and kept cached
+    * (the pair list is tiny: bounded ids, high threshold). */
+  private val pairsMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def cachedMinhashPairs(spark: SparkSession, dir: String): DataFrame =
+    pairsMemo.getOrElseUpdate((spark, dir), {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          pairsMemo.filterInPlace { case ((s, _), _) => s != spark }
+      })
+      val docs = Tables.documents(spark, dir).filter(col("doc_id") < 100)
+      val p = Dedup.minhashDedupPairs(docs).cache()
+      p.count()
+      p
+    })
+
   /** Canonical dedup groups: connected components over the MinHash+LSH
     * dup pairs (min-label propagation, Dedup.canonicalGroups); docs in
     * no pair are their own canonical. THE actual dedup output — which
     * row survives — rather than just the pair list. */
   def qDedupGroups(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).filter(col("doc_id") < 100)
-    val labels = Dedup.canonicalGroups(Dedup.minhashDedupPairs(docs))
+    val labels = Dedup.canonicalGroups(cachedMinhashPairs(spark, dir))
     docs
       .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("canonical_id"))
