@@ -20,23 +20,16 @@ import org.apache.spark.sql.functions._
   */
 object BandJoin {
 
-  /** Exact-integer floor division: double `/` misrounds epoch-nano longs
-    * (ulp ≈ 256 ns at 2024 epochs), which could shift a boundary row's
-    * bucket and silently drop a qualifying pair. (ts − pmod) is exactly
-    * divisible, so `div` equals floor for negative ts too. */
-  private def bucketOf(ts: String, tol: Long) =
-    expr(s"(`$ts` - pmod(`$ts`, ${tol}L)) div ${tol}L")
-
   def bandJoin(left: DataFrame, right: DataFrame,
                key: String, lts: String, rts: String, tol: Long): DataFrame = {
     require(tol > 0, "tolerance must be positive")
     val clash = (left.columns ++ right.columns).filter(Set("__b0", "__bucket"))
     require(clash.isEmpty, s"bandJoin reserves __b0/__bucket; rename: ${clash.distinct.mkString(", ")}")
     val lb = left
-      .withColumn("__b0", bucketOf(lts, tol))
+      .withColumn("__b0", TimeBuckets.floorDiv(lts, tol))
       .withColumn("__bucket", explode(array(col("__b0") - 1, col("__b0"), col("__b0") + 1)))
       .drop("__b0")
-    val rb = right.withColumn("__bucket", bucketOf(rts, tol))
+    val rb = right.withColumn("__bucket", TimeBuckets.floorDiv(rts, tol))
     lb.join(rb, Seq(key, "__bucket"))
       .filter(abs(col(lts) - col(rts)) <= tol)
       .drop("__bucket")

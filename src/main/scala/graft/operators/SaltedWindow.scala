@@ -43,11 +43,7 @@ object SaltedWindow {
     // ONE scan: each row explodes to its own chunk plus (iff it lies
     // within `frame` of the chunk end) a carry copy in the next chunk —
     // a union of two filtered projections would read the source twice.
-    // Exact-integer floor division: double `/` misrounds epoch-nano
-    // longs (ulp ≈ 256 ns at 2024 epochs) and would misplace rows that
-    // sit within ~128 ns of a chunk boundary. (ts − pmod) is exactly
-    // divisible, so `div` equals floor for negative ts too.
-    val home = expr(s"(`$ts` - pmod(`$ts`, ${chunkNs}L)) div ${chunkNs}L")
+    val home = TimeBuckets.floorDiv(ts, chunkNs)
     val assignment = when(
       col(ts) >= (home + 1) * lit(chunkNs) - lit(frameNs),
       array(struct(home.as("chunk"), lit(0).as("carry")),

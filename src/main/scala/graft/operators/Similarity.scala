@@ -62,15 +62,19 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, planes: Int = 8,
               multiProbe: Int = 0,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // the mask enumeration is O(2^planes) on the driver and 1 << planes
-    // overflows Int at 31 — beyond ~24 planes multi-probe enumeration is
-    // the wrong tool anyway (use more bands instead)
-    require(planes >= 1 && planes <= 24, s"planes must be in [1, 24], got $planes")
+    require(planes >= 1 && planes <= 62, s"planes must be in [1, 62], got $planes")
     require(multiProbe >= 0 && multiProbe <= planes,
       s"multiProbe must be in [0, planes], got $multiProbe")
     val cb = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       l2Norm(col(vecCol)).as("cn"), bucketId(vecCol, planes).as("bucket"))
-    val masks = (0 until (1 << planes)).filter(m => Integer.bitCount(m) <= multiProbe)
+    // enumerate the C(planes, <=h) probe masks directly — a 0..2^planes
+    // scan would overflow Int past 30 planes and walk millions of
+    // non-probes; the explode width (= probe count) is bounded instead
+    val masks = (0 to multiProbe).flatMap(h =>
+      (0 until planes).combinations(h).map(_.foldLeft(0L)((m, b) => m | (1L << b))))
+    require(masks.size <= 4096,
+      s"multi-probe fan-out ${masks.size} exceeds 4096 buckets per query — " +
+        "lower multiProbe or use more bands")
     val qb = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       l2Norm(col(vecCol)).as("qn"), bucketId(vecCol, planes).as("home"))
       .withColumn("bucket",
@@ -115,6 +119,40 @@ object Similarity {
     * metric KMeans used to form the cells. Ranking probes by raw dot
     * product disagrees with the Euclidean assignment for unnormalized
     * embeddings and silently degrades recall. */
+  /** Per-query probe-cell selection shared by the in-memory and indexed
+    * IVF paths — ONE definition of the probe metric (squared Euclidean
+    * against the quantizer's centroids), so the two paths cannot
+    * silently diverge. Returns (query_id, qv, qn, cell). */
+  private def probeCells(spark: org.apache.spark.sql.SparkSession, queries: DataFrame,
+                         km: org.apache.spark.ml.clustering.KMeansModel, nprobe: Int,
+                         idCol: String, vecCol: String): DataFrame = {
+    val centroids = broadcast(
+      spark.createDataFrame(
+        km.clusterCenters.zipWithIndex.toSeq
+          .map { case (c, i) => (i, c.toArray.map(_.toFloat), c.toArray.map(x => x * x).sum) })
+        .toDF("cell", "centroid", "cn2"))
+    val qb = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      l2Norm(col(vecCol)).as("qn"))
+    val wCell = Window.partitionBy("query_id").orderBy(col("c_d2"), col("cell"))
+    qb.crossJoin(centroids)
+      .withColumn("c_d2", col("cn2") - lit(2.0) * dot(col("qv"), col("centroid")))
+      .withColumn("__pr", row_number().over(wCell))
+      .filter(col("__pr") <= nprobe)
+      .select("query_id", "qv", "qn", "cell")
+  }
+
+  /** Exact cosine + per-query top-k over the probed cells (shared tail
+    * of both IVF paths). */
+  private def scoreProbes(probes: DataFrame, cells: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
+    broadcast(probes).join(cells, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               km: org.apache.spark.ml.clustering.KMeansModel, nprobe: Int,
               idCol: String, vecCol: String): DataFrame = {
@@ -123,26 +161,8 @@ object Similarity {
     val cells = km.transform(vecs)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
         l2Norm(col(vecCol)).as("cn"), col("__cell").as("cell"))
-    val centroids = broadcast(
-      corpus.sparkSession.createDataFrame(
-        km.clusterCenters.zipWithIndex.toSeq
-          .map { case (c, i) => (i, c.toArray.map(_.toFloat), c.toArray.map(x => x * x).sum) })
-        .toDF("cell", "centroid", "cn2"))
-    val qb = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      l2Norm(col(vecCol)).as("qn"))
-    val wCell = Window.partitionBy("query_id").orderBy(col("c_d2"), col("cell"))
-    val probes = qb.crossJoin(centroids)
-      .withColumn("c_d2", col("cn2") - lit(2.0) * dot(col("qv"), col("centroid")))
-      .withColumn("__pr", row_number().over(wCell))
-      .filter(col("__pr") <= nprobe)
-      .select("query_id", "qv", "qn", "cell")
-    val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
-    broadcast(probes).join(cells, Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cos", "rank")
+    val probes = probeCells(corpus.sparkSession, queries, km, nprobe, idCol, vecCol)
+    scoreProbes(probes, cells, k)
   }
 
   /** Convenience overload that fits the quantizer inline (spec/baseline
@@ -177,19 +197,7 @@ object Similarity {
                      queries: DataFrame, k: Int,
                      km: org.apache.spark.ml.clustering.KMeansModel, nprobe: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val centroids = broadcast(
-      spark.createDataFrame(
-        km.clusterCenters.zipWithIndex.toSeq
-          .map { case (c, i) => (i, c.toArray.map(_.toFloat), c.toArray.map(x => x * x).sum) })
-        .toDF("cell", "centroid", "cn2"))
-    val qb = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      l2Norm(col(vecCol)).as("qn"))
-    val wCell = Window.partitionBy("query_id").orderBy(col("c_d2"), col("cell"))
-    val probes = qb.crossJoin(centroids)
-      .withColumn("c_d2", col("cn2") - lit(2.0) * dot(col("qv"), col("centroid")))
-      .withColumn("__pr", row_number().over(wCell))
-      .filter(col("__pr") <= nprobe)
-      .select("query_id", "qv", "qn", "cell")
+    val probes = probeCells(spark, queries, km, nprobe, idCol, vecCol)
     // the probed-cell union is bounded by nlist — driver metadata, and
     // the literal isin is what turns into a partition-pruning filter
     val probedCells = probes.select("cell").distinct()
@@ -197,13 +205,7 @@ object Similarity {
     val cells = spark.read.parquet(indexPath)
       .filter(col("cell").isin(probedCells: _*))
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("cn"), col("cell"))
-    val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
-    broadcast(probes).join(cells, Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cos", "rank")
+    scoreProbes(probes, cells, k)
   }
 
   /** All (a<b) pairs above a cosine threshold — embedding near-dup

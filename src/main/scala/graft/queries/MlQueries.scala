@@ -19,52 +19,28 @@ object MlQueries {
     * Bench run that executes all ML queries this is a 3× saving, and it
     * mirrors production, where the feature table and model are artifacts,
     * not per-query recomputations. */
-  private val featureMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private val regressorMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), org.apache.spark.ml.PipelineModel]
-  private val classifierMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), org.apache.spark.ml.PipelineModel]
-
-  /** Memo eviction: entries are dropped (and cached plans unpersisted)
-    * when their owning session's SparkContext ends, so a long-lived driver
-    * that cycles sessions does not accumulate dead DataFrames/models. */
-  private val evictionHooked =
-    scala.collection.concurrent.TrieMap.empty[SparkSession, Boolean]
-
-  private def hookEviction(spark: SparkSession): Unit =
-    evictionHooked.getOrElseUpdate(spark, {
-      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-        override def onApplicationEnd(
-            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
-          featureMemo.filterInPlace { case ((s, _), _) => s != spark }
-          regressorMemo.filterInPlace { case ((s, _), _) => s != spark }
-          classifierMemo.filterInPlace { case ((s, _), _) => s != spark }
-          evictionHooked.remove(spark)
-        }
-      })
-      true
-    })
+  private val featureMemo = new SessionMemo[String, DataFrame]
+  private val regressorMemo = new SessionMemo[String, org.apache.spark.ml.PipelineModel]
+  private val classifierMemo = new SessionMemo[String, org.apache.spark.ml.PipelineModel]
 
   private def cachedFeatures(spark: SparkSession, dir: String): DataFrame =
-    featureMemo.getOrElseUpdate((spark, dir), {
-      hookEviction(spark)
+    featureMemo.getOrElseUpdate(spark, dir) {
       val f = Pipelines.featureFrame(spark, dir).cache()
       f.count() // materialize once
       f
-    })
+    }
 
   private def cachedRegressor(spark: SparkSession, dir: String): org.apache.spark.ml.PipelineModel =
-    regressorMemo.getOrElseUpdate((spark, dir), {
+    regressorMemo.getOrElseUpdate(spark, dir) {
       val (train, _) = Pipelines.temporalSplit(cachedFeatures(spark, dir), 7)
       Pipelines.trainRegressor(train, maxIter = 10)
-    })
+    }
 
   private def cachedClassifier(spark: SparkSession, dir: String): org.apache.spark.ml.PipelineModel =
-    classifierMemo.getOrElseUpdate((spark, dir), {
+    classifierMemo.getOrElseUpdate(spark, dir) {
       val (train, _) = Pipelines.temporalSplit(cachedFeatures(spark, dir), 7)
       Pipelines.trainClassifier(train, maxIter = 10)._1
-    })
+    }
 
   /** M14+P8: serving-time whitelist — events in the 7-day holdout keep
     * only users seen in training; per-user event counts. */

@@ -118,9 +118,12 @@ object ScalarQueries {
         countDistinct(col("user_id")).as("users_exact"),
         rnd(percentile_approx(col("value"), lit(0.5), lit(1000)), 4).as("p50_approx"),
         rnd(expr("percentile(value, 0.5)"), 4).as("p50_exact"))
+      // abs() on the denominator: a signed divisor would auto-pass every
+      // negative-median stratum and NULL-drop a zero median; the <= form
+      // keeps exact-zero medians passing when the sketch agrees exactly
       .filter(
-        abs(col("users_approx") - col("users_exact")) / col("users_exact") < 0.05 &&
-        abs(col("p50_approx") - col("p50_exact")) / col("p50_exact") < 0.05)
+        abs(col("users_approx") - col("users_exact")) <= lit(0.05) * col("users_exact") &&
+        abs(col("p50_approx") - col("p50_exact")) <= lit(0.05) * abs(col("p50_exact")))
       .orderBy("event_type")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -62,46 +62,25 @@ object SimilarityQueries {
 
   /** Fit-once IVF quantizer per (session, dir, nlist) — the artifact the
     * 100 TB design persists; evicted with the owning session's context. */
-  private val quantMemo = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, Int), org.apache.spark.ml.clustering.KMeansModel]
+  private val quantMemo =
+    new SessionMemo[(String, Int), org.apache.spark.ml.clustering.KMeansModel]
 
   /** The exact top-5 ground truth both recall gates compare against —
     * computed once per (session, dir) and kept cached (100 rows). */
-  private val bruteMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-
-  /** ONE eviction listener per session (not per memo miss) covering both
-    * memos. */
-  private val evictionHooked =
-    scala.collection.concurrent.TrieMap.empty[SparkSession, Boolean]
-
-  private def hookEviction(spark: SparkSession): Unit =
-    evictionHooked.getOrElseUpdate(spark, {
-      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-        override def onApplicationEnd(
-            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
-          quantMemo.filterInPlace { case ((s, _, _), _) => s != spark }
-          bruteMemo.filterInPlace { case ((s, _), _) => s != spark }
-          evictionHooked.remove(spark)
-        }
-      })
-      true
-    })
+  private val bruteMemo = new SessionMemo[String, DataFrame]
 
   private def cachedQuantizer(spark: SparkSession, dir: String, nlist: Int) =
-    quantMemo.getOrElseUpdate((spark, dir, nlist), {
-      hookEviction(spark)
+    quantMemo.getOrElseUpdate(spark, (dir, nlist)) {
       Similarity.fitQuantizer(Tables.embeddings(spark, dir), nlist)
-    })
+    }
 
   private def cachedBruteTop5(spark: SparkSession, dir: String): DataFrame =
-    bruteMemo.getOrElseUpdate((spark, dir), {
-      hookEviction(spark)
+    bruteMemo.getOrElseUpdate(spark, dir) {
       val emb = Tables.embeddings(spark, dir)
       val df = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20), 5).cache()
       df.count()
       df
-    })
+    }
 
   /** Per-query recall@k of an approximate ANN result against the exact
     * brute-force result computed in the same plan, gated on the mean:

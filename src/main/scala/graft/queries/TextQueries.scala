@@ -110,21 +110,15 @@ object TextQueries {
   /** The MinHash+LSH dup-pair set shared by q_dedup_minhash and
     * q_dedup_groups — computed once per (session, dir) and kept cached
     * (the pair list is tiny: bounded ids, high threshold). */
-  private val pairsMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val pairsMemo = new SessionMemo[String, DataFrame]
 
   private def cachedMinhashPairs(spark: SparkSession, dir: String): DataFrame =
-    pairsMemo.getOrElseUpdate((spark, dir), {
-      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-        override def onApplicationEnd(
-            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-          pairsMemo.filterInPlace { case ((s, _), _) => s != spark }
-      })
+    pairsMemo.getOrElseUpdate(spark, dir) {
       val docs = Tables.documents(spark, dir).filter(col("doc_id") < 100)
       val p = Dedup.minhashDedupPairs(docs).cache()
       p.count()
       p
-    })
+    }
 
   /** Canonical dedup groups: connected components over the MinHash+LSH
     * dup pairs (min-label propagation, Dedup.canonicalGroups); docs in

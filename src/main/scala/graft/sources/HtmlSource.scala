@@ -37,9 +37,11 @@ object HtmlSource {
     * the handful the reference's pages use, whitespace trimmed. */
   def rowCells(tr: String): Seq[String] =
     CellRe.findAllMatchIn(tr).map { m =>
+      // &amp; decodes LAST: decoding it first would double-decode
+      // payloads like "&amp;lt;" into "<" instead of "&lt;"
       TagRe.replaceAllIn(m.group(1), "")
-        .replace("&amp;", "&").replace("&lt;", "<").replace("&gt;", ">")
-        .replace("&nbsp;", " ").trim
+        .replace("&lt;", "<").replace("&gt;", ">")
+        .replace("&nbsp;", " ").replace("&amp;", "&").trim
     }.toSeq
 
   /** All `<tr>` bodies of the FIRST `<table>` in a page (the reference
@@ -57,16 +59,22 @@ object HtmlSource {
   def readTable(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val pages = spark.read.option("wholetext", "true").textFile(path)
-    val firstPage = spark.read.option("wholetext", "true").text(path)
+    // header donor: lexicographically-first file (Spark orders splits by
+    // size, so the order must be explicit). Header CELLS are extracted
+    // on the executors — only a handful of strings reach the driver,
+    // never a page body.
+    val headerCandidates = spark.read.option("wholetext", "true").text(path)
       .select(input_file_name().as("f"), org.apache.spark.sql.functions.col("value"))
       .as[(String, String)]
+      .map { case (f, html) =>
+        (f, tableRows(html).headOption.map(rowCells).getOrElse(Seq.empty)) }
+      .toDF("f", "cells")
       .orderBy("f")
       .limit(1)
+      .as[(String, Seq[String])]
       .collect()
-    require(firstPage.nonEmpty, s"no input pages found under $path")
-    val header = tableRows(firstPage.head._2).headOption
-      .map(rowCells(_).map(Sources.sanitizeName))
-      .getOrElse(Seq.empty)
+    require(headerCandidates.nonEmpty, s"no input pages found under $path")
+    val header = headerCandidates.head._2.map(Sources.sanitizeName)
     require(header.nonEmpty, s"no <table> header row found under $path")
     val n = header.length
     val rows = pages.flatMap { html =>
