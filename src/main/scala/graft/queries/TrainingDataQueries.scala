@@ -85,10 +85,42 @@ object TrainingDataQueries {
       .orderBy("source", "bin")
   }
 
+  /** Winsorization: clamp values to their stratum's [p05, p95] — the
+    * outlier-capping step of feature prep. Percentiles come from ONE
+    * grouped aggregate broadcast back onto the stream (5 rows), not a
+    * per-row window — the fact side never re-sorts. */
+  def qWinsorize(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val bounds = e.groupBy("event_type").agg(
+      expr("percentile(value, 0.05)").as("p05"),
+      expr("percentile(value, 0.95)").as("p95"))
+    e.filter(col("event_id") < 2000)
+      .join(broadcast(bounds), "event_type")
+      .select(col("event_id"), col("event_type"),
+        rnd(greatest(col("p05"), least(col("p95"), col("value"))), 4).as("value_capped"))
+      .orderBy("event_id")
+  }
+
+  /** Per-entity z-score normalization: (v − mean)/σ per user, the
+    * feature-scaling twin of the anomaly z-score — aggregate + broadcast
+    * join, no per-row window, nullif guards single-event users (σ = 0). */
+  def qNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val stats = e.groupBy("user_id").agg(
+      avg("value").as("mu"), stddev_pop(col("value")).as("sigma"))
+    e.filter(col("user_id") < 30)
+      .join(stats, "user_id")
+      .select(col("event_id"), col("user_id"),
+        rnd((col("value") - col("mu")) / nullif(col("sigma"), lit(0.0)), 4).as("value_z"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stratified_sample" -> qStratifiedSample _,
     "q_hash_split" -> qHashSplit _,
     "q_seq_packing" -> qSeqPacking _,
+    "q_winsorize" -> qWinsorize _,
+    "q_normalize" -> qNormalize _,
   )
 
   private def hSql(expr: String, salt: String) =
@@ -111,6 +143,24 @@ object TrainingDataQueries {
          |            ELSE 'test' END AS split,
          |  count(*) AS n_events, count(DISTINCT user_id) AS n_users
          |FROM events GROUP BY 1 ORDER BY split""".stripMargin,
+    "q_winsorize" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    quantile_cont(value, 0.05) AS p05,
+        |    quantile_cont(value, 0.95) AS p95
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type,
+        |  floor((greatest(b.p05, least(b.p95, e.value))) * 1e4 + 0.5) / 1e4 AS value_capped
+        |FROM events e JOIN b USING (event_type)
+        |WHERE e.event_id < 2000 ORDER BY e.event_id""".stripMargin,
+    "q_normalize" ->
+      """WITH s AS (
+        |  SELECT user_id, avg(value) AS mu, stddev_pop(value) AS sigma
+        |  FROM events GROUP BY user_id)
+        |SELECT e.event_id, e.user_id,
+        |  floor(((e.value - s.mu) / nullif(s.sigma, 0)) * 1e4 + 0.5) / 1e4 AS value_z
+        |FROM events e JOIN s USING (user_id)
+        |WHERE e.user_id < 30 ORDER BY e.event_id""".stripMargin,
     "q_seq_packing" ->
       """WITH t AS (
         |  SELECT source, doc_id,
