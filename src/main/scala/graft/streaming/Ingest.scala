@@ -123,6 +123,20 @@ object Ingest {
 
   case class ZAnomaly(user_id: Long, event_id: Long, value: Double, z: Double)
 
+  /** [[streamingZscoreAnomalies]]'s transformWithState twin — Welford
+    * moments ride in a typed product ValueState ([[ZScoreProcessor]]);
+    * same TTL/TimeMode contract as [[pctAlertsTws]]. */
+  def zscoreAnomaliesTws(events: Dataset[Event], threshold: Double = 3.0,
+                         minN: Long = 20,
+                         ttl: Option[java.time.Duration] = None): Dataset[ZAnomaly] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val timeMode = if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new ZScoreProcessor(threshold, minN, ttl), timeMode, OutputMode.Append())
+  }
+
   /** Incremental streaming z-score anomalies: per-user Welford moments
     * carried in GroupState — exact running mean/σ with O(1) state per key
     * and no history recompute (the reference recomputes scipy.zscore over

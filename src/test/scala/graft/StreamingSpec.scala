@@ -168,6 +168,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState z-score twin matches the v1 operator across batches") {
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val src = MemoryStream[Event]
+    val q = Ingest.zscoreAnomaliesTws(src.toDS(), threshold = 3.0, minN = 10)
+      .writeStream.format("memory").queryName("z_tws_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      src.addData((1 to 6).map(i => ev(i, 1, 1, 10.0 + (i % 3) - 1, i * 1000L)): _*)
+      q.processAllAvailable()
+      src.addData((7 to 12).map(i => ev(i, 1, 1, 10.0 + (i % 3) - 1, i * 1000L)): _*)
+      q.processAllAvailable()
+      src.addData(ev(13, 1, 1, 1000.0, 13000L), ev(14, 1, 1, 10.0, 14000L))
+      q.processAllAvailable()
+      val got = spark.table("z_tws_out").as[Ingest.ZAnomaly].collect()
+      assert(got.map(_.event_id).toSet == Set(13L), s"got ${got.toSeq}")
+      assert(got.head.z > 3.0)
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("batch replay through startIngest writes landing + alert tables") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-ingest").toString
     val src = MemoryStream[Event]
