@@ -131,16 +131,19 @@ object Dedup {
 
   /** Canonical dedup-group assignment: connected components over the
     * undirected (a, b) dup-pair graph by iterative min-label propagation
-    * (the MapReduce-CC pattern — each node repeatedly adopts the minimum
-    * label among itself and its neighbours until a fixpoint).
+    * with pointer jumping (each node adopts the minimum label among
+    * itself, its neighbours, AND its current label's label — so label
+    * reach doubles per round and even adversarial chains converge in
+    * O(log diameter) rounds; cf. the large-star/small-star MapReduce-CC
+    * family).
     *
-    * Each iteration is one equi-join + one min-aggregation — ordinary
+    * Each iteration is two equi-joins + one min-aggregation — ordinary
     * shuffles, executor-side; the driver sees only the per-iteration
     * change COUNT (a scalar), never row data. Dup clusters are
-    * near-cliques in practice, so the fixpoint lands in 2-3 iterations;
-    * `maxIters` bounds adversarial chains. Returns (id, label) where
-    * label = the minimum doc id of the node's component. Nodes touching
-    * no pair are absent — callers coalesce to self. */
+    * near-cliques in practice, so the fixpoint lands in 2-3 iterations.
+    * Returns (id, label) where label = the minimum doc id of the node's
+    * component. Nodes touching no pair are absent — callers coalesce to
+    * self. */
   def canonicalGroups(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val edges = pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
@@ -161,12 +164,18 @@ object Dedup {
         .select(col("a").as("id"), col("nl").as("label"))
         .union(labels)
         .groupBy("id").agg(min("label").as("label"))
+      // pointer jump: also adopt the label OF the current label, so a
+      // min label crosses 2^iter hops instead of one — chains converge
+      // in O(log diameter) rounds rather than O(diameter)
+      val jumped = prop
+        .join(prop.select(col("id").as("label"), col("label").as("ll")), Seq("label"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
         .localCheckpoint(true)
-      val changes = prop
+      val changes = jumped
         .join(labels.select(col("id"), col("label").as("old")), "id")
         .filter(col("label") =!= col("old"))
         .count()
-      labels = prop
+      labels = jumped
       converged = changes == 0
       iter += 1
     }

@@ -57,10 +57,10 @@ class DedupSpec extends AnyFunSuite {
     val got = Dedup.canonicalGroups(pairs)
       .as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 7L -> 5L))
-    // a chain converges (label crosses one hop per iteration: length
-    // must stay under maxIters; dup clusters are near-cliques so real
-    // diameters are tiny)
-    val chain = (0L until 15L).map(i => (i, i + 1)).toDF("a", "b")
+    // a LONG chain converges: pointer jumping doubles label reach per
+    // round, so a 100-hop chain needs ~log2(100) ≈ 7 of the 20 allowed
+    // iterations (plain one-hop propagation would need 100)
+    val chain = (0L until 100L).map(i => (i, i + 1)).toDF("a", "b")
     val chainLabels = Dedup.canonicalGroups(chain).as[(Long, Long)].collect()
     assert(chainLabels.forall(_._2 == 0L), s"chain did not converge: ${chainLabels.toSeq}")
     // empty pair set → empty labels (no infinite loop)
