@@ -28,10 +28,17 @@ object Pipelines {
   val FeatureCols: Array[String] = Array(
     "lag1", "lag3", "ma5", "volatility14", "rsi14", "mom3", "macd", "spike")
 
-  /** Feature-vector slot names in assembly order: the scaled numeric block
-    * then the indexed categorical (M7). Importances (M6) report against
-    * this ordering. */
-  val AssembledFeatureNames: Array[String] = FeatureCols :+ "event_type"
+  /** Continuous features that go through the RobustScaler. The binary
+    * `spike` flag is deliberately NOT here: RobustScaler maps a
+    * zero-IQR feature to constant 0, and a 0/1 flag firing on < 25% of
+    * training rows has q1 = q3 = 0 — scaling would silently erase the
+    * feature from both GBT models. */
+  val ScaledCols: Array[String] = FeatureCols.filterNot(_ == "spike")
+
+  /** Feature-vector slot names in assembly order: the scaled continuous
+    * block, then the unscaled binary flag, then the indexed categorical
+    * (M7). Importances (M6) report against this ordering. */
+  val AssembledFeatureNames: Array[String] = ScaledCols :+ "spike" :+ "event_type"
 
   /** The shared feature module (M15): one implementation serves training,
     * evaluation, and serving — eliminating the reference's drifting dual
@@ -77,10 +84,10 @@ object Pipelines {
   private def featureStages = Array(
     new StringIndexer().setInputCol("event_type").setOutputCol("event_type_idx")
       .setHandleInvalid("skip"),
-    new VectorAssembler().setInputCols(FeatureCols).setOutputCol("rawFeatures"),
+    new VectorAssembler().setInputCols(ScaledCols).setOutputCol("rawFeatures"),
     new RobustScaler().setInputCol("rawFeatures").setOutputCol("scaledFeatures")
       .setWithCentering(true),
-    new VectorAssembler().setInputCols(Array("scaledFeatures", "event_type_idx"))
+    new VectorAssembler().setInputCols(Array("scaledFeatures", "spike", "event_type_idx"))
       .setOutputCol("features"))
 
   /** M6: per-feature importances of a fitted GBT pipeline, named by
@@ -107,33 +114,46 @@ object Pipelines {
       .setMaxIter(maxIter).setMaxDepth(5).setStepSize(0.1)
       .setSubsamplingRate(0.8).setMaxBins(32).setSeed(42)
     val model = new Pipeline().setStages(featureStages :+ gbt).fit(weighted)
-    (model, df => model.transform(
-      df.withColumn("weight", lit(1.0))))
+    // transform never reads weightCol (it's a fit-time concept) — score
+    // plain frames directly
+    (model, df => model.transform(df))
   }
 
-  /** M4+M5: AUC, accuracy, and the grouped-count confusion matrix. */
+  /** M4+M5: AUC, accuracy, and the grouped-count confusion matrix.
+    * The scored frame is persisted for the duration: it is the output
+    * of a lazy GBT transform, and without caching the AUC evaluator and
+    * the confusion aggregate would each re-score the whole holdout. */
   def evalClassifier(scored: DataFrame): DataFrame = {
-    val auc = new BinaryClassificationEvaluator()
-      .setLabelCol("label").setRawPredictionCol("rawPrediction")
-      .setMetricName("areaUnderROC").evaluate(scored)
-    val agg = scored.agg(
-      count(lit(1)).as("n"),
-      sum(when(col("label") === col("prediction"), 1).otherwise(0)).as("n_correct"),
-      sum(when(col("label") === 1 && col("prediction") === 1, 1).otherwise(0)).as("tp"),
-      sum(when(col("label") === 0 && col("prediction") === 1, 1).otherwise(0)).as("fp"),
-      sum(when(col("label") === 1 && col("prediction") === 0, 1).otherwise(0)).as("fn"),
-      sum(when(col("label") === 0 && col("prediction") === 0, 1).otherwise(0)).as("tn"))
-    agg.withColumn("accuracy", col("n_correct") / col("n"))
-      .withColumn("auc", lit(auc))
+    scored.persist()
+    try {
+      val auc = new BinaryClassificationEvaluator()
+        .setLabelCol("label").setRawPredictionCol("rawPrediction")
+        .setMetricName("areaUnderROC").evaluate(scored)
+      val agg = scored.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("label") === col("prediction"), 1).otherwise(0)).as("n_correct"),
+        sum(when(col("label") === 1 && col("prediction") === 1, 1).otherwise(0)).as("tp"),
+        sum(when(col("label") === 0 && col("prediction") === 1, 1).otherwise(0)).as("fp"),
+        sum(when(col("label") === 1 && col("prediction") === 0, 1).otherwise(0)).as("fn"),
+        sum(when(col("label") === 0 && col("prediction") === 0, 1).otherwise(0)).as("tn"))
+        .withColumn("accuracy", col("n_correct") / col("n"))
+        .withColumn("auc", lit(auc))
+      agg.localCheckpoint(true) // materialize before unpersisting the input
+    } finally scored.unpersist()
   }
 
   /** M9-M10: GBT return regressor with direction-balanced sample weights
-    * (inverse sign frequency, regression.py:351-371). */
+    * (inverse sign frequency, regression.py:351-371). Zero-return rows
+    * are dropped BEFORE weighting, as the reference does
+    * (regression.py:182-186): total/(2·n_sign) assumes two sign
+    * classes, and a rare third sgn=0 group would receive enormous
+    * weights that dominate the loss. */
   def trainRegressor(train: DataFrame, maxIter: Int = 20): PipelineModel = {
-    val signCounts = train.withColumn("sgn", signum(col("target")))
+    val nonZero = train.filter(signum(col("target")) =!= 0)
+    val signCounts = nonZero.withColumn("sgn", signum(col("target")))
       .groupBy("sgn").agg(count(lit(1)).as("n_sign"))
-    val total = train.count().toDouble
-    val weighted = train.withColumn("sgn", signum(col("target")))
+    val total = nonZero.count().toDouble
+    val weighted = nonZero.withColumn("sgn", signum(col("target")))
       .join(broadcast(signCounts), "sgn")
       .withColumn("weight", lit(total) / (lit(2.0) * col("n_sign")))
     val gbt = new GBTRegressor()
@@ -172,21 +192,29 @@ object Pipelines {
       .fit(train)
   }
 
-  /** M11+M12: RMSE/MSE/MAE/R² + directional accuracy and sign confusion. */
+  /** M11+M12: RMSE/MSE/MAE/R² + directional accuracy and sign confusion.
+    * Persisted for the duration (see [[evalClassifier]]) — the three
+    * evaluator passes plus the direction aggregate would otherwise each
+    * re-run the GBT transform; mse is rmse² by definition, not a fourth
+    * pass. */
   def evalRegressor(scored: DataFrame): DataFrame = {
-    def metric(m: String): Double = new RegressionEvaluator()
-      .setLabelCol("target").setPredictionCol("prediction")
-      .setMetricName(m).evaluate(scored)
-    val dir = scored.agg(
-      count(lit(1)).as("n"),
-      sum(when(signum(col("target")) === signum(col("prediction")), 1).otherwise(0))
-        .as("n_dir_correct"))
-    dir
-      .withColumn("dir_accuracy", col("n_dir_correct") / col("n"))
-      .withColumn("rmse", lit(metric("rmse")))
-      .withColumn("mse", lit(metric("mse")))
-      .withColumn("mae", lit(metric("mae")))
-      .withColumn("r2", lit(metric("r2")))
+    scored.persist()
+    try {
+      def metric(m: String): Double = new RegressionEvaluator()
+        .setLabelCol("target").setPredictionCol("prediction")
+        .setMetricName(m).evaluate(scored)
+      val rmse = metric("rmse")
+      val dir = scored.agg(
+        count(lit(1)).as("n"),
+        sum(when(signum(col("target")) === signum(col("prediction")), 1).otherwise(0))
+          .as("n_dir_correct"))
+        .withColumn("dir_accuracy", col("n_dir_correct") / col("n"))
+        .withColumn("rmse", lit(rmse))
+        .withColumn("mse", lit(rmse * rmse))
+        .withColumn("mae", lit(metric("mae")))
+        .withColumn("r2", lit(metric("r2")))
+      dir.localCheckpoint(true) // materialize before unpersisting the input
+    } finally scored.unpersist()
   }
 
   /** M16: serving post-processing — predicted next value from predicted
@@ -201,10 +229,12 @@ object Pipelines {
       .limit(topK)
 
   /** Leakage guard used by tests and the verify query: max train ts must
-    * precede min test ts. */
+    * precede min test ts. A degenerate split (either side empty — the
+    * aggregates come back null) is reported as NOT leak-free rather
+    * than NPE-ing. */
   def splitIsLeakFree(train: DataFrame, test: DataFrame): Boolean = {
-    val a = train.agg(max("ts")).head().getLong(0)
-    val b = test.agg(min("ts")).head().getLong(0)
-    a < b
+    val a = train.agg(max("ts")).head()
+    val b = test.agg(min("ts")).head()
+    !a.isNullAt(0) && !b.isNullAt(0) && a.getLong(0) < b.getLong(0)
   }
 }

@@ -60,8 +60,7 @@ object MlQueries {
     * AUC + accuracy + confusion counts (rows-only). */
   def qMlClassifier(spark: SparkSession, dir: String): DataFrame = {
     val (_, test) = Pipelines.temporalSplit(cachedFeatures(spark, dir), 7)
-    val model = cachedClassifier(spark, dir)
-    Pipelines.evalClassifier(model.transform(test.withColumn("weight", lit(1.0))))
+    Pipelines.evalClassifier(cachedClassifier(spark, dir).transform(test))
   }
 
   /** M6: named, ranked GBT feature importances from the (seeded,

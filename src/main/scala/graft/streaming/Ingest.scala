@@ -44,11 +44,21 @@ object Ingest {
       .withColumn("day", to_date(col("event_time")))
 
   /** ST2: at-most-one event per (user, day), late data bounded by the
-    * watermark; works identically on batch frames (no-op watermark). */
-  def dedupDaily(events: DataFrame, watermark: String = "1 day"): DataFrame =
-    withEventTime(events)
-      .withWatermark("event_time", watermark)
-      .dropDuplicates("user_id", "day")
+    * watermark; works identically on batch frames (no-op watermark).
+    *
+    * Streaming uses `dropDuplicatesWithinWatermark`: plain
+    * dropDuplicates never evicts state for keys that don't carry the
+    * event-time column ((user_id, day) doesn't — `day` is derived
+    * BEFORE the watermark), so a long-running job would hold one state
+    * row per (user, day) ever seen. Within-watermark dedup expires each
+    * key once the watermark passes its event time + delay — bounded
+    * state, and duplicates later than the watermark were already
+    * out-of-contract. */
+  def dedupDaily(events: DataFrame, watermark: String = "1 day"): DataFrame = {
+    val w = withEventTime(events).withWatermark("event_time", watermark)
+    if (w.isStreaming) w.dropDuplicatesWithinWatermark("user_id", "day")
+    else w.dropDuplicates("user_id", "day")
+  }
 
   /** ST3 (threshold form): flag events whose value exceeds `threshold`. */
   def thresholdAlerts(events: DataFrame, threshold: Double = 400.0): DataFrame =
@@ -192,25 +202,43 @@ object Ingest {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
 
-  /** ST1+ST4+ST7: micro-batch ingest with a dual sink — append the
-    * deduped batch to the day-partitioned landing table and the alert
-    * subset to the alert table — via foreachBatch. */
+  /** ST1+ST4+ST7: micro-batch ingest with a dual sink — the deduped
+    * batch lands in the (day, batch_id)-partitioned landing table and
+    * the alert subset in the alert table — via foreachBatch.
+    *
+    * Replay-idempotent: a crash between the parquet write and the
+    * checkpoint commit makes Spark re-run the SAME batch id, and a
+    * plain append would duplicate it. Writing each batch into its own
+    * batch_id partition with dynamic partition overwrite means a replay
+    * overwrites exactly its own partition — at-most-once per batch, by
+    * layout. The checkpoint defaults to a sibling of the landing path
+    * (a fixed shared default would let two jobs corrupt each other's
+    * offsets). */
   def startIngest(stream: DataFrame, landingPath: String, alertPath: String,
                   trigger: Trigger = Trigger.ProcessingTime("5 minutes"),
-                  checkpoint: String = "/tmp/graft-ingest-ckpt",
+                  checkpoint: String = "",
                   alertThreshold: Double = 400.0): StreamingQuery =
     dedupDaily(stream)
       .writeStream
       .outputMode("append")
-      .option("checkpointLocation", checkpoint)
+      .option("checkpointLocation",
+        if (checkpoint.nonEmpty) checkpoint else s"${landingPath}_ckpt")
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.persist()
-        batch.write.mode("append").partitionBy("day").parquet(landingPath)
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("day", "batch_id")
+          .parquet(landingPath)
         // the alert sink is the documented ST3 threshold operator — one
         // definition, no drift between the stream and batch paths
         thresholdAlerts(batch, alertThreshold)
-          .write.mode("append").parquet(alertPath)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(alertPath)
         batch.unpersist()
         ()
       }
