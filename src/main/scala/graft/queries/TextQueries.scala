@@ -141,7 +141,8 @@ object TextQueries {
     val docs = Tables.documents(spark, dir)
     val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
     val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
-    val dlen = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // doc length from tf, not a second pass over the token explode
+    val dlen = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), col("t"))
@@ -249,7 +250,7 @@ object TextQueries {
          |    ${hitSql(EnStop)} * 1.0 / len($TOKS) AS stop_ratio,
          |    least(len($TOKS) / 50.0, 1.0) * 0.4
          |      + least((${hitSql(EnStop)} * 1.0 / len($TOKS)) * 5.0, 1.0) * 0.3
-         |      + (length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) * 1.0 / length(text)) * 0.3 AS quality
+         |      + coalesce(length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) * 1.0 / nullif(length(text), 0), 0.0) * 0.3 AS quality
          |  FROM documents)
          |SELECT doc_id,
          |  floor((stop_ratio) * 1e4 + 0.5) / 1e4 AS stop_ratio,

@@ -147,15 +147,19 @@ object TimeSeriesQueries {
       .orderBy("user_id", "rn")
   }
 
+  /** Cents-exact global mean + population stddev of value — ONE
+    * definition for both anomaly queries (they drifted as copies once). */
+  private def globalValueStats(e: DataFrame): DataFrame =
+    e.agg(
+      (sum(round(col("value") * 100).cast("long")) / (count(col("value")) * lit(100.0))).as("mu"),
+      stddev_pop(col("value")).as("sigma"))
+
   /** A9+F13: global z-score anomalies, population stddev (scipy ddof=0).
     * Scalars via aggregate + broadcast cross join — not a single-partition
     * window — so the pattern survives 100 TB. */
   def qZscoreAnomaly(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
-    val stats = e.agg(
-      (sum(round(col("value") * 100).cast("long")) / (count(col("value")) * lit(100.0))).as("mu"),
-      stddev_pop(col("value")).as("sigma"))
-    e.crossJoin(broadcast(stats))
+    e.crossJoin(broadcast(globalValueStats(e)))
       .withColumn("z", (col("value") - col("mu")) / nullif(col("sigma"), lit(0.0)))
       .filter(abs(col("z")) > 3)
       .select(col("event_id"), col("value"), rnd(col("z"), 4).as("z"))
@@ -165,10 +169,7 @@ object TimeSeriesQueries {
   /** A8: anomaly count per calendar day. */
   def qAnomalyDaily(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
-    val stats = e.agg(
-      (sum(round(col("value") * 100).cast("long")) / (count(col("value")) * lit(100.0))).as("mu"),
-      stddev_pop(col("value")).as("sigma"))
-    e.crossJoin(broadcast(stats))
+    e.crossJoin(broadcast(globalValueStats(e)))
       .filter(abs((col("value") - col("mu")) / nullif(col("sigma"), lit(0.0))) > 3)
       .groupBy(eventDay.as("day"))
       .agg(count(lit(1)).as("n_anomalies"))
@@ -310,7 +311,7 @@ object TimeSeriesQueries {
       """SELECT event_id,
         |  floor((value - lag(value, 1) OVER (ORDER BY ts, event_id)) * 1e2 + 0.5) / 1e2 AS diff,
         |  floor(((value - lag(value, 1) OVER (ORDER BY ts, event_id))
-        |      / lag(value, 1) OVER (ORDER BY ts, event_id) * 100) * 1e4 + 0.5) / 1e4 AS pct_change
+        |      / nullif(lag(value, 1) OVER (ORDER BY ts, event_id), 0) * 100) * 1e4 + 0.5) / 1e4 AS pct_change
         |FROM events ORDER BY event_id""".stripMargin,
     "q_crossover" ->
       s"""WITH s AS (
@@ -341,7 +342,7 @@ object TimeSeriesQueries {
     "q_zscore_anomaly" ->
       """SELECT event_id, value, floor((z) * 1e4 + 0.5) / 1e4 AS z FROM (
         |  SELECT event_id, value,
-        |    (value - s.mu) / s.sigma AS z
+        |    (value - s.mu) / nullif(s.sigma, 0) AS z
         |  FROM events,
         |    (SELECT sum(CAST(round(value * 100) AS BIGINT)) / (count(value) * 100.0) AS mu,
         |            stddev_pop(value) AS sigma FROM events) s)
@@ -351,7 +352,7 @@ object TimeSeriesQueries {
         |FROM events,
         |  (SELECT sum(CAST(round(value * 100) AS BIGINT)) / (count(value) * 100.0) AS mu,
         |          stddev_pop(value) AS sigma FROM events) s
-        |WHERE abs((value - s.mu) / s.sigma) > 3
+        |WHERE abs((value - s.mu) / nullif(s.sigma, 0)) > 3
         |GROUP BY 1 ORDER BY day""".stripMargin,
     "q_threshold_alert" ->
       s"""SELECT event_id, user_id, floor((pct) * 1e4 + 0.5) / 1e4 AS pct FROM (

@@ -69,16 +69,19 @@ object TrainingDataQueries {
     * SCALE NOTE: the prefix sum serializes per source by definition —
     * at 100 TB pack per (source, shard) with shards cut by an id range,
     * which only perturbs bin boundaries at shard edges. */
+  /** Token budget per training bin — interpolated into BOTH the Spark
+    * plan and the DuckDB oracle so they cannot drift. */
+  val PackBudget = 2048L
+
   def qSeqPacking(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.TextFunctions.tokenCount
-    val budget = 2048L
     val w = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
     Tables.documents(spark, dir)
       .select(col("source"), col("doc_id"), tokenCount(col("text")).cast("long").as("n_tok"))
       .withColumn("cum", coalesce(sum("n_tok").over(w), lit(0L)))
-      .withColumn("bin", expr(s"cum div $budget")) // div: exact integer quotient
+      .withColumn("bin", expr(s"cum div $PackBudget")) // div: exact integer quotient
       .groupBy("source", "bin")
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("total_tokens"),
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
@@ -106,8 +109,12 @@ object TrainingDataQueries {
     * join, no per-row window, nullif guards single-event users (σ = 0). */
   def qNormalize(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
+    // cents-exact mean (same idiom as the z-score queries): plain avg()
+    // accumulates in engine-specific order and drifts in the last ulps,
+    // which can flip a 1e-4 rounding digit between Spark and DuckDB
     val stats = e.groupBy("user_id").agg(
-      avg("value").as("mu"), stddev_pop(col("value")).as("sigma"))
+      (sum(round(col("value") * 100).cast("long")) / (count(col("value")) * lit(100.0))).as("mu"),
+      stddev_pop(col("value")).as("sigma"))
     e.filter(col("user_id") < 30)
       .join(stats, "user_id")
       .select(col("event_id"), col("user_id"),
@@ -155,25 +162,27 @@ object TrainingDataQueries {
         |WHERE e.event_id < 2000 ORDER BY e.event_id""".stripMargin,
     "q_normalize" ->
       """WITH s AS (
-        |  SELECT user_id, avg(value) AS mu, stddev_pop(value) AS sigma
+        |  SELECT user_id,
+        |    sum(CAST(round(value * 100) AS BIGINT)) / (count(value) * 100.0) AS mu,
+        |    stddev_pop(value) AS sigma
         |  FROM events GROUP BY user_id)
         |SELECT e.event_id, e.user_id,
         |  floor(((e.value - s.mu) / nullif(s.sigma, 0)) * 1e4 + 0.5) / 1e4 AS value_z
         |FROM events e JOIN s USING (user_id)
         |WHERE e.user_id < 30 ORDER BY e.event_id""".stripMargin,
     "q_seq_packing" ->
-      """WITH t AS (
-        |  SELECT source, doc_id,
-        |    len(string_split_regex(trim(text), '\s+')) AS n_tok
-        |  FROM documents),
-        |c AS (
-        |  SELECT source, doc_id, n_tok,
-        |    coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
-        |  FROM t)
-        |SELECT source, cum // 2048 AS bin, count(*) AS n_docs,
-        |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
-        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
-        |FROM c GROUP BY 1, 2 ORDER BY source, bin""".stripMargin,
+      s"""WITH t AS (
+         |  SELECT source, doc_id,
+         |    len(string_split_regex(trim(text), '\\s+')) AS n_tok
+         |  FROM documents),
+         |c AS (
+         |  SELECT source, doc_id, n_tok,
+         |    coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         |  FROM t)
+         |SELECT source, cum // $PackBudget AS bin, count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM c GROUP BY 1, 2 ORDER BY source, bin""".stripMargin,
   )
 }
