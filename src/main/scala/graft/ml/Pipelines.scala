@@ -97,6 +97,9 @@ object Pipelines {
     val imp = model.stages.last match {
       case m: GBTClassificationModel => m.featureImportances
       case m: GBTRegressionModel     => m.featureImportances
+      case other => throw new IllegalArgumentException(
+        "featureImportances supports pipelines ending in GBTClassificationModel " +
+          s"or GBTRegressionModel; got ${other.getClass.getName}")
     }
     AssembledFeatureNames.toSeq.zip(imp.toArray)
   }

@@ -138,8 +138,9 @@ object Dedup {
     * family).
     *
     * Each iteration is two equi-joins + one min-aggregation — ordinary
-    * shuffles, executor-side; the driver sees only the per-iteration
-    * change COUNT (a scalar), never row data. Dup clusters are
+    * shuffles, executor-side; the driver sees only a per-iteration
+    * converged-yet probe (take(1) on the changed-rows filter over the
+    * already-checkpointed frame), never row data. Dup clusters are
     * near-cliques in practice, so the fixpoint lands in 2-3 iterations.
     * Returns (id, label) where label = the minimum doc id of the node's
     * component. Nodes touching no pair are absent — callers coalesce to
@@ -150,33 +151,39 @@ object Dedup {
       .distinct()
       .cache()
     // localCheckpoint (eager) each round: iterative self-reference would
-    // otherwise DOUBLE the logical plan per iteration (labels appears in
-    // both the propagation union and the convergence check) — lineage
-    // must be truncated, not just cached.
+    // otherwise DOUBLE the logical plan per iteration (labels appears on
+    // both sides of the propagation join) — lineage must be truncated,
+    // not just cached.
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
     var iter = 0
     var converged = labels.isEmpty
     while (!converged && iter < maxIters) {
-      val prop = edges
-        .join(labels.select(col("id").as("b"), col("label").as("nl")), "b")
-        .select(col("a").as("id"), col("nl").as("label"))
-        .union(labels)
-        .groupBy("id").agg(min("label").as("label"))
+      // propagation pass, materialized ONCE (the eager checkpoint) and
+      // carrying the previous label as `old`, so the pointer jump below
+      // reads a checkpointed frame (not a re-evaluated join subtree) and
+      // convergence is a flag scan over checkpointed partitions instead
+      // of a labels re-join + count job
+      val prop = labels
+        .join(
+          edges
+            .join(labels.select(col("id").as("b"), col("label").as("nl")), "b")
+            .groupBy(col("a").as("id")).agg(min("nl").as("nmin")),
+          Seq("id"), "left")
+        .select(col("id"), col("label").as("old"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint(true)
       // pointer jump: also adopt the label OF the current label, so a
       // min label crosses 2^iter hops instead of one — chains converge
       // in O(log diameter) rounds rather than O(diameter)
       val jumped = prop
         .join(prop.select(col("id").as("label"), col("label").as("ll")), Seq("label"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
+        .select(col("id"), col("old"),
+          least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
         .localCheckpoint(true)
-      val changes = jumped
-        .join(labels.select(col("id"), col("label").as("old")), "id")
-        .filter(col("label") =!= col("old"))
-        .count()
-      labels = jumped
-      converged = changes == 0
+      converged = jumped.filter(col("label") =!= col("old")).isEmpty
+      labels = jumped.select("id", "label")
       iter += 1
     }
     edges.unpersist()

@@ -15,14 +15,13 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   *  - [[GraftFunctions.register]] for an already-running session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  import GraftFunctions.{buildBucket, litInt}
+  import GraftFunctions.{buildBucket, buildDot}
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        DotProduct(exprs(0), exprs(1))))
+      buildDot))
     e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("graft_hyperplane_bucket"),
       new ExpressionInfo(classOf[HyperplaneBuckets].getName, "graft_hyperplane_bucket"),
@@ -38,15 +37,32 @@ object GraftFunctions {
         s"graft_hyperplane_bucket expects integer literals for the plane arguments, got $other")
     }
 
+  private def requireArity(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      n: Int, usage: String): Unit =
+    if (exprs.length != n) throw new IllegalArgumentException(
+      s"$usage expects $n arguments, got ${exprs.length}")
+
+  private[plans] val buildDot:
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression =
+    exprs => {
+      requireArity(exprs, 2, "graft_dot(a, b)")
+      DotProduct(exprs(0), exprs(1))
+    }
+
   private[plans] val buildBucket:
       Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
         org.apache.spark.sql.catalyst.expressions.Expression =
-    exprs => HyperplaneBuckets(exprs(0), litInt(exprs(1)), litInt(exprs(2)))
+    exprs => {
+      requireArity(exprs, 3, "graft_hyperplane_bucket(vec, planeOffset, planeCount)")
+      HyperplaneBuckets(exprs(0), litInt(exprs(1)), litInt(exprs(2)))
+    }
 
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot",
-      exprs => DotProduct(exprs(0), exprs(1)),
+      buildDot,
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_hyperplane_bucket",

@@ -177,10 +177,10 @@ object TrainingDataQueries {
          |  FROM documents),
          |c AS (
          |  SELECT source, doc_id, n_tok,
-         |    coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         |    CAST(coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
          |  FROM t)
-         |SELECT source, cum // $PackBudget AS bin, count(*) AS n_docs,
+         |SELECT source, CAST(cum // $PackBudget AS BIGINT) AS bin, count(*) AS n_docs,
          |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM c GROUP BY 1, 2 ORDER BY source, bin""".stripMargin,

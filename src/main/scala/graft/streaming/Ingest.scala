@@ -56,8 +56,20 @@ object Ingest {
     * out-of-contract. */
   def dedupDaily(events: DataFrame, watermark: String = "1 day"): DataFrame = {
     val w = withEventTime(events).withWatermark("event_time", watermark)
-    if (w.isStreaming) w.dropDuplicatesWithinWatermark("user_id", "day")
-    else w.dropDuplicates("user_id", "day")
+    if (w.isStreaming) {
+      // within-watermark dedup only catches duplicates whose event times
+      // are <= the delay apart; a sub-day delay would silently weaken the
+      // at-most-one-per-(user, day) contract the batch path guarantees
+      require(atLeastOneDay(watermark),
+        s"dedupDaily streaming watermark must cover a calendar day, got '$watermark'")
+      w.dropDuplicatesWithinWatermark("user_id", "day")
+    } else w.dropDuplicates("user_id", "day")
+  }
+
+  private def atLeastOneDay(delay: String): Boolean = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(delay))
+    iv.months > 0 || iv.days >= 1 || iv.microseconds >= 86400000000L
   }
 
   /** ST3 (threshold form): flag events whose value exceeds `threshold`. */
