@@ -82,6 +82,19 @@ object SimilarityQueries {
       df
     }
 
+  /** Materialized IVF index written once per (session, dir) — the memo
+    * stores the path; the files outlive the memo only as scratch. */
+  private val ivfIndexMemo = new SessionMemo[String, String]
+
+  private def cachedIvfIndex(spark: SparkSession, dir: String): String =
+    ivfIndexMemo.getOrElseUpdate(spark, dir) {
+      val path = java.nio.file.Files.createTempDirectory("graft-ivf-index")
+        .toString + "/idx"
+      Similarity.writeIvfIndex(
+        Tables.embeddings(spark, dir), cachedQuantizer(spark, dir, 16), path)
+      path
+    }
+
   /** Per-query recall@k of an approximate ANN result against the exact
     * brute-force result computed in the same plan, gated on the mean:
     * if mean recall over all queries drops below `floor`, EVERY row is
@@ -108,7 +121,7 @@ object SimilarityQueries {
     * on this embedding distribution (recall@5 ≈ 0.55 vs 0.46 for
     * 4-plane/h≤1 at the same probe cost). Emits per-query recall@5
     * against brute force computed in-plan; the whole result vanishes if
-    * mean recall < 0.25, so the driver's rows-only CORRECTNESS entry is
+    * mean recall < [[LshRecallFloor]], so the driver's rows-only CORRECTNESS entry is
     * a live recall gate (the serving query is Similarity.lshTopK itself
     * — this is its quality harness). */
   def qAnnLsh(spark: SparkSession, dir: String): DataFrame = {
@@ -117,8 +130,15 @@ object SimilarityQueries {
     recallGated(
       Similarity.lshTopK(emb, q, 5, planes = 8, multiProbe = 3),
       cachedBruteTop5(spark, dir),
-      floor = 0.25)
+      floor = LshRecallFloor)
   }
+
+  /** Recall floors sit just under the MINIMUM measured mean recall@5
+    * across sf0.001/0.01/0.1 (LSH 0.54-0.62, IVF 0.61-0.77, probe run
+    * 2026-08-12), so a real quality regression trips the gate while
+    * fixture-to-fixture variance does not. Asserted in SimilaritySpec. */
+  val LshRecallFloor = 0.45
+  val IvfRecallFloor = 0.55
 
   /** IVF ANN against the memoized fit-once quantizer, probes ranked by
     * the quantizer's own Euclidean metric. Same in-plan recall gate;
@@ -129,7 +149,23 @@ object SimilarityQueries {
     recallGated(
       Similarity.ivfTopK(emb, q, 5, cachedQuantizer(spark, dir, 16), 4, "vec_id", "embedding"),
       cachedBruteTop5(spark, dir),
-      floor = 0.5)
+      floor = IvfRecallFloor)
+  }
+
+  /** The MATERIALIZED IVF path as a declared query: the index is written
+    * once per (session, dir) partitioned by cell, probes prune at
+    * file-listing time (PartitionFilters — asserted in SimilaritySpec),
+    * and the result carries the same recall gate as the in-memory path.
+    * This is the layout the 100 TB design statement promises — a probe
+    * reads nprobe/nlist of the files, not a filtered full scan. */
+  def qAnnIvfIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") < 20)
+    recallGated(
+      Similarity.ivfTopKIndexed(spark, cachedIvfIndex(spark, dir), q, 5,
+        cachedQuantizer(spark, dir, 16), 4),
+      cachedBruteTop5(spark, dir),
+      floor = IvfRecallFloor)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -139,6 +175,7 @@ object SimilarityQueries {
     "q_ann_bruteforce" -> qAnnBruteforce _,
     "q_ann_lsh" -> qAnnLsh _,
     "q_ann_ivf" -> qAnnIvf _,
+    "q_ann_ivf_indexed" -> qAnnIvfIndexed _,
   )
 
   val oracles: Map[String, String] = Map(

@@ -107,15 +107,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters: [cell"), plan.take(1500))
   }
 
-  test("ann recall gates: q_ann_lsh and q_ann_ivf emit one recall row per query") {
-    val lsh = queries.SimilarityQueries.qAnnLsh(spark, TestSpark.Sf)
+  test("ann recall gates: one recall row per query, measured means clear the floors") {
+    import queries.SimilarityQueries
+    val lsh = SimilarityQueries.qAnnLsh(spark, TestSpark.Sf)
       .select("query_id", "recall_at_5").as[(Long, Double)].collect()
-    val ivf = queries.SimilarityQueries.qAnnIvf(spark, TestSpark.Sf)
+    val ivf = SimilarityQueries.qAnnIvf(spark, TestSpark.Sf)
+      .select("query_id", "recall_at_5").as[(Long, Double)].collect()
+    val idx = SimilarityQueries.qAnnIvfIndexed(spark, TestSpark.Sf)
       .select("query_id", "recall_at_5").as[(Long, Double)].collect()
     assert(lsh.length == 20, s"lsh gate collapsed: ${lsh.length} rows")
     assert(ivf.length == 20, s"ivf gate collapsed: ${ivf.length} rows")
+    assert(idx.length == 20, s"indexed-ivf gate collapsed: ${idx.length} rows")
     assert(lsh.forall(r => r._2 >= 0.0 && r._2 <= 1.0))
-    assert(ivf.map(_._2).sum / 20 >= 0.5)
+    // a silent recall regression must fail HERE, not just collapse the
+    // driver rows — assert the measured means against the gate floors
+    assert(lsh.map(_._2).sum / 20 >= SimilarityQueries.LshRecallFloor,
+      s"lsh mean recall ${lsh.map(_._2).sum / 20} below floor")
+    assert(ivf.map(_._2).sum / 20 >= SimilarityQueries.IvfRecallFloor,
+      s"ivf mean recall ${ivf.map(_._2).sum / 20} below floor")
+    // the indexed path must not lose recall vs the in-memory path
+    assert(idx.sortBy(_._1).toSeq == ivf.sortBy(_._1).toSeq,
+      "indexed IVF recall differs from in-memory IVF")
   }
 
   test("blocked near-dup pairs equal the all-pairs baseline exactly") {
