@@ -214,9 +214,45 @@ object Ingest {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /** S6/ST7 (push-broadcast sink, ref scraper/main.py:92 and 108-112):
+    * per-batch push of the enriched records to live consumers. The
+    * adapter runs EXECUTOR-side per partition — no driver collect; the
+    * reference emits whole batches over a websocket from one process,
+    * and at scale each partition pushes its own slice. Implementations
+    * must be serializable. [[LiveDirPush]] is the bundled emitter; a
+    * websocket/message-bus bridge drops in behind the same two-method
+    * surface without touching the ingest query. */
+  trait PushAdapter extends Serializable {
+    /** Called once per (batch, partition) with the records as JSON lines. */
+    def push(batchId: Long, partitionId: Int, records: Iterator[String]): Unit
+  }
+
+  /** Newline-JSON live feed in `dir`: batch b / partition p lands at
+    * `batch_<b>_part_<p>.jsonl` via temp-file write + atomic move, so a
+    * tailing consumer (websocket bridge, inotify watcher) never reads a
+    * partial file. Deterministic names make a batch replay overwrite its
+    * own files — at-most-once per batch, by layout, exactly like the
+    * landing sink. Empty partitions emit nothing. */
+  final class LiveDirPush(dir: String) extends PushAdapter {
+    override def push(batchId: Long, partitionId: Int, records: Iterator[String]): Unit =
+      if (records.hasNext) {
+        val d = java.nio.file.Paths.get(dir)
+        java.nio.file.Files.createDirectories(d)
+        val tmp = d.resolve(s".batch_${batchId}_part_$partitionId.tmp")
+        val out = d.resolve(s"batch_${batchId}_part_$partitionId.jsonl")
+        val w = java.nio.file.Files.newBufferedWriter(tmp)
+        try records.foreach { r => w.write(r); w.write('\n') } finally w.close()
+        java.nio.file.Files.move(tmp, out,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+  }
+
   /** ST1+ST4+ST7: micro-batch ingest with a dual sink — the deduped
     * batch lands in the (day, batch_id)-partitioned landing table and
-    * the alert subset in the alert table — via foreachBatch.
+    * the alert subset in the alert table — via foreachBatch; an optional
+    * [[PushAdapter]] additionally broadcasts each batch to live
+    * consumers (S6).
     *
     * Replay-idempotent: a crash between the parquet write and the
     * checkpoint commit makes Spark re-run the SAME batch id, and a
@@ -229,7 +265,8 @@ object Ingest {
   def startIngest(stream: DataFrame, landingPath: String, alertPath: String,
                   trigger: Trigger = Trigger.ProcessingTime("5 minutes"),
                   checkpoint: String = "",
-                  alertThreshold: Double = 400.0): StreamingQuery =
+                  alertThreshold: Double = 400.0,
+                  push: Option[PushAdapter] = None): StreamingQuery =
     dedupDaily(stream)
       .writeStream
       .outputMode("append")
@@ -251,6 +288,13 @@ object Ingest {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id")
           .parquet(alertPath)
+        // S6 live push: executor-side, per partition, over the persisted
+        // batch — the driver never materializes row data
+        push.foreach { p =>
+          batch.toJSON.foreachPartition { (it: Iterator[String]) =>
+            p.push(batchId, org.apache.spark.TaskContext.getPartitionId(), it)
+          }
+        }
         batch.unpersist()
         ()
       }

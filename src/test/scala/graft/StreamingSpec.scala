@@ -195,12 +195,13 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
-  test("batch replay through startIngest writes landing + alert tables") {
+  test("batch replay through startIngest writes landing + alert tables and pushes live") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-ingest").toString
     val src = MemoryStream[Event]
     val q = Ingest.startIngest(src.toDF(), s"$tmp/landing", s"$tmp/alerts",
       trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
-      checkpoint = s"$tmp/ckpt")
+      checkpoint = s"$tmp/ckpt",
+      push = Some(new Ingest.LiveDirPush(s"$tmp/live")))
     try {
       src.addData(ev(1, 1, 1, 500.0), ev(2, 1, 2, 10.0), ev(3, 2, 1, 20.0))
       q.awaitTermination(60000)
@@ -209,6 +210,18 @@ class StreamingSpec extends AnyFunSuite {
       assert(landing.columns.contains("day"))
       val alerts = spark.read.parquet(s"$tmp/alerts")
       assert(alerts.select("event_id").as[Long].collect().toSet == Set(1L))
+      // S6: the live dir holds the batch as newline-JSON — every record,
+      // batch id in the name, no partial/temp files left behind
+      val liveFiles = new java.io.File(s"$tmp/live").listFiles().toSeq
+      assert(liveFiles.nonEmpty, "no live push emission")
+      assert(liveFiles.forall(_.getName.matches("batch_\\d+_part_\\d+\\.jsonl")),
+        s"unexpected live files: ${liveFiles.map(_.getName)}")
+      val lines = liveFiles.flatMap(f =>
+        scala.io.Source.fromFile(f).getLines().toSeq)
+      assert(lines.length == 3, s"expected 3 pushed records, got ${lines.length}")
+      val pushedIds = spark.read.json(spark.createDataset(lines))
+        .select("event_id").as[Long].collect().toSet
+      assert(pushedIds == Set(1L, 2L, 3L), s"pushed ids $pushedIds")
     } finally q.stop()
   }
 }
