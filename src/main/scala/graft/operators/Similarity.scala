@@ -107,6 +107,69 @@ object Similarity {
       .fit(sampled.withColumn("__features", array_to_vector(col(vecCol))))
   }
 
+  /** Balanced coarse quantizer for adversarial distributions: the plain
+    * k-means|| fit (seeded, sample-able — same knobs as [[fitQuantizer]])
+    * lets a dense hot region collapse into ONE cell when its internal
+    * variance is small next to the spread of the rest of the corpus; a
+    * probe of that cell then scans an unbounded fraction of the data,
+    * which is exactly the failure IVF exists to prevent. This fit
+    * refines the centers until no cell holds more than `maxCellFrac` of
+    * the (sampled) corpus: each round 2-means-splits the fullest cell's
+    * members and replaces its centroid with the two children, growing
+    * the cell count past nlist only as far as the splits require
+    * (bounded by 2·nlist rounds). Stops early if a split makes no
+    * progress — a cell of bit-identical vectors is geometrically
+    * unsplittable by ANY quantizer, so the bound is best-effort there.
+    *
+    * Returns an ordinary KMeansModel (rebuilt from the refined centers),
+    * so the memoized-artifact, materialized-index, and probe paths all
+    * consume it unchanged. Asserted against a skewed fixture in
+    * SimilaritySpec. */
+  def fitBalancedQuantizer(corpus: DataFrame, nlist: Int, maxCellFrac: Double = 0.3,
+                           sampleFraction: Double = 1.0,
+                           vecCol: String = "embedding"): org.apache.spark.ml.clustering.KMeansModel = {
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.clustering.{GraftKMeansBridge, KMeans}
+    require(maxCellFrac > 1.0 / (2.0 * nlist),
+      s"maxCellFrac=$maxCellFrac infeasible for at most ${2 * nlist} cells")
+    val sampled =
+      (if (sampleFraction >= 1.0) corpus
+       else corpus.sample(withReplacement = false, sampleFraction, seed = 42))
+        .select(array_to_vector(col(vecCol)).as("__features"))
+        .cache()
+    val n = sampled.count().toDouble
+    var km = new KMeans().setK(nlist).setSeed(42).setFeaturesCol("__features")
+      .setPredictionCol("__cell").fit(sampled)
+    // a split can leave the MAX unchanged when a second cell ties the one
+    // just split — only stop after several consecutive no-progress rounds
+    // (the degenerate unsplittable-cell case), not on the first plateau
+    var prevHot = Long.MaxValue
+    var stuck = 0
+    var done = false
+    var round = 0
+    while (!done && round < 2 * nlist) {
+      val counts = km.transform(sampled).groupBy("__cell").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)) // ≤ 2·nlist rows: driver metadata
+      val (hot, hotN) = counts.maxBy(_._2)
+      stuck = if (hotN >= prevHot) stuck + 1 else 0
+      if (hotN / n <= maxCellFrac || stuck >= 3) done = true
+      else {
+        val members = km.transform(sampled).filter(col("__cell") === hot).drop("__cell")
+        val sub = new KMeans().setK(2).setSeed(42 + round).setFeaturesCol("__features")
+          .setPredictionCol("__cell").fit(members)
+        val kept = km.clusterCenters.zipWithIndex.collect {
+          case (c, i) if i != hot => c.toArray
+        }
+        km = GraftKMeansBridge.fromCenters(
+          kept ++ sub.clusterCenters.map(_.toArray), "__features", "__cell")
+        prevHot = hotN
+        round += 1
+      }
+    }
+    sampled.unpersist()
+    km
+  }
+
   /** IVF (inverted-file) ANN: the pre-fitted coarse quantizer partitions
     * the corpus into cells; each query probes its `nprobe` nearest cells
     * and scores only those vectors. The 100 TB shape: the corpus is

@@ -130,6 +130,40 @@ class SimilaritySpec extends AnyFunSuite {
       "indexed IVF recall differs from in-memory IVF")
   }
 
+  test("balanced quantizer bounds the max cell fraction on a skewed corpus") {
+    import org.apache.spark.ml.functions.array_to_vector
+    // adversarial skew: 900 vectors in one dense blob (small internal
+    // variance), 100 scattered far away — the plain fit spends its
+    // centroids chasing the scattered mass and leaves the blob as one
+    // hot cell holding ~90% of the corpus
+    val dim = 8
+    val rows = (0 until 900).map { i =>
+      (i.toLong, Array.tabulate(dim)(j => 1.0f + 0.05f * math.sin(i * 13 + j * 7).toFloat))
+    } ++ (0 until 100).map { i =>
+      (900L + i, Array.tabulate(dim)(j => 10.0f * math.cos(i * 31 + j * 11).toFloat))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    def maxFrac(km: org.apache.spark.ml.clustering.KMeansModel): Double =
+      km.transform(emb.select(array_to_vector($"embedding").as("__features")))
+        .groupBy("__cell").count().agg(max("count")).as[Long].head() / 1000.0
+    val plain = Similarity.fitQuantizer(emb, nlist = 16)
+    assert(maxFrac(plain) > 0.5,
+      s"fixture not adversarial enough: plain max frac ${maxFrac(plain)}")
+    val balanced = Similarity.fitBalancedQuantizer(emb, nlist = 16, maxCellFrac = 0.3)
+    assert(maxFrac(balanced) <= 0.3, s"balanced max frac ${maxFrac(balanced)}")
+    // the refined model still drives the ordinary IVF probe path
+    val q = emb.filter($"vec_id" < 5)
+    val res = Similarity.ivfTopK(emb, q, 3, balanced, 4, "vec_id", "embedding")
+      .select("query_id", "rank").as[(Long, Int)].collect()
+    assert(res.groupBy(_._1).size == 5 && res.groupMapReduce(_._1)(_ => 1)(_ + _).values.forall(_ == 3))
+    // and round-trips through the MLWritable artifact like any quantizer
+    val dir = java.nio.file.Files.createTempDirectory("graft-balq").toString + "/km"
+    balanced.write.overwrite().save(dir)
+    val loaded = org.apache.spark.ml.clustering.KMeansModel.load(dir)
+    assert(loaded.clusterCenters.map(_.toArray.toSeq).toSeq ==
+      balanced.clusterCenters.map(_.toArray.toSeq).toSeq)
+  }
+
   test("blocked near-dup pairs equal the all-pairs baseline exactly") {
     val emb = Tables.embeddings(spark, TestSpark.Sf)
     val brute = Similarity.nearDupPairs(emb, 0.45)
