@@ -59,4 +59,46 @@ object AsOfJoin {
       .filter(col("__r") === 0)
       .select((left.columns.map(c => col(s"__payload.$c")) :+ col(outCol)): _*)
   }
+
+  /** The NATIVE form: plans into graft.plans.AsOfJoinExec — a custom
+    * logical node + strategy + physical two-pointer merge over
+    * co-partitioned, co-sorted children (see AsOfJoinPlan.scala for why
+    * it beats the composed union+window). Identical semantics and
+    * output schema to [[asofBackward]]; oracle-checked via q_asof_join
+    * and cross-checked against the composed form in PlanSpec.
+    *
+    * The strategy self-installs on the calling session (public
+    * `spark.experimental.extraStrategies`), so driver-owned sessions
+    * built without [[graft.plans.GraftExtensions]] still plan it. */
+  def asofBackwardNative(left: DataFrame, right: DataFrame,
+                         key: String, ts: String, rightVal: String,
+                         outCol: String = "asof_value"): DataFrame = {
+    import graft.plans.{AsOfJoinNode, AsOfJoinStrategy}
+    import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    // deterministic right frame, as in the composed form: max(value)
+    // per (key, ts) — DuckDB ASOF equally requires a unique right frame.
+    // The trailing self-alias select is load-bearing: when both sides
+    // derive from the SAME scan the analyzer's relation dedup re-ids the
+    // right subtree's attributes, which would orphan the attribute refs
+    // stored in the node — aliases at the subtree root keep their expr
+    // ids through that rewrite, so the refs stay valid.
+    val r2 = right.groupBy(col(key), col(ts)).agg(max(col(rightVal)).as(rightVal))
+    val rAliased = r2.select(r2.columns.map(c => col(c).as(c)): _*)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = rAliased.queryExecution.analyzed
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             name: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name not found among ${plan.output.map(_.name).mkString(", ")}"))
+    val rv = attr(rPlan, rightVal)
+    val node = AsOfJoinNode(lPlan, rPlan,
+      attr(lPlan, key), attr(lPlan, ts), attr(rPlan, key), attr(rPlan, ts), rv,
+      AttributeReference(outCol, rv.dataType, nullable = true)())
+    org.apache.spark.sql.GraftPlanBridge.ofRows(spark, node)
+  }
 }

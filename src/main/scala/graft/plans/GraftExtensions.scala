@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
 /** SQL exposure of the native expressions: `graft_dot(a, b)` and
   * `graft_hyperplane_bucket(vec, planeOffset, planeCount)` become
-  * callable from `spark.sql(...)` and SQL-only clients.
+  * callable from `spark.sql(...)` and SQL-only clients, plus the
+  * [[AsOfJoinStrategy]] planner rule for the native as-of join node.
   *
   * Two registration paths:
   *  - [[GraftExtensions]] for session construction
@@ -18,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftFunctions.{buildBucket, buildDot}
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

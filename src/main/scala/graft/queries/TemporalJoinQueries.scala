@@ -12,14 +12,17 @@ import graft.operators.{AsOfJoin, BandJoin, Sessionize}
 object TemporalJoinQueries {
 
   /** As-of join: each purchase gets the user's most recent signup value
-    * at-or-before its timestamp. */
+    * at-or-before its timestamp — via the NATIVE physical operator
+    * (graft.plans.AsOfJoinExec, two-pointer merge over co-partitioned
+    * sorted children); PlanSpec asserts the custom node, TemporalOpsSpec
+    * cross-checks it against the composed union+window form. */
   def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
     val purchases = e.filter(col("event_type") === "purchase")
       .select("event_id", "user_id", "ts", "value")
     val signups = e.filter(col("event_type") === "signup")
       .select("user_id", "ts", "value")
-    AsOfJoin.asofBackward(purchases, signups, "user_id", "ts", "value")
+    AsOfJoin.asofBackwardNative(purchases, signups, "user_id", "ts", "value")
       .select("event_id", "user_id", "value", "asof_value")
       .orderBy("event_id")
   }

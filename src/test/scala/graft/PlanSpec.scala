@@ -64,6 +64,13 @@ class PlanSpec extends AnyFunSuite {
       p.take(1500))
   }
 
+  test("q_asof_join plans the native AsOfJoinExec with co-partitioned sorted children") {
+    val p = physical("q_asof_join")
+    assert(p.contains("AsOfJoin "), p.take(1500)) // AsOfJoinExec renders sans Exec
+    // the merge relies on EnsureRequirements inserting both sorts
+    assert("Sort \\[".r.findAllIn(p).size >= 2, p.take(1500))
+  }
+
   test("q_topk plans as TakeOrderedAndProject (no global sort)") {
     assert(physical("q_topk").contains("TakeOrderedAndProject"))
   }

@@ -26,8 +26,8 @@ class QueriesSmokeSpec extends AnyFunSuite {
   test("every query has an oracle or is documented rows-only") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle.subsetOf(
-      Set("q_ann_lsh", "q_ann_ivf", "q_ml_classifier", "q_ml_regressor", "q_ml_serve",
-        "q_ml_importances", "q_approx_sketch")),
+      Set("q_ann_lsh", "q_ann_ivf", "q_ann_ivf_indexed", "q_ml_classifier",
+        "q_ml_regressor", "q_ml_serve", "q_ml_importances", "q_approx_sketch")),
       s"undocumented rows-only: $noOracle")
   }
 

@@ -44,6 +44,60 @@ class TemporalOpsSpec extends AnyFunSuite {
     assert(got.isEmpty, s"expected null from the ts=300 row, got $got")
   }
 
+  test("asofBackwardNative: identical edge-case results, custom exec node in the plan") {
+    val left = Seq(
+      (1L, "u1", 100L, 1.0), (2L, "u1", 200L, 2.0),
+      (3L, "u1", 350L, 3.0), (4L, "u2", 500L, 4.0)
+    ).toDF("event_id", "k", "ts", "v")
+    val right = Seq(("u1", 200L, 20.0), ("u1", 300L, 30.0), ("u1", 400L, 40.0))
+      .toDF("k", "ts", "rv")
+    val res = AsOfJoin.asofBackwardNative(left, right, "k", "ts", "rv")
+    val got = res.orderBy("event_id").select("event_id", "asof_value")
+      .as[(Long, Option[Double])].collect()
+    assert(got.toSeq == Seq(
+      (1L, None), (2L, Some(20.0)), (3L, Some(30.0)), (4L, None)))
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoinExec") || plan.contains("AsOfJoin"), plan.take(1200))
+    // dup right timestamps pre-aggregate to max, like the composed form
+    val dup = AsOfJoin.asofBackwardNative(
+      Seq((1L, "u1", 300L)).toDF("event_id", "k", "ts"),
+      Seq(("u1", 200L, 5.0), ("u1", 200L, 9.0)).toDF("k", "ts", "rv"),
+      "k", "ts", "rv").select("asof_value").as[Double].head()
+    assert(dup == 9.0)
+  }
+
+  test("asofBackwardNative: null keys never match, null-ts right rows are skipped") {
+    val left = Seq((1L, Option("u1"), 100L), (2L, Option.empty[String], 100L))
+      .toDF("event_id", "k", "ts")
+    val right = Seq((Option("u1"), Option.empty[Long], 5.0),
+      (Option("u1"), Option(50L), 7.0), (Option.empty[String], Option(10L), 9.0))
+      .toDF("k", "ts", "rv")
+    val got = AsOfJoin.asofBackwardNative(left, right, "k", "ts", "rv")
+      .orderBy("event_id").select("event_id", "asof_value")
+      .as[(Long, Option[Double])].collect()
+    // the null-ts u1 row must not stall the merge pointer ahead of the
+    // real ts=50 match; the null-key right row matches nothing
+    assert(got.toSeq == Seq((1L, Some(7.0)), (2L, None)), s"got ${got.toSeq}")
+  }
+
+  test("asofBackwardNative equals the composed form on the events fixture") {
+    // both sides derive from the SAME base scan (duplicate expression ids
+    // across children) — the exact shape q_asof_join runs
+    val e = Tables.events(spark, TestSpark.Sf)
+    val purchases = e.filter($"event_type" === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val signups = e.filter($"event_type" === "signup")
+      .select("user_id", "ts", "value")
+    val composed = AsOfJoin.asofBackward(purchases, signups, "user_id", "ts", "value")
+      .select("event_id", "asof_value").as[(Long, Option[Double])]
+      .collect().sortBy(_._1).toSeq
+    val native = AsOfJoin.asofBackwardNative(purchases, signups, "user_id", "ts", "value")
+      .select("event_id", "asof_value").as[(Long, Option[Double])]
+      .collect().sortBy(_._1).toSeq
+    assert(native == composed)
+    assert(native.nonEmpty && native.exists(_._2.nonEmpty))
+  }
+
   test("asofBackward rejects reserved column names") {
     val left = Seq((1L, "u1", 1L)).toDF("__k", "k", "ts")
     val right = Seq(("u1", 1L, 2.0)).toDF("k", "ts", "rv")
