@@ -92,9 +92,15 @@ object AsOfJoin {
     val rPlan = rAliased.queryExecution.analyzed
     def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
              name: String): Attribute =
-      plan.output.find(_.name == name).getOrElse(
-        throw new IllegalArgumentException(
-          s"column $name not found among ${plan.output.map(_.name).mkString(", ")}"))
+      plan.output.filter(_.name == name) match {
+        case Seq(a) => a
+        case Seq() => throw new IllegalArgumentException(
+          s"column $name not found among ${plan.output.map(_.name).mkString(", ")}")
+        case many => throw new IllegalArgumentException(
+          // first-match would silently bind the wrong side of a post-join
+          // frame; fail like col(name) does on the composed path
+          s"column $name is ambiguous: ${many.size} attributes share the name")
+      }
     val rv = attr(rPlan, rightVal)
     val node = AsOfJoinNode(lPlan, rPlan,
       attr(lPlan, key), attr(lPlan, ts), attr(rPlan, key), attr(rPlan, ts), rv,

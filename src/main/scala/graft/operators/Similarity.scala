@@ -130,8 +130,9 @@ object Similarity {
                            vecCol: String = "embedding"): org.apache.spark.ml.clustering.KMeansModel = {
     import org.apache.spark.ml.functions.array_to_vector
     import org.apache.spark.ml.clustering.{GraftKMeansBridge, KMeans}
-    require(maxCellFrac > 1.0 / (2.0 * nlist),
-      s"maxCellFrac=$maxCellFrac infeasible for at most ${2 * nlist} cells")
+    // up to 2·nlist rounds each add a net +1 cell to the initial nlist
+    require(maxCellFrac > 1.0 / (3.0 * nlist),
+      s"maxCellFrac=$maxCellFrac infeasible for at most ${3 * nlist} cells")
     val sampled =
       (if (sampleFraction >= 1.0) corpus
        else corpus.sample(withReplacement = false, sampleFraction, seed = 42))
@@ -148,13 +149,16 @@ object Similarity {
     var done = false
     var round = 0
     while (!done && round < 2 * nlist) {
-      val counts = km.transform(sampled).groupBy("__cell").count()
-        .collect().map(r => r.getInt(0) -> r.getLong(1)) // ≤ 2·nlist rows: driver metadata
+      // one prediction pass per round serves both the histogram and the
+      // hot cell's member extraction
+      val assigned = km.transform(sampled).cache()
+      val counts = assigned.groupBy("__cell").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)) // ≤ 3·nlist rows: driver metadata
       val (hot, hotN) = counts.maxBy(_._2)
       stuck = if (hotN >= prevHot) stuck + 1 else 0
-      if (hotN / n <= maxCellFrac || stuck >= 3) done = true
+      if (hotN / n <= maxCellFrac || stuck >= 3) { assigned.unpersist(); done = true }
       else {
-        val members = km.transform(sampled).filter(col("__cell") === hot).drop("__cell")
+        val members = assigned.filter(col("__cell") === hot).drop("__cell")
         val sub = new KMeans().setK(2).setSeed(42 + round).setFeaturesCol("__features")
           .setPredictionCol("__cell").fit(members)
         val kept = km.clusterCenters.zipWithIndex.collect {
@@ -162,6 +166,7 @@ object Similarity {
         }
         km = GraftKMeansBridge.fromCenters(
           kept ++ sub.clusterCenters.map(_.toArray), "__features", "__cell")
+        assigned.unpersist() // the 2-means fit above was the last consumer
         prevHot = hotN
         round += 1
       }

@@ -225,6 +225,14 @@ object Ingest {
   trait PushAdapter extends Serializable {
     /** Called once per (batch, partition) with the records as JSON lines. */
     def push(batchId: Long, partitionId: Int, records: Iterator[String]): Unit
+
+    /** Driver-side hook before a batch's partition pushes: replay
+      * cleanup. A replayed batch may plan FEWER partitions than the
+      * failed attempt (AQE, changed parallelism), so name-overwrite
+      * alone can leave the dead attempt's higher part ids behind;
+      * clearing the batch's previous emission here restores the
+      * at-most-once contract. */
+    def beginBatch(batchId: Long): Unit = ()
   }
 
   /** Newline-JSON live feed in `dir`: batch b / partition p lands at
@@ -234,11 +242,26 @@ object Ingest {
     * own files — at-most-once per batch, by layout, exactly like the
     * landing sink. Empty partitions emit nothing. */
   final class LiveDirPush(dir: String) extends PushAdapter {
+    override def beginBatch(batchId: Long): Unit = {
+      val d = new java.io.File(dir)
+      if (d.isDirectory) {
+        val stale = d.listFiles((_, n) =>
+          n.startsWith(s"batch_${batchId}_part_") || n.startsWith(s".batch_${batchId}_part_"))
+        stale.foreach(_.delete())
+      }
+    }
+
     override def push(batchId: Long, partitionId: Int, records: Iterator[String]): Unit =
       if (records.hasNext) {
         val d = java.nio.file.Paths.get(dir)
         java.nio.file.Files.createDirectories(d)
-        val tmp = d.resolve(s".batch_${batchId}_part_$partitionId.tmp")
+        // tmp name is per-ATTEMPT: under speculative execution or a retry
+        // racing a zombie first attempt, a shared tmp name would let two
+        // writers interleave into one file and publish corrupt JSON; each
+        // attempt writes privately, the atomic move stays last-wins
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
+        val tmp = d.resolve(s".batch_${batchId}_part_${partitionId}_a$attempt.tmp")
         val out = d.resolve(s"batch_${batchId}_part_$partitionId.jsonl")
         val w = java.nio.file.Files.newBufferedWriter(tmp)
         try records.foreach { r => w.write(r); w.write('\n') } finally w.close()
@@ -291,6 +314,7 @@ object Ingest {
         // S6 live push: executor-side, per partition, over the persisted
         // batch — the driver never materializes row data
         push.foreach { p =>
+          p.beginBatch(batchId)
           batch.toJSON.foreachPartition { (it: Iterator[String]) =>
             p.push(batchId, org.apache.spark.TaskContext.getPartitionId(), it)
           }
