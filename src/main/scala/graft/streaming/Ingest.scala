@@ -145,6 +145,24 @@ object Ingest {
 
   case class ZAnomaly(user_id: Long, event_id: Long, value: Double, z: Double)
 
+  case class InactivityAlert(user_id: Long, last_seen_ms: Long, silent_ms: Long)
+
+  /** Timer-driven inactivity alerts (beyond-reference streaming depth):
+    * a user silent for more than `gap` of EVENT time produces one alert
+    * when the watermark passes their deadline — emission without input,
+    * via transformWithState event-time timers ([[InactivityProcessor]]).
+    * Requires the RocksDB state store provider, like the other TWS ops. */
+  def inactivityAlertsTws(events: Dataset[Event],
+                          gap: java.time.Duration = java.time.Duration.ofHours(6),
+                          watermarkDelay: String = "0 seconds"): Dataset[InactivityAlert] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    watermarked(events, watermarkDelay)
+      .groupByKey(_.user_id)
+      .transformWithState(new InactivityProcessor(gap.toMillis),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** [[streamingZscoreAnomalies]]'s transformWithState twin — Welford
     * moments ride in a typed product ValueState ([[ZScoreProcessor]]);
     * same TTL/TimeMode contract as [[pctAlertsTws]]. */

@@ -148,6 +148,46 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("timer-driven inactivity alerts fire on watermark passage, not input") {
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val src = MemoryStream[Event]
+    val HourNs = 3600L * 1000000000L
+    val q = Ingest.inactivityAlertsTws(src.toDS(),
+      gap = java.time.Duration.ofHours(6))
+      .writeStream.format("memory").queryName("inact_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1 active at hour 0 and 1; user 2 keeps the stream alive
+      src.addData(ev(1, 1, 1, 1.0), ev(2, 1, 1, 2.0, 1 * HourNs), ev(3, 1, 2, 1.0))
+      q.processAllAvailable()
+      // user 2 events advance the watermark past user 1's hour-7 deadline
+      src.addData(ev(4, 1, 2, 1.0, 8 * HourNs))
+      q.processAllAvailable()
+      src.addData(ev(5, 1, 2, 1.0, 8 * HourNs + 1000L)) // batch that fires the timer
+      q.processAllAvailable()
+      val got = spark.table("inact_out").as[Ingest.InactivityAlert].collect()
+      assert(got.map(_.user_id).toSet == Set(1L), s"got ${got.toSeq}")
+      // last seen = day 1 + hour 1, in ms (ev() adds day * DayNs)
+      assert(got.head.last_seen_ms == (86400L + 3600L) * 1000L, s"got ${got.head}")
+      assert(got.head.silent_ms == 7L * 3600L * 1000L, s"got ${got.head}")
+      // user 2 stayed active (timer re-armed every batch): no alert; and
+      // user 1's state was cleared — a return builds a fresh baseline
+      // whose new deadline has not passed, still no second alert
+      src.addData(ev(6, 1, 1, 3.0, 9 * HourNs))
+      q.processAllAvailable()
+      val after = spark.table("inact_out").as[Ingest.InactivityAlert].collect()
+      assert(after.length == 1, s"unexpected extra alerts: ${after.toSeq}")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("incremental z-score: state accrues across batches, outlier flagged") {
     val src = MemoryStream[Event]
     val q = Ingest.streamingZscoreAnomalies(src.toDS(), threshold = 3.0, minN = 10)
