@@ -136,17 +136,15 @@ case class AsOfJoinExec(
       lIter.map { lRow =>
         val k = lKey.eval(lRow)
         val t = lTs.eval(lRow)
-        val v: Any =
-          if (k == null || t == null) null
-          else {
-            advanceRight(k, t)
-            if (carryKey != null && keyOrd.compare(carryKey.asInstanceOf[AnyRef], k.asInstanceOf[AnyRef]) == 0)
-              carryVal
-            else null
-          }
+        // matched = an as-of right ROW exists; its value may itself be
+        // null (the metric must not undercount null-valued matches)
+        val matched = k != null && t != null && {
+          advanceRight(k, t)
+          carryKey != null && keyOrd.compare(carryKey.asInstanceOf[AnyRef], k.asInstanceOf[AnyRef]) == 0
+        }
         numOutputRows += 1
-        if (v != null) numMatchedRows += 1
-        valRow.update(0, v)
+        if (matched) numMatchedRows += 1
+        valRow.update(0, if (matched) carryVal else null)
         proj(joined(lRow, valRow))
       }
     }

@@ -5,18 +5,27 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulPro
 import graft.streaming.Ingest.{EventT, InactivityAlert}
 
 /** Timer-driven inactivity detection on the arbitrary-state v2 API: emit
-  * an alert for a user who goes silent for longer than `gap` — output
+  * an alert for a user who goes silent for longer than `gapMs` — output
   * WITHOUT input for that key, the one streaming shape neither
   * filter/window operators nor input-driven stateful processors can
   * express (they only speak when a row arrives).
   *
-  * Per key: a `ValueState[Long]` holds the last-seen event time (ms); on
-  * input the single pending timer is re-armed to lastSeen + gap; when the
-  * WATERMARK crosses an un-re-armed deadline, `handleExpiredTimer` fires
-  * once, emits the alert, and clears the state — so the alert doubles as
-  * state eviction and a returning user starts a fresh baseline. Event-time
-  * timers keep the operator replay/backfill-safe and test-drivable
-  * (NOTES invariant: processing-time timers schedule continuous batches).
+  * Two emission paths, both deterministic for a given event history:
+  *  - a gap CLOSED by a later event (possibly in the same micro-batch —
+  *    replays and backfills compress batches, so this must not depend on
+  *    a timer having fired in between) is detected in `handleInputRows`
+  *    by walking the key's event times in order; `silent_ms` is the
+  *    observed gap;
+  *  - a gap still OPEN when the watermark passes lastSeen + gapMs fires
+  *    the single re-armed event-time timer; the true silence is
+  *    unbounded (no event since), so `silent_ms` reports the gap
+  *    threshold itself rather than a watermark-position-dependent value
+  *    that would differ between live and replay runs. State clears on
+  *    the timer alert, so a returning user starts a fresh baseline.
+  *
+  * Event-time timers keep the operator replay/backfill-safe and
+  * test-drivable (NOTES invariant: processing-time timers schedule
+  * continuous batches).
   */
 class InactivityProcessor(gapMs: Long)
     extends StatefulProcessor[Long, EventT, InactivityAlert] {
@@ -29,13 +38,22 @@ class InactivityProcessor(gapMs: Long)
 
   override def handleInputRows(user: Long, inputRows: Iterator[EventT],
                                timerValues: TimerValues): Iterator[InactivityAlert] = {
-    val maxTsMs = inputRows.map(_.ts / 1000000L).max
-    val newLast = if (lastSeen.exists()) math.max(lastSeen.get(), maxTsMs) else maxTsMs
-    lastSeen.update(newLast)
+    val times = inputRows.map(_.ts / 1000000L).toArray.sorted
+    var prev = if (lastSeen.exists()) Some(lastSeen.get()) else None
+    val closed = Seq.newBuilder[InactivityAlert]
+    times.foreach { t =>
+      prev match {
+        case Some(p) if t - p >= gapMs =>
+          closed += InactivityAlert(user, p, t - p)
+        case _ => ()
+      }
+      prev = Some(prev.fold(t)(math.max(_, t)))
+    }
+    prev.foreach(lastSeen.update)
     // exactly one pending deadline per key: drop stale timers, re-arm
     getHandle.listTimers().foreach(getHandle.deleteTimer)
-    getHandle.registerTimer(newLast + gapMs)
-    Iterator.empty
+    getHandle.registerTimer(prev.get + gapMs)
+    closed.result().iterator
   }
 
   override def handleExpiredTimer(user: Long, timerValues: TimerValues,
@@ -46,8 +64,7 @@ class InactivityProcessor(gapMs: Long)
       // must not alert a user who is in fact active
       if (expiredTimerInfo.getExpiryTimeInMs >= last + gapMs) {
         lastSeen.clear()
-        Iterator.single(InactivityAlert(user, last,
-          timerValues.getCurrentWatermarkInMs() - last))
+        Iterator.single(InactivityAlert(user, last, gapMs))
       } else Iterator.empty
     } else Iterator.empty
   }

@@ -154,7 +154,7 @@ object Ingest {
     * Requires the RocksDB state store provider, like the other TWS ops. */
   def inactivityAlertsTws(events: Dataset[Event],
                           gap: java.time.Duration = java.time.Duration.ofHours(6),
-                          watermarkDelay: String = "0 seconds"): Dataset[InactivityAlert] = {
+                          watermarkDelay: String = "1 hour"): Dataset[InactivityAlert] = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.TimeMode
     watermarked(events, watermarkDelay)

@@ -19,6 +19,19 @@ class StreamingSpec extends AnyFunSuite {
   private def ev(id: Long, day: Long, user: Long, v: Double, offNs: Long = 0L) =
     Event(id, day * DayNs + offNs, user, "view", v)
 
+  /** transformWithState requires the RocksDB state store provider (read
+    * at query start); save/set/restore around `f`. */
+  private def withRocksDBProvider(f: => Unit): Unit = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try f finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("dedupDaily keeps one event per user per day across batches") {
     val src = MemoryStream[Event]
     val q = Ingest.dedupDaily(src.toDF(), watermark = "10 days")
@@ -122,69 +135,83 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("transformWithState twin matches flatMapGroupsWithState pct semantics") {
-    // TWS requires the RocksDB state store provider (read at query start)
-    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val src = MemoryStream[Event]
-    val q = Ingest.pctAlertsTws(src.toDS(), pctThreshold = 5.0)
-      .writeStream.format("memory").queryName("tws_out")
-      .outputMode(OutputMode.Append).start()
-    try {
-      src.addData(ev(1, 1, 1, 100.0), ev(2, 1, 1, 104.0, 1000L)) // +4% no alert
-      q.processAllAvailable()
-      src.addData(ev(3, 1, 1, 120.0, 2000L)) // +15.4% vs state 104 → alert
-      src.addData(ev(4, 1, 2, 100.0))        // first event, no alert
-      q.processAllAvailable()
-      val got = spark.table("tws_out").as[PctAlert].collect()
-      assert(got.map(_.event_id).toSet == Set(3L), s"got ${got.toSeq}")
-      assert(math.abs(got.head.pct - (120.0 - 104.0) / 104.0 * 100.0) < 1e-9)
-    } finally {
-      q.stop()
-      prevProvider match {
-        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
+    withRocksDBProvider {
+      val src = MemoryStream[Event]
+      val q = Ingest.pctAlertsTws(src.toDS(), pctThreshold = 5.0)
+        .writeStream.format("memory").queryName("tws_out")
+        .outputMode(OutputMode.Append).start()
+      try {
+        src.addData(ev(1, 1, 1, 100.0), ev(2, 1, 1, 104.0, 1000L)) // +4% no alert
+        q.processAllAvailable()
+        src.addData(ev(3, 1, 1, 120.0, 2000L)) // +15.4% vs state 104 → alert
+        src.addData(ev(4, 1, 2, 100.0))        // first event, no alert
+        q.processAllAvailable()
+        val got = spark.table("tws_out").as[PctAlert].collect()
+        assert(got.map(_.event_id).toSet == Set(3L), s"got ${got.toSeq}")
+        assert(math.abs(got.head.pct - (120.0 - 104.0) / 104.0 * 100.0) < 1e-9)
+      } finally q.stop()
     }
   }
 
   test("timer-driven inactivity alerts fire on watermark passage, not input") {
-    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val src = MemoryStream[Event]
-    val HourNs = 3600L * 1000000000L
-    val q = Ingest.inactivityAlertsTws(src.toDS(),
-      gap = java.time.Duration.ofHours(6))
-      .writeStream.format("memory").queryName("inact_out")
-      .outputMode(OutputMode.Append).start()
-    try {
-      // user 1 active at hour 0 and 1; user 2 keeps the stream alive
-      src.addData(ev(1, 1, 1, 1.0), ev(2, 1, 1, 2.0, 1 * HourNs), ev(3, 1, 2, 1.0))
-      q.processAllAvailable()
-      // user 2 events advance the watermark past user 1's hour-7 deadline
-      src.addData(ev(4, 1, 2, 1.0, 8 * HourNs))
-      q.processAllAvailable()
-      src.addData(ev(5, 1, 2, 1.0, 8 * HourNs + 1000L)) // batch that fires the timer
-      q.processAllAvailable()
-      val got = spark.table("inact_out").as[Ingest.InactivityAlert].collect()
-      assert(got.map(_.user_id).toSet == Set(1L), s"got ${got.toSeq}")
-      // last seen = day 1 + hour 1, in ms (ev() adds day * DayNs)
-      assert(got.head.last_seen_ms == (86400L + 3600L) * 1000L, s"got ${got.head}")
-      assert(got.head.silent_ms == 7L * 3600L * 1000L, s"got ${got.head}")
-      // user 2 stayed active (timer re-armed every batch): no alert; and
-      // user 1's state was cleared — a return builds a fresh baseline
-      // whose new deadline has not passed, still no second alert
-      src.addData(ev(6, 1, 1, 3.0, 9 * HourNs))
-      q.processAllAvailable()
-      val after = spark.table("inact_out").as[Ingest.InactivityAlert].collect()
-      assert(after.length == 1, s"unexpected extra alerts: ${after.toSeq}")
-    } finally {
-      q.stop()
-      prevProvider match {
-        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
+    withRocksDBProvider {
+      val src = MemoryStream[Event]
+      val HourNs = 3600L * 1000000000L
+      val HourMs = 3600L * 1000L
+      val q = Ingest.inactivityAlertsTws(src.toDS(),
+        gap = java.time.Duration.ofHours(6), watermarkDelay = "0 seconds")
+        .writeStream.format("memory").queryName("inact_out")
+        .outputMode(OutputMode.Append).start()
+      try {
+        // user 1 active at hour 0 and 1; user 2 keeps the stream alive
+        // with gaps under the 6h threshold (0h → 5h → 8h)
+        src.addData(ev(1, 1, 1, 1.0), ev(2, 1, 1, 2.0, 1 * HourNs), ev(3, 1, 2, 1.0))
+        q.processAllAvailable()
+        src.addData(ev(4, 1, 2, 1.0, 5 * HourNs))
+        q.processAllAvailable()
+        // this event advances the watermark past user 1's hour-7 deadline
+        src.addData(ev(5, 1, 2, 1.0, 8 * HourNs))
+        q.processAllAvailable()
+        src.addData(ev(7, 1, 2, 1.0, 8 * HourNs + 1000L)) // batch that fires the timer
+        q.processAllAvailable()
+        val got = spark.table("inact_out").as[Ingest.InactivityAlert].collect()
+        assert(got.map(_.user_id).toSet == Set(1L), s"got ${got.toSeq}")
+        // last seen = day 1 + hour 1, in ms (ev() adds day * DayNs);
+        // silent_ms on the timer path is the (deterministic) threshold,
+        // not the watermark position at firing time
+        assert(got.head.last_seen_ms == 25L * HourMs, s"got ${got.head}")
+        assert(got.head.silent_ms == 6L * HourMs, s"got ${got.head}")
+        // user 2 stayed active (timer re-armed every batch): no alert; and
+        // user 1's state was cleared — a return builds a fresh baseline
+        // whose new deadline has not passed, still no second alert
+        src.addData(ev(6, 1, 1, 3.0, 9 * HourNs))
+        q.processAllAvailable()
+        val after = spark.table("inact_out").as[Ingest.InactivityAlert].collect()
+        assert(after.length == 1, s"unexpected extra alerts: ${after.toSeq}")
+      } finally q.stop()
+    }
+  }
+
+  test("inactivity gap closed inside one batch still alerts (replay/backfill shape)") {
+    withRocksDBProvider {
+      val src = MemoryStream[Event]
+      val HourNs = 3600L * 1000000000L
+      val HourMs = 3600L * 1000L
+      val q = Ingest.inactivityAlertsTws(src.toDS(),
+        gap = java.time.Duration.ofHours(6), watermarkDelay = "0 seconds")
+        .writeStream.format("memory").queryName("inact_closed_out")
+        .outputMode(OutputMode.Append).start()
+      try {
+        // the hour-0 event and the hour-10 return land in ONE batch — a
+        // compressed replay where no timer ever got the chance to fire;
+        // the observed 10h gap must still produce exactly one alert
+        src.addData(ev(1, 1, 1, 1.0), ev(2, 1, 1, 2.0, 10 * HourNs))
+        q.processAllAvailable()
+        val got = spark.table("inact_closed_out").as[Ingest.InactivityAlert].collect()
+        assert(got.map(_.user_id).toSet == Set(1L), s"got ${got.toSeq}")
+        assert(got.head.last_seen_ms == 24L * HourMs, s"got ${got.head}")
+        assert(got.head.silent_ms == 10L * HourMs, s"got ${got.head}") // observed gap
+      } finally q.stop()
     }
   }
 
@@ -209,29 +236,22 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("transformWithState z-score twin matches the v1 operator across batches") {
-    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val src = MemoryStream[Event]
-    val q = Ingest.zscoreAnomaliesTws(src.toDS(), threshold = 3.0, minN = 10)
-      .writeStream.format("memory").queryName("z_tws_out")
-      .outputMode(OutputMode.Append).start()
-    try {
-      src.addData((1 to 6).map(i => ev(i, 1, 1, 10.0 + (i % 3) - 1, i * 1000L)): _*)
-      q.processAllAvailable()
-      src.addData((7 to 12).map(i => ev(i, 1, 1, 10.0 + (i % 3) - 1, i * 1000L)): _*)
-      q.processAllAvailable()
-      src.addData(ev(13, 1, 1, 1000.0, 13000L), ev(14, 1, 1, 10.0, 14000L))
-      q.processAllAvailable()
-      val got = spark.table("z_tws_out").as[Ingest.ZAnomaly].collect()
-      assert(got.map(_.event_id).toSet == Set(13L), s"got ${got.toSeq}")
-      assert(got.head.z > 3.0)
-    } finally {
-      q.stop()
-      prevProvider match {
-        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
+    withRocksDBProvider {
+      val src = MemoryStream[Event]
+      val q = Ingest.zscoreAnomaliesTws(src.toDS(), threshold = 3.0, minN = 10)
+        .writeStream.format("memory").queryName("z_tws_out")
+        .outputMode(OutputMode.Append).start()
+      try {
+        src.addData((1 to 6).map(i => ev(i, 1, 1, 10.0 + (i % 3) - 1, i * 1000L)): _*)
+        q.processAllAvailable()
+        src.addData((7 to 12).map(i => ev(i, 1, 1, 10.0 + (i % 3) - 1, i * 1000L)): _*)
+        q.processAllAvailable()
+        src.addData(ev(13, 1, 1, 1000.0, 13000L), ev(14, 1, 1, 10.0, 14000L))
+        q.processAllAvailable()
+        val got = spark.table("z_tws_out").as[Ingest.ZAnomaly].collect()
+        assert(got.map(_.event_id).toSet == Set(13L), s"got ${got.toSeq}")
+        assert(got.head.z > 3.0)
+      } finally q.stop()
     }
   }
 
