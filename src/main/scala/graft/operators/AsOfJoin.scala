@@ -43,7 +43,7 @@ object AsOfJoin {
       col(key).as("__k"), col(ts).as("__ts"),
       lit(0).as("__r"),
       lit(null).cast(s"struct<v:${rvType.sql}>").as("__rv"),
-      struct(left.columns.map(col): _*).as("__payload"))
+      struct(left.columns.toIndexedSeq.map(col): _*).as("__payload"))
     val payloadType = l2.schema("__payload").dataType
     val r2 = right
       .groupBy(col(key).as("__k"), col(ts).as("__ts"))
@@ -57,7 +57,7 @@ object AsOfJoin {
     l2.unionByName(r2)
       .withColumn(outCol, last(col("__rv"), ignoreNulls = true).over(w).getField("v"))
       .filter(col("__r") === 0)
-      .select((left.columns.map(c => col(s"__payload.$c")) :+ col(outCol)): _*)
+      .select((left.columns.toIndexedSeq.map(c => col(s"__payload.$c")) :+ col(outCol)): _*)
   }
 
   /** The NATIVE form: plans into graft.plans.AsOfJoinExec — a custom
@@ -87,7 +87,7 @@ object AsOfJoin {
     // stored in the node — aliases at the subtree root keep their expr
     // ids through that rewrite, so the refs stay valid.
     val r2 = right.groupBy(col(key), col(ts)).agg(max(col(rightVal)).as(rightVal))
-    val rAliased = r2.select(r2.columns.map(c => col(c).as(c)): _*)
+    val rAliased = r2.select(r2.columns.toIndexedSeq.map(c => col(c).as(c)): _*)
     val lPlan = left.queryExecution.analyzed
     val rPlan = rAliased.queryExecution.analyzed
     def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,

@@ -49,8 +49,8 @@ object SaltedWindow {
       array(struct(home.as("chunk"), lit(0).as("carry")),
         struct((home + 1).as("chunk"), lit(1).as("carry"))))
       .otherwise(array(struct(home.as("chunk"), lit(0).as("carry"))))
-    val all = df.select(df.columns.map(col) :+ explode(assignment).as("__a"): _*)
-      .select(df.columns.map(col) :+ col("__a.chunk").as("__chunk") :+ col("__a.carry").as("__carry"): _*)
+    val all = df.select(df.columns.toIndexedSeq.map(col) :+ explode(assignment).as("__a"): _*)
+      .select(df.columns.toIndexedSeq.map(col) :+ col("__a.chunk").as("__chunk") :+ col("__a.carry").as("__carry"): _*)
     val w = Window.partitionBy(col(key), col("__chunk")).orderBy(col(ts))
       .rangeBetween(-frameNs, 0)
     all

@@ -21,7 +21,7 @@ object SkewJoin {
                       key: String, buckets: Int): DataFrame = {
     require(buckets > 0)
     // salt from a deterministic hash over all left columns
-    val saltSrc = md5(concat_ws("", left.columns.map(c => col(c).cast("string")): _*))
+    val saltSrc = md5(concat_ws("", left.columns.toIndexedSeq.map(c => col(c).cast("string")): _*))
     val l = left.withColumn("__salt",
       pmod(conv(substring(saltSrc, 1, 8), 16, 10).cast("long"), lit(buckets)).cast("int"))
     val r = right.withColumn("__salt",

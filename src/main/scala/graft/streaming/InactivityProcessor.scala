@@ -62,7 +62,7 @@ class InactivityProcessor(gapMs: Long)
       val last = lastSeen.get()
       // a stale timer that raced a re-arm (deadline before lastSeen+gap)
       // must not alert a user who is in fact active
-      if (expiredTimerInfo.getExpiryTimeInMs >= last + gapMs) {
+      if (expiredTimerInfo.getExpiryTimeInMs() >= last + gapMs) {
         lastSeen.clear()
         Iterator.single(InactivityAlert(user, last, gapMs))
       } else Iterator.empty
