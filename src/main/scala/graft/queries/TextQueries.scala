@@ -70,6 +70,32 @@ object TextQueries {
       .select(col("a"), col("b"), rnd(col("jaccard"), 4).as("jaccard"))
       .orderBy("a", "b")
 
+  /** Benchmark decontamination (the test-set-overlap removal step every
+    * LLM training pipeline runs before a corpus ships): a corpus doc is
+    * contaminated if it shares ANY n-gram (n=5) with the benchmark set
+    * (here: doc_id < 10 stands in for the eval suite). 100 TB shape: the
+    * benchmark's distinct-shingle set is tiny next to the corpus — it
+    * broadcasts, so the check is a map-side hash probe per corpus
+    * shingle, no shuffle of corpus text; the per-doc hit count is one
+    * partial-aggregated groupBy over the (sparse) matches. */
+  def qDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val n = 5
+    val bench = docs.filter(col("doc_id") < 10)
+      .select(explode(shingles(col("text"), n)).as("sh")).distinct()
+    val corpus = docs.filter(col("doc_id") >= 10)
+      .select(col("doc_id"), array_distinct(shingles(col("text"), n)).as("shs"))
+      .select(col("doc_id"), explode(col("shs")).as("sh"))
+    val hits = corpus.join(broadcast(bench), Seq("sh"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    docs.filter(col("doc_id") >= 10)
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_contaminated_ngrams"),
+        (coalesce(col("n_hits"), lit(0L)) === 0).cast("int").as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** MinHash signatures (k=8) for every document. */
   def qMinhashSig(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashSignatures(Tables.documents(spark, dir), 8)
@@ -182,6 +208,7 @@ object TextQueries {
     "q_content_filter" -> qContentFilter _,
     "q_simhash" -> qSimhash _,
     "q_multimodal_meta" -> qMultimodalMeta _,
+    "q_decontaminate" -> qDecontaminate _,
   )
 
   private val NORM =
@@ -287,6 +314,21 @@ object TextQueries {
       s"""sh AS (
          |  SELECT DISTINCT doc_id, unnest($TOKS) AS s
          |  FROM documents WHERE doc_id < 100)""".stripMargin, 0.8),
+    "q_decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS ts FROM documents),
+         |g AS (
+         |  SELECT DISTINCT doc_id,
+         |    ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] AS s
+         |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(ts) - 4)) AS i)),
+         |b AS (SELECT DISTINCT s FROM g WHERE doc_id < 10),
+         |c AS (
+         |  SELECT g.doc_id, count(*) AS n_hits
+         |  FROM g JOIN b USING (s) WHERE g.doc_id >= 10 GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(c.n_hits, 0) AS n_contaminated_ngrams,
+         |  CAST(coalesce(c.n_hits, 0) = 0 AS INTEGER) AS keep
+         |FROM documents d LEFT JOIN c USING (doc_id)
+         |WHERE d.doc_id >= 10 ORDER BY d.doc_id""".stripMargin,
     "q_ngram_sim" -> jaccardSql(
       s"""t AS (SELECT doc_id, $TOKS AS ts FROM documents WHERE doc_id < 100),
          |sh AS (

@@ -88,6 +88,42 @@ object TrainingDataQueries {
       .orderBy("source", "bin")
   }
 
+  /** Target domain-mix fractions for [[qDomainMix]] — interpolated into
+    * BOTH engines so they cannot drift: src0 is boosted, src1 halved,
+    * the remaining 18 fixture sources share the rest uniformly. */
+  val DomainTargets: Seq[(String, Double)] =
+    Seq("src0" -> 0.2, "src1" -> 0.1) ++
+      ((2 until 20).map(i => s"src$i" -> 0.7 / 18))
+
+  /** Domain-mix rebalancing (the data-mixing step of training-corpus
+    * assembly): given target per-source fractions, downsample each
+    * source deterministically so the kept corpus matches the target mix
+    * at the largest achievable size T = min_s(n_s / f_s) — no source is
+    * upsampled, rate_s = f_s·T / n_s ≤ 1. Two-pass plan: one 20-row
+    * count aggregate broadcast back onto the scan, then the same
+    * md5-hash survival filter as [[qStratifiedSample]] — map-side at any
+    * corpus size, reproducible across engines/retries. */
+  def qDomainMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val target = DomainTargets.foldLeft(lit(0.0)) { case (acc, (k, v)) =>
+      when(col("source") === k, lit(v)).otherwise(acc)
+    }
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_orig"))
+      .withColumn("f", target)
+      .filter(col("f") > 0)
+    val t = counts.agg(min(col("n_orig") / col("f")).as("t"))
+    val rates = counts.crossJoin(broadcast(t))
+      .withColumn("rate", col("f") * col("t") / col("n_orig"))
+      .select("source", "n_orig", "rate")
+    docs.join(broadcast(rates), "source")
+      .filter(saltedHash(col("doc_id"), "mix") < col("rate") * lit(Two32.toDouble))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"),
+        max("n_orig").as("n_orig"), rnd(max("rate"), 6).as("rate"))
+      .select("source", "n_orig", "n_kept", "rate")
+      .orderBy("source")
+  }
+
   /** Winsorization: clamp values to their stratum's [p05, p95] — the
     * outlier-capping step of feature prep. Percentiles come from ONE
     * grouped aggregate broadcast back onto the stream (5 rows), not a
@@ -128,6 +164,7 @@ object TrainingDataQueries {
     "q_seq_packing" -> qSeqPacking _,
     "q_winsorize" -> qWinsorize _,
     "q_normalize" -> qNormalize _,
+    "q_domain_mix" -> qDomainMix _,
   )
 
   private def hSql(expr: String, salt: String) =
@@ -170,6 +207,25 @@ object TrainingDataQueries {
         |  floor(((e.value - s.mu) / nullif(s.sigma, 0)) * 1e4 + 0.5) / 1e4 AS value_z
         |FROM events e JOIN s USING (user_id)
         |WHERE e.user_id < 30 ORDER BY e.event_id""".stripMargin,
+    "q_domain_mix" -> {
+      // CAST each fraction to DOUBLE: a bare decimal literal is DECIMAL
+      // in DuckDB and the rate arithmetic would round differently than
+      // Spark's double literals
+      val fCase = "CASE source " +
+        DomainTargets.map { case (k, v) => s"WHEN '$k' THEN CAST($v AS DOUBLE)" }
+          .mkString(" ") + " ELSE 0.0 END"
+      s"""WITH c AS (
+         |  SELECT source, count(*) AS n_orig, $fCase AS f
+         |  FROM documents GROUP BY source),
+         |c2 AS (SELECT * FROM c WHERE f > 0),
+         |t AS (SELECT min(n_orig / f) AS t FROM c2),
+         |r AS (SELECT source, n_orig, f * t.t / n_orig AS rate FROM c2, t)
+         |SELECT d.source, max(r.n_orig) AS n_orig, count(*) AS n_kept,
+         |  floor((max(r.rate)) * 1e6 + 0.5) / 1e6 AS rate
+         |FROM documents d JOIN r ON d.source = r.source
+         |WHERE ${hSql("doc_id", "mix")} < r.rate * $Two32
+         |GROUP BY d.source ORDER BY d.source""".stripMargin
+    },
     "q_seq_packing" ->
       s"""WITH t AS (
          |  SELECT source, doc_id,

@@ -35,6 +35,28 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("native as-of join equals the composed form on randomized panels") {
+    val rng = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      // few keys × small ts domain → dense (k, ts) collisions on both
+      // sides, exercising tie matching and the right-frame pre-agg
+      val l = Seq.tabulate(400)(i =>
+        (i.toLong, rng.nextInt(8).toLong, rng.nextInt(100).toLong, rng.nextDouble()))
+        .toDF("event_id", "k", "ts", "v")
+      val r = Seq.fill(200)((rng.nextInt(8).toLong, rng.nextInt(100).toLong,
+        if (rng.nextInt(10) == 0) Option.empty[Double] else Some(rng.nextDouble())))
+        .toDF("k", "ts", "rv")
+      val composed = graft.operators.AsOfJoin.asofBackward(l, r, "k", "ts", "rv")
+        .select("event_id", "asof_value").as[(Long, Option[Double])]
+        .collect().sortBy(_._1).toSeq
+      val native = graft.operators.AsOfJoin.asofBackwardNative(l, r, "k", "ts", "rv")
+        .select("event_id", "asof_value").as[(Long, Option[Double])]
+        .collect().sortBy(_._1).toSeq
+      assert(native == composed, s"trial $trial diverged")
+      assert(native.size == 400)
+    }
+  }
+
   test("bandJoin equals the naive band predicate on a randomized panel") {
     val rng = new scala.util.Random(7)
     val l = Seq.fill(300)((rng.nextInt(10000).toLong, s"k${rng.nextInt(4)}",
