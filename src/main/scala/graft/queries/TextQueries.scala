@@ -96,6 +96,30 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Overlapping token-window chunking (the RAG/context-window prep
+    * step: split each document into windows of [[ChunkLen]] tokens at
+    * stride [[ChunkStride]], tail windows shorter). Pure per-row array
+    * transform + posexplode — scan-parallel, no shuffle except the
+    * presentation sort; the chunk fingerprint keys downstream dedup and
+    * embedding jobs without re-shipping the text. */
+  val ChunkLen = 32
+  val ChunkStride = 24
+
+  def qChunking(spark: SparkSession, dir: String): DataFrame = {
+    val ts = col("ts")
+    val chunks = transform(
+      sequence(lit(1), size(ts), lit(ChunkStride)),
+      s => struct(
+        concat_ws(" ", slice(ts, s, lit(ChunkLen))).as("txt"),
+        least(lit(ChunkLen), size(ts) - s + 1).as("n")))
+    Tables.documents(spark, dir).filter(col("doc_id") < 50)
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .select(col("doc_id"), posexplode(chunks))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        col("col.n").cast("long").as("n_tokens"), md5(col("col.txt")).as("chunk_fp"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** MinHash signatures (k=8) for every document. */
   def qMinhashSig(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashSignatures(Tables.documents(spark, dir), 8)
@@ -209,6 +233,7 @@ object TextQueries {
     "q_simhash" -> qSimhash _,
     "q_multimodal_meta" -> qMultimodalMeta _,
     "q_decontaminate" -> qDecontaminate _,
+    "q_chunking" -> qChunking _,
   )
 
   private val NORM =
@@ -314,6 +339,16 @@ object TextQueries {
       s"""sh AS (
          |  SELECT DISTINCT doc_id, unnest($TOKS) AS s
          |  FROM documents WHERE doc_id < 100)""".stripMargin, 0.8),
+    "q_chunking" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS ts FROM documents WHERE doc_id < 50),
+         |g AS (
+         |  SELECT doc_id,
+         |    CAST((s - 1) // $ChunkStride AS BIGINT) AS chunk_idx,
+         |    CAST(least($ChunkLen, len(ts) - s + 1) AS BIGINT) AS n_tokens,
+         |    md5(array_to_string(ts[s : least(s + ${ChunkLen - 1}, len(ts))], ' ')) AS chunk_fp
+         |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(ts), $ChunkStride)) AS s))
+         |SELECT doc_id, chunk_idx, n_tokens, chunk_fp
+         |FROM g ORDER BY doc_id, chunk_idx""".stripMargin,
     "q_decontaminate" ->
       s"""WITH t AS (SELECT doc_id, $TOKS AS ts FROM documents),
          |g AS (

@@ -289,6 +289,24 @@ object Ingest {
       }
   }
 
+  /** ST6 extension: per-user SESSION windows (dynamic-gap twin of the
+    * batch Sessionize operator): a session closes when a user is silent
+    * for `gap`; the watermark both bounds state and finalizes sessions.
+    * Built-in `session_window` — state merging, late-row handling and
+    * append-mode finalization come from the engine, not hand-rolled
+    * state (compare operators/Sessionize.scala, the batch-side window
+    * formulation of the same semantics). */
+  def sessionCounts(events: DataFrame,
+                    gap: String = "30 minutes",
+                    watermark: String = "1 hour"): DataFrame =
+    withEventTime(events)
+      .withWatermark("event_time", watermark)
+      .groupBy(session_window(col("event_time"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("user_id"), col("n"), col("sum_value"))
+
   /** ST1+ST4+ST7: micro-batch ingest with a dual sink — the deduped
     * batch lands in the (day, batch_id)-partitioned landing table and
     * the alert subset in the alert table — via foreachBatch; an optional

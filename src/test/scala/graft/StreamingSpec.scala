@@ -153,6 +153,32 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("session windows split on the gap and finalize on watermark passage") {
+    val src = MemoryStream[Event]
+    val MinNs = 60L * 1000000000L
+    val q = Ingest.sessionCounts(src.toDF(), gap = "30 minutes", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: two events 10 min apart (one session), then one 2 h
+      // later (a second session)
+      src.addData(ev(1, 1, 1, 1.0), ev(2, 1, 1, 2.0, 10 * MinNs),
+        ev(3, 1, 1, 4.0, 120 * MinNs))
+      q.processAllAvailable()
+      // advance the watermark far past both session ends to emit them
+      src.addData(ev(4, 1, 2, 8.0, 600 * MinNs))
+      q.processAllAvailable()
+      src.addData(ev(5, 1, 2, 16.0, 601 * MinNs))
+      q.processAllAvailable()
+      val got = spark.table("sess_out")
+        .select("user_id", "n", "sum_value").as[(Long, Long, Double)].collect().toSet
+      assert(got.contains((1L, 2L, 3.0)), s"first session wrong: $got")  // events 1+2
+      assert(got.contains((1L, 1L, 4.0)), s"second session wrong: $got") // event 3
+      assert(!got.exists { case (u, n, _) => u == 1L && n == 3 },
+        "gap did not split the sessions")
+    } finally q.stop()
+  }
+
   test("timer-driven inactivity alerts fire on watermark passage, not input") {
     withRocksDBProvider {
       val src = MemoryStream[Event]
