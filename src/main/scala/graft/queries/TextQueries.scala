@@ -107,8 +107,15 @@ object TextQueries {
 
   def qChunking(spark: SparkSession, dir: String): DataFrame = {
     val ts = col("ts")
-    val chunks = transform(
+    // a tail window starting at s adds new content only if it reaches
+    // past the previous window's end (s-stride+len-1), i.e. the doc has
+    // at least len-stride tokens from s on — without the guard, short
+    // tails are strict subsets of their predecessor and downstream
+    // fingerprint consumers embed pure duplicates
+    val starts = filter(
       sequence(lit(1), size(ts), lit(ChunkStride)),
+      s => (s === 1) || (s + lit(ChunkLen - ChunkStride) <= size(ts)))
+    val chunks = transform(starts,
       s => struct(
         concat_ws(" ", slice(ts, s, lit(ChunkLen))).as("txt"),
         least(lit(ChunkLen), size(ts) - s + 1).as("n")))
@@ -343,10 +350,11 @@ object TextQueries {
       s"""WITH t AS (SELECT doc_id, $TOKS AS ts FROM documents WHERE doc_id < 50),
          |g AS (
          |  SELECT doc_id,
-         |    CAST((s - 1) // $ChunkStride AS BIGINT) AS chunk_idx,
+         |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS BIGINT) AS chunk_idx,
          |    CAST(least($ChunkLen, len(ts) - s + 1) AS BIGINT) AS n_tokens,
          |    md5(array_to_string(ts[s : least(s + ${ChunkLen - 1}, len(ts))], ' ')) AS chunk_fp
-         |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(ts), $ChunkStride)) AS s))
+         |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(ts), $ChunkStride)) AS s)
+         |  WHERE s = 1 OR s + ${ChunkLen - ChunkStride} <= len(ts))
          |SELECT doc_id, chunk_idx, n_tokens, chunk_fp
          |FROM g ORDER BY doc_id, chunk_idx""".stripMargin,
     "q_decontaminate" ->

@@ -289,13 +289,17 @@ object Ingest {
       }
   }
 
-  /** ST6 extension: per-user SESSION windows (dynamic-gap twin of the
-    * batch Sessionize operator): a session closes when a user is silent
-    * for `gap`; the watermark both bounds state and finalizes sessions.
-    * Built-in `session_window` — state merging, late-row handling and
-    * append-mode finalization come from the engine, not hand-rolled
-    * state (compare operators/Sessionize.scala, the batch-side window
-    * formulation of the same semantics). */
+  /** ST6 extension: per-user SESSION windows (streaming counterpart of
+    * the batch Sessionize operator): a session closes when a user is
+    * silent for `gap`; the watermark both bounds state and finalizes
+    * sessions. Built-in `session_window` — state merging, late-row
+    * handling and append-mode finalization come from the engine, not
+    * hand-rolled state.
+    *
+    * Boundary semantics MATCH operators/Sessionize.scala (measured,
+    * pinned in StreamingSpec): an event arriving exactly `gap` after
+    * the previous one merges into the same session, like the batch
+    * operator's strict `diff > gap` split. */
   def sessionCounts(events: DataFrame,
                     gap: String = "30 minutes",
                     watermark: String = "1 hour"): DataFrame =

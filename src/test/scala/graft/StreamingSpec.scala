@@ -161,9 +161,12 @@ class StreamingSpec extends AnyFunSuite {
       .outputMode(OutputMode.Append).start()
     try {
       // user 1: two events 10 min apart (one session), then one 2 h
-      // later (a second session)
+      // later (a second session); user 3: two events EXACTLY the gap
+      // apart — measured: they MERGE, matching the batch Sessionize
+      // operator's strict > gap split (doc'd in sessionCounts)
       src.addData(ev(1, 1, 1, 1.0), ev(2, 1, 1, 2.0, 10 * MinNs),
-        ev(3, 1, 1, 4.0, 120 * MinNs))
+        ev(3, 1, 1, 4.0, 120 * MinNs),
+        ev(6, 1, 3, 32.0), ev(7, 1, 3, 64.0, 30 * MinNs))
       q.processAllAvailable()
       // advance the watermark far past both session ends to emit them
       src.addData(ev(4, 1, 2, 8.0, 600 * MinNs))
@@ -176,6 +179,9 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.contains((1L, 1L, 4.0)), s"second session wrong: $got") // event 3
       assert(!got.exists { case (u, n, _) => u == 1L && n == 3 },
         "gap did not split the sessions")
+      // exactly-gap boundary: one merged session, same as the batch
+      // operator's strict > gap split
+      assert(got.contains((3L, 2L, 96.0)), s"boundary semantics changed: $got")
     } finally q.stop()
   }
 
