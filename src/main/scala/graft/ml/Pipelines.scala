@@ -220,6 +220,47 @@ object Pipelines {
     } finally scored.unpersist()
   }
 
+  /** In-plan quality gates for the rows-only ML queries, mirroring the
+    * ANN recall gates (SimilarityQueries.recallGated): the metric row —
+    * and every row cross-joined against it — survives only while the
+    * seeded model clears measured floors, so the driver's rows-only
+    * CORRECTNESS count is a live quality gate, not a bare count.
+    *
+    * Floors sit just under the minima measured across sf0.001/0.01/0.1
+    * (maxIter=10, temporalSplit(7), probe run 2026-08-12):
+    * AUC 0.761/0.816/0.818 → floor 0.70; accuracy 0.726/0.745/0.741 →
+    * floor 0.65; directional accuracy 0.665/0.665/0.710 → floor 0.60
+    * (chance ≈ 0.5). R² measured NEGATIVE at every SF (−44.9/−11.1/−0.06):
+    * next-step returns are heavy-tailed, so squared error rewards the
+    * mean-predictor and R² is not a usable quality floor here — the gate
+    * instead checks it is finite and ≤ 1 and leans on directional
+    * accuracy, the metric the reference itself ranks serving output by.
+    * MlSpec asserts the measured metrics clear the floors AND that
+    * sabotaged scored frames (flipped labels / negated predictions)
+    * produce ZERO gated rows. */
+  val AucFloor = 0.70
+  val AccuracyFloor = 0.65
+  val DirAccuracyFloor = 0.60
+
+  /** Gate over [[evalClassifier]] output: metric floors plus internal
+    * consistency (confusion cells partition n; n_correct = tp + tn). */
+  def classifierGate: org.apache.spark.sql.Column =
+    col("auc") > AucFloor && col("auc") <= 1.0 &&
+      col("accuracy") >= AccuracyFloor && col("accuracy") <= 1.0 &&
+      col("n") > 0 &&
+      (col("tp") + col("fp") + col("fn") + col("tn") === col("n")) &&
+      (col("n_correct") === col("tp") + col("tn"))
+
+  /** Gate over [[evalRegressor]] output: directional-accuracy floor plus
+    * finite, internally consistent error metrics (mse must equal rmse²). */
+  def regressorGate: org.apache.spark.sql.Column =
+    col("dir_accuracy") >= DirAccuracyFloor && col("dir_accuracy") <= 1.0 &&
+      col("n") > 0 &&
+      !isnan(col("rmse")) && col("rmse") > 0 &&
+      !isnan(col("mae")) && col("mae") > 0 &&
+      !isnan(col("r2")) && col("r2") <= 1.0 &&
+      abs(col("mse") - col("rmse") * col("rmse")) <= lit(1e-9) * col("mse")
+
   /** M16: serving post-processing — predicted next value from predicted
     * return, next-step timestamp, ranked output (ml_impl.py:146-156,191). */
   def servePredictions(scored: DataFrame, topK: Int = 20): DataFrame =

@@ -42,6 +42,32 @@ object MlQueries {
       Pipelines.trainClassifier(train, maxIter = 10)._1
     }
 
+  /** Holdout metric frames, evaluated once per (session, dir) — both the
+    * metric queries and the gates on the importances/serving queries read
+    * these (evalClassifier/evalRegressor localCheckpoint their 1-row
+    * output, so the memoized frame is a materialized scalar, not a
+    * re-scoring plan). */
+  private val clsMetricsMemo = new SessionMemo[String, DataFrame]
+  private val regMetricsMemo = new SessionMemo[String, DataFrame]
+
+  private def cachedClassifierMetrics(spark: SparkSession, dir: String): DataFrame =
+    clsMetricsMemo.getOrElseUpdate(spark, dir) {
+      val (_, test) = Pipelines.temporalSplit(cachedFeatures(spark, dir), 7)
+      Pipelines.evalClassifier(cachedClassifier(spark, dir).transform(test))
+    }
+
+  private def cachedRegressorMetrics(spark: SparkSession, dir: String): DataFrame =
+    regMetricsMemo.getOrElseUpdate(spark, dir) {
+      val (_, test) = Pipelines.temporalSplit(cachedFeatures(spark, dir), 7)
+      Pipelines.evalRegressor(cachedRegressor(spark, dir).transform(test))
+    }
+
+  /** Zero-or-one-row marker used to gate a dependent query's rows on a
+    * model-quality gate: cross-joining against it is a no-op while the
+    * gate holds and annihilates the result when it fails. */
+  private def gateMarker(metrics: DataFrame, gate: org.apache.spark.sql.Column): DataFrame =
+    metrics.filter(gate).select(lit(1).as("gate_ok"))
+
   /** M14+P8: serving-time whitelist — events in the 7-day holdout keep
     * only users seen in training; per-user event counts. */
   def qMlWhitelist(spark: SparkSession, dir: String): DataFrame = {
@@ -57,35 +83,56 @@ object MlQueries {
   }
 
   /** M1-M6: class-weighted GBT direction classifier, temporal split,
-    * AUC + accuracy + confusion counts (rows-only). */
-  def qMlClassifier(spark: SparkSession, dir: String): DataFrame = {
-    val (_, test) = Pipelines.temporalSplit(cachedFeatures(spark, dir), 7)
-    Pipelines.evalClassifier(cachedClassifier(spark, dir).transform(test))
-  }
+    * AUC + accuracy + confusion counts. Rows-only, but GATED in-plan
+    * (Pipelines.classifierGate): the single metric row vanishes if the
+    * seeded model stops clearing the measured AUC/accuracy floors or the
+    * confusion matrix goes inconsistent, so the driver's spark_rows=1 is
+    * a live quality check. */
+  def qMlClassifier(spark: SparkSession, dir: String): DataFrame =
+    cachedClassifierMetrics(spark, dir).filter(Pipelines.classifierGate)
 
   /** M6: named, ranked GBT feature importances from the (seeded,
     * deterministic) classifier — ref classifier.py:96-100 (rows-only:
-    * importances are model internals, not SQL-expressible). */
+    * importances are model internals, not SQL-expressible). Gated twice:
+    * on internal consistency (complete slate, non-negative, sums to 1,
+    * not degenerate-sparse) and on the classifier quality gate — junk
+    * model ⇒ zero rows. */
   def qMlImportances(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Pipelines.featureImportances(cachedClassifier(spark, dir))
+    val imp = Pipelines.featureImportances(cachedClassifier(spark, dir))
       .toDF("feature", "importance")
+    val consistency = imp.agg(
+      count(lit(1)).as("n_imp"),
+      sum(col("importance")).as("sum_imp"),
+      min(col("importance")).as("min_imp"),
+      sum(when(col("importance") > 0, 1).otherwise(0)).as("nz_imp"))
+    imp.crossJoin(broadcast(consistency))
+      .filter(col("n_imp") === Pipelines.AssembledFeatureNames.length &&
+        abs(col("sum_imp") - 1.0) < 1e-6 && col("min_imp") >= 0 &&
+        col("nz_imp") >= 3)
+      .crossJoin(broadcast(gateMarker(
+        cachedClassifierMetrics(spark, dir), Pipelines.classifierGate)))
       .select(col("feature"), rnd(col("importance"), 6).as("importance"))
       .orderBy(desc("importance"), col("feature"))
   }
 
   /** M9-M12: direction-weighted GBT return regressor, RMSE/MSE/MAE/R² +
-    * directional accuracy (rows-only). */
-  def qMlRegressor(spark: SparkSession, dir: String): DataFrame = {
-    val (_, test) = Pipelines.temporalSplit(cachedFeatures(spark, dir), 7)
-    Pipelines.evalRegressor(cachedRegressor(spark, dir).transform(test))
-  }
+    * directional accuracy. Rows-only but gated in-plan
+    * (Pipelines.regressorGate — directional-accuracy floor; see the gate
+    * Scaladoc for why R² cannot be the floor on this data). */
+  def qMlRegressor(spark: SparkSession, dir: String): DataFrame =
+    cachedRegressorMetrics(spark, dir).filter(Pipelines.regressorGate)
 
   /** M15-M16: ranked serving output — top predicted next-step returns on
-    * the holdout (rows-only). */
+    * the holdout. Gated on the regressor quality gate: if the model that
+    * produced the ranking stops clearing its floors, the served rows
+    * vanish with it. */
   def qMlServe(spark: SparkSession, dir: String): DataFrame = {
     val (_, test) = Pipelines.temporalSplit(cachedFeatures(spark, dir), 7)
     Pipelines.servePredictions(cachedRegressor(spark, dir).transform(test), topK = 20)
+      .crossJoin(broadcast(gateMarker(
+        cachedRegressorMetrics(spark, dir), Pipelines.regressorGate)))
+      .drop("gate_ok")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -113,6 +113,25 @@ class MlSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("ML quality gates: healthy metrics pass, sabotaged metrics yield zero rows") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (train, test) = split
+    // classifier — healthy model clears the gate, label-flip sabotage
+    // (AUC → 1 − AUC, far below the 0.70 floor) kills the metric row
+    val (_, score) = Pipelines.trainClassifier(train, maxIter = 10)
+    val scored = score(test)
+    assert(Pipelines.evalClassifier(scored).filter(Pipelines.classifierGate).count() == 1)
+    val flipped = scored.withColumn("label", lit(1.0) - col("label"))
+    assert(Pipelines.evalClassifier(flipped).filter(Pipelines.classifierGate).count() == 0)
+    // regressor — healthy passes; negated predictions invert directional
+    // accuracy (≈ 1 − 0.66, below the 0.60 floor) and kill the row
+    val reg = Pipelines.trainRegressor(train, maxIter = 10)
+    val rScored = reg.transform(test)
+    assert(Pipelines.evalRegressor(rScored).filter(Pipelines.regressorGate).count() == 1)
+    val negated = rScored.withColumn("prediction", -col("prediction"))
+    assert(Pipelines.evalRegressor(negated).filter(Pipelines.regressorGate).count() == 0)
+  }
+
   test("serving output ranks by predicted return descending") {
     val (train, test) = split
     val model = Pipelines.trainRegressor(train, maxIter = 3)
