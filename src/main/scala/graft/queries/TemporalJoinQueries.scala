@@ -27,6 +27,21 @@ object TemporalJoinQueries {
       .orderBy("event_id")
   }
 
+  /** The same as-of join through the COMPOSED union+window form
+    * (operators.AsOfJoin.asofBackward, SURVEY §7.3 path (a)) — declared
+    * so both implementations sit on the DuckDB oracle and the bench can
+    * A/B medians + shuffle bytes between them (VERDICT r3 item 3). */
+  def qAsofJoinComposed(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val signups = e.filter(col("event_type") === "signup")
+      .select("user_id", "ts", "value")
+    AsOfJoin.asofBackward(purchases, signups, "user_id", "ts", "value")
+      .select("event_id", "user_id", "value", "asof_value")
+      .orderBy("event_id")
+  }
+
   /** Sessionization with a 6-hour gap; per-session summaries. */
   def qSessionize(spark: SparkSession, dir: String): DataFrame =
     Sessionize.sessionSummary(
@@ -52,6 +67,7 @@ object TemporalJoinQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join" -> qAsofJoin _,
+    "q_asof_join_composed" -> qAsofJoinComposed _,
     "q_sessionize" -> qSessionize _,
     "q_band_join" -> qBandJoin _,
   )
@@ -64,6 +80,17 @@ object TemporalJoinQueries {
         |  AND abs(epoch_ns(e.ts) - epoch_ns(p.ts)) <= 3600000000000
         |WHERE e.user_id < 30
         |ORDER BY e.user_id, error_id, purchase_id""".stripMargin,
+    // both implementations against the SAME native DuckDB ASOF oracle
+    "q_asof_join_composed" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) AS tsn, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |r AS (
+        |  SELECT user_id, epoch_ns(ts) AS tsn, max(value) AS rv
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id, l.value, r.rv AS asof_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.tsn >= r.tsn
+        |ORDER BY l.event_id""".stripMargin,
     "q_asof_join" ->
       """WITH l AS (
         |  SELECT event_id, user_id, epoch_ns(ts) AS tsn, value

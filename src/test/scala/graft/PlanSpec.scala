@@ -71,6 +71,29 @@ class PlanSpec extends AnyFunSuite {
     assert("Sort \\[".r.findAllIn(p).size >= 2, p.take(1500))
   }
 
+  test("AsOfJoinExec compiles under whole-stage codegen and matches interpreted output") {
+    // primitive key/ts/value → the codegen fast path must engage: the
+    // node renders inside a WholeStageCodegen span. Fallback is disabled
+    // so a generated-code compile error fails HERE instead of silently
+    // reverting to the interpreted path.
+    val prevFallback = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = SparkEntry.queries("q_asof_join")(spark, TestSpark.Sf)
+      val compiled = df.collect()
+      // AQE finalizes (and codegen-collapses) the plan only at execution —
+      // inspect the executed plan AFTER the collect
+      val p = df.queryExecution.executedPlan.toString
+      assert("\\*\\(\\d+\\) AsOfJoin ".r.findFirstIn(p).nonEmpty,
+        s"AsOfJoinExec not inside a WholeStageCodegen span:\n${p.take(3000)}")
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      val interpreted = try SparkEntry.queries("q_asof_join")(spark, TestSpark.Sf).collect()
+      finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      assert(compiled.toSeq == interpreted.toSeq)
+      assert(compiled.nonEmpty)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prevFallback)
+  }
+
   test("q_topk plans as TakeOrderedAndProject (no global sort)") {
     assert(physical("q_topk").contains("TakeOrderedAndProject"))
   }
