@@ -94,6 +94,57 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.codegen.fallback", prevFallback)
   }
 
+  test("asof_join TVF: spark.sql reaches the native AsOfJoinExec") {
+    import org.apache.spark.sql.SparkSession
+    import org.apache.spark.sql.functions.col
+    // extensions apply at session construction; build a sibling session on
+    // the SAME SparkContext (never stop it), then restore the shared one
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .withExtensions(new graft.plans.GraftExtensions)
+        .getOrCreate()
+      val e = Tables.events(s2, TestSpark.Sf)
+      e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+        .createOrReplaceTempView("purchases")
+      e.filter(col("event_type") === "signup")
+        .select("user_id", "ts", "value")
+        .createOrReplaceTempView("signups")
+      val df = s2.sql(
+        "SELECT event_id, user_id, value, asof_value " +
+          "FROM asof_join('purchases', 'signups', 'user_id', 'ts', 'value')")
+      assert(df.queryExecution.executedPlan.toString.contains("AsOfJoin "),
+        df.queryExecution.executedPlan.toString.take(2000))
+      // same rows as the DataFrame-API native path
+      val viaSql = df.orderBy("event_id").collect().toSeq
+      val viaApi = graft.operators.AsOfJoin.asofBackwardNative(
+        e.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts", "value"),
+        e.filter(col("event_type") === "signup").select("user_id", "ts", "value"),
+        "user_id", "ts", "value")
+        .select("event_id", "user_id", "value", "asof_value")
+        .orderBy("event_id").collect().toSeq
+      assert(viaSql.nonEmpty && viaSql == viaApi)
+      // named-output + error-path UX
+      val named = s2.sql(
+        "SELECT last_signup FROM asof_join('purchases', 'signups', 'user_id', 'ts', 'value', 'last_signup')")
+      assert(named.columns.toSeq == Seq("last_signup"))
+      val err = intercept[Exception] {
+        s2.sql("SELECT * FROM asof_join('purchases', 'signups', 'no_such_col', 'ts', 'value')").collect()
+      }
+      assert(err.getMessage.contains("no_such_col"))
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setActiveSession(spark)
+      SparkSession.setDefaultSession(spark)
+    }
+  }
+
   test("q_topk plans as TakeOrderedAndProject (no global sort)") {
     assert(physical("q_topk").contains("TakeOrderedAndProject"))
   }
