@@ -276,8 +276,29 @@ object Relational {
       .orderBy("split")
   }
 
+  /** Skew-safe salted join (operators.SkewJoin, declared per VERDICT r3
+    * item 5): purchases × per-user signup counts on the power-law
+    * user_id. The salt spreads each hot key over 8 reducers; the right
+    * side replicates 8×, and the shuffle_hash hint pins the shuffled
+    * shape the salting exists for (a broadcast would bypass it — at
+    * 100 TB the per-user dim does not broadcast). Result is exactly the
+    * plain inner join (TemporalOpsSpec proves equality; the DuckDB
+    * oracle IS the plain join). PlanSpec asserts the salted shape. */
+  def qSkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "value")
+    val signups = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(count(lit(1)).as("n_signups"))
+    graft.operators.SkewJoin.saltedInnerJoin(
+      purchases, signups.hint("shuffle_hash"), "user_id", buckets = 8)
+      .select("event_id", "user_id", "value", "n_signups")
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> q1PricingSummary _,
+    "q_skew_join" -> qSkewJoin _,
     "q_projection" -> qProjection _,
     "q_derived" -> qDerived _,
     "q_cast_rename" -> qCastRename _,
@@ -304,6 +325,15 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // the salted join's oracle is the PLAIN join — identical result by
+    // construction is exactly the property being checked
+    "q_skew_join" ->
+      """SELECT e.event_id, e.user_id, e.value, s.n_signups
+        |FROM events e
+        |JOIN (SELECT user_id, count(*) AS n_signups FROM events
+        |      WHERE event_type = 'signup' GROUP BY user_id) s USING (user_id)
+        |WHERE e.event_type = 'purchase'
+        |ORDER BY e.event_id""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  floor((sum(l_quantity)) * 1e2 + 0.5) / 1e2 AS sum_qty,

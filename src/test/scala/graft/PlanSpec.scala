@@ -145,6 +145,14 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_skew_join plans the salted shape: replicated right, shuffled join on (key, salt)") {
+    val p = physical("q_skew_join")
+    assert(p.contains("Generate explode"), p.take(2000)) // right side × buckets
+    assert(p.contains("__salt"), p.take(2000))           // salt in the join keys
+    assert(p.contains("ShuffledHashJoin"), p.take(2000)) // pinned shuffle shape
+    assert(!p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   test("q_topk plans as TakeOrderedAndProject (no global sort)") {
     assert(physical("q_topk").contains("TakeOrderedAndProject"))
   }
