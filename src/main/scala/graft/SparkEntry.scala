@@ -36,7 +36,8 @@ object SparkEntry {
     graft.queries.MlQueries.queries ++
     graft.queries.ScalarQueries.queries ++
     graft.queries.TemporalJoinQueries.queries ++
-    graft.queries.TrainingDataQueries.queries
+    graft.queries.TrainingDataQueries.queries ++
+    graft.queries.MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -48,5 +49,6 @@ object SparkEntry {
     graft.queries.MlQueries.oracles ++
     graft.queries.ScalarQueries.oracles ++
     graft.queries.TemporalJoinQueries.oracles ++
-    graft.queries.TrainingDataQueries.oracles
+    graft.queries.TrainingDataQueries.oracles ++
+    graft.queries.MultimodalQueries.oracles
 }

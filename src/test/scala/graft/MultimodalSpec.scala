@@ -53,6 +53,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f(3).features.toSeq == Multimodal.byteFoldFeatures(Array[Byte](1, 2, 3)).toSeq)
   }
 
+  test("q_multimodal_decode: healthy fixture fills the gate; sabotage zeroes it") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.MultimodalQueries
+    val rows = MultimodalQueries.qMultimodalDecode(spark, TestSpark.Sf).collect()
+    assert(rows.length == MultimodalQueries.NumImages * Multimodal.FeatureDim,
+      s"expected full gated grid, got ${rows.length}")
+    // sabotage 1: corrupt payloads (decode falls back to byte-fold) must
+    // fail the in-plan expected-luma gate, not sneak through
+    val corrupt = (0L until 4L).map(id =>
+      Multimodal.MediaRecord(id, "image/png", Array[Byte](9, 9, 9))).toDS()
+    val corruptRows = Multimodal.decodeFeatures(corrupt).toDF()
+      .select(col("doc_id"), posexplode(col("features")))
+      .select(col("doc_id"), col("pos").cast("long").as("cell"), col("col").cast("double").as("luma"))
+      .filter(abs(col("luma") - (col("doc_id") * 17 + col("cell") * 13) % 256 / lit(255.0)) < 1e-6)
+    assert(corruptRows.count() == 0)
+    // sabotage 2: right images, wrong cell mapping (transposed grid) —
+    // off-diagonal cells must fail the gate
+    val transposed = (0L until 4L).map { id =>
+      val f = MultimodalQueries.pngBytes(id)
+      Multimodal.MediaRecord(id, "image/png", f)
+    }.toDS()
+    val wrongExpected = Multimodal.decodeFeatures(transposed).toDF()
+      .select(col("doc_id"), posexplode(col("features")))
+      .select(col("doc_id"), col("pos").cast("long").as("cell"), col("col").cast("double").as("luma"))
+      // transpose: cell (r,c) → (c,r) = (cell%4)*4 + cell/4
+      .filter(abs(col("luma") -
+        (col("doc_id") * 17 + ((col("cell") % 4) * 4 + floor(col("cell") / 4)) * 13) % 256 / lit(255.0)) < 1e-6)
+    // diagonal cells (r==c) still match; all 12 off-diagonal cells per
+    // image must not
+    assert(wrongExpected.count() == 4 * 4, s"transposed gate leaked: ${wrongExpected.count()}")
+  }
+
   test("frame sampling keeps every stride-th frame with byte offsets") {
     val docs = Seq((1L, "x" * 1000)).toDF("doc_id", "text")
     val frames = Multimodal.sampleFrameOffsets(Multimodal.packText(docs), stride = 2)
