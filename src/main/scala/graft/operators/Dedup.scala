@@ -145,7 +145,7 @@ object Dedup {
     * Returns (id, label) where label = the minimum doc id of the node's
     * component. Nodes touching no pair are absent — callers coalesce to
     * self. */
-  def canonicalGroups(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def canonicalGroups(pairs: DataFrame, maxIters: Int = 64): DataFrame = {
     val edges = pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
       .distinct()
@@ -188,8 +188,13 @@ object Dedup {
     }
     edges.unpersist()
     // a capped non-converged result is silently WRONG (mid-chain labels)
-    // — refuse rather than return it; real dup clusters are near-cliques,
-    // so hitting this means an adversarial chain: raise maxIters
+    // — refuse rather than return it. Pointer jumping doubles label
+    // reach per round, so coverage is diameter ≤ 2^maxIters: the default
+    // 64 converges for ANY graph (a 2^64-hop chain cannot exist), and
+    // the throw only fires for callers who explicitly bound iterations.
+    // Measured: a 5000-hop chain converges in 13 rounds (DedupSpec) —
+    // the large-star/small-star alternative shares the same O(log d)
+    // bound and would add a second code path for no asymptotic gain.
     if (!converged) {
       throw new IllegalStateException(
         s"canonicalGroups did not converge within $maxIters iterations — " +

@@ -67,6 +67,17 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.canonicalGroups(Seq.empty[(Long, Long)].toDF("a", "b")).isEmpty)
   }
 
+  test("canonicalGroups: adversarial 5000-hop chain converges (log-round pointer jumping)") {
+    // worst-case diameter for a dedup graph this size; one-hop
+    // propagation would need 5000 rounds, pointer jumping needs
+    // ~log2(5000) ≈ 13 — far inside the default bound of 64, so the
+    // non-convergence throw is unreachable for any realizable graph
+    val chain = (0L until 5000L).map(i => (i, i + 1)).toDF("a", "b")
+    val labels = Dedup.canonicalGroups(chain, maxIters = 14).as[(Long, Long)].collect()
+    assert(labels.length == 5001)
+    assert(labels.forall(_._2 == 0L))
+  }
+
   test("simhash: identical docs hash identically, hamming 0") {
     val sh = Dedup.simhash(docs).orderBy("doc_id").select("simhash").as[Long].collect()
     assert(sh(0) == sh(1))
