@@ -27,7 +27,8 @@ class QueriesSmokeSpec extends AnyFunSuite {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle.subsetOf(
       Set("q_ann_lsh", "q_ann_ivf", "q_ann_ivf_indexed", "q_ml_classifier",
-        "q_ml_regressor", "q_ml_serve", "q_ml_importances", "q_approx_sketch")),
+        "q_ml_regressor", "q_ml_serve", "q_ml_importances", "q_approx_sketch",
+        "q_multimodal_decode")), // self-gated on closed-form luma (no PNG codec in DuckDB)
       s"undocumented rows-only: $noOracle")
   }
 
