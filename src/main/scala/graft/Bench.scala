@@ -83,7 +83,8 @@ object Bench {
       "q_ml_importances", "q_ml_serve",   // feature frame + fits + metric frames
       "q_ml_classifier", "q_ml_regressor", // gated metric memos
       "q_dedup_groups",                   // MinHash pair memo
-      "q_ann_ivf_indexed", "q_ann_lsh")   // quantizer + brute ground truth + index
+      "q_ann_ivf_indexed", "q_ann_lsh",   // quantizer + brute ground truth + index
+      "q_multimodal_decode")              // PNG fixture synthesis + parquet write
     val tWarm0 = System.nanoTime()
     (Seq("lineitem", "orders", "customer", "part", "events", "documents", "embeddings")
       .map(t => () => Tables.read(spark, sfDir, t).count()) ++
@@ -96,48 +97,42 @@ object Bench {
     // reports -1
     case class QStats(cold: Double, warm: Double, bytesPerRep: Long)
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val repsOut = (1 to reps).flatMap { _ =>
+      val repsOut = (1 to reps).flatMap { rep =>
         val t0 = System.nanoTime()
         try {
           val (_, bytes) = shuffleDelta(() => fn(spark, sfDir).queryExecution.toRdd.count())
-          Some(((System.nanoTime() - t0) / 1e9, bytes))
+          Some((rep, (System.nanoTime() - t0) / 1e9, bytes))
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); None
         }
       }
       name -> (if (repsOut.isEmpty) QStats(-1.0, -1.0, -1L)
       else {
-        val sortedTimes = repsOut.map(_._1).sorted
+        val sortedTimes = repsOut.map(_._2).sorted
         QStats(
-          cold = repsOut.head._1,
+          // cold is the FIRST rep specifically — if it failed, -1, never
+          // a warmed rep masquerading as the cold number
+          cold = repsOut.find(_._1 == 1).map(_._2).getOrElse(-1.0),
           warm = sortedTimes(sortedTimes.size / 2),
-          bytesPerRep = repsOut.map(_._2).sum / repsOut.size)
+          bytesPerRep = repsOut.map(_._3).sum / repsOut.size)
       })
     }
 
-    // native-vs-composed as-of A/B at the same reps (both queries are
-    // also in `results`; this block pins the comparison side by side)
-    def medianOf(name: String): (Double, Long) = {
-      val runs = (1 to reps).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try {
-          val (_, b) = shuffleDelta(() => SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count())
-          Some(((System.nanoTime() - t0) / 1e9, b))
-        } catch { case _: Throwable => None }
-      }
-      if (runs.isEmpty) (-1.0, -1L)
-      else (runs.map(_._1).sorted.apply(runs.size / 2), runs.map(_._2).sum / runs.size)
+    // native-vs-composed as-of A/B, pinned side by side from the SAME
+    // measured reps as the per-query stats (re-running them here would
+    // just burn wall-clock and let the two records disagree)
+    val ab = {
+      val n = results("q_asof_join")
+      val c = results("q_asof_join_composed")
+      s"""{"native_sec":${n.warm},"native_shuffle_bytes":${n.bytesPerRep},""" +
+        s""""composed_sec":${c.warm},"composed_shuffle_bytes":${c.bytesPerRep}}"""
     }
-    val (nativeSec, nativeBytes) = medianOf("q_asof_join")
-    val (composedSec, composedBytes) = medianOf("q_asof_join_composed")
 
     def jmap[A](m: Iterable[(String, A)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = jmap(results.map { case (k, s) => k -> s.warm })
     val cold = jmap(results.map { case (k, s) => k -> s.cold })
     val bytes = jmap(results.map { case (k, s) => k -> s.bytesPerRep })
-    val ab = s"""{"native_sec":$nativeSec,"native_shuffle_bytes":$nativeBytes,""" +
-      s""""composed_sec":$composedSec,"composed_shuffle_bytes":$composedBytes}"""
     val total = results.values.map(_.warm).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""cold":$cold,"shuffle_bytes":$bytes,"warmup_sec":$warmupSec,""" +

@@ -252,13 +252,17 @@ object Pipelines {
       (col("n_correct") === col("tp") + col("tn"))
 
   /** Gate over [[evalRegressor]] output: directional-accuracy floor plus
-    * finite, internally consistent error metrics (mse must equal rmse²). */
+    * finite, internally consistent error metrics (mse must equal rmse²).
+    * rmse/mae are allowed to be exactly 0 — a perfect fit must not read
+    * as a failure — and r2 is bounded BELOW by Double.MinValue so a
+    * constant-target holdout's r2 = −Infinity fails the finiteness
+    * claim instead of sneaking past a NaN-only check. */
   def regressorGate: org.apache.spark.sql.Column =
     col("dir_accuracy") >= DirAccuracyFloor && col("dir_accuracy") <= 1.0 &&
       col("n") > 0 &&
-      !isnan(col("rmse")) && col("rmse") > 0 &&
-      !isnan(col("mae")) && col("mae") > 0 &&
-      !isnan(col("r2")) && col("r2") <= 1.0 &&
+      !isnan(col("rmse")) && col("rmse") >= 0 &&
+      !isnan(col("mae")) && col("mae") >= 0 &&
+      !isnan(col("r2")) && col("r2") <= 1.0 && col("r2") >= lit(Double.MinValue) &&
       abs(col("mse") - col("rmse") * col("rmse")) <= lit(1e-9) * col("mse")
 
   /** M16: serving post-processing — predicted next value from predicted
