@@ -21,6 +21,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectResolutionRule(_ => ResolveAsOfJoin)
+    e.injectResolutionRule(s => ResolveGraftOp(s))
+    // composed-operator TVFs: SQL reaches the DataFrame-only operators
+    // (sessionize / exact dedup / MinHash-LSH dedup) through one shared
+    // placeholder + resolution-rule recipe — see ResolveGraftOp
+    GraftFunctions.composedTvfs.foreach { case (name, (usage, nArgs)) =>
+      e.injectTableFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new ExpressionInfo(classOf[UnresolvedGraftOp].getName, name),
+        GraftFunctions.buildGraftOp(name, usage, nArgs)))
+    }
     // SQL-callable as-of join: SELECT * FROM asof_join('l','r','k','ts','v')
     // — the one operator a SQL-only client couldn't reach before. Needs a
     // session built with these extensions (the resolution rule cannot be
@@ -38,6 +48,71 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.FunctionIdentifier("graft_hyperplane_bucket"),
       new ExpressionInfo(classOf[HyperplaneBuckets].getName, "graft_hyperplane_bucket"),
       buildBucket))
+  }
+}
+
+/** SQL-surface placeholder for the COMPOSED graft operators (sessionize,
+  * dedup): carries the op name and already-extracted literal arguments;
+  * [[ResolveGraftOp]] applies the real DataFrame operator once the table
+  * resolves. One node serves every composed TVF — unlike the as-of join
+  * there is no custom physical operator underneath, so the rewrite can
+  * delegate to the public operator API instead of hand-building plans. */
+case class UnresolvedGraftOp(
+    child: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+    op: String, args: Seq[Any])
+  extends org.apache.spark.sql.catalyst.plans.logical.UnaryNode {
+  import org.apache.spark.sql.catalyst.expressions.Attribute
+  override lazy val resolved: Boolean = false
+  override def output: Seq[Attribute] = Nil
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): UnresolvedGraftOp =
+    copy(child = newChild)
+}
+
+/** Resolves [[UnresolvedGraftOp]] by wrapping the resolved child in a
+  * DataFrame (GraftPlanBridge) and applying the corresponding operator
+  * from graft.operators — the composed plan is analyzed and spliced
+  * back; the surrounding fixpoint then resolves any parent references
+  * against its output. */
+case class ResolveGraftOp(spark: org.apache.spark.sql.SparkSession)
+  extends org.apache.spark.sql.catalyst.rules.Rule[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  import org.apache.spark.sql.functions.col
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+    case u: UnresolvedGraftOp if u.childrenResolved =>
+      val df = org.apache.spark.sql.GraftPlanBridge.ofRows(spark, u.child)
+      def str(i: Int): String = u.args(i) match {
+        case s: String => s
+        case other => throw new IllegalArgumentException(
+          s"${u.op}: argument ${i + 2} must be a string literal, got $other")
+      }
+      def lng(i: Int): Long = u.args(i) match {
+        case l: Long => l
+        case n: Int => n.toLong
+        case other => throw new IllegalArgumentException(
+          s"${u.op}: argument ${i + 2} must be an integer literal, got $other")
+      }
+      def dbl(i: Int): Double = u.args(i) match {
+        case d: Double => d
+        case l: Long => l.toDouble
+        case n: Int => n.toDouble
+        case other => throw new IllegalArgumentException(
+          s"${u.op}: argument ${i + 2} must be a numeric literal, got $other")
+      }
+      val out = u.op match {
+        case "sessionize" => // (key, ts, gapNanos, idCol)
+          graft.operators.Sessionize.withSessionIdx(
+            df, str(0), str(1), lng(2), Seq(col(str(1)), col(str(3))))
+        case "dedup_exact" => // (idCol, textCol)
+          graft.operators.Dedup.exactDedup(df, str(0), str(1))
+        case "minhash_dedup" => // (idCol, textCol, threshold)
+          graft.operators.Dedup.minhashDedupPairs(
+            df, idCol = str(0), textCol = str(1), threshold = dbl(2))
+        case other => throw new IllegalArgumentException(s"unknown graft op $other")
+      }
+      out.queryExecution.analyzed
   }
 }
 
@@ -95,6 +170,42 @@ object GraftFunctions {
       UnresolvedRelation(args(1).split('.').toIndexedSeq),
       args(2), args(3), args(4),
       if (args.length == 6) args(5) else "asof_value")
+  }
+
+  /** Composed-operator TVF registry: name → (usage, arg count AFTER the
+    * table argument). */
+  private[plans] val composedTvfs: Map[String, (String, Int)] = Map(
+    "sessionize" -> ("sessionize(table, key, ts, gapNanos, idCol)", 4),
+    "dedup_exact" -> ("dedup_exact(table, idCol, textCol)", 2),
+    "minhash_dedup" -> ("minhash_dedup(table, idCol, textCol, threshold)", 3))
+
+  /** Builder for a composed-operator TVF: first argument is the table
+    * name (string literal, optionally qualified); the rest are literal
+    * scalars passed through to [[ResolveGraftOp]]. */
+  private[plans] def buildGraftOp(op: String, usage: String, nArgs: Int):
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = exprs => {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+    import org.apache.spark.sql.types.{StringType, IntegerType, LongType, DoubleType}
+    requireArity(exprs, nArgs + 1, usage)
+    def litAny(e: Expression): Any = e match {
+      case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) if s != null =>
+        s.toString
+      case Literal(v: Int, IntegerType) => v
+      case Literal(v: Long, LongType) => v
+      case Literal(v: Double, DoubleType) => v
+      case Literal(d: org.apache.spark.sql.types.Decimal, _) => d.toDouble
+      case other => throw new IllegalArgumentException(
+        s"$usage expects literal arguments, got $other")
+    }
+    val table = litAny(exprs.head) match {
+      case s: String => s
+      case other => throw new IllegalArgumentException(
+        s"$usage expects a string table name, got $other")
+    }
+    UnresolvedGraftOp(
+      UnresolvedRelation(table.split('.').toIndexedSeq), op, exprs.tail.map(litAny))
   }
 
   def register(spark: SparkSession): Unit = {

@@ -94,19 +94,30 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.codegen.fallback", prevFallback)
   }
 
-  test("asof_join TVF: spark.sql reaches the native AsOfJoinExec") {
+  /** Extensions apply at session construction; build a sibling session
+    * on the SAME SparkContext (never stop it), then restore the shared
+    * one regardless of outcome. */
+  private def withExtensionsSession(f: org.apache.spark.sql.SparkSession => Unit): Unit = {
     import org.apache.spark.sql.SparkSession
-    import org.apache.spark.sql.functions.col
-    // extensions apply at session construction; build a sibling session on
-    // the SAME SparkContext (never stop it), then restore the shared one
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     try {
-      val s2 = SparkSession.builder()
+      f(SparkSession.builder()
         .master("local[4]")
         .config("spark.sql.shuffle.partitions", "4")
         .withExtensions(new graft.plans.GraftExtensions)
-        .getOrCreate()
+        .getOrCreate())
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setActiveSession(spark)
+      SparkSession.setDefaultSession(spark)
+    }
+  }
+
+  test("asof_join TVF: spark.sql reaches the native AsOfJoinExec") {
+    import org.apache.spark.sql.functions.col
+    withExtensionsSession { s2 =>
       val e = Tables.events(s2, TestSpark.Sf)
       e.filter(col("event_type") === "purchase")
         .select("event_id", "user_id", "ts", "value")
@@ -137,11 +148,40 @@ class PlanSpec extends AnyFunSuite {
         s2.sql("SELECT * FROM asof_join('purchases', 'signups', 'no_such_col', 'ts', 'value')").collect()
       }
       assert(err.getMessage.contains("no_such_col"))
-    } finally {
-      SparkSession.clearActiveSession()
-      SparkSession.clearDefaultSession()
-      SparkSession.setActiveSession(spark)
-      SparkSession.setDefaultSession(spark)
+    }
+  }
+
+  test("composed-operator TVFs: sessionize / dedup_exact / minhash_dedup from SQL") {
+    import org.apache.spark.sql.functions.col
+    withExtensionsSession { s2 =>
+      Tables.events(s2, TestSpark.Sf).createOrReplaceTempView("evts")
+      Tables.documents(s2, TestSpark.Sf).filter(col("doc_id") < 100)
+        .createOrReplaceTempView("docs")
+      // sessionize: SQL rows == DataFrame-path rows
+      val viaSql = s2.sql(
+        "SELECT user_id, event_id, session_idx " +
+          "FROM sessionize('evts', 'user_id', 'ts', 21600000000000, 'event_id') " +
+          "ORDER BY user_id, event_id").collect().toSeq
+      val viaApi = graft.operators.Sessionize.withSessionIdx(
+        Tables.events(s2, TestSpark.Sf), "user_id", "ts",
+        21600000000000L, Seq(col("ts"), col("event_id")))
+        .select("user_id", "event_id", "session_idx")
+        .orderBy("user_id", "event_id").collect().toSeq
+      assert(viaSql.nonEmpty && viaSql == viaApi)
+      // minhash_dedup: pair set parity with the operator
+      val pairsSql = s2.sql(
+        "SELECT a, b FROM minhash_dedup('docs', 'doc_id', 'text', 0.8) ORDER BY a, b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val pairsApi = graft.operators.Dedup.minhashDedupPairs(
+        Tables.documents(s2, TestSpark.Sf).filter(col("doc_id") < 100), threshold = 0.8)
+        .select("a", "b").orderBy("a", "b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(pairsSql.nonEmpty && pairsSql == pairsApi)
+      // dedup_exact keeps one representative per fingerprint
+      val kept = s2.sql("SELECT * FROM dedup_exact('docs', 'doc_id', 'text')")
+      assert(kept.count() ==
+        graft.operators.Dedup.exactDedup(
+          Tables.documents(s2, TestSpark.Sf).filter(col("doc_id") < 100)).count())
     }
   }
 
