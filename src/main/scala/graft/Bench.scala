@@ -68,12 +68,17 @@ object Bench {
         if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
       }
     })
-    def shuffleDelta[A](f: () => A): (A, Long) = {
+    // returns (result, shuffleBytes, execSeconds): the timed window
+    // brackets ONLY f() — listener-bus drains (up to the 60s swallowed
+    // timeout) must never be charged to the query they follow
+    def shuffleDelta[A](f: () => A): (A, Long, Double) = {
       GraftListenerBridge.flushListeners(spark.sparkContext)
       val before = shuffleBytes.get()
+      val t0 = System.nanoTime()
       val out = f()
+      val sec = (System.nanoTime() - t0) / 1e9
       GraftListenerBridge.flushListeners(spark.sparkContext)
-      (out, shuffleBytes.get() - before)
+      (out, shuffleBytes.get() - before, sec)
     }
 
     // warmup is best-effort: a missing table must not kill the run before
@@ -98,10 +103,9 @@ object Bench {
     case class QStats(cold: Double, warm: Double, bytesPerRep: Long)
     val results = SparkEntry.queries.map { case (name, fn) =>
       val repsOut = (1 to reps).flatMap { rep =>
-        val t0 = System.nanoTime()
         try {
-          val (_, bytes) = shuffleDelta(() => fn(spark, sfDir).queryExecution.toRdd.count())
-          Some((rep, (System.nanoTime() - t0) / 1e9, bytes))
+          val (_, bytes, sec) = shuffleDelta(() => fn(spark, sfDir).queryExecution.toRdd.count())
+          Some((rep, sec, bytes))
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); None
         }

@@ -252,18 +252,18 @@ object Pipelines {
       (col("n_correct") === col("tp") + col("tn"))
 
   /** Gate over [[evalRegressor]] output: directional-accuracy floor plus
-    * finite, internally consistent error metrics (mse must equal rmse²).
-    * rmse/mae are allowed to be exactly 0 — a perfect fit must not read
-    * as a failure — and r2 is bounded BELOW by Double.MinValue so a
-    * constant-target holdout's r2 = −Infinity fails the finiteness
-    * claim instead of sneaking past a NaN-only check. */
+    * finite error metrics. rmse/mae are allowed to be exactly 0 — a
+    * perfect fit must not read as a failure — and r2 is bounded BELOW by
+    * Double.MinValue so a constant-target holdout's r2 = −Infinity fails
+    * the finiteness claim instead of sneaking past a NaN-only check.
+    * (No mse-vs-rmse² clause: evalRegressor constructs mse AS rmse², so
+    * such a check would be tautological dead code, not a safeguard.) */
   def regressorGate: org.apache.spark.sql.Column =
     col("dir_accuracy") >= DirAccuracyFloor && col("dir_accuracy") <= 1.0 &&
       col("n") > 0 &&
       !isnan(col("rmse")) && col("rmse") >= 0 &&
       !isnan(col("mae")) && col("mae") >= 0 &&
-      !isnan(col("r2")) && col("r2") <= 1.0 && col("r2") >= lit(Double.MinValue) &&
-      abs(col("mse") - col("rmse") * col("rmse")) <= lit(1e-9) * col("mse")
+      !isnan(col("r2")) && col("r2") <= 1.0 && col("r2") >= lit(Double.MinValue)
 
   /** M16: serving post-processing — predicted next value from predicted
     * return, next-step timestamp, ranked output (ml_impl.py:146-156,191). */

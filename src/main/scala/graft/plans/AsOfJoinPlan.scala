@@ -93,6 +93,13 @@ object ResolveAsOfJoin extends org.apache.spark.sql.catalyst.rules.Rule[LogicalP
           case many => throw new IllegalArgumentException(
             s"asof_join: column `$n` is ambiguous on the $side side (${many.size} matches)")
         }
+      // the composed path rejects out-name clashes up front; the SQL
+      // surface must too — otherwise star expansion silently duplicates
+      // a column and downstream references die on ambiguity
+      if (u.left.output.exists(a => conf.resolver(a.name, u.outName)))
+        throw new IllegalArgumentException(
+          s"asof_join: output column `${u.outName}` collides with a left-side " +
+            "column; pass a distinct name as the 6th argument")
       val lk = find(u.left, u.keyName, "left")
       val lt = find(u.left, u.tsName, "left")
       val rk0 = find(u.right, u.keyName, "right")

@@ -166,11 +166,18 @@ object GraftFunctions {
     }
     val args = exprs.map(litStr)
     UnresolvedAsOfJoin(
-      UnresolvedRelation(args(0).split('.').toIndexedSeq),
-      UnresolvedRelation(args(1).split('.').toIndexedSeq),
+      UnresolvedRelation(GraftFunctions.tableName(args(0))),
+      UnresolvedRelation(GraftFunctions.tableName(args(1))),
       args(2), args(3), args(4),
       if (args.length == 6) args(5) else "asof_value")
   }
+
+  /** Multipart-identifier parse for TVF table arguments: a naive
+    * split('.') would shred backticked names that legitimately contain
+    * dots (`my.view`) into db/table parts. */
+  private[plans] def tableName(raw: String): Seq[String] =
+    org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseMultipartIdentifier(raw)
 
   /** Composed-operator TVF registry: name → (usage, arg count AFTER the
     * table argument). */
@@ -205,7 +212,7 @@ object GraftFunctions {
         s"$usage expects a string table name, got $other")
     }
     UnresolvedGraftOp(
-      UnresolvedRelation(table.split('.').toIndexedSeq), op, exprs.tail.map(litAny))
+      UnresolvedRelation(GraftFunctions.tableName(table)), op, exprs.tail.map(litAny))
   }
 
   def register(spark: SparkSession): Unit = {

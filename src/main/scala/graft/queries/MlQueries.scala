@@ -129,10 +129,14 @@ object MlQueries {
     * vanish with it. */
   def qMlServe(spark: SparkSession, dir: String): DataFrame = {
     val (_, test) = Pipelines.temporalSplit(cachedFeatures(spark, dir), 7)
-    Pipelines.servePredictions(cachedRegressor(spark, dir).transform(test), topK = 20)
+    // gate the SCORED frame, then rank — the ranking orderBy+limit must
+    // stay the plan's top-level sort (a sort below a join confers no
+    // output ordering, and this query is documented as ranked output)
+    val gated = cachedRegressor(spark, dir).transform(test)
       .crossJoin(broadcast(gateMarker(
         cachedRegressorMetrics(spark, dir), Pipelines.regressorGate)))
       .drop("gate_ok")
+    Pipelines.servePredictions(gated, topK = 20)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

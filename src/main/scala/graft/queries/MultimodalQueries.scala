@@ -58,7 +58,16 @@ object MultimodalQueries {
   def fixturePath(spark: SparkSession, dir: String): String =
     fixtureMemo.getOrElseUpdate(spark, dir) {
       import spark.implicits._
-      val path = java.nio.file.Files.createTempDirectory("graft-media").toString + "/media"
+      val tmp = java.nio.file.Files.createTempDirectory("graft-media")
+      // SessionMemo eviction drops only the map entry — without a
+      // shutdown sweep every session leaves a /tmp/graft-media* behind
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        } catch { case scala.util.control.NonFatal(_) => () }))
+      val path = tmp.toString + "/media"
       (0L until NumImages.toLong).map(id => Multimodal.MediaRecord(id, "image/png", pngBytes(id)))
         .toDF().repartition(4).write.mode("overwrite").parquet(path)
       path

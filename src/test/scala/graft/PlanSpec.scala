@@ -148,6 +148,11 @@ class PlanSpec extends AnyFunSuite {
         s2.sql("SELECT * FROM asof_join('purchases', 'signups', 'no_such_col', 'ts', 'value')").collect()
       }
       assert(err.getMessage.contains("no_such_col"))
+      // out-name colliding with a left column is rejected up front
+      val clash = intercept[Exception] {
+        s2.sql("SELECT * FROM asof_join('purchases', 'signups', 'user_id', 'ts', 'value', 'value')").collect()
+      }
+      assert(clash.getMessage.contains("collides"))
     }
   }
 
