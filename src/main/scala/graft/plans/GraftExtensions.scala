@@ -4,16 +4,22 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-/** SQL exposure of the native expressions: `graft_dot(a, b)` and
-  * `graft_hyperplane_bucket(vec, planeOffset, planeCount)` become
-  * callable from `spark.sql(...)` and SQL-only clients, plus the
-  * [[AsOfJoinStrategy]] planner rule for the native as-of join node.
+/** SQL exposure of the graft engine:
+  *  - scalar expressions `graft_dot(a, b)` and
+  *    `graft_hyperplane_bucket(vec, planeOffset, planeCount)`;
+  *  - the [[AsOfJoinStrategy]] planner rule for the native as-of join;
+  *  - table functions — `asof_join(l, r, key, ts, value[, out])` plans
+  *    the native [[AsOfJoinExec]], and `sessionize` / `dedup_exact` /
+  *    `minhash_dedup` reach the composed operators — each backed by a
+  *    resolution rule ([[ResolveAsOfJoin]], [[ResolveGraftOp]]).
   *
   * Two registration paths:
   *  - [[GraftExtensions]] for session construction
   *    (`.withExtensions(new GraftExtensions)`) or
   *    `spark.sql.extensions=graft.plans.GraftExtensions` cluster config;
-  *  - [[GraftFunctions.register]] for an already-running session.
+  *  - [[GraftFunctions.register]] for an already-running session —
+  *    scalar functions only: resolution rules cannot be added to a live
+  *    session, so the table functions require the extensions path.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftFunctions.{buildBucket, buildDot}
