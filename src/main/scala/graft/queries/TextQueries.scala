@@ -81,24 +81,13 @@ object TextQueries {
   def qDecontaminate(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val n = 5
-    // Shingle rows with ZERO higher-order functions: tokens materialized
-    // as their own projection (multi-referenced non-cheap alias —
-    // CollapseProject keeps it), positions posexploded, the shingle
-    // built by a top-level codegen'd concat_ws(slice(...)). ~100× the
-    // interpreted-lambda form at sf0.1 (34 s → 0.3 s). Dedup happens
-    // AFTER the broadcast probe (countDistinct over the sparse matches)
-    // instead of array_distinct per doc — no extra shuffle, and only
-    // matched shingles pay the dedup. The when-guard keeps short docs
-    // out of sequence(), which would otherwise run BACKWARDS ([1,0]).
-    def shingleRows(df: DataFrame): DataFrame =
-      df.select(col("doc_id"), tokens(col("text")).as("ts"))
-        .select(col("doc_id"), col("ts"),
-          explode(when(size(col("ts")) >= n,
-            sequence(lit(1), size(col("ts")) - lit(n - 1)))
-            .otherwise(lit(null).cast("array<int>"))).as("i"))
-        .select(col("doc_id"), concat_ws(" ", slice(col("ts"), col("i"), lit(n))).as("sh"))
-    val bench = shingleRows(docs.filter(col("doc_id") < 10)).select("sh").distinct()
-    val hits = shingleRows(docs.filter(col("doc_id") >= 10))
+    // Shingle rows via the shared zero-HOF shape (TextFunctions
+    // .shingleRows, ~100× the interpreted-lambda form: 34 s → 0.3 s at
+    // sf0.1). Dedup happens AFTER the broadcast probe (countDistinct
+    // over the sparse matches) instead of array_distinct per doc — no
+    // extra shuffle, and only matched shingles pay the dedup.
+    val bench = shingleRows(docs.filter(col("doc_id") < 10), n).select("sh").distinct()
+    val hits = shingleRows(docs.filter(col("doc_id") >= 10), n)
       .join(broadcast(bench), Seq("sh"))
       .groupBy("doc_id").agg(count_distinct(col("sh")).as("n_hits"))
     docs.filter(col("doc_id") >= 10)

@@ -158,7 +158,47 @@ object TrainingDataQueries {
       .orderBy("event_id")
   }
 
+  /** End-to-end training-data pipeline COMPOSED from the declared
+    * operators — the "a user of the reference could switch" demo as one
+    * oracled query: exact dedup (keep the canonical min-id row per
+    * content fingerprint) → benchmark decontamination (drop corpus docs
+    * sharing any 5-gram with the doc_id<10 eval slice) → quality floor
+    * (≥ 20 tokens) → chunk accounting (stride-window count with the
+    * no-redundant-tail guard, TextQueries.ChunkLen/ChunkStride). Every
+    * stage is the same code path its standalone query runs: Dedup
+    * .exactDedup, TextFunctions.shingleRows broadcast probe, the
+    * qChunking starts formula. Scale shape: two scans of documents, one
+    * tiny broadcast, one groupBy-free anti join — no all-pairs work. */
+  def qPipelineE2e(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{shingleRows, tokens}
+    val n = 5
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.filter(col("doc_id") >= 10)
+    val deduped = graft.operators.Dedup.exactDedup(corpus)
+    val benchShingles = shingleRows(docs.filter(col("doc_id") < 10), n)
+      .select("sh").distinct()
+    val contaminated = shingleRows(corpus, n)
+      .join(broadcast(benchShingles), Seq("sh"))
+      .select("doc_id").distinct()
+    val len = TextQueries.ChunkLen
+    val stride = TextQueries.ChunkStride
+    val kept = deduped
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .select(col("doc_id"), size(col("ts")).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") >= 20)
+    // chunk starts: the qChunking formula — the lambda touches only its
+    // argument and the materialized n_tokens attribute (cheap refs)
+    val starts = filter(
+      sequence(lit(1), col("n_tokens").cast("int"), lit(stride)),
+      s => (s === 1) || (s + lit(len - stride) <= col("n_tokens")))
+    kept
+      .select(col("doc_id"), col("n_tokens"), size(starts).cast("long").as("n_chunks"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pipeline_e2e" -> qPipelineE2e _,
     "q_stratified_sample" -> qStratifiedSample _,
     "q_hash_split" -> qHashSplit _,
     "q_seq_packing" -> qSeqPacking _,
@@ -171,6 +211,34 @@ object TrainingDataQueries {
     s"('0x' || substr(md5(CAST($expr AS VARCHAR) || '|$salt'), 1, 8))::BIGINT"
 
   val oracles: Map[String, String] = Map(
+    // chunk count is closed-form in the oracle (1 + (L-9)//24: starts
+    // are 1+24j with the tail guard 1+24j+8 <= L; j=0 always valid) —
+    // the Spark side runs the real structural starts formula, so the
+    // hash match proves the formula against independent arithmetic
+    "q_pipeline_e2e" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS f,
+        |    len(string_split_regex(trim(text), '\s+')) AS L
+        |  FROM documents WHERE doc_id >= 10),
+        |keep AS (
+        |  SELECT doc_id, L FROM (
+        |    SELECT doc_id, L, min(doc_id) OVER (PARTITION BY f) AS m FROM fp) z
+        |  WHERE doc_id = m),
+        |t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id,
+        |    ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] AS s
+        |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(ts) - 4)) AS i)),
+        |bad AS (
+        |  SELECT DISTINCT g.doc_id
+        |  FROM g JOIN (SELECT DISTINCT s FROM g WHERE doc_id < 10) b USING (s)
+        |  WHERE g.doc_id >= 10)
+        |SELECT k.doc_id, CAST(k.L AS BIGINT) AS n_tokens,
+        |  CAST(1 + (k.L - 9) // 24 AS BIGINT) AS n_chunks
+        |FROM keep k
+        |WHERE k.doc_id NOT IN (SELECT doc_id FROM bad) AND k.L >= 20
+        |ORDER BY k.doc_id""".stripMargin,
     "q_stratified_sample" -> {
       val rateCase = "CASE event_type " +
         SampleRates.map { case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ") +
