@@ -64,8 +64,9 @@ object TextFunctions {
   /** One row per (id, n-gram shingle), built with ZERO higher-order
     * functions: tokens materialized as their own projection
     * (multi-referenced non-cheap alias — CollapseProject keeps it),
-    * positions posexploded, the shingle a top-level codegen'd
-    * concat_ws(slice). The fastest shingle shape measured (~100× the
+    * positions exploded, the shingle a top-level codegen'd
+    * concat_ws(slice); output schema is (idCol, sh) only. The fastest
+    * shingle shape measured (~100× the
     * interpreted-lambda form at sf0.1); the when-guard keeps short docs
     * out of sequence(), which runs BACKWARDS for start > stop. */
   def shingleRows(df: org.apache.spark.sql.DataFrame, n: Int,

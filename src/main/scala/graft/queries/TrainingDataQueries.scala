@@ -167,8 +167,9 @@ object TrainingDataQueries {
     * no-redundant-tail guard, TextQueries.ChunkLen/ChunkStride). Every
     * stage is the same code path its standalone query runs: Dedup
     * .exactDedup, TextFunctions.shingleRows broadcast probe, the
-    * qChunking starts formula. Scale shape: two scans of documents, one
-    * tiny broadcast, one groupBy-free anti join — no all-pairs work. */
+    * qChunking starts formula. Scale shape: four linear scans of
+    * documents (dedup fingerprint + join-back, corpus shingles, bench
+    * slice), one tiny broadcast, one anti join — no all-pairs work. */
   def qPipelineE2e(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions.{shingleRows, tokens}
     val n = 5
@@ -211,21 +212,23 @@ object TrainingDataQueries {
     s"('0x' || substr(md5(CAST($expr AS VARCHAR) || '|$salt'), 1, 8))::BIGINT"
 
   val oracles: Map[String, String] = Map(
-    // chunk count is closed-form in the oracle (1 + (L-9)//24: starts
-    // are 1+24j with the tail guard 1+24j+8 <= L; j=0 always valid) —
-    // the Spark side runs the real structural starts formula, so the
-    // hash match proves the formula against independent arithmetic
+    // chunk count is closed-form in the oracle (1 + (L-(len-stride+1))
+    // // stride: starts are 1+stride·j with the tail guard
+    // 1+stride·j+(len-stride) <= L; j=0 always valid) — the Spark side
+    // runs the real structural starts formula, so the hash match proves
+    // the formula against independent arithmetic; the constants are
+    // interpolated from TextQueries so the two engines cannot drift
     "q_pipeline_e2e" ->
-      """WITH fp AS (
+      s"""WITH fp AS (
         |  SELECT doc_id,
         |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS f,
-        |    len(string_split_regex(trim(text), '\s+')) AS L
+        |    len(string_split_regex(trim(text), '\\s+')) AS L
         |  FROM documents WHERE doc_id >= 10),
         |keep AS (
         |  SELECT doc_id, L FROM (
         |    SELECT doc_id, L, min(doc_id) OVER (PARTITION BY f) AS m FROM fp) z
         |  WHERE doc_id = m),
-        |t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents),
+        |t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents),
         |g AS (
         |  SELECT DISTINCT doc_id,
         |    ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] AS s
@@ -235,7 +238,7 @@ object TrainingDataQueries {
         |  FROM g JOIN (SELECT DISTINCT s FROM g WHERE doc_id < 10) b USING (s)
         |  WHERE g.doc_id >= 10)
         |SELECT k.doc_id, CAST(k.L AS BIGINT) AS n_tokens,
-        |  CAST(1 + (k.L - 9) // 24 AS BIGINT) AS n_chunks
+        |  CAST(1 + (k.L - ${TextQueries.ChunkLen - TextQueries.ChunkStride + 1}) // ${TextQueries.ChunkStride} AS BIGINT) AS n_chunks
         |FROM keep k
         |WHERE k.doc_id NOT IN (SELECT doc_id FROM bad) AND k.L >= 20
         |ORDER BY k.doc_id""".stripMargin,
