@@ -123,6 +123,57 @@ class PropertySpec extends AnyFunSuite {
     assert(checked.filter($"rn" > 1 && $"rn" < $"nrows" && $"roundtrip" =!= $"v").count() == 0)
   }
 
+  test("shingles() and shingleRows() agree with a naive Scala sliding-window reference") {
+    val rng = new scala.util.Random(23)
+    // mix of short (< n), exact-n, and long docs; multi-space runs and
+    // leading/trailing whitespace exercise the tokenizer parity
+    val texts = Seq.tabulate(120) { i =>
+      val nTok = rng.nextInt(12)
+      val body = Seq.fill(nTok)(s"w${rng.nextInt(6)}").mkString(
+        if (rng.nextBoolean()) " " else "  ")
+      (i.toLong, if (rng.nextBoolean()) s" $body " else body)
+    }
+    val df = texts.toDF("doc_id", "text")
+    for (n <- Seq(2, 3, 5)) {
+      def ref(t: String): Seq[String] = {
+        val ts = t.trim.split("\\s+").toSeq
+        if (ts.size < n) Seq.empty else ts.sliding(n).map(_.mkString(" ")).toSeq
+      }
+      val expected = texts.flatMap { case (id, t) => ref(t).map(sh => (id, sh)) }.sorted
+      val viaArray = df.select($"doc_id", explode(
+        graft.functions.TextFunctions.shingles($"text", n)).as("sh"))
+        .as[(Long, String)].collect().sorted.toSeq
+      val viaRows = graft.functions.TextFunctions.shingleRows(df, n)
+        .as[(Long, String)].collect().sorted.toSeq
+      assert(viaArray == expected, s"n=$n array form diverged")
+      assert(viaRows == expected, s"n=$n rows form diverged")
+    }
+  }
+
+  test("canonicalGroups equals a reference union-find on random graphs") {
+    val rng = new scala.util.Random(31)
+    for (trial <- 1 to 3) {
+      val nNodes = 60 + rng.nextInt(60)
+      val edges = Seq.fill(80)((rng.nextInt(nNodes).toLong, rng.nextInt(nNodes).toLong))
+        .filter { case (a, b) => a != b }
+      // reference: classic union-find, components labeled by min member
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val touched = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expected = touched.map(x => x -> find(x)).toMap
+      val got = graft.operators.Dedup.canonicalGroups(edges.toDF("a", "b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"trial $trial: components diverged")
+    }
+  }
+
   test("exact dedup is idempotent (fixpoint after one pass)") {
     val docs = Tables.documents(spark, TestSpark.Sf)
     val once = graft.operators.Dedup.exactDedup(docs)
