@@ -30,10 +30,13 @@ object TextQueries {
 
   /** Composite quality score + bucket (quality-scoring op). */
   def qTextQuality(spark: SparkSession, dir: String): DataFrame = {
-    val q = qualityScore(col("text"))
+    // tokens materialized once (invariant 12: the stopword filters'
+    // lambdas must probe an attribute, not a fresh split expression)
+    val q = qualityScoreOf(col("text"), col("ts"))
     Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("ts"))
       .select(col("doc_id"),
-        rnd(stopwordRatio(col("text")), 4).as("stop_ratio"),
+        rnd(stopwordRatioOf(col("ts")), 4).as("stop_ratio"),
         rnd(q, 4).as("quality"),
         when(q >= 0.75, lit("high")).when(q >= 0.5, lit("mid")).otherwise(lit("low")).as("bucket"))
       .orderBy("doc_id")
@@ -42,8 +45,8 @@ object TextQueries {
   /** Stopword-heuristic language ID vs the declared label. */
   def qLangId(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang").as("declared"),
-        langId(col("text")).as("predicted"))
+      .select(col("doc_id"), col("lang").as("declared"), tokens(col("text")).as("ts"))
+      .select(col("doc_id"), col("declared"), langIdOf(col("ts")).as("predicted"))
       .withColumn("agree", (col("declared") === col("predicted")).cast("int"))
       .orderBy("doc_id")
 
