@@ -145,6 +145,30 @@ object Ingest {
 
   case class ZAnomaly(user_id: Long, event_id: Long, value: Double, z: Double)
 
+  case class CountUpdate(user_id: Long, event_id: Long, n_total: Long)
+
+  /** Batch→stream state handoff (the migration every production cutover
+    * needs): per-user running event counts seeded from a BATCH frame of
+    * historical counts, continued live by the stream — via
+    * `transformWithState` with initial state
+    * ([[BootstrapCountProcessor]].handleInitialState). `initial` is any
+    * (user_id, n) frame — typically an aggregate over the landed
+    * day-partitions the stream is taking over from. Requires the
+    * RocksDB state store provider, like the other TWS ops. */
+  def runningCountsTws(events: Dataset[Event],
+                       initial: org.apache.spark.sql.DataFrame): Dataset[CountUpdate] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.TimeMode
+    val init = initial
+      .select(col("user_id").cast("long").as("user_id"), col("n").cast("long").as("n"))
+      .as[(Long, Long)]
+      .groupByKey(_._1).mapValues(_._2)
+    events.groupByKey(_.user_id)
+      .transformWithState(new BootstrapCountProcessor, TimeMode.None(),
+        OutputMode.Append(), init)
+  }
+
   case class InactivityAlert(user_id: Long, last_seen_ms: Long, silent_ms: Long)
 
   /** Timer-driven inactivity alerts (beyond-reference streaming depth):

@@ -185,6 +185,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("initial-state handoff: batch-bootstrapped counts continue in the stream") {
+    withRocksDBProvider {
+      import org.apache.spark.sql.functions.col
+      val src = MemoryStream[Event]
+      // historical counts the stream takes over from: user 1 at 10, user 3 at 7
+      val initial = Seq((1L, 10L), (3L, 7L)).toDF("user_id", "n")
+      val q = Ingest.runningCountsTws(src.toDS(), initial)
+        .writeStream.format("memory").queryName("boot_out")
+        .outputMode(OutputMode.Append).start()
+      try {
+        src.addData(ev(1, 1, 1, 1.0), ev(2, 1, 1, 2.0, 1000L), ev(3, 1, 2, 1.0))
+        q.processAllAvailable()
+        src.addData(ev(4, 1, 1, 3.0, 2000L))
+        q.processAllAvailable()
+        val got = spark.table("boot_out")
+          .select("user_id", "event_id", "n_total")
+          .as[(Long, Long, Long)].collect().toSet
+        // user 1 continues from 10; user 2 had no bootstrap row (starts
+        // at 0); user 3's seeded state emits nothing without stream input
+        assert(got == Set((1L, 1L, 11L), (1L, 2L, 12L), (1L, 4L, 13L), (2L, 3L, 1L)),
+          s"got $got")
+        assert(!got.exists(_._1 == 3L))
+      } finally q.stop()
+    }
+  }
+
   test("timer-driven inactivity alerts fire on watermark passage, not input") {
     withRocksDBProvider {
       val src = MemoryStream[Event]
