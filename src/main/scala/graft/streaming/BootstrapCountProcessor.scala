@@ -10,9 +10,11 @@ import graft.streaming.Ingest.{CountUpdate, Event}
   * production cutover where a batch-computed table hands off to a live
   * query without losing continuity. `handleInitialState` seeds each
   * user's ValueState once at query start; subsequent micro-batches
-  * increment it. Emits one cumulative-count row per event in
-  * (ts, event_id) order — deterministic within a user regardless of
-  * micro-batch carving, same discipline as the other processors. */
+  * increment it. Emits one cumulative-count row per event, ordered by
+  * (ts, event_id) WITHIN each micro-batch — per-event assignments for
+  * out-of-order arrivals that span batches depend on the carving, as
+  * with any streaming running count; the per-user total is carving-
+  * independent. */
 class BootstrapCountProcessor
     extends StatefulProcessorWithInitialState[Long, Event, CountUpdate, Long] {
 

@@ -160,8 +160,12 @@ object Ingest {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.streaming.TimeMode
+    // pre-aggregate: TransformWithStateExec has NO duplicate-initial-key
+    // guard — with two rows per user, handleInitialState runs per row
+    // and the seed becomes shuffle-order-dependent last-wins
     val init = initial
       .select(col("user_id").cast("long").as("user_id"), col("n").cast("long").as("n"))
+      .groupBy("user_id").agg(org.apache.spark.sql.functions.sum("n").as("n"))
       .as[(Long, Long)]
       .groupByKey(_._1).mapValues(_._2)
     events.groupByKey(_.user_id)

@@ -187,7 +187,6 @@ class StreamingSpec extends AnyFunSuite {
 
   test("initial-state handoff: batch-bootstrapped counts continue in the stream") {
     withRocksDBProvider {
-      import org.apache.spark.sql.functions.col
       val src = MemoryStream[Event]
       // historical counts the stream takes over from: user 1 at 10, user 3 at 7
       val initial = Seq((1L, 10L), (3L, 7L)).toDF("user_id", "n")
@@ -206,7 +205,6 @@ class StreamingSpec extends AnyFunSuite {
         // at 0); user 3's seeded state emits nothing without stream input
         assert(got == Set((1L, 1L, 11L), (1L, 2L, 12L), (1L, 4L, 13L), (2L, 3L, 1L)),
           s"got $got")
-        assert(!got.exists(_._1 == 3L))
       } finally q.stop()
     }
   }
