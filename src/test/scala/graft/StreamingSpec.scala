@@ -209,6 +209,41 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("initial-state handoff survives restart: checkpoint recovery does not re-seed") {
+    withRocksDBProvider {
+      val src = MemoryStream[Event]
+      val initial = Seq((1L, 10L)).toDF("user_id", "n")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-boot-ckpt").toString
+      // memory sink cannot recover from a checkpoint — collect through
+      // foreachBatch (runs on the driver), which can
+      val results = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+      def start() = Ingest.runningCountsTws(src.toDS(), initial)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Ingest.CountUpdate], _: Long) =>
+          batch.collect().foreach(c => results.add((c.event_id, c.n_total)))
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append).start()
+      val q1 = start()
+      try {
+        src.addData(ev(1, 1, 1, 1.0))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      // restart from the checkpoint: the seed must NOT be applied again
+      // (re-seeding would reset the count to 10 and emit 11 twice);
+      // the recovered state continues at 11
+      val q2 = start()
+      try {
+        src.addData(ev(2, 1, 1, 2.0, 1000L))
+        q2.processAllAvailable()
+        val got = results.toArray(Array.empty[(Long, Long)]).toSet
+        assert(got.contains((1L, 11L)), s"pre-restart emission missing: $got")
+        assert(got.contains((2L, 12L)), s"restart did not continue from state: $got")
+        assert(!got.contains((2L, 11L)), s"initial state was re-applied: $got")
+      } finally q2.stop()
+    }
+  }
+
   test("timer-driven inactivity alerts fire on watermark passage, not input") {
     withRocksDBProvider {
       val src = MemoryStream[Event]
