@@ -105,6 +105,18 @@ object ResolveAsOfJoin extends org.apache.spark.sql.catalyst.rules.Rule[LogicalP
       val rk0 = find(u.right, u.keyName, "right")
       val rt0 = find(u.right, u.tsName, "right")
       val rv0 = find(u.right, u.valName, "right")
+      // type check up front with a named error: a left int key vs right
+      // long key would otherwise leave AsOfJoinNode unresolved (its
+      // `resolved` requires sameType) and die later as an opaque
+      // unresolved-operator failure — or worse, reach the exec's ordering
+      // as a ClassCastException if built directly
+      def requireSameType(l: Attribute, r: Attribute, what: String): Unit =
+        if (!DataTypeUtils.sameType(l.dataType, r.dataType))
+          throw new IllegalArgumentException(
+            s"asof_join: $what column `${l.name}` is ${l.dataType.simpleString} on the " +
+              s"left but ${r.dataType.simpleString} on the right; cast one side so the types match")
+      requireSameType(lk, rk0, "key")
+      requireSameType(lt, rt0, "timestamp")
       val kAlias = Alias(rk0, u.keyName)()
       val tAlias = Alias(rt0, u.tsName)()
       val vAlias = Alias(Max(rv0).toAggregateExpression(), u.valName)()

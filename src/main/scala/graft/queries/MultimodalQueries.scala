@@ -55,18 +55,31 @@ object MultimodalQueries {
     * (the driver's sf tables are text-only). */
   private val fixtureMemo = new SessionMemo[String, String]
 
-  def fixturePath(spark: SparkSession, dir: String): String =
-    fixtureMemo.getOrElseUpdate(spark, dir) {
-      import spark.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("graft-media")
-      // SessionMemo eviction drops only the map entry — without a
-      // shutdown sweep every session leaves a /tmp/graft-media* behind
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+  // SessionMemo eviction drops only the map entry, so fixture temp dirs
+  // must be swept at JVM exit — through ONE static hook draining a shared
+  // queue, not one hook per fixture: a long-lived process creating many
+  // sessions would otherwise accumulate hooks (and their retained dirs)
+  // unboundedly (ADVICE r4)
+  private val fixtureDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      var tmp = fixtureDirs.poll()
+      while (tmp != null) {
         try {
           import scala.jdk.CollectionConverters._
           java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
             .foreach(p => java.nio.file.Files.deleteIfExists(p))
-        } catch { case scala.util.control.NonFatal(_) => () }))
+        } catch { case scala.util.control.NonFatal(_) => () }
+        tmp = fixtureDirs.poll()
+      }
+    }))
+  }
+
+  def fixturePath(spark: SparkSession, dir: String): String =
+    fixtureMemo.getOrElseUpdate(spark, dir) {
+      import spark.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-media")
+      fixtureDirs.add(tmp)
       val path = tmp.toString + "/media"
       (0L until NumImages.toLong).map(id => Multimodal.MediaRecord(id, "image/png", pngBytes(id)))
         .toDF().repartition(4).write.mode("overwrite").parquet(path)

@@ -153,6 +153,16 @@ class PlanSpec extends AnyFunSuite {
         s2.sql("SELECT * FROM asof_join('purchases', 'signups', 'user_id', 'ts', 'value', 'value')").collect()
       }
       assert(clash.getMessage.contains("collides"))
+      // mismatched key types fail with a NAMED error (ADVICE r4), not an
+      // opaque unresolved-operator failure or a mid-query ClassCastException
+      s2.sql("SELECT event_id, CAST(user_id AS INT) AS user_id, ts, value FROM purchases")
+        .createOrReplaceTempView("purchases_intkey")
+      val typeErr = intercept[Exception] {
+        s2.sql("SELECT * FROM asof_join('purchases_intkey', 'signups', 'user_id', 'ts', 'value')")
+          .collect()
+      }
+      assert(typeErr.getMessage.contains("asof_join") &&
+        typeErr.getMessage.contains("cast one side"), typeErr.getMessage)
     }
   }
 
@@ -187,6 +197,67 @@ class PlanSpec extends AnyFunSuite {
       assert(kept.count() ==
         graft.operators.Dedup.exactDedup(
           Tables.documents(s2, TestSpark.Sf).filter(col("doc_id") < 100)).count())
+    }
+  }
+
+  test("TVF TABLE arguments: subqueries compose graft TVFs in one SQL string") {
+    import org.apache.spark.sql.functions.{col, concat_ws}
+    withExtensionsSession { s2 =>
+      Tables.events(s2, TestSpark.Sf).createOrReplaceTempView("evts")
+      Tables.documents(s2, TestSpark.Sf).filter(col("doc_id") < 100)
+        .createOrReplaceTempView("docs")
+      // TABLE(identifier) and TABLE(subquery) both feed the TVF the same
+      // rows as the round-4 string-literal surface
+      val viaLit = s2.sql("SELECT * FROM dedup_exact('docs', 'doc_id', 'text')")
+        .orderBy("doc_id").collect().toSeq
+      val viaIdent = s2.sql("SELECT * FROM dedup_exact(TABLE(docs), 'doc_id', 'text')")
+        .orderBy("doc_id").collect().toSeq
+      val viaSubq = s2.sql(
+        "SELECT * FROM dedup_exact(TABLE(SELECT * FROM docs), 'doc_id', 'text')")
+        .orderBy("doc_id").collect().toSeq
+      assert(viaLit.nonEmpty && viaIdent == viaLit && viaSubq == viaLit)
+      // the r4 gap: two graft TVFs COMPOSED in one SQL string — dedup
+      // repeated (user, event_type) rows, then sessionize the survivors
+      val composedSql = s2.sql(
+        """SELECT user_id, event_id, session_idx FROM sessionize(
+          |  TABLE(SELECT * FROM dedup_exact(
+          |    TABLE(SELECT user_id, event_id, ts,
+          |          concat_ws('-', user_id, event_type) AS txt FROM evts),
+          |    'event_id', 'txt')),
+          |  'user_id', 'ts', 21600000000000, 'event_id')
+          |ORDER BY user_id, event_id""".stripMargin).collect().toSeq
+      val deduped = graft.operators.Dedup.exactDedup(
+        Tables.events(s2, TestSpark.Sf)
+          .select(col("user_id"), col("event_id"), col("ts"),
+            concat_ws("-", col("user_id"), col("event_type")).as("txt")),
+        "event_id", "txt")
+      val composedApi = graft.operators.Sessionize.withSessionIdx(
+        deduped, "user_id", "ts", 21600000000000L, Seq(col("ts"), col("event_id")))
+        .select("user_id", "event_id", "session_idx")
+        .orderBy("user_id", "event_id").collect().toSeq
+      assert(composedSql.nonEmpty && composedSql == composedApi)
+      // asof_join takes TABLE arguments too
+      val e = Tables.events(s2, TestSpark.Sf)
+      e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value").createOrReplaceTempView("purchases")
+      e.filter(col("event_type") === "signup")
+        .select("user_id", "ts", "value").createOrReplaceTempView("signups")
+      val asofTable = s2.sql(
+        "SELECT event_id, asof_value FROM asof_join(TABLE(purchases), " +
+          "TABLE(SELECT * FROM signups), 'user_id', 'ts', 'value') ORDER BY event_id")
+        .collect().toSeq
+      val asofLit = s2.sql(
+        "SELECT event_id, asof_value FROM asof_join('purchases', 'signups', " +
+          "'user_id', 'ts', 'value') ORDER BY event_id").collect().toSeq
+      assert(asofTable.nonEmpty && asofTable == asofLit)
+      // partitioning clauses on the table argument are rejected: the
+      // operator owns its partitioning semantics
+      val err = intercept[Exception] {
+        s2.sql("SELECT * FROM dedup_exact(TABLE(docs) PARTITION BY lang, 'doc_id', 'text')")
+          .collect()
+      }
+      assert(err.getMessage.contains("PARTITION BY") ||
+        err.getMessage.toLowerCase.contains("partition"), err.getMessage)
     }
   }
 
