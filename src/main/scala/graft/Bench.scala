@@ -140,6 +140,65 @@ object Bench {
       })
     }
 
+    // Streaming state at bench scale (VERDICT r4 item 6): replay the SF
+    // events table through the two stateful shapes — flatMapGroupsWithState
+    // percent-change alerts and the transformWithState batch→stream count
+    // handoff — as real Structured Streaming queries (file source,
+    // AvailableNow, RocksDB state store), recording throughput and state
+    // size. One replay each, no reps: the number is an end-to-end
+    // replay measurement (source listing + state build included), not a
+    // warmed plan cost like the query map.
+    val streamingJson = try {
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.streaming.Ingest
+      import spark.implicits._
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-streambench")
+      val batch = Tables.events(spark, sfDir)
+      val schema = batch.select("event_id", "ts", "user_id", "event_type", "value").schema
+      // the SF tables are single parquet FILES and the streaming file
+      // source only accepts directories — stage a zero-copy symlink dir
+      val srcDir = tmp.resolve("events_src")
+      java.nio.file.Files.createDirectory(srcDir)
+      java.nio.file.Files.createSymbolicLink(
+        srcDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(sfDir, "events.parquet"))
+      def src = spark.readStream.schema(schema)
+        .parquet(srcDir.toString)
+        .select("event_id", "ts", "user_id", "event_type", "value").as[Ingest.Event]
+      def runStream(name: String)(mk: org.apache.spark.sql.Dataset[Ingest.Event] =>
+          org.apache.spark.sql.Dataset[_]): String = {
+        val t0 = System.nanoTime()
+        val q = mk(src).writeStream.format("noop")
+          .option("checkpointLocation", s"$tmp/$name/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val progress = q.recentProgress
+        val inRows = progress.map(_.numInputRows).sum
+        val stateRows = progress.flatMap(_.stateOperators.map(_.numRowsTotal))
+          .maxOption.getOrElse(0L)
+        val stateBytes = progress.flatMap(_.stateOperators.map(_.memoryUsedBytes))
+          .maxOption.getOrElse(0L)
+        s""""$name":{"rows":$inRows,"sec":${(sec * 1000).round / 1000.0},""" +
+          s""""rows_per_sec":${(inRows / sec).round},"state_rows":$stateRows,""" +
+          s""""state_bytes":$stateBytes}"""
+      }
+      val pct = runStream("pct_alerts")(ev => Ingest.statefulPctAlerts(ev))
+      val tws = runStream("running_counts_tws") { ev =>
+        // handoff seed: per-user historical counts, as a cutover would have
+        val initial = batch.groupBy("user_id")
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"))
+        Ingest.runningCountsTws(ev, initial)
+      }
+      s"{$pct,$tws}"
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] streaming replay failed: ${e.getMessage}")
+      s"""{"err":"${Option(e.getMessage).getOrElse(e.getClass.getName).replaceAll("[\"\\\\\n]", " ").take(200)}"}"""
+    }
+
     // native-vs-composed as-of A/B, pinned side by side from the SAME
     // measured reps as the per-query stats (re-running them here would
     // just burn wall-clock and let the two records disagree)
@@ -164,7 +223,8 @@ object Bench {
 
     // (1) complete record to a file the judge can read whole
     val fullJson = s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""warmup_sec":$warmupSec,"asof_ab":$ab,"reps":$reps,"sf":"$sfDir",""" +
+      s""""warmup_sec":$warmupSec,"asof_ab":$ab,"streaming":$streamingJson,""" +
+      s""""reps":$reps,"sf":"$sfDir",""" +
       s""""cold":$cold,"shuffle_bytes":$bytes,"queries":$qs}"""
     val outFile = new java.io.File(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")).getAbsoluteFile
@@ -180,7 +240,8 @@ object Bench {
       s""""queries":${jmap(slowest.map { case (k, s) => k -> r3(s.warm) })},""" +
       s""""queries_truncated":true,"n_queries":${results.size},""" +
       s""""median_query_sec":${r3(medianQ)},"warmup_sec":${r3(warmupSec)},""" +
-      s""""asof_ab":$ab,"reps":$reps,"sf":"$sfDir","full":"${outFile.getPath}"}""")
+      s""""asof_ab":$ab,"streaming":$streamingJson,""" +
+      s""""reps":$reps,"sf":"$sfDir","full":"${outFile.getPath}"}""")
     spark.stop()
   }
 }

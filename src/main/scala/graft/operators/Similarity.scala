@@ -309,7 +309,17 @@ object Similarity {
     * in exactly one task after the a<b filter (pair (x,y) co-occurs at
     * (r_x, r_y) and (r_y, r_x); the id filter keeps one). Total shuffle is
     * 2nB rows, each of the B² tasks scores n²/B² pairs — flat parallelism,
-    * no broadcast, no nested loop; B scales with cluster size. */
+    * no broadcast, no nested loop; B scales with cluster size.
+    *
+    * The join is PINNED to the shuffled-hash shape (like the salted skew
+    * join): when the replicated sides fit under the broadcast threshold,
+    * AQE otherwise rewrites the grid join into a BroadcastHashJoin whose
+    * streamed side is the raw parquet scan — a small corpus is one file,
+    * one input partition, so every one of the n²/2 pair scorings lands in
+    * a SINGLE task and the B² grid parallelism silently disappears
+    * (measured at sf0.1: 1.9 s single-task vs ~0.2 s shuffled). The
+    * shuffle the hint forces is 2nB grid rows — the cost the operator's
+    * scale analysis already budgets. */
   def nearDupPairsBlocked(emb: DataFrame, threshold: Double, blocks: Int = 8,
                           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val base = emb.select(col(idCol), col(vecCol),
@@ -320,7 +330,7 @@ object Similarity {
       col("blk").as("ra"), grid.as("rb"))
     val right = base.select(col(idCol).as("b"), col(vecCol).as("vb"), col("nrm").as("nb"),
       grid.as("ra"), col("blk").as("rb"))
-    left.join(right, Seq("ra", "rb"))
+    left.hint("shuffle_hash").join(right, Seq("ra", "rb"))
       .filter(col("a") < col("b"))
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)

@@ -59,30 +59,58 @@ class MultimodalSpec extends AnyFunSuite {
     val rows = MultimodalQueries.qMultimodalDecode(spark, TestSpark.Sf).collect()
     assert(rows.length == MultimodalQueries.NumImages * Multimodal.FeatureDim,
       s"expected full gated grid, got ${rows.length}")
+    // both codecs must be on the gate: the fixture alternates PNG/JPEG by
+    // doc_id parity, and every image of each parity filled all 16 cells
+    assert(rows.map(_.getLong(0)).distinct.count(_ % 2 == 0) == MultimodalQueries.NumImages / 2)
+    assert(rows.map(_.getLong(0)).distinct.count(_ % 2 == 1) == MultimodalQueries.NumImages / 2)
+    // the gate's per-codec tolerance, reproduced for the sabotage frames
+    val tol = when(pmod(col("doc_id"), lit(2)) === 0, lit(1e-6))
+      .otherwise(lit(MultimodalQueries.JpegTol))
     // sabotage 1: corrupt payloads (decode falls back to byte-fold) must
-    // fail the in-plan expected-luma gate, not sneak through
+    // fail the in-plan expected-luma gate, not sneak through — per mime
     val corrupt = (0L until 4L).map(id =>
-      Multimodal.MediaRecord(id, "image/png", Array[Byte](9, 9, 9))).toDS()
+      Multimodal.MediaRecord(id, MultimodalQueries.mimeFor(id), Array[Byte](9, 9, 9))).toDS()
     val corruptRows = Multimodal.decodeFeatures(corrupt).toDF()
       .select(col("doc_id"), posexplode(col("features")))
       .select(col("doc_id"), col("pos").cast("long").as("cell"), col("col").cast("double").as("luma"))
-      .filter(abs(col("luma") - (col("doc_id") * 17 + col("cell") * 13) % 256 / lit(255.0)) < 1e-6)
+      .filter(abs(col("luma") - (col("doc_id") * 17 + col("cell") * 13) % 256 / lit(255.0)) < tol)
     assert(corruptRows.count() == 0)
     // sabotage 2: right images, wrong cell mapping (transposed grid) —
-    // off-diagonal cells must fail the gate
+    // off-diagonal cells must fail the gate for BOTH codecs (the JPEG
+    // tolerance must not absorb a 13/255 wrong-cell gap)
     val transposed = (0L until 4L).map { id =>
-      val f = MultimodalQueries.pngBytes(id)
-      Multimodal.MediaRecord(id, "image/png", f)
+      Multimodal.MediaRecord(id, MultimodalQueries.mimeFor(id), MultimodalQueries.imageBytes(id))
     }.toDS()
     val wrongExpected = Multimodal.decodeFeatures(transposed).toDF()
       .select(col("doc_id"), posexplode(col("features")))
       .select(col("doc_id"), col("pos").cast("long").as("cell"), col("col").cast("double").as("luma"))
       // transpose: cell (r,c) → (c,r) = (cell%4)*4 + cell/4
       .filter(abs(col("luma") -
-        (col("doc_id") * 17 + ((col("cell") % 4) * 4 + floor(col("cell") / 4)) * 13) % 256 / lit(255.0)) < 1e-6)
+        (col("doc_id") * 17 + ((col("cell") % 4) * 4 + floor(col("cell") / 4)) * 13) % 256 / lit(255.0)) < tol)
     // diagonal cells (r==c) still match; all 12 off-diagonal cells per
     // image must not
     assert(wrongExpected.count() == 4 * 4, s"transposed gate leaked: ${wrongExpected.count()}")
+  }
+
+  test("jpegBytes really is JPEG and decodes within JpegTol (but not losslessly)") {
+    import graft.queries.MultimodalQueries
+    val oddIds = (1L until MultimodalQueries.NumImages.toLong by 2)
+    val errsById = oddIds.map { id =>
+      val bytes = MultimodalQueries.jpegBytes(id)
+      // JFIF magic: FF D8
+      assert((bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8, s"doc $id not a JPEG payload")
+      val feats = Multimodal.imageFeatures(bytes).get
+      feats.zipWithIndex.map { case (luma, cell) =>
+        math.abs(luma - MultimodalQueries.cellValue(id, cell) / 255.0)
+      }
+    }
+    val worst = errsById.flatten.max
+    assert(worst < MultimodalQueries.JpegTol, s"JPEG decode outside tolerance: $worst")
+    // and the codec really is lossy somewhere in the fixture — if every
+    // cell of every image were exact, the PNG-vs-JPEG tolerance split
+    // would be testing nothing (individual images may round-trip exactly
+    // at quality 1.0; the fixture as a whole must not)
+    assert(worst > 1e-6, "all JPEG images decoded bit-exact; lossy-tolerance path untested")
   }
 
   test("frame sampling keeps every stride-th frame with byte offsets") {

@@ -43,10 +43,15 @@ class PlanSpec extends AnyFunSuite {
     assert(windowSorts == 1, s"expected 1 window sort, got $windowSorts:\n$p")
   }
 
-  test("q_embedding_neardup has no BroadcastNestedLoopJoin (blocked equi-join)") {
+  test("q_embedding_neardup plans the pinned shuffled grid join") {
     val p = physical("q_embedding_neardup")
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
     assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the grid join must stay SHUFFLED: an AQE broadcast rewrite streams
+    // the raw (single-partition) scan and serializes all pair scoring
+    // into one task (r5 find: 1.9 s -> ~0.5 s at sf0.1)
+    assert(p.contains("ShuffledHashJoin"), p.take(2000))
+    assert(!p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
   test("q_content_filter is scan-parallel: no exchange before the sort") {
