@@ -28,6 +28,7 @@ class QueriesSmokeSpec extends AnyFunSuite {
     assert(noOracle.subsetOf(
       Set("q_ann_lsh", "q_ann_ivf", "q_ann_ivf_indexed", "q_ml_classifier",
         "q_ml_regressor", "q_ml_serve", "q_ml_importances", "q_approx_sketch",
+        "q_sketch_lean", // sketch-only production twin of the gated q_approx_sketch
         "q_multimodal_decode")), // self-gated on closed-form luma (no PNG codec in DuckDB)
       s"undocumented rows-only: $noOracle")
   }
