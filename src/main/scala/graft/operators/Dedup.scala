@@ -203,6 +203,59 @@ object Dedup {
     labels
   }
 
+  /** Incremental (batch-vs-corpus) dedup: classify each incoming batch
+    * document against an existing corpus as `exact_dup` (normalized
+    * fingerprint already present), `near_dup` (MinHash-LSH-proposed,
+    * exact-Jaccard-verified against a corpus doc), or `new`;
+    * `match_id` is the smallest matching corpus id (null for `new`).
+    *
+    * This is the daily-ingest shape of the training-data pipeline: the
+    * corpus is NOT re-deduped against itself — only batch×corpus checks
+    * run. 100 TB shape: corpus fingerprints and MinHash band buckets are
+    * precomputed artifacts (here derived inline from `corpus`); the
+    * batch joins them on fp / (band, key) — shuffles sized by the BATCH,
+    * not the corpus — and exact Jaccard verification is enumerated only
+    * from LSH-proposed candidate pairs, as in [[minhashDedupPairs]].
+    *
+    * Requires corpus and batch id spaces to be disjoint (it returns
+    * per-batch-id rows keyed by `idCol`). */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame,
+                       k: Int = 8, r: Int = 2, threshold: Double = 0.8,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val fpCorpus = corpus.select(fingerprint(col(textCol)).as("fp"), col(idCol).as("corpus_id"))
+    val exact = batch.select(col(idCol), fingerprint(col(textCol)).as("fp"))
+      .join(fpCorpus, "fp")
+      .groupBy(col(idCol)).agg(min(col("corpus_id")).as("exact_id"))
+    // band buckets per side; candidates are strictly batch×corpus
+    def bucketsOf(df: DataFrame) = {
+      val sig = minhashSignatures(df, k, idCol, textCol)
+      val bands = (0 until k / r).map { b =>
+        struct(lit(b).as("band"),
+          md5(concat_ws("_", (b * r until (b + 1) * r).map(i => col(s"mh$i")): _*)).as("key"))
+      }
+      sig.select(col(idCol), explode(array(bands: _*)).as("bk"))
+        .select(col(idCol), col("bk.band"), col("bk.key"))
+    }
+    val cands = bucketsOf(corpus).select(col("band"), col("key"), col(idCol).as("a"))
+      .join(bucketsOf(batch).select(col("band"), col("key"), col(idCol).as("b")),
+        Seq("band", "key"))
+      .select("a", "b").distinct()
+    // exact verification over the union frame: disjoint id spaces keep
+    // every (corpus, batch) candidate an (a < b)-ordered pair only if
+    // corpus ids sort first — jaccardPairs itself never reorders cands,
+    // so orientation is already (a=corpus, b=batch) regardless of ids
+    val near = jaccardPairs(corpus.unionByName(batch), 1, threshold, idCol, textCol, Some(cands))
+      .groupBy(col("b").as(idCol)).agg(min(col("a")).as("near_id"))
+    batch.select(col(idCol))
+      .join(exact, Seq(idCol), "left")
+      .join(near, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("exact_id").isNotNull, lit("exact_dup"))
+          .when(col("near_id").isNotNull, lit("near_dup"))
+          .otherwise(lit("new")).as("status"),
+        coalesce(col("exact_id"), col("near_id")).as("match_id"))
+  }
+
   /** 32-bit SimHash: per-bit ±1 votes over token hashes, majority sign. */
   def simhash(docs: DataFrame, bits: Int = 32,
               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

@@ -337,6 +337,60 @@ object Similarity {
       .select("a", "b", "cos")
   }
 
+  /** SemDeDup-style semantic dedup pairs (Abbas et al. 2023,
+    * arXiv:2303.09540): quantize the corpus into k-means cells (the
+    * memoized IVF coarse quantizer — assignment is a map-side transform
+    * against broadcast centroids), then score exact cosine ONLY within
+    * each cell. Work drops from n²/2 to Σ|cell|²/2 (≈ n²/2k balanced) at
+    * the cost of missing cross-cell pairs — an APPROXIMATE operator whose
+    * recall the caller must gate (qSemanticDedup gates against the exact
+    * grid join in-plan).
+    *
+    * The intra-cell join is pinned shuffle-hash for the same reason as
+    * [[nearDupPairsBlocked]]: AQE would broadcast one side and serialize
+    * all pair scoring into the streamed side's (few) scan tasks. At
+    * 100 TB the cells come from the persisted quantizer, the corpus is
+    * stored partitioned by cell (same layout as the IVF index), and a
+    * hot cell is grid-split exactly like the exact join splits the whole
+    * corpus. */
+  def semanticDedupPairs(emb: DataFrame, threshold: Double,
+                         km: org.apache.spark.ml.clustering.KMeansModel,
+                         passign: Int = 2,
+                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = emb.sparkSession
+    // multi-assignment: each vector lands in its `passign` nearest cells
+    // (same squared-Euclidean ranking as the IVF probe path — ‖c‖²−2·v·c,
+    // the ‖v‖² term is constant per vector), so a pair is found if ANY
+    // cell is shared — boundary pairs split across two cells are the
+    // dominant recall loss of single-assignment blocking. Work is
+    // ≈ p²·n²/2k balanced, vs n²/2 exact.
+    val centroids = broadcast(
+      spark.createDataFrame(
+        km.clusterCenters.zipWithIndex.toSeq
+          .map { case (c, i) => (i, c.toArray.map(_.toFloat)) })
+        .toDF("cell", "cvec")
+        .withColumn("cnorm2", dot(col("cvec"), col("cvec"))))
+    val assigned = emb
+      .select(col(idCol), col(vecCol), l2Norm(col(vecCol)).as("nrm"))
+      .crossJoin(centroids)
+      .withColumn("d2", col("cnorm2") - lit(2.0) * dot(col(vecCol), col("cvec")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("d2"), col("cell"))))
+      .filter(col("rk") <= passign)
+      .select(col("cell"), col(idCol), col(vecCol), col("nrm"))
+    val l = assigned.select(col("cell"), col(idCol).as("a"), col(vecCol).as("va"), col("nrm").as("na"))
+    val r = assigned.select(col("cell"), col(idCol).as("b"), col(vecCol).as("vb"), col("nrm").as("nb"))
+    l.hint("shuffle_hash").join(r, Seq("cell"))
+      .filter(col("a") < col("b"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      // a pair sharing BOTH probe cells meets twice — cos is identical,
+      // so a plain distinct collapses the duplicates
+      .select("a", "b", "cos")
+      .distinct()
+  }
+
   /** APPROXIMATE near-dup pairs via banded hyperplane LSH: `bands`
     * independent bands of `planesPerBand` hyperplanes each; a pair is a
     * candidate iff it shares any band's full sign pattern, then exact

@@ -122,6 +122,8 @@ case class ResolveGraftOp(spark: org.apache.spark.sql.SparkSession)
           case "minhash_dedup" => // (idCol, textCol, threshold)
             graft.operators.Dedup.minhashDedupPairs(
               df, idCol = str(0), textCol = str(1), threshold = dbl(2))
+          case "repetition_filter" => // (idCol, textCol)
+            graft.queries.TextQueries.repetitionStats(df, str(0), str(1))
           case other => throw new IllegalArgumentException(s"unknown graft op $other")
         }
         out.queryExecution.analyzed
@@ -237,7 +239,8 @@ object GraftFunctions {
   private[plans] val composedTvfs: Map[String, (String, Int)] = Map(
     "sessionize" -> ("sessionize(table, key, ts, gapNanos, idCol)", 4),
     "dedup_exact" -> ("dedup_exact(table, idCol, textCol)", 2),
-    "minhash_dedup" -> ("minhash_dedup(table, idCol, textCol, threshold)", 3))
+    "minhash_dedup" -> ("minhash_dedup(table, idCol, textCol, threshold)", 3),
+    "repetition_filter" -> ("repetition_filter(table, idCol, textCol)", 2))
 
   /** Builder for a composed-operator TVF: first argument is the table
     * (name string literal or TABLE(...) — see [[tableArg]]); the rest

@@ -168,6 +168,47 @@ object SimilarityQueries {
       floor = IvfRecallFloor)
   }
 
+  /** Pair recall floor for q_semantic_dedup: measured top-2-cell pair
+    * recall of the 16-cell quantizer vs the exact grid join at
+    * cos ≥ 0.45 is 0.86 / 0.86 / 0.71 at sf0.001/0.01/0.1 (probe run
+    * 2026-08-12; single-assignment measured 0.29-0.57 — multi-assignment
+    * is what makes the operator viable at this threshold). Floor sits
+    * just under the minimum, same policy as [[LshRecallFloor]]. */
+  val SemanticRecallFloor = 0.65
+
+  /** Semantic (embedding-space) dedup, SemDeDup-shaped: same-cell exact
+    * cosine pairs at τ=0.45 via the memoized quantizer, then keep = "no
+    * smaller-id semantic duplicate" (the min-id representative of each
+    * direct dup relation survives). Emits one row per vector with its
+    * keep flag, GATED on pair recall against the exact blocked grid join
+    * computed in the same plan: if the cell blocking misses too many
+    * true pairs, every row vanishes and the driver's rows-only check
+    * fails — same contract as the ANN recall gates. */
+  def qSemanticDedup(spark: SparkSession, dir: String): DataFrame =
+    semanticDedupGated(spark, dir, SemanticRecallFloor)
+
+  /** Floor-parameterized body so the spec can sabotage the gate (an
+    * unreachable floor must zero the result). */
+  private[graft] def semanticDedupGated(spark: SparkSession, dir: String,
+                                        floor: Double): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val sem = Similarity.semanticDedupPairs(emb, 0.45, cachedQuantizer(spark, dir, 16))
+    val exact = Similarity.nearDupPairsBlocked(emb, 0.45)
+    // per-exact-pair hit indicator → mean = pair recall; no exact pairs
+    // at this SF ⇒ recall is vacuously 1 (gate open, nothing to miss)
+    val gate = exact.select(col("a"), col("b"))
+      .join(sem.select(col("a"), col("b"), lit(1).as("hit")), Seq("a", "b"), "left")
+      .agg(coalesce(avg(coalesce(col("hit"), lit(0))), lit(1.0)).as("pair_recall"))
+    val dropped = sem.select(col("b").as("vec_id")).distinct().withColumn("dup", lit(1))
+    emb.select(col("vec_id"))
+      .join(dropped, Seq("vec_id"), "left")
+      .crossJoin(broadcast(gate))
+      .filter(col("pair_recall") >= floor)
+      .select(col("vec_id"), col("dup").isNull.cast("int").as("kept"),
+        rnd(col("pair_recall"), 4).as("pair_recall"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embedding_norm" -> qEmbeddingNorm _,
     "q_embedding_stats" -> qEmbeddingStats _,
@@ -176,6 +217,7 @@ object SimilarityQueries {
     "q_ann_lsh" -> qAnnLsh _,
     "q_ann_ivf" -> qAnnIvf _,
     "q_ann_ivf_indexed" -> qAnnIvfIndexed _,
+    "q_semantic_dedup" -> qSemanticDedup _,
   )
 
   val oracles: Map[String, String] = Map(

@@ -101,6 +101,92 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Bloom-prefiltered decontamination — IDENTICAL results to
+    * [[qDecontaminate]] (same oracle SQL), different physical shape: the
+    * benchmark's distinct shingles are folded into a bloom filter over
+    * xxhash64(shingle) (one small aggregation job at plan-build time),
+    * and the corpus shingle stream is prefiltered by a codegen'd
+    * might_contain BEFORE the broadcast-join verify. Bloom filters have
+    * no false negatives, so prefilter → exact join keeps exactness; the
+    * ~1% false positives are removed by the join.
+    *
+    * 100 TB shape: when the eval suite outgrows the broadcast threshold
+    * (a full eval-harness n-gram set can), the broadcast join must
+    * become a shuffle join of ALL corpus shingles — but the bloom stays
+    * O(items) bytes inlined in the task binary, so only the ~fpp
+    * survivor stream pays that shuffle. Here the bench side is tiny and
+    * the bloom's win is probe cost: bits-in-register vs hashed-relation
+    * lookup per corpus shingle. */
+  def qDecontamBloom(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.BloomFunctions
+    val docs = Tables.documents(spark, dir)
+    val n = 5
+    val bench = shingleRows(docs.filter(col("doc_id") < 10), n).select("sh").distinct()
+    val benchHashes = bench.select(xxhash64(col("sh")).as("h"))
+    val bloom = BloomFunctions.buildLongBloom(
+      benchHashes, "h", expectedItems = benchHashes.count(), fpp = 0.01)
+    val bloomBytes = BloomFunctions.serialize(bloom)
+    val hits = shingleRows(docs.filter(col("doc_id") >= 10), n)
+      .filter(BloomFunctions.mightContainLong(bloomBytes, xxhash64(col("sh"))))
+      .join(broadcast(bench), Seq("sh"))
+      .groupBy("doc_id").agg(count_distinct(col("sh")).as("n_hits"))
+    docs.filter(col("doc_id") >= 10)
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_contaminated_ngrams"),
+        (coalesce(col("n_hits"), lit(0L)) === 0).cast("int").as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Intra-document repetition filter (the Gopher/MassiveText repetition
+    * heuristics — Rae et al. 2021, table A1): excessively repetitive
+    * documents are low-quality (boilerplate, keyword stuffing, scraper
+    * loops) and get dropped before training. Two signals, both as
+    * occurrence fractions over the document's own n-grams:
+    *  - top2_frac: occurrences of the MOST frequent 2-gram / all 2-gram
+    *    occurrences (threshold 0.20),
+    *  - dup5_frac: occurrences of 5-grams seen ≥2× / all 5-gram
+    *    occurrences (threshold 0.15).
+    * Scale shape: shingle explode → two hash aggregations keyed by
+    * (doc_id, gram) then doc_id — uniform keys, partial-agg friendly,
+    * no joins wider than the final per-doc assembly. */
+  def qRepetition(spark: SparkSession, dir: String): DataFrame =
+    repetitionStats(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  /** Frame-parameterized body of [[qRepetition]] (spec-testable on
+    * synthetic docs; SQL-reachable as the `repetition_filter` TVF). */
+  def repetitionStats(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    def gramCounts(n: Int) = shingleRows(docs, n, idCol, textCol)
+      .groupBy(col(idCol), col("sh")).agg(count(lit(1)).as("c"))
+    val f2 = gramCounts(2).groupBy(idCol)
+      .agg((max("c") / sum("c").cast("double")).as("f2"))
+    val f5 = gramCounts(5).groupBy(idCol)
+      .agg((sum(when(col("c") >= 2, col("c")).otherwise(lit(0L))) /
+        sum("c").cast("double")).as("f5"))
+    docs.select(col(idCol))
+      .join(f2, Seq(idCol), "left")
+      .join(f5, Seq(idCol), "left")
+      .select(col(idCol),
+        rnd(coalesce(col("f2"), lit(0.0)), 4).as("top2_frac"),
+        rnd(coalesce(col("f5"), lit(0.0)), 4).as("dup5_frac"),
+        (coalesce(col("f2"), lit(0.0)) < 0.2 &&
+          coalesce(col("f5"), lit(0.0)) < 0.15).cast("int").as("keep"))
+  }
+
+  /** Incremental corpus dedup (daily-ingest shape): classify batch docs
+    * (60 ≤ doc_id < 120) against the standing corpus (doc_id < 60) as
+    * exact_dup / near_dup / new — see Dedup.incrementalDedup for the
+    * artifact-reuse 100 TB story. Id bounds keep the oracle's pairwise
+    * verification small, like the other pairwise text oracles. */
+  def qDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Dedup.incrementalDedup(
+      docs.filter(col("doc_id") < 60),
+      docs.filter(col("doc_id") >= 60 && col("doc_id") < 120))
+      .orderBy("doc_id")
+  }
+
   /** Overlapping token-window chunking (the RAG/context-window prep
     * step: split each document into windows of [[ChunkLen]] tokens at
     * stride [[ChunkStride]], tail windows shorter). Pure per-row array
@@ -245,6 +331,9 @@ object TextQueries {
     "q_simhash" -> qSimhash _,
     "q_multimodal_meta" -> qMultimodalMeta _,
     "q_decontaminate" -> qDecontaminate _,
+    "q_decontam_bloom" -> qDecontamBloom _,
+    "q_repetition" -> qRepetition _,
+    "q_dedup_incremental" -> qDedupIncremental _,
     "q_chunking" -> qChunking _,
   )
 
@@ -258,6 +347,25 @@ object TextQueries {
   private val TOKHASH =
     s"""tok AS (SELECT doc_id, unnest($TOKS) AS t FROM documents),
        |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS hv FROM tok)""".stripMargin
+
+  /** Decontamination oracle — shared verbatim by q_decontaminate and
+    * q_decontam_bloom (the bloom path is an exact-equivalent physical
+    * rewrite, not a different query). */
+  private val DecontamSql: String =
+    s"""WITH t AS (SELECT doc_id, $TOKS AS ts FROM documents),
+       |g AS (
+       |  SELECT DISTINCT doc_id,
+       |    ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] AS s
+       |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(ts) - 4)) AS i)),
+       |b AS (SELECT DISTINCT s FROM g WHERE doc_id < 10),
+       |c AS (
+       |  SELECT g.doc_id, count(*) AS n_hits
+       |  FROM g JOIN b USING (s) WHERE g.doc_id >= 10 GROUP BY 1)
+       |SELECT d.doc_id,
+       |  coalesce(c.n_hits, 0) AS n_contaminated_ngrams,
+       |  CAST(coalesce(c.n_hits, 0) = 0 AS INTEGER) AS keep
+       |FROM documents d LEFT JOIN c USING (doc_id)
+       |WHERE d.doc_id >= 10 ORDER BY d.doc_id""".stripMargin
 
   /** Shared CTE chain of the MinHash+LSH dedup oracle (docs → token hash
     * → signatures → bands → candidates → exact-Jaccard `j`); consumed by
@@ -362,21 +470,73 @@ object TextQueries {
          |  WHERE s = 1 OR s + ${ChunkLen - ChunkStride} <= len(ts))
          |SELECT doc_id, chunk_idx, n_tokens, chunk_fp
          |FROM g ORDER BY doc_id, chunk_idx""".stripMargin,
-    "q_decontaminate" ->
+    "q_decontaminate" -> DecontamSql,
+    // bloom prefilter + exact verify has no false negatives and the join
+    // removes false positives — results are EXACTLY the plain
+    // decontamination's, so both queries share one oracle
+    "q_decontam_bloom" -> DecontamSql,
+    "q_repetition" ->
       s"""WITH t AS (SELECT doc_id, $TOKS AS ts FROM documents),
-         |g AS (
-         |  SELECT DISTINCT doc_id,
+         |g2 AS (
+         |  SELECT doc_id, ts[i] || ' ' || ts[i+1] AS s
+         |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i)),
+         |c2 AS (SELECT doc_id, s, count(*) AS c FROM g2 GROUP BY 1, 2),
+         |a2 AS (SELECT doc_id, max(c) * 1.0 / sum(c) AS f2 FROM c2 GROUP BY 1),
+         |g5 AS (
+         |  SELECT doc_id,
          |    ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] AS s
          |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(ts) - 4)) AS i)),
-         |b AS (SELECT DISTINCT s FROM g WHERE doc_id < 10),
-         |c AS (
-         |  SELECT g.doc_id, count(*) AS n_hits
-         |  FROM g JOIN b USING (s) WHERE g.doc_id >= 10 GROUP BY 1)
+         |c5 AS (SELECT doc_id, s, count(*) AS c FROM g5 GROUP BY 1, 2),
+         |a5 AS (
+         |  SELECT doc_id, sum(CASE WHEN c >= 2 THEN c ELSE 0 END) * 1.0 / sum(c) AS f5
+         |  FROM c5 GROUP BY 1)
          |SELECT d.doc_id,
-         |  coalesce(c.n_hits, 0) AS n_contaminated_ngrams,
-         |  CAST(coalesce(c.n_hits, 0) = 0 AS INTEGER) AS keep
-         |FROM documents d LEFT JOIN c USING (doc_id)
-         |WHERE d.doc_id >= 10 ORDER BY d.doc_id""".stripMargin,
+         |  floor((coalesce(f2, 0)) * 1e4 + 0.5) / 1e4 AS top2_frac,
+         |  floor((coalesce(f5, 0)) * 1e4 + 0.5) / 1e4 AS dup5_frac,
+         |  CAST(coalesce(f2, 0) < 0.2 AND coalesce(f5, 0) < 0.15 AS INTEGER) AS keep
+         |FROM documents d LEFT JOIN a2 USING (doc_id) LEFT JOIN a5 USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+    "q_dedup_incremental" ->
+      s"""WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 120),
+         |tok AS (SELECT doc_id, unnest($TOKS) AS t FROM docs),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS hv FROM tok),
+         |sig AS (
+         |  SELECT doc_id,
+         |    ${(0 until 8).map(i => s"min(${Dedup.minhashSqlExpr(i)}) AS mh$i").mkString(",\n    ")}
+         |  FROM h GROUP BY doc_id),
+         |bands AS (
+         |  ${(0 until 4).map(b =>
+            s"SELECT doc_id, $b AS band, md5(mh${2 * b}::VARCHAR || '_' || mh${2 * b + 1}::VARCHAR) AS bkey FROM sig")
+            .mkString("\n  UNION ALL\n  ")}),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < 60 AND y.doc_id >= 60),
+         |sh AS (SELECT DISTINCT doc_id, unnest($TOKS) AS s FROM docs),
+         |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |i AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+         |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < 60 AND y.doc_id >= 60
+         |  GROUP BY 1, 2),
+         |j AS (
+         |  SELECT a, b, c * 1.0 / (na.n + nb.n - c) AS jaccard
+         |  FROM i JOIN n na ON na.doc_id = a JOIN n nb ON nb.doc_id = b),
+         |nr AS (
+         |  SELECT j.b AS doc_id, min(j.a) AS near_id
+         |  FROM j JOIN cand ON j.a = cand.a AND j.b = cand.b
+         |  WHERE jaccard >= 0.8 GROUP BY 1),
+         |fp AS (SELECT doc_id, md5($NORM) AS fp FROM docs),
+         |ex AS (
+         |  SELECT b.doc_id, min(a.doc_id) AS exact_id
+         |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < 60 AND b.doc_id >= 60
+         |  GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CASE WHEN ex.exact_id IS NOT NULL THEN 'exact_dup'
+         |       WHEN nr.near_id IS NOT NULL THEN 'near_dup'
+         |       ELSE 'new' END AS status,
+         |  coalesce(ex.exact_id, nr.near_id) AS match_id
+         |FROM documents d LEFT JOIN ex USING (doc_id) LEFT JOIN nr USING (doc_id)
+         |WHERE d.doc_id >= 60 AND d.doc_id < 120 ORDER BY d.doc_id""".stripMargin,
     "q_ngram_sim" -> jaccardSql(
       s"""t AS (SELECT doc_id, $TOKS AS ts FROM documents WHERE doc_id < 100),
          |sh AS (

@@ -85,4 +85,82 @@ class DedupSpec extends AnyFunSuite {
       .select("a", "b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((0L, 1L)))
   }
+
+  test("incrementalDedup classifies exact_dup / near_dup / new with min match id") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "one two three four five")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      // normalizes to corpus 0's fingerprint (case, punctuation, spacing)
+      (10L, "Alpha,  BETA -- gamma delta!"),
+      // same word SET as corpus 1 (token repetition only) → identical
+      // minhash signatures (guaranteed LSH candidate), jaccard 1.0,
+      // but a different fingerprint → near_dup, not exact
+      (11L, "one one two three four five"),
+      (12L, "totally unrelated content here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalDedup(corpus, batch)
+      .orderBy("doc_id")
+      .select("doc_id", "status", "match_id")
+      .as[(Long, String, Option[Long])].collect().toSeq
+    assert(got == Seq(
+      (10L, "exact_dup", Some(0L)),
+      (11L, "near_dup", Some(1L)),
+      (12L, "new", None)))
+  }
+
+  test("incrementalDedup: exact_dup takes priority over near_dup") {
+    val corpus = Seq((0L, "same words here exactly")).toDF("doc_id", "text")
+    val batch = Seq((10L, "same  words here exactly")).toDF("doc_id", "text")
+    val got = Dedup.incrementalDedup(corpus, batch)
+      .select("doc_id", "status", "match_id")
+      .as[(Long, String, Option[Long])].collect().toSeq
+    assert(got == Seq((10L, "exact_dup", Some(0L))))
+  }
+
+  test("bloom might_contain: zero false negatives, fpp-bounded false positives") {
+    import graft.functions.BloomFunctions
+    val members = spark.range(1000).toDF("id")
+    val bytes = BloomFunctions.serialize(
+      BloomFunctions.buildLongBloom(members, "id", 1000, 0.01))
+    val probed = spark.range(2000)
+      .select($"id", BloomFunctions.mightContainLong(bytes, $"id").as("m"))
+      .as[(Long, Boolean)].collect()
+    val falseNeg = probed.count { case (id, m) => id < 1000 && !m }
+    val falsePos = probed.count { case (id, m) => id >= 1000 && m }
+    assert(falseNeg == 0, s"$falseNeg false negatives — bloom contract broken")
+    assert(falsePos <= 50, s"$falsePos false positives on 1000 non-members at fpp=0.01")
+  }
+
+  test("bloom-prefiltered decontamination equals the plain broadcast path") {
+    val plain = graft.queries.TextQueries.qDecontaminate(spark, TestSpark.Sf)
+      .collect().toSeq
+    val bloom = graft.queries.TextQueries.qDecontamBloom(spark, TestSpark.Sf)
+      .collect().toSeq
+    assert(bloom == plain, "bloom prefilter changed decontamination results")
+  }
+
+  test("repetitionStats flags repetitive docs, passes diverse ones") {
+    val docs = Seq(
+      // 9 tokens, every 2-gram is "spam spam": top2_frac = 1 → drop
+      (0L, "spam spam spam spam spam spam spam spam spam"),
+      // diverse: all 2-grams and 5-grams unique → fracs 0 → keep
+      (1L, "one two three four five six seven eight nine"),
+      // a 10-token phrase repeated 3× back-to-back: the repeated block
+      // makes most 5-grams duplicates → dup5_frac > 0.15 → drop
+      (2L, Seq.fill(3)("a b c d e f g h i j").mkString(" ")),
+      // a 1-token doc has NO 2-grams or 5-grams at all: both fractions
+      // coalesce to 0 → keep (short docs are length-filtered elsewhere)
+      (3L, "solo")
+    ).toDF("doc_id", "text")
+    val got = graft.queries.TextQueries.repetitionStats(docs)
+      .orderBy("doc_id")
+      .select("doc_id", "top2_frac", "dup5_frac", "keep")
+      .as[(Long, Double, Double, Int)].collect().toSeq
+    assert(got(0) == ((0L, 1.0, 1.0, 0)))
+    assert(got(1) == ((1L, 0.125, 0.0, 1)))
+    assert(got(2)._3 > 0.15 && got(2)._4 == 0, s"repeated block not flagged: ${got(2)}")
+    assert(got(3) == ((3L, 0.0, 0.0, 1)))
+  }
 }

@@ -54,6 +54,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("q_decontam_bloom: codegen'd might_contain prefilter feeds the broadcast verify") {
+    val p = physical("q_decontam_bloom")
+    // the bloom probe must appear as a Filter predicate (map-side, before
+    // the join), and the exact verify must stay a broadcast join
+    assert(p.contains("might_contain"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    // prefilter adds no shuffle: same exchange count as the plain path
+    val shufflesBloom = "Exchange hashpartitioning".r.findAllIn(p).size
+    val shufflesPlain =
+      "Exchange hashpartitioning".r.findAllIn(physical("q_decontaminate")).size
+    assert(shufflesBloom == shufflesPlain,
+      s"bloom path shuffles $shufflesBloom vs plain $shufflesPlain:\n$p")
+  }
+
+  test("q_semantic_dedup: intra-cell join stays pinned shuffled-hash") {
+    val p = physical("q_semantic_dedup")
+    // the centroid fan-out and the gate scalar are broadcast nested
+    // loops over ≤16-row build sides (the intended map-side pattern);
+    // what must NEVER appear is an unbroadcast cartesian, and the
+    // pair-scoring join itself must stay the pinned shuffled-hash shape
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("ShuffledHashJoin"), p.take(2000))
+  }
+
   test("q_content_filter is scan-parallel: no exchange before the sort") {
     // presentation ORDER BY adds one range exchange at the end; the
     // filter/flag computation itself must not shuffle
@@ -202,6 +226,14 @@ class PlanSpec extends AnyFunSuite {
       assert(kept.count() ==
         graft.operators.Dedup.exactDedup(
           Tables.documents(s2, TestSpark.Sf).filter(col("doc_id") < 100)).count())
+      // repetition_filter: per-doc stats parity with the operator
+      val repSql = s2.sql(
+        "SELECT * FROM repetition_filter('docs', 'doc_id', 'text') ORDER BY doc_id")
+        .collect().toSeq
+      val repApi = graft.queries.TextQueries.repetitionStats(
+        Tables.documents(s2, TestSpark.Sf).filter(col("doc_id") < 100))
+        .orderBy("doc_id").collect().toSeq
+      assert(repSql.nonEmpty && repSql == repApi)
     }
   }
 

@@ -201,6 +201,45 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall (${lsh.size}/${exact.size})")
   }
 
+  test("semantic dedup: finds planted same-cell pairs, gate zeroes on sabotage") {
+    // planted near-identical pairs land in the same nearest cells, so
+    // semanticDedupPairs must recover them (subset of exact, high recall
+    // on cos ≥ 0.98 planted pairs)
+    val dim = 16
+    val rows = (0 until 40).flatMap { i =>
+      val base = Array.tabulate(dim)(j => math.sin(i * 31 + j * 7).toFloat)
+      val pert = base.zipWithIndex.map { case (v, j) => v + 0.01f * math.cos(i + j).toFloat }
+      Seq((i.toLong * 2, base), (i.toLong * 2 + 1, pert))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val km = Similarity.fitQuantizer(emb, 8)
+    val exact = Similarity.nearDupPairsBlocked(emb, 0.98, blocks = 4)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val sem = Similarity.semanticDedupPairs(emb, 0.98, km)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(sem.subsetOf(exact), "semantic emitted a pair the exact join did not")
+    assert(sem.size.toDouble / exact.size >= 0.9,
+      s"planted-pair recall ${sem.size}/${exact.size}")
+    // no duplicate (a,b) rows from pairs sharing both probe cells
+    val n = Similarity.semanticDedupPairs(emb, 0.98, km).count()
+    assert(n == Similarity.semanticDedupPairs(emb, 0.98, km).select("a", "b").distinct().count())
+  }
+
+  test("q_semantic_dedup: gated rows carry recall ≥ floor; unreachable floor zeroes") {
+    import graft.queries.SimilarityQueries
+    val out = SimilarityQueries.qSemanticDedup(spark, TestSpark.Sf).cache()
+    val nVec = Tables.embeddings(spark, TestSpark.Sf).count()
+    assert(out.count() == nVec, "gate must be open on the fixture")
+    val rec = out.select("pair_recall").head().getDouble(0)
+    assert(rec >= SimilarityQueries.SemanticRecallFloor,
+      s"measured recall $rec under the declared floor")
+    // some vectors must actually be dropped (planted near-dups exist)
+    assert(out.filter($"kept" === 0).count() > 0)
+    // sabotage: a floor no measurement can reach must zero the result
+    assert(SimilarityQueries.semanticDedupGated(spark, TestSpark.Sf, 1.01).count() == 0)
+    out.unpersist()
+  }
+
   test("lsh top-k results are a subset of correct cosine ordering") {
     val emb = Tables.embeddings(spark, TestSpark.Sf)
     val q = emb.filter($"vec_id" < 10)
