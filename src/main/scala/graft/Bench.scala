@@ -193,10 +193,21 @@ object Bench {
             org.apache.spark.sql.functions.lit(1)).as("n"))
         Ingest.runningCountsTws(ev, initial)
       }
+      // both replays done — drop the symlink dir and RocksDB checkpoint
+      // trees (repeated reps=3 runs would otherwise accumulate /tmp state)
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }
       s"{$pct,$tws}"
     } catch { case e: Throwable =>
       System.err.println(s"[bench] streaming replay failed: ${e.getMessage}")
-      s"""{"err":"${Option(e.getMessage).getOrElse(e.getClass.getName).replaceAll("[\"\\\\\n]", " ").take(200)}"}"""
+      // scrub EVERY JSON-illegal char (quotes, backslashes, all control
+      // chars — Spark messages carry tabs and \r too), or the embedded
+      // error re-breaks all three artifacts
+      s"""{"err":"${Option(e.getMessage).getOrElse(e.getClass.getName)
+        .replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(200)}"}"""
     }
 
     // native-vs-composed as-of A/B, pinned side by side from the SAME
@@ -221,27 +232,37 @@ object Bench {
     val total = okWarm.sum
     val medianQ = if (okWarm.isEmpty) -1.0 else okWarm(okWarm.size / 2)
 
-    // (1) complete record to a file the judge can read whole
+    // (1) complete record to a file the judge can read whole — but a
+    // failed write (read-only cwd, full disk) must NOT discard the run:
+    // the two stdout lines below carry the measurements regardless
     val fullJson = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""warmup_sec":$warmupSec,"asof_ab":$ab,"streaming":$streamingJson,""" +
       s""""reps":$reps,"sf":"$sfDir",""" +
       s""""cold":$cold,"shuffle_bytes":$bytes,"queries":$qs}"""
     val outFile = new java.io.File(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")).getAbsoluteFile
-    java.nio.file.Files.write(outFile.toPath, (fullJson + "\n").getBytes("UTF-8"))
+    val outPath = try {
+      java.nio.file.Files.write(outFile.toPath, (fullJson + "\n").getBytes("UTF-8"))
+      outFile.getPath
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write ${outFile.getPath}: ${e.getMessage}")
+      "unwritable"
+    }
 
     // (2) full line first — queries map LAST so the tail window keeps
     // warm medians, never the shuffle-bytes map (the r4 failure mode)
     println(fullJson)
 
-    // (3) compact summary LAST — sized to always fit the tail window
-    val slowest = results.toSeq.sortBy(-_._2.warm).take(12)
+    // (3) compact summary LAST — sized to always fit the tail window;
+    // failed queries (warm = -1) are not "slowest", they are absent here
+    // and visible in the full record's -1 sentinels
+    val slowest = results.toSeq.filter(_._2.warm >= 0).sortBy(-_._2.warm).take(12)
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
       s""""queries":${jmap(slowest.map { case (k, s) => k -> r3(s.warm) })},""" +
-      s""""queries_truncated":true,"n_queries":${results.size},""" +
+      s""""queries_truncated":${results.size > slowest.size},"n_queries":${results.size},""" +
       s""""median_query_sec":${r3(medianQ)},"warmup_sec":${r3(warmupSec)},""" +
       s""""asof_ab":$ab,"streaming":$streamingJson,""" +
-      s""""reps":$reps,"sf":"$sfDir","full":"${outFile.getPath}"}""")
+      s""""reps":$reps,"sf":"$sfDir","full":"$outPath"}""")
     spark.stop()
   }
 }

@@ -61,15 +61,25 @@ object Dedup {
         (1 until k).map(i => min(minhashExpr(i, col("hv"))).as(s"mh$i")): _*)
   }
 
-  /** LSH candidate pairs: band the signature (k/r bands of r rows), bucket
-    * by band hash, emit distinct (a<b) pairs sharing any bucket. */
-  def lshCandidates(sig: DataFrame, k: Int = 8, r: Int = 2, idCol: String = "doc_id"): DataFrame = {
+  /** Band-bucket rows (id, band, key) from a MinHash signature frame —
+    * the ONE definition of the banding scheme, shared by the self-join
+    * candidates ([[lshCandidates]]), the batch-vs-corpus candidates
+    * ([[incrementalDedup]]), and mirrored by the band CTEs in the
+    * oracle SQL; changing the band layout or key hash here is the only
+    * way to change it anywhere. */
+  def bandBuckets(sig: DataFrame, k: Int = 8, r: Int = 2, idCol: String = "doc_id"): DataFrame = {
     val bands = (0 until k / r).map { b =>
       struct(lit(b).as("band"),
         md5(concat_ws("_", (b * r until (b + 1) * r).map(i => col(s"mh$i")): _*)).as("key"))
     }
-    val buckets = sig.select(col(idCol), explode(array(bands: _*)).as("bk"))
+    sig.select(col(idCol), explode(array(bands: _*)).as("bk"))
       .select(col(idCol), col("bk.band"), col("bk.key"))
+  }
+
+  /** LSH candidate pairs: band the signature (k/r bands of r rows), bucket
+    * by band hash, emit distinct (a<b) pairs sharing any bucket. */
+  def lshCandidates(sig: DataFrame, k: Int = 8, r: Int = 2, idCol: String = "doc_id"): DataFrame = {
+    val buckets = bandBuckets(sig, k, r, idCol)
     val l = buckets.select(col("band"), col("key"), col(idCol).as("a"))
     val rgt = buckets.select(col("band"), col("key"), col(idCol).as("b"))
     l.join(rgt, Seq("band", "key"))
@@ -226,16 +236,10 @@ object Dedup {
     val exact = batch.select(col(idCol), fingerprint(col(textCol)).as("fp"))
       .join(fpCorpus, "fp")
       .groupBy(col(idCol)).agg(min(col("corpus_id")).as("exact_id"))
-    // band buckets per side; candidates are strictly batch×corpus
-    def bucketsOf(df: DataFrame) = {
-      val sig = minhashSignatures(df, k, idCol, textCol)
-      val bands = (0 until k / r).map { b =>
-        struct(lit(b).as("band"),
-          md5(concat_ws("_", (b * r until (b + 1) * r).map(i => col(s"mh$i")): _*)).as("key"))
-      }
-      sig.select(col(idCol), explode(array(bands: _*)).as("bk"))
-        .select(col(idCol), col("bk.band"), col("bk.key"))
-    }
+    // band buckets per side (the shared banding scheme); candidates are
+    // strictly batch×corpus
+    def bucketsOf(df: DataFrame) =
+      bandBuckets(minhashSignatures(df, k, idCol, textCol), k, r, idCol)
     val cands = bucketsOf(corpus).select(col("band"), col("key"), col(idCol).as("a"))
       .join(bucketsOf(batch).select(col("band"), col("key"), col(idCol).as("b")),
         Seq("band", "key"))

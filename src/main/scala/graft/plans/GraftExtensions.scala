@@ -89,22 +89,27 @@ case class ResolveGraftOp(spark: org.apache.spark.sql.SparkSession)
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
     case u: UnresolvedGraftOp if u.childrenResolved =>
       val df = org.apache.spark.sql.GraftPlanBridge.ofRows(spark, u.child)
+      // arg-extraction failures are ALREADY op-prefixed and must pass
+      // through unwrapped; a plain IllegalArgumentException is NOT a
+      // reliable marker — operator bodies throw it too (scala require()),
+      // and those need the op/usage wrapping — hence the private subtype
+      def argError(msg: String) = new ResolveGraftOp.GraftTvfArgException(msg)
       def str(i: Int): String = u.args(i) match {
         case s: String => s
-        case other => throw new IllegalArgumentException(
+        case other => throw argError(
           s"${u.op}: argument ${i + 2} must be a string literal, got $other")
       }
       def lng(i: Int): Long = u.args(i) match {
         case l: Long => l
         case n: Int => n.toLong
-        case other => throw new IllegalArgumentException(
+        case other => throw argError(
           s"${u.op}: argument ${i + 2} must be an integer literal, got $other")
       }
       def dbl(i: Int): Double = u.args(i) match {
         case d: Double => d
         case l: Long => l.toDouble
         case n: Int => n.toDouble
-        case other => throw new IllegalArgumentException(
+        case other => throw argError(
           s"${u.op}: argument ${i + 2} must be a numeric literal, got $other")
       }
       // this nested analysis is re-entrant (a full QueryExecution from
@@ -124,11 +129,11 @@ case class ResolveGraftOp(spark: org.apache.spark.sql.SparkSession)
               df, idCol = str(0), textCol = str(1), threshold = dbl(2))
           case "repetition_filter" => // (idCol, textCol)
             graft.queries.TextQueries.repetitionStats(df, str(0), str(1))
-          case other => throw new IllegalArgumentException(s"unknown graft op $other")
+          case other => throw argError(s"unknown graft op $other")
         }
         out.queryExecution.analyzed
       } catch {
-        case e: IllegalArgumentException => throw e // already op-prefixed
+        case e: ResolveGraftOp.GraftTvfArgException => throw e // already op-prefixed
         case scala.util.control.NonFatal(e) =>
           val usage = GraftFunctions.composedTvfs.get(u.op).map(_._1).getOrElse(u.op)
           throw new IllegalArgumentException(
@@ -139,6 +144,15 @@ case class ResolveGraftOp(spark: org.apache.spark.sql.SparkSession)
           "nested graft TVF resolution is not supported from inside an operator body")
       spliced
   }
+}
+
+object ResolveGraftOp {
+  /** Marker for TVF-argument errors raised by [[ResolveGraftOp]] itself
+    * (already op-prefixed); everything else thrown during operator
+    * construction — including require()'s IllegalArgumentException from
+    * operator bodies — gets wrapped with the op name and usage. */
+  private[plans] final class GraftTvfArgException(msg: String)
+    extends IllegalArgumentException(msg)
 }
 
 object GraftFunctions {

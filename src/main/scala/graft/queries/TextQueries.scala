@@ -121,10 +121,16 @@ object TextQueries {
     import graft.functions.BloomFunctions
     val docs = Tables.documents(spark, dir)
     val n = 5
-    val bench = shingleRows(docs.filter(col("doc_id") < 10), n).select("sh").distinct()
-    val benchHashes = bench.select(xxhash64(col("sh")).as("h"))
+    val benchDocs = docs.filter(col("doc_id") < 10)
+    val bench = shingleRows(benchDocs, n).select("sh").distinct()
+    // bloom sizing needs only an UPPER bound on the distinct shingles:
+    // total token count is one (a scan-side sum, no shuffle) — a
+    // distinct count here would pay the full shingle aggregation twice
+    // per query construction just to size a filter
+    val cap = benchDocs
+      .agg(sum(size(tokens(col("text")))).cast("long")).head().getLong(0)
     val bloom = BloomFunctions.buildLongBloom(
-      benchHashes, "h", expectedItems = benchHashes.count(), fpp = 0.01)
+      bench.select(xxhash64(col("sh")).as("h")), "h", expectedItems = cap, fpp = 0.01)
     val bloomBytes = BloomFunctions.serialize(bloom)
     val hits = shingleRows(docs.filter(col("doc_id") >= 10), n)
       .filter(BloomFunctions.mightContainLong(bloomBytes, xxhash64(col("sh"))))
