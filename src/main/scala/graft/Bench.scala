@@ -148,6 +148,7 @@ object Bench {
     // size. One replay each, no reps: the number is an end-to-end
     // replay measurement (source listing + state build included), not a
     // warmed plan cost like the query map.
+    var streamTmp: java.nio.file.Path = null
     val streamingJson = try {
       import org.apache.spark.sql.streaming.Trigger
       import graft.streaming.Ingest
@@ -155,6 +156,7 @@ object Bench {
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       val tmp = java.nio.file.Files.createTempDirectory("graft-streambench")
+      streamTmp = tmp
       val batch = Tables.events(spark, sfDir)
       val schema = batch.select("event_id", "ts", "user_id", "event_type", "value").schema
       // the SF tables are single parquet FILES and the streaming file
@@ -193,13 +195,6 @@ object Bench {
             org.apache.spark.sql.functions.lit(1)).as("n"))
         Ingest.runningCountsTws(ev, initial)
       }
-      // both replays done — drop the symlink dir and RocksDB checkpoint
-      // trees (repeated reps=3 runs would otherwise accumulate /tmp state)
-      try {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      } catch { case _: Throwable => () }
       s"{$pct,$tws}"
     } catch { case e: Throwable =>
       System.err.println(s"[bench] streaming replay failed: ${e.getMessage}")
@@ -208,6 +203,12 @@ object Bench {
       // error re-breaks all three artifacts
       s"""{"err":"${Option(e.getMessage).getOrElse(e.getClass.getName)
         .replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(200)}"}"""
+    } finally {
+      // drop the symlink dir and RocksDB checkpoint trees on success AND
+      // failure (repeated reps=3 runs would otherwise accumulate /tmp
+      // state — and a failed replay leaks the most, mid-build checkpoints)
+      if (streamTmp != null)
+        try IoUtil.deleteRecursively(streamTmp) catch { case _: Throwable => () }
     }
 
     // native-vs-composed as-of A/B, pinned side by side from the SAME

@@ -217,15 +217,20 @@ object Dedup {
     * document against an existing corpus as `exact_dup` (normalized
     * fingerprint already present), `near_dup` (MinHash-LSH-proposed,
     * exact-Jaccard-verified against a corpus doc), or `new`;
-    * `match_id` is the smallest matching corpus id (null for `new`).
+    * `match_id` is the smallest corpus id matching under the winning
+    * status (null for `new` — an exact dup reports its exact match even
+    * if a lower-id near match also exists).
     *
     * This is the daily-ingest shape of the training-data pipeline: the
     * corpus is NOT re-deduped against itself — only batch×corpus checks
     * run. 100 TB shape: corpus fingerprints and MinHash band buckets are
     * precomputed artifacts (here derived inline from `corpus`); the
-    * batch joins them on fp / (band, key) — shuffles sized by the BATCH,
-    * not the corpus — and exact Jaccard verification is enumerated only
-    * from LSH-proposed candidate pairs, as in [[minhashDedupPairs]].
+    * batch joins them on fp / (band, key) — those shuffles are sized by
+    * the BATCH against index-shaped corpus artifacts — and the exact
+    * Jaccard verification stage shingles ONLY candidate-participating
+    * docs (semi-join on the candidate id set), so the verify is bounded
+    * by the candidate set as in [[minhashDedupPairs]], never a
+    * corpus-wide shingle shuffle.
     *
     * Requires corpus and batch id spaces to be disjoint (it returns
     * per-batch-id rows keyed by `idCol`). */
@@ -244,11 +249,17 @@ object Dedup {
       .join(bucketsOf(batch).select(col("band"), col("key"), col(idCol).as("b")),
         Seq("band", "key"))
       .select("a", "b").distinct()
-    // exact verification over the union frame: disjoint id spaces keep
-    // every (corpus, batch) candidate an (a < b)-ordered pair only if
-    // corpus ids sort first — jaccardPairs itself never reorders cands,
-    // so orientation is already (a=corpus, b=batch) regardless of ids
-    val near = jaccardPairs(corpus.unionByName(batch), 1, threshold, idCol, textCol, Some(cands))
+    // exact verification: jaccardPairs never reorders cands, so
+    // orientation stays (a=corpus, b=batch) regardless of id values.
+    // Shingle only candidate-PARTICIPATING docs (semi-join on the
+    // candidate id set): per-doc shingle sets and sizes are intrinsic to
+    // each doc, so restricting the frame cannot change any candidate's
+    // jaccard — it only drops work for docs no candidate touches, which
+    // at corpus scale is nearly all of the corpus
+    val candIds = cands.select(col("a").as(idCol))
+      .union(cands.select(col("b").as(idCol))).distinct()
+    val verifyDocs = corpus.unionByName(batch).join(candIds, Seq(idCol), "left_semi")
+    val near = jaccardPairs(verifyDocs, 1, threshold, idCol, textCol, Some(cands))
       .groupBy(col("b").as(idCol)).agg(min(col("a")).as("near_id"))
     batch.select(col(idCol))
       .join(exact, Seq(idCol), "left")

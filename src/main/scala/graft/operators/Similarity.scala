@@ -188,10 +188,12 @@ object Similarity {
     * product disagrees with the Euclidean assignment for unnormalized
     * embeddings and silently degrades recall. */
   /** Per-query probe-cell selection shared by the in-memory and indexed
-    * IVF paths — ONE definition of the probe metric (squared Euclidean
-    * against the quantizer's centroids), so the two paths cannot
-    * silently diverge. Returns (query_id, qv, qn, cell). */
-  private def probeCells(spark: org.apache.spark.sql.SparkSession, queries: DataFrame,
+    * IVF paths AND [[semanticDedupPairs]]' multi-assignment — ONE
+    * definition of the probe metric (squared Euclidean against the
+    * quantizer's centroids, centroid norms computed exactly driver-side),
+    * so the paths cannot silently diverge. Returns (query_id, qv, qn,
+    * cell), one row per (query, probed cell), nprobe cells per query. */
+  private[operators] def probeCells(spark: org.apache.spark.sql.SparkSession, queries: DataFrame,
                          km: org.apache.spark.ml.clustering.KMeansModel, nprobe: Int,
                          idCol: String, vecCol: String): DataFrame = {
     val centroids = broadcast(
@@ -357,30 +359,16 @@ object Similarity {
                          km: org.apache.spark.ml.clustering.KMeansModel,
                          passign: Int = 2,
                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val spark = emb.sparkSession
     // multi-assignment: each vector lands in its `passign` nearest cells
-    // (same squared-Euclidean ranking as the IVF probe path — ‖c‖²−2·v·c,
-    // the ‖v‖² term is constant per vector), so a pair is found if ANY
-    // cell is shared — boundary pairs split across two cells are the
-    // dominant recall loss of single-assignment blocking. Work is
-    // ≈ p²·n²/2k balanced, vs n²/2 exact.
-    val centroids = broadcast(
-      spark.createDataFrame(
-        km.clusterCenters.zipWithIndex.toSeq
-          .map { case (c, i) => (i, c.toArray.map(_.toFloat)) })
-        .toDF("cell", "cvec")
-        .withColumn("cnorm2", dot(col("cvec"), col("cvec"))))
-    val assigned = emb
-      .select(col(idCol), col(vecCol), l2Norm(col(vecCol)).as("nrm"))
-      .crossJoin(centroids)
-      .withColumn("d2", col("cnorm2") - lit(2.0) * dot(col(vecCol), col("cvec")))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col(idCol)).orderBy(col("d2"), col("cell"))))
-      .filter(col("rk") <= passign)
-      .select(col("cell"), col(idCol), col(vecCol), col("nrm"))
-    val l = assigned.select(col("cell"), col(idCol).as("a"), col(vecCol).as("va"), col("nrm").as("na"))
-    val r = assigned.select(col("cell"), col(idCol).as("b"), col(vecCol).as("vb"), col("nrm").as("nb"))
+    // via the SHARED probeCells helper (the one definition of the probe
+    // metric — a re-implementation here had already diverged on centroid
+    // norm precision), so a pair is found if ANY cell is shared —
+    // boundary pairs split across two cells are the dominant recall loss
+    // of single-assignment blocking. Work is ≈ p²·n²/2k balanced, vs
+    // n²/2 exact.
+    val assigned = probeCells(emb.sparkSession, emb, km, passign, idCol, vecCol)
+    val l = assigned.select(col("cell"), col("query_id").as("a"), col("qv").as("va"), col("qn").as("na"))
+    val r = assigned.select(col("cell"), col("query_id").as("b"), col("qv").as("vb"), col("qn").as("nb"))
     l.hint("shuffle_hash").join(r, Seq("cell"))
       .filter(col("a") < col("b"))
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))

@@ -104,11 +104,8 @@ object MultimodalQueries {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       var tmp = fixtureDirs.poll()
       while (tmp != null) {
-        try {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
-            .foreach(p => java.nio.file.Files.deleteIfExists(p))
-        } catch { case scala.util.control.NonFatal(_) => () }
+        try graft.IoUtil.deleteRecursively(tmp)
+        catch { case scala.util.control.NonFatal(_) => () }
         tmp = fixtureDirs.poll()
       }
     }))

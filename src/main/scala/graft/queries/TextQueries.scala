@@ -127,8 +127,13 @@ object TextQueries {
     // total token count is one (a scan-side sum, no shuffle) — a
     // distinct count here would pay the full shingle aggregation twice
     // per query construction just to size a filter
-    val cap = benchDocs
-      .agg(sum(size(tokens(col("text")))).cast("long")).head().getLong(0)
+    // sum over an EMPTY benchmark partition is NULL, not 0 — read
+    // null-safely (the plain qDecontaminate handles empty bench
+    // gracefully, and the exact-equivalence contract requires this
+    // query to as well; buildLongBloom clamps expectedItems ≥ 1)
+    val cap = Option(benchDocs
+      .agg(sum(size(tokens(col("text")))).cast("long"))
+      .head().getAs[java.lang.Long](0)).map(_.toLong).getOrElse(0L)
     val bloom = BloomFunctions.buildLongBloom(
       bench.select(xxhash64(col("sh")).as("h")), "h", expectedItems = cap, fpp = 0.01)
     val bloomBytes = BloomFunctions.serialize(bloom)
