@@ -185,6 +185,28 @@ object TextQueries {
           coalesce(col("f5"), lit(0.0)) < 0.15).cast("int").as("keep"))
   }
 
+  /** Corpus-unigram negative-log-probability scoring (the cheap stand-in
+    * for LM-perplexity quality filtering: documents whose tokens are
+    * corpus-typical score low, token-salad and OCR noise score high).
+    * Per doc: mean over tokens of −ln(corpusFreq(t) / corpusTokens).
+    * Scale shape: one token explode → unigram frequency groupBy (the
+    * canonical wordcount shuffle, uniform keys, partial-agg) → token
+    * join on t (shuffle sized by corpus tokens; at 100 TB the freq table
+    * is a reusable artifact and broadcasts when the vocabulary fits) →
+    * per-doc aggregation. */
+  def qUnigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+    val freq = tok.groupBy("t").agg(count(lit(1)).as("c"))
+    val tot = tok.agg(count(lit(1)).as("n"))
+    tok.join(freq, "t").crossJoin(broadcast(tot))
+      .withColumn("lp", -log(col("c") / col("n").cast("double")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        rnd(sum(col("lp")) / count(lit(1)), 4).as("avg_neg_logprob"))
+      .orderBy("doc_id")
+  }
+
   /** Incremental corpus dedup (daily-ingest shape): classify batch docs
     * (60 ≤ doc_id < 120) against the standing corpus (doc_id < 60) as
     * exact_dup / near_dup / new — see Dedup.incrementalDedup for the
@@ -344,6 +366,7 @@ object TextQueries {
     "q_decontaminate" -> qDecontaminate _,
     "q_decontam_bloom" -> qDecontamBloom _,
     "q_repetition" -> qRepetition _,
+    "q_unigram_logprob" -> qUnigramLogprob _,
     "q_dedup_incremental" -> qDedupIncremental _,
     "q_chunking" -> qChunking _,
   )
@@ -507,6 +530,16 @@ object TextQueries {
          |  CAST(coalesce(f2, 0) < 0.2 AND coalesce(f5, 0) < 0.15 AS INTEGER) AS keep
          |FROM documents d LEFT JOIN a2 USING (doc_id) LEFT JOIN a5 USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+    "q_unigram_logprob" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($TOKS) AS t FROM documents),
+         |freq AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+         |tot AS (SELECT count(*) AS n FROM tok),
+         |s AS (
+         |  SELECT tok.doc_id, -ln(freq.c * 1.0 / tot.n) AS lp
+         |  FROM tok JOIN freq USING (t) CROSS JOIN tot)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  floor((sum(lp) / count(*)) * 1e4 + 0.5) / 1e4 AS avg_neg_logprob
+         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_dedup_incremental" ->
       s"""WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 120),
          |tok AS (SELECT doc_id, unnest($TOKS) AS t FROM docs),

@@ -45,6 +45,31 @@ object Sources {
       .option("partitionOverwriteMode", "dynamic")
       .parquet(path)
 
+  /** Compaction / write-shaping sink: lay the frame out as `nFiles`
+    * RANGE-partitioned files sorted within each file by `sortCols` —
+    * the "small-files problem" fix every long-running ingest needs, and
+    * the layout that makes downstream range predicates on the sort key
+    * prune at the parquet row-group level (min/max stats are tight when
+    * files are sorted and ranges are disjoint).
+    *
+    * 100 TB shape: repartitionByRange samples the sort key to build
+    * balanced range bounds (one pass + one shuffle), each task writes
+    * exactly one sorted file, and `maxRecordsPerFile` caps pathological
+    * range skew by rolling oversized tasks into multiple files. Callers
+    * size nFiles = ceil(bytes / targetFileBytes) from table stats; this
+    * is the compaction pass, so the extra stats pass is already paid. */
+  def writeCompacted(df: DataFrame, path: String, sortCols: Seq[String],
+                     nFiles: Int, maxRecordsPerFile: Long = 0L): Unit = {
+    require(nFiles > 0, s"nFiles must be positive, got $nFiles")
+    require(sortCols.nonEmpty, "writeCompacted needs at least one sort column")
+    val cols = sortCols.map(col)
+    val w = df.repartitionByRange(nFiles, cols: _*)
+      .sortWithinPartitions(cols: _*)
+      .write.mode("overwrite")
+    (if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile) else w)
+      .parquet(path)
+  }
+
   /** Columnar ORC twin of the parquet landing layout — same predicate
     * pushdown / column pruning machinery (asserted in SourcesSpec), for
     * estates standardized on ORC. */

@@ -103,4 +103,28 @@ class SourcesSpec extends AnyFunSuite {
       .toDF("s").select(Sources.parseMagnitude($"s")).as[Double].collect()
     assert(r.toSeq == Seq(4.177e10, 5.28e6, 1.2e4, 3e12, 7.5))
   }
+
+  test("writeCompacted: n sorted files with disjoint sort-key ranges, no row loss") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
+    val events = Tables.events(spark, TestSpark.Sf).select("event_id", "ts", "value")
+    Sources.writeCompacted(events, tmp, Seq("ts"), nFiles = 4)
+    val files = new java.io.File(tmp).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(files.length == 4, s"expected 4 files, got ${files.length}")
+    // read back: no row loss
+    assert(spark.read.parquet(tmp).count() == events.count())
+    // each file individually sorted by ts, and file ranges are disjoint
+    // (that is what makes row-group min/max stats prune range predicates)
+    val ranges = files.sorted.map { f =>
+      val ts = spark.read.parquet(f.getPath).select("ts").as[Long].collect()
+      assert(ts.sameElements(ts.sorted), s"${f.getName} not sorted within file")
+      (ts.min, ts.max)
+    }
+    val sortedRanges = ranges.sortBy(_._1)
+    sortedRanges.sliding(2).foreach {
+      case Array((_, prevMax), (curMin, _)) =>
+        assert(prevMax <= curMin, s"file ranges overlap: $prevMax > $curMin")
+      case _ => ()
+    }
+  }
 }
