@@ -37,6 +37,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[UnresolvedGraftOp].getName, name),
         GraftFunctions.buildGraftOp(name, usage, nArgs)))
     }
+    GraftFunctions.composedTvfs2.foreach { case (name, (usage, nArgs)) =>
+      e.injectTableFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new ExpressionInfo(classOf[UnresolvedGraftOp2].getName, name),
+        GraftFunctions.buildGraftOp2(name, usage, nArgs)))
+    }
     // SQL-callable as-of join: SELECT * FROM asof_join('l','r','k','ts','v')
     // — the one operator a SQL-only client couldn't reach before. Needs a
     // session built with these extensions (the resolution rule cannot be
@@ -75,6 +81,23 @@ case class UnresolvedGraftOp(
     copy(child = newChild)
 }
 
+/** Two-table sibling of [[UnresolvedGraftOp]] for composed operators
+  * that consume a pair of frames (incremental dedup: corpus × batch) —
+  * same placeholder + resolution-rule recipe, binary child. */
+case class UnresolvedGraftOp2(
+    left: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+    right: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+    op: String, args: Seq[Any])
+  extends org.apache.spark.sql.catalyst.plans.logical.BinaryNode {
+  import org.apache.spark.sql.catalyst.expressions.Attribute
+  override lazy val resolved: Boolean = false
+  override def output: Seq[Attribute] = Nil
+  override protected def withNewChildrenInternal(
+      newLeft: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      newRight: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): UnresolvedGraftOp2 =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Resolves [[UnresolvedGraftOp]] by wrapping the resolved child in a
   * DataFrame (GraftPlanBridge) and applying the corresponding operator
   * from graft.operators — the composed plan is analyzed and spliced
@@ -88,61 +111,78 @@ case class ResolveGraftOp(spark: org.apache.spark.sql.SparkSession)
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
     case u: UnresolvedGraftOp if u.childrenResolved =>
-      val df = org.apache.spark.sql.GraftPlanBridge.ofRows(spark, u.child)
-      // arg-extraction failures are ALREADY op-prefixed and must pass
-      // through unwrapped; a plain IllegalArgumentException is NOT a
-      // reliable marker — operator bodies throw it too (scala require()),
-      // and those need the op/usage wrapping — hence the private subtype
-      def argError(msg: String) = new ResolveGraftOp.GraftTvfArgException(msg)
-      def str(i: Int): String = u.args(i) match {
-        case s: String => s
-        case other => throw argError(
-          s"${u.op}: argument ${i + 2} must be a string literal, got $other")
+      splice(u.op, u.args,
+        Seq(org.apache.spark.sql.GraftPlanBridge.ofRows(spark, u.child)))
+    case u: UnresolvedGraftOp2 if u.childrenResolved =>
+      splice(u.op, u.args,
+        Seq(org.apache.spark.sql.GraftPlanBridge.ofRows(spark, u.left),
+          org.apache.spark.sql.GraftPlanBridge.ofRows(spark, u.right)))
+  }
+
+  /** Shared splice path for the one- and two-table placeholders: build
+    * the composed operator frame, run the (re-entrant) nested analysis,
+    * and assert no graft placeholder survives. */
+  private def splice(op: String, args: Seq[Any],
+                     dfs: Seq[org.apache.spark.sql.DataFrame]): LogicalPlan = {
+    // arg-extraction failures are ALREADY op-prefixed and must pass
+    // through unwrapped; a plain IllegalArgumentException is NOT a
+    // reliable marker — operator bodies throw it too (scala require()),
+    // and those need the op/usage wrapping — hence the private subtype
+    def argError(msg: String) = new ResolveGraftOp.GraftTvfArgException(msg)
+    def str(i: Int): String = args(i) match {
+      case s: String => s
+      case other => throw argError(
+        s"$op: scalar argument ${i + 1} must be a string literal, got $other")
+    }
+    def lng(i: Int): Long = args(i) match {
+      case l: Long => l
+      case n: Int => n.toLong
+      case other => throw argError(
+        s"$op: scalar argument ${i + 1} must be an integer literal, got $other")
+    }
+    def dbl(i: Int): Double = args(i) match {
+      case d: Double => d
+      case l: Long => l.toDouble
+      case n: Int => n.toDouble
+      case other => throw argError(
+        s"$op: scalar argument ${i + 1} must be a numeric literal, got $other")
+    }
+    // this nested analysis is re-entrant (a full QueryExecution from
+    // inside an analyzer rule); guard it so (a) an operator-construction
+    // failure surfaces with the TVF name + usage instead of an opaque
+    // mid-analysis stack, and (b) a composed operator that ever emitted
+    // another graft placeholder fails fast instead of looping (ADVICE r4)
+    val spliced = try {
+      val out = op match {
+        case "sessionize" => // (key, ts, gapNanos, idCol)
+          graft.operators.Sessionize.withSessionIdx(
+            dfs(0), str(0), str(1), lng(2), Seq(col(str(1)), col(str(3))))
+        case "dedup_exact" => // (idCol, textCol)
+          graft.operators.Dedup.exactDedup(dfs(0), str(0), str(1))
+        case "minhash_dedup" => // (idCol, textCol, threshold)
+          graft.operators.Dedup.minhashDedupPairs(
+            dfs(0), idCol = str(0), textCol = str(1), threshold = dbl(2))
+        case "repetition_filter" => // (idCol, textCol)
+          graft.queries.TextQueries.repetitionStats(dfs(0), str(0), str(1))
+        case "dedup_incremental" => // corpus, batch, (idCol, textCol, threshold)
+          graft.operators.Dedup.incrementalDedup(
+            dfs(0), dfs(1), threshold = dbl(2), idCol = str(0), textCol = str(1))
+        case other => throw argError(s"unknown graft op $other")
       }
-      def lng(i: Int): Long = u.args(i) match {
-        case l: Long => l
-        case n: Int => n.toLong
-        case other => throw argError(
-          s"${u.op}: argument ${i + 2} must be an integer literal, got $other")
-      }
-      def dbl(i: Int): Double = u.args(i) match {
-        case d: Double => d
-        case l: Long => l.toDouble
-        case n: Int => n.toDouble
-        case other => throw argError(
-          s"${u.op}: argument ${i + 2} must be a numeric literal, got $other")
-      }
-      // this nested analysis is re-entrant (a full QueryExecution from
-      // inside an analyzer rule); guard it so (a) an operator-construction
-      // failure surfaces with the TVF name + usage instead of an opaque
-      // mid-analysis stack, and (b) a composed operator that ever emitted
-      // another UnresolvedGraftOp fails fast instead of looping (ADVICE r4)
-      val spliced = try {
-        val out = u.op match {
-          case "sessionize" => // (key, ts, gapNanos, idCol)
-            graft.operators.Sessionize.withSessionIdx(
-              df, str(0), str(1), lng(2), Seq(col(str(1)), col(str(3))))
-          case "dedup_exact" => // (idCol, textCol)
-            graft.operators.Dedup.exactDedup(df, str(0), str(1))
-          case "minhash_dedup" => // (idCol, textCol, threshold)
-            graft.operators.Dedup.minhashDedupPairs(
-              df, idCol = str(0), textCol = str(1), threshold = dbl(2))
-          case "repetition_filter" => // (idCol, textCol)
-            graft.queries.TextQueries.repetitionStats(df, str(0), str(1))
-          case other => throw argError(s"unknown graft op $other")
-        }
-        out.queryExecution.analyzed
-      } catch {
-        case e: ResolveGraftOp.GraftTvfArgException => throw e // already op-prefixed
-        case scala.util.control.NonFatal(e) =>
-          val usage = GraftFunctions.composedTvfs.get(u.op).map(_._1).getOrElse(u.op)
-          throw new IllegalArgumentException(
-            s"${u.op}: failed to build the composed operator plan (usage: $usage): ${e.getMessage}", e)
-      }
-      require(!spliced.exists(_.isInstanceOf[UnresolvedGraftOp]),
-        s"${u.op}: composed operator plan still contains an UnresolvedGraftOp — " +
-          "nested graft TVF resolution is not supported from inside an operator body")
-      spliced
+      out.queryExecution.analyzed
+    } catch {
+      case e: ResolveGraftOp.GraftTvfArgException => throw e // already op-prefixed
+      case scala.util.control.NonFatal(e) =>
+        val usage = GraftFunctions.composedTvfs.get(op).map(_._1)
+          .orElse(GraftFunctions.composedTvfs2.get(op).map(_._1)).getOrElse(op)
+        throw new IllegalArgumentException(
+          s"$op: failed to build the composed operator plan (usage: $usage): ${e.getMessage}", e)
+    }
+    require(!spliced.exists(p =>
+        p.isInstanceOf[UnresolvedGraftOp] || p.isInstanceOf[UnresolvedGraftOp2]),
+      s"$op: composed operator plan still contains a graft placeholder — " +
+        "nested graft TVF resolution is not supported from inside an operator body")
+    spliced
   }
 }
 
@@ -256,6 +296,12 @@ object GraftFunctions {
     "minhash_dedup" -> ("minhash_dedup(table, idCol, textCol, threshold)", 3),
     "repetition_filter" -> ("repetition_filter(table, idCol, textCol)", 2))
 
+  /** Two-table composed-operator TVF registry: name → (usage, scalar
+    * arg count AFTER the two table arguments). */
+  private[plans] val composedTvfs2: Map[String, (String, Int)] = Map(
+    "dedup_incremental" ->
+      ("dedup_incremental(corpusTable, batchTable, idCol, textCol, threshold)", 3))
+
   /** Builder for a composed-operator TVF: first argument is the table
     * (name string literal or TABLE(...) — see [[tableArg]]); the rest
     * are literal scalars passed through to [[ResolveGraftOp]]. */
@@ -276,6 +322,30 @@ object GraftFunctions {
         s"$usage expects literal arguments, got $other")
     }
     UnresolvedGraftOp(tableArg(exprs.head, usage), op, exprs.tail.map(litAny))
+  }
+
+  /** Builder for a TWO-table composed-operator TVF: first two arguments
+    * are tables (name string literals or TABLE(...)), the rest literal
+    * scalars. */
+  private[plans] def buildGraftOp2(op: String, usage: String, nArgs: Int):
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = exprs => {
+    import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+    import org.apache.spark.sql.types.{StringType, IntegerType, LongType, DoubleType}
+    requireArity(exprs, nArgs + 2, usage)
+    def litAny(e: Expression): Any = e match {
+      case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) if s != null =>
+        s.toString
+      case Literal(v: Int, IntegerType) => v
+      case Literal(v: Long, LongType) => v
+      case Literal(v: Double, DoubleType) => v
+      case Literal(d: org.apache.spark.sql.types.Decimal, _) => d.toDouble
+      case other => throw new IllegalArgumentException(
+        s"$usage expects literal arguments, got $other")
+    }
+    UnresolvedGraftOp2(
+      tableArg(exprs(0), usage), tableArg(exprs(1), usage),
+      op, exprs.drop(2).map(litAny))
   }
 
   def register(spark: SparkSession): Unit = {

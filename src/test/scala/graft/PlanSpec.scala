@@ -234,6 +234,19 @@ class PlanSpec extends AnyFunSuite {
         Tables.documents(s2, TestSpark.Sf).filter(col("doc_id") < 100))
         .orderBy("doc_id").collect().toSeq
       assert(repSql.nonEmpty && repSql == repApi)
+      // dedup_incremental: TWO-table TVF (corpus × batch), parity with
+      // the operator — including TABLE(subquery) on both positions
+      val incSql = s2.sql(
+        "SELECT * FROM dedup_incremental(" +
+          "TABLE(SELECT * FROM docs WHERE doc_id < 60), " +
+          "TABLE(SELECT * FROM docs WHERE doc_id >= 60), " +
+          "'doc_id', 'text', 0.8) ORDER BY doc_id").collect().toSeq
+      val incApi = graft.operators.Dedup.incrementalDedup(
+        Tables.documents(s2, TestSpark.Sf).filter(col("doc_id") < 60),
+        Tables.documents(s2, TestSpark.Sf)
+          .filter(col("doc_id") >= 60 && col("doc_id") < 100))
+        .orderBy("doc_id").collect().toSeq
+      assert(incSql.nonEmpty && incSql == incApi)
     }
   }
 
