@@ -302,16 +302,14 @@ object GraftFunctions {
     "dedup_incremental" ->
       ("dedup_incremental(corpusTable, batchTable, idCol, textCol, threshold)", 3))
 
-  /** Builder for a composed-operator TVF: first argument is the table
-    * (name string literal or TABLE(...) — see [[tableArg]]); the rest
-    * are literal scalars passed through to [[ResolveGraftOp]]. */
-  private[plans] def buildGraftOp(op: String, usage: String, nArgs: Int):
-      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
-        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = exprs => {
-    import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+  /** Literal-scalar extraction shared by the one- and two-table TVF
+    * builders — ONE definition so the accepted literal set cannot drift
+    * between the surfaces. */
+  private def litAny(usage: String)(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Any = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types.{StringType, IntegerType, LongType, DoubleType}
-    requireArity(exprs, nArgs + 1, usage)
-    def litAny(e: Expression): Any = e match {
+    e match {
       case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) if s != null =>
         s.toString
       case Literal(v: Int, IntegerType) => v
@@ -321,7 +319,16 @@ object GraftFunctions {
       case other => throw new IllegalArgumentException(
         s"$usage expects literal arguments, got $other")
     }
-    UnresolvedGraftOp(tableArg(exprs.head, usage), op, exprs.tail.map(litAny))
+  }
+
+  /** Builder for a composed-operator TVF: first argument is the table
+    * (name string literal or TABLE(...) — see [[tableArg]]); the rest
+    * are literal scalars passed through to [[ResolveGraftOp]]. */
+  private[plans] def buildGraftOp(op: String, usage: String, nArgs: Int):
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = exprs => {
+    requireArity(exprs, nArgs + 1, usage)
+    UnresolvedGraftOp(tableArg(exprs.head, usage), op, exprs.tail.map(litAny(usage)))
   }
 
   /** Builder for a TWO-table composed-operator TVF: first two arguments
@@ -330,22 +337,10 @@ object GraftFunctions {
   private[plans] def buildGraftOp2(op: String, usage: String, nArgs: Int):
       Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
         org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = exprs => {
-    import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
-    import org.apache.spark.sql.types.{StringType, IntegerType, LongType, DoubleType}
     requireArity(exprs, nArgs + 2, usage)
-    def litAny(e: Expression): Any = e match {
-      case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) if s != null =>
-        s.toString
-      case Literal(v: Int, IntegerType) => v
-      case Literal(v: Long, LongType) => v
-      case Literal(v: Double, DoubleType) => v
-      case Literal(d: org.apache.spark.sql.types.Decimal, _) => d.toDouble
-      case other => throw new IllegalArgumentException(
-        s"$usage expects literal arguments, got $other")
-    }
     UnresolvedGraftOp2(
       tableArg(exprs(0), usage), tableArg(exprs(1), usage),
-      op, exprs.drop(2).map(litAny))
+      op, exprs.drop(2).map(litAny(usage)))
   }
 
   def register(spark: SparkSession): Unit = {

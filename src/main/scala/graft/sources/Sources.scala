@@ -45,12 +45,19 @@ object Sources {
       .option("partitionOverwriteMode", "dynamic")
       .parquet(path)
 
-  /** Compaction / write-shaping sink: lay the frame out as `nFiles`
-    * RANGE-partitioned files sorted within each file by `sortCols` —
-    * the "small-files problem" fix every long-running ingest needs, and
-    * the layout that makes downstream range predicates on the sort key
-    * prune at the parquet row-group level (min/max stats are tight when
-    * files are sorted and ranges are disjoint).
+  /** Compaction / write-shaping sink: lay the frame out as UP TO
+    * `nFiles` RANGE-partitioned files sorted within each file by
+    * `sortCols` — the "small-files problem" fix every long-running
+    * ingest needs, and the layout that makes downstream range predicates
+    * on the sort key prune at the parquet row-group level (min/max
+    * stats are tight when files are sorted and ranges are disjoint).
+    *
+    * "Up to": range partitioning cannot split duplicate keys, so a
+    * low-cardinality sort key collapses to at most |distinct keys|
+    * non-empty files regardless of nFiles. Callers targeting an exact
+    * file count append a high-cardinality tiebreak to `sortCols`
+    * (e.g. `Seq("day", "event_id")`) — range pruning on the leading
+    * column is unaffected.
     *
     * 100 TB shape: repartitionByRange samples the sort key to build
     * balanced range bounds (one pass + one shuffle), each task writes

@@ -127,4 +127,21 @@ class SourcesSpec extends AnyFunSuite {
       case _ => ()
     }
   }
+
+  test("writeCompacted: maxRecordsPerFile rolls oversized ranges into capped sorted files") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-compact-cap").toString + "/t"
+    val events = Tables.events(spark, TestSpark.Sf).select("event_id", "ts")
+    val n = events.count()
+    Sources.writeCompacted(events, tmp, Seq("ts"), nFiles = 2, maxRecordsPerFile = 100)
+    val files = new java.io.File(tmp).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    // 2 range tasks × rolling at 100 rows: many more than 2 files, each ≤ 100
+    assert(files.length > 2, s"cap did not roll files: ${files.length}")
+    files.foreach { f =>
+      val ts = spark.read.parquet(f.getPath).select("ts").as[Long].collect()
+      assert(ts.length <= 100, s"${f.getName} holds ${ts.length} rows > cap")
+      assert(ts.sameElements(ts.sorted), s"${f.getName} not sorted within file")
+    }
+    assert(spark.read.parquet(tmp).count() == n)
+  }
 }
