@@ -180,4 +180,75 @@ class PropertySpec extends AnyFunSuite {
     val twice = graft.operators.Dedup.exactDedup(once)
     assert(once.count() == twice.count())
   }
+
+  test("incrementalDedup near-dups agree with jaccardPairs ground truth on random docs") {
+    // random word-soup corpora with planted duplicates: every near_dup
+    // the incremental op reports must be a true >= τ jaccard pair, and
+    // every LSH-recoverable true pair must be classified (the subset of
+    // pairs minhashDedupPairs finds on the union frame — the incremental
+    // path may not MISS pairs the standing self-join path finds)
+    val rng = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    def doc(): String = Seq.fill(6 + rng.nextInt(6))(vocab(rng.nextInt(vocab.size))).mkString(" ")
+    for (trial <- 1 to 2) {
+      val corpusRows = (0L until 30L).map(i => (i, doc()))
+      // batch: half perturbed copies of corpus docs (planted near-dups),
+      // half fresh
+      val batchRows = (100L until 120L).map { i =>
+        if (i % 2 == 0) {
+          val base = corpusRows((i % 30).toInt)._2
+          (i, base + " " + vocab(rng.nextInt(vocab.size)))
+        } else (i, doc())
+      }
+      val corpus = corpusRows.toDF("doc_id", "text")
+      val batch = batchRows.toDF("doc_id", "text")
+      val inc = graft.operators.Dedup.incrementalDedup(corpus, batch)
+        .filter($"status" === "near_dup")
+        .select($"match_id", $"doc_id").as[(Long, Long)].collect().toSet
+      // ground truth: LSH-verified pairs over the union, batch×corpus only
+      val allPairs: Set[(Long, Long)] = graft.operators.Dedup
+        .minhashDedupPairs(corpus.unionByName(batch), threshold = 0.8)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+      val unionPairs = allPairs.filter { case (a, b) => a < 100 && b >= 100 }
+      // exact dups are classified exact_dup, not near_dup — exclude them
+      // from the expectation
+      val exactDup = graft.operators.Dedup.incrementalDedup(corpus, batch)
+        .filter($"status" === "exact_dup").select($"doc_id").as[Long].collect().toSet
+      // .toSeq BEFORE .map: mapping a Map keyed by b to (minA, b) tuples
+      // would re-key by minA and silently collapse batch docs sharing a
+      // min match
+      val minMatch: Set[(Long, Long)] = unionPairs
+        .groupBy(_._2).toSeq.map { case (b, ps) => (ps.map(_._1).min, b) }.toSet
+      val expected = minMatch.filterNot { case (_, b) => exactDup.contains(b) }
+      assert(inc == expected, s"trial $trial: near-dup sets diverged")
+    }
+  }
+
+  test("bloom-prefiltered decontamination is exact on random corpora (fpp cannot leak)") {
+    // property: whatever the bloom's false positives, the verify join
+    // must make the bloom path's output EXACTLY the plain path's
+    import graft.functions.{BloomFunctions, TextFunctions}
+    val rng = new scala.util.Random(13)
+    val vocab = Vector("a1", "b2", "c3", "d4", "e5", "f6", "g7", "h8", "i9", "j0")
+    def doc(n: Int): String = Seq.fill(n)(vocab(rng.nextInt(vocab.size))).mkString(" ")
+    for (trial <- 1 to 2) {
+      val docs = (0L until 40L).map(i => (i, doc(8 + rng.nextInt(8)))).toDF("doc_id", "text")
+      val n = 3
+      val bench = TextFunctions.shingleRows(docs.filter($"doc_id" < 5), n)
+        .select("sh").distinct()
+      val bloomBytes = BloomFunctions.serialize(
+        BloomFunctions.buildLongBloom(
+          bench.select(xxhash64($"sh").as("h")), "h", 64, 0.05))
+      val corpusSh = TextFunctions.shingleRows(docs.filter($"doc_id" >= 5), n)
+      val plain = corpusSh.join(broadcast(bench), Seq("sh"))
+        .groupBy("doc_id").agg(count_distinct($"sh").as("n_hits"))
+        .as[(Long, Long)].collect().sorted.toSeq
+      val bloomed = corpusSh
+        .filter(BloomFunctions.mightContainLong(bloomBytes, xxhash64($"sh")))
+        .join(broadcast(bench), Seq("sh"))
+        .groupBy("doc_id").agg(count_distinct($"sh").as("n_hits"))
+        .as[(Long, Long)].collect().sorted.toSeq
+      assert(bloomed == plain, s"trial $trial: bloom path diverged")
+    }
+  }
 }
