@@ -220,6 +220,49 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Best-of-cluster dedup (the production form of near-dup collapse:
+    * keep the HIGHEST-QUALITY copy of each duplicate cluster, not the
+    * lowest id — a scraped mirror with ads stripped beats the original).
+    * Composes three declared operators in one plan: MinHash-LSH
+    * verified pairs → connected-component canonical groups → composite
+    * quality score → per-group argmax (quality desc, id tiebreak).
+    * Same id bound as the other pairwise text oracles. */
+  def qDedupBest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 100)
+    val pairs = Dedup.minhashDedupPairs(docs, threshold = 0.8).select("a", "b")
+    val labels = Dedup.canonicalGroups(pairs)
+    val q = docs
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("ts"))
+      .select(col("doc_id"), qualityScoreOf(col("text"), col("ts")).as("quality"))
+    val w = Window.partitionBy("group_id").orderBy(desc("quality"), col("doc_id"))
+    q.join(labels.select(col("id").as("doc_id"), col("label")), Seq("doc_id"), "left")
+      .withColumn("group_id", coalesce(col("label"), col("doc_id")))
+      .withColumn("rk", row_number().over(w))
+      .select(col("doc_id"), col("group_id"),
+        rnd(col("quality"), 4).as("quality"),
+        (col("rk") === 1).cast("int").as("keep"))
+      .orderBy("doc_id")
+  }
+
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val UrlRe = "https?://[^ ]+"
+
+  /** PII redaction (the scrub step downstream of [[qContentFilter]]'s
+    * detection): emails → [EMAIL], URLs → [URL], with the match count
+    * kept for audit. Pure per-row regex work — scan-parallel, no
+    * shuffle but the presentation sort. */
+  def qPiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val n = size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))) +
+      size(regexp_extract_all(col("text"), lit(UrlRe), lit(0)))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        regexp_replace(regexp_replace(col("text"), EmailRe, "[EMAIL]"),
+          UrlRe, "[URL]").as("redacted"),
+        n.cast("long").as("n_redactions"))
+      .orderBy("doc_id")
+  }
+
   /** Overlapping token-window chunking (the RAG/context-window prep
     * step: split each document into windows of [[ChunkLen]] tokens at
     * stride [[ChunkStride]], tail windows shorter). Pure per-row array
@@ -368,6 +411,8 @@ object TextQueries {
     "q_repetition" -> qRepetition _,
     "q_unigram_logprob" -> qUnigramLogprob _,
     "q_dedup_incremental" -> qDedupIncremental _,
+    "q_dedup_best" -> qDedupBest _,
+    "q_pii_redact" -> qPiiRedact _,
     "q_chunking" -> qChunking _,
   )
 
@@ -530,6 +575,39 @@ object TextQueries {
          |  CAST(coalesce(f2, 0) < 0.2 AND coalesce(f5, 0) < 0.15 AS INTEGER) AS keep
          |FROM documents d LEFT JOIN a2 USING (doc_id) LEFT JOIN a5 USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+    "q_dedup_best" ->
+      s"""WITH RECURSIVE $MinhashCtes,
+         |p AS (
+         |  SELECT j.a, j.b FROM j JOIN cand ON j.a = cand.a AND j.b = cand.b
+         |  WHERE jaccard >= 0.8),
+         |e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+         |reach(id, r) AS (
+         |  SELECT a, a FROM e
+         |  UNION
+         |  SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.id),
+         |lbl AS (SELECT id, min(r) AS label FROM reach GROUP BY id),
+         |q AS (
+         |  SELECT doc_id,
+         |    least(len($TOKS) / 50.0, 1.0) * 0.4
+         |      + least((${hitSql(EnStop)} * 1.0 / len($TOKS)) * 5.0, 1.0) * 0.3
+         |      + coalesce(length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) * 1.0 / nullif(length(text), 0), 0.0) * 0.3 AS quality
+         |  FROM documents WHERE doc_id < 100),
+         |g AS (
+         |  SELECT q.doc_id, coalesce(lbl.label, q.doc_id) AS group_id, q.quality
+         |  FROM q LEFT JOIN lbl ON q.doc_id = lbl.id),
+         |r AS (
+         |  SELECT doc_id, group_id, quality,
+         |    row_number() OVER (PARTITION BY group_id ORDER BY quality DESC, doc_id) AS rk
+         |  FROM g)
+         |SELECT doc_id, group_id,
+         |  floor((quality) * 1e4 + 0.5) / 1e4 AS quality,
+         |  CAST(rk = 1 AS INTEGER) AS keep
+         |FROM r ORDER BY doc_id""".stripMargin,
+    "q_pii_redact" ->
+      s"""SELECT doc_id,
+         |  regexp_replace(regexp_replace(text, '$EmailRe', '[EMAIL]', 'g'), '$UrlRe', '[URL]', 'g') AS redacted,
+         |  CAST(len(regexp_extract_all(text, '$EmailRe')) + len(regexp_extract_all(text, '$UrlRe')) AS BIGINT) AS n_redactions
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_unigram_logprob" ->
       s"""WITH tok AS (SELECT doc_id, unnest($TOKS) AS t FROM documents),
          |freq AS (SELECT t, count(*) AS c FROM tok GROUP BY t),

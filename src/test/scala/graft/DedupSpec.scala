@@ -141,6 +141,44 @@ class DedupSpec extends AnyFunSuite {
     assert(bloom == plain, "bloom prefilter changed decontamination results")
   }
 
+  test("pii redaction replaces planted emails/urls and counts matches") {
+    import graft.queries.TextQueries
+    val planted = Seq(
+      (0L, "contact me at alice.smith+x@example.co.uk for details"),
+      (1L, "see https://example.com/a?b=1 and http://t.co/xyz now"),
+      (2L, "no pii here at all")
+    ).toDF("doc_id", "text")
+    val out = planted
+      .select(col("doc_id"),
+        regexp_replace(regexp_replace(col("text"), TextQueries.EmailRe, "[EMAIL]"),
+          TextQueries.UrlRe, "[URL]").as("redacted"),
+        (size(regexp_extract_all(col("text"), lit(TextQueries.EmailRe), lit(0))) +
+          size(regexp_extract_all(col("text"), lit(TextQueries.UrlRe), lit(0))))
+          .cast("long").as("n"))
+      .orderBy("doc_id")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out(0) == ((0L, "contact me at [EMAIL] for details", 1L)))
+    assert(out(1) == ((1L, "see [URL] and [URL] now", 2L)))
+    assert(out(2) == ((2L, "no pii here at all", 0L)))
+  }
+
+  test("best-of-cluster selection keeps exactly one doc per group, the top-quality one") {
+    val best = graft.queries.TextQueries.qDedupBest(TestSpark.spark, TestSpark.Sf)
+      .select("doc_id", "group_id", "quality", "keep")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val byGroup = best.groupBy(_._2)
+    // exactly one keeper per group
+    assert(byGroup.values.forall(_.count(_._4 == 1) == 1))
+    // the keeper's quality is the group max (ties broken toward it)
+    byGroup.values.foreach { g =>
+      val keeper = g.find(_._4 == 1).get
+      assert(g.forall(_._3 <= keeper._3),
+        s"group ${keeper._2}: keeper ${keeper._3} not max of ${g.map(_._3)}")
+    }
+    // multi-doc groups exist on the fixture (planted near-dups)
+    assert(byGroup.values.exists(_.size > 1))
+  }
+
   test("repetitionStats flags repetitive docs, passes diverse ones") {
     val docs = Seq(
       // 9 tokens, every 2-gram is "spam spam": top2_frac = 1 → drop
