@@ -141,25 +141,27 @@ class DedupSpec extends AnyFunSuite {
     assert(bloom == plain, "bloom prefilter changed decontamination results")
   }
 
-  test("pii redaction replaces planted emails/urls and counts matches") {
-    import graft.queries.TextQueries
+  test("pii redaction replaces planted emails/urls and counts replaced spans") {
+    // the PRODUCTION body (the fixture corpus is PII-clean, so only a
+    // planted frame exercises the regexes and the span count)
     val planted = Seq(
       (0L, "contact me at alice.smith+x@example.co.uk for details"),
       (1L, "see https://example.com/a?b=1 and http://t.co/xyz now"),
-      (2L, "no pii here at all")
+      (2L, "no pii here at all"),
+      // a URL at end-of-line must not swallow the next line's tokens
+      (3L, "go to https://x.com\nnext line"),
+      // an email inside a URL collapses into ONE redacted span — the
+      // audit count reflects spans in the final text, not raw matches
+      (4L, "visit https://bob@files.example.com/x now")
     ).toDF("doc_id", "text")
-    val out = planted
-      .select(col("doc_id"),
-        regexp_replace(regexp_replace(col("text"), TextQueries.EmailRe, "[EMAIL]"),
-          TextQueries.UrlRe, "[URL]").as("redacted"),
-        (size(regexp_extract_all(col("text"), lit(TextQueries.EmailRe), lit(0))) +
-          size(regexp_extract_all(col("text"), lit(TextQueries.UrlRe), lit(0))))
-          .cast("long").as("n"))
+    val out = graft.queries.TextQueries.piiRedact(planted)
       .orderBy("doc_id")
       .as[(Long, String, Long)].collect().toSeq
     assert(out(0) == ((0L, "contact me at [EMAIL] for details", 1L)))
     assert(out(1) == ((1L, "see [URL] and [URL] now", 2L)))
     assert(out(2) == ((2L, "no pii here at all", 0L)))
+    assert(out(3) == ((3L, "go to [URL]\nnext line", 1L)))
+    assert(out(4) == ((4L, "visit [URL] now", 1L)))
   }
 
   test("best-of-cluster selection keeps exactly one doc per group, the top-quality one") {
