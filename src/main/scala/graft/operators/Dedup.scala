@@ -170,11 +170,14 @@ object Dedup {
     var iter = 0
     var converged = labels.isEmpty
     while (!converged && iter < maxIters) {
-      // propagation pass, materialized ONCE (the eager checkpoint) and
-      // carrying the previous label as `old`, so the pointer jump below
-      // reads a checkpointed frame (not a re-evaluated join subtree) and
-      // convergence is a flag scan over checkpointed partitions instead
-      // of a labels re-join + count job
+      // propagation pass, carrying the previous label as `old` so the
+      // convergence probe is a flag scan over the round's checkpointed
+      // partitions instead of a labels re-join + count job. Left LAZY:
+      // the pointer jump's self-join duplicates this subtree in the
+      // logical plan, but both sides shuffle identically and exchange
+      // reuse collapses them at execution — one eager checkpoint per
+      // round (on `jumped`) instead of two halves the driver-paced job
+      // count of the loop, and lineage is still truncated every round.
       val prop = labels
         .join(
           edges
@@ -183,7 +186,6 @@ object Dedup {
           Seq("id"), "left")
         .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .localCheckpoint(true)
       // pointer jump: also adopt the label OF the current label, so a
       // min label crosses 2^iter hops instead of one — chains converge
       // in O(log diameter) rounds rather than O(diameter)
