@@ -24,10 +24,21 @@ import org.apache.spark.sql.SparkSession
   *     window whole — `{"metric":"total","value":N,"unit":"sec",
   *     "queries":{12 slowest},"queries_truncated":true,"n_queries":N,
   *     "median_query_sec":N,"warmup_sec":N,"asof_ab":{...},
-  *     "streaming":{...},"reps":N,"sf":...,"full":"/abs/bench_full.json"}`.
+  *     "streaming":{...},"dispersion_flagged":{...},"load_start":{...},
+  *     "load_end":{...},"reps":N,"sf":...,"full":"/abs/bench_full.json"}`.
   *     `value` is the true total over ALL queries; the embedded map holds
   *     only the slowest 12 (flagged by queries_truncated) so the line
   *     stays ~8x under the window.
+  *
+  * Noise forensics (VERDICT r5 item 1 — the r5 driver artifact was
+  * load-inflated 2-5x and unprovably so): `reps_sec` carries every
+  * query's raw per-rep time array, `load_start`/`load_end` sample
+  * /proc/loadavg + MemAvailable around the query loop, and
+  * `dispersion_flagged` lists queries whose slowest rep exceeded 2x
+  * their median (among queries with median > 0.2 s). A reader can now
+  * separate environment noise (flagged dispersion + elevated loadavg)
+  * from a real regression (slow medians, tight reps, quiet machine)
+  * without re-running.
   *
   * Accounting hygiene (VERDICT r3 items 3 + 7):
   * - "queries" stays the per-query MEDIAN over reps (plan cost, the
@@ -115,10 +126,36 @@ object Bench {
       .foreach(f => try f() catch { case _: Throwable => () })
     val warmupSec = (System.nanoTime() - tWarm0) / 1e9
 
+    // machine-load sampling (VERDICT r5 item 1: the r5 driver run was
+    // load-contaminated and the artifact carried no evidence — a reader
+    // could not tell a 15.9 s median from a regression without
+    // re-measuring). loadavg + MemAvailable before/after the query loop
+    // plus per-rep time arrays below make the artifact self-diagnosing:
+    // high dispersion + high loadavg = environment noise, not code.
+    def loadSample(): String = {
+      def readProc(path: String): Option[String] =
+        try Some(new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(path)), "UTF-8"))
+        catch { case _: Throwable => None }
+      val la = readProc("/proc/loadavg")
+        .map(_.trim.split("\\s+").take(3).mkString(","))
+        .getOrElse("-1,-1,-1")
+      val memAvail = readProc("/proc/meminfo")
+        .flatMap(_.linesIterator.find(_.startsWith("MemAvailable:")))
+        .flatMap(_.split("\\s+").lift(1)).map(_.toLong * 1024L).getOrElse(-1L)
+      s"""{"loadavg":[$la],"mem_available_bytes":$memAvail}"""
+    }
+    val loadStart = loadSample()
+
     // per query: reps × (time, shuffle bytes); a failed rep records
     // nothing — otherwise a crash reads as a fast success; all-failed
-    // reports -1
-    case class QStats(cold: Double, warm: Double, bytesPerRep: Long)
+    // reports -1. `times` keeps the raw per-rep array in rep order —
+    // the dispersion evidence the summary flags below.
+    case class QStats(cold: Double, warm: Double, bytesPerRep: Long, times: Seq[Double]) {
+      // max/median over successful reps: ~1 on a quiet machine; >>1 means
+      // some rep was stalled (GC, compaction, or machine load)
+      def dispersion: Double = if (warm > 0) times.max / warm else -1.0
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val repsOut = (1 to reps).flatMap { rep =>
         try {
@@ -128,7 +165,7 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); None
         }
       }
-      name -> (if (repsOut.isEmpty) QStats(-1.0, -1.0, -1L)
+      name -> (if (repsOut.isEmpty) QStats(-1.0, -1.0, -1L, Nil)
       else {
         val sortedTimes = repsOut.map(_._2).sorted
         QStats(
@@ -136,9 +173,11 @@ object Bench {
           // a warmed rep masquerading as the cold number
           cold = repsOut.find(_._1 == 1).map(_._2).getOrElse(-1.0),
           warm = sortedTimes(sortedTimes.size / 2),
-          bytesPerRep = repsOut.map(_._3).sum / repsOut.size)
+          bytesPerRep = repsOut.map(_._3).sum / repsOut.size,
+          times = repsOut.map(_._2))
       })
     }
+    val loadEnd = loadSample()
 
     // Streaming state at bench scale (VERDICT r4 item 6): replay the SF
     // events table through the two stateful shapes — flatMapGroupsWithState
@@ -229,9 +268,18 @@ object Bench {
     val qs = jmap(results.map { case (k, s) => k -> s.warm })
     val cold = jmap(results.map { case (k, s) => k -> s.cold })
     val bytes = jmap(results.map { case (k, s) => k -> s.bytesPerRep })
+    val repArrays = jmap(results.map { case (k, s) =>
+      k -> s.times.map(r3).mkString("[", ",", "]") })
     val okWarm = results.values.map(_.warm).filter(_ >= 0).toSeq.sorted
     val total = okWarm.sum
     val medianQ = if (okWarm.isEmpty) -1.0 else okWarm(okWarm.size / 2)
+    // dispersion summary: flag queries whose slowest rep is >2x the
+    // median AND absolutely slow enough to matter (>0.2 s) — sub-noise
+    // queries trivially disperse; a flagged heavy query + elevated
+    // loadavg reads as environment, flagged + quiet load as regression
+    val dispersionFlagged = results.toSeq
+      .filter { case (_, s) => s.warm > 0.2 && s.dispersion > 2.0 }
+      .sortBy(-_._2.dispersion)
 
     // (1) complete record to a file the judge can read whole — but a
     // failed write (read-only cwd, full disk) must NOT discard the run:
@@ -239,6 +287,8 @@ object Bench {
     val fullJson = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""warmup_sec":$warmupSec,"asof_ab":$ab,"streaming":$streamingJson,""" +
       s""""reps":$reps,"sf":"$sfDir",""" +
+      s""""load_start":$loadStart,"load_end":$loadEnd,""" +
+      s""""reps_sec":$repArrays,""" +
       s""""cold":$cold,"shuffle_bytes":$bytes,"queries":$qs}"""
     val outFile = new java.io.File(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")).getAbsoluteFile
@@ -263,6 +313,9 @@ object Bench {
       s""""queries_truncated":${results.size > slowest.size},"n_queries":${results.size},""" +
       s""""median_query_sec":${r3(medianQ)},"warmup_sec":${r3(warmupSec)},""" +
       s""""asof_ab":$ab,"streaming":$streamingJson,""" +
+      s""""dispersion_flagged":${
+        jmap(dispersionFlagged.take(8).map { case (k, s) => k -> r3(s.dispersion) })},""" +
+      s""""load_start":$loadStart,"load_end":$loadEnd,""" +
       s""""reps":$reps,"sf":"$sfDir","full":"$outPath"}""")
     spark.stop()
   }

@@ -37,7 +37,8 @@ object SparkEntry {
     graft.queries.ScalarQueries.queries ++
     graft.queries.TemporalJoinQueries.queries ++
     graft.queries.TrainingDataQueries.queries ++
-    graft.queries.MultimodalQueries.queries
+    graft.queries.MultimodalQueries.queries ++
+    graft.queries.SourceQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -50,5 +51,6 @@ object SparkEntry {
     graft.queries.ScalarQueries.oracles ++
     graft.queries.TemporalJoinQueries.oracles ++
     graft.queries.TrainingDataQueries.oracles ++
-    graft.queries.MultimodalQueries.oracles
+    graft.queries.MultimodalQueries.oracles ++
+    graft.queries.SourceQueries.oracles
 }

@@ -167,6 +167,17 @@ case class ResolveGraftOp(spark: org.apache.spark.sql.SparkSession)
         case "dedup_incremental" => // corpus, batch, (idCol, textCol, threshold)
           graft.operators.Dedup.incrementalDedup(
             dfs(0), dfs(1), threshold = dbl(2), idCol = str(0), textCol = str(1))
+        case "pii_redact" => // (idCol, textCol)
+          graft.queries.TextQueries.piiRedact(dfs(0), str(0), str(1))
+        case "salted_rolling" => // (key, ts, valCol, frameNs, chunkNs)
+          graft.operators.SaltedWindow.saltedRollingSum(
+            dfs(0), str(0), str(1), str(2), lng(3), lng(4))
+        case "decontaminate" => // corpus, bench, (idCol, textCol)
+          graft.queries.TextQueries.decontaminate(
+            dfs(0), dfs(1), idCol = str(0), textCol = str(1))
+        case "band_join" => // left, right, (key, lts, rts, tol)
+          graft.operators.BandJoin.bandJoin(
+            dfs(0), dfs(1), str(0), str(1), str(2), lng(3))
         case other => throw argError(s"unknown graft op $other")
       }
       out.queryExecution.analyzed
@@ -294,13 +305,20 @@ object GraftFunctions {
     "sessionize" -> ("sessionize(table, key, ts, gapNanos, idCol)", 4),
     "dedup_exact" -> ("dedup_exact(table, idCol, textCol)", 2),
     "minhash_dedup" -> ("minhash_dedup(table, idCol, textCol, threshold)", 3),
-    "repetition_filter" -> ("repetition_filter(table, idCol, textCol)", 2))
+    "repetition_filter" -> ("repetition_filter(table, idCol, textCol)", 2),
+    "pii_redact" -> ("pii_redact(table, idCol, textCol)", 2),
+    "salted_rolling" ->
+      ("salted_rolling(table, key, ts, valCol, frameNs, chunkNs)", 5))
 
   /** Two-table composed-operator TVF registry: name → (usage, scalar
     * arg count AFTER the two table arguments). */
   private[plans] val composedTvfs2: Map[String, (String, Int)] = Map(
     "dedup_incremental" ->
-      ("dedup_incremental(corpusTable, batchTable, idCol, textCol, threshold)", 3))
+      ("dedup_incremental(corpusTable, batchTable, idCol, textCol, threshold) " +
+        "— corpus and batch id spaces must be disjoint (enforced in-plan)", 3),
+    "decontaminate" ->
+      ("decontaminate(corpusTable, benchTable, idCol, textCol)", 2),
+    "band_join" -> ("band_join(leftTable, rightTable, key, lts, rts, tol)", 4))
 
   /** Literal-scalar extraction shared by the one- and two-table TVF
     * builders — ONE definition so the accepted literal set cannot drift

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions._
@@ -83,22 +83,28 @@ object TextQueries {
     * partial-aggregated groupBy over the (sparse) matches. */
   def qDecontaminate(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val n = 5
-    // Shingle rows via the shared zero-HOF shape (TextFunctions
-    // .shingleRows, ~100× the interpreted-lambda form: 34 s → 0.3 s at
-    // sf0.1). Dedup happens AFTER the broadcast probe (countDistinct
-    // over the sparse matches) instead of array_distinct per doc — no
-    // extra shuffle, and only matched shingles pay the dedup.
-    val bench = shingleRows(docs.filter(col("doc_id") < 10), n).select("sh").distinct()
-    val hits = shingleRows(docs.filter(col("doc_id") >= 10), n)
-      .join(broadcast(bench), Seq("sh"))
-      .groupBy("doc_id").agg(count_distinct(col("sh")).as("n_hits"))
-    docs.filter(col("doc_id") >= 10)
-      .join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"),
+    decontaminate(docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10))
+      .orderBy("doc_id")
+  }
+
+  /** Frame-parameterized body of [[qDecontaminate]] (SQL-reachable as
+    * the two-table `decontaminate` TVF). Shingle rows via the shared
+    * zero-HOF shape (TextFunctions.shingleRows, ~100× the
+    * interpreted-lambda form: 34 s → 0.3 s at sf0.1). Dedup happens
+    * AFTER the broadcast probe (countDistinct over the sparse matches)
+    * instead of array_distinct per doc — no extra shuffle, and only
+    * matched shingles pay the dedup. Both frames need (idCol, textCol). */
+  def decontaminate(corpus: DataFrame, bench: DataFrame, n: Int = 5,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val benchSh = shingleRows(bench, n, idCol, textCol).select("sh").distinct()
+    val hits = shingleRows(corpus, n, idCol, textCol)
+      .join(broadcast(benchSh), Seq("sh"))
+      .groupBy(idCol).agg(count_distinct(col("sh")).as("n_hits"))
+    corpus
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
         coalesce(col("n_hits"), lit(0L)).as("n_contaminated_ngrams"),
         (coalesce(col("n_hits"), lit(0L)) === 0).cast("int").as("keep"))
-      .orderBy("doc_id")
   }
 
   /** Bloom-prefiltered decontamination — IDENTICAL results to
@@ -252,26 +258,49 @@ object TextQueries {
   // \S, not [^ ]: a URL followed by a tab/newline must not swallow the
   // next token into the redaction (the match may not cross whitespace)
   private[graft] val UrlRe = "https?://[^\\s]+"
+  // NANP-ish phone shape (3-3-4 with -, ., space or parens separators);
+  // no lookarounds — the oracle's RE2 engine has none, and the scrub
+  // and detect regexes must stay engine-portable
+  private[graft] val PhoneRe = "\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}"
+  private[graft] val Ipv4Re = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  // the redaction-token alphabet the audit count scans for — extend in
+  // lockstep with the replace chain below AND the oracle SQL
+  private val TokenRe = "\\[(EMAIL|URL|PHONE|IP)\\]"
 
   /** PII redaction (the scrub step downstream of [[qContentFilter]]'s
-    * detection): emails → [EMAIL], URLs → [URL], with the audit count.
-    * n_redactions counts the REPLACED SPANS in the final text (an email
-    * inside a URL collapses into that URL's single span — counting raw
-    * matches over the original would double-count it). Pure per-row
-    * regex work — scan-parallel, no shuffle but the presentation sort. */
+    * detection): emails → [EMAIL], URLs → [URL], phones → [PHONE],
+    * IPv4 → [IP], with the audit count. Replacement order matters:
+    * emails first, then URLs (so an email inside a URL collapses into
+    * that URL's single span), then phones, then IPv4 (so an address in
+    * a URL path is already swallowed). n_redactions counts the NET NEW
+    * redaction spans in the final text — spans present in the final
+    * text minus spans already literally present in the input, so a
+    * document that legitimately contains the string "[EMAIL]" does not
+    * inflate the audit (ADVICE r5). Remaining edge, accepted: a
+    * pre-existing literal token that sits INSIDE a real URL is
+    * destroyed by the replace and undercounts by one (clamped at 0) —
+    * strictly narrower than the substring count's overcount-per-literal.
+    * Pure per-row regex work — scan-parallel, no shuffle but the
+    * presentation sort. */
   def qPiiRedact(spark: SparkSession, dir: String): DataFrame =
     piiRedact(Tables.documents(spark, dir)).orderBy("doc_id")
 
   /** Frame-parameterized body of [[qPiiRedact]] (spec-testable on
-    * planted-PII docs — the fixture corpus is clean). */
-  def piiRedact(docs: DataFrame): DataFrame =
+    * planted-PII docs — the fixture corpus is clean; SQL-reachable as
+    * the `pii_redact` TVF). */
+  def piiRedact(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    def spans(c: Column) =
+      size(regexp_extract_all(c, lit(TokenRe), lit(0))).cast("long")
     docs
-      .select(col("doc_id"),
-        regexp_replace(regexp_replace(col("text"), EmailRe, "[EMAIL]"),
-          UrlRe, "[URL]").as("redacted"))
-      .select(col("doc_id"), col("redacted"),
-        size(regexp_extract_all(col("redacted"), lit("\\[(EMAIL|URL)\\]"), lit(0)))
-          .cast("long").as("n_redactions"))
+      .select(col(idCol), col(textCol).as("__orig"),
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          col(textCol), EmailRe, "[EMAIL]"), UrlRe, "[URL]"),
+          PhoneRe, "[PHONE]"), Ipv4Re, "[IP]").as("redacted"))
+      .select(col(idCol), col("redacted"),
+        greatest(lit(0L), spans(col("redacted")) - spans(col("__orig")))
+          .as("n_redactions"))
+  }
 
   /** Overlapping token-window chunking (the RAG/context-window prep
     * step: split each document into windows of [[ChunkLen]] tokens at
@@ -644,11 +673,15 @@ object TextQueries {
          |FROM r ORDER BY doc_id""".stripMargin,
     "q_pii_redact" ->
       s"""WITH r AS (
-         |  SELECT doc_id,
-         |    regexp_replace(regexp_replace(text, '$EmailRe', '[EMAIL]', 'g'), '$UrlRe', '[URL]', 'g') AS redacted
+         |  SELECT doc_id, text,
+         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+         |      '$EmailRe', '[EMAIL]', 'g'), '$UrlRe', '[URL]', 'g'),
+         |      '$PhoneRe', '[PHONE]', 'g'), '$Ipv4Re', '[IP]', 'g') AS redacted
          |  FROM documents)
          |SELECT doc_id, redacted,
-         |  CAST(len(regexp_extract_all(redacted, '\\[(EMAIL|URL)\\]')) AS BIGINT) AS n_redactions
+         |  CAST(greatest(0,
+         |    len(regexp_extract_all(redacted, '\\[(EMAIL|URL|PHONE|IP)\\]'))
+         |    - len(regexp_extract_all(text, '\\[(EMAIL|URL|PHONE|IP)\\]'))) AS BIGINT) AS n_redactions
          |FROM r ORDER BY doc_id""".stripMargin,
     "q_unigram_logprob" ->
       s"""WITH tok AS (SELECT doc_id, unnest($TOKS) AS t FROM documents),

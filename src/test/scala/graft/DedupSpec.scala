@@ -141,7 +141,24 @@ class DedupSpec extends AnyFunSuite {
     assert(bloom == plain, "bloom prefilter changed decontamination results")
   }
 
-  test("pii redaction replaces planted emails/urls and counts replaced spans") {
+  test("incrementalDedup: overlapping corpus/batch ids fail loudly, not silently wrong") {
+    // ADVICE r5: an overlapping id merges two docs' shingle sets in the
+    // verification union — the guard must raise a NAMED error instead
+    val corpus = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta")).toDF("doc_id", "text")
+    val batch = Seq((2L, "eta theta iota"), (3L, "kappa lambda mu")).toDF("doc_id", "text")
+    val err = intercept[Exception] {
+      graft.operators.Dedup.incrementalDedup(corpus, batch).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(err).exists(m =>
+      m.contains("incrementalDedup") && m.contains("disjoint")), err.getMessage)
+    // the opt-out for id-disciplined production pipelines skips the guard
+    // (result is garbage-in-garbage-out by contract, but must not throw)
+    graft.operators.Dedup.incrementalDedup(corpus, batch, checkDisjoint = false).collect()
+  }
+
+  test("pii redaction replaces planted emails/urls/phones/ips and counts net new spans") {
     // the PRODUCTION body (the fixture corpus is PII-clean, so only a
     // planted frame exercises the regexes and the span count)
     val planted = Seq(
@@ -152,7 +169,15 @@ class DedupSpec extends AnyFunSuite {
       (3L, "go to https://x.com\nnext line"),
       // an email inside a URL collapses into ONE redacted span — the
       // audit count reflects spans in the final text, not raw matches
-      (4L, "visit https://bob@files.example.com/x now")
+      (4L, "visit https://bob@files.example.com/x now"),
+      // phone tier: 3-3-4 with mixed separators, parens accepted
+      (5L, "call (555) 123-4567 or 555.987.6543 today"),
+      // IPv4 tier; an address inside a URL is already swallowed by [URL]
+      (6L, "host 10.0.42.7 via http://192.168.0.1/admin page"),
+      // a document that LITERALLY contains a redaction token must not
+      // inflate the audit (ADVICE r5: net-new spans, not substrings)
+      (7L, "the log line said [EMAIL] was rejected"),
+      (8L, "template [URL] plus real bob@example.com here")
     ).toDF("doc_id", "text")
     val out = graft.queries.TextQueries.piiRedact(planted)
       .orderBy("doc_id")
@@ -162,6 +187,10 @@ class DedupSpec extends AnyFunSuite {
     assert(out(2) == ((2L, "no pii here at all", 0L)))
     assert(out(3) == ((3L, "go to [URL]\nnext line", 1L)))
     assert(out(4) == ((4L, "visit [URL] now", 1L)))
+    assert(out(5) == ((5L, "call [PHONE] or [PHONE] today", 2L)))
+    assert(out(6) == ((6L, "host [IP] via [URL] page", 2L)))
+    assert(out(7) == ((7L, "the log line said [EMAIL] was rejected", 0L)))
+    assert(out(8) == ((8L, "template [URL] plus real [EMAIL] here", 1L)))
   }
 
   test("best-of-cluster selection keeps exactly one doc per group, the top-quality one") {

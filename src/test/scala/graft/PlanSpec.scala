@@ -311,6 +311,65 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("round-6 TVFs: pii_redact / salted_rolling / decontaminate / band_join from SQL") {
+    import org.apache.spark.sql.functions.col
+    withExtensionsSession { s2 =>
+      val docs = Tables.documents(s2, TestSpark.Sf)
+      docs.createOrReplaceTempView("docs_all")
+      Tables.events(s2, TestSpark.Sf).select("event_id", "user_id", "ts", "value")
+        .createOrReplaceTempView("evts_slim")
+      // pii_redact: SQL rows == DataFrame-path rows
+      val piiSql = s2.sql(
+        "SELECT * FROM pii_redact('docs_all', 'doc_id', 'text') ORDER BY doc_id")
+        .collect().toSeq
+      val piiApi = graft.queries.TextQueries.piiRedact(docs)
+        .orderBy("doc_id").collect().toSeq
+      assert(piiSql.nonEmpty && piiSql == piiApi)
+      // salted_rolling: SQL == operator (which itself equals the
+      // unsalted window per TemporalOpsSpec)
+      val frame = 3600L * 1000000000L
+      val chunk = 86400L * 1000000000L
+      val srSql = s2.sql(
+        s"SELECT event_id, rolling_sum FROM salted_rolling(" +
+          s"'evts_slim', 'user_id', 'ts', 'value', $frame, $chunk) ORDER BY event_id")
+        .collect().toSeq
+      val srApi = graft.operators.SaltedWindow.saltedRollingSum(
+        Tables.events(s2, TestSpark.Sf).select("event_id", "user_id", "ts", "value"),
+        "user_id", "ts", "value", frameNs = frame, chunkNs = chunk)
+        .select("event_id", "rolling_sum").orderBy("event_id").collect().toSeq
+      assert(srSql.nonEmpty && srSql == srApi)
+      // decontaminate: TWO-table TVF with TABLE(subquery) args, parity
+      // with the q_decontaminate body
+      val deSql = s2.sql(
+        "SELECT * FROM decontaminate(" +
+          "TABLE(SELECT * FROM docs_all WHERE doc_id >= 10), " +
+          "TABLE(SELECT * FROM docs_all WHERE doc_id < 10), " +
+          "'doc_id', 'text') ORDER BY doc_id").collect().toSeq
+      val deApi = graft.queries.TextQueries.decontaminate(
+        docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10))
+        .orderBy("doc_id").collect().toSeq
+      assert(deSql.nonEmpty && deSql == deApi)
+      // band_join: TWO-table TVF, parity with the operator
+      val e = Tables.events(s2, TestSpark.Sf).filter(col("user_id") < 30)
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("error_id"), col("ts").as("error_ts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      errors.createOrReplaceTempView("errs")
+      purchases.createOrReplaceTempView("purch")
+      val tol = 3600L * 1000000000L
+      val bjSql = s2.sql(
+        s"SELECT user_id, error_id, purchase_id FROM band_join(" +
+          s"'errs', 'purch', 'user_id', 'error_ts', 'purchase_ts', $tol) " +
+          "ORDER BY user_id, error_id, purchase_id").collect().toSeq
+      val bjApi = graft.operators.BandJoin.bandJoin(
+        errors, purchases, "user_id", "error_ts", "purchase_ts", tol)
+        .select("user_id", "error_id", "purchase_id")
+        .orderBy("user_id", "error_id", "purchase_id").collect().toSeq
+      assert(bjSql.nonEmpty && bjSql == bjApi)
+    }
+  }
+
   test("q_skew_join plans the salted shape: replicated right, shuffled join on (key, salt)") {
     val p = physical("q_skew_join")
     assert(p.contains("Generate explode"), p.take(2000)) // right side × buckets

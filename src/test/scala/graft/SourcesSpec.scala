@@ -110,7 +110,12 @@ class SourcesSpec extends AnyFunSuite {
     Sources.writeCompacted(events, tmp, Seq("ts"), nFiles = 4)
     val files = new java.io.File(tmp).listFiles()
       .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-    assert(files.length == 4, s"expected 4 files, got ${files.length}")
+    // "up to nFiles" is the operator's contract: repartitionByRange's
+    // SAMPLED bounds can legally leave a range empty on a small fixture
+    // (ADVICE r5) — assert the cap and that compaction actually split,
+    // not an exact count the sampler doesn't promise
+    assert(files.length >= 2 && files.length <= 4,
+      s"expected 2..4 files, got ${files.length}")
     // read back: no row loss
     assert(spark.read.parquet(tmp).count() == events.count())
     // each file individually sorted by ts, and file ranges are disjoint
