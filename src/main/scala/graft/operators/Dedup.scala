@@ -251,20 +251,36 @@ object Dedup {
                        idCol: String = "doc_id", textCol: String = "text",
                        checkDisjoint: Boolean = true): DataFrame = {
     val fpCorpus = corpus.select(fingerprint(col(textCol)).as("fp"), col(idCol).as("corpus_id"))
+    // band buckets on the corpus side (the shared banding scheme);
+    // candidates are strictly batch×corpus
+    val corpusBands = bandBuckets(minhashSignatures(corpus, k, idCol, textCol), k, r, idCol)
+      .select(col("band"), col("key"), col(idCol).as("corpus_id"))
+    incrementalClassify(fpCorpus, corpusBands,
+      corpus.select(col(idCol), col(textCol)), batch,
+      k, r, threshold, idCol, textCol, checkDisjoint)
+  }
+
+  /** Classification core shared by [[incrementalDedup]] (corpus-side
+    * artifacts derived inline) and [[incrementalDedupIndexed]] (read
+    * from the persisted bucketed index): identical output by
+    * construction. Corpus-side inputs: `fpCorpus(fp, corpus_id)`,
+    * `corpusBands(band, key, corpus_id)`, `corpusDocs(idCol, textCol)`. */
+  private def incrementalClassify(fpCorpus: DataFrame, corpusBands: DataFrame,
+                                  corpusDocs: DataFrame, batch: DataFrame,
+                                  k: Int, r: Int, threshold: Double,
+                                  idCol: String, textCol: String,
+                                  checkDisjoint: Boolean): DataFrame = {
     val exact = batch.select(col(idCol), fingerprint(col(textCol)).as("fp"))
       .join(fpCorpus, "fp")
       .groupBy(col(idCol)).agg(min(col("corpus_id")).as("exact_id"))
-    // band buckets per side (the shared banding scheme); candidates are
-    // strictly batch×corpus
-    def bucketsOf(df: DataFrame) =
-      bandBuckets(minhashSignatures(df, k, idCol, textCol), k, r, idCol)
+    val batchBands = bandBuckets(minhashSignatures(batch, k, idCol, textCol), k, r, idCol)
     // the candidate set feeds BOTH the semi-join bound and the
     // verification join; the duplicated subtree is deduplicated by
     // exchange reuse at execution (measured: a lazy localCheckpoint
     // here changes warm time by <1% at sf0.1), and a production job
     // would persist the candidate table as an artifact anyway
-    val cands = bucketsOf(corpus).select(col("band"), col("key"), col(idCol).as("a"))
-      .join(bucketsOf(batch).select(col("band"), col("key"), col(idCol).as("b")),
+    val cands = corpusBands.select(col("band"), col("key"), col("corpus_id").as("a"))
+      .join(batchBands.select(col("band"), col("key"), col(idCol).as("b")),
         Seq("band", "key"))
       .select("a", "b").distinct()
     // exact verification: jaccardPairs never reorders cands, so
@@ -276,7 +292,8 @@ object Dedup {
     // at corpus scale is nearly all of the corpus
     val candIds = cands.select(col("a").as(idCol))
       .union(cands.select(col("b").as(idCol))).distinct()
-    val verifyDocs = corpus.unionByName(batch).join(candIds, Seq(idCol), "left_semi")
+    val verifyDocs = corpusDocs.unionByName(batch.select(col(idCol), col(textCol)))
+      .join(candIds, Seq(idCol), "left_semi")
     val near = jaccardPairs(verifyDocs, 1, threshold, idCol, textCol, Some(cands))
       .groupBy(col("b").as(idCol)).agg(min(col("a")).as("near_id"))
     val statusCol = when(col("exact_id").isNotNull, lit("exact_dup"))
@@ -293,7 +310,7 @@ object Dedup {
       // would be pruned as unreferenced): any batch id also present in
       // the corpus raises before a classification can be emitted
       base
-        .join(corpus.select(col(idCol)).distinct().withColumn("__corpus_id", lit(1)),
+        .join(corpusDocs.select(col(idCol)).distinct().withColumn("__corpus_id", lit(1)),
           Seq(idCol), "left")
         .select(col(idCol),
           when(col("__corpus_id").isNotNull,
@@ -303,6 +320,67 @@ object Dedup {
               col(idCol).cast("string"))))
             .otherwise(statusCol).as("status"),
           coalesce(col("exact_id"), col("near_id")).as("match_id"))
+  }
+
+  /** Persist the corpus side of [[incrementalDedup]] as BUCKETED tables —
+    * the artifact a daily-ingest pipeline probes instead of re-deriving
+    * fingerprints and band buckets from 100 TB of standing corpus on
+    * every batch:
+    *  - `<name>_fp(fp, corpus_id)` bucketed+sorted by fp,
+    *  - `<name>_bands(band, key, corpus_id)` bucketed+sorted by (band, key),
+    *  - `<name>_docs(id, text)` bucketed by id (the near-dup verify
+    *    stage's shingle source),
+    *  - `<name>_meta(k, r)` — one row recording the banding scheme so a
+    *    probe with mismatched parameters fails loudly instead of
+    *    silently missing candidates.
+    * Bucketing makes the probe joins exchange-free on the corpus side:
+    * only the batch (the small, daily side) shuffles into the bucket
+    * layout (BucketingSpec proves the exchange elimination). Data lands
+    * under `path` (external tables), metadata in the session catalog. */
+  def writeCorpusIndex(corpus: DataFrame, name: String, path: String,
+                       k: Int = 8, r: Int = 2, nBuckets: Int = 8,
+                       idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus.select(fingerprint(col(textCol)).as("fp"), col(idCol).as("corpus_id"))
+      .write.mode("overwrite").format("parquet").option("path", s"$path/${name}_fp")
+      .bucketBy(nBuckets, "fp").sortBy("fp").saveAsTable(s"${name}_fp")
+    bandBuckets(minhashSignatures(corpus, k, idCol, textCol), k, r, idCol)
+      .select(col("band"), col("key"), col(idCol).as("corpus_id"))
+      .write.mode("overwrite").format("parquet").option("path", s"$path/${name}_bands")
+      .bucketBy(nBuckets, "band", "key").sortBy("band", "key").saveAsTable(s"${name}_bands")
+    corpus.select(col(idCol), col(textCol))
+      .write.mode("overwrite").format("parquet").option("path", s"$path/${name}_docs")
+      .bucketBy(nBuckets, idCol).sortBy(idCol).saveAsTable(s"${name}_docs")
+    Seq((k, r)).toDF("k", "r")
+      .write.mode("overwrite").format("parquet").option("path", s"$path/${name}_meta")
+      .saveAsTable(s"${name}_meta")
+  }
+
+  /** [[incrementalDedup]] probing a [[writeCorpusIndex]] artifact:
+    * identical classification output (the shared [[incrementalClassify]]
+    * core guarantees it), but the corpus side reads the pre-built
+    * bucketed index — the fp and (band, key) probe joins consume
+    * co-located buckets with no corpus-side exchange, and the verify
+    * stage shingles only the candidate-matched slice of `<name>_docs`.
+    * The banding scheme is validated against `<name>_meta` (driver-side
+    * read of one metadata row, the bounded-collect precedent). */
+  def incrementalDedupIndexed(spark: org.apache.spark.sql.SparkSession,
+                              name: String, batch: DataFrame,
+                              k: Int = 8, r: Int = 2, threshold: Double = 0.8,
+                              idCol: String = "doc_id", textCol: String = "text",
+                              checkDisjoint: Boolean = true): DataFrame = {
+    val meta = spark.table(s"${name}_meta").collect()
+    require(meta.length == 1 && meta(0).getInt(0) == k && meta(0).getInt(1) == r,
+      s"incrementalDedupIndexed: index $name was built with (k, r) = " +
+        s"${meta.map(m => (m.getInt(0), m.getInt(1))).mkString(",")}, " +
+        s"probe requested ($k, $r) — band keys would not align and " +
+        "candidates would be silently missed")
+    incrementalClassify(
+      spark.table(s"${name}_fp"),
+      spark.table(s"${name}_bands"),
+      spark.table(s"${name}_docs").toDF(idCol, textCol),
+      batch, k, r, threshold, idCol, textCol, checkDisjoint)
   }
 
   /** 32-bit SimHash: per-bit ±1 votes over token hashes, majority sign. */
@@ -323,7 +401,15 @@ object Dedup {
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** Near-dup pairs by SimHash: bucket on 8-bit sub-bands (distance ≤ 3
-    * over 32 bits guarantees one matching band), verify Hamming. */
+    * over 32 bits guarantees one matching band by pigeonhole — 3 bit
+    * errors can touch at most 3 of the 4 bands — so banded candidates +
+    * Hamming verify equal the exact all-pairs answer, with NO recall
+    * loss), verify Hamming. The self-join is pinned shuffle_hash: the
+    * band frame is small enough that AQE would broadcast one side and
+    * stream the other through its handful of input partitions,
+    * serializing the candidate scoring (the q_embedding_neardup grid
+    * lesson, Similarity.scala); the pinned shuffle spreads each (band,
+    * key) bucket across reducers. */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val sh = simhash(docs, 32, idCol, textCol)
@@ -333,6 +419,7 @@ object Dedup {
           shiftright(col("simhash"), b * 8).bitwiseAND(0xFF).as("key"))): _*)).as("bk"))
       .select(col(idCol), col("simhash"), col("bk.band"), col("bk.key"))
     bands.select(col("band"), col("key"), col(idCol).as("a"), col("simhash").as("sa"))
+      .hint("shuffle_hash")
       .join(bands.select(col("band"), col("key"), col(idCol).as("b"), col("simhash").as("sb")),
         Seq("band", "key"))
       .filter(col("a") < col("b"))

@@ -169,6 +169,12 @@ case class ResolveGraftOp(spark: org.apache.spark.sql.SparkSession)
             dfs(0), dfs(1), threshold = dbl(2), idCol = str(0), textCol = str(1))
         case "pii_redact" => // (idCol, textCol)
           graft.queries.TextQueries.piiRedact(dfs(0), str(0), str(1))
+        case "simhash_dedup" => // (idCol, textCol, maxDist)
+          graft.operators.Dedup.simhashPairs(
+            dfs(0), maxDist = lng(2).toInt, idCol = str(0), textCol = str(1))
+        case "crossdoc_ngram" => // (idCol, textCol, n)
+          graft.queries.TextQueries.crossdocNgramStats(
+            dfs(0), n = lng(2).toInt, idCol = str(0), textCol = str(1))
         case "salted_rolling" => // (key, ts, valCol, frameNs, chunkNs)
           graft.operators.SaltedWindow.saltedRollingSum(
             dfs(0), str(0), str(1), str(2), lng(3), lng(4))
@@ -307,6 +313,8 @@ object GraftFunctions {
     "minhash_dedup" -> ("minhash_dedup(table, idCol, textCol, threshold)", 3),
     "repetition_filter" -> ("repetition_filter(table, idCol, textCol)", 2),
     "pii_redact" -> ("pii_redact(table, idCol, textCol)", 2),
+    "simhash_dedup" -> ("simhash_dedup(table, idCol, textCol, maxDist)", 3),
+    "crossdoc_ngram" -> ("crossdoc_ngram(table, idCol, textCol, n)", 3),
     "salted_rolling" ->
       ("salted_rolling(table, key, ts, valCol, frameNs, chunkNs)", 5))
 

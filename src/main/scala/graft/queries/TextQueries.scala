@@ -191,6 +191,45 @@ object TextQueries {
           coalesce(col("f5"), lit(0.0)) < 0.15).cast("int").as("keep"))
   }
 
+  /** CROSS-document duplicated n-gram character fraction (the
+    * RefinedWeb-family signal — Penedo et al. 2023 §A.2 measure
+    * "characters in duplicated n-grams" — here as the char-weighted
+    * occurrence fraction): per doc, the fraction of 5-gram occurrence
+    * CHARACTERS whose gram also appears in at least one OTHER document.
+    * Complements q_repetition (intra-doc) with the cross-doc signal that
+    * catches boilerplate shared across pages (headers, nav bars, license
+    * blocks) which no within-doc statistic can see. Char-weighting (each
+    * occurrence weighted by its gram length) follows the paper's
+    * character-fraction definition rather than the plain occurrence
+    * count; the keep threshold 0.30 is chosen for this corpus, not
+    * lifted from the paper (same calibration honesty as the
+    * q_repetition OPERATORS.md note).
+    * Scale shape: shingle explode → gram doc-frequency aggregation
+    * (uniform hash keys, partial-agg: distinct-by-(gram,doc) then
+    * count) → occurrence×doc-frequency join keyed by gram (uniform) →
+    * per-doc agg. No joins wider than the gram key; at 100 TB the gram
+    * doc-frequency table is the same reusable artifact shape as the
+    * unigram frequency table. */
+  def qCrossdocNgram(spark: SparkSession, dir: String): DataFrame =
+    crossdocNgramStats(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  /** Frame-parameterized body of [[qCrossdocNgram]] (spec-testable;
+    * SQL-reachable as the `crossdoc_ngram` TVF). */
+  def crossdocNgramStats(docs: DataFrame, n: Int = 5, idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    val sh = shingleRows(docs, n, idCol, textCol)
+    val docFreq = sh.groupBy("sh").agg(count_distinct(col(idCol)).as("nd"))
+    val frac = sh.join(docFreq, "sh")
+      .groupBy(idCol)
+      .agg((sum(when(col("nd") >= 2, length(col("sh"))).otherwise(lit(0L))) /
+        sum(length(col("sh"))).cast("double")).as("f"))
+    docs.select(col(idCol))
+      .join(frac, Seq(idCol), "left")
+      .select(col(idCol),
+        rnd(coalesce(col("f"), lit(0.0)), 4).as("dup_char_frac"),
+        (coalesce(col("f"), lit(0.0)) < 0.30).cast("int").as("keep"))
+  }
+
   /** Corpus-unigram negative-log-probability scoring (the cheap stand-in
     * for LM-perplexity quality filtering: documents whose tokens are
     * corpus-typical score low, token-salad and OCR noise score high).
@@ -222,6 +261,53 @@ object TextQueries {
     val docs = Tables.documents(spark, dir)
     Dedup.incrementalDedup(
       docs.filter(col("doc_id") < 60),
+      docs.filter(col("doc_id") >= 60 && col("doc_id") < 120))
+      .orderBy("doc_id")
+  }
+
+  /** The bucketed corpus index for [[qDedupIndexed]], built once per
+    * (session, dir): Dedup.writeCorpusIndex over the same doc_id < 60
+    * corpus slice q_dedup_incremental derives inline. The value is the
+    * index NAME (catalog tables); data lives in a temp dir swept by the
+    * shared shutdown hook. A per-JVM counter keeps names unique across
+    * sessions sharing one external catalog. */
+  private val indexMemo = new SessionMemo[String, String]
+  private val indexSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val indexDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      var tmp = indexDirs.poll()
+      while (tmp != null) {
+        try graft.IoUtil.deleteRecursively(tmp)
+        catch { case scala.util.control.NonFatal(_) => () }
+        tmp = indexDirs.poll()
+      }
+    }))
+  }
+
+  private def cachedCorpusIndex(spark: SparkSession, dir: String): String =
+    indexMemo.getOrElseUpdate(spark, dir) {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-incr-index")
+      indexDirs.add(tmp)
+      val name = s"graft_incr_idx_${indexSeq.incrementAndGet()}"
+      Dedup.writeCorpusIndex(
+        Tables.documents(spark, dir).filter(col("doc_id") < 60),
+        name, tmp.toString)
+      name
+    }
+
+  /** [[qDedupIncremental]]'s artifact-probing twin: the same batch
+    * classified against the PERSISTED bucketed corpus index instead of
+    * the inline-derived corpus frames — the daily-ingest shape a 100 TB
+    * deployment actually runs (build the index once, probe it every
+    * batch; corpus-side joins are exchange-free on the bucket layout).
+    * Identical output by construction (shared classify core), so it
+    * shares q_dedup_incremental's oracle verbatim — the gate proves the
+    * index write/read loses nothing. */
+  def qDedupIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val name = cachedCorpusIndex(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    Dedup.incrementalDedupIndexed(spark, name,
       docs.filter(col("doc_id") >= 60 && col("doc_id") < 120))
       .orderBy("doc_id")
   }
@@ -372,6 +458,17 @@ object TextQueries {
     Dedup.simhash(Tables.documents(spark, dir))
       .orderBy("doc_id")
 
+  /** SimHash near-dup pairs at Hamming ≤ 3 (Dedup.simhashPairs): 8-bit
+    * band buckets make recall EXACT by pigeonhole (3 bit errors cannot
+    * miss all 4 bands), so the banded shape is oracled against the
+    * brute-force all-pairs SQL — same answer, candidate-bounded work.
+    * Completes the SimHash story: q_simhash emits signatures, this
+    * emits the dedup decisions they exist for. */
+  def qSimhashNeardup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(spark, dir), maxDist = 3)
+      .select(col("a"), col("b"), col("dist").cast("int").as("dist"))
+      .orderBy("a", "b")
+
   /** The MinHash+LSH dup-pair set shared by q_dedup_minhash and
     * q_dedup_groups — computed once per (session, dir) and kept cached
     * (the pair list is tiny: bounded ids, high threshold). */
@@ -463,12 +560,15 @@ object TextQueries {
     "q_tfidf" -> qTfidf _,
     "q_content_filter" -> qContentFilter _,
     "q_simhash" -> qSimhash _,
+    "q_simhash_neardup" -> qSimhashNeardup _,
     "q_multimodal_meta" -> qMultimodalMeta _,
     "q_decontaminate" -> qDecontaminate _,
     "q_decontam_bloom" -> qDecontamBloom _,
     "q_repetition" -> qRepetition _,
+    "q_crossdoc_ngram" -> qCrossdocNgram _,
     "q_unigram_logprob" -> qUnigramLogprob _,
     "q_dedup_incremental" -> qDedupIncremental _,
+    "q_dedup_indexed" -> qDedupIndexed _,
     "q_dedup_best" -> qDedupBest _,
     "q_pii_redact" -> qPiiRedact _,
     "q_chunking" -> qChunking _,
@@ -484,6 +584,22 @@ object TextQueries {
   private val TOKHASH =
     s"""tok AS (SELECT doc_id, unnest($TOKS) AS t FROM documents),
        |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS hv FROM tok)""".stripMargin
+
+  /** DuckDB twin of Dedup.simhash (32-bit majority bit votes) ending in
+    * an `sh(doc_id, simhash)` CTE — ONE copy, shared by the q_simhash
+    * and q_simhash_neardup oracles. */
+  private val SimhashCtes =
+    s"""$TOKHASH,
+       |v AS (
+       |  SELECT doc_id,
+       |    ${(0 until 32).map(j =>
+          s"sum(CASE WHEN (hv >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(",\n    ")}
+       |  FROM h GROUP BY doc_id),
+       |sh AS (
+       |  SELECT doc_id,
+       |    ${(0 until 32).map(j => s"(CASE WHEN b$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
+          .mkString(" + ")} AS simhash
+       |  FROM v)""".stripMargin
 
   /** DuckDB twin of TextFunctions.qualityScoreOf — ONE copy, shared by
     * the q_text_quality and q_dedup_best oracles (the Scala side both
@@ -568,6 +684,52 @@ object TextQueries {
        |  FROM i JOIN n na ON na.doc_id = a JOIN n nb ON nb.doc_id = b)
        |SELECT a, b, floor((jaccard) * 1e4 + 0.5) / 1e4 AS jaccard
        |FROM j WHERE jaccard >= $threshold ORDER BY a, b""".stripMargin
+
+  /** DuckDB twin of the incremental (batch-vs-corpus) classification —
+    * ONE copy, shared by q_dedup_incremental and its index-probing twin
+    * q_dedup_indexed (identical output by construction; the shared
+    * oracle is the losslessness proof for the bucketed index). */
+  private val IncrementalSql: String =
+    s"""WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 120),
+       |tok AS (SELECT doc_id, unnest($TOKS) AS t FROM docs),
+       |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS hv FROM tok),
+       |sig AS (
+       |  SELECT doc_id,
+       |    ${(0 until 8).map(i => s"min(${Dedup.minhashSqlExpr(i)}) AS mh$i").mkString(",\n    ")}
+       |  FROM h GROUP BY doc_id),
+       |bands AS (
+       |  ${(0 until 4).map(b =>
+          s"SELECT doc_id, $b AS band, md5(mh${2 * b}::VARCHAR || '_' || mh${2 * b + 1}::VARCHAR) AS bkey FROM sig")
+          .mkString("\n  UNION ALL\n  ")}),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < 60 AND y.doc_id >= 60),
+       |sh AS (SELECT DISTINCT doc_id, unnest($TOKS) AS s FROM docs),
+       |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |i AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+       |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < 60 AND y.doc_id >= 60
+       |  GROUP BY 1, 2),
+       |j AS (
+       |  SELECT a, b, c * 1.0 / (na.n + nb.n - c) AS jaccard
+       |  FROM i JOIN n na ON na.doc_id = a JOIN n nb ON nb.doc_id = b),
+       |nr AS (
+       |  SELECT j.b AS doc_id, min(j.a) AS near_id
+       |  FROM j JOIN cand ON j.a = cand.a AND j.b = cand.b
+       |  WHERE jaccard >= 0.8 GROUP BY 1),
+       |fp AS (SELECT doc_id, md5($NORM) AS fp FROM docs),
+       |ex AS (
+       |  SELECT b.doc_id, min(a.doc_id) AS exact_id
+       |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < 60 AND b.doc_id >= 60
+       |  GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CASE WHEN ex.exact_id IS NOT NULL THEN 'exact_dup'
+       |       WHEN nr.near_id IS NOT NULL THEN 'near_dup'
+       |       ELSE 'new' END AS status,
+       |  coalesce(ex.exact_id, nr.near_id) AS match_id
+       |FROM documents d LEFT JOIN ex USING (doc_id) LEFT JOIN nr USING (doc_id)
+       |WHERE d.doc_id >= 60 AND d.doc_id < 120 ORDER BY d.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_text_stats" ->
@@ -654,6 +816,23 @@ object TextQueries {
          |  CAST(coalesce(f2, 0) < 0.2 AND coalesce(f5, 0) < 0.15 AS INTEGER) AS keep
          |FROM documents d LEFT JOIN a2 USING (doc_id) LEFT JOIN a5 USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+    "q_crossdoc_ngram" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS ts FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |    ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] AS s
+         |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(ts) - 4)) AS i)),
+         |nd AS (SELECT s, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1),
+         |a AS (
+         |  SELECT g.doc_id,
+         |    sum(CASE WHEN nd.nd >= 2 THEN length(g.s) ELSE 0 END) * 1.0
+         |      / sum(length(g.s)) AS f
+         |  FROM g JOIN nd USING (s) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  floor((coalesce(f, 0)) * 1e4 + 0.5) / 1e4 AS dup_char_frac,
+         |  CAST(coalesce(f, 0) < 0.30 AS INTEGER) AS keep
+         |FROM documents d LEFT JOIN a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     "q_dedup_best" ->
       s"""WITH RECURSIVE $MinhashCtes,
          |${ccSql("label")},
@@ -693,47 +872,11 @@ object TextQueries {
          |SELECT doc_id, count(*) AS n_tokens,
          |  floor((sum(lp) / count(*)) * 1e4 + 0.5) / 1e4 AS avg_neg_logprob
          |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "q_dedup_incremental" ->
-      s"""WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 120),
-         |tok AS (SELECT doc_id, unnest($TOKS) AS t FROM docs),
-         |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS hv FROM tok),
-         |sig AS (
-         |  SELECT doc_id,
-         |    ${(0 until 8).map(i => s"min(${Dedup.minhashSqlExpr(i)}) AS mh$i").mkString(",\n    ")}
-         |  FROM h GROUP BY doc_id),
-         |bands AS (
-         |  ${(0 until 4).map(b =>
-            s"SELECT doc_id, $b AS band, md5(mh${2 * b}::VARCHAR || '_' || mh${2 * b + 1}::VARCHAR) AS bkey FROM sig")
-            .mkString("\n  UNION ALL\n  ")}),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |  FROM bands x JOIN bands y
-         |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < 60 AND y.doc_id >= 60),
-         |sh AS (SELECT DISTINCT doc_id, unnest($TOKS) AS s FROM docs),
-         |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         |i AS (
-         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
-         |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < 60 AND y.doc_id >= 60
-         |  GROUP BY 1, 2),
-         |j AS (
-         |  SELECT a, b, c * 1.0 / (na.n + nb.n - c) AS jaccard
-         |  FROM i JOIN n na ON na.doc_id = a JOIN n nb ON nb.doc_id = b),
-         |nr AS (
-         |  SELECT j.b AS doc_id, min(j.a) AS near_id
-         |  FROM j JOIN cand ON j.a = cand.a AND j.b = cand.b
-         |  WHERE jaccard >= 0.8 GROUP BY 1),
-         |fp AS (SELECT doc_id, md5($NORM) AS fp FROM docs),
-         |ex AS (
-         |  SELECT b.doc_id, min(a.doc_id) AS exact_id
-         |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < 60 AND b.doc_id >= 60
-         |  GROUP BY 1)
-         |SELECT d.doc_id,
-         |  CASE WHEN ex.exact_id IS NOT NULL THEN 'exact_dup'
-         |       WHEN nr.near_id IS NOT NULL THEN 'near_dup'
-         |       ELSE 'new' END AS status,
-         |  coalesce(ex.exact_id, nr.near_id) AS match_id
-         |FROM documents d LEFT JOIN ex USING (doc_id) LEFT JOIN nr USING (doc_id)
-         |WHERE d.doc_id >= 60 AND d.doc_id < 120 ORDER BY d.doc_id""".stripMargin,
+    "q_dedup_incremental" -> IncrementalSql,
+    // identical-by-construction output (shared classify core over the
+    // bucketed index artifacts) — the indexed twin shares the oracle,
+    // which is exactly what proves the index write/read is lossless
+    "q_dedup_indexed" -> IncrementalSql,
     "q_ngram_sim" -> jaccardSql(
       s"""t AS (SELECT doc_id, $TOKS AS ts FROM documents WHERE doc_id < 100),
          |sh AS (
@@ -784,16 +927,17 @@ object TextQueries {
          |SELECT doc_id, t AS term, floor((tfidf) * 1e6 + 0.5) / 1e6 AS tfidf, rank
          |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "q_simhash" ->
-      s"""WITH $TOKHASH,
-         |v AS (
-         |  SELECT doc_id,
-         |    ${(0 until 32).map(j =>
-            s"sum(CASE WHEN (hv >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(",\n    ")}
-         |  FROM h GROUP BY doc_id)
-         |SELECT doc_id,
-         |  ${(0 until 32).map(j => s"(CASE WHEN b$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
-            .mkString(" + ")} AS simhash
-         |FROM v ORDER BY doc_id""".stripMargin,
+      s"""WITH $SimhashCtes
+         |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin,
+    "q_simhash_neardup" ->
+      // brute-force all-pairs twin of the banded Spark shape — equal by
+      // the pigeonhole recall guarantee (see qSimhashNeardup)
+      s"""WITH $SimhashCtes
+         |SELECT x.doc_id AS a, y.doc_id AS b,
+         |  CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS dist
+         |FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+         |ORDER BY a, b""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id,
         |  octet_length(CAST(text AS BLOB)) AS n_bytes,

@@ -31,6 +31,61 @@ class BucketingSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("incrementalDedupIndexed == incrementalDedup (bucketed index is lossless)") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, TestSpark.Sf)
+    val corpus = docs.filter(col("doc_id") < 60)
+    val batch = docs.filter(col("doc_id") >= 60 && col("doc_id") < 120)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-idx-spec")
+    try {
+      Dedup.writeCorpusIndex(corpus, "idx_spec", tmp.toString)
+      val direct = Dedup.incrementalDedup(corpus, batch)
+        .orderBy("doc_id").collect().toSeq
+      val indexed = Dedup.incrementalDedupIndexed(spark, "idx_spec", batch)
+        .orderBy("doc_id").collect().toSeq
+      assert(indexed.nonEmpty && indexed == direct)
+      // a probe whose banding scheme differs from the build fails loudly
+      val err = intercept[IllegalArgumentException] {
+        Dedup.incrementalDedupIndexed(spark, "idx_spec", batch, k = 4, r = 2)
+      }
+      assert(err.getMessage.contains("band keys would not align"), err.getMessage)
+    } finally {
+      Seq("_fp", "_bands", "_docs", "_meta")
+        .foreach(s => spark.sql(s"DROP TABLE IF EXISTS idx_spec$s"))
+      graft.IoUtil.deleteRecursively(tmp)
+    }
+  }
+
+  test("indexed probe joins read bucketed corpus scans with no corpus-side exchange") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, TestSpark.Sf)
+    val corpus = docs.filter(col("doc_id") < 60)
+    val batch = docs.filter(col("doc_id") >= 60 && col("doc_id") < 120)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-idx-plan")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      Dedup.writeCorpusIndex(corpus, "idx_plan", tmp.toString)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // the fp probe join in isolation: index side must come straight
+      // off the bucketed scan (Bucketed: true, no Exchange above it);
+      // the batch side is the ONLY exchange
+      val probe = batch
+        .select(col("doc_id"), graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+        .join(spark.table("idx_plan_fp"), "fp")
+      probe.collect()
+      val plan = probe.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(plan.contains("Bucketed: true"), plan)
+      assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+        s"expected exactly one exchange (the batch side):\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      Seq("_fp", "_bands", "_docs", "_meta")
+        .foreach(s => spark.sql(s"DROP TABLE IF EXISTS idx_plan$s"))
+      graft.IoUtil.deleteRecursively(tmp)
+    }
+  }
+
   test("graft_dot is callable from SQL after registration") {
     GraftFunctions.register(spark)
     val r = spark.sql(

@@ -86,6 +86,24 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("simhashPairs: banded candidates equal brute-force all-pairs (pigeonhole recall)") {
+    // 3 bit errors over 4×8-bit bands leave ≥1 band intact, so the banded
+    // shape must reproduce the exact answer — not approximate it
+    val d = Tables.documents(spark, TestSpark.Sf).filter(col("doc_id") < 100)
+    val sh = Dedup.simhash(d)
+    val l = sh.select(col("doc_id").as("a"), col("simhash").as("sa"))
+    val r = sh.select(col("doc_id").as("b"), col("simhash").as("sb"))
+    val brute = l.crossJoin(r).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), Dedup.hamming(col("sa"), col("sb")).as("dist"))
+      .filter(col("dist") <= 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val banded = Dedup.simhashPairs(d, maxDist = 3)
+      .select(col("a"), col("b"), col("dist").cast("int"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(banded == brute, s"banded ${banded.size} vs brute ${brute.size}")
+    assert(brute.nonEmpty, "fixture should contain at least one near-dup pair")
+  }
+
   test("incrementalDedup classifies exact_dup / near_dup / new with min match id") {
     val corpus = Seq(
       (0L, "alpha beta gamma delta"),
@@ -231,5 +249,37 @@ class DedupSpec extends AnyFunSuite {
     assert(got(1) == ((1L, 0.125, 0.0, 1)))
     assert(got(2)._3 > 0.15 && got(2)._4 == 0, s"repeated block not flagged: ${got(2)}")
     assert(got(3) == ((3L, 0.0, 0.0, 1)))
+  }
+
+  test("crossdocNgramStats: cross-doc boilerplate flagged, unique text kept") {
+    val boiler = "copyright acme corp all rights reserved worldwide"  // 7 tokens → 3 5-grams
+    val docs = Seq(
+      // doc 0/1 share the 7-token boilerplate block; their unique tails
+      // differ, so only the boilerplate 5-grams are cross-doc dups
+      (0L, s"$boiler alpha beta gamma delta epsilon zeta"),
+      (1L, s"$boiler omega psi chi phi upsilon tau"),
+      // fully unique text → fraction 0, keep
+      (2L, "one two three four five six seven eight nine ten"),
+      // too short for any 5-gram → fraction 0 (coalesced), keep
+      (3L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val got = graft.queries.TextQueries.crossdocNgramStats(docs)
+      .orderBy("doc_id")
+      .select("doc_id", "dup_char_frac", "keep")
+      .as[(Long, Double, Int)].collect().toSeq
+    // both docs carry the duplicated block (fractions differ slightly —
+    // char-weighted denominators depend on each doc's own tail)
+    assert(got(0)._2 > 0.3 && got(1)._2 > 0.3 && got(0)._3 == 0 && got(1)._3 == 0,
+      s"shared boilerplate must flag both docs: $got")
+    assert(got(2) == ((2L, 0.0, 1)))
+    assert(got(3) == ((3L, 0.0, 1)))
+    // an identical pair of docs is 100% duplicated → dropped
+    val dup = Seq(
+      (0L, "exact same words in both documents here"),
+      (1L, "exact same words in both documents here")
+    ).toDF("doc_id", "text")
+    val g2 = graft.queries.TextQueries.crossdocNgramStats(dup)
+      .select("dup_char_frac", "keep").as[(Double, Int)].collect().toSeq
+    assert(g2 == Seq((1.0, 0), (1.0, 0)))
   }
 }

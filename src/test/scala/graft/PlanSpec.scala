@@ -370,6 +370,27 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash_dedup TVF: SQL == DataFrame path, pinned shuffled band join") {
+    import org.apache.spark.sql.functions.col
+    withExtensionsSession { s2 =>
+      val docs = Tables.documents(s2, TestSpark.Sf).filter(col("doc_id") < 100)
+      docs.createOrReplaceTempView("docs_sh")
+      val sql = s2.sql(
+        "SELECT a, b, dist FROM simhash_dedup('docs_sh', 'doc_id', 'text', 3) " +
+          "ORDER BY a, b").collect().toSeq
+      val api = graft.operators.Dedup.simhashPairs(docs, maxDist = 3)
+        .select("a", "b", "dist").orderBy("a", "b").collect().toSeq
+      assert(sql.nonEmpty && sql == api)
+      // the band self-join must stay a shuffled hash join — AQE would
+      // broadcast the tiny band frame and serialize candidate scoring
+      val df = graft.operators.Dedup.simhashPairs(docs, maxDist = 3)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("ShuffledHashJoin"), plan.take(2000))
+      assert(!plan.contains("BroadcastHashJoin"), plan.take(2000))
+    }
+  }
+
   test("q_skew_join plans the salted shape: replicated right, shuffled join on (key, salt)") {
     val p = physical("q_skew_join")
     assert(p.contains("Generate explode"), p.take(2000)) // right side × buckets
