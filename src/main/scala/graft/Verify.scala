@@ -19,6 +19,13 @@ object Verify {
     // fast local iteration; the driver leaves it unset (full sweep).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a typo'd name would otherwise silently dump nothing and exit 0 —
+    // the developer then iterates against a stale previous dump
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val selected = only.fold(SparkEntry.queries)(names => SparkEntry.queries.filter {
       case (name, _) => names.contains(name)
     })

@@ -412,6 +412,13 @@ object Dedup {
     * key) bucket across reducers. */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // the 4×8-bit banding guarantees a shared band only for ≤ 3 bit
+    // errors; a larger maxDist would SILENTLY lose recall (4 errors can
+    // touch all 4 bands) — fail loudly instead, SQL-reachable via the
+    // simhash_dedup TVF
+    require(maxDist >= 0 && maxDist <= 3,
+      s"simhashPairs: maxDist must be in [0, 3] (got $maxDist) — the 4-band×8-bit " +
+        "bucketing guarantees exact recall only up to Hamming distance 3")
     val sh = simhash(docs, 32, idCol, textCol)
     val bands = sh.select(col(idCol), col("simhash"),
       explode(array((0 until 4).map(b =>

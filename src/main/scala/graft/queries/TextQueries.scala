@@ -217,6 +217,11 @@ object TextQueries {
     * SQL-reachable as the `crossdoc_ngram` TVF). */
   def crossdocNgramStats(docs: DataFrame, n: Int = 5, idCol: String = "doc_id",
                          textCol: String = "text"): DataFrame = {
+    // n = 0 would emit empty grams whose length() is 0 — both sums go
+    // to 0, the fraction nulls out, and every doc (even a fully
+    // duplicated corpus) comes back keep = 1 with no warning;
+    // SQL-reachable via the crossdoc_ngram TVF, so fail loudly
+    require(n >= 1, s"crossdocNgramStats: n must be >= 1 (got $n)")
     val sh = shingleRows(docs, n, idCol, textCol)
     val docFreq = sh.groupBy("sh").agg(count_distinct(col(idCol)).as("nd"))
     val frac = sh.join(docFreq, "sh")
@@ -286,14 +291,23 @@ object TextQueries {
   }
 
   private def cachedCorpusIndex(spark: SparkSession, dir: String): String =
-    indexMemo.getOrElseUpdate(spark, dir) {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-incr-index")
-      indexDirs.add(tmp)
-      val name = s"graft_incr_idx_${indexSeq.incrementAndGet()}"
-      Dedup.writeCorpusIndex(
-        Tables.documents(spark, dir).filter(col("doc_id") < 60),
-        name, tmp.toString)
-      name
+    // synchronized: TrieMap.getOrElseUpdate may evaluate a racing
+    // builder twice, and THIS builder is side-effecting (it writes four
+    // catalog tables + a temp dir — the loser's tables would leak).
+    // Builds are rare (once per (session, dir)), so serializing them
+    // costs nothing. Catalog lifetime: the in-memory session catalog
+    // dies with the JVM, so table metadata cannot outlive the shutdown
+    // hook that sweeps the backing temp dirs.
+    indexSeq.synchronized {
+      indexMemo.getOrElseUpdate(spark, dir) {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-incr-index")
+        indexDirs.add(tmp)
+        val name = s"graft_incr_idx_${indexSeq.incrementAndGet()}"
+        Dedup.writeCorpusIndex(
+          Tables.documents(spark, dir).filter(col("doc_id") < 60),
+          name, tmp.toString)
+        name
+      }
     }
 
   /** [[qDedupIncremental]]'s artifact-probing twin: the same batch
