@@ -196,8 +196,8 @@ object ScalarQueries {
         |    p_size::VARCHAR || (['K', 'M', 'B', 'T'])[(p_partkey % 4) + 1] AS raw
         |  FROM part WHERE p_partkey < 100)
         |SELECT p_partkey, raw,
-        |  CAST(regexp_extract(raw, '^([0-9]*\.?[0-9]+)', 1) AS DOUBLE) *
-        |    (CASE upper(regexp_extract(raw, '([KMBT])$', 1))
+        |  CAST(nullif(regexp_extract(trim(raw), '(?i)^(-?[0-9]*\.?[0-9]+)([KMBT])?$', 1), '') AS DOUBLE) *
+        |    (CASE upper(regexp_extract(trim(raw), '(?i)^(-?[0-9]*\.?[0-9]+)([KMBT])?$', 2))
         |      WHEN 'K' THEN 1e3 WHEN 'M' THEN 1e6
         |      WHEN 'B' THEN 1e9 WHEN 'T' THEN 1e12 ELSE 1.0 END) AS value
         |FROM s ORDER BY p_partkey""".stripMargin,

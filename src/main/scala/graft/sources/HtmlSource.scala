@@ -60,21 +60,24 @@ object HtmlSource {
     import spark.implicits._
     val pages = spark.read.option("wholetext", "true").textFile(path)
     // header donor: lexicographically-first file (Spark orders splits by
-    // size, so the order must be explicit). Header CELLS are extracted
-    // on the executors — only a handful of strings reach the driver,
-    // never a page body.
-    val headerCandidates = spark.read.option("wholetext", "true").text(path)
-      .select(input_file_name().as("f"), org.apache.spark.sql.functions.col("value"))
-      .as[(String, String)]
-      .map { case (f, html) =>
-        (f, tableRows(html).headOption.map(rowCells).getOrElse(Seq.empty)) }
-      .toDF("f", "cells")
-      .orderBy("f")
-      .limit(1)
-      .as[(String, Seq[String])]
+    // size, so the order must be explicit). Resolve the donor NAME with
+    // a filename-only min aggregate first, then parse ONLY that file —
+    // parsing every page just to discard all but one header cost a
+    // full-corpus regex pass. Header CELLS are extracted on the
+    // executors — only a handful of strings reach the driver, never a
+    // page body.
+    val donorFile = spark.read.option("wholetext", "true").text(path)
+      .select(input_file_name().as("f"))
+      .agg(org.apache.spark.sql.functions.min("f"))
+      .as[String]
       .collect()
-    require(headerCandidates.nonEmpty, s"no input pages found under $path")
-    val header = headerCandidates.head._2.map(Sources.sanitizeName)
+    require(donorFile.nonEmpty && donorFile.head != null,
+      s"no input pages found under $path")
+    val headerCells = spark.read.option("wholetext", "true").textFile(donorFile.head)
+      .map(html => tableRows(html).headOption.map(rowCells).getOrElse(Seq.empty))
+      .collect()
+    require(headerCells.nonEmpty, s"no input pages found under $path")
+    val header = headerCells.head.map(Sources.sanitizeName)
     require(header.nonEmpty, s"no <table> header row found under $path")
     val n = header.length
     val rows = pages.flatMap { html =>

@@ -22,11 +22,20 @@ object Sources {
   def sanitizeColumns(df: DataFrame): DataFrame =
     df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, sanitizeName(c)))
 
-  /** S1: CSV scan — explicit schema (prod) or opt-in inference. */
+  /** S1: CSV scan — explicit schema (prod) or opt-in inference. With
+    * neither, columns read as strings (Spark's schema-on-read default):
+    * the zero-config call must NOT silently pay the inference double
+    * scan the file-level policy above warns against — inference is the
+    * `infer = true` opt-in only. */
   def readCsv(spark: SparkSession, path: String, schema: Option[StructType] = None,
-              header: Boolean = true): DataFrame = {
+              header: Boolean = true, infer: Boolean = false): DataFrame = {
     val r = spark.read.option("header", header.toString)
-    sanitizeColumns(schema.fold(r.option("inferSchema", "true"))(r.schema).csv(path))
+    val configured = schema match {
+      case Some(s) => r.schema(s)
+      case None if infer => r.option("inferSchema", "true")
+      case None => r
+    }
+    sanitizeColumns(configured.csv(path))
   }
 
   /** S4/S7: JSON snapshot scan (schema-on-read with explicit option). */
@@ -86,12 +95,17 @@ object Sources {
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
-  /** S8: JSON export with the NaN→0 scrub (spark_stream.py:149-156). */
+  /** S8: JSON export with the NaN→0 scrub (spark_stream.py:149-156).
+    * NaN ONLY — a genuine null double (missing measurement) stays null
+    * so consumers can tell "missing" from "zero"; na.fill would
+    * flatten both to 0.0. */
   def exportJson(df: DataFrame, path: String): Unit = {
     val doubles = df.schema.fields.collect {
       case f if f.dataType == org.apache.spark.sql.types.DoubleType => f.name
     }
-    df.na.fill(0.0, doubles).write.mode("overwrite").json(path)
+    doubles.foldLeft(df)((d, n) =>
+        d.withColumn(n, when(isnan(col(n)), lit(0.0)).otherwise(col(n))))
+      .write.mode("overwrite").json(path)
   }
 
   /** F4: multi-format date parse — try yyyy-MM-dd, then yyyyMMdd, then
@@ -112,12 +126,18 @@ object Sources {
     from_utc_timestamp(c, tz)
 
   /** §1.2/§7.4: unit-suffixed magnitude parse — "41.77B" → 4.177e10,
-    * supporting K/M/B/T, bare numbers pass through. */
+    * supporting K/M/B/T (either case), signed values, bare numbers pass
+    * through. ONE anchored full-string regex: a partial-prefix match
+    * would silently parse "1,234.5M" as 1e6 (three orders of magnitude
+    * wrong with no null signal) — unparseable input must yield null,
+    * not a plausible-looking number. */
   def parseMagnitude(c: Column): Column = {
+    val pat = "(?i)^(-?[0-9]*\\.?[0-9]+)([KMBT])?$"
+    val t = trim(c)
     // nullif before the cast: regexp_extract yields "" on no match and
     // ANSI-mode cast(''→double) throws; null propagates instead
-    val num = nullif(regexp_extract(c, "^([0-9]*\\.?[0-9]+)", 1), lit("")).cast("double")
-    val suffix = upper(regexp_extract(c, "([KMBT])$", 1))
+    val num = nullif(regexp_extract(t, pat, 1), lit("")).cast("double")
+    val suffix = upper(regexp_extract(t, pat, 2))
     num * when(suffix === "K", lit(1e3))
       .when(suffix === "M", lit(1e6))
       .when(suffix === "B", lit(1e9))

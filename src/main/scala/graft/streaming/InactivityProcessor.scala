@@ -43,7 +43,11 @@ class InactivityProcessor(gapMs: Long)
     val closed = Seq.newBuilder[InactivityAlert]
     times.foreach { t =>
       prev match {
-        case Some(p) if t - p >= gapMs =>
+        // STRICTLY longer than gapMs: exactly-gap spacing is
+        // still-active, matching the class doc and Sessionize's
+        // strict split (diff > gap ⇒ same session at equality) — the
+        // two operators must agree on whether a user was ever inactive
+        case Some(p) if t - p > gapMs =>
           closed += InactivityAlert(user, p, t - p)
         case _ => ()
       }
@@ -51,8 +55,9 @@ class InactivityProcessor(gapMs: Long)
     }
     prev.foreach(lastSeen.update)
     // exactly one pending deadline per key: drop stale timers, re-arm
+    // (+1: the timer may fire only once silence EXCEEDS the gap)
     getHandle.listTimers().foreach(getHandle.deleteTimer)
-    getHandle.registerTimer(prev.get + gapMs)
+    getHandle.registerTimer(prev.get + gapMs + 1)
     closed.result().iterator
   }
 
@@ -61,8 +66,9 @@ class InactivityProcessor(gapMs: Long)
     if (lastSeen.exists()) {
       val last = lastSeen.get()
       // a stale timer that raced a re-arm (deadline before lastSeen+gap)
-      // must not alert a user who is in fact active
-      if (expiredTimerInfo.getExpiryTimeInMs() >= last + gapMs) {
+      // must not alert a user who is in fact active; strict >: silence
+      // must EXCEED the gap, mirroring the closed-gap path
+      if (expiredTimerInfo.getExpiryTimeInMs() > last + gapMs) {
         lastSeen.clear()
         Iterator.single(InactivityAlert(user, last, gapMs))
       } else Iterator.empty

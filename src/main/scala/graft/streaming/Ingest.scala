@@ -115,8 +115,16 @@ object Ingest {
               out
             }
             prev.foreach(state.update)
-            if (streaming && state.exists)
-              state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + idleTimeout.toMillis)
+            // TTL anchored to max(watermark, this batch's max event time):
+            // in the FIRST micro-batch the watermark is still 0, so a
+            // watermark-only anchor resolves to ~1970 + TTL and every
+            // batch-1 key times out one batch later — the documented
+            // idle TTL would silently become "one batch of silence"
+            if (streaming && state.exists) {
+              val maxEventMs = if (sorted.nonEmpty) sorted.last.event_time.getTime else 0L
+              state.setTimeoutTimestamp(
+                math.max(state.getCurrentWatermarkMs(), maxEventMs) + idleTimeout.toMillis)
+            }
             alerts.iterator
           }
       }
@@ -229,7 +237,8 @@ object Ingest {
             Iterator.empty
           } else {
             var m = if (state.exists) state.get else WelfordAggregator.zero
-            val out = it.toSeq.sortBy(e => (e.ts, e.event_id)).flatMap { e =>
+            val sorted = it.toSeq.sortBy(e => (e.ts, e.event_id))
+            val out = sorted.flatMap { e =>
               val alert =
                 if (m.n >= minN && m.stddevPop > 0) {
                   val z = m.zscore(e.value)
@@ -240,8 +249,12 @@ object Ingest {
               alert
             }
             state.update(m)
-            if (streaming)
-              state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + idleTimeout.toMillis)
+            // same first-batch-watermark-0 anchor as statefulPctAlerts
+            if (streaming) {
+              val maxEventMs = if (sorted.nonEmpty) sorted.last.event_time.getTime else 0L
+              state.setTimeoutTimestamp(
+                math.max(state.getCurrentWatermarkMs(), maxEventMs) + idleTimeout.toMillis)
+            }
             out.iterator
           }
       }
@@ -286,7 +299,15 @@ object Ingest {
     * tailing consumer (websocket bridge, inotify watcher) never reads a
     * partial file. Deterministic names make a batch replay overwrite its
     * own files — at-most-once per batch, by layout, exactly like the
-    * landing sink. Empty partitions emit nothing. */
+    * landing sink. Empty partitions emit nothing.
+    *
+    * CONTRACT: `dir` must be a filesystem shared by the driver and every
+    * executor (local mode, NFS, a fuse-mounted bucket) — `beginBatch`'s
+    * stale-file sweep runs DRIVER-side while `push` writes
+    * executor-side; on node-local disks the sweep would miss executor
+    * files and a shrunken replay could leave dead higher-part files
+    * behind. A multi-node deployment on node-local storage needs a
+    * different adapter (push to a bus, not a directory). */
   final class LiveDirPush(dir: String) extends PushAdapter {
     override def beginBatch(batchId: Long): Unit = {
       val d = new java.io.File(dir)
@@ -366,28 +387,32 @@ object Ingest {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.persist()
-        batch.withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("day", "batch_id")
-          .parquet(landingPath)
-        // the alert sink is the documented ST3 threshold operator — one
-        // definition, no drift between the stream and batch paths
-        thresholdAlerts(batch, alertThreshold)
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(alertPath)
-        // S6 live push: executor-side, per partition, over the persisted
-        // batch — the driver never materializes row data
-        push.foreach { p =>
-          p.beginBatch(batchId)
-          batch.toJSON.foreachPartition { (it: Iterator[String]) =>
-            p.push(batchId, org.apache.spark.TaskContext.getPartitionId(), it)
+        // finally: a failed sink write must not leak the persisted
+        // batch — each replay would otherwise pin a fresh copy until
+        // executors spill
+        try {
+          batch.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("day", "batch_id")
+            .parquet(landingPath)
+          // the alert sink is the documented ST3 threshold operator — one
+          // definition, no drift between the stream and batch paths
+          thresholdAlerts(batch, alertThreshold)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(alertPath)
+          // S6 live push: executor-side, per partition, over the persisted
+          // batch — the driver never materializes row data
+          push.foreach { p =>
+            p.beginBatch(batchId)
+            batch.toJSON.foreachPartition { (it: Iterator[String]) =>
+              p.push(batchId, org.apache.spark.TaskContext.getPartitionId(), it)
+            }
           }
-        }
-        batch.unpersist()
+        } finally batch.unpersist()
         ()
       }
       .start()

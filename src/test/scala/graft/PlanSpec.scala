@@ -391,6 +391,26 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("crossdoc_ngram TVF: SQL == DataFrame path, bad n rejected with usage") {
+    import org.apache.spark.sql.functions.col
+    withExtensionsSession { s2 =>
+      val docs = Tables.documents(s2, TestSpark.Sf).filter(col("doc_id") < 200)
+      docs.createOrReplaceTempView("docs_cd")
+      val sql = s2.sql(
+        "SELECT * FROM crossdoc_ngram('docs_cd', 'doc_id', 'text', 5) ORDER BY doc_id")
+        .collect().toSeq
+      val api = graft.queries.TextQueries.crossdocNgramStats(docs)
+        .orderBy("doc_id").collect().toSeq
+      assert(sql.nonEmpty && sql == api)
+      // the n >= 1 guard surfaces through the TVF with the op name
+      val err = intercept[Exception] {
+        s2.sql("SELECT * FROM crossdoc_ngram('docs_cd', 'doc_id', 'text', 0)").collect()
+      }
+      assert(err.getMessage.contains("crossdoc_ngram") &&
+        err.getMessage.contains("n must be >= 1"), err.getMessage)
+    }
+  }
+
   test("q_skew_join plans the salted shape: replicated right, shuffled join on (key, salt)") {
     val p = physical("q_skew_join")
     assert(p.contains("Generate explode"), p.take(2000)) // right side × buckets

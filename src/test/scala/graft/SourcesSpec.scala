@@ -73,11 +73,15 @@ class SourcesSpec extends AnyFunSuite {
     assert(!plan.contains("\"s\""), "column s not pruned from ORC read schema")
   }
 
-  test("exportJson scrubs NaN doubles to 0") {
+  test("exportJson scrubs NaN doubles to 0 but leaves genuine nulls null") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-json").toString + "/j"
-    Sources.exportJson(Seq((1L, Double.NaN), (2L, 1.5)).toDF("id", "v"), tmp)
-    val back = spark.read.json(tmp).orderBy("id").select("v").as[Double].collect()
-    assert(back.toSeq == Seq(0.0, 1.5))
+    Sources.exportJson(
+      Seq((1L, Some(Double.NaN)), (2L, Some(1.5)), (3L, None))
+        .toDF("id", "v"), tmp)
+    val back = spark.read.json(tmp).orderBy("id").select("v")
+      .as[Option[Double]].collect()
+    // a missing measurement must stay distinguishable from a true zero
+    assert(back.toSeq == Seq(Some(0.0), Some(1.5), None))
   }
 
   test("parseDateMulti handles all three reference formats") {
@@ -102,6 +106,15 @@ class SourcesSpec extends AnyFunSuite {
     val r = Seq("41.77B", "5.28M", "12K", "3T", "7.5")
       .toDF("s").select(Sources.parseMagnitude($"s")).as[Double].collect()
     assert(r.toSeq == Seq(4.177e10, 5.28e6, 1.2e4, 3e12, 7.5))
+  }
+
+  test("parseMagnitude: lowercase suffix, sign, and partial-number inputs") {
+    val r = Seq("41.77b", "5.2k", "-5.0B", "1,234.5M", " 12K ")
+      .toDF("s").select(Sources.parseMagnitude($"s")).as[Option[Double]].collect()
+    // lowercase parses (case-insensitive), sign is kept, and a
+    // comma-grouped number NULLS rather than silently parsing the "1"
+    // prefix as 1e6
+    assert(r.toSeq == Seq(Some(4.177e10), Some(5.2e3), Some(-5.0e9), None, Some(1.2e4)))
   }
 
   test("writeCompacted: n sorted files with disjoint sort-key ranges, no row loss") {
