@@ -74,7 +74,7 @@ object Similarity {
       (0 until planes).combinations(h).map(_.foldLeft(0L)((m, b) => m | (1L << b))))
     require(masks.size <= 4096,
       s"multi-probe fan-out ${masks.size} exceeds 4096 buckets per query — " +
-        "lower multiProbe or use more bands")
+        "lower multiProbe or use fewer planes")
     val qb = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       l2Norm(col(vecCol)).as("qn"), bucketId(vecCol, planes).as("home"))
       .withColumn("bucket",
@@ -143,8 +143,14 @@ object Similarity {
       .setPredictionCol("__cell").fit(sampled)
     // a split can leave the MAX unchanged when a second cell ties the one
     // just split — only stop after several consecutive no-progress rounds
-    // (the degenerate unsplittable-cell case), not on the first plateau
+    // (the degenerate unsplittable-cell case), not on the first plateau.
+    // Progress = the max dropping OR the number of over-threshold cells
+    // dropping: with many equal-size over-full clusters the max stays
+    // flat for rounds while each split genuinely fixes one cell, and a
+    // max-only plateau test would bail with the balance contract still
+    // violated
     var prevHot = Long.MaxValue
+    var prevOver = Int.MaxValue
     var stuck = 0
     var done = false
     var round = 0
@@ -154,8 +160,11 @@ object Similarity {
       val assigned = km.transform(sampled).cache()
       val counts = assigned.groupBy("__cell").count()
         .collect().map(r => r.getInt(0) -> r.getLong(1)) // ≤ 3·nlist rows: driver metadata
-      val (hot, hotN) = counts.maxBy(_._2)
-      stuck = if (hotN >= prevHot) stuck + 1 else 0
+      // tie on count → smallest cell id, so scheduling order can't pick
+      // a different split target run-to-run (everything else is seeded)
+      val (hot, hotN) = counts.maxBy { case (c, cnt) => (cnt, -c) }
+      val nOver = counts.count(_._2 / n > maxCellFrac)
+      stuck = if (hotN >= prevHot && nOver >= prevOver) stuck + 1 else 0
       if (hotN / n <= maxCellFrac || stuck >= 3) { assigned.unpersist(); done = true }
       else {
         val members = assigned.filter(col("__cell") === hot).drop("__cell")
@@ -168,6 +177,7 @@ object Similarity {
           kept ++ sub.clusterCenters.map(_.toArray), "__features", "__cell")
         assigned.unpersist() // the 2-means fit above was the last consumer
         prevHot = hotN
+        prevOver = nOver
         round += 1
       }
     }
@@ -192,23 +202,31 @@ object Similarity {
     * definition of the probe metric (squared Euclidean against the
     * quantizer's centroids, centroid norms computed exactly driver-side),
     * so the paths cannot silently diverge. Returns (query_id, qv, qn,
-    * cell), one row per (query, probed cell), nprobe cells per query. */
+    * cell), one row per (query, probed cell), nprobe cells per query.
+    *
+    * MAP-SIDE: the centroids are nlist LITERAL float arrays baked into
+    * the plan, each row builds its nlist (d2, cell) structs through the
+    * codegen'd DotProduct, array_sort + slice pick the nprobe nearest,
+    * explode emits them — no crossJoin, no window, ZERO shuffle. The
+    * earlier crossJoin + row_number form shuffled n·nlist rows through a
+    * window exchange, which for the whole-corpus semanticDedupPairs
+    * caller was a corpus-sized sort the scaladoc's "map-side assignment"
+    * claim did not license. Ordering ties break by cell id exactly like
+    * the window's orderBy(c_d2, cell) did (struct field order). */
   private[operators] def probeCells(spark: org.apache.spark.sql.SparkSession, queries: DataFrame,
                          km: org.apache.spark.ml.clustering.KMeansModel, nprobe: Int,
                          idCol: String, vecCol: String): DataFrame = {
-    val centroids = broadcast(
-      spark.createDataFrame(
-        km.clusterCenters.zipWithIndex.toSeq
-          .map { case (c, i) => (i, c.toArray.map(_.toFloat), c.toArray.map(x => x * x).sum) })
-        .toDF("cell", "centroid", "cn2"))
-    val qb = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      l2Norm(col(vecCol)).as("qn"))
-    val wCell = Window.partitionBy("query_id").orderBy(col("c_d2"), col("cell"))
-    qb.crossJoin(centroids)
-      .withColumn("c_d2", col("cn2") - lit(2.0) * dot(col("qv"), col("centroid")))
-      .withColumn("__pr", row_number().over(wCell))
-      .filter(col("__pr") <= nprobe)
-      .select("query_id", "qv", "qn", "cell")
+    val cands = km.clusterCenters.zipWithIndex.map { case (c, i) =>
+      val cn2 = c.toArray.map(x => x * x).sum // exact driver-side, as before
+      struct(
+        (lit(cn2) - lit(2.0) * dot(col(vecCol), typedlit(c.toArray.map(_.toFloat).toSeq)))
+          .as("c_d2"),
+        lit(i).as("cell"))
+    }
+    queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        l2Norm(col(vecCol)).as("qn"),
+        explode(slice(array_sort(array(cands.toIndexedSeq: _*)), 1, nprobe)).as("pc"))
+      .select(col("query_id"), col("qv"), col("qn"), col("pc.cell").as("cell"))
   }
 
   /** Exact cosine + per-query top-k over the probed cells (shared tail
@@ -405,7 +423,14 @@ object Similarity {
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"),
         (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
-      .distinct()
+      // threshold BEFORE distinct: only qualifying pairs pay the dedup
+      // shuffle (the optimizer can push a grouping-column predicate
+      // through the distinct, but write the intended order explicitly).
+      // A pair colliding in several bands is scored once per collision —
+      // deliberate: deduping candidates first would shuffle the wide
+      // vector columns instead of (a, b, cos), and a 64-dim codegen'd
+      // dot is cheaper than shipping 2×64 floats per candidate
       .filter(col("cos") >= threshold)
+      .distinct()
   }
 }

@@ -30,14 +30,23 @@ object SimilarityQueries {
       .select(col("vec_id"), col("label"), rnd(l2Norm(col("embedding")), 4).as("norm"))
       .orderBy("vec_id")
 
-  /** Aggregate norm statistics per label. */
+  /** Aggregate norm statistics per label. avg_norm follows the
+    * integer-micro idiom (sum of per-row micro-rounded longs, exact and
+    * ORDER-FREE, then one double division): a plain double sum()
+    * accumulates in engine-specific partition-merge order, and a
+    * last-ulp drift next to a floor(x·1e4+0.5) boundary would flip the
+    * rounded digit between Spark and DuckDB — the same hazard the
+    * cents-exact aggregation helpers exist for. Per-row norms are
+    * bit-identical across engines (q_embedding_norm's gate), so the
+    * micro rounding is parity-safe. */
   def qEmbeddingStats(spark: SparkSession, dir: String): DataFrame = {
     val n = l2Norm(col("embedding"))
     Tables.embeddings(spark, dir)
       .select(col("label"), n.as("norm"))
       .groupBy("label")
       .agg(count(lit(1)).as("cnt"),
-        rnd(sum(col("norm")) / count(col("norm")), 4).as("avg_norm"),
+        rnd(sum(floor(col("norm") * 1e6 + 0.5).cast("long")) / lit(1e6) /
+          count(col("norm")), 4).as("avg_norm"),
         rnd(min(col("norm")), 4).as("min_norm"),
         rnd(max(col("norm")), 4).as("max_norm"))
       .orderBy("label")
@@ -226,9 +235,12 @@ object SimilarityQueries {
          |  floor((${normSql("a")}) * 1e4 + 0.5) / 1e4 AS norm
          |FROM embeddings a WHERE vec_id < 100 ORDER BY vec_id""".stripMargin,
     "q_embedding_stats" ->
+      // integer-micro avg twin: BIGINT cast on the sum (DuckDB sums
+      // BIGINT into HUGEINT), division order mirrors the Spark side
       s"""WITH n AS (SELECT label, ${normSql("a")} AS norm FROM embeddings a)
          |SELECT label, count(*) AS cnt,
-         |  floor((sum(norm) / count(norm)) * 1e4 + 0.5) / 1e4 AS avg_norm,
+         |  floor((CAST(sum(CAST(floor(norm * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+         |      / 1e6 / count(norm)) * 1e4 + 0.5) / 1e4 AS avg_norm,
          |  floor((min(norm)) * 1e4 + 0.5) / 1e4 AS min_norm,
          |  floor((max(norm)) * 1e4 + 0.5) / 1e4 AS max_norm
          |FROM n GROUP BY label ORDER BY label""".stripMargin,
