@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Product-quantization ANN (Jégou, Douze, Schmid: "Product Quantization
+  * for Nearest Neighbor Search", TPAMI 2011) — the compressed-domain tier
+  * of the similarity stack, beside brute force, LSH, and IVF
+  * (BASELINE.json north star; no counterpart in the reference).
+  *
+  * The corpus is encoded once: the d-dim embedding splits into `m`
+  * subvectors of d/m dims, each quantized to the nearest of `ksub`
+  * per-subspace centroids, so a vector becomes `m` small codes
+  * (m·log2(ksub) bits — for d=64 floats, m=8, ksub=16 that is 256 bytes →
+  * 8 nibbles, a 64× compression). A query then scans CODES, not vectors:
+  * it builds an m×ksub lookup table of partial squared distances once
+  * (asymmetric distance computation, ADC) and scores each corpus code in
+  * m table lookups. The top `rerank` ADC candidates per query — a set
+  * bounded by |queries|·rerank, independent of corpus size — are joined
+  * back to full-precision vectors for an exact cosine rerank.
+  *
+  * Scale design (the reason PQ exists at 100 TB):
+  *  - fit: m driver-paced KMeans fits on a SAMPLE — same artifact
+  *    discipline as [[Similarity.fitQuantizer]]; the model is m·ksub·d/m
+  *    floats of driver metadata, broadcast as plan literals.
+  *  - encode: pure map-side (argmin over ksub literal centroids through
+  *    the codegen'd [[graft.plans.DotProduct]]) — no shuffle; at scale the
+  *    codes land beside the vectors as a persisted artifact column.
+  *  - ADC scan: BroadcastNestedLoopJoin of the bounded query set against
+  *    the CODES-ONLY projection — the scan reads m bytes per row where
+  *    brute force reads d floats; the lookup sum is m unrolled
+  *    `element_at` terms, no higher-order functions.
+  *  - candidate cut: per-query rank over ADC distance plans as
+  *    WindowGroupLimit (map-side partial top-k before the exchange), so
+  *    the only shuffle in the pipeline carries ≤ |q|·rerank·partitions
+  *    pre-pruned rows.
+  *  - rerank: the candidate set broadcasts back against the corpus for
+  *    full-precision cosine — one hash join, corpus-side scan untouched
+  *    by |queries|.
+  * IVF-PQ composition (cell-partitioned codes probed via
+  * [[Similarity.probeCells]]) is the same two pieces glued on `cell` —
+  * documented in SCALE.md rather than duplicated here.
+  */
+object ProductQuantization {
+
+  /** Per-subspace codebooks: `centroids(j)(c)` is the d/m-dim centroid
+    * `c` of subspace `j`; `dsub` = d/m. Driver metadata (m·ksub·dsub
+    * floats), entered into plans as literals. */
+  final case class PqModel(dsub: Int, centroids: Vector[Array[Array[Float]]]) {
+    def m: Int = centroids.length
+    def ksub: Int = centroids.head.length
+  }
+
+  /** Fit per-subspace codebooks with m seeded KMeans runs (same
+    * sample-then-fit artifact discipline as [[Similarity.fitQuantizer]]).
+    * The embedding dim is read from the data and must split evenly into
+    * `m` subspaces. */
+  def fitPq(corpus: DataFrame, m: Int = 8, ksub: Int = 16,
+            sampleFraction: Double = 1.0,
+            vecCol: String = "embedding"): PqModel = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val dim = corpus.select(size(col(vecCol)).as("d")).head().getInt(0)
+    require(dim % m == 0, s"embedding dim $dim must be divisible by m=$m")
+    require(ksub >= 2, s"ksub must be at least 2, got $ksub")
+    val dsub = dim / m
+    val sampled =
+      if (sampleFraction >= 1.0) corpus
+      else corpus.sample(withReplacement = false, sampleFraction, seed = 42)
+    // One cached pass feeds all m fits; sliced subvectors are map-side.
+    val base = sampled.select(col(vecCol).as("__v")).cache()
+    try {
+      val centroids = (0 until m).toVector.map { j =>
+        val sub = base.select(
+          array_to_vector(slice(col("__v"), j * dsub + 1, dsub)).as("__features"))
+        // seed varies per subspace so codebooks are independent draws
+        new KMeans().setK(ksub).setSeed(42 + j).setFeaturesCol("__features")
+          .setPredictionCol("__code").fit(sub)
+          .clusterCenters.map(_.toArray.map(_.toFloat))
+      }
+      PqModel(dsub, centroids)
+    } finally base.unpersist()
+  }
+
+  /** Rank-equivalent squared distance from subvector `j` of `vec` to
+    * centroid `c`: ‖c‖² − 2·v_j·c. The dropped ‖v_j‖² term is constant
+    * across the ksub candidates of one (row, subspace), so the argmin —
+    * and any sum over fixed j — is unchanged; the same convention as
+    * [[Similarity.probeCells]]. */
+  private def partialD2(vec: Column, j: Int, cc: Array[Float], dsub: Int): Column = {
+    val cn2 = cc.map(x => x.toDouble * x.toDouble).sum
+    lit(cn2) - lit(2.0) * dot(slice(vec, j * dsub + 1, dsub), typedlit(cc.toSeq))
+  }
+
+  /** Code of subspace `j`: argmin over the ksub literal centroids,
+    * deterministic (ties break toward the lower code). */
+  private def codeExpr(vec: Column, j: Int, model: PqModel): Column = {
+    val cands = model.centroids(j).zipWithIndex.map { case (cc, c) =>
+      struct(partialD2(vec, j, cc, model.dsub).as("d2"), lit(c).as("c"))
+    }
+    element_at(array_sort(array(cands.toIndexedSeq: _*)), 1).getField("c")
+  }
+
+  /** Map-side PQ encoding: id + `pq_code` array<int> of length m. */
+  def pqEncode(corpus: DataFrame, model: PqModel,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol),
+      array((0 until model.m).map(j => codeExpr(col(vecCol), j, model)): _*).as("pq_code"))
+
+  /** ADC lookup table for one query row: `lut(j)(c)` = rank-equivalent
+    * partial squared distance of query subvector j to centroid (j, c).
+    * m×ksub doubles, built map-side on the (bounded) query side. */
+  private def lutExpr(vec: Column, model: PqModel): Column =
+    array((0 until model.m).map { j =>
+      array(model.centroids(j).map(cc => partialD2(vec, j, cc, model.dsub)).toIndexedSeq: _*)
+    }: _*)
+
+  /** PQ ANN with exact rerank: ADC scan over codes → per-query top
+    * `rerank` candidates → full-precision cosine on the candidate set →
+    * top k. With `rerank` ≥ corpus size this IS brute force (asserted in
+    * SimilaritySpec); smaller rerank trades recall for a codes-only scan. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, model: PqModel,
+             rerank: Int = 20,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(rerank >= k, s"rerank width $rerank must be at least k=$k")
+    // ADC scan: codes-only corpus projection × broadcast query LUTs.
+    val codes = pqEncode(corpus, model, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("pq_code"))
+    val qlut = queries.select(col(idCol).as("query_id"),
+      lutExpr(col(vecCol), model).as("lut"))
+    // m unrolled lookup terms — stays inside whole-stage codegen.
+    val adc = (0 until model.m).map { j =>
+      element_at(element_at(col("lut"), j + 1), element_at(col("pq_code"), j + 1) + 1)
+    }.reduce(_ + _)
+    val wCand = Window.partitionBy("query_id").orderBy(col("adc_d2"), col("neighbor_id"))
+    val cands = codes.crossJoin(broadcast(qlut))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_d2", adc)
+      .withColumn("crank", row_number().over(wCand))
+      .filter(col("crank") <= rerank)
+      .select("query_id", "neighbor_id")
+    // Exact rerank: candidates (≤ |q|·rerank rows) broadcast back against
+    // full-precision vectors; query vectors ride the candidate set.
+    val qvecs = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      l2Norm(col(vecCol)).as("qn"))
+    val withQ = cands.join(qvecs, "query_id")
+    val wTop = Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
+    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), l2Norm(col(vecCol)).as("cn"))
+      .join(broadcast(withQ), "neighbor_id")
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.VectorFunctions._
-import graft.operators.Similarity
+import graft.operators.{ProductQuantization, Similarity}
 
 /** Embedding-similarity surface over `embeddings` (array<float>, 64-dim):
   * norms, per-label stats, cosine near-dup pairs, exact brute-force ANN
@@ -177,6 +177,37 @@ object SimilarityQueries {
       floor = IvfRecallFloor)
   }
 
+  /** Fit-once PQ codebooks per (session, dir) — the persisted-artifact
+    * discipline of [[cachedQuantizer]]; m·ksub·dsub floats of driver
+    * metadata. */
+  private val pqMemo = new SessionMemo[String, ProductQuantization.PqModel]
+
+  private def cachedPqModel(spark: SparkSession, dir: String): ProductQuantization.PqModel =
+    pqMemo.getOrElseUpdate(spark, dir) {
+      ProductQuantization.fitPq(Tables.embeddings(spark, dir), m = 16, ksub = 16)
+    }
+
+  /** Floor just under the minimum measured mean recall@5 across
+    * sf0.001/0.01/0.1 — 0.85 / 0.93 / 0.81 for m=16, ksub=16, rerank=50
+    * (graft.RecallProbe run 2026-08-13; m=8 or rerank=20 measured
+    * 0.36-0.79, below a usable gate) — same policy as [[LshRecallFloor]]. */
+  val PqRecallFloor = 0.75
+
+  /** Product-quantization ANN (16 subspaces × 16 centroids → 4-bit
+    * codes, 32× compression of the 64-float embeddings) with exact
+    * top-50 rerank, recall-gated@5 against the in-plan brute-force
+    * ground truth like the other ANN tiers. The ADC scan reads codes
+    * only; the rerank joins ≤ |q|·50 candidates back to full vectors
+    * ([[ProductQuantization.pqTopK]]). */
+  def qAnnPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") < 20)
+    recallGated(
+      ProductQuantization.pqTopK(emb, q, 5, cachedPqModel(spark, dir), rerank = 50),
+      cachedBruteTop5(spark, dir),
+      floor = PqRecallFloor)
+  }
+
   /** Pair recall floor for q_semantic_dedup: measured top-2-cell pair
     * recall of the 16-cell quantizer vs the exact grid join at
     * cos ≥ 0.45 is 0.86 / 0.86 / 0.71 at sf0.001/0.01/0.1 (probe run
@@ -226,6 +257,7 @@ object SimilarityQueries {
     "q_ann_lsh" -> qAnnLsh _,
     "q_ann_ivf" -> qAnnIvf _,
     "q_ann_ivf_indexed" -> qAnnIvfIndexed _,
+    "q_ann_pq" -> qAnnPq _,
     "q_semantic_dedup" -> qSemanticDedup _,
   )
 

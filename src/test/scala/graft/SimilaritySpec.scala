@@ -240,6 +240,59 @@ class SimilaritySpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("pq encode: m codes per vector, each in [0, ksub), deterministic") {
+    import graft.operators.ProductQuantization
+    val emb = Tables.embeddings(spark, TestSpark.Sf)
+    val model = ProductQuantization.fitPq(emb, m = 8, ksub = 16)
+    assert(model.m == 8 && model.ksub == 16 && model.dsub == 8)
+    def encode() = ProductQuantization.pqEncode(emb, model)
+      .select($"vec_id", $"pq_code").as[(Long, Seq[Int])].collect().sortBy(_._1).toSeq
+    val codes = encode()
+    assert(codes.nonEmpty)
+    assert(codes.forall(_._2.length == 8), "every vector gets exactly m codes")
+    assert(codes.forall(_._2.forall(c => c >= 0 && c < 16)), "codes within [0, ksub)")
+    assert(codes == encode(), "encoding is deterministic")
+    // a degenerate subspace count must be rejected at fit time
+    assertThrows[IllegalArgumentException] {
+      ProductQuantization.fitPq(emb, m = 7, ksub = 16) // 64 % 7 != 0
+    }
+  }
+
+  test("pq top-k with full-width rerank IS brute force; plan cuts candidates map-side") {
+    import graft.operators.ProductQuantization
+    val emb = Tables.embeddings(spark, TestSpark.Sf)
+    val q = emb.filter($"vec_id" < 10)
+    val model = ProductQuantization.fitPq(emb, m = 8, ksub = 16)
+    val n = emb.count().toInt
+    // rerank >= corpus: ADC candidate selection passes everything through,
+    // so the exact rerank must reproduce brute force bit-for-bit
+    val full = ProductQuantization.pqTopK(emb, q, 5, model, rerank = n)
+    val brute = Similarity.bruteForceTopK(emb, q, 5)
+    assert(full.select($"query_id", $"neighbor_id", $"rank").as[(Long, Long, Int)]
+      .collect().sorted.toSeq ==
+      brute.select($"query_id", $"neighbor_id", $"rank").as[(Long, Long, Int)]
+        .collect().sorted.toSeq)
+    // the narrow-rerank candidate cut must plan as WindowGroupLimit
+    // (map-side partial top-k before the exchange), not a full window sort
+    val plan = ProductQuantization.pqTopK(emb, q, 5, model, rerank = 20)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(1500))
+    // rerank below k is a contract violation, not a silent truncation
+    assertThrows[IllegalArgumentException] {
+      ProductQuantization.pqTopK(emb, q, 5, model, rerank = 3)
+    }
+  }
+
+  test("q_ann_pq gate: one recall row per query, measured mean clears the floor") {
+    import queries.SimilarityQueries
+    val pq = SimilarityQueries.qAnnPq(spark, TestSpark.Sf)
+      .select("query_id", "recall_at_5").as[(Long, Double)].collect()
+    assert(pq.length == 20, s"pq gate collapsed: ${pq.length} rows")
+    assert(pq.forall(r => r._2 >= 0.0 && r._2 <= 1.0))
+    assert(pq.map(_._2).sum / 20 >= SimilarityQueries.PqRecallFloor,
+      s"pq mean recall ${pq.map(_._2).sum / 20} below floor")
+  }
+
   test("lsh top-k results are a subset of correct cosine ordering") {
     val emb = Tables.embeddings(spark, TestSpark.Sf)
     val q = emb.filter($"vec_id" < 10)
