@@ -175,6 +175,9 @@ case class ResolveGraftOp(spark: org.apache.spark.sql.SparkSession)
         case "crossdoc_ngram" => // (idCol, textCol, n)
           graft.queries.TextQueries.crossdocNgramStats(
             dfs(0), n = lng(2).toInt, idCol = str(0), textCol = str(1))
+        case "sample_per_group" => // (groupCol, idCol, k)
+          graft.queries.TrainingDataQueries.samplePerGroup(
+            dfs(0), str(0), str(1), lng(2).toInt)
         case "salted_rolling" => // (key, ts, valCol, frameNs, chunkNs)
           graft.operators.SaltedWindow.saltedRollingSum(
             dfs(0), str(0), str(1), str(2), lng(3), lng(4))
@@ -315,6 +318,7 @@ object GraftFunctions {
     "pii_redact" -> ("pii_redact(table, idCol, textCol)", 2),
     "simhash_dedup" -> ("simhash_dedup(table, idCol, textCol, maxDist)", 3),
     "crossdoc_ngram" -> ("crossdoc_ngram(table, idCol, textCol, n)", 3),
+    "sample_per_group" -> ("sample_per_group(table, groupCol, idCol, k)", 3),
     "salted_rolling" ->
       ("salted_rolling(table, key, ts, valCol, frameNs, chunkNs)", 5))
 

@@ -198,8 +198,41 @@ object TrainingDataQueries {
       .orderBy("doc_id")
   }
 
+  /** Per-group sample width for [[qSamplePerGroup]] — interpolated into
+    * BOTH engines so they cannot drift. */
+  val PerGroupK = 25
+
+  /** Exact-k-per-group sample: the first `k` documents of every source
+    * under a deterministic salted-hash order — "carve a fixed-size
+    * eval/inspection slice per domain" (the exact-count complement of
+    * [[qStratifiedSample]]'s per-stratum fractions; hash order makes it
+    * an unbiased draw that is STABLE across engines, runs, and retries,
+    * which `rand()`-based reservoir sampling is not).
+    *
+    * Scale shape: the rank filter plans as WindowGroupLimit — each task
+    * keeps only its local top-k per group BEFORE the exchange, so the
+    * shuffle carries ≤ k·partitions rows per group, never the corpus
+    * (same shape as the semantic-dedup probe cut; asserted in
+    * PlanSpec). */
+  /** Operator form (TVF `sample_per_group`): deterministic exact-k draw
+    * per group, emitting (groupCol, idCol, draw_rank). */
+  def samplePerGroup(df: DataFrame, groupCol: String, idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"sample_per_group: k must be at least 1, got $k")
+    val w = Window.partitionBy(groupCol)
+      .orderBy(saltedHash(col(idCol), "pergroup"), col(idCol))
+    df.select(col(groupCol), col(idCol))
+      .withColumn("draw_rank", row_number().over(w))
+      .filter(col("draw_rank") <= k)
+  }
+
+  def qSamplePerGroup(spark: SparkSession, dir: String): DataFrame =
+    samplePerGroup(Tables.documents(spark, dir), "source", "doc_id", PerGroupK)
+      .orderBy("source", "draw_rank")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pipeline_e2e" -> qPipelineE2e _,
+    "q_sample_per_group" -> qSamplePerGroup _,
     "q_stratified_sample" -> qStratifiedSample _,
     "q_hash_split" -> qHashSplit _,
     "q_seq_packing" -> qSeqPacking _,
@@ -242,6 +275,14 @@ object TrainingDataQueries {
         |FROM keep k
         |WHERE k.doc_id NOT IN (SELECT doc_id FROM bad) AND k.L >= 20
         |ORDER BY k.doc_id""".stripMargin,
+    "q_sample_per_group" ->
+      s"""WITH r AS (
+         |  SELECT source, doc_id,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY ${hSql("doc_id", "pergroup")}, doc_id) AS draw_rank
+         |  FROM documents)
+         |SELECT source, doc_id, draw_rank FROM r
+         |WHERE draw_rank <= $PerGroupK ORDER BY source, draw_rank""".stripMargin,
     "q_stratified_sample" -> {
       val rateCase = "CASE event_type " +
         SampleRates.map { case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ") +

@@ -370,6 +370,26 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("sample_per_group TVF: SQL == DataFrame, rank cut plans as WindowGroupLimit") {
+    withExtensionsSession { s2 =>
+      Tables.documents(s2, TestSpark.Sf).createOrReplaceTempView("docs_spg")
+      val sql = s2.sql(
+        "SELECT * FROM sample_per_group('docs_spg', 'source', 'doc_id', 5) " +
+          "ORDER BY source, draw_rank").collect().toSeq
+      val api = graft.queries.TrainingDataQueries.samplePerGroup(
+        Tables.documents(s2, TestSpark.Sf), "source", "doc_id", 5)
+        .orderBy("source", "draw_rank").collect().toSeq
+      assert(sql.nonEmpty && sql == api)
+      // every group draws exactly min(k, group size) rows
+      val perGroup = api.groupBy(_.getString(0)).values.map(_.length).toSet
+      assert(perGroup == Set(5), s"unexpected group sizes: $perGroup")
+      // the rank filter must cut candidates BEFORE the exchange
+      val plan = graft.queries.TrainingDataQueries.qSamplePerGroup(s2, TestSpark.Sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("WindowGroupLimit"), plan.take(1500))
+    }
+  }
+
   test("simhash_dedup TVF: SQL == DataFrame path, pinned shuffled band join") {
     import org.apache.spark.sql.functions.col
     withExtensionsSession { s2 =>
