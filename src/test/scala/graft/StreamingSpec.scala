@@ -375,4 +375,53 @@ class StreamingSpec extends AnyFunSuite {
       assert(pushedIds == Set(1L, 2L, 3L), s"pushed ids $pushedIds")
     } finally q.stop()
   }
+
+  test("streaming incremental dedup classifies against the bucketed index like the batch path") {
+    import graft.operators.Dedup
+    import graft.streaming.DedupStream
+    val corpus = Tables.documents(spark, TestSpark.Sf).filter($"doc_id" < 60)
+    val corpusRows = corpus.select("doc_id", "text").as[(Long, String)].collect()
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sdx-spec")
+    try {
+      Dedup.writeCorpusIndex(corpus, "sdx_stream", tmp.toString)
+      // batch 1: an exact copy + a near-dup (one token changed) of
+      // corpus docs; batch 2: a brand-new doc and a replay of the new
+      // doc (classified "new" again — the documented rebuild-cadence
+      // boundary)
+      val exact = (1000L, corpusRows.head._2)
+      val near = (1001L, corpusRows(1)._2.split(" ").zipWithIndex
+        .map { case (w, i) => if (i == 0) "zqx" else w }.mkString(" "))
+      val fresh = (1002L, "entirely unrelated content zebra quartz xylophone " * 5)
+      val src = MemoryStream[(Long, String)]
+      val q = DedupStream.startClassify(
+        src.toDF().toDF("doc_id", "text"), "sdx_stream", s"$tmp/out",
+        checkpoint = s"$tmp/ckpt",
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      try {
+        src.addData(exact, near)
+        q.processAllAvailable()
+        src.addData(fresh, (1003L, fresh._2))
+        q.processAllAvailable()
+        val out = spark.read.parquet(s"$tmp/out")
+          .select($"doc_id", $"status", $"batch_id").as[(Long, String, Long)]
+          .collect().sortBy(_._1).toSeq
+        assert(out.map(_._1) == Seq(1000L, 1001L, 1002L, 1003L), s"rows: $out")
+        assert(out(0)._2 == "exact_dup" && out(1)._2 == "near_dup", s"rows: $out")
+        assert(out(2)._2 == "new" && out(3)._2 == "new", s"rows: $out")
+        // batches landed in distinct batch_id partitions
+        assert(out.map(_._3).distinct.size == 2, s"batch ids: ${out.map(_._3)}")
+        // stream and batch classifiers agree row-for-row on the same docs
+        val streamed = out.map(t => (t._1, t._2))
+        val batchApi = Dedup.incrementalDedupIndexed(spark, "sdx_stream",
+            Seq(exact, near, fresh, (1003L, fresh._2)).toDF("doc_id", "text"))
+          .select($"doc_id", $"status").as[(Long, String)]
+          .collect().sortBy(_._1).toSeq
+        assert(streamed == batchApi, s"stream $streamed vs batch $batchApi")
+      } finally q.stop()
+    } finally {
+      Seq("_fp", "_bands", "_docs", "_meta")
+        .foreach(s => spark.sql(s"DROP TABLE IF EXISTS sdx_stream$s"))
+      graft.IoUtil.deleteRecursively(tmp)
+    }
+  }
 }
