@@ -24,13 +24,11 @@ object RecallProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // the gate's own recall definition — measurement and enforcement
+    // share one implementation by construction
     def meanRecall(approx: DataFrame, exact: DataFrame): Double =
-      exact.select(col("query_id"), col("neighbor_id"))
-        .join(approx.select(col("query_id"), col("neighbor_id"), lit(1).as("hit")),
-          Seq("query_id", "neighbor_id"), "left")
-        .groupBy("query_id")
-        .agg((sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))).as("r"))
-        .agg(avg("r")).head().getDouble(0)
+      graft.queries.SimilarityQueries.perQueryRecall(approx, exact)
+        .agg(avg("recall_at_5")).head().getDouble(0)
 
     for (dir <- dirs) {
       val emb = Tables.embeddings(spark, dir)

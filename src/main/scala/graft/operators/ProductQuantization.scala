@@ -62,7 +62,16 @@ object ProductQuantization {
             vecCol: String = "embedding"): PqModel = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val dim = corpus.select(size(col(vecCol)).as("d")).head().getInt(0)
+    // one aggregate pass both rejects an empty corpus and catches
+    // ragged vector lengths (a short row would otherwise encode against
+    // a truncated slice and produce a WRONG code, not a failure)
+    val dims = corpus.agg(min(size(col(vecCol))).as("lo"), max(size(col(vecCol))).as("hi"))
+      .head()
+    require(!dims.isNullAt(0), "fitPq: corpus is empty")
+    val dim = dims.getInt(0)
+    require(dim == dims.getInt(1),
+      s"fitPq: ragged embedding lengths [${dims.getInt(0)}, ${dims.getInt(1)}] — " +
+        "every vector must share one dimension")
     require(dim % m == 0, s"embedding dim $dim must be divisible by m=$m")
     require(ksub >= 2, s"ksub must be at least 2, got $ksub")
     val dsub = dim / m
@@ -120,14 +129,27 @@ object ProductQuantization {
   /** PQ ANN with exact rerank: ADC scan over codes → per-query top
     * `rerank` candidates → full-precision cosine on the candidate set →
     * top k. With `rerank` ≥ corpus size this IS brute force (asserted in
-    * SimilaritySpec); smaller rerank trades recall for a codes-only scan. */
+    * SimilaritySpec); smaller rerank trades recall for a codes-only scan.
+    * Encodes inline — production callers encode ONCE ([[pqEncode]]),
+    * persist the codes beside the vectors, and use [[pqTopKFromCodes]]
+    * so the scan genuinely reads codes, not vectors. */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, model: PqModel,
              rerank: Int = 20,
-             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    pqTopKFromCodes(corpus, pqEncode(corpus, model, idCol, vecCol),
+      queries, k, model, rerank, idCol, vecCol)
+
+  /** [[pqTopK]] against a precomputed/persisted code table
+    * (`(idCol, pq_code array<int>)` — the [[pqEncode]] output schema):
+    * the artifact path, where the ADC scan touches only the codes and
+    * `corpus` is read solely for the bounded candidate rerank. */
+  def pqTopKFromCodes(corpus: DataFrame, codeTable: DataFrame,
+                      queries: DataFrame, k: Int, model: PqModel,
+                      rerank: Int = 20,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(rerank >= k, s"rerank width $rerank must be at least k=$k")
-    // ADC scan: codes-only corpus projection × broadcast query LUTs.
-    val codes = pqEncode(corpus, model, idCol, vecCol)
-      .select(col(idCol).as("neighbor_id"), col("pq_code"))
+    // ADC scan: codes-only projection × broadcast query LUTs.
+    val codes = codeTable.select(col(idCol).as("neighbor_id"), col("pq_code"))
     val qlut = queries.select(col(idCol).as("query_id"),
       lutExpr(col(vecCol), model).as("lut"))
     // m unrolled lookup terms — stays inside whole-stage codegen.

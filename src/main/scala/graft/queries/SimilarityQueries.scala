@@ -109,13 +109,20 @@ object SimilarityQueries {
     * if mean recall over all queries drops below `floor`, EVERY row is
     * filtered out, so the driver's rows-only check (spark_rows = number
     * of queries) becomes a hard recall gate rather than a bare count. */
-  private def recallGated(approx: DataFrame, exact: DataFrame, floor: Double): DataFrame = {
-    val perQuery = exact.select(col("query_id"), col("neighbor_id"))
+  /** Per-query recall@k of `approx` against `exact` ground truth — ONE
+    * definition shared by the in-plan gates below and by
+    * [[graft.RecallProbe]] (the harness the floor constants are measured
+    * with), so the measurement and the enforcement cannot drift. */
+  private[graft] def perQueryRecall(approx: DataFrame, exact: DataFrame): DataFrame =
+    exact.select(col("query_id"), col("neighbor_id"))
       .join(approx.select(col("query_id"), col("neighbor_id"), lit(1).as("hit")),
         Seq("query_id", "neighbor_id"), "left")
       .groupBy("query_id")
       .agg(rnd(sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)), 4)
         .as("recall_at_5"))
+
+  private def recallGated(approx: DataFrame, exact: DataFrame, floor: Double): DataFrame = {
+    val perQuery = perQueryRecall(approx, exact)
     // the gate scalar comes back as a broadcast — no global window
     val gate = perQuery.agg(avg(col("recall_at_5")).as("mean_recall"))
     perQuery.crossJoin(broadcast(gate))
@@ -187,6 +194,20 @@ object SimilarityQueries {
       ProductQuantization.fitPq(Tables.embeddings(spark, dir), m = 16, ksub = 16)
     }
 
+  /** Encode-once code table per (session, dir) — the in-session stand-in
+    * for the persisted codes artifact ([[ProductQuantization.pqEncode]]
+    * written beside the vectors); deterministic, so caching loses
+    * nothing. */
+  private val pqCodesMemo = new SessionMemo[String, DataFrame]
+
+  private def cachedPqCodes(spark: SparkSession, dir: String): DataFrame =
+    pqCodesMemo.getOrElseUpdate(spark, dir) {
+      val codes = ProductQuantization.pqEncode(
+        Tables.embeddings(spark, dir), cachedPqModel(spark, dir)).cache()
+      codes.count()
+      codes
+    }
+
   /** Floor just under the minimum measured mean recall@5 across
     * sf0.001/0.01/0.1 — 0.85 / 0.93 / 0.81 for m=16, ksub=16, rerank=50
     * (graft.RecallProbe run 2026-08-13; m=8 or rerank=20 measured
@@ -203,7 +224,8 @@ object SimilarityQueries {
     val emb = Tables.embeddings(spark, dir)
     val q = emb.filter(col("vec_id") < 20)
     recallGated(
-      ProductQuantization.pqTopK(emb, q, 5, cachedPqModel(spark, dir), rerank = 50),
+      ProductQuantization.pqTopKFromCodes(emb, cachedPqCodes(spark, dir),
+        q, 5, cachedPqModel(spark, dir), rerank = 50),
       cachedBruteTop5(spark, dir),
       floor = PqRecallFloor)
   }

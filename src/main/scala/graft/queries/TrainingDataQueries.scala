@@ -202,20 +202,20 @@ object TrainingDataQueries {
     * BOTH engines so they cannot drift. */
   val PerGroupK = 25
 
-  /** Exact-k-per-group sample: the first `k` documents of every source
-    * under a deterministic salted-hash order — "carve a fixed-size
-    * eval/inspection slice per domain" (the exact-count complement of
-    * [[qStratifiedSample]]'s per-stratum fractions; hash order makes it
-    * an unbiased draw that is STABLE across engines, runs, and retries,
-    * which `rand()`-based reservoir sampling is not).
+  /** Exact-k-per-group sample (TVF `sample_per_group`): the first `k`
+    * rows of every group under a deterministic salted-hash order —
+    * "carve a fixed-size eval/inspection slice per domain", the
+    * exact-count complement of [[qStratifiedSample]]'s per-stratum
+    * fractions. Hash order makes it an unbiased draw that is STABLE
+    * across engines, runs, and retries, which `rand()`-based reservoir
+    * sampling is not. Groups smaller than `k` draw whole. Emits
+    * (groupCol, idCol, draw_rank).
     *
     * Scale shape: the rank filter plans as WindowGroupLimit — each task
     * keeps only its local top-k per group BEFORE the exchange, so the
     * shuffle carries ≤ k·partitions rows per group, never the corpus
     * (same shape as the semantic-dedup probe cut; asserted in
     * PlanSpec). */
-  /** Operator form (TVF `sample_per_group`): deterministic exact-k draw
-    * per group, emitting (groupCol, idCol, draw_rank). */
   def samplePerGroup(df: DataFrame, groupCol: String, idCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, s"sample_per_group: k must be at least 1, got $k")

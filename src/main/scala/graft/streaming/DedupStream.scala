@@ -28,6 +28,18 @@ import graft.operators.Dedup
   *    standard lambda split between a standing artifact and a live
   *    probe. Between rebuilds a re-sent new doc classifies "new" again;
   *    the landed batch_id trail makes that visible downstream.
+  *  - `checkDisjoint`: the batch classifier's id-disjointness guard
+  *    raises in-plan on any batch id already present in the corpus.
+  *    In a STREAM that guard is a poison-batch hazard: after an index
+  *    rebuild folded landed "new" docs in, an at-least-once source
+  *    redelivering one of them (or a crash replaying a pre-rebuild
+  *    batch post-rebuild) would fail the micro-batch, and every
+  *    restart replays the same batch into the same error. Keep the
+  *    default `true` only while the source's id space provably never
+  *    overlaps the index (e.g. monotonic ids minted above the rebuild
+  *    high-water mark); set `false` once rebuilds fold in streamed
+  *    ids — a corpus-present id then classifies "exact_dup"/"near_dup"
+  *    against itself, which is the correct read of a redelivery.
   * The corpus side stays exchange-free per BucketingSpec; per
   * micro-batch only the (small) batch shuffles into the bucket layout.
   */
@@ -37,7 +49,8 @@ object DedupStream {
                     checkpoint: String = "",
                     trigger: Trigger = Trigger.ProcessingTime("5 minutes"),
                     k: Int = 8, r: Int = 2, threshold: Double = 0.8,
-                    idCol: String = "doc_id", textCol: String = "text"): StreamingQuery =
+                    idCol: String = "doc_id", textCol: String = "text",
+                    checkDisjoint: Boolean = true): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation",
@@ -49,7 +62,7 @@ object DedupStream {
         batch.persist()
         try {
           Dedup.incrementalDedupIndexed(batch.sparkSession, indexName, batch,
-              k, r, threshold, idCol, textCol)
+              k, r, threshold, idCol, textCol, checkDisjoint)
             .withColumn("batch_id", lit(batchId))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")

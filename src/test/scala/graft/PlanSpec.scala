@@ -380,9 +380,17 @@ class PlanSpec extends AnyFunSuite {
         Tables.documents(s2, TestSpark.Sf), "source", "doc_id", 5)
         .orderBy("source", "draw_rank").collect().toSeq
       assert(sql.nonEmpty && sql == api)
-      // every group draws exactly min(k, group size) rows
-      val perGroup = api.groupBy(_.getString(0)).values.map(_.length).toSet
-      assert(perGroup == Set(5), s"unexpected group sizes: $perGroup")
+      // every group draws exactly min(k, group size) rows — the
+      // operator's contract, not a fixture-size assumption
+      val groupSizes = Tables.documents(s2, TestSpark.Sf)
+        .groupBy("source").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val drawn = api.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+      assert(drawn.keySet == groupSizes.keySet, "a group vanished from the draw")
+      drawn.foreach { case (g, n) =>
+        assert(n == math.min(5L, groupSizes(g)),
+          s"group $g drew $n of ${groupSizes(g)} (k=5)")
+      }
       // the rank filter must cut candidates BEFORE the exchange
       val plan = graft.queries.TrainingDataQueries.qSamplePerGroup(s2, TestSpark.Sf)
         .queryExecution.executedPlan.toString

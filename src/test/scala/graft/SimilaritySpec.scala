@@ -256,6 +256,11 @@ class SimilaritySpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException] {
       ProductQuantization.fitPq(emb, m = 7, ksub = 16) // 64 % 7 != 0
     }
+    // an empty corpus is a contract error, not an opaque head() crash
+    val emptyErr = intercept[IllegalArgumentException] {
+      ProductQuantization.fitPq(emb.filter($"vec_id" < 0), m = 8, ksub = 16)
+    }
+    assert(emptyErr.getMessage.contains("empty"), emptyErr.getMessage)
   }
 
   test("pq top-k with full-width rerank IS brute force; plan cuts candidates map-side") {

@@ -424,4 +424,34 @@ class StreamingSpec extends AnyFunSuite {
       graft.IoUtil.deleteRecursively(tmp)
     }
   }
+
+  test("streaming dedup with checkDisjoint=false reads a redelivered corpus id as its own dup") {
+    import graft.operators.Dedup
+    import graft.streaming.DedupStream
+    val corpus = Tables.documents(spark, TestSpark.Sf).filter($"doc_id" < 60)
+    val redelivered = corpus.select("doc_id", "text").as[(Long, String)].head()
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sdx-redeliver")
+    try {
+      Dedup.writeCorpusIndex(corpus, "sdx_redel", tmp.toString)
+      val src = MemoryStream[(Long, String)]
+      // post-rebuild redelivery shape: the batch id ALREADY sits in the
+      // index; the guard would poison the stream, the opt-out classifies
+      val q = DedupStream.startClassify(
+        src.toDF().toDF("doc_id", "text"), "sdx_redel", s"$tmp/out",
+        checkpoint = s"$tmp/ckpt",
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L),
+        checkDisjoint = false)
+      try {
+        src.addData(redelivered)
+        q.processAllAvailable()
+        val out = spark.read.parquet(s"$tmp/out")
+          .select($"doc_id", $"status").as[(Long, String)].collect().toSeq
+        assert(out == Seq((redelivered._1, "exact_dup")), s"rows: $out")
+      } finally q.stop()
+    } finally {
+      Seq("_fp", "_bands", "_docs", "_meta")
+        .foreach(s => spark.sql(s"DROP TABLE IF EXISTS sdx_redel$s"))
+      graft.IoUtil.deleteRecursively(tmp)
+    }
+  }
 }
