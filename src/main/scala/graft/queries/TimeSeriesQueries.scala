@@ -229,7 +229,44 @@ object TimeSeriesQueries {
         lead1(col("value"), w).as("next_value"))
       .orderBy("user_id", "event_id")
 
+  /** OHLC time-bucket resample (the classic market-data downsample):
+    * per (series, hour) open/high/low/close/volume in ONE aggregation
+    * with map-side partials — open/close via min_by/max_by on the
+    * deterministic (ts, event_id) order (the q_upsert_latest recency
+    * idiom), no per-bucket sort, no window. Volume sums exact cents
+    * (values are 2-decimal) so the cross-engine total is
+    * order-independent.
+    *
+    * Scale shape: group keys are (event_type, hour) — bounded
+    * cardinality per series, uniform in time; the single shuffle
+    * carries one partial row per (task, key). A hot series stays one
+    * key per HOUR, not one key total, so skew is capped by bucket
+    * width. */
+  def qOhlcResample(spark: SparkSession, dir: String): DataFrame = {
+    // ts is an epoch-NANO long (Tables.read); bucket by exact integer
+    // division, tiebreak at full ns precision (epoch_ns on the oracle
+    // side — same grain, tie handling cannot diverge)
+    val hourNs = 3600L * 1000000000L
+    val tiebreak = struct(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), expr(s"ts div $hourNs").as("b"))
+      .agg(
+        min_by(col("value"), tiebreak).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), tiebreak).as("close"),
+        count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+      .select(col("event_type"),
+        date_format(timestamp_micros(col("b") * (hourNs / 1000L)),
+          "yyyy-MM-dd HH:mm").as("bucket"),
+        col("open"), col("high"), col("low"), col("close"), col("n_events"),
+        rnd(col("cents") / 100.0, 2).as("volume"))
+      .orderBy("event_type", "bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ohlc_resample" -> qOhlcResample _,
     "q_lag_lead" -> qLagLead _,
     "q_rolling_mean" -> qRollingMean _,
     "q_rolling_std" -> qRollingStd _,
@@ -251,6 +288,25 @@ object TimeSeriesQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // open/close via row_number on the same (epoch_ns, event_id) order
+    // as Spark's min_by/max_by struct (ts is the epoch-nano long on
+    // the Spark side — identical grain, tie handling cannot diverge)
+    "q_ohlc_resample" ->
+      s"""WITH ranked AS (
+         |  SELECT event_type, date_trunc('hour', ts) AS b, value,
+         |    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+         |      ORDER BY epoch_ns(ts), event_id) AS rn_a,
+         |    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+         |      ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn_d
+         |  FROM events)
+         |SELECT event_type, strftime(b, '%Y-%m-%d %H:%M') AS bucket,
+         |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+         |  max(value) AS high, min(value) AS low,
+         |  max(CASE WHEN rn_d = 1 THEN value END) AS close,
+         |  count(*) AS n_events,
+         |  ${rndSql("sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0", 2)} AS volume
+         |FROM ranked GROUP BY event_type, b
+         |ORDER BY event_type, bucket""".stripMargin,
     "q_lag_lead" ->
       s"""SELECT event_id, user_id, value,
          |  lag(value, 1) OVER ($ORDER) AS lag1,
