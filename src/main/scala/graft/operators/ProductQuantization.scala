@@ -56,10 +56,15 @@ object ProductQuantization {
   /** Fit per-subspace codebooks with m seeded KMeans runs (same
     * sample-then-fit artifact discipline as [[Similarity.fitQuantizer]]).
     * The embedding dim is read from the data and must split evenly into
-    * `m` subspaces. */
+    * `m` subspaces. `maxIter` is capped low by default: the subspaces
+    * are (d/m)-dimensional, convergence is fast, and codebook quality
+    * saturates well before spark.ml's default 20 rounds (recall
+    * measured unchanged at 10 — RecallProbe 2026-08-13); the fit is m
+    * SEQUENTIAL driver-paced KMeans runs, so rounds are the cold-start
+    * cost. */
   def fitPq(corpus: DataFrame, m: Int = 8, ksub: Int = 16,
             sampleFraction: Double = 1.0,
-            vecCol: String = "embedding"): PqModel = {
+            vecCol: String = "embedding", maxIter: Int = 10): PqModel = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     // one aggregate pass both rejects an empty corpus and catches
@@ -81,15 +86,25 @@ object ProductQuantization {
     // One cached pass feeds all m fits; sliced subvectors are map-side.
     val base = sampled.select(col(vecCol).as("__v")).cache()
     try {
-      val centroids = (0 until m).toVector.map { j =>
-        val sub = base.select(
-          array_to_vector(slice(col("__v"), j * dsub + 1, dsub)).as("__features"))
-        // seed varies per subspace so codebooks are independent draws
-        new KMeans().setK(ksub).setSeed(42 + j).setFeaturesCol("__features")
-          .setPredictionCol("__code").fit(sub)
-          .clusterCenters.map(_.toArray.map(_.toFloat))
+      // The m fits are independent and DRIVER-latency-bound (each
+      // k-means runs a dozen small jobs; sequential fits pay m× the
+      // job-scheduling latency, not m× the compute) — run them as
+      // concurrent Spark jobs and let the scheduler interleave.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fits = (0 until m).map { j =>
+        Future {
+          val sub = base.select(
+            array_to_vector(slice(col("__v"), j * dsub + 1, dsub)).as("__features"))
+          // seed varies per subspace so codebooks are independent draws
+          new KMeans().setK(ksub).setSeed(42 + j).setMaxIter(maxIter)
+            .setFeaturesCol("__features")
+            .setPredictionCol("__code").fit(sub)
+            .clusterCenters.map(_.toArray.map(_.toFloat))
+        }
       }
-      PqModel(dsub, centroids)
+      PqModel(dsub, fits.map(Await.result(_, Duration.Inf)).toVector)
     } finally base.unpersist()
   }
 
