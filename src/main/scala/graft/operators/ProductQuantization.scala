@@ -57,11 +57,14 @@ object ProductQuantization {
     * sample-then-fit artifact discipline as [[Similarity.fitQuantizer]]).
     * The embedding dim is read from the data and must split evenly into
     * `m` subspaces. `maxIter` is capped low by default: the subspaces
-    * are (d/m)-dimensional, convergence is fast, and codebook quality
-    * saturates well before spark.ml's default 20 rounds (recall
-    * measured unchanged at 10 — RecallProbe 2026-08-13); the fit is m
-    * SEQUENTIAL driver-paced KMeans runs, so rounds are the cold-start
-    * cost. */
+    * are (d/m)-dimensional and convergence is fast — but the cap is a
+    * measured TRADE, not free (RecallProbe 2026-08-13, m=16 ksub=16
+    * rerank=50: default-iter recall@5 0.85/0.93/0.81 across SFs vs
+    * 0.90/0.92/0.78 at 10 — the binding sf0.1 minimum gives up 3 points
+    * for roughly half the cold fit). The m fits are independent and
+    * driver-latency-bound, so they run as CONCURRENT Spark jobs; rounds
+    * still set each fit's critical path, which is why the cap matters
+    * even concurrently. */
   def fitPq(corpus: DataFrame, m: Int = 8, ksub: Int = 16,
             sampleFraction: Double = 1.0,
             vecCol: String = "embedding", maxIter: Int = 10): PqModel = {
@@ -89,19 +92,25 @@ object ProductQuantization {
       // The m fits are independent and DRIVER-latency-bound (each
       // k-means runs a dozen small jobs; sequential fits pay m× the
       // job-scheduling latency, not m× the compute) — run them as
-      // concurrent Spark jobs and let the scheduler interleave.
-      import scala.concurrent.{Await, Future}
+      // concurrent Spark jobs and let the scheduler interleave. Each
+      // fit BLOCKS its thread for seconds, so mark it blocking{}: the
+      // global pool then grows past its core-count parallelism instead
+      // of being monopolized (or deadlocking if the caller itself runs
+      // on the global EC).
+      import scala.concurrent.{blocking, Await, Future}
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
       val fits = (0 until m).map { j =>
         Future {
-          val sub = base.select(
-            array_to_vector(slice(col("__v"), j * dsub + 1, dsub)).as("__features"))
-          // seed varies per subspace so codebooks are independent draws
-          new KMeans().setK(ksub).setSeed(42 + j).setMaxIter(maxIter)
-            .setFeaturesCol("__features")
-            .setPredictionCol("__code").fit(sub)
-            .clusterCenters.map(_.toArray.map(_.toFloat))
+          blocking {
+            val sub = base.select(
+              array_to_vector(slice(col("__v"), j * dsub + 1, dsub)).as("__features"))
+            // seed varies per subspace so codebooks are independent draws
+            new KMeans().setK(ksub).setSeed(42 + j).setMaxIter(maxIter)
+              .setFeaturesCol("__features")
+              .setPredictionCol("__code").fit(sub)
+              .clusterCenters.map(_.toArray.map(_.toFloat))
+          }
         }
       }
       PqModel(dsub, fits.map(Await.result(_, Duration.Inf)).toVector)

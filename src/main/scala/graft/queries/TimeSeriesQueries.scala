@@ -244,12 +244,17 @@ object TimeSeriesQueries {
     * width. */
   def qOhlcResample(spark: SparkSession, dir: String): DataFrame = {
     // ts is an epoch-NANO long (Tables.read); bucket by exact integer
-    // division, tiebreak at full ns precision (epoch_ns on the oracle
-    // side — same grain, tie handling cannot diverge)
+    // FLOOR division — `div` truncates toward zero, which would put a
+    // pre-1970 (negative-epoch) ts one bucket high while the oracle's
+    // date_trunc floors; ts - pmod(ts, h) is the floored bucket start
+    // for either sign. Tiebreak at full ns precision (epoch_ns on the
+    // oracle side — same grain, tie handling cannot diverge).
     val hourNs = 3600L * 1000000000L
     val tiebreak = struct(col("ts"), col("event_id"))
     Tables.events(spark, dir)
-      .groupBy(col("event_type"), expr(s"ts div $hourNs").as("b"))
+      .groupBy(col("event_type"),
+        // div (not /): double division loses precision above 2^53
+        expr(s"(ts - pmod(ts, ${hourNs}L)) div ${hourNs}L").as("b"))
       .agg(
         min_by(col("value"), tiebreak).as("open"),
         max(col("value")).as("high"),
