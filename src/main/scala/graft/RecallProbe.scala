@@ -44,7 +44,9 @@ object RecallProbe {
         "pq_m8_r20" -> ProductQuantization.pqTopK(emb, q, 5, pq8, rerank = 20),
         "pq_m8_r50" -> ProductQuantization.pqTopK(emb, q, 5, pq8, rerank = 50),
         "pq_m16_r20" -> ProductQuantization.pqTopK(emb, q, 5, pq16, rerank = 20),
-        "pq_m16_r50" -> ProductQuantization.pqTopK(emb, q, 5, pq16, rerank = 50))
+        "pq_m16_r50" -> ProductQuantization.pqTopK(emb, q, 5, pq16, rerank = 50),
+        "ivfpq_p4_r50" -> ProductQuantization.ivfPqTopK(emb, q, 5, km, pq16,
+          nprobe = 4, rerank = 50))
       tiers.foreach { case (tier, approxDf) =>
         println(f"RECALL $tier%-10s $dir ${meanRecall(approxDf, brute)}%.4f")
       }

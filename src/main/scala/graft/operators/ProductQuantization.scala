@@ -176,19 +176,61 @@ object ProductQuantization {
     val codes = codeTable.select(col(idCol).as("neighbor_id"), col("pq_code"))
     val qlut = queries.select(col(idCol).as("query_id"),
       lutExpr(col(vecCol), model).as("lut"))
-    // m unrolled lookup terms — stays inside whole-stage codegen.
+    val cands = codes.crossJoin(broadcast(qlut))
+      .transform(adcCandidates(model, rerank))
+    rerankExact(cands, queries, corpus, k, idCol, vecCol)
+  }
+
+  /** IVF-PQ: the coarse quantizer prunes the scan to nprobe cells
+    * ([[Similarity.probeCells]] — the IVF probe path), the ADC lookup
+    * scores only the probed cells' CODES, and the exact rerank runs on
+    * the bounded survivor set. The two-level composition SCALE.md
+    * promises, as an API: at 100 TB the codes live cell-partitioned
+    * (the [[Similarity.writeIvfIndex]] layout with `pq_code` beside the
+    * vector), a probe reads nprobe/nlist of the files and 8 bytes per
+    * row. With nprobe = nlist and full-width rerank this IS brute force
+    * (asserted in SimilaritySpec — both pruning levels pass everything
+    * through). */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                km: org.apache.spark.ml.clustering.KMeansModel, model: PqModel,
+                nprobe: Int = 4, rerank: Int = 20,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(rerank >= k, s"rerank width $rerank must be at least k=$k")
+    import org.apache.spark.ml.functions.array_to_vector
+    // cell-keyed code table: at scale this is the persisted layout,
+    // derived here map-side (assignment + encode are both scan-local)
+    val codes = km.transform(corpus.withColumn("__features", array_to_vector(col(vecCol))))
+      .select(col(idCol).as("neighbor_id"), col("__cell").as("cell"))
+      .join(pqEncode(corpus, model, idCol, vecCol)
+        .select(col(idCol).as("neighbor_id"), col("pq_code")), "neighbor_id")
+    val probes = Similarity.probeCells(corpus.sparkSession, queries, km, nprobe, idCol, vecCol)
+      .select(col("query_id"), col("cell"), lutExpr(col("qv"), model).as("lut"))
+    val cands = codes.join(broadcast(probes), Seq("cell"))
+      .transform(adcCandidates(model, rerank))
+    rerankExact(cands, queries, corpus, k, idCol, vecCol)
+  }
+
+  /** Shared ADC candidate cut: score (pq_code, lut) pairs with the m
+    * unrolled lookup terms (stays inside whole-stage codegen) and keep
+    * the per-query top `rerank` — plans as WindowGroupLimit. */
+  private def adcCandidates(model: PqModel, rerank: Int)(pairs: DataFrame): DataFrame = {
     val adc = (0 until model.m).map { j =>
       element_at(element_at(col("lut"), j + 1), element_at(col("pq_code"), j + 1) + 1)
     }.reduce(_ + _)
     val wCand = Window.partitionBy("query_id").orderBy(col("adc_d2"), col("neighbor_id"))
-    val cands = codes.crossJoin(broadcast(qlut))
+    pairs
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("adc_d2", adc)
       .withColumn("crank", row_number().over(wCand))
       .filter(col("crank") <= rerank)
       .select("query_id", "neighbor_id")
-    // Exact rerank: candidates (≤ |q|·rerank rows) broadcast back against
-    // full-precision vectors; query vectors ride the candidate set.
+  }
+
+  /** Shared exact-rerank tail: candidates (≤ |q|·rerank rows) broadcast
+    * back against full-precision vectors; query vectors ride the
+    * candidate set. */
+  private def rerankExact(cands: DataFrame, queries: DataFrame, corpus: DataFrame,
+                          k: Int, idCol: String, vecCol: String): DataFrame = {
     val qvecs = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       l2Norm(col(vecCol)).as("qn"))
     val withQ = cands.join(qvecs, "query_id")

@@ -288,6 +288,35 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("ivf-pq: all-cells + full-width rerank IS brute force; narrow probe keeps plausible recall") {
+    import graft.operators.ProductQuantization
+    val emb = Tables.embeddings(spark, TestSpark.Sf)
+    val q = emb.filter($"vec_id" < 10)
+    val km = Similarity.fitQuantizer(emb, 8)
+    val model = ProductQuantization.fitPq(emb, m = 8, ksub = 16)
+    val n = emb.count().toInt
+    // both pruning levels wide open ⇒ the two-level composition must
+    // reproduce brute force bit-for-bit
+    val full = ProductQuantization.ivfPqTopK(emb, q, 5, km, model, nprobe = 8, rerank = n)
+    val brute = Similarity.bruteForceTopK(emb, q, 5)
+    assert(full.select($"query_id", $"neighbor_id", $"rank").as[(Long, Long, Int)]
+      .collect().sorted.toSeq ==
+      brute.select($"query_id", $"neighbor_id", $"rank").as[(Long, Long, Int)]
+        .collect().sorted.toSeq)
+    // narrow probe: k rows per query with contiguous ranks, recall is a
+    // subset of IVF's ceiling but must stay plausible
+    val narrow = ProductQuantization.ivfPqTopK(emb, q, 5, km, model, nprobe = 3, rerank = 20)
+      .select($"query_id", $"neighbor_id", $"rank").as[(Long, Long, Int)].collect()
+    assert(narrow.nonEmpty)
+    narrow.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._3).sorted.toSeq == (1 to g.length).toSeq)
+    }
+    val bruteSet = brute.select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val overlap = narrow.count(r => bruteSet.contains((r._1, r._2)))
+    assert(overlap.toDouble / bruteSet.size > 0.2,
+      s"ivf-pq recall ${overlap}/${bruteSet.size}")
+  }
+
   test("q_ann_pq gate: one recall row per query, measured mean clears the floor") {
     import queries.SimilarityQueries
     val pq = SimilarityQueries.qAnnPq(spark, TestSpark.Sf)
