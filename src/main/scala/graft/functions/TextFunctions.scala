@@ -34,6 +34,14 @@ object TextFunctions {
     * murmur-based hash()/xxhash64() which differ from DuckDB's hash(). */
   def hash32(c: Column): Column = conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
+  /** First 15 md5 hex chars as a 60-bit-range long — for gram identity
+    * where 32 bits would collide at corpus scale (span dedup hashes one
+    * gram per token position; at 10^9 positions a 32-bit key yields
+    * millions of false cross-doc matches, a 60-bit key a handful).
+    * 15 hex = 60 bits stays inside a signed long; DuckDB twin:
+    * `('0x' || substr(md5(x), 1, 15))::BIGINT`. */
+  def hash60(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** Word n-gram shingles: n=1 gives the distinct-word set, n=2 bigrams…
     * Documents with fewer than n tokens yield an empty array — without
     * the guard, sequence(1, size-n+1) runs BACKWARDS for short docs

@@ -383,6 +383,87 @@ object Dedup {
       batch, k, r, threshold, idCol, textCol, checkDisjoint)
   }
 
+  /** Span-level exact-substring dedup (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better" family,
+    * token-granular variant): instead of dropping whole near-duplicate
+    * documents, REMOVE every run of ≥ `L` consecutive tokens that also
+    * appears in another document, keeping the copy in the lowest doc id
+    * (the gram's "owner") — boilerplate, license headers, and quoted
+    * passages vanish from later docs while each doc's unique prose
+    * survives.
+    *
+    * Semantics (deterministic, oracle-checkable):
+    *  - an L-token window is "duplicated" iff it occurs in ≥ 2 distinct
+    *    docs (identity = 60-bit md5 of the space-joined tokens —
+    *    [[graft.functions.TextFunctions.hash60]]; 32 bits would
+    *    false-match at corpus scale);
+    *  - in every doc EXCEPT the window's min-id owner, all L positions
+    *    of every duplicated-window occurrence are removed; overlapping
+    *    windows merge naturally via the coverage sweep;
+    *  - output per doc: token count, removed count, and the cleaned
+    *    text rebuilt from surviving tokens (single-space joined — the
+    *    same whitespace collapse the token split implies).
+    *
+    * Scale shape: window hashes are built with per-doc `lead` windows
+    * (map-side after ONE per-doc sort — no L× explode); the duplicated-
+    * gram aggregate and the removal-start join are wordcount-shaped on
+    * uniform 60-bit keys; the coverage sweep is a running max inside
+    * the same per-doc window; the rebuild is one groupBy(doc). Nothing
+    * is ever all-pairs, and no stage holds more than one row per
+    * (doc, token position). */
+  def spanDedup(docs: DataFrame, spanLen: Int = 5,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(spanLen >= 2, s"spanDedup: span length must be at least 2, got $spanLen")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    val tok = docs.select(col(idCol),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "t")))
+    // gram at each start: concat_ws silently skips nulls, so gate on the
+    // LAST lead — a short tail gram must not alias a full-length gram
+    val gramStr = concat_ws(" ",
+      (0 until spanLen).map(i => if (i == 0) col("t") else lead(col("t"), i).over(w)): _*)
+    val grams = tok
+      .withColumn("gh",
+        when(lead(col("t"), spanLen - 1).over(w).isNotNull, hash60(gramStr)))
+    val dup = grams.filter(col("gh").isNotNull)
+      .groupBy("gh")
+      .agg(countDistinct(col(idCol)).as("nd"), min(col(idCol)).as("owner"))
+      .filter(col("nd") >= 2)
+    // removal starts: every non-owner occurrence of a duplicated gram
+    val rs = grams.join(dup, "gh")
+      .filter(col(idCol) =!= col("owner"))
+      .select(col(idCol), col("pos"), lit(1).as("rm"))
+    // The sweep + rebuild below are token-position-grain work; most of
+    // the corpus shares no duplicated run, so restrict them to the
+    // TOUCHED docs (left-semi on removal starts) and emit the untouched
+    // majority map-side — n_tokens and the whitespace-collapsed text
+    // are definitionally what the sweep would produce at zero removals.
+    val touched = rs.select(col(idCol)).distinct()
+    // coverage sweep: token p is removed iff some removal window
+    // starting at s ≤ p still covers it (s + L - 1 ≥ p)
+    val cov = tok.join(touched, Seq(idCol), "left_semi")
+      .join(rs, Seq(idCol, "pos"), "left")
+      .withColumn("rm_end", when(col("rm").isNotNull, col("pos") + (spanLen - 1)))
+      .withColumn("cover_end",
+        max(col("rm_end")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("keep", col("cover_end").isNull || col("cover_end") < col("pos"))
+    val sweptOut = cov.groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed"),
+        // rebuild: order-free aggregate, then one sort of the SURVIVING
+        // tokens per doc (presentation-path HOF, not per-token work)
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("keep"), struct(col("pos"), col("t"))))),
+          x => x.getField("t"))).as("clean_text"))
+    val untouchedOut = docs.join(touched, Seq(idCol), "left_anti")
+      .select(col(idCol),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"),
+        lit(0L).as("n_removed"),
+        concat_ws(" ", tokens(col(textCol))).as("clean_text"))
+    sweptOut.unionByName(untouchedOut)
+  }
+
   /** 32-bit SimHash: per-bit ±1 votes over token hashes, majority sign. */
   def simhash(docs: DataFrame, bits: Int = 32,
               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

@@ -169,6 +169,9 @@ case class ResolveGraftOp(spark: org.apache.spark.sql.SparkSession)
             dfs(0), dfs(1), threshold = dbl(2), idCol = str(0), textCol = str(1))
         case "pii_redact" => // (idCol, textCol)
           graft.queries.TextQueries.piiRedact(dfs(0), str(0), str(1))
+        case "span_dedup" => // (idCol, textCol, spanLen)
+          graft.operators.Dedup.spanDedup(
+            dfs(0), spanLen = lng(2).toInt, idCol = str(0), textCol = str(1))
         case "simhash_dedup" => // (idCol, textCol, maxDist)
           graft.operators.Dedup.simhashPairs(
             dfs(0), maxDist = lng(2).toInt, idCol = str(0), textCol = str(1))
@@ -317,6 +320,7 @@ object GraftFunctions {
     "repetition_filter" -> ("repetition_filter(table, idCol, textCol)", 2),
     "pii_redact" -> ("pii_redact(table, idCol, textCol)", 2),
     "simhash_dedup" -> ("simhash_dedup(table, idCol, textCol, maxDist)", 3),
+    "span_dedup" -> ("span_dedup(table, idCol, textCol, spanLen)", 3),
     "crossdoc_ngram" -> ("crossdoc_ngram(table, idCol, textCol, n)", 3),
     "sample_per_group" -> ("sample_per_group(table, groupCol, idCol, k)", 3),
     "salted_rolling" ->

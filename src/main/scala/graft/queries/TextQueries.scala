@@ -61,6 +61,13 @@ object TextQueries {
     Dedup.exactGroups(Tables.documents(spark, dir))
       .orderBy("fp")
 
+  /** Span-level exact-substring dedup ([[Dedup.spanDedup]], L=5): every
+    * cross-doc duplicated 5-token run is removed from all but its
+    * lowest-id owner; per doc, the surviving text and removal counts. */
+  def qSpanDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.spanDedup(Tables.documents(spark, dir), 5)
+      .orderBy("doc_id")
+
   /** Exact 1-gram (word-set) Jaccard dedup pairs at threshold 0.8. */
   def qDedupJaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.jaccardPairs(Tables.documents(spark, dir).filter(col("doc_id") < 100), 1, 0.8)
@@ -566,6 +573,7 @@ object TextQueries {
     "q_lang_id" -> qLangId _,
     "q_text_fingerprint" -> qTextFingerprint _,
     "q_dedup_exact" -> qDedupExact _,
+    "q_span_dedup" -> qSpanDedup _,
     "q_dedup_jaccard" -> qDedupJaccard _,
     "q_ngram_sim" -> qNgramSim _,
     "q_minhash_sig" -> qMinhashSig _,
@@ -789,6 +797,35 @@ object TextQueries {
     "q_dedup_exact" ->
       s"""SELECT md5($NORM) AS fp, min(doc_id) AS canonical_id, count(*) AS cnt
          |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+    // span dedup: same 60-bit gram identity, min-id owner, coverage
+    // sweep as running max over removal starts, ordered string_agg
+    // rebuild (string_agg skips the NULLed removed tokens)
+    "q_span_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS ts FROM documents),
+         |tok AS (
+         |  SELECT doc_id, i AS pos, ts[i] AS tk
+         |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i)),
+         |g AS (
+         |  SELECT doc_id, i AS pos,
+         |    ('0x' || substr(md5(array_to_string(ts[i:i+4], ' ')), 1, 15))::BIGINT AS gh
+         |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(ts) - 4)) AS i)),
+         |dup AS (
+         |  SELECT gh, min(doc_id) AS owner FROM g
+         |  GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+         |rs AS (
+         |  SELECT g.doc_id, g.pos AS s FROM g JOIN dup USING (gh)
+         |  WHERE g.doc_id != dup.owner),
+         |cov AS (
+         |  SELECT tok.doc_id, tok.pos, tok.tk,
+         |    max(rs.s + 4) OVER (PARTITION BY tok.doc_id ORDER BY tok.pos) AS cover_end
+         |  FROM tok LEFT JOIN rs ON tok.doc_id = rs.doc_id AND tok.pos = rs.s)
+         |SELECT doc_id,
+         |  count(*) AS n_tokens,
+         |  sum(CASE WHEN cover_end IS NOT NULL AND cover_end >= pos THEN 1 ELSE 0 END) AS n_removed,
+         |  coalesce(string_agg(
+         |    CASE WHEN cover_end IS NULL OR cover_end < pos THEN tk END,
+         |    ' ' ORDER BY pos), '') AS clean_text
+         |FROM cov GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_dedup_jaccard" -> jaccardSql(
       s"""sh AS (
          |  SELECT DISTINCT doc_id, unnest($TOKS) AS s

@@ -282,4 +282,33 @@ class DedupSpec extends AnyFunSuite {
       .select("dup_char_frac", "keep").as[(Double, Int)].collect().toSeq
     assert(g2 == Seq((1.0, 0), (1.0, 0)))
   }
+
+  test("span dedup removes cross-doc duplicated runs from non-owners only") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta unique one"),
+      (2L, "prefix words alpha beta gamma delta epsilon zeta suffix tail"),
+      (3L, "totally different content with no shared runs here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, 5)
+      .select($"doc_id", $"n_tokens", $"n_removed", $"clean_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    // doc 1 is the min-id owner of the shared 6-token run — untouched
+    assert(out(0) == ((1L, 8L, 0L, "alpha beta gamma delta epsilon zeta unique one")))
+    // doc 2 loses exactly the shared run (two overlapping 5-gram
+    // windows merge in the coverage sweep), its unique tokens survive
+    assert(out(1) == ((2L, 10L, 6L, "prefix words suffix tail")))
+    // doc 3 shares nothing — untouched
+    assert(out(2)._3 == 0L && out(2)._4 == "totally different content with no shared runs here")
+    // a doc shorter than the span length can never lose tokens
+    val short = Seq((1L, "tiny doc"), (2L, "tiny doc")).toDF("doc_id", "text")
+    val s = Dedup.spanDedup(short, 5).select($"n_removed").as[Long].collect()
+    assert(s.toSeq == Seq(0L, 0L))
+    // intra-doc repetition alone is NOT cross-doc duplication
+    val selfRep = Seq(
+      (1L, "one two three four five one two three four five"),
+      (2L, "unrelated words entirely different from the first doc"))
+      .toDF("doc_id", "text")
+    val sr = Dedup.spanDedup(selfRep, 5).select($"n_removed").as[Long].collect()
+    assert(sr.toSeq == Seq(0L, 0L))
+  }
 }

@@ -370,6 +370,20 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("span_dedup TVF: SQL == DataFrame path") {
+    withExtensionsSession { s2 =>
+      val docs = Tables.documents(s2, TestSpark.Sf).filter(
+        org.apache.spark.sql.functions.col("doc_id") < 120)
+      docs.createOrReplaceTempView("docs_span")
+      val sql = s2.sql(
+        "SELECT * FROM span_dedup('docs_span', 'doc_id', 'text', 5) ORDER BY doc_id")
+        .collect().toSeq
+      val api = graft.operators.Dedup.spanDedup(docs, 5)
+        .orderBy("doc_id").collect().toSeq
+      assert(sql.nonEmpty && sql == api)
+    }
+  }
+
   test("sample_per_group TVF: SQL == DataFrame, rank cut plans as WindowGroupLimit") {
     withExtensionsSession { s2 =>
       Tables.documents(s2, TestSpark.Sf).createOrReplaceTempView("docs_spg")
