@@ -136,11 +136,16 @@ object ProductQuantization {
     element_at(array_sort(array(cands.toIndexedSeq: _*)), 1).getField("c")
   }
 
+  /** The full m-code array for one vector column (shared by
+    * [[pqEncode]] and the single-pass cell+code derivation in
+    * [[ivfPqTopK]]). */
+  private def codesExpr(vec: Column, model: PqModel): Column =
+    array((0 until model.m).map(j => codeExpr(vec, j, model)): _*)
+
   /** Map-side PQ encoding: id + `pq_code` array<int> of length m. */
   def pqEncode(corpus: DataFrame, model: PqModel,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    corpus.select(col(idCol),
-      array((0 until model.m).map(j => codeExpr(col(vecCol), j, model)): _*).as("pq_code"))
+    corpus.select(col(idCol), codesExpr(col(vecCol), model).as("pq_code"))
 
   /** ADC lookup table for one query row: `lut(j)(c)` = rank-equivalent
     * partial squared distance of query subvector j to centroid (j, c).
@@ -197,15 +202,22 @@ object ProductQuantization {
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(rerank >= k, s"rerank width $rerank must be at least k=$k")
     import org.apache.spark.ml.functions.array_to_vector
-    // cell-keyed code table: at scale this is the persisted layout,
-    // derived here map-side (assignment + encode are both scan-local)
+    // cell-keyed code table in ONE corpus pass — assignment and encode
+    // are both scan-local projections of the same row, so deriving them
+    // separately and equi-joining would shuffle the corpus against
+    // itself for nothing; at scale this projection is the persisted
+    // layout (cell-partitioned files with pq_code beside the vector)
     val codes = km.transform(corpus.withColumn("__features", array_to_vector(col(vecCol))))
-      .select(col(idCol).as("neighbor_id"), col("__cell").as("cell"))
-      .join(pqEncode(corpus, model, idCol, vecCol)
-        .select(col(idCol).as("neighbor_id"), col("pq_code")), "neighbor_id")
-    val probes = Similarity.probeCells(corpus.sparkSession, queries, km, nprobe, idCol, vecCol)
-      .select(col("query_id"), col("cell"), lutExpr(col("qv"), model).as("lut"))
-    val cands = codes.join(broadcast(probes), Seq("cell"))
+      .select(col(idCol).as("neighbor_id"), col("__cell").as("cell"),
+        codesExpr(col(vecCol), model).as("pq_code"))
+    // probe cells and LUTs broadcast separately: the LUT is built (and
+    // shipped) once per QUERY, not once per probed (query, cell) pair
+    val cellsOnly = Similarity.probeCells(corpus.sparkSession, queries, km, nprobe,
+      idCol, vecCol).select("query_id", "cell")
+    val qlut = queries.select(col(idCol).as("query_id"),
+      lutExpr(col(vecCol), model).as("lut"))
+    val cands = codes.join(broadcast(cellsOnly), Seq("cell"))
+      .join(broadcast(qlut), Seq("query_id"))
       .transform(adcCandidates(model, rerank))
     rerankExact(cands, queries, corpus, k, idCol, vecCol)
   }
