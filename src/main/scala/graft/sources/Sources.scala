@@ -86,6 +86,52 @@ object Sources {
       .parquet(path)
   }
 
+  /** Z-ordered compaction: lay the table out along the Morton
+    * (bit-interleaved) curve of TWO columns so parquet row-group and
+    * file min/max statistics prune on EITHER dimension —
+    * [[writeCompacted]]'s range layout skips only on its leading sort
+    * key, while a (user, time) z-layout serves both "one user's
+    * history" and "everyone in this window" scans from the same files
+    * (the lakehouse OPTIMIZE ZORDER layout, as a plain write shape).
+    *
+    * Each column is scaled linearly onto `bits` bits between its
+    * min/max (ONE bounded aggregate — two scalars per column of driver
+    * metadata), then the bits interleave into a single long and the
+    * write range-partitions + sorts on that key. Linear scaling keeps
+    * the key map-side and deterministic; a heavily skewed column would
+    * want quantile scaling (the sampled-bounds trade
+    * repartitionByRange already makes internally) — documented, not
+    * implemented, until a consumer needs it. Constant columns scale to
+    * 0 (no contribution, no division by zero). */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+                    nFiles: Int, bits: Int = 16,
+                    maxRecordsPerFile: Long = 0L): Unit = {
+    require(nFiles > 0, s"nFiles must be positive, got $nFiles")
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    val mm = df.agg(
+      min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+      min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+    require(!mm.isNullAt(0) && !mm.isNullAt(2),
+      s"writeZOrdered: $colA/$colB must be non-null numeric columns on a non-empty frame")
+    val top = (1L << bits) - 1
+    def scaled(c: String, lo: Double, hi: Double): Column =
+      if (hi == lo) lit(0L)
+      else ((col(c).cast("double") - lit(lo)) * lit(top) / lit(hi - lo)).cast("long")
+    val za = scaled(colA, mm.getDouble(0), mm.getDouble(1))
+    val zb = scaled(colB, mm.getDouble(2), mm.getDouble(3))
+    val z = (0 until bits).map { i =>
+      (shiftleft(shiftright(za, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(zb, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+    val w = df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite")
+    (if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile) else w)
+      .parquet(path)
+  }
+
   /** Columnar ORC twin of the parquet landing layout — same predicate
     * pushdown / column pruning machinery (asserted in SourcesSpec), for
     * estates standardized on ORC. */

@@ -146,6 +146,41 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("writeZOrdered: file min/max stats prune on BOTH dimensions, single-key layout on one") {
+    val base = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    val events = Tables.events(spark, TestSpark.Sf).select("event_id", "ts", "user_id", "value")
+    Sources.writeZOrdered(events, s"$base/z", "user_id", "ts", nFiles = 8)
+    Sources.writeCompacted(events, s"$base/r", Seq("user_id"), nFiles = 8)
+    assert(spark.read.parquet(s"$base/z").count() == events.count(), "z-order lost rows")
+    def fileRanges(dir: String, c: String): Seq[(Long, Long)] =
+      new java.io.File(dir).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .map { f =>
+          val v = spark.read.parquet(f.getPath).select(c).as[Long].collect()
+          (v.min, v.max)
+        }.toSeq
+    def hits(ranges: Seq[(Long, Long)], probe: Long): Int =
+      ranges.count { case (lo, hi) => lo <= probe && probe <= hi }
+    val users = events.select("user_id").as[Long].collect().sorted
+    val tss = events.select("ts").as[Long].collect().sorted
+    val (probeUser, probeTs) = (users(users.length / 2), tss(tss.length / 2))
+    val zUser = fileRanges(s"$base/z", "user_id")
+    val zTs = fileRanges(s"$base/z", "ts")
+    // the z-layout must skip files on EITHER dimension: a point probe
+    // on each column may not span every file
+    assert(hits(zUser, probeUser) < zUser.length,
+      s"z-order user probe hit all ${zUser.length} files")
+    assert(hits(zTs, probeTs) < zTs.length,
+      s"z-order ts probe hit all ${zTs.length} files")
+    // the single-key layout prunes its sort key but NOT the other
+    // column — ts spans every file, which is exactly the deficiency
+    // the z-layout removes
+    val rTs = fileRanges(s"$base/r", "ts")
+    assert(hits(rTs, probeTs) == rTs.length,
+      "expected the range layout's non-key column to span all files")
+    graft.IoUtil.deleteRecursively(java.nio.file.Paths.get(base))
+  }
+
   test("writeCompacted: maxRecordsPerFile rolls oversized ranges into capped sorted files") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-compact-cap").toString + "/t"
     val events = Tables.events(spark, TestSpark.Sf).select("event_id", "ts")
