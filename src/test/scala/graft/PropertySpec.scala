@@ -251,4 +251,54 @@ class PropertySpec extends AnyFunSuite {
       assert(bloomed == plain, s"trial $trial: bloom path diverged")
     }
   }
+
+  test("span dedup invariants hold on randomized corpora with planted shared runs") {
+    val rng = new scala.util.Random(23)
+    // small vocab + planted shared runs → real cross-doc duplication
+    def word() = s"w${rng.nextInt(30)}"
+    val shared = Seq.fill(3)(Seq.fill(6)(word()).mkString(" "))
+    for (trial <- 1 to 3) {
+      val docs = (0L until 30L).map { i =>
+        val own = Seq.fill(4 + rng.nextInt(10))(word()).mkString(" ")
+        val text =
+          if (rng.nextInt(3) == 0) s"$own ${shared(rng.nextInt(shared.length))} ${word()}"
+          else own
+        (i, text)
+      }.toDF("doc_id", "text")
+      val L = 5
+      val out = graft.operators.Dedup.spanDedup(docs, L)
+        .select($"doc_id", $"n_tokens", $"n_removed", $"clean_text")
+        .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+      val original = docs.select($"doc_id", $"text").as[(Long, String)]
+        .collect().sortBy(_._1).toSeq
+      assert(out.map(_._1) == original.map(_._1), "row conservation")
+      out.zip(original).foreach { case ((id, nTok, nRem, clean), (_, text)) =>
+        val toks = text.trim.split("\\s+").toSeq
+        assert(nTok == toks.length, s"doc $id token count")
+        assert(nRem >= 0 && nRem <= nTok, s"doc $id removal bounds")
+        val kept = if (clean.isEmpty) Seq.empty else clean.split(" ").toSeq
+        // surviving text is a subsequence of the original tokens with
+        // exactly n_tokens - n_removed tokens
+        assert(kept.length == nTok - nRem ||
+          (clean.isEmpty && nTok == nRem), s"doc $id kept-count")
+        var i = 0
+        kept.foreach { t =>
+          i = toks.indexOf(t, i)
+          assert(i >= 0, s"doc $id: '$t' not a subsequence match")
+          i += 1
+        }
+      }
+      // global invariant: for every duplicated L-gram, the min-id doc
+      // containing it never loses tokens to THAT gram — verify owners
+      // of fully-shared docs: at least one doc per shared run keeps it
+      shared.foreach { run =>
+        val holders = original.filter(_._2.contains(run)).map(_._1)
+        if (holders.length >= 2) {
+          val ownerClean = out.find(_._1 == holders.min).get._4
+          assert(ownerClean.contains(run),
+            s"owner ${holders.min} lost its own span '$run'")
+        }
+      }
+    }
+  }
 }
