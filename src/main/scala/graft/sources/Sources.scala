@@ -78,9 +78,20 @@ object Sources {
                      nFiles: Int, maxRecordsPerFile: Long = 0L): Unit = {
     require(nFiles > 0, s"nFiles must be positive, got $nFiles")
     require(sortCols.nonEmpty, "writeCompacted needs at least one sort column")
-    val cols = sortCols.map(col)
+    writeRangeSorted(df, sortCols, path, nFiles, maxRecordsPerFile, dropCols = Nil)
+  }
+
+  /** Shared sink tail of [[writeCompacted]] and [[writeZOrdered]]:
+    * range-partition on the key columns, sort within partitions, drop
+    * any synthetic key columns AFTER the sort (a projection preserves
+    * the order), write with the optional per-file record cap. */
+  private def writeRangeSorted(df: DataFrame, keyCols: Seq[String], path: String,
+                               nFiles: Int, maxRecordsPerFile: Long,
+                               dropCols: Seq[String]): Unit = {
+    val cols = keyCols.map(col)
     val w = df.repartitionByRange(nFiles, cols: _*)
       .sortWithinPartitions(cols: _*)
+      .drop(dropCols: _*)
       .write.mode("overwrite")
     (if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile) else w)
       .parquet(path)
@@ -108,28 +119,36 @@ object Sources {
                     maxRecordsPerFile: Long = 0L): Unit = {
     require(nFiles > 0, s"nFiles must be positive, got $nFiles")
     require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    require(!df.columns.contains("__z"),
+      "writeZOrdered: the input already has a __z column (the synthetic key name)")
+    // bounds + per-row validity in ONE pass: cast BEFORE aggregating so
+    // a string column can't sneak lexicographic bounds past the guard,
+    // and count nulls so a null-keyed row fails loudly instead of
+    // piling into the first range partition
     val mm = df.agg(
-      min(col(colA)).cast("double"), max(col(colA)).cast("double"),
-      min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
-    require(!mm.isNullAt(0) && !mm.isNullAt(2),
-      s"writeZOrdered: $colA/$colB must be non-null numeric columns on a non-empty frame")
+      min(col(colA).cast("double")), max(col(colA).cast("double")),
+      min(col(colB).cast("double")), max(col(colB).cast("double")),
+      count(when(col(colA).cast("double").isNull || col(colB).cast("double").isNull,
+        lit(1)))).head()
+    require(mm.getLong(4) == 0,
+      s"writeZOrdered: ${mm.getLong(4)} rows have null/non-numeric $colA or $colB — " +
+        "every row needs both key values")
+    val bounds = Seq(mm.getDouble(0), mm.getDouble(1), mm.getDouble(2), mm.getDouble(3))
+    require(bounds.forall(v => !v.isNaN && !v.isInfinite),
+      s"writeZOrdered: $colA/$colB bounds are not finite ($bounds) — a NaN/Infinity " +
+        "value would silently zero that dimension's contribution to the key")
     val top = (1L << bits) - 1
     def scaled(c: String, lo: Double, hi: Double): Column =
       if (hi == lo) lit(0L)
       else ((col(c).cast("double") - lit(lo)) * lit(top) / lit(hi - lo)).cast("long")
-    val za = scaled(colA, mm.getDouble(0), mm.getDouble(1))
-    val zb = scaled(colB, mm.getDouble(2), mm.getDouble(3))
+    val za = scaled(colA, bounds(0), bounds(1))
+    val zb = scaled(colB, bounds(2), bounds(3))
     val z = (0 until bits).map { i =>
       (shiftleft(shiftright(za, i).bitwiseAND(lit(1L)), 2 * i))
         .bitwiseOR(shiftleft(shiftright(zb, i).bitwiseAND(lit(1L)), 2 * i + 1))
     }.reduce(_ bitwiseOR _)
-    val w = df.withColumn("__z", z)
-      .repartitionByRange(nFiles, col("__z"))
-      .sortWithinPartitions(col("__z"))
-      .drop("__z")
-      .write.mode("overwrite")
-    (if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile) else w)
-      .parquet(path)
+    writeRangeSorted(df.withColumn("__z", z), Seq("__z"), path, nFiles,
+      maxRecordsPerFile, dropCols = Seq("__z"))
   }
 
   /** Columnar ORC twin of the parquet landing layout — same predicate
