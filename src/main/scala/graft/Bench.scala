@@ -24,7 +24,8 @@ import org.apache.spark.sql.SparkSession
   *     window whole — `{"metric":"total","value":N,"unit":"sec",
   *     "queries":{12 slowest},"queries_truncated":true,"n_queries":N,
   *     "median_query_sec":N,"warmup_sec":N,"asof_ab":{...},
-  *     "streaming":{...},"dispersion_flagged":{...},"load_start":{...},
+  *     "streaming":{...},"dispersion_flagged":{...},"growth_flagged":{...},
+  *     "load_start":{...},
   *     "load_end":{...},"reps":N,"sf":...,"full":"/abs/bench_full.json"}`.
   *     `value` is the true total over ALL queries; the embedded map holds
   *     only the slowest 12 (flagged by queries_truncated) so the line
@@ -118,6 +119,7 @@ object Bench {
       "q_ml_classifier", "q_ml_regressor", // gated metric memos
       "q_dedup_groups",                   // MinHash pair memo
       "q_ann_ivf_indexed", "q_ann_lsh",   // quantizer + brute ground truth + index
+      "q_ann_pq",                         // PQ fit + persisted codes artifact
       "q_multimodal_decode")              // PNG fixture synthesis + parquet write
     val tWarm0 = System.nanoTime()
     (Seq("lineitem", "orders", "customer", "part", "events", "documents", "embeddings")
@@ -155,6 +157,16 @@ object Bench {
       // max/median over successful reps: ~1 on a quiet machine; >>1 means
       // some rep was stalled (GC, compaction, or machine load)
       def dispersion: Double = if (warm > 0) times.max / warm else -1.0
+      // last/first over successful reps: strictly-increasing reps are the
+      // signature of in-bench neighbor contamination (accumulated cache /
+      // memory pressure from EARLIER queries), which max/median dispersion
+      // misses when the growth stays under 2x — the r6 q_ann_lsh case
+      // read as 1.6 s in the artifact but was 0.79 s in isolation
+      def growth: Double =
+        if (times.size >= 2 && times.head > 0) times.last / times.head else -1.0
+      def monotoneGrowth: Boolean =
+        times.size >= 3 && times.last > 0.2 && growth >= 1.5 &&
+          times.sliding(2).forall(p => p(1) > p(0))
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val repsOut = (1 to reps).flatMap { rep =>
@@ -280,6 +292,13 @@ object Bench {
     val dispersionFlagged = results.toSeq
       .filter { case (_, s) => s.warm > 0.2 && s.dispersion > 2.0 }
       .sortBy(-_._2.dispersion)
+    // monotone-growth summary (VERDICT r6 item 3): strictly increasing
+    // reps with last/first >= 1.5 and a non-trivial last rep — the
+    // median of such a query is NOT its steady-state cost; re-measure in
+    // isolation (graft.TimeOne) before reading it as a regression
+    val growthFlagged = results.toSeq
+      .filter(_._2.monotoneGrowth)
+      .sortBy(-_._2.growth)
 
     // (1) complete record to a file the judge can read whole — but a
     // failed write (read-only cwd, full disk) must NOT discard the run:
@@ -288,6 +307,8 @@ object Bench {
       s""""warmup_sec":$warmupSec,"asof_ab":$ab,"streaming":$streamingJson,""" +
       s""""reps":$reps,"sf":"$sfDir",""" +
       s""""load_start":$loadStart,"load_end":$loadEnd,""" +
+      s""""growth_flagged":${
+        jmap(growthFlagged.map { case (k, s) => k -> r3(s.growth) })},""" +
       s""""reps_sec":$repArrays,""" +
       s""""cold":$cold,"shuffle_bytes":$bytes,"queries":$qs}"""
     val outFile = new java.io.File(
@@ -315,6 +336,8 @@ object Bench {
       s""""asof_ab":$ab,"streaming":$streamingJson,""" +
       s""""dispersion_flagged":${
         jmap(dispersionFlagged.take(8).map { case (k, s) => k -> r3(s.dispersion) })},""" +
+      s""""growth_flagged":${
+        jmap(growthFlagged.take(8).map { case (k, s) => k -> r3(s.growth) })},""" +
       s""""load_start":$loadStart,"load_end":$loadEnd,""" +
       s""""reps":$reps,"sf":"$sfDir","full":"$outPath"}""")
     spark.stop()

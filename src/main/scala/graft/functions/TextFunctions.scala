@@ -55,8 +55,12 @@ object TextFunctions {
     * slices of the tokens at TOP level (codegen'd, split evaluated once)
     * so the lambda only touches its own struct argument: same output,
     * ~6× faster, and safe no matter what column expression `c` is. */
-  def shingles(c: Column, n: Int): Column = {
-    val ts = tokens(c)
+  def shingles(c: Column, n: Int): Column = shinglesOf(tokens(c), n)
+
+  /** [[shingles]] over an already-materialized token-array column — the
+    * variant hot queries use so a memoized/cached token frame skips the
+    * regex split entirely. */
+  def shinglesOf(ts: Column, n: Int): Column = {
     if (n == 1) ts
     else {
       val m = size(ts) - lit(n - 1) // shingle positions
@@ -79,7 +83,15 @@ object TextFunctions {
     * out of sequence(), which runs BACKWARDS for start > stop. */
   def shingleRows(df: org.apache.spark.sql.DataFrame, n: Int,
                   idCol: String = "doc_id", textCol: String = "text"): org.apache.spark.sql.DataFrame =
-    df.select(col(idCol), tokens(col(textCol)).as("ts"))
+    shingleRowsOf(df.select(col(idCol), tokens(col(textCol)).as("ts")), n, idCol)
+
+  /** [[shingleRows]] over a pre-tokenized frame `(idCol, ts:
+    * array<string>)` — lets the text-stats family share ONE token
+    * materialization (TextQueries.cachedDocTokens) instead of
+    * re-splitting the corpus per query. */
+  def shingleRowsOf(tokArr: org.apache.spark.sql.DataFrame, n: Int,
+                    idCol: String = "doc_id"): org.apache.spark.sql.DataFrame =
+    tokArr
       .select(col(idCol), col("ts"),
         explode(when(size(col("ts")) >= n,
           sequence(lit(1), size(col("ts")) - lit(n - 1)))

@@ -404,28 +404,45 @@ object Dedup {
     *    text rebuilt from surviving tokens (single-space joined — the
     *    same whitespace collapse the token split implies).
     *
-    * Scale shape: window hashes are built with per-doc `lead` windows
-    * (map-side after ONE per-doc sort — no L× explode); the duplicated-
-    * gram aggregate and the removal-start join are wordcount-shaped on
-    * uniform 60-bit keys; the coverage sweep is a running max inside
-    * the same per-doc window; the rebuild is one groupBy(doc). Nothing
-    * is ever all-pairs, and no stage holds more than one row per
-    * (doc, token position). */
+    * Scale shape: window hashes are built map-side with the zero-HOF
+    * shingle shape (exploded start positions + codegen'd
+    * concat_ws(slice) over the token array — no sort, no L× explode);
+    * the duplicated-gram aggregate and the removal-start join are
+    * wordcount-shaped on uniform 60-bit keys; the coverage sweep is a
+    * running max in a per-doc window over the TOUCHED minority; the
+    * rebuild is one groupBy(doc). Nothing is ever all-pairs, and no
+    * stage holds more than one row per (doc, token position). */
   def spanDedup(docs: DataFrame, spanLen: Int = 5,
-                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    spanDedupOf(docs.select(col(idCol), tokens(col(textCol)).as("ts")), spanLen, idCol)
+
+  /** [[spanDedup]] over a pre-tokenized frame `(idCol, ts:
+    * array<string>)` — the shape the query layer memoizes
+    * (TextQueries.cachedDocTokens) so the regex split + parquet text
+    * scan is paid once across the whole text-stats family instead of
+    * once per query construction. */
+  def spanDedupOf(tokArr: DataFrame, spanLen: Int = 5,
+                  idCol: String = "doc_id"): DataFrame = {
     require(spanLen >= 2, s"spanDedup: span length must be at least 2, got $spanLen")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(idCol).orderBy("pos")
-    val tok = docs.select(col(idCol),
-      posexplode(tokens(col(textCol))).as(Seq("pos", "t")))
-    // gram at each start: concat_ws silently skips nulls, so gate on the
-    // LAST lead — a short tail gram must not alias a full-length gram
-    val gramStr = concat_ws(" ",
-      (0 until spanLen).map(i => if (i == 0) col("t") else lead(col("t"), i).over(w)): _*)
-    val grams = tok
-      .withColumn("gh",
-        when(lead(col("t"), spanLen - 1).over(w).isNotNull, hash60(gramStr)))
-    val dup = grams.filter(col("gh").isNotNull)
+    val tok = tokArr.select(col(idCol),
+      posexplode(col("ts")).as(Seq("pos", "t")))
+    // gram at each start: the zero-HOF shingle shape (explode the start
+    // positions, concat_ws over a top-level slice — the measured-fastest
+    // form, TextFunctions.shingleRows) rather than lead windows: the
+    // lead form paid a full-corpus per-doc sort BEFORE any filtering,
+    // which was the single heaviest stage of the r6 plan. Positions stay
+    // 0-based to line up with the posexplode'd token table below; the
+    // sequence bound (size - spanLen) keeps short-tail grams out without
+    // a null-gate — a doc shorter than spanLen emits no grams at all.
+    val grams = tokArr.select(col(idCol), col("ts"),
+      explode(when(size(col("ts")) >= spanLen,
+        sequence(lit(0), size(col("ts")) - spanLen))
+        .otherwise(lit(null).cast("array<int>"))).as("pos"))
+      .select(col(idCol), col("pos"),
+        hash60(concat_ws(" ", slice(col("ts"), col("pos") + 1, lit(spanLen)))).as("gh"))
+    val dup = grams
       .groupBy("gh")
       .agg(countDistinct(col(idCol)).as("nd"), min(col(idCol)).as("owner"))
       .filter(col("nd") >= 2)
@@ -456,11 +473,11 @@ object Dedup {
         concat_ws(" ", transform(
           array_sort(collect_list(when(col("keep"), struct(col("pos"), col("t"))))),
           x => x.getField("t"))).as("clean_text"))
-    val untouchedOut = docs.join(touched, Seq(idCol), "left_anti")
+    val untouchedOut = tokArr.join(touched, Seq(idCol), "left_anti")
       .select(col(idCol),
-        size(tokens(col(textCol))).cast("long").as("n_tokens"),
+        size(col("ts")).cast("long").as("n_tokens"),
         lit(0L).as("n_removed"),
-        concat_ws(" ", tokens(col(textCol))).as("clean_text"))
+        concat_ws(" ", col("ts")).as("clean_text"))
     sweptOut.unionByName(untouchedOut)
   }
 

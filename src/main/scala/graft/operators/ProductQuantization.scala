@@ -51,6 +51,21 @@ object ProductQuantization {
   final case class PqModel(dsub: Int, centroids: Vector[Array[Array[Float]]]) {
     def m: Int = centroids.length
     def ksub: Int = centroids.head.length
+
+    /** md5 over (dsub, every centroid float in order) — the fit's
+      * identity. Persisted in the index meta and re-checked on read, so
+      * a codes artifact can never be silently consumed with a codebook
+      * it was not encoded under (stale ADC distances LOOK fine — recall
+      * just collapses — which is why the guard must be loud). */
+    def fingerprint: String = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bos)
+      out.writeInt(dsub)
+      centroids.foreach(_.foreach(_.foreach(out.writeFloat)))
+      out.flush()
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(bos.toByteArray).map("%02x".format(_)).mkString
+    }
   }
 
   /** Fit per-subspace codebooks with m seeded KMeans runs (same
@@ -147,6 +162,75 @@ object ProductQuantization {
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     corpus.select(col(idCol), codesExpr(col(vecCol), model).as("pq_code"))
 
+  /** Persist the PQ artifact (the [[Similarity.writeIvfIndex]]
+    * discipline applied to PQ — VERDICT r6 item 4: without this, every
+    * fresh session re-pays the m concurrent sub-fits):
+    *  - `<path>/codes` — the [[pqEncode]] output (map-side encode, one
+    *    corpus pass; at 100 TB these land beside the vectors),
+    *  - `<path>/model` — one row per (j, c) centroid (m·ksub rows of
+    *    driver metadata),
+    *  - `<path>/meta`  — one row (m, ksub, dsub, fit_hash) where
+    *    fit_hash is [[PqModel.fingerprint]]; [[readPqIndex]] refuses a
+    *    model/meta pair that does not hash-match (the `<name>_meta`
+    *    guard discipline from [[Dedup.writeCorpusIndex]]). */
+  def writePqIndex(corpus: DataFrame, model: PqModel, path: String,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    pqEncode(corpus, model, idCol, vecCol)
+      .write.mode("overwrite").parquet(s"$path/codes")
+    model.centroids.zipWithIndex.flatMap { case (cs, j) =>
+      cs.zipWithIndex.map { case (cc, c) => (j, c, cc.toSeq) }
+    }.toDF("j", "c", "centroid")
+      .write.mode("overwrite").parquet(s"$path/model")
+    Seq((model.m, model.ksub, model.dsub, model.fingerprint))
+      .toDF("m", "ksub", "dsub", "fit_hash")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a [[writePqIndex]] artifact: reconstruct the codebooks
+    * (driver-side read of m·ksub metadata rows — the bounded-collect
+    * precedent), validate shape AND fingerprint against the meta row,
+    * and return the model with its codes frame (parquet-backed — the
+    * ADC scan genuinely reads the codes files). A partially overwritten
+    * or mixed-generation artifact fails here, loudly, instead of
+    * producing plausible-looking garbage distances. */
+  def readPqIndex(spark: org.apache.spark.sql.SparkSession,
+                  path: String): (PqModel, DataFrame) = {
+    val metaRows = spark.read.parquet(s"$path/meta").collect()
+    require(metaRows.length == 1, s"readPqIndex: expected 1 meta row, got ${metaRows.length}")
+    val meta = metaRows(0)
+    val (m, ksub, dsub) = (meta.getAs[Int]("m"), meta.getAs[Int]("ksub"), meta.getAs[Int]("dsub"))
+    val fitHash = meta.getAs[String]("fit_hash")
+    val rows = spark.read.parquet(s"$path/model").collect()
+    require(rows.length == m * ksub,
+      s"readPqIndex: model table has ${rows.length} rows, meta says m*ksub = ${m * ksub}")
+    val byJ = rows.map(r => (r.getAs[Int]("j"), r.getAs[Int]("c"),
+        r.getAs[scala.collection.Seq[Float]]("centroid").toArray))
+      .groupBy(_._1)
+    val model = PqModel(dsub, (0 until m).map { j =>
+      byJ(j).sortBy(_._2).map(_._3).toArray
+    }.toVector)
+    require(model.fingerprint == fitHash,
+      s"readPqIndex: codebook fingerprint ${model.fingerprint} != meta fit_hash $fitHash — " +
+        "the model and meta tables come from different fits; refusing to serve garbage ADC distances")
+    (model, spark.read.parquet(s"$path/codes"))
+  }
+
+  /** [[pqTopKFromCodes]] against a persisted [[writePqIndex]] artifact:
+    * the cross-session path — no refit, no re-encode; `corpus` is read
+    * only for the bounded full-precision rerank. */
+  def pqTopKIndexed(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                    corpus: DataFrame, queries: DataFrame, k: Int,
+                    rerank: Int = 20,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (model, codes) = readPqIndex(spark, indexPath)
+    require(codes.columns.contains(idCol),
+      s"pqTopKIndexed: codes artifact has columns [${codes.columns.mkString(", ")}], " +
+        s"expected id column '$idCol' — the index was written under a different id column")
+    pqTopKFromCodes(corpus, codes, queries, k, model, rerank, idCol, vecCol)
+  }
+
   /** ADC lookup table for one query row: `lut(j)(c)` = rank-equivalent
     * partial squared distance of query subvector j to centroid (j, c).
     * m×ksub doubles, built map-side on the (bounded) query side. */
@@ -177,8 +261,18 @@ object ProductQuantization {
                       rerank: Int = 20,
                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(rerank >= k, s"rerank width $rerank must be at least k=$k")
-    // ADC scan: codes-only projection × broadcast query LUTs.
-    val codes = codeTable.select(col(idCol).as("neighbor_id"), col("pq_code"))
+    // ADC scan: codes-only projection × broadcast query LUTs. The code
+    // length is guarded IN-PLAN: a codes table encoded under a different
+    // m than the passed model would otherwise score on element_at nulls
+    // — recall collapses with no error. (A same-m different-fit mismatch
+    // is caught earlier by readPqIndex's fingerprint check; this is the
+    // last line of defense for hand-assembled code tables.)
+    val codes = codeTable.select(col(idCol).as("neighbor_id"),
+      when(size(col("pq_code")) === model.m, col("pq_code"))
+        .otherwise(raise_error(concat(
+          lit(s"pq_code length != m=${model.m} for id "), col(idCol).cast("string"),
+          lit(" — codes were encoded under a different PqModel")))
+          .cast("array<int>")).as("pq_code"))
     val qlut = queries.select(col(idCol).as("query_id"),
       lutExpr(col(vecCol), model).as("lut"))
     val cands = codes.crossJoin(broadcast(qlut))

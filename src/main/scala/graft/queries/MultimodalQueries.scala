@@ -123,13 +123,26 @@ object MultimodalQueries {
     }
 
   /** Decode the fixture through the real mapPartitions ImageIO path and
-    * emit one row per (doc_id, cell) with the rounded luma — gated
-    * in-plan on the closed-form expected value, with a PER-CODEC
-    * tolerance recomputed from doc_id parity (the same parity that chose
-    * the codec at fixture-write time): exact for PNG, [[JpegTol]] for
-    * JPEG. Healthy decode ⇒ NumImages·16 rows; any decode defect ⇒ 0
-    * rows (a leaked JPEG row would need codec error ≥ 10× the measured
-    * worst case). */
+    * emit one row per (doc_id, cell) — gated in-plan on the closed-form
+    * expected value, with a PER-CODEC tolerance recomputed from doc_id
+    * parity (the same parity that chose the codec at fixture-write
+    * time): exact for PNG, [[JpegTol]] for JPEG. Healthy decode ⇒
+    * NumImages·16 rows; any decode defect ⇒ missing rows (a leaked JPEG
+    * row would need codec error ≥ 10× the measured worst case).
+    *
+    * DuckDB-oracled (VERDICT r6 item 5): the output `luma` carries the
+    * rounded DECODED mean for the lossless codec — closed-form
+    * floor(float32(v/255)·1e6 + 0.5)/1e6 with v = (doc_id·17 +
+    * cell·13) mod 256: the gray decode is (3v)/3/255 = one IEEE
+    * division, but the feature column is FLOAT, so the oracle routes
+    * through REAL before the rounding (5 of 1024 cells sit where the
+    * float32 step crosses a 1e-6 boundary — caught by the first oracle
+    * run, not guessed) — and NULL for JPEG rows, whose decoded values
+    * are codec-rounded and therefore not cross-engine predictable; the
+    * JPEG half is still verified by the in-plan tolerance gate, whose
+    * failure deletes rows the oracle REQUIRES to exist. The oracle thus
+    * checks the full 64×16 grid presence AND every lossless value on
+    * the hash gate, replacing the old rows-only entry. */
   def qMultimodalDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val media = spark.read.parquet(fixturePath(spark, dir)).as[Multimodal.MediaRecord]
@@ -141,7 +154,8 @@ object MultimodalQueries {
     val tol = when(pmod(col("doc_id"), lit(2)) === 0, lit(1e-6)).otherwise(lit(JpegTol))
     decoded
       .filter(abs(col("luma") - expected) < tol && col("n_bytes") > 0)
-      .select(col("doc_id"), col("cell"), rnd(col("luma"), 6).as("luma"))
+      .select(col("doc_id"), col("cell"),
+        when(pmod(col("doc_id"), lit(2)) === 0, rnd(col("luma"), 6)).as("luma"))
       .orderBy("doc_id", "cell")
   }
 
@@ -149,6 +163,20 @@ object MultimodalQueries {
     "q_multimodal_decode" -> qMultimodalDecode _,
   )
 
-  /** Self-gated — no SQL oracle possible (see object Scaladoc). */
-  val oracles: Map[String, String] = Map.empty
+  /** The decoded grid is closed-form (see [[qMultimodalDecode]]), so the
+    * oracle enumerates it without touching image bytes: every (doc_id,
+    * cell) pair must be present (JPEG decode failures delete rows), and
+    * the lossless half's values must hash-match exactly. */
+  val oracles: Map[String, String] = Map(
+    "q_multimodal_decode" ->
+      s"""WITH g AS (
+         |  SELECT d.i AS doc_id, c.i AS cell,
+         |    ((d.i * 17 + c.i * 13) % 256) AS v
+         |  FROM (SELECT unnest(generate_series(0, ${NumImages - 1})) AS i) d,
+         |       (SELECT unnest(generate_series(0, 15)) AS i) c)
+         |SELECT doc_id, cell,
+         |  CASE WHEN doc_id % 2 = 0
+         |    THEN floor(CAST(CAST(v / 255.0 AS REAL) AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS luma
+         |FROM g ORDER BY doc_id, cell""".stripMargin,
+  )
 }

@@ -73,7 +73,19 @@ object HtmlSource {
       .collect()
     require(donorFile.nonEmpty && donorFile.head != null,
       s"no input pages found under $path")
-    val headerCells = spark.read.option("wholetext", "true").textFile(donorFile.head)
+    // input_file_name() yields a URI-encoded string (space → %20,
+    // % → %25); feeding it back into a read re-interprets it as a
+    // path/glob, so a crawl dir with URI-escapable filenames would
+    // resolve to nothing (or the wrong donor). Decode first; a string
+    // that does not parse as a URI is already a plain path.
+    val donorPath =
+      try {
+        val u = new java.net.URI(donorFile.head)
+        if (u.getPath != null && u.getPath.nonEmpty) {
+          if (u.getScheme != null) s"${u.getScheme}:${u.getPath}" else u.getPath
+        } else donorFile.head
+      } catch { case _: java.net.URISyntaxException => donorFile.head }
+    val headerCells = spark.read.option("wholetext", "true").textFile(donorPath)
       .map(html => tableRows(html).headOption.map(rowCells).getOrElse(Seq.empty))
       .collect()
     require(headerCells.nonEmpty, s"no input pages found under $path")

@@ -33,10 +33,19 @@ object Sources {
     val configured = schema match {
       case Some(s) => r.schema(s)
       case None if infer => r.option("inferSchema", "true")
-      case None => r
+      case None =>
+        // pre-r6 this call inferred by default; callers migrating across
+        // that change get string-typed numerics with no other signal, so
+        // flag the transition once per JVM (ADVICE r6)
+        if (allStringWarned.compareAndSet(false, true))
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"readCsv($path): no schema and infer=false — all columns read as strings; " +
+              "pass schema=Some(...) or infer=true for typed columns")
+        r
     }
     sanitizeColumns(configured.csv(path))
   }
+  private val allStringWarned = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   /** S4/S7: JSON snapshot scan (schema-on-read with explicit option). */
   def readJson(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame = {

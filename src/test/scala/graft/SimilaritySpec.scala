@@ -327,6 +327,44 @@ class SimilaritySpec extends AnyFunSuite {
       s"pq mean recall ${pq.map(_._2).sum / 20} below floor")
   }
 
+  test("pq index round-trip: persisted artifact == in-memory exactly; mismatches fail loudly") {
+    import graft.operators.ProductQuantization
+    val emb = Tables.embeddings(spark, TestSpark.Sf)
+    val q = emb.filter($"vec_id" < 10)
+    val model = ProductQuantization.fitPq(emb, m = 8, ksub = 16)
+    val tmp = java.nio.file.Files.createTempDirectory("pq-roundtrip").toString + "/idx"
+    ProductQuantization.writePqIndex(emb, model, tmp)
+    val (loaded, codes) = ProductQuantization.readPqIndex(spark, tmp)
+    assert(loaded.fingerprint == model.fingerprint && loaded.dsub == model.dsub)
+    assert(codes.count() == emb.count(), "one code row per corpus vector")
+    // the persisted path must reproduce the in-memory path bit-for-bit
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"neighbor_id", $"rank").as[(Long, Long, Int)]
+        .collect().sorted.toSeq
+    assert(key(ProductQuantization.pqTopKIndexed(spark, tmp, emb, q, 5, rerank = 20)) ==
+      key(ProductQuantization.pqTopK(emb, q, 5, model, rerank = 20)))
+    // a model/meta pair from different fits must be refused on read —
+    // stale ADC distances LOOK fine (recall just collapses), so the
+    // failure must be loud, not statistical
+    Seq((model.m, model.ksub, model.dsub, "0" * 32))
+      .toDF("m", "ksub", "dsub", "fit_hash")
+      .write.mode("overwrite").parquet(s"$tmp/meta")
+    val metaErr = intercept[IllegalArgumentException] {
+      ProductQuantization.readPqIndex(spark, tmp)
+    }
+    assert(metaErr.getMessage.contains("fingerprint"), metaErr.getMessage)
+    // a codes table encoded under a different m than the query-time
+    // model trips the in-plan guard, not silent element_at nulls
+    val model16 = ProductQuantization.fitPq(emb, m = 16, ksub = 16)
+    val stale = ProductQuantization.pqEncode(emb, model) // m=8 codes
+    val planErr = intercept[Throwable] {
+      ProductQuantization.pqTopKFromCodes(emb, stale, q, 5, model16, rerank = 20).collect()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + chain(t.getCause)
+    assert(chain(planErr).contains("pq_code length"), chain(planErr))
+  }
+
   test("lsh top-k results are a subset of correct cosine ordering") {
     val emb = Tables.embeddings(spark, TestSpark.Sf)
     val q = emb.filter($"vec_id" < 10)
