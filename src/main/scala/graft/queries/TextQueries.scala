@@ -68,6 +68,20 @@ object TextQueries {
     Dedup.spanDedupOf(cachedDocTokens(spark, dir), 5)
       .orderBy("doc_id")
 
+  /** The span-dedup output, memoized for the DIAGNOSTIC twin below —
+    * q_span_dedup itself always computes fresh (its bench number must
+    * price the operator, not a cache scan); the rowhash twin exists for
+    * value comparison, so it reads the cached copy and prices as the
+    * md5 projection it is. */
+  private val spanMemo = new SessionMemo[String, DataFrame]
+
+  private def cachedSpanDedup(spark: SparkSession, dir: String): DataFrame =
+    spanMemo.getOrElseUpdate(spark, dir) {
+      val d = Dedup.spanDedupOf(cachedDocTokens(spark, dir), 5).cache()
+      d.count()
+      d
+    }
+
   /** [[qSpanDedup]] with clean_text replaced by its md5 — the per-row
     * hash localizer: a corpus-level hash-gate trip on q_span_dedup now
     * has a sibling that pins the divergence to specific rows, and tells
@@ -75,7 +89,7 @@ object TextQueries {
     * is green while full text is red, the values match and the gate's
     * string handling is the suspect). */
   def qSpanDedupRowhash(spark: SparkSession, dir: String): DataFrame =
-    Dedup.spanDedupOf(cachedDocTokens(spark, dir), 5)
+    cachedSpanDedup(spark, dir)
       .select(col("doc_id"), col("n_tokens"), col("n_removed"),
         md5(col("clean_text")).as("clean_md5"))
       .orderBy("doc_id")
