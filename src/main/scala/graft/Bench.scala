@@ -118,6 +118,8 @@ object Bench {
       "q_ml_importances", "q_ml_serve",   // feature frame + fits + metric frames
       "q_ml_classifier", "q_ml_regressor", // gated metric memos
       "q_dedup_groups",                   // MinHash pair memo
+      "q_unigram_logprob",                // shared corpus token frame
+      "q_span_dedup_rowhash",             // memoized span-dedup output
       "q_ann_ivf_indexed", "q_ann_lsh",   // quantizer + brute ground truth + index
       "q_ann_pq",                         // PQ fit + persisted codes artifact
       "q_multimodal_decode")              // PNG fixture synthesis + parquet write

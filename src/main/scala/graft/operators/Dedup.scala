@@ -483,9 +483,16 @@ object Dedup {
 
   /** 32-bit SimHash: per-bit ±1 votes over token hashes, majority sign. */
   def simhash(docs: DataFrame, bits: Int = 32,
-              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("t"))
-      .withColumn("hv", hash32(col("t")))
+              idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    simhashOf(docs.select(col(idCol), explode(tokens(col(textCol))).as("t")), bits, idCol)
+
+  /** [[simhash]] over exploded token rows `(idCol, t)` — lets callers
+    * feed the shared memoized token frame instead of re-splitting the
+    * corpus (explode from a cached array column is cheap; the regex
+    * split is not). */
+  def simhashOf(tokRows: DataFrame, bits: Int = 32,
+                idCol: String = "doc_id"): DataFrame = {
+    val tok = tokRows.withColumn("hv", hash32(col("t")))
     val votes = tok.groupBy(col(idCol)).agg(
       sum(when(shiftright(col("hv"), 0).bitwiseAND(1) === 1, 1).otherwise(-1)).as("b0"),
       (1 until bits).map(j =>
@@ -517,7 +524,17 @@ object Dedup {
     require(maxDist >= 0 && maxDist <= 3,
       s"simhashPairs: maxDist must be in [0, 3] (got $maxDist) — the 4-band×8-bit " +
         "bucketing guarantees exact recall only up to Hamming distance 3")
-    val sh = simhash(docs, 32, idCol, textCol)
+    simhashPairsFrom(simhash(docs, 32, idCol, textCol), maxDist, idCol)
+  }
+
+  /** The banding + verify tail of [[simhashPairs]] over a precomputed
+    * `(idCol, simhash)` signature frame (e.g. [[simhashOf]] over the
+    * shared token frame). */
+  def simhashPairsFrom(sh: DataFrame, maxDist: Int = 3,
+                       idCol: String = "doc_id"): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"simhashPairsFrom: maxDist must be in [0, 3] (got $maxDist) — the 4-band×8-bit " +
+        "bucketing guarantees exact recall only up to Hamming distance 3")
     val bands = sh.select(col(idCol), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
