@@ -71,15 +71,19 @@ object TextQueries {
   /** The span-dedup output, memoized for the DIAGNOSTIC twin below —
     * q_span_dedup itself always computes fresh (its bench number must
     * price the operator, not a cache scan); the rowhash twin exists for
-    * value comparison, so it reads the cached copy and prices as the
-    * md5 projection it is. */
+    * value comparison, so it reads the materialized copy and prices as
+    * the md5 projection it is. Materialized with localCheckpoint, NOT
+    * cache(): cache() registers the logical plan with the CacheManager,
+    * which then SUBSUMES the identical fresh plan q_span_dedup builds —
+    * measured: the headline query silently dropped to a 0.31 s cache
+    * scan. localCheckpoint truncates lineage to executor blocks and
+    * registers nothing, so the twin is cheap and the headline stays
+    * honest. */
   private val spanMemo = new SessionMemo[String, DataFrame]
 
   private def cachedSpanDedup(spark: SparkSession, dir: String): DataFrame =
     spanMemo.getOrElseUpdate(spark, dir) {
-      val d = Dedup.spanDedupOf(cachedDocTokens(spark, dir), 5).cache()
-      d.count()
-      d
+      Dedup.spanDedupOf(cachedDocTokens(spark, dir), 5).localCheckpoint(true)
     }
 
   /** [[qSpanDedup]] with clean_text replaced by its md5 — the per-row
