@@ -159,16 +159,21 @@ object Bench {
       // max/median over successful reps: ~1 on a quiet machine; >>1 means
       // some rep was stalled (GC, compaction, or machine load)
       def dispersion: Double = if (warm > 0) times.max / warm else -1.0
-      // last/first over successful reps: strictly-increasing reps are the
-      // signature of in-bench neighbor contamination (accumulated cache /
-      // memory pressure from EARLIER queries), which max/median dispersion
-      // misses when the growth stays under 2x — the r6 q_ann_lsh case
-      // read as 1.6 s in the artifact but was 0.79 s in isolation
+      // last/first over the WARM reps (cold rep 1 excluded, mirroring how
+      // `warm` excludes it from the median — a normal slower first rep
+      // would otherwise mask the pattern): strictly-increasing warm reps
+      // are the signature of in-bench neighbor contamination (accumulated
+      // cache / memory pressure from EARLIER queries), which max/median
+      // dispersion misses when the growth stays under 2x — the r6
+      // q_ann_lsh case read as 1.6 s in the artifact but was 0.79 s in
+      // isolation
+      private def warmTimes: Seq[Double] = times.drop(1)
       def growth: Double =
-        if (times.size >= 2 && times.head > 0) times.last / times.head else -1.0
+        if (warmTimes.size >= 2 && warmTimes.head > 0) warmTimes.last / warmTimes.head
+        else -1.0
       def monotoneGrowth: Boolean =
-        times.size >= 3 && times.last > 0.2 && growth >= 1.5 &&
-          times.sliding(2).forall(p => p(1) > p(0))
+        warmTimes.size >= 2 && warmTimes.last > 0.2 && growth >= 1.5 &&
+          warmTimes.sliding(2).forall(p => p(1) > p(0))
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val repsOut = (1 to reps).flatMap { rep =>

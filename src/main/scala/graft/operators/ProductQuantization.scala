@@ -173,12 +173,21 @@ object ProductQuantization {
     *    fit_hash is [[PqModel.fingerprint]]; [[readPqIndex]] refuses a
     *    model/meta pair that does not hash-match (the `<name>_meta`
     *    guard discipline from [[Dedup.writeCorpusIndex]]). */
+  /** Codes live under a FINGERPRINT-KEYED dir (`codes_<fp8>`), written
+    * before model and meta: a crashed or killed re-write over the same
+    * path can only leave (a) the old artifact fully intact — new codes
+    * dir written but old meta still points at the old codes dir — or
+    * (b) a model/meta mismatch that [[readPqIndex]] rejects loudly. It
+    * can never pair one fit's codes with another fit's codebooks behind
+    * a passing fingerprint check (the review finding on the naive
+    * codes/model/meta overwrite order, where a same-m refit crash
+    * served garbage ADC distances silently). */
   def writePqIndex(corpus: DataFrame, model: PqModel, path: String,
                    idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     pqEncode(corpus, model, idCol, vecCol)
-      .write.mode("overwrite").parquet(s"$path/codes")
+      .write.mode("overwrite").parquet(s"$path/codes_${model.fingerprint.take(8)}")
     model.centroids.zipWithIndex.flatMap { case (cs, j) =>
       cs.zipWithIndex.map { case (cc, c) => (j, c, cc.toSeq) }
     }.toDF("j", "c", "centroid")
@@ -214,7 +223,10 @@ object ProductQuantization {
     require(model.fingerprint == fitHash,
       s"readPqIndex: codebook fingerprint ${model.fingerprint} != meta fit_hash $fitHash — " +
         "the model and meta tables come from different fits; refusing to serve garbage ADC distances")
-    (model, spark.read.parquet(s"$path/codes"))
+    // the codes dir is keyed by the verified fingerprint, so codes from
+    // any other fit are unreachable by construction (a missing dir —
+    // e.g. a partially-written artifact — fails the read loudly here)
+    (model, spark.read.parquet(s"$path/codes_${fitHash.take(8)}"))
   }
 
   /** [[pqTopKFromCodes]] against a persisted [[writePqIndex]] artifact:

@@ -91,14 +91,37 @@ object SimilarityQueries {
       df
     }
 
+  // SessionMemo eviction drops only the map entry, so index scratch dirs
+  // must be swept at JVM exit — ONE static hook draining a shared queue
+  // (the MultimodalQueries.fixtureDirs discipline, ADVICE r4): repeated
+  // sessions would otherwise accumulate full parquet copies of the
+  // encoded corpus under /tmp unboundedly
+  private val indexTmpDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      var tmp = indexTmpDirs.poll()
+      while (tmp != null) {
+        try graft.IoUtil.deleteRecursively(tmp)
+        catch { case scala.util.control.NonFatal(_) => () }
+        tmp = indexTmpDirs.poll()
+      }
+    }))
+  }
+
+  private def newIndexTmp(prefix: String): String = {
+    val tmp = java.nio.file.Files.createTempDirectory(prefix)
+    indexTmpDirs.add(tmp)
+    tmp.toString + "/idx"
+  }
+
   /** Materialized IVF index written once per (session, dir) — the memo
-    * stores the path; the files outlive the memo only as scratch. */
+    * stores the path; the files are scratch, swept by the shared
+    * shutdown hook. */
   private val ivfIndexMemo = new SessionMemo[String, String]
 
   private def cachedIvfIndex(spark: SparkSession, dir: String): String =
     ivfIndexMemo.getOrElseUpdate(spark, dir) {
-      val path = java.nio.file.Files.createTempDirectory("graft-ivf-index")
-        .toString + "/idx"
+      val path = newIndexTmp("graft-ivf-index")
       Similarity.writeIvfIndex(
         Tables.embeddings(spark, dir), cachedQuantizer(spark, dir, 16), path)
       path
@@ -206,8 +229,7 @@ object SimilarityQueries {
   private def cachedPqIndex(spark: SparkSession,
                             dir: String): (ProductQuantization.PqModel, DataFrame) =
     pqIndexMemo.getOrElseUpdate(spark, dir) {
-      val path = java.nio.file.Files.createTempDirectory("graft-pq-index")
-        .toString + "/idx"
+      val path = newIndexTmp("graft-pq-index")
       ProductQuantization.writePqIndex(
         Tables.embeddings(spark, dir), cachedPqModel(spark, dir), path)
       ProductQuantization.readPqIndex(spark, path)

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.input_file_name
+import org.apache.spark.sql.functions.{col, input_file_name}
 
 /** S2: HTML-table ingestion adapter (ref scraper/main.py:36-49 — the
   * scraper selects every table row of a quotes page and sanitizes the
@@ -60,32 +60,31 @@ object HtmlSource {
     import spark.implicits._
     val pages = spark.read.option("wholetext", "true").textFile(path)
     // header donor: lexicographically-first file (Spark orders splits by
-    // size, so the order must be explicit). Resolve the donor NAME with
-    // a filename-only min aggregate first, then parse ONLY that file —
-    // parsing every page just to discard all but one header cost a
-    // full-corpus regex pass. Header CELLS are extracted on the
-    // executors — only a handful of strings reach the driver, never a
-    // page body.
-    val donorFile = spark.read.option("wholetext", "true").text(path)
+    // size, so the order must be explicit). input_file_name() yields
+    // URI-ENCODED strings (space → %20, % → %25), which break BOTH uses
+    // the old code made of them: min() over encoded names can pick the
+    // wrong donor ('a b.html' < 'a!b.html' by real name but %20 > '!'
+    // encoded), and feeding the encoded string back into a read
+    // re-interprets it as a path/glob and drops the URI authority
+    // (s3a://bucket/... → s3a:/...). So: collect the per-file name list
+    // (one short string per page — the file listing already lives on
+    // the driver), order by the DECODED path, and extract the header by
+    // exact raw-URI equality against the same pages dataset — no second
+    // read, no glob, no authority surgery.
+    val fileNames = spark.read.option("wholetext", "true").text(path)
       .select(input_file_name().as("f"))
-      .agg(org.apache.spark.sql.functions.min("f"))
-      .as[String]
-      .collect()
-    require(donorFile.nonEmpty && donorFile.head != null,
-      s"no input pages found under $path")
-    // input_file_name() yields a URI-encoded string (space → %20,
-    // % → %25); feeding it back into a read re-interprets it as a
-    // path/glob, so a crawl dir with URI-escapable filenames would
-    // resolve to nothing (or the wrong donor). Decode first; a string
-    // that does not parse as a URI is already a plain path.
-    val donorPath =
+      .distinct().as[String].collect()
+    require(fileNames.nonEmpty, s"no input pages found under $path")
+    def decoded(f: String): String =
       try {
-        val u = new java.net.URI(donorFile.head)
-        if (u.getPath != null && u.getPath.nonEmpty) {
-          if (u.getScheme != null) s"${u.getScheme}:${u.getPath}" else u.getPath
-        } else donorFile.head
-      } catch { case _: java.net.URISyntaxException => donorFile.head }
-    val headerCells = spark.read.option("wholetext", "true").textFile(donorPath)
+        val p = new java.net.URI(f).getPath
+        if (p != null && p.nonEmpty) p else f
+      } catch { case _: java.net.URISyntaxException => f }
+    val donorRaw = fileNames.minBy(decoded)
+    val headerCells = spark.read.option("wholetext", "true").text(path)
+      .select(input_file_name().as("f"), col("value"))
+      .filter(col("f") === donorRaw)
+      .select("value").as[String]
       .map(html => tableRows(html).headOption.map(rowCells).getOrElse(Seq.empty))
       .collect()
     require(headerCells.nonEmpty, s"no input pages found under $path")
