@@ -314,6 +314,8 @@ object Bench {
       s""""warmup_sec":$warmupSec,"asof_ab":$ab,"streaming":$streamingJson,""" +
       s""""reps":$reps,"sf":"$sfDir",""" +
       s""""load_start":$loadStart,"load_end":$loadEnd,""" +
+      s""""dispersion_flagged":${
+        jmap(dispersionFlagged.map { case (k, s) => k -> r3(s.dispersion) })},""" +
       s""""growth_flagged":${
         jmap(growthFlagged.map { case (k, s) => k -> r3(s.growth) })},""" +
       s""""reps_sec":$repArrays,""" +

@@ -181,6 +181,16 @@ case class ResolveGraftOp(spark: org.apache.spark.sql.SparkSession)
         case "sample_per_group" => // (groupCol, idCol, k)
           graft.queries.TrainingDataQueries.samplePerGroup(
             dfs(0), str(0), str(1), lng(2).toInt)
+        case "top_ngrams" => // (idCol, textCol, n, k)
+          graft.queries.TextQueries.topNgrams(
+            dfs(0), n = lng(2).toInt, k = lng(3).toInt,
+            idCol = str(0), textCol = str(1))
+        case "outlier_mad" => // (groupCol, valueCol, idCol)
+          graft.queries.TrainingDataQueries.outlierMad(
+            dfs(0), str(0), str(1), str(2))
+        case "cluster_sample" => // (idCol, vecCol, dims, k)
+          graft.queries.SimilarityQueries.clusterSample(
+            dfs(0), str(0), str(1), lng(2).toInt, lng(3).toInt)
         case "salted_rolling" => // (key, ts, valCol, frameNs, chunkNs)
           graft.operators.SaltedWindow.saltedRollingSum(
             dfs(0), str(0), str(1), str(2), lng(3), lng(4))
@@ -323,6 +333,9 @@ object GraftFunctions {
     "span_dedup" -> ("span_dedup(table, idCol, textCol, spanLen)", 3),
     "crossdoc_ngram" -> ("crossdoc_ngram(table, idCol, textCol, n)", 3),
     "sample_per_group" -> ("sample_per_group(table, groupCol, idCol, k)", 3),
+    "top_ngrams" -> ("top_ngrams(table, idCol, textCol, n, k)", 4),
+    "outlier_mad" -> ("outlier_mad(table, groupCol, valueCol, idCol)", 3),
+    "cluster_sample" -> ("cluster_sample(table, idCol, vecCol, dims, k)", 4),
     "salted_rolling" ->
       ("salted_rolling(table, key, ts, valCol, frameNs, chunkNs)", 5))
 

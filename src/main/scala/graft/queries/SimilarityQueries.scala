@@ -299,6 +299,44 @@ object SimilarityQueries {
       .orderBy("vec_id")
   }
 
+  /** Cells / per-cell width for [[qClusterSample]] — interpolated into
+    * BOTH engines so they cannot drift. */
+  val ClusterSampleDims = 4
+  val ClusterSampleK = 10
+
+  /** Diversity-balanced subsampling: assign each vector to one of 2^d
+    * deterministic embedding cells (the sign bits of the first d
+    * dimensions — axis-aligned hyperplane quantization, the same family
+    * as the LSH bucketer but engine-reproducible with no fitted model),
+    * then draw an exact-k hash-ordered sample per cell. The curation
+    * move behind cluster-balanced data selection: a uniform draw
+    * over-represents the dense region; a per-cell draw guarantees
+    * coverage of every occupied region of embedding space.
+    *
+    * Scale shape: the cell id is a map-side expression over the scan;
+    * the per-cell draw reuses [[TrainingDataQueries.samplePerGroup]],
+    * whose rank filter plans as WindowGroupLimit — each task keeps its
+    * local top-k per cell BEFORE the exchange, so the shuffle carries
+    * ≤ k·partitions·2^d rows, never the corpus. */
+  /** Frame-parameterized body of [[qClusterSample]] (spec-testable;
+    * SQL-reachable as the `cluster_sample` TVF). Emits (cell, idCol,
+    * draw_rank). */
+  def clusterSample(df: DataFrame, idCol: String, vecCol: String,
+                    dims: Int, k: Int): DataFrame = {
+    require(dims >= 1 && dims <= 20,
+      s"cluster_sample: dims must be in [1, 20] (2^dims cells), got $dims")
+    val bits = (0 until dims).map { i =>
+      when(col(vecCol).getItem(i) >= 0f, lit(1 << (dims - 1 - i))).otherwise(lit(0))
+    }.reduce(_ + _)
+    val cells = df.select(col(idCol), bits.cast("int").as("cell"))
+    TrainingDataQueries.samplePerGroup(cells, "cell", idCol, k)
+  }
+
+  def qClusterSample(spark: SparkSession, dir: String): DataFrame =
+    clusterSample(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      ClusterSampleDims, ClusterSampleK)
+      .orderBy("cell", "draw_rank")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embedding_norm" -> qEmbeddingNorm _,
     "q_embedding_stats" -> qEmbeddingStats _,
@@ -309,9 +347,29 @@ object SimilarityQueries {
     "q_ann_ivf_indexed" -> qAnnIvfIndexed _,
     "q_ann_pq" -> qAnnPq _,
     "q_semantic_dedup" -> qSemanticDedup _,
+    "q_cluster_sample" -> qClusterSample _,
   )
 
   val oracles: Map[String, String] = Map(
+    // sign-bit cells over 1-BASED DuckDB list indexing (embedding[1] is
+    // Spark's getItem(0)); the draw order is the shared md5 salted-hash
+    // idiom with the samplePerGroup salt, so the drawn SET matches
+    // row-for-row, not just in distribution
+    "q_cluster_sample" -> {
+      val cellExpr = (0 until ClusterSampleDims).map { i =>
+        s"CASE WHEN embedding[${i + 1}] >= 0 THEN ${1 << (ClusterSampleDims - 1 - i)} ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH c AS (
+         |  SELECT vec_id, CAST($cellExpr AS INTEGER) AS cell FROM embeddings),
+         |r AS (
+         |  SELECT cell, vec_id,
+         |    row_number() OVER (PARTITION BY cell ORDER BY
+         |      ('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '|pergroup'), 1, 8))::BIGINT,
+         |      vec_id) AS draw_rank
+         |  FROM c)
+         |SELECT cell, vec_id, draw_rank FROM r
+         |WHERE draw_rank <= $ClusterSampleK ORDER BY cell, draw_rank""".stripMargin
+    },
     "q_embedding_norm" ->
       s"""SELECT vec_id, label,
          |  floor((${normSql("a")}) * 1e4 + 0.5) / 1e4 AS norm

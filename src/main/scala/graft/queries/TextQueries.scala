@@ -304,6 +304,45 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** N-gram size / result width for [[qTopNgrams]] — interpolated into
+    * BOTH engines so they cannot drift. */
+  val TopNgramN = 3
+  val TopNgramK = 20
+
+  /** Corpus-level top-K n-grams by document frequency (tf as the first
+    * tiebreak, the gram string as the unique second): the "what phrases
+    * dominate this crawl" report a curation pass runs before choosing
+    * boilerplate filters — a high-df gram that is navigation chrome
+    * ("click here to") motivates a content filter; a high-tf low-df
+    * gram localizes a single spammy source.
+    *
+    * Scale shape: shingle explode from the shared token frame →
+    * wordcount-style groupBy (uniform gram keys, partial agg) →
+    * `orderBy.limit(k)` which plans as TakeOrderedAndProject: each task
+    * keeps its local top-k, the driver merges k·partitions rows — no
+    * global sort, no single-partition window, survives any corpus size.
+    * The deterministic (df, tf, gram) ordering makes the SELECTED SET
+    * engine-stable, not just the display order. */
+  def topNgramsOf(tokArr: DataFrame, n: Int, k: Int,
+                  idCol: String = "doc_id"): DataFrame = {
+    require(n >= 1, s"topNgrams: n must be >= 1 (got $n)")
+    require(k >= 1, s"topNgrams: k must be >= 1 (got $k)")
+    shingleRowsOf(tokArr, n, idCol)
+      .groupBy(col("sh").as("gram"))
+      .agg(count_distinct(col(idCol)).as("df"), count(lit(1)).as("tf"))
+      .orderBy(desc("df"), desc("tf"), col("gram"))
+      .limit(k)
+  }
+
+  /** Text-frame entry point of [[topNgramsOf]] (SQL-reachable as the
+    * `top_ngrams` TVF). */
+  def topNgrams(docs: DataFrame, n: Int, k: Int, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame =
+    topNgramsOf(docs.select(col(idCol), tokens(col(textCol)).as("ts")), n, k, idCol)
+
+  def qTopNgrams(spark: SparkSession, dir: String): DataFrame =
+    topNgramsOf(cachedDocTokens(spark, dir), TopNgramN, TopNgramK)
+
   /** Incremental corpus dedup (daily-ingest shape): classify batch docs
     * (60 ≤ doc_id < 120) against the standing corpus (doc_id < 60) as
     * exact_dup / near_dup / new — see Dedup.incrementalDedup for the
@@ -656,6 +695,7 @@ object TextQueries {
     "q_repetition" -> qRepetition _,
     "q_crossdoc_ngram" -> qCrossdocNgram _,
     "q_unigram_logprob" -> qUnigramLogprob _,
+    "q_top_ngrams" -> qTopNgrams _,
     "q_dedup_incremental" -> qDedupIncremental _,
     "q_dedup_indexed" -> qDedupIndexed _,
     "q_dedup_best" -> qDedupBest _,
@@ -1021,6 +1061,22 @@ object TextQueries {
          |SELECT doc_id, count(*) AS n_tokens,
          |  floor((sum(lp) / count(*)) * 1e4 + 0.5) / 1e4 AS avg_neg_logprob
          |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // gram built positionally (ts[i..i+n-1]) exactly like the Spark
+    // slice+concat_ws shape; the LIMIT set is deterministic because the
+    // (df DESC, tf DESC, gram) ordering ends in a unique key
+    "q_top_ngrams" -> {
+      val gramExpr = (0 until TopNgramN).map(j => s"ts[i+$j]").mkString(" || ' ' || ")
+      s"""WITH t AS (SELECT doc_id, $TOKS AS ts FROM documents),
+         |g AS (
+         |  SELECT doc_id, $gramExpr AS gram
+         |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(ts) - ${TopNgramN - 1})) AS i)),
+         |a AS (
+         |  SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+         |    CAST(count(*) AS BIGINT) AS tf
+         |  FROM g GROUP BY 1)
+         |SELECT gram, df, tf FROM a
+         |ORDER BY df DESC, tf DESC, gram LIMIT $TopNgramK""".stripMargin
+    },
     "q_dedup_incremental" -> IncrementalSql,
     // identical-by-construction output (shared classify core over the
     // bucketed index artifacts) — the indexed twin shares the oracle,

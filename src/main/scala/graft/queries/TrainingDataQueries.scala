@@ -158,6 +158,47 @@ object TrainingDataQueries {
       .orderBy("event_id")
   }
 
+  /** Robust-z outlier threshold for [[qOutlierMad]] (Iglewicz–Hoaglin
+    * modified z-score, |0.6745·(x−med)/MAD| > 3.5) — interpolated into
+    * BOTH engines so they cannot drift. */
+  val MadZThreshold = 3.5
+
+  /** Robust per-source length-outlier detection: median/MAD modified
+    * z-score over n_chars, the curation pass that flags truncated
+    * fragments and concatenation blobs BEFORE they skew mean-based
+    * quality stats (mean/σ is itself dragged by the outliers it should
+    * catch; median/MAD is not — the reason winsorize's percentile
+    * cousin exists for features, this one for corpus docs).
+    *
+    * Scale shape: two grouped aggregates over the ~handful of sources
+    * (exact percentile sorts per group — at 100 TB swap in
+    * approx_percentile and keep the same plan), each broadcast back
+    * onto the scan; the fact side is never re-sorted and never
+    * shuffles. MAD = 0 (half-constant group) nulls the score rather
+    * than dividing by zero on either engine. */
+  /** Frame-parameterized body of [[qOutlierMad]] (spec-testable;
+    * SQL-reachable as the `outlier_mad` TVF). Emits (idCol, groupCol,
+    * valueCol, robust_z, outlier); the threshold tests the ROUNDED
+    * score so the flag can never disagree with the displayed value. */
+  def outlierMad(df: DataFrame, groupCol: String, valueCol: String,
+                 idCol: String): DataFrame = {
+    val med = df.groupBy(groupCol)
+      .agg(expr(s"percentile($valueCol, 0.5)").as("med"))
+    val dev = df.join(broadcast(med), groupCol)
+    val mad = dev.groupBy(groupCol)
+      .agg(expr(s"percentile(abs($valueCol - med), 0.5)").as("mad"))
+    dev.join(broadcast(mad), groupCol)
+      .select(col(idCol), col(groupCol), col(valueCol),
+        rnd((lit(0.6745) * (col(valueCol) - col("med"))) / nullif(col("mad"), lit(0.0)), 4)
+          .as("robust_z"))
+      .withColumn("outlier",
+        coalesce(abs(col("robust_z")) > MadZThreshold, lit(false)).cast("int"))
+  }
+
+  def qOutlierMad(spark: SparkSession, dir: String): DataFrame =
+    outlierMad(Tables.documents(spark, dir), "source", "n_chars", "doc_id")
+      .orderBy("doc_id")
+
   /** End-to-end training-data pipeline COMPOSED from the declared
     * operators — the "a user of the reference could switch" demo as one
     * oracled query: exact dedup (keep the canonical min-id row per
@@ -238,6 +279,7 @@ object TrainingDataQueries {
     "q_seq_packing" -> qSeqPacking _,
     "q_winsorize" -> qWinsorize _,
     "q_normalize" -> qNormalize _,
+    "q_outlier_mad" -> qOutlierMad _,
     "q_domain_mix" -> qDomainMix _,
   )
 
@@ -319,6 +361,23 @@ object TrainingDataQueries {
         |  floor(((e.value - s.mu) / nullif(s.sigma, 0)) * 1e4 + 0.5) / 1e4 AS value_z
         |FROM events e JOIN s USING (user_id)
         |WHERE e.user_id < 30 ORDER BY e.event_id""".stripMargin,
+    // robust_z is rounded BEFORE the threshold test on both engines, so
+    // the outlier flag can never disagree with the displayed score;
+    // median() of BIGINT interpolates like Spark's exact percentile
+    // (both land on k/2 values — exact in binary)
+    "q_outlier_mad" ->
+      s"""WITH m AS (SELECT source, median(n_chars) AS med FROM documents GROUP BY source),
+         |d AS (
+         |  SELECT doc_id, d.source, n_chars, med
+         |  FROM documents d JOIN m USING (source)),
+         |md AS (SELECT source, median(abs(n_chars - med)) AS mad FROM d GROUP BY source),
+         |s AS (
+         |  SELECT doc_id, d.source, n_chars,
+         |    ${rndSql("(0.6745 * (n_chars - med)) / nullif(mad, 0)", 4)} AS robust_z
+         |  FROM d JOIN md ON d.source = md.source)
+         |SELECT doc_id, source, n_chars, robust_z,
+         |  CAST(coalesce(abs(robust_z) > $MadZThreshold, false) AS INTEGER) AS outlier
+         |FROM s ORDER BY doc_id""".stripMargin,
     "q_domain_mix" -> {
       // CAST each fraction to DOUBLE: a bare decimal literal is DECIMAL
       // in DuckDB and the rate arithmetic would round differently than

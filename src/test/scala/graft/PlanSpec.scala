@@ -412,6 +412,61 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("top_ngrams TVF: SQL == DataFrame, top-k plans as TakeOrderedAndProject") {
+    withExtensionsSession { s2 =>
+      Tables.documents(s2, TestSpark.Sf).createOrReplaceTempView("docs_tng")
+      val sql = s2.sql(
+        "SELECT * FROM top_ngrams('docs_tng', 'doc_id', 'text', 3, 15)")
+        .collect().toSeq
+      val api = graft.queries.TextQueries.topNgrams(
+        Tables.documents(s2, TestSpark.Sf), 3, 15).collect().toSeq
+      assert(sql.nonEmpty && sql == api)
+      // the global top-k must merge per-partition local top-ks, never
+      // globally sort the gram table
+      val plan = graft.queries.TextQueries.topNgrams(
+        Tables.documents(s2, TestSpark.Sf), 3, 15)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+    }
+  }
+
+  test("outlier_mad TVF: SQL == DataFrame, broadcast stats joins") {
+    withExtensionsSession { s2 =>
+      Tables.documents(s2, TestSpark.Sf).createOrReplaceTempView("docs_mad")
+      val sql = s2.sql(
+        "SELECT * FROM outlier_mad('docs_mad', 'source', 'n_chars', 'doc_id') " +
+          "ORDER BY doc_id").collect().toSeq
+      val api = graft.queries.TrainingDataQueries.outlierMad(
+        Tables.documents(s2, TestSpark.Sf), "source", "n_chars", "doc_id")
+        .orderBy("doc_id").collect().toSeq
+      assert(sql.nonEmpty && sql == api)
+      // both stats joins broadcast the tiny per-group aggregates — the
+      // fact side must never shuffle on source
+      val plan = graft.queries.TrainingDataQueries.outlierMad(
+        Tables.documents(s2, TestSpark.Sf), "source", "n_chars", "doc_id")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+      assert(!plan.contains("SortMergeJoin"), plan.take(1500))
+    }
+  }
+
+  test("cluster_sample TVF: SQL == DataFrame, rank cut plans as WindowGroupLimit") {
+    withExtensionsSession { s2 =>
+      Tables.embeddings(s2, TestSpark.Sf).createOrReplaceTempView("emb_cs")
+      val sql = s2.sql(
+        "SELECT * FROM cluster_sample('emb_cs', 'vec_id', 'embedding', 4, 6) " +
+          "ORDER BY cell, draw_rank").collect().toSeq
+      val api = graft.queries.SimilarityQueries.clusterSample(
+        Tables.embeddings(s2, TestSpark.Sf), "vec_id", "embedding", 4, 6)
+        .orderBy("cell", "draw_rank").collect().toSeq
+      assert(sql.nonEmpty && sql == api)
+      val plan = graft.queries.SimilarityQueries.clusterSample(
+        Tables.embeddings(s2, TestSpark.Sf), "vec_id", "embedding", 4, 6)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("WindowGroupLimit"), plan.take(1500))
+    }
+  }
+
   test("simhash_dedup TVF: SQL == DataFrame path, pinned shuffled band join") {
     import org.apache.spark.sql.functions.col
     withExtensionsSession { s2 =>

@@ -301,4 +301,86 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("topNgrams agrees with a naive Scala n-gram counter on random corpora") {
+    val rng = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val vocab = Seq("alpha", "beta", "gamma", "delta", "eps")
+      val docs = (0 until 30).map { id =>
+        (id.toLong, Seq.fill(rng.nextInt(12))(vocab(rng.nextInt(vocab.size))).mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      for (n <- Seq(1, 2, 3)) {
+        // naive reference: per-doc sliding grams → (df, tf) per gram.
+        // NO nonEmpty filter: split("") is [""] on BOTH engines (and in
+        // Scala), so an empty doc legitimately contributes one "" token
+        val grams = docs.flatMap { case (id, t) =>
+          val ts = t.trim.split("\\s+").toSeq
+          ts.sliding(n).filter(_.length == n).map(g => (id, g.mkString(" "))).toSeq
+        }
+        val ref = grams.groupBy(_._2).map { case (g, occ) =>
+          (g, occ.map(_._1).distinct.size.toLong, occ.size.toLong)
+        }.toSeq.sortBy(r => (-r._2, -r._3, r._1)).take(10)
+        val got = graft.queries.TextQueries.topNgrams(df, n, 10)
+          .as[(String, Long, Long)].collect().toSeq
+        assert(got == ref, s"trial $trial n=$n:\n got=$got\n ref=$ref")
+      }
+    }
+    intercept[IllegalArgumentException] {
+      graft.queries.TextQueries.topNgrams(Seq((1L, "a b")).toDF("doc_id", "text"), 0, 5)
+    }
+    intercept[IllegalArgumentException] {
+      graft.queries.TextQueries.topNgrams(Seq((1L, "a b")).toDF("doc_id", "text"), 2, 0)
+    }
+  }
+
+  test("outlierMad flags a planted outlier and nulls constant groups") {
+    val df = Seq(
+      // group a: tight cluster + one wild value — only the wild row flags
+      ("a", 1L, 100L), ("a", 2L, 101L), ("a", 3L, 99L), ("a", 4L, 100L), ("a", 5L, 5000L),
+      // group b: MAD = 0 (constant) — score null, never flagged
+      ("b", 6L, 50L), ("b", 7L, 50L), ("b", 8L, 50L),
+      // group c: two values, MAD > 0, neither extreme enough to flag
+      ("c", 9L, 10L), ("c", 10L, 14L))
+      .toDF("source", "doc_id", "n_chars")
+    val out = graft.queries.TrainingDataQueries
+      .outlierMad(df, "source", "n_chars", "doc_id")
+      .select("doc_id", "robust_z", "outlier")
+      .collect().map(r => r.getLong(0) -> ((Option(r.get(1)), r.getInt(2)))).toMap
+    assert(out(5L)._2 == 1, s"planted outlier not flagged: ${out(5L)}")
+    Seq(1L, 2L, 3L, 4L).foreach(id =>
+      assert(out(id)._2 == 0, s"inlier $id flagged: ${out(id)}"))
+    Seq(6L, 7L, 8L).foreach { id =>
+      assert(out(id)._1.isEmpty, s"constant group should null the score: ${out(id)}")
+      assert(out(id)._2 == 0, s"constant group row $id flagged")
+    }
+    Seq(9L, 10L).foreach(id => assert(out(id)._2 == 0, s"mild row $id flagged"))
+  }
+
+  test("clusterSample: sign-bit cells, exact per-cell widths, deterministic draw") {
+    val rng = new scala.util.Random(19)
+    val vecs = (0 until 200).map(id =>
+      (id.toLong, Array.fill(8)((rng.nextDouble() * 2 - 1).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = graft.queries.SimilarityQueries.clusterSample(df, "vec_id", "embedding", 3, 4)
+      .as[(Int, Long, Int)].collect().toSeq
+    val expectedCell = vecs.map { case (id, v) =>
+      id -> (0 until 3).map(i => if (v(i) >= 0) 1 << (2 - i) else 0).sum
+    }.toMap
+    out.foreach { case (cell, id, _) =>
+      assert(cell == expectedCell(id), s"vec $id cell $cell != ${expectedCell(id)}")
+    }
+    // exact-width contract: every occupied cell draws min(k, population)
+    val pops = expectedCell.values.groupBy(identity).view.mapValues(_.size).toMap
+    val drawn = out.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(drawn.keySet == pops.keySet, "an occupied cell drew nothing")
+    drawn.foreach { case (c, n) =>
+      assert(n == math.min(4, pops(c)), s"cell $c drew $n of ${pops(c)} (k=4)")
+    }
+    // the draw is a deterministic function of ids, not partitioning
+    val again = graft.queries.SimilarityQueries
+      .clusterSample(df.repartition(7), "vec_id", "embedding", 3, 4)
+      .as[(Int, Long, Int)].collect().toSeq
+    assert(again.sorted == out.sorted, "draw changed under repartitioning")
+  }
 }
