@@ -176,6 +176,13 @@ object Bench {
           warmTimes.sliding(2).forall(p => p(1) > p(0))
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // settle the heap BETWEEN queries, outside every timed window: each
+      // execution strands dead broadcast/cache blocks that only a driver
+      // GC lets the ContextCleaner reclaim, and without this the
+      // collection cost lands inside whichever LATER query's rep the JVM
+      // picks — the r6 q_ann_lsh signature (reps 0.84→1.61→2.39 in-bench,
+      // flat 0.79 isolated). Paying it here keeps every rep a plan cost.
+      System.gc()
       val repsOut = (1 to reps).flatMap { rep =>
         try {
           val (_, bytes, sec) = shuffleDelta(() => fn(spark, sfDir).queryExecution.toRdd.count())

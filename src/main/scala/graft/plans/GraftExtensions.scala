@@ -191,6 +191,10 @@ case class ResolveGraftOp(spark: org.apache.spark.sql.SparkSession)
         case "cluster_sample" => // (idCol, vecCol, dims, k)
           graft.queries.SimilarityQueries.clusterSample(
             dfs(0), str(0), str(1), lng(2).toInt, lng(3).toInt)
+        case "filter_funnel" => // (textCol, langCol, charsCol)
+          graft.queries.TextQueries.filterFunnel(dfs(0), str(0), str(1), str(2))
+        case "upsample_repeat" => // (langCol, idCol)
+          graft.queries.TrainingDataQueries.upsampleRepeat(dfs(0), str(0), str(1))
         case "salted_rolling" => // (key, ts, valCol, frameNs, chunkNs)
           graft.operators.SaltedWindow.saltedRollingSum(
             dfs(0), str(0), str(1), str(2), lng(3), lng(4))
@@ -336,6 +340,8 @@ object GraftFunctions {
     "top_ngrams" -> ("top_ngrams(table, idCol, textCol, n, k)", 4),
     "outlier_mad" -> ("outlier_mad(table, groupCol, valueCol, idCol)", 3),
     "cluster_sample" -> ("cluster_sample(table, idCol, vecCol, dims, k)", 4),
+    "filter_funnel" -> ("filter_funnel(table, textCol, langCol, charsCol)", 3),
+    "upsample_repeat" -> ("upsample_repeat(table, langCol, idCol)", 2),
     "salted_rolling" ->
       ("salted_rolling(table, key, ts, valCol, frameNs, chunkNs)", 5))
 

@@ -343,6 +343,77 @@ object TextQueries {
   def qTopNgrams(spark: SparkSession, dir: String): DataFrame =
     topNgramsOf(cachedDocTokens(spark, dir), TopNgramN, TopNgramK)
 
+  /** Funnel thresholds for [[qFilterFunnel]] — interpolated into BOTH
+    * engines so they cannot drift. The token-length band brackets the
+    * fixture's English mean-word-length mass (3.5–5.7 measured at
+    * sf0.1); the char bounds are the usual too-short-fragment /
+    * truncation-blob cuts. */
+  val FunnelMinChars = 100
+  val FunnelMaxChars = 520
+  val FunnelLang = "en"
+  val FunnelMinTokens = 20
+  val FunnelTokLenLo = "3.8"
+  val FunnelTokLenHi = "5.4"
+
+  /** Ordered rule cascade over the per-doc stats frame (n_chars, lang,
+    * n_toks, avg_tok): (rule name, Spark predicate, DuckDB predicate
+    * twin), written ONCE so the two engines cannot disagree on a
+    * threshold. avg_tok is rounded to 4dp on both sides BEFORE the band
+    * test (the shared rnd idiom), so the flag is a pure function of the
+    * displayed statistic. */
+  private val FunnelRules: Seq[(String, Column, String)] = Seq(
+    ("min_chars", col("n_chars") >= FunnelMinChars,
+      s"n_chars >= $FunnelMinChars"),
+    ("max_chars", col("n_chars") <= FunnelMaxChars,
+      s"n_chars <= $FunnelMaxChars"),
+    ("lang_en", col("lang") === FunnelLang, s"lang = '$FunnelLang'"),
+    ("min_tokens", col("n_toks") >= FunnelMinTokens,
+      s"n_toks >= $FunnelMinTokens"),
+    ("tok_len_band",
+      col("avg_tok") >= FunnelTokLenLo.toDouble &&
+        col("avg_tok") <= FunnelTokLenHi.toDouble,
+      s"avg_tok >= $FunnelTokLenLo AND avg_tok <= $FunnelTokLenHi"))
+
+  /** Quality-filter cascade attrition report (the FineWeb-style ablation
+    * table): apply the ordered rules and emit one row per stage —
+    * (stage, rule, n_in, n_dropped, n_out) — where n_dropped counts docs
+    * failing rule i among the survivors of rules 1..i-1. The report a
+    * curation run reads BEFORE committing to a filter set: a rule that
+    * drops 40% of the corpus gets ablated, a rule that drops 0.1% ships.
+    *
+    * Scale shape: one scan computes every rule flag map-side, one global
+    * aggregate folds them into the cumulative-survivor counters
+    * (partial agg in each task, a single merged row crosses the wire),
+    * and `stack` pivots the one row into the report. No join, no window,
+    * no per-doc output — the cost is the scan, at any corpus size. */
+  def filterFunnel(docs: DataFrame, textCol: String = "text",
+                   langCol: String = "lang",
+                   charsCol: String = "n_chars"): DataFrame = {
+    val stats = docs.select(
+      col(charsCol).as("n_chars"), col(langCol).as("lang"),
+      tokenCount(col(textCol)).as("n_toks"),
+      rnd(length(regexp_replace(col(textCol), "\\s", "")).cast("double") /
+        tokenCount(col(textCol)), 4).as("avg_tok"))
+    // cumulative conjunctions c1..cN: survivor-of-rules-1..i flags
+    val cums = FunnelRules.scanLeft(lit(true): Column) {
+      case (acc, (_, p, _)) => acc && p
+    }.drop(1)
+    val aggCols = count(lit(1)).as("s0") +:
+      cums.zipWithIndex.map { case (c, i) =>
+        sum(c.cast("long")).as(s"s${i + 1}") }
+    val one = stats.agg(aggCols.head, aggCols.tail: _*)
+    val stackArgs = FunnelRules.zipWithIndex.map { case ((name, _, _), i) =>
+      s"${i + 1}, '$name', s$i, s${i + 1}"
+    }.mkString(", ")
+    one.selectExpr(
+        s"stack(${FunnelRules.size}, $stackArgs) AS (stage, rule, n_in, n_out)")
+      .select(col("stage"), col("rule"), col("n_in"),
+        (col("n_in") - col("n_out")).as("n_dropped"), col("n_out"))
+  }
+
+  def qFilterFunnel(spark: SparkSession, dir: String): DataFrame =
+    filterFunnel(Tables.documents(spark, dir)).orderBy("stage")
+
   /** Incremental corpus dedup (daily-ingest shape): classify batch docs
     * (60 ≤ doc_id < 120) against the standing corpus (doc_id < 60) as
     * exact_dup / near_dup / new — see Dedup.incrementalDedup for the
@@ -696,6 +767,7 @@ object TextQueries {
     "q_crossdoc_ngram" -> qCrossdocNgram _,
     "q_unigram_logprob" -> qUnigramLogprob _,
     "q_top_ngrams" -> qTopNgrams _,
+    "q_filter_funnel" -> qFilterFunnel _,
     "q_dedup_incremental" -> qDedupIncremental _,
     "q_dedup_indexed" -> qDedupIndexed _,
     "q_dedup_best" -> qDedupBest _,
@@ -1076,6 +1148,25 @@ object TextQueries {
          |  FROM g GROUP BY 1)
          |SELECT gram, df, tf FROM a
          |ORDER BY df DESC, tf DESC, gram LIMIT $TopNgramK""".stripMargin
+    },
+    // the cascade SQL is GENERATED from the same FunnelRules seq as the
+    // Spark plan — a threshold can only change in both engines at once
+    "q_filter_funnel" -> {
+      val cumSql = (1 to FunnelRules.size).map(i =>
+        FunnelRules.take(i).map(_._3).mkString(" AND "))
+      val sums = cumSql.zipWithIndex.map { case (c, i) =>
+        s"CAST(sum(CASE WHEN $c THEN 1 ELSE 0 END) AS BIGINT) AS s${i + 1}" }
+      val rows = FunnelRules.zipWithIndex.map { case ((name, _, _), i) =>
+        s"SELECT ${i + 1} AS stage, '$name' AS rule, s$i AS n_in, " +
+          s"s$i - s${i + 1} AS n_dropped, s${i + 1} AS n_out FROM c" }
+      s"""WITH f AS (
+         |  SELECT n_chars, lang, len($TOKS) AS n_toks,
+         |    ${rndSql(s"length(regexp_replace(text, '\\s', '', 'g')) * 1.0 / len($TOKS)", 4)} AS avg_tok
+         |  FROM documents),
+         |c AS (SELECT CAST(count(*) AS BIGINT) AS s0,
+         |  ${sums.mkString(",\n  ")} FROM f)
+         |${rows.mkString("\nUNION ALL ")}
+         |ORDER BY stage""".stripMargin
     },
     "q_dedup_incremental" -> IncrementalSql,
     // identical-by-construction output (shared classify core over the

@@ -271,6 +271,73 @@ object TrainingDataQueries {
     samplePerGroup(Tables.documents(spark, dir), "source", "doc_id", PerGroupK)
       .orderBy("source", "draw_rank")
 
+  /** Training epochs per language for [[qUpsampleRepeat]] /
+    * [[qMixtureReport]] — interpolated into BOTH engines so they cannot
+    * drift. Fractions are exact in binary AND decimal (.25/.5/.75), so
+    * `epochs - floor(epochs)` is bit-identical across engines; a
+    * language absent from the map gets 0 epochs (dropped). fr < 1
+    * exercises the downsampling side of the same mechanism. */
+  val MixEpochs: Seq[(String, Double)] = Seq(
+    "en" -> 2.5, "de" -> 1.0, "fr" -> 0.5, "es" -> 3.25, "zh" -> 1.75)
+
+  /** Fractional-epoch repetition (the domain-weighting move behind
+    * "repeat the high-quality sources 2.5×"): each row is emitted
+    * floor(e) times plus once more with probability frac(e), decided by
+    * the deterministic salted hash — so 2.5 epochs means every doc
+    * appears twice and a hash-chosen half appear a third time. The SAME
+    * mechanism downsamples (e < 1) and drops (e = 0), making it the one
+    * primitive a mixture spec needs. Adds `repeat_idx` (1-based);
+    * preserves every input column so downstream packing/shuffling sees
+    * the repeated corpus as ordinary rows.
+    *
+    * Scale shape: pure map-side — a per-row epoch lookup, one hash, and
+    * a bounded array_repeat explode (width ≤ ceil(max epochs)); no
+    * shuffle, no state. At 100 TB the explode multiplies bytes by the
+    * mixture's mean epoch count — exactly the bytes a training run
+    * reads, paid once at materialization. */
+  def upsampleRepeat(df: DataFrame, langCol: String, idCol: String): DataFrame = {
+    val ep = MixEpochs.foldLeft(lit(0.0)) { case (acc, (k, v)) =>
+      when(col(langCol) === k, lit(v)).otherwise(acc)
+    }
+    val extra = (saltedHash(col(idCol), "epoch") <
+      (ep - floor(ep)) * lit(Two32.toDouble)).cast("int")
+    df.withColumn("__n_rep", (floor(ep).cast("int") + extra))
+      .select(col("*"), posexplode(array_repeat(lit(1), col("__n_rep"))))
+      .withColumn("repeat_idx", col("pos") + 1)
+      .drop("pos", "col", "__n_rep")
+  }
+
+  def qUpsampleRepeat(spark: SparkSession, dir: String): DataFrame =
+    upsampleRepeat(
+      Tables.documents(spark, dir).select("doc_id", "lang"), "lang", "doc_id")
+      .orderBy("doc_id", "repeat_idx")
+
+  /** Post-mixing token accounting: per language, how many distinct docs
+    * / rows / tokens the [[upsampleRepeat]] mixture actually yields and
+    * each language's share of the total token budget — the sanity table
+    * a mixture spec is checked against before a run burns compute on the
+    * wrong proportions.
+    *
+    * Scale shape: the upsample is map-side; tokens are counted on the
+    * BASE rows and multiplied through the repeat (never re-tokenizing
+    * repeats); one uniform groupBy(lang) plus a broadcast scalar total.
+    */
+  def qMixtureReport(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokenCount
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), tokenCount(col("text")).as("n_toks"))
+    val per = upsampleRepeat(base, "lang", "doc_id")
+      .groupBy("lang")
+      .agg(count_distinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_rows"),
+        sum("n_toks").cast("long").as("n_tokens"))
+    val tot = per.agg(sum("n_tokens").as("tot"))
+    per.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"), col("n_rows"), col("n_tokens"),
+        rnd(col("n_tokens") / col("tot"), 4).as("token_share"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pipeline_e2e" -> qPipelineE2e _,
     "q_sample_per_group" -> qSamplePerGroup _,
@@ -281,10 +348,22 @@ object TrainingDataQueries {
     "q_normalize" -> qNormalize _,
     "q_outlier_mad" -> qOutlierMad _,
     "q_domain_mix" -> qDomainMix _,
+    "q_upsample_repeat" -> qUpsampleRepeat _,
+    "q_mixture_report" -> qMixtureReport _,
   )
 
   private def hSql(expr: String, salt: String) =
     s"('0x' || substr(md5(CAST($expr AS VARCHAR) || '|$salt'), 1, 8))::BIGINT"
+
+  /** DuckDB twin of the [[MixEpochs]] lookup — CAST to DOUBLE so the
+    * fraction arithmetic is IEEE like Spark's, not DECIMAL. */
+  private def EpochsCaseSql: String =
+    "CAST(CASE lang " +
+      MixEpochs.map { case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ") +
+      " ELSE 0 END AS DOUBLE)"
+
+  /** DuckDB twin of TextFunctions.tokenCount. */
+  private val MixTokSql = "len(string_split_regex(trim(text), '\\s+'))"
 
   val oracles: Map[String, String] = Map(
     // chunk count is closed-form in the oracle (1 + (L-(len-stride+1))
@@ -378,6 +457,41 @@ object TrainingDataQueries {
          |SELECT doc_id, source, n_chars, robust_z,
          |  CAST(coalesce(abs(robust_z) > $MadZThreshold, false) AS INTEGER) AS outlier
          |FROM s ORDER BY doc_id""".stripMargin,
+    "q_upsample_repeat" ->
+      s"""WITH d AS (SELECT doc_id, lang, $EpochsCaseSql AS ep FROM documents),
+         |r AS (
+         |  SELECT doc_id, lang,
+         |    CAST(floor(ep) AS INTEGER) +
+         |      (CASE WHEN ${hSql("doc_id", "epoch")} < (ep - floor(ep)) * $Two32
+         |        THEN 1 ELSE 0 END) AS n_rep
+         |  FROM d)
+         |SELECT doc_id, lang, CAST(i AS INTEGER) AS repeat_idx
+         |FROM r, LATERAL (SELECT unnest(generate_series(1, n_rep)) AS i)
+         |ORDER BY doc_id, repeat_idx""".stripMargin,
+    // tokens counted on BASE docs and multiplied through the repeat via
+    // the unnest join, mirroring the Spark side's count-then-repeat
+    "q_mixture_report" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, $MixTokSql AS n_toks, $EpochsCaseSql AS ep
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, lang, n_toks,
+         |    CAST(floor(ep) AS INTEGER) +
+         |      (CASE WHEN ${hSql("doc_id", "epoch")} < (ep - floor(ep)) * $Two32
+         |        THEN 1 ELSE 0 END) AS n_rep
+         |  FROM d),
+         |u AS (
+         |  SELECT doc_id, lang, n_toks
+         |  FROM r, LATERAL (SELECT unnest(generate_series(1, n_rep)) AS i)),
+         |a AS (
+         |  SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |    CAST(count(*) AS BIGINT) AS n_rows,
+         |    CAST(sum(n_toks) AS BIGINT) AS n_tokens
+         |  FROM u GROUP BY lang),
+         |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM a)
+         |SELECT lang, n_docs, n_rows, n_tokens,
+         |  ${rndSql("n_tokens * 1.0 / tot", 4)} AS token_share
+         |FROM a, t ORDER BY lang""".stripMargin,
     "q_domain_mix" -> {
       // CAST each fraction to DOUBLE: a bare decimal literal is DECIMAL
       // in DuckDB and the rate arithmetic would round differently than

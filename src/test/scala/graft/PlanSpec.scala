@@ -467,6 +467,46 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("filter_funnel TVF: SQL == DataFrame, one global agg, no window/join") {
+    withExtensionsSession { s2 =>
+      Tables.documents(s2, TestSpark.Sf).createOrReplaceTempView("docs_fn")
+      val sql = s2.sql(
+        "SELECT * FROM filter_funnel('docs_fn', 'text', 'lang', 'n_chars') " +
+          "ORDER BY stage").collect().toSeq
+      val api = graft.queries.TextQueries.filterFunnel(
+        Tables.documents(s2, TestSpark.Sf)).orderBy("stage").collect().toSeq
+      assert(sql.nonEmpty && sql == api)
+      // the attrition report must fold to ONE row map-side: no window,
+      // no join — the only exchange is the single-row agg merge
+      val plan = graft.queries.TextQueries.filterFunnel(
+        Tables.documents(s2, TestSpark.Sf))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("HashAggregate"), plan.take(1500))
+      assert(!plan.contains("Window") && !plan.contains("SortMergeJoin"),
+        plan.take(1500))
+    }
+  }
+
+  test("upsample_repeat TVF: SQL == DataFrame, zero exchanges (pure map-side)") {
+    withExtensionsSession { s2 =>
+      Tables.documents(s2, TestSpark.Sf).createOrReplaceTempView("docs_ur")
+      val sql = s2.sql(
+        "SELECT doc_id, lang, repeat_idx FROM upsample_repeat('docs_ur', 'lang', 'doc_id') " +
+          "ORDER BY doc_id, repeat_idx").collect().toSeq
+      val api = graft.queries.TrainingDataQueries.upsampleRepeat(
+        Tables.documents(s2, TestSpark.Sf), "lang", "doc_id")
+        .select("doc_id", "lang", "repeat_idx")
+        .orderBy("doc_id", "repeat_idx").collect().toSeq
+      assert(sql.nonEmpty && sql == api)
+      // the repetition itself must never shuffle: epoch lookup, hash,
+      // bounded explode — all inside the scan's stage
+      val plan = graft.queries.TrainingDataQueries.upsampleRepeat(
+        Tables.documents(s2, TestSpark.Sf), "lang", "doc_id")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan.take(1500))
+    }
+  }
+
   test("simhash_dedup TVF: SQL == DataFrame path, pinned shuffled band join") {
     import org.apache.spark.sql.functions.col
     withExtensionsSession { s2 =>

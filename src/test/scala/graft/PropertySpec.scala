@@ -357,6 +357,81 @@ class PropertySpec extends AnyFunSuite {
     Seq(9L, 10L).foreach(id => assert(out(id)._2 == 0, s"mild row $id flagged"))
   }
 
+  test("filterFunnel matches a naive sequential-filter reference on random corpora") {
+    val rng = new scala.util.Random(11)
+    val langs = Seq("en", "de", "fr", "xx")
+    val docs = (0 until 120).map { id =>
+      val nToks = rng.nextInt(40)
+      val tokLen = 1 + rng.nextInt(8)
+      val text = Seq.fill(nToks)("x" * tokLen).mkString(" ")
+      (id.toLong, text, langs(rng.nextInt(langs.size)), text.length.toLong)
+    }
+    val df = docs.toDF("doc_id", "text", "lang", "n_chars")
+    val out = graft.queries.TextQueries.filterFunnel(df)
+      .orderBy("stage")
+      .as[(Int, String, Long, Long, Long)].collect().toSeq
+    // naive reference: apply each rule to the survivors of the previous
+    import graft.queries.TextQueries._
+    def avgTok(t: String): Double = {
+      val toks = t.trim.split("\\s+")
+      val nonWs = t.count(!_.isWhitespace).toDouble
+      math.floor(nonWs / toks.length * 1e4 + 0.5) / 1e4
+    }
+    val rules: Seq[(String, ((Long, String, String, Long)) => Boolean)] = Seq(
+      "min_chars" -> (d => d._4 >= FunnelMinChars),
+      "max_chars" -> (d => d._4 <= FunnelMaxChars),
+      "lang_en" -> (d => d._3 == FunnelLang),
+      "min_tokens" -> (d => d._2.trim.split("\\s+").length >= FunnelMinTokens),
+      "tok_len_band" -> (d => avgTok(d._2) >= FunnelTokLenLo.toDouble &&
+        avgTok(d._2) <= FunnelTokLenHi.toDouble))
+    var surv = docs
+    val ref = rules.zipWithIndex.map { case ((name, p), i) =>
+      val next = surv.filter(p)
+      val row = (i + 1, name, surv.size.toLong,
+        (surv.size - next.size).toLong, next.size.toLong)
+      surv = next
+      row
+    }
+    assert(out == ref, s"\n got=$out\n ref=$ref")
+    // structural invariants: stages chain and drops add up
+    out.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._5 == b._3, s"stage ${a._1} n_out != stage ${b._1} n_in")
+    }
+    out.foreach(r => assert(r._3 - r._4 == r._5, s"n_in - n_dropped != n_out: $r"))
+  }
+
+  test("upsampleRepeat: per-doc multiplicity is floor(e)/ceil(e), contiguous idx, stable") {
+    val rng = new scala.util.Random(23)
+    val langs = Seq("en", "de", "fr", "es", "zh", "xx")
+    val docs = (0 until 300).map(id => (id.toLong, langs(rng.nextInt(langs.size))))
+    val df = docs.toDF("doc_id", "lang")
+    val out = graft.queries.TrainingDataQueries.upsampleRepeat(df, "lang", "doc_id")
+      .select("doc_id", "lang", "repeat_idx")
+      .as[(Long, String, Int)].collect().toSeq
+    val epochs = graft.queries.TrainingDataQueries.MixEpochs.toMap
+    val perDoc = out.groupBy(_._1).view.mapValues(_.map(_._3).sorted).toMap
+    docs.foreach { case (id, lang) =>
+      val e = epochs.getOrElse(lang, 0.0)
+      val n = perDoc.get(id).map(_.size).getOrElse(0)
+      assert(n == math.floor(e).toInt || n == math.ceil(e).toInt,
+        s"doc $id lang $lang: $n repeats for e=$e")
+      // repeat_idx is exactly 1..n
+      perDoc.get(id).foreach(idxs => assert(idxs == (1 to n), s"doc $id idxs $idxs"))
+    }
+    // unknown lang always dropped; whole-epoch langs exact
+    docs.filter(_._2 == "xx").foreach(d => assert(!perDoc.contains(d._1)))
+    docs.filter(_._2 == "de").foreach(d => assert(perDoc(d._1).size == 1))
+    // fractional langs hit BOTH multiplicities across 300 docs
+    val enCounts = docs.filter(_._2 == "en").map(d => perDoc(d._1).size).toSet
+    assert(enCounts == Set(2, 3), s"en multiplicities $enCounts")
+    // deterministic under repartitioning
+    val again = graft.queries.TrainingDataQueries
+      .upsampleRepeat(df.repartition(7), "lang", "doc_id")
+      .select("doc_id", "lang", "repeat_idx")
+      .as[(Long, String, Int)].collect().toSeq
+    assert(again.sorted == out.sorted, "repeat set changed under repartitioning")
+  }
+
   test("clusterSample: sign-bit cells, exact per-cell widths, deterministic draw") {
     val rng = new scala.util.Random(19)
     val vecs = (0 until 200).map(id =>
