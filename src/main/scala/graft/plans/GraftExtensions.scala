@@ -193,6 +193,8 @@ case class ResolveGraftOp(spark: org.apache.spark.sql.SparkSession)
             dfs(0), str(0), str(1), lng(2).toInt, lng(3).toInt)
         case "filter_funnel" => // (textCol, langCol, charsCol)
           graft.queries.TextQueries.filterFunnel(dfs(0), str(0), str(1), str(2))
+        case "token_estimate" => // (idCol, textCol)
+          graft.queries.TextQueries.tokenEstimate(dfs(0), str(0), str(1))
         case "upsample_repeat" => // (langCol, idCol)
           graft.queries.TrainingDataQueries.upsampleRepeat(dfs(0), str(0), str(1))
         case "salted_rolling" => // (key, ts, valCol, frameNs, chunkNs)
@@ -341,6 +343,7 @@ object GraftFunctions {
     "outlier_mad" -> ("outlier_mad(table, groupCol, valueCol, idCol)", 3),
     "cluster_sample" -> ("cluster_sample(table, idCol, vecCol, dims, k)", 4),
     "filter_funnel" -> ("filter_funnel(table, textCol, langCol, charsCol)", 3),
+    "token_estimate" -> ("token_estimate(table, idCol, textCol)", 2),
     "upsample_repeat" -> ("upsample_repeat(table, langCol, idCol)", 2),
     "salted_rolling" ->
       ("salted_rolling(table, key, ts, valCol, frameNs, chunkNs)", 5))

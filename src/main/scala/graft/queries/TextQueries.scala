@@ -28,6 +28,40 @@ object TextQueries {
           tokenCount(col("text")), 4).as("avg_tok_len"))
       .orderBy("doc_id")
 
+  /** Max word-piece length for [[qTokenEstimate]] — interpolated into
+    * BOTH engines so they cannot drift. ~4 chars/token is the measured
+    * English BPE average (GPT-2 family). */
+  val SubwordMaxLen = 4
+
+  /** BPE-ish subword tokenizer regex: greedy `{1,N}` alpha runs make a
+    * w-letter word contribute exactly ceil(w/N) matches — per-word
+    * ceiling division by PURE MATCH COUNTING, no per-row lambda — while
+    * digits count one token each and each non-alphanumeric char (incl.
+    * CJK) stands alone, mirroring how byte-level BPE fragments them.
+    * Both regexp engines (Java, RE2) resolve this alternation
+    * identically: the classes are disjoint and the quantifier is greedy
+    * at a fixed position. */
+  val SubwordRe: String = s"[A-Za-z]{1,$SubwordMaxLen}|[0-9]|[^A-Za-z0-9\\s]"
+
+  /** Token-count estimation, both grains (the budget arithmetic behind
+    * every mixture/packing decision): whitespace tokens (the cheap
+    * count every filter uses) beside a BPE-ish subword estimate and the
+    * per-word fertility ratio (subwords/word — the standard tokenizer
+    * efficiency metric; ~1.3 for English BPE). Pure codegen'd per-row
+    * regex work: no shuffle but the presentation sort, scan-parallel at
+    * any size. */
+  def tokenEstimate(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      tokenCount(col(textCol)).as("n_ws_tokens"),
+      size(regexp_extract_all(col(textCol), lit(SubwordRe), lit(0)))
+        .cast("long").as("n_subword_est"))
+      .withColumn("fertility",
+        rnd(col("n_subword_est") / nullif(col("n_ws_tokens").cast("double"), lit(0.0)), 4))
+
+  def qTokenEstimate(spark: SparkSession, dir: String): DataFrame =
+    tokenEstimate(Tables.documents(spark, dir)).orderBy("doc_id")
+
   /** Composite quality score + bucket (quality-scoring op). */
   def qTextQuality(spark: SparkSession, dir: String): DataFrame = {
     // tokens materialized once (invariant 12: the stopword filters'
@@ -768,6 +802,7 @@ object TextQueries {
     "q_unigram_logprob" -> qUnigramLogprob _,
     "q_top_ngrams" -> qTopNgrams _,
     "q_filter_funnel" -> qFilterFunnel _,
+    "q_token_estimate" -> qTokenEstimate _,
     "q_dedup_incremental" -> qDedupIncremental _,
     "q_dedup_indexed" -> qDedupIndexed _,
     "q_dedup_best" -> qDedupBest _,
@@ -1149,6 +1184,17 @@ object TextQueries {
          |SELECT gram, df, tf FROM a
          |ORDER BY df DESC, tf DESC, gram LIMIT $TopNgramK""".stripMargin
     },
+    // the subword regex is the SAME Scala constant on both sides; greedy
+    // {1,N} alternation over disjoint classes resolves identically in
+    // Java regex and RE2
+    "q_token_estimate" ->
+      s"""WITH e AS (
+         |  SELECT doc_id, len($TOKS) AS n_ws_tokens,
+         |    CAST(len(regexp_extract_all(text, '$SubwordRe')) AS BIGINT) AS n_subword_est
+         |  FROM documents)
+         |SELECT doc_id, n_ws_tokens, n_subword_est,
+         |  ${rndSql("n_subword_est * 1.0 / nullif(n_ws_tokens, 0)", 4)} AS fertility
+         |FROM e ORDER BY doc_id""".stripMargin,
     // the cascade SQL is GENERATED from the same FunnelRules seq as the
     // Spark plan — a threshold can only change in both engines at once
     "q_filter_funnel" -> {

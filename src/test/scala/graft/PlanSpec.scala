@@ -487,6 +487,22 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("token_estimate TVF: SQL == DataFrame, zero exchanges (pure map-side)") {
+    withExtensionsSession { s2 =>
+      Tables.documents(s2, TestSpark.Sf).createOrReplaceTempView("docs_te")
+      val sql = s2.sql(
+        "SELECT * FROM token_estimate('docs_te', 'doc_id', 'text') ORDER BY doc_id")
+        .collect().toSeq
+      val api = graft.queries.TextQueries.tokenEstimate(
+        Tables.documents(s2, TestSpark.Sf)).orderBy("doc_id").collect().toSeq
+      assert(sql.nonEmpty && sql == api)
+      val plan = graft.queries.TextQueries.tokenEstimate(
+        Tables.documents(s2, TestSpark.Sf))
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan.take(1500))
+    }
+  }
+
   test("upsample_repeat TVF: SQL == DataFrame, zero exchanges (pure map-side)") {
     withExtensionsSession { s2 =>
       Tables.documents(s2, TestSpark.Sf).createOrReplaceTempView("docs_ur")

@@ -432,6 +432,33 @@ class PropertySpec extends AnyFunSuite {
     assert(again.sorted == out.sorted, "repeat set changed under repartitioning")
   }
 
+  test("tokenEstimate subword count is exact ceil-division word-piece arithmetic") {
+    val rng = new scala.util.Random(31)
+    import graft.queries.TextQueries.SubwordMaxLen
+    val docs = (0 until 60).map { id =>
+      val words = Seq.fill(rng.nextInt(15)) {
+        rng.nextInt(3) match {
+          case 0 => Seq.fill(1 + rng.nextInt(12))(('a' + rng.nextInt(26)).toChar).mkString
+          case 1 => rng.nextInt(100000).toString
+          case 2 => Seq.fill(1 + rng.nextInt(4))("?!,.;:#€中".charAt(rng.nextInt(9))).mkString
+        }
+      }
+      (id.toLong, words.mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val got = graft.queries.TextQueries.tokenEstimate(df)
+      .select("doc_id", "n_subword_est")
+      .as[(Long, Long)].collect().toMap
+    docs.foreach { case (id, text) =>
+      // naive reference: per alpha-run ceil(len/N); one per digit; one
+      // per other non-ws char
+      val ref = ("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]".r.findAllIn(text).map { m =>
+        if (m.head.isLetter) (m.length + SubwordMaxLen - 1) / SubwordMaxLen else 1
+      }).sum.toLong
+      assert(got(id) == ref, s"doc $id '$text': got ${got(id)} ref $ref")
+    }
+  }
+
   test("clusterSample: sign-bit cells, exact per-cell widths, deterministic draw") {
     val rng = new scala.util.Random(19)
     val vecs = (0 until 200).map(id =>
