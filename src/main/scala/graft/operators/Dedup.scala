@@ -549,4 +549,55 @@ object Dedup {
       .distinct()
       .filter(col("dist") <= maxDist)
   }
+
+  /** Directed containment pairs: C(a→b) = |S(a) ∩ S(b)| / |S(a)| ≥
+    * `threshold` over n-gram shingle sets, a ≠ b — the asymmetric
+    * near-dup signal Jaccard structurally misses: a short document
+    * wholly embedded in a long one has J = |a|/|b| (tiny) but
+    * C(a→b) = 1, so MinHash-LSH banding (which estimates Jaccard)
+    * never proposes the pair. Standard quote/boilerplate/excerpt
+    * detection in corpus curation.
+    *
+    * Scale shape — prefix filtering (the SSJoin/PPJoin family, Xiao et
+    * al. 2008), never the all-pairs join: C(a→b) ≥ t needs
+    * |∩| ≥ ceil(t·|a|), so by pigeonhole b must contain at least one of
+    * a's (|a| − ceil(t·|a|) + 1) RAREST shingles (global doc-frequency
+    * order, shingle-string tie-break — both sides must agree on the
+    * order, so it is computed once from the corpus-wide doc-frequency
+    * aggregate). Candidates = prefix(a) ⋈ allShingles(b) on the shingle
+    * — bounded by the doc lists of rare shingles, not by n². The filter
+    * is EXACT (no false negatives); the verify stage computes the true
+    * intersection over candidates only, the [[jaccardPairs]] cands
+    * shape. Stages: shingle explode (map) → doc-frequency wordcount →
+    * per-doc rank window (uniform doc keys) → rare-shingle equi-join →
+    * candidate-bounded verify. Nothing all-pairs at any corpus size. */
+  def containmentPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.6,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"containmentPairs: threshold must be in (0, 1] (got $threshold) — " +
+        "at 0 the prefix is the whole shingle set and the join degenerates to all-pairs")
+    val sh = shingleRows(docs, n, idCol, textCol).distinct()
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("na"))
+    val docFreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val prefixLen = (col("na") - ceil(lit(threshold) * col("na")) + 1).cast("int")
+    val ranked = sh.join(docFreq, "sh")
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(idCol)).orderBy(col("df"), col("sh"))))
+      .join(sizes, idCol)
+    val prefix = ranked.filter(col("rnk") <= prefixLen).select(col(idCol), col("sh"))
+    val cands = prefix.select(col(idCol).as("a"), col("sh"))
+      .join(sh.select(col(idCol).as("b"), col("sh")), "sh")
+      .filter(col("a") =!= col("b"))
+      .select("a", "b").distinct()
+    val inter = cands
+      .join(sh.select(col(idCol).as("a"), col("sh")), "a")
+      .join(sh.select(col(idCol).as("b"), col("sh")), Seq("b", "sh"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.select(col(idCol).as("a"), col("na")), "a")
+      .withColumn("containment", col("c") / col("na").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("a"), col("b"), col("containment"))
+  }
 }

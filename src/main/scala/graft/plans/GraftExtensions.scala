@@ -172,6 +172,10 @@ case class ResolveGraftOp(spark: org.apache.spark.sql.SparkSession)
         case "span_dedup" => // (idCol, textCol, spanLen)
           graft.operators.Dedup.spanDedup(
             dfs(0), spanLen = lng(2).toInt, idCol = str(0), textCol = str(1))
+        case "containment_pairs" => // (idCol, textCol, n, threshold)
+          graft.operators.Dedup.containmentPairs(
+            dfs(0), n = lng(2).toInt, threshold = dbl(3),
+            idCol = str(0), textCol = str(1))
         case "simhash_dedup" => // (idCol, textCol, maxDist)
           graft.operators.Dedup.simhashPairs(
             dfs(0), maxDist = lng(2).toInt, idCol = str(0), textCol = str(1))
@@ -335,6 +339,8 @@ object GraftFunctions {
     "minhash_dedup" -> ("minhash_dedup(table, idCol, textCol, threshold)", 3),
     "repetition_filter" -> ("repetition_filter(table, idCol, textCol)", 2),
     "pii_redact" -> ("pii_redact(table, idCol, textCol)", 2),
+    "containment_pairs" ->
+      ("containment_pairs(table, idCol, textCol, n, threshold)", 4),
     "simhash_dedup" -> ("simhash_dedup(table, idCol, textCol, maxDist)", 3),
     "span_dedup" -> ("span_dedup(table, idCol, textCol, spanLen)", 3),
     "crossdoc_ngram" -> ("crossdoc_ngram(table, idCol, textCol, n)", 3),

@@ -38,9 +38,14 @@ object TextQueries {
     * ceiling division by PURE MATCH COUNTING, no per-row lambda — while
     * digits count one token each and each non-alphanumeric char (incl.
     * CJK) stands alone, mirroring how byte-level BPE fragments them.
-    * Both regexp engines (Java, RE2) resolve this alternation
-    * identically: the classes are disjoint and the quantifier is greedy
-    * at a fixed position. */
+    * Both regexp engines (Java, RE2) resolve the alternation itself
+    * identically (disjoint classes, greedy quantifier at a fixed
+    * position). Known cross-engine edge, shared with every `\s`-based
+    * oracle in this file (TOKS, the text-stats char counts): Java's
+    * `\s` includes U+000B vertical tab, RE2's does not — a document
+    * containing U+000B would count it as a subword in DuckDB only. The
+    * fixture corpus has none; a production corpus should normalize
+    * control chars upstream. */
   val SubwordRe: String = s"[A-Za-z]{1,$SubwordMaxLen}|[0-9]|[^A-Za-z0-9\\s]"
 
   /** Token-count estimation, both grains (the budget arithmetic behind
@@ -136,6 +141,17 @@ object TextQueries {
   def qDedupJaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.jaccardPairs(Tables.documents(spark, dir).filter(col("doc_id") < 100), 1, 0.8)
       .select(col("a"), col("b"), rnd(col("jaccard"), 4).as("jaccard"))
+      .orderBy("a", "b")
+
+  /** Directed trigram-shingle containment pairs over a bounded id range
+    * — the asymmetric excerpt/quote signal (see
+    * [[graft.operators.Dedup.containmentPairs]]). The oracle computes
+    * the SAME containments by the unfiltered all-pairs join, so a green
+    * hash gate is an exactness proof for the prefix filter: any pair the
+    * rare-shingle prefix join failed to propose would be missing here. */
+  def qContainment(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(Tables.documents(spark, dir).filter(col("doc_id") < 100), 3, 0.6)
+      .select(col("a"), col("b"), rnd(col("containment"), 4).as("containment"))
       .orderBy("a", "b")
 
   /** Bigram-shingle similarity pairs (n-gram Jaccard at low threshold). */
@@ -432,9 +448,11 @@ object TextQueries {
     val cums = FunnelRules.scanLeft(lit(true): Column) {
       case (acc, (_, p, _)) => acc && p
     }.drop(1)
+    // coalesce: sum over ZERO rows is NULL, and an empty corpus must
+    // report zeros, not NULL attrition
     val aggCols = count(lit(1)).as("s0") +:
       cums.zipWithIndex.map { case (c, i) =>
-        sum(c.cast("long")).as(s"s${i + 1}") }
+        coalesce(sum(c.cast("long")), lit(0L)).as(s"s${i + 1}") }
     val one = stats.agg(aggCols.head, aggCols.tail: _*)
     val stackArgs = FunnelRules.zipWithIndex.map { case ((name, _, _), i) =>
       s"${i + 1}, '$name', s$i, s${i + 1}"
@@ -786,6 +804,7 @@ object TextQueries {
     "q_span_dedup" -> qSpanDedup _,
     "q_span_dedup_rowhash" -> qSpanDedupRowhash _,
     "q_dedup_jaccard" -> qDedupJaccard _,
+    "q_containment" -> qContainment _,
     "q_ngram_sim" -> qNgramSim _,
     "q_minhash_sig" -> qMinhashSig _,
     "q_dedup_minhash" -> qDedupMinhash _,
@@ -1075,6 +1094,23 @@ object TextQueries {
       s"""sh AS (
          |  SELECT DISTINCT doc_id, unnest($TOKS) AS s
          |  FROM documents WHERE doc_id < 100)""".stripMargin, 0.8),
+    // directed containment, deliberately ALL-PAIRS: the Spark side
+    // prosecutes the prefix-filtered join, so a green hash here proves
+    // the rare-shingle prefix proposes every qualifying pair (threshold
+    // applied to the unrounded ratio, as in the operator)
+    "q_containment" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS ts FROM documents WHERE doc_id < 100),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+         |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(ts) - 2)) AS i)),
+         |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |i AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+         |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id != y.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT a, b, floor((c * 1.0 / na.n) * 1e4 + 0.5) / 1e4 AS containment
+         |FROM i JOIN n na ON na.doc_id = a
+         |WHERE c * 1.0 / na.n >= 0.6 ORDER BY a, b""".stripMargin,
     "q_chunking" ->
       s"""WITH t AS (SELECT doc_id, $TOKS AS ts FROM documents WHERE doc_id < 50),
          |g AS (

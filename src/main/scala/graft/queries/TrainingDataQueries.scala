@@ -182,14 +182,20 @@ object TrainingDataQueries {
     * score so the flag can never disagree with the displayed value. */
   def outlierMad(df: DataFrame, groupCol: String, valueCol: String,
                  idCol: String): DataFrame = {
+    // col()-resolved args (a name like "a-b" must look up the column, not
+    // parse as SQL arithmetic) + reserved internal names guarded loudly
+    val reserved = Seq("__med", "__mad", "robust_z", "outlier")
+    val clash = reserved.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"outlier_mad: input must not contain reserved column(s) ${clash.mkString(", ")}")
     val med = df.groupBy(groupCol)
-      .agg(expr(s"percentile($valueCol, 0.5)").as("med"))
+      .agg(percentile(col(valueCol), lit(0.5)).as("__med"))
     val dev = df.join(broadcast(med), groupCol)
     val mad = dev.groupBy(groupCol)
-      .agg(expr(s"percentile(abs($valueCol - med), 0.5)").as("mad"))
+      .agg(percentile(abs(col(valueCol) - col("__med")), lit(0.5)).as("__mad"))
     dev.join(broadcast(mad), groupCol)
       .select(col(idCol), col(groupCol), col(valueCol),
-        rnd((lit(0.6745) * (col(valueCol) - col("med"))) / nullif(col("mad"), lit(0.0)), 4)
+        rnd((lit(0.6745) * (col(valueCol) - col("__med"))) / nullif(col("__mad"), lit(0.0)), 4)
           .as("robust_z"))
       .withColumn("outlier",
         coalesce(abs(col("robust_z")) > MadZThreshold, lit(false)).cast("int"))
@@ -296,6 +302,13 @@ object TrainingDataQueries {
     * mixture's mean epoch count — exactly the bytes a training run
     * reads, paid once at materialization. */
   def upsampleRepeat(df: DataFrame, langCol: String, idCol: String): DataFrame = {
+    // loud reserved-name guard + positional rename of the generator's
+    // (pos, col) output: a user column named pos/col would otherwise make
+    // the repeat_idx reference ambiguous — or worse, get silently dropped
+    val reserved = Seq("__n_rep", "__pos", "__one", "repeat_idx")
+    val clash = reserved.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"upsample_repeat: input must not contain reserved column(s) ${clash.mkString(", ")}")
     val ep = MixEpochs.foldLeft(lit(0.0)) { case (acc, (k, v)) =>
       when(col(langCol) === k, lit(v)).otherwise(acc)
     }
@@ -303,8 +316,9 @@ object TrainingDataQueries {
       (ep - floor(ep)) * lit(Two32.toDouble)).cast("int")
     df.withColumn("__n_rep", (floor(ep).cast("int") + extra))
       .select(col("*"), posexplode(array_repeat(lit(1), col("__n_rep"))))
-      .withColumn("repeat_idx", col("pos") + 1)
-      .drop("pos", "col", "__n_rep")
+      .toDF(df.columns ++ Seq("__n_rep", "__pos", "__one"): _*)
+      .withColumn("repeat_idx", col("__pos") + 1)
+      .drop("__pos", "__one", "__n_rep")
   }
 
   def qUpsampleRepeat(spark: SparkSession, dir: String): DataFrame =

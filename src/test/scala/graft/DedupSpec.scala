@@ -311,4 +311,41 @@ class DedupSpec extends AnyFunSuite {
     val sr = Dedup.spanDedup(selfRep, 5).select($"n_removed").as[Long].collect()
     assert(sr.toSeq == Seq(0L, 0L))
   }
+
+  test("containmentPairs: embedded excerpt scores 1.0 in the direction jaccard misses") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "intro words here alpha beta gamma delta plus a much longer tail " +
+        "of content that keeps going with many extra tokens"))
+      .toDF("doc_id", "text")
+    val c = Dedup.containmentPairs(corpus, 3, 0.9)
+      .as[(Long, Long, Double)].collect().toSeq
+    // the excerpt is wholly contained: C(1→2) = 1; the reverse direction
+    // is tiny and must NOT appear
+    assert(c == Seq((1L, 2L, 1.0)), s"got $c")
+    // symmetric jaccard structurally misses this pair (J = 2/21 here)
+    val j = Dedup.jaccardPairs(corpus, 3, 0.5).collect()
+    assert(j.isEmpty, "jaccard should not see the asymmetric pair")
+  }
+
+  test("containmentPairs: prefix-filtered join equals brute-force directed containment") {
+    val d = Tables.documents(spark, TestSpark.Sf).filter(col("doc_id") < 60)
+    val sh = graft.functions.TextFunctions.shingleRows(d, 3).distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("na"))
+    val brute = sh.select(col("doc_id").as("a"), col("sh"))
+      .join(sh.select(col("doc_id").as("b"), col("sh")), "sh")
+      .filter(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+      .join(sizes.select(col("doc_id").as("a"), col("na")), "a")
+      .withColumn("containment", col("c") / col("na").cast("double"))
+      .filter(col("containment") >= 0.2)
+      .select("a", "b", "containment")
+      .as[(Long, Long, Double)].collect().toSet
+    val fast = Dedup.containmentPairs(d, 3, 0.2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(fast.nonEmpty, "fixture should yield containment pairs at t=0.2")
+    assert(fast == brute, "prefix filter must be exact (no false negatives, no extras)")
+    // a degenerate threshold that would void the prefix bound is refused
+    intercept[IllegalArgumentException](Dedup.containmentPairs(d, 3, 0.0))
+  }
 }

@@ -430,6 +430,20 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("containment_pairs TVF: SQL == DataFrame") {
+    withExtensionsSession { s2 =>
+      Tables.documents(s2, TestSpark.Sf).filter(col("doc_id") < 60)
+        .createOrReplaceTempView("docs_cp")
+      val sql = s2.sql(
+        "SELECT * FROM containment_pairs('docs_cp', 'doc_id', 'text', 3, 0.2) " +
+          "ORDER BY a, b, containment").collect().toSeq
+      val api = graft.operators.Dedup.containmentPairs(
+        Tables.documents(s2, TestSpark.Sf).filter(col("doc_id") < 60), 3, 0.2)
+        .orderBy("a", "b", "containment").collect().toSeq
+      assert(sql.nonEmpty && sql == api)
+    }
+  }
+
   test("outlier_mad TVF: SQL == DataFrame, broadcast stats joins") {
     withExtensionsSession { s2 =>
       Tables.documents(s2, TestSpark.Sf).createOrReplaceTempView("docs_mad")

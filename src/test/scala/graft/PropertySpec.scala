@@ -355,6 +355,14 @@ class PropertySpec extends AnyFunSuite {
       assert(out(id)._2 == 0, s"constant group row $id flagged")
     }
     Seq(9L, 10L).foreach(id => assert(out(id)._2 == 0, s"mild row $id flagged"))
+    // value column names are resolved, never parsed as SQL: "n-chars"
+    // must read THE COLUMN, not compute n minus chars
+    val weird = Seq(("a", 1L, 10L), ("a", 2L, 12L), ("a", 3L, 11L))
+      .toDF("source", "doc_id", "n-chars")
+    val wr = graft.queries.TrainingDataQueries
+      .outlierMad(weird, "source", "n-chars", "doc_id")
+      .collect()
+    assert(wr.length == 3 && wr.forall(_.getInt(4) == 0))
   }
 
   test("filterFunnel matches a naive sequential-filter reference on random corpora") {
@@ -430,6 +438,30 @@ class PropertySpec extends AnyFunSuite {
       .select("doc_id", "lang", "repeat_idx")
       .as[(Long, String, Int)].collect().toSeq
     assert(again.sorted == out.sorted, "repeat set changed under repartitioning")
+    // payload columns survive — even ones named like the generator output
+    val payload = Seq((1L, "de", 7L, "x")).toDF("doc_id", "lang", "pos", "col")
+    val kept = graft.queries.TrainingDataQueries
+      .upsampleRepeat(payload, "lang", "doc_id")
+      .select("doc_id", "pos", "col", "repeat_idx")
+      .as[(Long, Long, String, Int)].collect().toSeq
+    assert(kept == Seq((1L, 7L, "x", 1)), s"payload clobbered: $kept")
+    // reserved names are refused loudly, never silently clobbered
+    intercept[IllegalArgumentException] {
+      graft.queries.TrainingDataQueries.upsampleRepeat(
+        Seq((1L, "de", 1)).toDF("doc_id", "lang", "repeat_idx"), "lang", "doc_id")
+    }
+  }
+
+  test("filterFunnel reports zeros (not NULLs) on an empty corpus") {
+    val empty = Seq.empty[(Long, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val out = graft.queries.TextQueries.filterFunnel(empty)
+      .orderBy("stage")
+      .as[(Int, String, Long, Long, Long)].collect().toSeq
+    assert(out.size == 5)
+    out.foreach { r =>
+      assert(r._3 == 0L && r._4 == 0L && r._5 == 0L, s"non-zero on empty: $r")
+    }
   }
 
   test("tokenEstimate subword count is exact ceil-division word-piece arithmetic") {
