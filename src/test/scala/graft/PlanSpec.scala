@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
 
 /** Plan-shape assertions (SURVEY §5.5): the physical properties the
   * 100 TB design depends on — broadcast for dimension joins, filter/column
