@@ -579,7 +579,14 @@ object Dedup {
     val sh = shingleRows(docs, n, idCol, textCol).distinct()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("na"))
     val docFreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-    val prefixLen = (col("na") - ceil(lit(threshold) * col("na")) + 1).cast("int")
+    // Exact prefix bound is na - ceil(t*na) + 1 == floor((1-t)*na) + 1, but
+    // double arithmetic can land a hair off an exact integer product and
+    // ceil/floor then round the prefix SHORT — the classic SSJoin float
+    // edge, risking a missed qualifying pair. Nudging up by 1e-9 before
+    // floor makes any float error lengthen the prefix (a few extra
+    // candidates, still exact) instead of shortening it (false negative).
+    val prefixLen =
+      (floor((lit(1.0) - lit(threshold)) * col("na") + lit(1e-9)) + 1).cast("int")
     val ranked = sh.join(docFreq, "sh")
       .withColumn("rnk", row_number().over(
         org.apache.spark.sql.expressions.Window

@@ -148,9 +148,13 @@ object TextQueries {
     * [[graft.operators.Dedup.containmentPairs]]). The oracle computes
     * the SAME containments by the unfiltered all-pairs join, so a green
     * hash gate is an exactness proof for the prefix filter: any pair the
-    * rare-shingle prefix join failed to propose would be missing here. */
+    * rare-shingle prefix join failed to propose would be missing here.
+    * Threshold 0.1 over doc_id < 500 is the fixture point where BOTH
+    * sf0.01 and sf0.1 emit non-trivial pairs (195 / 108) — at the r7
+    * setting (0.6, < 100) the slice had no qualifying pairs and the
+    * oracle row compared two empty sets. */
   def qContainment(spark: SparkSession, dir: String): DataFrame =
-    Dedup.containmentPairs(Tables.documents(spark, dir).filter(col("doc_id") < 100), 3, 0.6)
+    Dedup.containmentPairs(Tables.documents(spark, dir).filter(col("doc_id") < 500), 3, 0.1)
       .select(col("a"), col("b"), rnd(col("containment"), 4).as("containment"))
       .orderBy("a", "b")
 
@@ -1099,7 +1103,7 @@ object TextQueries {
     // the rare-shingle prefix proposes every qualifying pair (threshold
     // applied to the unrounded ratio, as in the operator)
     "q_containment" ->
-      s"""WITH t AS (SELECT doc_id, $TOKS AS ts FROM documents WHERE doc_id < 100),
+      s"""WITH t AS (SELECT doc_id, $TOKS AS ts FROM documents WHERE doc_id < 500),
          |sh AS (
          |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
          |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(ts) - 2)) AS i)),
@@ -1110,7 +1114,7 @@ object TextQueries {
          |  GROUP BY 1, 2)
          |SELECT a, b, floor((c * 1.0 / na.n) * 1e4 + 0.5) / 1e4 AS containment
          |FROM i JOIN n na ON na.doc_id = a
-         |WHERE c * 1.0 / na.n >= 0.6 ORDER BY a, b""".stripMargin,
+         |WHERE c * 1.0 / na.n >= 0.1 ORDER BY a, b""".stripMargin,
     "q_chunking" ->
       s"""WITH t AS (SELECT doc_id, $TOKS AS ts FROM documents WHERE doc_id < 50),
          |g AS (
