@@ -223,7 +223,11 @@ object Bench {
       val tmp = java.nio.file.Files.createTempDirectory("graft-streambench")
       streamTmp = tmp
       val batch = Tables.events(spark, sfDir)
-      val schema = batch.select("event_id", "ts", "user_id", "event_type", "value").schema
+      // the streaming source must be declared with the RAW on-disk schema
+      // (ts may be timestamp-typed in newer fixture vintages); Tables
+      // .normalizeTs then restores the engine's epoch-nano-long invariant
+      // on the stream, exactly as the batch reader does
+      val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
       // the SF tables are single parquet FILES and the streaming file
       // source only accepts directories — stage a zero-copy symlink dir
       val srcDir = tmp.resolve("events_src")
@@ -231,8 +235,8 @@ object Bench {
       java.nio.file.Files.createSymbolicLink(
         srcDir.resolve("events.parquet"),
         java.nio.file.Paths.get(sfDir, "events.parquet"))
-      def src = spark.readStream.schema(schema)
-        .parquet(srcDir.toString)
+      def src = Tables.normalizeTs(spark.readStream.schema(rawSchema)
+          .parquet(srcDir.toString))
         .select("event_id", "ts", "user_id", "event_type", "value").as[Ingest.Event]
       def runStream(name: String)(mk: org.apache.spark.sql.Dataset[Ingest.Event] =>
           org.apache.spark.sql.Dataset[_]): String = {

@@ -12,14 +12,38 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Tables {
   def read(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-    // reader rejects; read nanos as epoch-nano longs instead. Ordering and
-    // lag/window semantics over the long are identical to the timestamp;
-    // eventTs/eventDay (TimeSeriesQueries) convert where wall-clock
-    // values are needed. Set here (not in the session builder) so
-    // driver-created sessions that call queries directly also get it.
+    // Older fixture vintages write events.ts as TIMESTAMP(NANOS), which
+    // Spark's vectorized reader rejects; the legacy flag reads those nanos
+    // as epoch-nano longs. Newer vintages write timestamp[us]
+    // (isAdjustedToUTC=false → TIMESTAMP_NTZ). Set here (not in the
+    // session builder) so driver-created sessions that call queries
+    // directly also get it, then normalize so BOTH vintages surface the
+    // same canonical type (see normalizeTs).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/$name.parquet")
+    normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
+  }
+
+  /** Engine invariant: a column named `ts` is an epoch-NANOSECOND long.
+    * Ordering, lag/window and interval arithmetic over the long are
+    * identical to the timestamp; eventTs/eventDay (TimeSeriesQueries)
+    * convert where wall-clock values are needed. Fixture vintages differ
+    * (TIMESTAMP(NANOS)-as-long vs timestamp[us]-as-NTZ), so convert any
+    * timestamp-typed `ts` here — one reader-side projection instead of a
+    * type fork in every downstream operator. The NTZ case subtracts the
+    * epoch via timestampdiff, which involves no session timezone (the
+    * generator writes UTC instants as naive wall clocks). Works on batch
+    * and streaming frames alike. */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts",
+          expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts) * 1000L"))
+      case Some(TimestampType) =>
+        df.withColumn("ts", expr("unix_micros(ts) * 1000L"))
+      case _ => df
+    }
   }
 
   def region(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "region")

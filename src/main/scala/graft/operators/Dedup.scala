@@ -582,11 +582,17 @@ object Dedup {
     // Exact prefix bound is na - ceil(t*na) + 1 == floor((1-t)*na) + 1, but
     // double arithmetic can land a hair off an exact integer product and
     // ceil/floor then round the prefix SHORT — the classic SSJoin float
-    // edge, risking a missed qualifying pair. Nudging up by 1e-9 before
-    // floor makes any float error lengthen the prefix (a few extra
-    // candidates, still exact) instead of shortening it (false negative).
+    // edge, risking a missed qualifying pair. Nudge up before the floor so
+    // any float error lengthens the prefix (a few extra candidates, still
+    // exact) instead of shortening it. The nudge must scale with the
+    // operand: a fixed 1e-9 is smaller than a double's ulp once (1-t)*na
+    // passes ~4M shingles, so combine a relative 1e-12 factor (covers
+    // large na, where rounding error is proportional to magnitude) with
+    // the absolute 1e-9 floor (covers small na, where 1e-12·x underflows
+    // below one ulp of the product).
     val prefixLen =
-      (floor((lit(1.0) - lit(threshold)) * col("na") + lit(1e-9)) + 1).cast("int")
+      (floor((lit(1.0) - lit(threshold)) * col("na") * lit(1.0 + 1e-12) + lit(1e-9))
+        + 1).cast("int")
     val ranked = sh.join(docFreq, "sh")
       .withColumn("rnk", row_number().over(
         org.apache.spark.sql.expressions.Window
