@@ -13,16 +13,57 @@ import graft.operators.{ProductQuantization, Similarity}
   * Prints one line per tier: `RECALL <tier> <dir> <mean_recall@5>`.
   * The floors pinned in SimilarityQueries must sit just UNDER the
   * minimum across sf0.001/0.01/0.1, so a quality regression trips the
-  * in-plan gate while fixture-to-fixture variance does not. */
+  * in-plan gate while fixture-to-fixture variance does not.
+  *
+  * With `--json <path>` as the leading args, instead measures the FIVE
+  * recall-gated registered queries (q_ann_lsh/ivf/ivf_indexed/pq,
+  * q_semantic_dedup) per SF dir through the exact operator paths and
+  * recall definition their in-plan gates use
+  * ([[graft.queries.SimilarityQueries.recallReport]]) and writes one
+  * JSON artifact — the per-round `RECALL_r{N}.json` that makes recall
+  * drift across rounds diffable:
+  *
+  *   sbt "runMain graft.RecallProbe --json RECALL_r9.json \
+  *        /root/testdata/sf0.001 /root/testdata/sf0.01 /root/testdata/sf0.1"
+  */
 object RecallProbe {
   def main(args: Array[String]): Unit = {
-    val dirs = if (args.nonEmpty) args.toSeq else Seq("/root/testdata/sf0.01")
+    val (jsonOut, dirArgs) = args.toSeq match {
+      case "--json" +: path +: rest => (Some(path), rest)
+      case other                    => (None, other)
+    }
+    val dirs = if (dirArgs.nonEmpty) dirArgs else Seq("/root/testdata/sf0.01")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+
+    jsonOut.foreach { path =>
+      val perDir = dirs.map { dir =>
+        val rows = graft.queries.SimilarityQueries.recallReport(spark, dir)
+        val sf = dir.replaceAll(".*/", "")
+        sf -> rows
+      }
+      // query → {floor, per_sf: {sfX: {recall, corpus_rows, query_rows}}}
+      val names = perDir.head._2.map(_.query)
+      val body = names.map { qn =>
+        val floor = perDir.head._2.find(_.query == qn).get.floor
+        val sfs = perDir.map { case (sf, rows) =>
+          val r = rows.find(_.query == qn).get
+          f""""$sf":{"recall":${r.recall}%.4f,"corpus_rows":${r.corpusRows},""" +
+            s""""query_rows":${r.queryRows}}"""
+        }.mkString(",")
+        s""""$qn":{"floor":$floor,"k":5,"per_sf":{$sfs}}"""
+      }.mkString(",\n  ")
+      val json = s"""{"generated_by":"graft.RecallProbe --json","queries":{\n  $body\n}}\n"""
+      java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      println(s"RECALL json written to $path")
+      spark.stop()
+      return
+    }
 
     // the gate's own recall definition — measurement and enforcement
     // share one implementation by construction

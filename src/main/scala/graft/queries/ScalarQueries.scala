@@ -103,43 +103,68 @@ object ScalarQueries {
         rnd(covar_samp(col("l_quantity"), col("l_discount")), 4).as("cov_qty_disc"))
       .orderBy("l_returnflag")
 
-  /** Sketch family: HyperLogLog++ distinct counts and t-digest-style
-    * approximate percentiles next to their exact twins, self-gated — a
-    * stratum row survives only if BOTH approximations land within 5% of
-    * exact, so the driver's rows-only entry (no SQL oracle: DuckDB's
-    * approx algorithms differ) is a live accuracy gate. At 100 TB the
-    * sketches are the point: mergeable partial state, one pass, no
-    * giant distinct shuffle. */
+  /** Sketch family: HyperLogLog++ distinct counts and GK-summary
+    * approximate percentiles, HARD-gated (VERDICT r8 ask #3): the output
+    * carries the exact twins plus within-bound BOOLEANS, and the DuckDB
+    * oracle emits the same exact values with literal TRUE — the raw
+    * sketch estimates can't cross the hash gate (DuckDB's sketch
+    * algorithms differ), but a sketch drifting past ±5% of exact flips a
+    * boolean and fails the row, so accuracy is now on the driver's
+    * cell-exact compare instead of a self-filter. Sketch parameters are
+    * sized so the gate is deterministic-in-practice: HLL++ at rsd 0.01
+    * puts the 5% bound 5σ out; percentile accuracy 10000 bounds rank
+    * error at n/10000. At 100 TB the sketches are the point: mergeable
+    * partial state, one pass, no giant distinct shuffle — the exact
+    * comparators here exist solely to measure the bound (the production
+    * plan is [[qSketchLean]]). */
   def qApproxSketch(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy("event_type")
       .agg(
-        approx_count_distinct(col("user_id")).as("users_approx"),
+        approx_count_distinct(col("user_id"), 0.01).as("users_approx"),
         countDistinct(col("user_id")).as("users_exact"),
-        rnd(percentile_approx(col("value"), lit(0.5), lit(1000)), 4).as("p50_approx"),
-        rnd(expr("percentile(value, 0.5)"), 4).as("p50_exact"))
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_approx"),
+        expr("percentile(value, 0.5)").as("p50_raw"))
       // abs() on the denominator: a signed divisor would auto-pass every
-      // negative-median stratum and NULL-drop a zero median; the <= form
-      // keeps exact-zero medians passing when the sketch agrees exactly
-      .filter(
-        abs(col("users_approx") - col("users_exact")) <= lit(0.05) * col("users_exact") &&
-        abs(col("p50_approx") - col("p50_exact")) <= lit(0.05) * abs(col("p50_exact")))
+      // negative-median stratum; the <= form keeps exact-zero medians
+      // passing when the sketch agrees exactly
+      .select(
+        col("event_type"),
+        col("users_exact"),
+        rnd(col("p50_raw"), 4).as("p50_exact"),
+        (abs(col("users_approx") - col("users_exact")) <=
+          lit(0.05) * col("users_exact")).as("users_within"),
+        (abs(col("p50_approx") - col("p50_raw")) <=
+          lit(0.05) * abs(col("p50_raw"))).as("p50_within"))
       .orderBy("event_type")
 
-  /** PRODUCTION twin of [[qApproxSketch]] (VERDICT r4 item 5): sketches
-    * only — no exact `count(distinct)` / `percentile` twins, so the plan
-    * is the one-pass mergeable-partial-state aggregation a 100 TB caller
-    * actually runs (the gated twin pays ~4x for its exact comparators,
-    * which exist solely to measure the +-5% accuracy bound). Accuracy
-    * evidence lives in the gated twin over the SAME expressions and
-    * data; this entry is rows-only by the same no-cross-engine-sketch
-    * reasoning. */
+  /** PRODUCTION twin of [[qApproxSketch]] (VERDICT r4 item 5): no exact
+    * `count(distinct)` / `percentile` comparators, so the plan is the
+    * one-pass mergeable-partial-state aggregation a 100 TB caller
+    * actually runs — the only exact aggregates here (count/min/max) are
+    * constant-size map-side partials, nothing that re-introduces the
+    * per-key distinct state or full-value sort the sketches exist to
+    * avoid. Hard-gated (VERDICT r8 ask #3) on theorems rather than
+    * tolerance: percentile_approx returns an actual element of the data,
+    * so p50 ∈ [min, max] is exact; distinct ≤ row count makes the HLL
+    * cap a 5σ-safe bound at rsd 0.01; the oracle emits the exact
+    * count/min/max and literal TRUE for the certificate. */
   def qSketchLean(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy("event_type")
       .agg(
-        approx_count_distinct(col("user_id")).as("users_approx"),
-        rnd(percentile_approx(col("value"), lit(0.5), lit(1000)), 4).as("p50_approx"))
+        count(lit(1)).as("cnt"),
+        min(col("value")).as("vmin_raw"),
+        max(col("value")).as("vmax_raw"),
+        approx_count_distinct(col("user_id"), 0.01).as("users_approx"),
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_approx"))
+      .select(
+        col("event_type"), col("cnt"),
+        rnd(col("vmin_raw"), 4).as("vmin"),
+        rnd(col("vmax_raw"), 4).as("vmax"),
+        (col("users_approx") >= lit(1L) &&
+          col("users_approx") <= col("cnt").cast("double") * lit(1.2) &&
+          col("p50_approx").between(col("vmin_raw"), col("vmax_raw"))).as("sketch_sane"))
       .orderBy("event_type")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -182,6 +207,19 @@ object ScalarQueries {
       .orderBy("c_custkey")
 
   val oracles: Map[String, String] = Map(
+    "q_approx_sketch" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS users_exact,
+        |  floor((quantile_cont(value, 0.5)) * 1e4 + 0.5) / 1e4 AS p50_exact,
+        |  TRUE AS users_within,
+        |  TRUE AS p50_within
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_sketch_lean" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  floor((min(value)) * 1e4 + 0.5) / 1e4 AS vmin,
+        |  floor((max(value)) * 1e4 + 0.5) / 1e4 AS vmax,
+        |  TRUE AS sketch_sane
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_date_parts" ->
       """SELECT o_orderkey,
         |  CAST(year(o_orderdate) AS INTEGER) AS y,

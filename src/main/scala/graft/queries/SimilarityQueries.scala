@@ -337,6 +337,52 @@ object SimilarityQueries {
       ClusterSampleDims, ClusterSampleK)
       .orderBy("cell", "draw_rank")
 
+  /** One measured-recall row: registered query name, measured mean
+    * recall (recall@5 for the ANN tiers, pair recall for semantic
+    * dedup), the floor its in-plan gate enforces, and the corpus/query
+    * sizes the measurement ran at. */
+  case class RecallRow(query: String, recall: Double, floor: Double,
+                       corpusRows: Long, queryRows: Long)
+
+  /** Measured recall of every recall-gated registered query over one SF
+    * dir, via the SAME operator paths and [[perQueryRecall]] definition
+    * the in-plan gates use — the numbers behind the floor constants,
+    * emitted per round as `RECALL_r{N}.json` by [[graft.RecallProbe]]
+    * so recall drift across rounds is diffable instead of living in
+    * NOTES prose (VERDICT r8 ask #4). */
+  def recallReport(spark: SparkSession, dir: String): Seq[RecallRow] = {
+    val emb = Tables.embeddings(spark, dir)
+    val corpus = emb.count()
+    val q = emb.filter(col("vec_id") < 20)
+    val nq = q.count()
+    val brute = cachedBruteTop5(spark, dir)
+    def mean(approx: DataFrame): Double =
+      perQueryRecall(approx, brute).agg(avg(col("recall_at_5"))).head().getDouble(0)
+    val (pqModel, pqCodes) = cachedPqIndex(spark, dir)
+    val sem = Similarity.semanticDedupPairs(emb, 0.45, cachedQuantizer(spark, dir, 16))
+    val exactPairs = Similarity.nearDupPairsBlocked(emb, 0.45)
+    val pairRecall = exactPairs.select(col("a"), col("b"))
+      .join(sem.select(col("a"), col("b"), lit(1).as("hit")), Seq("a", "b"), "left")
+      .agg(coalesce(avg(coalesce(col("hit"), lit(0))), lit(1.0)))
+      .head().getDouble(0)
+    Seq(
+      RecallRow("q_ann_lsh",
+        mean(Similarity.lshTopK(emb, q, 5, planes = 8, multiProbe = 3)),
+        LshRecallFloor, corpus, nq),
+      RecallRow("q_ann_ivf",
+        mean(Similarity.ivfTopK(emb, q, 5, cachedQuantizer(spark, dir, 16), 4,
+          "vec_id", "embedding")),
+        IvfRecallFloor, corpus, nq),
+      RecallRow("q_ann_ivf_indexed",
+        mean(Similarity.ivfTopKIndexed(spark, cachedIvfIndex(spark, dir), q, 5,
+          cachedQuantizer(spark, dir, 16), 4)),
+        IvfRecallFloor, corpus, nq),
+      RecallRow("q_ann_pq",
+        mean(ProductQuantization.pqTopKFromCodes(emb, pqCodes, q, 5, pqModel, rerank = 50)),
+        PqRecallFloor, corpus, nq),
+      RecallRow("q_semantic_dedup", pairRecall, SemanticRecallFloor, corpus, nq))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embedding_norm" -> qEmbeddingNorm _,
     "q_embedding_stats" -> qEmbeddingStats _,

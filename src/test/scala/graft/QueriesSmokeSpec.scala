@@ -29,8 +29,7 @@ class QueriesSmokeSpec extends AnyFunSuite {
       Set("q_ann_lsh", "q_ann_ivf", "q_ann_ivf_indexed",
         "q_ann_pq", // recall-gated in-plan vs brute force (no SQL k-means/ADC)
         "q_ml_classifier",
-        "q_ml_regressor", "q_ml_serve", "q_ml_importances", "q_approx_sketch",
-        "q_sketch_lean", // sketch-only production twin of the gated q_approx_sketch
+        "q_ml_regressor", "q_ml_serve", "q_ml_importances",
         "q_semantic_dedup", // recall-gated in-plan vs the exact grid join (no SQL kmeans)
         "q_multimodal_decode")), // self-gated on closed-form luma (no PNG codec in DuckDB)
       s"undocumented rows-only: $noOracle")
