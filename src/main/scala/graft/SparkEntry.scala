@@ -31,7 +31,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
     graft.queries.TimeSeriesQueries.queries ++
-    graft.queries.TextQueries.queries ++
+    graft.queries.TextStats.queries ++
+    graft.queries.TextDedup.queries ++
     graft.queries.SimilarityQueries.queries ++
     graft.queries.MlQueries.queries ++
     graft.queries.ScalarQueries.queries ++
@@ -45,7 +46,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
     graft.queries.TimeSeriesQueries.oracles ++
-    graft.queries.TextQueries.oracles ++
+    graft.queries.TextOracles.oracles ++
     graft.queries.SimilarityQueries.oracles ++
     graft.queries.MlQueries.oracles ++
     graft.queries.ScalarQueries.oracles ++

@@ -87,7 +87,7 @@ object TextFunctions {
 
   /** [[shingleRows]] over a pre-tokenized frame `(idCol, ts:
     * array<string>)` — lets the text-stats family share ONE token
-    * materialization (TextQueries.cachedDocTokens) instead of
+    * materialization (TextStats.cachedDocTokens) instead of
     * re-splitting the corpus per query. */
   def shingleRowsOf(tokArr: org.apache.spark.sql.DataFrame, n: Int,
                     idCol: String = "doc_id"): org.apache.spark.sql.DataFrame =

@@ -418,7 +418,7 @@ object Dedup {
 
   /** [[spanDedup]] over a pre-tokenized frame `(idCol, ts:
     * array<string>)` — the shape the query layer memoizes
-    * (TextQueries.cachedDocTokens) so the regex split + parquet text
+    * (TextStats.cachedDocTokens) so the regex split + parquet text
     * scan is paid once across the whole text-stats family instead of
     * once per query construction. */
   def spanDedupOf(tokArr: DataFrame, spanLen: Int = 5,

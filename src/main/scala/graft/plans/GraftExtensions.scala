@@ -163,12 +163,12 @@ case class ResolveGraftOp(spark: org.apache.spark.sql.SparkSession)
           graft.operators.Dedup.minhashDedupPairs(
             dfs(0), idCol = str(0), textCol = str(1), threshold = dbl(2))
         case "repetition_filter" => // (idCol, textCol)
-          graft.queries.TextQueries.repetitionStats(dfs(0), str(0), str(1))
+          graft.queries.TextStats.repetitionStats(dfs(0), str(0), str(1))
         case "dedup_incremental" => // corpus, batch, (idCol, textCol, threshold)
           graft.operators.Dedup.incrementalDedup(
             dfs(0), dfs(1), threshold = dbl(2), idCol = str(0), textCol = str(1))
         case "pii_redact" => // (idCol, textCol)
-          graft.queries.TextQueries.piiRedact(dfs(0), str(0), str(1))
+          graft.queries.TextStats.piiRedact(dfs(0), str(0), str(1))
         case "span_dedup" => // (idCol, textCol, spanLen)
           graft.operators.Dedup.spanDedup(
             dfs(0), spanLen = lng(2).toInt, idCol = str(0), textCol = str(1))
@@ -180,13 +180,13 @@ case class ResolveGraftOp(spark: org.apache.spark.sql.SparkSession)
           graft.operators.Dedup.simhashPairs(
             dfs(0), maxDist = lng(2).toInt, idCol = str(0), textCol = str(1))
         case "crossdoc_ngram" => // (idCol, textCol, n)
-          graft.queries.TextQueries.crossdocNgramStats(
+          graft.queries.TextStats.crossdocNgramStats(
             dfs(0), n = lng(2).toInt, idCol = str(0), textCol = str(1))
         case "sample_per_group" => // (groupCol, idCol, k)
           graft.queries.TrainingDataQueries.samplePerGroup(
             dfs(0), str(0), str(1), lng(2).toInt)
         case "top_ngrams" => // (idCol, textCol, n, k)
-          graft.queries.TextQueries.topNgrams(
+          graft.queries.TextStats.topNgrams(
             dfs(0), n = lng(2).toInt, k = lng(3).toInt,
             idCol = str(0), textCol = str(1))
         case "outlier_mad" => // (groupCol, valueCol, idCol)
@@ -196,16 +196,16 @@ case class ResolveGraftOp(spark: org.apache.spark.sql.SparkSession)
           graft.queries.SimilarityQueries.clusterSample(
             dfs(0), str(0), str(1), lng(2).toInt, lng(3).toInt)
         case "filter_funnel" => // (textCol, langCol, charsCol)
-          graft.queries.TextQueries.filterFunnel(dfs(0), str(0), str(1), str(2))
+          graft.queries.TextStats.filterFunnel(dfs(0), str(0), str(1), str(2))
         case "token_estimate" => // (idCol, textCol)
-          graft.queries.TextQueries.tokenEstimate(dfs(0), str(0), str(1))
+          graft.queries.TextStats.tokenEstimate(dfs(0), str(0), str(1))
         case "upsample_repeat" => // (langCol, idCol)
           graft.queries.TrainingDataQueries.upsampleRepeat(dfs(0), str(0), str(1))
         case "salted_rolling" => // (key, ts, valCol, frameNs, chunkNs)
           graft.operators.SaltedWindow.saltedRollingSum(
             dfs(0), str(0), str(1), str(2), lng(3), lng(4))
         case "decontaminate" => // corpus, bench, (idCol, textCol)
-          graft.queries.TextQueries.decontaminate(
+          graft.queries.TextDedup.decontaminate(
             dfs(0), dfs(1), idCol = str(0), textCol = str(1))
         case "band_join" => // left, right, (key, lts, rts, tol)
           graft.operators.BandJoin.bandJoin(

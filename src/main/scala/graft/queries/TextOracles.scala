@@ -1,0 +1,512 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.operators.Dedup
+
+/** DuckDB oracle SQL for the [[TextStats]] + [[TextDedup]] query surface
+  * — the third file of the former TextQueries split (r8 ask #6). Shared
+  * CTE chains (span dedup, simhash, minhash+LSH, incremental classify,
+  * quality score) are written once and consumed by every oracle that
+  * needs them, mirroring how the Spark side shares operator bodies.
+  */
+object TextOracles {
+
+import TextStats._
+
+  private val NORM =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+  private val TOKS = "string_split_regex(trim(text), '\\s+')"
+  private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+  private def hitSql(ws: Seq[String]) =
+    s"len(list_filter($TOKS, x -> x IN (${inList(ws)})))"
+
+  private val TOKHASH =
+    s"""tok AS (SELECT doc_id, unnest($TOKS) AS t FROM documents),
+       |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS hv FROM tok)""".stripMargin
+
+  /** Shared CTE chain for the span-dedup oracles, ending in the per-doc
+    * swept aggregate `a(doc_id, n_tokens, n_removed, clean_text)`. Two
+    * final SELECTs consume it: q_span_dedup (full clean_text) and
+    * q_span_dedup_rowhash (md5 localizer). */
+  private val SpanDedupSqlBody =
+    s"""WITH t AS (SELECT doc_id, $TOKS AS ts FROM documents),
+       |tok AS (
+       |  SELECT doc_id, i AS pos, ts[i] AS tk
+       |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i)),
+       |g AS (
+       |  SELECT doc_id, i AS pos,
+       |    ('0x' || substr(md5(array_to_string(ts[i:i+4], ' ')), 1, 15))::BIGINT AS gh
+       |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(ts) - 4)) AS i)),
+       |dup AS (
+       |  SELECT gh, min(doc_id) AS owner FROM g
+       |  GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+       |rs AS (
+       |  SELECT g.doc_id, g.pos AS s FROM g JOIN dup USING (gh)
+       |  WHERE g.doc_id != dup.owner),
+       |cov AS (
+       |  SELECT tok.doc_id, tok.pos, tok.tk,
+       |    max(rs.s + 4) OVER (PARTITION BY tok.doc_id ORDER BY tok.pos) AS cover_end
+       |  FROM tok LEFT JOIN rs ON tok.doc_id = rs.doc_id AND tok.pos = rs.s),
+       |a AS (
+       |  SELECT doc_id,
+       |    CAST(count(*) AS BIGINT) AS n_tokens,
+       |    CAST(sum(CASE WHEN cover_end IS NOT NULL AND cover_end >= pos THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       |    coalesce(string_agg(
+       |      CASE WHEN cover_end IS NULL OR cover_end < pos THEN tk END,
+       |      ' ' ORDER BY pos), '') AS clean_text
+       |  FROM cov GROUP BY doc_id)""".stripMargin
+
+  /** DuckDB twin of Dedup.simhash (32-bit majority bit votes) ending in
+    * an `sh(doc_id, simhash)` CTE — ONE copy, shared by the q_simhash
+    * and q_simhash_neardup oracles. */
+  private val SimhashCtes =
+    s"""$TOKHASH,
+       |v AS (
+       |  SELECT doc_id,
+       |    ${(0 until 32).map(j =>
+          s"sum(CASE WHEN (hv >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(",\n    ")}
+       |  FROM h GROUP BY doc_id),
+       |sh AS (
+       |  SELECT doc_id,
+       |    ${(0 until 32).map(j => s"(CASE WHEN b$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
+          .mkString(" + ")} AS simhash
+       |  FROM v)""".stripMargin
+
+  /** DuckDB twin of TextFunctions.qualityScoreOf — ONE copy, shared by
+    * the q_text_quality and q_dedup_best oracles (the Scala side both
+    * mirror is also a single definition). */
+  private val QualitySql: String =
+    s"""least(len($TOKS) / 50.0, 1.0) * 0.4
+       |      + least((${hitSql(EnStop)} * 1.0 / len($TOKS)) * 5.0, 1.0) * 0.3
+       |      + coalesce(length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) * 1.0 / nullif(length(text), 0), 0.0) * 0.3""".stripMargin
+
+  /** DuckDB twin of Dedup.canonicalGroups over the verified MinHash dup
+    * pairs (consumes the [[MinhashCtes]] `j`/`cand` CTEs; shared by
+    * q_dedup_groups and q_dedup_best): dup pairs → undirected edges →
+    * recursive transitive closure → per-node min label `labelAlias`. */
+  private def ccSql(labelAlias: String): String =
+    s"""p AS (
+       |  SELECT j.a, j.b FROM j JOIN cand ON j.a = cand.a AND j.b = cand.b
+       |  WHERE jaccard >= 0.8),
+       |e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+       |reach(id, r) AS (
+       |  SELECT a, a FROM e
+       |  UNION
+       |  SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.id),
+       |lbl AS (SELECT id, min(r) AS $labelAlias FROM reach GROUP BY id)""".stripMargin
+
+  /** Decontamination oracle — shared verbatim by q_decontaminate and
+    * q_decontam_bloom (the bloom path is an exact-equivalent physical
+    * rewrite, not a different query). */
+  private val DecontamSql: String =
+    s"""WITH t AS (SELECT doc_id, $TOKS AS ts FROM documents),
+       |g AS (
+       |  SELECT DISTINCT doc_id,
+       |    ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] AS s
+       |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(ts) - 4)) AS i)),
+       |b AS (SELECT DISTINCT s FROM g WHERE doc_id < 10),
+       |c AS (
+       |  SELECT g.doc_id, count(*) AS n_hits
+       |  FROM g JOIN b USING (s) WHERE g.doc_id >= 10 GROUP BY 1)
+       |SELECT d.doc_id,
+       |  coalesce(c.n_hits, 0) AS n_contaminated_ngrams,
+       |  CAST(coalesce(c.n_hits, 0) = 0 AS INTEGER) AS keep
+       |FROM documents d LEFT JOIN c USING (doc_id)
+       |WHERE d.doc_id >= 10 ORDER BY d.doc_id""".stripMargin
+
+  /** Shared CTE chain of the MinHash+LSH dedup oracle (docs → token hash
+    * → signatures → bands → candidates → exact-Jaccard `j`); consumed by
+    * q_dedup_minhash (pair list) and q_dedup_groups (connected
+    * components over the same pairs). */
+  private val MinhashCtes: String =
+    s"""docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+       |tok AS (SELECT doc_id, unnest($TOKS) AS t FROM docs),
+       |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS hv FROM tok),
+       |sig AS (
+       |  SELECT doc_id,
+       |    ${(0 until 8).map(i => s"min(${Dedup.minhashSqlExpr(i)}) AS mh$i").mkString(",\n    ")}
+       |  FROM h GROUP BY doc_id),
+       |bands AS (
+       |  ${(0 until 4).map(b =>
+          s"SELECT doc_id, $b AS band, md5(mh${2*b}::VARCHAR || '_' || mh${2*b+1}::VARCHAR) AS bkey FROM sig")
+          .mkString("\n  UNION ALL\n  ")}),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |sh AS (SELECT DISTINCT doc_id, unnest($TOKS) AS s FROM docs),
+       |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |i AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+       |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2),
+       |j AS (
+       |  SELECT a, b, c * 1.0 / (na.n + nb.n - c) AS jaccard
+       |  FROM i JOIN n na ON na.doc_id = a JOIN n nb ON nb.doc_id = b)""".stripMargin
+
+  private def jaccardSql(shingleCte: String, threshold: Double): String =
+    s"""WITH $shingleCte,
+       |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |i AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+       |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2),
+       |j AS (
+       |  SELECT a, b, c * 1.0 / (na.n + nb.n - c) AS jaccard
+       |  FROM i JOIN n na ON na.doc_id = a JOIN n nb ON nb.doc_id = b)
+       |SELECT a, b, floor((jaccard) * 1e4 + 0.5) / 1e4 AS jaccard
+       |FROM j WHERE jaccard >= $threshold ORDER BY a, b""".stripMargin
+
+  /** DuckDB twin of the incremental (batch-vs-corpus) classification —
+    * ONE copy, shared by q_dedup_incremental and its index-probing twin
+    * q_dedup_indexed (identical output by construction; the shared
+    * oracle is the losslessness proof for the bucketed index). */
+  private val IncrementalSql: String =
+    s"""WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 120),
+       |tok AS (SELECT doc_id, unnest($TOKS) AS t FROM docs),
+       |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS hv FROM tok),
+       |sig AS (
+       |  SELECT doc_id,
+       |    ${(0 until 8).map(i => s"min(${Dedup.minhashSqlExpr(i)}) AS mh$i").mkString(",\n    ")}
+       |  FROM h GROUP BY doc_id),
+       |bands AS (
+       |  ${(0 until 4).map(b =>
+          s"SELECT doc_id, $b AS band, md5(mh${2 * b}::VARCHAR || '_' || mh${2 * b + 1}::VARCHAR) AS bkey FROM sig")
+          .mkString("\n  UNION ALL\n  ")}),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < 60 AND y.doc_id >= 60),
+       |sh AS (SELECT DISTINCT doc_id, unnest($TOKS) AS s FROM docs),
+       |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |i AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+       |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < 60 AND y.doc_id >= 60
+       |  GROUP BY 1, 2),
+       |j AS (
+       |  SELECT a, b, c * 1.0 / (na.n + nb.n - c) AS jaccard
+       |  FROM i JOIN n na ON na.doc_id = a JOIN n nb ON nb.doc_id = b),
+       |nr AS (
+       |  SELECT j.b AS doc_id, min(j.a) AS near_id
+       |  FROM j JOIN cand ON j.a = cand.a AND j.b = cand.b
+       |  WHERE jaccard >= 0.8 GROUP BY 1),
+       |fp AS (SELECT doc_id, md5($NORM) AS fp FROM docs),
+       |ex AS (
+       |  SELECT b.doc_id, min(a.doc_id) AS exact_id
+       |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < 60 AND b.doc_id >= 60
+       |  GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CASE WHEN ex.exact_id IS NOT NULL THEN 'exact_dup'
+       |       WHEN nr.near_id IS NOT NULL THEN 'near_dup'
+       |       ELSE 'new' END AS status,
+       |  coalesce(ex.exact_id, nr.near_id) AS match_id
+       |FROM documents d LEFT JOIN ex USING (doc_id) LEFT JOIN nr USING (doc_id)
+       |WHERE d.doc_id >= 60 AND d.doc_id < 120 ORDER BY d.doc_id""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_text_stats" ->
+      s"""SELECT doc_id, source,
+         |  len($TOKS) AS n_tokens,
+         |  length(text) AS len_chars,
+         |  floor((length(regexp_replace(text, '\\s', '', 'g')) * 1.0 / len($TOKS)) * 1e4 + 0.5) / 1e4 AS avg_tok_len
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_quality" ->
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |    ${hitSql(EnStop)} * 1.0 / len($TOKS) AS stop_ratio,
+         |    $QualitySql AS quality
+         |  FROM documents)
+         |SELECT doc_id,
+         |  floor((stop_ratio) * 1e4 + 0.5) / 1e4 AS stop_ratio,
+         |  floor((quality) * 1e4 + 0.5) / 1e4 AS quality,
+         |  CASE WHEN quality >= 0.75 THEN 'high' WHEN quality >= 0.5 THEN 'mid' ELSE 'low' END AS bucket
+         |FROM q ORDER BY doc_id""".stripMargin,
+    "q_lang_id" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, lang AS declared,
+         |    ${hitSql(EnStop)} * 1.0 / len($TOKS) AS s_en,
+         |    ${hitSql(DeStop)} * 1.0 / len($TOKS) AS s_de,
+         |    ${hitSql(EsStop)} * 1.0 / len($TOKS) AS s_es,
+         |    ${hitSql(FrStop)} * 1.0 / len($TOKS) AS s_fr
+         |  FROM documents)
+         |SELECT doc_id, declared,
+         |  CASE WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |       WHEN s_de > 0 AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |       WHEN s_es > 0 AND s_es >= s_fr THEN 'es'
+         |       WHEN s_fr > 0 THEN 'fr'
+         |       ELSE 'und' END AS predicted,
+         |  CAST(declared = (CASE WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |       WHEN s_de > 0 AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |       WHEN s_es > 0 AND s_es >= s_fr THEN 'es'
+         |       WHEN s_fr > 0 THEN 'fr'
+         |       ELSE 'und' END) AS INTEGER) AS agree
+         |FROM s ORDER BY doc_id""".stripMargin,
+    "q_text_fingerprint" ->
+      s"""SELECT doc_id, md5($NORM) AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_dedup_exact" ->
+      s"""SELECT md5($NORM) AS fp, min(doc_id) AS canonical_id, count(*) AS cnt
+         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+    // span dedup: same 60-bit gram identity, min-id owner, coverage
+    // sweep as running max over removal starts, ordered string_agg
+    // rebuild (string_agg skips the NULLed removed tokens). The final
+    // SELECT is driven from the documents table (LEFT JOIN onto the
+    // swept aggregate, the q_crossdoc_ngram shape) so a doc whose text
+    // yields no unnested positions can never silently vanish from the
+    // oracle side, and the integer sums are cast to BIGINT explicitly —
+    // DuckDB's sum() is HUGEINT, which some client paths (pandas)
+    // surface as float64/decimal and hash differently from Spark's
+    // LongType even when cell comparison says equal.
+    "q_span_dedup" ->
+      s"""$SpanDedupSqlBody
+         |SELECT d.doc_id,
+         |  CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(a.n_removed, 0) AS BIGINT) AS n_removed,
+         |  coalesce(a.clean_text, '') AS clean_text
+         |FROM documents d LEFT JOIN a USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // per-row hash localizer for q_span_dedup: identical values but
+    // clean_text replaced by its md5, so if the corpus-level hash gate
+    // ever trips again the failure localizes to specific rows (and
+    // discriminates value drift from string-canonicalization drift)
+    "q_span_dedup_rowhash" ->
+      s"""$SpanDedupSqlBody
+         |SELECT d.doc_id,
+         |  CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(a.n_removed, 0) AS BIGINT) AS n_removed,
+         |  md5(coalesce(a.clean_text, '')) AS clean_md5
+         |FROM documents d LEFT JOIN a USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    "q_dedup_jaccard" -> jaccardSql(
+      s"""sh AS (
+         |  SELECT DISTINCT doc_id, unnest($TOKS) AS s
+         |  FROM documents WHERE doc_id < 100)""".stripMargin, 0.8),
+    // directed containment, deliberately ALL-PAIRS: the Spark side
+    // prosecutes the prefix-filtered join, so a green hash here proves
+    // the rare-shingle prefix proposes every qualifying pair (threshold
+    // applied to the unrounded ratio, as in the operator)
+    "q_containment" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS ts FROM documents WHERE doc_id < 500),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+         |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(ts) - 2)) AS i)),
+         |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |i AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+         |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id != y.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT a, b, floor((c * 1.0 / na.n) * 1e4 + 0.5) / 1e4 AS containment
+         |FROM i JOIN n na ON na.doc_id = a
+         |WHERE c * 1.0 / na.n >= 0.1 ORDER BY a, b""".stripMargin,
+    "q_chunking" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS ts FROM documents WHERE doc_id < 50),
+         |g AS (
+         |  SELECT doc_id,
+         |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS BIGINT) AS chunk_idx,
+         |    CAST(least($ChunkLen, len(ts) - s + 1) AS BIGINT) AS n_tokens,
+         |    md5(array_to_string(ts[s : least(s + ${ChunkLen - 1}, len(ts))], ' ')) AS chunk_fp
+         |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(ts), $ChunkStride)) AS s)
+         |  WHERE s = 1 OR s + ${ChunkLen - ChunkStride} <= len(ts))
+         |SELECT doc_id, chunk_idx, n_tokens, chunk_fp
+         |FROM g ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_decontaminate" -> DecontamSql,
+    // bloom prefilter + exact verify has no false negatives and the join
+    // removes false positives — results are EXACTLY the plain
+    // decontamination's, so both queries share one oracle
+    "q_decontam_bloom" -> DecontamSql,
+    "q_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS ts FROM documents),
+         |g2 AS (
+         |  SELECT doc_id, ts[i] || ' ' || ts[i+1] AS s
+         |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i)),
+         |c2 AS (SELECT doc_id, s, count(*) AS c FROM g2 GROUP BY 1, 2),
+         |a2 AS (SELECT doc_id, max(c) * 1.0 / sum(c) AS f2 FROM c2 GROUP BY 1),
+         |g5 AS (
+         |  SELECT doc_id,
+         |    ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] AS s
+         |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(ts) - 4)) AS i)),
+         |c5 AS (SELECT doc_id, s, count(*) AS c FROM g5 GROUP BY 1, 2),
+         |a5 AS (
+         |  SELECT doc_id, sum(CASE WHEN c >= 2 THEN c ELSE 0 END) * 1.0 / sum(c) AS f5
+         |  FROM c5 GROUP BY 1)
+         |SELECT d.doc_id,
+         |  floor((coalesce(f2, 0)) * 1e4 + 0.5) / 1e4 AS top2_frac,
+         |  floor((coalesce(f5, 0)) * 1e4 + 0.5) / 1e4 AS dup5_frac,
+         |  CAST(coalesce(f2, 0) < 0.2 AND coalesce(f5, 0) < 0.15 AS INTEGER) AS keep
+         |FROM documents d LEFT JOIN a2 USING (doc_id) LEFT JOIN a5 USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+    "q_crossdoc_ngram" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS ts FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |    ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] AS s
+         |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(ts) - 4)) AS i)),
+         |nd AS (SELECT s, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1),
+         |a AS (
+         |  SELECT g.doc_id,
+         |    sum(CASE WHEN nd.nd >= 2 THEN length(g.s) ELSE 0 END) * 1.0
+         |      / sum(length(g.s)) AS f
+         |  FROM g JOIN nd USING (s) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  floor((coalesce(f, 0)) * 1e4 + 0.5) / 1e4 AS dup_char_frac,
+         |  CAST(coalesce(f, 0) < 0.30 AS INTEGER) AS keep
+         |FROM documents d LEFT JOIN a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+    "q_dedup_best" ->
+      s"""WITH RECURSIVE $MinhashCtes,
+         |${ccSql("label")},
+         |q AS (
+         |  SELECT doc_id, $QualitySql AS quality
+         |  FROM documents WHERE doc_id < 100),
+         |g AS (
+         |  SELECT q.doc_id, coalesce(lbl.label, q.doc_id) AS group_id, q.quality
+         |  FROM q LEFT JOIN lbl ON q.doc_id = lbl.id),
+         |r AS (
+         |  SELECT doc_id, group_id, quality,
+         |    row_number() OVER (PARTITION BY group_id ORDER BY quality DESC, doc_id) AS rk
+         |  FROM g)
+         |SELECT doc_id, group_id,
+         |  floor((quality) * 1e4 + 0.5) / 1e4 AS quality,
+         |  CAST(rk = 1 AS INTEGER) AS keep
+         |FROM r ORDER BY doc_id""".stripMargin,
+    "q_pii_redact" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, text,
+         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+         |      '$EmailRe', '[EMAIL]', 'g'), '$UrlRe', '[URL]', 'g'),
+         |      '$PhoneRe', '[PHONE]', 'g'), '$Ipv4Re', '[IP]', 'g') AS redacted
+         |  FROM documents)
+         |SELECT doc_id, redacted,
+         |  CAST(greatest(0,
+         |    len(regexp_extract_all(redacted, '\\[(EMAIL|URL|PHONE|IP)\\]'))
+         |    - len(regexp_extract_all(text, '\\[(EMAIL|URL|PHONE|IP)\\]'))) AS BIGINT) AS n_redactions
+         |FROM r ORDER BY doc_id""".stripMargin,
+    "q_unigram_logprob" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($TOKS) AS t FROM documents),
+         |freq AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+         |tot AS (SELECT count(*) AS n FROM tok),
+         |s AS (
+         |  SELECT tok.doc_id, -ln(freq.c * 1.0 / tot.n) AS lp
+         |  FROM tok JOIN freq USING (t) CROSS JOIN tot)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  floor((sum(lp) / count(*)) * 1e4 + 0.5) / 1e4 AS avg_neg_logprob
+         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // gram built positionally (ts[i..i+n-1]) exactly like the Spark
+    // slice+concat_ws shape; the LIMIT set is deterministic because the
+    // (df DESC, tf DESC, gram) ordering ends in a unique key
+    "q_top_ngrams" -> {
+      val gramExpr = (0 until TopNgramN).map(j => s"ts[i+$j]").mkString(" || ' ' || ")
+      s"""WITH t AS (SELECT doc_id, $TOKS AS ts FROM documents),
+         |g AS (
+         |  SELECT doc_id, $gramExpr AS gram
+         |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(ts) - ${TopNgramN - 1})) AS i)),
+         |a AS (
+         |  SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+         |    CAST(count(*) AS BIGINT) AS tf
+         |  FROM g GROUP BY 1)
+         |SELECT gram, df, tf FROM a
+         |ORDER BY df DESC, tf DESC, gram LIMIT $TopNgramK""".stripMargin
+    },
+    // the subword regex is the SAME Scala constant on both sides; greedy
+    // {1,N} alternation over disjoint classes resolves identically in
+    // Java regex and RE2
+    "q_token_estimate" ->
+      s"""WITH e AS (
+         |  SELECT doc_id, len($TOKS) AS n_ws_tokens,
+         |    CAST(len(regexp_extract_all(text, '$SubwordRe')) AS BIGINT) AS n_subword_est
+         |  FROM documents)
+         |SELECT doc_id, n_ws_tokens, n_subword_est,
+         |  ${rndSql("n_subword_est * 1.0 / nullif(n_ws_tokens, 0)", 4)} AS fertility
+         |FROM e ORDER BY doc_id""".stripMargin,
+    // the cascade SQL is GENERATED from the same FunnelRules seq as the
+    // Spark plan — a threshold can only change in both engines at once
+    "q_filter_funnel" -> {
+      val cumSql = (1 to FunnelRules.size).map(i =>
+        FunnelRules.take(i).map(_._3).mkString(" AND "))
+      val sums = cumSql.zipWithIndex.map { case (c, i) =>
+        s"CAST(sum(CASE WHEN $c THEN 1 ELSE 0 END) AS BIGINT) AS s${i + 1}" }
+      val rows = FunnelRules.zipWithIndex.map { case ((name, _, _), i) =>
+        s"SELECT ${i + 1} AS stage, '$name' AS rule, s$i AS n_in, " +
+          s"s$i - s${i + 1} AS n_dropped, s${i + 1} AS n_out FROM c" }
+      s"""WITH f AS (
+         |  SELECT n_chars, lang, len($TOKS) AS n_toks,
+         |    ${rndSql(s"length(regexp_replace(text, '\\s', '', 'g')) * 1.0 / len($TOKS)", 4)} AS avg_tok
+         |  FROM documents),
+         |c AS (SELECT CAST(count(*) AS BIGINT) AS s0,
+         |  ${sums.mkString(",\n  ")} FROM f)
+         |${rows.mkString("\nUNION ALL ")}
+         |ORDER BY stage""".stripMargin
+    },
+    "q_dedup_incremental" -> IncrementalSql,
+    // identical-by-construction output (shared classify core over the
+    // bucketed index artifacts) — the indexed twin shares the oracle,
+    // which is exactly what proves the index write/read is lossless
+    "q_dedup_indexed" -> IncrementalSql,
+    "q_ngram_sim" -> jaccardSql(
+      s"""t AS (SELECT doc_id, $TOKS AS ts FROM documents WHERE doc_id < 100),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i + 1] AS s
+         |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i))""".stripMargin, 0.05),
+    "q_minhash_sig" ->
+      s"""WITH $TOKHASH
+         |SELECT doc_id,
+         |  ${(0 until 8).map(i => s"min(${Dedup.minhashSqlExpr(i)}) AS mh$i").mkString(",\n  ")}
+         |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_dedup_minhash" ->
+      s"""WITH $MinhashCtes
+         |SELECT j.a, j.b, floor((jaccard) * 1e4 + 0.5) / 1e4 AS jaccard
+         |FROM j JOIN cand ON j.a = cand.a AND j.b = cand.b
+         |WHERE jaccard >= 0.8 ORDER BY j.a, j.b""".stripMargin,
+    "q_dedup_groups" ->
+      s"""WITH RECURSIVE $MinhashCtes,
+         |${ccSql("canonical_id")}
+         |SELECT d.doc_id, coalesce(lbl.canonical_id, d.doc_id) AS canonical_id
+         |FROM documents d LEFT JOIN lbl ON d.doc_id = lbl.id
+         |WHERE d.doc_id < 100 ORDER BY d.doc_id""".stripMargin,
+    "q_content_filter" ->
+      ("""WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(regexp_matches(text, '""" + EmailRe + """') AS INT) AS has_email,
+        |    CAST(regexp_matches(text, 'https?://') AS INT) AS has_url,
+        |    length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / nullif(length(text), 0) AS dr
+        |  FROM documents)
+        |SELECT doc_id, has_email, has_url,
+        |  floor((dr) * 1e4 + 0.5) / 1e4 AS digit_ratio,
+        |  CAST(has_email = 0 AND has_url = 0 AND dr < 0.3 AS INT) AS keep
+        |FROM f ORDER BY doc_id""").stripMargin,
+    "q_tfidf" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($TOKS) AS t FROM documents),
+         |tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dlen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+         |dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+         |nd AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.t,
+         |    (tf.tf * 1.0 / dlen.dl) * ln((nd.n_docs + 1.0) / (dfreq.df + 1.0)) AS tfidf
+         |  FROM tf JOIN dlen USING (doc_id) JOIN dfreq USING (t) CROSS JOIN nd
+         |  WHERE tf.doc_id < 20),
+         |r AS (
+         |  SELECT doc_id, t, tfidf,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, t) AS rank
+         |  FROM scored)
+         |SELECT doc_id, t AS term, floor((tfidf) * 1e6 + 0.5) / 1e6 AS tfidf, rank
+         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "q_simhash" ->
+      s"""WITH $SimhashCtes
+         |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin,
+    "q_simhash_neardup" ->
+      // brute-force all-pairs twin of the banded Spark shape — equal by
+      // the pigeonhole recall guarantee (see qSimhashNeardup)
+      s"""WITH $SimhashCtes
+         |SELECT x.doc_id AS a, y.doc_id AS b,
+         |  CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS dist
+         |FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+         |ORDER BY a, b""".stripMargin,
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        |  octet_length(CAST(text AS BLOB)) AS n_bytes,
+        |  CAST(floor((octet_length(CAST(text AS BLOB)) + 255) / 256) AS BIGINT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -211,7 +211,7 @@ object TrainingDataQueries {
     * content fingerprint) → benchmark decontamination (drop corpus docs
     * sharing any 5-gram with the doc_id<10 eval slice) → quality floor
     * (≥ 20 tokens) → chunk accounting (stride-window count with the
-    * no-redundant-tail guard, TextQueries.ChunkLen/ChunkStride). Every
+    * no-redundant-tail guard, TextStats.ChunkLen/ChunkStride). Every
     * stage is the same code path its standalone query runs: Dedup
     * .exactDedup, TextFunctions.shingleRows broadcast probe, the
     * qChunking starts formula. Scale shape: four linear scans of
@@ -228,8 +228,8 @@ object TrainingDataQueries {
     val contaminated = shingleRows(corpus, n)
       .join(broadcast(benchShingles), Seq("sh"))
       .select("doc_id").distinct()
-    val len = TextQueries.ChunkLen
-    val stride = TextQueries.ChunkStride
+    val len = TextStats.ChunkLen
+    val stride = TextStats.ChunkStride
     val kept = deduped
       .join(contaminated, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), tokens(col("text")).as("ts"))
@@ -406,7 +406,7 @@ object TrainingDataQueries {
         |  FROM g JOIN (SELECT DISTINCT s FROM g WHERE doc_id < 10) b USING (s)
         |  WHERE g.doc_id >= 10)
         |SELECT k.doc_id, CAST(k.L AS BIGINT) AS n_tokens,
-        |  CAST(1 + (k.L - ${TextQueries.ChunkLen - TextQueries.ChunkStride + 1}) // ${TextQueries.ChunkStride} AS BIGINT) AS n_chunks
+        |  CAST(1 + (k.L - ${TextStats.ChunkLen - TextStats.ChunkStride + 1}) // ${TextStats.ChunkStride} AS BIGINT) AS n_chunks
         |FROM keep k
         |WHERE k.doc_id NOT IN (SELECT doc_id FROM bad) AND k.L >= 20
         |ORDER BY k.doc_id""".stripMargin,

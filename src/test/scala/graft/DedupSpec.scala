@@ -152,9 +152,9 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("bloom-prefiltered decontamination equals the plain broadcast path") {
-    val plain = graft.queries.TextQueries.qDecontaminate(spark, TestSpark.Sf)
+    val plain = graft.queries.TextDedup.qDecontaminate(spark, TestSpark.Sf)
       .collect().toSeq
-    val bloom = graft.queries.TextQueries.qDecontamBloom(spark, TestSpark.Sf)
+    val bloom = graft.queries.TextDedup.qDecontamBloom(spark, TestSpark.Sf)
       .collect().toSeq
     assert(bloom == plain, "bloom prefilter changed decontamination results")
   }
@@ -197,7 +197,7 @@ class DedupSpec extends AnyFunSuite {
       (7L, "the log line said [EMAIL] was rejected"),
       (8L, "template [URL] plus real bob@example.com here")
     ).toDF("doc_id", "text")
-    val out = graft.queries.TextQueries.piiRedact(planted)
+    val out = graft.queries.TextStats.piiRedact(planted)
       .orderBy("doc_id")
       .as[(Long, String, Long)].collect().toSeq
     assert(out(0) == ((0L, "contact me at [EMAIL] for details", 1L)))
@@ -212,7 +212,7 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("best-of-cluster selection keeps exactly one doc per group, the top-quality one") {
-    val best = graft.queries.TextQueries.qDedupBest(TestSpark.spark, TestSpark.Sf)
+    val best = graft.queries.TextDedup.qDedupBest(TestSpark.spark, TestSpark.Sf)
       .select("doc_id", "group_id", "quality", "keep")
       .as[(Long, Long, Double, Int)].collect().toSeq
     val byGroup = best.groupBy(_._2)
@@ -241,7 +241,7 @@ class DedupSpec extends AnyFunSuite {
       // coalesce to 0 → keep (short docs are length-filtered elsewhere)
       (3L, "solo")
     ).toDF("doc_id", "text")
-    val got = graft.queries.TextQueries.repetitionStats(docs)
+    val got = graft.queries.TextStats.repetitionStats(docs)
       .orderBy("doc_id")
       .select("doc_id", "top2_frac", "dup5_frac", "keep")
       .as[(Long, Double, Double, Int)].collect().toSeq
@@ -263,7 +263,7 @@ class DedupSpec extends AnyFunSuite {
       // too short for any 5-gram → fraction 0 (coalesced), keep
       (3L, "tiny doc")
     ).toDF("doc_id", "text")
-    val got = graft.queries.TextQueries.crossdocNgramStats(docs)
+    val got = graft.queries.TextStats.crossdocNgramStats(docs)
       .orderBy("doc_id")
       .select("doc_id", "dup_char_frac", "keep")
       .as[(Long, Double, Int)].collect().toSeq
@@ -278,7 +278,7 @@ class DedupSpec extends AnyFunSuite {
       (0L, "exact same words in both documents here"),
       (1L, "exact same words in both documents here")
     ).toDF("doc_id", "text")
-    val g2 = graft.queries.TextQueries.crossdocNgramStats(dup)
+    val g2 = graft.queries.TextStats.crossdocNgramStats(dup)
       .select("dup_char_frac", "keep").as[(Double, Int)].collect().toSeq
     assert(g2 == Seq((1.0, 0), (1.0, 0)))
   }

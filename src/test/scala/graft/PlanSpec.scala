@@ -231,7 +231,7 @@ class PlanSpec extends AnyFunSuite {
       val repSql = s2.sql(
         "SELECT * FROM repetition_filter('docs', 'doc_id', 'text') ORDER BY doc_id")
         .collect().toSeq
-      val repApi = graft.queries.TextQueries.repetitionStats(
+      val repApi = graft.queries.TextStats.repetitionStats(
         Tables.documents(s2, TestSpark.Sf).filter(col("doc_id") < 100))
         .orderBy("doc_id").collect().toSeq
       assert(repSql.nonEmpty && repSql == repApi)
@@ -323,7 +323,7 @@ class PlanSpec extends AnyFunSuite {
       val piiSql = s2.sql(
         "SELECT * FROM pii_redact('docs_all', 'doc_id', 'text') ORDER BY doc_id")
         .collect().toSeq
-      val piiApi = graft.queries.TextQueries.piiRedact(docs)
+      val piiApi = graft.queries.TextStats.piiRedact(docs)
         .orderBy("doc_id").collect().toSeq
       assert(piiSql.nonEmpty && piiSql == piiApi)
       // salted_rolling: SQL == operator (which itself equals the
@@ -346,7 +346,7 @@ class PlanSpec extends AnyFunSuite {
           "TABLE(SELECT * FROM docs_all WHERE doc_id >= 10), " +
           "TABLE(SELECT * FROM docs_all WHERE doc_id < 10), " +
           "'doc_id', 'text') ORDER BY doc_id").collect().toSeq
-      val deApi = graft.queries.TextQueries.decontaminate(
+      val deApi = graft.queries.TextDedup.decontaminate(
         docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10))
         .orderBy("doc_id").collect().toSeq
       assert(deSql.nonEmpty && deSql == deApi)
@@ -419,12 +419,12 @@ class PlanSpec extends AnyFunSuite {
       val sql = s2.sql(
         "SELECT * FROM top_ngrams('docs_tng', 'doc_id', 'text', 3, 15)")
         .collect().toSeq
-      val api = graft.queries.TextQueries.topNgrams(
+      val api = graft.queries.TextStats.topNgrams(
         Tables.documents(s2, TestSpark.Sf), 3, 15).collect().toSeq
       assert(sql.nonEmpty && sql == api)
       // the global top-k must merge per-partition local top-ks, never
       // globally sort the gram table
-      val plan = graft.queries.TextQueries.topNgrams(
+      val plan = graft.queries.TextStats.topNgrams(
         Tables.documents(s2, TestSpark.Sf), 3, 15)
         .queryExecution.executedPlan.toString
       assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
@@ -488,12 +488,12 @@ class PlanSpec extends AnyFunSuite {
       val sql = s2.sql(
         "SELECT * FROM filter_funnel('docs_fn', 'text', 'lang', 'n_chars') " +
           "ORDER BY stage").collect().toSeq
-      val api = graft.queries.TextQueries.filterFunnel(
+      val api = graft.queries.TextStats.filterFunnel(
         Tables.documents(s2, TestSpark.Sf)).orderBy("stage").collect().toSeq
       assert(sql.nonEmpty && sql == api)
       // the attrition report must fold to ONE row map-side: no window,
       // no join — the only exchange is the single-row agg merge
-      val plan = graft.queries.TextQueries.filterFunnel(
+      val plan = graft.queries.TextStats.filterFunnel(
         Tables.documents(s2, TestSpark.Sf))
         .queryExecution.executedPlan.toString
       assert(plan.contains("HashAggregate"), plan.take(1500))
@@ -508,10 +508,10 @@ class PlanSpec extends AnyFunSuite {
       val sql = s2.sql(
         "SELECT * FROM token_estimate('docs_te', 'doc_id', 'text') ORDER BY doc_id")
         .collect().toSeq
-      val api = graft.queries.TextQueries.tokenEstimate(
+      val api = graft.queries.TextStats.tokenEstimate(
         Tables.documents(s2, TestSpark.Sf)).orderBy("doc_id").collect().toSeq
       assert(sql.nonEmpty && sql == api)
-      val plan = graft.queries.TextQueries.tokenEstimate(
+      val plan = graft.queries.TextStats.tokenEstimate(
         Tables.documents(s2, TestSpark.Sf))
         .queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"), plan.take(1500))
@@ -567,7 +567,7 @@ class PlanSpec extends AnyFunSuite {
       val sql = s2.sql(
         "SELECT * FROM crossdoc_ngram('docs_cd', 'doc_id', 'text', 5) ORDER BY doc_id")
         .collect().toSeq
-      val api = graft.queries.TextQueries.crossdocNgramStats(docs)
+      val api = graft.queries.TextStats.crossdocNgramStats(docs)
         .orderBy("doc_id").collect().toSeq
       assert(sql.nonEmpty && sql == api)
       // the n >= 1 guard surfaces through the TVF with the op name

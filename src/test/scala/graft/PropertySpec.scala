@@ -321,16 +321,16 @@ class PropertySpec extends AnyFunSuite {
         val ref = grams.groupBy(_._2).map { case (g, occ) =>
           (g, occ.map(_._1).distinct.size.toLong, occ.size.toLong)
         }.toSeq.sortBy(r => (-r._2, -r._3, r._1)).take(10)
-        val got = graft.queries.TextQueries.topNgrams(df, n, 10)
+        val got = graft.queries.TextStats.topNgrams(df, n, 10)
           .as[(String, Long, Long)].collect().toSeq
         assert(got == ref, s"trial $trial n=$n:\n got=$got\n ref=$ref")
       }
     }
     intercept[IllegalArgumentException] {
-      graft.queries.TextQueries.topNgrams(Seq((1L, "a b")).toDF("doc_id", "text"), 0, 5)
+      graft.queries.TextStats.topNgrams(Seq((1L, "a b")).toDF("doc_id", "text"), 0, 5)
     }
     intercept[IllegalArgumentException] {
-      graft.queries.TextQueries.topNgrams(Seq((1L, "a b")).toDF("doc_id", "text"), 2, 0)
+      graft.queries.TextStats.topNgrams(Seq((1L, "a b")).toDF("doc_id", "text"), 2, 0)
     }
   }
 
@@ -375,11 +375,11 @@ class PropertySpec extends AnyFunSuite {
       (id.toLong, text, langs(rng.nextInt(langs.size)), text.length.toLong)
     }
     val df = docs.toDF("doc_id", "text", "lang", "n_chars")
-    val out = graft.queries.TextQueries.filterFunnel(df)
+    val out = graft.queries.TextStats.filterFunnel(df)
       .orderBy("stage")
       .as[(Int, String, Long, Long, Long)].collect().toSeq
     // naive reference: apply each rule to the survivors of the previous
-    import graft.queries.TextQueries._
+    import graft.queries.TextStats._
     def avgTok(t: String): Double = {
       val toks = t.trim.split("\\s+")
       val nonWs = t.count(!_.isWhitespace).toDouble
@@ -455,7 +455,7 @@ class PropertySpec extends AnyFunSuite {
   test("filterFunnel reports zeros (not NULLs) on an empty corpus") {
     val empty = Seq.empty[(Long, String, String, Long)]
       .toDF("doc_id", "text", "lang", "n_chars")
-    val out = graft.queries.TextQueries.filterFunnel(empty)
+    val out = graft.queries.TextStats.filterFunnel(empty)
       .orderBy("stage")
       .as[(Int, String, Long, Long, Long)].collect().toSeq
     assert(out.size == 5)
@@ -466,7 +466,7 @@ class PropertySpec extends AnyFunSuite {
 
   test("tokenEstimate subword count is exact ceil-division word-piece arithmetic") {
     val rng = new scala.util.Random(31)
-    import graft.queries.TextQueries.SubwordMaxLen
+    import graft.queries.TextStats.SubwordMaxLen
     val docs = (0 until 60).map { id =>
       val words = Seq.fill(rng.nextInt(15)) {
         rng.nextInt(3) match {
@@ -478,7 +478,7 @@ class PropertySpec extends AnyFunSuite {
       (id.toLong, words.mkString(" "))
     }
     val df = docs.toDF("doc_id", "text")
-    val got = graft.queries.TextQueries.tokenEstimate(df)
+    val got = graft.queries.TextStats.tokenEstimate(df)
       .select("doc_id", "n_subword_est")
       .as[(Long, Long)].collect().toMap
     docs.foreach { case (id, text) =>
