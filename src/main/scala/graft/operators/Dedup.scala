@@ -424,10 +424,6 @@ object Dedup {
   def spanDedupOf(tokArr: DataFrame, spanLen: Int = 5,
                   idCol: String = "doc_id"): DataFrame = {
     require(spanLen >= 2, s"spanDedup: span length must be at least 2, got $spanLen")
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(idCol).orderBy("pos")
-    val tok = tokArr.select(col(idCol),
-      posexplode(col("ts")).as(Seq("pos", "t")))
     // gram at each start: the zero-HOF shingle shape (explode the start
     // positions, concat_ws over a top-level slice — the measured-fastest
     // form, TextFunctions.shingleRows) rather than lead windows: the
@@ -442,38 +438,54 @@ object Dedup {
         .otherwise(lit(null).cast("array<int>"))).as("pos"))
       .select(col(idCol), col("pos"),
         hash60(concat_ws(" ", slice(col("ts"), col("pos") + 1, lit(spanLen)))).as("gh"))
-    val dup = grams
+    // (gh, doc) grain first: within-doc occurrence positions of each
+    // gram, bounded by doc length — never the per-gram corpus-wide list
+    // a groupBy(gh).collect_list(doc) would risk on boilerplate grams.
+    // Both consumers below (the dup aggregate and the removal join)
+    // derive from THIS frame through the same Exchange(gh, doc), which
+    // AQE's ReuseExchange dedupes — the gram explode + hash is paid
+    // once, where the previous shape (agg branch + raw-join branch
+    // straight off the gram table) computed it twice. nd is a plain
+    // count here because (gh, doc) rows are already distinct per doc —
+    // no countDistinct expand.
+    val gdoc = grams.groupBy(col("gh"), col(idCol))
+      .agg(collect_list(col("pos")).as("poss"))
+    val dup = gdoc
       .groupBy("gh")
-      .agg(countDistinct(col(idCol)).as("nd"), min(col(idCol)).as("owner"))
+      .agg(count(lit(1)).as("nd"), min(col(idCol)).as("owner"))
       .filter(col("nd") >= 2)
-    // removal starts: every non-owner occurrence of a duplicated gram
-    val rs = grams.join(dup, "gh")
+    // removal-start ARRAYS per doc: every non-owner occurrence of a
+    // duplicated gram, kept at doc grain. flatten(collect_list) over the
+    // per-(gh, doc) position lists is bounded by doc length — a doc
+    // contributes at most one start per token position.
+    val rsArr = gdoc.join(dup, "gh")
       .filter(col(idCol) =!= col("owner"))
-      .select(col(idCol), col("pos"), lit(1).as("rm"))
-    // The sweep + rebuild below are token-position-grain work; most of
-    // the corpus shares no duplicated run, so restrict them to the
-    // TOUCHED docs (left-semi on removal starts) and emit the untouched
-    // majority map-side — n_tokens and the whitespace-collapsed text
-    // are definitionally what the sweep would produce at zero removals.
-    val touched = rs.select(col(idCol)).distinct()
-    // coverage sweep: token p is removed iff some removal window
-    // starting at s ≤ p still covers it (s + L - 1 ≥ p)
-    val cov = tok.join(touched, Seq(idCol), "left_semi")
-      .join(rs, Seq(idCol, "pos"), "left")
-      .withColumn("rm_end", when(col("rm").isNotNull, col("pos") + (spanLen - 1)))
-      .withColumn("cover_end",
-        max(col("rm_end")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("keep", col("cover_end").isNull || col("cover_end") < col("pos"))
-    val sweptOut = cov.groupBy(col(idCol))
-      .agg(
-        count(lit(1)).as("n_tokens"),
-        sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed"),
-        // rebuild: order-free aggregate, then one sort of the SURVIVING
-        // tokens per doc (presentation-path HOF, not per-token work)
-        concat_ws(" ", transform(
-          array_sort(collect_list(when(col("keep"), struct(col("pos"), col("t"))))),
-          x => x.getField("t"))).as("clean_text"))
-    val untouchedOut = tokArr.join(touched, Seq(idCol), "left_anti")
+      .groupBy(col(idCol))
+      .agg(flatten(collect_list(col("poss"))).as("starts"))
+    // The sweep + rebuild are per-doc work over the TOUCHED minority
+    // (most of the corpus shares no duplicated run): one doc-grain join
+    // of the cached token arrays against the removal-start arrays, then
+    // a map-side higher-order sweep — token p is removed iff some
+    // removal window starting at s ≤ p still covers it (s + L - 1 ≥ p).
+    // The HOF predicate is interpreted (non-codegen), but it runs only
+    // on touched docs × doc-length elements with per-doc start lists —
+    // versus the previous shape's full posexplode + (doc, pos) shuffle
+    // join + per-doc window sort + re-aggregation, which cost three
+    // extra exchanges on the corpus-wide token table. The untouched
+    // majority is emitted map-side: n_tokens and the whitespace-collapsed
+    // text are definitionally what the sweep would produce at zero
+    // removals.
+    val sweptOut = tokArr.join(rsArr, Seq(idCol))
+      .withColumn("keptIdx",
+        filter(sequence(lit(0), size(col("ts")) - 1),
+          p => !exists(col("starts"),
+            s => s <= p && s + lit(spanLen - 1) >= p)))
+      .select(col(idCol),
+        size(col("ts")).cast("long").as("n_tokens"),
+        (size(col("ts")) - size(col("keptIdx"))).cast("long").as("n_removed"),
+        concat_ws(" ",
+          transform(col("keptIdx"), i => element_at(col("ts"), i + 1))).as("clean_text"))
+    val untouchedOut = tokArr.join(rsArr.select(col(idCol)), Seq(idCol), "left_anti")
       .select(col(idCol),
         size(col("ts")).cast("long").as("n_tokens"),
         lit(0L).as("n_removed"),

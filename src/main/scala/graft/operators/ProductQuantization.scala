@@ -244,12 +244,28 @@ object ProductQuantization {
   }
 
   /** ADC lookup table for one query row: `lut(j)(c)` = rank-equivalent
-    * partial squared distance of query subvector j to centroid (j, c).
-    * m×ksub doubles, built map-side on the (bounded) query side. */
-  private def lutExpr(vec: Column, model: PqModel): Column =
-    array((0 until model.m).map { j =>
-      array(model.centroids(j).map(cc => partialD2(vec, j, cc, model.dsub)).toIndexedSeq: _*)
-    }: _*)
+    * partial squared distance of query subvector j to centroid (j, c) —
+    * Σ c² − 2·v_j·c, the [[partialD2]] math. m×ksub doubles, built
+    * map-side on the (bounded) query side.
+    *
+    * Built with HOFs over ONE nested centroid literal rather than an
+    * unrolled m×ksub tree of dot-product expressions: the unrolled form
+    * generated 256 codegen'd dot nodes whose Janino compile dominated
+    * the query's COLD rep (~1.3 s of the 2.8 s first execution). The
+    * HOF form is interpreted, but it evaluates only on the bounded
+    * query side (|q| rows) — the corpus-side ADC scan keeps its
+    * codegen'd element_at sum untouched. */
+  private def lutExpr(vec: Column, model: PqModel): Column = {
+    val dsub = model.dsub
+    val cents: Column = typedlit(
+      model.centroids.map(_.map(_.map(_.toDouble).toSeq).toSeq).toSeq)
+    transform(cents, (subC, j) =>
+      transform(subC, cArr =>
+        aggregate(
+          zip_with(cArr, slice(vec, j * lit(dsub) + 1, lit(dsub)),
+            (cc, vv) => cc * cc - lit(2.0) * cc * vv.cast("double")),
+          lit(0.0), (acc, x) => acc + x)))
+  }
 
   /** PQ ANN with exact rerank: ADC scan over codes → per-query top
     * `rerank` candidates → full-precision cosine on the candidate set →
