@@ -236,11 +236,12 @@ object SimilarityQueries {
     }
 
   /** Floor just under the minimum measured mean recall@5 across
-    * sf0.001/0.01/0.1 — 0.90 / 0.92 / 0.78 for m=16, ksub=16, rerank=50
-    * at the fit's maxIter=10 (graft.RecallProbe run 2026-08-13; m=8 or
-    * rerank=20 measured 0.36-0.79, below a usable gate) — same margin
-    * policy as [[IvfRecallFloor]] (0.06 under the minimum). */
-  val PqRecallFloor = 0.72
+    * sf0.001/0.01/0.1 — 0.89 / 0.90 / 0.75 for m=16, ksub=16, rerank=50
+    * with the in-driver Lloyd fit at maxIter=10 (graft.RecallProbe run
+    * 2026-08-13, RECALL_r9.json; m=8 or rerank=20 measured 0.36-0.79,
+    * below a usable gate) — same margin policy as [[IvfRecallFloor]]
+    * (0.06 under the minimum). */
+  val PqRecallFloor = 0.69
 
   /** Product-quantization ANN (16 subspaces × 16 centroids → 4-bit
     * codes, 32× compression of the 64-float embeddings) with exact
