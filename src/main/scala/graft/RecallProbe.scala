@@ -52,7 +52,11 @@ object RecallProbe {
         val floor = perDir.head._2.find(_.query == qn).get.floor
         val sfs = perDir.map { case (sf, rows) =>
           val r = rows.find(_.query == qn).get
-          f""""$sf":{"recall":${r.recall}%.4f,"corpus_rows":${r.corpusRows},""" +
+          // Locale.ROOT: the default-locale f interpolator would emit a
+          // comma decimal separator (invalid JSON) under e.g. de_DE
+          val rec = String.format(java.util.Locale.ROOT, "%.4f",
+            Double.box(r.recall))
+          s""""$sf":{"recall":$rec,"corpus_rows":${r.corpusRows},""" +
             s""""query_rows":${r.queryRows}}"""
         }.mkString(",")
         s""""$qn":{"floor":$floor,"k":5,"per_sf":{$sfs}}"""

@@ -92,7 +92,8 @@ object ProductQuantization {
     // one aggregate pass both rejects an empty corpus and catches
     // ragged vector lengths (a short row would otherwise encode against
     // a truncated slice and produce a WRONG code, not a failure)
-    val dims = corpus.agg(min(size(col(vecCol))).as("lo"), max(size(col(vecCol))).as("hi"))
+    val dims = corpus.agg(min(size(col(vecCol))).as("lo"), max(size(col(vecCol))).as("hi"),
+        count(lit(1)).as("n"))
       .head()
     require(!dims.isNullAt(0), "fitPq: corpus is empty")
     val dim = dims.getInt(0)
@@ -102,12 +103,21 @@ object ProductQuantization {
     require(dim % m == 0, s"embedding dim $dim must be divisible by m=$m")
     require(ksub >= 2, s"ksub must be at least 2, got $ksub")
     val dsub = dim / m
+    val nRows = dims.getLong(2)
     val sampled =
-      if (sampleFraction >= 1.0) corpus
-      else corpus.sample(withReplacement = false, sampleFraction, seed = 42)
-    // limit() before collect is the trainCap defense; scan order over a
-    // static table is deterministic, and the seeded sample above is the
-    // production path to an unbiased draw when the corpus is large
+      if (sampleFraction < 1.0) corpus.sample(withReplacement = false, sampleFraction, seed = 42)
+      else if (nRows <= trainCap) corpus
+      else {
+        // an UNBIASED capped draw, not a scan-order prefix: a corpus laid
+        // out by source/time/cluster (the common layout) would otherwise
+        // train codebooks on its leading region only and quantize the
+        // rest poorly — invisibly, since small fixtures sit under the
+        // cap. Oversample 10% so the post-sample limit() almost never
+        // binds; the count is already paid by the validation aggregate.
+        corpus.sample(withReplacement = false,
+          math.min(1.0, trainCap * 1.1 / nRows), seed = 42)
+      }
+    // limit() after the seeded sample is only the hard cap defense
     val train: Array[Array[Float]] = sampled
       .select(col(vecCol).cast("array<float>").as("__v"))
       .limit(trainCap)
@@ -167,17 +177,20 @@ object ProductQuantization {
         if (cnts(c) > 0) {
           var t = 0
           while (t < d) { cents(c)(t) = (sums(c)(t) / cnts(c)).toFloat; t += 1 }
-        } else {
-          // reseed an empty cluster to the globally worst-fit point
-          var worst = 0; var wd = -1.0; var i2 = 0
-          while (i2 < n) {
-            val dd = d2(points(i2), cents(assign(i2)))
-            if (dd > wd) { wd = dd; worst = i2 }
-            i2 += 1
-          }
-          cents(c) = points(worst).clone()
         }
         c += 1
+      }
+      // reseed EMPTY clusters to the worst-fit points, each to a
+      // DIFFERENT point (ranked by descending distance-to-own-centroid):
+      // reseeding every empty cluster to the single globally-worst point
+      // would ship duplicate centroids when two clusters empty in the
+      // same pass, silently shrinking the effective ksub
+      val empties = (0 until k).filter(cnts(_) == 0)
+      if (empties.nonEmpty) {
+        val ranked = (0 until n).sortBy(i => -d2(points(i), cents(assign(i))))
+        empties.zipWithIndex.foreach { case (c2, r) =>
+          cents(c2) = points(ranked(r % n)).clone()
+        }
       }
     }
     cents
