@@ -105,7 +105,21 @@ object ProductQuantization {
     val dsub = dim / m
     val nRows = dims.getLong(2)
     val sampled =
-      if (sampleFraction < 1.0) corpus.sample(withReplacement = false, sampleFraction, seed = 42)
+      if (sampleFraction < 1.0) {
+        // an explicit sample can STILL exceed trainCap on a big corpus —
+        // if it does, the limit() below would bind as a scan/partition-
+        // order prefix, exactly the clustered-layout training bias the
+        // unbiased-cap branch exists to prevent. Re-sample the explicit
+        // draw down to ~1.1·trainCap first (nRows makes the expected
+        // sample size computable), so the limit stays a never-binding
+        // defense on this path too.
+        val expected = nRows * sampleFraction
+        val base = corpus.sample(withReplacement = false, sampleFraction, seed = 42)
+        if (expected > trainCap)
+          base.sample(withReplacement = false,
+            math.min(1.0, trainCap * 1.1 / expected), seed = 43)
+        else base
+      }
       else if (nRows <= trainCap) corpus
       else {
         // an UNBIASED capped draw, not a scan-order prefix: a corpus laid
