@@ -103,28 +103,63 @@ object ScalarQueries {
         rnd(covar_samp(col("l_quantity"), col("l_discount")), 4).as("cov_qty_disc"))
       .orderBy("l_returnflag")
 
+  /** Row cap for [[qApproxSketch]]'s diagnostic input, interpolated into
+    * BOTH engines. 20k ≫ the 10k sf0.01 fixture, so the cap binds only
+    * at sf0.1+ and the sf0.001/0.01 oracle values are unchanged. */
+  val SketchDiagCap = 20000L
+
   /** Sketch family: HyperLogLog++ distinct counts and GK-summary
     * approximate percentiles, HARD-gated (VERDICT r8 ask #3): the output
     * carries the exact twins plus within-bound BOOLEANS, and the DuckDB
     * oracle emits the same exact values with literal TRUE — the raw
     * sketch estimates can't cross the hash gate (DuckDB's sketch
     * algorithms differ), but a sketch drifting past ±5% of exact flips a
-    * boolean and fails the row, so accuracy is now on the driver's
+    * boolean and fails the row, so accuracy is on the driver's
     * cell-exact compare instead of a self-filter. Sketch parameters are
     * sized so the gate is deterministic-in-practice: HLL++ at rsd 0.01
     * puts the 5% bound 5σ out; percentile accuracy 10000 bounds rank
-    * error at n/10000. At 100 TB the sketches are the point: mergeable
-    * partial state, one pass, no giant distinct shuffle — the exact
-    * comparators here exist solely to measure the bound (the production
-    * plan is [[qSketchLean]]). */
-  def qApproxSketch(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .groupBy("event_type")
+    * error at n/10000.
+    *
+    * BOUNDED diagnostic input (VERDICT r9 ask #5 — at sf0.1 the exact
+    * comparators made this the board's most expensive query, 6.75 s, and
+    * the bench was pricing a shape no production caller runs): both the
+    * sketches and their exact twins now run over a deterministic
+    * cross-engine hash subsample capped at ≈[[SketchDiagCap]] rows — the
+    * shared md5 draw idiom, with the keep test in exact INTEGER
+    * arithmetic (hash·total < cap·2³²; no float boundary row can differ
+    * between engines; overflows only past ~2·10⁹ rows, where a capped
+    * diagnostic would sample by fraction literal instead). Under the cap
+    * the filter keeps everything, so small-SF values are identical to the
+    * uncapped form. Sketch-vs-exact on the SAME capped input is still the
+    * accuracy A/B (HLL++ relative error is size-independent; the GK rank
+    * bound only tightens at 20k rows), and every column stays oracled.
+    * At 100 TB the sketches are the point: mergeable partial state, one
+    * pass, no giant distinct shuffle — the exact comparators exist solely
+    * to measure the bound (the production plan is [[qSketchLean]]). */
+  def qApproxSketch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val total = ev.agg(count(lit(1)).as("total"))
+    val h = graft.functions.TextFunctions.hash32(
+      concat(col("event_id").cast("string"), lit("|sketchdiag")))
+    val diag = ev.crossJoin(broadcast(total))
+      .filter(h * col("total") < lit(SketchDiagCap) * lit(4294967296L))
+      .select("event_type", "user_id", "value")
+    // exact-distinct in its OWN aggregation, broadcast-joined back: mixing
+    // countDistinct with the other aggregates triggers Spark's two-phase
+    // distinct rewrite, whose partial aggregate keys on (event_type,
+    // user_id) and materializes the rsd-0.01 HLL buffer (~1.6k longs) AND
+    // the percentile value buffer PER PAIR — measured 89.6 MiB of partial
+    // state shuffled at sf0.1 and ~5 s of the old 6.75 s. Split, the
+    // sketch aggregate stays keyed by event_type (5 groups) and the
+    // distinct state exists only where it is actually needed.
+    val exactUsers = diag.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("users_exact"))
+    diag.groupBy("event_type")
       .agg(
         approx_count_distinct(col("user_id"), 0.01).as("users_approx"),
-        countDistinct(col("user_id")).as("users_exact"),
         percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_approx"),
         expr("percentile(value, 0.5)").as("p50_raw"))
+      .join(broadcast(exactUsers), Seq("event_type"))
       // abs() on the denominator: a signed divisor would auto-pass every
       // negative-median stratum; the <= form keeps exact-zero medians
       // passing when the sketch agrees exactly
@@ -137,6 +172,7 @@ object ScalarQueries {
         (abs(col("p50_approx") - col("p50_raw")) <=
           lit(0.05) * abs(col("p50_raw"))).as("p50_within"))
       .orderBy("event_type")
+  }
 
   /** PRODUCTION twin of [[qApproxSketch]] (VERDICT r4 item 5): no exact
     * `count(distinct)` / `percentile` comparators, so the plan is the
@@ -146,9 +182,14 @@ object ScalarQueries {
     * per-key distinct state or full-value sort the sketches exist to
     * avoid. Hard-gated (VERDICT r8 ask #3) on theorems rather than
     * tolerance: percentile_approx returns an actual element of the data,
-    * so p50 ∈ [min, max] is exact; distinct ≤ row count makes the HLL
-    * cap a 5σ-safe bound at rsd 0.01; the oracle emits the exact
-    * count/min/max and literal TRUE for the certificate. */
+    * so p50 ∈ [min, max] is exact; distinct ≤ row count is exact.
+    * The `users_approx ≤ 1.2·cnt` cap is a GROSS-sanity bound only
+    * (ADVICE r9): cnt counts ROWS, so whenever users repeat the cap is
+    * arbitrarily loose — it catches a catastrophically broken sketch
+    * (NaN, negative, order-of-magnitude blowup), not ±5% drift. A
+    * tighter cap would need per-key distinct state, precisely what this
+    * plan exists to avoid; the real ±5% accuracy evidence lives in
+    * [[qApproxSketch]]'s oracled A/B booleans. */
   def qSketchLean(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy("event_type")
@@ -208,12 +249,19 @@ object ScalarQueries {
 
   val oracles: Map[String, String] = Map(
     "q_approx_sketch" ->
-      """SELECT event_type,
+      // the same capped deterministic draw as the Spark side: integer
+      // keep test hash·total < cap·2^32, so no boundary row can differ
+      s"""WITH t AS (SELECT count(*) AS total FROM events),
+        |s AS (
+        |  SELECT e.event_type, e.user_id, e.value FROM events e, t
+        |  WHERE ('0x' || substr(md5(CAST(e.event_id AS VARCHAR) || '|sketchdiag'), 1, 8))::BIGINT
+        |        * t.total < $SketchDiagCap * 4294967296)
+        |SELECT event_type,
         |  count(DISTINCT user_id) AS users_exact,
         |  floor((quantile_cont(value, 0.5)) * 1e4 + 0.5) / 1e4 AS p50_exact,
         |  TRUE AS users_within,
         |  TRUE AS p50_within
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+        |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_sketch_lean" ->
       """SELECT event_type, count(*) AS cnt,
         |  floor((min(value)) * 1e4 + 0.5) / 1e4 AS vmin,
