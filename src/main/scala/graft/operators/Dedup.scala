@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 
@@ -441,56 +442,66 @@ object Dedup {
     // (gh, doc) grain first: within-doc occurrence positions of each
     // gram, bounded by doc length — never the per-gram corpus-wide list
     // a groupBy(gh).collect_list(doc) would risk on boilerplate grams.
-    // Both consumers below (the dup aggregate and the removal join)
-    // derive from THIS frame through the same Exchange(gh, doc), which
-    // AQE's ReuseExchange dedupes — the gram explode + hash is paid
-    // once, where the previous shape (agg branch + raw-join branch
-    // straight off the gram table) computed it twice. nd is a plain
-    // count here because (gh, doc) rows are already distinct per doc —
-    // no countDistinct expand.
     val gdoc = grams.groupBy(col("gh"), col(idCol))
       .agg(collect_list(col("pos")).as("poss"))
-    val dup = gdoc
-      .groupBy("gh")
-      .agg(count(lit(1)).as("nd"), min(col(idCol)).as("owner"))
-      .filter(col("nd") >= 2)
+    // dup-gram facts (occurrence count, min-id owner) via WINDOW
+    // functions over gdoc, not a separate aggregate + self-join: the
+    // agg+join shape relied on AQE ReuseExchange to dedupe the
+    // Exchange(gh, doc) under its two consumers, but Catalyst prunes
+    // `poss` out of the count/min branch, the canonicalized subplans
+    // stop matching, and reuse silently never fired (ADVICE r9;
+    // verified in the executed plan) — so the gram explode + md5 hash
+    // ran TWICE, the heaviest map work in the operator. The window
+    // form has ONE gram computation by construction (PlanSpec asserts
+    // exactly one gram Generate in the executed plan): gdoc shuffles
+    // once more on gh for the window, but that exchange carries the
+    // already-aggregated (gh, doc, poss) rows — strictly smaller than
+    // re-running the explode — and the per-gh partition is bounded by
+    // docs-per-gram exactly like the old dup aggregate was. nd is a
+    // plain count because (gh, doc) rows are distinct by construction.
+    val wg = Window.partitionBy("gh")
     // removal-start ARRAYS per doc: every non-owner occurrence of a
     // duplicated gram, kept at doc grain. flatten(collect_list) over the
     // per-(gh, doc) position lists is bounded by doc length — a doc
     // contributes at most one start per token position.
-    val rsArr = gdoc.join(dup, "gh")
-      .filter(col(idCol) =!= col("owner"))
+    val rsArr = gdoc
+      .withColumn("nd", count(lit(1)).over(wg))
+      .withColumn("owner", min(col(idCol)).over(wg))
+      .filter(col("nd") >= 2 && col(idCol) =!= col("owner"))
       .groupBy(col(idCol))
       .agg(flatten(collect_list(col("poss"))).as("starts"))
     // The sweep + rebuild are per-doc work over the TOUCHED minority
-    // (most of the corpus shares no duplicated run): one doc-grain join
-    // of the cached token arrays against the removal-start arrays, then
-    // a map-side higher-order sweep — token p is removed iff some
+    // (most of the corpus shares no duplicated run): ONE left doc-grain
+    // join of the cached token arrays against the removal-start arrays,
+    // then a map-side higher-order sweep — token p is removed iff some
     // removal window starting at s ≤ p still covers it (s + L - 1 ≥ p).
-    // The HOF predicate is interpreted (non-codegen), but it runs only
-    // on touched docs × doc-length elements with per-doc start lists —
-    // versus the previous shape's full posexplode + (doc, pos) shuffle
-    // join + per-doc window sort + re-aggregation, which cost three
-    // extra exchanges on the corpus-wide token table. The untouched
-    // majority is emitted map-side: n_tokens and the whitespace-collapsed
+    // The HOF predicate is interpreted (non-codegen), but it is guarded
+    // by the null test, so it evaluates only on touched docs ×
+    // doc-length elements with per-doc start lists. The untouched
+    // majority (null `starts` from the left join) is emitted by the
+    // conditional's other arm: n_tokens and the whitespace-collapsed
     // text are definitionally what the sweep would produce at zero
-    // removals.
-    val sweptOut = tokArr.join(rsArr, Seq(idCol))
+    // removals. This used to be an inner-join + anti-join UNION, which
+    // consumed rsArr twice — and because the anti branch pruned rsArr
+    // to its id column, the two subplans canonicalized differently and
+    // exchange reuse could not dedupe them: the whole gram pipeline ran
+    // once per branch. The left join has ONE rsArr consumer by
+    // construction.
+    tokArr.join(rsArr, Seq(idCol), "left")
       .withColumn("keptIdx",
-        filter(sequence(lit(0), size(col("ts")) - 1),
-          p => !exists(col("starts"),
-            s => s <= p && s + lit(spanLen - 1) >= p)))
+        when(col("starts").isNotNull,
+          filter(sequence(lit(0), size(col("ts")) - 1),
+            p => !exists(col("starts"),
+              s => s <= p && s + lit(spanLen - 1) >= p))))
       .select(col(idCol),
         size(col("ts")).cast("long").as("n_tokens"),
-        (size(col("ts")) - size(col("keptIdx"))).cast("long").as("n_removed"),
-        concat_ws(" ",
-          transform(col("keptIdx"), i => element_at(col("ts"), i + 1))).as("clean_text"))
-    val untouchedOut = tokArr.join(rsArr.select(col(idCol)), Seq(idCol), "left_anti")
-      .select(col(idCol),
-        size(col("ts")).cast("long").as("n_tokens"),
-        lit(0L).as("n_removed"),
-        concat_ws(" ", col("ts")).as("clean_text"))
-    sweptOut.unionByName(untouchedOut)
+        when(col("keptIdx").isNotNull,
+          (size(col("ts")) - size(col("keptIdx"))).cast("long"))
+          .otherwise(lit(0L)).as("n_removed"),
+        when(col("keptIdx").isNotNull,
+          concat_ws(" ",
+            transform(col("keptIdx"), i => element_at(col("ts"), i + 1))))
+          .otherwise(concat_ws(" ", col("ts"))).as("clean_text"))
   }
 
   /** 32-bit SimHash: per-bit ±1 votes over token hashes, majority sign. */

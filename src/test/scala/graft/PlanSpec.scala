@@ -371,6 +371,23 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_span_dedup executed plan computes the gram explode exactly once") {
+    // the r9 shape relied on AQE ReuseExchange to dedupe the gram
+    // pipeline under its consumers, but column pruning de-canonicalized
+    // the subplans and reuse never fired — the explode+hash ran once per
+    // consumer (ADVICE r9). The window + left-join rewrite has ONE gram
+    // Generate by construction; this pins it so a refactor (or a Spark
+    // upgrade changing pruning) that silently reintroduces a second
+    // gram pass fails here instead of only showing up in the bench.
+    val df = SparkEntry.queries("q_span_dedup")(spark, TestSpark.Sf)
+    df.queryExecution.toRdd.count() // finalize the AQE plan
+    val plan = df.queryExecution.executedPlan.toString
+    val finalPlan = plan.split("Initial Plan")(0)
+    val nGenerate = "Generate explode".r.findAllIn(finalPlan).size
+    assert(nGenerate == 1,
+      s"expected exactly 1 gram Generate in the final plan, found $nGenerate:\n${finalPlan.take(3000)}")
+  }
+
   test("span_dedup TVF: SQL == DataFrame path") {
     withExtensionsSession { s2 =>
       val docs = Tables.documents(s2, TestSpark.Sf).filter(
