@@ -1,0 +1,135 @@
+#!/usr/bin/env python3
+"""Regenerate the recall / spec-count / oracle-count prose blocks from
+artifacts, so the numbers in OPERATORS.md and README.md cannot drift from
+what was actually measured (VERDICT r9 ask #2 — the r9 OPERATORS.md PQ
+line contradicted RECALL_r9.json because a hand-written number outlived
+the fit change that invalidated it).
+
+Blocks are delimited by HTML-comment markers and fully rewritten in
+place; everything outside the markers is untouched:
+
+    <!-- GEN:RECALL (tools/gen_prose.py) -->   ... <!-- /GEN:RECALL -->
+    <!-- GEN:SPECS (tools/gen_prose.py) -->    ... <!-- /GEN:SPECS -->
+    <!-- GEN:ORACLES (tools/gen_prose.py) -->  ... <!-- /GEN:ORACLES -->
+
+Sources:
+  - recall: the highest-numbered RECALL_r{N}.json in the repo root
+    (floors + per-SF measured recalls, written by graft.RecallProbe)
+  - specs: --tests-log <file> (an `sbt test` log; the line
+    "Total number of tests run: N" is parsed) or --tests N
+  - oracles: --verify-dir <dir> (a graft.Verify output dir: registered
+    count = query dump dirs, oracled count = keys of oracle_sql.json)
+
+Usage (typical round close):
+    sbt -batch test | tee /tmp/sbt_test.log
+    sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/vfinal"
+    python3 tools/gen_prose.py --tests-log /tmp/sbt_test.log \
+        --verify-dir /tmp/vfinal
+"""
+import argparse
+import json
+import os
+import re
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def latest_recall():
+    best, best_n = None, -1
+    for f in os.listdir(ROOT):
+        m = re.fullmatch(r"RECALL_r(\d+)\.json", f)
+        if m and int(m.group(1)) > best_n:
+            best, best_n = f, int(m.group(1))
+    if best is None:
+        sys.exit("no RECALL_r{N}.json found in repo root")
+    with open(os.path.join(ROOT, best)) as fh:
+        return best, json.load(fh)
+
+
+def recall_block(name, data):
+    lines = [
+        f"Measured mean recall of the recall-gated queries, from `{name}`",
+        "(regenerate with `graft.RecallProbe --json`; floors are the",
+        "in-plan gate constants in SimilarityQueries, set under the",
+        "measured minimum per the 0.06-margin policy in their Scaladoc):",
+        "",
+        "| Query | Floor | " + " | ".join(
+            sf for sf in next(iter(data["queries"].values()))["per_sf"]) + " |",
+        "|---|---|" + "---|" * len(next(iter(data["queries"].values()))["per_sf"]),
+    ]
+    for qn, q in data["queries"].items():
+        cells = " | ".join(f"{q['per_sf'][sf]['recall']:.2f}" for sf in q["per_sf"])
+        lines.append(f"| {qn} | {q['floor']} | {cells} |")
+    return "\n".join(lines)
+
+
+def specs_line(args):
+    n = args.tests
+    if args.tests_log:
+        with open(args.tests_log) as fh:
+            for line in fh:
+                m = re.search(r"Total number of tests run: (\d+)", line)
+                if m:
+                    n = int(m.group(1))
+    if n is None:
+        return None
+    return (f"`sbt test` = {n} specs including plan-shape assertions, streaming\n"
+            "  MemoryStream drives, golden reference-lifecycle checks, and\n"
+            "  scalacheck properties.")
+
+
+def oracles_line(args):
+    if not args.verify_dir:
+        return None
+    oj = os.path.join(args.verify_dir, "oracle_sql.json")
+    with open(oj) as fh:
+        oracled = len(json.load(fh))
+    registered = len([d for d in os.listdir(args.verify_dir)
+                      if d.startswith("q") and
+                      os.path.isdir(os.path.join(args.verify_dir, d))])
+    return (f"{registered} queries, {oracled} with DuckDB oracle SQL\n"
+            "  hash-matching at sf0.001/sf0.01/sf0.1; every rows-only entry carries\n"
+            "  an in-plan quality gate — ANN recall, semantic-dedup pair recall,\n"
+            "  sketch accuracy, multimodal decoded-luma parity — and the ML\n"
+            "  metric queries emit theorem certificates the oracle pins TRUE")
+
+
+def rewrite(path, tag, body):
+    if body is None:
+        return False
+    begin = f"<!-- GEN:{tag} (tools/gen_prose.py) -->"
+    end = f"<!-- /GEN:{tag} -->"
+    with open(path) as fh:
+        text = fh.read()
+    if begin not in text:
+        return False
+    pattern = re.escape(begin) + r".*?" + re.escape(end)
+    new = f"{begin}\n{body}\n{end}"
+    out = re.sub(pattern, new, text, flags=re.DOTALL)
+    with open(path, "w") as fh:
+        fh.write(out)
+    return True
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tests", type=int, help="spec count (overridden by --tests-log)")
+    ap.add_argument("--tests-log", help="sbt test log to parse the spec count from")
+    ap.add_argument("--verify-dir", help="graft.Verify output dir for query/oracle counts")
+    args = ap.parse_args()
+
+    name, data = latest_recall()
+    blocks = {
+        "RECALL": recall_block(name, data),
+        "SPECS": specs_line(args),
+        "ORACLES": oracles_line(args),
+    }
+    for path in (os.path.join(ROOT, "OPERATORS.md"), os.path.join(ROOT, "README.md")):
+        for tag, body in blocks.items():
+            if rewrite(path, tag, body):
+                print(f"updated GEN:{tag} in {os.path.basename(path)}")
+
+
+if __name__ == "__main__":
+    main()
