@@ -93,13 +93,17 @@ object Bench {
     * SPARK_GRAFT_LOAD_WAIT_SEC (default 900 s). If the machine never goes
     * quiet the run proceeds anyway — a late artifact beats none — but the
     * wait and the load it started from are recorded in `load_gate` so the
-    * artifact says whether its flags are trustworthy. Returns
-    * (initialLoad, waitedSec, timedOut). */
-  private def awaitQuietMachine(): (Double, Double, Boolean) = {
+    * artifact says whether its flags are trustworthy. `passed_loadavg`
+    * is the load at the moment the gate opened — the PRE-Spark quiet
+    * evidence; `load_start`/`load_end` are sampled around the query loop
+    * and include the bench's own warmup threads, so they cannot read as
+    * an external-noise indicator on their own. Returns
+    * (initialLoad, passedLoad, waitedSec, timedOut). */
+  private def awaitQuietMachine(): (Double, Double, Double, Boolean) = {
     val maxLoad = sys.env.getOrElse("SPARK_GRAFT_MAX_LOAD", "1.0").toDouble
     val maxWaitSec = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_SEC", "900").toDouble
     val initial = loadavg1()
-    if (initial < 0) return (initial, 0.0, false) // no /proc: nothing to gate on
+    if (initial < 0) return (initial, initial, 0.0, false) // no /proc: nothing to gate on
     val t0 = System.nanoTime()
     var cur = initial
     var timedOut = false
@@ -113,7 +117,7 @@ object Bench {
         cur = loadavg1()
       }
     }
-    (initial, (System.nanoTime() - t0) / 1e9, timedOut)
+    (initial, cur, (System.nanoTime() - t0) / 1e9, timedOut)
   }
 
   def main(args: Array[String]): Unit = {
@@ -121,10 +125,10 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
-    val (gateLoad, gateWaitSec, gateTimedOut) = awaitQuietMachine()
+    val (gateLoad, gatePassedLoad, gateWaitSec, gateTimedOut) = awaitQuietMachine()
     val loadGateJson =
-      s"""{"initial_loadavg":$gateLoad,"waited_sec":${(gateWaitSec * 10).round / 10.0},""" +
-        s""""timed_out":$gateTimedOut}"""
+      s"""{"initial_loadavg":$gateLoad,"passed_loadavg":$gatePassedLoad,""" +
+        s""""waited_sec":${(gateWaitSec * 10).round / 10.0},"timed_out":$gateTimedOut}"""
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -165,6 +169,7 @@ object Bench {
       "q_span_dedup_rowhash",             // memoized span-dedup output
       "q_ann_ivf_indexed", "q_ann_lsh",   // quantizer + brute ground truth + index
       "q_ann_pq",                         // PQ fit + persisted codes artifact
+      "q_dedup_indexed",                  // bucketed corpus dedup index build
       "q_multimodal_decode")              // PNG fixture synthesis + parquet write
     val tWarm0 = System.nanoTime()
     (Seq("lineitem", "orders", "customer", "part", "events", "documents", "embeddings")

@@ -321,6 +321,35 @@ object SimilarityQueries {
       floor = PqRecallFloor)
   }
 
+  /** Floor just under the minimum measured mean recall@5 across
+    * sf0.001/0.01/0.1 — 0.62 / 0.77 / 0.76 with the corpus-scaled
+    * (nlist, nprobe, rerank) ([[annParams]]; probe run 2026-08-14) —
+    * same 0.06-under-minimum policy as [[IvfRecallFloor]]. Sits under
+    * the IVF floor because the composed tier inherits the coarse
+    * probe's misses AND the ADC quantization error; measured, the ADC +
+    * rerank step costs ≤ 0.02 recall over IVF alone at every SF. */
+  val IvfPqRecallFloor = 0.56
+
+  /** The IVF-PQ COMPOSED tier as a registered, recall-gated query — the
+    * two-level shape the 100 TB design statement promises (coarse probe
+    * prunes to nprobe/nlist cells, ADC scores only the probed cells'
+    * codes, shared exact-rerank tail): previously API + spec only
+    * ([[ProductQuantization.ivfPqTopK]], SimilaritySpec two-level
+    * brute-force identity); registering it puts the composition under
+    * the same per-round recall measurement as its two components. */
+  def qAnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") < 20)
+    val p = cachedParams(spark, dir)
+    val (model, _) = cachedPqIndex(spark, dir)
+    recallGated(
+      ProductQuantization.ivfPqTopK(emb, q, 5,
+        cachedQuantizer(spark, dir, p.nlist), model,
+        nprobe = p.nprobe, rerank = p.rerank),
+      cachedBruteTop5(spark, dir),
+      floor = IvfPqRecallFloor)
+  }
+
   /** Pair recall floor for q_semantic_dedup: measured multi-assignment
     * pair recall vs the exact grid join at cos ≥ 0.45 is
     * 0.8571 / 0.8571 / 0.8750 at sf0.001/0.01/0.1 with the corpus-
@@ -450,6 +479,11 @@ object SimilarityQueries {
         mean(ProductQuantization.pqTopKFromCodes(emb, pqCodes, q, 5, pqModel,
           rerank = p.rerank)),
         PqRecallFloor, corpus, nq),
+      RecallRow("q_ann_ivfpq",
+        mean(ProductQuantization.ivfPqTopK(emb, q, 5,
+          cachedQuantizer(spark, dir, p.nlist), pqModel,
+          nprobe = p.nprobe, rerank = p.rerank)),
+        IvfPqRecallFloor, corpus, nq),
       RecallRow("q_semantic_dedup", pairRecall, SemanticRecallFloor, corpus, nq))
   }
 
@@ -462,6 +496,7 @@ object SimilarityQueries {
     "q_ann_ivf" -> qAnnIvf _,
     "q_ann_ivf_indexed" -> qAnnIvfIndexed _,
     "q_ann_pq" -> qAnnPq _,
+    "q_ann_ivfpq" -> qAnnIvfPq _,
     "q_semantic_dedup" -> qSemanticDedup _,
     "q_cluster_sample" -> qClusterSample _,
   )

@@ -29,7 +29,7 @@ class QueriesSmokeSpec extends AnyFunSuite {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle.subsetOf(
       Set("q_ann_lsh", "q_ann_ivf", "q_ann_ivf_indexed",
-        "q_ann_pq", // recall-gated in-plan vs brute force (no SQL k-means/ADC)
+        "q_ann_pq", "q_ann_ivfpq", // recall-gated in-plan vs brute force (no SQL k-means/ADC)
         "q_semantic_dedup", // recall-gated in-plan vs the exact grid join (no SQL kmeans)
         "q_multimodal_decode")), // self-gated on closed-form luma (no PNG codec in DuckDB)
       s"undocumented rows-only: $noOracle")
