@@ -379,4 +379,28 @@ class SimilaritySpec extends AnyFunSuite {
       assert(g.map(_._3).sorted.toSeq == (1 to g.length).toSeq)
     }
   }
+
+  test("annParams: round-9 anchor at n<=500, measured scaling laws, bounded everywhere") {
+    import queries.SimilarityQueries.{annParams, AnnParams}
+    // the anchor is a cross-round comparability CONTRACT: n <= 500 must
+    // reproduce the round-9 fixed settings bit-for-bit so the
+    // sf0.001/0.01 recall measurements stay diffable across rounds
+    assert(annParams(500) == AnnParams(16, 4, 16, 2, 50))
+    assert(annParams(100) == AnnParams(16, 4, 16, 2, 50))
+    // the sf0.1 corpus lands on the swept-and-measured configuration
+    assert(annParams(2000) == AnnParams(50, 13, 24, 3, 200))
+    // scaling laws: IVF holds cell size (~n/40), probe fraction ~1/4;
+    // rerank holds ~n/10; semantic grid grows sub-linearly
+    val big = annParams(100000)
+    assert(big.nlist == 256 && big.semNlist <= 256 && big.rerank == 1000,
+      s"caps must bind at large n: $big")
+    // monotone non-decreasing in n — a larger corpus never gets a
+    // coarser index
+    val seq = Seq(500L, 1000L, 2000L, 10000L, 100000L).map(annParams)
+    seq.sliding(2).foreach { case Seq(a, b) =>
+      assert(a.nlist <= b.nlist && a.nprobe <= b.nprobe &&
+        a.semNlist <= b.semNlist && a.passign <= b.passign && a.rerank <= b.rerank,
+        s"params must be monotone in corpus size: $a -> $b")
+    }
+  }
 }
