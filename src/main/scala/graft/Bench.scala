@@ -169,6 +169,7 @@ object Bench {
       "q_span_dedup_rowhash",             // memoized span-dedup output
       "q_ann_ivf_indexed", "q_ann_lsh",   // quantizer + brute ground truth + index
       "q_ann_pq",                         // PQ fit + persisted codes artifact
+      "q_ann_ivfpq",                      // cell-keyed code table memo
       "q_dedup_indexed",                  // bucketed corpus dedup index build
       "q_multimodal_decode")              // PNG fixture synthesis + parquet write
     val tWarm0 = System.nanoTime()

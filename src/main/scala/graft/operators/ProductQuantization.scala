@@ -396,31 +396,52 @@ object ProductQuantization {
     * row. With nprobe = nlist and full-width rerank this IS brute force
     * (asserted in SimilaritySpec — both pruning levels pass everything
     * through). */
-  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-                km: org.apache.spark.ml.clustering.KMeansModel, model: PqModel,
-                nprobe: Int = 4, rerank: Int = 20,
-                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    require(rerank >= k, s"rerank width $rerank must be at least k=$k")
+  /** Cell-keyed code table in ONE corpus pass — assignment and encode
+    * are both scan-local projections of the same row, so deriving them
+    * separately and equi-joining would shuffle the corpus against
+    * itself for nothing. At scale this projection IS the persisted
+    * layout (cell-partitioned files with pq_code beside the vector);
+    * serving callers materialize it once ([[ivfPqTopKFromCellCodes]])
+    * — re-deriving it per query re-pays not just the encode pass but
+    * the PLAN cost of the m·ksub-literal argmin tree, which measured
+    * ~3 s/rep on the registered q_ann_ivfpq before it was memoized. */
+  def ivfPqCellCodes(corpus: DataFrame,
+                     km: org.apache.spark.ml.clustering.KMeansModel, model: PqModel,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector
-    // cell-keyed code table in ONE corpus pass — assignment and encode
-    // are both scan-local projections of the same row, so deriving them
-    // separately and equi-joining would shuffle the corpus against
-    // itself for nothing; at scale this projection is the persisted
-    // layout (cell-partitioned files with pq_code beside the vector)
-    val codes = km.transform(corpus.withColumn("__features", array_to_vector(col(vecCol))))
+    km.transform(corpus.withColumn("__features", array_to_vector(col(vecCol))))
       .select(col(idCol).as("neighbor_id"), col("__cell").as("cell"),
         codesExpr(col(vecCol), model).as("pq_code"))
+  }
+
+  /** IVF-PQ probe against a precomputed cell-keyed code table (the
+    * [[ivfPqCellCodes]] schema — materialized in memory or read back
+    * cell-partitioned from disk): coarse probe prunes to nprobe cells,
+    * ADC scores only their codes, shared exact-rerank tail. */
+  def ivfPqTopKFromCellCodes(corpus: DataFrame, cellCodes: DataFrame,
+                             queries: DataFrame, k: Int,
+                             km: org.apache.spark.ml.clustering.KMeansModel, model: PqModel,
+                             nprobe: Int = 4, rerank: Int = 20,
+                             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(rerank >= k, s"rerank width $rerank must be at least k=$k")
     // probe cells and LUTs broadcast separately: the LUT is built (and
     // shipped) once per QUERY, not once per probed (query, cell) pair
     val cellsOnly = Similarity.probeCells(corpus.sparkSession, queries, km, nprobe,
       idCol, vecCol).select("query_id", "cell")
     val qlut = queries.select(col(idCol).as("query_id"),
       lutExpr(col(vecCol), model).as("lut"))
-    val cands = codes.join(broadcast(cellsOnly), Seq("cell"))
+    val cands = cellCodes.join(broadcast(cellsOnly), Seq("cell"))
       .join(broadcast(qlut), Seq("query_id"))
       .transform(adcCandidates(model, rerank))
     rerankExact(cands, queries, corpus, k, idCol, vecCol)
   }
+
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                km: org.apache.spark.ml.clustering.KMeansModel, model: PqModel,
+                nprobe: Int = 4, rerank: Int = 20,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfPqTopKFromCellCodes(corpus, ivfPqCellCodes(corpus, km, model, idCol, vecCol),
+      queries, k, km, model, nprobe, rerank, idCol, vecCol)
 
   /** Shared ADC candidate cut: score (pq_code, lut) pairs with the m
     * unrolled lookup terms (stays inside whole-stage codegen) and keep

@@ -330,20 +330,42 @@ object SimilarityQueries {
     * rerank step costs ≤ 0.02 recall over IVF alone at every SF. */
   val IvfPqRecallFloor = 0.56
 
+  /** Cell-keyed PQ code table per (session, dir) — the in-memory twin
+    * of the cell-partitioned persisted layout the 100 TB design serves
+    * from. Materialized once: deriving it inline per query re-paid the
+    * m·ksub-literal encode tree's PLAN cost on every execution
+    * (measured ~3 s/rep on q_ann_ivfpq before memoization — the encode
+    * arithmetic itself is trivial at fixture scale). */
+  private val ivfPqCodesMemo = new SessionMemo[String, DataFrame]
+
+  private def cachedIvfPqCellCodes(spark: SparkSession, dir: String): DataFrame =
+    ivfPqCodesMemo.getOrElseUpdate(spark, dir) {
+      val p = cachedParams(spark, dir)
+      val df = ProductQuantization.ivfPqCellCodes(
+        Tables.embeddings(spark, dir),
+        cachedQuantizer(spark, dir, p.nlist),
+        cachedPqIndex(spark, dir)._1).cache()
+      df.count()
+      df
+    }
+
   /** The IVF-PQ COMPOSED tier as a registered, recall-gated query — the
     * two-level shape the 100 TB design statement promises (coarse probe
     * prunes to nprobe/nlist cells, ADC scores only the probed cells'
     * codes, shared exact-rerank tail): previously API + spec only
     * ([[ProductQuantization.ivfPqTopK]], SimilaritySpec two-level
     * brute-force identity); registering it puts the composition under
-    * the same per-round recall measurement as its two components. */
+    * the same per-round recall measurement as its two components.
+    * Probes the memoized cell-keyed code table, as a production caller
+    * would probe the persisted cell-partitioned codes. */
   def qAnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val q = emb.filter(col("vec_id") < 20)
     val p = cachedParams(spark, dir)
     val (model, _) = cachedPqIndex(spark, dir)
     recallGated(
-      ProductQuantization.ivfPqTopK(emb, q, 5,
+      ProductQuantization.ivfPqTopKFromCellCodes(
+        emb, cachedIvfPqCellCodes(spark, dir), q, 5,
         cachedQuantizer(spark, dir, p.nlist), model,
         nprobe = p.nprobe, rerank = p.rerank),
       cachedBruteTop5(spark, dir),
@@ -480,7 +502,8 @@ object SimilarityQueries {
           rerank = p.rerank)),
         PqRecallFloor, corpus, nq),
       RecallRow("q_ann_ivfpq",
-        mean(ProductQuantization.ivfPqTopK(emb, q, 5,
+        mean(ProductQuantization.ivfPqTopKFromCellCodes(
+          emb, cachedIvfPqCellCodes(spark, dir), q, 5,
           cachedQuantizer(spark, dir, p.nlist), pqModel,
           nprobe = p.nprobe, rerank = p.rerank)),
         IvfPqRecallFloor, corpus, nq),
