@@ -35,8 +35,9 @@ import org.apache.spark.sql.SparkSession
   * load-inflated 2-5x and unprovably so): `reps_sec` carries every
   * query's raw per-rep time array, `load_start`/`load_end` sample
   * /proc/loadavg + MemAvailable around the query loop, and
-  * `dispersion_flagged` lists queries whose slowest rep exceeded 2x
-  * their median (among queries with median > 0.2 s). A reader can now
+  * `dispersion_flagged` lists queries whose slowest WARM rep exceeded
+  * 2x their fastest warm rep (cold rep 1 is priced in `cold`, not
+  * here; queries with median > 0.2 s only). A reader can now
   * separate environment noise (flagged dispersion + elevated loadavg)
   * from a real regression (slow medians, tight reps, quiet machine)
   * without re-running.
@@ -205,9 +206,16 @@ object Bench {
     // reports -1. `times` keeps the raw per-rep array in rep order —
     // the dispersion evidence the summary flags below.
     case class QStats(cold: Double, warm: Double, bytesPerRep: Long, times: Seq[Double]) {
-      // max/median over successful reps: ~1 on a quiet machine; >>1 means
-      // some rep was stalled (GC, compaction, or machine load)
-      def dispersion: Double = if (warm > 0) times.max / warm else -1.0
+      // max/min over the WARM reps (cold rep 1 excluded — it is priced
+      // separately in `cold`, and including it made every cold-heavy
+      // query read as "dispersed" even on a gate-verified quiet machine,
+      // which is exactly the noise-vs-regression ambiguity this field
+      // exists to resolve): ~1 on a quiet machine; >>1 means a WARM rep
+      // was stalled (GC, compaction, or machine load)
+      def dispersion: Double = {
+        val wt = times.drop(1)
+        if (wt.nonEmpty && wt.min > 0) wt.max / wt.min else -1.0
+      }
       // last/first over the WARM reps (cold rep 1 excluded, mirroring how
       // `warm` excludes it from the median — a normal slower first rep
       // would otherwise mask the pattern): strictly-increasing warm reps
@@ -352,10 +360,11 @@ object Bench {
     val okWarm = results.values.map(_.warm).filter(_ >= 0).toSeq.sorted
     val total = okWarm.sum
     val medianQ = if (okWarm.isEmpty) -1.0 else okWarm(okWarm.size / 2)
-    // dispersion summary: flag queries whose slowest rep is >2x the
-    // median AND absolutely slow enough to matter (>0.2 s) — sub-noise
-    // queries trivially disperse; a flagged heavy query + elevated
-    // loadavg reads as environment, flagged + quiet load as regression
+    // dispersion summary: flag queries whose slowest WARM rep is >2x
+    // their fastest warm rep AND that are absolutely slow enough to
+    // matter (>0.2 s) — sub-noise queries trivially disperse; a flagged
+    // heavy query + elevated loadavg reads as environment, flagged +
+    // quiet load as a genuinely unstable steady state worth profiling
     val dispersionFlagged = results.toSeq
       .filter { case (_, s) => s.warm > 0.2 && s.dispersion > 2.0 }
       .sortBy(-_._2.dispersion)
