@@ -78,12 +78,18 @@ import org.apache.spark.sql.SparkSession
   * carries de-noised medians without env coordination (r4 shipped reps=1
   * while local numbers were median-of-3 — un-auditable). */
 object Bench {
+  /** Best-effort /proc file read (None when unreadable — non-Linux). */
+  private def readProc(path: String): Option[String] =
+    try Some(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8"))
+    catch { case _: Throwable => None }
+
   /** 1-minute loadavg, or -1 when /proc is unreadable (non-Linux). */
   private def loadavg1(): Double =
-    try new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
-      .trim.split("\\s+")(0).toDouble
-    catch { case _: Throwable => -1.0 }
+    readProc("/proc/loadavg")
+      .flatMap(_.trim.split("\\s+").headOption)
+      .flatMap(_.toDoubleOption)
+      .getOrElse(-1.0)
 
   /** Quiet-machine gate (VERDICT r6-r9 item 1, asked four rounds running):
     * a bench that starts at loadavg 6 produces dispersion/growth flags
@@ -187,10 +193,6 @@ object Bench {
     // plus per-rep time arrays below make the artifact self-diagnosing:
     // high dispersion + high loadavg = environment noise, not code.
     def loadSample(): String = {
-      def readProc(path: String): Option[String] =
-        try Some(new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(path)), "UTF-8"))
-        catch { case _: Throwable => None }
       val la = readProc("/proc/loadavg")
         .map(_.trim.split("\\s+").take(3).mkString(","))
         .getOrElse("-1,-1,-1")
@@ -205,17 +207,22 @@ object Bench {
     // nothing — otherwise a crash reads as a fast success; all-failed
     // reports -1. `times` keeps the raw per-rep array in rep order —
     // the dispersion evidence the summary flags below.
-    case class QStats(cold: Double, warm: Double, bytesPerRep: Long, times: Seq[Double]) {
+    // `warmTimes` = reps with index > 1, BY INDEX, not times.drop(1):
+    // when rep 1 itself failed (recorded nowhere in `times`), a
+    // positional drop would silently discard a genuine warm rep — a
+    // stalled rep 2 would vanish from the dispersion evidence exactly
+    // when it matters most.
+    case class QStats(cold: Double, warm: Double, bytesPerRep: Long,
+                      times: Seq[Double], warmTimes: Seq[Double]) {
       // max/min over the WARM reps (cold rep 1 excluded — it is priced
       // separately in `cold`, and including it made every cold-heavy
       // query read as "dispersed" even on a gate-verified quiet machine,
       // which is exactly the noise-vs-regression ambiguity this field
       // exists to resolve): ~1 on a quiet machine; >>1 means a WARM rep
       // was stalled (GC, compaction, or machine load)
-      def dispersion: Double = {
-        val wt = times.drop(1)
-        if (wt.nonEmpty && wt.min > 0) wt.max / wt.min else -1.0
-      }
+      def dispersion: Double =
+        if (warmTimes.nonEmpty && warmTimes.min > 0) warmTimes.max / warmTimes.min
+        else -1.0
       // last/first over the WARM reps (cold rep 1 excluded, mirroring how
       // `warm` excludes it from the median — a normal slower first rep
       // would otherwise mask the pattern): strictly-increasing warm reps
@@ -224,7 +231,6 @@ object Bench {
       // dispersion misses when the growth stays under 2x — the r6
       // q_ann_lsh case read as 1.6 s in the artifact but was 0.79 s in
       // isolation
-      private def warmTimes: Seq[Double] = times.drop(1)
       def growth: Double =
         if (warmTimes.size >= 2 && warmTimes.head > 0) warmTimes.last / warmTimes.head
         else -1.0
@@ -248,7 +254,7 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); None
         }
       }
-      name -> (if (repsOut.isEmpty) QStats(-1.0, -1.0, -1L, Nil)
+      name -> (if (repsOut.isEmpty) QStats(-1.0, -1.0, -1L, Nil, Nil)
       else {
         val sortedTimes = repsOut.map(_._2).sorted
         QStats(
@@ -257,7 +263,8 @@ object Bench {
           cold = repsOut.find(_._1 == 1).map(_._2).getOrElse(-1.0),
           warm = sortedTimes(sortedTimes.size / 2),
           bytesPerRep = repsOut.map(_._3).sum / repsOut.size,
-          times = repsOut.map(_._2))
+          times = repsOut.map(_._2),
+          warmTimes = repsOut.filter(_._1 > 1).map(_._2))
       })
     }
     val loadEnd = loadSample()

@@ -15,9 +15,10 @@ import graft.operators.{ProductQuantization, Similarity}
   * minimum across sf0.001/0.01/0.1, so a quality regression trips the
   * in-plan gate while fixture-to-fixture variance does not.
   *
-  * With `--json <path>` as the leading args, instead measures the FIVE
-  * recall-gated registered queries (q_ann_lsh/ivf/ivf_indexed/pq,
-  * q_semantic_dedup) per SF dir through the exact operator paths and
+  * With `--json <path>` as the leading args, instead measures every
+  * recall-gated registered query (the q_ann_* tiers and
+  * q_semantic_dedup — the list lives in recallReport, one place) per
+  * SF dir through the exact operator paths and
   * recall definition their in-plan gates use
   * ([[graft.queries.SimilarityQueries.recallReport]]) and writes one
   * JSON artifact — the per-round `RECALL_r{N}.json` that makes recall
@@ -87,8 +88,8 @@ object RecallProbe {
     }
   }
 
-  /** The per-round RECALL_r{N}.json artifact: the five recall-gated
-    * registered queries measured per SF through the gates' own paths. */
+  /** The per-round RECALL_r{N}.json artifact: every recall-gated
+    * registered query measured per SF through the gates' own paths. */
   private def writeJsonReport(spark: SparkSession, path: String,
                               dirs: Seq[String]): Unit = {
     val perDir = dirs.map { dir =>

@@ -65,11 +65,18 @@ object Pipelines {
       .na.drop(FeatureCols ++ Seq("next_value", "target"))
   }
 
+  /** The split boundary of [[temporalSplit]] as its own 1-row frame —
+    * max ts − `holdoutDays` days of nanos. Exposed so certificates that
+    * check holdout membership (MlQueries.qMlServeCert) test the SAME
+    * boundary definition the split uses, instead of duplicating the
+    * day-nanos constant and drifting when it changes. */
+  def holdoutCutoff(df: DataFrame, holdoutDays: Int): DataFrame =
+    df.agg((max(col("ts")) - lit(holdoutDays * 86400e9.toLong)).as("cutoff"))
+
   /** M13: temporal split at (max ts − `holdoutDays` days of nanos); the
     * cutoff stays in-plan via a broadcast join — no driver round-trip. */
   def temporalSplit(df: DataFrame, holdoutDays: Int): (DataFrame, DataFrame) = {
-    val cutoff = df.agg((max(col("ts")) - lit(holdoutDays * 86400e9.toLong)).as("cutoff"))
-    val tagged = df.crossJoin(broadcast(cutoff))
+    val tagged = df.crossJoin(broadcast(holdoutCutoff(df, holdoutDays)))
     (tagged.filter(col("ts") < col("cutoff")).drop("cutoff"),
       tagged.filter(col("ts") >= col("cutoff")).drop("cutoff"))
   }

@@ -104,20 +104,27 @@ object ProductQuantization {
     require(ksub >= 2, s"ksub must be at least 2, got $ksub")
     val dsub = dim / m
     val nRows = dims.getLong(2)
+    // capped-draw target: aim the EXPECTED sample a few binomial sigmas
+    // UNDER the cap (0.98·cap ≈ cap − 5σ for cap = 65536), so the
+    // limit() below is a genuinely never-binding defense. The earlier
+    // 1.1·cap OVERsample guaranteed the opposite: the expected sample
+    // exceeded the cap, limit() truncated the sampled stream at ~91%,
+    // and the trailing region of a time/cluster-ordered corpus was
+    // deterministically excluded from training — exactly the
+    // clustered-layout bias these branches exist to prevent. Trading a
+    // ~2% smaller training sample for unbiasedness is the right side of
+    // that bargain (codebook quality saturates well below the cap).
+    val capTarget = trainCap * 0.98
     val sampled =
       if (sampleFraction < 1.0) {
-        // an explicit sample can STILL exceed trainCap on a big corpus —
-        // if it does, the limit() below would bind as a scan/partition-
-        // order prefix, exactly the clustered-layout training bias the
-        // unbiased-cap branch exists to prevent. Re-sample the explicit
-        // draw down to ~1.1·trainCap first (nRows makes the expected
-        // sample size computable), so the limit stays a never-binding
-        // defense on this path too.
+        // an explicit sample can STILL exceed trainCap on a big corpus;
+        // re-sample it down toward the under-cap target (nRows makes
+        // the expected sample size computable)
         val expected = nRows * sampleFraction
         val base = corpus.sample(withReplacement = false, sampleFraction, seed = 42)
-        if (expected > trainCap)
+        if (expected > capTarget)
           base.sample(withReplacement = false,
-            math.min(1.0, trainCap * 1.1 / expected), seed = 43)
+            math.min(1.0, capTarget / expected), seed = 43)
         else base
       }
       else if (nRows <= trainCap) corpus
@@ -126,10 +133,9 @@ object ProductQuantization {
         // out by source/time/cluster (the common layout) would otherwise
         // train codebooks on its leading region only and quantize the
         // rest poorly — invisibly, since small fixtures sit under the
-        // cap. Oversample 10% so the post-sample limit() almost never
-        // binds; the count is already paid by the validation aggregate.
+        // cap. The count is already paid by the validation aggregate.
         corpus.sample(withReplacement = false,
-          math.min(1.0, trainCap * 1.1 / nRows), seed = 42)
+          math.min(1.0, capTarget / nRows), seed = 42)
       }
     // limit() after the seeded sample is only the hard cap defense
     val train: Array[Array[Float]] = sampled
@@ -386,16 +392,6 @@ object ProductQuantization {
     rerankExact(cands, queries, corpus, k, idCol, vecCol)
   }
 
-  /** IVF-PQ: the coarse quantizer prunes the scan to nprobe cells
-    * ([[Similarity.probeCells]] — the IVF probe path), the ADC lookup
-    * scores only the probed cells' CODES, and the exact rerank runs on
-    * the bounded survivor set. The two-level composition SCALE.md
-    * promises, as an API: at 100 TB the codes live cell-partitioned
-    * (the [[Similarity.writeIvfIndex]] layout with `pq_code` beside the
-    * vector), a probe reads nprobe/nlist of the files and 8 bytes per
-    * row. With nprobe = nlist and full-width rerank this IS brute force
-    * (asserted in SimilaritySpec — both pruning levels pass everything
-    * through). */
   /** Cell-keyed code table in ONE corpus pass — assignment and encode
     * are both scan-local projections of the same row, so deriving them
     * separately and equi-joining would shuffle the corpus against
@@ -436,6 +432,17 @@ object ProductQuantization {
     rerankExact(cands, queries, corpus, k, idCol, vecCol)
   }
 
+  /** IVF-PQ: the coarse quantizer prunes the scan to nprobe cells
+    * ([[Similarity.probeCells]] — the IVF probe path), the ADC lookup
+    * scores only the probed cells' CODES, and the exact rerank runs on
+    * the bounded survivor set. The two-level composition SCALE.md
+    * promises, as an API: at 100 TB the codes live cell-partitioned
+    * (the [[Similarity.writeIvfIndex]] layout with `pq_code` beside the
+    * vector), a probe reads nprobe/nlist of the files and 8 bytes per
+    * row. With nprobe = nlist and full-width rerank this IS brute force
+    * (asserted in SimilaritySpec — both pruning levels pass everything
+    * through). Derives the code table inline — serving callers
+    * materialize it once and use [[ivfPqTopKFromCellCodes]]. */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                 km: org.apache.spark.ml.clustering.KMeansModel, model: PqModel,
                 nprobe: Int = 4, rerank: Int = 20,

@@ -185,8 +185,9 @@ object MlQueries {
         (col("train_max_ts") < col("test_min_ts")).as("split_leakfree"),
         (col("dir_accuracy") >= Pipelines.DirAccuracyFloor &&
           col("dir_accuracy") <= 1.0 && col("n") > 0).as("dir_ok"),
-        (!isnan(col("rmse")) && col("rmse") >= 0 &&
-          !isnan(col("mae")) && col("mae") >= 0).as("err_finite_ok"),
+        (!isnan(col("rmse")) && col("rmse") >= 0 && col("rmse") < Double.MaxValue &&
+          !isnan(col("mae")) && col("mae") >= 0 && col("mae") < Double.MaxValue)
+          .as("err_finite_ok"),
         (col("mae") <= col("rmse") + lit(1e-9)).as("mae_le_rmse"),
         (!isnan(col("r2")) && col("r2") <= 1.0 &&
           col("r2") >= lit(Double.MinValue)).as("r2_ok"))
@@ -234,7 +235,9 @@ object MlQueries {
         cachedRegressorMetrics(spark, dir), Pipelines.regressorGate)))
       .drop("gate_ok")
     val served = Pipelines.servePredictions(scored, topK = 20)
-    val cutoff = feats.agg((max(col("ts")) - lit(7L * 86400e9.toLong)).as("cutoff"))
+    // the SAME boundary definition the split itself uses — not a
+    // re-derivation that could drift from temporalSplit's constant
+    val cutoff = Pipelines.holdoutCutoff(feats, 7)
     val trainCats = train.filter(signum(col("target")) =!= 0)
       .select(col("event_type")).distinct().withColumn("cat_in_train", lit(1))
     // 20 rows by construction — the global window ranks the bounded
@@ -249,8 +252,12 @@ object MlQueries {
         col("rank"),
         (col("ts") >= col("cutoff")).as("in_holdout"),
         col("cat_in_train").isNotNull.as("category_whitelisted"),
+        // abs(x) < MaxValue rejects ±Infinity too — a certificate named
+        // "finite" must not pass an infinite prediction (isnan alone does)
         (!isnan(col("predicted_return")) &&
-          !isnan(col("predicted_value"))).as("pred_finite"))
+          abs(col("predicted_return")) < Double.MaxValue &&
+          !isnan(col("predicted_value")) &&
+          abs(col("predicted_value")) < Double.MaxValue).as("pred_finite"))
       .orderBy("rank")
   }
 

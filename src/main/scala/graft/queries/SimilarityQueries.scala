@@ -102,12 +102,16 @@ object SimilarityQueries {
                              passign: Int, rerank: Int)
 
   def annParams(corpusRows: Long): AnnParams = {
-    val nlist = math.min(256, math.max(16, math.round(corpusRows / 40.0).toInt))
+    // clamp in Long BEFORE narrowing: a 100 TB-regime corpus row count
+    // overflows Int under `/10` or `/40`, and a wrapped-negative value
+    // would silently collapse the params to their floors (a larger
+    // corpus getting a COARSER index) instead of their caps
+    def clamp(lo: Long, hi: Long, v: Long): Int = math.min(hi, math.max(lo, v)).toInt
+    val nlist = clamp(16, 256, math.round(corpusRows / 40.0))
     val nprobe = math.max(4, (nlist + 3) / 4)
-    val semNlist = math.min(256,
-      math.max(16, math.round(12.0 * math.sqrt(corpusRows / 500.0)).toInt))
+    val semNlist = clamp(16, 256, math.round(12.0 * math.sqrt(corpusRows / 500.0)))
     val passign = if (semNlist >= 24) 3 else 2
-    val rerank = math.min(1000, math.max(50, ((corpusRows + 9) / 10).toInt))
+    val rerank = clamp(50, 1000, (corpusRows + 9) / 10)
     AnnParams(nlist, nprobe, semNlist, passign, rerank)
   }
 

@@ -394,9 +394,15 @@ class SimilaritySpec extends AnyFunSuite {
     val big = annParams(100000)
     assert(big.nlist == 256 && big.semNlist <= 256 && big.rerank == 1000,
       s"caps must bind at large n: $big")
+    // the 100 TB regime: row counts past Int.MaxValue·10 must still hit
+    // the caps, not wrap negative through an Int narrowing and collapse
+    // to the floors (a larger corpus silently getting a COARSER index)
+    val huge = annParams(100_000_000_000L)
+    assert(huge == AnnParams(256, 64, 256, 3, 1000),
+      s"params must saturate at their caps for huge n: $huge")
     // monotone non-decreasing in n — a larger corpus never gets a
     // coarser index
-    val seq = Seq(500L, 1000L, 2000L, 10000L, 100000L).map(annParams)
+    val seq = Seq(500L, 1000L, 2000L, 10000L, 100000L, 100_000_000_000L).map(annParams)
     seq.sliding(2).foreach { case Seq(a, b) =>
       assert(a.nlist <= b.nlist && a.nprobe <= b.nprobe &&
         a.semNlist <= b.semNlist && a.passign <= b.passign && a.rerank <= b.rerank,

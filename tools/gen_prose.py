@@ -106,7 +106,9 @@ def rewrite(path, tag, body):
         return False
     pattern = re.escape(begin) + r".*?" + re.escape(end)
     new = f"{begin}\n{body}\n{end}"
-    out = re.sub(pattern, new, text, flags=re.DOTALL)
+    # lambda replacement: a plain-string repl would interpret backslashes
+    # and \g<...> in the generated body as template escapes
+    out = re.sub(pattern, lambda _: new, text, flags=re.DOTALL)
     with open(path, "w") as fh:
         fh.write(out)
     return True
