@@ -98,14 +98,31 @@ object Dedup {
     * only for a bounded id range (oracle form).
     *
     * The per-document `sizes` table shuffles (sort-merge/AQE choice); it
-    * is O(n_docs) rows and must NOT be broadcast at corpus scale. */
+    * is O(n_docs) rows and must NOT be broadcast at corpus scale.
+    *
+    * The shingle frame is consumed FOUR times (a-side match join, b-side
+    * match join, `na` sizes, `nb` sizes). `repartition(idCol)` right
+    * after the distinct pins an explicit, canonically-identical Exchange
+    * under every consumer so ReuseExchange computes the
+    * scan→explode→distinct subtree once per execution. The boundary
+    * cannot be left to the distinct's own shuffle: AQE drops that
+    * Exchange entirely when the input coalesces to one partition (the
+    * bench-scale plan then rebuilt the whole subtree per consumer — 4
+    * Generates, measured 2×+ on q_dedup_indexed), and at corpus scale
+    * differing column pruning could de-canonicalize it per consumer (the
+    * span-dedup r10 lesson). `sizes` counts `col("sh")` — never null by
+    * construction, so it equals count(*) — instead of count(1) so the
+    * pruned schema above the boundary stays (id, sh) for all four
+    * consumers. The extra shuffle is bounded by the (already
+    * candidate-minority) shingle frame and buys back four recomputes. */
   def jaccardPairs(docs: DataFrame, n: Int, threshold: Double,
                    idCol: String = "doc_id", textCol: String = "text",
                    cands: Option[DataFrame] = None): DataFrame = {
     val sh = docs
       .select(col(idCol), explode(shingles(col(textCol), n)).as("sh"))
       .distinct()
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+      .repartition(col(idCol))
+    val sizes = sh.groupBy(col(idCol)).agg(count(col("sh")).as("n"))
     val inter = cands match {
       case Some(c) =>
         // Pair enumeration bounded by the candidate set: for each proposed
@@ -275,15 +292,21 @@ object Dedup {
       .join(fpCorpus, "fp")
       .groupBy(col(idCol)).agg(min(col("corpus_id")).as("exact_id"))
     val batchBands = bandBuckets(minhashSignatures(batch, k, idCol, textCol), k, r, idCol)
-    // the candidate set feeds BOTH the semi-join bound and the
-    // verification join; the duplicated subtree is deduplicated by
-    // exchange reuse at execution (measured: a lazy localCheckpoint
-    // here changes warm time by <1% at sf0.1), and a production job
-    // would persist the candidate table as an artifact anyway
+    // the candidate set feeds the verification join AND both sides of
+    // the semi-join bound (three consumers); `repartition(a, b)` pins an
+    // explicit Exchange whose partition keys reference every output
+    // column, so no consumer's pruning can de-canonicalize it and
+    // ReuseExchange computes the band-join+distinct subtree once per
+    // execution. The distinct's own shuffle cannot serve as the
+    // boundary: AQE deletes it when the input coalesces to one
+    // partition (the bench-scale plan then re-ran the band join per
+    // consumer). A production job would persist the candidate table as
+    // an artifact anyway; this is the in-plan equivalent.
     val cands = corpusBands.select(col("band"), col("key"), col("corpus_id").as("a"))
       .join(batchBands.select(col("band"), col("key"), col(idCol).as("b")),
         Seq("band", "key"))
       .select("a", "b").distinct()
+      .repartition(col("a"), col("b"))
     // exact verification: jaccardPairs never reorders cands, so
     // orientation stays (a=corpus, b=batch) regardless of id values.
     // Shingle only candidate-PARTICIPATING docs (semi-join on the
