@@ -223,6 +223,13 @@ object Bench {
       def dispersion: Double =
         if (warmTimes.nonEmpty && warmTimes.min > 0) warmTimes.max / warmTimes.min
         else -1.0
+      // a ratio alone flags 0.2 s-scale queries whose warm reps differ
+      // by one GC pause; a flag is only actionable when the absolute
+      // swing clears the single-JVM timer/GC noise floor (~0.25 s
+      // measured across quiet-machine runs: r10's q_chunking "2.04x"
+      // was 0.409 vs 0.200 s — unprofilable noise)
+      def warmSpreadSec: Double =
+        if (warmTimes.nonEmpty) warmTimes.max - warmTimes.min else -1.0
       // last/first over the WARM reps (cold rep 1 excluded, mirroring how
       // `warm` excludes it from the median — a normal slower first rep
       // would otherwise mask the pattern): strictly-increasing warm reps
@@ -236,6 +243,7 @@ object Bench {
         else -1.0
       def monotoneGrowth: Boolean =
         warmTimes.size >= 2 && warmTimes.last > 0.2 && growth >= 1.5 &&
+          warmTimes.last - warmTimes.head >= 0.25 &&
           warmTimes.sliding(2).forall(p => p(1) > p(0))
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
@@ -274,9 +282,9 @@ object Bench {
     // percent-change alerts and the transformWithState batch→stream count
     // handoff — as real Structured Streaming queries (file source,
     // AvailableNow, RocksDB state store), recording throughput and state
-    // size. One replay each, no reps: the number is an end-to-end
-    // replay measurement (source listing + state build included), not a
-    // warmed plan cost like the query map.
+    // size. Cold + warm replay each (see runStream): the cold number is
+    // the end-to-end measurement (source listing + state build
+    // included), the warm one the round-over-round comparable.
     var streamTmp: java.nio.file.Path = null
     val streamingJson = try {
       import org.apache.spark.sql.streaming.Trigger
@@ -302,23 +310,37 @@ object Bench {
       def src = Tables.normalizeTs(spark.readStream.schema(rawSchema)
           .parquet(srcDir.toString))
         .select("event_id", "ts", "user_id", "event_type", "value").as[Ingest.Event]
+      // each stateful shape replays TWICE against fresh checkpoints: the
+      // first (cold) number is the end-to-end story (source listing,
+      // RocksDB native init, JIT of the state-processor paths all priced
+      // in — each exercised exactly once per bench JVM, which made the
+      // r7-r9 rows/s swing 30-50% run to run); the second (warm) replay
+      // re-lists and rebuilds state identically on a warmed JVM, so IT
+      // is the round-over-round comparable. Both land in the artifact.
       def runStream(name: String)(mk: org.apache.spark.sql.Dataset[Ingest.Event] =>
           org.apache.spark.sql.Dataset[_]): String = {
-        val t0 = System.nanoTime()
-        val q = mk(src).writeStream.format("noop")
-          .option("checkpointLocation", s"$tmp/$name/ckpt")
-          .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-        val sec = (System.nanoTime() - t0) / 1e9
-        val progress = q.recentProgress
-        val inRows = progress.map(_.numInputRows).sum
-        val stateRows = progress.flatMap(_.stateOperators.map(_.numRowsTotal))
-          .maxOption.getOrElse(0L)
-        val stateBytes = progress.flatMap(_.stateOperators.map(_.memoryUsedBytes))
-          .maxOption.getOrElse(0L)
+        def replay(tag: String): (Long, Double, Long, Long) = {
+          val t0 = System.nanoTime()
+          val q = mk(src).writeStream.format("noop")
+            .option("checkpointLocation", s"$tmp/$name/$tag/ckpt")
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+          val sec = (System.nanoTime() - t0) / 1e9
+          val progress = q.recentProgress
+          val inRows = progress.map(_.numInputRows).sum
+          val stateRows = progress.flatMap(_.stateOperators.map(_.numRowsTotal))
+            .maxOption.getOrElse(0L)
+          val stateBytes = progress.flatMap(_.stateOperators.map(_.memoryUsedBytes))
+            .maxOption.getOrElse(0L)
+          (inRows, sec, stateRows, stateBytes)
+        }
+        val (inRows, sec, stateRows, stateBytes) = replay("cold")
+        val (_, warmSec, _, _) = replay("warm")
         s""""$name":{"rows":$inRows,"sec":${(sec * 1000).round / 1000.0},""" +
-          s""""rows_per_sec":${(inRows / sec).round},"state_rows":$stateRows,""" +
-          s""""state_bytes":$stateBytes}"""
+          s""""rows_per_sec":${(inRows / sec).round},""" +
+          s""""warm_sec":${(warmSec * 1000).round / 1000.0},""" +
+          s""""warm_rows_per_sec":${(inRows / warmSec).round},""" +
+          s""""state_rows":$stateRows,"state_bytes":$stateBytes}"""
       }
       val pct = runStream("pct_alerts")(ev => Ingest.statefulPctAlerts(ev))
       val tws = runStream("running_counts_tws") { ev =>
@@ -368,12 +390,13 @@ object Bench {
     val total = okWarm.sum
     val medianQ = if (okWarm.isEmpty) -1.0 else okWarm(okWarm.size / 2)
     // dispersion summary: flag queries whose slowest WARM rep is >2x
-    // their fastest warm rep AND that are absolutely slow enough to
-    // matter (>0.2 s) — sub-noise queries trivially disperse; a flagged
+    // their fastest warm rep AND whose absolute swing clears the
+    // single-JVM noise floor (warm median >0.2 s, warm spread >=0.25 s)
+    // — sub-noise queries trivially disperse on ratio alone; a flagged
     // heavy query + elevated loadavg reads as environment, flagged +
     // quiet load as a genuinely unstable steady state worth profiling
     val dispersionFlagged = results.toSeq
-      .filter { case (_, s) => s.warm > 0.2 && s.dispersion > 2.0 }
+      .filter { case (_, s) => s.warm > 0.2 && s.dispersion > 2.0 && s.warmSpreadSec >= 0.25 }
       .sortBy(-_._2.dispersion)
     // monotone-growth summary (VERDICT r6 item 3): strictly increasing
     // reps with last/first >= 1.5 and a non-trivial last rep — the
