@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension type-2 merge — the warehouse-maintenance
+  * half of the reference's ingest path (firebasedb.py's upsert-by-key
+  * document writes keep only the LATEST version; SCD2 is the
+  * history-preserving form a training-data warehouse needs when "what
+  * did this dimension row say at cutoff date D" must stay answerable).
+  *
+  * Semantics, per dimension key in `current` ∪ `changes`:
+  *  - key only in `current`, or the change is attribute-identical
+  *    (null-safe): the current row passes through untouched;
+  *  - key in both with any tracked attribute differing: the current
+  *    row is CLOSED (`valid_to` = batchDate, `is_current` = false) and
+  *    a new version opens (`valid_from` = batchDate, open `valid_to`,
+  *    `is_current` = true);
+  *  - key only in `changes`: a brand-new dimension row opens at
+  *    batchDate.
+  * Already-closed history rows (`is_current` = false) never touch the
+  * merge — they are unioned back verbatim.
+  *
+  * Scale shape (the Delta/Iceberg MERGE pattern, expressed as one
+  * relational plan): a SINGLE full-outer join on the key between the
+  * current slice and the batch — broadcast when the batch is a daily
+  * trickle, shuffle-on-key otherwise — then each joined row emits its
+  * 1-or-2 output versions through one `explode` of a conditional
+  * struct array. Neither input is read twice, there is no
+  * union-of-three-projections re-scan, and the history slice is
+  * separated by an `is_current` predicate a partitioned table would
+  * prune at the scan. */
+object Scd2 {
+
+  private val MetaCols = Seq("valid_from", "valid_to", "is_current")
+
+  /** Merge `changes` (key + tracked attributes, one row per key) into
+    * the SCD2 table `current` (key + the same attributes + `valid_from`
+    * / `valid_to` / `is_current`). `batchDate` must be a literal of the
+    * same type as the validity columns. */
+  def merge(current: DataFrame, changes: DataFrame, keyCols: Seq[String],
+            batchDate: Column): DataFrame = {
+    val attrs = current.columns.toSeq.filterNot(keyCols.contains).filterNot(MetaCols.contains)
+    require(MetaCols.forall(current.columns.contains),
+      s"scd2Merge: `current` must carry ${MetaCols.mkString(", ")}")
+    require(changes.columns.toSet == (keyCols ++ attrs).toSet,
+      s"scd2Merge: `changes` columns ${changes.columns.mkString(",")} must be " +
+        s"exactly key ${keyCols.mkString(",")} + tracked ${attrs.mkString(",")}")
+
+    val hist = current.filter(!col("is_current"))
+    val curr = current.filter(col("is_current"))
+    val chg = changes.select((keyCols ++ attrs).map(c => col(c).as(s"__chg_$c")): _*)
+      .withColumn("__chg_present", lit(true))
+
+    // null-safe key equality: a null key component still pairs its two
+    // sides instead of silently fanning into both unmatched branches
+    val joined = curr.join(chg,
+      keyCols.map(k => col(k) <=> col(s"__chg_$k")).reduce(_ && _), "full_outer")
+
+    // presence markers survive the full outer join as non-null exactly
+    // on matched rows (`is_current` is TRUE on every current-slice row
+    // by construction; `__chg_present` is the explicit twin for the
+    // change side, so a legitimately-null key component can't misread
+    // as "unmatched")
+    val matchedCurr = col("is_current").isNotNull
+    val matchedChg = col("__chg_present").isNotNull
+    val attrChanged = attrs.map(a => !(col(a) <=> col(s"__chg_$a"))).reduce(_ || _)
+
+    def version(useChg: Boolean, from: Column, to: Column, cur: Column): Column =
+      struct(
+        keyCols.map(k => coalesce(col(k), col(s"__chg_$k")).as(k)) ++
+          attrs.map(a => (if (useChg) col(s"__chg_$a") else col(a)).as(a)) ++
+          Seq(from.as("valid_from"), to.as("valid_to"), cur.as("is_current")): _*)
+
+    val passthrough = version(useChg = false, col("valid_from"), col("valid_to"), col("is_current"))
+    val closed = version(useChg = false, col("valid_from"), batchDate, lit(false))
+    // `when(false, batchDate)` is NULL carrying batchDate's type — the
+    // open-ended valid_to stays type-consistent without reaching into
+    // the expression for the DataType
+    val opened = version(useChg = true, batchDate, when(lit(false), batchDate), lit(true))
+
+    val versions = when(!matchedChg, array(passthrough))
+      .when(!matchedCurr, array(opened))
+      .when(attrChanged, array(closed, opened))
+      .otherwise(array(passthrough))
+
+    joined.select(explode(versions).as("__v")).select(col("__v.*"))
+      .unionByName(hist)
+  }
+}

@@ -196,6 +196,35 @@ object Relational {
         col("last.value").as("last_value"))
       .orderBy("user_id")
 
+  /** SCD2 merge ([[graft.operators.Scd2]] — the history-preserving twin
+    * of q_upsert_latest's keep-latest collapse). The batch is derived
+    * deterministically from the customer dim so both engines see the
+    * same feed: every key ≡ 3 (mod 10) relocates segment and shifts
+    * nation (a genuine attribute change → close + reopen), and every
+    * key ≡ 7 (mod 100) spawns a brand-new key at +9,000,000 (an
+    * insert). The DuckDB oracle states the expected history table
+    * directly from the same residue classes, so the full-outer-join +
+    * explode plan is checked cell-exact: pass-through rows keep the
+    * original validity, closed rows get valid_to = batch date, opened
+    * rows start there with an open end. */
+  def qScd2Merge(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"), col("c_nationkey"))
+    val current = base
+      .withColumn("valid_from", to_date(lit("2024-01-01")))
+      .withColumn("valid_to", when(lit(false), to_date(lit("2024-01-01"))))
+      .withColumn("is_current", lit(true))
+    val updates = base.filter(col("c_custkey") % 10 === 3)
+      .withColumn("c_mktsegment", lit("RELOCATED"))
+      .withColumn("c_nationkey", ((col("c_nationkey") + 1) % 25).cast("int"))
+    val inserts = base.filter(col("c_custkey") % 100 === 7)
+      .select((col("c_custkey") + 9000000L).as("c_custkey"), col("c_name"),
+        lit("FOUNDED").as("c_mktsegment"), col("c_nationkey"))
+    graft.operators.Scd2.merge(current, updates.unionByName(inserts),
+        Seq("c_custkey"), to_date(lit("2024-06-01")))
+      .orderBy("c_custkey", "valid_from")
+  }
+
   /** Distinct (A7). */
   def qDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
@@ -314,6 +343,7 @@ object Relational {
     "q_pagination" -> qPagination _,
     "q_keyset_page" -> qKeysetPage _,
     "q_upsert_latest" -> qUpsertLatest _,
+    "q_scd2_merge" -> qScd2Merge _,
     "q_distinct" -> qDistinct _,
     "q_group_count" -> qGroupCount _,
     "q_rollup" -> qRollup _,
@@ -325,6 +355,30 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // the SCD2 oracle states the expected history from the same residue
+    // classes the batch is derived from: non-updated keys pass through,
+    // updated keys contribute a closed old version AND an opened new
+    // one, inserted keys open at the batch date
+    "q_scd2_merge" ->
+      """WITH base AS (
+        |  SELECT c_custkey, c_name, c_mktsegment, c_nationkey FROM customer)
+        |SELECT c_custkey, c_name, c_mktsegment, c_nationkey,
+        |  DATE '2024-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
+        |  TRUE AS is_current
+        |FROM base WHERE c_custkey % 10 <> 3
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_mktsegment, c_nationkey,
+        |  DATE '2024-01-01', DATE '2024-06-01', FALSE
+        |FROM base WHERE c_custkey % 10 = 3
+        |UNION ALL
+        |SELECT c_custkey, c_name, 'RELOCATED', CAST((c_nationkey + 1) % 25 AS INTEGER),
+        |  DATE '2024-06-01', NULL, TRUE
+        |FROM base WHERE c_custkey % 10 = 3
+        |UNION ALL
+        |SELECT c_custkey + 9000000, c_name, 'FOUNDED', c_nationkey,
+        |  DATE '2024-06-01', NULL, TRUE
+        |FROM base WHERE c_custkey % 100 = 7
+        |ORDER BY c_custkey, valid_from""".stripMargin,
     // the salted join's oracle is the PLAIN join — identical result by
     // construction is exactly the property being checked
     "q_skew_join" ->

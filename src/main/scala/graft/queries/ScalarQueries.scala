@@ -208,9 +208,46 @@ object ScalarQueries {
           col("p50_approx").between(col("vmin_raw"), col("vmax_raw"))).as("sketch_sane"))
       .orderBy("event_type")
 
+  /** Heavy hitters with a count-min sketch beside the exact answer —
+    * the third member of the sketch family (HLL++ distincts, GK
+    * percentiles, now CMS frequencies; the approximate form of the A3
+    * group-count / wordcount top-N surface). Per event_type: the exact
+    * top-3 users by frequency (rank-limited window — Spark plans the
+    * rn<=3 filter as a WindowGroupLimit cut, no full sort) joined to
+    * that type's `count_min_sketch` aggregate (constant-size map-side
+    * partials, tree-merged — the 100 TB path where per-key exact counts
+    * are the thing being avoided; the exact side here is the
+    * diagnostic, as in q_approx_sketch). Each candidate probes its
+    * group's sketch through [[graft.functions.SketchFunctions
+    * .cmsEstimate]] and the output carries the CMS theorems as
+    * oracle-pinned booleans: estimate ≥ exact (a CMS cell only ever
+    * adds — deterministic), and estimate ≤ exact + ⌈ε·N⌉ (holds with
+    * probability ≥ confidence per probe; at fixture scale the distinct
+    * user count per type is far under the sketch width 2·⌈e/ε⌉, so the
+    * realized error is 0 and the fixed seed makes the gate stable). */
+  def qHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+    val sketches = ev.groupBy("event_type").agg(
+      expr("count_min_sketch(user_id, cast(0.0005 as double), cast(0.99 as double), 42)").as("cms"),
+      count(lit(1)).as("n_type"))
+    val w = Window.partitionBy("event_type").orderBy(desc("cnt"), col("user_id"))
+    val est = graft.functions.SketchFunctions.cmsEstimate(col("cms"), col("user_id"))
+    ev.groupBy("event_type", "user_id").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .join(broadcast(sketches), Seq("event_type"))
+      .select(col("event_type"), col("rn"), col("user_id"), col("cnt"),
+        (est >= col("cnt")).as("cms_no_undercount"),
+        (est <= col("cnt") + ceil(lit(0.0005) * col("n_type")).cast("long"))
+          .as("cms_within_eps"))
+      .orderBy("event_type", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_approx_sketch" -> qApproxSketch _,
     "q_sketch_lean" -> qSketchLean _,
+    "q_heavy_hitters" -> qHeavyHitters _,
     "q_date_parts" -> qDateParts _,
     "q_unit_suffix" -> qUnitSuffix _,
     "q_cube" -> qCube _,
@@ -248,6 +285,22 @@ object ScalarQueries {
       .orderBy("c_custkey")
 
   val oracles: Map[String, String] = Map(
+    // CMS booleans are theorem-pinned TRUE (no-undercount is exact;
+    // within-eps is the ε·N bound — see qHeavyHitters); the exact
+    // ranks/counts are stated directly
+    "q_heavy_hitters" ->
+      """WITH counts AS (
+        |  SELECT event_type, user_id, count(*) AS cnt
+        |  FROM events GROUP BY event_type, user_id),
+        |ranked AS (
+        |  SELECT event_type, user_id, cnt,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY cnt DESC, user_id) AS rn
+        |  FROM counts)
+        |SELECT event_type, rn, user_id, cnt,
+        |  TRUE AS cms_no_undercount, TRUE AS cms_within_eps
+        |FROM ranked WHERE rn <= 3
+        |ORDER BY event_type, rn""".stripMargin,
     "q_approx_sketch" ->
       // the same capped deterministic draw as the Spark side: integer
       // keep test hash·total < cap·2^32, so no boundary row can differ

@@ -23,6 +23,32 @@ class ScalarSpec extends AnyFunSuite {
     assert(p == 2.5)
   }
 
+  test("cms_estimate: exact when sketch width far exceeds distinct keys, never undercounts") {
+    import graft.functions.SketchFunctions
+    val df = (1 to 500).map(i => i.toLong % 20).toDF("u")
+    val sk = df.agg(expr(
+      "count_min_sketch(u, cast(0.0005 as double), cast(0.99 as double), 42)").as("cms"))
+    val est = (0L until 20L).toDF("u")
+      .join(broadcast(sk))
+      .select($"u", SketchFunctions.cmsEstimate($"cms", $"u").as("e"))
+      .as[(Long, Long)].collect().toMap
+    // 500 draws over 20 residues = exactly 25 each; width 2·⌈e/ε⌉ ≫ 20
+    // distinct keys, so the CMS answer is collision-free and exact
+    assert(est.values.forall(_ == 25L), est.toString)
+  }
+
+  test("cms_estimate: an absent key reads within the eps*N overcount bound") {
+    import graft.functions.SketchFunctions
+    val n = 1000
+    val df = (1 to n).map(_.toLong % 50).toDF("u")
+    val sk = df.agg(expr(
+      "count_min_sketch(u, cast(0.0005 as double), cast(0.99 as double), 42)").as("cms"))
+    val e = Seq(999999L).toDF("u")
+      .join(broadcast(sk))
+      .select(SketchFunctions.cmsEstimate($"cms", $"u")).as[Long].head()
+    assert(e >= 0L && e <= math.ceil(0.0005 * n).toLong, s"absent-key estimate $e")
+  }
+
   test("parseMagnitude composes with aggregation (total market cap)") {
     val total = Seq("1K", "2K", "0.5M").toDF("s")
       .agg(sum(Sources.parseMagnitude($"s"))).as[Double].head()

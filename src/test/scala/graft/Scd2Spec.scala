@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Scd2
+
+class Scd2Spec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def dim(rows: (Long, String, String, String, Boolean)*) =
+    rows.toDF("k", "attr", "valid_from", "valid_to_s", "is_current")
+      .select(col("k"), col("attr"),
+        to_date(col("valid_from")).as("valid_from"),
+        to_date(col("valid_to_s")).as("valid_to"),
+        col("is_current"))
+
+  private val batchDate = to_date(lit("2024-06-01"))
+
+  test("scd2: changed key closes the old version and opens a new one") {
+    val current = dim((1L, "a", "2024-01-01", null, true))
+    val changes = Seq((1L, "b")).toDF("k", "attr")
+    val out = Scd2.merge(current, changes, Seq("k"), batchDate)
+      .orderBy("valid_from")
+      .select($"k", $"attr", $"valid_from".cast("string"),
+        $"valid_to".cast("string"), $"is_current")
+      .as[(Long, String, String, String, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (1L, "a", "2024-01-01", "2024-06-01", false),
+      (1L, "b", "2024-06-01", null, true)))
+  }
+
+  test("scd2: attribute-identical change is a no-op (null-safe compare)") {
+    val current = dim((1L, "a", "2024-01-01", null, true))
+    val changes = Seq((1L, "a")).toDF("k", "attr")
+    val out = Scd2.merge(current, changes, Seq("k"), batchDate)
+    assert(out.count() == 1)
+    assert(out.filter($"is_current" && $"valid_to".isNull).count() == 1)
+  }
+
+  test("scd2: null-to-null attribute compares equal, null-to-value is a change") {
+    val current = dim((1L, null, "2024-01-01", null, true), (2L, null, "2024-01-01", null, true))
+    val changes = Seq((1L, Option.empty[String]), (2L, Some("x")))
+      .toDF("k", "attr")
+    val out = Scd2.merge(current, changes, Seq("k"), batchDate)
+    assert(out.filter($"k" === 1L).count() == 1, "null == null is a no-op")
+    assert(out.filter($"k" === 2L).count() == 2, "null -> value closes + reopens")
+  }
+
+  test("scd2: unseen key inserts an open row at the batch date") {
+    val current = dim((1L, "a", "2024-01-01", null, true))
+    val changes = Seq((9L, "new")).toDF("k", "attr")
+    val out = Scd2.merge(current, changes, Seq("k"), batchDate)
+    val ins = out.filter($"k" === 9L)
+      .select($"valid_from".cast("string"), $"valid_to".isNull, $"is_current")
+      .as[(String, Boolean, Boolean)].head()
+    assert(ins == ("2024-06-01", true, true))
+    assert(out.count() == 2)
+  }
+
+  test("scd2: already-closed history rows pass through untouched") {
+    val current = dim(
+      (1L, "v0", "2023-01-01", "2024-01-01", false),
+      (1L, "v1", "2024-01-01", null, true))
+    val changes = Seq((1L, "v2")).toDF("k", "attr")
+    val out = Scd2.merge(current, changes, Seq("k"), batchDate)
+    assert(out.count() == 3)
+    assert(out.filter($"attr" === "v0" && !$"is_current").count() == 1)
+    assert(out.filter($"is_current").count() == 1)
+  }
+
+  test("scd2: repeated merge of the same batch is idempotent on history depth") {
+    val current = dim((1L, "a", "2024-01-01", null, true))
+    val changes = Seq((1L, "b")).toDF("k", "attr")
+    val once = Scd2.merge(current, changes, Seq("k"), batchDate)
+    val twice = Scd2.merge(once, changes, Seq("k"), batchDate)
+    // the second application sees attr already = b -> pure pass-through
+    assert(twice.count() == once.count())
+  }
+}
