@@ -388,6 +388,25 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly 1 gram Generate in the final plan, found $nGenerate:\n${finalPlan.take(3000)}")
   }
 
+  test("q_dedup_indexed executed plan reuses the candidate-pair exchange") {
+    // the r10 fix: the band-join+distinct candidate subtree feeds three
+    // consumers (verify join + both semi-join sides) and at bench scale
+    // AQE deletes the distinct's own Exchange (single-partition input),
+    // so without the explicit repartition boundary every consumer
+    // rebuilt the subtree (measured 2x on q_dedup_indexed). This pins
+    // that the boundary exists AND that reuse actually fires — the
+    // span-dedup lesson was that assuming reuse without asserting it
+    // lets a Spark upgrade silently regress the plan.
+    val df = SparkEntry.queries("q_dedup_indexed")(spark, TestSpark.Sf)
+    df.queryExecution.toRdd.count() // finalize the AQE plan
+    val finalPlan = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    val nByCol = "REPARTITION_BY_COL".r.findAllIn(finalPlan).size
+    val nReused = "ReusedExchange".r.findAllIn(finalPlan).size
+    assert(nByCol >= 1, s"expected the candidate repartition boundary:\n${finalPlan.take(3000)}")
+    assert(nReused >= 2,
+      s"expected >=2 ReusedExchange (candidate subtree shared across consumers), found $nReused")
+  }
+
   test("span_dedup TVF: SQL == DataFrame path") {
     withExtensionsSession { s2 =>
       val docs = Tables.documents(s2, TestSpark.Sf).filter(
