@@ -210,6 +210,11 @@ case class ResolveGraftOp(spark: org.apache.spark.sql.SparkSession)
         case "band_join" => // left, right, (key, lts, rts, tol)
           graft.operators.BandJoin.bandJoin(
             dfs(0), dfs(1), str(0), str(1), str(2), lng(3))
+        case "scd2_merge" => // current, changes, (keyCol, batchDate)
+          graft.operators.Scd2.merge(
+            dfs(0), dfs(1), Seq(str(0)),
+            org.apache.spark.sql.functions.to_date(
+              org.apache.spark.sql.functions.lit(str(1))))
         case other => throw argError(s"unknown graft op $other")
       }
       out.queryExecution.analyzed
@@ -362,7 +367,11 @@ object GraftFunctions {
         "— corpus and batch id spaces must be disjoint (enforced in-plan)", 3),
     "decontaminate" ->
       ("decontaminate(corpusTable, benchTable, idCol, textCol)", 2),
-    "band_join" -> ("band_join(leftTable, rightTable, key, lts, rts, tol)", 4))
+    "band_join" -> ("band_join(leftTable, rightTable, key, lts, rts, tol)", 4),
+    "scd2_merge" ->
+      ("scd2_merge(currentTable, changesTable, keyCol, batchDate 'yyyy-MM-dd') " +
+        "— currentTable must carry valid_from/valid_to/is_current; " +
+        "changesTable exactly key + tracked attributes", 2))
 
   /** Literal-scalar extraction shared by the one- and two-table TVF
     * builders — ONE definition so the accepted literal set cannot drift

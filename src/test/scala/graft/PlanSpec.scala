@@ -248,6 +248,27 @@ class PlanSpec extends AnyFunSuite {
           .filter(col("doc_id") >= 60 && col("doc_id") < 100))
         .orderBy("doc_id").collect().toSeq
       assert(incSql.nonEmpty && incSql == incApi)
+      // scd2_merge: TWO-table TVF, parity with the operator (current
+      // slice synthesized from docs; the change batch relabels lang)
+      val cur = Tables.documents(s2, TestSpark.Sf).filter(col("doc_id") < 40)
+        .select(col("doc_id"), col("lang"),
+          org.apache.spark.sql.functions.to_date(
+            org.apache.spark.sql.functions.lit("2024-01-01")).as("valid_from"),
+          org.apache.spark.sql.functions.expr("CAST(NULL AS DATE)").as("valid_to"),
+          org.apache.spark.sql.functions.lit(true).as("is_current"))
+      val chg = Tables.documents(s2, TestSpark.Sf)
+        .filter(col("doc_id") < 40 && col("doc_id") % 5 === 0)
+        .select(col("doc_id"), org.apache.spark.sql.functions.lit("xx").as("lang"))
+      cur.createOrReplaceTempView("scd_cur")
+      chg.createOrReplaceTempView("scd_chg")
+      val scdSql = s2.sql(
+        "SELECT * FROM scd2_merge('scd_cur', 'scd_chg', 'doc_id', '2024-06-01') " +
+          "ORDER BY doc_id, valid_from").collect().toSeq
+      val scdApi = graft.operators.Scd2.merge(cur, chg, Seq("doc_id"),
+          org.apache.spark.sql.functions.to_date(
+            org.apache.spark.sql.functions.lit("2024-06-01")))
+        .orderBy("doc_id", "valid_from").collect().toSeq
+      assert(scdSql.nonEmpty && scdSql == scdApi)
     }
   }
 
