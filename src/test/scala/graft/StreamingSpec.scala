@@ -32,6 +32,48 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("Scd2Stream maintains a versioned history table across micro-batches") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft-scd2-stream")
+    val tablePath = s"$tmp/dim"
+    val initial = Seq((1L, "a")).toDF("k", "attr")
+      .select($"k", $"attr",
+        to_date(lit("2024-01-01")).as("valid_from"),
+        expr("CAST(NULL AS DATE)").as("valid_to"),
+        lit(true).as("is_current"))
+    val dates = Map(0L -> "2024-06-01", 1L -> "2024-07-01")
+    val src = MemoryStream[(Long, String, Long)] // (k, attr, seq)
+    val q = graft.streaming.Scd2Stream.startMerge(
+      src.toDF().toDF("k", "attr", "seq"), tablePath, Seq("k"), "seq",
+      initial, checkpoint = s"$tmp/ckpt",
+      trigger = Trigger.ProcessingTime(0L),
+      batchDateOf = id => to_date(lit(dates(id))))
+    try {
+      // batch 0: key 1 changes twice in one batch (seq 2 wins) — one
+      // close + one reopen, not two
+      src.addData((1L, "b0", 1L), (1L, "b", 2L))
+      q.processAllAvailable()
+      val v0 = graft.streaming.Scd2Stream.latestSnapshot(spark, tablePath).get
+      assert(v0.count() == 2)
+      assert(v0.filter($"is_current" && $"attr" === "b").count() == 1)
+      // batch 1: key 1 changes again + brand-new key 9
+      src.addData((1L, "c", 3L), (9L, "x", 4L))
+      q.processAllAvailable()
+      val v1 = graft.streaming.Scd2Stream.latestSnapshot(spark, tablePath).get
+      val hist = v1.select($"k", $"attr", $"valid_to".cast("string"), $"is_current")
+        .as[(Long, String, String, Boolean)].collect().toSet
+      assert(hist == Set(
+        (1L, "a", "2024-06-01", false),
+        (1L, "b", "2024-07-01", false),
+        (1L, "c", null, true),
+        (9L, "x", null, true)))
+    } finally {
+      q.stop()
+      graft.IoUtil.deleteRecursively(tmp)
+    }
+  }
+
   test("dedupDaily keeps one event per user per day across batches") {
     val src = MemoryStream[Event]
     val q = Ingest.dedupDaily(src.toDF(), watermark = "10 days")
