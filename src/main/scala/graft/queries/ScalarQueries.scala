@@ -244,10 +244,28 @@ object ScalarQueries {
       .orderBy("event_type", "rn")
   }
 
+  /** pandas-describe parity over the lineitem measures
+    * ([[graft.operators.Profile.describeNumeric]] — the reference's EDA
+    * entry point as one aggregation pass): per column n / nulls / mean /
+    * sample std / min / max / exact quartiles, unpivoted to a row per
+    * column. mean/std/quartiles rounded at 1e-4 (the engine-deterministic
+    * floor form, q1's precedent); min/max are raw data values, exact in
+    * both engines. */
+  def qProfile(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.describeNumeric(Tables.lineitem(spark, dir),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
+      .select(col("col_name"), col("n"), col("n_null"),
+        rnd(col("mean"), 4).as("mean"), rnd(col("std"), 4).as("std"),
+        col("min_v"), col("max_v"),
+        rnd(col("p25"), 4).as("p25"), rnd(col("p50"), 4).as("p50"),
+        rnd(col("p75"), 4).as("p75"))
+      .orderBy("col_name")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_approx_sketch" -> qApproxSketch _,
     "q_sketch_lean" -> qSketchLean _,
     "q_heavy_hitters" -> qHeavyHitters _,
+    "q_profile" -> qProfile _,
     "q_date_parts" -> qDateParts _,
     "q_unit_suffix" -> qUnitSuffix _,
     "q_cube" -> qCube _,
@@ -285,6 +303,20 @@ object ScalarQueries {
       .orderBy("c_custkey")
 
   val oracles: Map[String, String] = Map(
+    "q_profile" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS col_name, count($c) AS n,
+           |  count(*) - count($c) AS n_null,
+           |  ${rndSql(s"avg($c)", 4)} AS mean,
+           |  ${rndSql(s"stddev_samp($c)", 4)} AS std,
+           |  min($c) AS min_v, max($c) AS max_v,
+           |  ${rndSql(s"quantile_cont($c, 0.25)", 4)} AS p25,
+           |  ${rndSql(s"quantile_cont($c, 0.5)", 4)} AS p50,
+           |  ${rndSql(s"quantile_cont($c, 0.75)", 4)} AS p75
+           |FROM lineitem""".stripMargin
+      Seq("l_quantity", "l_extendedprice", "l_discount").map(one)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
     // CMS booleans are theorem-pinned TRUE (no-undercount is exact;
     // within-eps is the ε·N bound — see qHeavyHitters); the exact
     // ranks/counts are stated directly

@@ -23,6 +23,23 @@ class ScalarSpec extends AnyFunSuite {
     assert(p == 2.5)
   }
 
+  test("describeNumeric: one-pass profile matches closed-form stats incl. null accounting") {
+    import graft.operators.Profile
+    val df = Seq(Some(1.0), Some(2.0), Some(3.0), Some(4.0), None)
+      .toDF("x").withColumn("y", lit(10.0))
+    val p = Profile.describeNumeric(df, Seq("x", "y"))
+      .orderBy("col_name")
+      .as[(String, Long, Long, Double, Double, Double, Double, Double, Double, Double)]
+      .collect().toSeq
+    // x: n=4, 1 null, mean 2.5, std sqrt(5/3), quartiles 1.75/2.5/3.25
+    val (name, n, nNull, mean, std, mn, mx, p25, p50, p75) = p.head
+    assert(name == "x" && n == 4 && nNull == 1 && mean == 2.5 && mn == 1.0 && mx == 4.0)
+    assert(math.abs(std - math.sqrt(5.0 / 3.0)) < 1e-12)
+    assert((p25, p50, p75) == (1.75, 2.5, 3.25))
+    // y: constant column — std 0, all quartiles the constant, no nulls
+    assert(p(1) == ("y", 5L, 0L, 10.0, 0.0, 10.0, 10.0, 10.0, 10.0, 10.0))
+  }
+
   test("cms_estimate: exact when sketch width far exceeds distinct keys, never undercounts") {
     import graft.functions.SketchFunctions
     val df = (1 to 500).map(i => i.toLong % 20).toDF("u")
