@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scalable previous-row lookup over a GLOBAL (ts, id) order — the
+  * stitch that closes SCALE.md's q_diff_global limit ("total-order
+  * sort, single merge point") for lag-shaped windows.
+  *
+  * The [[SaltedWindow]] philosophy applied to ordering instead of
+  * framing: rows are chunked by value-based time buckets (`ts div
+  * chunkSpan` — deterministic, no sampled range boundaries), the lag
+  * runs PARTITIONED by chunk (parallel across the cluster, each chunk a
+  * plain in-memory window), and only each chunk's LAST row — one row
+  * per non-empty chunk — crosses chunk boundaries: a per-chunk max_by
+  * aggregate, lagged over the chunk order, joined back, fills the one
+  * row per chunk whose in-chunk lag is null. The unpartitioned window
+  * in that carry step orders CHUNK COUNT rows (metadata scale: a year
+  * of hourly chunks is 8.8k rows at ANY corpus size), not the corpus.
+  *
+  * Identical-by-construction to the total-order lag: within a chunk the
+  * orders agree; across the boundary the previous global row IS the
+  * previous non-empty chunk's max_by-(ts, id) row. q_diff_chunked pins
+  * the equality through q_diff_global's own DuckDB oracle, and
+  * TimeSeriesSpec asserts frame equality on the fixture. */
+object ChunkedOrder {
+
+  /** `df` plus `prevCol` = the previous value of `valCol` under the
+    * global (`tsCol`, `idCol`) order (null for the globally first row).
+    * `tsCol` must be an integral epoch column; `chunkSpan` is in the
+    * same unit and only affects parallelism, never the result. */
+  def withGlobalPrev(df: DataFrame, tsCol: String, idCol: String, valCol: String,
+                     prevCol: String, chunkSpan: Long): DataFrame = {
+    require(chunkSpan > 0, "withGlobalPrev: chunkSpan must be positive")
+    val reserved = Seq("__chunk", "__prev_in", "__last", "__carry")
+    require(!df.columns.exists(reserved.contains),
+      s"withGlobalPrev: input must not carry ${reserved.mkString(", ")}")
+    // integer chunking: ts spans exceed 2^53 in nanos, so the bucket
+    // must be computed in long arithmetic (a double division would
+    // collapse distinct buckets), and `div` floors toward -inf stays
+    // irrelevant for epoch-positive ts
+    val chunk = expr(s"`$tsCol` div ${chunkSpan}L")
+    val wc = Window.partitionBy("__chunk").orderBy(col(tsCol), col(idCol))
+    val withIn = df.withColumn("__chunk", chunk)
+      .withColumn("__prev_in", lag(col(valCol), 1).over(wc))
+    val lasts = df.withColumn("__chunk", chunk)
+      .groupBy("__chunk")
+      .agg(max_by(col(valCol), struct(col(tsCol), col(idCol))).as("__last"))
+    // one row per NON-EMPTY chunk: lag(1) over the chunk order is the
+    // previous non-empty chunk's last value — the only unpartitioned
+    // window here, over chunk-count rows
+    val carry = lasts
+      .withColumn("__carry", lag(col("__last"), 1).over(Window.orderBy("__chunk")))
+      .select(col("__chunk"), col("__carry"))
+    withIn.join(carry, Seq("__chunk"), "left")
+      .withColumn(prevCol, coalesce(col("__prev_in"), col("__carry")))
+      .drop("__chunk", "__prev_in", "__carry")
+  }
+}

@@ -114,6 +114,22 @@ object TimeSeriesQueries {
       .orderBy("event_id")
   }
 
+  /** W10's SCALABLE twin: the same global first-difference + percent
+    * change served by [[graft.operators.ChunkedOrder.withGlobalPrev]]
+    * (chunk-partitioned lag + metadata-scale carry stitch) instead of a
+    * total-order window — closes SCALE.md's q_diff_global limit. Shares
+    * q_diff_global's oracle verbatim: the equality IS the property. */
+  def qDiffChunked(spark: SparkSession, dir: String): DataFrame = {
+    val prev = col("__prev")
+    graft.operators.ChunkedOrder.withGlobalPrev(
+        Tables.events(spark, dir), "ts", "event_id", "value",
+        "__prev", chunkSpan = 6L * 3600L * 1000000000L)
+      .select(col("event_id"),
+        rnd(col("value") - prev, 2).as("diff"),
+        rnd((col("value") - prev) / nullif(prev, lit(0)) * lit(100), 4).as("pct_change"))
+      .orderBy("event_id")
+  }
+
   /** MA crossover events: rows where the 5/20 signal flips (index.js
     * crossover chart as a window query). */
   def qCrossover(spark: SparkSession, dir: String): DataFrame = {
@@ -281,6 +297,7 @@ object TimeSeriesQueries {
     "q_macd" -> qMacd _,
     "q_ffill" -> qFfill _,
     "q_diff_global" -> qDiffGlobal _,
+    "q_diff_chunked" -> qDiffChunked _,
     "q_crossover" -> qCrossover _,
     "q_running_sum" -> qRunningSum _,
     "q_ranked" -> qRanked _,
@@ -291,6 +308,13 @@ object TimeSeriesQueries {
     "q_event_json" -> qEventJson _,
     "q_ml_features" -> qMlFeatures _,
   )
+
+  private val DiffGlobalSql =
+    """SELECT event_id,
+      |  floor((value - lag(value, 1) OVER (ORDER BY ts, event_id)) * 1e2 + 0.5) / 1e2 AS diff,
+      |  floor(((value - lag(value, 1) OVER (ORDER BY ts, event_id))
+      |      / nullif(lag(value, 1) OVER (ORDER BY ts, event_id), 0) * 100) * 1e4 + 0.5) / 1e4 AS pct_change
+      |FROM events ORDER BY event_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // open/close via row_number on the same (epoch_ns, event_id) order
@@ -368,12 +392,11 @@ object TimeSeriesQueries {
          |  last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END IGNORE NULLS)
          |    OVER ($ORDER ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
          |FROM events ORDER BY user_id, event_id""".stripMargin,
-    "q_diff_global" ->
-      """SELECT event_id,
-        |  floor((value - lag(value, 1) OVER (ORDER BY ts, event_id)) * 1e2 + 0.5) / 1e2 AS diff,
-        |  floor(((value - lag(value, 1) OVER (ORDER BY ts, event_id))
-        |      / nullif(lag(value, 1) OVER (ORDER BY ts, event_id), 0) * 100) * 1e4 + 0.5) / 1e4 AS pct_change
-        |FROM events ORDER BY event_id""".stripMargin,
+    "q_diff_global" -> DiffGlobalSql,
+    // the chunked twin shares the oracle VERBATIM — cross-engine
+    // equality against the total-order form is exactly the property
+    // the chunk stitch must prove
+    "q_diff_chunked" -> DiffGlobalSql,
     "q_crossover" ->
       s"""WITH s AS (
          |  SELECT event_id, user_id, ts,

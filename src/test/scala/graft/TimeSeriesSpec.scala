@@ -19,6 +19,26 @@ class TimeSeriesSpec extends AnyFunSuite {
     ("b", 1, 5.0), ("b", 2, 5.0)
   ).toDF("g", "i", "v")
 
+  test("withGlobalPrev equals the total-order lag across many chunk boundaries") {
+    import graft.operators.ChunkedOrder
+    val ev = Tables.events(spark, TestSpark.Sf).select("event_id", "ts", "value")
+    // tiny span -> hundreds of chunks, every boundary a stitch; the
+    // result must not depend on the span at all
+    val spans = Seq(6L * 3600L * 1000000000L, 97L * 1000000000L * 60L)
+    val global = ev.withColumn("p",
+        lag($"value", 1).over(Window.orderBy("ts", "event_id")))
+      .select($"event_id", $"p").orderBy("event_id")
+      .as[(Long, Option[Double])].collect().toSeq
+    for (span <- spans) {
+      val chunked = ChunkedOrder.withGlobalPrev(ev, "ts", "event_id", "value", "p", span)
+        .select($"event_id", $"p").orderBy("event_id")
+        .as[(Long, Option[Double])].collect().toSeq
+      assert(chunked == global, s"span=$span")
+      val nChunks = ev.select((expr(s"ts div ${span}L")).as("c")).distinct().count()
+      assert(nChunks > 10, s"span=$span must exercise many boundaries, got $nChunks chunks")
+    }
+  }
+
   test("lag is null at partition start and partition-local") {
     val r = df.withColumn("l", lagK($"v", 1, w)).orderBy("g", "i")
       .select("l").as[Option[Double]].collect()
