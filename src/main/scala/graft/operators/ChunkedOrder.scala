@@ -57,4 +57,37 @@ object ChunkedOrder {
       .withColumn(prevCol, coalesce(col("__prev_in"), col("__carry")))
       .drop("__chunk", "__prev_in", "__carry")
   }
+
+  /** Global `row_number()` without a total-order window — the same
+    * stitch for rank-shaped globals (closes the q_pagination half of
+    * the SCALE.md limit): row_number runs PARTITIONED by `chunkCol`,
+    * and each chunk's global offset is the running sum of prior-chunk
+    * counts — a window over chunk-count rows, metadata scale.
+    *
+    * Caller contract (cannot be checked cheaply, so it is stated):
+    * `chunkCol` must be a function of the LEADING order expression that
+    * is monotone non-decreasing along the global `orderCols` order —
+    * e.g. `floor(-c)` for `ORDER BY c DESC` — so the global sort never
+    * interleaves two chunks and equal leading keys share a chunk.
+    *
+    * `rnCol` is cast to int for schema parity with `row_number()`; a
+    * corpus past 2^31 rows needs the long form (and has no business
+    * offset-paging that deep — keyset paging is the scale answer). */
+  def withGlobalRowNumber(df: DataFrame, chunkCol: Column, orderCols: Seq[Column],
+                          rnCol: String): DataFrame = {
+    val reserved = Seq("__chunk", "__rn_in", "__cnt", "__offset")
+    require(!df.columns.exists(reserved.contains),
+      s"withGlobalRowNumber: input must not carry ${reserved.mkString(", ")}")
+    val withChunk = df.withColumn("__chunk", chunkCol)
+    val rnIn = withChunk.withColumn("__rn_in",
+      row_number().over(Window.partitionBy("__chunk").orderBy(orderCols: _*)))
+    val offsets = withChunk.groupBy("__chunk").agg(count(lit(1)).as("__cnt"))
+      .withColumn("__offset", coalesce(
+        sum(col("__cnt")).over(
+          Window.orderBy("__chunk").rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .select(col("__chunk"), col("__offset"))
+    rnIn.join(offsets, Seq("__chunk"), "left")
+      .withColumn(rnCol, (col("__offset") + col("__rn_in")).cast("int"))
+      .drop("__chunk", "__rn_in", "__offset")
+  }
 }

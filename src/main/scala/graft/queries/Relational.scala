@@ -169,6 +169,20 @@ object Relational {
       .orderBy("rn")
   }
 
+  /** [[qPagination]]'s SCALABLE twin: the same global row_number served
+    * by [[graft.operators.ChunkedOrder.withGlobalRowNumber]] — chunked
+    * by floor(-c_acctbal) (monotone along the DESC order, equal keys
+    * share a chunk), offsets stitched from per-chunk counts. Shares
+    * q_pagination's oracle verbatim: equality is the property. */
+  def qPaginationChunked(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.ChunkedOrder.withGlobalRowNumber(
+        Tables.customer(spark, dir)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal")),
+        floor(-col("c_acctbal")),
+        Seq(desc("c_acctbal"), col("c_custkey")), "rn")
+      .filter(col("rn").between(21, 30))
+      .orderBy("rn")
+
   /** Keyset ("seek") pagination — the scale-safe twin of [[qPagination]]:
     * WHERE key > last-seen ORDER BY key LIMIT n. The predicate pushes
     * into the scan (partition/row-group pruning on the sort key) and the
@@ -341,6 +355,7 @@ object Relational {
     "q_join_star" -> qJoinStar _,
     "q_topk" -> qTopk _,
     "q_pagination" -> qPagination _,
+    "q_pagination_chunked" -> qPaginationChunked _,
     "q_keyset_page" -> qKeysetPage _,
     "q_upsert_latest" -> qUpsertLatest _,
     "q_scd2_merge" -> qScd2Merge _,
@@ -353,6 +368,12 @@ object Relational {
     "q_null_audit" -> qNullAudit _,
     "q_temporal_split" -> qTemporalSplit _,
   )
+
+  private val PaginationSql =
+    """SELECT c_custkey, c_name, c_acctbal, rn FROM (
+      |  SELECT c_custkey, c_name, c_acctbal,
+      |    row_number() OVER (ORDER BY c_acctbal DESC, c_custkey) AS rn
+      |  FROM customer) WHERE rn BETWEEN 21 AND 30 ORDER BY rn""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // the SCD2 oracle states the expected history from the same residue
@@ -456,11 +477,10 @@ object Relational {
     "q_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
-    "q_pagination" ->
-      """SELECT c_custkey, c_name, c_acctbal, rn FROM (
-        |  SELECT c_custkey, c_name, c_acctbal,
-        |    row_number() OVER (ORDER BY c_acctbal DESC, c_custkey) AS rn
-        |  FROM customer) WHERE rn BETWEEN 21 AND 30 ORDER BY rn""".stripMargin,
+    "q_pagination" -> PaginationSql,
+    // the chunk-stitched twin shares the oracle VERBATIM — equality
+    // with the total-order row_number is exactly the property
+    "q_pagination_chunked" -> PaginationSql,
     "q_keyset_page" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders WHERE o_orderkey > 1000

@@ -39,6 +39,22 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("withGlobalRowNumber equals the total-order row_number, ties included") {
+    import graft.operators.ChunkedOrder
+    // tie-heavy frame: many equal v values (same chunk by construction)
+    // and a distinct-id tiebreak, buckets of width 1 over a DESC order
+    val df = (1 to 500).map(i => (i.toLong, (i % 13) + (i % 3) * 0.25)).toDF("id", "v")
+    val global = df.withColumn("rn",
+        row_number().over(Window.orderBy(desc("v"), $"id")))
+      .select($"id", $"rn").orderBy("id").as[(Long, Int)].collect().toSeq
+    val chunked = ChunkedOrder.withGlobalRowNumber(
+        df, floor(-$"v"), Seq(desc("v"), $"id"), "rn")
+      .select($"id", $"rn").orderBy("id").as[(Long, Int)].collect().toSeq
+    assert(chunked == global)
+    val nChunks = df.select(floor(-$"v")).distinct().count()
+    assert(nChunks > 5, s"must exercise multiple chunks, got $nChunks")
+  }
+
   test("lag is null at partition start and partition-local") {
     val r = df.withColumn("l", lagK($"v", 1, w)).orderBy("g", "i")
       .select("l").as[Option[Double]].collect()
