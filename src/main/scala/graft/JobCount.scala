@@ -36,7 +36,10 @@ object JobCount {
       val t0 = System.nanoTime()
       fn(spark, sfDir).queryExecution.toRdd.count()
       val sec = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(500)
+      // drain the async listener bus before reading/resetting counters —
+      // in-flight events would otherwise undercount this rep and bleed
+      // into the next one's counts (review r10 find)
+      org.apache.spark.sql.GraftBridge.drainListenerBus(spark.sparkContext)
       println(f"[jobcount] $name rep $rep: $sec%.2f s  jobs=${jobs.get} stages=${stages.get} tasks=${tasks.get}")
     }
     spark.stop()

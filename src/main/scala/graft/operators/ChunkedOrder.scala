@@ -33,7 +33,7 @@ object ChunkedOrder {
   def withGlobalPrev(df: DataFrame, tsCol: String, idCol: String, valCol: String,
                      prevCol: String, chunkSpan: Long): DataFrame = {
     require(chunkSpan > 0, "withGlobalPrev: chunkSpan must be positive")
-    val reserved = Seq("__chunk", "__prev_in", "__last", "__carry")
+    val reserved = Seq("__chunk", "__prev_in", "__first", "__last", "__carry")
     require(!df.columns.exists(reserved.contains),
       s"withGlobalPrev: input must not carry ${reserved.mkString(", ")}")
     // integer chunking: ts spans exceed 2^53 in nanos, so the bucket
@@ -42,20 +42,28 @@ object ChunkedOrder {
     // irrelevant for epoch-positive ts
     val chunk = expr(s"`$tsCol` div ${chunkSpan}L")
     val wc = Window.partitionBy("__chunk").orderBy(col(tsCol), col(idCol))
+    // the carry applies ONLY to each chunk's first row (review r10
+    // find: coalescing on "in-chunk lag is null" also fired for rows
+    // whose true predecessor VALUE is null, substituting the carry for
+    // a legitimate null prev) — so the first-row test is positional
     val withIn = df.withColumn("__chunk", chunk)
       .withColumn("__prev_in", lag(col(valCol), 1).over(wc))
+      .withColumn("__first", row_number().over(wc) === 1)
+    // max_by would skip a null last VALUE (nulls sort nowhere in agg
+    // buffers); carrying the (ts, id, value) struct keeps a null value
+    // attached to the genuinely-last row
     val lasts = df.withColumn("__chunk", chunk)
       .groupBy("__chunk")
-      .agg(max_by(col(valCol), struct(col(tsCol), col(idCol))).as("__last"))
+      .agg(max(struct(col(tsCol), col(idCol), col(valCol).as("__v"))).as("__last"))
     // one row per NON-EMPTY chunk: lag(1) over the chunk order is the
     // previous non-empty chunk's last value — the only unpartitioned
     // window here, over chunk-count rows
     val carry = lasts
-      .withColumn("__carry", lag(col("__last"), 1).over(Window.orderBy("__chunk")))
+      .withColumn("__carry", lag(col("__last.__v"), 1).over(Window.orderBy("__chunk")))
       .select(col("__chunk"), col("__carry"))
     withIn.join(carry, Seq("__chunk"), "left")
-      .withColumn(prevCol, coalesce(col("__prev_in"), col("__carry")))
-      .drop("__chunk", "__prev_in", "__carry")
+      .withColumn(prevCol, when(col("__first"), col("__carry")).otherwise(col("__prev_in")))
+      .drop("__chunk", "__prev_in", "__first", "__carry")
   }
 
   /** Global `row_number()` without a total-order window — the same

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Slowly-changing-dimension type-2 merge — the warehouse-maintenance
@@ -41,16 +42,28 @@ object Scd2 {
   def merge(current: DataFrame, changes: DataFrame, keyCols: Seq[String],
             batchDate: Column): DataFrame = {
     val attrs = current.columns.toSeq.filterNot(keyCols.contains).filterNot(MetaCols.contains)
+    require(keyCols.nonEmpty, "scd2Merge: at least one key column")
     require(MetaCols.forall(current.columns.contains),
       s"scd2Merge: `current` must carry ${MetaCols.mkString(", ")}")
     require(changes.columns.toSet == (keyCols ++ attrs).toSet,
       s"scd2Merge: `changes` columns ${changes.columns.mkString(",")} must be " +
         s"exactly key ${keyCols.mkString(",")} + tracked ${attrs.mkString(",")}")
 
-    val hist = current.filter(!col("is_current"))
-    val curr = current.filter(col("is_current"))
+    // a NULL is_current routes to the history passthrough (review r10
+    // find: `filter(!c)` and `filter(c)` BOTH exclude null, silently
+    // dropping the row); the current slice is then non-null TRUE by
+    // construction, which the post-join presence marker relies on
+    val hist = current.filter(!coalesce(col("is_current"), lit(false)))
+    val curr = current.filter(coalesce(col("is_current"), lit(false)))
+    // one-row-per-key is a hard precondition (a duplicate fans the
+    // full-outer join out into duplicate closes and two open versions
+    // per key); enforce it in-plan on the batch side — the count rides
+    // a window over the (small) changes frame and the raise fires
+    // before a corrupted history can be emitted
     val chg = changes.select((keyCols ++ attrs).map(c => col(c).as(s"__chg_$c")): _*)
       .withColumn("__chg_present", lit(true))
+      .withColumn("__chg_dup",
+        count(lit(1)).over(Window.partitionBy(keyCols.map(c => col(s"__chg_$c")): _*)))
 
     // null-safe key equality: a null key component still pairs its two
     // sides instead of silently fanning into both unmatched branches
@@ -64,11 +77,26 @@ object Scd2 {
     // as "unmatched")
     val matchedCurr = col("is_current").isNotNull
     val matchedChg = col("__chg_present").isNotNull
-    val attrChanged = attrs.map(a => !(col(a) <=> col(s"__chg_$a"))).reduce(_ || _)
+    // an attribute-free dimension can never "change" — reduceOption so
+    // the degenerate schema is a pass-through/insert merge, not an
+    // empty.reduce crash (review r10 find)
+    val attrChanged = attrs.map(a => !(col(a) <=> col(s"__chg_$a")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+
+    // the duplicate-key raise rides the first key field of every
+    // emitted version (a standalone assertion column would be pruned
+    // as unreferenced — the incrementalDedup guard precedent)
+    def guardedKey(k: String): Column =
+      when(col("__chg_dup") > 1,
+        raise_error(concat(
+          lit("scd2Merge: `changes` must have one row per key; duplicate " +
+            s"$k value: "), col(s"__chg_$k").cast("string"))))
+        .otherwise(coalesce(col(k), col(s"__chg_$k")))
 
     def version(useChg: Boolean, from: Column, to: Column, cur: Column): Column =
       struct(
-        keyCols.map(k => coalesce(col(k), col(s"__chg_$k")).as(k)) ++
+        (guardedKey(keyCols.head).as(keyCols.head) +:
+          keyCols.tail.map(k => coalesce(col(k), col(s"__chg_$k")).as(k))) ++
           attrs.map(a => (if (useChg) col(s"__chg_$a") else col(a)).as(a)) ++
           Seq(from.as("valid_from"), to.as("valid_to"), cur.as("is_current")): _*)
 

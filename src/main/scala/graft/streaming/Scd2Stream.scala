@@ -62,7 +62,15 @@ object Scd2Stream {
                  checkpoint: String = "",
                  trigger: Trigger = Trigger.ProcessingTime("5 minutes"),
                  batchDateOf: Long => Column = _ => current_date(),
-                 keepVersions: Int = 2): StreamingQuery =
+                 keepVersions: Int = 2): StreamingQuery = {
+    // the crash-replay wall NEEDS the previous snapshot on disk: a
+    // replaying batch N reads the latest version < N, and with only
+    // one retained version a crash between the v=N write and the
+    // checkpoint commit would leave the replay nothing but `initial`
+    // to merge against — silent history reset (review r10 find)
+    require(keepVersions >= 2,
+      s"startMerge: keepVersions must be >= 2 (got $keepVersions) — " +
+        "retaining a single snapshot breaks crash-replay recovery")
     changes.writeStream
       .outputMode("append")
       .option("checkpointLocation",
@@ -88,7 +96,7 @@ object Scd2Stream {
           .partitionBy("v")
           .parquet(tablePath)
         // retention: drop snapshots older than the newest `keepVersions`
-        val stale = listVersions(spark, tablePath).sorted.dropRight(math.max(keepVersions, 1))
+        val stale = listVersions(spark, tablePath).sorted.dropRight(keepVersions)
         if (stale.nonEmpty) {
           val p = new Path(tablePath)
           val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -97,4 +105,5 @@ object Scd2Stream {
         ()
       }
       .start()
+  }
 }

@@ -69,6 +69,36 @@ class Scd2Spec extends AnyFunSuite {
     assert(out.filter($"is_current").count() == 1)
   }
 
+  test("scd2: duplicate key in changes raises instead of corrupting history") {
+    val current = dim((1L, "a", "2024-01-01", null, true))
+    val changes = Seq((1L, "b"), (1L, "c")).toDF("k", "attr")
+    val e = intercept[Exception] {
+      Scd2.merge(current, changes, Seq("k"), batchDate).collect()
+    }
+    assert(e.getMessage.contains("one row per key"), e.getMessage)
+  }
+
+  test("scd2: a NULL is_current row passes through as history, not silent loss") {
+    val current = dim((1L, "a", "2024-01-01", null, true))
+      .unionByName(dim((2L, "z", "2023-01-01", "2023-06-01", true))
+        .withColumn("is_current", lit(null).cast("boolean")))
+    val changes = Seq((1L, "b")).toDF("k", "attr")
+    val out = Scd2.merge(current, changes, Seq("k"), batchDate)
+    assert(out.count() == 3, "the malformed-flag row must survive")
+    assert(out.filter($"k" === 2L).count() == 1)
+  }
+
+  test("scd2: an attribute-free dimension merges as pure upsert (no crash)") {
+    val current = Seq(1L).toDF("k")
+      .select($"k", to_date(lit("2024-01-01")).as("valid_from"),
+        expr("CAST(NULL AS DATE)").as("valid_to"), lit(true).as("is_current"))
+    val changes = Seq(1L, 9L).toDF("k")
+    val out = Scd2.merge(current, changes, Seq("k"), batchDate)
+    // key 1: attr-identical by definition -> pass-through; key 9: insert
+    assert(out.count() == 2)
+    assert(out.filter($"k" === 9L && $"is_current").count() == 1)
+  }
+
   test("scd2: repeated merge of the same batch is idempotent on history depth") {
     val current = dim((1L, "a", "2024-01-01", null, true))
     val changes = Seq((1L, "b")).toDF("k", "attr")

@@ -39,6 +39,22 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("withGlobalPrev: null values propagate as prev (not papered over by the carry)") {
+    import graft.operators.ChunkedOrder
+    // chunkSpan 10: chunk 0 = ts 0-9, chunk 1 = ts 10-19. A null value
+    // mid-chunk must surface as the NEXT row's prev; a null value as a
+    // chunk's LAST row must carry null into the next chunk's first row.
+    val df = Seq(
+      (0L, 1L, Some(10.0)), (5L, 2L, Option.empty[Double]), (7L, 3L, Some(7.0)),
+      (9L, 4L, Option.empty[Double]), (12L, 5L, Some(3.0))
+    ).toDF("ts", "id", "v")
+    val out = ChunkedOrder.withGlobalPrev(df, "ts", "id", "v", "p", chunkSpan = 10L)
+      .orderBy("ts").select("p").as[Option[Double]].collect().toSeq
+    assert(out == Seq(None, Some(10.0), None, Some(7.0), None),
+      s"got $out — mid-chunk null must not be replaced by the carry, " +
+        "and a null chunk-last value must carry as null")
+  }
+
   test("withGlobalRowNumber equals the total-order row_number, ties included") {
     import graft.operators.ChunkedOrder
     // tie-heavy frame: many equal v values (same chunk by construction)
