@@ -115,4 +115,38 @@ object Scd2 {
     joined.select(explode(versions).as("__v")).select(col("__v.*"))
       .unionByName(hist)
   }
+
+  /** Point-in-time dimension join — the leakage-free feature lookup
+    * over an SCD2 history ([[merge]]'s output, or any frame with
+    * non-overlapping `valid_from`/`valid_to` windows per key): each
+    * fact row pairs with the ONE version valid at its timestamp
+    * (`valid_from ≤ ts < valid_to`, open-ended null `valid_to`). This
+    * is the feature-store correctness join: training features joined
+    * as-of the label's timestamp cannot leak post-event attribute
+    * values (the q_temporal_split discipline, applied to dimensions).
+    *
+    * Scale shape: the equality on the key carries the join (broadcast
+    * for a dim, shuffle-on-key otherwise — NEVER a
+    * BroadcastNestedLoop: the validity predicate rides the hash join
+    * as its residual condition); per-fact fan-out before the residual
+    * is bounded by that key's version count, and non-overlapping
+    * windows guarantee ≤ 1 surviving match, so the left semantics are
+    * preserved exactly (a fact before its key's first version, or with
+    * no key match at all, keeps null dimension columns). */
+  def pointInTimeJoin(facts: DataFrame, history: DataFrame,
+                      keyCols: Seq[String], tsCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "pointInTimeJoin: at least one key column")
+    require(Seq("valid_from", "valid_to").forall(history.columns.contains),
+      "pointInTimeJoin: `history` must carry valid_from/valid_to")
+    val dimCols = history.columns.toSeq.filterNot(_ == "is_current")
+    val h = history.select(dimCols.map(c => col(c).as(s"__h_$c")): _*)
+    val ts = col(tsCol)
+    val cond = keyCols.map(k => col(k) <=> col(s"__h_$k")).reduce(_ && _) &&
+      col("__h_valid_from") <= ts &&
+      (col("__h_valid_to").isNull || ts < col("__h_valid_to"))
+    facts.join(h, cond, "left")
+      .select(facts.columns.map(col) ++
+        dimCols.filterNot(keyCols.contains)
+          .map(c => col(s"__h_$c").as(if (c.startsWith("valid_")) s"dim_$c" else c)): _*)
+  }
 }

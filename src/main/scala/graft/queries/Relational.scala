@@ -239,6 +239,32 @@ object Relational {
       .orderBy("c_custkey", "valid_from")
   }
 
+  /** Point-in-time dimension join ([[graft.operators.Scd2
+    * .pointInTimeJoin]]): every order looks up the customer segment
+    * valid AT its order date against a two-version SCD2 history
+    * (keys ≡ 3 mod 10 relocate on 1995-06-01, mid-fixture so both
+    * versions match real facts). The leakage-free feature-store
+    * lookup — the validity predicate rides the broadcast hash join as
+    * a residual, never a nested loop (PlanSpec-pinned). */
+  def qPitJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val v1 = c.select(col("c_custkey"), col("c_mktsegment"),
+      to_date(lit("1992-01-01")).as("valid_from"),
+      when(col("c_custkey") % 10 === 3, to_date(lit("1995-06-01"))).as("valid_to"))
+    val v2 = c.filter(col("c_custkey") % 10 === 3)
+      .select(col("c_custkey"), lit("RELOCATED").as("c_mktsegment"),
+        to_date(lit("1995-06-01")).as("valid_from"),
+        when(lit(false), to_date(lit("1995-06-01"))).as("valid_to"))
+    val facts = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey").as("c_custkey"),
+        to_date(col("o_orderdate")).as("o_day"))
+    graft.operators.Scd2.pointInTimeJoin(
+        facts, broadcast(v1.unionByName(v2)), Seq("c_custkey"), "o_day")
+      .select(col("o_orderkey"), col("c_custkey"), col("o_day"),
+        col("c_mktsegment").as("seg_at_order"))
+      .orderBy("o_orderkey")
+  }
+
   /** Distinct (A7). */
   def qDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
@@ -359,6 +385,7 @@ object Relational {
     "q_keyset_page" -> qKeysetPage _,
     "q_upsert_latest" -> qUpsertLatest _,
     "q_scd2_merge" -> qScd2Merge _,
+    "q_pit_join" -> qPitJoin _,
     "q_distinct" -> qDistinct _,
     "q_group_count" -> qGroupCount _,
     "q_rollup" -> qRollup _,
@@ -400,6 +427,23 @@ object Relational {
         |  DATE '2024-06-01', NULL, TRUE
         |FROM base WHERE c_custkey % 100 = 7
         |ORDER BY c_custkey, valid_from""".stripMargin,
+    "q_pit_join" ->
+      """WITH hist AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |         DATE '1992-01-01' AS valid_from,
+        |         CASE WHEN c_custkey % 10 = 3 THEN DATE '1995-06-01' END AS valid_to
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, 'RELOCATED', DATE '1995-06-01', NULL
+        |  FROM customer WHERE c_custkey % 10 = 3)
+        |SELECT o.o_orderkey, o.o_custkey AS c_custkey,
+        |       CAST(o.o_orderdate AS DATE) AS o_day,
+        |       h.c_mktsegment AS seg_at_order
+        |FROM orders o LEFT JOIN hist h
+        |  ON o.o_custkey = h.c_custkey
+        | AND h.valid_from <= CAST(o.o_orderdate AS DATE)
+        | AND (h.valid_to IS NULL OR CAST(o.o_orderdate AS DATE) < h.valid_to)
+        |ORDER BY o_orderkey""".stripMargin,
     // the salted join's oracle is the PLAIN join — identical result by
     // construction is exactly the property being checked
     "q_skew_join" ->

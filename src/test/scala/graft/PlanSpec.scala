@@ -55,6 +55,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("q_pit_join: validity predicate rides the hash join, never a nested loop") {
+    val p = physical("q_pit_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   test("q_decontam_bloom: codegen'd might_contain prefilter feeds the broadcast verify") {
     val p = physical("q_decontam_bloom")
     // the bloom probe must appear as a Filter predicate (map-side, before

@@ -99,6 +99,39 @@ class Scd2Spec extends AnyFunSuite {
     assert(out.filter($"k" === 9L && $"is_current").count() == 1)
   }
 
+  test("pointInTimeJoin: picks the version valid at ts; gaps and unknown keys keep nulls") {
+    import graft.operators.Scd2
+    val hist = Seq(
+      (1L, "v1", "2024-01-01", "2024-03-01"),
+      (1L, "v2", "2024-06-01", null) // GAP between 03-01 and 06-01
+    ).toDF("k", "attr", "f", "t")
+      .select($"k", $"attr", to_date($"f").as("valid_from"), to_date($"t").as("valid_to"))
+    val facts = Seq(
+      (10L, 1L, "2024-02-15"), // inside v1
+      (11L, 1L, "2024-03-01"), // exactly at v1's exclusive end -> gap
+      (12L, 1L, "2024-04-01"), // in the gap
+      (13L, 1L, "2024-06-01"), // inclusive start of v2
+      (14L, 1L, "2030-01-01"), // open-ended v2
+      (15L, 7L, "2024-02-15")  // unknown key
+    ).toDF("fid", "k", "d").select($"fid", $"k", to_date($"d").as("d"))
+    val out = Scd2.pointInTimeJoin(facts, hist, Seq("k"), "d")
+      .orderBy("fid").select($"fid", $"attr").as[(Long, Option[String])].collect().toSeq
+    assert(out == Seq(10L -> Some("v1"), 11L -> None, 12L -> None,
+      13L -> Some("v2"), 14L -> Some("v2"), 15L -> None))
+  }
+
+  test("pointInTimeJoin over merge output resolves each fact to exactly one version") {
+    import graft.operators.Scd2
+    val current = dim((1L, "a", "2024-01-01", null, true))
+    val changes = Seq((1L, "b")).toDF("k", "attr")
+    val hist = Scd2.merge(current, changes, Seq("k"), batchDate)
+    val facts = Seq((100L, 1L, "2024-03-01"), (101L, 1L, "2024-08-01"))
+      .toDF("fid", "k", "d").select($"fid", $"k", to_date($"d").as("d"))
+    val out = Scd2.pointInTimeJoin(facts, hist, Seq("k"), "d")
+      .orderBy("fid").select($"attr").as[String].collect().toSeq
+    assert(out == Seq("a", "b"), "pre-batch fact sees the closed version, post-batch the open one")
+  }
+
   test("scd2: repeated merge of the same batch is idempotent on history depth") {
     val current = dim((1L, "a", "2024-01-01", null, true))
     val changes = Seq((1L, "b")).toDF("k", "attr")
