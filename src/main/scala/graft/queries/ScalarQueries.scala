@@ -281,7 +281,32 @@ object ScalarQueries {
       .orderBy("col_name")
   }
 
+  /** Incremental-rollup maintenance on the oracle gate
+    * ([[graft.operators.PartialAgg]]): quantity moments reduced ONCE to
+    * (returnflag, ship-month) partials — one scan, shuffle sized by the
+    * ~250-cell fine grain — then MERGED to per-flag totals without
+    * re-touching the facts, with mean/std derived from the exact
+    * integer moment sums. The oracle computes the same statistics
+    * DIRECTLY from lineitem, so the hash gate proves the partial→merge
+    * algebra loses nothing (the 100 TB claim: yesterday's partials are
+    * immutable state; only the new day rescans facts, and any coarser
+    * rollup is served from metadata-scale partials). Associativity and
+    * random-split invariance are spec-pinned in ScalarSpec. */
+  def qPartialMerge(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.PartialAgg
+    val p = PartialAgg.partials(
+      Tables.lineitem(spark, dir), Seq("l_returnflag"),
+      Seq(date_trunc("month", col("l_shipdate")).as("mon")),
+      col("l_quantity"))
+    PartialAgg.derive(PartialAgg.merge(p, Seq("l_returnflag")))
+      .select(col("l_returnflag"), col("n_partials"), col("n"),
+        col("s").as("sum_qty"), col("mn"), col("mx"),
+        rnd(col("mean"), 4).as("mean"), rnd(col("std"), 4).as("std"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_partial_merge" -> qPartialMerge _,
     "q_approx_sketch" -> qApproxSketch _,
     "q_sketch_lean" -> qSketchLean _,
     "q_heavy_hitters" -> qHeavyHitters _,
@@ -323,6 +348,27 @@ object ScalarQueries {
       .orderBy("c_custkey")
 
   val oracles: Map[String, String] = Map(
+    // computed DIRECTLY from the facts (no partial/merge staging) — the
+    // gate is the proof that the Spark side's two-level algebra equals a
+    // one-level aggregate. Same moment formula, same operation order, so
+    // every double op is determined by the same exact integer sums
+    // (HUGEINT sums cast to BIGINT per invariant 1; sqrt is IEEE-exact).
+    "q_partial_merge" ->
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |    count(DISTINCT date_trunc('month', l_shipdate)) AS n_partials,
+        |    count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s,
+        |    CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s2,
+        |    min(CAST(l_quantity AS BIGINT)) AS mn,
+        |    max(CAST(l_quantity AS BIGINT)) AS mx
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n_partials, n, s AS sum_qty, mn, mx,
+        |  floor((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS mean,
+        |  floor((CASE WHEN n >= 2 THEN sqrt(
+        |      (CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / CAST(n - 1 AS DOUBLE)) END) * 1e4 + 0.5) / 1e4 AS std
+        |FROM s ORDER BY l_returnflag""".stripMargin,
     "q_profile" -> {
       // the same capped deterministic draw as the Spark side (integer
       // keep test on the unique lineitem key — the q_approx_sketch idiom)

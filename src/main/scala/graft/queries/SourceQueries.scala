@@ -71,11 +71,87 @@ object SourceQueries {
       .orderBy("event_id")
   }
 
+  /** Bucket count for [[qBucketedJoin]]'s tables. Fixture-scale; a real
+    * deployment sizes buckets so each holds one task's worth of data. */
+  private val NBuckets = 8
+
+  /** The bucketed (orders, customer) catalog tables for
+    * [[qBucketedJoin]], written once per (session, dir) — the
+    * cachedCorpusIndex pattern verbatim: per-JVM unique names, temp dirs
+    * swept by the shared shutdown hook, builds serialized because they
+    * side-effect the catalog. Each table is repartitioned onto its
+    * bucket column BEFORE the write — bucketBy hashing and
+    * repartition() hashing are the same HashPartitioning, so every
+    * writer task holds exactly one bucket's rows and the layout is one
+    * file per bucket (many small files per bucket is the classic
+    * bucketed-write mistake; it also voids the sortBy metadata). */
+  private val bucketMemo = new SessionMemo[String, (String, String)]
+  private val bucketSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def cachedBucketedTables(spark: SparkSession, dir: String): (String, String) =
+    bucketSeq.synchronized {
+      bucketMemo.getOrElseUpdate(spark, dir) {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-bucketed")
+        compactedDirs.add(tmp)
+        val n = bucketSeq.incrementAndGet()
+        val (ot, ct) = (s"graft_orders_bkt_$n", s"graft_customer_bkt_$n")
+        Tables.orders(spark, dir)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .repartition(NBuckets, col("o_custkey"))
+          .write.format("parquet").bucketBy(NBuckets, "o_custkey")
+          .sortBy("o_custkey")
+          .option("path", tmp.toString + "/orders").saveAsTable(ot)
+        Tables.customer(spark, dir)
+          .select("c_custkey", "c_mktsegment")
+          .repartition(NBuckets, col("c_custkey"))
+          .write.format("parquet").bucketBy(NBuckets, "c_custkey")
+          .sortBy("c_custkey")
+          .option("path", tmp.toString + "/customer").saveAsTable(ct)
+        (ot, ct)
+      }
+    }
+
+  /** Bucketed co-located fact×dim join on the oracle gate (the spec-only
+    * BucketingSpec layout, promoted the way q_compaction_roundtrip
+    * promoted the compaction sink): orders and customer are persisted
+    * bucketed by custkey into the same [[NBuckets]] buckets, so the join
+    * consumes both scans' bucket layout and plans ZERO shuffle exchanges
+    * under the SortMergeJoin — at 100 TB this is THE fact-fact join
+    * shape, paying the partitioning once at write time instead of per
+    * query (the only exchange left is the 5-group rollup above the
+    * join). The merge hint keeps AQE from electing a broadcast at
+    * fixture scale, where the dim side is trivially small — broadcasting
+    * would be correct but would stop exercising the layout this query
+    * exists to certify; PlanSpec pins SMJ + shuffle-free join subtree.
+    * Price totals sum in exact integer cents (the q1 idiom), so the
+    * rollup is engine-deterministic. Oracle = the plain join + rollup on
+    * the raw parquet: the gate proves the bucketed write/read/join loses
+    * and duplicates nothing. */
+  def qBucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val (ot, ct) = cachedBucketedTables(spark, dir)
+    val cents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
+    spark.table(ot)
+      .join(spark.table(ct).hint("merge"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(cents) / 100.0).as("sum_price"))
+      .orderBy("c_mktsegment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_compaction_roundtrip" -> qCompactionRoundtrip _)
+    "q_compaction_roundtrip" -> qCompactionRoundtrip _,
+    "q_bucketed_join" -> qBucketedJoin _)
 
   val oracles: Map[String, String] = Map(
     "q_compaction_roundtrip" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
-        |FROM events ORDER BY event_id""".stripMargin)
+        |FROM events ORDER BY event_id""".stripMargin,
+    // the UNbucketed twin: plain parquet join + rollup (HUGEINT cents
+    // sum cast to BIGINT before the /100.0 per invariant 1)
+    "q_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
 }

@@ -297,6 +297,52 @@ object TextDedup {
       .select(col("a"), col("b"), col("dist").cast("int").as("dist"))
       .orderBy("a", "b")
 
+  /** Comparison-prefix length / distance cap for [[qEditdistNeardup]] —
+    * interpolated into BOTH engines so they cannot drift. The prefix
+    * bounds per-pair DP cost (the standard trick for long documents:
+    * near-dups disagree early or not much); the cap is ~20% of the
+    * prefix. */
+  val EdPrefix = 250
+  val EdMax = 50
+
+  /** Edit-distance-verified near-dup pairs: the candidate-generation +
+    * exact-verification composition every production dedup runs —
+    * SimHash band buckets bound the candidate set (exact at Hamming ≤ 3
+    * by pigeonhole, the q_simhash_neardup contract), then each
+    * candidate pair is verified by LEVENSHTEIN distance over the first
+    * [[EdPrefix]] chars, keeping pairs within [[EdMax]] edits. Where
+    * the simhash/minhash families verify by token-set similarity, this
+    * verifies by character-level edits — the measure that catches
+    * insertions/typo mirrors token sets miss.
+    *
+    * Scale shape: candidates are band-bounded (never all-pairs); the
+    * length-difference prefilter is a levenshtein LOWER bound, so it
+    * prunes without changing results; Spark's threshold-bounded DP is
+    * O(prefix·maxDist) per pair, not O(prefix²) — called with
+    * threshold [[EdMax]]+1 so any distance ≤ EdMax is strictly below
+    * the threshold and exact under either boundary convention
+    * (DedupSpec pins the -1 sentinel semantics against the unbounded
+    * form). Cross-engine note: Spark counts chars, DuckDB counts bytes;
+    * the fixture corpus is pure ASCII where they coincide — a non-ASCII
+    * corpus should normalize or compare on a hash first. */
+  def qEditdistNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.simhashPairsFrom(
+      Dedup.simhashOf(cachedDocTokens(spark, dir)
+        .select(col("doc_id"), explode(col("ts")).as("t"))), maxDist = 3)
+      .select(col("a"), col("b"))
+    val p = Tables.documents(spark, dir)
+      .select(col("doc_id"), substring(col("text"), 1, EdPrefix).as("p"))
+    pairs
+      .join(p.select(col("doc_id").as("a"), col("p").as("pa")), Seq("a"))
+      .join(p.select(col("doc_id").as("b"), col("p").as("pb")), Seq("b"))
+      .filter(abs(length(col("pa")) - length(col("pb"))) <= EdMax)
+      .withColumn("lev",
+        levenshtein(col("pa"), col("pb"), EdMax + 1).cast("int"))
+      .filter(col("lev") >= 0 && col("lev") <= EdMax)
+      .select(col("a"), col("b"), col("lev"))
+      .orderBy("a", "b")
+  }
+
   /** The MinHash+LSH dup-pair set shared by q_dedup_minhash and
     * q_dedup_groups — computed once per (session, dir) and kept cached
     * (the pair list is tiny: bounded ids, high threshold). */
@@ -352,6 +398,7 @@ object TextDedup {
     "q_dedup_groups" -> qDedupGroups _,
     "q_simhash" -> qSimhash _,
     "q_simhash_neardup" -> qSimhashNeardup _,
+    "q_editdist_neardup" -> qEditdistNeardup _,
     "q_decontaminate" -> qDecontaminate _,
     "q_decontam_bloom" -> qDecontamBloom _,
     "q_dedup_incremental" -> qDedupIncremental _,

@@ -407,6 +407,35 @@ import TextStats._
          |SELECT gram, df, tf FROM a
          |ORDER BY df DESC, tf DESC, gram LIMIT $TopNgramK""".stripMargin
     },
+    // bigram/unigram counts from the same positional gram build as
+    // q_top_ngrams; the PMI ratio is written in the IDENTICAL operation
+    // order as the Spark side (left-assoc double products over exact
+    // integer counts, one division, one ln) so only sub-ulp libm noise
+    // remains under the 1e-4 rounding. w1/w2 recovered per gram via
+    // min() — constant within a gram group because tokens contain no
+    // spaces, so gram -> (w1, w2) is injective.
+    "q_pmi_bigrams" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS ts FROM documents),
+         |g AS (
+         |  SELECT ts[i] || ' ' || ts[i+1] AS gram, ts[i] AS w1, ts[i+1] AS w2
+         |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i)),
+         |cb AS (
+         |  SELECT gram, min(w1) AS w1, min(w2) AS w2,
+         |    CAST(count(*) AS BIGINT) AS c_ab
+         |  FROM g GROUP BY gram),
+         |top AS (SELECT * FROM cb ORDER BY c_ab DESC, gram LIMIT $PmiK),
+         |tok AS (SELECT unnest($TOKS) AS t FROM documents),
+         |uni AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY t),
+         |nu AS (SELECT CAST(count(*) AS BIGINT) AS nu FROM tok),
+         |nb AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM g)
+         |SELECT top.gram, top.c_ab, ua.c AS c_a, ub.c AS c_b,
+         |  ${rndSql("ln((CAST(top.c_ab AS DOUBLE) * CAST(nu.nu AS DOUBLE) * CAST(nu.nu AS DOUBLE)) / " +
+            "(CAST(nb.nb AS DOUBLE) * CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE)))", 4)} AS pmi
+         |FROM top
+         |JOIN uni ua ON ua.t = top.w1
+         |JOIN uni ub ON ub.t = top.w2
+         |CROSS JOIN nu CROSS JOIN nb
+         |ORDER BY c_ab DESC, gram""".stripMargin,
     // the subword regex is the SAME Scala constant on both sides; greedy
     // {1,N} alternation over disjoint classes resolves identically in
     // Java regex and RE2
@@ -502,6 +531,23 @@ import TextStats._
          |  CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS dist
          |FROM sh x JOIN sh y ON x.doc_id < y.doc_id
          |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+         |ORDER BY a, b""".stripMargin,
+    // candidate CTE = the q_simhash_neardup brute-force twin; the verify
+    // stage recomputes UNBOUNDED levenshtein (DuckDB has no threshold
+    // variant) — equality with Spark's threshold-bounded DP is exactly
+    // what the gate proves. Same length-difference prefilter (a
+    // levenshtein lower bound, so it never changes the answer).
+    "q_editdist_neardup" ->
+      s"""WITH $SimhashCtes,
+         |cand AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b
+         |  FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+         |  WHERE bit_count(xor(x.simhash, y.simhash)) <= 3),
+         |p AS (SELECT doc_id, substring(text, 1, ${TextDedup.EdPrefix}) AS p FROM documents)
+         |SELECT c.a, c.b, CAST(levenshtein(pa.p, pb.p) AS INT) AS lev
+         |FROM cand c JOIN p pa ON pa.doc_id = c.a JOIN p pb ON pb.doc_id = c.b
+         |WHERE abs(length(pa.p) - length(pb.p)) <= ${TextDedup.EdMax}
+         |  AND levenshtein(pa.p, pb.p) <= ${TextDedup.EdMax}
          |ORDER BY a, b""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id,

@@ -247,6 +247,49 @@ object TextStats {
   def qTopNgrams(spark: SparkSession, dir: String): DataFrame =
     topNgramsOf(cachedDocTokens(spark, dir), TopNgramN, TopNgramK)
 
+  /** Result width for [[qPmiBigrams]] — interpolated into BOTH engines
+    * so they cannot drift. */
+  val PmiK = 20
+
+  /** Collocation extraction: pointwise mutual information over the
+    * corpus's [[PmiK]] most frequent bigrams — the classic curation
+    * signal separating REAL collocations ("http www": high PMI, the
+    * parts rarely appear apart) from frequency artifacts ("of the":
+    * frequent parts, low PMI). pmi = ln(p(ab)/(p(a)p(b))) with p(ab)
+    * over bigram positions and p(a) over unigram positions.
+    *
+    * Scale shape: bigram counts are the wordcount shuffle off the
+    * shared token frame; the top-K cut is TakeOrderedAndProject (no
+    * global sort); the unigram joins run AFTER the cut, so only K rows
+    * meet the vocabulary table. Determinism: both engines evaluate the
+    * PMI ratio in one fixed order over exact integer counts (left-assoc
+    * double products, one division, one ln), so the only cross-engine
+    * noise is the sub-ulp libm ln difference under the 1e-4 rounding —
+    * the q_stats_corr precedent. */
+  def qPmiBigrams(spark: SparkSession, dir: String): DataFrame = {
+    val tokArr = cachedDocTokens(spark, dir)
+    val tok = tokArr.select(explode(col("ts")).as("t"))
+    val uni = tok.groupBy("t").agg(count(lit(1)).as("c"))
+    val nu = tok.agg(count(lit(1)).as("nu"))
+    val big = shingleRowsOf(tokArr, 2).select(col("sh").as("gram"))
+    val nb = big.agg(count(lit(1)).as("nb"))
+    val top = big.groupBy("gram").agg(count(lit(1)).as("c_ab"))
+      .orderBy(desc("c_ab"), col("gram")).limit(PmiK)
+    val w = split(col("gram"), " ")
+    val num = col("c_ab").cast("double") * col("nu").cast("double") *
+      col("nu").cast("double")
+    val den = col("nb").cast("double") * col("c_a").cast("double") *
+      col("c_b").cast("double")
+    top
+      .withColumn("w1", w.getItem(0)).withColumn("w2", w.getItem(1))
+      .join(uni.select(col("t").as("w1"), col("c").as("c_a")), Seq("w1"))
+      .join(uni.select(col("t").as("w2"), col("c").as("c_b")), Seq("w2"))
+      .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+      .select(col("gram"), col("c_ab"), col("c_a"), col("c_b"),
+        rnd(log(num / den), 4).as("pmi"))
+      .orderBy(desc("c_ab"), col("gram"))
+  }
+
   /** Funnel thresholds for [[qFilterFunnel]] — interpolated into BOTH
     * engines so they cannot drift. The token-length band brackets the
     * fixture's English mean-word-length mass (3.5–5.7 measured at
@@ -490,6 +533,7 @@ object TextStats {
     "q_crossdoc_ngram" -> qCrossdocNgram _,
     "q_unigram_logprob" -> qUnigramLogprob _,
     "q_top_ngrams" -> qTopNgrams _,
+    "q_pmi_bigrams" -> qPmiBigrams _,
     "q_filter_funnel" -> qFilterFunnel _,
     "q_token_estimate" -> qTokenEstimate _,
     "q_pii_redact" -> qPiiRedact _,

@@ -348,4 +348,30 @@ class DedupSpec extends AnyFunSuite {
     // a degenerate threshold that would void the prefix bound is refused
     intercept[IllegalArgumentException](Dedup.containmentPairs(d, 3, 0.0))
   }
+
+  test("threshold-bounded levenshtein: -1 sentinel only ever replaces distances ABOVE the cap") {
+    // q_editdist_neardup calls levenshtein(.., EdMax+1) and keeps
+    // [0, EdMax] — exact under either boundary convention (> or >=)
+    // ONLY because the call threshold sits strictly above the kept
+    // range. This pins that contract against the unbounded form on
+    // pairs straddling the cap.
+    import graft.queries.TextDedup.EdMax
+    val pairs = Seq(
+      ("aaaa", "aaaa"),                       // 0
+      ("a" * 60, "b" * 10 + "a" * 50),        // 10
+      ("a" * 120, "b" * EdMax + "a" * 70),    // exactly EdMax
+      ("a" * 120, "b" * (EdMax + 1) + "a" * 69), // EdMax+1: first excluded
+      ("a" * 200, "z" * 200))                 // far above
+    val df = pairs.toDF("x", "y").select(
+      levenshtein(col("x"), col("y")).as("full"),
+      levenshtein(col("x"), col("y"), EdMax + 1).as("capped"))
+    df.as[(Int, Int)].collect().foreach { case (full, capped) =>
+      if (full <= EdMax) assert(capped == full,
+        s"distance $full within cap must survive the bounded DP (got $capped)")
+      else assert(capped == -1 || capped == full,
+        s"above-cap distance $full may only be itself or the -1 sentinel (got $capped)")
+      assert(!(capped >= 0 && capped <= EdMax) || full <= EdMax,
+        "bounded DP must never smuggle an above-cap pair under the cap")
+    }
+  }
 }

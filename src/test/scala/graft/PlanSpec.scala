@@ -416,6 +416,20 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly 1 gram Generate in the final plan, found $nGenerate:\n${finalPlan.take(3000)}")
   }
 
+  test("q_bucketed_join: SMJ consumes the bucket layout — no shuffle on the join keys") {
+    val df = SparkEntry.queries("q_bucketed_join")(spark, TestSpark.Sf)
+    df.queryExecution.toRdd.count() // finalize the AQE plan
+    val plan = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    assert(plan.contains("SortMergeJoin"), plan.take(3000))
+    // both scans must report the bucket layout they were written with
+    assert("Bucketed: true".r.findAllIn(plan).size == 2, plan.take(3000))
+    // the only exchanges are the rollup's (mktsegment hash + final sort):
+    // a shuffle on either join key means the layout was NOT consumed
+    assert(!plan.contains("Exchange hashpartitioning(o_custkey") &&
+      !plan.contains("Exchange hashpartitioning(c_custkey"),
+      s"bucketed join must not re-shuffle its join keys:\n${plan.take(3000)}")
+  }
+
   test("q_dedup_indexed executed plan reuses the candidate-pair exchange") {
     // the r10 fix: the band-join+distinct candidate subtree feeds three
     // consumers (verify join + both semi-join sides) and at bench scale

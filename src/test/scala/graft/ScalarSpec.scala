@@ -92,4 +92,38 @@ class ScalarSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(got == Set(2L))
   }
+
+  test("PartialAgg: merge over ANY fine grain equals the direct aggregate, and re-merge is associative") {
+    import graft.operators.PartialAgg
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 500).map(i =>
+      (if (i % 3 == 0) "a" else "b", rnd.nextInt(97), rnd.nextInt(2001) - 1000L))
+    val df = rows.toDF("k", "salt", "v")
+
+    def snap(d: org.apache.spark.sql.DataFrame) =
+      PartialAgg.derive(d)
+        .select("k", "n", "s", "s2", "mn", "mx", "mean", "std")
+        .orderBy("k").collect().toSeq
+
+    // direct = one-cell-per-key "fine" grain (partials at the key grain)
+    val direct = snap(PartialAgg.merge(
+      PartialAgg.partials(df, Seq("k"), Seq.empty, col("v")), Seq("k")))
+    // arbitrary 97-way hash split must merge to the identical moments
+    val split = snap(PartialAgg.merge(
+      PartialAgg.partials(df, Seq("k"), Seq(col("salt")), col("v")), Seq("k")))
+    assert(split == direct)
+    // associativity: salt -> coarser salt%7 -> key equals one merge
+    val fine = PartialAgg.partials(df, Seq("k"), Seq(col("salt")), col("v"))
+    val mid = PartialAgg.merge(
+      fine.withColumn("bucket", pmod(col("salt"), lit(7))), Seq("k", "bucket"))
+    assert(snap(PartialAgg.merge(mid, Seq("k"))) == direct)
+    // derived stats agree with Spark's own aggregates (moment identity)
+    val ref = df.groupBy("k")
+      .agg(avg(col("v")).as("mean"), stddev_samp(col("v")).as("std"))
+      .orderBy("k").as[(String, Double, Double)].collect()
+    direct.zip(ref).foreach { case (row, (_, m, sd)) =>
+      assert(math.abs(row.getDouble(6) - m) < 1e-9)
+      assert(math.abs(row.getDouble(7) - sd) < 1e-9)
+    }
+  }
 }
