@@ -273,6 +273,45 @@ object Ingest {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Stream-stream conversion attribution — each purchase joined to the
+    * clicks by the same user in the preceding `horizon` (the reference's
+    * dashboard correlates alert events against the raw feed in the
+    * browser after the fact; here the correlation IS the stream). The
+    * canonical stream-stream INTERVAL join: both sides carry
+    * watermarks and the join predicate bounds purchase_time to
+    * [click_time, click_time + horizon], so Spark derives state
+    * retention for BOTH buffers — clicks are dropped once the watermark
+    * passes click_time + horizon, purchases once it passes their own
+    * event time. Bounded state at any stream rate; an unconstrained
+    * stream-stream join would buffer both streams forever, which is why
+    * Spark refuses to plan one in Append mode. `left_outer`
+    * additionally emits unconverted clicks with NULL purchase columns,
+    * but only once the watermark PROVES no match can still arrive —
+    * the spec pins both behaviors.
+    *
+    * Scale shape: state is hash-partitioned by user_id on both sides
+    * (the equi-part of the predicate), so the range condition evaluates
+    * only within a user's bucket — no cross-partition comparison. */
+  def conversionJoin(clicks: DataFrame, purchases: DataFrame,
+                     delay: String = "10 minutes",
+                     horizon: String = "15 minutes",
+                     joinType: String = "inner"): DataFrame = {
+    val c = withEventTime(clicks)
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("event_time").as("click_time"))
+      .withWatermark("click_time", delay)
+    val p = withEventTime(purchases)
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("value").as("purchase_value"), col("event_time").as("purchase_time"))
+      .withWatermark("purchase_time", delay)
+    c.join(p,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_time") >= col("click_time") &&
+          col("purchase_time") <= col("click_time") + expr(s"INTERVAL $horizon"),
+        joinType)
+      .drop("p_user_id")
+  }
+
   /** S6/ST7 (push-broadcast sink, ref scraper/main.py:92 and 108-112):
     * per-batch push of the enriched records to live consumers. The
     * adapter runs EXECUTOR-side per partition — no driver collect; the

@@ -176,6 +176,64 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes purchases to in-horizon clicks only") {
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = Ingest.conversionJoin(clicks.toDF(), purchases.toDF(),
+        delay = "10 minutes", horizon = "15 minutes")
+      .writeStream.format("memory").queryName("conv_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val MinNs = 60L * 1000000000L
+      clicks.addData(
+        Event(1, 1 * DayNs, 1, "click", 0.0),
+        Event(2, 1 * DayNs, 3, "click", 0.0))
+      purchases.addData(
+        Event(10, 1 * DayNs + 5 * MinNs, 1, "purchase", 99.0), // in horizon
+        Event(11, 1 * DayNs + 20 * MinNs, 1, "purchase", 7.0), // past horizon
+        Event(12, 1 * DayNs + 5 * MinNs, 2, "purchase", 5.0))  // no click
+      q.processAllAvailable()
+      val rows = spark.table("conv_out")
+        .select("user_id", "click_id", "purchase_id", "purchase_value")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(rows == Set((1L, 1L, 10L, 99.0)),
+        s"only the in-horizon same-user purchase may match: $rows")
+    } finally q.stop()
+  }
+
+  test("stream-stream left-outer join emits unconverted clicks only after the watermark proves them") {
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = Ingest.conversionJoin(clicks.toDF(), purchases.toDF(),
+        delay = "10 minutes", horizon = "15 minutes", joinType = "left_outer")
+      .writeStream.format("memory").queryName("conv_outer_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val MinNs = 60L * 1000000000L
+      clicks.addData(
+        Event(1, 1 * DayNs, 1, "click", 0.0),
+        Event(2, 1 * DayNs, 2, "click", 0.0)) // never converts
+      purchases.addData(Event(10, 1 * DayNs + 5 * MinNs, 1, "purchase", 99.0))
+      q.processAllAvailable()
+      val before = spark.table("conv_outer_out")
+        .filter($"user_id" === 2L).count()
+      assert(before == 0L,
+        "the unconverted click must NOT be emitted while a match is still possible")
+      // advance BOTH watermarks (global watermark = min across sources)
+      // far past click_time + horizon + delay
+      clicks.addData(Event(3, 1 * DayNs + 120 * MinNs, 9, "click", 0.0))
+      purchases.addData(Event(13, 1 * DayNs + 120 * MinNs, 9, "purchase", 1.0))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val rows = spark.table("conv_outer_out")
+        .select("user_id", "click_id", "purchase_id")
+        .as[(Long, Long, Option[Long])].collect().toSet
+      assert(rows.contains((1L, 1L, Some(10L))), s"converted click missing: $rows")
+      assert(rows.contains((2L, 2L, None)),
+        s"watermark-proven unconverted click must surface with NULL purchase: $rows")
+    } finally q.stop()
+  }
+
   test("transformWithState twin matches flatMapGroupsWithState pct semantics") {
     withRocksDBProvider {
       val src = MemoryStream[Event]
