@@ -352,7 +352,43 @@ object TrainingDataQueries {
       .orderBy("lang")
   }
 
+  /** Seed / shard count for [[qEpochShuffle]] — interpolated into BOTH
+    * engines so they cannot drift. A new epoch is a new seed string:
+    * the entire ordering re-randomizes deterministically. */
+  val EpochSeed = 1
+  val EpochShards = 8
+
+  /** Deterministic epoch shuffle + shard assignment — the training-data
+    * READER contract: every document gets a pseudorandom global
+    * position (order by md5(doc_id|seed)), a round-robin shard in
+    * [0, [[EpochShards]]), and its position within the shard. A loader
+    * fleet can then each read ONE shard's rows in pos_in_shard order
+    * and the union is a seeded global shuffle — reproducible across
+    * engines, runs and retries, unlike rand() ordering.
+    *
+    * Scale shape: the global order comes from
+    * [[graft.operators.ChunkedOrder.withGlobalRowNumber]] — row_number
+    * PARTITIONED by the hash-prefix chunk (monotone in the leading
+    * order key by construction) plus a metadata-scale running offset —
+    * no total-order window; shard and pos_in_shard are pure arithmetic
+    * on the position. Round-robin keeps shard sizes balanced within one
+    * row regardless of hash skew. */
+  def qEpochShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        saltedHash(col("doc_id"), s"epoch$EpochSeed").as("hkey"))
+    // 2^26-wide chunks over the 32-bit hash range: ~64 chunks, each a
+    // prefix of the leading order key (the stitcher's monotone contract)
+    graft.operators.ChunkedOrder.withGlobalRowNumber(
+        keyed, expr("hkey div 67108864"), Seq(col("hkey"), col("doc_id")), "pos")
+      .select(col("doc_id"), col("pos"),
+        pmod(col("pos") - 1, lit(EpochShards)).cast("int").as("shard"),
+        (expr(s"(pos - 1) div $EpochShards") + 1).cast("int").as("pos_in_shard"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_epoch_shuffle" -> qEpochShuffle _,
     "q_pipeline_e2e" -> qPipelineE2e _,
     "q_sample_per_group" -> qSamplePerGroup _,
     "q_stratified_sample" -> qStratifiedSample _,
@@ -380,6 +416,19 @@ object TrainingDataQueries {
   private val MixTokSql = "len(string_split_regex(trim(text), '\\s+'))"
 
   val oracles: Map[String, String] = Map(
+    // plain total-order row_number twin of the chunk-stitched Spark
+    // plan — equality IS the property (the q_pagination_chunked idiom)
+    "q_epoch_shuffle" ->
+      s"""WITH k AS (
+         |  SELECT doc_id, ${hSql("doc_id", s"epoch$EpochSeed")} AS hkey
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY hkey, doc_id) AS pos
+         |  FROM k)
+         |SELECT doc_id, CAST(pos AS INT) AS pos,
+         |  CAST((pos - 1) % $EpochShards AS INT) AS shard,
+         |  CAST((pos - 1) // $EpochShards + 1 AS INT) AS pos_in_shard
+         |FROM r ORDER BY doc_id""".stripMargin,
     // chunk count is closed-form in the oracle (1 + (L-(len-stride+1))
     // // stride: starts are 1+stride·j with the tail guard
     // 1+stride·j+(len-stride) <= L; j=0 always valid) — the Spark side
