@@ -201,6 +201,16 @@ case class ResolveGraftOp(spark: org.apache.spark.sql.SparkSession)
           graft.queries.TextStats.tokenEstimate(dfs(0), str(0), str(1))
         case "upsample_repeat" => // (langCol, idCol)
           graft.queries.TrainingDataQueries.upsampleRepeat(dfs(0), str(0), str(1))
+        case "pmi_bigrams" => // (idCol, textCol, k)
+          graft.queries.TextStats.pmiBigrams(
+            dfs(0), k = lng(2).toInt, idCol = str(0), textCol = str(1))
+        case "editdist_pairs" => // (idCol, textCol, prefix, maxDist)
+          graft.queries.TextDedup.editdistPairs(
+            dfs(0), prefix = lng(2).toInt, maxDist = lng(3).toInt,
+            idCol = str(0), textCol = str(1))
+        case "epoch_shuffle" => // (idCol, seed, shards)
+          graft.queries.TrainingDataQueries.epochShuffle(
+            dfs(0), str(0), str(1), lng(2).toInt)
         case "salted_rolling" => // (key, ts, valCol, frameNs, chunkNs)
           graft.operators.SaltedWindow.saltedRollingSum(
             dfs(0), str(0), str(1), str(2), lng(3), lng(4))
@@ -356,6 +366,10 @@ object GraftFunctions {
     "filter_funnel" -> ("filter_funnel(table, textCol, langCol, charsCol)", 3),
     "token_estimate" -> ("token_estimate(table, idCol, textCol)", 2),
     "upsample_repeat" -> ("upsample_repeat(table, langCol, idCol)", 2),
+    "pmi_bigrams" -> ("pmi_bigrams(table, idCol, textCol, k)", 3),
+    "editdist_pairs" ->
+      ("editdist_pairs(table, idCol, textCol, prefix, maxDist)", 4),
+    "epoch_shuffle" -> ("epoch_shuffle(table, idCol, seed, shards)", 3),
     "salted_rolling" ->
       ("salted_rolling(table, key, ts, valCol, frameNs, chunkNs)", 5))
 

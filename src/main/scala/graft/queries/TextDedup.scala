@@ -325,22 +325,53 @@ object TextDedup {
     * form). Cross-engine note: Spark counts chars, DuckDB counts bytes;
     * the fixture corpus is pure ASCII where they coincide — a non-ASCII
     * corpus should normalize or compare on a hash first. */
-  def qEditdistNeardup(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.simhashPairsFrom(
-      Dedup.simhashOf(cachedDocTokens(spark, dir)
-        .select(col("doc_id"), explode(col("ts")).as("t"))), maxDist = 3)
-      .select(col("a"), col("b"))
-    val p = Tables.documents(spark, dir)
-      .select(col("doc_id"), substring(col("text"), 1, EdPrefix).as("p"))
-    pairs
-      .join(p.select(col("doc_id").as("a"), col("p").as("pa")), Seq("a"))
-      .join(p.select(col("doc_id").as("b"), col("p").as("pb")), Seq("b"))
-      .filter(abs(length(col("pa")) - length(col("pb"))) <= EdMax)
-      .withColumn("lev",
-        levenshtein(col("pa"), col("pb"), EdMax + 1).cast("int"))
-      .filter(col("lev") >= 0 && col("lev") <= EdMax)
-      .select(col("a"), col("b"), col("lev"))
+  def qEditdistNeardup(spark: SparkSession, dir: String): DataFrame =
+    editdistVerify(
+      Dedup.simhashPairsFrom(
+        Dedup.simhashOf(cachedDocTokens(spark, dir)
+          .select(col("doc_id"), explode(col("ts")).as("t"))), maxDist = 3)
+        .select(col("a"), col("b")),
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), substring(col("text"), 1, EdPrefix).as("p")),
+      EdMax)
       .orderBy("a", "b")
+
+  /** The verify stage shared by [[qEditdistNeardup]] (memoized token
+    * frame) and [[editdistPairs]] (standalone): candidate (a, b) pairs
+    * joined to their comparison prefixes, length-bound pruned, kept at
+    * threshold-bounded Levenshtein ≤ maxDist. */
+  private def editdistVerify(pairs: DataFrame, prefixes: DataFrame,
+                             maxDist: Int): DataFrame = {
+    val idCol = prefixes.columns.head
+    pairs
+      .join(prefixes.select(col(idCol).as("a"), col("p").as("pa")), Seq("a"))
+      .join(prefixes.select(col(idCol).as("b"), col("p").as("pb")), Seq("b"))
+      .filter(abs(length(col("pa")) - length(col("pb"))) <= maxDist)
+      .withColumn("lev",
+        levenshtein(col("pa"), col("pb"), maxDist + 1).cast("int"))
+      .filter(col("lev") >= 0 && col("lev") <= maxDist)
+      .select(col("a"), col("b"), col("lev"))
+  }
+
+  /** Standalone text-frame entry point of [[qEditdistNeardup]]
+    * (SQL-reachable as the `editdist_pairs` TVF): simhash-band
+    * candidates (Hamming ≤ 3, the banding recall bound) verified by
+    * prefix Levenshtein ≤ maxDist. */
+  def editdistPairs(docs: DataFrame, prefix: Int = EdPrefix,
+                    maxDist: Int = EdMax, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    require(prefix >= 1, s"editdistPairs: prefix must be >= 1 (got $prefix)")
+    require(maxDist >= 0 && maxDist < prefix,
+      s"editdistPairs: maxDist must be in [0, prefix) (got $maxDist)")
+    import graft.functions.TextFunctions.tokens
+    val tokArr = docs.select(col(idCol), tokens(col(textCol)).as("ts"))
+    editdistVerify(
+      Dedup.simhashPairsFrom(
+        Dedup.simhashOf(tokArr.select(col(idCol), explode(col("ts")).as("t")),
+          idCol = idCol), maxDist = 3, idCol = idCol)
+        .select(col("a"), col("b")),
+      docs.select(col(idCol), substring(col(textCol), 1, prefix).as("p")),
+      maxDist)
   }
 
   /** The MinHash+LSH dup-pair set shared by q_dedup_minhash and

@@ -266,15 +266,16 @@ object TextStats {
     * double products, one division, one ln), so the only cross-engine
     * noise is the sub-ulp libm ln difference under the 1e-4 rounding —
     * the q_stats_corr precedent. */
-  def qPmiBigrams(spark: SparkSession, dir: String): DataFrame = {
-    val tokArr = cachedDocTokens(spark, dir)
+  def pmiBigramsOf(tokArr: DataFrame, k: Int,
+                   idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, s"pmiBigrams: k must be >= 1 (got $k)")
     val tok = tokArr.select(explode(col("ts")).as("t"))
     val uni = tok.groupBy("t").agg(count(lit(1)).as("c"))
     val nu = tok.agg(count(lit(1)).as("nu"))
-    val big = shingleRowsOf(tokArr, 2).select(col("sh").as("gram"))
+    val big = shingleRowsOf(tokArr, 2, idCol).select(col("sh").as("gram"))
     val nb = big.agg(count(lit(1)).as("nb"))
     val top = big.groupBy("gram").agg(count(lit(1)).as("c_ab"))
-      .orderBy(desc("c_ab"), col("gram")).limit(PmiK)
+      .orderBy(desc("c_ab"), col("gram")).limit(k)
     val w = split(col("gram"), " ")
     val num = col("c_ab").cast("double") * col("nu").cast("double") *
       col("nu").cast("double")
@@ -289,6 +290,15 @@ object TextStats {
         rnd(log(num / den), 4).as("pmi"))
       .orderBy(desc("c_ab"), col("gram"))
   }
+
+  /** Text-frame entry point of [[pmiBigramsOf]] (SQL-reachable as the
+    * `pmi_bigrams` TVF). */
+  def pmiBigrams(docs: DataFrame, k: Int, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame =
+    pmiBigramsOf(docs.select(col(idCol), tokens(col(textCol)).as("ts")), k, idCol)
+
+  def qPmiBigrams(spark: SparkSession, dir: String): DataFrame =
+    pmiBigramsOf(cachedDocTokens(spark, dir), PmiK)
 
   /** Funnel thresholds for [[qFilterFunnel]] — interpolated into BOTH
     * engines so they cannot drift. The token-length band brackets the

@@ -373,19 +373,23 @@ object TrainingDataQueries {
     * no total-order window; shard and pos_in_shard are pure arithmetic
     * on the position. Round-robin keeps shard sizes balanced within one
     * row regardless of hash skew. */
-  def qEpochShuffle(spark: SparkSession, dir: String): DataFrame = {
-    val keyed = Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        saltedHash(col("doc_id"), s"epoch$EpochSeed").as("hkey"))
+  def epochShuffle(df: DataFrame, idCol: String, seed: String,
+                   shards: Int): DataFrame = {
+    require(shards >= 1, s"epochShuffle: shards must be >= 1 (got $shards)")
+    val keyed = df.select(col(idCol), saltedHash(col(idCol), seed).as("hkey"))
     // 2^26-wide chunks over the 32-bit hash range: ~64 chunks, each a
     // prefix of the leading order key (the stitcher's monotone contract)
     graft.operators.ChunkedOrder.withGlobalRowNumber(
-        keyed, expr("hkey div 67108864"), Seq(col("hkey"), col("doc_id")), "pos")
-      .select(col("doc_id"), col("pos"),
-        pmod(col("pos") - 1, lit(EpochShards)).cast("int").as("shard"),
-        (expr(s"(pos - 1) div $EpochShards") + 1).cast("int").as("pos_in_shard"))
-      .orderBy("doc_id")
+        keyed, expr("hkey div 67108864"), Seq(col("hkey"), col(idCol)), "pos")
+      .select(col(idCol), col("pos"),
+        pmod(col("pos") - 1, lit(shards)).cast("int").as("shard"),
+        (expr(s"(pos - 1) div $shards") + 1).cast("int").as("pos_in_shard"))
   }
+
+  def qEpochShuffle(spark: SparkSession, dir: String): DataFrame =
+    epochShuffle(Tables.documents(spark, dir).select("doc_id"),
+      "doc_id", s"epoch$EpochSeed", EpochShards)
+      .orderBy("doc_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_epoch_shuffle" -> qEpochShuffle _,

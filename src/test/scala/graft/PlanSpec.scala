@@ -399,6 +399,32 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("round-10 TVFs: pmi_bigrams / editdist_pairs / epoch_shuffle from SQL") {
+    withExtensionsSession { s2 =>
+      val docs = Tables.documents(s2, TestSpark.Sf)
+      docs.createOrReplaceTempView("docs_r10")
+      val pmiSql = s2.sql(
+        "SELECT * FROM pmi_bigrams('docs_r10', 'doc_id', 'text', 5)")
+        .collect().toSeq
+      val pmiApi = graft.queries.TextStats.pmiBigrams(docs, 5)
+        .collect().toSeq
+      assert(pmiSql.nonEmpty && pmiSql == pmiApi)
+      val edSql = s2.sql(
+        "SELECT * FROM editdist_pairs('docs_r10', 'doc_id', 'text', 250, 50) " +
+          "ORDER BY a, b").collect().toSeq
+      val edApi = graft.queries.TextDedup.editdistPairs(docs)
+        .orderBy("a", "b").collect().toSeq
+      assert(edSql.nonEmpty && edSql == edApi)
+      val esSql = s2.sql(
+        "SELECT * FROM epoch_shuffle('docs_r10', 'doc_id', 'epoch1', 8) " +
+          "ORDER BY doc_id").collect().toSeq
+      val esApi = graft.queries.TrainingDataQueries.epochShuffle(
+        docs.select("doc_id"), "doc_id", "epoch1", 8)
+        .orderBy("doc_id").collect().toSeq
+      assert(esSql.nonEmpty && esSql == esApi)
+    }
+  }
+
   test("q_span_dedup executed plan computes the gram explode exactly once") {
     // the r9 shape relied on AQE ReuseExchange to dedupe the gram
     // pipeline under its consumers, but column pruning de-canonicalized
