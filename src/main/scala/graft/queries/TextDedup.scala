@@ -317,12 +317,13 @@ object TextDedup {
     *
     * Scale shape: candidates are band-bounded (never all-pairs); the
     * length-difference prefilter is a levenshtein LOWER bound, so it
-    * prunes without changing results; Spark's threshold-bounded DP is
-    * O(prefix·maxDist) per pair, not O(prefix²) — called with
-    * threshold [[EdMax]]+1 so any distance ≤ EdMax is strictly below
-    * the threshold and exact under either boundary convention
-    * (DedupSpec pins the -1 sentinel semantics against the unbounded
-    * form). Cross-engine note: Spark counts chars, DuckDB counts bytes;
+    * prunes without changing results; the verify DP is the custom
+    * [[graft.functions.BandedLevenshtein]] expression — O((2k+1)·n)
+    * band, shared-ends stripping, far-pair early abort — whose
+    * return-d-or-−1 contract is spec-pinned against the builtin
+    * (DedupSpec, both the banded parity sweep and the builtin's own
+    * sentinel-boundary pin). Cross-engine note: Spark counts chars
+    * (UTF-16 units in the banded DP), DuckDB counts bytes;
     * the fixture corpus is pure ASCII where they coincide — a non-ASCII
     * corpus should normalize or compare on a hash first. */
   def qEditdistNeardup(spark: SparkSession, dir: String): DataFrame =
@@ -334,22 +335,40 @@ object TextDedup {
       Tables.documents(spark, dir)
         .select(col("doc_id"), substring(col("text"), 1, EdPrefix).as("p")),
       EdMax)
-      .orderBy("a", "b")
+      // total order = the verify core's range partitioning on (a, b)
+      // + this local sort — no post-verify exchange (see editdistVerify)
+      .sortWithinPartitions("a", "b")
 
   /** The verify stage shared by [[qEditdistNeardup]] (memoized token
     * frame) and [[editdistPairs]] (standalone): candidate (a, b) pairs
     * joined to their comparison prefixes, length-bound pruned, kept at
-    * threshold-bounded Levenshtein ≤ maxDist. */
+    * banded Levenshtein ≤ maxDist
+    * ([[graft.functions.BandedLevenshtein]] — O((2k+1)·n) cells +
+    * shared-ends stripping + far-pair early abort instead of the
+    * builtin's full O(n·m) matrix; with the partition fixes below the
+    * whole query dropped 13.6 s → 1.5 s at sf0.1, spec-pinned equal
+    * to the builtin). */
   private def editdistVerify(pairs: DataFrame, prefixes: DataFrame,
                              maxDist: Int): DataFrame = {
     val idCol = prefixes.columns.head
+    val nPart = pairs.sparkSession.sessionState.conf.numShufflePartitions
     pairs
+      // explicit range boundary before the CPU-bound verify stage, two
+      // jobs in one: (a) the candidate shuffle is ~MBs, so AQE coalesces
+      // it to ONE partition and the DP stage runs single-threaded
+      // without it (measured 5 s -> 0.3 s at sf0.1); (b) downstream
+      // local sort makes the output totally ordered without a
+      // POST-verify range exchange, whose boundary-sampling job would
+      // re-execute the whole verify stage (the orderBy tail doubled the
+      // query: 14.5 s -> see PLANS.md)
+      .repartitionByRange(nPart, col("a"), col("b"))
       .join(prefixes.select(col(idCol).as("a"), col("p").as("pa")), Seq("a"))
       .join(prefixes.select(col(idCol).as("b"), col("p").as("pb")), Seq("b"))
       .filter(abs(length(col("pa")) - length(col("pb"))) <= maxDist)
       .withColumn("lev",
-        levenshtein(col("pa"), col("pb"), maxDist + 1).cast("int"))
-      .filter(col("lev") >= 0 && col("lev") <= maxDist)
+        graft.functions.EditDistanceFunctions.levenshteinBanded(
+          col("pa"), col("pb"), maxDist))
+      .filter(col("lev") >= 0)
       .select(col("a"), col("b"), col("lev"))
   }
 

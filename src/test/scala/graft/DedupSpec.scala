@@ -349,6 +349,42 @@ class DedupSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Dedup.containmentPairs(d, 3, 0.0))
   }
 
+  test("BandedLevenshtein == builtin levenshtein wherever the distance fits the band") {
+    import graft.functions.EditDistanceFunctions.levenshteinBanded
+    val rng = new scala.util.Random(11)
+    val alpha = "abcde f"
+    def randStr(n: Int) = (1 to n).map(_ => alpha(rng.nextInt(alpha.length))).mkString
+    def mutate(s: String, edits: Int): String = {
+      var cur = s
+      (1 to edits).foreach { _ =>
+        val i = if (cur.isEmpty) 0 else rng.nextInt(cur.length)
+        rng.nextInt(3) match {
+          case 0 if cur.nonEmpty => cur = cur.take(i) + cur.drop(i + 1) // del
+          case 1 => cur = cur.take(i) + alpha(rng.nextInt(alpha.length)) + cur.drop(i) // ins
+          case _ if cur.nonEmpty => // sub
+            cur = cur.take(i) + alpha(rng.nextInt(alpha.length)) + cur.drop(i + 1)
+          case _ => cur = alpha(rng.nextInt(alpha.length)).toString
+        }
+      }
+      cur
+    }
+    // near pairs (mutation chains), far pairs (independent), plus edges
+    val pairs =
+      (1 to 120).map { i => val s = randStr(20 + rng.nextInt(120)); (s, mutate(s, rng.nextInt(12))) } ++
+      (1 to 40).map(_ => (randStr(10 + rng.nextInt(80)), randStr(10 + rng.nextInt(80)))) ++
+      Seq(("", ""), ("", "abc"), ("abc", ""), ("same", "same"), ("ab", "ba"))
+    for (k <- Seq(0, 1, 3, 8, 40)) {
+      val got = pairs.toDF("x", "y").select(
+        levenshtein(col("x"), col("y")).as("full"),
+        levenshteinBanded(col("x"), col("y"), k).as("banded"))
+        .as[(Int, Int)].collect()
+      got.foreach { case (full, banded) =>
+        if (full <= k) assert(banded == full, s"k=$k: full=$full banded=$banded")
+        else assert(banded == -1, s"k=$k: full=$full must band to -1, got $banded")
+      }
+    }
+  }
+
   test("threshold-bounded levenshtein: -1 sentinel only ever replaces distances ABOVE the cap") {
     // q_editdist_neardup calls levenshtein(.., EdMax+1) and keeps
     // [0, EdMax] — exact under either boundary convention (> or >=)
