@@ -305,7 +305,40 @@ object ScalarQueries {
       .orderBy("l_returnflag")
   }
 
+  /** Mergeable DISTINCT-COUNT partials — the [[qPartialMerge]] story
+    * for the one aggregate moments can't carry: per-(flag, ship-month)
+    * DataSketches HLL sketches (`hll_sketch_agg`, constant-size
+    * map-side partials) merged to per-flag estimates via
+    * `hll_union_agg` WITHOUT re-touching the facts. At 100 TB this is
+    * how "distinct users last quarter" is served from immutable daily
+    * state: sketch once per day, union any date range on demand — an
+    * exact countDistinct would rescan the quarter and shuffle per-key
+    * state every query. Completes the partial-aggregate triad: moments
+    * ([[graft.operators.PartialAgg]]), frequencies (CMS heavy
+    * hitters), distincts (this). Gate style is q_approx_sketch's: the
+    * exact twin rides beside the estimate and the oracle pins the
+    * ±5% boolean TRUE (lgK=12 ⇒ rsd ≈ 1.6%, so 5% is ≈3σ; the fixed
+    * sketch seed makes the realized estimate deterministic). */
+  def qHllPartials(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val partials = li
+      .groupBy(col("l_returnflag"), date_trunc("month", col("l_shipdate")).as("mon"))
+      .agg(expr("hll_sketch_agg(l_partkey, 12)").as("hll"),
+        count(lit(1)).as("n"))
+    val merged = partials.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_partials"), sum(col("n")).as("n"),
+        expr("hll_sketch_estimate(hll_union_agg(hll, false))").as("nd_est"))
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("nd_parts"))
+    merged.join(broadcast(exact), Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("n_partials"), col("n"), col("nd_parts"),
+        (abs(col("nd_est") - col("nd_parts")) <=
+          lit(0.05) * col("nd_parts")).as("hll_within"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hll_partials" -> qHllPartials _,
     "q_partial_merge" -> qPartialMerge _,
     "q_approx_sketch" -> qApproxSketch _,
     "q_sketch_lean" -> qSketchLean _,
@@ -348,6 +381,15 @@ object ScalarQueries {
       .orderBy("c_custkey")
 
   val oracles: Map[String, String] = Map(
+    // exact twins stated directly; the HLL accuracy boolean is pinned
+    // TRUE (see qHllPartials — ±5% at lgK 12 is ≈3σ with a fixed seed)
+    "q_hll_partials" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT date_trunc('month', l_shipdate)) AS n_partials,
+        |  count(*) AS n,
+        |  count(DISTINCT l_partkey) AS nd_parts,
+        |  TRUE AS hll_within
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // computed DIRECTLY from the facts (no partial/merge staging) — the
     // gate is the proof that the Spark side's two-level algebra equals a
     // one-level aggregate. Same moment formula, same operation order, so
