@@ -38,13 +38,17 @@ import org.apache.spark.sql.functions._
 object PartialAgg {
 
   /** Moment partials of `valueCol` at the (keys ++ fine) grain.
-    * Output: keys ++ fine-alias columns ++ (n, s, s2, mn, mx). */
+    * Output: keys ++ fine-alias columns ++ (n, s, s2, mn, mx).
+    * `n` counts NON-NULL values — the same rows the sums aggregate —
+    * so a nullable metric yields the statistics OF ITS PRESENT VALUES
+    * (matching avg/stddev_samp semantics) instead of silently diluting
+    * the mean with null rows. */
   def partials(df: DataFrame, keys: Seq[String], fine: Seq[Column],
                valueCol: Column): DataFrame = {
     val v = valueCol.cast("long")
     df.groupBy((keys.map(col) ++ fine): _*)
       .agg(
-        count(lit(1)).as("n"),
+        count(v).as("n"),
         sum(v).as("s"),
         sum(v * v).as("s2"),
         min(v).as("mn"),

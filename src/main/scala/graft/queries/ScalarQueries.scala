@@ -395,22 +395,26 @@ object ScalarQueries {
     // one-level aggregate. Same moment formula, same operation order, so
     // every double op is determined by the same exact integer sums
     // (HUGEINT sums cast to BIGINT per invariant 1; sqrt is IEEE-exact).
-    "q_partial_merge" ->
+    "q_partial_merge" -> {
+      val meanSql = rndSql("CAST(s AS DOUBLE) / CAST(n AS DOUBLE)", 4)
+      val stdSql = rndSql(
+        "CASE WHEN n >= 2 THEN sqrt(" +
+          "(CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))" +
+          " / CAST(n - 1 AS DOUBLE)) END", 4)
       """WITH s AS (
         |  SELECT l_returnflag,
         |    count(DISTINCT date_trunc('month', l_shipdate)) AS n_partials,
-        |    count(*) AS n,
+        |    count(l_quantity) AS n,
         |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s,
         |    CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s2,
         |    min(CAST(l_quantity AS BIGINT)) AS mn,
         |    max(CAST(l_quantity AS BIGINT)) AS mx
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, n_partials, n, s AS sum_qty, mn, mx,
-        |  floor((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS mean,
-        |  floor((CASE WHEN n >= 2 THEN sqrt(
-        |      (CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
-        |      / CAST(n - 1 AS DOUBLE)) END) * 1e4 + 0.5) / 1e4 AS std
-        |FROM s ORDER BY l_returnflag""".stripMargin,
+        |""".stripMargin +
+        s"  $meanSql AS mean,\n  $stdSql AS std\n" +
+        "FROM s ORDER BY l_returnflag"
+    },
     "q_profile" -> {
       // the same capped deterministic draw as the Spark side (integer
       // keep test on the unique lineitem key — the q_approx_sketch idiom)

@@ -94,20 +94,20 @@ object SourceQueries {
         val tmp = java.nio.file.Files.createTempDirectory("graft-bucketed")
         compactedDirs.add(tmp)
         val n = bucketSeq.incrementAndGet()
-        val (ot, ct) = (s"graft_orders_bkt_$n", s"graft_customer_bkt_$n")
-        Tables.orders(spark, dir)
-          .select("o_orderkey", "o_custkey", "o_totalprice")
-          .repartition(NBuckets, col("o_custkey"))
-          .write.format("parquet").bucketBy(NBuckets, "o_custkey")
-          .sortBy("o_custkey")
-          .option("path", tmp.toString + "/orders").saveAsTable(ot)
-        Tables.customer(spark, dir)
-          .select("c_custkey", "c_mktsegment")
-          .repartition(NBuckets, col("c_custkey"))
-          .write.format("parquet").bucketBy(NBuckets, "c_custkey")
-          .sortBy("c_custkey")
-          .option("path", tmp.toString + "/customer").saveAsTable(ct)
-        (ot, ct)
+        def writeBucketed(df: DataFrame, cols: Seq[String], key: String,
+                          name: String, path: String): String = {
+          df.select(cols.map(col): _*)
+            .repartition(NBuckets, col(key))
+            .write.format("parquet").bucketBy(NBuckets, key).sortBy(key)
+            .option("path", path).saveAsTable(name)
+          name
+        }
+        (writeBucketed(Tables.orders(spark, dir),
+            Seq("o_orderkey", "o_custkey", "o_totalprice"), "o_custkey",
+            s"graft_orders_bkt_$n", tmp.toString + "/orders"),
+          writeBucketed(Tables.customer(spark, dir),
+            Seq("c_custkey", "c_mktsegment"), "c_custkey",
+            s"graft_customer_bkt_$n", tmp.toString + "/customer"))
       }
     }
 

@@ -362,8 +362,15 @@ object TextDedup {
       // re-execute the whole verify stage (the orderBy tail doubled the
       // query: 14.5 s -> see PLANS.md)
       .repartitionByRange(nPart, col("a"), col("b"))
-      .join(prefixes.select(col(idCol).as("a"), col("p").as("pa")), Seq("a"))
-      .join(prefixes.select(col(idCol).as("b"), col("p").as("pb")), Seq("b"))
+      // EXPLICIT broadcast: the local-sort tail below is only a total
+      // order while these joins stay broadcast (a sort-merge join would
+      // re-shuffle on a/b and void the range partitioning) — declare the
+      // requirement instead of inheriting it from the size threshold;
+      // PlanSpec pins the shape. A corpus whose prefix table outgrows
+      // broadcast (~tens of MBs) should swap the tail for a global
+      // orderBy and eat the boundary-sampling re-execution.
+      .join(broadcast(prefixes.select(col(idCol).as("a"), col("p").as("pa"))), Seq("a"))
+      .join(broadcast(prefixes.select(col(idCol).as("b"), col("p").as("pb"))), Seq("b"))
       .filter(abs(length(col("pa")) - length(col("pb"))) <= maxDist)
       .withColumn("lev",
         graft.functions.EditDistanceFunctions.levenshteinBanded(

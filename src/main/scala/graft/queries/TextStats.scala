@@ -271,11 +271,15 @@ object TextStats {
     require(k >= 1, s"pmiBigrams: k must be >= 1 (got $k)")
     val tok = tokArr.select(explode(col("ts")).as("t"))
     val uni = tok.groupBy("t").agg(count(lit(1)).as("c"))
-    val nu = tok.agg(count(lit(1)).as("nu"))
-    val big = shingleRowsOf(tokArr, 2, idCol).select(col("sh").as("gram"))
-    val nb = big.agg(count(lit(1)).as("nb"))
-    val top = big.groupBy("gram").agg(count(lit(1)).as("c_ab"))
-      .orderBy(desc("c_ab"), col("gram")).limit(k)
+    // totals derived from the grouped counts (Σc == the explode's row
+    // count), not second corpus-wide passes over the exploded frames;
+    // the grouped frames they re-consume are shuffle outputs, so the
+    // second consumer reuses the exchange instead of re-exploding
+    val nu = uni.agg(sum(col("c")).as("nu"))
+    val cb = shingleRowsOf(tokArr, 2, idCol)
+      .groupBy(col("sh").as("gram")).agg(count(lit(1)).as("c_ab"))
+    val nb = cb.agg(sum(col("c_ab")).as("nb"))
+    val top = cb.orderBy(desc("c_ab"), col("gram")).limit(k)
     val w = split(col("gram"), " ")
     val num = col("c_ab").cast("double") * col("nu").cast("double") *
       col("nu").cast("double")

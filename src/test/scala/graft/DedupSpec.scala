@@ -386,11 +386,14 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("threshold-bounded levenshtein: -1 sentinel only ever replaces distances ABOVE the cap") {
-    // q_editdist_neardup calls levenshtein(.., EdMax+1) and keeps
-    // [0, EdMax] — exact under either boundary convention (> or >=)
-    // ONLY because the call threshold sits strictly above the kept
-    // range. This pins that contract against the unbounded form on
-    // pairs straddling the cap.
+    // Pins the BUILTIN's sentinel convention (its docs leave the
+    // boundary case ambiguous): calling it at cap+1 and keeping
+    // [0, cap] is exact under either > or >= semantics because the
+    // call threshold sits strictly above the kept range. The
+    // production query now verifies with BandedLevenshtein at EdMax
+    // (whose d-or-−1 contract is DEFINED, and parity-swept above);
+    // this stays as the reference semantics the banded sweep compares
+    // against — and as the recipe should anyone revert to the builtin.
     import graft.queries.TextDedup.EdMax
     val pairs = Seq(
       ("aaaa", "aaaa"),                       // 0

@@ -456,6 +456,20 @@ class PlanSpec extends AnyFunSuite {
       s"bucketed join must not re-shuffle its join keys:\n${plan.take(3000)}")
   }
 
+  test("q_editdist_neardup: broadcast verify joins over the range boundary, local sort tail") {
+    // the total-order contract = rangepartitioning(a, b) + LOCAL sort;
+    // it survives only while the prefix joins broadcast (an SMJ would
+    // re-shuffle on a/b) — pin all three properties (review r10 find)
+    val df = SparkEntry.queries("q_editdist_neardup")(spark, TestSpark.Sf)
+    df.queryExecution.toRdd.count() // finalize the AQE plan
+    val plan = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan.take(3000))
+    assert("Exchange rangepartitioning\\(a#".r.findFirstIn(plan).isDefined,
+      s"candidate range boundary missing:\n${plan.take(3000)}")
+    assert("Sort \\[[^\\]]*\\], true".r.findFirstIn(plan).isEmpty,
+      s"tail sort must stay LOCAL (no global sort node):\n${plan.take(3000)}")
+  }
+
   test("q_dedup_indexed executed plan reuses the candidate-pair exchange") {
     // the r10 fix: the band-join+distinct candidate subtree feeds three
     // consumers (verify join + both semi-join sides) and at bench scale

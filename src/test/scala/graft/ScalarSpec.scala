@@ -125,5 +125,16 @@ class ScalarSpec extends AnyFunSuite {
       assert(math.abs(row.getDouble(6) - m) < 1e-9)
       assert(math.abs(row.getDouble(7) - sd) < 1e-9)
     }
+    // NULL values: n counts present values only, so mean/std match
+    // avg/stddev_samp semantics instead of diluting (review r10 find)
+    val withNulls = Seq(("a", Some(10L)), ("a", None), ("a", Some(20L)), ("b", Some(7L)),
+      ("b", None)).toDF("k", "v")
+    val got = PartialAgg.derive(PartialAgg.merge(
+      PartialAgg.partials(withNulls, Seq("k"), Seq.empty, col("v")), Seq("k")))
+      .select("k", "n", "mean", "std").orderBy("k")
+      .as[(String, Long, Double, Option[Double])].collect().toSeq
+    assert(got.head == (("a", 2L, 15.0, Some(math.sqrt(50.0)))))
+    assert(got(1)._1 == "b" && got(1)._2 == 1L && got(1)._3 == 7.0 &&
+      got(1)._4.isEmpty, s"single present value: std must be NULL, got ${got(1)}")
   }
 }
