@@ -137,4 +137,30 @@ class ScalarSpec extends AnyFunSuite {
     assert(got(1)._1 == "b" && got(1)._2 == 1L && got(1)._3 == 7.0 &&
       got(1)._4.isEmpty, s"single present value: std must be NULL, got ${got(1)}")
   }
+
+  test("PartialAgg incremental maintenance: yesterday's partials + the new day's == full recompute") {
+    // the 100 TB deployment shape: the fine-grain partial table is
+    // immutable state; a new day appends ITS partials only, and any
+    // rollup merges the union — proven equal to rescanning everything
+    import graft.operators.PartialAgg
+    val ev = Tables.events(spark, TestSpark.Sf)
+      .withColumn("day", to_date(timestamp_micros(expr("ts div 1000"))))
+      .withColumn("cents", floor(col("value") * 100 + 0.5))
+    val lastDay = ev.agg(max(col("day"))).head.getDate(0)
+    val history = ev.filter(col("day") < lit(lastDay))
+    val newDay = ev.filter(col("day") === lit(lastDay))
+    assert(history.count() > 0 && newDay.count() > 0, "fixture must span multiple days")
+    val histPartials = PartialAgg.partials(
+      history, Seq("event_type"), Seq(col("day")), col("cents"))
+    val dayPartials = PartialAgg.partials(
+      newDay, Seq("event_type"), Seq(col("day")), col("cents"))
+    val incremental = PartialAgg.derive(PartialAgg.merge(
+      histPartials.unionByName(dayPartials), Seq("event_type")))
+      .orderBy("event_type").collect().toSeq
+    val full = PartialAgg.derive(PartialAgg.merge(
+      PartialAgg.partials(ev, Seq("event_type"), Seq(col("day")), col("cents")),
+      Seq("event_type")))
+      .orderBy("event_type").collect().toSeq
+    assert(incremental.nonEmpty && incremental == full)
+  }
 }
