@@ -198,4 +198,32 @@ class SourcesSpec extends AnyFunSuite {
     }
     assert(spark.read.parquet(tmp).count() == n)
   }
+
+  test("day-partitioned landing joined to a filtered dim prunes partitions dynamically (DPP)") {
+    // the scale contract of the writeLanding layout: a dimension-side
+    // filter on the partition key reaches the FACT scan at runtime
+    // (dynamic partition pruning), so a day-scoped rollup over a year
+    // of landing data lists only the qualifying day directories
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    val ev = Tables.events(spark, TestSpark.Sf)
+      .withColumn("day", to_date(timestamp_micros(expr("ts div 1000"))))
+    Sources.writeLanding(ev, tmp)
+    val fact = spark.read.parquet(tmp)
+    val days = fact.select("day").distinct().orderBy("day")
+      .as[java.sql.Date].take(3)
+    assert(days.length == 3, "fixture must span at least 3 days")
+    // the dim must be a FILE source: an in-memory dim's filter is
+    // constant-folded into a LocalRelation, leaving no selective
+    // predicate for the pruning rule to key on
+    days.zipWithIndex
+      .map { case (d, i) => (d, if (i == 0) 1 else 0) }.toSeq.toDF("day", "flag")
+      .write.mode("overwrite").parquet(tmp + "_dim")
+    val dim = spark.read.parquet(tmp + "_dim")
+    val joined = fact.join(dim.filter(col("flag") === 1), "day")
+    val got = joined.count()
+    assert(got == fact.filter(col("day") === lit(days.head)).count() && got > 0)
+    val plan = joined.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    assert(plan.contains("dynamicpruning"),
+      s"fact scan must carry a dynamic partition filter:\n${plan.take(3000)}")
+  }
 }
