@@ -286,7 +286,45 @@ object TimeSeriesQueries {
       .orderBy("event_type", "bucket")
   }
 
+  /** Gap-filled hourly resample — pandas `resample('H').ffill()` as one
+    * plan: the hourly close per event_type on a REGULAR time grid, with
+    * missing hours materialized from a per-type date spine and filled
+    * with the last observed close ([[qOhlcResample]] gives the sparse
+    * buckets; dashboards need the dense series). `n_events` is 0 on
+    * spine-only rows, so the output distinguishes "no trades, price
+    * carried" from real buckets.
+    *
+    * Scale shape: the bucket aggregate is the q_ohlc one-pass shape;
+    * the spine is `sequence(min_b, max_b)` per type — sized by the TIME
+    * SPAN, not data volume (8.8k cells per type-year); the
+    * carry-forward window partitions by type over spine rows, i.e.
+    * metadata scale, never a per-event window. The spine join is a
+    * left join on (type, hour) — uniform keys, shuffle bounded by the
+    * grid size. */
+  def qResampleFfill(spark: SparkSession, dir: String): DataFrame = {
+    val hourNs = 3600L * 1000000000L
+    val tiebreak = struct(col("ts"), col("event_id"))
+    val buckets = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        expr(s"(ts - pmod(ts, ${hourNs}L)) div ${hourNs}L").as("b"))
+      .agg(max_by(col("value"), tiebreak).as("close"),
+        count(lit(1)).as("n_events"))
+    val spine = buckets.groupBy("event_type")
+      .agg(min(col("b")).as("b0"), max(col("b")).as("b1"))
+      .select(col("event_type"), explode(sequence(col("b0"), col("b1"))).as("b"))
+    val w = Window.partitionBy("event_type").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(buckets, Seq("event_type", "b"), "left")
+      .select(col("event_type"),
+        date_format(timestamp_micros(col("b") * (hourNs / 1000L)),
+          "yyyy-MM-dd HH:mm").as("bucket"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("close"), ignoreNulls = true).over(w).as("close_ffill"))
+      .orderBy("event_type", "bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_resample_ffill" -> qResampleFfill _,
     "q_ohlc_resample" -> qOhlcResample _,
     "q_lag_lead" -> qLagLead _,
     "q_rolling_mean" -> qRollingMean _,
@@ -320,6 +358,32 @@ object TimeSeriesQueries {
     // open/close via row_number on the same (epoch_ns, event_id) order
     // as Spark's min_by/max_by struct (ts is the epoch-nano long on
     // the Spark side — identical grain, tie handling cannot diverge)
+    // same ranked-close idiom as q_ohlc_resample; the spine is
+    // generate_series over the observed per-type hour range (identical
+    // to Spark's integer-hour sequence by construction), and the
+    // carry-forward is the q_ffill IGNORE NULLS window over spine rows
+    "q_resample_ffill" ->
+      s"""WITH ranked AS (
+         |  SELECT event_type, date_trunc('hour', ts) AS b, value,
+         |    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+         |      ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn_d
+         |  FROM events),
+         |bu AS (
+         |  SELECT event_type, b,
+         |    max(CASE WHEN rn_d = 1 THEN value END) AS close,
+         |    count(*) AS n_events
+         |  FROM ranked GROUP BY event_type, b),
+         |sp AS (
+         |  SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS b
+         |  FROM (SELECT event_type, min(b) AS mn, max(b) AS mx FROM bu GROUP BY event_type)),
+         |j AS (
+         |  SELECT sp.event_type, sp.b, bu.n_events, bu.close
+         |  FROM sp LEFT JOIN bu ON sp.event_type = bu.event_type AND sp.b = bu.b)
+         |SELECT event_type, strftime(b, '%Y-%m-%d %H:%M') AS bucket,
+         |  CAST(coalesce(n_events, 0) AS BIGINT) AS n_events,
+         |  last_value(close IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY b
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_ffill
+         |FROM j ORDER BY event_type, bucket""".stripMargin,
     "q_ohlc_resample" ->
       s"""WITH ranked AS (
          |  SELECT event_type, date_trunc('hour', ts) AS b, value,
