@@ -277,6 +277,40 @@ object TrainingDataQueries {
     samplePerGroup(Tables.documents(spark, dir), "source", "doc_id", PerGroupK)
       .orderBy("source", "draw_rank")
 
+  /** Sample size for [[qWeightedSample]] — interpolated into BOTH
+    * engines so they cannot drift. */
+  val WeightedK = 100
+
+  /** Quality-WEIGHTED sampling without replacement (Efraimidis–
+    * Spirakis exponential keys): doc i survives with probability
+    * proportional to its weight by drawing key_i = −ln(u_i)/w_i
+    * (u_i = the deterministic md5 uniform) and keeping the
+    * [[WeightedK]] smallest keys — the exponential-clocks argument
+    * makes the bottom-k exactly a weighted draw, and the md5 u makes
+    * it reproducible across engines, runs and retries (the same
+    * rand()-free discipline as every sampler here). Weight = n_chars:
+    * "prefer longer documents", the simplest quality proxy.
+    *
+    * Scale shape: keys are pure map-side arithmetic; the bottom-k is
+    * `orderBy(key).limit(k)` — TakeOrderedAndProject, local top-k per
+    * task, no global sort. Cross-engine determinism: key = ln over the
+    * exact rational u in one fixed expression order, so engines differ
+    * only at libm-ulp scale while adjacent order-statistic gaps are
+    * ~1/n — selection flips need a ~10¹² times smaller gap (the
+    * q_stats_corr precedent, applied to ranking). */
+  def qWeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .filter(col("n_chars") > 0)
+    // u in (0, 1]: (h + 1) / 2^32 — never 0, so ln(u) is finite
+    val u = (saltedHash(col("doc_id"), "weighted") + lit(1L)) /
+      lit(4294967296.0)
+    docs
+      .withColumn("key", -log(u) / col("n_chars").cast("double"))
+      .orderBy(col("key"), col("doc_id")).limit(WeightedK)
+      .select(col("doc_id"), col("n_chars"), rnd(col("key") * 1e6, 4).as("key_scaled"))
+      .orderBy("doc_id")
+  }
+
   /** Training epochs per language for [[qUpsampleRepeat]] /
     * [[qMixtureReport]] — interpolated into BOTH engines so they cannot
     * drift. Fractions are exact in binary AND decimal (.25/.5/.75), so
@@ -393,6 +427,7 @@ object TrainingDataQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_epoch_shuffle" -> qEpochShuffle _,
+    "q_weighted_sample" -> qWeightedSample _,
     "q_pipeline_e2e" -> qPipelineE2e _,
     "q_sample_per_group" -> qSamplePerGroup _,
     "q_stratified_sample" -> qStratifiedSample _,
@@ -420,6 +455,19 @@ object TrainingDataQueries {
   private val MixTokSql = "len(string_split_regex(trim(text), '\\s+'))"
 
   val oracles: Map[String, String] = Map(
+    // identical fixed-order key arithmetic (one ln over the exact
+    // rational u, one division); the LIMIT set is deterministic because
+    // adjacent key gaps dwarf libm-ulp noise (see qWeightedSample)
+    "q_weighted_sample" -> {
+      val keySql = s"-ln((${hSql("doc_id", "weighted")} + 1) / 4294967296.0)" +
+        " / CAST(n_chars AS DOUBLE)"
+      s"""WITH k AS (
+         |  SELECT doc_id, n_chars, $keySql AS key
+         |  FROM documents WHERE n_chars > 0),
+         |s AS (SELECT * FROM k ORDER BY key, doc_id LIMIT $WeightedK)
+         |SELECT doc_id, n_chars, ${rndSql("key * 1e6", 4)} AS key_scaled
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
     // plain total-order row_number twin of the chunk-stitched Spark
     // plan — equality IS the property (the q_pagination_chunked idiom)
     "q_epoch_shuffle" ->

@@ -517,4 +517,21 @@ class PropertySpec extends AnyFunSuite {
       .as[(Int, Long, Int)].collect().toSeq
     assert(again.sorted == out.sorted, "draw changed under repartitioning")
   }
+
+  test("weighted sample prefers heavy documents and is draw-stable") {
+    import graft.queries.TrainingDataQueries
+    val docs = Tables.documents(spark, TestSpark.Sf)
+    val sample = TrainingDataQueries.qWeightedSample(spark, TestSpark.Sf)
+    val sampleMean = sample.agg(avg(col("n_chars"))).as[Double].head()
+    val corpusMean = docs.agg(avg(col("n_chars"))).as[Double].head()
+    // inclusion probability ∝ n_chars, so the sampled mean must sit
+    // clearly above the corpus mean on the fixed fixture draw
+    assert(sampleMean > corpusMean * 1.05,
+      s"weighted draw not length-biased: sample=$sampleMean corpus=$corpusMean")
+    // determinism: a second construction selects the identical set
+    val ids1 = sample.select("doc_id").as[Long].collect().toSeq
+    val ids2 = TrainingDataQueries.qWeightedSample(spark, TestSpark.Sf)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(ids1 == ids2)
+  }
 }
