@@ -46,6 +46,16 @@ object Tables {
     }
   }
 
+  /** Wall-clock calendar day of the epoch-nano `ts` invariant — THE
+    * shared nanos→day conversion (review r10: three hand-rolled copies
+    * had grown across queries and specs; the truncation rule must live
+    * once). `div` keeps the arithmetic integral — a double division
+    * would lose precision above 2^53. */
+  def eventDay: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{expr, timestamp_micros, to_date}
+    to_date(timestamp_micros(expr("ts div 1000")))
+  }
+
   def region(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "customer")

@@ -30,9 +30,8 @@ object TimeSeriesQueries {
   private def w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
 
   /** events.ts arrives as epoch-nano long (see Tables.read); wall-clock
-    * calendar day for grouping. `div` keeps the arithmetic integral —
-    * a double division would lose precision above 2^53. */
-  private def eventDay = to_date(timestamp_micros(expr("ts div 1000")))
+    * calendar day for grouping — the shared conversion. */
+  private def eventDay = Tables.eventDay
 
   /** DuckDB twin of TimeSeries.smaCents: exact integer-cent average over a
     * row frame — engine-identical doubles (see smaCents Scaladoc). */

@@ -144,7 +144,7 @@ class ScalarSpec extends AnyFunSuite {
     // rollup merges the union — proven equal to rescanning everything
     import graft.operators.PartialAgg
     val ev = Tables.events(spark, TestSpark.Sf)
-      .withColumn("day", to_date(timestamp_micros(expr("ts div 1000"))))
+      .withColumn("day", Tables.eventDay)
       .withColumn("cents", floor(col("value") * 100 + 0.5))
     val lastDay = ev.agg(max(col("day"))).head.getDate(0)
     val history = ev.filter(col("day") < lit(lastDay))

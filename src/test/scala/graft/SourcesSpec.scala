@@ -206,7 +206,7 @@ class SourcesSpec extends AnyFunSuite {
     // of landing data lists only the qualifying day directories
     val tmp = java.nio.file.Files.createTempDirectory("graft-dpp").toString
     val ev = Tables.events(spark, TestSpark.Sf)
-      .withColumn("day", to_date(timestamp_micros(expr("ts div 1000"))))
+      .withColumn("day", Tables.eventDay)
     Sources.writeLanding(ev, tmp)
     val fact = spark.read.parquet(tmp)
     val days = fact.select("day").distinct().orderBy("day")
