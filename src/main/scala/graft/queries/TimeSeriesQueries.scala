@@ -322,7 +322,69 @@ object TimeSeriesQueries {
       .orderBy("event_type", "bucket")
   }
 
+  /** Cohort retention — the dashboard staple the reference's summary
+    * panels approximate by hand: users grouped by FIRST-ACTIVE day
+    * (their cohort), then distinct-active counts per (cohort,
+    * day-offset). Reading one column of the output down gives day-N
+    * retention across cohorts; reading a row across gives one cohort's
+    * decay curve.
+    *
+    * Scale shape: two grouped aggregates on user_id (first-day and
+    * distinct active days — the second is a groupBy(user, day) dedup,
+    * NOT count(distinct) state per output cell) joined on user_id, then
+    * a cell-grain rollup. All shuffles key on user_id or the bounded
+    * (cohort, offset) grid; no windows. */
+  def qCohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val first = ev.groupBy("user_id").agg(min(Tables.eventDay).as("cohort"))
+    val active = ev.select(col("user_id"), Tables.eventDay.as("day")).distinct()
+    active.join(first, "user_id")
+      .select(col("cohort"),
+        datediff(col("day"), col("cohort")).as("day_offset"))
+      .groupBy("cohort", "day_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort", "day_offset")
+  }
+
+  /** Ordered conversion funnel — strictly-sequenced stage times per
+    * user (first click, first view AFTER that click, first purchase
+    * AFTER that view), rolled into per-stage user counts + conversion
+    * rates. The unordered form (a user did all three event types)
+    * overcounts; the ORDER is the funnel's meaning, and it is exactly
+    * what the batch twin of [[graft.streaming.Ingest.conversionJoin]]'s
+    * attribution semantics looks like.
+    *
+    * Scale shape: three chained grouped min-aggregates on user_id —
+    * each stage joins the previous stage's (user, t) frame (shuffles
+    * key on user_id throughout, so AQE can reuse the exchange), never
+    * a window or a self-cross. The final rollup is three single-row
+    * aggregates unioned — metadata scale. */
+  def qFunnelSequence(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select("user_id", "event_type", "ts")
+    val s1 = ev.filter(col("event_type") === "click")
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "view")
+      .join(s1, "user_id").filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min(col("ts")).as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, "user_id").filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min(col("ts")).as("t3"))
+    val counts = s1.agg(count(lit(1)).as("n")).withColumn("stage", lit(1))
+      .withColumn("name", lit("click"))
+      .unionByName(s2.agg(count(lit(1)).as("n")).withColumn("stage", lit(2))
+        .withColumn("name", lit("view_after_click")))
+      .unionByName(s3.agg(count(lit(1)).as("n")).withColumn("stage", lit(3))
+        .withColumn("name", lit("purchase_after_view")))
+    val entered = s1.agg(count(lit(1)).as("n_entered"))
+    counts.crossJoin(broadcast(entered))
+      .select(col("stage"), col("name"), col("n"),
+        rnd(col("n") / col("n_entered").cast("double"), 4).as("conv_from_entry"))
+      .orderBy("stage")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cohort_retention" -> qCohortRetention _,
+    "q_funnel_sequence" -> qFunnelSequence _,
     "q_resample_ffill" -> qResampleFfill _,
     "q_ohlc_resample" -> qOhlcResample _,
     "q_lag_lead" -> qLagLead _,
@@ -357,6 +419,39 @@ object TimeSeriesQueries {
     // open/close via row_number on the same (epoch_ns, event_id) order
     // as Spark's min_by/max_by struct (ts is the epoch-nano long on
     // the Spark side — identical grain, tie handling cannot diverge)
+    "q_cohort_retention" ->
+      """WITH f AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort
+        |  FROM events GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+        |SELECT f.cohort,
+        |  CAST(date_diff('day', f.cohort, a.day) AS INT) AS day_offset,
+        |  count(*) AS n_users
+        |FROM a JOIN f ON a.user_id = f.user_id
+        |GROUP BY f.cohort, day_offset
+        |ORDER BY cohort, day_offset""".stripMargin,
+    // the strictly-sequenced stage mins, chained exactly like the
+    // Spark joins; ts compares as the raw epoch-nano long on the Spark
+    // side and native timestamp here — same total order either way
+    "q_funnel_sequence" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'click' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id),
+        |n AS (
+        |  SELECT 1 AS stage, 'click' AS name, (SELECT count(*) FROM s1) AS n
+        |  UNION ALL
+        |  SELECT 2, 'view_after_click', (SELECT count(*) FROM s2)
+        |  UNION ALL
+        |  SELECT 3, 'purchase_after_view', (SELECT count(*) FROM s3))
+        |SELECT stage, name, n,
+        |  floor((n * 1.0 / (SELECT count(*) FROM s1)) * 1e4 + 0.5) / 1e4 AS conv_from_entry
+        |FROM n ORDER BY stage""".stripMargin,
     // same ranked-close idiom as q_ohlc_resample; the spine is
     // generate_series over the observed per-type hour range (identical
     // to Spark's integer-hour sequence by construction), and the
