@@ -382,7 +382,32 @@ object TimeSeriesQueries {
       .orderBy("stage")
   }
 
+  /** First-order event-type transition matrix (the Markov view of user
+    * behaviour dashboards draw as a flow diagram): per-user consecutive
+    * event pairs via lag over the (user, ts, id) order, counted per
+    * (prev → next) cell and row-normalized into transition
+    * probabilities.
+    *
+    * Scale shape: ONE user-partitioned window (the q_lag_lead frame —
+    * bounded by a user's own history, never global), a 25-cell rollup,
+    * and a broadcast row-total join for the normalization. The rounded
+    * probability is an exact rational n/tot in both engines. */
+  def qTransitionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val wu = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type").as("next"),
+        lag(col("event_type"), 1).over(wu).as("prev"))
+      .filter(col("prev").isNotNull)
+      .groupBy("prev", "next").agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("prev").agg(sum(col("n")).as("tot"))
+    pairs.join(broadcast(totals), "prev")
+      .select(col("prev"), col("next"), col("n"),
+        rnd(col("n") / col("tot").cast("double"), 4).as("p"))
+      .orderBy("prev", "next")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_transition_matrix" -> qTransitionMatrix _,
     "q_cohort_retention" -> qCohortRetention _,
     "q_funnel_sequence" -> qFunnelSequence _,
     "q_resample_ffill" -> qResampleFfill _,
@@ -419,6 +444,22 @@ object TimeSeriesQueries {
     // open/close via row_number on the same (epoch_ns, event_id) order
     // as Spark's min_by/max_by struct (ts is the epoch-nano long on
     // the Spark side — identical grain, tie handling cannot diverge)
+    // HUGEINT row-total cast per invariant 1; p is the exact rational
+    // n/tot in one double division on both sides
+    "q_transition_matrix" ->
+      """WITH pairs AS (
+        |  SELECT lag(event_type, 1) OVER (PARTITION BY user_id
+        |           ORDER BY epoch_ns(ts), event_id) AS prev,
+        |    event_type AS next
+        |  FROM events),
+        |c AS (
+        |  SELECT prev, next, count(*) AS n FROM pairs
+        |  WHERE prev IS NOT NULL GROUP BY prev, next),
+        |t AS (SELECT prev, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY prev)
+        |SELECT c.prev, c.next, c.n,
+        |  floor((c.n / CAST(t.tot AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS p
+        |FROM c JOIN t ON c.prev = t.prev
+        |ORDER BY c.prev, next""".stripMargin,
     "q_cohort_retention" ->
       """WITH f AS (
         |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort
