@@ -337,7 +337,40 @@ object ScalarQueries {
       .orderBy("l_returnflag")
   }
 
+  /** Mergeable TOP-K partials — the fourth member of the partial-state
+    * family (moments / distincts / frequencies / now ranked frequent
+    * items): per-day `approx_top_k_accumulate` sketches of user
+    * activity, `approx_top_k_combine`d to the global state without
+    * re-touching facts, probed by `approx_top_k_estimate`. The gate
+    * rides an exactness theorem: a frequent-items sketch whose map
+    * capacity exceeds the distinct-item count never evicts, so its
+    * counts are EXACT and the estimate equals the true count for every
+    * item — maxItemsTracked=10k ≫ the fixture's ~1.5k users, and the
+    * oracle pins est==exact TRUE on the exact top-10. At true scale
+    * the same plan runs in eviction mode with the sketch's ε·n
+    * overcount bound — the capacity is the accuracy dial, the plan
+    * shape (constant-size mergeable partials) never changes. */
+  def qTopkPartials(spark: SparkSession, dir: String): DataFrame = {
+    val maxItems = 10000
+    val ev = Tables.events(spark, dir)
+    val partials = ev
+      .groupBy(graft.Tables.eventDay.as("day"))
+      .agg(expr(s"approx_top_k_accumulate(user_id, $maxItems)").as("st"))
+    val combined = partials
+      .agg(expr(s"approx_top_k_combine(st, $maxItems)").as("st"))
+    val est = combined
+      .select(explode(expr(s"approx_top_k_estimate(st, $maxItems)")).as("e"))
+      .select(col("e.item").as("user_id"), col("e.count").as("est_count"))
+    val exact = ev.groupBy("user_id").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("user_id")).limit(10)
+    exact.join(est, Seq("user_id"))
+      .select(col("user_id"), col("cnt"),
+        (col("est_count") === col("cnt")).as("topk_exact"))
+      .orderBy(desc("cnt"), col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_topk_partials" -> qTopkPartials _,
     "q_hll_partials" -> qHllPartials _,
     "q_partial_merge" -> qPartialMerge _,
     "q_approx_sketch" -> qApproxSketch _,
@@ -381,6 +414,12 @@ object ScalarQueries {
       .orderBy("c_custkey")
 
   val oracles: Map[String, String] = Map(
+    // exact top-10 stated directly; the est==exact boolean is pinned
+    // TRUE by the no-eviction theorem (see qTopkPartials)
+    "q_topk_partials" ->
+      """SELECT user_id, count(*) AS cnt, TRUE AS topk_exact
+        |FROM events GROUP BY user_id
+        |ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin,
     // exact twins stated directly; the HLL accuracy boolean is pinned
     // TRUE (see qHllPartials — ±5% at lgK 12 is ≈3σ with a fixed seed)
     "q_hll_partials" ->

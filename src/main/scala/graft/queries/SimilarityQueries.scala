@@ -23,6 +23,40 @@ object SimilarityQueries {
     s"sqrt(list_sum(list_transform($t.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
   private val COS = s"$DOT / (${normSql("a")} * ${normSql("b")})"
 
+  /** Threshold for [[qEmbeddingDecontam]] — interpolated into BOTH
+    * engines so they cannot drift. Matches q_embedding_neardup's
+    * near-dup bar. */
+  val DecontamCos = 0.45
+
+  /** Embedding-space decontamination — the semantic twin of the n-gram
+    * q_decontaminate: every corpus vector scored by its MAX cosine to
+    * any benchmark vector (vec_id < 10 plays the benchmark), flagged
+    * when it crosses [[DecontamCos]]. Catches paraphrased benchmark
+    * leakage that exact/n-gram decontamination structurally misses.
+    *
+    * Scale shape: the benchmark side is SMALL BY NATURE (eval sets are
+    * thousands of rows, corpora are billions) — it broadcasts, and the
+    * plan is the map-side probe: each corpus partition scores its rows
+    * against the in-memory bench vectors with the codegen'd dot, then
+    * a corpus-keyed max. The broadcast nested-loop shape is deliberate
+    * and bounded here (no equi-key exists for an all-pairs score
+    * against a broadcast-small side); a bench set past broadcast scale
+    * would route through the blocked-grid join instead
+    * (Similarity.nearDupPairsBlocked's path). */
+  def qEmbeddingDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val bench = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("bench_id"), col("embedding").as("bvec"))
+    val corpus = emb.filter(col("vec_id") >= 10)
+    corpus.crossJoin(broadcast(bench))
+      .select(col("vec_id"), cosine(col("embedding"), col("bvec")).as("cos"))
+      .groupBy("vec_id")
+      .agg(max(col("cos")).as("max_cos_raw"))
+      .select(col("vec_id"), rnd(col("max_cos_raw"), 4).as("max_cos"),
+        (col("max_cos_raw") >= DecontamCos).as("contaminated"))
+      .orderBy("vec_id")
+  }
+
   /** Per-vector L2 norm (bounded ids for the oracle diff). */
   def qEmbeddingNorm(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
@@ -517,6 +551,7 @@ object SimilarityQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embedding_norm" -> qEmbeddingNorm _,
     "q_embedding_stats" -> qEmbeddingStats _,
+    "q_embedding_decontam" -> qEmbeddingDecontam _,
     "q_embedding_neardup" -> qEmbeddingNeardup _,
     "q_ann_bruteforce" -> qAnnBruteforce _,
     "q_ann_lsh" -> qAnnLsh _,
@@ -562,6 +597,17 @@ object SimilarityQueries {
          |  floor((min(norm)) * 1e4 + 0.5) / 1e4 AS min_norm,
          |  floor((max(norm)) * 1e4 + 0.5) / 1e4 AS max_norm
          |FROM n GROUP BY label ORDER BY label""".stripMargin,
+    // max over the per-pair cosines is order-free, so the rounded
+    // value cannot drift; the boolean compares the RAW max (irrational,
+    // never at the literal threshold)
+    "q_embedding_decontam" ->
+      s"""WITH s AS (
+         |  SELECT a.vec_id, max($COS) AS max_cos_raw
+         |  FROM embeddings a JOIN embeddings b ON b.vec_id < 10
+         |  WHERE a.vec_id >= 10 GROUP BY a.vec_id)
+         |SELECT vec_id, floor((max_cos_raw) * 1e4 + 0.5) / 1e4 AS max_cos,
+         |  max_cos_raw >= $DecontamCos AS contaminated
+         |FROM s ORDER BY vec_id""".stripMargin,
     "q_embedding_neardup" ->
       s"""SELECT a.vec_id AS a, b.vec_id AS b,
          |  floor(($COS) * 1e4 + 0.5) / 1e4 AS cos
