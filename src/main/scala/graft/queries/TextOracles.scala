@@ -407,6 +407,50 @@ import TextStats._
          |SELECT gram, df, tf FROM a
          |ORDER BY df DESC, tf DESC, gram LIMIT $TopNgramK""".stripMargin
     },
+    // per-doc signals from the shared fragments (TOKS / QualitySql /
+    // NORM / EmailRe); mean quality via the integer-micro idiom so the
+    // aggregate is order-free; HUGEINT sums cast per invariant 1
+    "q_dataset_card" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len($TOKS) AS BIGINT) AS n_toks,
+         |    CAST(floor(($QualitySql) * 1e6 + 0.5) AS BIGINT) AS q_micro,
+         |    md5($NORM) AS fp,
+         |    CAST(regexp_matches(text, '$EmailRe') OR
+         |         regexp_matches(text, 'https?://') AS BIGINT) AS has_pii
+         |  FROM documents),
+         |dupfp AS (SELECT fp FROM base GROUP BY fp HAVING count(*) >= 2),
+         |f AS (
+         |  SELECT base.*,
+         |    CASE WHEN fp IN (SELECT fp FROM dupfp) THEN 1 ELSE 0 END AS is_dup
+         |  FROM base),
+         |per AS (
+         |  SELECT lang, count(*) AS n_docs,
+         |    CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         |    floor((CAST(sum(q_micro) AS BIGINT) / 1e6 / count(*)) * 1e4 + 0.5) / 1e4 AS mean_quality,
+         |    CAST(sum(is_dup) AS BIGINT) AS dup_docs,
+         |    CAST(sum(has_pii) AS BIGINT) AS pii_docs
+         |  FROM f GROUP BY lang),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM per)
+         |SELECT lang, n_docs, n_tokens, mean_quality, dup_docs, pii_docs,
+         |  floor((n_tokens / CAST(tot AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS token_share
+         |FROM per, tot ORDER BY lang""".stripMargin,
+    // the simhash brute-force pair twin (q_simhash_neardup's oracle)
+    // with unordered source attribution
+    "q_source_overlap" ->
+      s"""WITH $SimhashCtes,
+         |pr AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b
+         |  FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+         |  WHERE bit_count(xor(x.simhash, y.simhash)) <= 3)
+         |SELECT least(da.source, db.source) AS source_a,
+         |  greatest(da.source, db.source) AS source_b,
+         |  count(*) AS n_pairs
+         |FROM pr
+         |JOIN documents da ON da.doc_id = pr.a
+         |JOIN documents db ON db.doc_id = pr.b
+         |GROUP BY source_a, source_b
+         |ORDER BY source_a, source_b""".stripMargin,
     // bigram/unigram counts from the same positional gram build as
     // q_top_ngrams; the PMI ratio is written in the IDENTICAL operation
     // order as the Spark side (left-assoc double products over exact

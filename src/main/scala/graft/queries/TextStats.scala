@@ -535,7 +535,71 @@ object TextStats {
         floor((length(col("text").cast("binary")) + lit(255)) / lit(256)).as("n_frames"))
       .orderBy("doc_id")
 
+  /** Dataset card — the per-language curation summary a corpus ships
+    * with: document and token counts, token-budget share, mean
+    * composite quality, exact-duplicate incidence (corpus-global
+    * fingerprint groups, attributed to each language's docs) and
+    * PII-bearing doc counts. One scan computes every per-doc signal;
+    * the mean quality uses the integer-micro idiom (per-row
+    * micro-rounded longs summed exactly, one division at the end) so
+    * the cross-engine value is order-free — the q_embedding_stats
+    * precedent. Shuffles: the fp dup-group aggregate (md5 keys,
+    * wordcount-shaped) and the 5-row language rollup. */
+  def qDatasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"), tokens(col("text")).as("ts"))
+      .select(col("doc_id"), col("lang"),
+        size(col("ts")).cast("long").as("n_toks"),
+        floor(qualityScoreOf(col("text"), col("ts")) * 1e6 + 0.5)
+          .cast("long").as("q_micro"),
+        fingerprint(col("text")).as("fp"),
+        (col("text").rlike(EmailRe) || col("text").rlike("https?://"))
+          .cast("long").as("has_pii"))
+    val dupFps = base.groupBy("fp").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("fp"), lit(1L).as("dup"))
+    val per = base.join(dupFps, Seq("fp"), "left")
+      .withColumn("is_dup", coalesce(col("dup"), lit(0L)))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        rnd(sum(col("q_micro")) / lit(1e6) / count(lit(1)), 4).as("mean_quality"),
+        sum(col("is_dup")).as("dup_docs"),
+        sum(col("has_pii")).as("pii_docs"))
+    val tot = per.agg(sum(col("n_tokens")).as("tot"))
+    per.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("mean_quality"),
+        col("dup_docs"), col("pii_docs"),
+        rnd(col("n_tokens") / col("tot").cast("double"), 4).as("token_share"))
+      .orderBy("lang")
+  }
+
+  /** Cross-source overlap matrix — how much does source A mirror
+    * source B: SimHash near-dup pairs (Hamming ≤ 3, the banded exact
+    * candidate contract — EXACT fingerprints are too strict below
+    * sf0.1 and would report a vacuously empty matrix) attributed to
+    * their sources' (A, B) cell; diagonal = within-source duplication.
+    * The curation report that decides which scrape to drop when
+    * mirrors disagree. Pair volume is band-bounded; source attribution
+    * is two doc-keyed joins; sources are UNordered per pair (min/max
+    * label) so (a,b) and (b,a) land in one cell. */
+  def qSourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.operators.Dedup.simhashPairsFrom(
+      graft.operators.Dedup.simhashOf(cachedDocTokens(spark, dir)
+        .select(col("doc_id"), explode(col("ts")).as("t"))), maxDist = 3)
+      .select(col("a"), col("b"))
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("a"), col("source").as("sa")), Seq("a"))
+      .join(src.select(col("doc_id").as("b"), col("source").as("sb")), Seq("b"))
+      .groupBy(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_a", "source_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dataset_card" -> qDatasetCard _,
+    "q_source_overlap" -> qSourceOverlap _,
     "q_text_stats" -> qTextStats _,
     "q_text_quality" -> qTextQuality _,
     "q_lang_id" -> qLangId _,
