@@ -46,7 +46,7 @@ object SimilarityQueries {
   def qEmbeddingDecontam(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val bench = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("bench_id"), col("embedding").as("bvec"))
+      .select(col("embedding").as("bvec"))
     val corpus = emb.filter(col("vec_id") >= 10)
     corpus.crossJoin(broadcast(bench))
       .select(col("vec_id"), cosine(col("embedding"), col("bvec")).as("cos"))

@@ -291,11 +291,22 @@ object TextDedup {
     * Completes the SimHash story: q_simhash emits signatures, this
     * emits the dedup decisions they exist for. */
   def qSimhashNeardup(spark: SparkSession, dir: String): DataFrame =
+    simhashPairs3(spark, dir)
+      .select(col("a"), col("b"), col("dist").cast("int").as("dist"))
+      .orderBy("a", "b")
+
+  /** THE simhash near-dup pair construction (Hamming ≤ 3 over the
+    * memoized token frame) — one definition consumed by
+    * q_simhash_neardup, q_editdist_neardup and q_source_overlap
+    * (review r10: four verbatim copies had grown; the banding feed
+    * must live once). Deliberately NOT result-memoized: each consumer
+    * is a declared query whose bench number should price the banding
+    * pipeline it actually runs (the q_span_dedup fresh-headline
+    * principle; only the token frame is shared session state). */
+  private[queries] def simhashPairs3(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairsFrom(
       Dedup.simhashOf(cachedDocTokens(spark, dir)
         .select(col("doc_id"), explode(col("ts")).as("t"))), maxDist = 3)
-      .select(col("a"), col("b"), col("dist").cast("int").as("dist"))
-      .orderBy("a", "b")
 
   /** Comparison-prefix length / distance cap for [[qEditdistNeardup]] —
     * interpolated into BOTH engines so they cannot drift. The prefix
@@ -328,10 +339,7 @@ object TextDedup {
     * corpus should normalize or compare on a hash first. */
   def qEditdistNeardup(spark: SparkSession, dir: String): DataFrame =
     editdistVerify(
-      Dedup.simhashPairsFrom(
-        Dedup.simhashOf(cachedDocTokens(spark, dir)
-          .select(col("doc_id"), explode(col("ts")).as("t"))), maxDist = 3)
-        .select(col("a"), col("b")),
+      simhashPairs3(spark, dir).select(col("a"), col("b")),
       Tables.documents(spark, dir)
         .select(col("doc_id"), substring(col("text"), 1, EdPrefix).as("p")),
       EdMax)

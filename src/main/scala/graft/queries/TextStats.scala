@@ -583,10 +583,7 @@ object TextStats {
     * is two doc-keyed joins; sources are UNordered per pair (min/max
     * label) so (a,b) and (b,a) land in one cell. */
   def qSourceOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = graft.operators.Dedup.simhashPairsFrom(
-      graft.operators.Dedup.simhashOf(cachedDocTokens(spark, dir)
-        .select(col("doc_id"), explode(col("ts")).as("t"))), maxDist = 3)
-      .select(col("a"), col("b"))
+    val pairs = TextDedup.simhashPairs3(spark, dir).select(col("a"), col("b"))
     val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
     pairs
       .join(src.select(col("doc_id").as("a"), col("source").as("sa")), Seq("a"))
