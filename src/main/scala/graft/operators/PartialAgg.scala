@@ -71,7 +71,18 @@ object PartialAgg {
 
   /** Derived statistics from merged moments: mean = s/n and sample std
     * via the moment identity (NULL when n < 2 — no 0/0). Division and
-    * sqrt over the exact integer sums are engine-deterministic. */
+    * sqrt over the exact integer sums are engine-deterministic.
+    *
+    * The variance is clamped at 0 before the sqrt (review r10): the
+    * integer SUMS are exact to 2⁶³, but the derived double arithmetic
+    * loses to cancellation once s² approaches 2⁵³ — a near-constant
+    * group at the documented |v| bound can evaluate the numerator
+    * slightly NEGATIVE and a bare sqrt would poison the column with
+    * NaN. The clamp makes the failure mode "std underreported toward
+    * 0 for near-constant billion-row groups", never NaN; callers
+    * needing exact std at that scale should center values first
+    * (subtract a per-group anchor before [[partials]] — the moment
+    * identity is shift-invariant). */
   def derive(merged: DataFrame): DataFrame = {
     val n = col("n").cast("double")
     val s = col("s").cast("double")
@@ -79,6 +90,6 @@ object PartialAgg {
       (col("n") - lit(1)).cast("double")
     merged
       .withColumn("mean", s / n)
-      .withColumn("std", when(col("n") >= 2, sqrt(variance)))
+      .withColumn("std", when(col("n") >= 2, sqrt(greatest(variance, lit(0.0)))))
   }
 }

@@ -363,9 +363,12 @@ object ScalarQueries {
       .select(col("e.item").as("user_id"), col("e.count").as("est_count"))
     val exact = ev.groupBy("user_id").agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), col("user_id")).limit(10)
-    exact.join(est, Seq("user_id"))
+    // LEFT join (review r10): in eviction mode a true top-10 item can
+    // be absent from the estimate — that must surface as a FALSE row,
+    // not silently shrink the output to 9 rows
+    exact.join(est, Seq("user_id"), "left")
       .select(col("user_id"), col("cnt"),
-        (col("est_count") === col("cnt")).as("topk_exact"))
+        coalesce(col("est_count") === col("cnt"), lit(false)).as("topk_exact"))
       .orderBy(desc("cnt"), col("user_id"))
   }
 
@@ -436,10 +439,11 @@ object ScalarQueries {
     // (HUGEINT sums cast to BIGINT per invariant 1; sqrt is IEEE-exact).
     "q_partial_merge" -> {
       val meanSql = rndSql("CAST(s AS DOUBLE) / CAST(n AS DOUBLE)", 4)
+      // greatest(.., 0) mirrors PartialAgg.derive's cancellation clamp
       val stdSql = rndSql(
-        "CASE WHEN n >= 2 THEN sqrt(" +
+        "CASE WHEN n >= 2 THEN sqrt(greatest(" +
           "(CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))" +
-          " / CAST(n - 1 AS DOUBLE)) END", 4)
+          " / CAST(n - 1 AS DOUBLE), 0.0)) END", 4)
       """WITH s AS (
         |  SELECT l_returnflag,
         |    count(DISTINCT date_trunc('month', l_shipdate)) AS n_partials,
