@@ -211,6 +211,16 @@ case class ResolveGraftOp(spark: org.apache.spark.sql.SparkSession)
         case "epoch_shuffle" => // (idCol, seed, shards)
           graft.queries.TrainingDataQueries.epochShuffle(
             dfs(0), str(0), str(1), lng(2).toInt)
+        case "cohort_retention" => // (userCol, tsCol)
+          graft.queries.TimeSeriesQueries.cohortRetention(dfs(0), str(0), str(1))
+        case "transition_matrix" => // (userCol, typeCol, tsCol, idCol)
+          graft.queries.TimeSeriesQueries.transitionMatrix(
+            dfs(0), str(0), str(1), str(2), str(3))
+        case "funnel_steps" => // (userCol, typeCol, tsCol, s1, s2, s3)
+          graft.queries.TimeSeriesQueries.funnelSequence(
+            dfs(0), str(0), str(1), str(2), Seq(str(3), str(4), str(5)))
+        case "dataset_card" => // (langCol, textCol)
+          graft.queries.TextStats.datasetCard(dfs(0), str(0), str(1))
         case "salted_rolling" => // (key, ts, valCol, frameNs, chunkNs)
           graft.operators.SaltedWindow.saltedRollingSum(
             dfs(0), str(0), str(1), str(2), lng(3), lng(4))
@@ -370,6 +380,12 @@ object GraftFunctions {
     "editdist_pairs" ->
       ("editdist_pairs(table, idCol, textCol, prefix, maxDist)", 4),
     "epoch_shuffle" -> ("epoch_shuffle(table, idCol, seed, shards)", 3),
+    "cohort_retention" -> ("cohort_retention(table, userCol, tsCol)", 2),
+    "transition_matrix" ->
+      ("transition_matrix(table, userCol, typeCol, tsCol, idCol)", 4),
+    "funnel_steps" ->
+      ("funnel_steps(table, userCol, typeCol, tsCol, stage1, stage2, stage3)", 6),
+    "dataset_card" -> ("dataset_card(table, langCol, textCol)", 2),
     "salted_rolling" ->
       ("salted_rolling(table, key, ts, valCol, frameNs, chunkNs)", 5))
 

@@ -545,10 +545,12 @@ object TextStats {
     * the cross-engine value is order-free — the q_embedding_stats
     * precedent. Shuffles: the fp dup-group aggregate (md5 keys,
     * wordcount-shaped) and the 5-row language rollup. */
-  def qDatasetCard(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), col("text"), tokens(col("text")).as("ts"))
-      .select(col("doc_id"), col("lang"),
+  def datasetCard(docs: DataFrame, langCol: String = "lang",
+                  textCol: String = "text"): DataFrame = {
+    val base = docs
+      .select(col(langCol).as("lang"), col(textCol).as("text"))
+      .select(col("lang"), col("text"), tokens(col("text")).as("ts"))
+      .select(col("lang"),
         size(col("ts")).cast("long").as("n_toks"),
         floor(qualityScoreOf(col("text"), col("ts")) * 1e6 + 0.5)
           .cast("long").as("q_micro"),
@@ -570,8 +572,10 @@ object TextStats {
       .select(col("lang"), col("n_docs"), col("n_tokens"), col("mean_quality"),
         col("dup_docs"), col("pii_docs"),
         rnd(col("n_tokens") / col("tot").cast("double"), 4).as("token_share"))
-      .orderBy("lang")
   }
+
+  def qDatasetCard(spark: SparkSession, dir: String): DataFrame =
+    datasetCard(Tables.documents(spark, dir)).orderBy("lang")
 
   /** Cross-source overlap matrix — how much does source A mirror
     * source B: SimHash near-dup pairs (Hamming ≤ 3, the banded exact

@@ -334,17 +334,21 @@ object TimeSeriesQueries {
     * NOT count(distinct) state per output cell) joined on user_id, then
     * a cell-grain rollup. All shuffles key on user_id or the bounded
     * (cohort, offset) grid; no windows. */
-  def qCohortRetention(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-    val first = ev.groupBy("user_id").agg(min(Tables.eventDay).as("cohort"))
-    val active = ev.select(col("user_id"), Tables.eventDay.as("day")).distinct()
-    active.join(first, "user_id")
+  def cohortRetention(df: DataFrame, userCol: String,
+                      tsCol: String): DataFrame = {
+    val day = to_date(timestamp_micros(expr(s"`$tsCol` div 1000")))
+    val first = df.groupBy(userCol).agg(min(day).as("cohort"))
+    val active = df.select(col(userCol), day.as("day")).distinct()
+    active.join(first, userCol)
       .select(col("cohort"),
         datediff(col("day"), col("cohort")).as("day_offset"))
       .groupBy("cohort", "day_offset")
       .agg(count(lit(1)).as("n_users"))
-      .orderBy("cohort", "day_offset")
   }
+
+  def qCohortRetention(spark: SparkSession, dir: String): DataFrame =
+    cohortRetention(Tables.events(spark, dir), "user_id", "ts")
+      .orderBy("cohort", "day_offset")
 
   /** Ordered conversion funnel — strictly-sequenced stage times per
     * user (first click, first view AFTER that click, first purchase
@@ -359,28 +363,37 @@ object TimeSeriesQueries {
     * key on user_id throughout, so AQE can reuse the exchange), never
     * a window or a self-cross. The final rollup is three single-row
     * aggregates unioned — metadata scale. */
-  def qFunnelSequence(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir).select("user_id", "event_type", "ts")
-    val s1 = ev.filter(col("event_type") === "click")
-      .groupBy("user_id").agg(min(col("ts")).as("t1"))
-    val s2 = ev.filter(col("event_type") === "view")
-      .join(s1, "user_id").filter(col("ts") > col("t1"))
-      .groupBy("user_id").agg(min(col("ts")).as("t2"))
-    val s3 = ev.filter(col("event_type") === "purchase")
-      .join(s2, "user_id").filter(col("ts") > col("t2"))
-      .groupBy("user_id").agg(min(col("ts")).as("t3"))
-    val counts = s1.agg(count(lit(1)).as("n")).withColumn("stage", lit(1))
-      .withColumn("name", lit("click"))
-      .unionByName(s2.agg(count(lit(1)).as("n")).withColumn("stage", lit(2))
-        .withColumn("name", lit("view_after_click")))
-      .unionByName(s3.agg(count(lit(1)).as("n")).withColumn("stage", lit(3))
-        .withColumn("name", lit("purchase_after_view")))
-    val entered = s1.agg(count(lit(1)).as("n_entered"))
+  def funnelSequence(df: DataFrame, userCol: String, typeCol: String,
+                     tsCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnelSequence: at least one stage type")
+    // fold the ordered stages into chained (user, t) frames: stage i
+    // keeps the first typeCol==stages(i) event strictly after stage i-1
+    val frames = stages.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (stype, i)) =>
+        val base = df.filter(col(typeCol) === stype)
+        val gated = prev match {
+          case None => base
+          case Some(p) => base.join(p, userCol)
+            .filter(col(tsCol) > col(s"t$i"))
+        }
+        Some(gated.groupBy(userCol)
+          .agg(min(col(tsCol)).as(s"t${i + 1}")))
+    }.flatten
+    val counts = frames.zip(stages.zipWithIndex).map { case (f, (stype, i)) =>
+      val label = if (i == 0) stype else s"${stype}_after_${stages(i - 1)}"
+      f.agg(count(lit(1)).as("n")).withColumn("stage", lit(i + 1))
+        .withColumn("name", lit(label))
+    }.reduce(_ unionByName _)
+    val entered = frames.head.agg(count(lit(1)).as("n_entered"))
     counts.crossJoin(broadcast(entered))
       .select(col("stage"), col("name"), col("n"),
         rnd(col("n") / col("n_entered").cast("double"), 4).as("conv_from_entry"))
-      .orderBy("stage")
   }
+
+  def qFunnelSequence(spark: SparkSession, dir: String): DataFrame =
+    funnelSequence(Tables.events(spark, dir).select("user_id", "event_type", "ts"),
+      "user_id", "event_type", "ts", Seq("click", "view", "purchase"))
+      .orderBy("stage")
 
   /** First-order event-type transition matrix (the Markov view of user
     * behaviour dashboards draw as a flow diagram): per-user consecutive
@@ -392,19 +405,24 @@ object TimeSeriesQueries {
     * bounded by a user's own history, never global), a 25-cell rollup,
     * and a broadcast row-total join for the normalization. The rounded
     * probability is an exact rational n/tot in both engines. */
-  def qTransitionMatrix(spark: SparkSession, dir: String): DataFrame = {
-    val wu = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val pairs = Tables.events(spark, dir)
-      .select(col("user_id"), col("event_type").as("next"),
-        lag(col("event_type"), 1).over(wu).as("prev"))
+  def transitionMatrix(df: DataFrame, userCol: String, typeCol: String,
+                       tsCol: String, idCol: String): DataFrame = {
+    val wu = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val pairs = df
+      .select(col(userCol), col(typeCol).as("next"),
+        lag(col(typeCol), 1).over(wu).as("prev"))
       .filter(col("prev").isNotNull)
       .groupBy("prev", "next").agg(count(lit(1)).as("n"))
     val totals = pairs.groupBy("prev").agg(sum(col("n")).as("tot"))
     pairs.join(broadcast(totals), "prev")
       .select(col("prev"), col("next"), col("n"),
         rnd(col("n") / col("tot").cast("double"), 4).as("p"))
-      .orderBy("prev", "next")
   }
+
+  def qTransitionMatrix(spark: SparkSession, dir: String): DataFrame =
+    transitionMatrix(Tables.events(spark, dir), "user_id", "event_type",
+      "ts", "event_id")
+      .orderBy("prev", "next")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_transition_matrix" -> qTransitionMatrix _,

@@ -425,6 +425,41 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("analytics TVFs: cohort_retention / transition_matrix / funnel_steps / dataset_card from SQL") {
+    withExtensionsSession { s2 =>
+      Tables.events(s2, TestSpark.Sf).createOrReplaceTempView("ev_r10b")
+      Tables.documents(s2, TestSpark.Sf).createOrReplaceTempView("docs_r10b")
+      val coSql = s2.sql(
+        "SELECT * FROM cohort_retention('ev_r10b', 'user_id', 'ts') " +
+          "ORDER BY cohort, day_offset").collect().toSeq
+      val coApi = graft.queries.TimeSeriesQueries.cohortRetention(
+        Tables.events(s2, TestSpark.Sf), "user_id", "ts")
+        .orderBy("cohort", "day_offset").collect().toSeq
+      assert(coSql.nonEmpty && coSql == coApi)
+      val tmSql = s2.sql(
+        "SELECT * FROM transition_matrix('ev_r10b', 'user_id', 'event_type', 'ts', 'event_id') " +
+          "ORDER BY prev, next").collect().toSeq
+      val tmApi = graft.queries.TimeSeriesQueries.transitionMatrix(
+        Tables.events(s2, TestSpark.Sf), "user_id", "event_type", "ts", "event_id")
+        .orderBy("prev", "next").collect().toSeq
+      assert(tmSql.nonEmpty && tmSql == tmApi)
+      val fsSql = s2.sql(
+        "SELECT * FROM funnel_steps('ev_r10b', 'user_id', 'event_type', 'ts', " +
+          "'click', 'view', 'purchase') ORDER BY stage").collect().toSeq
+      val fsApi = graft.queries.TimeSeriesQueries.funnelSequence(
+        Tables.events(s2, TestSpark.Sf).select("user_id", "event_type", "ts"),
+        "user_id", "event_type", "ts", Seq("click", "view", "purchase"))
+        .orderBy("stage").collect().toSeq
+      assert(fsSql.nonEmpty && fsSql == fsApi)
+      val dcSql = s2.sql(
+        "SELECT * FROM dataset_card('docs_r10b', 'lang', 'text') ORDER BY lang")
+        .collect().toSeq
+      val dcApi = graft.queries.TextStats.datasetCard(
+        Tables.documents(s2, TestSpark.Sf)).orderBy("lang").collect().toSeq
+      assert(dcSql.nonEmpty && dcSql == dcApi)
+    }
+  }
+
   test("q_span_dedup executed plan computes the gram explode exactly once") {
     // the r9 shape relied on AQE ReuseExchange to dedupe the gram
     // pipeline under its consumers, but column pruning de-canonicalized
