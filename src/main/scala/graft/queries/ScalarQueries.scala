@@ -372,7 +372,43 @@ object ScalarQueries {
       .orderBy(desc("cnt"), col("user_id"))
   }
 
+  /** Deequ-style data-quality constraint audit over the orders/lineitem
+    * pair ([[graft.operators.Constraints]]): completeness, value-range
+    * and set-membership fractions, key uniqueness, row count, and
+    * lineitem→orders referential integrity, reported as one bounded
+    * frame of (target, check, column, metric, threshold, passed). Two
+    * checks (the tight o_totalprice cap and the l_discount 95% band)
+    * are calibrated to FAIL on this corpus — the report's value is
+    * showing red rows, not a wall of green.
+    *
+    * Scale shape: one aggregate pass per table for every scalar check
+    * (adding checks adds agg columns, not scans), a key-grain hash agg
+    * for uniqueness, and one LEFT ANTI equi-join for the FK check; the
+    * report itself is metadata-scale. */
+  def qConstraintAudit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Constraints._
+    val orders = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    val report =
+      scalarAudit(orders, "orders", Seq(
+        completeness("o_orderdate", 1.0),
+        fractionInSet("o_orderstatus", Seq("O", "F", "P"), 1.0),
+        fractionInRange("o_totalprice", 0.0, 1000000.0, 1.0, "o_totalprice<=1e6"),
+        fractionInRange("o_totalprice", 0.0, 100000.0, 1.0, "o_totalprice<=1e5"),
+        minRowCount(1000.0)))
+      .unionByName(uniqueness(orders, "orders", Seq("o_orderkey")))
+      .unionByName(scalarAudit(li, "lineitem", Seq(
+        fractionInRange("l_discount", 0.0, 0.08, 0.95),
+        fractionInRange("l_quantity", 1.0, 50.0, 1.0))))
+      .unionByName(refIntegrity(li, "l_orderkey", "lineitem",
+        orders, "o_orderkey"))
+    report.select(col("target"), col("check"), col("column"),
+        rnd(col("metric"), 6).as("metric"), col("threshold"), col("passed"))
+      .orderBy("target", "check", "column")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_constraint_audit" -> qConstraintAudit _,
     "q_topk_partials" -> qTopkPartials _,
     "q_hll_partials" -> qHllPartials _,
     "q_partial_merge" -> qPartialMerge _,
@@ -417,6 +453,53 @@ object ScalarQueries {
       .orderBy("c_custkey")
 
   val oracles: Map[String, String] = Map(
+    // every metric is an exact integer-count rational in one double
+    // division (mirrored order); passed compares the RAW metric inside
+    // the CTE (DuckDB lateral alias binding would otherwise let the
+    // rounded alias shadow it), the output metric is floor-rounded
+    "q_constraint_audit" ->
+      """WITH o AS (
+        |  SELECT count(*) AS n, count(o_orderdate) AS n_date,
+        |    sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END) AS n_set,
+        |    sum(CASE WHEN o_totalprice >= 0.0 AND o_totalprice <= 1000000.0 THEN 1 ELSE 0 END) AS n_r1,
+        |    sum(CASE WHEN o_totalprice >= 0.0 AND o_totalprice <= 100000.0 THEN 1 ELSE 0 END) AS n_r2
+        |  FROM orders),
+        |u AS (SELECT count(DISTINCT o_orderkey) AS ks, count(*) AS nr FROM orders),
+        |l AS (
+        |  SELECT count(*) AS n,
+        |    sum(CASE WHEN l_discount >= 0.0 AND l_discount <= 0.08 THEN 1 ELSE 0 END) AS n_disc,
+        |    sum(CASE WHEN l_quantity >= 1.0 AND l_quantity <= 50.0 THEN 1 ELSE 0 END) AS n_qty
+        |  FROM lineitem),
+        |ri AS (
+        |  SELECT (SELECT count(*) FROM lineitem) AS n,
+        |    (SELECT count(*) FROM lineitem li
+        |      LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) ok
+        |        ON li.l_orderkey = ok.o_orderkey
+        |      WHERE ok.o_orderkey IS NULL) AS orph),
+        |m AS (
+        |  SELECT 'orders' AS target, 'completeness' AS chk, 'o_orderdate' AS cl,
+        |    CAST(n_date AS DOUBLE) / CAST(n AS DOUBLE) AS metric, 1.0 AS threshold FROM o
+        |  UNION ALL SELECT 'orders', 'in_set', 'o_orderstatus',
+        |    CAST(n_set AS DOUBLE) / CAST(n AS DOUBLE), 1.0 FROM o
+        |  UNION ALL SELECT 'orders', 'in_range', 'o_totalprice<=1e6',
+        |    CAST(n_r1 AS DOUBLE) / CAST(n AS DOUBLE), 1.0 FROM o
+        |  UNION ALL SELECT 'orders', 'in_range', 'o_totalprice<=1e5',
+        |    CAST(n_r2 AS DOUBLE) / CAST(n AS DOUBLE), 1.0 FROM o
+        |  UNION ALL SELECT 'orders', 'row_count', '*',
+        |    CAST(n AS DOUBLE), 1000.0 FROM o
+        |  UNION ALL SELECT 'orders', 'unique', 'o_orderkey',
+        |    CAST(ks AS DOUBLE) / CAST(nr AS DOUBLE), 1.0 FROM u
+        |  UNION ALL SELECT 'lineitem', 'in_range', 'l_discount',
+        |    CAST(n_disc AS DOUBLE) / CAST(n AS DOUBLE), 0.95 FROM l
+        |  UNION ALL SELECT 'lineitem', 'in_range', 'l_quantity',
+        |    CAST(n_qty AS DOUBLE) / CAST(n AS DOUBLE), 1.0 FROM l
+        |  UNION ALL SELECT 'lineitem', 'ref_integrity', 'l_orderkey',
+        |    1.0 - CAST(orph AS DOUBLE) / CAST(n AS DOUBLE), 1.0 FROM ri),
+        |mp AS (SELECT *, metric >= threshold AS passed FROM m)
+        |SELECT target, chk AS "check", cl AS "column",
+        |  floor(metric * 1e6 + 0.5) / 1e6 AS metric,
+        |  CAST(threshold AS DOUBLE) AS threshold, passed
+        |FROM mp ORDER BY target, chk, cl""".stripMargin,
     // exact top-10 stated directly; the est==exact boolean is pinned
     // TRUE by the no-eviction theorem (see qTopkPartials)
     "q_topk_partials" ->

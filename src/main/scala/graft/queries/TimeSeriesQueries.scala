@@ -322,6 +322,106 @@ object TimeSeriesQueries {
       .orderBy("event_type", "bucket")
   }
 
+  /** Gap-filled hourly resample with LINEAR TIME interpolation — the
+    * pandas `resample('H').interpolate('time')` twin of
+    * [[qResampleFfill]]: carried hours take the straight line between
+    * the previous and next OBSERVED closes, weighted by hour distance,
+    * instead of repeating the last value. Both spine endpoints are
+    * observed buckets by construction (the spine spans min..max of the
+    * per-type observed hours), so every NULL is interior and always has
+    * both neighbours — no extrapolation branch exists to get wrong.
+    *
+    * Cross-engine parity: the interpolation is one fixed-order IEEE
+    * expression over identical inputs — prev + (next − prev) ·
+    * (Δb / Δspan), with both deltas exact integers — mirrored verbatim
+    * in the oracle; observed rows short-circuit to the raw close before
+    * any division (also keeps ANSI division away from the Δspan=0 case).
+    *
+    * Scale shape: identical to [[qResampleFfill]] — bucket aggregate at
+    * event grain, then spine-grain (metadata-scale) windows; the
+    * backward-looking pair of windows shares the forward pair's sort, so
+    * CollapseWindow folds all four features into two WindowExecs over
+    * one exchange. */
+  def qInterpolate(spark: SparkSession, dir: String): DataFrame = {
+    val hourNs = 3600L * 1000000000L
+    val tiebreak = struct(col("ts"), col("event_id"))
+    val buckets = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        expr(s"(ts - pmod(ts, ${hourNs}L)) div ${hourNs}L").as("b"))
+      .agg(max_by(col("value"), tiebreak).as("close"))
+    val spine = buckets.groupBy("event_type")
+      .agg(min(col("b")).as("b0"), max(col("b")).as("b1"))
+      .select(col("event_type"), explode(sequence(col("b0"), col("b1"))).as("b"))
+    val wb = Window.partitionBy("event_type").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy("event_type").orderBy("b")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsB = when(col("close").isNotNull, col("b"))
+    spine.join(buckets, Seq("event_type", "b"), "left")
+      .select(col("event_type"), col("b"), col("close"),
+        last(col("close"), ignoreNulls = true).over(wb).as("pv"),
+        last(obsB, ignoreNulls = true).over(wb).as("pb"),
+        first(col("close"), ignoreNulls = true).over(wf).as("nv"),
+        first(obsB, ignoreNulls = true).over(wf).as("nb"))
+      .select(col("event_type"),
+        date_format(timestamp_micros(col("b") * (hourNs / 1000L)),
+          "yyyy-MM-dd HH:mm").as("bucket"),
+        col("close").isNotNull.as("observed"),
+        rnd(when(col("close").isNotNull, col("close"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+            ((col("b") - col("pb")).cast("double") /
+              (col("nb") - col("pb")).cast("double"))), 4)
+          .as("value_interp"))
+      .orderBy("event_type", "bucket")
+  }
+
+  /** Seasonal (day-of-week × hour-of-day) baseline profile + residual
+    * anomaly counts — the "is this hour unusual FOR a Tuesday 9am"
+    * upgrade over [[qZscoreAnomaly]]'s global z-score: per
+    * (event_type, dow, hour) cell, mean/sample-std of value and the
+    * count of events sitting more than 3σ from their own cell's mean.
+    *
+    * Cross-engine parity: the moments come from EXACT integer-cent sums
+    * (n, Σc, Σc²) — the [[graft.operators.PartialAgg]] recipe — derived
+    * in one fixed-order double expression per side, variance clamped at
+    * 0 before the (correctly-rounded, hence engine-identical) sqrt.
+    *
+    * Scale shape: one event-grain aggregate onto the bounded 5×7×24
+    * grid, then the grid broadcast back onto the scan for the residual
+    * count — the winsorize/normalize stats-join idiom; no windows, no
+    * distinct state. The Σc² partial stays long-exact: cents ≤ ~1e5,
+    * c² ≤ 1e10, and even 1e9 rows per cell keeps the sum under 2^63. */
+  def qSeasonalBaseline(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("value"),
+        dayofweek(timestamp_micros(expr("ts div 1000"))).as("dow"),
+        hour(timestamp_micros(expr("ts div 1000"))).as("hod"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+    val grid = ev.groupBy("event_type", "dow", "hod")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sumc"),
+        sum(col("cents") * col("cents")).as("sumsq"))
+    val nd    = col("n").cast("double")
+    val sumcd = col("sumc").cast("double")
+    val varC  = greatest(lit(0.0),
+      (nd * col("sumsq").cast("double") - sumcd * sumcd) / (nd * (nd - 1.0)))
+    // n=1 cells have no sample variance — gate BEFORE the division
+    // (ANSI Spark throws on /0 where DuckDB would yield NaN)
+    val stats = grid.select(col("event_type"), col("dow"), col("hod"), col("n"),
+      (sumcd / nd / 100.0).as("mean_v"),
+      when(col("n") >= 2, sqrt(varC) / 100.0).as("std_v"))
+    val anom = ev.join(broadcast(stats), Seq("event_type", "dow", "hod"))
+      .filter(col("n") >= 2 && col("std_v") > 0.0 &&
+        abs(col("value") - col("mean_v")) > lit(3.0) * col("std_v"))
+      .groupBy("event_type", "dow", "hod")
+      .agg(count(lit(1)).as("n_anom"))
+    stats.join(anom, Seq("event_type", "dow", "hod"), "left")
+      .select(col("event_type"), col("dow"), col("hod"), col("n"),
+        rnd(col("mean_v"), 4).as("mean_value"),
+        rnd(col("std_v"), 4).as("std_value"),
+        coalesce(col("n_anom"), lit(0L)).as("n_anomalies"))
+      .orderBy("event_type", "dow", "hod")
+  }
+
   /** Cohort retention — the dashboard staple the reference's summary
     * panels approximate by hand: users grouped by FIRST-ACTIVE day
     * (their cohort), then distinct-active counts per (cohort,
@@ -429,6 +529,8 @@ object TimeSeriesQueries {
     "q_cohort_retention" -> qCohortRetention _,
     "q_funnel_sequence" -> qFunnelSequence _,
     "q_resample_ffill" -> qResampleFfill _,
+    "q_interpolate" -> qInterpolate _,
+    "q_seasonal_baseline" -> qSeasonalBaseline _,
     "q_ohlc_resample" -> qOhlcResample _,
     "q_lag_lead" -> qLagLead _,
     "q_rolling_mean" -> qRollingMean _,
@@ -537,6 +639,84 @@ object TimeSeriesQueries {
          |  last_value(close IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY b
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_ffill
          |FROM j ORDER BY event_type, bucket""".stripMargin,
+    // same spine scaffold as q_resample_ffill, plus the backward-looking
+    // window pair; the interpolation expression mirrors the Spark side
+    // token-for-token (fixed IEEE order over identical inputs), and the
+    // hour deltas are exact integers on both sides
+    "q_interpolate" ->
+      """WITH ranked AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS b, value,
+        |    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+        |      ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn_d
+        |  FROM events),
+        |bu AS (
+        |  SELECT event_type, b,
+        |    max(CASE WHEN rn_d = 1 THEN value END) AS close
+        |  FROM ranked GROUP BY event_type, b),
+        |sp AS (
+        |  SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS b
+        |  FROM (SELECT event_type, min(b) AS mn, max(b) AS mx FROM bu GROUP BY event_type)),
+        |j AS (
+        |  SELECT sp.event_type, sp.b, bu.close
+        |  FROM sp LEFT JOIN bu ON sp.event_type = bu.event_type AND sp.b = bu.b),
+        |k AS (
+        |  SELECT event_type, b, close,
+        |    last_value(close IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY b
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    last_value(CASE WHEN close IS NOT NULL THEN b END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type ORDER BY b
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+        |    first_value(close IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY b
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(CASE WHEN close IS NOT NULL THEN b END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type ORDER BY b
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+        |  FROM j)
+        |SELECT event_type, strftime(b, '%Y-%m-%d %H:%M') AS bucket,
+        |  (close IS NOT NULL) AS observed,
+        |  floor((CASE WHEN close IS NOT NULL THEN close
+        |    ELSE pv + (nv - pv) * (CAST(date_diff('hour', pb, b) AS DOUBLE)
+        |        / CAST(date_diff('hour', pb, nb) AS DOUBLE)) END) * 1e4 + 0.5) / 1e4
+        |    AS value_interp
+        |FROM k ORDER BY event_type, bucket""".stripMargin,
+    // exact integer-cent moment sums (Σc fits DOUBLE exactly below 2^53;
+    // Σc² computed and summed as BIGINT, cast once) derived in the same
+    // fixed-order double expression as the Spark side; DuckDB dayofweek
+    // is 0=Sunday, Spark's is 1=Sunday — the +1 aligns them
+    "q_seasonal_baseline" ->
+      """WITH ev AS (
+        |  SELECT event_type, value,
+        |    CAST(strftime(ts, '%w') AS INT) + 1 AS dow,
+        |    CAST(strftime(ts, '%H') AS INT) AS hod,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |grid AS (
+        |  SELECT event_type, dow, hod, count(*) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS sumc,
+        |    CAST(sum(cents * cents) AS BIGINT) AS sumsq
+        |  FROM ev GROUP BY event_type, dow, hod),
+        |stats AS (
+        |  SELECT event_type, dow, hod, n,
+        |    CAST(sumc AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean_v,
+        |    CASE WHEN n >= 2 THEN sqrt(greatest(0.0,
+        |      (CAST(n AS DOUBLE) * CAST(sumsq AS DOUBLE)
+        |        - CAST(sumc AS DOUBLE) * CAST(sumc AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))) / 100.0 END AS std_v
+        |  FROM grid),
+        |anom AS (
+        |  SELECT ev.event_type, ev.dow, ev.hod, count(*) AS n_anom
+        |  FROM ev JOIN stats ON ev.event_type = stats.event_type
+        |    AND ev.dow = stats.dow AND ev.hod = stats.hod
+        |  WHERE stats.n >= 2 AND stats.std_v > 0.0
+        |    AND abs(ev.value - stats.mean_v) > 3.0 * stats.std_v
+        |  GROUP BY ev.event_type, ev.dow, ev.hod)
+        |SELECT s.event_type, s.dow, s.hod, s.n,
+        |  floor(s.mean_v * 1e4 + 0.5) / 1e4 AS mean_value,
+        |  floor(s.std_v * 1e4 + 0.5) / 1e4 AS std_value,
+        |  CAST(coalesce(a.n_anom, 0) AS BIGINT) AS n_anomalies
+        |FROM stats s LEFT JOIN anom a ON s.event_type = a.event_type
+        |  AND s.dow = a.dow AND s.hod = a.hod
+        |ORDER BY s.event_type, s.dow, s.hod""".stripMargin,
     "q_ohlc_resample" ->
       s"""WITH ranked AS (
          |  SELECT event_type, date_trunc('hour', ts) AS b, value,

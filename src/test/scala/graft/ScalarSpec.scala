@@ -163,4 +163,45 @@ class ScalarSpec extends AnyFunSuite {
       .orderBy("event_type").collect().toSeq
     assert(incremental.nonEmpty && incremental == full)
   }
+
+  test("Constraints.scalarAudit: completeness/range/set metrics are exact fractions") {
+    import graft.operators.Constraints._
+    val df = Seq(
+      (Some("a"), 1.0, "X"), (Some("b"), 2.0, "Y"),
+      (None, 3.0, "X"), (Some("d"), 11.0, "Z")
+    ).toDF("s", "v", "tag")
+    val rep = scalarAudit(df, "t", Seq(
+      completeness("s", 1.0),
+      fractionInRange("v", 0.0, 10.0, 1.0),
+      fractionInSet("tag", Seq("X", "Y"), 0.5),
+      minRowCount(3.0)))
+      .orderBy("check", "column").collect()
+    val byCheck = rep.map(r => (r.getString(1), r.getString(2)) ->
+      (r.getDouble(3), r.getBoolean(5))).toMap
+    assert(byCheck(("completeness", "s")) == (0.75, false))
+    assert(byCheck(("in_range", "v")) == (0.75, false))
+    assert(byCheck(("in_set", "tag")) == (0.75, true))
+    assert(byCheck(("row_count", "*")) == (4.0, true))
+  }
+
+  test("Constraints.uniqueness: duplicate keys fail, distinct keys pass") {
+    import graft.operators.Constraints._
+    val dup = Seq((1, "a"), (1, "b"), (2, "c")).toDF("k", "p")
+    val r1 = uniqueness(dup, "t", Seq("k")).head()
+    assert(r1.getDouble(3) == 2.0 / 3.0 && !r1.getBoolean(5))
+    // the composite key IS unique even though k alone is not
+    val r2 = uniqueness(dup, "t", Seq("k", "p")).head()
+    assert(r2.getDouble(3) == 1.0 && r2.getBoolean(5))
+  }
+
+  test("Constraints.refIntegrity: orphans and NULL foreign keys both count against the metric") {
+    import graft.operators.Constraints._
+    val parent = Seq(1, 2, 3).toDF("pk")
+    val child = Seq(Some(1), Some(2), Some(99), None).toDF("fk")
+    val r = refIntegrity(child, "fk", "c", parent, "pk").head()
+    assert(r.getDouble(3) == 0.5 && !r.getBoolean(5))
+    val clean = refIntegrity(parent.select(col("pk").as("fk")), "fk", "c",
+      parent, "pk").head()
+    assert(clean.getDouble(3) == 1.0 && clean.getBoolean(5))
+  }
 }

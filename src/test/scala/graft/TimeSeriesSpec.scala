@@ -123,4 +123,58 @@ class TimeSeriesSpec extends AnyFunSuite {
     val d = Seq.fill(5)(3.14).toDF("v")
     assert(d.agg(stddev_pop($"v")).as[Double].head() == 0.0)
   }
+
+  test("qInterpolate equals an in-Scala linear walk over the observed closes") {
+    import graft.queries.TimeSeriesQueries
+    val out = TimeSeriesQueries.qInterpolate(spark, TestSpark.Sf)
+      .select($"event_type", $"bucket", $"observed", $"value_interp")
+      .as[(String, String, Boolean, Double)].collect().toSeq
+    assert(out.nonEmpty)
+    val gaps = out.count(!_._3)
+    assert(gaps > 0, "fixture must contain empty hours or the test is vacuous")
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val seq = rows.sortBy(_._2)
+      // spine endpoints are observed by construction
+      assert(seq.head._3 && seq.last._3)
+      val obs = seq.zipWithIndex.filter(_._1._3).map { case (r, i) => (i, r._4) }
+      // independent re-implementation: same fixed-order IEEE expression
+      for (((i0, v0), (i1, v1)) <- obs.zip(obs.tail); i <- (i0 + 1) until i1) {
+        val expect = v0 + (v1 - v0) * ((i - i0).toDouble / (i1 - i0).toDouble)
+        val got = seq(i)._4
+        assert(got == math.floor(expect * 1e4 + 0.5) / 1e4,
+          s"row $i: got $got expect $expect")
+      }
+    }
+  }
+
+  test("qSeasonalBaseline: cells partition the events, anomalies bounded, one cell hand-checked") {
+    import graft.queries.TimeSeriesQueries
+    val out = TimeSeriesQueries.qSeasonalBaseline(spark, TestSpark.Sf)
+      .select($"event_type", $"dow", $"hod", $"n", $"mean_value", $"std_value", $"n_anomalies")
+      .collect().toSeq
+    val total = Tables.events(spark, TestSpark.Sf).count()
+    assert(out.map(_.getLong(3)).sum == total, "cells must partition the table")
+    assert(out.forall(r => r.getLong(6) <= r.getLong(3)))
+    assert(out.forall(r => (r.getLong(3) == 1) == r.isNullAt(5)),
+      "std must be null exactly for singleton cells")
+    // hand-check the largest cell against a direct Scala recomputation
+    val top = out.maxBy(_.getLong(3))
+    val (et, dow, hod) = (top.getString(0), top.getInt(1), top.getInt(2))
+    val vals = Tables.events(spark, TestSpark.Sf)
+      .select($"event_type", dayofweek(timestamp_micros(expr("ts div 1000"))).as("dow"),
+        hour(timestamp_micros(expr("ts div 1000"))).as("hod"), $"value")
+      .filter($"event_type" === et && $"dow" === dow && $"hod" === hod)
+      .select("value").as[Double].collect().toSeq
+    val cents = vals.map(v => math.floor(v * 100 + 0.5).toLong)
+    val n = cents.size.toDouble
+    val mean = cents.sum.toDouble / n / 100.0
+    val varC = math.max(0.0,
+      (n * cents.map(c => c * c).sum.toDouble - cents.sum.toDouble * cents.sum.toDouble)
+        / (n * (n - 1.0)))
+    val std = math.sqrt(varC) / 100.0
+    assert(top.getLong(3) == vals.size)
+    assert(top.getDouble(4) == math.floor(mean * 1e4 + 0.5) / 1e4)
+    assert(top.getDouble(5) == math.floor(std * 1e4 + 0.5) / 1e4)
+    assert(top.getLong(6) == vals.count(v => math.abs(v - mean) > 3.0 * std))
+  }
 }
