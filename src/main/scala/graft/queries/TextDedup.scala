@@ -451,7 +451,34 @@ object TextDedup {
       .orderBy("doc_id")
   }
 
+  /** Leakage-safe (group-aware) train/val/test split: the split bucket
+    * is hashed from the CANONICAL id of a doc's near-dup cluster
+    * ([[cachedCanonicalLabels]] — connected components over the
+    * MinHash+LSH pairs), not from the doc itself, so two near-duplicate
+    * documents can never land on opposite sides of the train/test fence
+    * — the contamination mode a per-doc q_hash_split cannot prevent.
+    * Singleton docs are their own canonical (same hash family, so their
+    * assignment matches a per-doc split exactly).
+    *
+    * Scale shape: the group labels come from the already-scale-safe CC
+    * operator; the split itself is one broadcast-sized left join plus a
+    * map-side md5 bucket — no new shuffles over the corpus. Bounded to
+    * doc_id < 100 for the oracle's recursive-CTE twin, like the rest of
+    * the group family. */
+  def qGroupSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 100)
+    val labels = cachedCanonicalLabels(spark, dir)
+    val canon = coalesce(col("label"), col("doc_id"))
+    val bucket = hash32(concat(canon.cast("string"), lit("|gsplit"))) % 100
+    docs.join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), canon.as("canonical_id"),
+        when(bucket < 80, "train").when(bucket < 90, "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_group_split" -> qGroupSplit _,
     "q_dedup_exact" -> qDedupExact _,
     "q_span_dedup" -> qSpanDedup _,
     "q_span_dedup_rowhash" -> qSpanDedupRowhash _,

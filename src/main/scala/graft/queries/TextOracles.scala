@@ -381,6 +381,31 @@ import TextStats._
          |    len(regexp_extract_all(redacted, '\\[(EMAIL|URL|PHONE|IP)\\]'))
          |    - len(regexp_extract_all(text, '\\[(EMAIL|URL|PHONE|IP)\\]'))) AS BIGINT) AS n_redactions
          |FROM r ORDER BY doc_id""".stripMargin,
+    // bigram pairs as parallel unnest of the list and its own tail —
+    // positionally identical to the Spark slice+arrays_zip; the mixed
+    // probability is spelled in the same fixed IEEE order, with both
+    // interpolation weights as shared literal constants
+    "q_bigram_logprob" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS ts FROM documents),
+         |pr AS (
+         |  SELECT doc_id, unnest(ts[1:len(ts)-1]) AS w1, unnest(ts[2:len(ts)]) AS w2
+         |  FROM t WHERE len(ts) >= 2),
+         |cb AS (SELECT w1, w2, count(*) AS cb FROM pr GROUP BY w1, w2),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM pr GROUP BY w1),
+         |tok AS (SELECT unnest($TOKS) AS t FROM documents),
+         |uni AS (SELECT t, count(*) AS cu FROM tok GROUP BY t),
+         |tot AS (SELECT count(*) AS n FROM tok),
+         |s AS (
+         |  SELECT pr.doc_id,
+         |    -ln($BigramLambda * (CAST(cb.cb AS DOUBLE) / CAST(c1.c1 AS DOUBLE))
+         |      + $BigramMu * (CAST(uni.cu AS DOUBLE) / CAST(tot.n AS DOUBLE))) AS lp
+         |  FROM pr JOIN cb ON pr.w1 = cb.w1 AND pr.w2 = cb.w2
+         |    JOIN c1 ON pr.w1 = c1.w1
+         |    JOIN uni ON pr.w2 = uni.t
+         |    CROSS JOIN tot)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  floor((sum(lp) / count(*)) * 1e4 + 0.5) / 1e4 AS avg_neg_logprob
+         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_unigram_logprob" ->
       s"""WITH tok AS (SELECT doc_id, unnest($TOKS) AS t FROM documents),
          |freq AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
@@ -536,6 +561,20 @@ import TextStats._
          |SELECT d.doc_id, coalesce(lbl.canonical_id, d.doc_id) AS canonical_id
          |FROM documents d LEFT JOIN lbl ON d.doc_id = lbl.id
          |WHERE d.doc_id < 100 ORDER BY d.doc_id""".stripMargin,
+    // group-aware split: the q_dedup_groups canonical labels fed through
+    // the q_hash_split md5-bucket arithmetic, keyed on canonical_id
+    "q_group_split" ->
+      s"""WITH RECURSIVE $MinhashCtes,
+         |${ccSql("canonical_id")},
+         |c AS (
+         |  SELECT d.doc_id, coalesce(lbl.canonical_id, d.doc_id) AS canonical_id
+         |  FROM documents d LEFT JOIN lbl ON d.doc_id = lbl.id
+         |  WHERE d.doc_id < 100)
+         |SELECT doc_id, canonical_id,
+         |  CASE WHEN ('0x' || substr(md5(CAST(canonical_id AS VARCHAR) || '|gsplit'), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+         |       WHEN ('0x' || substr(md5(CAST(canonical_id AS VARCHAR) || '|gsplit'), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM c ORDER BY doc_id""".stripMargin,
     "q_content_filter" ->
       ("""WITH f AS (
         |  SELECT doc_id,

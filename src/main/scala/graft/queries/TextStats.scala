@@ -208,6 +208,52 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** Interpolation weights for [[qBigramLogprob]] — the bigram and
+    * unigram shares of the mixed probability; both spelled as literal
+    * decimal constants (NOT derived as 1−λ, whose double result
+    * 0.30000000000000004 would diverge from the SQL literal 0.3) and
+    * interpolated into BOTH engines. */
+  val BigramLambda = 0.7
+  val BigramMu = 0.3
+
+  /** Interpolated bigram LM scoring — the CCNet-style perplexity-filter
+    * upgrade over [[qUnigramLogprob]]: each position i≥2 scores
+    * −ln(λ·P(wᵢ|wᵢ₋₁) + (1−λ)·P(wᵢ)), with P(w|prev) from corpus bigram
+    * counts over prev's continuation total and P(w) the corpus unigram
+    * probability. The unigram back-off term keeps unseen-in-context
+    * continuations finite, so no extra smoothing constant is needed —
+    * every scored bigram was observed at least once (its own occurrence).
+    *
+    * Scale shape: bigram pairs come from a map-side zip of the shared
+    * token array with its own tail (slice + arrays_zip + explode — no
+    * self-join, no window); counts are wordcount-shaped aggregates; the
+    * scoring join keys on the gram/word (uniform-ish, AQE handles the
+    * stopword skew) and the total is one broadcast scalar. */
+  def qBigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = cachedDocTokens(spark, dir)
+      .filter(size(col("ts")) >= 2)
+      .select(col("doc_id"),
+        explode(arrays_zip(
+          expr("slice(ts, 1, size(ts) - 1)").as("w1"),
+          expr("slice(ts, 2, size(ts) - 1)").as("w2"))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val cb = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val c1 = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val tok = cachedDocTokens(spark, dir).select(explode(col("ts")).as("t"))
+    val uni = tok.groupBy("t").agg(count(lit(1)).as("cu"))
+    val tot = tok.agg(count(lit(1)).as("n"))
+    pairs.join(cb, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .join(uni.withColumnRenamed("t", "w2"), Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("lp", -log(
+        lit(BigramLambda) * (col("cb") / col("c1").cast("double")) +
+          lit(BigramMu) * (col("cu") / col("n").cast("double"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        rnd(sum(col("lp")) / count(lit(1)), 4).as("avg_neg_logprob"))
+      .orderBy("doc_id")
+  }
+
   /** N-gram size / result width for [[qTopNgrams]] — interpolated into
     * BOTH engines so they cannot drift. */
   val TopNgramN = 3
@@ -599,6 +645,7 @@ object TextStats {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bigram_logprob" -> qBigramLogprob _,
     "q_dataset_card" -> qDatasetCard _,
     "q_source_overlap" -> qSourceOverlap _,
     "q_text_stats" -> qTextStats _,

@@ -425,7 +425,60 @@ object TrainingDataQueries {
       "doc_id", s"epoch$EpochSeed", EpochShards)
       .orderBy("doc_id")
 
+  /** Bin count for [[qPsiDrift]] — interpolated into BOTH engines. */
+  val PsiBins = 10
+
+  /** Population-stability-index drift report — the model-monitoring
+    * staple: per event_type, PSI between the month's first and second
+    * half over [[PsiBins]] equal-width value bins,
+    * PSI = Σ (pa − pb)·ln(pa/pb) with add-one (Laplace) smoothed bin
+    * shares so empty bins stay finite. PSI > 0.25 is the conventional
+    * "significant shift" flag (compared on the ROUNDED psi, so the
+    * boolean is engine-deterministic).
+    *
+    * Scale shape: one global min/max aggregate broadcast back, one
+    * event-grain aggregate onto the bounded (type × bin) grid, then
+    * metadata-scale spine/total joins — the seasonal-baseline shape; no
+    * windows, no distinct state. Equal-width bins (not quantile edges)
+    * keep the second pass a pure map — the profiler's percentile recipe
+    * is the swap-in if quantile bins are wanted. */
+  def qPsiDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("value"),
+        when(dayofmonth(Tables.eventDay) <= 15, "a").otherwise("b").as("period"))
+    val mm = ev.agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
+    val binned = ev.crossJoin(broadcast(mm))
+      .select(col("event_type"), col("period"),
+        when(col("mx") === col("mn"), lit(0))
+          .otherwise(least(lit(PsiBins - 1),
+            floor((col("value") - col("mn")) /
+              ((col("mx") - col("mn")) / lit(PsiBins.toDouble))).cast("int")))
+          .as("bin"))
+    val cells = binned.groupBy("event_type", "bin")
+      .agg(sum(when(col("period") === "a", 1L).otherwise(0L)).as("na"),
+        sum(when(col("period") === "b", 1L).otherwise(0L)).as("nb"))
+    val spine = ev.select("event_type").distinct()
+      .select(col("event_type"),
+        explode(sequence(lit(0), lit(PsiBins - 1))).as("bin"))
+    val full = spine.join(cells, Seq("event_type", "bin"), "left")
+      .select(col("event_type"), col("bin"),
+        coalesce(col("na"), lit(0L)).as("na"),
+        coalesce(col("nb"), lit(0L)).as("nb"))
+    val tots = full.groupBy("event_type")
+      .agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+    full.join(broadcast(tots), "event_type")
+      .withColumn("pa", (col("na") + 1.0) / (col("ta") + lit(PsiBins.toDouble)))
+      .withColumn("pb", (col("nb") + 1.0) / (col("tb") + lit(PsiBins.toDouble)))
+      .withColumn("term", (col("pa") - col("pb")) * log(col("pa") / col("pb")))
+      .groupBy("event_type")
+      .agg(max(col("ta")).as("n_first_half"), max(col("tb")).as("n_second_half"),
+        rnd(sum(col("term")), 6).as("psi"))
+      .withColumn("drifted", col("psi") > 0.25)
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_psi_drift" -> qPsiDrift _,
     "q_epoch_shuffle" -> qEpochShuffle _,
     "q_weighted_sample" -> qWeightedSample _,
     "q_pipeline_e2e" -> qPipelineE2e _,
@@ -455,6 +508,55 @@ object TrainingDataQueries {
   private val MixTokSql = "len(string_split_regex(trim(text), '\\s+'))"
 
   val oracles: Map[String, String] = Map(
+    // same fixed-order IEEE expressions (bin edge, smoothed shares, PSI
+    // terms); counts CAST to DOUBLE before the +1.0 so DuckDB stays in
+    // IEEE arithmetic instead of DECIMAL; drifted compares the ROUNDED
+    // psi on both sides
+    "q_psi_drift" ->
+      s"""WITH ev AS (
+         |  SELECT event_type, value,
+         |    CASE WHEN CAST(strftime(ts, '%d') AS INT) <= 15
+         |      THEN 'a' ELSE 'b' END AS period
+         |  FROM events),
+         |mm AS (SELECT min(value) AS mn, max(value) AS mx FROM ev),
+         |binned AS (
+         |  SELECT event_type, period,
+         |    CASE WHEN mx = mn THEN 0
+         |      ELSE least($PsiBins - 1, CAST(floor((value - mn)
+         |        / ((mx - mn) / ${PsiBins}.0)) AS INT)) END AS bin
+         |  FROM ev CROSS JOIN mm),
+         |cells AS (
+         |  SELECT event_type, bin,
+         |    sum(CASE WHEN period = 'a' THEN 1 ELSE 0 END) AS na,
+         |    sum(CASE WHEN period = 'b' THEN 1 ELSE 0 END) AS nb
+         |  FROM binned GROUP BY event_type, bin),
+         |spine AS (
+         |  SELECT event_type, unnest(generate_series(0, $PsiBins - 1)) AS bin
+         |  FROM (SELECT DISTINCT event_type FROM ev)),
+         |full_ AS (
+         |  SELECT spine.event_type, spine.bin,
+         |    CAST(coalesce(cells.na, 0) AS BIGINT) AS na,
+         |    CAST(coalesce(cells.nb, 0) AS BIGINT) AS nb
+         |  FROM spine LEFT JOIN cells
+         |    ON spine.event_type = cells.event_type AND spine.bin = cells.bin),
+         |tots AS (
+         |  SELECT event_type, CAST(sum(na) AS BIGINT) AS ta,
+         |    CAST(sum(nb) AS BIGINT) AS tb
+         |  FROM full_ GROUP BY event_type),
+         |terms AS (
+         |  SELECT f.event_type, t.ta, t.tb,
+         |    ((CAST(f.na AS DOUBLE) + 1.0) / (CAST(t.ta AS DOUBLE) + ${PsiBins}.0))
+         |      AS pa,
+         |    ((CAST(f.nb AS DOUBLE) + 1.0) / (CAST(t.tb AS DOUBLE) + ${PsiBins}.0))
+         |      AS pb
+         |  FROM full_ f JOIN tots t ON f.event_type = t.event_type),
+         |agg AS (
+         |  SELECT event_type, max(ta) AS n_first_half, max(tb) AS n_second_half,
+         |    floor((sum((pa - pb) * ln(pa / pb))) * 1e6 + 0.5) / 1e6 AS psi
+         |  FROM terms GROUP BY event_type)
+         |SELECT event_type, n_first_half, n_second_half, psi,
+         |  psi > 0.25 AS drifted
+         |FROM agg ORDER BY event_type""".stripMargin,
     // identical fixed-order key arithmetic (one ln over the exact
     // rational u, one division); the LIMIT set is deterministic because
     // adjacent key gaps dwarf libm-ulp noise (see qWeightedSample)

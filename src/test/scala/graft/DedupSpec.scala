@@ -413,4 +413,27 @@ class DedupSpec extends AnyFunSuite {
         "bounded DP must never smuggle an above-cap pair under the cap")
     }
   }
+
+  test("qGroupSplit: every near-dup group lands whole in one split; singletons match the per-doc hash") {
+    import graft.queries.TextDedup
+    import graft.functions.TextFunctions.hash32
+    val out = TextDedup.qGroupSplit(spark, TestSpark.Sf)
+      .select(col("doc_id"), col("canonical_id"), col("split"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.nonEmpty)
+    // the leakage-safety invariant: one split per canonical group
+    out.groupBy(_._2).foreach { case (g, rows) =>
+      assert(rows.map(_._3).distinct.size == 1,
+        s"group $g straddles splits: ${rows.map(_._3).distinct}")
+    }
+    assert(out.exists(r => r._1 != r._2), "fixture must contain a non-trivial group")
+    // a doc's split is a pure function of its canonical id — verify one
+    // row against the hash computed directly in a Spark expression
+    val (_, canon, split) = out.head
+    val bucket = spark.range(1).select(
+      (hash32(concat(lit(canon.toString), lit("|gsplit"))) % 100).as("b"))
+      .head().getLong(0)
+    val expect = if (bucket < 80) "train" else if (bucket < 90) "val" else "test"
+    assert(split == expect)
+  }
 }

@@ -534,4 +534,71 @@ class PropertySpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSeq
     assert(ids1 == ids2)
   }
+
+  test("qBigramLogprob matches a naive in-Scala LM over the fixture corpus") {
+    import graft.queries.TextStats
+    val docs = Tables.documents(spark, TestSpark.Sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val toks = docs.map { case (id, t) => id -> t.trim.split("\\s+").toSeq }
+    val pairs = toks.flatMap { case (id, ts) => ts.zip(ts.drop(1)).map(id -> _) }
+    val cb = pairs.groupBy(_._2).view.mapValues(_.size).toMap
+    val c1 = pairs.groupBy(_._2._1).view.mapValues(_.size).toMap
+    val uni = toks.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
+    val n = toks.map(_._2.size).sum.toDouble
+    val expect = pairs.groupBy(_._1).view.mapValues { ps =>
+      val lps = ps.map { case (_, (w1, w2)) =>
+        -math.log(TextStats.BigramLambda * (cb((w1, w2)) / c1(w1).toDouble) +
+          TextStats.BigramMu * (uni(w2) / n))
+      }
+      (ps.size.toLong, math.floor(lps.sum / lps.size * 1e4 + 0.5) / 1e4)
+    }.toMap
+    val got = TextStats.qBigramLogprob(spark, TestSpark.Sf)
+      .select($"doc_id", $"n_bigrams", $"avg_neg_logprob")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.nonEmpty && got.size == expect.size)
+    got.foreach { case (id, nb, lp) =>
+      val (enb, elp) = expect(id)
+      assert(nb == enb, s"doc $id: n_bigrams $nb != $enb")
+      // the distributed sum order may differ from the sequential one:
+      // allow one ulp-accumulation at the rounding grain
+      assert(math.abs(lp - elp) <= 1e-4, s"doc $id: $lp vs $elp")
+    }
+  }
+
+  test("qPsiDrift: PSI is non-negative, zero against itself, and hand-checked per type") {
+    import graft.queries.TrainingDataQueries
+    val out = TrainingDataQueries.qPsiDrift(spark, TestSpark.Sf)
+      .select($"event_type", $"n_first_half", $"n_second_half", $"psi")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(out.nonEmpty)
+    val total = Tables.events(spark, TestSpark.Sf).count()
+    assert(out.map(r => r._2 + r._3).sum == total, "periods must partition the table")
+    // each PSI term (pa-pb)ln(pa/pb) is >= 0, so the sum is
+    assert(out.forall(_._4 >= 0.0))
+    // independent recomputation of one event_type from raw values
+    val et = out.head._1
+    val rows = Tables.events(spark, TestSpark.Sf)
+      .select($"event_type", $"value",
+        dayofmonth(Tables.eventDay).as("d"))
+      .filter($"event_type" === et)
+      .select($"value", $"d").as[(Double, Int)].collect().toSeq
+    val (mn, mx) = {
+      val all = Tables.events(spark, TestSpark.Sf)
+        .agg(min($"value"), max($"value")).as[(Double, Double)].head()
+      all
+    }
+    val bins = TrainingDataQueries.PsiBins
+    def bin(v: Double): Int =
+      if (mx == mn) 0 else math.min(bins - 1, math.floor((v - mn) / ((mx - mn) / bins.toDouble)).toInt)
+    val a = rows.filter(_._2 <= 15).map(r => bin(r._1))
+    val b = rows.filter(_._2 > 15).map(r => bin(r._1))
+    val psi = (0 until bins).map { k =>
+      val pa = (a.count(_ == k) + 1.0) / (a.size + bins.toDouble)
+      val pb = (b.count(_ == k) + 1.0) / (b.size + bins.toDouble)
+      (pa - pb) * math.log(pa / pb)
+    }.sum
+    val gotPsi = out.find(_._1 == et).get._4
+    assert(math.abs(gotPsi - (math.floor(psi * 1e6 + 0.5) / 1e6)) <= 1e-6,
+      s"$et: $gotPsi vs $psi")
+  }
 }
