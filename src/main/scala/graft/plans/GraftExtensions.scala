@@ -221,6 +221,22 @@ case class ResolveGraftOp(spark: org.apache.spark.sql.SparkSession)
             dfs(0), str(0), str(1), str(2), Seq(str(3), str(4), str(5)))
         case "dataset_card" => // (langCol, textCol)
           graft.queries.TextStats.datasetCard(dfs(0), str(0), str(1))
+        case "interpolate_hourly" => // (typeCol, tsCol, valCol, idCol)
+          graft.queries.TimeSeriesQueries.interpolateHourly(
+            dfs(0), str(0), str(1), str(2), str(3))
+        case "seasonal_baseline" => // (typeCol, tsCol, valCol)
+          graft.queries.TimeSeriesQueries.seasonalBaseline(
+            dfs(0), str(0), str(1), str(2))
+        case "psi_drift" => // (typeCol, tsCol, valCol, splitDay)
+          graft.queries.TrainingDataQueries.psiDrift(
+            dfs(0), str(0), str(1), str(2), lng(3).toInt)
+        case "quantile_buckets" => // (typeCol, valCol, idCol, k)
+          graft.queries.ScalarQueries.quantileBuckets(
+            dfs(0), str(0), str(1), str(2), lng(3).toInt)
+        case "bigram_logprob" => // (idCol, textCol)
+          graft.queries.TextStats.bigramLogprob(dfs(0), str(0), str(1))
+        case "group_split" => // (idCol, textCol)
+          graft.queries.TextDedup.groupSplit(dfs(0), str(0), str(1))
         case "salted_rolling" => // (key, ts, valCol, frameNs, chunkNs)
           graft.operators.SaltedWindow.saltedRollingSum(
             dfs(0), str(0), str(1), str(2), lng(3), lng(4))
@@ -386,6 +402,15 @@ object GraftFunctions {
     "funnel_steps" ->
       ("funnel_steps(table, userCol, typeCol, tsCol, stage1, stage2, stage3)", 6),
     "dataset_card" -> ("dataset_card(table, langCol, textCol)", 2),
+    "interpolate_hourly" ->
+      ("interpolate_hourly(table, typeCol, tsCol, valCol, idCol)", 4),
+    "seasonal_baseline" ->
+      ("seasonal_baseline(table, typeCol, tsCol, valCol)", 3),
+    "psi_drift" -> ("psi_drift(table, typeCol, tsCol, valCol, splitDay)", 4),
+    "quantile_buckets" ->
+      ("quantile_buckets(table, typeCol, valCol, idCol, k)", 4),
+    "bigram_logprob" -> ("bigram_logprob(table, idCol, textCol)", 2),
+    "group_split" -> ("group_split(table, idCol, textCol)", 2),
     "salted_rolling" ->
       ("salted_rolling(table, key, ts, valCol, frameNs, chunkNs)", 5))
 

@@ -407,7 +407,52 @@ object ScalarQueries {
       .orderBy("target", "check", "column")
   }
 
+  /** Bucket count for [[qQuantileBuckets]] — interpolated into BOTH
+    * engines. */
+  val QuantileK = 10
+
+  /** Equi-depth quantile bucketing (feature discretization): every
+    * event lands in one of [[QuantileK]] per-type buckets of near-equal
+    * population — bucket = ⌊(rank−1)·k/n⌋+1 over the deterministic
+    * (value, event_id) order — reported as per-bucket population and
+    * value range. The rank formula is EXACT integer arithmetic, so
+    * unlike interpolated-percentile edges there is no floating-point
+    * boundary for a tie to land on: the bucket set is engine-identical
+    * by construction, ties split by the id tiebreak exactly like NTILE.
+    *
+    * Scale shape: one per-type rank window (partition = event_type —
+    * bounded by the type's own volume, the q_diff_global caveat does
+    * not apply; for a single monster type, chunk-stitched ranking à la
+    * q_pagination_chunked is the named swap), one broadcast count join,
+    * then the bounded (type × bucket) rollup with exact integer-cent
+    * mean. */
+  def quantileBuckets(df: DataFrame, typeCol: String, valCol: String,
+                      idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"quantileBuckets: k must be >= 1 (got $k)")
+    val w = Window.partitionBy("event_type").orderBy(col("cents"), col(idCol))
+    val ev = df
+      .select(col(typeCol).as("event_type"), col(idCol), col(valCol).as("value"),
+        expr(s"CAST(floor(`$valCol` * 100 + 0.5) AS BIGINT)").as("cents"))
+    val counts = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+    ev.withColumn("rn", row_number().over(w))
+      .join(broadcast(counts), "event_type")
+      .withColumn("bucket",
+        expr(s"CAST((((rn - 1) * $k) div n) + 1 AS INT)"))
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("value")).as("lo"), max(col("value")).as("hi"),
+        rnd((sum(col("cents")).cast("double") / count(lit(1)).cast("double"))
+          / 100.0, 4).as("mean_value"))
+  }
+
+  def qQuantileBuckets(spark: SparkSession, dir: String): DataFrame =
+    quantileBuckets(Tables.events(spark, dir), "event_type", "value",
+      "event_id", QuantileK)
+      .orderBy("event_type", "bucket")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quantile_buckets" -> qQuantileBuckets _,
     "q_constraint_audit" -> qConstraintAudit _,
     "q_topk_partials" -> qTopkPartials _,
     "q_hll_partials" -> qHllPartials _,
@@ -453,6 +498,27 @@ object ScalarQueries {
       .orderBy("c_custkey")
 
   val oracles: Map[String, String] = Map(
+    // the bucket id is pure integer arithmetic over the deterministic
+    // (cents, event_id) rank — no interpolated edge to disagree on;
+    // DuckDB // is floor division, matching Spark's div on non-negatives
+    "q_quantile_buckets" ->
+      s"""WITH ev AS (
+         |  SELECT event_type, event_id, value,
+         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+         |  FROM events),
+         |r AS (
+         |  SELECT event_type, value, cents,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY cents, event_id) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM ev)
+         |SELECT event_type,
+         |  CAST((((rn - 1) * $QuantileK) // n) + 1 AS INT) AS bucket,
+         |  count(*) AS n_rows, min(value) AS lo, max(value) AS hi,
+         |  ${rndSql("(CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE)) / 100.0", 4)}
+         |    AS mean_value
+         |FROM r GROUP BY event_type, bucket
+         |ORDER BY event_type, bucket""".stripMargin,
     // every metric is an exact integer-count rational in one double
     // division (mirrored order); passed compares the RAW metric inside
     // the CTE (DuckDB lateral alias binding would otherwise let the

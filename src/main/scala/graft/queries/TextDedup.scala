@@ -465,17 +465,32 @@ object TextDedup {
     * map-side md5 bucket — no new shuffles over the corpus. Bounded to
     * doc_id < 100 for the oracle's recursive-CTE twin, like the rest of
     * the group family. */
-  def qGroupSplit(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 100)
-    val labels = cachedCanonicalLabels(spark, dir)
-    val canon = coalesce(col("label"), col("doc_id"))
+  /** Generic form over precomputed (id, label) canonical labels —
+    * composed by [[qGroupSplit]] (memoized labels) and the
+    * `group_split` TVF (labels computed inline). */
+  def groupSplitOf(docs: DataFrame, labels: DataFrame,
+                   idCol: String): DataFrame = {
+    val canon = coalesce(col("label"), col(idCol))
     val bucket = hash32(concat(canon.cast("string"), lit("|gsplit"))) % 100
-    docs.join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
-      .select(col("doc_id"), canon.as("canonical_id"),
+    docs.join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), canon.as("canonical_id"),
         when(bucket < 80, "train").when(bucket < 90, "val")
           .otherwise("test").as("split"))
-      .orderBy("doc_id")
   }
+
+  /** Self-contained text-frame entry point (SQL-reachable as the
+    * `group_split` TVF): MinHash pairs → connected components → split,
+    * all from the doc frame itself. */
+  def groupSplit(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    groupSplitOf(docs,
+      Dedup.canonicalGroups(
+        Dedup.minhashDedupPairs(docs, idCol = idCol, textCol = textCol)),
+      idCol)
+
+  def qGroupSplit(spark: SparkSession, dir: String): DataFrame =
+    groupSplitOf(Tables.documents(spark, dir).filter(col("doc_id") < 100),
+      cachedCanonicalLabels(spark, dir), "doc_id")
+      .orderBy("doc_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_group_split" -> qGroupSplit _,

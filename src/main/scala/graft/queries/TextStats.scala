@@ -229,17 +229,17 @@ object TextStats {
     * self-join, no window); counts are wordcount-shaped aggregates; the
     * scoring join keys on the gram/word (uniform-ish, AQE handles the
     * stopword skew) and the total is one broadcast scalar. */
-  def qBigramLogprob(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = cachedDocTokens(spark, dir)
+  def bigramLogprobOf(tokArr: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val pairs = tokArr
       .filter(size(col("ts")) >= 2)
-      .select(col("doc_id"),
+      .select(col(idCol),
         explode(arrays_zip(
           expr("slice(ts, 1, size(ts) - 1)").as("w1"),
           expr("slice(ts, 2, size(ts) - 1)").as("w2"))).as("p"))
-      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
     val cb = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
     val c1 = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
-    val tok = cachedDocTokens(spark, dir).select(explode(col("ts")).as("t"))
+    val tok = tokArr.select(explode(col("ts")).as("t"))
     val uni = tok.groupBy("t").agg(count(lit(1)).as("cu"))
     val tot = tok.agg(count(lit(1)).as("n"))
     pairs.join(cb, Seq("w1", "w2")).join(c1, Seq("w1"))
@@ -248,11 +248,20 @@ object TextStats {
       .withColumn("lp", -log(
         lit(BigramLambda) * (col("cb") / col("c1").cast("double")) +
           lit(BigramMu) * (col("cu") / col("n").cast("double"))))
-      .groupBy("doc_id")
+      .groupBy(idCol)
       .agg(count(lit(1)).as("n_bigrams"),
         rnd(sum(col("lp")) / count(lit(1)), 4).as("avg_neg_logprob"))
-      .orderBy("doc_id")
   }
+
+  /** Text-frame entry point of [[bigramLogprobOf]] (SQL-reachable as the
+    * `bigram_logprob` TVF). */
+  def bigramLogprob(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    bigramLogprobOf(
+      docs.select(col(idCol), graft.functions.TextFunctions.tokens(col(textCol)).as("ts")),
+      idCol)
+
+  def qBigramLogprob(spark: SparkSession, dir: String): DataFrame =
+    bigramLogprobOf(cachedDocTokens(spark, dir)).orderBy("doc_id")
 
   /** N-gram size / result width for [[qTopNgrams]] — interpolated into
     * BOTH engines so they cannot drift. */

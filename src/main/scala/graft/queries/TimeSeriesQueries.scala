@@ -342,28 +342,29 @@ object TimeSeriesQueries {
     * backward-looking pair of windows shares the forward pair's sort, so
     * CollapseWindow folds all four features into two WindowExecs over
     * one exchange. */
-  def qInterpolate(spark: SparkSession, dir: String): DataFrame = {
+  def interpolateHourly(df: DataFrame, typeCol: String, tsCol: String,
+                        valCol: String, idCol: String): DataFrame = {
     val hourNs = 3600L * 1000000000L
-    val tiebreak = struct(col("ts"), col("event_id"))
-    val buckets = Tables.events(spark, dir)
-      .groupBy(col("event_type"),
-        expr(s"(ts - pmod(ts, ${hourNs}L)) div ${hourNs}L").as("b"))
-      .agg(max_by(col("value"), tiebreak).as("close"))
-    val spine = buckets.groupBy("event_type")
+    val tiebreak = struct(col(tsCol), col(idCol))
+    val buckets = df
+      .groupBy(col(typeCol),
+        expr(s"(`$tsCol` - pmod(`$tsCol`, ${hourNs}L)) div ${hourNs}L").as("b"))
+      .agg(max_by(col(valCol), tiebreak).as("close"))
+    val spine = buckets.groupBy(typeCol)
       .agg(min(col("b")).as("b0"), max(col("b")).as("b1"))
-      .select(col("event_type"), explode(sequence(col("b0"), col("b1"))).as("b"))
-    val wb = Window.partitionBy("event_type").orderBy("b")
+      .select(col(typeCol), explode(sequence(col("b0"), col("b1"))).as("b"))
+    val wb = Window.partitionBy(typeCol).orderBy("b")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wf = Window.partitionBy("event_type").orderBy("b")
+    val wf = Window.partitionBy(typeCol).orderBy("b")
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val obsB = when(col("close").isNotNull, col("b"))
-    spine.join(buckets, Seq("event_type", "b"), "left")
-      .select(col("event_type"), col("b"), col("close"),
+    spine.join(buckets, Seq(typeCol, "b"), "left")
+      .select(col(typeCol), col("b"), col("close"),
         last(col("close"), ignoreNulls = true).over(wb).as("pv"),
         last(obsB, ignoreNulls = true).over(wb).as("pb"),
         first(col("close"), ignoreNulls = true).over(wf).as("nv"),
         first(obsB, ignoreNulls = true).over(wf).as("nb"))
-      .select(col("event_type"),
+      .select(col(typeCol),
         date_format(timestamp_micros(col("b") * (hourNs / 1000L)),
           "yyyy-MM-dd HH:mm").as("bucket"),
         col("close").isNotNull.as("observed"),
@@ -372,8 +373,12 @@ object TimeSeriesQueries {
             ((col("b") - col("pb")).cast("double") /
               (col("nb") - col("pb")).cast("double"))), 4)
           .as("value_interp"))
-      .orderBy("event_type", "bucket")
   }
+
+  def qInterpolate(spark: SparkSession, dir: String): DataFrame =
+    interpolateHourly(Tables.events(spark, dir), "event_type", "ts",
+      "value", "event_id")
+      .orderBy("event_type", "bucket")
 
   /** Seasonal (day-of-week × hour-of-day) baseline profile + residual
     * anomaly counts — the "is this hour unusual FOR a Tuesday 9am"
@@ -391,12 +396,13 @@ object TimeSeriesQueries {
     * count — the winsorize/normalize stats-join idiom; no windows, no
     * distinct state. The Σc² partial stays long-exact: cents ≤ ~1e5,
     * c² ≤ 1e10, and even 1e9 rows per cell keeps the sum under 2^63. */
-  def qSeasonalBaseline(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-      .select(col("event_type"), col("value"),
-        dayofweek(timestamp_micros(expr("ts div 1000"))).as("dow"),
-        hour(timestamp_micros(expr("ts div 1000"))).as("hod"),
-        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+  def seasonalBaseline(df: DataFrame, typeCol: String, tsCol: String,
+                       valCol: String): DataFrame = {
+    val ev = df
+      .select(col(typeCol).as("event_type"), col(valCol).as("value"),
+        dayofweek(timestamp_micros(expr(s"`$tsCol` div 1000"))).as("dow"),
+        hour(timestamp_micros(expr(s"`$tsCol` div 1000"))).as("hod"),
+        expr(s"CAST(floor(`$valCol` * 100 + 0.5) AS BIGINT)").as("cents"))
     val grid = ev.groupBy("event_type", "dow", "hod")
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("sumc"),
         sum(col("cents") * col("cents")).as("sumsq"))
@@ -419,8 +425,11 @@ object TimeSeriesQueries {
         rnd(col("mean_v"), 4).as("mean_value"),
         rnd(col("std_v"), 4).as("std_value"),
         coalesce(col("n_anom"), lit(0L)).as("n_anomalies"))
-      .orderBy("event_type", "dow", "hod")
   }
+
+  def qSeasonalBaseline(spark: SparkSession, dir: String): DataFrame =
+    seasonalBaseline(Tables.events(spark, dir), "event_type", "ts", "value")
+      .orderBy("event_type", "dow", "hod")
 
   /** Cohort retention — the dashboard staple the reference's summary
     * panels approximate by hand: users grouped by FIRST-ACTIVE day

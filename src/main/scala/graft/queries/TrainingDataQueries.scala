@@ -442,10 +442,12 @@ object TrainingDataQueries {
     * windows, no distinct state. Equal-width bins (not quantile edges)
     * keep the second pass a pure map — the profiler's percentile recipe
     * is the swap-in if quantile bins are wanted. */
-  def qPsiDrift(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-      .select(col("event_type"), col("value"),
-        when(dayofmonth(Tables.eventDay) <= 15, "a").otherwise("b").as("period"))
+  def psiDrift(df: DataFrame, typeCol: String, tsCol: String,
+               valCol: String, splitDay: Int): DataFrame = {
+    val day = to_date(timestamp_micros(expr(s"`$tsCol` div 1000")))
+    val ev = df
+      .select(col(typeCol).as("event_type"), col(valCol).as("value"),
+        when(dayofmonth(day) <= splitDay, "a").otherwise("b").as("period"))
     val mm = ev.agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
     val binned = ev.crossJoin(broadcast(mm))
       .select(col("event_type"), col("period"),
@@ -474,8 +476,11 @@ object TrainingDataQueries {
       .agg(max(col("ta")).as("n_first_half"), max(col("tb")).as("n_second_half"),
         rnd(sum(col("term")), 6).as("psi"))
       .withColumn("drifted", col("psi") > 0.25)
-      .orderBy("event_type")
   }
+
+  def qPsiDrift(spark: SparkSession, dir: String): DataFrame =
+    psiDrift(Tables.events(spark, dir), "event_type", "ts", "value", 15)
+      .orderBy("event_type")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_psi_drift" -> qPsiDrift _,

@@ -460,6 +460,44 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("round-11 TVFs: interpolate/seasonal/psi/quantile/bigram/group_split from SQL") {
+    withExtensionsSession { s2 =>
+      Tables.events(s2, TestSpark.Sf).createOrReplaceTempView("ev_r11")
+      Tables.documents(s2, TestSpark.Sf).filter(col("doc_id") < 100)
+        .createOrReplaceTempView("docs_r11")
+      def pair(sql: String, api: org.apache.spark.sql.DataFrame,
+               ord: Seq[String]): Unit = {
+        val a = s2.sql(sql).orderBy(ord.map(col): _*).collect().toSeq
+        val b = api.orderBy(ord.map(col): _*).collect().toSeq
+        assert(a.nonEmpty && a == b, sql)
+      }
+      val ev = Tables.events(s2, TestSpark.Sf)
+      pair("SELECT * FROM interpolate_hourly('ev_r11', 'event_type', 'ts', 'value', 'event_id')",
+        graft.queries.TimeSeriesQueries.interpolateHourly(
+          ev, "event_type", "ts", "value", "event_id"),
+        Seq("event_type", "bucket"))
+      pair("SELECT * FROM seasonal_baseline('ev_r11', 'event_type', 'ts', 'value')",
+        graft.queries.TimeSeriesQueries.seasonalBaseline(
+          ev, "event_type", "ts", "value"),
+        Seq("event_type", "dow", "hod"))
+      pair("SELECT * FROM psi_drift('ev_r11', 'event_type', 'ts', 'value', 15)",
+        graft.queries.TrainingDataQueries.psiDrift(
+          ev, "event_type", "ts", "value", 15),
+        Seq("event_type"))
+      pair("SELECT * FROM quantile_buckets('ev_r11', 'event_type', 'value', 'event_id', 10)",
+        graft.queries.ScalarQueries.quantileBuckets(
+          ev, "event_type", "value", "event_id", 10),
+        Seq("event_type", "bucket"))
+      val docs = Tables.documents(s2, TestSpark.Sf).filter(col("doc_id") < 100)
+      pair("SELECT * FROM bigram_logprob('docs_r11', 'doc_id', 'text')",
+        graft.queries.TextStats.bigramLogprob(docs, "doc_id", "text"),
+        Seq("doc_id"))
+      pair("SELECT * FROM group_split('docs_r11', 'doc_id', 'text')",
+        graft.queries.TextDedup.groupSplit(docs, "doc_id", "text"),
+        Seq("doc_id"))
+    }
+  }
+
   test("q_span_dedup executed plan computes the gram explode exactly once") {
     // the r9 shape relied on AQE ReuseExchange to dedupe the gram
     // pipeline under its consumers, but column pruning de-canonicalized
