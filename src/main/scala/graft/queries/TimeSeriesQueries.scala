@@ -431,6 +431,52 @@ object TimeSeriesQueries {
     seasonalBaseline(Tables.events(spark, dir), "event_type", "ts", "value")
       .orderBy("event_type", "dow", "hod")
 
+  /** Rolling 14-row MEDIAN per user — the robust rolling baseline
+    * (pandas `rolling(14, min_periods=1).median()`): outlier-resistant
+    * where [[qRollingMean]] is not. Spark has no percentile over row
+    * frames, so the median is built from first principles on the
+    * bounded frame: `sort_array(collect_list(cents))` (14 longs max —
+    * constant per-row state) and exact integer middle-element
+    * arithmetic ((lo+hi)/2 over longs, both engines IEEE-exact), never
+    * a UDF or an unbounded buffer.
+    *
+    * Scale shape: ONE user-partitioned window on the shared (ts, id)
+    * order — CollapseWindow folds it with any sibling features; frame
+    * state is 14 longs regardless of history length. */
+  def qRollingMedian(spark: SparkSession, dir: String): DataFrame = {
+    val wf = w.rowsBetween(-13, 0)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"),
+        col("ts"))
+      .withColumn("cs", sort_array(collect_list(col("cents")).over(wf)))
+      .withColumn("k", size(col("cs")))
+      .select(col("event_id"), col("user_id"),
+        rnd((((expr("element_at(cs, CAST((k + 1) div 2 AS INT))") +
+          expr("element_at(cs, CAST((k div 2) + 1 AS INT))")) / 2.0)
+          / 100.0), 4).as("med14"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Per-(type, day) latency-style percentile bands — the P50/P95/P99
+    * observability panel: exact interpolated percentiles beside n and
+    * max. Exact grouped `percentile` keeps a per-cell value buffer —
+    * bounded here by a day's traffic per type; at true scale swap in
+    * `percentile_approx` (the q_approx_sketch A/B prices exactly that
+    * trade) or the t-digest partial. */
+  def qLatencyBands(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), eventDay.as("day"))
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(value, array(0.5D, 0.95D, 0.99D))").as("q"),
+        max(col("value")).as("max_value"))
+      .select(col("event_type"), col("day"), col("n"),
+        rnd(col("q").getItem(0), 4).as("p50"),
+        rnd(col("q").getItem(1), 4).as("p95"),
+        rnd(col("q").getItem(2), 4).as("p99"),
+        col("max_value"))
+      .orderBy("event_type", "day")
+
   /** Cohort retention — the dashboard staple the reference's summary
     * panels approximate by hand: users grouped by FIRST-ACTIVE day
     * (their cohort), then distinct-active counts per (cohort,
@@ -540,6 +586,8 @@ object TimeSeriesQueries {
     "q_resample_ffill" -> qResampleFfill _,
     "q_interpolate" -> qInterpolate _,
     "q_seasonal_baseline" -> qSeasonalBaseline _,
+    "q_rolling_median" -> qRollingMedian _,
+    "q_latency_bands" -> qLatencyBands _,
     "q_ohlc_resample" -> qOhlcResample _,
     "q_lag_lead" -> qLagLead _,
     "q_rolling_mean" -> qRollingMean _,
@@ -648,6 +696,35 @@ object TimeSeriesQueries {
          |  last_value(close IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY b
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_ffill
          |FROM j ORDER BY event_type, bucket""".stripMargin,
+    // the median is the same explicit sorted-list middle-element
+    // arithmetic as the Spark side (list() as a frame aggregate +
+    // list_sort), all-integer until the final /2.0 — no quantile_cont
+    // interpolation shape to diverge on
+    "q_rolling_median" ->
+      s"""WITH c AS (
+         |  SELECT event_id, user_id,
+         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, ts
+         |  FROM events),
+         |f AS (
+         |  SELECT event_id, user_id,
+         |    list_sort(list(cents) OVER ($ORDER
+         |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)) AS cs,
+         |    count(*) OVER ($ORDER
+         |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS k
+         |  FROM c)
+         |SELECT event_id, user_id,
+         |  floor((((cs[CAST((k + 1) // 2 AS INT)] + cs[CAST((k // 2) + 1 AS INT)]) / 2.0)
+         |    / 100.0) * 1e4 + 0.5) / 1e4 AS med14
+         |FROM f ORDER BY user_id, event_id""".stripMargin,
+    // grouped exact percentiles vs quantile_cont — the q_profile recipe
+    "q_latency_bands" ->
+      s"""SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
+         |  ${rndSql("quantile_cont(value, 0.5)", 4)} AS p50,
+         |  ${rndSql("quantile_cont(value, 0.95)", 4)} AS p95,
+         |  ${rndSql("quantile_cont(value, 0.99)", 4)} AS p99,
+         |  max(value) AS max_value
+         |FROM events GROUP BY event_type, day
+         |ORDER BY event_type, day""".stripMargin,
     // same spine scaffold as q_resample_ffill, plus the backward-looking
     // window pair; the interpolation expression mirrors the Spark side
     // token-for-token (fixed IEEE order over identical inputs), and the

@@ -124,6 +124,44 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(d.agg(stddev_pop($"v")).as[Double].head() == 0.0)
   }
 
+  test("qRollingMedian equals an in-Scala sliding-window median for every user") {
+    import graft.queries.TimeSeriesQueries
+    val got = TimeSeriesQueries.qRollingMedian(spark, TestSpark.Sf)
+      .select($"event_id", $"user_id", $"med14")
+      .as[(Long, Long, Double)].collect().toSeq
+    val raw = Tables.events(spark, TestSpark.Sf)
+      .select($"user_id", $"ts", $"event_id", $"value")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val expect = raw.groupBy(_._1).flatMap { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._2, r._3))
+      ordered.zipWithIndex.map { case ((_, _, id, _), i) =>
+        val frame = ordered.slice(math.max(0, i - 13), i + 1)
+          .map(r => math.floor(r._4 * 100 + 0.5).toLong).sorted
+        val k = frame.size
+        val med = ((frame((k + 1) / 2 - 1) + frame(k / 2)) / 2.0) / 100.0
+        id -> (math.floor(med * 1e4 + 0.5) / 1e4)
+      }
+    }
+    assert(got.nonEmpty)
+    got.foreach { case (id, _, m) =>
+      assert(m == expect(id), s"event $id: $m vs ${expect(id)}")
+    }
+  }
+
+  test("qLatencyBands: ordered bands, populations partition the table") {
+    import graft.queries.TimeSeriesQueries
+    val out = TimeSeriesQueries.qLatencyBands(spark, TestSpark.Sf).collect().toSeq
+    assert(out.nonEmpty)
+    assert(out.map(_.getLong(2)).sum == Tables.events(spark, TestSpark.Sf).count())
+    out.foreach { r =>
+      val (p50, p95, p99, mx) =
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      assert(p50 <= p95 && p95 <= p99, s"bands out of order: $r")
+      // rounded-up p99 may nominally exceed the raw max by the grain
+      assert(p99 <= mx + 1e-4, s"p99 above max: $r")
+    }
+  }
+
   test("qInterpolate equals an in-Scala linear walk over the observed closes") {
     import graft.queries.TimeSeriesQueries
     val out = TimeSeriesQueries.qInterpolate(spark, TestSpark.Sf)
