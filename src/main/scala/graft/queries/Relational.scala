@@ -365,7 +365,80 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Exact integer revenue grain shared by [[q3ShippingPriority]] and
+    * [[q5LocalSupplier]]: l_extendedprice and l_discount are 2-dp
+    * decimals, so revenue = price·(1−discount) is exact in integer
+    * ten-thousandths — cents(price) · (100 − hundredths(discount)) —
+    * and the group sum is an order-free long (the q1 form sums raw
+    * doubles under rnd; the multi-join queries carry the stronger
+    * exactness so their top-k selection can never tie-break on noise). */
+  private def revenue4(priceCol: String, discCol: String) =
+    expr(s"CAST(floor(`$priceCol` * 100 + 0.5) AS BIGINT)") *
+      (lit(100L) - expr(s"CAST(floor(`$discCol` * 100 + 0.5) AS BIGINT)"))
+
+  /** TPC-H Q3 shape (shipping priority): segment-filtered customers ×
+    * date-bounded orders × post-cutoff lineitems, revenue per order,
+    * top 10. The join-planning showcase: the filtered customer key list
+    * broadcasts onto orders, the fact scan carries both pushed filters,
+    * and the final top-k plans as TakeOrderedAndProject (no global
+    * sort). */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1997-01-01"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1997-01-01"))
+      .select(col("l_orderkey"),
+        revenue4("l_extendedprice", "l_discount").as("rev4"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("order_date"),
+        col("o_orderpriority"))
+      .agg(rnd(sum(col("rev4")).cast("double") / 10000.0, 2).as("revenue"))
+      .orderBy(desc("revenue"), col("order_date"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape (local supplier volume): the six-way star —
+    * lineitem × orders × supplier × customer × nation × region, with
+    * the LOCAL constraint (customer and supplier share a nation) as a
+    * join predicate, revenue per nation in one region-year. Every
+    * dimension side broadcasts; the only shuffles key the two fact
+    * joins (l_orderkey, then the residual group rollup is
+    * nation-bounded). */
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val nation = Tables.nation(spark, dir)
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_nationkey", "n_name")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1997-01-01"))
+      .select("o_orderkey", "o_custkey")
+    // customer is the LARGEST dimension — no broadcast pin (AQE picks
+    // BHJ at small SF; at 100 TB this correctly falls back to a
+    // key-shuffled join on o_custkey)
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        revenue4("l_extendedprice", "l_discount").as("rev4"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(rnd(sum(col("rev4")).cast("double") / 10000.0, 2).as("revenue"))
+      .orderBy(desc("revenue"), col("n_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q3_shipping_priority" -> q3ShippingPriority _,
+    "q5_local_supplier" -> q5LocalSupplier _,
     "q1_pricing_summary" -> q1PricingSummary _,
     "q_skew_join" -> qSkewJoin _,
     "q_projection" -> qProjection _,
@@ -403,6 +476,42 @@ object Relational {
       |  FROM customer) WHERE rn BETWEEN 21 AND 30 ORDER BY rn""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // revenue is the exact integer ten-thousandths product summed as
+    // BIGINT on both sides; the top-10 set is deterministic because the
+    // (revenue DESC, order_date, l_orderkey) order ends in a unique key
+    "q3_shipping_priority" ->
+      """WITH li AS (
+        |  SELECT l_orderkey,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |      * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS rev4
+        |  FROM lineitem WHERE l_shipdate > TIMESTAMP '1997-01-01')
+        |SELECT li.l_orderkey, CAST(o.o_orderdate AS DATE) AS order_date,
+        |  o.o_orderpriority,
+        |  floor((CAST(sum(li.rev4) AS BIGINT) / 10000.0) * 1e2 + 0.5) / 1e2 AS revenue
+        |FROM li
+        |JOIN orders o ON li.l_orderkey = o.o_orderkey
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |  AND c.c_mktsegment = 'BUILDING'
+        |GROUP BY li.l_orderkey, order_date, o.o_orderpriority
+        |ORDER BY revenue DESC, order_date, l_orderkey LIMIT 10""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n.n_name,
+        |  floor((CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+        |    * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT)
+        |    / 10000.0) * 1e2 + 0.5) / 1e2 AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |  AND c.c_nationkey = s.s_nationkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n.n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
     // the SCD2 oracle states the expected history from the same residue
     // classes the batch is derived from: non-updated keys pass through,
     // updated keys contribute a closed old version AND an opened new

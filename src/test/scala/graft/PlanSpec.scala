@@ -460,6 +460,22 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q3_shipping_priority: pushed scan filters, broadcast joins, top-k without a global sort") {
+    val df = graft.queries.Relational.q3ShippingPriority(spark, TestSpark.Sf)
+    df.queryExecution.toRdd.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-10 must plan as TakeOrderedAndProject, not a global sort")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 1,
+      "the filtered customer dim must broadcast")
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.contains("GreaterThan(l_shipdate"),
+      "the lineitem date cutoff must reach the parquet scan")
+    assert(formatted.contains("EqualTo(c_mktsegment,BUILDING)"),
+      "the segment filter must reach the customer scan")
+  }
+
   test("round-11 TVFs: interpolate/seasonal/psi/quantile/bigram/group_split from SQL") {
     withExtensionsSession { s2 =>
       Tables.events(s2, TestSpark.Sf).createOrReplaceTempView("ev_r11")
