@@ -237,6 +237,11 @@ case class ResolveGraftOp(spark: org.apache.spark.sql.SparkSession)
           graft.queries.TextStats.bigramLogprob(dfs(0), str(0), str(1))
         case "group_split" => // (idCol, textCol)
           graft.queries.TextDedup.groupSplit(dfs(0), str(0), str(1))
+        case "token_entropy" => // (idCol, textCol)
+          graft.queries.TextStats.tokenEntropy(dfs(0), str(0), str(1))
+        case "lift_pairs" => // (userCol, tsCol, typeCol)
+          graft.queries.TimeSeriesQueries.liftPairs(
+            dfs(0), str(0), str(1), str(2))
         case "salted_rolling" => // (key, ts, valCol, frameNs, chunkNs)
           graft.operators.SaltedWindow.saltedRollingSum(
             dfs(0), str(0), str(1), str(2), lng(3), lng(4))
@@ -411,6 +416,8 @@ object GraftFunctions {
       ("quantile_buckets(table, typeCol, valCol, idCol, k)", 4),
     "bigram_logprob" -> ("bigram_logprob(table, idCol, textCol)", 2),
     "group_split" -> ("group_split(table, idCol, textCol)", 2),
+    "token_entropy" -> ("token_entropy(table, idCol, textCol)", 2),
+    "lift_pairs" -> ("lift_pairs(table, userCol, tsCol, typeCol)", 3),
     "salted_rolling" ->
       ("salted_rolling(table, key, ts, valCol, frameNs, chunkNs)", 5))
 

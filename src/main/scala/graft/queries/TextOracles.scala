@@ -381,6 +381,23 @@ import TextStats._
          |    len(regexp_extract_all(redacted, '\\[(EMAIL|URL|PHONE|IP)\\]'))
          |    - len(regexp_extract_all(text, '\\[(EMAIL|URL|PHONE|IP)\\]'))) AS BIGINT) AS n_redactions
          |FROM r ORDER BY doc_id""".stripMargin,
+    // tf/dl shares the TOKS token frame; the entropy term mirrors the
+    // Spark fixed order (one division to p, then p·ln p)
+    "q_token_entropy" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($TOKS) AS t FROM documents),
+         |tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY doc_id, t),
+         |dl AS (
+         |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl,
+         |    count(*) AS n_distinct
+         |  FROM tf GROUP BY doc_id),
+         |p AS (
+         |  SELECT tf.doc_id, dl.dl, dl.n_distinct,
+         |    CAST(tf.tf AS DOUBLE) / CAST(dl.dl AS DOUBLE) AS p
+         |  FROM tf JOIN dl ON tf.doc_id = dl.doc_id)
+         |SELECT doc_id, max(dl) AS n_tokens, max(n_distinct) AS n_distinct,
+         |  floor((-sum(p * ln(p))) * 1e4 + 0.5) / 1e4 AS entropy,
+         |  floor((CAST(max(n_distinct) AS DOUBLE) / CAST(max(dl) AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS ttr
+         |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // bigram pairs as parallel unnest of the list and its own tail —
     // positionally identical to the Spark slice+arrays_zip; the mixed
     // probability is spelled in the same fixed IEEE order, with both

@@ -253,6 +253,37 @@ object TextStats {
         rnd(sum(col("lp")) / count(lit(1)), 4).as("avg_neg_logprob"))
   }
 
+  /** Per-doc token-distribution Shannon entropy + type-token ratio —
+    * the lexical-diversity quality signal (low entropy = repetitive or
+    * templated text, the distributional cousin of q_repetition's
+    * surface counts): H = −Σ (tf/dl)·ln(tf/dl) over the doc's token
+    * frequencies, TTR = distinct/total.
+    *
+    * Scale shape: tf/dl from the shared token frame (wordcount-shaped,
+    * doc-keyed shuffles only); the entropy sum aggregates the doc's own
+    * DISTINCT tokens — bounded by vocabulary, not length. */
+  def tokenEntropyOf(tokArr: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val tf = tokArr.select(col(idCol), explode(col("ts")).as("t"))
+      .groupBy(idCol, "t").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(idCol)
+      .agg(sum(col("tf")).as("dl"), count(lit(1)).as("n_distinct"))
+    tf.join(dl, idCol)
+      .withColumn("p", col("tf") / col("dl").cast("double"))
+      .groupBy(idCol)
+      .agg(max(col("dl")).as("n_tokens"), max(col("n_distinct")).as("n_distinct"),
+        rnd(-sum(col("p") * log(col("p"))), 4).as("entropy"),
+        rnd(max(col("n_distinct")).cast("double") / max(col("dl")).cast("double"), 4)
+          .as("ttr"))
+  }
+
+  def tokenEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    tokenEntropyOf(
+      docs.select(col(idCol), graft.functions.TextFunctions.tokens(col(textCol)).as("ts")),
+      idCol)
+
+  def qTokenEntropy(spark: SparkSession, dir: String): DataFrame =
+    tokenEntropyOf(cachedDocTokens(spark, dir)).orderBy("doc_id")
+
   /** Text-frame entry point of [[bigramLogprobOf]] (SQL-reachable as the
     * `bigram_logprob` TVF). */
   def bigramLogprob(docs: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -654,6 +685,7 @@ object TextStats {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_token_entropy" -> qTokenEntropy _,
     "q_bigram_logprob" -> qBigramLogprob _,
     "q_dataset_card" -> qDatasetCard _,
     "q_source_overlap" -> qSourceOverlap _,

@@ -477,6 +477,54 @@ object TimeSeriesQueries {
         col("max_value"))
       .orderBy("event_type", "day")
 
+  /** Market-basket association over (user, day) baskets — support /
+    * confidence / lift for every unordered event-type pair that
+    * co-occurs in a basket: the "users who X also Y" panel, and the
+    * unordered complement of [[qTransitionMatrix]]'s ordered pairs.
+    *
+    * Scale shape: baskets are the DISTINCT (user, day, type) triples
+    * (one dedup aggregate); the pair join keys on (user, day) — each
+    * basket holds at most |type| rows, so the join fans out
+    * quadratically only in the bounded type cardinality, never in
+    * events; supports/lifts come from two broadcast joins against the
+    * bounded per-type counts. All ratios are exact integer-count
+    * rationals in mirrored fixed-order double arithmetic. */
+  def liftPairs(df: DataFrame, userCol: String, tsCol: String,
+                typeCol: String): DataFrame = {
+    val day = to_date(timestamp_micros(expr(s"`$tsCol` div 1000")))
+    val bask = df
+      .select(col(userCol).as("user_id"), day.as("day"),
+        col(typeCol).as("event_type"))
+      .distinct()
+    val nBaskets = bask.select("user_id", "day").distinct()
+      .agg(count(lit(1)).as("nb"))
+    val item = bask.groupBy("event_type").agg(count(lit(1)).as("cnt"))
+    val pairs = bask.as("x")
+      .join(bask.withColumnRenamed("event_type", "type_b").as("y"),
+        Seq("user_id", "day"))
+      .filter(col("event_type") < col("type_b"))
+      .groupBy(col("event_type").as("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(item.select(col("event_type").as("type_a"),
+        col("cnt").as("cnt_a"))), Seq("type_a"))
+      .join(broadcast(item.select(col("event_type").as("type_b"),
+        col("cnt").as("cnt_b"))), Seq("type_b"))
+      .crossJoin(broadcast(nBaskets))
+      .select(col("type_a"), col("type_b"), col("n_both"),
+        rnd(col("n_both").cast("double") / col("nb").cast("double"), 6)
+          .as("support"),
+        rnd(col("n_both").cast("double") / col("cnt_a").cast("double"), 6)
+          .as("confidence"),
+        rnd((col("n_both").cast("double") * col("nb").cast("double")) /
+          (col("cnt_a").cast("double") * col("cnt_b").cast("double")), 6)
+          .as("lift"))
+  }
+
+  def qLiftPairs(spark: SparkSession, dir: String): DataFrame =
+    liftPairs(Tables.events(spark, dir), "user_id", "ts", "event_type")
+      .orderBy("type_a", "type_b")
+
   /** Cohort retention — the dashboard staple the reference's summary
     * panels approximate by hand: users grouped by FIRST-ACTIVE day
     * (their cohort), then distinct-active counts per (cohort,
@@ -588,6 +636,7 @@ object TimeSeriesQueries {
     "q_seasonal_baseline" -> qSeasonalBaseline _,
     "q_rolling_median" -> qRollingMedian _,
     "q_latency_bands" -> qLatencyBands _,
+    "q_lift_pairs" -> qLiftPairs _,
     "q_ohlc_resample" -> qOhlcResample _,
     "q_lag_lead" -> qLagLead _,
     "q_rolling_mean" -> qRollingMean _,
@@ -696,6 +745,31 @@ object TimeSeriesQueries {
          |  last_value(close IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY b
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_ffill
          |FROM j ORDER BY event_type, bucket""".stripMargin,
+    // baskets/pairs/counts mirror the Spark shapes; every ratio is the
+    // same fixed-order double expression over exact integer counts
+    "q_lift_pairs" ->
+      """WITH bask AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+        |  FROM events),
+        |nb AS (SELECT count(*) AS nb FROM (SELECT DISTINCT user_id, day FROM bask)),
+        |item AS (SELECT event_type, count(*) AS cnt FROM bask GROUP BY event_type),
+        |pairs AS (
+        |  SELECT x.event_type AS type_a, y.event_type AS type_b,
+        |    count(*) AS n_both
+        |  FROM bask x JOIN bask y
+        |    ON x.user_id = y.user_id AND x.day = y.day
+        |    AND x.event_type < y.event_type
+        |  GROUP BY type_a, type_b)
+        |SELECT p.type_a, p.type_b, p.n_both,
+        |  floor((CAST(p.n_both AS DOUBLE) / CAST(nb.nb AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS support,
+        |  floor((CAST(p.n_both AS DOUBLE) / CAST(a.cnt AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS confidence,
+        |  floor(((CAST(p.n_both AS DOUBLE) * CAST(nb.nb AS DOUBLE))
+        |    / (CAST(a.cnt AS DOUBLE) * CAST(b.cnt AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS lift
+        |FROM pairs p
+        |JOIN item a ON p.type_a = a.event_type
+        |JOIN item b ON p.type_b = b.event_type
+        |CROSS JOIN nb
+        |ORDER BY type_a, type_b""".stripMargin,
     // the median is the same explicit sorted-list middle-element
     // arithmetic as the Spark side (list() as a frame aggregate +
     // list_sort), all-integer until the final /2.0 — no quantile_cont

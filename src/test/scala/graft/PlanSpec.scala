@@ -511,6 +511,13 @@ class PlanSpec extends AnyFunSuite {
       pair("SELECT * FROM group_split('docs_r11', 'doc_id', 'text')",
         graft.queries.TextDedup.groupSplit(docs, "doc_id", "text"),
         Seq("doc_id"))
+      pair("SELECT * FROM token_entropy('docs_r11', 'doc_id', 'text')",
+        graft.queries.TextStats.tokenEntropy(docs, "doc_id", "text"),
+        Seq("doc_id"))
+      pair("SELECT * FROM lift_pairs('ev_r11', 'user_id', 'ts', 'event_type')",
+        graft.queries.TimeSeriesQueries.liftPairs(
+          ev, "user_id", "ts", "event_type"),
+        Seq("type_a", "type_b"))
     }
   }
 

@@ -565,6 +565,48 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("tokenEntropy: closed forms on synthetic docs (uniform, constant, singleton)") {
+    import graft.queries.TextStats
+    val docs = Seq(
+      (1L, "a b c d"),        // uniform over 4 distinct: H = ln 4
+      (2L, "x x x x x"),      // constant: H = 0
+      (3L, "w"),              // singleton: H = 0, ttr = 1
+      (4L, "a a b b")         // two at 1/2: H = ln 2
+    ).toDF("doc_id", "text")
+    val out = TextStats.tokenEntropy(docs, "doc_id", "text")
+      .select($"doc_id", $"n_tokens", $"n_distinct", $"entropy", $"ttr")
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    def g(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    assert(out(1L) == ((1L, 4L, 4L, g(math.log(4)), 1.0)))
+    assert(out(2L) == ((2L, 5L, 1L, 0.0, 0.2)))
+    assert(out(3L) == ((3L, 1L, 1L, 0.0, 1.0)))
+    assert(out(4L) == ((4L, 4L, 2L, g(math.log(2)), 0.5)))
+  }
+
+  test("qLiftPairs equals a naive basket walk (supports, confidences, lifts)") {
+    import graft.queries.TimeSeriesQueries
+    val out = TimeSeriesQueries.qLiftPairs(spark, TestSpark.Sf)
+      .select($"type_a", $"type_b", $"n_both", $"support", $"confidence", $"lift")
+      .as[(String, String, Long, Double, Double, Double)].collect().toSeq
+    assert(out.nonEmpty)
+    val baskets = Tables.events(spark, TestSpark.Sf)
+      .select($"user_id", Tables.eventDay.as("day"), $"event_type")
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getString(2)))
+      .groupBy(r => (r._1, r._2)).view.mapValues(_.map(_._3).toSet).toMap
+    val nb = baskets.size.toDouble
+    val item = baskets.values.toSeq.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    def g(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    out.foreach { case (a, b, both, sup, conf, lift) =>
+      val expect = baskets.values.count(s => s.contains(a) && s.contains(b))
+      assert(a < b && both == expect, s"($a,$b): $both vs $expect")
+      assert(sup == g(both / nb))
+      assert(conf == g(both.toDouble / item(a)))
+      assert(lift == g((both * nb) / (item(a).toDouble * item(b))))
+    }
+  }
+
   test("qPsiDrift: PSI is non-negative, zero against itself, and hand-checked per type") {
     import graft.queries.TrainingDataQueries
     val out = TrainingDataQueries.qPsiDrift(spark, TestSpark.Sf)
