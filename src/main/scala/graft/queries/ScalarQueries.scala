@@ -407,6 +407,77 @@ object ScalarQueries {
       .orderBy("target", "check", "column")
   }
 
+  /** Bootstrap replica count for [[qBootstrapCi]] — interpolated into
+    * BOTH engines. */
+  val BootReps = 50
+
+  /** Cumulative Poisson(1) CDF as LONG thresholds on the 32-bit hash
+    * range: weight k is assigned when hash < floor(P(X<=k)·2^32) first
+    * holds — integer comparisons, so replica weights are
+    * engine-identical with no floating-point boundary. Capped at 7
+    * (P(X>7) ≈ 1e-5; the tail mass lands on weight 8). */
+  val PoisThresholds: Seq[Long] =
+    (0 to 7).map { k =>
+      val cum = (0 to k).map { j =>
+        var f = 1.0
+        (1 to j).foreach(f *= _)
+        math.exp(-1.0) / f
+      }.sum
+      math.floor(cum * 4294967296.0).toLong
+    }
+
+  /** Deterministic Poisson bootstrap CI — the DISTRIBUTED bootstrap
+    * (Chamandy et al. / Kleiner's poor-man's variant): instead of
+    * materializing B resamples, every row draws a Poisson(1)
+    * multiplicity per replica from a salted hash (reproducible across
+    * engines, runs and retries — rand() is none of those), and each
+    * replica's weighted mean is one grouped aggregate. The 95% CI is
+    * the [2.5%, 97.5%] order statistics of the B replica means —
+    * selected by exact rank from the sorted bounded list, never an
+    * interpolated quantile.
+    *
+    * Scale shape: one bounded explode (×B) over the scan, one
+    * (type, replica) aggregate on exact integer-cent sums, then a
+    * metadata-scale (type × B) rollup. At 100 TB, B stays fixed and
+    * everything is map-side until the bounded aggregate. */
+  def qBootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .select(col("*"), explode(expr(s"sequence(1, $BootReps)")).as("b"))
+    val h = graft.functions.TextFunctions.hash32(
+      concat(col("event_id").cast("string"), lit("|boot"), col("b").cast("string")))
+    // weight = inverse Poisson(1) CDF at the integer hash
+    val weight = PoisThresholds.zipWithIndex.reverse
+      .foldLeft(lit(PoisThresholds.size): org.apache.spark.sql.Column) {
+        case (acc, (t, k)) => when(h < t, k).otherwise(acc)
+      }
+    val reps = ev.withColumn("w", weight)
+      .groupBy("event_type", "b")
+      .agg(sum(col("w") * col("cents")).as("swc"), sum(col("w")).as("sw"))
+      .filter(col("sw") > 0)
+      .select(col("event_type"),
+        ((col("swc").cast("double") / col("sw").cast("double")) / 100.0).as("m"))
+    val full = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        ((sum(col("cents")).cast("double") / count(lit(1)).cast("double"))
+          / 100.0).as("mean_v"))
+    val loRank = math.max(1, math.ceil(0.025 * BootReps).toInt)
+    val hiRank = math.ceil(0.975 * BootReps).toInt
+    reps.groupBy("event_type")
+      .agg(sort_array(collect_list(col("m"))).as("ms"),
+        count(lit(1)).as("n_reps"))
+      .join(broadcast(full), "event_type")
+      .select(col("event_type"), col("n"), col("n_reps"),
+        rnd(col("mean_v"), 4).as("mean_value"),
+        rnd(element_at(col("ms"), loRank), 4).as("ci_lo"),
+        rnd(element_at(col("ms"), hiRank), 4).as("ci_hi"))
+      .orderBy("event_type")
+  }
+
   /** Bucket count for [[qQuantileBuckets]] — interpolated into BOTH
     * engines. */
   val QuantileK = 10
@@ -452,6 +523,7 @@ object ScalarQueries {
       .orderBy("event_type", "bucket")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bootstrap_ci" -> qBootstrapCi _,
     "q_quantile_buckets" -> qQuantileBuckets _,
     "q_constraint_audit" -> qConstraintAudit _,
     "q_topk_partials" -> qTopkPartials _,
@@ -498,6 +570,48 @@ object ScalarQueries {
       .orderBy("c_custkey")
 
   val oracles: Map[String, String] = Map(
+    // replica weights come from integer hash-threshold comparisons
+    // (PoisThresholds interpolated as literals), replica means from
+    // exact integer sums, and the CI bounds by exact rank from the
+    // sorted replica list — no randomness, no quantile interpolation
+    "q_bootstrap_ci" -> {
+      val h = "('0x' || substr(md5(CAST(event_id AS VARCHAR) || '|boot' " +
+        "|| CAST(b AS VARCHAR)), 1, 8))::BIGINT"
+      val cases = PoisThresholds.zipWithIndex
+        .map { case (t, k) => s"WHEN $h < $t THEN $k" }.mkString(" ")
+      val loRank = math.max(1, math.ceil(0.025 * BootReps).toInt)
+      val hiRank = math.ceil(0.975 * BootReps).toInt
+      s"""WITH ev AS (
+         |  SELECT event_type, event_id,
+         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         |    unnest(generate_series(1, $BootReps)) AS b
+         |  FROM events),
+         |wt AS (
+         |  SELECT event_type, b, cents,
+         |    CASE $cases ELSE ${PoisThresholds.size} END AS w
+         |  FROM ev),
+         |reps AS (
+         |  SELECT event_type, b, CAST(sum(w * cents) AS BIGINT) AS swc,
+         |    CAST(sum(w) AS BIGINT) AS sw
+         |  FROM wt GROUP BY event_type, b),
+         |m AS (
+         |  SELECT event_type, (CAST(swc AS DOUBLE) / CAST(sw AS DOUBLE)) / 100.0 AS m
+         |  FROM reps WHERE sw > 0),
+         |srt AS (
+         |  SELECT event_type, list_sort(list(m)) AS ms, count(*) AS n_reps
+         |  FROM m GROUP BY event_type),
+         |fl AS (
+         |  SELECT event_type, count(*) AS n,
+         |    (CAST(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE)
+         |      / CAST(count(*) AS DOUBLE)) / 100.0 AS mean_v
+         |  FROM events GROUP BY event_type)
+         |SELECT s.event_type, f.n, s.n_reps,
+         |  floor(f.mean_v * 1e4 + 0.5) / 1e4 AS mean_value,
+         |  floor(s.ms[$loRank] * 1e4 + 0.5) / 1e4 AS ci_lo,
+         |  floor(s.ms[$hiRank] * 1e4 + 0.5) / 1e4 AS ci_hi
+         |FROM srt s JOIN fl f ON s.event_type = f.event_type
+         |ORDER BY s.event_type""".stripMargin
+    },
     // the bucket id is pure integer arithmetic over the deterministic
     // (cents, event_id) rank — no interpolated edge to disagree on;
     // DuckDB // is floor division, matching Spark's div on non-negatives

@@ -164,6 +164,25 @@ class ScalarSpec extends AnyFunSuite {
     assert(incremental.nonEmpty && incremental == full)
   }
 
+  test("qBootstrapCi: full reps, ordered brackets around the full-sample mean") {
+    import graft.queries.ScalarQueries
+    val out = ScalarQueries.qBootstrapCi(spark, TestSpark.Sf)
+      .select(col("event_type"), col("n"), col("n_reps"),
+        col("mean_value"), col("ci_lo"), col("ci_hi"))
+      .collect().toSeq
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(2) == ScalarQueries.BootReps.toLong,
+        s"every replica must survive (sw>0): $r")
+      val (m, lo, hi) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(lo <= hi, s"inverted CI: $r")
+      assert(lo <= m && m <= hi, s"CI must bracket the full mean here: $r")
+    }
+    // Poisson(1) thresholds are a valid CDF on the 32-bit range
+    val t = ScalarQueries.PoisThresholds
+    assert(t == t.sorted && t.last <= 4294967296L && t.head > 0)
+  }
+
   test("Constraints.scalarAudit: completeness/range/set metrics are exact fractions") {
     import graft.operators.Constraints._
     val df = Seq(
