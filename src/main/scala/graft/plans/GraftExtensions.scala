@@ -242,6 +242,9 @@ case class ResolveGraftOp(spark: org.apache.spark.sql.SparkSession)
         case "lift_pairs" => // (userCol, tsCol, typeCol)
           graft.queries.TimeSeriesQueries.liftPairs(
             dfs(0), str(0), str(1), str(2))
+        case "feature_hash" => // (idCol, textCol, dim)
+          graft.queries.TextStats.featureHash(
+            dfs(0), str(0), str(1), lng(2).toInt)
         case "salted_rolling" => // (key, ts, valCol, frameNs, chunkNs)
           graft.operators.SaltedWindow.saltedRollingSum(
             dfs(0), str(0), str(1), str(2), lng(3), lng(4))
@@ -418,6 +421,7 @@ object GraftFunctions {
     "group_split" -> ("group_split(table, idCol, textCol)", 2),
     "token_entropy" -> ("token_entropy(table, idCol, textCol)", 2),
     "lift_pairs" -> ("lift_pairs(table, userCol, tsCol, typeCol)", 3),
+    "feature_hash" -> ("feature_hash(table, idCol, textCol, dim)", 3),
     "salted_rolling" ->
       ("salted_rolling(table, key, ts, valCol, frameNs, chunkNs)", 5))
 

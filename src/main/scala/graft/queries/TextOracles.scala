@@ -381,6 +381,17 @@ import TextStats._
          |    len(regexp_extract_all(redacted, '\\[(EMAIL|URL|PHONE|IP)\\]'))
          |    - len(regexp_extract_all(text, '\\[(EMAIL|URL|PHONE|IP)\\]'))) AS BIGINT) AS n_redactions
          |FROM r ORDER BY doc_id""".stripMargin,
+    // same md5 bucket/sign hashes (integer arithmetic throughout);
+    // DuckDB % on the non-negative hash matches Spark pmod-free % here
+    "q_feature_hash" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($TOKS) AS t FROM documents WHERE doc_id < 20)
+         |SELECT doc_id,
+         |  CAST(('0x' || substr(md5(t || '|fh'), 1, 8))::BIGINT % $FeatureHashDim AS INT) AS bucket,
+         |  CAST(sum(('0x' || substr(md5(t || '|fhsign'), 1, 8))::BIGINT % 2 * 2 - 1) AS BIGINT) AS feature_value,
+         |  count(*) AS n_tokens
+         |FROM tok GROUP BY doc_id, bucket
+         |ORDER BY doc_id, bucket""".stripMargin,
     // tf/dl shares the TOKS token frame; the entropy term mirrors the
     // Spark fixed order (one division to p, then p·ln p)
     "q_token_entropy" ->

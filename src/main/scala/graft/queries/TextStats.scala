@@ -253,6 +253,45 @@ object TextStats {
         rnd(sum(col("lp")) / count(lit(1)), 4).as("avg_neg_logprob"))
   }
 
+  /** Feature-hashing dimensionality for [[qFeatureHash]] — interpolated
+    * into BOTH engines. */
+  val FeatureHashDim = 64
+
+  /** Hashing-trick featurization (the sklearn HashingVectorizer /
+    * Weinberger et al. feature-hashing recipe): every token maps to
+    * bucket hash(t) mod D with a ±1 sign from an independent hash bit
+    * (the sign makes collision noise zero-mean), and a doc's sparse
+    * feature vector is the signed count per touched bucket — emitted in
+    * COO form (doc, bucket, value) so downstream assembles any dense or
+    * sparse layout without re-tokenizing.
+    *
+    * Scale shape: pure map-side hashing off the shared token frame plus
+    * one (doc, bucket)-keyed aggregate — no vocabulary build, no global
+    * dictionary state, which is the entire point of the hashing trick
+    * at corpus scale. */
+  def featureHashOf(tokArr: DataFrame, idCol: String = "doc_id",
+                    dim: Int = FeatureHashDim): DataFrame = {
+    require(dim >= 1, s"featureHash: dim must be >= 1 (got $dim)")
+    import graft.functions.TextFunctions.hash32
+    val tok = tokArr.select(col(idCol), explode(col("ts")).as("t"))
+    tok
+      .withColumn("bucket", (hash32(concat(col("t"), lit("|fh"))) % dim).cast("int"))
+      .withColumn("s", (hash32(concat(col("t"), lit("|fhsign"))) % 2) * 2 - 1)
+      .groupBy(idCol, "bucket")
+      .agg(sum(col("s")).as("feature_value"), count(lit(1)).as("n_tokens"))
+  }
+
+  def featureHash(docs: DataFrame, idCol: String, textCol: String,
+                  dim: Int = FeatureHashDim): DataFrame =
+    featureHashOf(
+      docs.select(col(idCol), graft.functions.TextFunctions.tokens(col(textCol)).as("ts")),
+      idCol, dim)
+
+  def qFeatureHash(spark: SparkSession, dir: String): DataFrame =
+    featureHashOf(cachedDocTokens(spark, dir)
+        .filter(col("doc_id") < 20))
+      .orderBy("doc_id", "bucket")
+
   /** Per-doc token-distribution Shannon entropy + type-token ratio —
     * the lexical-diversity quality signal (low entropy = repetitive or
     * templated text, the distributional cousin of q_repetition's
@@ -686,6 +725,7 @@ object TextStats {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_token_entropy" -> qTokenEntropy _,
+    "q_feature_hash" -> qFeatureHash _,
     "q_bigram_logprob" -> qBigramLogprob _,
     "q_dataset_card" -> qDatasetCard _,
     "q_source_overlap" -> qSourceOverlap _,

@@ -518,6 +518,9 @@ class PlanSpec extends AnyFunSuite {
         graft.queries.TimeSeriesQueries.liftPairs(
           ev, "user_id", "ts", "event_type"),
         Seq("type_a", "type_b"))
+      pair("SELECT * FROM feature_hash('docs_r11', 'doc_id', 'text', 64)",
+        graft.queries.TextStats.featureHash(docs, "doc_id", "text", 64),
+        Seq("doc_id", "bucket"))
     }
   }
 

@@ -565,6 +565,24 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("featureHash: buckets bounded, token-count preserved, repeated tokens sum their sign") {
+    import graft.queries.TextStats
+    val docs = Seq((1L, "alpha beta alpha gamma"), (2L, "beta beta")).toDF("doc_id", "text")
+    val out = TextStats.featureHash(docs, "doc_id", "text", 16)
+      .select($"doc_id", $"bucket", $"feature_value", $"n_tokens")
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(out.forall(r => r._2 >= 0 && r._2 < 16))
+    // every token lands exactly once: per-doc n_tokens sums to doc length
+    assert(out.filter(_._1 == 1L).map(_._4).sum == 4)
+    assert(out.filter(_._1 == 2L).map(_._4).sum == 2)
+    // a repeated token accumulates |value| = multiplicity in one bucket
+    val beta2 = out.filter(r => r._1 == 2L)
+    assert(beta2.size == 1 && math.abs(beta2.head._3) == 2)
+    // identical tokens hash identically across docs (same bucket)
+    val fh = TextStats.featureHash(docs, "doc_id", "text", 16)
+    assert(fh.collect().toSeq == fh.collect().toSeq)
+  }
+
   test("tokenEntropy: closed forms on synthetic docs (uniform, constant, singleton)") {
     import graft.queries.TextStats
     val docs = Seq(
