@@ -230,6 +230,9 @@ case class ResolveGraftOp(spark: org.apache.spark.sql.SparkSession)
         case "psi_drift" => // (typeCol, tsCol, valCol, splitDay)
           graft.queries.TrainingDataQueries.psiDrift(
             dfs(0), str(0), str(1), str(2), lng(3).toInt)
+        case "ab_test" => // (typeCol, tsCol, valCol, splitDay)
+          graft.queries.TrainingDataQueries.abTest(
+            dfs(0), str(0), str(1), str(2), lng(3).toInt)
         case "quantile_buckets" => // (typeCol, valCol, idCol, k)
           graft.queries.ScalarQueries.quantileBuckets(
             dfs(0), str(0), str(1), str(2), lng(3).toInt)
@@ -415,6 +418,7 @@ object GraftFunctions {
     "seasonal_baseline" ->
       ("seasonal_baseline(table, typeCol, tsCol, valCol)", 3),
     "psi_drift" -> ("psi_drift(table, typeCol, tsCol, valCol, splitDay)", 4),
+    "ab_test" -> ("ab_test(table, typeCol, tsCol, valCol, splitDay)", 4),
     "quantile_buckets" ->
       ("quantile_buckets(table, typeCol, valCol, idCol, k)", 4),
     "bigram_logprob" -> ("bigram_logprob(table, idCol, textCol)", 2),

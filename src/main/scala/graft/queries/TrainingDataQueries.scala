@@ -482,8 +482,57 @@ object TrainingDataQueries {
     psiDrift(Tables.events(spark, dir), "event_type", "ts", "value", 15)
       .orderBy("event_type")
 
+  /** Welch's two-sample t-test per event_type between the month's
+    * halves — the significance complement of [[psiDrift]] (PSI says how
+    * much the distribution moved; the t-test says whether the MEAN
+    * moved more than noise explains). t and the Welch–Satterthwaite df
+    * are derived from exact integer-cent moment sums in one
+    * fixed-order double expression per side; the significance flag
+    * compares the ROUNDED |t| against 1.96 so the boolean is
+    * engine-deterministic.
+    *
+    * Scale shape: ONE event-grain aggregate onto the bounded
+    * (type, period) grid, then a self-join of the 2-row-per-type grid —
+    * metadata scale; the seasonal-baseline recipe without even the
+    * broadcast-back pass. */
+  def abTest(df: DataFrame, typeCol: String, tsCol: String,
+             valCol: String, splitDay: Int): DataFrame = {
+    val day = to_date(timestamp_micros(expr(s"`$tsCol` div 1000")))
+    val ev = df.select(col(typeCol).as("event_type"),
+      when(dayofmonth(day) <= splitDay, "a").otherwise("b").as("period"),
+      expr(s"CAST(floor(`$valCol` * 100 + 0.5) AS BIGINT)").as("cents"))
+    val g = ev.groupBy("event_type", "period")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sumc"),
+        sum(col("cents") * col("cents")).as("sumsq"))
+    def nd(s: String)  = col(s + ".n").cast("double")
+    def m(s: String)   = (col(s + ".sumc").cast("double") / nd(s)) / 100.0
+    def v(s: String)   = greatest(lit(0.0),
+      (nd(s) * col(s + ".sumsq").cast("double") -
+        col(s + ".sumc").cast("double") * col(s + ".sumc").cast("double")) /
+        (nd(s) * (nd(s) - 1.0))) / 10000.0
+    val a = g.filter(col("period") === "a").as("a")
+    val b = g.filter(col("period") === "b").as("b")
+    val se2 = v("a") / nd("a") + v("b") / nd("b")
+    val t = (m("a") - m("b")) / sqrt(se2)
+    val dfw = (se2 * se2) /
+      ((v("a") / nd("a")) * (v("a") / nd("a")) / (nd("a") - 1.0) +
+        (v("b") / nd("b")) * (v("b") / nd("b")) / (nd("b") - 1.0))
+    a.join(b, col("a.event_type") === col("b.event_type"))
+      .filter(col("a.n") >= 2 && col("b.n") >= 2)
+      .select(col("a.event_type").as("event_type"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"),
+        rnd(m("a") - m("b"), 4).as("mean_diff"),
+        rnd(t, 4).as("t_stat"), rnd(dfw, 1).as("df"))
+      .withColumn("significant", abs(col("t_stat")) > 1.96)
+  }
+
+  def qAbTest(spark: SparkSession, dir: String): DataFrame =
+    abTest(Tables.events(spark, dir), "event_type", "ts", "value", 15)
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_psi_drift" -> qPsiDrift _,
+    "q_ab_test" -> qAbTest _,
     "q_epoch_shuffle" -> qEpochShuffle _,
     "q_weighted_sample" -> qWeightedSample _,
     "q_pipeline_e2e" -> qPipelineE2e _,
@@ -562,6 +611,48 @@ object TrainingDataQueries {
          |SELECT event_type, n_first_half, n_second_half, psi,
          |  psi > 0.25 AS drifted
          |FROM agg ORDER BY event_type""".stripMargin,
+    // Welch's t from the same exact integer-cent moments as the Spark
+    // side, every derived quantity in mirrored fixed order; the
+    // significance boolean compares the ROUNDED t
+    "q_ab_test" ->
+      s"""WITH ev AS (
+         |  SELECT event_type,
+         |    CASE WHEN CAST(strftime(ts, '%d') AS INT) <= 15
+         |      THEN 'a' ELSE 'b' END AS period,
+         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+         |  FROM events),
+         |g AS (
+         |  SELECT event_type, period, count(*) AS n,
+         |    CAST(sum(cents) AS BIGINT) AS sumc,
+         |    CAST(sum(cents * cents) AS BIGINT) AS sumsq
+         |  FROM ev GROUP BY event_type, period),
+         |j AS (
+         |  SELECT a.event_type,
+         |    a.n AS na, b.n AS nb,
+         |    (CAST(a.sumc AS DOUBLE) / CAST(a.n AS DOUBLE)) / 100.0 AS ma,
+         |    (CAST(b.sumc AS DOUBLE) / CAST(b.n AS DOUBLE)) / 100.0 AS mb,
+         |    greatest(0.0, (CAST(a.n AS DOUBLE) * CAST(a.sumsq AS DOUBLE)
+         |      - CAST(a.sumc AS DOUBLE) * CAST(a.sumc AS DOUBLE))
+         |      / (CAST(a.n AS DOUBLE) * (CAST(a.n AS DOUBLE) - 1.0))) / 10000.0 AS va,
+         |    greatest(0.0, (CAST(b.n AS DOUBLE) * CAST(b.sumsq AS DOUBLE)
+         |      - CAST(b.sumc AS DOUBLE) * CAST(b.sumc AS DOUBLE))
+         |      / (CAST(b.n AS DOUBLE) * (CAST(b.n AS DOUBLE) - 1.0))) / 10000.0 AS vb
+         |  FROM g a JOIN g b ON a.event_type = b.event_type
+         |  WHERE a.period = 'a' AND b.period = 'b' AND a.n >= 2 AND b.n >= 2),
+         |k AS (
+         |  SELECT event_type, na, nb,
+         |    floor((ma - mb) * 1e4 + 0.5) / 1e4 AS mean_diff,
+         |    floor(((ma - mb) / sqrt(va / CAST(na AS DOUBLE) + vb / CAST(nb AS DOUBLE)))
+         |      * 1e4 + 0.5) / 1e4 AS t_stat,
+         |    floor((((va / CAST(na AS DOUBLE) + vb / CAST(nb AS DOUBLE))
+         |        * (va / CAST(na AS DOUBLE) + vb / CAST(nb AS DOUBLE)))
+         |      / ((va / CAST(na AS DOUBLE)) * (va / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1.0)
+         |        + (vb / CAST(nb AS DOUBLE)) * (vb / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1.0)))
+         |      * 1e1 + 0.5) / 1e1 AS df
+         |  FROM j)
+         |SELECT event_type, na AS n_a, nb AS n_b, mean_diff, t_stat, df,
+         |  abs(t_stat) > 1.96 AS significant
+         |FROM k ORDER BY event_type""".stripMargin,
     // identical fixed-order key arithmetic (one ln over the exact
     // rational u, one division); the LIMIT set is deterministic because
     // adjacent key gaps dwarf libm-ulp noise (see qWeightedSample)

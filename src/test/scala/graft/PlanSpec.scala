@@ -521,6 +521,10 @@ class PlanSpec extends AnyFunSuite {
       pair("SELECT * FROM feature_hash('docs_r11', 'doc_id', 'text', 64)",
         graft.queries.TextStats.featureHash(docs, "doc_id", "text", 64),
         Seq("doc_id", "bucket"))
+      pair("SELECT * FROM ab_test('ev_r11', 'event_type', 'ts', 'value', 15)",
+        graft.queries.TrainingDataQueries.abTest(
+          ev, "event_type", "ts", "value", 15),
+        Seq("event_type"))
     }
   }
 

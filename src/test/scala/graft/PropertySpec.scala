@@ -625,6 +625,43 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("qAbTest equals a hand-computed Welch t for every type") {
+    import graft.queries.TrainingDataQueries
+    val out = TrainingDataQueries.qAbTest(spark, TestSpark.Sf)
+      .select($"event_type", $"n_a", $"n_b", $"mean_diff", $"t_stat", $"df", $"significant")
+      .collect().toSeq
+    assert(out.nonEmpty)
+    val rows = Tables.events(spark, TestSpark.Sf)
+      .select($"event_type", $"value", dayofmonth(Tables.eventDay).as("d"))
+      .as[(String, Double, Int)].collect().toSeq
+    def g(x: Double, s: Double) = math.floor(x * s + 0.5) / s
+    out.foreach { r =>
+      val et = r.getString(0)
+      val cents = rows.filter(_._1 == et)
+        .map(x => (x._3 <= 15, math.floor(x._2 * 100 + 0.5).toLong))
+      def stats(p: Boolean) = {
+        val c = cents.filter(_._1 == p).map(_._2)
+        val n = c.size.toDouble
+        val mean = (c.sum.toDouble / n) / 100.0
+        val vr = math.max(0.0,
+          (n * c.map(x => x * x).sum.toDouble - c.sum.toDouble * c.sum.toDouble)
+            / (n * (n - 1.0))) / 10000.0
+        (n, mean, vr)
+      }
+      val (na, ma, va) = stats(true)
+      val (nb, mb, vb) = stats(false)
+      val se2 = va / na + vb / nb
+      val t = (ma - mb) / math.sqrt(se2)
+      val dfw = (se2 * se2) /
+        ((va / na) * (va / na) / (na - 1.0) + (vb / nb) * (vb / nb) / (nb - 1.0))
+      assert(r.getLong(1) == na.toLong && r.getLong(2) == nb.toLong)
+      assert(r.getDouble(3) == g(ma - mb, 1e4), s"$et mean_diff")
+      assert(r.getDouble(4) == g(t, 1e4), s"$et t")
+      assert(r.getDouble(5) == g(dfw, 1e1), s"$et df")
+      assert(r.getBoolean(6) == (math.abs(g(t, 1e4)) > 1.96))
+    }
+  }
+
   test("qPsiDrift: PSI is non-negative, zero against itself, and hand-checked per type") {
     import graft.queries.TrainingDataQueries
     val out = TrainingDataQueries.qPsiDrift(spark, TestSpark.Sf)
