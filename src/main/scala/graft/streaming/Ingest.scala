@@ -273,6 +273,54 @@ object Ingest {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming PSI drift monitor — the streaming twin of the batch
+    * psiDrift: per watermarked tumbling window, the value distribution
+    * over `nBins` equal-width bins is compared against a fixed BASELINE
+    * share vector (typically yesterday's batch profile), emitting one
+    * (window, n, psi, drifted) row when the watermark closes the
+    * window.
+    *
+    * The bin rollup folds into the single windowed aggregation as
+    * conditional counts (one column per bin), so the whole monitor is
+    * ONE stateful operator — no chained streaming aggregations, state
+    * bounded at nBins longs per open window and evicted by the
+    * watermark. PSI uses the same add-one smoothing as the batch twin.
+    *
+    * `lo`/`hi` are the FIXED bin edges (from the baseline profile, like
+    * the baseline shares — a drift monitor must bin against the
+    * reference frame, not the drifting window's own min/max). */
+  def driftMonitor(events: DataFrame, baseline: Seq[Double],
+                   lo: Double, hi: Double,
+                   windowLen: String = "5 minutes",
+                   watermark: String = "10 minutes",
+                   threshold: Double = 0.25): DataFrame = {
+    require(baseline.nonEmpty, "driftMonitor: baseline must not be empty")
+    require(math.abs(baseline.sum - 1.0) < 1e-6,
+      s"driftMonitor: baseline shares must sum to 1 (got ${baseline.sum})")
+    require(baseline.forall(_ > 0.0),
+      "driftMonitor: every baseline share must be > 0 (smooth the " +
+        "baseline the same way the windows are smoothed)")
+    require(hi > lo, s"driftMonitor: hi must exceed lo ($lo, $hi)")
+    val nBins = baseline.size
+    val bin = least(lit(nBins - 1),
+      floor((col("value") - lo) / ((hi - lo) / nBins.toDouble)).cast("int"))
+    val binCounts = (0 until nBins).map(k =>
+      sum(when(bin === k, 1L).otherwise(0L)).as(s"b$k"))
+    val aggs = count(lit(1)).as("n") +: binCounts
+    val agged = withEventTime(events)
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), windowLen))
+      .agg(aggs.head, aggs.tail: _*)
+    val psi = (0 until nBins).map { k =>
+      val p = (col(s"b$k") + 1.0) / (col("n") + nBins.toDouble)
+      val b = lit(baseline(k))
+      (p - b) * log(p / b)
+    }.reduce(_ + _)
+    agged.select(col("window.start").as("w_start"),
+      col("window.end").as("w_end"), col("n"), psi.as("psi"))
+      .withColumn("drifted", col("psi") > threshold)
+  }
+
   /** Stream-stream conversion attribution — each purchase joined to the
     * clicks by the same user in the preceding `horizon` (the reference's
     * dashboard correlates alert events against the raw feed in the

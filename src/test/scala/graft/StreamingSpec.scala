@@ -554,4 +554,34 @@ class StreamingSpec extends AnyFunSuite {
       graft.IoUtil.deleteRecursively(tmp)
     }
   }
+
+  test("driftMonitor: an on-baseline window scores near zero, a shifted window drifts") {
+    val src = MemoryStream[Event]
+    // uniform baseline over 5 bins on [0, 100); windows feed 50 events
+    val base = Seq.fill(5)(0.2)
+    val q = Ingest.driftMonitor(src.toDF(), base, lo = 0.0, hi = 100.0,
+        windowLen = "5 minutes", watermark = "10 minutes", threshold = 0.25)
+      .writeStream.format("memory").queryName("drift_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val MinNs = 60L * 1000000000L
+      // window 1: perfectly uniform — 10 events per bin
+      val uniform = (0 until 50).map(i =>
+        ev(i, 1, i, (i % 5) * 20.0 + 10.0, (i % 3) * MinNs))
+      // window 2 (minute 30+): everything in the top bin — max drift
+      val shifted = (0 until 50).map(i =>
+        ev(100 + i, 1, i, 95.0, 30 * MinNs + (i % 3) * MinNs))
+      src.addData(uniform ++ shifted: _*)
+      q.processAllAvailable()
+      src.addData(ev(999, 1, 999, 50.0, 300 * MinNs)) // close both windows
+      q.processAllAvailable()
+      val rows = spark.table("drift_out")
+        .select($"n", $"psi", $"drifted").as[(Long, Double, Boolean)]
+        .collect().toSeq.filter(_._1 == 50L).sortBy(_._2)
+      assert(rows.size >= 2, s"expected both 50-event windows closed: $rows")
+      val (calm, hot) = (rows.head, rows.last)
+      assert(calm._2 < 0.01 && !calm._3, s"uniform window must not drift: $calm")
+      assert(hot._2 > 1.0 && hot._3, s"shifted window must drift hard: $hot")
+    } finally q.stop()
+  }
 }
