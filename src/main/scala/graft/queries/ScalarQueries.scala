@@ -407,15 +407,27 @@ object ScalarQueries {
       .orderBy("target", "check", "column")
   }
 
-  /** Bootstrap replica count for [[qBootstrapCi]] — interpolated into
-    * BOTH engines. */
-  val BootReps = 50
+  /** Bootstrap replica count for [[qBootstrapCi]] — a multiple of
+    * [[BootBlock]]; interpolated into BOTH engines. */
+  val BootReps = 48
 
-  /** Cumulative Poisson(1) CDF as LONG thresholds on the 32-bit hash
-    * range: weight k is assigned when hash < floor(P(X<=k)·2^32) first
+  /** Replica draws per md5: one 128-bit digest yields eight 16-bit
+    * uniforms, so an event computes BootReps/BootBlock = 6 hashes
+    * instead of 48 (the first cut of this operator hashed once per
+    * (event, replica) and md5 dominated its 8 s bench cost). */
+  val BootBlock = 8
+
+  /** Cumulative Poisson(1) CDF as LONG thresholds on the 15-bit draw
+    * range: weight k is assigned when draw < floor(P(X<=k)·2^15) first
     * holds — integer comparisons, so replica weights are
     * engine-identical with no floating-point boundary. Capped at 7
-    * (P(X>7) ≈ 1e-5; the tail mass lands on weight 8). */
+    * (P(X>7) ≈ 1e-5; the tail mass lands on weight 8). The 2^-15
+    * threshold granularity perturbs each weight probability by < 4e-5 —
+    * part of the DEFINED draw, identical on both engines. 15 bits
+    * because draws are sliced arithmetically out of two 60-bit longs
+    * per digest (4 draws each): hex-decoding one long per digest half
+    * and shifting is ~8× cheaper than a conv() per draw, which
+    * dominated this operator's first cut. */
   val PoisThresholds: Seq[Long] =
     (0 to 7).map { k =>
       val cum = (0 to k).map { j =>
@@ -423,7 +435,7 @@ object ScalarQueries {
         (1 to j).foreach(f *= _)
         math.exp(-1.0) / f
       }.sum
-      math.floor(cum * 4294967296.0).toLong
+      math.floor(cum * 32768.0).toLong
     }
 
   /** Deterministic Poisson bootstrap CI — the DISTRIBUTED bootstrap
@@ -441,23 +453,42 @@ object ScalarQueries {
     * metadata-scale (type × B) rollup. At 100 TB, B stays fixed and
     * everything is map-side until the bounded aggregate. */
   def qBootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    val nBlocks = BootReps / BootBlock
+    // one row per (event, digest block) — BootBlock× fewer intermediate
+    // rows than a per-replica explode; each block row feeds its 8
+    // replicas as 8 conditional-sum pairs inside ONE aggregate (the
+    // replica sums decompose per block, and exact integer sums make the
+    // regrouping value-invariant, so the oracle's flat per-replica form
+    // states identical numbers)
+    val digests = array((0 until nBlocks).map(i =>
+      md5(concat(col("event_id").cast("string"), lit(s"|boot$i")))): _*)
     val ev = Tables.events(spark, dir)
-      .select(col("event_type"), col("event_id"),
-        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
-      .select(col("*"), explode(expr(s"sequence(1, $BootReps)")).as("b"))
-    val h = graft.functions.TextFunctions.hash32(
-      concat(col("event_id").cast("string"), lit("|boot"), col("b").cast("string")))
-    // weight = inverse Poisson(1) CDF at the integer hash
-    val weight = PoisThresholds.zipWithIndex.reverse
-      .foldLeft(lit(PoisThresholds.size): org.apache.spark.sql.Column) {
-        case (acc, (t, k)) => when(h < t, k).otherwise(acc)
-      }
-    val reps = ev.withColumn("w", weight)
-      .groupBy("event_type", "b")
-      .agg(sum(col("w") * col("cents")).as("swc"), sum(col("w")).as("sw"))
-      .filter(col("sw") > 0)
       .select(col("event_type"),
-        ((col("swc").cast("double") / col("sw").cast("double")) / 100.0).as("m"))
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"),
+        posexplode(digests).as(Seq("blk", "dg")))
+      // hex-decode each digest half ONCE; the 8 slot draws below are
+      // pure shift/mask long arithmetic inside codegen
+      .withColumn("h1", expr("CAST(conv(substr(dg, 1, 15), 16, 10) AS BIGINT)"))
+      .withColumn("h2", expr("CAST(conv(substr(dg, 16, 15), 16, 10) AS BIGINT)"))
+    // weight = inverse Poisson(1) CDF at slot s's 15-bit draw
+    def w(s: Int): org.apache.spark.sql.Column = {
+      val src = if (s < 4) "h1" else "h2"
+      val h = expr(s"shiftright($src, ${15 * (s % 4)}) & 32767")
+      PoisThresholds.zipWithIndex.reverse
+        .foldLeft(lit(PoisThresholds.size.toLong): org.apache.spark.sql.Column) {
+          case (acc, (t, k)) => when(h < t, k.toLong).otherwise(acc)
+        }
+    }
+    val aggs = (0 until BootBlock).flatMap(s =>
+      Seq(sum(w(s) * col("cents")).as(s"swc$s"), sum(w(s)).as(s"sw$s")))
+    val grid = ev.groupBy("event_type", "blk").agg(aggs.head, aggs.tail: _*)
+    val slots = (0 until BootBlock).map(s =>
+      struct(col(s"swc$s").as("swc"), col(s"sw$s").as("sw")))
+    val reps = grid
+      .select(col("event_type"), explode(array(slots: _*)).as("r"))
+      .filter(col("r.sw") > 0)
+      .select(col("event_type"),
+        ((col("r.swc").cast("double") / col("r.sw").cast("double")) / 100.0).as("m"))
     val full = Tables.events(spark, dir)
       .select(col("event_type"),
         expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
@@ -575,8 +606,12 @@ object ScalarQueries {
     // exact integer sums, and the CI bounds by exact rank from the
     // sorted replica list — no randomness, no quantile interpolation
     "q_bootstrap_ci" -> {
-      val h = "('0x' || substr(md5(CAST(event_id AS VARCHAR) || '|boot' " +
-        "|| CAST(b AS VARCHAR)), 1, 8))::BIGINT"
+      // slot s draws bits 15·(s%4).. of digest half s/4 — identical
+      // shift/mask arithmetic to the Spark side
+      val dg = "md5(CAST(event_id AS VARCHAR) || '|boot' " +
+        s"|| CAST((b - 1) // $BootBlock AS VARCHAR))"
+      val h = s"((('0x' || substr($dg, 1 + 15 * (((b - 1) % $BootBlock) // 4), 15))::BIGINT" +
+        s" >> (15 * ((b - 1) % 4))) & 32767)"
       val cases = PoisThresholds.zipWithIndex
         .map { case (t, k) => s"WHEN $h < $t THEN $k" }.mkString(" ")
       val loRank = math.max(1, math.ceil(0.025 * BootReps).toInt)
