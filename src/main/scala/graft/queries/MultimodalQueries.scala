@@ -159,8 +159,60 @@ object MultimodalQueries {
       .orderBy("doc_id", "cell")
   }
 
+  /** Perceptual-hash image dedup — the multimodal twin of SimHash: each
+    * decoded 16-cell luma grid folds to a 16-bit BLOCKHASH (bit c set
+    * iff cell c's luma > 0.5 — a FIXED threshold, not the mean, so the
+    * bit pattern is closed-form for the lossless codec: bit =
+    * ((id·17+c·13) mod 256) > 127 with no float in sight), and near-dup
+    * pairs are found by the SimHash banding recipe: 3 bands (6+5+5
+    * bits), pigeonhole-complete for Hamming ≤ 2, band-keyed equi-join —
+    * never an all-pairs comparison.
+    *
+    * Restricted to the PNG (even-id) half: JPEG luma sits within
+    * [[JpegTol]] of closed form, which is enough for the decode gate but
+    * lets a borderline cell flip its hash BIT — the lossy half's hashes
+    * are exercised in MultimodalSpec, not against the closed-form
+    * oracle. */
+  def qImagePhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = spark.read.parquet(fixturePath(spark, dir)).as[Multimodal.MediaRecord]
+    Multimodal.decodeFeatures(media).toDF()
+      .filter(pmod(col("doc_id"), lit(2)) === 0)
+      .select(col("doc_id"), posexplode(col("features")))
+      .groupBy("doc_id")
+      .agg(sum(when(col("col") > 0.5, expr("shiftleft(1, CAST(pos AS INT))"))
+        .otherwise(0)).as("ahash"))
+      .orderBy("doc_id")
+  }
+
+  /** Banded near-dup pairs over [[qImagePhash]]'s hashes (Hamming ≤ 2);
+    * the oracle recomputes the closed-form hashes and brute-forces all
+    * pairs — equality IS the pigeonhole-completeness proof, exactly the
+    * q_simhash_neardup pattern. */
+  def qImagePhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val hashes = qImagePhash(spark, dir)
+    val bands = hashes.select(col("doc_id"), col("ahash"),
+      explode(array(
+        struct(lit(0).as("band"), (col("ahash") % 64).as("bits")),
+        struct(lit(1).as("band"), ((col("ahash") / 64).cast("long") % 32).as("bits")),
+        struct(lit(2).as("band"), ((col("ahash") / 2048).cast("long") % 32).as("bits"))
+      )).as("bb"))
+      .select(col("doc_id"), col("ahash"), col("bb.band"), col("bb.bits"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bits") === col("y.bits") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        expr("CAST(bit_count(CAST(x.ahash AS BIGINT) ^ CAST(y.ahash AS BIGINT)) AS BIGINT)")
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 2)
+      .orderBy("a", "b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_decode" -> qMultimodalDecode _,
+    "q_image_phash" -> qImagePhash _,
+    "q_image_phash_dedup" -> qImagePhashDedup _,
   )
 
   /** The decoded grid is closed-form (see [[qMultimodalDecode]]), so the
@@ -168,6 +220,33 @@ object MultimodalQueries {
     * cell) pair must be present (JPEG decode failures delete rows), and
     * the lossless half's values must hash-match exactly. */
   val oracles: Map[String, String] = Map(
+    // pure integer closed form: bit c set iff (id·17+c·13) mod 256 > 127
+    "q_image_phash" ->
+      s"""WITH g AS (
+         |  SELECT d.i AS doc_id, c.i AS cell,
+         |    ((d.i * 17 + c.i * 13) % 256) AS v
+         |  FROM (SELECT unnest(generate_series(0, ${NumImages - 1}, 2)) AS i) d,
+         |       (SELECT unnest(generate_series(0, 15)) AS i) c)
+         |SELECT doc_id,
+         |  CAST(sum(CASE WHEN v > 127 THEN 1 << cell ELSE 0 END) AS BIGINT) AS ahash
+         |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // brute-force all-pairs twin of the banded Spark plan — equal by
+    // the 3-band pigeonhole guarantee for Hamming <= 2
+    "q_image_phash_dedup" ->
+      s"""WITH g AS (
+         |  SELECT d.i AS doc_id, c.i AS cell,
+         |    ((d.i * 17 + c.i * 13) % 256) AS v
+         |  FROM (SELECT unnest(generate_series(0, ${NumImages - 1}, 2)) AS i) d,
+         |       (SELECT unnest(generate_series(0, 15)) AS i) c),
+         |h AS (
+         |  SELECT doc_id,
+         |    CAST(sum(CASE WHEN v > 127 THEN 1 << cell ELSE 0 END) AS BIGINT) AS ahash
+         |  FROM g GROUP BY doc_id)
+         |SELECT x.doc_id AS a, y.doc_id AS b,
+         |  CAST(bit_count(xor(x.ahash, y.ahash)) AS BIGINT) AS hamming
+         |FROM h x JOIN h y ON x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.ahash, y.ahash)) <= 2
+         |ORDER BY a, b""".stripMargin,
     "q_multimodal_decode" ->
       s"""WITH g AS (
          |  SELECT d.i AS doc_id, c.i AS cell,

@@ -119,4 +119,22 @@ class MultimodalSpec extends AnyFunSuite {
       .select("frame_idx", "byte_offset").as[(Int, Int)].collect().sortBy(_._1)
     assert(frames.toSeq == Seq((0, 0), (2, 512)))
   }
+
+  test("q_image_phash: PNG hashes are the closed form; banded dedup equals brute force") {
+    import graft.queries.MultimodalQueries
+    val hashes = MultimodalQueries.qImagePhash(spark, TestSpark.Sf)
+      .as[(Long, Long)].collect().toMap
+    assert(hashes.size == MultimodalQueries.NumImages / 2)
+    def expect(d: Long): Long =
+      (0 until 16).map(c => if ((d * 17 + c * 13) % 256 > 127) 1L << c else 0L).sum
+    hashes.foreach { case (d, h) => assert(h == expect(d), s"doc $d") }
+    // banded pair set equals the brute-force all-pairs set (pigeonhole)
+    val banded = MultimodalQueries.qImagePhashDedup(spark, TestSpark.Sf)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    val brute = (for {
+      a <- hashes.keys; b <- hashes.keys if a < b
+      if java.lang.Long.bitCount(hashes(a) ^ hashes(b)) <= 2
+    } yield (a, b)).toSet
+    assert(banded == brute && brute.nonEmpty)
+  }
 }
