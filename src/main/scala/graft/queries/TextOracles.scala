@@ -381,6 +381,23 @@ import TextStats._
          |    len(regexp_extract_all(redacted, '\\[(EMAIL|URL|PHONE|IP)\\]'))
          |    - len(regexp_extract_all(text, '\\[(EMAIL|URL|PHONE|IP)\\]'))) AS BIGINT) AS n_redactions
          |FROM r ORDER BY doc_id""".stripMargin,
+    // (df DESC, tf DESC, term) ends in a unique key so the LIMIT set is
+    // deterministic; postings pre-ranked so the string carries exactly
+    // the first IndexPostings sorted doc ids
+    "q_inverted_index" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($TOKS) AS t FROM documents),
+         |pd AS (SELECT t, doc_id, count(*) AS tf_doc FROM tok GROUP BY t, doc_id),
+         |r AS (
+         |  SELECT t, doc_id, tf_doc,
+         |    row_number() OVER (PARTITION BY t ORDER BY doc_id) AS rn
+         |  FROM pd),
+         |agg AS (
+         |  SELECT t, count(*) AS df, CAST(sum(tf_doc) AS BIGINT) AS tf,
+         |    string_agg(CASE WHEN rn <= $IndexPostings
+         |      THEN CAST(doc_id AS VARCHAR) END, ',' ORDER BY doc_id) AS postings
+         |  FROM r GROUP BY t)
+         |SELECT t AS term, df, tf, postings FROM agg
+         |ORDER BY df DESC, tf DESC, t LIMIT $IndexTopTerms""".stripMargin,
     // same md5 bucket/sign hashes (integer arithmetic throughout);
     // DuckDB % on the non-negative hash matches Spark pmod-free % here
     "q_feature_hash" ->

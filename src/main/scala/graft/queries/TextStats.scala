@@ -323,6 +323,36 @@ object TextStats {
   def qTokenEntropy(spark: SparkSession, dir: String): DataFrame =
     tokenEntropyOf(cachedDocTokens(spark, dir)).orderBy("doc_id")
 
+  /** Posting-list width / result width for [[qInvertedIndex]] —
+    * interpolated into BOTH engines. */
+  val IndexTopTerms = 20
+  val IndexPostings = 20
+
+  /** Inverted-index build (the search-engine core): per term, document
+    * frequency, total term frequency and the first [[IndexPostings]]
+    * doc ids of the sorted posting list, reported for the
+    * [[IndexTopTerms]] highest-df terms (deterministic (df, tf, term)
+    * order — the topNgrams selection idiom). Postings serialize as a
+    * comma-joined string so the oracle diff is cell-exact.
+    *
+    * Scale shape: wordcount-shaped term aggregates off the shared token
+    * frame; the posting list is bounded per term by the slice (at index
+    * scale the full lists shard by term range into the bucketed-write
+    * layout — Sources.writeCompacted is the landing shape). */
+  def qInvertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    val tok = cachedDocTokens(spark, dir)
+      .select(col("doc_id"), explode(col("ts")).as("t"))
+    val perDoc = tok.groupBy("t", "doc_id").agg(count(lit(1)).as("tf_doc"))
+    perDoc.groupBy("t")
+      .agg(count(lit(1)).as("df"), sum(col("tf_doc")).as("tf"),
+        expr(s"""array_join(transform(
+          slice(array_sort(collect_list(doc_id)), 1, $IndexPostings),
+          x -> CAST(x AS STRING)), ',')""").as("postings"))
+      .orderBy(desc("df"), desc("tf"), col("t"))
+      .limit(IndexTopTerms)
+      .select(col("t").as("term"), col("df"), col("tf"), col("postings"))
+  }
+
   /** Text-frame entry point of [[bigramLogprobOf]] (SQL-reachable as the
     * `bigram_logprob` TVF). */
   def bigramLogprob(docs: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -726,6 +756,7 @@ object TextStats {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_token_entropy" -> qTokenEntropy _,
     "q_feature_hash" -> qFeatureHash _,
+    "q_inverted_index" -> qInvertedIndex _,
     "q_bigram_logprob" -> qBigramLogprob _,
     "q_dataset_card" -> qDatasetCard _,
     "q_source_overlap" -> qSourceOverlap _,

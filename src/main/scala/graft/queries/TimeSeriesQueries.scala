@@ -525,6 +525,50 @@ object TimeSeriesQueries {
     liftPairs(Tables.events(spark, dir), "user_id", "ts", "event_type")
       .orderBy("type_a", "type_b")
 
+  /** PageRank iteration count / damping for [[qPagerank]] — damping
+    * terms spelled as literal constants on BOTH engines (0.15 written
+    * out, never derived as 1−0.85 in one engine and a literal in the
+    * other). */
+  val PrIters = 3
+  val PrDamp = 0.85
+  val PrBase = 0.15
+
+  /** PageRank over the event-type transition graph — the canonical
+    * distributed power iteration expressed as what it actually is on
+    * Spark: K rounds of (edge ⋈ score) → groupBy(dst) → weighted sum.
+    * Edges are the [[transitionMatrix]] probabilities; each round
+    * recomputes PR(j) = 0.15/N + 0.85·Σ PR(i)·P(j|i), with a left join
+    * back to the node list so sink-only nodes keep the base score.
+    *
+    * Scale shape: the per-round join keys on the edge's src — at real
+    * graph scale this is the standard edge-partitioned shuffle; the
+    * driver only paces K fixed rounds (no convergence collect). The
+    * 5-node fixture graph keeps the oracle's unrolled-CTE twin exact. */
+  def qPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val n = lit(5.0)
+    val counts = transitionMatrix(Tables.events(spark, dir), "user_id",
+      "event_type", "ts", "event_id")
+      .select(col("prev"), col("next"), col("n"))
+    val tots = counts.groupBy("prev").agg(sum(col("n")).as("tot"))
+    val edges = counts.join(broadcast(tots), "prev")
+      .select(col("prev"), col("next"),
+        (col("n").cast("double") / col("tot").cast("double")).as("pw"))
+    val nodes = edges.select(col("prev").as("node")).distinct()
+      .unionByName(edges.select(col("next").as("node")).distinct()).distinct()
+    var pr = nodes.select(col("node"), (lit(1.0) / n).as("score"))
+    for (_ <- 1 to PrIters) {
+      val contrib = edges.join(pr, col("prev") === col("node"))
+        .groupBy(col("next").as("node2"))
+        .agg(sum(col("pw") * col("score")).as("mass"))
+      pr = nodes.join(contrib, col("node") === col("node2"), "left")
+        .select(col("node"),
+          (lit(PrBase) / n + lit(PrDamp) * coalesce(col("mass"), lit(0.0)))
+            .as("score"))
+    }
+    pr.select(col("node").as("event_type"), rnd(col("score"), 6).as("pagerank"))
+      .orderBy("event_type")
+  }
+
   /** Cohort retention — the dashboard staple the reference's summary
     * panels approximate by hand: users grouped by FIRST-ACTIVE day
     * (their cohort), then distinct-active counts per (cohort,
@@ -637,6 +681,7 @@ object TimeSeriesQueries {
     "q_rolling_median" -> qRollingMedian _,
     "q_latency_bands" -> qLatencyBands _,
     "q_lift_pairs" -> qLiftPairs _,
+    "q_pagerank" -> qPagerank _,
     "q_ohlc_resample" -> qOhlcResample _,
     "q_lag_lead" -> qLagLead _,
     "q_rolling_mean" -> qRollingMean _,
@@ -745,6 +790,41 @@ object TimeSeriesQueries {
          |  last_value(close IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY b
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_ffill
          |FROM j ORDER BY event_type, bucket""".stripMargin,
+    // the 3 power-iteration rounds are UNROLLED as chained CTEs with
+    // the same fixed-order arithmetic per round; 0.15/5 forced through
+    // DOUBLE division (DECIMAL/DECIMAL would yield a different double)
+    "q_pagerank" -> {
+      def round(prev: String, cur: String): String =
+        s"""$cur AS (
+           |  SELECT nodes.node,
+           |    CAST(0.15 AS DOUBLE) / 5.0 + 0.85 * coalesce(m.mass, 0.0) AS score
+           |  FROM nodes LEFT JOIN (
+           |    SELECT e.next AS node, sum(e.pw * $prev.score) AS mass
+           |    FROM e JOIN $prev ON e.prev = $prev.node GROUP BY e.next) m
+           |  ON nodes.node = m.node)""".stripMargin
+      s"""WITH pairs AS (
+         |  SELECT lag(event_type, 1) OVER (PARTITION BY user_id
+         |           ORDER BY epoch_ns(ts), event_id) AS prev,
+         |    event_type AS next
+         |  FROM events),
+         |c AS (
+         |  SELECT prev, next, count(*) AS n FROM pairs
+         |  WHERE prev IS NOT NULL GROUP BY prev, next),
+         |t AS (SELECT prev, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY prev),
+         |e AS (
+         |  SELECT c.prev, c.next, CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS pw
+         |  FROM c JOIN t ON c.prev = t.prev),
+         |nodes AS (
+         |  SELECT DISTINCT prev AS node FROM e
+         |  UNION SELECT DISTINCT next FROM e),
+         |p0 AS (SELECT node, 1.0 / 5.0 AS score FROM nodes),
+         |${round("p0", "p1")},
+         |${round("p1", "p2")},
+         |${round("p2", "p3")}
+         |SELECT node AS event_type,
+         |  floor(score * 1e6 + 0.5) / 1e6 AS pagerank
+         |FROM p3 ORDER BY event_type""".stripMargin
+    },
     // baskets/pairs/counts mirror the Spark shapes; every ratio is the
     // same fixed-order double expression over exact integer counts
     "q_lift_pairs" ->

@@ -583,6 +583,50 @@ class PropertySpec extends AnyFunSuite {
     assert(fh.collect().toSeq == fh.collect().toSeq)
   }
 
+  test("qPagerank: probability mass conserved, hand-checked against a dense power iteration") {
+    import graft.queries.{TimeSeriesQueries => TS}
+    val out = TS.qPagerank(spark, TestSpark.Sf)
+      .as[(String, Double)].collect().toMap
+    assert(out.size == 5)
+    // no dangling nodes on this fixture -> total mass stays 1
+    assert(math.abs(out.values.sum - 1.0) < 1e-3, s"mass: ${out.values.sum}")
+    // dense recompute from the raw transition counts
+    val pairs = TS.transitionMatrix(Tables.events(spark, TestSpark.Sf),
+        "user_id", "event_type", "ts", "event_id")
+      .select($"prev", $"next", $"n").as[(String, String, Long)].collect().toSeq
+    val tot = pairs.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val nodes = (pairs.map(_._1) ++ pairs.map(_._2)).distinct.sorted
+    var pr = nodes.map(_ -> 0.2).toMap
+    for (_ <- 1 to TS.PrIters) {
+      val mass = pairs.groupBy(_._2).view.mapValues(_.map { case (p, _, n) =>
+        (n.toDouble / tot(p).toDouble) * pr(p)
+      }.sum).toMap
+      pr = nodes.map(nd => nd -> (TS.PrBase / 5.0 + TS.PrDamp * mass.getOrElse(nd, 0.0))).toMap
+    }
+    nodes.foreach { nd =>
+      assert(math.abs(out(nd) - pr(nd)) < 1e-6, s"$nd: ${out(nd)} vs ${pr(nd)}")
+    }
+  }
+
+  test("qInvertedIndex: df/tf consistent, postings sorted, bounded and prefix-complete") {
+    import graft.queries.TextStats
+    val out = TextStats.qInvertedIndex(spark, TestSpark.Sf)
+      .as[(String, Long, Long, String)].collect().toSeq
+    assert(out.size == TextStats.IndexTopTerms)
+    // df is monotone non-increasing down the report
+    assert(out.map(_._2) == out.map(_._2).sortBy(-_))
+    val docs = Tables.documents(spark, TestSpark.Sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    out.foreach { case (term, df, tf, postings) =>
+      val hits = docs.filter(_._2.trim.split("\\s+").contains(term)).map(_._1).sorted
+      assert(df == hits.size, s"$term df")
+      assert(tf == docs.map(_._2.trim.split("\\s+").count(_ == term)).sum, s"$term tf")
+      val ids = postings.split(",").map(_.toLong).toSeq
+      assert(ids == ids.sorted && ids.size <= TextStats.IndexPostings)
+      assert(ids == hits.take(TextStats.IndexPostings), s"$term postings")
+    }
+  }
+
   test("tokenEntropy: closed forms on synthetic docs (uniform, constant, singleton)") {
     import graft.queries.TextStats
     val docs = Seq(
