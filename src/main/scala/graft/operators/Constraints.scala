@@ -77,16 +77,26 @@ object Constraints {
       .withColumn("passed", col("metric") >= col("threshold"))
   }
 
-  /** Key-uniqueness check: distinct keys / total rows, passes only at
-    * exactly 1.0 (every key occurs once). */
-  def uniqueness(df: DataFrame, target: String, cols: Seq[String]): DataFrame =
-    df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("n"))
-      .agg(count(lit(1)).as("keys"), sum(col("n")).as("rows"))
+  /** Key-uniqueness check: NON-NULL distinct keys / total rows, passes
+    * only at exactly 1.0 (every row carries a key and every key occurs
+    * once). A row with any NULL key component counts against the
+    * metric rather than forming its own "unique" NULL group — the
+    * `count(DISTINCT k) / count(*)` semantics a SQL twin states, and
+    * the Deequ-style reading that a missing key can never certify
+    * uniqueness. */
+  def uniqueness(df: DataFrame, target: String, cols: Seq[String]): DataFrame = {
+    val keyed = cols.map(col(_).isNotNull).reduce(_ && _)
+    val keys = df.filter(keyed)
+      .groupBy(cols.map(col): _*).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("keys"))
+    val total = df.agg(count(lit(1)).as("rows"))
+    keys.crossJoin(broadcast(total))
       .select(lit(target).as("target"), lit("unique").as("check"),
         lit(cols.mkString(",")).as("column"),
         (col("keys").cast("double") / col("rows").cast("double")).as("metric"),
         lit(1.0).as("threshold"))
       .withColumn("passed", col("metric") >= col("threshold"))
+  }
 
   /** Referential-integrity check: fraction of child rows whose `childCol`
     * exists in the parent's `parentCol` key set. NULL foreign keys count

@@ -539,8 +539,10 @@ object ScalarQueries {
     val counts = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
     ev.withColumn("rn", row_number().over(w))
       .join(broadcast(counts), "event_type")
+      // rank widened to BIGINT before the multiply: row_number is
+      // 32-bit and (rn-1)·k overflows past ~2^31/k rows per type
       .withColumn("bucket",
-        expr(s"CAST((((rn - 1) * $k) div n) + 1 AS INT)"))
+        expr(s"CAST(((CAST(rn - 1 AS BIGINT) * $k) div n) + 1 AS INT)"))
       .groupBy("event_type", "bucket")
       .agg(count(lit(1)).as("n_rows"),
         min(col("value")).as("lo"), max(col("value")).as("hi"),

@@ -394,8 +394,10 @@ object TimeSeriesQueries {
     * Scale shape: one event-grain aggregate onto the bounded 5×7×24
     * grid, then the grid broadcast back onto the scan for the residual
     * count — the winsorize/normalize stats-join idiom; no windows, no
-    * distinct state. The Σc² partial stays long-exact: cents ≤ ~1e5,
-    * c² ≤ 1e10, and even 1e9 rows per cell keeps the sum under 2^63. */
+    * distinct state. The Σc² partial stays long-exact up to ~9·10⁸ rows
+    * per cell (c ≤ 1e5 cents ⇒ c² ≤ 1e10; 2^63 ≈ 9.2·10¹⁸) — past
+    * that, widen the partial per the shared-recipe note in
+    * [[graft.queries]]. */
   def seasonalBaseline(df: DataFrame, typeCol: String, tsCol: String,
                        valCol: String): DataFrame = {
     val ev = df
@@ -406,15 +408,13 @@ object TimeSeriesQueries {
     val grid = ev.groupBy("event_type", "dow", "hod")
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("sumc"),
         sum(col("cents") * col("cents")).as("sumsq"))
-    val nd    = col("n").cast("double")
-    val sumcd = col("sumc").cast("double")
-    val varC  = greatest(lit(0.0),
-      (nd * col("sumsq").cast("double") - sumcd * sumcd) / (nd * (nd - 1.0)))
     // n=1 cells have no sample variance — gate BEFORE the division
-    // (ANSI Spark throws on /0 where DuckDB would yield NaN)
+    // (ANSI Spark throws on /0 where DuckDB would yield NaN); moments
+    // via the shared cross-engine recipe (see package.scala)
     val stats = grid.select(col("event_type"), col("dow"), col("hod"), col("n"),
-      (sumcd / nd / 100.0).as("mean_v"),
-      when(col("n") >= 2, sqrt(varC) / 100.0).as("std_v"))
+      meanFromCents(col("n"), col("sumc")).as("mean_v"),
+      when(col("n") >= 2,
+        sqrt(varFromCents(col("n"), col("sumc"), col("sumsq")))).as("std_v"))
     val anom = ev.join(broadcast(stats), Seq("event_type", "dow", "hod"))
       .filter(col("n") >= 2 && col("std_v") > 0.0 &&
         abs(col("value") - col("mean_v")) > lit(3.0) * col("std_v"))
@@ -924,7 +924,7 @@ object TimeSeriesQueries {
     // fixed-order double expression as the Spark side; DuckDB dayofweek
     // is 0=Sunday, Spark's is 1=Sunday — the +1 aligns them
     "q_seasonal_baseline" ->
-      """WITH ev AS (
+      s"""WITH ev AS (
         |  SELECT event_type, value,
         |    CAST(strftime(ts, '%w') AS INT) + 1 AS dow,
         |    CAST(strftime(ts, '%H') AS INT) AS hod,
@@ -937,11 +937,9 @@ object TimeSeriesQueries {
         |  FROM ev GROUP BY event_type, dow, hod),
         |stats AS (
         |  SELECT event_type, dow, hod, n,
-        |    CAST(sumc AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean_v,
-        |    CASE WHEN n >= 2 THEN sqrt(greatest(0.0,
-        |      (CAST(n AS DOUBLE) * CAST(sumsq AS DOUBLE)
-        |        - CAST(sumc AS DOUBLE) * CAST(sumc AS DOUBLE))
-        |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))) / 100.0 END AS std_v
+        |    ${meanFromCentsSql("n", "sumc")} AS mean_v,
+        |    CASE WHEN n >= 2
+        |      THEN sqrt(${varFromCentsSql("n", "sumc", "sumsq")}) END AS std_v
         |  FROM grid),
         |anom AS (
         |  SELECT ev.event_type, ev.dow, ev.hod, count(*) AS n_anom

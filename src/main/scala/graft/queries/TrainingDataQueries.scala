@@ -504,12 +504,11 @@ object TrainingDataQueries {
     val g = ev.groupBy("event_type", "period")
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("sumc"),
         sum(col("cents") * col("cents")).as("sumsq"))
+    // moments via the shared cross-engine recipe (see package.scala)
     def nd(s: String)  = col(s + ".n").cast("double")
-    def m(s: String)   = (col(s + ".sumc").cast("double") / nd(s)) / 100.0
-    def v(s: String)   = greatest(lit(0.0),
-      (nd(s) * col(s + ".sumsq").cast("double") -
-        col(s + ".sumc").cast("double") * col(s + ".sumc").cast("double")) /
-        (nd(s) * (nd(s) - 1.0))) / 10000.0
+    def m(s: String)   = meanFromCents(col(s + ".n"), col(s + ".sumc"))
+    def v(s: String)   = varFromCents(col(s + ".n"), col(s + ".sumc"),
+      col(s + ".sumsq"))
     val a = g.filter(col("period") === "a").as("a")
     val b = g.filter(col("period") === "b").as("b")
     val se2 = v("a") / nd("a") + v("b") / nd("b")
@@ -522,7 +521,11 @@ object TrainingDataQueries {
       .select(col("a.event_type").as("event_type"),
         col("a.n").as("n_a"), col("b.n").as("n_b"),
         rnd(m("a") - m("b"), 4).as("mean_diff"),
-        rnd(t, 4).as("t_stat"), rnd(dfw, 1).as("df"))
+        // both samples constant -> se2=0 -> no finite t; NULL, not a
+        // divide-through-zero that rnd() would mangle per engine
+        rnd(when(se2 > 0.0, t), 4).as("t_stat"),
+        rnd(when(se2 > 0.0, dfw), 1).as("df"))
+      // NULL t propagates to a NULL flag on both engines
       .withColumn("significant", abs(col("t_stat")) > 1.96)
   }
 
@@ -629,26 +632,24 @@ object TrainingDataQueries {
          |j AS (
          |  SELECT a.event_type,
          |    a.n AS na, b.n AS nb,
-         |    (CAST(a.sumc AS DOUBLE) / CAST(a.n AS DOUBLE)) / 100.0 AS ma,
-         |    (CAST(b.sumc AS DOUBLE) / CAST(b.n AS DOUBLE)) / 100.0 AS mb,
-         |    greatest(0.0, (CAST(a.n AS DOUBLE) * CAST(a.sumsq AS DOUBLE)
-         |      - CAST(a.sumc AS DOUBLE) * CAST(a.sumc AS DOUBLE))
-         |      / (CAST(a.n AS DOUBLE) * (CAST(a.n AS DOUBLE) - 1.0))) / 10000.0 AS va,
-         |    greatest(0.0, (CAST(b.n AS DOUBLE) * CAST(b.sumsq AS DOUBLE)
-         |      - CAST(b.sumc AS DOUBLE) * CAST(b.sumc AS DOUBLE))
-         |      / (CAST(b.n AS DOUBLE) * (CAST(b.n AS DOUBLE) - 1.0))) / 10000.0 AS vb
+         |    ${meanFromCentsSql("a.n", "a.sumc")} AS ma,
+         |    ${meanFromCentsSql("b.n", "b.sumc")} AS mb,
+         |    ${varFromCentsSql("a.n", "a.sumc", "a.sumsq")} AS va,
+         |    ${varFromCentsSql("b.n", "b.sumc", "b.sumsq")} AS vb
          |  FROM g a JOIN g b ON a.event_type = b.event_type
          |  WHERE a.period = 'a' AND b.period = 'b' AND a.n >= 2 AND b.n >= 2),
          |k AS (
          |  SELECT event_type, na, nb,
          |    floor((ma - mb) * 1e4 + 0.5) / 1e4 AS mean_diff,
+         |    CASE WHEN va / CAST(na AS DOUBLE) + vb / CAST(nb AS DOUBLE) > 0.0 THEN
          |    floor(((ma - mb) / sqrt(va / CAST(na AS DOUBLE) + vb / CAST(nb AS DOUBLE)))
-         |      * 1e4 + 0.5) / 1e4 AS t_stat,
+         |      * 1e4 + 0.5) / 1e4 END AS t_stat,
+         |    CASE WHEN va / CAST(na AS DOUBLE) + vb / CAST(nb AS DOUBLE) > 0.0 THEN
          |    floor((((va / CAST(na AS DOUBLE) + vb / CAST(nb AS DOUBLE))
          |        * (va / CAST(na AS DOUBLE) + vb / CAST(nb AS DOUBLE)))
          |      / ((va / CAST(na AS DOUBLE)) * (va / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1.0)
          |        + (vb / CAST(nb AS DOUBLE)) * (vb / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1.0)))
-         |      * 1e1 + 0.5) / 1e1 AS df
+         |      * 1e1 + 0.5) / 1e1 END AS df
          |  FROM j)
          |SELECT event_type, na AS n_a, nb AS n_b, mean_diff, t_stat, df,
          |  abs(t_stat) > 1.96 AS significant

@@ -25,4 +25,35 @@ package object queries {
   /** DuckDB twin of [[rnd]]. */
   def rndSql(e: String, s: Int): String =
     s"floor(($e) * 1e$s + 0.5) / 1e$s"
+
+  /** Cross-engine exact-moment recipe (the PartialAgg derivation),
+    * written ONCE per engine: mean and clamped sample variance in VALUE
+    * units from the exact integer-cent sums (n, Σc, Σc²). Every
+    * consumer (seasonal baseline, Welch t-test) must use these rather
+    * than hand-mirroring the fixed-order expression — a one-sided edit
+    * to a private copy silently breaks oracle parity.
+    *
+    * Long-exactness bound for the Σc² input: c ≤ 1e5 cents ⇒ c² ≤ 1e10,
+    * so the sum stays under 2^63 up to ~9·10⁸ rows per group; past
+    * that, widen the partial as PartialAgg's Scaladoc prescribes. */
+  def meanFromCents(n: Column, sumc: Column): Column =
+    (sumc.cast("double") / n.cast("double")) / 100.0
+
+  def varFromCents(n: Column, sumc: Column, sumsq: Column): Column = {
+    import org.apache.spark.sql.functions.{greatest, lit}
+    val nd = n.cast("double")
+    val sc = sumc.cast("double")
+    greatest(lit(0.0),
+      (nd * sumsq.cast("double") - sc * sc) / (nd * (nd - 1.0))) / 10000.0
+  }
+
+  /** DuckDB twins of [[meanFromCents]] / [[varFromCents]] — identical
+    * token order. */
+  def meanFromCentsSql(n: String, sumc: String): String =
+    s"(CAST($sumc AS DOUBLE) / CAST($n AS DOUBLE)) / 100.0"
+
+  def varFromCentsSql(n: String, sumc: String, sumsq: String): String =
+    s"greatest(0.0, (CAST($n AS DOUBLE) * CAST($sumsq AS DOUBLE)" +
+      s" - CAST($sumc AS DOUBLE) * CAST($sumc AS DOUBLE))" +
+      s" / (CAST($n AS DOUBLE) * (CAST($n AS DOUBLE) - 1.0))) / 10000.0"
 }

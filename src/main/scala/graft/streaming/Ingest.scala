@@ -302,8 +302,11 @@ object Ingest {
         "baseline the same way the windows are smoothed)")
     require(hi > lo, s"driftMonitor: hi must exceed lo ($lo, $hi)")
     val nBins = baseline.size
-    val bin = least(lit(nBins - 1),
-      floor((col("value") - lo) / ((hi - lo) / nBins.toDouble)).cast("int"))
+    // clamp BOTH ends: a value below lo would otherwise compute bin -1,
+    // match no conditional count, and silently understate low-side
+    // drift while still inflating n
+    val bin = greatest(lit(0), least(lit(nBins - 1),
+      floor((col("value") - lo) / ((hi - lo) / nBins.toDouble)).cast("int")))
     val binCounts = (0 until nBins).map(k =>
       sum(when(bin === k, 1L).otherwise(0L)).as(s"b$k"))
     val aggs = count(lit(1)).as("n") +: binCounts

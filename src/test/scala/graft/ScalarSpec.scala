@@ -178,9 +178,11 @@ class ScalarSpec extends AnyFunSuite {
       assert(lo <= hi, s"inverted CI: $r")
       assert(lo <= m && m <= hi, s"CI must bracket the full mean here: $r")
     }
-    // Poisson(1) thresholds are a valid CDF on the 32-bit range
+    // Poisson(1) thresholds are a valid CDF on the 15-bit draw range
     val t = ScalarQueries.PoisThresholds
-    assert(t == t.sorted && t.last <= 4294967296L && t.head > 0)
+    assert(t == t.sorted && t.last <= 32768L && t.head > 0)
+    // weight 0 must stay achievable and the CDF must be near-complete
+    assert(t.head < 32768L && t.last > 32700L)
   }
 
   test("Constraints.scalarAudit: completeness/range/set metrics are exact fractions") {
@@ -211,6 +213,11 @@ class ScalarSpec extends AnyFunSuite {
     // the composite key IS unique even though k alone is not
     val r2 = uniqueness(dup, "t", Seq("k", "p")).head()
     assert(r2.getDouble(3) == 1.0 && r2.getBoolean(5))
+    // a NULL key counts AGAINST the metric (never a 'unique' NULL
+    // group): [1, 2, NULL] must NOT read as fully unique
+    val withNull = Seq(Some(1), Some(2), None).toDF("k")
+    val r3 = uniqueness(withNull, "t", Seq("k")).head()
+    assert(r3.getDouble(3) == 2.0 / 3.0 && !r3.getBoolean(5))
   }
 
   test("Constraints.refIntegrity: orphans and NULL foreign keys both count against the metric") {

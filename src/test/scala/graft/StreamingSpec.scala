@@ -571,17 +571,24 @@ class StreamingSpec extends AnyFunSuite {
       // window 2 (minute 30+): everything in the top bin — max drift
       val shifted = (0 until 50).map(i =>
         ev(100 + i, 1, i, 95.0, 30 * MinNs + (i % 3) * MinNs))
-      src.addData(uniform ++ shifted: _*)
+      // window 3 (minute 60+): everything BELOW lo — must clamp into
+      // bin 0 (not fall out of every bin) and drift just as hard
+      val below = (0 until 50).map(i =>
+        ev(200 + i, 1, i, -40.0, 60 * MinNs + (i % 3) * MinNs))
+      src.addData(uniform ++ shifted ++ below: _*)
       q.processAllAvailable()
       src.addData(ev(999, 1, 999, 50.0, 300 * MinNs)) // close both windows
       q.processAllAvailable()
       val rows = spark.table("drift_out")
         .select($"n", $"psi", $"drifted").as[(Long, Double, Boolean)]
         .collect().toSeq.filter(_._1 == 50L).sortBy(_._2)
-      assert(rows.size >= 2, s"expected both 50-event windows closed: $rows")
-      val (calm, hot) = (rows.head, rows.last)
+      assert(rows.size >= 3, s"expected all three 50-event windows closed: $rows")
+      val calm = rows.head
       assert(calm._2 < 0.01 && !calm._3, s"uniform window must not drift: $calm")
-      assert(hot._2 > 1.0 && hot._3, s"shifted window must drift hard: $hot")
+      rows.tail.foreach { hot =>
+        assert(hot._2 > 1.0 && hot._3,
+          s"shifted/below-lo windows must drift hard: $hot")
+      }
     } finally q.stop()
   }
 }
