@@ -509,6 +509,56 @@ object ScalarQueries {
       .orderBy("event_type")
   }
 
+  /** MinHash signature width for [[qMinhashPartials]] — interpolated
+    * into BOTH engines. */
+  val MhK = 16
+
+  /** Mergeable MinHash set-similarity partials — the FIFTH partial-state
+    * family member (moments / distincts / frequencies / ranked items /
+    * now set resemblance): each day's active-user set reduces to a
+    * [[MhK]]-component MinHash signature (component i = min over users
+    * of hash(user|mh_i) — elementwise-min MERGEABLE, so any day range's
+    * signature folds from daily partials without re-touching facts),
+    * and day-over-day audience similarity is estimated as the fraction
+    * of matching components, reported beside the exact Jaccard.
+    *
+    * Scale shape: signatures are one (day)-grouped aggregate with MhK
+    * constant-size min partials; the estimate join is metadata-scale.
+    * The exact comparator joins (day, user) sets pairwise — fine at
+    * fixture scale, and at 100 TB it is exactly the cost the signature
+    * exists to avoid (the diagnostic-twin pattern of q_approx_sketch:
+    * production keeps the partials, the exact column is the evidence). */
+  def qMinhashPartials(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.hash32
+    val du = Tables.events(spark, dir)
+      .select(Tables.eventDay.as("day"), col("user_id")).distinct()
+    val sigs = du.groupBy("day")
+      .agg(count(lit(1)).as("n_users"),
+        (0 until MhK).map(i =>
+          min(hash32(concat(col("user_id").cast("string"), lit(s"|mh$i"))))
+            .as(s"h$i")): _*)
+    val matches = (0 until MhK).map(i =>
+      when(col(s"a.h$i") === col(s"b.h$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val est = sigs.as("a").join(sigs.as("b"),
+        datediff(col("b.day"), col("a.day")) === 1)
+      .select(col("a.day").as("day"), col("b.day").as("day_next"),
+        col("a.n_users").as("n_a"), col("b.n_users").as("n_b"),
+        (matches.cast("double") / lit(MhK.toDouble)).as("jaccard_est"))
+    val inter = du.as("x").join(du.withColumnRenamed("day", "day2").as("y"),
+        col("x.user_id") === col("y.user_id") &&
+          datediff(col("day2"), col("day")) === 1)
+      .groupBy(col("day"), col("day2").as("day_next"))
+      .agg(count(lit(1)).as("n_inter"))
+    est.join(inter, Seq("day", "day_next"), "left")
+      .select(col("day"), col("day_next"), col("n_a"), col("n_b"),
+        rnd(col("jaccard_est"), 4).as("jaccard_est"),
+        rnd(coalesce(col("n_inter"), lit(0L)).cast("double") /
+          (col("n_a") + col("n_b") - coalesce(col("n_inter"), lit(0L))).cast("double"),
+          4).as("jaccard_exact"))
+      .orderBy("day")
+  }
+
   /** Bucket count for [[qQuantileBuckets]] — interpolated into BOTH
     * engines. */
   val QuantileK = 10
@@ -557,6 +607,7 @@ object ScalarQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bootstrap_ci" -> qBootstrapCi _,
+    "q_minhash_partials" -> qMinhashPartials _,
     "q_quantile_buckets" -> qQuantileBuckets _,
     "q_constraint_audit" -> qConstraintAudit _,
     "q_topk_partials" -> qTopkPartials _,
@@ -603,6 +654,39 @@ object ScalarQueries {
       .orderBy("c_custkey")
 
   val oracles: Map[String, String] = Map(
+    // daily signature mins and the match count are pure md5 integer
+    // arithmetic; both jaccards are exact integer-count rationals
+    "q_minhash_partials" -> {
+      val mins = (0 until MhK).map(i =>
+        "min(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|mh" + i +
+          "'), 1, 8))::BIGINT) AS h" + i).mkString(",\n    ")
+      val eq = (0 until MhK).map(i =>
+        s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH du AS (
+         |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+         |sigs AS (
+         |  SELECT day, count(*) AS n_users,
+         |    $mins
+         |  FROM du GROUP BY day),
+         |est AS (
+         |  SELECT a.day AS day, b.day AS day_next,
+         |    a.n_users AS n_a, b.n_users AS n_b,
+         |    (CAST($eq AS DOUBLE) / ${MhK}.0) AS jaccard_est
+         |  FROM sigs a JOIN sigs b ON date_diff('day', a.day, b.day) = 1),
+         |inter AS (
+         |  SELECT x.day AS day, y.day AS day_next, count(*) AS n_inter
+         |  FROM du x JOIN du y ON x.user_id = y.user_id
+         |    AND date_diff('day', x.day, y.day) = 1
+         |  GROUP BY x.day, y.day)
+         |SELECT e.day, e.day_next, e.n_a, e.n_b,
+         |  floor(e.jaccard_est * 1e4 + 0.5) / 1e4 AS jaccard_est,
+         |  floor((CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+         |    / CAST(e.n_a + e.n_b - coalesce(i.n_inter, 0) AS DOUBLE)) * 1e4 + 0.5) / 1e4
+         |    AS jaccard_exact
+         |FROM est e LEFT JOIN inter i
+         |  ON e.day = i.day AND e.day_next = i.day_next
+         |ORDER BY e.day""".stripMargin
+    },
     // replica weights come from integer hash-threshold comparisons
     // (PoisThresholds interpolated as literals), replica means from
     // exact integer sums, and the CI bounds by exact rank from the

@@ -164,6 +164,35 @@ class ScalarSpec extends AnyFunSuite {
     assert(incremental.nonEmpty && incremental == full)
   }
 
+  test("qMinhashPartials: signatures merge by elementwise min; estimate tracks exact") {
+    import graft.queries.ScalarQueries
+    import graft.functions.TextFunctions.hash32
+    val du = Tables.events(spark, TestSpark.Sf)
+      .select(Tables.eventDay.as("day"), col("user_id")).distinct()
+    def sig(d: org.apache.spark.sql.DataFrame): Seq[Long] =
+      d.agg(min(hash32(concat(col("user_id").cast("string"), lit("|mh0")))),
+          min(hash32(concat(col("user_id").cast("string"), lit("|mh1")))))
+        .head() match { case r => Seq(r.getLong(0), r.getLong(1)) }
+    // mergeability: the union range's signature equals the elementwise
+    // min of the daily partials — the property that lets day partials
+    // fold to any coarser grain without re-touching facts
+    val days = du.select("day").distinct().orderBy("day").limit(2)
+      .collect().map(_.getDate(0))
+    val d1 = du.filter(col("day") === days(0))
+    val d2 = du.filter(col("day") === days(1))
+    val merged = sig(d1).zip(sig(d2)).map { case (x, y) => math.min(x, y) }
+    assert(sig(d1.unionByName(d2)) == merged)
+    // estimator sanity: K=16 components -> sigma ~ 0.125; 4 sigma bound
+    val out = ScalarQueries.qMinhashPartials(spark, TestSpark.Sf)
+      .select(col("jaccard_est"), col("jaccard_exact"))
+      .as[(Double, Double)].collect().toSeq
+    assert(out.nonEmpty)
+    out.foreach { case (est, exact) =>
+      assert(est >= 0.0 && est <= 1.0 && math.abs(est - exact) <= 0.5,
+        s"est $est vs exact $exact")
+    }
+  }
+
   test("qBootstrapCi: full reps, ordered brackets around the full-sample mean") {
     import graft.queries.ScalarQueries
     val out = ScalarQueries.qBootstrapCi(spark, TestSpark.Sf)
