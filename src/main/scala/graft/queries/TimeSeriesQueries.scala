@@ -550,11 +550,17 @@ object TimeSeriesQueries {
       "event_type", "ts", "event_id")
       .select(col("prev"), col("next"), col("n"))
     val tots = counts.groupBy("prev").agg(sum(col("n")).as("tot"))
+    // materialize the bounded edge list ONCE (|types|² rows): without
+    // this, every iteration's plan re-runs the per-user lag window that
+    // builds the transition counts — K× the whole upstream for a frame
+    // that is pure metadata
     val edges = counts.join(broadcast(tots), "prev")
       .select(col("prev"), col("next"),
         (col("n").cast("double") / col("tot").cast("double")).as("pw"))
+      .localCheckpoint(true)
     val nodes = edges.select(col("prev").as("node")).distinct()
       .unionByName(edges.select(col("next").as("node")).distinct()).distinct()
+      .localCheckpoint(true)
     var pr = nodes.select(col("node"), (lit(1.0) / n).as("score"))
     for (_ <- 1 to PrIters) {
       val contrib = edges.join(pr, col("prev") === col("node"))
