@@ -248,6 +248,8 @@ case class ResolveGraftOp(spark: org.apache.spark.sql.SparkSession)
         case "feature_hash" => // (idCol, textCol, dim)
           graft.queries.TextStats.featureHash(
             dfs(0), str(0), str(1), lng(2).toInt)
+        case "bm25" => // (idCol, textCol, commaSeparatedTerms)
+          graft.queries.TextStats.bm25(dfs(0), str(0), str(1), str(2))
         case "salted_rolling" => // (key, ts, valCol, frameNs, chunkNs)
           graft.operators.SaltedWindow.saltedRollingSum(
             dfs(0), str(0), str(1), str(2), lng(3), lng(4))
@@ -426,6 +428,7 @@ object GraftFunctions {
     "token_entropy" -> ("token_entropy(table, idCol, textCol)", 2),
     "lift_pairs" -> ("lift_pairs(table, userCol, tsCol, typeCol)", 3),
     "feature_hash" -> ("feature_hash(table, idCol, textCol, dim)", 3),
+    "bm25" -> ("bm25(table, idCol, textCol, commaSeparatedTerms)", 3),
     "salted_rolling" ->
       ("salted_rolling(table, key, ts, valCol, frameNs, chunkNs)", 5))
 

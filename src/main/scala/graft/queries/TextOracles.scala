@@ -381,6 +381,35 @@ import TextStats._
          |    len(regexp_extract_all(redacted, '\\[(EMAIL|URL|PHONE|IP)\\]'))
          |    - len(regexp_extract_all(text, '\\[(EMAIL|URL|PHONE|IP)\\]'))) AS BIGINT) AS n_redactions
          |FROM r ORDER BY doc_id""".stripMargin,
+    // same fixed-order BM25 arithmetic; k1/b enter as CAST(literal AS
+    // DOUBLE) so DuckDB's DECIMAL parse cannot pre-fold (1.2+1.0) to a
+    // different double than Spark's IEEE sum
+    "q_bm25" -> {
+      val terms = BmQuery.map(t => s"'$t'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, $TOKS AS ts FROM documents),
+         |dl AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl FROM t),
+         |stats AS (SELECT count(*) AS nd, CAST(sum(dl) AS BIGINT) AS sumdl FROM dl),
+         |tok AS (SELECT doc_id, unnest($TOKS) AS tm FROM documents),
+         |tf AS (
+         |  SELECT doc_id, tm, count(*) AS tf FROM tok
+         |  WHERE tm IN ($terms) GROUP BY doc_id, tm),
+         |dfreq AS (SELECT tm, count(*) AS df FROM tf GROUP BY tm),
+         |sc AS (
+         |  SELECT tf.doc_id,
+         |    ln((CAST(s.nd AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+         |        / (CAST(d.df AS DOUBLE) + 0.5) + 1.0)
+         |      * ((CAST(tf.tf AS DOUBLE) * (CAST($BmK1 AS DOUBLE) + 1.0))
+         |        / (CAST(tf.tf AS DOUBLE) + CAST($BmK1 AS DOUBLE)
+         |          * (1.0 - CAST($BmB AS DOUBLE) + CAST($BmB AS DOUBLE)
+         |            * (CAST(dl.dl AS DOUBLE)
+         |              / (CAST(s.sumdl AS DOUBLE) / CAST(s.nd AS DOUBLE)))))) AS c
+         |  FROM tf JOIN dfreq d ON tf.tm = d.tm
+         |    JOIN dl ON tf.doc_id = dl.doc_id
+         |    CROSS JOIN stats s)
+         |SELECT doc_id, count(*) AS n_terms_matched,
+         |  floor((sum(c)) * 1e4 + 0.5) / 1e4 AS bm25
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     // (df DESC, tf DESC, term) ends in a unique key so the LIMIT set is
     // deterministic; postings pre-ranked so the string carries exactly
     // the first IndexPostings sorted doc ids

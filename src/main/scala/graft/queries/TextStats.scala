@@ -323,6 +323,63 @@ object TextStats {
   def qTokenEntropy(spark: SparkSession, dir: String): DataFrame =
     tokenEntropyOf(cachedDocTokens(spark, dir)).orderBy("doc_id")
 
+  /** BM25 parameters + the fixed query term set for [[qBm25]] —
+    * interpolated into BOTH engines (k1/b written as literals; every
+    * derived constant is computed with the SAME operation order on both
+    * sides, never pre-folded on one side only). */
+  val BmK1 = 1.2
+  val BmB = 0.75
+  val BmQuery = Seq("query", "join", "data")
+
+  /** BM25 ranked retrieval — the sparse-retrieval baseline every search
+    * stack starts from, over the shared token frame: for a fixed query
+    * term set, score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    * with the Robertson +1 idf (always positive). Emits EVERY matching
+    * doc ordered by doc_id — deliberately not a top-k: a rank cut on raw
+    * double scores could tie-break differently per engine at the cut,
+    * whereas the full match set is deterministic.
+    *
+    * Scale shape: the tf aggregate touches only query-term postings
+    * (filter pushes the term set into the token explode), doc lengths
+    * ride the existing token arrays, and corpus stats (N, avgdl, df)
+    * are broadcast scalars — the term-at-a-time plan an inverted index
+    * serves, expressed relationally. */
+  def bm25Of(tokArr: DataFrame, terms: Seq[String],
+             idCol: String = "doc_id"): DataFrame = {
+    require(terms.nonEmpty, "bm25: at least one query term")
+    val dl = tokArr.select(col(idCol), size(col("ts")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("sumdl"))
+    val tf = tokArr.select(col(idCol), explode(col("ts")).as("t"))
+      .filter(col("t").isin(terms: _*))
+      .groupBy(idCol, "t").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    val ndD    = col("nd").cast("double")
+    val avgdl  = col("sumdl").cast("double") / ndD
+    val idf    = log((ndD - col("df").cast("double") + 0.5) /
+      (col("df").cast("double") + 0.5) + 1.0)
+    val tfD    = col("tf").cast("double")
+    val contrib = idf * ((tfD * (lit(BmK1) + lit(1.0))) /
+      (tfD + lit(BmK1) * (lit(1.0) - lit(BmB) +
+        lit(BmB) * (col("dl").cast("double") / avgdl))))
+    tf.join(broadcast(dfreq), "t")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("c", contrib)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_terms_matched"), rnd(sum(col("c")), 4).as("bm25"))
+  }
+
+  /** Text-frame entry point of [[bm25Of]] (SQL-reachable as the `bm25`
+    * TVF; terms arrive comma-separated). */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           terms: String): DataFrame =
+    bm25Of(docs.select(col(idCol),
+        graft.functions.TextFunctions.tokens(col(textCol)).as("ts")),
+      terms.split(",").map(_.trim).filter(_.nonEmpty).toSeq, idCol)
+
+  def qBm25(spark: SparkSession, dir: String): DataFrame =
+    bm25Of(cachedDocTokens(spark, dir), BmQuery).orderBy("doc_id")
+
   /** Posting-list width / result width for [[qInvertedIndex]] —
     * interpolated into BOTH engines. */
   val IndexTopTerms = 20
@@ -757,6 +814,7 @@ object TextStats {
     "q_token_entropy" -> qTokenEntropy _,
     "q_feature_hash" -> qFeatureHash _,
     "q_inverted_index" -> qInvertedIndex _,
+    "q_bm25" -> qBm25 _,
     "q_bigram_logprob" -> qBigramLogprob _,
     "q_dataset_card" -> qDatasetCard _,
     "q_source_overlap" -> qSourceOverlap _,

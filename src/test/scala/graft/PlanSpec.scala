@@ -525,6 +525,9 @@ class PlanSpec extends AnyFunSuite {
         graft.queries.TrainingDataQueries.abTest(
           ev, "event_type", "ts", "value", 15),
         Seq("event_type"))
+      pair("SELECT * FROM bm25('docs_r11', 'doc_id', 'text', 'query,join,data')",
+        graft.queries.TextStats.bm25(docs, "doc_id", "text", "query,join,data"),
+        Seq("doc_id"))
     }
   }
 

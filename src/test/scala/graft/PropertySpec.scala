@@ -608,6 +608,37 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("qBm25 equals a naive in-Scala BM25 over the fixture corpus") {
+    import graft.queries.TextStats
+    val docs = Tables.documents(spark, TestSpark.Sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val toks = docs.map { case (id, t) => id -> t.trim.split("\\s+").toSeq }
+    val nd = toks.size.toDouble
+    val avgdl = toks.map(_._2.size.toLong).sum.toDouble / nd
+    val dfm = TextStats.BmQuery.map(q =>
+      q -> toks.count(_._2.contains(q)).toDouble).toMap
+    val expect = toks.flatMap { case (id, ts) =>
+      val cs = TextStats.BmQuery.flatMap { q =>
+        val tf = ts.count(_ == q).toDouble
+        if (tf == 0) None else {
+          val idf = math.log((nd - dfm(q) + 0.5) / (dfm(q) + 0.5) + 1.0)
+          Some(idf * ((tf * (TextStats.BmK1 + 1.0)) /
+            (tf + TextStats.BmK1 * (1.0 - TextStats.BmB +
+              TextStats.BmB * (ts.size.toDouble / avgdl)))))
+        }
+      }
+      if (cs.isEmpty) None
+      else Some(id -> (cs.size.toLong, math.floor(cs.sum * 1e4 + 0.5) / 1e4))
+    }.toMap
+    val got = TextStats.qBm25(spark, TestSpark.Sf)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.nonEmpty && got.size == expect.size)
+    got.foreach { case (id, nt, s) =>
+      val (ent, es) = expect(id)
+      assert(nt == ent && math.abs(s - es) <= 1e-4, s"doc $id: ($nt,$s) vs ($ent,$es)")
+    }
+  }
+
   test("qInvertedIndex: df/tf consistent, postings sorted, bounded and prefix-complete") {
     import graft.queries.TextStats
     val out = TextStats.qInvertedIndex(spark, TestSpark.Sf)
