@@ -530,13 +530,21 @@ object ScalarQueries {
     * production keeps the partials, the exact column is the evidence). */
   def qMinhashPartials(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions.hash32
+    import graft.operators.Dedup
+    // ONE base hash per (day, user); the k components come from the
+    // SHARED Dedup.minhashExpr parameter family (one definition per
+    // engine — review r11: a private salted-hash copy here would be a
+    // fourth place the scheme lives). The distinct frame feeds four
+    // plan positions (estimate self-join ×2, exact-intersection
+    // self-join ×2) — materialize it once, the PageRank lesson.
     val du = Tables.events(spark, dir)
       .select(Tables.eventDay.as("day"), col("user_id")).distinct()
+      .withColumn("hv", hash32(col("user_id").cast("string")))
+      .localCheckpoint(true)
     val sigs = du.groupBy("day")
       .agg(count(lit(1)).as("n_users"),
         (0 until MhK).map(i =>
-          min(hash32(concat(col("user_id").cast("string"), lit(s"|mh$i"))))
-            .as(s"h$i")): _*)
+          min(Dedup.minhashExpr(i, col("hv"))).as(s"h$i")): _*)
     val matches = (0 until MhK).map(i =>
       when(col(s"a.h$i") === col(s"b.h$i"), 1).otherwise(0))
       .reduce(_ + _)
@@ -658,16 +666,20 @@ object ScalarQueries {
     // arithmetic; both jaccards are exact integer-count rationals
     "q_minhash_partials" -> {
       val mins = (0 until MhK).map(i =>
-        "min(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|mh" + i +
-          "'), 1, 8))::BIGINT) AS h" + i).mkString(",\n    ")
+        s"min(${graft.operators.Dedup.minhashSqlExpr(i)}) AS h$i")
+        .mkString(",\n    ")
       val eq = (0 until MhK).map(i =>
         s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END").mkString(" + ")
       s"""WITH du AS (
          |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+         |duh AS (
+         |  SELECT day, user_id,
+         |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+         |  FROM du),
          |sigs AS (
          |  SELECT day, count(*) AS n_users,
          |    $mins
-         |  FROM du GROUP BY day),
+         |  FROM duh GROUP BY day),
          |est AS (
          |  SELECT a.day AS day, b.day AS day_next,
          |    a.n_users AS n_a, b.n_users AS n_b,

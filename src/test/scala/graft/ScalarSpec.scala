@@ -169,10 +169,12 @@ class ScalarSpec extends AnyFunSuite {
     import graft.functions.TextFunctions.hash32
     val du = Tables.events(spark, TestSpark.Sf)
       .select(Tables.eventDay.as("day"), col("user_id")).distinct()
-    def sig(d: org.apache.spark.sql.DataFrame): Seq[Long] =
-      d.agg(min(hash32(concat(col("user_id").cast("string"), lit("|mh0")))),
-          min(hash32(concat(col("user_id").cast("string"), lit("|mh1")))))
+    def sig(d: org.apache.spark.sql.DataFrame): Seq[Long] = {
+      import graft.operators.Dedup
+      val hv = hash32(col("user_id").cast("string"))
+      d.agg(min(Dedup.minhashExpr(0, hv)), min(Dedup.minhashExpr(1, hv)))
         .head() match { case r => Seq(r.getLong(0), r.getLong(1)) }
+    }
     // mergeability: the union range's signature equals the elementwise
     // min of the daily partials — the property that lets day partials
     // fold to any coarser grain without re-touching facts
