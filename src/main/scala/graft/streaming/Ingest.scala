@@ -273,6 +273,27 @@ object Ingest {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming heavy hitters — the streaming twin of the batch
+    * q_topk_partials: per watermarked tumbling window, the top-k items
+    * by count via `approx_top_k_accumulate` as the ONE windowed
+    * aggregate (constant-size mergeable sketch state per open window,
+    * evicted by the watermark), estimates exploded on emit. Below the
+    * sketch's map capacity the counts are EXACT (the no-eviction
+    * theorem q_topk_partials pins); past it the ε·n overcount bound
+    * applies — capacity is the accuracy dial, the plan never changes. */
+  def heavyHittersStream(events: DataFrame, itemCol: String = "user_id",
+                         k: Int = 5, maxItems: Int = 10000,
+                         windowLen: String = "5 minutes",
+                         watermark: String = "10 minutes"): DataFrame =
+    withEventTime(events)
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), windowLen))
+      .agg(expr(s"approx_top_k_accumulate(`$itemCol`, $maxItems)").as("st"))
+      .select(col("window.start").as("w_start"),
+        explode(expr(s"slice(approx_top_k_estimate(st, $k), 1, $k)")).as("e"))
+      .select(col("w_start"), col("e.item").as("item"),
+        col("e.count").as("est_count"))
+
   /** Streaming PSI drift monitor — the streaming twin of the batch
     * psiDrift: per watermarked tumbling window, the value distribution
     * over `nBins` equal-width bins is compared against a fixed BASELINE

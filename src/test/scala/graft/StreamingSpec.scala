@@ -555,6 +555,29 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("heavyHittersStream: exact top-k per closed window below sketch capacity") {
+    val src = MemoryStream[Event]
+    val q = Ingest.heavyHittersStream(src.toDF(), itemCol = "user_id", k = 2,
+        windowLen = "5 minutes", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("hh_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val MinNs = 60L * 1000000000L
+      // window 1: user 7 × 5 events, user 3 × 3, user 1 × 1
+      val w1 = (0 until 5).map(i => ev(i, 1, 7, 1.0, (i % 3) * MinNs)) ++
+        (0 until 3).map(i => ev(10 + i, 1, 3, 1.0, (i % 3) * MinNs)) :+
+        ev(20, 1, 1, 1.0, MinNs)
+      src.addData(w1: _*)
+      q.processAllAvailable()
+      src.addData(ev(999, 1, 99, 1.0, 300 * MinNs)) // close window 1
+      q.processAllAvailable()
+      val rows = spark.table("hh_out")
+        .select($"item", $"est_count").as[(Long, Long)].collect().toSet
+      // capacity >> distinct items -> no eviction -> EXACT counts
+      assert(rows == Set((7L, 5L), (3L, 3L)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("driftMonitor: an on-baseline window scores near zero, a shifted window drifts") {
     val src = MemoryStream[Event]
     // uniform baseline over 5 bins on [0, 100); windows feed 50 events
