@@ -509,6 +509,31 @@ object ScalarQueries {
       .orderBy("event_type")
   }
 
+  /** Audience-concentration report — the Herfindahl–Hirschman index of
+    * per-user activity shares per event_type (Σ (nᵤ/N)², the
+    * concentration measure behind "is this type driven by a few power
+    * users"), with the effective audience count N²/Σnᵤ² (the inverse
+    * index) — both exact integer-count rationals in one double division.
+    *
+    * Scale shape: one (type, user)-grain aggregate, then a bounded
+    * per-type rollup over exact long sums — no distinct state, no
+    * windows; the nᵤ² partial stays long-exact for any per-user count
+    * under ~3·10⁹. */
+  def qHhiConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.events(spark, dir)
+      .groupBy("event_type", "user_id").agg(count(lit(1)).as("c"))
+    per.groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"), sum(col("c")).as("n_events"),
+        sum(col("c") * col("c")).as("sumsq"))
+      .select(col("event_type"), col("n_events"), col("n_users"),
+        rnd(col("sumsq").cast("double") /
+          (col("n_events").cast("double") * col("n_events").cast("double")), 6)
+          .as("hhi"),
+        rnd((col("n_events").cast("double") * col("n_events").cast("double")) /
+          col("sumsq").cast("double"), 2).as("effective_users"))
+      .orderBy("event_type")
+  }
+
   /** MinHash signature width for [[qMinhashPartials]] — interpolated
     * into BOTH engines. */
   val MhK = 16
@@ -616,6 +641,7 @@ object ScalarQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bootstrap_ci" -> qBootstrapCi _,
     "q_minhash_partials" -> qMinhashPartials _,
+    "q_hhi_concentration" -> qHhiConcentration _,
     "q_quantile_buckets" -> qQuantileBuckets _,
     "q_constraint_audit" -> qConstraintAudit _,
     "q_topk_partials" -> qTopkPartials _,
@@ -662,6 +688,24 @@ object ScalarQueries {
       .orderBy("c_custkey")
 
   val oracles: Map[String, String] = Map(
+    // both the index and its inverse are exact integer-count rationals
+    // in mirrored fixed-order double divisions
+    "q_hhi_concentration" ->
+      """WITH per AS (
+        |  SELECT event_type, user_id, count(*) AS c
+        |  FROM events GROUP BY event_type, user_id),
+        |g AS (
+        |  SELECT event_type, count(*) AS n_users,
+        |    CAST(sum(c) AS BIGINT) AS n_events,
+        |    CAST(sum(c * c) AS BIGINT) AS sumsq
+        |  FROM per GROUP BY event_type)
+        |SELECT event_type, n_events, n_users,
+        |  floor((CAST(sumsq AS DOUBLE)
+        |    / (CAST(n_events AS DOUBLE) * CAST(n_events AS DOUBLE))) * 1e6 + 0.5) / 1e6
+        |    AS hhi,
+        |  floor(((CAST(n_events AS DOUBLE) * CAST(n_events AS DOUBLE))
+        |    / CAST(sumsq AS DOUBLE)) * 1e2 + 0.5) / 1e2 AS effective_users
+        |FROM g ORDER BY event_type""".stripMargin,
     // daily signature mins and the match count are pure md5 integer
     // arithmetic; both jaccards are exact integer-count rationals
     "q_minhash_partials" -> {

@@ -50,6 +50,26 @@ object TemporalJoinQueries {
       .select("user_id", "session_idx", "n_events", "duration_s", "first_event")
       .orderBy("user_id", "session_idx")
 
+  /** Session-size distribution — the engagement histogram over
+    * [[graft.operators.Sessionize.sessionSummary]]'s output: how many
+    * sessions have k events, with exact mean/max duration per size
+    * class (duration is an integer-second quotient, so the mean is an
+    * exact rational — no float accumulation).
+    *
+    * Scale shape: the session rollup is the q_sessionize plan (one
+    * user-partitioned window + one (user, session) aggregate); the
+    * histogram adds a bounded size-class rollup on top. */
+  def qSessionStats(spark: SparkSession, dir: String): DataFrame =
+    Sessionize.sessionSummary(
+        Tables.events(spark, dir), "user_id", "ts",
+        gapNanos = 6L * 3600L * 1000000000L, idCol = "event_id")
+      .groupBy(col("n_events"))
+      .agg(count(lit(1)).as("n_sessions"),
+        rnd(sum(col("duration_s")).cast("double") /
+          count(lit(1)).cast("double"), 2).as("avg_duration_s"),
+        max(col("duration_s")).as("max_duration_s"))
+      .orderBy("n_events")
+
   /** Band join: purchases within ±1 hour of an error by the same user —
     * bucketed equi-join (operators.BandJoin), never a key-only join with
     * a post-filter band. */
@@ -69,6 +89,7 @@ object TemporalJoinQueries {
     "q_asof_join" -> qAsofJoin _,
     "q_asof_join_composed" -> qAsofJoinComposed _,
     "q_sessionize" -> qSessionize _,
+    "q_session_stats" -> qSessionStats _,
     "q_band_join" -> qBandJoin _,
   )
 
@@ -101,6 +122,30 @@ object TemporalJoinQueries {
         |SELECT l.event_id, l.user_id, l.value, r.rv AS asof_value
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.tsn >= r.tsn
         |ORDER BY l.event_id""".stripMargin,
+    // the q_sessionize CTE chain with a bounded size-class rollup;
+    // mean duration is an exact rational over the integer-second
+    // quotients
+    "q_session_stats" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS tsn FROM events),
+        |f AS (
+        |  SELECT *, CASE WHEN tsn - lag(tsn)
+        |      OVER (PARTITION BY user_id ORDER BY tsn, event_id) > 21600000000000
+        |    THEN 1 ELSE 0 END AS flag
+        |  FROM o),
+        |s AS (
+        |  SELECT *, CAST(sum(flag) OVER (PARTITION BY user_id
+        |    ORDER BY tsn, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        |  FROM f),
+        |sess AS (
+        |  SELECT user_id, session_idx, count(*) AS n_events,
+        |    (max(tsn) - min(tsn)) // 1000000000 AS duration_s
+        |  FROM s GROUP BY user_id, session_idx)
+        |SELECT n_events, count(*) AS n_sessions,
+        |  floor((CAST(CAST(sum(duration_s) AS BIGINT) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE)) * 1e2 + 0.5) / 1e2 AS avg_duration_s,
+        |  max(duration_s) AS max_duration_s
+        |FROM sess GROUP BY n_events ORDER BY n_events""".stripMargin,
     "q_sessionize" ->
       """WITH o AS (
         |  SELECT user_id, event_id, epoch_ns(ts) AS tsn FROM events),

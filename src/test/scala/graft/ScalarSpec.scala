@@ -164,6 +164,38 @@ class ScalarSpec extends AnyFunSuite {
     assert(incremental.nonEmpty && incremental == full)
   }
 
+  test("qHhiConcentration: theoretical bounds and a hand-checked type") {
+    import graft.queries.ScalarQueries
+    val out = ScalarQueries.qHhiConcentration(spark, TestSpark.Sf)
+      .collect().toSeq
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (nu, hhi, eff) = (r.getLong(2), r.getDouble(3), r.getDouble(4))
+      // HHI of n equal shares is 1/n; concentration can only raise it
+      assert(hhi >= 1.0 / nu - 1e-9 && hhi <= 1.0, s"bounds: $r")
+      assert(eff <= nu + 1e-9, s"effective cannot exceed actual users: $r")
+    }
+    val et = out.head.getString(0)
+    val counts = Tables.events(spark, TestSpark.Sf)
+      .filter(col("event_type") === et)
+      .groupBy("user_id").count().select("count").as[Long].collect().toSeq
+    val n = counts.sum.toDouble
+    val hhi = counts.map(c => c * c).sum.toDouble / (n * n)
+    assert(out.head.getDouble(3) == math.floor(hhi * 1e6 + 0.5) / 1e6)
+  }
+
+  test("qSessionStats: histogram weights recover the event total") {
+    import graft.queries.{ScalarQueries, TemporalJoinQueries}
+    val out = TemporalJoinQueries.qSessionStats(spark, TestSpark.Sf)
+      .collect().toSeq
+    assert(out.nonEmpty)
+    val total = Tables.events(spark, TestSpark.Sf).count()
+    // Σ size·count over the histogram = every event in exactly one session
+    assert(out.map(r => r.getLong(0) * r.getLong(1)).sum == total)
+    out.foreach(r => assert(r.getDouble(2) <= r.getLong(3) + 1e-9,
+      s"mean duration above max: $r"))
+  }
+
   test("qMinhashPartials: signatures merge by elementwise min; estimate tracks exact") {
     import graft.queries.ScalarQueries
     import graft.functions.TextFunctions.hash32
