@@ -39,7 +39,8 @@ object SparkEntry {
     graft.queries.TemporalJoinQueries.queries ++
     graft.queries.TrainingDataQueries.queries ++
     graft.queries.MultimodalQueries.queries ++
-    graft.queries.SourceQueries.queries
+    graft.queries.SourceQueries.queries ++
+    graft.queries.StatQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -53,5 +54,6 @@ object SparkEntry {
     graft.queries.TemporalJoinQueries.oracles ++
     graft.queries.TrainingDataQueries.oracles ++
     graft.queries.MultimodalQueries.oracles ++
-    graft.queries.SourceQueries.oracles
+    graft.queries.SourceQueries.oracles ++
+    graft.queries.StatQueries.oracles
 }

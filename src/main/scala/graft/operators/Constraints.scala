@@ -28,6 +28,15 @@ import org.apache.spark.sql.functions._
   * Cross-engine parity: every metric is an exact integer-count rational
   * evaluated in one double division, so the oracle reproduces it
   * bit-for-bit; `passed` compares that double to a literal threshold.
+  *
+  * Empty-input semantics are FAIL CLOSED: on a zero-row frame every
+  * fractional metric's denominator is guarded (`when(count > 0, …)`)
+  * so it evaluates to NULL rather than throwing under ANSI division,
+  * and `passed` maps a NULL metric to `false` — an empty
+  * (failed-upstream) load can never silently certify completeness,
+  * uniqueness, or referential integrity. Only `minRowCount` keeps a
+  * non-NULL metric (0.0) on empty input, and it fails on its own
+  * threshold.
   */
 object Constraints {
 
@@ -37,10 +46,16 @@ object Constraints {
   final case class ScalarCheck(check: String, column: String,
                                metric: Column, threshold: Double)
 
+  /** NULL unless the frame has rows — the fail-closed guard every
+    * fractional metric shares (0/0 must become NULL→failed, not an
+    * ANSI DIVIDE_BY_ZERO or a silently-passing NULL). */
+  private def overRows(num: Column): Column =
+    when(count(lit(1)) > 0L,
+      num.cast("double") / count(lit(1)).cast("double"))
+
   /** Fraction of rows with `c` non-null. */
   def completeness(c: String, min: Double): ScalarCheck =
-    ScalarCheck("completeness", c,
-      count(col(c)).cast("double") / count(lit(1)).cast("double"), min)
+    ScalarCheck("completeness", c, overRows(count(col(c))), min)
 
   /** Fraction of rows with `c` inside [lo, hi] (inclusive; NULL counts
     * as outside). `label` distinguishes two range checks on one column
@@ -48,14 +63,12 @@ object Constraints {
   def fractionInRange(c: String, lo: Double, hi: Double, min: Double,
                       label: String = null): ScalarCheck =
     ScalarCheck("in_range", if (label == null) c else label,
-      sum(when(col(c) >= lo && col(c) <= hi, 1L).otherwise(0L)).cast("double") /
-        count(lit(1)).cast("double"), min)
+      overRows(sum(when(col(c) >= lo && col(c) <= hi, 1L).otherwise(0L))), min)
 
   /** Fraction of rows whose `c` is one of `values`. */
   def fractionInSet(c: String, values: Seq[String], min: Double): ScalarCheck =
     ScalarCheck("in_set", c,
-      sum(when(col(c).isin(values: _*), 1L).otherwise(0L)).cast("double") /
-        count(lit(1)).cast("double"), min)
+      overRows(sum(when(col(c).isin(values: _*), 1L).otherwise(0L))), min)
 
   /** Row count as a metric (threshold = minimum rows). */
   def minRowCount(min: Double): ScalarCheck =
@@ -74,7 +87,8 @@ object Constraints {
     df.agg(aggs.head, aggs.tail: _*)
       .select(explode(array(rows: _*)).as("r"))
       .select(col("r.*"))
-      .withColumn("passed", col("metric") >= col("threshold"))
+      .withColumn("passed",
+        coalesce(col("metric") >= col("threshold"), lit(false)))
   }
 
   /** Key-uniqueness check: NON-NULL distinct keys / total rows, passes
@@ -93,9 +107,12 @@ object Constraints {
     keys.crossJoin(broadcast(total))
       .select(lit(target).as("target"), lit("unique").as("check"),
         lit(cols.mkString(",")).as("column"),
-        (col("keys").cast("double") / col("rows").cast("double")).as("metric"),
+        when(col("rows") > 0L,
+          col("keys").cast("double") / col("rows").cast("double"))
+          .as("metric"),
         lit(1.0).as("threshold"))
-      .withColumn("passed", col("metric") >= col("threshold"))
+      .withColumn("passed",
+        coalesce(col("metric") >= col("threshold"), lit(false)))
   }
 
   /** Referential-integrity check: fraction of child rows whose `childCol`
@@ -112,9 +129,11 @@ object Constraints {
     orphans.crossJoin(broadcast(total))
       .select(lit(childName).as("target"), lit("ref_integrity").as("check"),
         lit(childCol).as("column"),
-        (lit(1.0) - col("orph").cast("double") / col("rows").cast("double"))
+        when(col("rows") > 0L,
+          lit(1.0) - col("orph").cast("double") / col("rows").cast("double"))
           .as("metric"),
         lit(min).as("threshold"))
-      .withColumn("passed", col("metric") >= col("threshold"))
+      .withColumn("passed",
+        coalesce(col("metric") >= col("threshold"), lit(false)))
   }
 }

@@ -253,6 +253,18 @@ case class ResolveGraftOp(spark: org.apache.spark.sql.SparkSession)
         case "salted_rolling" => // (key, ts, valCol, frameNs, chunkNs)
           graft.operators.SaltedWindow.saltedRollingSum(
             dfs(0), str(0), str(1), str(2), lng(3), lng(4))
+        case "roc_auc" => // (typeCol, tsCol, valCol, posType, negType)
+          graft.queries.StatQueries.rocAuc(
+            dfs(0), str(0), str(1), str(2), str(3), str(4))
+        case "linreg_closed" => // (typeCol, tsCol, valCol)
+          graft.queries.StatQueries.linregClosed(dfs(0), str(0), str(1), str(2))
+        case "ks_test" => // (typeCol, tsCol, valCol, splitDay)
+          graft.queries.StatQueries.ksTest(
+            dfs(0), str(0), str(1), str(2), lng(3).toInt)
+        case "cusum_shift" => // (typeCol, tsCol)
+          graft.queries.StatQueries.cusumShift(dfs(0), str(0), str(1))
+        case "gini" => // (typeCol, userCol)
+          graft.queries.StatQueries.giniConcentration(dfs(0), str(0), str(1))
         case "decontaminate" => // corpus, bench, (idCol, textCol)
           graft.queries.TextDedup.decontaminate(
             dfs(0), dfs(1), idCol = str(0), textCol = str(1))
@@ -430,7 +442,13 @@ object GraftFunctions {
     "feature_hash" -> ("feature_hash(table, idCol, textCol, dim)", 3),
     "bm25" -> ("bm25(table, idCol, textCol, commaSeparatedTerms)", 3),
     "salted_rolling" ->
-      ("salted_rolling(table, key, ts, valCol, frameNs, chunkNs)", 5))
+      ("salted_rolling(table, key, ts, valCol, frameNs, chunkNs)", 5),
+    "roc_auc" ->
+      ("roc_auc(table, typeCol, tsCol, valCol, posType, negType)", 5),
+    "linreg_closed" -> ("linreg_closed(table, typeCol, tsCol, valCol)", 3),
+    "ks_test" -> ("ks_test(table, typeCol, tsCol, valCol, splitDay)", 4),
+    "cusum_shift" -> ("cusum_shift(table, typeCol, tsCol)", 2),
+    "gini" -> ("gini(table, typeCol, userCol)", 2))
 
   /** Two-table composed-operator TVF registry: name → (usage, scalar
     * arg count AFTER the two table arguments). */

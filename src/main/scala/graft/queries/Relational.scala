@@ -371,7 +371,14 @@ object Relational {
     * ten-thousandths — cents(price) · (100 − hundredths(discount)) —
     * and the group sum is an order-free long (the q1 form sums raw
     * doubles under rnd; the multi-join queries carry the stronger
-    * exactness so their top-k selection can never tie-break on noise). */
+    * exactness so their top-k selection can never tie-break on noise).
+    *
+    * Long-exactness bound (the Σc² convention): each term is at most
+    * ~10⁷ cents · 100 ≈ 10⁹, so a per-group BIGINT sum is exact up to
+    * ~2⁶³/10⁹ ≈ 9·10⁹ rows per group — q5's per-nation grain at
+    * ~100 TB (≈2.4·10¹⁰ lineitems/nation) crosses it. Beyond the
+    * bound, widen the summand to `decimal(38,0)` (sum stays exact to
+    * 10³⁸; same expression, one cast) before the aggregate. */
   private def revenue4(priceCol: String, discCol: String) =
     expr(s"CAST(floor(`$priceCol` * 100 + 0.5) AS BIGINT)") *
       (lit(100L) - expr(s"CAST(floor(`$discCol` * 100 + 0.5) AS BIGINT)"))

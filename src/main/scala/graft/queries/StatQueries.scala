@@ -1,0 +1,390 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Classical-statistics operators over the event stream — the model-eval /
+  * monitoring toolbox a training pipeline runs beside its ETL: ranking
+  * quality (tie-corrected ROC-AUC), closed-form OLS trend fits,
+  * two-sample Kolmogorov–Smirnov drift, CUSUM changepoint detection, and
+  * Gini concentration. (Reference analogue: the eval/monitoring notebooks
+  * around `ml-algorithms/` — re-expressed as exact relational plans
+  * instead of driver-side scipy loops.)
+  *
+  * Shared cross-engine discipline (the q_ab_test recipe): every statistic
+  * is derived from EXACT integer partials — cent-scaled values, ranks,
+  * counts — folded per group, with ONE fixed-order double expression at
+  * the end and [[rnd]] on output. Where a flag gates on a statistic it
+  * compares exact integers (cusum, ks) or the ROUNDED double (auc), so
+  * the boolean can never straddle an engine-rounding boundary.
+  *
+  * Scale shape: all five operators aggregate to bounded grains
+  * (per-day, per-type, per-(type,cents-grid)) with map-side-combinable
+  * partials; the only windows are partitioned by those same bounded keys.
+  * None of them carries the q_diff_global single-partition hazard; for a
+  * monster partition the named swap is the chunk-stitched ranking of
+  * q_pagination_chunked.
+  */
+object StatQueries {
+
+  private def centsOf(c: String): Column =
+    expr(s"CAST(floor(`$c` * 100 + 0.5) AS BIGINT)")
+
+  /** Tie-corrected ROC-AUC per day via the Mann–Whitney rank-sum
+    * identity: AUC = (R⁺ − n₊(n₊+1)/2) / (n₊n₋) where R⁺ is the sum of
+    * POOLED average ranks of the positives. Average ranks come from
+    * exact integer window arithmetic — 2·avgRank = 2·minRank + ties − 1
+    * (rank() + a tie count, no floats) — so the whole statistic is one
+    * integer rational: AUC = (ΣR2 − n₊(n₊+1)) / (2n₊n₋), divided once.
+    *
+    * `posType` events are positives, `negType` negatives, everything
+    * else is ignored; score = cent-scaled `valCol`. A day missing either
+    * class yields NULL (no ranking to grade), never a /0.
+    *
+    * Scale: the rank window partitions by DAY (bounded by daily volume;
+    * chunk-stitch for a monster day). Long-exactness: ΣR2 ≤ 2n² per
+    * day, so BIGINT is exact up to ~2·10⁹ rows/day; past that widen to
+    * decimal(38,0) as PartialAgg prescribes. */
+  def rocAuc(df: DataFrame, typeCol: String, tsCol: String, valCol: String,
+             posType: String, negType: String): DataFrame = {
+    val ev = df
+      .filter(col(typeCol).isin(posType, negType))
+      .select(Tables.eventDay.as("day"),
+        (col(typeCol) === posType).cast("long").as("pos"),
+        centsOf(valCol).as("cents"))
+    val wRank = Window.partitionBy("day").orderBy("cents")
+    val wTie = Window.partitionBy("day", "cents")
+    val ranked = ev
+      .withColumn("r2",
+        lit(2L) * rank().over(wRank).cast("long") +
+          count(lit(1)).over(wTie) - lit(1L))
+    ranked.groupBy("day")
+      .agg(sum(col("pos")).as("n_pos"),
+        sum(lit(1L) - col("pos")).as("n_neg"),
+        sum(when(col("pos") === 1L, col("r2"))).as("sr2"))
+      .select(col("day"), col("n_pos"), col("n_neg"),
+        rnd(when(col("n_pos") > 0L && col("n_neg") > 0L,
+          (col("sr2") - col("n_pos") * (col("n_pos") + lit(1L))).cast("double") /
+            (lit(2L) * col("n_pos") * col("n_neg")).cast("double")), 4)
+          .as("auc"))
+  }
+
+  def qRocAuc(spark: SparkSession, dir: String): DataFrame =
+    rocAuc(Tables.events(spark, dir), "event_type", "ts", "value",
+      "purchase", "click")
+      .orderBy("day")
+
+  /** Closed-form simple OLS per group — `valCol` regressed on hour of
+    * day, the normal equations folded into ONE aggregate of six exact
+    * integer sums (n, Σx, Σx², Σxy, Σy, Σy² over hours × cents): slope,
+    * intercept and r² are then three fixed-order double expressions.
+    * The whole fit is a map-side-combinable groupBy — no iteration, no
+    * driver loop, no feature matrix (reference fits sklearn per frame;
+    * at 100 TB a closed-form fit IS the aggregate).
+    *
+    * r² is NULL for a degenerate group (all x equal or all y equal —
+    * zero denominator); slope NULL when all x equal. Long-exactness:
+    * Σ(x·cents) ≤ 23·10⁵·n and Σc² ≤ 10¹⁰·n keep BIGINT exact to
+    * ~9·10⁸ rows/group (the varFromCents bound); widen to
+    * decimal(38,0) past it. */
+  def linregClosed(df: DataFrame, typeCol: String, tsCol: String,
+                   valCol: String): DataFrame = {
+    val ev = df.select(col(typeCol).as("event_type"),
+      hour(timestamp_micros(expr(s"`$tsCol` div 1000"))).cast("long").as("x"),
+      centsOf(valCol).as("c"))
+    val g = ev.groupBy("event_type").agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("c")).as("sxy"),
+      sum(col("c")).as("sy"), sum(col("c") * col("c")).as("syy"))
+    def d(s: String) = col(s).cast("double")
+    val covNum = d("n") * d("sxy") - d("sx") * d("sy")
+    val varX = d("n") * d("sxx") - d("sx") * d("sx")
+    val varY = d("n") * d("syy") - d("sy") * d("sy")
+    val slopeC = covNum / varX
+    g.select(col("event_type"), col("n"),
+      rnd(when(varX > 0.0, slopeC / 100.0), 6).as("slope"),
+      rnd(when(varX > 0.0,
+        ((d("sy") - slopeC * d("sx")) / d("n")) / 100.0), 4).as("intercept"),
+      rnd(when(varX > 0.0 && varY > 0.0,
+        (covNum * covNum) / (varX * varY)), 6).as("r2"))
+  }
+
+  def qLinregClosed(spark: SparkSession, dir: String): DataFrame =
+    linregClosed(Tables.events(spark, dir), "event_type", "ts", "value")
+      .orderBy("event_type")
+
+  /** Two-sample Kolmogorov–Smirnov drift test per group: D = sup over
+    * the value grid of |F_a − F_b| between the ≤`splitDay` and
+    * >`splitDay` samples. The ECDFs live on the DISTINCT cent-value
+    * grid — sup |F_a−F_b| is attained at a sample point, so the grid is
+    * exhaustive — and the supremum is taken over the exact integer
+    * cross-difference |cumA·n_b − cumB·n_a| (one double division at the
+    * end). `drifted` compares integers: D > threshold ⇔
+    * 100·maxDiff > thresholdPct·n_a·n_b — no rounding boundary.
+    *
+    * Scale: the grid is bounded by VALUE RESOLUTION (distinct cents ≤
+    * range·100, here ~5·10⁴ rows/type regardless of row count), so the
+    * cumulative window is over a bounded partition no matter how big
+    * the fact table grows — the same resolution-bounded shape as
+    * q_histogram. Long-exactness: cum·n ≤ n_a·n_b overflows BIGINT past
+    * n_a·n_b ~ 9·10¹⁸ (≈3·10⁹ rows per side per type); widen to
+    * decimal(38,0) past it. */
+  def ksTest(df: DataFrame, typeCol: String, tsCol: String, valCol: String,
+             splitDay: Int, thresholdPct: Int = 10): DataFrame = {
+    val day = to_date(timestamp_micros(expr(s"`$tsCol` div 1000")))
+    val grid = df
+      .select(col(typeCol).as("event_type"),
+        when(dayofmonth(day) <= splitDay, 1L).otherwise(0L).as("ina"),
+        centsOf(valCol).as("cents"))
+      .groupBy("event_type", "cents")
+      .agg(sum(col("ina")).as("ca"), sum(lit(1L) - col("ina")).as("cb"))
+    val wCum = Window.partitionBy("event_type").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("event_type")
+    grid
+      .withColumn("fa", sum(col("ca")).over(wCum))
+      .withColumn("fb", sum(col("cb")).over(wCum))
+      .withColumn("na", sum(col("ca")).over(wAll))
+      .withColumn("nb", sum(col("cb")).over(wAll))
+      .groupBy("event_type")
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        max(abs(col("fa") * col("nb") - col("fb") * col("na"))).as("dnum"))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        rnd(when(col("n_a") > 0L && col("n_b") > 0L,
+          col("dnum").cast("double") /
+            (col("n_a") * col("n_b")).cast("double")), 6).as("d_stat"),
+        (lit(100L) * col("dnum") >
+          lit(thresholdPct.toLong) * col("n_a") * col("n_b")).as("drifted"))
+  }
+
+  def qKsTest(spark: SparkSession, dir: String): DataFrame =
+    ksTest(Tables.events(spark, dir), "event_type", "ts", "value", 15)
+      .orderBy("event_type")
+
+  /** CUSUM changepoint detection over per-day event counts: the
+    * recursive S_t = max(0, S_{t−1} + (x_t − μ)) unrolls to
+    * S_t = P_t − min(0, min_{j≤t} P_j) with P the prefix sum of
+    * deviations — two window functions, no recursion. Deviations are
+    * held EXACT by scaling through the day count: dev_t = D·x_t − T
+    * (D days, T total), so S is integer until the final /D. Both
+    * directions are emitted (S⁺ upward shift, S⁻ downward) and the
+    * shift flags compare integers — S > frac·μ·D ⇔ 5·S > T for
+    * frac = 0.2 — so detection can never straddle a rounding boundary.
+    *
+    * Scale: the window partitions by type over the DAY grain — the
+    * partition is #days, not #rows, so the sort is metadata-scale; the
+    * daily rollup underneath is the only full-data pass. */
+  def cusumShift(df: DataFrame, typeCol: String, tsCol: String): DataFrame = {
+    val daily = df
+      .select(col(typeCol).as("event_type"), Tables.eventDay.as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("x"))
+    val wAll = Window.partitionBy("event_type")
+    val wCum = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("d", count(lit(1)).over(wAll))
+      .withColumn("t", sum(col("x")).over(wAll))
+      .withColumn("p", sum(col("d") * col("x") - col("t")).over(wCum))
+      .withColumn("s_up", col("p") - least(lit(0L), min(col("p")).over(wCum)))
+      .withColumn("s_dn", greatest(lit(0L), max(col("p")).over(wCum)) - col("p"))
+      .select(col("event_type"), col("day"), col("x").as("n_events"),
+        rnd(col("s_up").cast("double") / col("d").cast("double"), 4)
+          .as("cusum_up"),
+        rnd(col("s_dn").cast("double") / col("d").cast("double"), 4)
+          .as("cusum_dn"),
+        (lit(5L) * col("s_up") > col("t")).as("shift_up"),
+        (lit(5L) * col("s_dn") > col("t")).as("shift_dn"))
+  }
+
+  def qCusumShift(spark: SparkSession, dir: String): DataFrame =
+    cusumShift(Tables.events(spark, dir), "event_type", "ts")
+      .orderBy("event_type", "day")
+
+  /** Gini concentration of per-user activity within each group — the
+    * inequality summary beside q_hhi_concentration's HHI: with user
+    * counts c₍₁₎ ≤ … ≤ c₍ₙ₎ ranked ascending,
+    * G = (2·Σ i·c₍ᵢ₎ − (n+1)·Σc) / (n·Σc) — one integer rational per
+    * group (ties contribute Σranks·c identically under any tie order,
+    * so the id tiebreak affects nothing), one double division, rnd 6.
+    *
+    * Scale: rank window partitions by type at the USER grain (the same
+    * per-key aggregate a dedup pays); Σ i·cᵢ ≤ n·T overflows BIGINT
+    * past n·T ~ 9·10¹⁸ — decimal(38,0) is the named swap. */
+  def giniConcentration(df: DataFrame, typeCol: String,
+                        userCol: String): DataFrame = {
+    val per = df.groupBy(col(typeCol).as("event_type"),
+        col(userCol).as("user")).agg(count(lit(1)).as("c"))
+    val wRank = Window.partitionBy("event_type").orderBy("c", "user")
+    per
+      .withColumn("rn", row_number().over(wRank).cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"), sum(col("c")).as("n_events"),
+        sum(col("rn") * col("c")).as("src"))
+      .select(col("event_type"), col("n_users"), col("n_events"),
+        rnd((lit(2L) * col("src") - (col("n_users") + lit(1L)) * col("n_events"))
+          .cast("double") /
+          (col("n_users") * col("n_events")).cast("double"), 6).as("gini"))
+  }
+
+  def qGini(spark: SparkSession, dir: String): DataFrame =
+    giniConcentration(Tables.events(spark, dir), "event_type", "user_id")
+      .orderBy("event_type")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_roc_auc" -> qRocAuc _,
+    "q_linreg_closed" -> qLinregClosed _,
+    "q_ks_test" -> qKsTest _,
+    "q_cusum_shift" -> qCusumShift _,
+    "q_gini" -> qGini _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    // pooled average ranks as exact integers (2·avg = 2·rank + ties − 1),
+    // AUC as one integer rational — mirrored window shapes
+    "q_roc_auc" ->
+      """WITH ev AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE event_type IN ('purchase', 'click')),
+        |r AS (
+        |  SELECT day, pos,
+        |    2 * rank() OVER (PARTITION BY day ORDER BY cents)
+        |      + count(*) OVER (PARTITION BY day, cents) - 1 AS r2
+        |  FROM ev),
+        |g AS (
+        |  SELECT day, CAST(sum(pos) AS BIGINT) AS n_pos,
+        |    CAST(sum(1 - pos) AS BIGINT) AS n_neg,
+        |    CAST(sum(CASE WHEN pos = 1 THEN r2 END) AS BIGINT) AS sr2
+        |  FROM r GROUP BY day)
+        |SELECT day, n_pos, n_neg,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |    floor((CAST(sr2 - n_pos * (n_pos + 1) AS DOUBLE)
+        |      / CAST(2 * n_pos * n_neg AS DOUBLE)) * 1e4 + 0.5) / 1e4
+        |  END AS auc
+        |FROM g ORDER BY day""".stripMargin,
+    // six exact integer sums, three mirrored fixed-order double
+    // expressions (slope/intercept/r²)
+    "q_linreg_closed" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    CAST(CAST(strftime(ts, '%H') AS INT) AS BIGINT) AS x,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(x * c) AS BIGINT) AS sxy,
+        |    CAST(sum(c) AS BIGINT) AS sy, CAST(sum(c * c) AS BIGINT) AS syy
+        |  FROM ev GROUP BY event_type),
+        |d AS (
+        |  SELECT event_type, n,
+        |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS covnum,
+        |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varx,
+        |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vary,
+        |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+        |  FROM g)
+        |SELECT event_type, n,
+        |  CASE WHEN varx > 0.0 THEN
+        |    floor(((covnum / varx) / 100.0) * 1e6 + 0.5) / 1e6 END AS slope,
+        |  CASE WHEN varx > 0.0 THEN
+        |    floor((((syd - (covnum / varx) * sxd) / CAST(n AS DOUBLE)) / 100.0)
+        |      * 1e4 + 0.5) / 1e4 END AS intercept,
+        |  CASE WHEN varx > 0.0 AND vary > 0.0 THEN
+        |    floor(((covnum * covnum) / (varx * vary)) * 1e6 + 0.5) / 1e6
+        |  END AS r2
+        |FROM d ORDER BY event_type""".stripMargin,
+    // sup over the distinct-cents grid of the exact integer
+    // cross-difference; drifted compares integers on both engines
+    "q_ks_test" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    CASE WHEN CAST(strftime(ts, '%d') AS INT) <= 15
+        |      THEN 1 ELSE 0 END AS ina,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |grid AS (
+        |  SELECT event_type, cents, CAST(sum(ina) AS BIGINT) AS ca,
+        |    CAST(sum(1 - ina) AS BIGINT) AS cb
+        |  FROM ev GROUP BY event_type, cents),
+        |c AS (
+        |  SELECT event_type,
+        |    sum(ca) OVER (PARTITION BY event_type ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fa,
+        |    sum(cb) OVER (PARTITION BY event_type ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fb,
+        |    sum(ca) OVER (PARTITION BY event_type) AS na,
+        |    sum(cb) OVER (PARTITION BY event_type) AS nb
+        |  FROM grid),
+        |g AS (
+        |  SELECT event_type, max(na) AS n_a, max(nb) AS n_b,
+        |    max(abs(fa * nb - fb * na)) AS dnum
+        |  FROM c GROUP BY event_type)
+        |SELECT event_type, n_a, n_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    floor((CAST(dnum AS DOUBLE) / CAST(n_a * n_b AS DOUBLE))
+        |      * 1e6 + 0.5) / 1e6 END AS d_stat,
+        |  100 * dnum > 10 * n_a * n_b AS drifted
+        |FROM g ORDER BY event_type""".stripMargin,
+    // prefix-sum/running-extremum unrolling of the CUSUM recursion;
+    // integer until the final /D, flags compare integers
+    "q_cusum_shift" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+        |w AS (
+        |  SELECT event_type, day, x,
+        |    count(*) OVER (PARTITION BY event_type) AS d,
+        |    sum(x) OVER (PARTITION BY event_type) AS t
+        |  FROM daily),
+        |p AS (
+        |  SELECT event_type, day, x, d, t,
+        |    sum(d * x - t) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp
+        |  FROM w),
+        |s AS (
+        |  SELECT event_type, day, x, d, t, pp,
+        |    pp - least(CAST(0 AS BIGINT), min(pp) OVER (PARTITION BY event_type
+        |      ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |      AS s_up,
+        |    greatest(CAST(0 AS BIGINT), max(pp) OVER (PARTITION BY event_type
+        |      ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |      - pp AS s_dn
+        |  FROM p)
+        |SELECT event_type, day, x AS n_events,
+        |  floor((CAST(s_up AS DOUBLE) / CAST(d AS DOUBLE)) * 1e4 + 0.5) / 1e4
+        |    AS cusum_up,
+        |  floor((CAST(s_dn AS DOUBLE) / CAST(d AS DOUBLE)) * 1e4 + 0.5) / 1e4
+        |    AS cusum_dn,
+        |  5 * s_up > t AS shift_up,
+        |  5 * s_dn > t AS shift_dn
+        |FROM s ORDER BY event_type, day""".stripMargin,
+    // ascending-rank Gini as one integer rational per group (tie order
+    // provably cancels)
+    "q_gini" ->
+      """WITH per AS (
+        |  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY event_type, user_id),
+        |r AS (
+        |  SELECT event_type, c,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY c, user_id) AS BIGINT) AS rn
+        |  FROM per),
+        |g AS (
+        |  SELECT event_type, count(*) AS n_users,
+        |    CAST(sum(c) AS BIGINT) AS n_events,
+        |    CAST(sum(rn * c) AS BIGINT) AS src
+        |  FROM r GROUP BY event_type)
+        |SELECT event_type, n_users, n_events,
+        |  floor((CAST(2 * src - (n_users + 1) * n_events AS DOUBLE)
+        |    / CAST(n_users * n_events AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS gini
+        |FROM g ORDER BY event_type""".stripMargin,
+  )
+}

@@ -290,7 +290,7 @@ object Ingest {
       .groupBy(window(col("event_time"), windowLen))
       .agg(expr(s"approx_top_k_accumulate(`$itemCol`, $maxItems)").as("st"))
       .select(col("window.start").as("w_start"),
-        explode(expr(s"slice(approx_top_k_estimate(st, $k), 1, $k)")).as("e"))
+        explode(expr(s"approx_top_k_estimate(st, $k)")).as("e"))
       .select(col("w_start"), col("e.item").as("item"),
         col("e.count").as("est_count"))
 
@@ -309,7 +309,16 @@ object Ingest {
     *
     * `lo`/`hi` are the FIXED bin edges (from the baseline profile, like
     * the baseline shares — a drift monitor must bin against the
-    * reference frame, not the drifting window's own min/max). */
+    * reference frame, not the drifting window's own min/max).
+    *
+    * Blind spot: a window with ZERO events emits no row at all (a
+    * streaming aggregation has no group to close), so a total feed
+    * outage — arguably the strongest distribution shift — produces
+    * silence, and a consumer watching only the `drifted` flag would
+    * infer health. Pair this monitor with a heartbeat/row-count
+    * monitor (e.g. [[windowedCounts]] alerting on missing windows
+    * downstream), or drive n=0 windows from a clock spine where the
+    * runtime provides one. */
   def driftMonitor(events: DataFrame, baseline: Seq[Double],
                    lo: Double, hi: Double,
                    windowLen: String = "5 minutes",

@@ -531,6 +531,35 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("round-12 TVFs: roc_auc/linreg/ks_test/cusum/gini from SQL") {
+    withExtensionsSession { s2 =>
+      Tables.events(s2, TestSpark.Sf).createOrReplaceTempView("ev_r12")
+      def pair(sql: String, api: org.apache.spark.sql.DataFrame,
+               ord: Seq[String]): Unit = {
+        val a = s2.sql(sql).orderBy(ord.map(col): _*).collect().toSeq
+        val b = api.orderBy(ord.map(col): _*).collect().toSeq
+        assert(a.nonEmpty && a == b, sql)
+      }
+      val ev = Tables.events(s2, TestSpark.Sf)
+      pair("SELECT * FROM roc_auc('ev_r12', 'event_type', 'ts', 'value', 'purchase', 'click')",
+        graft.queries.StatQueries.rocAuc(
+          ev, "event_type", "ts", "value", "purchase", "click"),
+        Seq("day"))
+      pair("SELECT * FROM linreg_closed('ev_r12', 'event_type', 'ts', 'value')",
+        graft.queries.StatQueries.linregClosed(ev, "event_type", "ts", "value"),
+        Seq("event_type"))
+      pair("SELECT * FROM ks_test('ev_r12', 'event_type', 'ts', 'value', 15)",
+        graft.queries.StatQueries.ksTest(ev, "event_type", "ts", "value", 15),
+        Seq("event_type"))
+      pair("SELECT * FROM cusum_shift('ev_r12', 'event_type', 'ts')",
+        graft.queries.StatQueries.cusumShift(ev, "event_type", "ts"),
+        Seq("event_type", "day"))
+      pair("SELECT * FROM gini('ev_r12', 'event_type', 'user_id')",
+        graft.queries.StatQueries.giniConcentration(ev, "event_type", "user_id"),
+        Seq("event_type"))
+    }
+  }
+
   test("q_span_dedup executed plan computes the gram explode exactly once") {
     // the r9 shape relied on AQE ReuseExchange to dedupe the gram
     // pipeline under its consumers, but column pruning de-canonicalized

@@ -293,4 +293,23 @@ class ScalarSpec extends AnyFunSuite {
       parent, "pk").head()
     assert(clean.getDouble(3) == 1.0 && clean.getBoolean(5))
   }
+
+  test("Constraints: a zero-row frame FAILS every check (fail closed, no /0)") {
+    import graft.operators.Constraints._
+    val empty = Seq.empty[(Option[String], Double)].toDF("s", "v")
+    val rep = scalarAudit(empty, "t", Seq(
+      completeness("s", 0.0),          // even threshold 0 must fail on empty
+      fractionInRange("v", 0.0, 10.0, 0.0),
+      fractionInSet("s", Seq("X"), 0.0),
+      minRowCount(1.0))).collect()
+    assert(rep.length == 4 && rep.forall(!_.getBoolean(5)))
+    // fractional metrics are NULL (0/0 guarded), row_count metric is 0.0
+    assert(rep.count(_.isNullAt(3)) == 3)
+    val u = uniqueness(empty.toDF("k", "p"), "t", Seq("k")).head()
+    assert(u.isNullAt(3) && !u.getBoolean(5))
+    val parent = Seq(1).toDF("pk")
+    val ri = refIntegrity(empty.select(col("v").cast("int").as("fk")),
+      "fk", "c", parent, "pk").head()
+    assert(ri.isNullAt(3) && !ri.getBoolean(5))
+  }
 }

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.StatQueries
+
+/** Closed-form hand checks for the round-12 statistics family — every
+  * operator is verified on a frame small enough to compute by hand, so
+  * an oracle-parity break can be localized to engine drift vs a wrong
+  * formula. `ts` columns follow the engine invariant (epoch nanos). */
+class StatSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def dayNs(d: Int): Long = d.toLong * 86400L * 1000000000L
+
+  test("rocAuc: tie-corrected Mann-Whitney on a hand-ranked day") {
+    // day 1: pos {3, 1}, neg {2, 1} -> pooled avg ranks 1.5,1.5,3,4
+    // R+ = 1.5 + 4 = 5.5 -> AUC = (5.5 - 3) / 4 = 0.625
+    // day 2: perfect separation -> 1.0; day 3: positives only -> NULL
+    val ev = Seq(
+      ("p", dayNs(1), 3.0), ("p", dayNs(1), 1.0),
+      ("n", dayNs(1), 2.0), ("n", dayNs(1), 1.0),
+      ("p", dayNs(2), 10.0), ("p", dayNs(2), 9.0),
+      ("n", dayNs(2), 1.0), ("n", dayNs(2), 2.0),
+      ("p", dayNs(3), 5.0)
+    ).toDF("event_type", "ts", "value")
+    val r = StatQueries.rocAuc(ev, "event_type", "ts", "value", "p", "n")
+      .orderBy("day").collect()
+    assert(r.length == 3)
+    assert(r(0).getLong(1) == 2 && r(0).getLong(2) == 2 &&
+      r(0).getDouble(3) == 0.625)
+    assert(r(1).getDouble(3) == 1.0)
+    assert(r(2).isNullAt(3), "a one-class day has no ranking to grade")
+  }
+
+  test("linregClosed: exact fit y = 2x + 1 recovers slope/intercept/r2") {
+    val ev = Seq(
+      ("t", 0L * 3600L * 1000000000L, 1.0),
+      ("t", 1L * 3600L * 1000000000L, 3.0),
+      ("t", 2L * 3600L * 1000000000L, 5.0),
+      // degenerate group: single hour -> slope/intercept/r2 NULL
+      ("u", 0L, 1.0), ("u", 1000L, 2.0)
+    ).toDF("event_type", "ts", "value")
+    val r = StatQueries.linregClosed(ev, "event_type", "ts", "value")
+      .orderBy("event_type").collect()
+    assert(r(0).getDouble(2) == 2.0 && r(0).getDouble(3) == 1.0 &&
+      r(0).getDouble(4) == 1.0)
+    assert(r(1).isNullAt(2) && r(1).isNullAt(3) && r(1).isNullAt(4))
+  }
+
+  test("ksTest: disjoint samples give D=1, identical samples give D=0") {
+    val ev = Seq(
+      // type a: first half {1,2}, second half {3,4} -> D = 1, drifted
+      ("a", dayNs(1), 1.0), ("a", dayNs(2), 2.0),
+      ("a", dayNs(20), 3.0), ("a", dayNs(21), 4.0),
+      // type b: identical halves -> D = 0
+      ("b", dayNs(1), 1.0), ("b", dayNs(2), 2.0),
+      ("b", dayNs(20), 1.0), ("b", dayNs(21), 2.0)
+    ).toDF("event_type", "ts", "value")
+    val r = StatQueries.ksTest(ev, "event_type", "ts", "value", 15)
+      .orderBy("event_type").collect()
+    assert(r(0).getDouble(3) == 1.0 && r(0).getBoolean(4))
+    assert(r(1).getDouble(3) == 0.0 && !r(1).getBoolean(4))
+  }
+
+  test("cusumShift: prefix/running-extremum unrolling matches the recursion by hand") {
+    // daily counts [1,1,1,1,6]: T=10, D=5, P = [-5,-10,-15,-20,0]
+    // S_up = [0,0,0,0,20] -> cusum_up = [0,0,0,0,4], flag only day 5
+    val rows = (1 to 4).map(d => (d, 1)) :+ ((5, 6))
+    val ev = rows.flatMap { case (d, n) =>
+      (1 to n).map(_ => ("t", dayNs(d)))
+    }.toDF("event_type", "ts")
+    val r = StatQueries.cusumShift(ev, "event_type", "ts")
+      .orderBy("day").collect()
+    assert(r.map(_.getDouble(3)).toSeq == Seq(0.0, 0.0, 0.0, 0.0, 4.0))
+    assert(r.map(_.getBoolean(5)).toSeq ==
+      Seq(false, false, false, false, true))
+    // downward arm: S_dn = [5,10,15,20,0] -> cusum_dn = [1,2,3,4,0]
+    assert(r.map(_.getDouble(4)).toSeq == Seq(1.0, 2.0, 3.0, 4.0, 0.0))
+  }
+
+  test("giniConcentration: equality gives 0, known split gives 0.25") {
+    val ev = (
+      // type eq: 3 users x 2 events -> G = 0
+      Seq.fill(2)(("eq", 1L)) ++ Seq.fill(2)(("eq", 2L)) ++
+        Seq.fill(2)(("eq", 3L)) ++
+        // type sk: counts {1, 3} -> G = (2*7 - 3*4) / (2*4) = 0.25
+        Seq(("sk", 1L)) ++ Seq.fill(3)(("sk", 2L))
+      ).toDF("event_type", "user_id")
+    val r = StatQueries.giniConcentration(ev, "event_type", "user_id")
+      .orderBy("event_type").collect()
+    assert(r(0).getDouble(3) == 0.0)
+    assert(r(1).getDouble(3) == 0.25)
+  }
+}
