@@ -265,6 +265,12 @@ case class ResolveGraftOp(spark: org.apache.spark.sql.SparkSession)
           graft.queries.StatQueries.cusumShift(dfs(0), str(0), str(1))
         case "gini" => // (typeCol, userCol)
           graft.queries.StatQueries.giniConcentration(dfs(0), str(0), str(1))
+        case "bpe_pairs" => // (idCol, textCol, k)
+          graft.queries.TextStats.bpePairs(
+            dfs(0), str(0), str(1), lng(2).toInt)
+        case "rake_keywords" => // (idCol, textCol, k)
+          graft.queries.TextStats.rakeKeywords(
+            dfs(0), str(0), str(1), lng(2).toInt)
         case "decontaminate" => // corpus, bench, (idCol, textCol)
           graft.queries.TextDedup.decontaminate(
             dfs(0), dfs(1), idCol = str(0), textCol = str(1))
@@ -448,7 +454,9 @@ object GraftFunctions {
     "linreg_closed" -> ("linreg_closed(table, typeCol, tsCol, valCol)", 3),
     "ks_test" -> ("ks_test(table, typeCol, tsCol, valCol, splitDay)", 4),
     "cusum_shift" -> ("cusum_shift(table, typeCol, tsCol)", 2),
-    "gini" -> ("gini(table, typeCol, userCol)", 2))
+    "gini" -> ("gini(table, typeCol, userCol)", 2),
+    "bpe_pairs" -> ("bpe_pairs(table, idCol, textCol, k)", 3),
+    "rake_keywords" -> ("rake_keywords(table, idCol, textCol, k)", 3))
 
   /** Two-table composed-operator TVF registry: name → (usage, scalar
     * arg count AFTER the two table arguments). */

@@ -45,6 +45,28 @@ object ScalarQueries {
         col("sum_qty"), col("cnt"))
       .orderBy("flag", "status")
 
+  /** Mixed GROUPING SETS — the grain combination neither rollup nor
+    * cube expresses: the full (flag, status) cross, the status-only
+    * margin, and the grand total, but NOT the flag-only margin (a
+    * report that never reads it shouldn't pay its aggregation). One
+    * Expand + one hash aggregate in the plan — same shuffle cost as a
+    * plain groupBy times the number of sets, all partials map-side
+    * combinable (Spark 4 Dataset.groupingSets). */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(rnd(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("cnt"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("sum_qty"), col("cnt"))
+      .orderBy("flag", "status")
+  }
+
   /** Exact distinct counts per group (the approx HLL twin is spec-tested
     * against these in ScalarSpec — approx values can't hash-match). */
   def qCountDistinct(spark: SparkSession, dir: String): DataFrame =
@@ -654,6 +676,7 @@ object ScalarQueries {
     "q_date_parts" -> qDateParts _,
     "q_unit_suffix" -> qUnitSuffix _,
     "q_cube" -> qCube _,
+    "q_grouping_sets" -> qGroupingSets _,
     "q_count_distinct" -> qCountDistinct _,
     "q_percentile" -> qPercentile _,
     "q_wordcount" -> qWordcount _,
@@ -980,6 +1003,13 @@ object ScalarQueries {
         |  coalesce(l_linestatus, 'ALL') AS status,
         |  floor((sum(l_quantity)) * 1e2 + 0.5) / 1e2 AS sum_qty, count(*) AS cnt
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |  coalesce(l_linestatus, 'ALL') AS status,
+        |  floor((sum(l_quantity)) * 1e2 + 0.5) / 1e2 AS sum_qty, count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
         |ORDER BY flag, status""".stripMargin,
     "q_count_distinct" ->
       """SELECT l_returnflag,

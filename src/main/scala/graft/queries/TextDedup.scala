@@ -295,6 +295,29 @@ object TextDedup {
       .select(col("a"), col("b"), col("dist").cast("int").as("dist"))
       .orderBy("a", "b")
 
+  /** Near-dup graph degree profile — the dedup-health histogram a
+    * pipeline reads BEFORE canonicalizing: per-doc partner count over
+    * the [[simhashPairs3]] pair graph (docs in no pair count at degree
+    * 0 via the documents LEFT JOIN, so the 0-row is the clean-corpus
+    * fraction), rolled up to (degree, n_docs). A heavy tail here means
+    * boilerplate hubs that will chain clusters in canonicalGroups —
+    * the signal to tighten the Hamming threshold before clustering.
+    *
+    * Scale: endpoints union is linear in the band-bounded pair count;
+    * both aggregates are hash aggregations on bounded keys (doc, then
+    * degree). */
+  def qNeardupDegree(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = simhashPairs3(spark, dir)
+    val ends = pairs.select(col("a").as("doc_id"))
+      .unionAll(pairs.select(col("b").as("doc_id")))
+    val deg = ends.groupBy("doc_id").agg(count(lit(1)).as("degree"))
+    Tables.documents(spark, dir).select("doc_id")
+      .join(deg, Seq("doc_id"), "left")
+      .select(coalesce(col("degree"), lit(0L)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_docs"))
+      .orderBy("degree")
+  }
+
   /** THE simhash near-dup pair construction (Hamming ≤ 3 over the
     * memoized token frame) — one definition consumed by
     * q_simhash_neardup, q_editdist_neardup and q_source_overlap
@@ -505,6 +528,7 @@ object TextDedup {
     "q_dedup_groups" -> qDedupGroups _,
     "q_simhash" -> qSimhash _,
     "q_simhash_neardup" -> qSimhashNeardup _,
+    "q_neardup_degree" -> qNeardupDegree _,
     "q_editdist_neardup" -> qEditdistNeardup _,
     "q_decontaminate" -> qDecontaminate _,
     "q_decontam_bloom" -> qDecontamBloom _,

@@ -206,6 +206,48 @@ import TextStats._
        |WHERE d.doc_id >= 60 AND d.doc_id < 120 ORDER BY d.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // occurrence-weighted in-word character bigrams, (count desc, pair)
+    // top-k — the single-round BPE merge statistic
+    "q_bpe_pairs" ->
+      s"""WITH tok AS (SELECT unnest($TOKS) AS w FROM documents),
+         |w2 AS (SELECT w FROM tok WHERE length(w) >= 2),
+         |p AS (
+         |  SELECT substr(w, i, 2) AS pair, w
+         |  FROM w2, LATERAL (SELECT unnest(generate_series(1, length(w) - 1)) AS i)),
+         |g AS (
+         |  SELECT pair, CAST(count(*) AS BIGINT) AS n_occurrences,
+         |    CAST(count(DISTINCT w) AS BIGINT) AS n_word_types
+         |  FROM p GROUP BY pair)
+         |SELECT pair, n_occurrences, n_word_types
+         |FROM g ORDER BY n_occurrences DESC, pair LIMIT 20""".stripMargin,
+    // phrase id = running stopword count (mirrored window), word score
+    // = exact integer degree/freq rational, ordered on the ROUNDED score
+    "q_rake_keywords" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS ts FROM documents),
+         |tok AS (
+         |  SELECT doc_id, i AS pos, ts[i] AS tk
+         |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i)),
+         |s AS (
+         |  SELECT doc_id, pos, tk,
+         |    CASE WHEN tk IN (${TextStats.RakeStopwords.map(w => s"'$w'").mkString(", ")})
+         |      THEN 1 ELSE 0 END AS is_stop
+         |  FROM tok),
+         |ph AS (
+         |  SELECT doc_id, pos, tk, is_stop,
+         |    sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS phrase
+         |  FROM s),
+         |nst AS (SELECT * FROM ph WHERE is_stop = 0),
+         |pl AS (
+         |  SELECT doc_id, phrase, CAST(count(*) AS BIGINT) AS plen
+         |  FROM nst GROUP BY doc_id, phrase),
+         |g AS (
+         |  SELECT tk AS word, CAST(count(*) AS BIGINT) AS freq,
+         |    CAST(sum(plen) AS BIGINT) AS degree
+         |  FROM nst JOIN pl USING (doc_id, phrase) GROUP BY tk)
+         |SELECT word, freq, degree,
+         |  floor((CAST(degree AS DOUBLE) / CAST(freq AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS score
+         |FROM g ORDER BY score DESC, freq DESC, word LIMIT 20""".stripMargin,
     "q_text_stats" ->
       s"""SELECT doc_id, source,
          |  len($TOKS) AS n_tokens,
@@ -689,6 +731,25 @@ import TextStats._
          |FROM sh x JOIN sh y ON x.doc_id < y.doc_id
          |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
          |ORDER BY a, b""".stripMargin,
+    // degree rollup over the same brute-force pair twin; the LEFT JOIN
+    // keeps zero-degree docs so the 0-row is the clean-corpus count
+    "q_neardup_degree" ->
+      s"""WITH $SimhashCtes,
+         |pairs AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b
+         |  FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+         |  WHERE bit_count(xor(x.simhash, y.simhash)) <= 3),
+         |ends AS (
+         |  SELECT a AS doc_id FROM pairs
+         |  UNION ALL SELECT b AS doc_id FROM pairs),
+         |deg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS degree
+         |  FROM ends GROUP BY doc_id),
+         |d AS (
+         |  SELECT coalesce(deg.degree, CAST(0 AS BIGINT)) AS degree
+         |  FROM documents LEFT JOIN deg USING (doc_id))
+         |SELECT degree, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM d GROUP BY degree ORDER BY degree""".stripMargin,
     // candidate CTE = the q_simhash_neardup brute-force twin; the verify
     // stage recomputes UNBOUNDED levenshtein (DuckDB has no threshold
     // variant) — equality with Spark's threshold-bounded DP is exactly

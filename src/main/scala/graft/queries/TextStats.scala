@@ -810,7 +810,92 @@ object TextStats {
       .orderBy("source_a", "source_b")
   }
 
+  /** Corpus-frequency-weighted adjacent character-pair counts inside
+    * words — the statistic ONE round of byte-pair-encoding training
+    * maximizes (the top row IS the first BPE merge). The plan is the
+    * wordcount shape one level down: token explode → per-word bigram
+    * position explode (O(total chars), scan-parallel) → hash aggregate
+    * on the PAIR key (key space bounded by the alphabet², so partials
+    * collapse map-side no matter the corpus size) → deterministic
+    * (count desc, pair) top-k via TakeOrderedAndProject. Further merge
+    * rounds unroll exactly like q_pagerank's chained CTEs: rewrite the
+    * merged pair into a single symbol, recount.
+    *
+    * `n_occurrences` counts every word occurrence (what BPE weights),
+    * `n_word_types` the distinct words containing the pair. */
+  def bpePairs(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text", k: Int = 20): DataFrame =
+    bpePairsOf(docs.select(col(idCol), tokens(col(textCol)).as("ts")), k)
+
+  /** [[bpePairs]] over a pre-tokenized `(idCol, ts)` frame (the
+    * memoized cachedDocTokens shape). */
+  def bpePairsOf(tokArr: DataFrame, k: Int = 20): DataFrame = {
+    val words = tokArr.select(explode(col("ts")).as("w"))
+      .filter(length(col("w")) >= 2)
+    words
+      .select(col("w"),
+        explode(expr("sequence(1, length(w) - 1)")).as("i"))
+      .select(expr("substring(w, i, 2)").as("pair"), col("w"))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("w")).as("n_word_types"))
+      .orderBy(desc("n_occurrences"), col("pair"))
+      .limit(k)
+  }
+
+  def qBpePairs(spark: SparkSession, dir: String): DataFrame =
+    bpePairsOf(cachedDocTokens(spark, dir))
+
+  /** Stopword list shared by [[rakeKeywords]] and its oracle — literal
+    * on both engines. */
+  val RakeStopwords: Seq[String] = Seq("a", "the", "and", "of", "to", "in")
+
+  /** RAKE keyword scores (Rose et al. 2010) at the word grain: phrases
+    * are maximal stopword-free token runs (the consecutive-run grouping
+    * is the sessionize idiom over token positions — phrase id = running
+    * count of stopword boundaries), freq(w) counts occurrences,
+    * degree(w) sums the length of every phrase containing each
+    * occurrence, and score = degree/freq — ONE exact integer rational
+    * per word, one division, so the (score, word) top-k order is
+    * engine-identical. Top-k keywords by (score desc, freq desc, word).
+    *
+    * Scale: the position window partitions per DOCUMENT (bounded by
+    * doc length); everything after is hash aggregation on the word key
+    * and a TakeOrderedAndProject. */
+  def rakeKeywords(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", k: Int = 20): DataFrame =
+    rakeKeywordsOf(docs.select(col(idCol), tokens(col(textCol)).as("ts")),
+      k, idCol)
+
+  /** [[rakeKeywords]] over a pre-tokenized `(idCol, ts)` frame. */
+  def rakeKeywordsOf(tokArr: DataFrame, k: Int = 20,
+                     idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wPos = Window.partitionBy(idCol).orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tok = tokArr
+      .select(col(idCol), posexplode(col("ts")).as(Seq("pos", "tk")))
+      .withColumn("is_stop",
+        col("tk").isin(RakeStopwords: _*).cast("long"))
+      .withColumn("phrase", sum(col("is_stop")).over(wPos))
+      .filter(col("is_stop") === 0L)
+    val phraseLen = tok.groupBy(col(idCol), col("phrase"))
+      .agg(count(lit(1)).as("plen"))
+    tok.join(phraseLen, Seq(idCol, "phrase"))
+      .groupBy(col("tk").as("word"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("degree"))
+      .withColumn("score",
+        rnd(col("degree").cast("double") / col("freq").cast("double"), 4))
+      .orderBy(desc("score"), desc("freq"), col("word"))
+      .limit(k)
+  }
+
+  def qRakeKeywords(spark: SparkSession, dir: String): DataFrame =
+    rakeKeywordsOf(cachedDocTokens(spark, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bpe_pairs" -> qBpePairs _,
+    "q_rake_keywords" -> qRakeKeywords _,
     "q_token_entropy" -> qTokenEntropy _,
     "q_feature_hash" -> qFeatureHash _,
     "q_inverted_index" -> qInvertedIndex _,

@@ -557,6 +557,15 @@ class PlanSpec extends AnyFunSuite {
       pair("SELECT * FROM gini('ev_r12', 'event_type', 'user_id')",
         graft.queries.StatQueries.giniConcentration(ev, "event_type", "user_id"),
         Seq("event_type"))
+      Tables.documents(s2, TestSpark.Sf).filter(col("doc_id") < 100)
+        .createOrReplaceTempView("docs_r12")
+      val docs = Tables.documents(s2, TestSpark.Sf).filter(col("doc_id") < 100)
+      pair("SELECT * FROM bpe_pairs('docs_r12', 'doc_id', 'text', 20)",
+        graft.queries.TextStats.bpePairs(docs, "doc_id", "text", 20),
+        Seq("pair"))
+      pair("SELECT * FROM rake_keywords('docs_r12', 'doc_id', 'text', 20)",
+        graft.queries.TextStats.rakeKeywords(docs, "doc_id", "text", 20),
+        Seq("word"))
     }
   }
 

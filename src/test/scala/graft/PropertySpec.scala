@@ -773,4 +773,51 @@ class PropertySpec extends AnyFunSuite {
     assert(math.abs(gotPsi - (math.floor(psi * 1e6 + 0.5) / 1e6)) <= 1e-6,
       s"$et: $gotPsi vs $psi")
   }
+
+  test("bpePairs: hand-counted bigrams, occurrence-weighted, single-char words dropped") {
+    import graft.queries.TextStats
+    // "abab ab x": words abab (ab, ba, ab) + ab (ab); x dropped
+    val docs = Seq((1L, "abab ab x")).toDF("doc_id", "text")
+    val r = TextStats.bpePairs(docs).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSeq
+    assert(r == Seq(("ab", 3L, 2L), ("ba", 1L, 1L)))
+  }
+
+  test("rakeKeywords: phrase runs split on stopwords, degree/freq hand-checked") {
+    import graft.queries.TextStats
+    // phrases: [red apple], [apple] -> apple: freq 2, degree 2+1=3,
+    // score 1.5; red: freq 1, degree 2, score 2.0
+    val docs = Seq((1L, "red apple the apple")).toDF("doc_id", "text")
+    val r = TextStats.rakeKeywords(docs).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+    assert(r.toSeq == Seq(("red", 1L, 2L, 2.0), ("apple", 2L, 3L, 1.5)))
+  }
+
+  test("qNeardupDegree: histogram mass equals corpus size and 2x the pair count") {
+    import graft.queries.TextDedup
+    val hist = TextDedup.qNeardupDegree(spark, TestSpark.Sf)
+      .as[(Long, Long)].collect().toSeq
+    val nDocs = Tables.documents(spark, TestSpark.Sf).count()
+    val nPairs = graft.queries.TextDedup.queries("q_simhash_neardup")(
+      spark, TestSpark.Sf).count()
+    assert(hist.map(_._2).sum == nDocs, "every doc lands in exactly one bin")
+    assert(hist.map { case (d, n) => d * n }.sum == 2 * nPairs,
+      "total degree must be twice the pair count")
+  }
+
+  test("qGroupingSets: exactly the three requested grains, margins consistent") {
+    import graft.queries.ScalarQueries
+    val rows = ScalarQueries.qGroupingSets(spark, TestSpark.Sf)
+      .as[(String, String, Double, Long)].collect().toSeq
+    val cross = rows.filter(r => r._1 != "ALL" && r._2 != "ALL")
+    val statusMargin = rows.filter(r => r._1 == "ALL" && r._2 != "ALL")
+    val flagMargin = rows.filter(r => r._1 != "ALL" && r._2 == "ALL")
+    val grand = rows.filter(r => r._1 == "ALL" && r._2 == "ALL")
+    assert(flagMargin.isEmpty, "the flag-only margin was NOT requested")
+    assert(grand.size == 1 && grand.head._4 == cross.map(_._4).sum)
+    statusMargin.foreach { m =>
+      assert(m._4 == cross.filter(_._2 == m._2).map(_._4).sum,
+        s"status margin ${m._2} must equal its cross-cell sum")
+    }
+  }
 }
