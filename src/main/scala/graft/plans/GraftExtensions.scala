@@ -271,6 +271,11 @@ case class ResolveGraftOp(spark: org.apache.spark.sql.SparkSession)
         case "rake_keywords" => // (idCol, textCol, k)
           graft.queries.TextStats.rakeKeywords(
             dfs(0), str(0), str(1), lng(2).toInt)
+        case "autocorr" => // (typeCol, tsCol, maxLag)
+          graft.queries.StatQueries.autocorr(
+            dfs(0), str(0), str(1), lng(2).toInt)
+        case "benford" => // (typeCol, valCol)
+          graft.queries.StatQueries.benfordAudit(dfs(0), str(0), str(1))
         case "decontaminate" => // corpus, bench, (idCol, textCol)
           graft.queries.TextDedup.decontaminate(
             dfs(0), dfs(1), idCol = str(0), textCol = str(1))
@@ -456,7 +461,9 @@ object GraftFunctions {
     "cusum_shift" -> ("cusum_shift(table, typeCol, tsCol)", 2),
     "gini" -> ("gini(table, typeCol, userCol)", 2),
     "bpe_pairs" -> ("bpe_pairs(table, idCol, textCol, k)", 3),
-    "rake_keywords" -> ("rake_keywords(table, idCol, textCol, k)", 3))
+    "rake_keywords" -> ("rake_keywords(table, idCol, textCol, k)", 3),
+    "autocorr" -> ("autocorr(table, typeCol, tsCol, maxLag)", 3),
+    "benford" -> ("benford(table, typeCol, valCol)", 2))
 
   /** Two-table composed-operator TVF registry: name → (usage, scalar
     * arg count AFTER the two table arguments). */

@@ -139,12 +139,49 @@ object SourceQueries {
       .orderBy("c_mktsegment")
   }
 
+  /** ORC copy written once per (session, dir) — the format-breadth twin
+    * of [[qCompactionRoundtrip]] (S-family: a lakehouse ingests what it
+    * is handed; ORC is the other columnar interchange format Spark
+    * reads natively). */
+  private val orcMemo = new SessionMemo[String, String]
+
+  /** Sink → source roundtrip through ORC: write the event frame as
+    * snappy ORC (the epoch-nano `ts` long survives verbatim — a LONG
+    * column has identical semantics in both formats, so the roundtrip
+    * proves value fidelity, not just schema transport), read it back,
+    * emit everything. Oracle = the parquet source table verbatim, the
+    * qCompactionRoundtrip parity-by-identity recipe. ORC scans give
+    * Catalyst the same pushdown/pruning surface as parquet
+    * (`PushedFilters` in .explain), so the engine's scan layer is
+    * format-agnostic at any scale. */
+  def qOrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = orcMemo.getOrElseUpdate(spark, dir) {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-orc")
+      compactedDirs.add(tmp)
+      val path = tmp.toString + "/events"
+      Tables.events(spark, dir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .write.mode("overwrite").orc(path)
+      path
+    }
+    // micro-grain ts for the oracle compare, as in qCompactionRoundtrip
+    spark.read.orc(out)
+      .select(col("event_id"), expr("ts DIV 1000").as("ts_us"), col("user_id"),
+        col("event_type"), col("value"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_compaction_roundtrip" -> qCompactionRoundtrip _,
+    "q_orc_roundtrip" -> qOrcRoundtrip _,
     "q_bucketed_join" -> qBucketedJoin _)
 
   val oracles: Map[String, String] = Map(
     "q_compaction_roundtrip" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
+    // parity-by-identity through the ORC write/read path
+    "q_orc_roundtrip" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
     // the UNbucketed twin: plain parquet join + rollup (HUGEINT cents

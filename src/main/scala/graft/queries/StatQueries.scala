@@ -233,7 +233,104 @@ object StatQueries {
     giniConcentration(Tables.events(spark, dir), "event_type", "user_id")
       .orderBy("event_type")
 
+  /** Lag-k autocorrelation of the per-day event-count series per group —
+    * the seasonality probe behind every forecasting baseline: for each
+    * lag 1..maxLag, Pearson r between (x_{t−lag}, x_t) from the same
+    * six exact integer sums as [[linregClosed]] (counts are integers,
+    * so every partial is exact; one fixed-order double expression with
+    * a sqrt at the end, zero-variance pairs NULL-gated).
+    *
+    * Scale: the lag windows run on the DAY grain (metadata-scale
+    * partitions, like cusumShift); the only full-data pass is the
+    * daily rollup. */
+  def autocorr(df: DataFrame, typeCol: String, tsCol: String,
+               maxLag: Int = 3): DataFrame = {
+    require(maxLag >= 1, s"autocorr: maxLag must be >= 1 (got $maxLag)")
+    val daily = df
+      .select(col(typeCol).as("event_type"), Tables.eventDay.as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val lagCols = (1 to maxLag).map(l => lag(col("x"), l).over(w).as(s"x$l"))
+    val lagged = daily.select(
+      Seq(col("event_type"), col("x").as("y")) ++ lagCols: _*)
+    val stacked = lagged
+      .select(col("event_type"), col("y"),
+        explode(array((1 to maxLag).map(l =>
+          struct(lit(l).as("lag"), col(s"x$l").as("xp"))): _*)).as("e"))
+      .select(col("event_type"), col("e.lag").as("lag"),
+        col("e.xp").as("xp"), col("y"))
+      .filter(col("xp").isNotNull)
+    val g = stacked.groupBy("event_type", "lag").agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("xp")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("xp") * col("y")).as("sxy"),
+      sum(col("xp") * col("xp")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    def d(s: String) = col(s).cast("double")
+    val varX = d("n_pairs") * d("sxx") - d("sx") * d("sx")
+    val varY = d("n_pairs") * d("syy") - d("sy") * d("sy")
+    g.select(col("event_type"), col("lag"), col("n_pairs"),
+      rnd(when(varX > 0.0 && varY > 0.0,
+        (d("n_pairs") * d("sxy") - d("sx") * d("sy")) /
+          sqrt(varX * varY)), 6).as("r"))
+  }
+
+  def qAutocorr(spark: SparkSession, dir: String): DataFrame =
+    autocorr(Tables.events(spark, dir), "event_type", "ts")
+      .orderBy("event_type", "lag")
+
+  /** Benford expected share of leading digit d, as the EXACT double the
+    * Scala runtime computes — interpolated into the oracle as its
+    * shortest round-trip decimal literal (CAST to DOUBLE, never a bare
+    * DECIMAL literal), so both engines hold bit-identical constants. */
+  private[queries] def benfordP(d: Int): Double = math.log10(1.0 + 1.0 / d)
+
+  /** Benford first-digit audit per group — the classic fraud/data-entry
+    * screen: observed leading-digit shares of `valCol` (values ≥ 1)
+    * against the Benford expectation, one row per (group, digit) over
+    * the FULL 1..9 grid (zero-observation digits kept via the sequence
+    * cross join, so a missing digit reads as share 0, not a missing
+    * row). Deviation is per-digit |share − p| — deliberately no
+    * cross-digit float sum, so no accumulation-order hazard; the flag
+    * compares the ROUNDED deviation.
+    *
+    * Scale: one conditional-count aggregate at the (group, digit ≤ 9)
+    * grain — constant-size partials, map-side combined, the histogram
+    * shape. */
+  def benfordAudit(df: DataFrame, typeCol: String, valCol: String,
+                   flagAt: Double = 0.05): DataFrame = {
+    val expectArr = array((1 to 9).map(d => lit(benfordP(d))): _*)
+    val obs = df
+      .filter(col(valCol) >= 1.0)
+      .select(col(typeCol).as("event_type"),
+        substring(expr(s"CAST(CAST(floor(`$valCol`) AS BIGINT) AS STRING)"),
+          1, 1).cast("int").as("digit"))
+      .groupBy("event_type", "digit").agg(count(lit(1)).as("c"))
+    val grid = obs.select("event_type").distinct()
+      .select(col("event_type"),
+        explode(expr("sequence(1, 9)")).as("digit"))
+    val n = obs.groupBy("event_type").agg(sum(col("c")).as("n"))
+    grid
+      .join(obs, Seq("event_type", "digit"), "left")
+      .join(broadcast(n), Seq("event_type"))
+      .select(col("event_type"), col("digit"),
+        coalesce(col("c"), lit(0L)).as("n_obs"),
+        rnd(coalesce(col("c"), lit(0L)).cast("double") /
+          col("n").cast("double"), 6).as("share"),
+        rnd(element_at(expectArr, col("digit")), 6).as("expected"),
+        rnd(abs(coalesce(col("c"), lit(0L)).cast("double") /
+          col("n").cast("double") -
+          element_at(expectArr, col("digit"))), 6).as("dev"))
+      .withColumn("flagged", col("dev") > flagAt)
+  }
+
+  def qBenford(spark: SparkSession, dir: String): DataFrame =
+    benfordAudit(Tables.events(spark, dir), "event_type", "value")
+      .orderBy("event_type", "digit")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_autocorr" -> qAutocorr _,
+    "q_benford" -> qBenford _,
     "q_roc_auc" -> qRocAuc _,
     "q_linreg_closed" -> qLinregClosed _,
     "q_ks_test" -> qKsTest _,
@@ -242,6 +339,75 @@ object StatQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // per-lag Pearson r from the same six integer sums, lags unrolled
+    // as a UNION ALL generated from the same 1..maxLag range
+    "q_autocorr" -> {
+      val lagSel = (1 to 3).map(l =>
+        s"""SELECT event_type, $l AS lag,
+           |  lag(x, $l) OVER (PARTITION BY event_type ORDER BY day) AS xp,
+           |  x AS y FROM daily""".stripMargin).mkString("\nUNION ALL\n")
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day,
+         |    CAST(count(*) AS BIGINT) AS x
+         |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+         |st AS ($lagSel),
+         |f AS (SELECT * FROM st WHERE xp IS NOT NULL),
+         |g AS (
+         |  SELECT event_type, lag, count(*) AS n_pairs,
+         |    CAST(sum(xp) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(xp * y) AS BIGINT) AS sxy,
+         |    CAST(sum(xp * xp) AS BIGINT) AS sxx,
+         |    CAST(sum(y * y) AS BIGINT) AS syy
+         |  FROM f GROUP BY event_type, lag),
+         |d AS (
+         |  SELECT event_type, lag, n_pairs,
+         |    CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS covnum,
+         |    CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varx,
+         |    CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+         |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vary
+         |  FROM g)
+         |SELECT event_type, lag, n_pairs,
+         |  CASE WHEN varx > 0.0 AND vary > 0.0 THEN
+         |    floor((covnum / sqrt(varx * vary)) * 1e6 + 0.5) / 1e6 END AS r
+         |FROM d ORDER BY event_type, lag""".stripMargin
+    },
+    // expected shares as the Scala doubles' shortest round-trip decimal
+    // literals CAST to DOUBLE (a bare literal would parse as DECIMAL)
+    "q_benford" -> {
+      val expVals = (1 to 9).map(d =>
+        s"($d, CAST('${benfordP(d)}' AS DOUBLE))").mkString(", ")
+      s"""WITH obs AS (
+         |  SELECT event_type,
+         |    CAST(substr(CAST(CAST(floor(value) AS BIGINT) AS VARCHAR), 1, 1)
+         |      AS INT) AS digit,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM events WHERE value >= 1.0 GROUP BY event_type, 2),
+         |grid AS (
+         |  SELECT t.event_type, d.digit
+         |  FROM (SELECT DISTINCT event_type FROM obs) t,
+         |    (SELECT unnest(generate_series(1, 9)) AS digit) d),
+         |n AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n
+         |  FROM obs GROUP BY event_type),
+         |e(digit, p) AS (VALUES $expVals),
+         |r AS (
+         |  SELECT grid.event_type, grid.digit,
+         |    coalesce(obs.c, CAST(0 AS BIGINT)) AS n_obs,
+         |    floor((CAST(coalesce(obs.c, CAST(0 AS BIGINT)) AS DOUBLE)
+         |      / CAST(n.n AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS share,
+         |    floor(e.p * 1e6 + 0.5) / 1e6 AS expected,
+         |    floor(abs(CAST(coalesce(obs.c, CAST(0 AS BIGINT)) AS DOUBLE)
+         |      / CAST(n.n AS DOUBLE) - e.p) * 1e6 + 0.5) / 1e6 AS dev
+         |  FROM grid
+         |  LEFT JOIN obs ON grid.event_type = obs.event_type
+         |    AND grid.digit = obs.digit
+         |  JOIN n ON grid.event_type = n.event_type
+         |  JOIN e ON grid.digit = e.digit)
+         |SELECT event_type, digit, n_obs, share, expected, dev,
+         |  dev > 0.05 AS flagged
+         |FROM r ORDER BY event_type, digit""".stripMargin
+    },
     // pooled average ranks as exact integers (2·avg = 2·rank + ties − 1),
     // AUC as one integer rational — mirrored window shapes
     "q_roc_auc" ->

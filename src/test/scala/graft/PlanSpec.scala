@@ -566,6 +566,12 @@ class PlanSpec extends AnyFunSuite {
       pair("SELECT * FROM rake_keywords('docs_r12', 'doc_id', 'text', 20)",
         graft.queries.TextStats.rakeKeywords(docs, "doc_id", "text", 20),
         Seq("word"))
+      pair("SELECT * FROM autocorr('ev_r12', 'event_type', 'ts', 3)",
+        graft.queries.StatQueries.autocorr(ev, "event_type", "ts", 3),
+        Seq("event_type", "lag"))
+      pair("SELECT * FROM benford('ev_r12', 'event_type', 'value')",
+        graft.queries.StatQueries.benfordAudit(ev, "event_type", "value"),
+        Seq("event_type", "digit"))
     }
   }
 

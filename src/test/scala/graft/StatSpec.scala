@@ -80,6 +80,33 @@ class StatSpec extends AnyFunSuite {
     assert(r.map(_.getDouble(4)).toSeq == Seq(1.0, 2.0, 3.0, 4.0, 0.0))
   }
 
+  test("autocorr: alternating daily counts give r=-1 at lag 1, r=1 at lag 2") {
+    // counts [1,2,1,2,1,2]: lag-1 pairs are perfectly anti-linear
+    // (y = 3 - x), lag-2 pairs identical (y = x)
+    val ev = (1 to 6).flatMap { d =>
+      val n = if (d % 2 == 0) 2 else 1
+      (1 to n).map(_ => ("t", dayNs(d)))
+    }.toDF("event_type", "ts")
+    val r = StatQueries.autocorr(ev, "event_type", "ts", maxLag = 2)
+      .orderBy("lag").collect()
+    assert(r(0).getInt(1) == 1 && r(0).getDouble(3) == -1.0)
+    assert(r(1).getInt(1) == 2 && r(1).getDouble(3) == 1.0)
+  }
+
+  test("benfordAudit: full digit grid, zero digits kept, deviation flags") {
+    // every value leads with digit 1 -> share(1)=1 (flagged: dev .699),
+    // shares 0 elsewhere (digit 9 dev .046 stays under the 0.05 flag)
+    val ev = Seq(("t", 10.0), ("t", 1.5), ("t", 199.0), ("t", 0.5))
+      .toDF("event_type", "value") // 0.5 < 1 is excluded
+    val r = StatQueries.benfordAudit(ev, "event_type", "value")
+      .orderBy("digit").collect()
+    assert(r.length == 9, "all nine digits must be present")
+    assert(r(0).getLong(2) == 3L && r(0).getDouble(3) == 1.0 &&
+      r(0).getBoolean(6))
+    assert(r(8).getLong(2) == 0L && r(8).getDouble(3) == 0.0 &&
+      !r(8).getBoolean(6), "digit 9's Benford share is under the flag")
+  }
+
   test("giniConcentration: equality gives 0, known split gives 0.25") {
     val ev = (
       // type eq: 3 users x 2 events -> G = 0
