@@ -533,7 +533,68 @@ object TrainingDataQueries {
     abTest(Tables.events(spark, dir), "event_type", "ts", "value", 15)
       .orderBy("event_type")
 
+  /** k for [[qKAnonymity]] / band width — interpolated into BOTH
+    * engines so they cannot drift. */
+  val AnonK = 5
+  val AnonBand = 50.0
+
+  /** k-anonymity audit over the quasi-identifier grain (event_type ×
+    * day × value band): equivalence-class sizes per type, the minimum
+    * class, and the row mass that would need suppression to reach
+    * k=[[AnonK]] — the governance read a release pipeline takes before
+    * publishing event-level data (beside q_pii_redact's content-level
+    * scrub). All integers + one fraction division; the verdict compares
+    * integers.
+    *
+    * Scale: one hash aggregate at the quasi grain then a per-type
+    * rollup — the same two-level shape as uniqueness checks; no
+    * windows, no joins. */
+  def qKAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables.events(spark, dir)
+      .select(col("event_type"), Tables.eventDay.as("day"),
+        floor(col("value") / AnonBand).cast("long").as("band"))
+      .groupBy("event_type", "day", "band").agg(count(lit(1)).as("n"))
+    q.groupBy("event_type")
+      .agg(count(lit(1)).as("n_classes"), min(col("n")).as("min_class"),
+        sum(when(col("n") < AnonK, col("n")).otherwise(0L)).as("rows_below"),
+        sum(col("n")).as("total"))
+      .select(col("event_type"), col("n_classes"), col("min_class"),
+        col("rows_below"),
+        rnd(col("rows_below").cast("double") / col("total").cast("double"), 6)
+          .as("frac_below"),
+        (col("min_class") >= AnonK).as("k_anonymous"))
+      .orderBy("event_type")
+  }
+
+  /** Differentially-private noisy counts per type — the Laplace
+    * mechanism with scale 1/ε over a count query (sensitivity 1), the
+    * noise drawn from the DETERMINISTIC md5 uniform (the
+    * qWeightedSample recipe) via inverse-CDF: u∈(0,1) centered,
+    * noise = −(1/ε)·sign(c)·ln(1−2|c|). The seeded draw is what makes
+    * the query oracle-testable and replay-stable; a production DP
+    * release needs true randomness and privacy-budget accounting — this
+    * operator is the PLAN shape (noise added post-aggregation, never
+    * per row, so the mechanism costs nothing at scale).
+    *
+    * Cross-engine: one ln over an exact rational in mirrored order;
+    * output rounded at 1e-4 (the q_weighted_sample libm-ulp argument). */
+  def qDpCounts(spark: SparkSession, dir: String): DataFrame = {
+    val eps = 1.0
+    val u = (saltedHash(col("event_type"), "dp").cast("double") + lit(0.5)) /
+      lit(Two32.toDouble)
+    val c = u - lit(0.5)
+    val noise = -lit(1.0 / eps) * signum(c) *
+      log(lit(1.0) - lit(2.0) * abs(c))
+    Tables.events(spark, dir)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .select(col("event_type"), lit(eps).as("epsilon"),
+        rnd(col("n").cast("double") + noise, 4).as("noisy_n"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_k_anonymity" -> qKAnonymity _,
+    "q_dp_counts" -> qDpCounts _,
     "q_psi_drift" -> qPsiDrift _,
     "q_ab_test" -> qAbTest _,
     "q_epoch_shuffle" -> qEpochShuffle _,
@@ -565,6 +626,43 @@ object TrainingDataQueries {
   private val MixTokSql = "len(string_split_regex(trim(text), '\\s+'))"
 
   val oracles: Map[String, String] = Map(
+    // two-level hash aggregate; verdict and suppression mass compare
+    // integers, one fraction division
+    "q_k_anonymity" ->
+      s"""WITH q AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day,
+         |    CAST(floor(value / $AnonBand) AS BIGINT) AS band,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM events GROUP BY event_type, CAST(ts AS DATE), 3),
+         |g AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_classes,
+         |    CAST(min(n) AS BIGINT) AS min_class,
+         |    CAST(sum(CASE WHEN n < $AnonK THEN n ELSE 0 END) AS BIGINT)
+         |      AS rows_below,
+         |    CAST(sum(n) AS BIGINT) AS total
+         |  FROM q GROUP BY event_type)
+         |SELECT event_type, n_classes, min_class, rows_below,
+         |  floor((CAST(rows_below AS DOUBLE) / CAST(total AS DOUBLE))
+         |    * 1e6 + 0.5) / 1e6 AS frac_below,
+         |  min_class >= $AnonK AS k_anonymous
+         |FROM g ORDER BY event_type""".stripMargin,
+    // inverse-CDF Laplace from the deterministic md5 uniform, mirrored
+    // operation order (one sign, one ln), CASTs keep DuckDB in DOUBLE
+    "q_dp_counts" ->
+      s"""WITH g AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n
+         |  FROM events GROUP BY event_type),
+         |u AS (
+         |  SELECT event_type, n,
+         |    (CAST(${hSql("event_type", "dp")} AS DOUBLE) + 0.5)
+         |      / 4294967296.0 AS u
+         |  FROM g)
+         |SELECT event_type, CAST(1.0 AS DOUBLE) AS epsilon,
+         |  floor((CAST(n AS DOUBLE)
+         |    + (CAST(-1.0 AS DOUBLE) * CAST(sign(u - 0.5) AS DOUBLE))
+         |      * ln(CAST(1.0 AS DOUBLE) - CAST(2.0 AS DOUBLE) * abs(u - 0.5)))
+         |    * 1e4 + 0.5) / 1e4 AS noisy_n
+         |FROM u ORDER BY event_type""".stripMargin,
     // same fixed-order IEEE expressions (bin edge, smoothed shares, PSI
     // terms); counts CAST to DOUBLE before the +1.0 so DuckDB stays in
     // IEEE arithmetic instead of DECIMAL; drifted compares the ROUNDED

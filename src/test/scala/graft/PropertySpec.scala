@@ -774,6 +774,50 @@ class PropertySpec extends AnyFunSuite {
       s"$et: $gotPsi vs $psi")
   }
 
+  test("qKAnonymity: suppression mass and verdict hand-checked on fixture classes") {
+    import graft.queries.TrainingDataQueries
+    val rep = TrainingDataQueries.qKAnonymity(spark, TestSpark.Sf)
+      .as[(String, Long, Long, Long, Double, Boolean)].collect().toSeq
+    assert(rep.nonEmpty)
+    // recompute the class histogram naively and cross-check every column
+    val classes = Tables.events(spark, TestSpark.Sf)
+      .select(col("event_type"), Tables.eventDay.as("day"),
+        floor(col("value") / TrainingDataQueries.AnonBand).cast("long").as("band"))
+      .groupBy("event_type", "day", "band").count()
+      .as[(String, java.sql.Date, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._4).toSeq).toMap
+    rep.foreach { case (et, nc, mn, below, frac, ok) =>
+      val cs = classes(et)
+      assert(nc == cs.size && mn == cs.min)
+      assert(below == cs.filter(_ < TrainingDataQueries.AnonK).sum)
+      assert(ok == (mn >= TrainingDataQueries.AnonK))
+      val f = below.toDouble / cs.sum.toDouble
+      assert(frac == math.floor(f * 1e6 + 0.5) / 1e6)
+    }
+  }
+
+  test("qDpCounts: noise equals the closed-form seeded Laplace draw per type") {
+    import graft.queries.TrainingDataQueries
+    val out = TrainingDataQueries.qDpCounts(spark, TestSpark.Sf)
+      .as[(String, Double, Double)].collect()
+      .map { case (t, _, v) => t -> v }.toMap
+    val truth = Tables.events(spark, TestSpark.Sf)
+      .groupBy("event_type").count().as[(String, Long)].collect().toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    truth.foreach { case (et, n) =>
+      val h = java.lang.Long.parseLong(md5hex(et + "|dp").take(8), 16)
+      val u = (h.toDouble + 0.5) / 4294967296.0
+      val c = u - 0.5
+      val noise = -1.0 * math.signum(c) * math.log(1.0 - 2.0 * math.abs(c))
+      val want = math.floor((n.toDouble + noise) * 1e4 + 0.5) / 1e4
+      assert(out(et) == want, s"$et: ${out(et)} vs $want")
+      assert(math.abs(out(et) - n) < 25.0,
+        "Laplace(1) noise from a 32-bit uniform is bounded by ~ln(2^32)")
+    }
+  }
+
   test("bpePairs: hand-counted bigrams, occurrence-weighted, single-char words dropped") {
     import graft.queries.TextStats
     // "abab ab x": words abab (ab, ba, ab) + ab (ab); x dropped
