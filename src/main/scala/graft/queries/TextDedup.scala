@@ -308,8 +308,11 @@ object TextDedup {
     * degree). */
   def qNeardupDegree(spark: SparkSession, dir: String): DataFrame = {
     val pairs = simhashPairs3(spark, dir)
-    val ends = pairs.select(col("a").as("doc_id"))
-      .unionAll(pairs.select(col("b").as("doc_id")))
+    // explode both endpoints in ONE pass over the pair frame — a
+    // UNION of two selects would duplicate the whole banding subtree
+    // (measured 2.26 s vs 1.26 s for the banding siblings; the explode
+    // form prices one pipeline + the rollup)
+    val ends = pairs.select(explode(array(col("a"), col("b"))).as("doc_id"))
     val deg = ends.groupBy("doc_id").agg(count(lit(1)).as("degree"))
     Tables.documents(spark, dir).select("doc_id")
       .join(deg, Seq("doc_id"), "left")
