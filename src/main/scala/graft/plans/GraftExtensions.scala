@@ -276,6 +276,8 @@ case class ResolveGraftOp(spark: org.apache.spark.sql.SparkSession)
             dfs(0), str(0), str(1), lng(2).toInt)
         case "benford" => // (typeCol, valCol)
           graft.queries.StatQueries.benfordAudit(dfs(0), str(0), str(1))
+        case "chi_square" => // (typeCol, tsCol)
+          graft.queries.StatQueries.chiSquare(dfs(0), str(0), str(1))
         case "decontaminate" => // corpus, bench, (idCol, textCol)
           graft.queries.TextDedup.decontaminate(
             dfs(0), dfs(1), idCol = str(0), textCol = str(1))
@@ -463,7 +465,8 @@ object GraftFunctions {
     "bpe_pairs" -> ("bpe_pairs(table, idCol, textCol, k)", 3),
     "rake_keywords" -> ("rake_keywords(table, idCol, textCol, k)", 3),
     "autocorr" -> ("autocorr(table, typeCol, tsCol, maxLag)", 3),
-    "benford" -> ("benford(table, typeCol, valCol)", 2))
+    "benford" -> ("benford(table, typeCol, valCol)", 2),
+    "chi_square" -> ("chi_square(table, typeCol, tsCol)", 2))
 
   /** Two-table composed-operator TVF registry: name → (usage, scalar
     * arg count AFTER the two table arguments). */

@@ -67,6 +67,30 @@ object ScalarQueries {
       .orderBy("flag", "status")
   }
 
+  /** Known event types for [[qUnpivot]]'s explicit pivot column list
+    * (an explicit list keeps the pivot single-pass; discovery would add
+    * a distinct scan). */
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Wide↔long reshaping round trip: per-day counts pivoted to one
+    * column per event type, then MELTED back with Dataset.unpivot — the
+    * inverse operator q_pivot lacked. The unpivot is a zero-shuffle
+    * Expand over the wide frame (each wide row emits |types| long
+    * rows); absent (day, type) cells surface as NULL and are filtered,
+    * so the round trip lands exactly on the groupBy the oracle states.
+    * At scale the wide frame is the bounded (days × types) grid — the
+    * reshape never touches the fact grain a second time. */
+  def qUnpivot(spark: SparkSession, dir: String): DataFrame = {
+    val wide = Tables.events(spark, dir)
+      .select(col("event_type"), graft.Tables.eventDay.as("day"))
+      .groupBy("day").pivot("event_type", EventTypes).count()
+    wide
+      .unpivot(Array(col("day")), EventTypes.map(col).toArray,
+        "event_type", "n")
+      .filter(col("n").isNotNull)
+      .orderBy("day", "event_type")
+  }
+
   /** Exact distinct counts per group (the approx HLL twin is spec-tested
     * against these in ScalarSpec — approx values can't hash-match). */
   def qCountDistinct(spark: SparkSession, dir: String): DataFrame =
@@ -677,6 +701,7 @@ object ScalarQueries {
     "q_unit_suffix" -> qUnitSuffix _,
     "q_cube" -> qCube _,
     "q_grouping_sets" -> qGroupingSets _,
+    "q_unpivot" -> qUnpivot _,
     "q_count_distinct" -> qCountDistinct _,
     "q_percentile" -> qPercentile _,
     "q_wordcount" -> qWordcount _,
@@ -1004,6 +1029,10 @@ object ScalarQueries {
         |  floor((sum(l_quantity)) * 1e2 + 0.5) / 1e2 AS sum_qty, count(*) AS cnt
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY flag, status""".stripMargin,
+    "q_unpivot" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY CAST(ts AS DATE), event_type
+        |ORDER BY day, event_type""".stripMargin,
     "q_grouping_sets" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS flag,
         |  coalesce(l_linestatus, 'ALL') AS status,

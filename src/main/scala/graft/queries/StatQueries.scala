@@ -328,7 +328,72 @@ object StatQueries {
     benfordAudit(Tables.events(spark, dir), "event_type", "value")
       .orderBy("event_type", "digit")
 
+  /** χ²(0.95, 6) critical value — literal on both engines; the flag
+    * compares the ROUNDED statistic. */
+  val Chi2Crit6 = 12.5916
+
+  /** Chi-square decomposition of the (group × day-of-week) independence
+    * statistic — is traffic shape uniform across the week? Output is
+    * each group's CONTRIBUTION (its row of the contingency table); the
+    * table statistic is the sum of contributions, and the per-row
+    * `flagged` is the residual screen against χ²(0.95, 6) on the full
+    * 7-dow grid. Each cell's term is the exact-rational form
+    * (O·N − R·C)² / (R·C·N): integer numerator (margins from two
+    * bounded rollups + broadcast joins), ONE division per cell — and
+    * the 7 per-dow terms fold in a FIXED left-associated expression
+    * (t0 + t1 + … + t6, conditional max per dow), so there is no
+    * aggregation-order float hazard anywhere (the hash-agg-order trap
+    * a naive sum(term) would hit). ZERO cells are materialized by a
+    * (groups × dows) grid fill before the fold — an absent cell still
+    * contributes its full expected mass E (the spec's 2×2 perfect-
+    * association walk is exactly the case a cells-only plan misses).
+    *
+    * Scale: the grid is (groups × 7) — resolution-bounded like ksTest;
+    * margins are map-side-combinable rollups of the same grid.
+    * Long-exactness: O·N ≤ N² overflows past N ~ 3·10⁹ events per
+    * audited frame; decimal(38,0) is the named widen.
+    *
+    * dow is Spark's dayofweek − 1 (Sunday = 0), matching DuckDB's
+    * dayofweek numbering exactly. */
+  def chiSquare(df: DataFrame, typeCol: String, tsCol: String): DataFrame = {
+    val raw = df
+      .select(col(typeCol).as("event_type"),
+        (dayofweek(Tables.eventDay) - lit(1)).cast("long").as("dow"))
+      .groupBy("event_type", "dow").agg(count(lit(1)).as("o"))
+    val cells = raw.select("event_type").distinct()
+      .crossJoin(raw.select("dow").distinct())
+      .join(raw, Seq("event_type", "dow"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+    val rows = cells.groupBy("event_type").agg(sum(col("o")).as("r"))
+    val cols = cells.groupBy("dow").agg(sum(col("o")).as("c"))
+    val tot = cells.agg(sum(col("o")).as("n"))
+    val numd = (col("o") * col("n") - col("r") * col("c")).cast("double")
+    val term = (numd * numd) /
+      ((col("r") * col("c")).cast("double") * col("n").cast("double"))
+    val byDow = cells
+      .join(broadcast(rows), "event_type")
+      .join(broadcast(cols), "dow")
+      .crossJoin(broadcast(tot))
+      .select(col("event_type"), col("dow"), term.as("term"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_dows"),
+        (0 to 6).map(d =>
+          max(when(col("dow") === d.toLong, col("term"))).as(s"t$d")): _*)
+    val chi2 = (0 to 6).map(d => coalesce(col(s"t$d"), lit(0.0)))
+      .reduceLeft(_ + _)
+    byDow.select(col("event_type"),
+      (col("n_dows") - lit(1L)).as("dof"),
+      rnd(chi2, 4).as("chi2"))
+      .withColumn("flagged",
+        col("dof") === 6L && col("chi2") > Chi2Crit6)
+  }
+
+  def qChiSquare(spark: SparkSession, dir: String): DataFrame =
+    chiSquare(Tables.events(spark, dir), "event_type", "ts")
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chi_square" -> qChiSquare _,
     "q_autocorr" -> qAutocorr _,
     "q_benford" -> qBenford _,
     "q_roc_auc" -> qRocAuc _,
@@ -339,6 +404,49 @@ object StatQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // exact-rational cell terms, margins from the same grid, and the
+    // SAME fixed left-associated 7-term fold (no order-sensitive sum)
+    "q_chi_square" -> {
+      val termSel = (0 to 6).map(d =>
+        s"max(CASE WHEN dow = $d THEN term END) AS t$d").mkString(",\n    ")
+      val fold = (0 to 6).map(d => s"coalesce(t$d, CAST(0.0 AS DOUBLE))")
+        .mkString(" + ")
+      s"""WITH raw AS (
+         |  SELECT event_type,
+         |    CAST(dayofweek(CAST(ts AS DATE)) AS BIGINT) AS dow,
+         |    CAST(count(*) AS BIGINT) AS o
+         |  FROM events GROUP BY event_type, 2),
+         |cells AS (
+         |  SELECT g.event_type, g.dow,
+         |    coalesce(raw.o, CAST(0 AS BIGINT)) AS o
+         |  FROM (SELECT t.event_type, d.dow
+         |        FROM (SELECT DISTINCT event_type FROM raw) t,
+         |             (SELECT DISTINCT dow FROM raw) d) g
+         |  LEFT JOIN raw ON g.event_type = raw.event_type
+         |    AND g.dow = raw.dow),
+         |rows_ AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r
+         |  FROM cells GROUP BY event_type),
+         |cols_ AS (SELECT dow, CAST(sum(o) AS BIGINT) AS c
+         |  FROM cells GROUP BY dow),
+         |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+         |t AS (
+         |  SELECT cells.event_type, cells.dow,
+         |    (CAST(cells.o * tot.n - rows_.r * cols_.c AS DOUBLE)
+         |      * CAST(cells.o * tot.n - rows_.r * cols_.c AS DOUBLE))
+         |      / (CAST(rows_.r * cols_.c AS DOUBLE) * CAST(tot.n AS DOUBLE))
+         |      AS term
+         |  FROM cells JOIN rows_ USING (event_type)
+         |    JOIN cols_ USING (dow) CROSS JOIN tot),
+         |g AS (
+         |  SELECT event_type, count(*) AS n_dows,
+         |    $termSel
+         |  FROM t GROUP BY event_type)
+         |SELECT event_type, CAST(n_dows - 1 AS BIGINT) AS dof,
+         |  floor(($fold) * 1e4 + 0.5) / 1e4 AS chi2,
+         |  n_dows - 1 = 6 AND floor(($fold) * 1e4 + 0.5) / 1e4 > $Chi2Crit6
+         |    AS flagged
+         |FROM g ORDER BY event_type""".stripMargin
+    },
     // per-lag Pearson r from the same six integer sums, lags unrolled
     // as a UNION ALL generated from the same 1..maxLag range
     "q_autocorr" -> {

@@ -572,6 +572,9 @@ class PlanSpec extends AnyFunSuite {
       pair("SELECT * FROM benford('ev_r12', 'event_type', 'value')",
         graft.queries.StatQueries.benfordAudit(ev, "event_type", "value"),
         Seq("event_type", "digit"))
+      pair("SELECT * FROM chi_square('ev_r12', 'event_type', 'ts')",
+        graft.queries.StatQueries.chiSquare(ev, "event_type", "ts"),
+        Seq("event_type"))
     }
   }
 

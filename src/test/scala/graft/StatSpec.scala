@@ -107,6 +107,39 @@ class StatSpec extends AnyFunSuite {
       !r(8).getBoolean(6), "digit 9's Benford share is under the flag")
   }
 
+  test("chiSquare: perfect 2x2 association gives chi2 = N, uniform grid gives 0") {
+    // days 7/14 are Sun/Sun+7 -> two distinct dows; type A only on the
+    // first, type B only on the second: O = [[10,0],[0,10]], chi2 = N = 20
+    val depA = (1 to 10).map(_ => ("A", dayNs(7)))   // 1970-01-08? day 7
+    val depB = (1 to 10).map(_ => ("B", dayNs(8)))
+    val dep = (depA ++ depB).toDF("event_type", "ts")
+    val r = StatQueries.chiSquare(dep, "event_type", "ts")
+      .orderBy("event_type").collect()
+    assert(r.forall(_.getLong(1) == 1L), "two dows -> dof 1")
+    // per-type CONTRIBUTION: each row holds 10 of the table's chi2=N=20
+    // — including the ZERO cell's full expected mass (the grid fill)
+    assert(r.forall(_.getDouble(2) == 10.0), "contribution 10 per type")
+    assert(r.map(_.getDouble(2)).sum == 20.0, "table statistic = N")
+    assert(r.forall(!_.getBoolean(3)), "residual flag requires the full dof=6 grid")
+    // identical per-dow shape for both types -> chi2 exactly 0
+    val unif = (Seq(("A", dayNs(7)), ("A", dayNs(8)),
+      ("B", dayNs(7)), ("B", dayNs(8)))).toDF("event_type", "ts")
+    val u = StatQueries.chiSquare(unif, "event_type", "ts").collect()
+    assert(u.forall(_.getDouble(2) == 0.0))
+  }
+
+  test("qUnpivot: the pivot->unpivot round trip equals the direct long-form rollup") {
+    import graft.queries.ScalarQueries
+    val got = ScalarQueries.qUnpivot(spark, TestSpark.Sf)
+      .as[(java.sql.Date, String, Long)].collect().toSeq
+    val want = Tables.events(spark, TestSpark.Sf)
+      .select(col("event_type"), Tables.eventDay.as("day"))
+      .groupBy("day", "event_type").count()
+      .as[(java.sql.Date, String, Long)].collect().toSeq
+      .sortBy(r => (r._1.toString, r._2))
+    assert(got == want)
+  }
+
   test("giniConcentration: equality gives 0, known split gives 0.25") {
     val ev = (
       // type eq: 3 users x 2 events -> G = 0
