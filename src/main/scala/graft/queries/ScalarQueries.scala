@@ -67,10 +67,12 @@ object ScalarQueries {
       .orderBy("flag", "status")
   }
 
-  /** Known event types for [[qUnpivot]]'s explicit pivot column list
-    * (an explicit list keeps the pivot single-pass; discovery would add
-    * a distinct scan). */
-  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+  /** Known event types — THE pivot column list shared by [[qPivot]] and
+    * [[qUnpivot]] (an explicit list keeps the pivot single-pass;
+    * discovery would add a distinct scan; one copy so the two reshapes
+    * cannot drift — review-pass finding). */
+  private[queries] val EventTypes =
+    Seq("click", "error", "purchase", "signup", "view")
 
   /** Wide↔long reshaping round trip: per-day counts pivoted to one
     * column per event type, then MELTED back with Dataset.unpivot — the
@@ -126,7 +128,7 @@ object ScalarQueries {
   def qPivot(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy("user_id")
-      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .pivot("event_type", EventTypes)
       .agg(count(lit(1)))
       .na.fill(0)
       .orderBy("user_id")

@@ -8,22 +8,29 @@ import graft.Tables
 /** Classical-statistics operators over the event stream — the model-eval /
   * monitoring toolbox a training pipeline runs beside its ETL: ranking
   * quality (tie-corrected ROC-AUC), closed-form OLS trend fits,
-  * two-sample Kolmogorov–Smirnov drift, CUSUM changepoint detection, and
-  * Gini concentration. (Reference analogue: the eval/monitoring notebooks
-  * around `ml-algorithms/` — re-expressed as exact relational plans
-  * instead of driver-side scipy loops.)
+  * two-sample Kolmogorov–Smirnov drift, CUSUM changepoint detection,
+  * Gini concentration, lag-k autocorrelation, the Benford first-digit
+  * audit, and a chi-square independence decomposition. (Reference
+  * analogue: the eval/monitoring notebooks around `ml-algorithms/` —
+  * re-expressed as exact relational plans instead of driver-side scipy
+  * loops.)
   *
   * Shared cross-engine discipline (the q_ab_test recipe): every statistic
   * is derived from EXACT integer partials — cent-scaled values, ranks,
-  * counts — folded per group, with ONE fixed-order double expression at
-  * the end and [[rnd]] on output. Where a flag gates on a statistic it
-  * compares exact integers (cusum, ks) or the ROUNDED double (auc), so
-  * the boolean can never straddle an engine-rounding boundary.
+  * counts — folded per group, with fixed-order double expressions at
+  * the end and [[rnd]] on output. Where the fold spans a bounded set of
+  * float terms (chi-square's 7 dows) it is a FIXED left-associated
+  * expression, never an order-free aggregate. Where a flag gates on a
+  * statistic it compares exact integers (cusum, ks) or the ROUNDED
+  * double (auc, benford, chi2), so the boolean can never straddle an
+  * engine-rounding boundary.
   *
-  * Scale shape: all five operators aggregate to bounded grains
-  * (per-day, per-type, per-(type,cents-grid)) with map-side-combinable
-  * partials; the only windows are partitioned by those same bounded keys.
-  * None of them carries the q_diff_global single-partition hazard; for a
+  * Scale shape: every operator here aggregates to a bounded grain —
+  * per-day, per-type, per-(type × cents-grid), per-(type × 7 dows),
+  * per-(type × 9 digits) — with map-side-combinable partials; the only
+  * windows are partitioned by those same bounded keys (AUC/Gini rank at
+  * the day/user grain; CUSUM/autocorr lag at the DAY grain). None of
+  * them carries the q_diff_global single-partition hazard; for a
   * monster partition the named swap is the chunk-stitched ranking of
   * q_pagination_chunked.
   */
@@ -31,6 +38,14 @@ object StatQueries {
 
   private def centsOf(c: String): Column =
     expr(s"CAST(floor(`$c` * 100 + 0.5) AS BIGINT)")
+
+  /** Calendar day of the named epoch-nano column — the Tables.eventDay
+    * conversion parameterized on the column name, so every frame-generic
+    * operator here honors its `tsCol` argument (review-pass finding:
+    * four operators hardcoded `ts` while advertising tsCol in their
+    * TVF signatures). */
+  private def dayOf(tsCol: String): Column =
+    to_date(timestamp_micros(expr(s"`$tsCol` div 1000")))
 
   /** Tie-corrected ROC-AUC per day via the Mann–Whitney rank-sum
     * identity: AUC = (R⁺ − n₊(n₊+1)/2) / (n₊n₋) where R⁺ is the sum of
@@ -50,8 +65,8 @@ object StatQueries {
   def rocAuc(df: DataFrame, typeCol: String, tsCol: String, valCol: String,
              posType: String, negType: String): DataFrame = {
     val ev = df
-      .filter(col(typeCol).isin(posType, negType))
-      .select(Tables.eventDay.as("day"),
+      .filter(col(typeCol).isin(posType, negType) && col(valCol).isNotNull)
+      .select(dayOf(tsCol).as("day"),
         (col(typeCol) === posType).cast("long").as("pos"),
         centsOf(valCol).as("cents"))
     val wRank = Window.partitionBy("day").orderBy("cents")
@@ -91,9 +106,10 @@ object StatQueries {
     * decimal(38,0) past it. */
   def linregClosed(df: DataFrame, typeCol: String, tsCol: String,
                    valCol: String): DataFrame = {
-    val ev = df.select(col(typeCol).as("event_type"),
-      hour(timestamp_micros(expr(s"`$tsCol` div 1000"))).cast("long").as("x"),
-      centsOf(valCol).as("c"))
+    val ev = df.filter(col(valCol).isNotNull)
+      .select(col(typeCol).as("event_type"),
+        hour(timestamp_micros(expr(s"`$tsCol` div 1000"))).cast("long").as("x"),
+        centsOf(valCol).as("c"))
     val g = ev.groupBy("event_type").agg(
       count(lit(1)).as("n"), sum(col("x")).as("sx"),
       sum(col("x") * col("x")).as("sxx"),
@@ -134,8 +150,9 @@ object StatQueries {
     * decimal(38,0) past it. */
   def ksTest(df: DataFrame, typeCol: String, tsCol: String, valCol: String,
              splitDay: Int, thresholdPct: Int = 10): DataFrame = {
-    val day = to_date(timestamp_micros(expr(s"`$tsCol` div 1000")))
+    val day = dayOf(tsCol)
     val grid = df
+      .filter(col(valCol).isNotNull)
       .select(col(typeCol).as("event_type"),
         when(dayofmonth(day) <= splitDay, 1L).otherwise(0L).as("ina"),
         centsOf(valCol).as("cents"))
@@ -179,7 +196,7 @@ object StatQueries {
     * daily rollup underneath is the only full-data pass. */
   def cusumShift(df: DataFrame, typeCol: String, tsCol: String): DataFrame = {
     val daily = df
-      .select(col(typeCol).as("event_type"), Tables.eventDay.as("day"))
+      .select(col(typeCol).as("event_type"), dayOf(tsCol).as("day"))
       .groupBy("event_type", "day").agg(count(lit(1)).as("x"))
     val wAll = Window.partitionBy("event_type")
     val wCum = Window.partitionBy("event_type").orderBy("day")
@@ -247,7 +264,7 @@ object StatQueries {
                maxLag: Int = 3): DataFrame = {
     require(maxLag >= 1, s"autocorr: maxLag must be >= 1 (got $maxLag)")
     val daily = df
-      .select(col(typeCol).as("event_type"), Tables.eventDay.as("day"))
+      .select(col(typeCol).as("event_type"), dayOf(tsCol).as("day"))
       .groupBy("event_type", "day").agg(count(lit(1)).as("x"))
     val w = Window.partitionBy("event_type").orderBy("day")
     val lagCols = (1 to maxLag).map(l => lag(col("x"), l).over(w).as(s"x$l"))
@@ -299,28 +316,32 @@ object StatQueries {
     * shape. */
   def benfordAudit(df: DataFrame, typeCol: String, valCol: String,
                    flagAt: Double = 0.05): DataFrame = {
-    val expectArr = array((1 to 9).map(d => lit(benfordP(d))): _*)
+    // ONE fact-scan: nine conditional counts per group (the full digit
+    // grid by construction — no distinct/grid/count side frames for
+    // ReuseExchange to miss), stacked to rows by a bounded explode
     val obs = df
       .filter(col(valCol) >= 1.0)
       .select(col(typeCol).as("event_type"),
         substring(expr(s"CAST(CAST(floor(`$valCol`) AS BIGINT) AS STRING)"),
           1, 1).cast("int").as("digit"))
-      .groupBy("event_type", "digit").agg(count(lit(1)).as("c"))
-    val grid = obs.select("event_type").distinct()
-      .select(col("event_type"),
-        explode(expr("sequence(1, 9)")).as("digit"))
-    val n = obs.groupBy("event_type").agg(sum(col("c")).as("n"))
-    grid
-      .join(obs, Seq("event_type", "digit"), "left")
-      .join(broadcast(n), Seq("event_type"))
-      .select(col("event_type"), col("digit"),
-        coalesce(col("c"), lit(0L)).as("n_obs"),
-        rnd(coalesce(col("c"), lit(0L)).cast("double") /
-          col("n").cast("double"), 6).as("share"),
-        rnd(element_at(expectArr, col("digit")), 6).as("expected"),
-        rnd(abs(coalesce(col("c"), lit(0L)).cast("double") /
-          col("n").cast("double") -
-          element_at(expectArr, col("digit"))), 6).as("dev"))
+      .groupBy("event_type")
+      .agg(sum(when(col("digit") === 1, 1L).otherwise(0L)).as("d1"),
+        (2 to 9).map(d =>
+          sum(when(col("digit") === d, 1L).otherwise(0L)).as(s"d$d")): _*)
+    val n = (1 to 9).map(d => col(s"d$d")).reduceLeft(_ + _)
+    val rows = (1 to 9).map(d =>
+      struct(lit(d).as("digit"), col(s"d$d").as("n_obs"),
+        lit(benfordP(d)).as("p")))
+    obs
+      .withColumn("n", n)
+      .select(col("event_type"), col("n"), explode(array(rows: _*)).as("r"))
+      .select(col("event_type"), col("r.digit").as("digit"),
+        col("r.n_obs").as("n_obs"),
+        rnd(col("r.n_obs").cast("double") / col("n").cast("double"), 6)
+          .as("share"),
+        rnd(col("r.p"), 6).as("expected"),
+        rnd(abs(col("r.n_obs").cast("double") / col("n").cast("double") -
+          col("r.p")), 6).as("dev"))
       .withColumn("flagged", col("dev") > flagAt)
   }
 
@@ -356,34 +377,40 @@ object StatQueries {
     * dow is Spark's dayofweek − 1 (Sunday = 0), matching DuckDB's
     * dayofweek numbering exactly. */
   def chiSquare(df: DataFrame, typeCol: String, tsCol: String): DataFrame = {
-    val raw = df
-      .select(col(typeCol).as("event_type"),
-        (dayofweek(Tables.eventDay) - lit(1)).cast("long").as("dow"))
-      .groupBy("event_type", "dow").agg(count(lit(1)).as("o"))
-    val cells = raw.select("event_type").distinct()
-      .crossJoin(raw.select("dow").distinct())
-      .join(raw, Seq("event_type", "dow"), "left")
-      .withColumn("o", coalesce(col("o"), lit(0L)))
-    val rows = cells.groupBy("event_type").agg(sum(col("o")).as("r"))
-    val cols = cells.groupBy("dow").agg(sum(col("o")).as("c"))
-    val tot = cells.agg(sum(col("o")).as("n"))
-    val numd = (col("o") * col("n") - col("r") * col("c")).cast("double")
-    val term = (numd * numd) /
-      ((col("r") * col("c")).cast("double") * col("n").cast("double"))
-    val byDow = cells
-      .join(broadcast(rows), "event_type")
-      .join(broadcast(cols), "dow")
-      .crossJoin(broadcast(tot))
-      .select(col("event_type"), col("dow"), term.as("term"))
+    // ONE fact-scan: the 7 per-dow observed counts fold into fixed
+    // conditional sums per group (zero cells are o_d = 0 by
+    // construction — no grid join, no re-referenced aggregate for
+    // ReuseExchange to miss; the review-pass finding on the first cut)
+    val dowCol = (dayofweek(to_date(timestamp_micros(
+      expr(s"`$tsCol` div 1000")))) - lit(1)).cast("long")
+    val byType = df
+      .select(col(typeCol).as("event_type"), dowCol.as("dow"))
       .groupBy("event_type")
-      .agg(count(lit(1)).as("n_dows"),
-        (0 to 6).map(d =>
-          max(when(col("dow") === d.toLong, col("term"))).as(s"t$d")): _*)
-    val chi2 = (0 to 6).map(d => coalesce(col(s"t$d"), lit(0.0)))
-      .reduceLeft(_ + _)
-    byDow.select(col("event_type"),
-      (col("n_dows") - lit(1L)).as("dof"),
-      rnd(chi2, 4).as("chi2"))
+      .agg(sum(when(col("dow") === 0L, 1L).otherwise(0L)).as("o0"),
+        (1 to 6).map(d =>
+          sum(when(col("dow") === d.toLong, 1L).otherwise(0L)).as(s"o$d")): _*)
+    // column margins + grand total over the bounded per-group frame
+    val tot = byType.agg(
+      sum(col("o0")).as("c0"),
+      (1 to 6).map(d => sum(col(s"o$d")).as(s"c$d")) :+
+        (0 to 6).map(d => sum(col(s"o$d"))).reduceLeft(_ + _).as("n"): _*)
+    val r = (0 to 6).map(d => col(s"o$d")).reduceLeft(_ + _)
+    def term(d: Int) = {
+      val numd = (col(s"o$d") * col("n") - col("__r") * col(s"c$d"))
+        .cast("double")
+      // a dow absent from the WHOLE table (c_d = 0) contributes 0 and
+      // reduces dof, never a /0
+      when(col(s"c$d") > 0L, (numd * numd) /
+        ((col("__r") * col(s"c$d")).cast("double") * col("n").cast("double")))
+        .otherwise(lit(0.0))
+    }
+    val chi2 = (0 to 6).map(term).reduceLeft(_ + _)
+    val nDows = (0 to 6).map(d =>
+      when(col(s"c$d") > 0L, 1L).otherwise(0L)).reduceLeft(_ + _)
+    byType.crossJoin(broadcast(tot))
+      .withColumn("__r", r)
+      .select(col("event_type"), (nDows - lit(1L)).as("dof"),
+        rnd(chi2, 4).as("chi2"))
       .withColumn("flagged",
         col("dof") === 6L && col("chi2") > Chi2Crit6)
   }
@@ -523,7 +550,8 @@ object StatQueries {
         |  SELECT CAST(ts AS DATE) AS day,
         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos,
         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
-        |  FROM events WHERE event_type IN ('purchase', 'click')),
+        |  FROM events
+        |  WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL),
         |r AS (
         |  SELECT day, pos,
         |    2 * rank() OVER (PARTITION BY day ORDER BY cents)
@@ -547,7 +575,7 @@ object StatQueries {
         |  SELECT event_type,
         |    CAST(CAST(strftime(ts, '%H') AS INT) AS BIGINT) AS x,
         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
-        |  FROM events),
+        |  FROM events WHERE value IS NOT NULL),
         |g AS (
         |  SELECT event_type, count(*) AS n,
         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx,
@@ -582,7 +610,7 @@ object StatQueries {
         |    CASE WHEN CAST(strftime(ts, '%d') AS INT) <= 15
         |      THEN 1 ELSE 0 END AS ina,
         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
-        |  FROM events),
+        |  FROM events WHERE value IS NOT NULL),
         |grid AS (
         |  SELECT event_type, cents, CAST(sum(ina) AS BIGINT) AS ca,
         |    CAST(sum(1 - ina) AS BIGINT) AS cb

@@ -140,6 +140,22 @@ class StatSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("frame-generic operators honor a tsCol not named 'ts' (review regression)") {
+    val ev = Seq(("t", dayNs(1)), ("t", dayNs(2)), ("t", dayNs(2)))
+      .toDF("event_type", "created_at")
+    // each would throw (no 'ts' column) or mis-read before the fix
+    assert(StatQueries.cusumShift(ev, "event_type", "created_at")
+      .count() == 2)
+    assert(StatQueries.autocorr(ev, "event_type", "created_at", 1)
+      .count() == 1)
+    assert(StatQueries.chiSquare(ev, "event_type", "created_at")
+      .count() == 1)
+    val ev2 = ev.withColumn("value", lit(2.0))
+    assert(StatQueries.rocAuc(ev2.withColumn("event_type",
+        when(col("created_at") === dayNs(1), "p").otherwise("n")),
+      "event_type", "created_at", "value", "p", "n").count() == 2)
+  }
+
   test("giniConcentration: equality gives 0, known split gives 0.25") {
     val ev = (
       // type eq: 3 users x 2 events -> G = 0
