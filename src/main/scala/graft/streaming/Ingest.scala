@@ -260,6 +260,67 @@ object Ingest {
       }
   }
 
+  case class CusumState(sUp: Double, sDn: Double)
+  case class CusumAlert(event_type: String, event_id: Long, value: Double,
+                        s: Double, direction: String)
+
+  /** Streaming CUSUM shift detector — the streaming twin of
+    * q_cusum_shift's batch unrolling, as the RECURSION itself this time:
+    * per event type, S⁺ ← max(0, S⁺ + (v − k)) and S⁻ ← max(0, S⁻ +
+    * (k − v)) against the FIXED baseline mean `k` (a drift monitor
+    * references the baseline frame, the driftMonitor rule), alerting
+    * when either side crosses `h` and restarting that side (the
+    * standard post-alarm reset). State is TWO doubles per key — O(1)
+    * regardless of history, where the batch twin re-sorts the day grain
+    * each run. Batch order is anchored like streamingZscoreAnomalies:
+    * events sort by (ts, event_id) within a micro-batch, idle keys are
+    * evicted by event-time timeout.
+    *
+    * Same blind spot as [[driftMonitor]]: silence produces no alerts —
+    * pair with [[windowedCounts]] for outage detection. */
+  def cusumStream(events: Dataset[Event], baselineMean: Double,
+                  h: Double,
+                  idleTimeout: java.time.Duration = java.time.Duration.ofDays(30),
+                  watermarkDelay: String = "1 hour"): Dataset[CusumAlert] = {
+    import events.sparkSession.implicits._
+    val streaming = events.isStreaming
+    watermarked(events, watermarkDelay)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, it: Iterator[EventT], state: GroupState[CusumState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = if (state.exists) state.get else CusumState(0.0, 0.0)
+            val sorted = it.toSeq.sortBy(e => (e.ts, e.event_id))
+            val out = sorted.flatMap { e =>
+              var up = math.max(0.0, st.sUp + (e.value - baselineMean))
+              var dn = math.max(0.0, st.sDn + (baselineMean - e.value))
+              val alert =
+                if (up > h) {
+                  val a = CusumAlert(key, e.event_id, e.value, up, "up")
+                  up = 0.0
+                  Some(a)
+                } else if (dn > h) {
+                  val a = CusumAlert(key, e.event_id, e.value, dn, "down")
+                  dn = 0.0
+                  Some(a)
+                } else None
+              st = CusumState(up, dn)
+              alert
+            }
+            state.update(st)
+            if (streaming) {
+              val maxEventMs = if (sorted.nonEmpty) sorted.last.event_time.getTime else 0L
+              state.setTimeoutTimestamp(
+                math.max(state.getCurrentWatermarkMs(), maxEventMs) + idleTimeout.toMillis)
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** ST6 extension: watermarked tumbling-window aggregation — event count
     * and value sum per (5-minute window, event_type); late events beyond
     * the watermark are dropped, state is evicted as the watermark

@@ -406,6 +406,34 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming CUSUM: accrues across batches, alerts at the crossing event, resets after alarm") {
+    val src = MemoryStream[Event]
+    // baseline mean 10, threshold 5: three 12s accrue S+ = 2,4,6 -> the
+    // THIRD event crosses; after the reset two 13s accrue 3,6 -> event 6
+    val q = Ingest.cusumStream(src.toDS(), baselineMean = 10.0, h = 5.0)
+      .writeStream.format("memory").queryName("cusum_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      src.addData(ev(1, 1, 1, 12.0, 1000L), ev(2, 1, 1, 12.0, 2000L))
+      q.processAllAvailable()
+      src.addData(ev(3, 1, 1, 12.0, 3000L), ev(4, 1, 1, 10.0, 4000L))
+      q.processAllAvailable()
+      src.addData(ev(5, 1, 1, 13.0, 5000L), ev(6, 1, 1, 13.0, 6000L))
+      q.processAllAvailable()
+      val got = spark.table("cusum_out").as[Ingest.CusumAlert].collect()
+        .sortBy(_.event_id)
+      assert(got.map(_.event_id).toSeq == Seq(3L, 6L), s"got ${got.toSeq}")
+      assert(got(0).s == 6.0 && got(0).direction == "up")
+      assert(got(1).s == 6.0 && got(1).direction == "up")
+      // downward shift fires the other arm
+      src.addData(ev(7, 1, 1, 4.0, 7000L), ev(8, 1, 1, 10.0, 8000L))
+      q.processAllAvailable()
+      val dn = spark.table("cusum_out").as[Ingest.CusumAlert].collect()
+        .filter(_.direction == "down")
+      assert(dn.map(_.event_id).toSeq == Seq(7L) && dn.head.s == 6.0)
+    } finally q.stop()
+  }
+
   test("incremental z-score: state accrues across batches, outlier flagged") {
     val src = MemoryStream[Event]
     val q = Ingest.streamingZscoreAnomalies(src.toDS(), threshold = 3.0, minN = 10)
