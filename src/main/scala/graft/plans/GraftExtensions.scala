@@ -278,6 +278,12 @@ case class ResolveGraftOp(spark: org.apache.spark.sql.SparkSession)
           graft.queries.StatQueries.benfordAudit(dfs(0), str(0), str(1))
         case "chi_square" => // (typeCol, tsCol)
           graft.queries.StatQueries.chiSquare(dfs(0), str(0), str(1))
+        case "twap" => // (typeCol, tsCol, valCol, idCol)
+          graft.queries.TimeSeriesQueries.twap(
+            dfs(0), str(0), str(1), str(2), str(3))
+        case "streaks" => // (userCol, tsCol, k)
+          graft.queries.TimeSeriesQueries.streaks(
+            dfs(0), str(0), str(1), lng(2).toInt)
         case "decontaminate" => // corpus, bench, (idCol, textCol)
           graft.queries.TextDedup.decontaminate(
             dfs(0), dfs(1), idCol = str(0), textCol = str(1))
@@ -466,7 +472,9 @@ object GraftFunctions {
     "rake_keywords" -> ("rake_keywords(table, idCol, textCol, k)", 3),
     "autocorr" -> ("autocorr(table, typeCol, tsCol, maxLag)", 3),
     "benford" -> ("benford(table, typeCol, valCol)", 2),
-    "chi_square" -> ("chi_square(table, typeCol, tsCol)", 2))
+    "chi_square" -> ("chi_square(table, typeCol, tsCol)", 2),
+    "twap" -> ("twap(table, typeCol, tsCol, valCol, idCol)", 4),
+    "streaks" -> ("streaks(table, userCol, tsCol, k)", 3))
 
   /** Two-table composed-operator TVF registry: name → (usage, scalar
     * arg count AFTER the two table arguments). */

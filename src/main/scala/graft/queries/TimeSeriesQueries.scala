@@ -677,7 +677,78 @@ object TimeSeriesQueries {
       "ts", "event_id")
       .orderBy("prev", "next")
 
+  /** Time-weighted average value per (type, day) — the TWAP every
+    * irregular time series needs where a plain mean over-weights bursts:
+    * each observation holds its value until the NEXT one (lead window,
+    * (ts, event_id)-tiebroken), weighted by that holding interval in
+    * EXACT integer milliseconds × integer cents, so the whole statistic
+    * is one integer rational divided once. The day's last observation
+    * has no holding interval and drops from both sides; a one-event day
+    * is NULL, never /0.
+    *
+    * Scale: the lead window partitions by (type, day) — bounded by
+    * daily per-type volume, the q_roc_auc partition argument.
+    * Long-exactness: Σ cents·Δms ≤ 10⁵·8.64·10⁷ per term ≈ 8.6·10¹²;
+    * BIGINT holds ~10⁶ such max-terms per group — beyond that widen to
+    * decimal(38,0). */
+  def twap(df: DataFrame, typeCol: String, tsCol: String,
+           valCol: String, idCol: String): DataFrame = {
+    val wLead = Window
+      .partitionBy("event_type", "day").orderBy(tsCol, idCol)
+    val ev = df.select(
+      col(typeCol).as("event_type"),
+      to_date(timestamp_micros(expr(s"`$tsCol` div 1000"))).as("day"),
+      col(tsCol), col(idCol),
+      expr(s"CAST(floor(`$valCol` * 100 + 0.5) AS BIGINT)").as("cents"))
+    ev
+      .withColumn("dns", lead(col(tsCol), 1).over(wLead) - col(tsCol))
+      .withColumn("dms", expr("dns div 1000000")) // integer ms, exact
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("cents") * col("dms")).as("num"),
+        sum(col("dms")).as("den"))
+      .select(col("event_type"), col("day"), col("n_events"),
+        rnd(when(col("den") > 0L,
+          (col("num").cast("double") / col("den").cast("double")) / 100.0), 4)
+          .as("twap"))
+  }
+
+  def qTwap(spark: SparkSession, dir: String): DataFrame =
+    twap(Tables.events(spark, dir), "event_type", "ts", "value", "event_id")
+      .orderBy("event_type", "day")
+
+  /** Longest consecutive-day activity streak per user — the
+    * gaps-and-islands idiom: over distinct (user, active day), island
+    * anchor = day − row_number (consecutive days share an anchor), one
+    * rollup per island, then per-user max. Output is the deterministic
+    * (best_streak desc, user) top-20 — churn analysis's "how sticky are
+    * the stickiest users".
+    *
+    * Scale: distinct-day dedup is the only fact-grain pass; the
+    * row_number window partitions per USER over that user's ACTIVE DAYS
+    * (≤ calendar days — bounded), and islands/best are metadata-scale
+    * rollups. */
+  def streaks(df: DataFrame, userCol: String, tsCol: String,
+              k: Int = 20): DataFrame = {
+    val wU = Window.partitionBy("user").orderBy("day")
+    val days = df.select(col(userCol).as("user"),
+        to_date(timestamp_micros(expr(s"`$tsCol` div 1000"))).as("day"))
+      .distinct()
+    days
+      .withColumn("anchor", date_sub(col("day"), row_number().over(wU)))
+      .groupBy("user", "anchor").agg(count(lit(1)).as("len"))
+      .groupBy("user")
+      .agg(max(col("len")).as("best_streak"), sum(col("len")).as("n_active_days"))
+      .orderBy(desc("best_streak"), col("user"))
+      .limit(k)
+  }
+
+  def qStreaks(spark: SparkSession, dir: String): DataFrame =
+    streaks(Tables.events(spark, dir), "user_id", "ts")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_twap" -> qTwap _,
+    "q_streaks" -> qStreaks _,
     "q_transition_matrix" -> qTransitionMatrix _,
     "q_cohort_retention" -> qCohortRetention _,
     "q_funnel_sequence" -> qFunnelSequence _,
@@ -718,6 +789,47 @@ object TimeSeriesQueries {
       |FROM events ORDER BY event_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // identical lead/tiebreak window; dms in exact integer ms (Spark's
+    // nano div 1e6 == Duck's micro div 1e3, the source grain is micro)
+    "q_twap" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |l AS (
+        |  SELECT event_type, day, cents,
+        |    (epoch_us(lead(ts, 1) OVER (PARTITION BY event_type, day
+        |        ORDER BY ts, event_id)) - epoch_us(ts)) // 1000 AS dms
+        |  FROM ev),
+        |g AS (
+        |  SELECT event_type, day, count(*) AS n_events,
+        |    CAST(sum(cents * dms) AS BIGINT) AS num,
+        |    CAST(sum(dms) AS BIGINT) AS den
+        |  FROM l GROUP BY event_type, day)
+        |SELECT event_type, day, n_events,
+        |  CASE WHEN den > 0 THEN
+        |    floor(((CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) / 100.0)
+        |      * 1e4 + 0.5) / 1e4 END AS twap
+        |FROM g ORDER BY event_type, day""".stripMargin,
+    // gaps-and-islands: day minus row_number anchors each run
+    "q_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id AS "user", CAST(ts AS DATE) AS day
+        |  FROM events),
+        |r AS (
+        |  SELECT "user", day,
+        |    day - CAST(row_number() OVER (PARTITION BY "user"
+        |      ORDER BY day) AS INT) AS anchor
+        |  FROM days),
+        |i AS (
+        |  SELECT "user", anchor, CAST(count(*) AS BIGINT) AS len
+        |  FROM r GROUP BY "user", anchor),
+        |g AS (
+        |  SELECT "user", CAST(max(len) AS BIGINT) AS best_streak,
+        |    CAST(sum(len) AS BIGINT) AS n_active_days
+        |  FROM i GROUP BY "user")
+        |SELECT "user", best_streak, n_active_days
+        |FROM g ORDER BY best_streak DESC, "user" LIMIT 20""".stripMargin,
     // open/close via row_number on the same (epoch_ns, event_id) order
     // as Spark's min_by/max_by struct (ts is the epoch-nano long on
     // the Spark side — identical grain, tie handling cannot diverge)

@@ -575,6 +575,13 @@ class PlanSpec extends AnyFunSuite {
       pair("SELECT * FROM chi_square('ev_r12', 'event_type', 'ts')",
         graft.queries.StatQueries.chiSquare(ev, "event_type", "ts"),
         Seq("event_type"))
+      pair("SELECT * FROM twap('ev_r12', 'event_type', 'ts', 'value', 'event_id')",
+        graft.queries.TimeSeriesQueries.twap(
+          ev, "event_type", "ts", "value", "event_id"),
+        Seq("event_type", "day"))
+      pair("SELECT * FROM streaks('ev_r12', 'user_id', 'ts', 20)",
+        graft.queries.TimeSeriesQueries.streaks(ev, "user_id", "ts", 20),
+        Seq("user"))
     }
   }
 

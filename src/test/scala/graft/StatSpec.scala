@@ -156,6 +156,35 @@ class StatSpec extends AnyFunSuite {
       "event_type", "created_at", "value", "p", "n").count() == 2)
   }
 
+  test("twap: holding-interval weights hand-checked, one-event day NULL") {
+    import graft.queries.TimeSeriesQueries
+    val ms = 1000000L // ns per ms
+    val ev = Seq(
+      // 1.0 held 1000ms, 3.0 held 2000ms, last drops:
+      // (100*1000 + 300*2000) / 3000 / 100 = 2.3333
+      ("t", 0L * ms, 1.0, 1L), ("t", 1000L * ms, 3.0, 2L),
+      ("t", 3000L * ms, 9.0, 3L),
+      // single-event day -> NULL
+      ("u", 0L, 5.0, 4L)
+    ).toDF("event_type", "ts", "value", "event_id")
+    val r = TimeSeriesQueries.twap(ev, "event_type", "ts", "value", "event_id")
+      .orderBy("event_type").collect()
+    assert(r(0).getDouble(3) == 2.3333)
+    assert(r(1).isNullAt(3))
+  }
+
+  test("streaks: gaps-and-islands hand check") {
+    import graft.queries.TimeSeriesQueries
+    val ev = (Seq(1, 2, 3, 5).map(d => (1L, dayNs(d))) ++
+      Seq(1, 3, 5).map(d => (2L, dayNs(d))) ++
+      Seq(1, 1, 1).map(d => (3L, dayNs(d)))) // dup days collapse
+      .toDF("user_id", "ts")
+    val r = TimeSeriesQueries.streaks(ev, "user_id", "ts")
+      .orderBy("user").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+    assert(r == Seq((1L, 3L, 4L), (2L, 1L, 3L), (3L, 1L, 1L)))
+  }
+
   test("giniConcentration: equality gives 0, known split gives 0.25") {
     val ev = (
       // type eq: 3 users x 2 events -> G = 0
