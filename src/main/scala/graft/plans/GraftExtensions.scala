@@ -284,6 +284,15 @@ case class ResolveGraftOp(spark: org.apache.spark.sql.SparkSession)
         case "streaks" => // (userCol, tsCol, k)
           graft.queries.TimeSeriesQueries.streaks(
             dfs(0), str(0), str(1), lng(2).toInt)
+        case "funnel_timebound" => // (userCol, typeCol, tsCol, s1, s2, s3, gapNs)
+          graft.queries.TimeSeriesQueries.funnelTimebound(
+            dfs(0), str(0), str(1), str(2),
+            Seq(str(3), str(4), str(5)), lng(6))
+        case "rfm" => // (userCol, tsCol, valCol)
+          graft.queries.TimeSeriesQueries.rfm(dfs(0), str(0), str(1), str(2))
+        case "vocab_coverage" => // (idCol, textCol, k)
+          graft.queries.TextStats.vocabCoverage(
+            dfs(0), str(0), str(1), lng(2).toInt)
         case "decontaminate" => // corpus, bench, (idCol, textCol)
           graft.queries.TextDedup.decontaminate(
             dfs(0), dfs(1), idCol = str(0), textCol = str(1))
@@ -474,7 +483,11 @@ object GraftFunctions {
     "benford" -> ("benford(table, typeCol, valCol)", 2),
     "chi_square" -> ("chi_square(table, typeCol, tsCol)", 2),
     "twap" -> ("twap(table, typeCol, tsCol, valCol, idCol)", 4),
-    "streaks" -> ("streaks(table, userCol, tsCol, k)", 3))
+    "streaks" -> ("streaks(table, userCol, tsCol, k)", 3),
+    "funnel_timebound" ->
+      ("funnel_timebound(table, userCol, typeCol, tsCol, s1, s2, s3, gapNs)", 7),
+    "rfm" -> ("rfm(table, userCol, tsCol, valCol)", 3),
+    "vocab_coverage" -> ("vocab_coverage(table, idCol, textCol, k)", 3))
 
   /** Two-table composed-operator TVF registry: name → (usage, scalar
     * arg count AFTER the two table arguments). */

@@ -893,7 +893,46 @@ object TextStats {
   def qRakeKeywords(spark: SparkSession, dir: String): DataFrame =
     rakeKeywordsOf(cachedDocTokens(spark, dir))
 
+  /** Vocabulary size for [[qVocabCoverage]] — interpolated into BOTH
+    * engines. 100 keeps the fixture's OOV rate meaningfully non-zero. */
+  val VocabK = 100
+
+  /** Out-of-vocabulary coverage per document against the corpus top-K
+    * vocabulary — the tokenizer-coverage report every training-mix
+    * decision reads (an OOV-heavy source either needs vocab budget or
+    * gets filtered): vocabulary = top-K tokens by (count desc, token)
+    * (deterministic TakeOrderedAndProject, the q_top_ngrams cut), per
+    * doc OOV count via LEFT ANTI join against the broadcast vocab, rate
+    * as one exact integer rational.
+    *
+    * Scale: token explode → wordcount-shaped vocab aggregate; the
+    * per-doc pass anti-joins against a K-row broadcast — no shuffle
+    * wider than the (doc, token) rollup. */
+  def vocabCoverageOf(tokArr: DataFrame, k: Int = VocabK,
+                      idCol: String = "doc_id"): DataFrame = {
+    val tok = tokArr.select(col(idCol), explode(col("ts")).as("tk"))
+    val vocab = tok.groupBy("tk").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), col("tk")).limit(k).select("tk")
+    val oov = tok.join(broadcast(vocab), Seq("tk"), "left_anti")
+      .groupBy(idCol).agg(count(lit(1)).as("n_oov"))
+    tokArr.select(col(idCol), size(col("ts")).cast("long").as("n_tokens"))
+      .join(oov, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        rnd(coalesce(col("n_oov"), lit(0L)).cast("double") /
+          col("n_tokens").cast("double"), 4).as("oov_rate"))
+  }
+
+  def vocabCoverage(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text", k: Int = VocabK): DataFrame =
+    vocabCoverageOf(docs.select(col(idCol), tokens(col(textCol)).as("ts")),
+      k, idCol)
+
+  def qVocabCoverage(spark: SparkSession, dir: String): DataFrame =
+    vocabCoverageOf(cachedDocTokens(spark, dir)).orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vocab_coverage" -> qVocabCoverage _,
     "q_bpe_pairs" -> qBpePairs _,
     "q_rake_keywords" -> qRakeKeywords _,
     "q_token_entropy" -> qTokenEntropy _,

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -746,9 +746,106 @@ object TimeSeriesQueries {
   def qStreaks(spark: SparkSession, dir: String): DataFrame =
     streaks(Tables.events(spark, dir), "user_id", "ts")
 
+  /** Max transition gap for [[qFunnelTimebound]] — 7 days in nanos,
+    * interpolated into BOTH engines. */
+  val FunnelGapNs: Long = 7L * 86400L * 1000000000L
+
+  /** Time-BOUND conversion funnel — the q_funnel_sequence ordering
+    * constraint plus a freshness constraint: a user converts a stage
+    * only if it happens within `gapNs` of their previous-stage entry
+    * (first qualifying event each time, so the funnel is the standard
+    * "first touch" reading). Three bounded user-grain aggregates
+    * chained by equi-joins on the user key — each stage's frame is a
+    * FILTERED fact scan aggregated to one row per surviving user, so
+    * the join fan-in shrinks monotonically down the funnel; no windows,
+    * no fact×fact join.
+    *
+    * Output: one row per stage with surviving-user counts (integer
+    * attrition report). */
+  def funnelTimebound(df: DataFrame, userCol: String, typeCol: String,
+                      tsCol: String, stages: Seq[String],
+                      gapNs: Long): DataFrame = {
+    require(stages.size == 3, "funnelTimebound: exactly three stages")
+    val ev = df.select(col(userCol).as("user"), col(typeCol).as("et"),
+      col(tsCol).cast("long").as("t"))
+    val s1 = ev.filter(col("et") === stages.head)
+      .groupBy("user").agg(min(col("t")).as("t1"))
+    val s2 = ev.filter(col("et") === stages(1)).join(s1, "user")
+      .filter(col("t") > col("t1") && col("t") - col("t1") <= gapNs)
+      .groupBy("user").agg(min(col("t")).as("t2"))
+    val s3 = ev.filter(col("et") === stages(2)).join(s2, "user")
+      .filter(col("t") > col("t2") && col("t") - col("t2") <= gapNs)
+      .groupBy("user").agg(min(col("t")).as("t3"))
+    val counts = Seq(s1, s2, s3).zipWithIndex.map { case (s, i) =>
+      s.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("stage"), lit(stages(i)).as("event_type"),
+          col("n_users"))
+    }
+    counts.reduce(_ unionAll _)
+  }
+
+  def qFunnelTimebound(spark: SparkSession, dir: String): DataFrame =
+    funnelTimebound(Tables.events(spark, dir), "user_id", "event_type",
+      "ts", Seq("signup", "click", "purchase"), FunnelGapNs)
+      .orderBy("stage")
+
+  /** Quintile count for [[qRfm]] — interpolated into BOTH engines. */
+  val RfmQ = 5
+
+  /** RFM segmentation rollup — recency / frequency / monetary quintile
+    * scores per user by EXACT integer rank arithmetic (the
+    * quantileBuckets formula, no interpolated edges), rolled up to
+    * segment populations with exact integer-cent spend means. Scoring
+    * windows rank the USER-grain frame (one row per user — the same
+    * key-grain aggregate a dedup pays), ordered so score 5 = most
+    * recent / most frequent / highest spend, with the user id as the
+    * deterministic tiebreak. The global user rank is the
+    * quantileBuckets single-sort caveat: chunk-stitched ranking
+    * (q_pagination_chunked) is the named swap at billion-user scale.
+    *
+    * Recency is measured against the CORPUS max day (broadcast
+    * one-row aggregate), so the score is reproducible rather than
+    * wall-clock-dependent. */
+  def rfm(df: DataFrame, userCol: String, tsCol: String,
+          valCol: String): DataFrame = {
+    val day = to_date(timestamp_micros(expr(s"`$tsCol` div 1000")))
+    val per = df.select(col(userCol).as("user"), day.as("day"),
+        expr(s"CAST(floor(`$valCol` * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy("user")
+      .agg(max(col("day")).as("last_day"), count(lit(1)).as("freq"),
+        sum(col("cents")).as("cents"))
+    val anchor = per.agg(max(col("last_day")).as("anchor"))
+    val base = per.crossJoin(broadcast(anchor))
+      .withColumn("rec_days", datediff(col("anchor"), col("last_day")))
+    val n = base.agg(count(lit(1)).as("n"))
+    def score(orderCols: Seq[Column], name: String)(d: DataFrame) = {
+      val w = Window.orderBy(orderCols: _*)
+      d.withColumn(s"__rn_$name", row_number().over(w))
+    }
+    val scored = score(Seq(col("rec_days").desc, col("user")), "r")(
+      score(Seq(col("freq"), col("user")), "f")(
+        score(Seq(col("cents"), col("user")), "m")(base)))
+      .crossJoin(broadcast(n))
+    def q(name: String) = expr(
+      s"CAST(((CAST(__rn_$name - 1 AS BIGINT) * $RfmQ) div n) + 1 AS INT)")
+    scored
+      .select(q("r").as("r_score"), q("f").as("f_score"), q("m").as("m_score"),
+        col("cents"))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_users"),
+        rnd((sum(col("cents")).cast("double") /
+          count(lit(1)).cast("double")) / 100.0, 4).as("avg_spend"))
+  }
+
+  def qRfm(spark: SparkSession, dir: String): DataFrame =
+    rfm(Tables.events(spark, dir), "user_id", "ts", "value")
+      .orderBy("r_score", "f_score", "m_score")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_twap" -> qTwap _,
     "q_streaks" -> qStreaks _,
+    "q_funnel_timebound" -> qFunnelTimebound _,
+    "q_rfm" -> qRfm _,
     "q_transition_matrix" -> qTransitionMatrix _,
     "q_cohort_retention" -> qCohortRetention _,
     "q_funnel_sequence" -> qFunnelSequence _,
@@ -789,6 +886,59 @@ object TimeSeriesQueries {
       |FROM events ORDER BY event_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // chained first-touch stage CTEs with the same nano gap literal
+    "q_funnel_timebound" ->
+      s"""WITH ev AS (
+         |  SELECT user_id AS u, event_type AS et, epoch_us(ts) * 1000 AS t
+         |  FROM events),
+         |s1 AS (SELECT u, min(t) AS t1 FROM ev WHERE et = 'signup' GROUP BY u),
+         |s2 AS (
+         |  SELECT ev.u, min(t) AS t2 FROM ev JOIN s1 ON ev.u = s1.u
+         |  WHERE et = 'click' AND t > t1 AND t - t1 <= $FunnelGapNs
+         |  GROUP BY ev.u),
+         |s3 AS (
+         |  SELECT ev.u, min(t) AS t3 FROM ev JOIN s2 ON ev.u = s2.u
+         |  WHERE et = 'purchase' AND t > t2 AND t - t2 <= $FunnelGapNs
+         |  GROUP BY ev.u)
+         |SELECT 1 AS stage, 'signup' AS event_type,
+         |  CAST(count(*) AS BIGINT) AS n_users FROM s1
+         |UNION ALL SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2
+         |UNION ALL SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3
+         |ORDER BY stage""".stripMargin,
+    // exact integer rank quintiles (the quantile_buckets formula) over
+    // the user-grain rollup; identical tiebreaks and anchors
+    "q_rfm" ->
+      s"""WITH per AS (
+         |  SELECT user_id AS u, max(CAST(ts AS DATE)) AS last_day,
+         |    CAST(count(*) AS BIGINT) AS freq,
+         |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         |      AS cents
+         |  FROM events GROUP BY user_id),
+         |a AS (SELECT max(last_day) AS anchor FROM per),
+         |b AS (
+         |  SELECT per.*,
+         |    CAST(date_diff('day', last_day, anchor) AS INT) AS rec_days
+         |  FROM per, a),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b),
+         |r AS (
+         |  SELECT b.*,
+         |    row_number() OVER (ORDER BY rec_days DESC, u) AS rn_r,
+         |    row_number() OVER (ORDER BY freq, u) AS rn_f,
+         |    row_number() OVER (ORDER BY cents, u) AS rn_m
+         |  FROM b),
+         |s AS (
+         |  SELECT cents,
+         |    CAST(((CAST(rn_r - 1 AS BIGINT) * $RfmQ) // n) + 1 AS INT) AS r_score,
+         |    CAST(((CAST(rn_f - 1 AS BIGINT) * $RfmQ) // n) + 1 AS INT) AS f_score,
+         |    CAST(((CAST(rn_m - 1 AS BIGINT) * $RfmQ) // n) + 1 AS INT) AS m_score
+         |  FROM r, n)
+         |SELECT r_score, f_score, m_score,
+         |  CAST(count(*) AS BIGINT) AS n_users,
+         |  floor(((CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE)) / 100.0) * 1e4 + 0.5) / 1e4
+         |    AS avg_spend
+         |FROM s GROUP BY r_score, f_score, m_score
+         |ORDER BY r_score, f_score, m_score""".stripMargin,
     // identical lead/tiebreak window; dms in exact integer ms (Spark's
     // nano div 1e6 == Duck's micro div 1e3, the source grain is micro)
     "q_twap" ->

@@ -582,6 +582,19 @@ class PlanSpec extends AnyFunSuite {
       pair("SELECT * FROM streaks('ev_r12', 'user_id', 'ts', 20)",
         graft.queries.TimeSeriesQueries.streaks(ev, "user_id", "ts", 20),
         Seq("user"))
+      pair(s"SELECT * FROM funnel_timebound('ev_r12', 'user_id', 'event_type', 'ts', " +
+        s"'signup', 'click', 'purchase', ${graft.queries.TimeSeriesQueries.FunnelGapNs})",
+        graft.queries.TimeSeriesQueries.funnelTimebound(
+          ev, "user_id", "event_type", "ts",
+          Seq("signup", "click", "purchase"),
+          graft.queries.TimeSeriesQueries.FunnelGapNs),
+        Seq("stage"))
+      pair("SELECT * FROM rfm('ev_r12', 'user_id', 'ts', 'value')",
+        graft.queries.TimeSeriesQueries.rfm(ev, "user_id", "ts", "value"),
+        Seq("r_score", "f_score", "m_score"))
+      pair("SELECT * FROM vocab_coverage('docs_r12', 'doc_id', 'text', 100)",
+        graft.queries.TextStats.vocabCoverage(docs, "doc_id", "text", 100),
+        Seq("doc_id"))
     }
   }
 

@@ -185,6 +185,47 @@ class StatSpec extends AnyFunSuite {
     assert(r == Seq((1L, 3L, 4L), (2L, 1L, 3L), (3L, 1L, 1L)))
   }
 
+  test("funnelTimebound: gap window enforced, first-touch semantics") {
+    import graft.queries.TimeSeriesQueries
+    val ev = Seq(
+      (1L, "signup", dayNs(1)), (1L, "click", dayNs(2)),
+      (1L, "purchase", dayNs(3)),
+      (2L, "signup", dayNs(1)), (2L, "click", dayNs(20)), // outside 7d
+      (3L, "click", dayNs(1)) // never signed up
+    ).toDF("user_id", "event_type", "ts")
+    val r = TimeSeriesQueries.funnelTimebound(ev, "user_id", "event_type",
+      "ts", Seq("signup", "click", "purchase"),
+      TimeSeriesQueries.FunnelGapNs)
+      .orderBy("stage").collect().map(_.getLong(2)).toSeq
+    assert(r == Seq(2L, 1L, 1L))
+  }
+
+  test("rfm: five users with aligned orderings land one per quintile cell") {
+    import graft.queries.TimeSeriesQueries
+    // user i: i events on day i, each value i -> r=f=m=i for every i
+    val ev = (1 to 5).flatMap { i =>
+      (1 to i).map(_ => (i.toLong, dayNs(i), i.toDouble))
+    }.toDF("user_id", "ts", "value")
+    val r = TimeSeriesQueries.rfm(ev, "user_id", "ts", "value")
+      .orderBy("r_score").collect()
+    assert(r.length == 5)
+    (0 until 5).foreach { k =>
+      val i = k + 1
+      assert(r(k).getInt(0) == i && r(k).getInt(1) == i && r(k).getInt(2) == i)
+      assert(r(k).getLong(3) == 1L)
+      assert(r(k).getDouble(4) == i.toDouble * i) // i events x value i
+    }
+  }
+
+  test("vocabCoverage: OOV fraction against the top-k vocabulary, hand-checked") {
+    import graft.queries.TextStats
+    val docs = Seq((1L, "a a b"), (2L, "a a a")).toDF("doc_id", "text")
+    val r = TextStats.vocabCoverage(docs, k = 1).orderBy("doc_id").collect()
+    assert(r(0).getLong(1) == 3L && r(0).getLong(2) == 1L &&
+      r(0).getDouble(3) == 0.3333)
+    assert(r(1).getLong(2) == 0L && r(1).getDouble(3) == 0.0)
+  }
+
   test("giniConcentration: equality gives 0, known split gives 0.25") {
     val ev = (
       // type eq: 3 users x 2 events -> G = 0
