@@ -36,16 +36,8 @@ import graft.Tables
   */
 object StatQueries {
 
-  private def centsOf(c: String): Column =
-    expr(s"CAST(floor(`$c` * 100 + 0.5) AS BIGINT)")
-
-  /** Calendar day of the named epoch-nano column — the Tables.eventDay
-    * conversion parameterized on the column name, so every frame-generic
-    * operator here honors its `tsCol` argument (review-pass finding:
-    * four operators hardcoded `ts` while advertising tsCol in their
-    * TVF signatures). */
-  private def dayOf(tsCol: String): Column =
-    to_date(timestamp_micros(expr(s"`$tsCol` div 1000")))
+  // dayOf/centsOf come from the graft.queries package object — ONE
+  // definition of the nanos→day and cent-scaling rules (review r12)
 
   /** Tie-corrected ROC-AUC per day via the Mann–Whitney rank-sum
     * identity: AUC = (R⁺ − n₊(n₊+1)/2) / (n₊n₋) where R⁺ is the sum of

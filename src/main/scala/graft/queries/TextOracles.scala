@@ -209,21 +209,20 @@ import TextStats._
     // top-K vocab by the same (count desc, token) cut, ANTI JOIN for
     // the per-doc OOV count, one exact rational per doc
     "q_vocab_coverage" ->
-      s"""WITH t AS (SELECT doc_id, $TOKS AS ts FROM documents),
-         |tok AS (SELECT doc_id, unnest(ts) AS tk FROM t),
+      s"""WITH tok AS (SELECT doc_id, unnest($TOKS) AS tk FROM documents),
          |v AS (
          |  SELECT tk FROM (
          |    SELECT tk, count(*) AS c FROM tok GROUP BY tk
          |    ORDER BY c DESC, tk LIMIT ${TextStats.VocabK})),
          |o AS (
-         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_oov
-         |  FROM tok ANTI JOIN v USING (tk) GROUP BY doc_id),
-         |d AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens FROM t)
-         |SELECT d.doc_id, d.n_tokens,
-         |  coalesce(o.n_oov, CAST(0 AS BIGINT)) AS n_oov,
-         |  floor((CAST(coalesce(o.n_oov, CAST(0 AS BIGINT)) AS DOUBLE)
-         |    / CAST(d.n_tokens AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS oov_rate
-         |FROM d LEFT JOIN o USING (doc_id) ORDER BY doc_id""".stripMargin,
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(sum(CASE WHEN v.tk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_oov
+         |  FROM tok LEFT JOIN v ON tok.tk = v.tk GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, n_oov,
+         |  floor((CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+         |    * 1e4 + 0.5) / 1e4 AS oov_rate
+         |FROM o ORDER BY doc_id""".stripMargin,
     // occurrence-weighted in-word character bigrams, (count desc, pair)
     // top-k — the single-round BPE merge statistic
     "q_bpe_pairs" ->

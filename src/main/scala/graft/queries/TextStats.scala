@@ -912,15 +912,20 @@ object TextStats {
                       idCol: String = "doc_id"): DataFrame = {
     val tok = tokArr.select(col(idCol), explode(col("ts")).as("tk"))
     val vocab = tok.groupBy("tk").agg(count(lit(1)).as("c"))
-      .orderBy(desc("c"), col("tk")).limit(k).select("tk")
-    val oov = tok.join(broadcast(vocab), Seq("tk"), "left_anti")
-      .groupBy(idCol).agg(count(lit(1)).as("n_oov"))
-    tokArr.select(col(idCol), size(col("ts")).cast("long").as("n_tokens"))
-      .join(oov, Seq(idCol), "left")
-      .select(col(idCol), col("n_tokens"),
-        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
-        rnd(coalesce(col("n_oov"), lit(0L)).cast("double") /
-          col("n_tokens").cast("double"), 4).as("oov_rate"))
+      .orderBy(desc("c"), col("tk")).limit(k)
+      .select(col("tk"), lit(1).as("__iv"))
+    // ONE per-doc pass: token count and OOV count fold into the same
+    // aggregate off a broadcast membership LEFT JOIN (the first cut
+    // scanned the token frame a third time for size(ts) and anti-joined
+    // separately — review r12). The vocab build is the one other pass;
+    // NULL-text docs have no token rows and drop on both engines.
+    tok.join(broadcast(vocab), Seq("tk"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col(idCol), col("n_tokens"), col("n_oov"),
+        rnd(col("n_oov").cast("double") / col("n_tokens").cast("double"), 4)
+          .as("oov_rate"))
   }
 
   def vocabCoverage(docs: DataFrame, idCol: String = "doc_id",

@@ -696,10 +696,8 @@ object TimeSeriesQueries {
     val wLead = Window
       .partitionBy("event_type", "day").orderBy(tsCol, idCol)
     val ev = df.select(
-      col(typeCol).as("event_type"),
-      to_date(timestamp_micros(expr(s"`$tsCol` div 1000"))).as("day"),
-      col(tsCol), col(idCol),
-      expr(s"CAST(floor(`$valCol` * 100 + 0.5) AS BIGINT)").as("cents"))
+      col(typeCol).as("event_type"), dayOf(tsCol).as("day"),
+      col(tsCol), col(idCol), centsOf(valCol).as("cents"))
     ev
       .withColumn("dns", lead(col(tsCol), 1).over(wLead) - col(tsCol))
       .withColumn("dms", expr("dns div 1000000")) // integer ms, exact
@@ -731,8 +729,7 @@ object TimeSeriesQueries {
   def streaks(df: DataFrame, userCol: String, tsCol: String,
               k: Int = 20): DataFrame = {
     val wU = Window.partitionBy("user").orderBy("day")
-    val days = df.select(col(userCol).as("user"),
-        to_date(timestamp_micros(expr(s"`$tsCol` div 1000"))).as("day"))
+    val days = df.select(col(userCol).as("user"), dayOf(tsCol).as("day"))
       .distinct()
     days
       .withColumn("anchor", date_sub(col("day"), row_number().over(wU)))
@@ -766,8 +763,11 @@ object TimeSeriesQueries {
                       tsCol: String, stages: Seq[String],
                       gapNs: Long): DataFrame = {
     require(stages.size == 3, "funnelTimebound: exactly three stages")
+    // `div 1` anchors the epoch-nano long invariant: identity on the
+    // long, a LOUD analysis error on a timestamp column (a plain cast
+    // would silently read epoch seconds and void the gap bound)
     val ev = df.select(col(userCol).as("user"), col(typeCol).as("et"),
-      col(tsCol).cast("long").as("t"))
+      expr(s"`$tsCol` div 1").as("t"))
     val s1 = ev.filter(col("et") === stages.head)
       .groupBy("user").agg(min(col("t")).as("t1"))
     val s2 = ev.filter(col("et") === stages(1)).join(s1, "user")
@@ -808,9 +808,8 @@ object TimeSeriesQueries {
     * wall-clock-dependent. */
   def rfm(df: DataFrame, userCol: String, tsCol: String,
           valCol: String): DataFrame = {
-    val day = to_date(timestamp_micros(expr(s"`$tsCol` div 1000")))
-    val per = df.select(col(userCol).as("user"), day.as("day"),
-        expr(s"CAST(floor(`$valCol` * 100 + 0.5) AS BIGINT)").as("cents"))
+    val per = df.select(col(userCol).as("user"), dayOf(tsCol).as("day"),
+        centsOf(valCol).as("cents"))
       .groupBy("user")
       .agg(max(col("day")).as("last_day"), count(lit(1)).as("freq"),
         sum(col("cents")).as("cents"))

@@ -26,6 +26,25 @@ package object queries {
   def rndSql(e: String, s: Int): String =
     s"floor(($e) * 1e$s + 0.5) / 1e$s"
 
+  /** Calendar day of a NAMED epoch-nano column — Tables.eventDay
+    * parameterized on the column name; THE nanos→day conversion for
+    * frame-generic operators (the r10 "truncation rule must live once"
+    * rule, re-hit by review r12 when three more hand-rolled copies
+    * grew). `div` both keeps the arithmetic integral and fails LOUDLY
+    * on a timestamp-typed column instead of silently reading seconds. */
+  def dayOf(tsCol: String): Column = {
+    import org.apache.spark.sql.functions.{expr, timestamp_micros, to_date}
+    to_date(timestamp_micros(expr(s"`$tsCol` div 1000")))
+  }
+
+  /** Exact integer cents of a NAMED 2-dp value column — the shared
+    * cent-scaling every exact-moment recipe feeds on (one definition,
+    * same reason as [[dayOf]]). */
+  def centsOf(c: String): Column = {
+    import org.apache.spark.sql.functions.expr
+    expr(s"CAST(floor(`$c` * 100 + 0.5) AS BIGINT)")
+  }
+
   /** Cross-engine exact-moment recipe (the PartialAgg derivation),
     * written ONCE per engine: mean and clamped sample variance in VALUE
     * units from the exact integer-cent sums (n, Σc, Σc²). Every
