@@ -887,4 +887,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"))
     assert(p.contains("partial_"))
   }
+
+  test("round-12 scale-shape pins: broadcast vocab, top-k cuts, partial grids") {
+    // vocab membership joins as a BROADCAST hash join (a shuffled join
+    // over the token grain would dwarf the k-row vocab)
+    val v = physical("q_vocab_coverage")
+    assert(v.contains("BroadcastHashJoin"), v.take(2000))
+    // the BPE/RAKE top-k cuts plan as TakeOrderedAndProject, never a
+    // global sort of the full pair/word frame
+    assert(physical("q_bpe_pairs").contains("TakeOrderedAndProject"))
+    assert(physical("q_rake_keywords").contains("TakeOrderedAndProject"))
+    // the KS grid and chi-square fold aggregate map-side (partial_)
+    assert(physical("q_ks_test").contains("partial_"))
+    assert(physical("q_chi_square").contains("partial_"))
+    // benford's single-scan restructure: exactly ONE parquet scan
+    val b = physical("q_benford")
+    assert("Scan parquet".r.findAllIn(b).length == 1, b.take(2000))
+  }
 }
