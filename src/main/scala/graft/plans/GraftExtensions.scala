@@ -293,6 +293,16 @@ case class ResolveGraftOp(spark: org.apache.spark.sql.SparkSession)
         case "vocab_coverage" => // (idCol, textCol, k)
           graft.queries.TextStats.vocabCoverage(
             dfs(0), str(0), str(1), lng(2).toInt)
+        case "attribution" => // (userCol, typeCol, tsCol, idCol, valCol, purchaseType)
+          graft.queries.TemporalJoinQueries.attribution(
+            dfs(0), str(0), str(1), str(2), str(3), str(4), str(5))
+        case "session_paths" => // (userCol, typeCol, tsCol, idCol, gapNs, depth, k)
+          graft.queries.TemporalJoinQueries.sessionPaths(
+            dfs(0), str(0), str(1), str(2), str(3), lng(4),
+            lng(5).toInt, lng(6).toInt)
+        case "seasonality_strength" => // (typeCol, tsCol, valCol)
+          graft.queries.StatQueries.seasonalityStrength(
+            dfs(0), str(0), str(1), str(2))
         case "decontaminate" => // corpus, bench, (idCol, textCol)
           graft.queries.TextDedup.decontaminate(
             dfs(0), dfs(1), idCol = str(0), textCol = str(1))
@@ -487,7 +497,13 @@ object GraftFunctions {
     "funnel_timebound" ->
       ("funnel_timebound(table, userCol, typeCol, tsCol, s1, s2, s3, gapNs)", 7),
     "rfm" -> ("rfm(table, userCol, tsCol, valCol)", 3),
-    "vocab_coverage" -> ("vocab_coverage(table, idCol, textCol, k)", 3))
+    "vocab_coverage" -> ("vocab_coverage(table, idCol, textCol, k)", 3),
+    "attribution" ->
+      ("attribution(table, userCol, typeCol, tsCol, idCol, valCol, purchaseType)", 6),
+    "session_paths" ->
+      ("session_paths(table, userCol, typeCol, tsCol, idCol, gapNs, depth, k)", 7),
+    "seasonality_strength" ->
+      ("seasonality_strength(table, typeCol, tsCol, valCol)", 3))
 
   /** Two-table composed-operator TVF registry: name → (usage, scalar
     * arg count AFTER the two table arguments). */

@@ -411,7 +411,53 @@ object StatQueries {
     chiSquare(Tables.events(spark, dir), "event_type", "ts")
       .orderBy("event_type")
 
+  /** Day-of-week seasonality strength per group — the variance
+    * decomposition 1 − SSW/SST: how much of the value variance is
+    * explained by which weekday it is. ONE fact scan folds 21
+    * conditional integer partials (n_d, Σc_d, Σc²_d per dow) per
+    * group; the grand moments are EXACT integer sums of those columns,
+    * and the within-group sum of squares folds the 7 per-dow terms in
+    * the chi-square FIXED left-associated expression (each term one
+    * division of exact integers — no order-free float aggregate
+    * anywhere). Degenerate groups (zero total variance) are NULL.
+    *
+    * A strength near 1 says weekday explains the value; near 0 says
+    * the weekly profile is flat — the decision input behind
+    * seasonal-baseline anomaly thresholds (q_seasonal_baseline). */
+  def seasonalityStrength(df: DataFrame, typeCol: String,
+                          tsCol: String, valCol: String): DataFrame = {
+    val dowCol = (dayofweek(dayOf(tsCol)) - lit(1)).cast("long")
+    val ev = df.filter(col(valCol).isNotNull)
+      .select(col(typeCol).as("event_type"), dowCol.as("dow"),
+        centsOf(valCol).as("c"))
+    def cond(d: Int, e: Column) = sum(when(col("dow") === d.toLong, e)
+      .otherwise(lit(0L)))
+    val aggs = (0 to 6).flatMap { d =>
+      Seq(cond(d, lit(1L)).as(s"n$d"), cond(d, col("c")).as(s"sc$d"),
+        cond(d, col("c") * col("c")).as(s"sq$d"))
+    }
+    val g = ev.groupBy("event_type").agg(aggs.head, aggs.tail: _*)
+    def dd(c: Column) = c.cast("double")
+    val n = (0 to 6).map(d => col(s"n$d")).reduceLeft(_ + _)
+    val sc = (0 to 6).map(d => col(s"sc$d")).reduceLeft(_ + _)
+    val sq = (0 to 6).map(d => col(s"sq$d")).reduceLeft(_ + _)
+    def term(d: Int) =
+      when(col(s"n$d") > 0L,
+        dd(col(s"sq$d")) - dd(col(s"sc$d")) * dd(col(s"sc$d")) / dd(col(s"n$d")))
+        .otherwise(lit(0.0))
+    val ssw = (0 to 6).map(term).reduceLeft(_ + _)
+    val sst = dd(sq) - dd(sc) * dd(sc) / dd(n)
+    g.select(col("event_type"), n.as("n"),
+      rnd(when(sst > 0.0, lit(1.0) - ssw / sst), 6).as("strength"))
+  }
+
+  def qSeasonalityStrength(spark: SparkSession, dir: String): DataFrame =
+    seasonalityStrength(Tables.events(spark, dir), "event_type", "ts",
+      "value")
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_seasonality_strength" -> qSeasonalityStrength _,
     "q_chi_square" -> qChiSquare _,
     "q_autocorr" -> qAutocorr _,
     "q_benford" -> qBenford _,
@@ -423,6 +469,43 @@ object StatQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the same 21 conditional integer partials, grand moments as exact
+    // integer sums of them, the same fixed left-associated SSW fold
+    "q_seasonality_strength" -> {
+      val aggSel = (0 to 6).flatMap { d =>
+        Seq(
+          s"CAST(sum(CASE WHEN dow = $d THEN 1 ELSE 0 END) AS BIGINT) AS n$d",
+          s"CAST(sum(CASE WHEN dow = $d THEN c ELSE 0 END) AS BIGINT) AS sc$d",
+          s"CAST(sum(CASE WHEN dow = $d THEN c * c ELSE 0 END) AS BIGINT) AS sq$d")
+      }.mkString(",\n    ")
+      def s7(p: String) = (0 to 6).map(d => s"$p$d").mkString(" + ")
+      val term = (0 to 6).map(d =>
+        s"(CASE WHEN n$d > 0 THEN CAST(sq$d AS DOUBLE) - CAST(sc$d AS DOUBLE)" +
+          s" * CAST(sc$d AS DOUBLE) / CAST(n$d AS DOUBLE)" +
+          " ELSE CAST(0.0 AS DOUBLE) END)").mkString(" + ")
+      s"""WITH ev AS (
+         |  SELECT event_type,
+         |    CAST(dayofweek(CAST(ts AS DATE)) AS BIGINT) AS dow,
+         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+         |  FROM events WHERE value IS NOT NULL),
+         |g AS (
+         |  SELECT event_type,
+         |    $aggSel
+         |  FROM ev GROUP BY event_type),
+         |d AS (
+         |  SELECT event_type,
+         |    ${s7("n")} AS n, ${s7("sc")} AS sc, ${s7("sq")} AS sq,
+         |    $term AS ssw
+         |  FROM g)
+         |SELECT event_type, n,
+         |  CASE WHEN CAST(sq AS DOUBLE)
+         |      - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)
+         |      > 0.0 THEN
+         |    floor((CAST(1.0 AS DOUBLE) - ssw / (CAST(sq AS DOUBLE)
+         |      - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)))
+         |      * 1e6 + 0.5) / 1e6 END AS strength
+         |FROM d ORDER BY event_type""".stripMargin
+    },
     // exact-rational cell terms, margins from the same grid, and the
     // SAME fixed left-associated 7-term fold (no order-sensitive sum)
     "q_chi_square" -> {

@@ -85,7 +85,82 @@ object TemporalJoinQueries {
       .orderBy("user_id", "error_id", "purchase_id")
   }
 
+  /** Last-touch attribution — each purchase credits the user's most
+    * recent PRIOR non-purchase event (the channel), revenue rolled up
+    * per channel: the ffill idiom (last_value ignoring NULLs over the
+    * (ts, id)-ordered per-user window) applied to the touch column, so
+    * attribution is one window + one bounded rollup — no as-of join
+    * materialization, no fact×fact. A purchase with no prior touch
+    * lands in 'none' (kept, so revenue always reconciles to the
+    * purchase total).
+    *
+    * Scale: the window partitions per user (the sessionize partition
+    * argument); revenue is an exact integer-cent sum divided once. */
+  def attribution(df: DataFrame, userCol: String, typeCol: String,
+                  tsCol: String, idCol: String, valCol: String,
+                  purchaseType: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("u").orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(userCol).as("u"), col(tsCol), col(idCol),
+        col(typeCol).as("et"), centsOf(valCol).as("cents"),
+        when(col(typeCol) =!= purchaseType, col(typeCol)).as("touch"))
+      .withColumn("att", last(col("touch"), ignoreNulls = true).over(w))
+      .filter(col("et") === purchaseType)
+      .groupBy(coalesce(col("att"), lit("none")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        rnd(sum(col("cents")).cast("double") / 100.0, 2).as("revenue"))
+  }
+
+  def qAttribution(spark: SparkSession, dir: String): DataFrame =
+    attribution(Tables.events(spark, dir), "user_id", "event_type",
+      "ts", "event_id", "value", "purchase")
+      .orderBy("channel")
+
+  /** Path depth / top-k for [[qSessionPaths]] — interpolated into BOTH
+    * engines. */
+  val PathDepth = 3
+  val PathK = 10
+
+  /** Top session paths — the first [[PathDepth]] event types of each
+    * gap session joined as `a>b>c`, counted across sessions: the
+    * sequence-mining read over the Sessionize operator ("what do users
+    * DO in a session"). Path assembly is order-deterministic on both
+    * engines: Spark sorts the collected (rn, type) structs, DuckDB
+    * string_aggs ORDER BY rn — strings only, no float order hazard.
+    *
+    * Scale: sessionize's per-user window, a per-(user, session) rank
+    * window (same partition grain), one path rollup, deterministic
+    * (count desc, path) top-k. */
+  def sessionPaths(df: DataFrame, userCol: String, typeCol: String,
+                   tsCol: String, idCol: String, gapNanos: Long,
+                   depth: Int = PathDepth, k: Int = PathK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sess = Sessionize.withSessionIdx(
+      df.select(col(userCol).as("user"), col(typeCol).as("et"),
+        col(tsCol), col(idCol)),
+      "user", tsCol, gapNanos, Seq(col(tsCol), col(idCol)))
+    val wS = Window.partitionBy("user", "session_idx")
+      .orderBy(col(tsCol), col(idCol))
+    sess
+      .withColumn("rn", row_number().over(wS))
+      .filter(col("rn") <= depth)
+      .groupBy("user", "session_idx")
+      .agg(array_join(
+        transform(sort_array(collect_list(struct(col("rn"), col("et")))),
+          x => x.getField("et")), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(desc("n_sessions"), col("path"))
+      .limit(k)
+  }
+
+  def qSessionPaths(spark: SparkSession, dir: String): DataFrame =
+    sessionPaths(Tables.events(spark, dir), "user_id", "event_type",
+      "ts", "event_id", gapNanos = 6L * 3600L * 1000000000L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_attribution" -> qAttribution _,
+    "q_session_paths" -> qSessionPaths _,
     "q_asof_join" -> qAsofJoin _,
     "q_asof_join_composed" -> qAsofJoinComposed _,
     "q_sessionize" -> qSessionize _,
@@ -94,6 +169,53 @@ object TemporalJoinQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the ffill idiom on the touch column (IGNORE NULLS last_value),
+    // exact integer-cent revenue
+    "q_attribution" ->
+      """WITH ev AS (
+        |  SELECT user_id AS u, event_id, epoch_ns(ts) AS tsn,
+        |    event_type AS et,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+        |    CASE WHEN event_type <> 'purchase' THEN event_type END AS touch
+        |  FROM events),
+        |a AS (
+        |  SELECT *, last_value(touch IGNORE NULLS) OVER (
+        |    PARTITION BY u ORDER BY tsn, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS att
+        |  FROM ev)
+        |SELECT coalesce(att, 'none') AS channel,
+        |  CAST(count(*) AS BIGINT) AS n_purchases,
+        |  floor((CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / 100.0)
+        |    * 1e2 + 0.5) / 1e2 AS revenue
+        |FROM a WHERE et = 'purchase'
+        |GROUP BY coalesce(att, 'none') ORDER BY channel""".stripMargin,
+    // same session flag/rank chain as q_sessionize; string_agg ORDER BY
+    // rn is the DuckDB twin of Spark's sorted-struct path assembly
+    "q_session_paths" ->
+      s"""WITH o AS (
+         |  SELECT user_id, event_id, event_type, epoch_ns(ts) AS tsn
+         |  FROM events),
+         |f AS (
+         |  SELECT *, CASE WHEN tsn - lag(tsn)
+         |      OVER (PARTITION BY user_id ORDER BY tsn, event_id) > 21600000000000
+         |    THEN 1 ELSE 0 END AS flag
+         |  FROM o),
+         |s AS (
+         |  SELECT *, sum(flag) OVER (PARTITION BY user_id
+         |    ORDER BY tsn, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+         |  FROM f),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY user_id, session_idx
+         |    ORDER BY tsn, event_id) AS rn
+         |  FROM s),
+         |p AS (
+         |  SELECT user_id, session_idx,
+         |    string_agg(event_type, '>' ORDER BY rn) AS path
+         |  FROM r WHERE rn <= $PathDepth GROUP BY user_id, session_idx)
+         |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+         |FROM p GROUP BY path
+         |ORDER BY n_sessions DESC, path LIMIT $PathK""".stripMargin,
     "q_band_join" ->
       """SELECT e.user_id, e.event_id AS error_id, p.event_id AS purchase_id
         |FROM events e JOIN events p ON e.user_id = p.user_id

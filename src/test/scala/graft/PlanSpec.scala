@@ -595,6 +595,21 @@ class PlanSpec extends AnyFunSuite {
       pair("SELECT * FROM vocab_coverage('docs_r12', 'doc_id', 'text', 100)",
         graft.queries.TextStats.vocabCoverage(docs, "doc_id", "text", 100),
         Seq("doc_id"))
+      pair("SELECT * FROM attribution('ev_r12', 'user_id', 'event_type', 'ts', " +
+        "'event_id', 'value', 'purchase')",
+        graft.queries.TemporalJoinQueries.attribution(
+          ev, "user_id", "event_type", "ts", "event_id", "value", "purchase"),
+        Seq("channel"))
+      pair("SELECT * FROM session_paths('ev_r12', 'user_id', 'event_type', 'ts', " +
+        "'event_id', 21600000000000, 3, 10)",
+        graft.queries.TemporalJoinQueries.sessionPaths(
+          ev, "user_id", "event_type", "ts", "event_id",
+          21600000000000L, 3, 10),
+        Seq("path"))
+      pair("SELECT * FROM seasonality_strength('ev_r12', 'event_type', 'ts', 'value')",
+        graft.queries.StatQueries.seasonalityStrength(
+          ev, "event_type", "ts", "value"),
+        Seq("event_type"))
     }
   }
 

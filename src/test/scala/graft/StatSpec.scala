@@ -226,6 +226,56 @@ class StatSpec extends AnyFunSuite {
     assert(r(1).getLong(2) == 0L && r(1).getDouble(3) == 0.0)
   }
 
+  test("attribution: last prior touch credited, no-touch purchases land in none") {
+    import graft.queries.TemporalJoinQueries
+    val ms = 1000000L
+    val ev = Seq(
+      (1L, "click", 1L * ms, 1L, 0.0), (1L, "purchase", 2L * ms, 2L, 10.0),
+      (1L, "view", 3L * ms, 3L, 0.0), (1L, "purchase", 4L * ms, 4L, 20.0),
+      (2L, "purchase", 1L * ms, 5L, 5.0)
+    ).toDF("user_id", "event_type", "ts", "event_id", "value")
+    val r = TemporalJoinQueries.attribution(ev, "user_id", "event_type",
+      "ts", "event_id", "value", "purchase")
+      .orderBy("channel").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getDouble(2))).toSeq
+    assert(r == Seq(("click", 1L, 10.0), ("none", 1L, 5.0),
+      ("view", 1L, 20.0)))
+  }
+
+  test("sessionPaths: first-3 path per gap session, hand-assembled") {
+    import graft.queries.TemporalJoinQueries
+    val hr = 3600L * 1000000000L
+    val ev = Seq(
+      // session 1: a b c d -> path a>b>c; session 2 (gap > 6h): e
+      (1L, "a", 0L, 1L), (1L, "b", 1L * hr, 2L), (1L, "c", 2L * hr, 3L),
+      (1L, "d", 3L * hr, 4L), (1L, "e", 20L * hr, 5L),
+      // user 2: one session a b -> a>b
+      (2L, "a", 0L, 6L), (2L, "b", 1L * hr, 7L)
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val r = TemporalJoinQueries.sessionPaths(ev, "user_id", "event_type",
+      "ts", "event_id", gapNanos = 6L * hr)
+      .collect().map(x => (x.getString(0), x.getLong(1))).toSeq.sorted
+    assert(r == Seq(("a>b", 1L), ("a>b>c", 1L), ("e", 1L)))
+  }
+
+  test("seasonalityStrength: dow-determined values give 1, flat profile gives ~0, constant NULL") {
+    import graft.queries.StatQueries
+    // days 7 and 8 are distinct dows; type A: value determined by dow
+    val detA = Seq(("A", dayNs(7), 1.0), ("A", dayNs(7), 1.0),
+      ("A", dayNs(8), 3.0), ("A", dayNs(8), 3.0))
+    // type B: same {1,3} spread INSIDE each dow -> SSW = SST -> 0
+    val flatB = Seq(("B", dayNs(7), 1.0), ("B", dayNs(7), 3.0),
+      ("B", dayNs(8), 1.0), ("B", dayNs(8), 3.0))
+    // type C: constant -> SST = 0 -> NULL
+    val constC = Seq(("C", dayNs(7), 2.0), ("C", dayNs(8), 2.0))
+    val ev = (detA ++ flatB ++ constC).toDF("event_type", "ts", "value")
+    val r = StatQueries.seasonalityStrength(ev, "event_type", "ts", "value")
+      .orderBy("event_type").collect()
+    assert(r(0).getDouble(2) == 1.0)
+    assert(r(1).getDouble(2) == 0.0)
+    assert(r(2).isNullAt(2))
+  }
+
   test("giniConcentration: equality gives 0, known split gives 0.25") {
     val ev = (
       // type eq: 3 users x 2 events -> G = 0
