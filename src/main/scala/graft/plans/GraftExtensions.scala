@@ -303,6 +303,12 @@ case class ResolveGraftOp(spark: org.apache.spark.sql.SparkSession)
         case "seasonality_strength" => // (typeCol, tsCol, valCol)
           graft.queries.StatQueries.seasonalityStrength(
             dfs(0), str(0), str(1), str(2))
+        case "embedding_quantize" => // (idCol, vecCol)
+          graft.queries.SimilarityQueries.embeddingQuantize(
+            dfs(0), str(0), str(1))
+        case "cohort_ltv" => // (userCol, tsCol, valCol)
+          graft.queries.TimeSeriesQueries.cohortLtv(
+            dfs(0), str(0), str(1), str(2))
         case "decontaminate" => // corpus, bench, (idCol, textCol)
           graft.queries.TextDedup.decontaminate(
             dfs(0), dfs(1), idCol = str(0), textCol = str(1))
@@ -503,7 +509,9 @@ object GraftFunctions {
     "session_paths" ->
       ("session_paths(table, userCol, typeCol, tsCol, idCol, gapNs, depth, k)", 7),
     "seasonality_strength" ->
-      ("seasonality_strength(table, typeCol, tsCol, valCol)", 3))
+      ("seasonality_strength(table, typeCol, tsCol, valCol)", 3),
+    "embedding_quantize" -> ("embedding_quantize(table, idCol, vecCol)", 2),
+    "cohort_ltv" -> ("cohort_ltv(table, userCol, tsCol, valCol)", 3))
 
   /** Two-table composed-operator TVF registry: name → (usage, scalar
     * arg count AFTER the two table arguments). */

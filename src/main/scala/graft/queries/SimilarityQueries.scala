@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.VectorFunctions._
@@ -56,6 +56,42 @@ object SimilarityQueries {
         (col("max_cos_raw") >= DecontamCos).as("contaminated"))
       .orderBy("vec_id")
   }
+
+  /** Int8 scalar quantization audit — THE storage trick for an
+    * embedding store at 100 TB (4 bytes → 1 byte per dim): per vector,
+    * min/max-range codes q = clamp(⌊(x−mn)/scale + 0.5⌋, 0..255), the
+    * integer code sum (an EXACT cross-engine signature of the whole
+    * code vector), and the reconstruction MSE. All per-row array HOFs
+    * (transform/aggregate in list order, doubles throughout — the
+    * l2Norm parity recipe), zero shuffles beyond the presentation
+    * sort; a degenerate flat vector (mx = mn) quantizes to code 0 with
+    * zero error. The ⌊z+0.5⌋ form replaces round() per the
+    * cross-engine rounding rule. */
+  def embeddingQuantize(df: DataFrame, idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val e = col(vecCol)
+    val mnd = array_min(e).cast("double")
+    val mxd = array_max(e).cast("double")
+    val sc = (mxd - mnd) / 255.0
+    def qd(x: Column) = least(lit(255.0), greatest(lit(0.0),
+      floor((x.cast("double") - mnd) / sc + 0.5).cast("double")))
+    val qsum = aggregate(
+      transform(e, x => qd(x).cast("long")), lit(0L), (acc, v) => acc + v)
+    val err = transform(e, x => {
+      val d = x.cast("double") - (mnd + qd(x) * sc)
+      d * d
+    })
+    val mse = aggregate(err, lit(0.0), (acc, v) => acc + v) /
+      size(e).cast("double")
+    df.select(col(idCol), rnd(mnd, 6).as("mn"), rnd(mxd, 6).as("mx"),
+      when(sc > 0.0, qsum).otherwise(lit(0L)).as("qsum"),
+      rnd(when(sc > 0.0, mse).otherwise(lit(0.0)) * 1e6, 6).as("mse_e6"))
+  }
+
+  def qEmbeddingQuantize(spark: SparkSession, dir: String): DataFrame =
+    embeddingQuantize(
+      Tables.embeddings(spark, dir).filter(col("vec_id") < 100))
+      .orderBy("vec_id")
 
   /** Per-vector L2 norm (bounded ids for the oracle diff). */
   def qEmbeddingNorm(spark: SparkSession, dir: String): DataFrame =
@@ -549,6 +585,7 @@ object SimilarityQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embedding_quantize" -> qEmbeddingQuantize _,
     "q_embedding_norm" -> qEmbeddingNorm _,
     "q_embedding_stats" -> qEmbeddingStats _,
     "q_embedding_decontam" -> qEmbeddingDecontam _,
@@ -587,6 +624,36 @@ object SimilarityQueries {
       s"""SELECT vec_id, label,
          |  floor((${normSql("a")}) * 1e4 + 0.5) / 1e4 AS norm
          |FROM embeddings a WHERE vec_id < 100 ORDER BY vec_id""".stripMargin,
+    // same clamp/floor code arithmetic; list folds in list order (the
+    // l2Norm list_sum precedent); qsum is an exact integer signature
+    "q_embedding_quantize" ->
+      """WITH b AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(list_min(embedding) AS DOUBLE) AS mn,
+        |    CAST(list_max(embedding) AS DOUBLE) AS mx
+        |  FROM embeddings WHERE vec_id < 100),
+        |c AS (SELECT vec_id, embedding, mn, mx, (mx - mn) / 255.0 AS sc
+        |  FROM b),
+        |q AS (
+        |  SELECT vec_id, mn, mx,
+        |    CASE WHEN sc > 0.0 THEN CAST(list_sum(list_transform(embedding,
+        |      x -> CAST(least(CAST(255.0 AS DOUBLE), greatest(CAST(0.0 AS DOUBLE),
+        |        floor((CAST(x AS DOUBLE) - mn) / sc + 0.5))) AS BIGINT)))
+        |      AS BIGINT) ELSE CAST(0 AS BIGINT) END AS qsum,
+        |    CASE WHEN sc > 0.0 THEN list_sum(list_transform(embedding,
+        |      x -> (CAST(x AS DOUBLE) - (mn + least(CAST(255.0 AS DOUBLE),
+        |          greatest(CAST(0.0 AS DOUBLE),
+        |            floor((CAST(x AS DOUBLE) - mn) / sc + 0.5))) * sc))
+        |        * (CAST(x AS DOUBLE) - (mn + least(CAST(255.0 AS DOUBLE),
+        |          greatest(CAST(0.0 AS DOUBLE),
+        |            floor((CAST(x AS DOUBLE) - mn) / sc + 0.5))) * sc))))
+        |      / CAST(len(embedding) AS DOUBLE)
+        |    ELSE CAST(0.0 AS DOUBLE) END AS mse
+        |  FROM c)
+        |SELECT vec_id, floor(mn * 1e6 + 0.5) / 1e6 AS mn,
+        |  floor(mx * 1e6 + 0.5) / 1e6 AS mx, qsum,
+        |  floor((mse * 1e6) * 1e6 + 0.5) / 1e6 AS mse_e6
+        |FROM q ORDER BY vec_id""".stripMargin,
     "q_embedding_stats" ->
       // integer-micro avg twin: BIGINT cast on the sum (DuckDB sums
       // BIGINT into HUGEINT), division order mirrors the Spark side

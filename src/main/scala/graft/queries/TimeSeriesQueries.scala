@@ -840,9 +840,54 @@ object TimeSeriesQueries {
     rfm(Tables.events(spark, dir), "user_id", "ts", "value")
       .orderBy("r_score", "f_score", "m_score")
 
+  /** Cohort LTV curve — cumulative revenue per acquisition cohort by
+    * age: cohort = the user's first active week (anchored to the CORPUS
+    * first day, the q_rfm reproducibility rule), age = weeks since that
+    * first day, cumulative exact integer-cent revenue per (cohort, age)
+    * divided by the cohort's user count — the monetary twin of
+    * q_cohort_retention. The cumulative window runs on the bounded
+    * (cohort × age) grid (weeks², metadata-scale); the fact grain
+    * crosses one user-grain first-day aggregate and one rollup.
+    *
+    * Scale: the user→first-day join is an equi-join on the user key —
+    * AQE picks broadcast only while the user dim fits; at billions of
+    * users it is the same shuffle a sessionize pays. */
+  def cohortLtv(df: DataFrame, userCol: String, tsCol: String,
+                valCol: String): DataFrame = {
+    val ev = df.select(col(userCol).as("user"), dayOf(tsCol).as("day"),
+      centsOf(valCol).as("cents"))
+    val first = ev.groupBy("user").agg(min(col("day")).as("d0"))
+    val anchor = first.agg(min(col("d0")).as("a0"))
+    val cohorts = first.crossJoin(broadcast(anchor))
+      .select(col("user"),
+        (datediff(col("d0"), col("a0")).cast("long") / lit(7L))
+          .cast("long").as("cohort_week"), col("d0"))
+    val sizes = cohorts.groupBy("cohort_week")
+      .agg(count(lit(1)).as("n_users"))
+    val cells = ev.join(cohorts, "user")
+      .withColumn("age_week",
+        (datediff(col("day"), col("d0")).cast("long") / lit(7L))
+          .cast("long"))
+      .groupBy("cohort_week", "age_week").agg(sum(col("cents")).as("c"))
+    val wCum = Window.partitionBy("cohort_week").orderBy("age_week")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .join(broadcast(sizes), "cohort_week")
+      .select(col("cohort_week"), col("age_week"), col("n_users"),
+        rnd(col("c").cast("double") / 100.0, 2).as("revenue"),
+        rnd((col("cum").cast("double") / col("n_users").cast("double"))
+          / 100.0, 4).as("cum_ltv_per_user"))
+  }
+
+  def qCohortLtv(spark: SparkSession, dir: String): DataFrame =
+    cohortLtv(Tables.events(spark, dir), "user_id", "ts", "value")
+      .orderBy("cohort_week", "age_week")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_twap" -> qTwap _,
     "q_streaks" -> qStreaks _,
+    "q_cohort_ltv" -> qCohortLtv _,
     "q_funnel_timebound" -> qFunnelTimebound _,
     "q_rfm" -> qRfm _,
     "q_transition_matrix" -> qTransitionMatrix _,
@@ -885,6 +930,36 @@ object TimeSeriesQueries {
       |FROM events ORDER BY event_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same anchors, integer week arithmetic, bounded cumulative window
+    "q_cohort_ltv" ->
+      """WITH ev AS (
+        |  SELECT user_id AS u, CAST(ts AS DATE) AS day,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |f AS (SELECT u, min(day) AS d0 FROM ev GROUP BY u),
+        |a AS (SELECT min(d0) AS a0 FROM f),
+        |co AS (
+        |  SELECT u, CAST(date_diff('day', a0, d0) AS BIGINT) // 7
+        |    AS cohort_week, d0
+        |  FROM f, a),
+        |sz AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_users
+        |  FROM co GROUP BY cohort_week),
+        |cells AS (
+        |  SELECT cohort_week,
+        |    CAST(date_diff('day', d0, day) AS BIGINT) // 7 AS age_week,
+        |    CAST(sum(cents) AS BIGINT) AS c
+        |  FROM ev JOIN co ON ev.u = co.u GROUP BY 1, 2),
+        |w AS (
+        |  SELECT cohort_week, age_week, c,
+        |    sum(c) OVER (PARTITION BY cohort_week ORDER BY age_week
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM cells)
+        |SELECT w.cohort_week, age_week, n_users,
+        |  floor((CAST(c AS DOUBLE) / 100.0) * 1e2 + 0.5) / 1e2 AS revenue,
+        |  floor(((CAST(cum AS DOUBLE) / CAST(n_users AS DOUBLE)) / 100.0)
+        |    * 1e4 + 0.5) / 1e4 AS cum_ltv_per_user
+        |FROM w JOIN sz USING (cohort_week)
+        |ORDER BY cohort_week, age_week""".stripMargin,
     // chained first-touch stage CTEs with the same nano gap literal
     "q_funnel_timebound" ->
       s"""WITH ev AS (

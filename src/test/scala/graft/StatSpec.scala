@@ -276,6 +276,43 @@ class StatSpec extends AnyFunSuite {
     assert(r(2).isNullAt(2))
   }
 
+  test("embeddingQuantize: on-grid vectors reconstruct exactly, flat vectors code 0") {
+    import graft.queries.SimilarityQueries
+    val rows = Seq(
+      (1L, Seq(0.0f, 255.0f)),          // scale 1: codes {0,255}, mse 0
+      (2L, Seq(2.0f, 2.0f, 2.0f))       // flat: degenerate, qsum 0, mse 0
+    ).toDF("vec_id", "embedding")
+    val r = SimilarityQueries.embeddingQuantize(rows)
+      .orderBy("vec_id").collect()
+    assert(r(0).getLong(3) == 255L && r(0).getDouble(4) == 0.0)
+    assert(r(1).getLong(3) == 0L && r(1).getDouble(4) == 0.0)
+    // fixture sanity: every code sum within [0, 255*64], mse bounded by
+    // the half-step bound (scale/2)^2 scaled by 1e6
+    val fx = SimilarityQueries.embeddingQuantize(
+      Tables.embeddings(spark, TestSpark.Sf).filter(col("vec_id") < 50))
+      .collect()
+    fx.foreach { x =>
+      val scale = (x.getDouble(2) - x.getDouble(1)) / 255.0
+      assert(x.getLong(3) >= 0L && x.getLong(3) <= 255L * 64)
+      assert(x.getDouble(4) <= (scale / 2) * (scale / 2) * 1e6 + 1e-9)
+    }
+  }
+
+  test("cohortLtv: weekly cohorts, cumulative per-user spend hand-checked") {
+    import graft.queries.TimeSeriesQueries
+    val ev = Seq(
+      (1L, dayNs(1), 1.0), (1L, dayNs(10), 2.0), // cohort 0, ages 0 and 1
+      (2L, dayNs(9), 4.0)                        // first day 9 -> cohort 1
+    ).toDF("user_id", "ts", "value")
+    val r = TimeSeriesQueries.cohortLtv(ev, "user_id", "ts", "value")
+      .orderBy("cohort_week", "age_week").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getDouble(3), x.getDouble(4))).toSeq
+    assert(r == Seq(
+      (0L, 0L, 1L, 1.0, 1.0), (0L, 1L, 1L, 2.0, 3.0),
+      (1L, 0L, 1L, 4.0, 4.0)))
+  }
+
   test("giniConcentration: equality gives 0, known split gives 0.25") {
     val ev = (
       // type eq: 3 users x 2 events -> G = 0
