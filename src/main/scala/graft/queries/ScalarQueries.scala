@@ -93,6 +93,27 @@ object ScalarQueries {
       .orderBy("day", "event_type")
   }
 
+  /** Semi-structured property extraction + profile (F-family: JSON
+    * path access, the flat-scalar complement of q_event_json's nested
+    * flatten): `props.k` pulled with get_json_object (codegen'd path
+    * evaluation — no schema inference pass, no UDF), banded by integer
+    * division and rolled to a (type × band) histogram with exact
+    * per-band integer stats. Missing/corrupt JSON yields a NULL k that
+    * lands in band NULL — kept, so parse failures are VISIBLE in the
+    * profile rather than silently dropped. Scale: per-row path
+    * extraction is scan-parallel; the rollup is histogram-shaped. */
+  def qJsonProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy(col("event_type"),
+        // floor, not a bare cast: DuckDB's double→int cast ROUNDS
+        // where Spark truncates (the F-family parity rule)
+        floor(col("k") / lit(10.0)).cast("int").as("k_band"))
+      .agg(count(lit(1)).as("n"), min(col("k")).as("k_min"),
+        max(col("k")).as("k_max"))
+      .orderBy("event_type", "k_band")
+
   /** Exact distinct counts per group (the approx HLL twin is spec-tested
     * against these in ScalarSpec — approx values can't hash-match). */
   def qCountDistinct(spark: SparkSession, dir: String): DataFrame =
@@ -704,6 +725,7 @@ object ScalarQueries {
     "q_cube" -> qCube _,
     "q_grouping_sets" -> qGroupingSets _,
     "q_unpivot" -> qUnpivot _,
+    "q_json_profile" -> qJsonProfile _,
     "q_count_distinct" -> qCountDistinct _,
     "q_percentile" -> qPercentile _,
     "q_wordcount" -> qWordcount _,
@@ -1031,6 +1053,17 @@ object ScalarQueries {
         |  floor((sum(l_quantity)) * 1e2 + 0.5) / 1e2 AS sum_qty, count(*) AS cnt
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY flag, status""".stripMargin,
+    "q_json_profile" ->
+      """SELECT event_type,
+        |  CAST(floor(CAST(json_extract_string(props, '$.k') AS INT) / 10.0)
+        |    AS INT) AS k_band,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(CAST(json_extract_string(props, '$.k') AS INT)) AS INT)
+        |    AS k_min,
+        |  CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT)
+        |    AS k_max
+        |FROM events GROUP BY event_type, 2
+        |ORDER BY event_type, k_band""".stripMargin,
     "q_unpivot" ->
       """SELECT CAST(ts AS DATE) AS day, event_type, CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY CAST(ts AS DATE), event_type
