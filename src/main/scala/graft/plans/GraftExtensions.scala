@@ -309,6 +309,9 @@ case class ResolveGraftOp(spark: org.apache.spark.sql.SparkSession)
         case "cohort_ltv" => // (userCol, tsCol, valCol)
           graft.queries.TimeSeriesQueries.cohortLtv(
             dfs(0), str(0), str(1), str(2))
+        case "ngram_novelty" => // (idCol, textCol, n)
+          graft.queries.TextStats.ngramNovelty(
+            dfs(0), str(0), str(1), lng(2).toInt)
         case "decontaminate" => // corpus, bench, (idCol, textCol)
           graft.queries.TextDedup.decontaminate(
             dfs(0), dfs(1), idCol = str(0), textCol = str(1))
@@ -511,7 +514,8 @@ object GraftFunctions {
     "seasonality_strength" ->
       ("seasonality_strength(table, typeCol, tsCol, valCol)", 3),
     "embedding_quantize" -> ("embedding_quantize(table, idCol, vecCol)", 2),
-    "cohort_ltv" -> ("cohort_ltv(table, userCol, tsCol, valCol)", 3))
+    "cohort_ltv" -> ("cohort_ltv(table, userCol, tsCol, valCol)", 3),
+    "ngram_novelty" -> ("ngram_novelty(table, idCol, textCol, n)", 3))
 
   /** Two-table composed-operator TVF registry: name → (usage, scalar
     * arg count AFTER the two table arguments). */

@@ -223,6 +223,28 @@ import TextStats._
          |  floor((CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE))
          |    * 1e4 + 0.5) / 1e4 AS oov_rate
          |FROM o ORDER BY doc_id""".stripMargin,
+    // distinct 5-grams per doc, min-doc_id first owner, LEFT JOIN keeps
+    // shingle-less docs at n_grams 0 / NULL novelty
+    "q_ngram_novelty" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS ts FROM documents),
+         |g AS (
+         |  SELECT doc_id, array_to_string(ts[i:i+4], ' ') AS sh
+         |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(ts) - 4)) AS i)),
+         |pd AS (SELECT DISTINCT doc_id, sh FROM g),
+         |ow AS (SELECT sh, min(doc_id) AS owner FROM pd GROUP BY sh),
+         |a AS (
+         |  SELECT pd.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |    CAST(sum(CASE WHEN ow.owner = pd.doc_id THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_novel
+         |  FROM pd JOIN ow USING (sh) GROUP BY pd.doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(a.n_grams, CAST(0 AS BIGINT)) AS n_grams,
+         |  coalesce(a.n_novel, CAST(0 AS BIGINT)) AS n_novel,
+         |  CASE WHEN a.n_grams > 0 THEN
+         |    floor((CAST(a.n_novel AS DOUBLE) / CAST(a.n_grams AS DOUBLE))
+         |      * 1e4 + 0.5) / 1e4 END AS novelty
+         |FROM documents d LEFT JOIN a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     // occurrence-weighted in-word character bigrams, (count desc, pair)
     // top-k — the single-round BPE merge statistic
     "q_bpe_pairs" ->

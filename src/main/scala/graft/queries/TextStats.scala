@@ -936,7 +936,53 @@ object TextStats {
   def qVocabCoverage(spark: SparkSession, dir: String): DataFrame =
     vocabCoverageOf(cachedDocTokens(spark, dir)).orderBy("doc_id")
 
+  /** N-gram novelty curve — per document, the fraction of its DISTINCT
+    * 5-grams whose FIRST corpus occurrence (min doc_id) is this
+    * document: the curation order-effect read ("how much of this doc
+    * is new relative to everything before it") that df-based
+    * boilerplate stats (q_crossdoc_ngram) structurally can't express.
+    * Low novelty late in the corpus = the source is re-serving
+    * content; the dedup family's candidate signal at the doc grain.
+    *
+    * Scale: gram-keyed hash aggregates (the q_crossdoc_ngram shuffle)
+    * + one join on the gram key; shingle-less docs (< n tokens) keep a
+    * row with n_grams 0 and NULL novelty via the LEFT JOIN. */
+  def ngramNoveltyOf(tokArr: DataFrame, n: Int = 5,
+                     idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pd = shingleRowsOf(tokArr, n, idCol)
+      .select(col(idCol), col("sh")).distinct()
+    // first owner via a gram-partitioned window min — ONE pass over the
+    // distinct frame (an agg+self-join would re-run the shingle
+    // pipeline under both consumers, the q_neardup_degree lesson);
+    // per-gram partitions are bounded by the gram's doc frequency
+    val perDoc = pd
+      .withColumn("owner", min(col(idCol)).over(Window.partitionBy("sh")))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("owner") === col(idCol), 1L).otherwise(0L))
+          .as("n_novel"))
+    tokArr.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        rnd(when(col("n_grams") > 0L,
+          col("n_novel").cast("double") / col("n_grams").cast("double")), 4)
+          .as("novelty"))
+  }
+
+  /** [[ngramNoveltyOf]] from raw text (the TVF entry point). */
+  def ngramNovelty(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", n: Int = 5): DataFrame =
+    ngramNoveltyOf(docs.select(col(idCol), tokens(col(textCol)).as("ts")),
+      n, idCol)
+
+  def qNgramNovelty(spark: SparkSession, dir: String): DataFrame =
+    ngramNoveltyOf(cachedDocTokens(spark, dir)).orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ngram_novelty" -> qNgramNovelty _,
     "q_vocab_coverage" -> qVocabCoverage _,
     "q_bpe_pairs" -> qBpePairs _,
     "q_rake_keywords" -> qRakeKeywords _,

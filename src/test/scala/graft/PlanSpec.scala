@@ -619,6 +619,9 @@ class PlanSpec extends AnyFunSuite {
       pair("SELECT * FROM cohort_ltv('ev_r12', 'user_id', 'ts', 'value')",
         graft.queries.TimeSeriesQueries.cohortLtv(ev, "user_id", "ts", "value"),
         Seq("cohort_week", "age_week"))
+      pair("SELECT * FROM ngram_novelty('docs_r12', 'doc_id', 'text', 5)",
+        graft.queries.TextStats.ngramNovelty(docs, "doc_id", "text", 5),
+        Seq("doc_id"))
     }
   }
 

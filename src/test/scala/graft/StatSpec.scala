@@ -313,6 +313,20 @@ class StatSpec extends AnyFunSuite {
       (1L, 0L, 1L, 4.0, 4.0)))
   }
 
+  test("ngramNovelty: first-owner semantics, duplicate doc scores 0, short doc NULL") {
+    import graft.queries.TextStats
+    val docs = Seq(
+      (1L, "a b c d e f"), // 2 distinct 5-grams, both first-owned
+      (2L, "a b c d e f"), // same grams, owner is doc 1 -> novelty 0
+      (3L, "x y")          // no 5-grams -> 0 grams, NULL novelty
+    ).toDF("doc_id", "text")
+    val r = TextStats.ngramNovelty(docs).orderBy("doc_id").collect()
+    assert(r(0).getLong(1) == 2L && r(0).getLong(2) == 2L &&
+      r(0).getDouble(3) == 1.0)
+    assert(r(1).getLong(2) == 0L && r(1).getDouble(3) == 0.0)
+    assert(r(2).getLong(1) == 0L && r(2).isNullAt(3))
+  }
+
   test("giniConcentration: equality gives 0, known split gives 0.25") {
     val ev = (
       // type eq: 3 users x 2 events -> G = 0
