@@ -102,16 +102,25 @@ object ScalarQueries {
     * lands in band NULL — kept, so parse failures are VISIBLE in the
     * profile rather than silently dropped. Scale: per-row path
     * extraction is scan-parallel; the rollup is histogram-shaped. */
-  def qJsonProfile(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .select(col("event_type"),
-        get_json_object(col("props"), "$.k").cast("int").as("k"))
+  def jsonProfile(df: DataFrame, typeCol: String,
+                  propsCol: String): DataFrame =
+    df.select(col(typeCol).as("event_type"),
+        // try_cast through DOUBLE then floor: malformed JSON and
+        // non-numeric k land in the NULL band on BOTH engines (an ANSI
+        // string->int cast would throw here, and DuckDB's plain CAST
+        // rounds "3.7" where Spark truncates — review r12 pass 3)
+        floor(expr(
+          s"try_cast(get_json_object(`$propsCol`, '$$.k') AS DOUBLE)"))
+          .cast("int").as("k"))
       .groupBy(col("event_type"),
         // floor, not a bare cast: DuckDB's double→int cast ROUNDS
         // where Spark truncates (the F-family parity rule)
         floor(col("k") / lit(10.0)).cast("int").as("k_band"))
       .agg(count(lit(1)).as("n"), min(col("k")).as("k_min"),
         max(col("k")).as("k_max"))
+
+  def qJsonProfile(spark: SparkSession, dir: String): DataFrame =
+    jsonProfile(Tables.events(spark, dir), "event_type", "props")
       .orderBy("event_type", "k_band")
 
   /** Exact distinct counts per group (the approx HLL twin is spec-tested
@@ -1054,15 +1063,18 @@ object ScalarQueries {
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY flag, status""".stripMargin,
     "q_json_profile" ->
-      """SELECT event_type,
-        |  CAST(floor(CAST(json_extract_string(props, '$.k') AS INT) / 10.0)
-        |    AS INT) AS k_band,
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(floor(CASE WHEN json_valid(props) THEN
+        |      TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) END)
+        |      AS INT) AS k
+        |  FROM events)
+        |SELECT event_type,
+        |  CAST(floor(k / 10.0) AS INT) AS k_band,
         |  CAST(count(*) AS BIGINT) AS n,
-        |  CAST(min(CAST(json_extract_string(props, '$.k') AS INT)) AS INT)
-        |    AS k_min,
-        |  CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT)
-        |    AS k_max
-        |FROM events GROUP BY event_type, 2
+        |  CAST(min(k) AS INT) AS k_min,
+        |  CAST(max(k) AS INT) AS k_max
+        |FROM e GROUP BY event_type, 2
         |ORDER BY event_type, k_band""".stripMargin,
     "q_unpivot" ->
       """SELECT CAST(ts AS DATE) AS day, event_type, CAST(count(*) AS BIGINT) AS n

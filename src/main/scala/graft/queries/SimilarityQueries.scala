@@ -69,7 +69,10 @@ object SimilarityQueries {
     * cross-engine rounding rule. */
   def embeddingQuantize(df: DataFrame, idCol: String = "vec_id",
                         vecCol: String = "embedding"): DataFrame = {
-    val e = col(vecCol)
+    // NULL elements dropped EXPLICITLY on both engines: Spark's fold
+    // would NULL-poison the sums while DuckDB's list_sum skips NULLs —
+    // a silent divergence on dirty data (review r12 pass 3)
+    val e = filter(col(vecCol), x => x.isNotNull)
     val mnd = array_min(e).cast("double")
     val mxd = array_max(e).cast("double")
     val sc = (mxd - mnd) / 255.0
@@ -627,11 +630,15 @@ object SimilarityQueries {
     // same clamp/floor code arithmetic; list folds in list order (the
     // l2Norm list_sum precedent); qsum is an exact integer signature
     "q_embedding_quantize" ->
-      """WITH b AS (
+      """WITH nn AS (
+        |  SELECT vec_id,
+        |    list_filter(embedding, x -> x IS NOT NULL) AS embedding
+        |  FROM embeddings WHERE vec_id < 100),
+        |b AS (
         |  SELECT vec_id, embedding,
         |    CAST(list_min(embedding) AS DOUBLE) AS mn,
         |    CAST(list_max(embedding) AS DOUBLE) AS mx
-        |  FROM embeddings WHERE vec_id < 100),
+        |  FROM nn),
         |c AS (SELECT vec_id, embedding, mn, mx, (mx - mn) / 255.0 AS sc
         |  FROM b),
         |q AS (

@@ -610,11 +610,10 @@ class PlanSpec extends AnyFunSuite {
         graft.queries.StatQueries.seasonalityStrength(
           ev, "event_type", "ts", "value"),
         Seq("event_type"))
-      Tables.embeddings(s2, TestSpark.Sf).filter(col("vec_id") < 50)
-        .createOrReplaceTempView("emb_r12")
+      val emb = Tables.embeddings(s2, TestSpark.Sf).filter(col("vec_id") < 50)
+      emb.createOrReplaceTempView("emb_r12")
       pair("SELECT * FROM embedding_quantize('emb_r12', 'vec_id', 'embedding')",
-        graft.queries.SimilarityQueries.embeddingQuantize(
-          Tables.embeddings(s2, TestSpark.Sf).filter(col("vec_id") < 50)),
+        graft.queries.SimilarityQueries.embeddingQuantize(emb),
         Seq("vec_id"))
       pair("SELECT * FROM cohort_ltv('ev_r12', 'user_id', 'ts', 'value')",
         graft.queries.TimeSeriesQueries.cohortLtv(ev, "user_id", "ts", "value"),

@@ -327,6 +327,30 @@ class StatSpec extends AnyFunSuite {
     assert(r(2).getLong(1) == 0L && r(2).isNullAt(3))
   }
 
+  test("jsonProfile: malformed JSON and non-integer k land in the NULL band") {
+    import graft.queries.ScalarQueries
+    val df = Seq(
+      ("t", """{"k": 12}"""), ("t", """{"k": 17}"""),
+      ("t", "{oops"), ("t", """{"k": "abc"}"""), ("t", null: String)
+    ).toDF("event_type", "props")
+    val r = ScalarQueries.jsonProfile(df, "event_type", "props")
+      .orderBy("k_band").collect()
+    // NULL band first under NULLS FIRST: 3 unparseable rows, then band 1
+    assert(r.length == 2)
+    assert(r(0).isNullAt(1) && r(0).getLong(2) == 3L && r(0).isNullAt(3))
+    assert(r(1).getInt(1) == 1 && r(1).getLong(2) == 2L &&
+      r(1).getInt(3) == 12 && r(1).getInt(4) == 17)
+  }
+
+  test("embeddingQuantize: NULL elements are dropped, not sum-poisoning") {
+    import graft.queries.SimilarityQueries
+    val rows = Seq((1L, Seq(Some(0.0f), None, Some(255.0f))))
+      .toDF("vec_id", "embedding")
+    val r = SimilarityQueries.embeddingQuantize(rows).head()
+    assert(r.getLong(3) == 255L && r.getDouble(4) == 0.0,
+      "codes computed over the two non-null elements")
+  }
+
   test("giniConcentration: equality gives 0, known split gives 0.25") {
     val ev = (
       // type eq: 3 users x 2 events -> G = 0
