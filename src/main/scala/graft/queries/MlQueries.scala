@@ -145,7 +145,7 @@ object MlQueries {
   private def splitBounds(spark: SparkSession, dir: String): DataFrame = {
     val (train, test) = Pipelines.temporalSplit(cachedFeatures(spark, dir), 7)
     train.agg(max(col("ts")).as("train_max_ts"))
-      .crossJoin(test.agg(min(col("ts")).as("test_min_ts")))
+      .crossJoin(broadcast(test.agg(min(col("ts")).as("test_min_ts"))))
   }
 
   /** THEOREM-CERTIFICATE forms of the four model-metric queries (VERDICT

@@ -70,8 +70,12 @@ object ScalarQueries {
   /** Known event types — THE pivot column list shared by [[qPivot]] and
     * [[qUnpivot]] (an explicit list keeps the pivot single-pass;
     * discovery would add a distinct scan; one copy so the two reshapes
-    * cannot drift — review-pass finding). */
-  private[queries] val EventTypes =
+    * cannot drift — review-pass finding). The fixture contract is
+    * PINNED by a ScalarSpec test (ADVICE r12): the oracles aggregate
+    * every event_type present, so a new fixture type would silently
+    * drop rows on the Spark side only — the spec makes it fail loudly
+    * instead. */
+  private[graft] val EventTypes =
     Seq("click", "error", "purchase", "signup", "view")
 
   /** Wide↔long reshaping round trip: per-day counts pivoted to one
@@ -103,21 +107,27 @@ object ScalarQueries {
     * profile rather than silently dropped. Scale: per-row path
     * extraction is scan-parallel; the rollup is histogram-shaped. */
   def jsonProfile(df: DataFrame, typeCol: String,
-                  propsCol: String): DataFrame =
-    df.select(col(typeCol).as("event_type"),
-        // try_cast through DOUBLE then floor: malformed JSON and
-        // non-numeric k land in the NULL band on BOTH engines (an ANSI
-        // string->int cast would throw here, and DuckDB's plain CAST
-        // rounds "3.7" where Spark truncates — review r12 pass 3)
-        floor(expr(
-          s"try_cast(get_json_object(`$propsCol`, '$$.k') AS DOUBLE)"))
-          .cast("int").as("k"))
+                  propsCol: String): DataFrame = {
+    // try_cast through DOUBLE then floor: malformed JSON and
+    // non-numeric k land in the NULL band on BOTH engines (an ANSI
+    // string->int cast would throw here, and DuckDB's plain CAST
+    // rounds "3.7" where Spark truncates — review r12 pass 3).
+    // NaN/±Inf and beyond-INT-range doubles are ALSO NULL-banded
+    // explicitly (review r12 pass 4): DuckDB TRY_CAST parses 'inf'
+    // where Spark yields NULL, Spark's non-ANSI long→int cast wraps
+    // where DuckDB's CAST throws — the range guard is the one
+    // expression both engines evaluate identically
+    val d = expr(s"try_cast(get_json_object(`$propsCol`, '$$.k') AS DOUBLE)")
+    val k = when(!isnan(d) && d >= -2147483648.0 && d < 2147483648.0,
+      floor(d).cast("int"))
+    df.select(col(typeCol).as("event_type"), k.as("k"))
       .groupBy(col("event_type"),
         // floor, not a bare cast: DuckDB's double→int cast ROUNDS
         // where Spark truncates (the F-family parity rule)
         floor(col("k") / lit(10.0)).cast("int").as("k_band"))
       .agg(count(lit(1)).as("n"), min(col("k")).as("k_min"),
         max(col("k")).as("k_max"))
+  }
 
   def qJsonProfile(spark: SparkSession, dir: String): DataFrame =
     jsonProfile(Tables.events(spark, dir), "event_type", "props")
@@ -1063,12 +1073,17 @@ object ScalarQueries {
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY flag, status""".stripMargin,
     "q_json_profile" ->
-      """WITH e AS (
+      """WITH d AS (
         |  SELECT event_type,
-        |    CAST(floor(CASE WHEN json_valid(props) THEN
-        |      TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) END)
-        |      AS INT) AS k
-        |  FROM events)
+        |    CASE WHEN json_valid(props) THEN
+        |      TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) END AS d
+        |  FROM events),
+        |e AS (
+        |  SELECT event_type,
+        |    CASE WHEN NOT isnan(d) AND d >= -2147483648.0
+        |        AND d < 2147483648.0
+        |      THEN CAST(floor(d) AS INT) END AS k
+        |  FROM d)
         |SELECT event_type,
         |  CAST(floor(k / 10.0) AS INT) AS k_band,
         |  CAST(count(*) AS BIGINT) AS n,

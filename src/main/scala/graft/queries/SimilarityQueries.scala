@@ -276,6 +276,35 @@ object SimilarityQueries {
       .agg(rnd(sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)), 4)
         .as("recall_at_5"))
 
+  /** THEOREM-CERTIFICATE form of a recall gate (VERDICT r12 ask #4 —
+    * the pattern that moved the 4 ML metric rows onto the driver's
+    * cell-exact compare in r10): measured recall is data-dependent so
+    * it cannot be hashed against a constant, but its INVARIANTS can —
+    * one row of (n_queries, floor_pct, recall_ok) that a FROM-less
+    * DuckDB oracle pins to literals. Computed from the UNGATED
+    * per-query recall frame, so a floor violation shows up as a FALSE
+    * cell (hash mismatch → driver red), not as silently absent rows;
+    * the rich per-query surface stays available as
+    * [[qAnnLsh]]/[[qAnnIvf]]/… (API + SimilaritySpec floor asserts),
+    * and the measured values themselves ship per round in
+    * `RECALL_r{N}.json`. floor_pct is an exact integer (⌊100·floor⌋) —
+    * no double in the certificate row, the q_ks_test lesson. */
+  private[graft] def recallCert(approx: DataFrame, exact: DataFrame,
+                                floor: Double): DataFrame =
+    perQueryRecall(approx, exact)
+      .agg(count(lit(1)).as("n_queries"),
+        avg(col("recall_at_5")).as("mean_recall"))
+      .select(col("n_queries"),
+        lit(math.round(floor * 100)).as("floor_pct"),
+        (col("mean_recall") >= floor).as("recall_ok"))
+
+  /** The constant certificate row [[recallCert]] must reproduce —
+    * shared oracle body so the pinned literals live once. */
+  private def recallCertSql(floor: Double): String =
+    s"""SELECT CAST(20 AS BIGINT) AS n_queries,
+       |  CAST(${math.round(floor * 100)} AS BIGINT) AS floor_pct,
+       |  TRUE AS recall_ok""".stripMargin
+
   private def recallGated(approx: DataFrame, exact: DataFrame, floor: Double): DataFrame = {
     val perQuery = perQueryRecall(approx, exact)
     // the gate scalar comes back as a broadcast — no global window
@@ -295,13 +324,19 @@ object SimilarityQueries {
     * mean recall < [[LshRecallFloor]], so the driver's rows-only CORRECTNESS entry is
     * a live recall gate (the serving query is Similarity.lshTopK itself
     * — this is its quality harness). */
-  def qAnnLsh(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-    val q = emb.filter(col("vec_id") < 20)
-    recallGated(
-      Similarity.lshTopK(emb, q, 5, planes = 8, multiProbe = 3),
-      cachedBruteTop5(spark, dir),
+  def qAnnLsh(spark: SparkSession, dir: String): DataFrame =
+    recallGated(lshApprox(spark, dir), cachedBruteTop5(spark, dir),
       floor = LshRecallFloor)
+
+  /** Registered certificate form of [[qAnnLsh]]. */
+  def qAnnLshCert(spark: SparkSession, dir: String): DataFrame =
+    recallCert(lshApprox(spark, dir), cachedBruteTop5(spark, dir),
+      floor = LshRecallFloor)
+
+  private def lshApprox(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 20), 5,
+      planes = 8, multiProbe = 3)
   }
 
   /** Recall floors sit just under the MINIMUM measured mean recall@5
@@ -316,15 +351,20 @@ object SimilarityQueries {
   /** IVF ANN against the memoized fit-once quantizer, probes ranked by
     * the quantizer's own Euclidean metric. Same in-plan recall gate;
     * IVF probing 4/16 cells must clear a higher floor than LSH. */
-  def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-    val q = emb.filter(col("vec_id") < 20)
-    val p = cachedParams(spark, dir)
-    recallGated(
-      Similarity.ivfTopK(emb, q, 5, cachedQuantizer(spark, dir, p.nlist), p.nprobe,
-        "vec_id", "embedding"),
-      cachedBruteTop5(spark, dir),
+  def qAnnIvf(spark: SparkSession, dir: String): DataFrame =
+    recallGated(ivfApprox(spark, dir), cachedBruteTop5(spark, dir),
       floor = IvfRecallFloor)
+
+  /** Registered certificate form of [[qAnnIvf]]. */
+  def qAnnIvfCert(spark: SparkSession, dir: String): DataFrame =
+    recallCert(ivfApprox(spark, dir), cachedBruteTop5(spark, dir),
+      floor = IvfRecallFloor)
+
+  private def ivfApprox(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val p = cachedParams(spark, dir)
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20), 5,
+      cachedQuantizer(spark, dir, p.nlist), p.nprobe, "vec_id", "embedding")
   }
 
   /** The MATERIALIZED IVF path as a declared query: the index is written
@@ -333,15 +373,21 @@ object SimilarityQueries {
     * and the result carries the same recall gate as the in-memory path.
     * This is the layout the 100 TB design statement promises — a probe
     * reads nprobe/nlist of the files, not a filtered full scan. */
-  def qAnnIvfIndexed(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-    val q = emb.filter(col("vec_id") < 20)
-    val p = cachedParams(spark, dir)
-    recallGated(
-      Similarity.ivfTopKIndexed(spark, cachedIvfIndex(spark, dir), q, 5,
-        cachedQuantizer(spark, dir, p.nlist), p.nprobe),
-      cachedBruteTop5(spark, dir),
+  def qAnnIvfIndexed(spark: SparkSession, dir: String): DataFrame =
+    recallGated(ivfIndexedApprox(spark, dir), cachedBruteTop5(spark, dir),
       floor = IvfRecallFloor)
+
+  /** Registered certificate form of [[qAnnIvfIndexed]]. */
+  def qAnnIvfIndexedCert(spark: SparkSession, dir: String): DataFrame =
+    recallCert(ivfIndexedApprox(spark, dir), cachedBruteTop5(spark, dir),
+      floor = IvfRecallFloor)
+
+  private def ivfIndexedApprox(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val p = cachedParams(spark, dir)
+    Similarity.ivfTopKIndexed(spark, cachedIvfIndex(spark, dir),
+      emb.filter(col("vec_id") < 20), 5,
+      cachedQuantizer(spark, dir, p.nlist), p.nprobe)
   }
 
   /** Fit-once PQ codebooks per (session, dir) — the persisted-artifact
@@ -387,15 +433,21 @@ object SimilarityQueries {
     * ground truth like the other ANN tiers. The ADC scan reads codes
     * only; the rerank joins ≤ |q|·50 candidates back to full vectors
     * ([[ProductQuantization.pqTopK]]). */
-  def qAnnPq(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-    val q = emb.filter(col("vec_id") < 20)
-    val (model, codes) = cachedPqIndex(spark, dir)
-    recallGated(
-      ProductQuantization.pqTopKFromCodes(emb, codes, q, 5, model,
-        rerank = cachedParams(spark, dir).rerank),
-      cachedBruteTop5(spark, dir),
+  def qAnnPq(spark: SparkSession, dir: String): DataFrame =
+    recallGated(pqApprox(spark, dir), cachedBruteTop5(spark, dir),
       floor = PqRecallFloor)
+
+  /** Registered certificate form of [[qAnnPq]]. */
+  def qAnnPqCert(spark: SparkSession, dir: String): DataFrame =
+    recallCert(pqApprox(spark, dir), cachedBruteTop5(spark, dir),
+      floor = PqRecallFloor)
+
+  private def pqApprox(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val (model, codes) = cachedPqIndex(spark, dir)
+    ProductQuantization.pqTopKFromCodes(emb, codes,
+      emb.filter(col("vec_id") < 20), 5, model,
+      rerank = cachedParams(spark, dir).rerank)
   }
 
   /** Floor just under the minimum measured mean recall@5 across
@@ -435,18 +487,24 @@ object SimilarityQueries {
     * the same per-round recall measurement as its two components.
     * Probes the memoized cell-keyed code table, as a production caller
     * would probe the persisted cell-partitioned codes. */
-  def qAnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+  def qAnnIvfPq(spark: SparkSession, dir: String): DataFrame =
+    recallGated(ivfPqApprox(spark, dir), cachedBruteTop5(spark, dir),
+      floor = IvfPqRecallFloor)
+
+  /** Registered certificate form of [[qAnnIvfPq]]. */
+  def qAnnIvfPqCert(spark: SparkSession, dir: String): DataFrame =
+    recallCert(ivfPqApprox(spark, dir), cachedBruteTop5(spark, dir),
+      floor = IvfPqRecallFloor)
+
+  private def ivfPqApprox(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val q = emb.filter(col("vec_id") < 20)
     val p = cachedParams(spark, dir)
     val (model, _) = cachedPqIndex(spark, dir)
-    recallGated(
-      ProductQuantization.ivfPqTopKFromCellCodes(
-        emb, cachedIvfPqCellCodes(spark, dir), q, 5,
-        cachedQuantizer(spark, dir, p.nlist), model,
-        nprobe = p.nprobe, rerank = p.rerank),
-      cachedBruteTop5(spark, dir),
-      floor = IvfPqRecallFloor)
+    ProductQuantization.ivfPqTopKFromCellCodes(
+      emb, cachedIvfPqCellCodes(spark, dir),
+      emb.filter(col("vec_id") < 20), 5,
+      cachedQuantizer(spark, dir, p.nlist), model,
+      nprobe = p.nprobe, rerank = p.rerank)
   }
 
   /** Pair recall floor for q_semantic_dedup: measured multi-assignment
@@ -469,6 +527,28 @@ object SimilarityQueries {
     * fails — same contract as the ANN recall gates. */
   def qSemanticDedup(spark: SparkSession, dir: String): DataFrame =
     semanticDedupGated(spark, dir, SemanticRecallFloor)
+
+  /** Registered certificate form of [[qSemanticDedup]] (VERDICT r12 ask
+    * #4): computed over the UNGATED per-vector frame (floor 0 keeps
+    * every row — pair_recall ∈ [0,1]) so a recall violation flips
+    * `recall_ok` to FALSE instead of vanishing the rows. `coverage_ok`
+    * pins the partition property (one output row per corpus vector);
+    * `kept_bounded` pins 1 ≤ kept ≤ n (at least every dup relation's
+    * min-id representative survives). */
+  def qSemanticDedupCert(spark: SparkSession, dir: String): DataFrame = {
+    val rows = semanticDedupGated(spark, dir, 0.0)
+    val nVecs = Tables.embeddings(spark, dir).agg(count(lit(1)).as("n_vecs"))
+    rows
+      .agg(count(lit(1)).as("n_rows"), sum(col("kept")).as("n_kept"),
+        max(col("pair_recall")).as("pr"))
+      .crossJoin(broadcast(nVecs))
+      .select(
+        lit(math.round(SemanticRecallFloor * 100)).as("floor_pct"),
+        (col("pr") >= SemanticRecallFloor).as("recall_ok"),
+        (col("n_rows") === col("n_vecs")).as("coverage_ok"),
+        (col("n_kept") >= 1L && col("n_kept") <= col("n_rows"))
+          .as("kept_bounded"))
+  }
 
   /** Floor-parameterized body so the spec can sabotage the gate (an
     * unreachable floor must zero the result). */
@@ -594,16 +674,34 @@ object SimilarityQueries {
     "q_embedding_decontam" -> qEmbeddingDecontam _,
     "q_embedding_neardup" -> qEmbeddingNeardup _,
     "q_ann_bruteforce" -> qAnnBruteforce _,
-    "q_ann_lsh" -> qAnnLsh _,
-    "q_ann_ivf" -> qAnnIvf _,
-    "q_ann_ivf_indexed" -> qAnnIvfIndexed _,
-    "q_ann_pq" -> qAnnPq _,
-    "q_ann_ivfpq" -> qAnnIvfPq _,
-    "q_semantic_dedup" -> qSemanticDedup _,
+    // the 6 recall-gated entries are registered as their CERTIFICATE
+    // forms (constant-shape oracles → driver hash compare; VERDICT r12
+    // ask #4) — the rich per-query/per-vector surfaces remain the
+    // qAnnLsh/…/qSemanticDedup API + SimilaritySpec floor asserts, and
+    // the measured values ship per round in RECALL_r{N}.json
+    "q_ann_lsh" -> qAnnLshCert _,
+    "q_ann_ivf" -> qAnnIvfCert _,
+    "q_ann_ivf_indexed" -> qAnnIvfIndexedCert _,
+    "q_ann_pq" -> qAnnPqCert _,
+    "q_ann_ivfpq" -> qAnnIvfPqCert _,
+    "q_semantic_dedup" -> qSemanticDedupCert _,
     "q_cluster_sample" -> qClusterSample _,
   )
 
   val oracles: Map[String, String] = Map(
+    // certificate rows pinned to literals (the ML-cert precedent):
+    // n_queries is 20 at every SF (vec_id < 20 over ≥ 500-vector
+    // fixtures), floor_pct the exact integer twin of the gate floor
+    "q_ann_lsh" -> recallCertSql(LshRecallFloor),
+    "q_ann_ivf" -> recallCertSql(IvfRecallFloor),
+    "q_ann_ivf_indexed" -> recallCertSql(IvfRecallFloor),
+    "q_ann_pq" -> recallCertSql(PqRecallFloor),
+    "q_ann_ivfpq" -> recallCertSql(IvfPqRecallFloor),
+    "q_semantic_dedup" ->
+      s"""SELECT CAST(${math.round(SemanticRecallFloor * 100)} AS BIGINT)
+         |    AS floor_pct,
+         |  TRUE AS recall_ok, TRUE AS coverage_ok,
+         |  TRUE AS kept_bounded""".stripMargin,
     // sign-bit cells over 1-BASED DuckDB list indexing (embedding[1] is
     // Spark's getItem(0)); the draw order is the shared md5 salted-hash
     // idiom with the samplePerGroup salt, so the drawn SET matches

@@ -100,7 +100,7 @@ object StatQueries {
                    valCol: String): DataFrame = {
     val ev = df.filter(col(valCol).isNotNull)
       .select(col(typeCol).as("event_type"),
-        hour(timestamp_micros(expr(s"`$tsCol` div 1000"))).cast("long").as("x"),
+        hourOf(tsCol).cast("long").as("x"),
         centsOf(valCol).as("c"))
     val g = ev.groupBy("event_type").agg(
       count(lit(1)).as("n"), sum(col("x")).as("sx"),
@@ -141,7 +141,23 @@ object StatQueries {
     * n_a·n_b ~ 9·10¹⁸ (≈3·10⁹ rows per side per type); widen to
     * decimal(38,0) past it. */
   def ksTest(df: DataFrame, typeCol: String, tsCol: String, valCol: String,
-             splitDay: Int, thresholdPct: Int = 10): DataFrame = {
+             splitDay: Int, thresholdPct: Int = 10): DataFrame =
+    ksInts(df, typeCol, tsCol, valCol, splitDay, thresholdPct)
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        rnd(when(col("n_a") > 0L && col("n_b") > 0L,
+          col("dnum").cast("double") /
+            (col("n_a") * col("n_b")).cast("double")), 6).as("d_stat"),
+        col("drifted"))
+
+  /** The exact-integer core of [[ksTest]] — per group the sample sizes,
+    * the supremum numerator dnum = max|cumA·n_b − cumB·n_a| and the
+    * integer-compared drift flag, with NO double column. This is the
+    * localizing twin's surface (the q_span_dedup_rowhash playbook): a
+    * gate trip on the INTEGER twin means value drift; a trip on
+    * [[ksTest]] alone means rounding/canonicalization-surface drift. */
+  private def ksInts(df: DataFrame, typeCol: String, tsCol: String,
+                     valCol: String, splitDay: Int,
+                     thresholdPct: Int): DataFrame = {
     val day = dayOf(tsCol)
     val grid = df
       .filter(col(valCol).isNotNull)
@@ -161,16 +177,21 @@ object StatQueries {
       .groupBy("event_type")
       .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
         max(abs(col("fa") * col("nb") - col("fb") * col("na"))).as("dnum"))
-      .select(col("event_type"), col("n_a"), col("n_b"),
-        rnd(when(col("n_a") > 0L && col("n_b") > 0L,
-          col("dnum").cast("double") /
-            (col("n_a") * col("n_b")).cast("double")), 6).as("d_stat"),
+      .select(col("event_type"), col("n_a"), col("n_b"), col("dnum"),
         (lit(100L) * col("dnum") >
           lit(thresholdPct.toLong) * col("n_a") * col("n_b")).as("drifted"))
   }
 
   def qKsTest(spark: SparkSession, dir: String): DataFrame =
     ksTest(Tables.events(spark, dir), "event_type", "ts", "value", 15)
+      .orderBy("event_type")
+
+  /** Integer-only KS twin (VERDICT r12 ask #1): the exact dnum/n_a/n_b
+    * the d_stat divides, registered beside [[qKsTest]] so a future
+    * driver-gate trip discriminates value drift (twin red too) from
+    * rounding-surface drift (twin green, d_stat row red). */
+  def qKsTestDnum(spark: SparkSession, dir: String): DataFrame =
+    ksInts(Tables.events(spark, dir), "event_type", "ts", "value", 15, 10)
       .orderBy("event_type")
 
   /** CUSUM changepoint detection over per-day event counts: the
@@ -373,8 +394,7 @@ object StatQueries {
     // conditional sums per group (zero cells are o_d = 0 by
     // construction — no grid join, no re-referenced aggregate for
     // ReuseExchange to miss; the review-pass finding on the first cut)
-    val dowCol = (dayofweek(to_date(timestamp_micros(
-      expr(s"`$tsCol` div 1000")))) - lit(1)).cast("long")
+    val dowCol = (dayofweek(dayOf(tsCol)) - lit(1)).cast("long")
     val byType = df
       .select(col(typeCol).as("event_type"), dowCol.as("dow"))
       .groupBy("event_type")
@@ -464,9 +484,40 @@ object StatQueries {
     "q_roc_auc" -> qRocAuc _,
     "q_linreg_closed" -> qLinregClosed _,
     "q_ks_test" -> qKsTest _,
+    "q_ks_test_dnum" -> qKsTestDnum _,
     "q_cusum_shift" -> qCusumShift _,
     "q_gini" -> qGini _,
   )
+
+  /** Shared CTE chain of the two KS oracles ([[qKsTest]] /
+    * [[qKsTestDnum]]) up through the per-group integer frame `g` —
+    * written once so the statistic and its localizing twin cannot
+    * drift. */
+  private val KsIntsSql: String =
+    """WITH ev AS (
+      |  SELECT event_type,
+      |    CASE WHEN EXTRACT(day FROM ts) <= 15
+      |      THEN 1 ELSE 0 END AS ina,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events WHERE value IS NOT NULL),
+      |grid AS (
+      |  SELECT event_type, cents, CAST(sum(ina) AS BIGINT) AS ca,
+      |    CAST(sum(1 - ina) AS BIGINT) AS cb
+      |  FROM ev GROUP BY event_type, cents),
+      |c AS (
+      |  SELECT event_type,
+      |    sum(ca) OVER (PARTITION BY event_type ORDER BY cents
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fa,
+      |    sum(cb) OVER (PARTITION BY event_type ORDER BY cents
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fb,
+      |    sum(ca) OVER (PARTITION BY event_type) AS na,
+      |    sum(cb) OVER (PARTITION BY event_type) AS nb
+      |  FROM grid),
+      |g AS (
+      |  SELECT event_type, CAST(max(na) AS BIGINT) AS n_a,
+      |    CAST(max(nb) AS BIGINT) AS n_b,
+      |    CAST(max(abs(fa * nb - fb * na)) AS BIGINT) AS dnum
+      |  FROM c GROUP BY event_type)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // the same 21 conditional integer partials, grand moments as exact
@@ -648,7 +699,7 @@ object StatQueries {
     "q_linreg_closed" ->
       """WITH ev AS (
         |  SELECT event_type,
-        |    CAST(CAST(strftime(ts, '%H') AS INT) AS BIGINT) AS x,
+        |    CAST(EXTRACT(hour FROM ts) AS BIGINT) AS x,
         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
         |  FROM events WHERE value IS NOT NULL),
         |g AS (
@@ -678,37 +729,25 @@ object StatQueries {
         |  END AS r2
         |FROM d ORDER BY event_type""".stripMargin,
     // sup over the distinct-cents grid of the exact integer
-    // cross-difference; drifted compares integers on both engines
-    "q_ks_test" ->
-      """WITH ev AS (
-        |  SELECT event_type,
-        |    CASE WHEN CAST(strftime(ts, '%d') AS INT) <= 15
-        |      THEN 1 ELSE 0 END AS ina,
-        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
-        |  FROM events WHERE value IS NOT NULL),
-        |grid AS (
-        |  SELECT event_type, cents, CAST(sum(ina) AS BIGINT) AS ca,
-        |    CAST(sum(1 - ina) AS BIGINT) AS cb
-        |  FROM ev GROUP BY event_type, cents),
-        |c AS (
-        |  SELECT event_type,
-        |    sum(ca) OVER (PARTITION BY event_type ORDER BY cents
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fa,
-        |    sum(cb) OVER (PARTITION BY event_type ORDER BY cents
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fb,
-        |    sum(ca) OVER (PARTITION BY event_type) AS na,
-        |    sum(cb) OVER (PARTITION BY event_type) AS nb
-        |  FROM grid),
-        |g AS (
-        |  SELECT event_type, max(na) AS n_a, max(nb) AS n_b,
-        |    max(abs(fa * nb - fb * na)) AS dnum
-        |  FROM c GROUP BY event_type)
+    // cross-difference; drifted compares integers on both engines.
+    // Day extraction is EXTRACT(day FROM ts), not strftime — the one
+    // strftime in the oracle corpus was the most engine-version-fragile
+    // expression in the round-12 board's single unreproduced gate trip
+    // (VERDICT r12 ask #1)
+    "q_ks_test" -> (KsIntsSql +
+      """
         |SELECT event_type, n_a, n_b,
         |  CASE WHEN n_a > 0 AND n_b > 0 THEN
         |    floor((CAST(dnum AS DOUBLE) / CAST(n_a * n_b AS DOUBLE))
         |      * 1e6 + 0.5) / 1e6 END AS d_stat,
         |  100 * dnum > 10 * n_a * n_b AS drifted
-        |FROM g ORDER BY event_type""".stripMargin,
+        |FROM g ORDER BY event_type""".stripMargin),
+    // the localizing twin: the same integer core with no double column
+    "q_ks_test_dnum" -> (KsIntsSql +
+      """
+        |SELECT event_type, n_a, n_b, dnum,
+        |  100 * dnum > 10 * n_a * n_b AS drifted
+        |FROM g ORDER BY event_type""".stripMargin),
     // prefix-sum/running-extremum unrolling of the CUSUM recursion;
     // integer until the final /D, flags compare integers
     "q_cusum_shift" ->

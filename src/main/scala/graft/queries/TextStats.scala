@@ -755,8 +755,12 @@ object TextStats {
     * the mean quality uses the integer-micro idiom (per-row
     * micro-rounded longs summed exactly, one division at the end) so
     * the cross-engine value is order-free — the q_embedding_stats
-    * precedent. Shuffles: the fp dup-group aggregate (md5 keys,
-    * wordcount-shaped) and the 5-row language rollup. */
+    * precedent. Shuffles: the fp-partitioned dup-incidence window (md5
+    * keys, wordcount-shaped) and the 5-row language rollup. The dup
+    * flag is `count(*) over (partition by fp) >= 2` — ONE consumer of
+    * the tokenize frame (the r12 one-consumer rule; the first cut's
+    * dup-group aggregate + self-join re-ran the tokenize pipeline
+    * unless ReuseExchange happened to fire — VERDICT r12 ask #3). */
   def datasetCard(docs: DataFrame, langCol: String = "lang",
                   textCol: String = "text"): DataFrame = {
     val base = docs
@@ -769,18 +773,25 @@ object TextStats {
         fingerprint(col("text")).as("fp"),
         (col("text").rlike(EmailRe) || col("text").rlike("https?://"))
           .cast("long").as("has_pii"))
-    val dupFps = base.groupBy("fp").agg(count(lit(1)).as("c"))
-      .filter(col("c") >= 2).select(col("fp"), lit(1L).as("dup"))
-    val per = base.join(dupFps, Seq("fp"), "left")
-      .withColumn("is_dup", coalesce(col("dup"), lit(0L)))
+    val wFp = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    val per = base
+      .withColumn("is_dup",
+        (count(lit(1)).over(wFp) >= 2L).cast("long"))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_toks")).as("n_tokens"),
         rnd(sum(col("q_micro")) / lit(1e6) / count(lit(1)), 4).as("mean_quality"),
         sum(col("is_dup")).as("dup_docs"),
         sum(col("has_pii")).as("pii_docs"))
-    val tot = per.agg(sum(col("n_tokens")).as("tot"))
-    per.crossJoin(broadcast(tot))
+    // token budget total as a global window over the BOUNDED per-lang
+    // rollup (≤ |languages| rows) — a per.agg + crossJoin would make
+    // per a second consumer of the tokenize frame and re-run it
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    per
+      .withColumn("tot", sum(col("n_tokens")).over(wAll))
       .select(col("lang"), col("n_docs"), col("n_tokens"), col("mean_quality"),
         col("dup_docs"), col("pii_docs"),
         rnd(col("n_tokens") / col("tot").cast("double"), 4).as("token_share"))

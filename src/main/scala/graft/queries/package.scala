@@ -37,6 +37,15 @@ package object queries {
     to_date(timestamp_micros(expr(s"`$tsCol` div 1000")))
   }
 
+  /** Hour-of-day (0-23) of a NAMED epoch-nano column — the third member
+    * of the truncation-rule family beside [[dayOf]]/[[centsOf]] (review
+    * r12: chiSquare and linregClosed had grown hand-rolled copies of
+    * the nanos→micros conversion; the rule lives once or it drifts). */
+  def hourOf(tsCol: String): Column = {
+    import org.apache.spark.sql.functions.{expr, hour, timestamp_micros}
+    hour(timestamp_micros(expr(s"`$tsCol` div 1000")))
+  }
+
   /** Exact integer cents of a NAMED 2-dp value column — the shared
     * cent-scaling every exact-moment recipe feeds on (one definition,
     * same reason as [[dayOf]]). */

@@ -929,5 +929,10 @@ class PlanSpec extends AnyFunSuite {
     // benford's single-scan restructure: exactly ONE parquet scan
     val b = physical("q_benford")
     assert("Scan parquet".r.findAllIn(b).length == 1, b.take(2000))
+    // dataset card's one-consumer restructure (VERDICT r12 ask #3): the
+    // dup flag is a window over the tokenize frame, not an aggregate +
+    // self-join — exactly ONE scan of documents, tokenize runs once
+    val dc = physical("q_dataset_card")
+    assert("Scan parquet".r.findAllIn(dc).length == 1, dc.take(2000))
   }
 }

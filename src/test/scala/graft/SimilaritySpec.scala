@@ -130,6 +130,43 @@ class SimilaritySpec extends AnyFunSuite {
       "indexed IVF recall differs from in-memory IVF")
   }
 
+  test("ANN certificate rows: pinned shape, floors clear, sabotage flips recall_ok") {
+    import queries.SimilarityQueries
+    import queries.SimilarityQueries._
+    val certs = Seq(
+      ("lsh", qAnnLshCert(spark, TestSpark.Sf), LshRecallFloor),
+      ("ivf", qAnnIvfCert(spark, TestSpark.Sf), IvfRecallFloor),
+      ("ivf_indexed", qAnnIvfIndexedCert(spark, TestSpark.Sf), IvfRecallFloor),
+      ("pq", qAnnPqCert(spark, TestSpark.Sf), PqRecallFloor),
+      ("ivfpq", qAnnIvfPqCert(spark, TestSpark.Sf), IvfPqRecallFloor))
+    certs.foreach { case (name, df, floor) =>
+      val r = df.collect()
+      assert(r.length == 1, s"$name cert must be one row")
+      assert(r(0).getLong(0) == 20L, s"$name n_queries ${r(0).getLong(0)}")
+      assert(r(0).getLong(1) == math.round(floor * 100), s"$name floor_pct")
+      assert(r(0).getBoolean(2), s"$name recall_ok is FALSE")
+    }
+    // a violated floor must flip the boolean (driver red), never vanish
+    // the certificate row — the whole point of the cert vs the gate
+    val exact = Seq((1L, 2L), (1L, 3L)).toDF("query_id", "neighbor_id")
+    val approx = Seq((1L, 2L)).toDF("query_id", "neighbor_id")
+    val bad = SimilarityQueries.recallCert(approx, exact, 0.9).collect()
+    assert(bad.length == 1 && !bad(0).getBoolean(2), "sabotaged cert must be FALSE")
+    val good = SimilarityQueries.recallCert(approx, exact, 0.4).collect()
+    assert(good.length == 1 && good(0).getBoolean(2))
+  }
+
+  test("semantic dedup certificate: one all-true row at the registered floor") {
+    import queries.SimilarityQueries
+    val r = SimilarityQueries.qSemanticDedupCert(spark, TestSpark.Sf).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(0) ==
+      math.round(SimilarityQueries.SemanticRecallFloor * 100))
+    assert(r(0).getBoolean(1), "recall_ok FALSE")
+    assert(r(0).getBoolean(2), "coverage_ok FALSE")
+    assert(r(0).getBoolean(3), "kept_bounded FALSE")
+  }
+
   test("balanced quantizer bounds the max cell fraction on a skewed corpus") {
     import org.apache.spark.ml.functions.array_to_vector
     // adversarial skew: 900 vectors in one dense blob (small internal

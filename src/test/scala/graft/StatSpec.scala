@@ -64,6 +64,22 @@ class StatSpec extends AnyFunSuite {
     assert(r(1).getDouble(3) == 0.0 && !r(1).getBoolean(4))
   }
 
+  test("qKsTestDnum: the integer twin carries the exact d_stat numerator") {
+    val ks = StatQueries.qKsTest(spark, TestSpark.Sf).collect()
+    val tw = StatQueries.qKsTestDnum(spark, TestSpark.Sf).collect()
+    assert(ks.length == tw.length && ks.nonEmpty)
+    ks.zip(tw).foreach { case (a, b) =>
+      assert(a.getString(0) == b.getString(0))
+      assert(a.getLong(1) == b.getLong(1) && a.getLong(2) == b.getLong(2))
+      // d_stat is EXACTLY rnd(dnum / (n_a*n_b), 6) of the twin's integers
+      val want = math.floor(
+        b.getLong(3).toDouble / (b.getLong(1) * b.getLong(2)).toDouble * 1e6
+          + 0.5) / 1e6
+      assert(a.getDouble(3) == want, s"${a.getString(0)}: ${a.getDouble(3)} != $want")
+      assert(a.getBoolean(4) == b.getBoolean(4))
+    }
+  }
+
   test("cusumShift: prefix/running-extremum unrolling matches the recursion by hand") {
     // daily counts [1,1,1,1,6]: T=10, D=5, P = [-5,-10,-15,-20,0]
     // S_up = [0,0,0,0,20] -> cusum_up = [0,0,0,0,4], flag only day 5
@@ -138,6 +154,17 @@ class StatSpec extends AnyFunSuite {
       .as[(java.sql.Date, String, Long)].collect().toSeq
       .sortBy(r => (r._1.toString, r._2))
     assert(got == want)
+  }
+
+  test("EventTypes pins the fixture's distinct event_type set (pivot coverage)") {
+    // the q_unpivot/q_pivot oracles aggregate every event_type present
+    // while the Spark side pivots over the explicit EventTypes list — a
+    // new fixture type would drop rows on the Spark side only, so the
+    // coupling must fail HERE first (ADVICE r12)
+    val got = Tables.events(spark, TestSpark.Sf)
+      .select("event_type").distinct().as[String].collect().toSeq.sorted
+    assert(got == graft.queries.ScalarQueries.EventTypes.sorted,
+      s"fixture event types $got != pivot list ${graft.queries.ScalarQueries.EventTypes}")
   }
 
   test("frame-generic operators honor a tsCol not named 'ts' (review regression)") {
