@@ -265,6 +265,20 @@ case class ResolveGraftOp(spark: org.apache.spark.sql.SparkSession)
           graft.queries.StatQueries.cusumShift(dfs(0), str(0), str(1))
         case "gini" => // (typeCol, userCol)
           graft.queries.StatQueries.giniConcentration(dfs(0), str(0), str(1))
+        case "spearman" => // (typeCol, tsCol, valCol)
+          graft.queries.StatQueries.spearman(dfs(0), str(0), str(1), str(2))
+        case "mann_kendall" => // (typeCol, tsCol)
+          graft.queries.StatQueries.mannKendall(dfs(0), str(0), str(1))
+        case "jsd_drift" => // (typeCol, tsCol, valCol, splitDay)
+          graft.queries.TrainingDataQueries.jsdDrift(
+            dfs(0), str(0), str(1), str(2), lng(3).toInt)
+        case "mode_value" => // (typeCol, valCol)
+          graft.queries.ScalarQueries.modeValue(dfs(0), str(0), str(1))
+        case "temperature_mix" => // (langCol, textCol)
+          graft.queries.TrainingDataQueries.temperatureMix(
+            dfs(0), str(0), str(1))
+        case "curriculum" => // (textCol)
+          graft.queries.TextStats.curriculum(dfs(0), str(0))
         case "bpe_pairs" => // (idCol, textCol, k)
           graft.queries.TextStats.bpePairs(
             dfs(0), str(0), str(1), lng(2).toInt)
@@ -515,7 +529,13 @@ object GraftFunctions {
       ("seasonality_strength(table, typeCol, tsCol, valCol)", 3),
     "embedding_quantize" -> ("embedding_quantize(table, idCol, vecCol)", 2),
     "cohort_ltv" -> ("cohort_ltv(table, userCol, tsCol, valCol)", 3),
-    "ngram_novelty" -> ("ngram_novelty(table, idCol, textCol, n)", 3))
+    "ngram_novelty" -> ("ngram_novelty(table, idCol, textCol, n)", 3),
+    "spearman" -> ("spearman(table, typeCol, tsCol, valCol)", 3),
+    "mann_kendall" -> ("mann_kendall(table, typeCol, tsCol)", 2),
+    "jsd_drift" -> ("jsd_drift(table, typeCol, tsCol, valCol, splitDay)", 4),
+    "mode_value" -> ("mode_value(table, typeCol, valCol)", 2),
+    "temperature_mix" -> ("temperature_mix(table, langCol, textCol)", 2),
+    "curriculum" -> ("curriculum(table, textCol)", 1))
 
   /** Two-table composed-operator TVF registry: name → (usage, scalar
     * arg count AFTER the two table arguments). */

@@ -726,7 +726,38 @@ object ScalarQueries {
       "event_id", QuantileK)
       .orderBy("event_type", "bucket")
 
+  /** Modal value per group (count-desc, value-asc tiebreak) with its
+    * share of the group — the A-family member the percentile/histogram
+    * pair lacked (quantiles say where the mass SITS; the mode says
+    * where it PILES). Values are exact integer cents so the mode is
+    * tie-deterministic; the plan is the histogram shape (value-
+    * resolution-bounded grid) plus one row_number cut and one window
+    * total over the same bounded grid — the fact table is scanned
+    * once. */
+  def modeValue(df: DataFrame, typeCol: String, valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grid = df.filter(col(valCol).isNotNull)
+      .select(col(typeCol).as("event_type"), centsOf(valCol).as("cents"))
+      .groupBy("event_type", "cents").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy(desc("n"), col("cents"))
+    val wAll = Window.partitionBy("event_type")
+    grid
+      .withColumn("n_total", sum(col("n")).over(wAll))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("event_type"),
+        (col("cents").cast("double") / 100.0).as("mode_value"),
+        col("n").as("n_mode"), col("n_total"),
+        rnd(col("n").cast("double") / col("n_total").cast("double"), 4)
+          .as("share"))
+  }
+
+  def qMode(spark: SparkSession, dir: String): DataFrame =
+    modeValue(Tables.events(spark, dir), "event_type", "value")
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mode" -> qMode _,
     "q_bootstrap_ci" -> qBootstrapCi _,
     "q_minhash_partials" -> qMinhashPartials _,
     "q_hhi_concentration" -> qHhiConcentration _,
@@ -779,6 +810,26 @@ object ScalarQueries {
       .orderBy("c_custkey")
 
   val oracles: Map[String, String] = Map(
+    // the histogram grid + a deterministic (count desc, cents) cut;
+    // the group total is a window over the same bounded grid
+    "q_mode" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (
+        |  SELECT event_type, cents, CAST(count(*) AS BIGINT) AS n
+        |  FROM ev GROUP BY event_type, cents),
+        |r AS (
+        |  SELECT event_type, cents, n,
+        |    CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS n_total,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY n DESC, cents) AS rk
+        |  FROM g)
+        |SELECT event_type, CAST(cents AS DOUBLE) / 100.0 AS mode_value,
+        |  n AS n_mode, n_total,
+        |  floor((CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE)) * 1e4 + 0.5)
+        |    / 1e4 AS share
+        |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin,
     // both the index and its inverse are exact integer-count rationals
     // in mirrored fixed-order double divisions
     "q_hhi_concentration" ->

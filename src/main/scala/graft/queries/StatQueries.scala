@@ -476,6 +476,108 @@ object StatQueries {
       "value")
       .orderBy("event_type")
 
+  /** Spearman rank correlation per group between hour-of-day and the
+    * cent-scaled value — the monotone-association complement of
+    * [[linregClosed]] (OLS asks "is the hourly trend linear"; Spearman
+    * asks "is it monotone at all", robust to outliers and any monotone
+    * warp). Tie handling is the textbook average-rank convention, held
+    * EXACT by the [[rocAuc]] identity 2·avgRank = 2·rank + ties − 1 —
+    * both variables become exact integer 2r columns, and Pearson over
+    * them (shift/scale-invariant, so ρ(2rx, 2ry) = ρ(rx, ry)) is the
+    * [[autocorr]] six-integer-sum fold with one sqrt at the end.
+    * Degenerate groups (all x or all y tied) are NULL.
+    *
+    * Scale: two rank windows partitioned by GROUP — bounded by group
+    * volume (chunk-stitch per q_pagination_chunked for a monster
+    * group); the moment fold is map-side-combinable. Long-exactness:
+    * Σ(2rx·2ry) ≤ 4n³ keeps BIGINT exact to ~1.3·10⁶ rows/group; widen
+    * to decimal(38,0) past it (PartialAgg's prescription). */
+  def spearman(df: DataFrame, typeCol: String, tsCol: String,
+               valCol: String): DataFrame = {
+    val ev = df.filter(col(valCol).isNotNull)
+      .select(col(typeCol).as("event_type"),
+        hourOf(tsCol).cast("long").as("x"),
+        centsOf(valCol).as("c"))
+    val wx = Window.partitionBy("event_type").orderBy("x")
+    val wxT = Window.partitionBy("event_type", "x")
+    val wy = Window.partitionBy("event_type").orderBy("c")
+    val wyT = Window.partitionBy("event_type", "c")
+    val ranked = ev
+      .withColumn("rx2", lit(2L) * rank().over(wx).cast("long") +
+        count(lit(1)).over(wxT) - lit(1L))
+      .withColumn("ry2", lit(2L) * rank().over(wy).cast("long") +
+        count(lit(1)).over(wyT) - lit(1L))
+    val g = ranked.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(col("rx2")).as("sx"), sum(col("ry2")).as("sy"),
+      sum(col("rx2") * col("ry2")).as("sxy"),
+      sum(col("rx2") * col("rx2")).as("sxx"),
+      sum(col("ry2") * col("ry2")).as("syy"))
+    def d(s: String) = col(s).cast("double")
+    val varX = d("n") * d("sxx") - d("sx") * d("sx")
+    val varY = d("n") * d("syy") - d("sy") * d("sy")
+    g.select(col("event_type"), col("n"),
+      rnd(when(varX > 0.0 && varY > 0.0,
+        (d("n") * d("sxy") - d("sx") * d("sy")) /
+          sqrt(varX * varY)), 6).as("rho"))
+  }
+
+  def qSpearman(spark: SparkSession, dir: String): DataFrame =
+    spearman(Tables.events(spark, dir), "event_type", "ts", "value")
+      .orderBy("event_type")
+
+  /** Mann–Kendall trend test per group over daily event counts — the
+    * nonparametric "is there a monotone trend" screen run before
+    * fitting any slope: S = Σ_{i<j} sign(x_j − x_i) over day pairs in
+    * time order, variance with the tie correction
+    * 18·Var = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5), z the continuity-
+    * corrected normal statistic. S and 18·Var are EXACT integers; z is
+    * one fixed-order double expression, and `trending` compares the
+    * ROUNDED z against 1.96 (the chi-square flag discipline).
+    *
+    * Scale: everything happens at the DAY grain — the pair self-join
+    * and the tie rollup consume the IDENTICAL bounded daily aggregate
+    * (≤ groups × days rows; exchange-reused, asserted in PlanSpec), so
+    * the one full-data pass is the daily rollup itself. The pair count
+    * is (#days choose 2) per group — metadata scale no matter the row
+    * count. */
+  def mannKendall(df: DataFrame, typeCol: String, tsCol: String): DataFrame = {
+    val daily = df
+      .select(col(typeCol).as("event_type"), dayOf(tsCol).as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("x"))
+    val a = daily.select(col("event_type"), col("day").as("d1"),
+      col("x").as("x1"))
+    val b = daily.select(col("event_type"), col("day").as("d2"),
+      col("x").as("x2"))
+    val s = a.join(b, Seq("event_type"))
+      .filter(col("d1") < col("d2"))
+      .groupBy("event_type")
+      .agg(sum(signum(col("x2") - col("x1")).cast("long")).as("s"))
+    // tie groups of equal daily counts: Σ t(t−1)(2t+5) per group
+    val ties = daily.groupBy("event_type", "x")
+      .agg(count(lit(1)).as("t"))
+      .groupBy("event_type")
+      .agg(sum(col("t")).as("n_days"),
+        sum(col("t") * (col("t") - lit(1L)) *
+          (lit(2L) * col("t") + lit(5L))).as("tie18"))
+    // ties is the spine (a single-day group has NO pair rows): s
+    // coalesces to 0 so the group still reports, with z NULL via var18
+    val j = ties.join(s, Seq("event_type"), "left")
+      .withColumn("s", coalesce(col("s"), lit(0L)))
+    val n = col("n_days")
+    val var18 = n * (n - lit(1L)) * (lit(2L) * n + lit(5L)) - col("tie18")
+    val zRaw = (col("s").cast("double") -
+      signum(col("s")).cast("double")) /
+      sqrt(var18.cast("double") / 18.0)
+    val z = rnd(when(var18 > 0L, zRaw), 4)
+    j.select(col("event_type"), col("n_days"), col("s"), z.as("z"),
+      (abs(z) > 1.96).as("trending"))
+  }
+
+  def qMannKendall(spark: SparkSession, dir: String): DataFrame =
+    mannKendall(Tables.events(spark, dir), "event_type", "ts")
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_seasonality_strength" -> qSeasonalityStrength _,
     "q_chi_square" -> qChiSquare _,
@@ -487,6 +589,8 @@ object StatQueries {
     "q_ks_test_dnum" -> qKsTestDnum _,
     "q_cusum_shift" -> qCusumShift _,
     "q_gini" -> qGini _,
+    "q_spearman" -> qSpearman _,
+    "q_mann_kendall" -> qMannKendall _,
   )
 
   /** Shared CTE chain of the two KS oracles ([[qKsTest]] /
@@ -782,6 +886,77 @@ object StatQueries {
         |  5 * s_up > t AS shift_up,
         |  5 * s_dn > t AS shift_dn
         |FROM s ORDER BY event_type, day""".stripMargin,
+    // both rank vectors as exact integer 2r columns (the q_roc_auc
+    // identity), Pearson over them as the autocorr six-sum fold
+    "q_spearman" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    CAST(EXTRACT(hour FROM ts) AS BIGINT) AS x,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT event_type,
+        |    2 * rank() OVER (PARTITION BY event_type ORDER BY x)
+        |      + count(*) OVER (PARTITION BY event_type, x) - 1 AS rx2,
+        |    2 * rank() OVER (PARTITION BY event_type ORDER BY c)
+        |      + count(*) OVER (PARTITION BY event_type, c) - 1 AS ry2
+        |  FROM ev),
+        |g AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(rx2) AS BIGINT) AS sx, CAST(sum(ry2) AS BIGINT) AS sy,
+        |    CAST(sum(rx2 * ry2) AS BIGINT) AS sxy,
+        |    CAST(sum(rx2 * rx2) AS BIGINT) AS sxx,
+        |    CAST(sum(ry2 * ry2) AS BIGINT) AS syy
+        |  FROM r GROUP BY event_type),
+        |d AS (
+        |  SELECT event_type, n,
+        |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS covnum,
+        |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varx,
+        |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vary
+        |  FROM g)
+        |SELECT event_type, n,
+        |  CASE WHEN varx > 0.0 AND vary > 0.0 THEN
+        |    floor((covnum / sqrt(varx * vary)) * 1e6 + 0.5) / 1e6 END AS rho
+        |FROM d ORDER BY event_type""".stripMargin,
+    // S and 18·Var as exact integers off the shared daily rollup; z one
+    // mirrored fixed-order double; trending compares the ROUNDED z.
+    // DuckDB sign() returns TINYINT — CAST to DOUBLE in mirrored order
+    "q_mann_kendall" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+        |s AS (
+        |  SELECT a.event_type,
+        |    CAST(sum(CAST(sign(b.x - a.x) AS BIGINT)) AS BIGINT) AS s
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.day < b.day
+        |  GROUP BY a.event_type),
+        |t AS (
+        |  SELECT event_type, x, CAST(count(*) AS BIGINT) AS t
+        |  FROM daily GROUP BY event_type, x),
+        |v AS (
+        |  SELECT event_type, CAST(sum(t) AS BIGINT) AS n_days,
+        |    CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie18
+        |  FROM t GROUP BY event_type),
+        |j AS (
+        |  SELECT v.event_type, v.n_days,
+        |    coalesce(s.s, CAST(0 AS BIGINT)) AS s,
+        |    v.n_days * (v.n_days - 1) * (2 * v.n_days + 5) - v.tie18 AS var18
+        |  FROM v LEFT JOIN s ON v.event_type = s.event_type),
+        |z AS (
+        |  SELECT event_type, n_days, s,
+        |    CASE WHEN var18 > 0 THEN
+        |      floor(((CAST(s AS DOUBLE) - CAST(sign(s) AS DOUBLE))
+        |        / sqrt(CAST(var18 AS DOUBLE) / 18.0)) * 1e4 + 0.5) / 1e4
+        |    END AS z
+        |  FROM j)
+        |SELECT event_type, n_days, s, z,
+        |  abs(z) > CAST(1.96 AS DOUBLE) AS trending
+        |FROM z ORDER BY event_type""".stripMargin,
     // ascending-rank Gini as one integer rational per group (tie order
     // provably cancels)
     "q_gini" ->

@@ -615,6 +615,33 @@ import TextStats._
          |SELECT lang, n_docs, n_tokens, mean_quality, dup_docs, pii_docs,
          |  floor((n_tokens / CAST(tot AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS token_share
          |FROM per, tot ORDER BY lang""".stripMargin,
+    // fixed quarter-width quality bands (min(3, floor(q·4)) via the
+    // micro-long), dataset-card micro idioms for the mean and share
+    "q_curriculum" ->
+      s"""WITH base AS (
+         |  SELECT CAST(len($TOKS) AS BIGINT) AS n_toks,
+         |    CAST(floor(($QualitySql) * 1e6 + 0.5) AS BIGINT) AS q_micro
+         |  FROM documents),
+         |b AS (
+         |  SELECT least(CAST(3 AS BIGINT),
+         |      CAST(floor(CAST(q_micro AS DOUBLE) / 250000.0) AS BIGINT))
+         |      AS band,
+         |    n_toks, q_micro
+         |  FROM base),
+         |per AS (
+         |  SELECT band, count(*) AS n_docs,
+         |    CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         |    floor((CAST(sum(q_micro) AS BIGINT) / 1e6 / count(*))
+         |      * 1e4 + 0.5) / 1e4 AS mean_quality
+         |  FROM b GROUP BY band),
+         |w AS (
+         |  SELECT band, n_docs, n_tokens, mean_quality,
+         |    CAST(sum(n_tokens) OVER () AS BIGINT) AS tot
+         |  FROM per)
+         |SELECT band, n_docs, n_tokens, mean_quality,
+         |  floor((n_tokens / CAST(tot AS DOUBLE)) * 1e4 + 0.5) / 1e4
+         |    AS token_share
+         |FROM w ORDER BY band""".stripMargin,
     // the simhash brute-force pair twin (q_simhash_neardup's oracle)
     // with unordered source attribution
     "q_source_overlap" ->

@@ -800,6 +800,43 @@ object TextStats {
   def qDatasetCard(spark: SparkSession, dir: String): DataFrame =
     datasetCard(Tables.documents(spark, dir)).orderBy("lang")
 
+  /** Curriculum report over FIXED quality bands — the table a staged
+    * training run is ordered by (low-quality bands early / dropped,
+    * high-quality bands late, or vice versa): per quarter-width band of
+    * the composite quality score, document and token counts, the exact
+    * mean quality (integer-micro idiom) and each band's token-budget
+    * share. Bands are fixed SCORE thresholds (band = min(3, ⌊q·4⌋)),
+    * NOT quantiles — a quantile curriculum (ntile) needs a global sort
+    * that the q_diff_global hazard forbids at scale, while fixed bands
+    * are a map-side expression; the share total is a window over the
+    * 4-row band grid (one scan, one consumer). */
+  def curriculum(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val base = docs
+      .select(col(textCol).as("text"))
+      .select(col("text"), tokens(col("text")).as("ts"))
+      .select(size(col("ts")).cast("long").as("n_toks"),
+        floor(qualityScoreOf(col("text"), col("ts")) * 1e6 + 0.5)
+          .cast("long").as("q_micro"))
+    val per = base
+      .select(least(lit(3L),
+          floor(col("q_micro").cast("double") / 250000.0).cast("long"))
+          .as("band"),
+        col("n_toks"), col("q_micro"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+        rnd(sum(col("q_micro")) / lit(1e6) / count(lit(1)), 4)
+          .as("mean_quality"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    per
+      .withColumn("tot", sum(col("n_tokens")).over(wAll))
+      .select(col("band"), col("n_docs"), col("n_tokens"),
+        col("mean_quality"),
+        rnd(col("n_tokens") / col("tot").cast("double"), 4).as("token_share"))
+  }
+
+  def qCurriculum(spark: SparkSession, dir: String): DataFrame =
+    curriculum(Tables.documents(spark, dir)).orderBy("band")
+
   /** Cross-source overlap matrix — how much does source A mirror
     * source B: SimHash near-dup pairs (Hamming ≤ 3, the banded exact
     * candidate contract — EXACT fingerprints are too strict below
@@ -1003,6 +1040,7 @@ object TextStats {
     "q_bm25" -> qBm25 _,
     "q_bigram_logprob" -> qBigramLogprob _,
     "q_dataset_card" -> qDatasetCard _,
+    "q_curriculum" -> qCurriculum _,
     "q_source_overlap" -> qSourceOverlap _,
     "q_text_stats" -> qTextStats _,
     "q_text_quality" -> qTextQuality _,

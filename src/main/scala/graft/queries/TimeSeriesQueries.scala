@@ -1268,8 +1268,8 @@ object TimeSeriesQueries {
     "q_seasonal_baseline" ->
       s"""WITH ev AS (
         |  SELECT event_type, value,
-        |    CAST(strftime(ts, '%w') AS INT) + 1 AS dow,
-        |    CAST(strftime(ts, '%H') AS INT) AS hod,
+        |    CAST(dayofweek(ts) AS INT) + 1 AS dow,
+        |    CAST(EXTRACT(hour FROM ts) AS INT) AS hod,
         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
         |  FROM events),
         |grid AS (

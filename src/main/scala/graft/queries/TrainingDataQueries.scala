@@ -482,6 +482,69 @@ object TrainingDataQueries {
     psiDrift(Tables.events(spark, dir), "event_type", "ts", "value", 15)
       .orderBy("event_type")
 
+  /** Jensen–Shannon divergence per group between the month's halves
+    * over the same [[PsiBins]] equal-width bins as [[psiDrift]] — the
+    * bounded symmetric drift measure (0 ≤ JSD ≤ ln 2) a mixture monitor
+    * alarms on when PSI's unbounded scale is too twitchy: JSD =
+    * ½Σ pa·ln(pa/m) + ½Σ pb·ln(pb/m), m the midpoint, with the same
+    * Laplace smoothing so every log is finite.
+    *
+    * Cross-engine discipline: the 10 per-bin float terms fold in a
+    * FIXED left-associated conditional-max expression (the chi-square
+    * recipe), never an order-free sum(); `drifted` compares the
+    * ROUNDED statistic. Scale shape: identical to [[psiDrift]] — one
+    * fact-grain binning pass onto the (groups × bins) grid, everything
+    * after is metadata-scale. */
+  def jsdDrift(df: DataFrame, typeCol: String, tsCol: String,
+               valCol: String, splitDay: Int): DataFrame = {
+    val ev = df
+      .select(col(typeCol).as("event_type"), col(valCol).as("value"),
+        when(dayofmonth(dayOf(tsCol)) <= splitDay, "a").otherwise("b")
+          .as("period"))
+    val mm = ev.agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
+    val binned = ev.crossJoin(broadcast(mm))
+      .select(col("event_type"), col("period"),
+        when(col("mx") === col("mn"), lit(0))
+          .otherwise(least(lit(PsiBins - 1),
+            floor((col("value") - col("mn")) /
+              ((col("mx") - col("mn")) / lit(PsiBins.toDouble))).cast("int")))
+          .as("bin"))
+    val cells = binned.groupBy("event_type", "bin")
+      .agg(sum(when(col("period") === "a", 1L).otherwise(0L)).as("na"),
+        sum(when(col("period") === "b", 1L).otherwise(0L)).as("nb"))
+    val spine = ev.select("event_type").distinct()
+      .select(col("event_type"),
+        explode(sequence(lit(0), lit(PsiBins - 1))).as("bin"))
+    val full = spine.join(cells, Seq("event_type", "bin"), "left")
+      .select(col("event_type"), col("bin"),
+        coalesce(col("na"), lit(0L)).as("na"),
+        coalesce(col("nb"), lit(0L)).as("nb"))
+    val tots = full.groupBy("event_type")
+      .agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+    val terms = full.join(broadcast(tots), "event_type")
+      .withColumn("pa", (col("na") + 1.0) / (col("ta") + lit(PsiBins.toDouble)))
+      .withColumn("pb", (col("nb") + 1.0) / (col("tb") + lit(PsiBins.toDouble)))
+      .withColumn("m", (col("pa") + col("pb")) / 2.0)
+      .withColumn("term",
+        lit(0.5) * col("pa") * log(col("pa") / col("m")) +
+          lit(0.5) * col("pb") * log(col("pb") / col("m")))
+    val byBin = terms.groupBy("event_type")
+      .agg(max(col("ta")).as("n_first_half"),
+        (max(col("tb")).as("n_second_half") +:
+          (0 until PsiBins).map(b =>
+            max(when(col("bin") === b, col("term"))).as(s"t$b"))): _*)
+    val fold = (0 until PsiBins).map(b => coalesce(col(s"t$b"), lit(0.0)))
+      .reduceLeft(_ + _)
+    byBin
+      .select(col("event_type"), col("n_first_half"), col("n_second_half"),
+        rnd(fold, 6).as("jsd"))
+      .withColumn("drifted", col("jsd") > 0.1)
+  }
+
+  def qJsdDrift(spark: SparkSession, dir: String): DataFrame =
+    jsdDrift(Tables.events(spark, dir), "event_type", "ts", "value", 15)
+      .orderBy("event_type")
+
   /** Welch's two-sample t-test per event_type between the month's
     * halves — the significance complement of [[psiDrift]] (PSI says how
     * much the distribution moved; the t-test says whether the MEAN
@@ -592,7 +655,42 @@ object TrainingDataQueries {
       .orderBy("event_type")
   }
 
+  /** Temperature-weighted language mixture (α = 0.5): the standard
+    * low-resource-upweighting rule weight ∝ share^α, at the one α whose
+    * power is IEEE-exact on BOTH engines (x^0.5 = sqrt, correctly
+    * rounded by spec — an arbitrary pow() is not a cross-engine-safe
+    * primitive). The weights are micro-rounded to exact longs
+    * (the q_embedding_stats integer-micro idiom) so the normalizing sum
+    * is order-free, and each share is ONE division at the end.
+    *
+    * Scale shape: one tokenize pass onto the |languages|-row grid; the
+    * two totals are windows over that bounded grid (never a second
+    * scan — the datasetCard one-consumer lesson). */
+  def temperatureMix(docs: DataFrame, langCol: String = "lang",
+                     textCol: String = "text"): DataFrame = {
+    import graft.functions.TextFunctions.tokenCount
+    val per = docs
+      .select(col(langCol).as("lang"), tokenCount(col(textCol)).as("n_toks"))
+      .groupBy("lang").agg(sum(col("n_toks")).cast("long").as("n_tokens"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    per
+      .withColumn("w_micro",
+        floor(sqrt(col("n_tokens").cast("double")) * 1e6 + 0.5).cast("long"))
+      .withColumn("tot_tokens", sum(col("n_tokens")).over(wAll))
+      .withColumn("tot_w", sum(col("w_micro")).over(wAll))
+      .select(col("lang"), col("n_tokens"),
+        rnd(col("n_tokens").cast("double") / col("tot_tokens").cast("double"),
+          6).as("raw_share"),
+        rnd(col("w_micro").cast("double") / col("tot_w").cast("double"),
+          6).as("temp_share"))
+  }
+
+  def qTemperatureMix(spark: SparkSession, dir: String): DataFrame =
+    temperatureMix(Tables.documents(spark, dir)).orderBy("lang")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_jsd_drift" -> qJsdDrift _,
+    "q_temperature_mix" -> qTemperatureMix _,
     "q_k_anonymity" -> qKAnonymity _,
     "q_dp_counts" -> qDpCounts _,
     "q_psi_drift" -> qPsiDrift _,
@@ -667,10 +765,92 @@ object TrainingDataQueries {
     // terms); counts CAST to DOUBLE before the +1.0 so DuckDB stays in
     // IEEE arithmetic instead of DECIMAL; drifted compares the ROUNDED
     // psi on both sides
+    // same binning CTEs as q_psi_drift; the 10 per-bin terms fold in
+    // the SAME fixed left-associated coalesce chain as the Spark side
+    // (chi-square recipe), drifted compares the ROUNDED statistic
+    "q_jsd_drift" -> {
+      val termSel = (0 until PsiBins).map(b =>
+        s"max(CASE WHEN bin = $b THEN term END) AS t$b").mkString(",\n    ")
+      val fold = (0 until PsiBins).map(b => s"coalesce(t$b, CAST(0.0 AS DOUBLE))")
+        .mkString(" + ")
+      s"""WITH ev AS (
+         |  SELECT event_type, value,
+         |    CASE WHEN EXTRACT(day FROM ts) <= 15
+         |      THEN 'a' ELSE 'b' END AS period
+         |  FROM events),
+         |mm AS (SELECT min(value) AS mn, max(value) AS mx FROM ev),
+         |binned AS (
+         |  SELECT event_type, period,
+         |    CASE WHEN mx = mn THEN 0
+         |      ELSE least($PsiBins - 1, CAST(floor((value - mn)
+         |        / ((mx - mn) / ${PsiBins}.0)) AS INT)) END AS bin
+         |  FROM ev CROSS JOIN mm),
+         |cells AS (
+         |  SELECT event_type, bin,
+         |    sum(CASE WHEN period = 'a' THEN 1 ELSE 0 END) AS na,
+         |    sum(CASE WHEN period = 'b' THEN 1 ELSE 0 END) AS nb
+         |  FROM binned GROUP BY event_type, bin),
+         |spine AS (
+         |  SELECT event_type, unnest(generate_series(0, $PsiBins - 1)) AS bin
+         |  FROM (SELECT DISTINCT event_type FROM ev)),
+         |full_ AS (
+         |  SELECT spine.event_type, spine.bin,
+         |    CAST(coalesce(cells.na, 0) AS BIGINT) AS na,
+         |    CAST(coalesce(cells.nb, 0) AS BIGINT) AS nb
+         |  FROM spine LEFT JOIN cells
+         |    ON spine.event_type = cells.event_type AND spine.bin = cells.bin),
+         |tots AS (
+         |  SELECT event_type, CAST(sum(na) AS BIGINT) AS ta,
+         |    CAST(sum(nb) AS BIGINT) AS tb
+         |  FROM full_ GROUP BY event_type),
+         |probs AS (
+         |  SELECT f.event_type, f.bin, t.ta, t.tb,
+         |    ((CAST(f.na AS DOUBLE) + 1.0)
+         |      / (CAST(t.ta AS DOUBLE) + ${PsiBins}.0)) AS pa,
+         |    ((CAST(f.nb AS DOUBLE) + 1.0)
+         |      / (CAST(t.tb AS DOUBLE) + ${PsiBins}.0)) AS pb
+         |  FROM full_ f JOIN tots t ON f.event_type = t.event_type),
+         |terms AS (
+         |  SELECT event_type, bin, ta, tb,
+         |    0.5 * pa * ln(pa / ((pa + pb) / 2.0))
+         |      + 0.5 * pb * ln(pb / ((pa + pb) / 2.0)) AS term
+         |  FROM probs),
+         |agg AS (
+         |  SELECT event_type, max(ta) AS n_first_half,
+         |    max(tb) AS n_second_half,
+         |    $termSel
+         |  FROM terms GROUP BY event_type)
+         |SELECT event_type, n_first_half, n_second_half,
+         |  floor(($fold) * 1e6 + 0.5) / 1e6 AS jsd,
+         |  floor(($fold) * 1e6 + 0.5) / 1e6 > 0.1 AS drifted
+         |FROM agg ORDER BY event_type""".stripMargin
+    },
+    // sqrt (the one IEEE-exact power) on exact token counts,
+    // micro-rounded to longs so the normalizing sums are order-free
+    "q_temperature_mix" ->
+      s"""WITH per AS (
+         |  SELECT lang, CAST(sum($MixTokSql) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY lang),
+         |w AS (
+         |  SELECT lang, n_tokens,
+         |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+         |      AS w_micro,
+         |    CAST(sum(n_tokens) OVER () AS BIGINT) AS tot_tokens
+         |  FROM per),
+         |w2 AS (
+         |  SELECT lang, n_tokens, w_micro, tot_tokens,
+         |    CAST(sum(w_micro) OVER () AS BIGINT) AS tot_w
+         |  FROM w)
+         |SELECT lang, n_tokens,
+         |  floor((CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE))
+         |    * 1e6 + 0.5) / 1e6 AS raw_share,
+         |  floor((CAST(w_micro AS DOUBLE) / CAST(tot_w AS DOUBLE))
+         |    * 1e6 + 0.5) / 1e6 AS temp_share
+         |FROM w2 ORDER BY lang""".stripMargin,
     "q_psi_drift" ->
       s"""WITH ev AS (
          |  SELECT event_type, value,
-         |    CASE WHEN CAST(strftime(ts, '%d') AS INT) <= 15
+         |    CASE WHEN EXTRACT(day FROM ts) <= 15
          |      THEN 'a' ELSE 'b' END AS period
          |  FROM events),
          |mm AS (SELECT min(value) AS mn, max(value) AS mx FROM ev),
@@ -718,7 +898,7 @@ object TrainingDataQueries {
     "q_ab_test" ->
       s"""WITH ev AS (
          |  SELECT event_type,
-         |    CASE WHEN CAST(strftime(ts, '%d') AS INT) <= 15
+         |    CASE WHEN EXTRACT(day FROM ts) <= 15
          |      THEN 'a' ELSE 'b' END AS period,
          |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
          |  FROM events),

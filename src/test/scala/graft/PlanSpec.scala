@@ -621,6 +621,26 @@ class PlanSpec extends AnyFunSuite {
       pair("SELECT * FROM ngram_novelty('docs_r12', 'doc_id', 'text', 5)",
         graft.queries.TextStats.ngramNovelty(docs, "doc_id", "text", 5),
         Seq("doc_id"))
+      // round-13 additions
+      pair("SELECT * FROM spearman('ev_r12', 'event_type', 'ts', 'value')",
+        graft.queries.StatQueries.spearman(ev, "event_type", "ts", "value"),
+        Seq("event_type"))
+      pair("SELECT * FROM mann_kendall('ev_r12', 'event_type', 'ts')",
+        graft.queries.StatQueries.mannKendall(ev, "event_type", "ts"),
+        Seq("event_type"))
+      pair("SELECT * FROM jsd_drift('ev_r12', 'event_type', 'ts', 'value', 15)",
+        graft.queries.TrainingDataQueries.jsdDrift(
+          ev, "event_type", "ts", "value", 15),
+        Seq("event_type"))
+      pair("SELECT * FROM mode_value('ev_r12', 'event_type', 'value')",
+        graft.queries.ScalarQueries.modeValue(ev, "event_type", "value"),
+        Seq("event_type"))
+      pair("SELECT * FROM temperature_mix('docs_r12', 'lang', 'text')",
+        graft.queries.TrainingDataQueries.temperatureMix(docs, "lang", "text"),
+        Seq("lang"))
+      pair("SELECT * FROM curriculum('docs_r12', 'text')",
+        graft.queries.TextStats.curriculum(docs, "text"),
+        Seq("band"))
     }
   }
 

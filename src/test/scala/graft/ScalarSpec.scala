@@ -8,6 +8,44 @@ class ScalarSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   import spark.implicits._
 
+  test("modeValue: deterministic mode with count-desc, value-asc tiebreak") {
+    import graft.queries.ScalarQueries
+    val ev = Seq(("t", 3.0), ("t", 3.0), ("t", 1.0), ("t", 1.0), ("t", 2.0))
+      .toDF("event_type", "value")
+    val r = ScalarQueries.modeValue(ev, "event_type", "value").collect()
+    // 1.0 and 3.0 both occur twice — the smaller value wins the tie
+    assert(r.length == 1 && r(0).getDouble(1) == 1.0)
+    assert(r(0).getLong(2) == 2L && r(0).getLong(3) == 5L)
+    assert(r(0).getDouble(4) == 0.4)
+  }
+
+  test("temperatureMix: sqrt temperature flattens a 9:1 token mix to 3:1") {
+    import graft.queries.TrainingDataQueries
+    val docs = Seq(("en", "a b c d e f g h i"), ("de", "x"))
+      .toDF("lang", "text")
+    val r = TrainingDataQueries.temperatureMix(docs).orderBy("lang").collect()
+    assert(r(0).getString(0) == "de" &&
+      r(0).getDouble(2) == 0.1 && r(0).getDouble(3) == 0.25)
+    assert(r(1).getString(0) == "en" &&
+      r(1).getDouble(2) == 0.9 && r(1).getDouble(3) == 0.75)
+  }
+
+  test("curriculum: fixed quality bands partition the corpus, shares sum to 1") {
+    import graft.queries.TextStats
+    val docs = Tables.documents(spark, TestSpark.Sf)
+    val r = TextStats.curriculum(docs).collect()
+    assert(r.map(_.getLong(1)).sum == docs.count())
+    assert(r.forall(x => x.getLong(0) >= 0L && x.getLong(0) <= 3L))
+    assert(math.abs(r.map(_.getDouble(4)).sum - 1.0) < 1e-3)
+    // each band's mean quality sits inside the band's score interval
+    r.foreach { x =>
+      val b = x.getLong(0)
+      val mq = x.getDouble(3)
+      assert(mq >= b * 0.25 - 1e-6 && mq <= (b + 1) * 0.25 + 1e-6,
+        s"band $b mean_quality $mq outside its interval")
+    }
+  }
+
   test("approx_count_distinct (HLL) lands within 5% of exact") {
     val li = Tables.lineitem(spark, TestSpark.Sf)
     val (exact, approx) = li.agg(

@@ -80,6 +80,54 @@ class StatSpec extends AnyFunSuite {
     }
   }
 
+  test("spearman: perfect monotone gives rho = ±1, a constant variable is NULL") {
+    def hNs(d: Int, h: Int): Long = dayNs(d) + h.toLong * 3600L * 1000000000L
+    val ev = Seq(
+      ("dn", hNs(1, 1), 5.0), ("dn", hNs(1, 2), 2.0), ("dn", hNs(1, 3), 1.0),
+      ("fl", hNs(1, 1), 2.0), ("fl", hNs(1, 2), 2.0), ("fl", hNs(1, 3), 2.0),
+      ("up", hNs(1, 1), 1.0), ("up", hNs(1, 2), 2.0), ("up", hNs(1, 3), 5.0)
+    ).toDF("event_type", "ts", "value")
+    val r = StatQueries.spearman(ev, "event_type", "ts", "value")
+      .orderBy("event_type").collect()
+    assert(r(0).getString(0) == "dn" && r(0).getDouble(2) == -1.0)
+    assert(r(1).getString(0) == "fl" && r(1).isNullAt(2))
+    assert(r(2).getString(0) == "up" && r(2).getDouble(2) == 1.0)
+  }
+
+  test("mannKendall: increasing daily counts give S = pairs, all-ties give NULL z") {
+    val inc = (1 to 3).flatMap(d => (1 to d).map(_ => ("i", dayNs(d))))
+    val cst = (1 to 3).map(d => ("c", dayNs(d)))
+    val ev = (inc ++ cst).toDF("event_type", "ts")
+    val r = StatQueries.mannKendall(ev, "event_type", "ts")
+      .orderBy("event_type").collect()
+    // c: counts 1,1,1 — one tie group t=3 makes tie18 = n(n−1)(2n+5),
+    // so var18 = 0 and z is NULL (no trend is decidable on all-ties)
+    assert(r(0).getString(0) == "c" && r(0).getLong(1) == 3L &&
+      r(0).getLong(2) == 0L && r(0).isNullAt(3))
+    // i: counts 1,2,3 — all 3 pairs increasing, S = 3, z by hand
+    assert(r(1).getString(0) == "i" && r(1).getLong(2) == 3L)
+    val wantZ = (3.0 - 1.0) / math.sqrt(66.0 / 18.0)
+    assert(math.abs(r(1).getDouble(3) - wantZ) < 1e-3)
+    assert(!r(1).getBoolean(4))
+  }
+
+  test("jsdDrift: identical halves give exactly 0, disjoint halves dominate") {
+    import graft.queries.TrainingDataQueries
+    val ev = Seq(
+      ("d", dayNs(1), 1.0), ("d", dayNs(2), 1.0),
+      ("d", dayNs(20), 100.0), ("d", dayNs(21), 100.0),
+      ("s", dayNs(1), 1.0), ("s", dayNs(2), 100.0),
+      ("s", dayNs(20), 1.0), ("s", dayNs(21), 100.0)
+    ).toDF("event_type", "ts", "value")
+    val r = TrainingDataQueries.jsdDrift(ev, "event_type", "ts", "value", 15)
+      .orderBy("event_type").collect()
+    val jd = r(0).getDouble(3)
+    val js = r(1).getDouble(3)
+    // identical per-bin counts -> pa = pb everywhere -> every log is 0
+    assert(js == 0.0 && !r(1).getBoolean(4))
+    assert(jd > 0.0 && jd <= math.log(2.0) + 1e-9)
+  }
+
   test("cusumShift: prefix/running-extremum unrolling matches the recursion by hand") {
     // daily counts [1,1,1,1,6]: T=10, D=5, P = [-5,-10,-15,-20,0]
     // S_up = [0,0,0,0,20] -> cusum_up = [0,0,0,0,4], flag only day 5
