@@ -535,12 +535,15 @@ object StatQueries {
     * one fixed-order double expression, and `trending` compares the
     * ROUNDED z against 1.96 (the chi-square flag discipline).
     *
-    * Scale: everything happens at the DAY grain — the pair self-join
-    * and the tie rollup consume the IDENTICAL bounded daily aggregate
-    * (≤ groups × days rows; exchange-reused, asserted in PlanSpec), so
-    * the one full-data pass is the daily rollup itself. The pair count
-    * is (#days choose 2) per group — metadata scale no matter the row
-    * count. */
+    * Scale: everything happens at the DAY grain — the pair join is
+    * (#days choose 2) rows per group and the tie rollup #distinct
+    * counts, metadata scale no matter the row count. The self-join's
+    * b-side reuses the a-side's daily exchange (ReusedExchange,
+    * asserted in PlanSpec); the tie rollup's column-pruned scan
+    * de-canonicalizes its subtree (the q_span_dedup reuse lesson), so
+    * the plan carries TWO map-side daily rollups of the fact table —
+    * the psi_drift scalar-join precedent, pinned at two scans in
+    * PlanSpec so it cannot silently grow. */
   def mannKendall(df: DataFrame, typeCol: String, tsCol: String): DataFrame = {
     val daily = df
       .select(col(typeCol).as("event_type"), dayOf(tsCol).as("day"))

@@ -644,6 +644,20 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_mann_kendall executed plan reuses the self-join exchange, two scans") {
+    // the pair self-join's b-side must reuse the a-side's daily
+    // exchange (AQE ReuseExchange — visible only in the FINAL plan),
+    // and the whole plan carries exactly TWO day-grain rollup scans
+    // (join + tie rollup, the documented shape), never three
+    val df = SparkEntry.queries("q_mann_kendall")(spark, TestSpark.Sf)
+    df.queryExecution.toRdd.count()
+    val plan = df.queryExecution.executedPlan.toString
+    val finalPlan = plan.split("Initial Plan")(0)
+    assert(finalPlan.contains("ReusedExchange"), finalPlan.take(2000))
+    assert("Scan parquet".r.findAllIn(finalPlan).length == 2,
+      finalPlan.take(2000))
+  }
+
   test("q_span_dedup executed plan computes the gram explode exactly once") {
     // the r9 shape relied on AQE ReuseExchange to dedupe the gram
     // pipeline under its consumers, but column pruning de-canonicalized
@@ -954,5 +968,10 @@ class PlanSpec extends AnyFunSuite {
     // self-join — exactly ONE scan of documents, tokenize runs once
     val dc = physical("q_dataset_card")
     assert("Scan parquet".r.findAllIn(dc).length == 1, dc.take(2000))
+    // the round-13 single-scan reports: temperature mix and curriculum
+    // fold their normalizing totals as windows over bounded grids
+    assert("Scan parquet".r.findAllIn(physical("q_temperature_mix")).length == 1)
+    assert("Scan parquet".r.findAllIn(physical("q_curriculum")).length == 1)
+    assert("Scan parquet".r.findAllIn(physical("q_mode")).length == 1)
   }
 }
