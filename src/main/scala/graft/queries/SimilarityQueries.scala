@@ -287,8 +287,9 @@ object SimilarityQueries {
     * the rich per-query surface stays available as
     * [[qAnnLsh]]/[[qAnnIvf]]/… (API + SimilaritySpec floor asserts),
     * and the measured values themselves ship per round in
-    * `RECALL_r{N}.json`. floor_pct is an exact integer (⌊100·floor⌋) —
-    * no double in the certificate row, the q_ks_test lesson. */
+    * `RECALL_r{N}.json`. floor_pct is an exact integer
+    * (round(100·floor)) — no double in the certificate row, the
+    * q_ks_test lesson. */
   private[graft] def recallCert(approx: DataFrame, exact: DataFrame,
                                 floor: Double): DataFrame =
     perQueryRecall(approx, exact)
@@ -529,16 +530,16 @@ object SimilarityQueries {
     semanticDedupGated(spark, dir, SemanticRecallFloor)
 
   /** Registered certificate form of [[qSemanticDedup]] (VERDICT r12 ask
-    * #4): computed over the UNGATED per-vector frame (floor 0 keeps
-    * every row — pair_recall ∈ [0,1]) so a recall violation flips
-    * `recall_ok` to FALSE instead of vanishing the rows. `coverage_ok`
-    * pins the partition property (one output row per corpus vector);
-    * `kept_bounded` pins 1 ≤ kept ≤ n (at least every dup relation's
-    * min-id representative survives). */
+    * #4): computed over the UNGATED per-vector frame with the RAW
+    * pair-recall (a 4-dp-rounded recall could certify TRUE on a value
+    * the unrounded gate rejects — review r13), so a recall violation
+    * flips `recall_ok` to FALSE instead of vanishing the rows.
+    * `coverage_ok` pins the partition property (one output row per
+    * corpus vector); `kept_bounded` pins 1 ≤ kept ≤ n (at least every
+    * dup relation's min-id representative survives). */
   def qSemanticDedupCert(spark: SparkSession, dir: String): DataFrame = {
-    val rows = semanticDedupGated(spark, dir, 0.0)
     val nVecs = Tables.embeddings(spark, dir).agg(count(lit(1)).as("n_vecs"))
-    rows
+    semanticRows(spark, dir)
       .agg(count(lit(1)).as("n_rows"), sum(col("kept")).as("n_kept"),
         max(col("pair_recall")).as("pr"))
       .crossJoin(broadcast(nVecs))
@@ -550,29 +551,51 @@ object SimilarityQueries {
           .as("kept_bounded"))
   }
 
-  /** Floor-parameterized body so the spec can sabotage the gate (an
-    * unreachable floor must zero the result). */
-  private[graft] def semanticDedupGated(spark: SparkSession, dir: String,
-                                        floor: Double): DataFrame = {
+  /** The UNROUNDED semantic-dedup pair-recall scalar (one row,
+    * `pair_recall`) — ONE definition shared by the gate, the
+    * certificate and [[recallReport]], so measurement and enforcement
+    * cannot drift (the recallCert discipline; review r13 found three
+    * hand-mirrored copies). No exact pairs at this SF ⇒ recall is
+    * vacuously 1 (gate open, nothing to miss). */
+  private def semanticPairRecall(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val p = cachedParams(spark, dir)
     val sem = Similarity.semanticDedupPairs(emb, 0.45,
       cachedQuantizer(spark, dir, p.semNlist), passign = p.passign)
     val exact = Similarity.nearDupPairsBlocked(emb, 0.45)
-    // per-exact-pair hit indicator → mean = pair recall; no exact pairs
-    // at this SF ⇒ recall is vacuously 1 (gate open, nothing to miss)
-    val gate = exact.select(col("a"), col("b"))
+    exact.select(col("a"), col("b"))
       .join(sem.select(col("a"), col("b"), lit(1).as("hit")), Seq("a", "b"), "left")
       .agg(coalesce(avg(coalesce(col("hit"), lit(0))), lit(1.0)).as("pair_recall"))
+  }
+
+  /** Ungated per-vector keep/drop frame with the RAW pair-recall column
+    * — the single source both the gate and the certificate filter or
+    * aggregate (the rounded surface is applied only at the gated API's
+    * output, so a certificate can never certify on a rounded-up
+    * recall). */
+  private def semanticRows(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val p = cachedParams(spark, dir)
+    val sem = Similarity.semanticDedupPairs(emb, 0.45,
+      cachedQuantizer(spark, dir, p.semNlist), passign = p.passign)
     val dropped = sem.select(col("b").as("vec_id")).distinct().withColumn("dup", lit(1))
     emb.select(col("vec_id"))
       .join(dropped, Seq("vec_id"), "left")
-      .crossJoin(broadcast(gate))
-      .filter(col("pair_recall") >= floor)
+      .crossJoin(broadcast(semanticPairRecall(spark, dir)))
       .select(col("vec_id"), col("dup").isNull.cast("int").as("kept"),
+        col("pair_recall"))
+  }
+
+  /** Floor-parameterized body so the spec can sabotage the gate (an
+    * unreachable floor must zero the result). The gate compares the
+    * UNROUNDED recall; rounding happens only on the emitted column. */
+  private[graft] def semanticDedupGated(spark: SparkSession, dir: String,
+                                        floor: Double): DataFrame =
+    semanticRows(spark, dir)
+      .filter(col("pair_recall") >= floor)
+      .select(col("vec_id"), col("kept"),
         rnd(col("pair_recall"), 4).as("pair_recall"))
       .orderBy("vec_id")
-  }
 
   /** Cells / per-cell width for [[qClusterSample]] — interpolated into
     * BOTH engines so they cannot drift. */
@@ -628,41 +651,25 @@ object SimilarityQueries {
   def recallReport(spark: SparkSession, dir: String): Seq[RecallRow] = {
     val emb = Tables.embeddings(spark, dir)
     val corpus = corpusCount(spark, dir)
-    val p = annParams(corpus)
-    val q = emb.filter(col("vec_id") < 20)
-    val nq = q.count()
+    val nq = emb.filter(col("vec_id") < 20).count()
     val brute = cachedBruteTop5(spark, dir)
+    // the measured frames are the SAME *Approx helpers the registered
+    // certificates aggregate — a parameter tune reaches measurement and
+    // enforcement together or not at all (review r13: this body used to
+    // hand-mirror all five constructions and the semantic gate)
     def mean(approx: DataFrame): Double =
       perQueryRecall(approx, brute).agg(avg(col("recall_at_5"))).head().getDouble(0)
-    val (pqModel, pqCodes) = cachedPqIndex(spark, dir)
-    val sem = Similarity.semanticDedupPairs(emb, 0.45,
-      cachedQuantizer(spark, dir, p.semNlist), passign = p.passign)
-    val exactPairs = Similarity.nearDupPairsBlocked(emb, 0.45)
-    val pairRecall = exactPairs.select(col("a"), col("b"))
-      .join(sem.select(col("a"), col("b"), lit(1).as("hit")), Seq("a", "b"), "left")
-      .agg(coalesce(avg(coalesce(col("hit"), lit(0))), lit(1.0)))
-      .head().getDouble(0)
+    val pairRecall = semanticPairRecall(spark, dir).head().getDouble(0)
     Seq(
-      RecallRow("q_ann_lsh",
-        mean(Similarity.lshTopK(emb, q, 5, planes = 8, multiProbe = 3)),
+      RecallRow("q_ann_lsh", mean(lshApprox(spark, dir)),
         LshRecallFloor, corpus, nq),
-      RecallRow("q_ann_ivf",
-        mean(Similarity.ivfTopK(emb, q, 5, cachedQuantizer(spark, dir, p.nlist), p.nprobe,
-          "vec_id", "embedding")),
+      RecallRow("q_ann_ivf", mean(ivfApprox(spark, dir)),
         IvfRecallFloor, corpus, nq),
-      RecallRow("q_ann_ivf_indexed",
-        mean(Similarity.ivfTopKIndexed(spark, cachedIvfIndex(spark, dir), q, 5,
-          cachedQuantizer(spark, dir, p.nlist), p.nprobe)),
+      RecallRow("q_ann_ivf_indexed", mean(ivfIndexedApprox(spark, dir)),
         IvfRecallFloor, corpus, nq),
-      RecallRow("q_ann_pq",
-        mean(ProductQuantization.pqTopKFromCodes(emb, pqCodes, q, 5, pqModel,
-          rerank = p.rerank)),
+      RecallRow("q_ann_pq", mean(pqApprox(spark, dir)),
         PqRecallFloor, corpus, nq),
-      RecallRow("q_ann_ivfpq",
-        mean(ProductQuantization.ivfPqTopKFromCellCodes(
-          emb, cachedIvfPqCellCodes(spark, dir), q, 5,
-          cachedQuantizer(spark, dir, p.nlist), pqModel,
-          nprobe = p.nprobe, rerank = p.rerank)),
+      RecallRow("q_ann_ivfpq", mean(ivfPqApprox(spark, dir)),
         IvfPqRecallFloor, corpus, nq),
       RecallRow("q_semantic_dedup", pairRecall, SemanticRecallFloor, corpus, nq))
   }

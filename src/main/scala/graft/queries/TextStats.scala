@@ -775,8 +775,12 @@ object TextStats {
           .cast("long").as("has_pii"))
     val wFp = org.apache.spark.sql.expressions.Window.partitionBy("fp")
     val per = base
+      // fp IS NOT NULL guard: a window groups NULL partition keys
+      // TOGETHER while the oracle's dup-group semantics (and the old
+      // equi-join) never match NULL fingerprints — two NULL-text docs
+      // must not count each other as duplicates (review r13)
       .withColumn("is_dup",
-        (count(lit(1)).over(wFp) >= 2L).cast("long"))
+        (col("fp").isNotNull && count(lit(1)).over(wFp) >= 2L).cast("long"))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_toks")).as("n_tokens"),

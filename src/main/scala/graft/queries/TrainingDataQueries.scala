@@ -442,61 +442,15 @@ object TrainingDataQueries {
     * windows, no distinct state. Equal-width bins (not quantile edges)
     * keep the second pass a pure map — the profiler's percentile recipe
     * is the swap-in if quantile bins are wanted. */
-  def psiDrift(df: DataFrame, typeCol: String, tsCol: String,
-               valCol: String, splitDay: Int): DataFrame = {
-    val day = to_date(timestamp_micros(expr(s"`$tsCol` div 1000")))
-    val ev = df
-      .select(col(typeCol).as("event_type"), col(valCol).as("value"),
-        when(dayofmonth(day) <= splitDay, "a").otherwise("b").as("period"))
-    val mm = ev.agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
-    val binned = ev.crossJoin(broadcast(mm))
-      .select(col("event_type"), col("period"),
-        when(col("mx") === col("mn"), lit(0))
-          .otherwise(least(lit(PsiBins - 1),
-            floor((col("value") - col("mn")) /
-              ((col("mx") - col("mn")) / lit(PsiBins.toDouble))).cast("int")))
-          .as("bin"))
-    val cells = binned.groupBy("event_type", "bin")
-      .agg(sum(when(col("period") === "a", 1L).otherwise(0L)).as("na"),
-        sum(when(col("period") === "b", 1L).otherwise(0L)).as("nb"))
-    val spine = ev.select("event_type").distinct()
-      .select(col("event_type"),
-        explode(sequence(lit(0), lit(PsiBins - 1))).as("bin"))
-    val full = spine.join(cells, Seq("event_type", "bin"), "left")
-      .select(col("event_type"), col("bin"),
-        coalesce(col("na"), lit(0L)).as("na"),
-        coalesce(col("nb"), lit(0L)).as("nb"))
-    val tots = full.groupBy("event_type")
-      .agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
-    full.join(broadcast(tots), "event_type")
-      .withColumn("pa", (col("na") + 1.0) / (col("ta") + lit(PsiBins.toDouble)))
-      .withColumn("pb", (col("nb") + 1.0) / (col("tb") + lit(PsiBins.toDouble)))
-      .withColumn("term", (col("pa") - col("pb")) * log(col("pa") / col("pb")))
-      .groupBy("event_type")
-      .agg(max(col("ta")).as("n_first_half"), max(col("tb")).as("n_second_half"),
-        rnd(sum(col("term")), 6).as("psi"))
-      .withColumn("drifted", col("psi") > 0.25)
-  }
-
-  def qPsiDrift(spark: SparkSession, dir: String): DataFrame =
-    psiDrift(Tables.events(spark, dir), "event_type", "ts", "value", 15)
-      .orderBy("event_type")
-
-  /** Jensen–Shannon divergence per group between the month's halves
-    * over the same [[PsiBins]] equal-width bins as [[psiDrift]] — the
-    * bounded symmetric drift measure (0 ≤ JSD ≤ ln 2) a mixture monitor
-    * alarms on when PSI's unbounded scale is too twitchy: JSD =
-    * ½Σ pa·ln(pa/m) + ½Σ pb·ln(pb/m), m the midpoint, with the same
-    * Laplace smoothing so every log is finite.
-    *
-    * Cross-engine discipline: the 10 per-bin float terms fold in a
-    * FIXED left-associated conditional-max expression (the chi-square
-    * recipe), never an order-free sum(); `drifted` compares the
-    * ROUNDED statistic. Scale shape: identical to [[psiDrift]] — one
-    * fact-grain binning pass onto the (groups × bins) grid, everything
-    * after is metadata-scale. */
-  def jsdDrift(df: DataFrame, typeCol: String, tsCol: String,
-               valCol: String, splitDay: Int): DataFrame = {
+  /** Shared Laplace-smoothed per-bin probability frame for the
+    * [[psiDrift]]/[[jsdDrift]] pair — equal-width [[PsiBins]] binning
+    * between the month's halves, zero cells materialized by the spine,
+    * +1 smoothing: (event_type, bin, ta, tb, pa, pb). ONE definition
+    * (review r13: the two drift monitors grew verbatim copies of this
+    * pipeline — the binning rule lives once or they diverge), mirrored
+    * by the shared [[PsiBinProbsCtes]] oracle prefix. */
+  private def binProbs(df: DataFrame, typeCol: String, tsCol: String,
+                       valCol: String, splitDay: Int): DataFrame = {
     val ev = df
       .select(col(typeCol).as("event_type"), col(valCol).as("value"),
         when(dayofmonth(dayOf(tsCol)) <= splitDay, "a").otherwise("b")
@@ -521,9 +475,40 @@ object TrainingDataQueries {
         coalesce(col("nb"), lit(0L)).as("nb"))
     val tots = full.groupBy("event_type")
       .agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
-    val terms = full.join(broadcast(tots), "event_type")
+    full.join(broadcast(tots), "event_type")
       .withColumn("pa", (col("na") + 1.0) / (col("ta") + lit(PsiBins.toDouble)))
       .withColumn("pb", (col("nb") + 1.0) / (col("tb") + lit(PsiBins.toDouble)))
+  }
+
+  def psiDrift(df: DataFrame, typeCol: String, tsCol: String,
+               valCol: String, splitDay: Int): DataFrame =
+    binProbs(df, typeCol, tsCol, valCol, splitDay)
+      .withColumn("term", (col("pa") - col("pb")) * log(col("pa") / col("pb")))
+      .groupBy("event_type")
+      .agg(max(col("ta")).as("n_first_half"), max(col("tb")).as("n_second_half"),
+        rnd(sum(col("term")), 6).as("psi"))
+      .withColumn("drifted", col("psi") > 0.25)
+
+  def qPsiDrift(spark: SparkSession, dir: String): DataFrame =
+    psiDrift(Tables.events(spark, dir), "event_type", "ts", "value", 15)
+      .orderBy("event_type")
+
+  /** Jensen–Shannon divergence per group between the month's halves
+    * over the same [[PsiBins]] equal-width bins as [[psiDrift]] — the
+    * bounded symmetric drift measure (0 ≤ JSD ≤ ln 2) a mixture monitor
+    * alarms on when PSI's unbounded scale is too twitchy: JSD =
+    * ½Σ pa·ln(pa/m) + ½Σ pb·ln(pb/m), m the midpoint, with the same
+    * Laplace smoothing so every log is finite.
+    *
+    * Cross-engine discipline: the 10 per-bin float terms fold in a
+    * FIXED left-associated conditional-max expression (the chi-square
+    * recipe), never an order-free sum(); `drifted` compares the
+    * ROUNDED statistic. Scale shape: identical to [[psiDrift]] — one
+    * fact-grain binning pass onto the (groups × bins) grid, everything
+    * after is metadata-scale. */
+  def jsdDrift(df: DataFrame, typeCol: String, tsCol: String,
+               valCol: String, splitDay: Int): DataFrame = {
+    val terms = binProbs(df, typeCol, tsCol, valCol, splitDay)
       .withColumn("m", (col("pa") + col("pb")) / 2.0)
       .withColumn("term",
         lit(0.5) * col("pa") * log(col("pa") / col("m")) +
@@ -723,6 +708,49 @@ object TrainingDataQueries {
   /** DuckDB twin of TextFunctions.tokenCount. */
   private val MixTokSql = "len(string_split_regex(trim(text), '\\s+'))"
 
+  /** Shared DuckDB CTE chain of the two drift oracles (q_psi_drift /
+    * q_jsd_drift) up through the smoothed per-bin probability frame
+    * `probs` — the [[binProbs]] twin, written once (the KsIntsSql
+    * pattern) so the two monitors' binning cannot drift. */
+  private def PsiBinProbsCtes: String =
+    s"""WITH ev AS (
+       |  SELECT event_type, value,
+       |    CASE WHEN EXTRACT(day FROM ts) <= 15
+       |      THEN 'a' ELSE 'b' END AS period
+       |  FROM events),
+       |mm AS (SELECT min(value) AS mn, max(value) AS mx FROM ev),
+       |binned AS (
+       |  SELECT event_type, period,
+       |    CASE WHEN mx = mn THEN 0
+       |      ELSE least($PsiBins - 1, CAST(floor((value - mn)
+       |        / ((mx - mn) / ${PsiBins}.0)) AS INT)) END AS bin
+       |  FROM ev CROSS JOIN mm),
+       |cells AS (
+       |  SELECT event_type, bin,
+       |    sum(CASE WHEN period = 'a' THEN 1 ELSE 0 END) AS na,
+       |    sum(CASE WHEN period = 'b' THEN 1 ELSE 0 END) AS nb
+       |  FROM binned GROUP BY event_type, bin),
+       |spine AS (
+       |  SELECT event_type, unnest(generate_series(0, $PsiBins - 1)) AS bin
+       |  FROM (SELECT DISTINCT event_type FROM ev)),
+       |full_ AS (
+       |  SELECT spine.event_type, spine.bin,
+       |    CAST(coalesce(cells.na, 0) AS BIGINT) AS na,
+       |    CAST(coalesce(cells.nb, 0) AS BIGINT) AS nb
+       |  FROM spine LEFT JOIN cells
+       |    ON spine.event_type = cells.event_type AND spine.bin = cells.bin),
+       |tots AS (
+       |  SELECT event_type, CAST(sum(na) AS BIGINT) AS ta,
+       |    CAST(sum(nb) AS BIGINT) AS tb
+       |  FROM full_ GROUP BY event_type),
+       |probs AS (
+       |  SELECT f.event_type, f.bin, t.ta, t.tb,
+       |    ((CAST(f.na AS DOUBLE) + 1.0)
+       |      / (CAST(t.ta AS DOUBLE) + ${PsiBins}.0)) AS pa,
+       |    ((CAST(f.nb AS DOUBLE) + 1.0)
+       |      / (CAST(t.tb AS DOUBLE) + ${PsiBins}.0)) AS pb
+       |  FROM full_ f JOIN tots t ON f.event_type = t.event_type)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // two-level hash aggregate; verdict and suppression mass compare
     // integers, one fraction division
@@ -773,43 +801,7 @@ object TrainingDataQueries {
         s"max(CASE WHEN bin = $b THEN term END) AS t$b").mkString(",\n    ")
       val fold = (0 until PsiBins).map(b => s"coalesce(t$b, CAST(0.0 AS DOUBLE))")
         .mkString(" + ")
-      s"""WITH ev AS (
-         |  SELECT event_type, value,
-         |    CASE WHEN EXTRACT(day FROM ts) <= 15
-         |      THEN 'a' ELSE 'b' END AS period
-         |  FROM events),
-         |mm AS (SELECT min(value) AS mn, max(value) AS mx FROM ev),
-         |binned AS (
-         |  SELECT event_type, period,
-         |    CASE WHEN mx = mn THEN 0
-         |      ELSE least($PsiBins - 1, CAST(floor((value - mn)
-         |        / ((mx - mn) / ${PsiBins}.0)) AS INT)) END AS bin
-         |  FROM ev CROSS JOIN mm),
-         |cells AS (
-         |  SELECT event_type, bin,
-         |    sum(CASE WHEN period = 'a' THEN 1 ELSE 0 END) AS na,
-         |    sum(CASE WHEN period = 'b' THEN 1 ELSE 0 END) AS nb
-         |  FROM binned GROUP BY event_type, bin),
-         |spine AS (
-         |  SELECT event_type, unnest(generate_series(0, $PsiBins - 1)) AS bin
-         |  FROM (SELECT DISTINCT event_type FROM ev)),
-         |full_ AS (
-         |  SELECT spine.event_type, spine.bin,
-         |    CAST(coalesce(cells.na, 0) AS BIGINT) AS na,
-         |    CAST(coalesce(cells.nb, 0) AS BIGINT) AS nb
-         |  FROM spine LEFT JOIN cells
-         |    ON spine.event_type = cells.event_type AND spine.bin = cells.bin),
-         |tots AS (
-         |  SELECT event_type, CAST(sum(na) AS BIGINT) AS ta,
-         |    CAST(sum(nb) AS BIGINT) AS tb
-         |  FROM full_ GROUP BY event_type),
-         |probs AS (
-         |  SELECT f.event_type, f.bin, t.ta, t.tb,
-         |    ((CAST(f.na AS DOUBLE) + 1.0)
-         |      / (CAST(t.ta AS DOUBLE) + ${PsiBins}.0)) AS pa,
-         |    ((CAST(f.nb AS DOUBLE) + 1.0)
-         |      / (CAST(t.tb AS DOUBLE) + ${PsiBins}.0)) AS pb
-         |  FROM full_ f JOIN tots t ON f.event_type = t.event_type),
+      PsiBinProbsCtes + s""",
          |terms AS (
          |  SELECT event_type, bin, ta, tb,
          |    0.5 * pa * ln(pa / ((pa + pb) / 2.0))
@@ -848,50 +840,14 @@ object TrainingDataQueries {
          |    * 1e6 + 0.5) / 1e6 AS temp_share
          |FROM w2 ORDER BY lang""".stripMargin,
     "q_psi_drift" ->
-      s"""WITH ev AS (
-         |  SELECT event_type, value,
-         |    CASE WHEN EXTRACT(day FROM ts) <= 15
-         |      THEN 'a' ELSE 'b' END AS period
-         |  FROM events),
-         |mm AS (SELECT min(value) AS mn, max(value) AS mx FROM ev),
-         |binned AS (
-         |  SELECT event_type, period,
-         |    CASE WHEN mx = mn THEN 0
-         |      ELSE least($PsiBins - 1, CAST(floor((value - mn)
-         |        / ((mx - mn) / ${PsiBins}.0)) AS INT)) END AS bin
-         |  FROM ev CROSS JOIN mm),
-         |cells AS (
-         |  SELECT event_type, bin,
-         |    sum(CASE WHEN period = 'a' THEN 1 ELSE 0 END) AS na,
-         |    sum(CASE WHEN period = 'b' THEN 1 ELSE 0 END) AS nb
-         |  FROM binned GROUP BY event_type, bin),
-         |spine AS (
-         |  SELECT event_type, unnest(generate_series(0, $PsiBins - 1)) AS bin
-         |  FROM (SELECT DISTINCT event_type FROM ev)),
-         |full_ AS (
-         |  SELECT spine.event_type, spine.bin,
-         |    CAST(coalesce(cells.na, 0) AS BIGINT) AS na,
-         |    CAST(coalesce(cells.nb, 0) AS BIGINT) AS nb
-         |  FROM spine LEFT JOIN cells
-         |    ON spine.event_type = cells.event_type AND spine.bin = cells.bin),
-         |tots AS (
-         |  SELECT event_type, CAST(sum(na) AS BIGINT) AS ta,
-         |    CAST(sum(nb) AS BIGINT) AS tb
-         |  FROM full_ GROUP BY event_type),
-         |terms AS (
-         |  SELECT f.event_type, t.ta, t.tb,
-         |    ((CAST(f.na AS DOUBLE) + 1.0) / (CAST(t.ta AS DOUBLE) + ${PsiBins}.0))
-         |      AS pa,
-         |    ((CAST(f.nb AS DOUBLE) + 1.0) / (CAST(t.tb AS DOUBLE) + ${PsiBins}.0))
-         |      AS pb
-         |  FROM full_ f JOIN tots t ON f.event_type = t.event_type),
+      (PsiBinProbsCtes + """,
          |agg AS (
          |  SELECT event_type, max(ta) AS n_first_half, max(tb) AS n_second_half,
          |    floor((sum((pa - pb) * ln(pa / pb))) * 1e6 + 0.5) / 1e6 AS psi
-         |  FROM terms GROUP BY event_type)
+         |  FROM probs GROUP BY event_type)
          |SELECT event_type, n_first_half, n_second_half, psi,
          |  psi > 0.25 AS drifted
-         |FROM agg ORDER BY event_type""".stripMargin,
+         |FROM agg ORDER BY event_type""".stripMargin),
     // Welch's t from the same exact integer-cent moments as the Spark
     // side, every derived quantity in mirrored fixed order; the
     // significance boolean compares the ROUNDED t

@@ -24,14 +24,13 @@ class QueriesSmokeSpec extends AnyFunSuite {
   }
 
   test("every query has an oracle or is documented rows-only") {
-    // the 4 q_ml_* metric queries moved OFF this list in round 10: their
-    // registered forms emit theorem certificates with TRUE-pinned oracles
+    // the 4 q_ml_* metric queries moved OFF this list in round 10 and
+    // the 6 recall-gated ANN/semantic entries in round 13: their
+    // registered forms emit theorem certificates with constant-pinned
+    // oracles, so an accidental oracle removal must fail HERE
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle.subsetOf(
-      Set("q_ann_lsh", "q_ann_ivf", "q_ann_ivf_indexed",
-        "q_ann_pq", "q_ann_ivfpq", // recall-gated in-plan vs brute force (no SQL k-means/ADC)
-        "q_semantic_dedup", // recall-gated in-plan vs the exact grid join (no SQL kmeans)
-        "q_multimodal_decode")), // self-gated on closed-form luma (no PNG codec in DuckDB)
+      Set("q_multimodal_decode")), // self-gated on closed-form luma (no PNG codec in DuckDB)
       s"undocumented rows-only: $noOracle")
   }
 
