@@ -269,6 +269,8 @@ case class ResolveGraftOp(spark: org.apache.spark.sql.SparkSession)
           graft.queries.StatQueries.spearman(dfs(0), str(0), str(1), str(2))
         case "mann_kendall" => // (typeCol, tsCol)
           graft.queries.StatQueries.mannKendall(dfs(0), str(0), str(1))
+        case "kruskal_wallis" => // (typeCol, valCol)
+          graft.queries.StatQueries.kruskalWallis(dfs(0), str(0), str(1))
         case "jsd_drift" => // (typeCol, tsCol, valCol, splitDay)
           graft.queries.TrainingDataQueries.jsdDrift(
             dfs(0), str(0), str(1), str(2), lng(3).toInt)
@@ -532,6 +534,7 @@ object GraftFunctions {
     "ngram_novelty" -> ("ngram_novelty(table, idCol, textCol, n)", 3),
     "spearman" -> ("spearman(table, typeCol, tsCol, valCol)", 3),
     "mann_kendall" -> ("mann_kendall(table, typeCol, tsCol)", 2),
+    "kruskal_wallis" -> ("kruskal_wallis(table, typeCol, valCol)", 2),
     "jsd_drift" -> ("jsd_drift(table, typeCol, tsCol, valCol, splitDay)", 4),
     "mode_value" -> ("mode_value(table, typeCol, valCol)", 2),
     "temperature_mix" -> ("temperature_mix(table, langCol, textCol)", 2),

@@ -581,6 +581,76 @@ object StatQueries {
     mannKendall(Tables.events(spark, dir), "event_type", "ts")
       .orderBy("event_type")
 
+  /** Critical value of χ²(4) at α = 0.05 — the [[Chi2Crit6]] sibling
+    * for the 5-group Kruskal–Wallis flag. */
+  val Chi2Crit4 = 9.4877
+
+  /** Kruskal–Wallis one-way rank test across ALL groups — "do the k
+    * value distributions differ anywhere" (the k-sample complement of
+    * the two-sample KS): H from pooled average ranks with the tie
+    * correction 1 − Σ(t³−t)/(N³−N). Ranks come from the VALUE GRID,
+    * not a row window: on the distinct-cents grid with per-cell totals
+    * t, 2·avgRank(cell) = 2·cumBefore + t + 1 — an exact integer — so
+    * the per-group rank sums 2R_g are exact integer folds and no
+    * row-grain ranking window exists at all. The one float step before
+    * the final H expression is Σ_g R_g²/n_g, whose per-group terms are
+    * rounded to 2⁻¹⁰ units (a POWER-OF-TWO scale, so the multiply is
+    * IEEE-exact on both engines) before an order-free exact long sum —
+    * per-group error ≤ 2⁻¹¹ against a statistic scaled by 12/N², far
+    * below the 1e-4 output round for any N ≥ 30. `significant`
+    * compares the ROUNDED H against [[Chi2Crit4]] when dof = 4 (the
+    * chi-square flag discipline).
+    *
+    * Scale: both aggregates live on the value-RESOLUTION-bounded grid
+    * (distinct cents ≤ range·100 rows regardless of corpus size); the
+    * cumulative window runs over that single bounded grid — metadata
+    * scale, same class as the KS grid. Long-exactness: the scaled term
+    * ≈ 256·n_g·N² holds in BIGINT to N ~ 2·10⁵ rows; decimal(38,0) is
+    * the named widen (the term doubles themselves are fine — their
+    * 1e-16 relative error is shared by both engines). All-tied input
+    * ⇒ correction 0 ⇒ NULL H. */
+  def kruskalWallis(df: DataFrame, typeCol: String,
+                    valCol: String): DataFrame = {
+    val ev = df.filter(col(valCol).isNotNull)
+      .select(col(typeCol).as("grp"), centsOf(valCol).as("cents"))
+    val cell = ev.groupBy("cents", "grp").agg(count(lit(1)).as("c"))
+    val grid = cell.groupBy("cents").agg(sum(col("c")).as("t"))
+    // exclusive prefix over the bounded grid: ranks strictly below cents
+    val wCum = Window.orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val g2 = grid.withColumn("cumbefore",
+      coalesce(sum(col("t")).over(wCum), lit(0L)))
+    val per = cell.join(g2, "cents")
+      .select(col("grp"), col("c"),
+        (lit(2L) * col("cumbefore") + col("t") + lit(1L)).as("r2"))
+      .groupBy("grp")
+      .agg(sum(col("c")).as("n_g"), sum(col("c") * col("r2")).as("r2sum"))
+    // per-group double term R_g²/n_g = r2sum²/(4·n_g), rounded to
+    // 2⁻¹⁰ units (binary-exact scaling) so the cross-group sum is an
+    // order-free exact long sum
+    val termInt = floor(col("r2sum").cast("double") * col("r2sum").cast("double") /
+      (lit(4.0) * col("n_g").cast("double")) * 1024.0 + 0.5).cast("long")
+    val agg = per
+      .select(col("n_g"), termInt.as("term_i"))
+      .agg(sum(col("n_g")).as("n"), count(lit(1)).as("k_groups"),
+        sum(col("term_i")).as("sum_terms"))
+    val ties = g2.agg(
+      sum(col("t") * col("t") * col("t") - col("t")).as("tie3"))
+    def d(c: Column) = c.cast("double")
+    val hRaw = lit(12.0) * (d(col("sum_terms")) / 1024.0) /
+      (d(col("n")) * (d(col("n")) + 1.0)) - lit(3.0) * (d(col("n")) + 1.0)
+    val corr = lit(1.0) - d(col("tie3")) /
+      d(col("n") * col("n") * col("n") - col("n"))
+    val h = rnd(when(corr > 0.0, hRaw / corr), 4)
+    agg.crossJoin(broadcast(ties))
+      .select(col("n"), col("k_groups"), h.as("h"),
+        (col("k_groups") - lit(1L)).as("dof"))
+      .withColumn("significant", col("dof") === 4L && col("h") > Chi2Crit4)
+  }
+
+  def qKruskalWallis(spark: SparkSession, dir: String): DataFrame =
+    kruskalWallis(Tables.events(spark, dir), "event_type", "value")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_seasonality_strength" -> qSeasonalityStrength _,
     "q_chi_square" -> qChiSquare _,
@@ -594,6 +664,7 @@ object StatQueries {
     "q_gini" -> qGini _,
     "q_spearman" -> qSpearman _,
     "q_mann_kendall" -> qMannKendall _,
+    "q_kruskal_wallis" -> qKruskalWallis _,
   )
 
   /** Shared CTE chain of the two KS oracles ([[qKsTest]] /
@@ -960,6 +1031,51 @@ object StatQueries {
         |SELECT event_type, n_days, s, z,
         |  abs(z) > CAST(1.96 AS DOUBLE) AS trending
         |FROM z ORDER BY event_type""".stripMargin,
+    // grid-ranked H: 2·avgRank = 2·cumBefore + t + 1 exact on the
+    // distinct-cents grid, per-group terms rounded to integer units
+    // before the order-free cross-group sum, mirrored final expression
+    "q_kruskal_wallis" ->
+      s"""WITH ev AS (
+         |  SELECT event_type AS grp,
+         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+         |  FROM events WHERE value IS NOT NULL),
+         |cell AS (
+         |  SELECT cents, grp, CAST(count(*) AS BIGINT) AS c
+         |  FROM ev GROUP BY cents, grp),
+         |grid AS (
+         |  SELECT cents, CAST(sum(c) AS BIGINT) AS t FROM cell GROUP BY cents),
+         |g2 AS (
+         |  SELECT cents, t,
+         |    CAST(coalesce(sum(t) OVER (ORDER BY cents
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cumbefore
+         |  FROM grid),
+         |per AS (
+         |  SELECT grp, CAST(sum(c) AS BIGINT) AS n_g,
+         |    CAST(sum(c * (2 * cumbefore + t + 1)) AS BIGINT) AS r2sum
+         |  FROM cell JOIN g2 USING (cents) GROUP BY grp),
+         |a AS (
+         |  SELECT CAST(sum(n_g) AS BIGINT) AS n, count(*) AS k_groups,
+         |    CAST(sum(CAST(floor(CAST(r2sum AS DOUBLE) * CAST(r2sum AS DOUBLE)
+         |      / (4.0 * CAST(n_g AS DOUBLE)) * 1024.0 + 0.5) AS BIGINT))
+         |      AS BIGINT) AS sum_terms
+         |  FROM per),
+         |tie AS (SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tie3 FROM g2),
+         |hh AS (
+         |  SELECT n, k_groups,
+         |    CASE WHEN 1.0 - CAST(tie3 AS DOUBLE)
+         |        / CAST(n * n * n - n AS DOUBLE) > 0.0
+         |      THEN floor(((12.0 * (CAST(sum_terms AS DOUBLE) / 1024.0)
+         |          / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+         |          - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+         |        / (1.0 - CAST(tie3 AS DOUBLE)
+         |          / CAST(n * n * n - n AS DOUBLE)))
+         |        * 1e4 + 0.5) / 1e4
+         |    END AS h
+         |  FROM a, tie)
+         |SELECT n, k_groups, h, CAST(k_groups - 1 AS BIGINT) AS dof,
+         |  k_groups - 1 = 4 AND h > $Chi2Crit4 AS significant
+         |FROM hh""".stripMargin,
     // ascending-rank Gini as one integer rational per group (tie order
     // provably cancels)
     "q_gini" ->

@@ -264,6 +264,88 @@ object Ingest {
   case class CusumAlert(event_type: String, event_id: Long, value: Double,
                         s: Double, direction: String)
 
+  /** O(bins) state per key: reference histogram (frozen after refSize
+    * values) + the current comparison block's histogram. */
+  case class PsiStreamState(ref: Seq[Long], refN: Long,
+                            cur: Seq[Long], curN: Long)
+  case class DriftReport(event_type: String, block_end_id: Long,
+                         n_ref: Long, n_cur: Long, psi: Double,
+                         drifted: Boolean)
+
+  /** ST extension: streaming PSI drift monitor — the in-stream twin of
+    * the batch q_psi_drift: per key, the FIRST `refSize` values freeze
+    * a reference histogram over `bins` equal-width bins on the fixed
+    * [lo, hi) range (out-of-range values clamp to the edge bins — the
+    * monitor's job is to see them pile up there); every subsequent full
+    * block of `blockSize` values emits one PSI report against the
+    * reference (Laplace +1 smoothing — the identical per-bin expression
+    * the batch oracle pins) and resets the block. State is O(bins) per
+    * key FOREVER (two count arrays + two longs), evicted on event-time
+    * idle timeout — no raw values are retained, so the monitor's memory
+    * is independent of stream length; (ts, event_id) batch ordering
+    * keeps replays deterministic. */
+  def psiStream(events: Dataset[Event], lo: Double, hi: Double,
+                bins: Int = 10, refSize: Int = 100, blockSize: Int = 50,
+                threshold: Double = 0.25,
+                idleTimeout: java.time.Duration = java.time.Duration.ofDays(30),
+                watermarkDelay: String = "1 hour"): Dataset[DriftReport] = {
+    require(bins >= 2 && hi > lo && refSize > 0 && blockSize > 0,
+      s"psiStream: need bins >= 2, hi > lo, positive sizes")
+    import events.sparkSession.implicits._
+    val streaming = events.isStreaming
+    val width = (hi - lo) / bins
+    watermarked(events, watermarkDelay)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, it: Iterator[EventT], state: GroupState[PsiStreamState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = if (state.exists) state.get
+              else PsiStreamState(Seq.fill(bins)(0L), 0L, Seq.fill(bins)(0L), 0L)
+            val ref = st.ref.toArray
+            val cur = st.cur.toArray
+            var refN = st.refN
+            var curN = st.curN
+            def binOf(v: Double): Int =
+              math.min(bins - 1, math.max(0, math.floor((v - lo) / width).toInt))
+            val sorted = it.toSeq.sortBy(e => (e.ts, e.event_id))
+            val out = sorted.flatMap { e =>
+              if (refN < refSize) {
+                ref(binOf(e.value)) += 1L; refN += 1L
+                None
+              } else {
+                cur(binOf(e.value)) += 1L; curN += 1L
+                if (curN >= blockSize) {
+                  // the batch psiDrift smoothing, verbatim
+                  var psi = 0.0
+                  var b = 0
+                  while (b < bins) {
+                    val pa = (ref(b) + 1.0) / (refN + bins.toDouble)
+                    val pb = (cur(b) + 1.0) / (curN + bins.toDouble)
+                    psi += (pa - pb) * math.log(pa / pb)
+                    b += 1
+                  }
+                  val report = DriftReport(key, e.event_id, refN, curN,
+                    psi, psi > threshold)
+                  java.util.Arrays.fill(cur, 0L)
+                  curN = 0L
+                  Some(report)
+                } else None
+              }
+            }
+            state.update(PsiStreamState(ref.toSeq, refN, cur.toSeq, curN))
+            if (streaming) {
+              val maxEventMs = if (sorted.nonEmpty) sorted.last.event_time.getTime else 0L
+              state.setTimeoutTimestamp(
+                math.max(state.getCurrentWatermarkMs(), maxEventMs) + idleTimeout.toMillis)
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** Streaming CUSUM shift detector — the streaming twin of
     * q_cusum_shift's batch unrolling, as the RECURSION itself this time:
     * per event type, S⁺ ← max(0, S⁺ + (v − k)) and S⁻ ← max(0, S⁻ +

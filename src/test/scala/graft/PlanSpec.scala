@@ -628,6 +628,9 @@ class PlanSpec extends AnyFunSuite {
       pair("SELECT * FROM mann_kendall('ev_r12', 'event_type', 'ts')",
         graft.queries.StatQueries.mannKendall(ev, "event_type", "ts"),
         Seq("event_type"))
+      pair("SELECT * FROM kruskal_wallis('ev_r12', 'event_type', 'value')",
+        graft.queries.StatQueries.kruskalWallis(ev, "event_type", "value"),
+        Seq("n"))
       pair("SELECT * FROM jsd_drift('ev_r12', 'event_type', 'ts', 'value', 15)",
         graft.queries.TrainingDataQueries.jsdDrift(
           ev, "event_type", "ts", "value", 15),

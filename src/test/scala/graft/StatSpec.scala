@@ -111,6 +111,26 @@ class StatSpec extends AnyFunSuite {
     assert(!r(1).getBoolean(4))
   }
 
+  test("kruskalWallis: separated groups by hand, identical groups 0, all-ties NULL") {
+    import graft.queries.StatQueries
+    // fully separated: ranks a = {1,2,3}, b = {4,5,6} -> H = 3.8571
+    val sep = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 10.0), ("b", 20.0), ("b", 30.0)).toDF("event_type", "value")
+    val r1 = StatQueries.kruskalWallis(sep, "event_type", "value").collect()(0)
+    assert(r1.getLong(0) == 6L && r1.getLong(1) == 2L)
+    assert(r1.getDouble(2) == 3.8571, s"H = ${r1.getDouble(2)}")
+    // identical distributions -> H = 0 (tie-corrected)
+    val same = Seq(("c", 1.0), ("c", 2.0), ("d", 1.0), ("d", 2.0))
+      .toDF("event_type", "value")
+    val r2 = StatQueries.kruskalWallis(same, "event_type", "value").collect()(0)
+    assert(r2.getDouble(2) == 0.0)
+    // every value tied -> tie correction 0 -> NULL H (undecidable)
+    val allTied = Seq(("c", 7.0), ("c", 7.0), ("d", 7.0), ("d", 7.0))
+      .toDF("event_type", "value")
+    val r3 = StatQueries.kruskalWallis(allTied, "event_type", "value").collect()(0)
+    assert(r3.isNullAt(2))
+  }
+
   test("jsdDrift: identical halves give exactly 0, disjoint halves dominate") {
     import graft.queries.TrainingDataQueries
     val ev = Seq(

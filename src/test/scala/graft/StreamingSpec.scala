@@ -434,6 +434,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("psiStream: identical block reports 0, shifted block trips the drift flag") {
+    val src = MemoryStream[Event]
+    val q = Ingest.psiStream(src.toDS(), lo = 0.0, hi = 10.0, bins = 10,
+      refSize = 10, blockSize = 10, threshold = 0.25)
+      .writeStream.format("memory").queryName("psi_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // reference: one value per bin (uniform), frozen after 10 values
+      src.addData((1 to 10).map(i => ev(i, 1, 1, i - 0.5, i * 1000L)): _*)
+      q.processAllAvailable()
+      // block 1: the SAME distribution -> smoothing cancels, psi = 0
+      src.addData((11 to 20).map(i => ev(i, 1, 1, (i - 10) - 0.5, i * 1000L)): _*)
+      q.processAllAvailable()
+      // block 2: everything piles into the top bin -> drift
+      src.addData((21 to 30).map(i => ev(i, 1, 1, 9.5, i * 1000L)): _*)
+      q.processAllAvailable()
+      val got = spark.table("psi_out").as[Ingest.DriftReport].collect()
+        .sortBy(_.block_end_id)
+      assert(got.map(_.block_end_id).toSeq == Seq(20L, 30L), s"got ${got.toSeq}")
+      assert(got(0).psi == 0.0 && !got(0).drifted)
+      assert(got(1).psi > 0.25 && got(1).drifted)
+      assert(got.forall(r => r.n_ref == 10L && r.n_cur == 10L))
+    } finally q.stop()
+  }
+
   test("incremental z-score: state accrues across batches, outlier flagged") {
     val src = MemoryStream[Event]
     val q = Ingest.streamingZscoreAnomalies(src.toDS(), threshold = 3.0, minN = 10)
