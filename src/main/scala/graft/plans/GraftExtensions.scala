@@ -281,6 +281,11 @@ case class ResolveGraftOp(spark: org.apache.spark.sql.SparkSession)
             dfs(0), str(0), str(1))
         case "curriculum" => // (textCol)
           graft.queries.TextStats.curriculum(dfs(0), str(0))
+        case "zipf_fit" => // (idCol, textCol, k)
+          graft.queries.TextStats.zipfFit(dfs(0), str(0), str(1), lng(2).toInt)
+        case "interarrival" => // (typeCol, tsCol, idCol)
+          graft.queries.TimeSeriesQueries.interarrival(
+            dfs(0), str(0), str(1), str(2))
         case "bpe_pairs" => // (idCol, textCol, k)
           graft.queries.TextStats.bpePairs(
             dfs(0), str(0), str(1), lng(2).toInt)
@@ -538,7 +543,9 @@ object GraftFunctions {
     "jsd_drift" -> ("jsd_drift(table, typeCol, tsCol, valCol, splitDay)", 4),
     "mode_value" -> ("mode_value(table, typeCol, valCol)", 2),
     "temperature_mix" -> ("temperature_mix(table, langCol, textCol)", 2),
-    "curriculum" -> ("curriculum(table, textCol)", 1))
+    "curriculum" -> ("curriculum(table, textCol)", 1),
+    "zipf_fit" -> ("zipf_fit(table, idCol, textCol, k)", 3),
+    "interarrival" -> ("interarrival(table, typeCol, tsCol, idCol)", 3))
 
   /** Two-table composed-operator TVF registry: name → (usage, scalar
     * arg count AFTER the two table arguments). */

@@ -615,6 +615,41 @@ import TextStats._
          |SELECT lang, n_docs, n_tokens, mean_quality, dup_docs, pii_docs,
          |  floor((n_tokens / CAST(tot AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS token_share
          |FROM per, tot ORDER BY lang""".stripMargin,
+    // per-row micro-rounded ln's, six exact integer OLS sums, the
+    // linreg fixed-order slope/r² (micro units cancel in the ratios)
+    "q_zipf_fit" ->
+      s"""WITH tf AS (
+         |  SELECT t, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest($TOKS) AS t FROM documents)
+         |  GROUP BY t ORDER BY cnt DESC, t LIMIT ${TextStats.ZipfTopK}),
+         |r AS (
+         |  SELECT CAST(floor(ln(CAST(row_number() OVER
+         |        (ORDER BY cnt DESC, t) AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+         |      AS x,
+         |    CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS y
+         |  FROM tf),
+         |g AS (
+         |  SELECT count(*) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy,
+         |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(y * y) AS BIGINT) AS syy
+         |  FROM r),
+         |d AS (
+         |  SELECT n,
+         |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS covnum,
+         |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varx,
+         |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+         |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vary
+         |  FROM g)
+         |SELECT n AS n_types,
+         |  CASE WHEN varx > 0.0 THEN
+         |    floor((-(covnum / varx)) * 1e4 + 0.5) / 1e4 END AS alpha,
+         |  CASE WHEN varx > 0.0 AND vary > 0.0 THEN
+         |    floor(((covnum * covnum) / (varx * vary)) * 1e4 + 0.5) / 1e4
+         |  END AS r2
+         |FROM d""".stripMargin,
     // fixed quarter-width quality bands (min(3, floor(q·4)) via the
     // micro-long), dataset-card micro idioms for the mean and share
     "q_curriculum" ->

@@ -841,6 +841,59 @@ object TextStats {
   def qCurriculum(spark: SparkSession, dir: String): DataFrame =
     curriculum(Tables.documents(spark, dir)).orderBy("band")
 
+  /** Top-k vocabulary size for [[zipfFit]] — interpolated into BOTH
+    * engines so they cannot drift. */
+  val ZipfTopK = 500
+
+  /** Zipf power-law fit over the corpus vocabulary — the classic
+    * corpus-health diagnostic (natural text follows freq ∝ rank^(−α)
+    * with α ≈ 1; α far off, or a poor r², flags template/boilerplate
+    * corpora and tokenizer bugs): OLS of ln(freq) on ln(rank) over the
+    * top-[[ZipfTopK]] types. Cross-engine discipline: each ln is
+    * micro-rounded to an exact long per ROW (the q_embedding_stats
+    * integer-micro idiom — ln is deterministic per input, the micro
+    * floor makes the six OLS sums order-free exact integers), and
+    * slope/r² are the [[StatQueries.linregClosed]] fixed-order double
+    * expressions (micro units cancel in both ratios). Rank ties break
+    * on (count desc, token) so the grid is deterministic.
+    *
+    * Scale: wordcount-shaped aggregate → TakeOrderedAndProject top-k
+    * cut (never a global sort of the vocabulary) → a k-row window.
+    * The fit itself is metadata-scale. */
+  def zipfFit(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text", k: Int = ZipfTopK): DataFrame =
+    zipfFitOf(docs.select(col(idCol), tokens(col(textCol)).as("ts")), k)
+
+  /** [[zipfFit]] over a pre-tokenized `(doc_id, ts)` frame. */
+  private[queries] def zipfFitOf(tok: DataFrame, k: Int): DataFrame = {
+    val counts = tok
+      .select(explode(col("ts")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("t")).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("cnt"), col("t"))
+    val ranked = counts
+      .withColumn("r", row_number().over(w).cast("long"))
+      .select(
+        floor(log(col("r").cast("double")) * 1e6 + 0.5).cast("long").as("x"),
+        floor(log(col("cnt").cast("double")) * 1e6 + 0.5).cast("long").as("y"))
+    val g = ranked.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("y")).as("sy"), sum(col("y") * col("y")).as("syy"))
+    def d(s: String) = col(s).cast("double")
+    val covNum = d("n") * d("sxy") - d("sx") * d("sy")
+    val varX = d("n") * d("sxx") - d("sx") * d("sx")
+    val varY = d("n") * d("syy") - d("sy") * d("sy")
+    g.select(col("n").as("n_types"),
+      rnd(when(varX > 0.0, -(covNum / varX)), 4).as("alpha"),
+      rnd(when(varX > 0.0 && varY > 0.0,
+        (covNum * covNum) / (varX * varY)), 4).as("r2"))
+  }
+
+  def qZipfFit(spark: SparkSession, dir: String): DataFrame =
+    zipfFitOf(cachedDocTokens(spark, dir), ZipfTopK)
+
   /** Cross-source overlap matrix — how much does source A mirror
     * source B: SimHash near-dup pairs (Hamming ≤ 3, the banded exact
     * candidate contract — EXACT fingerprints are too strict below
@@ -1045,6 +1098,7 @@ object TextStats {
     "q_bigram_logprob" -> qBigramLogprob _,
     "q_dataset_card" -> qDatasetCard _,
     "q_curriculum" -> qCurriculum _,
+    "q_zipf_fit" -> qZipfFit _,
     "q_source_overlap" -> qSourceOverlap _,
     "q_text_stats" -> qTextStats _,
     "q_text_quality" -> qTextQuality _,

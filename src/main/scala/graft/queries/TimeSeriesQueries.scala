@@ -715,6 +715,51 @@ object TimeSeriesQueries {
     twap(Tables.events(spark, dir), "event_type", "ts", "value", "event_id")
       .orderBy("event_type", "day")
 
+  /** Inter-arrival gap statistics per group — the event-pipeline health
+    * read (is a source stalling? bursty? drying up?): count, mean,
+    * median and coefficient of variation of consecutive-event gaps.
+    * Gaps are EXACT integer milliseconds (epoch-nano lag diff, integer
+    * div — the twap dms idiom); mean and cv come from exact integer
+    * moment sums in mirrored fixed-order double expressions (variance
+    * clamped at 0 — the varFromCents discipline); the median
+    * interpolates integral ms on both engines (exact halves, the
+    * q_percentile precedent). A cv near 0 is a metronome, near 1 is
+    * Poisson, far above 1 is bursty.
+    *
+    * Scale: one lag window per group at the row grain (the q_lag_lead
+    * shape — chunk-stitch per ChunkedOrder for a monster group), then
+    * one map-side-combinable aggregate. Long-exactness: Σg² ≤
+    * span_ms²·n — exact to ~10⁴ gaps at day-long gaps, ~10⁹ gaps at
+    * second-long gaps; decimal(38,0) is the named widen. */
+  def interarrival(df: DataFrame, typeCol: String, tsCol: String,
+                   idCol: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(tsCol, idCol)
+    val gaps = df
+      .select(col(typeCol).as("event_type"), col(tsCol), col(idCol))
+      .withColumn("gns", col(tsCol) - lag(col(tsCol), 1).over(w))
+      .filter(col("gns").isNotNull)
+      .select(col("event_type"), expr("gns div 1000000").as("g"))
+    val a = gaps.groupBy("event_type").agg(
+      count(lit(1)).as("n_gaps"),
+      sum(col("g")).as("sg"),
+      sum(col("g") * col("g")).as("sgg"),
+      expr("percentile(g, 0.5)").as("median_gap_ms"))
+    def d(s: String) = col(s).cast("double")
+    val mean = d("sg") / d("n_gaps")
+    val vr = greatest(lit(0.0),
+      (d("n_gaps") * d("sgg") - d("sg") * d("sg")) /
+        (d("n_gaps") * (d("n_gaps") - 1.0)))
+    a.select(col("event_type"), col("n_gaps"),
+      rnd(mean, 3).as("mean_gap_ms"),
+      col("median_gap_ms"),
+      rnd(when(col("n_gaps") > 1L && col("sg") > 0L, sqrt(vr) / mean), 4)
+        .as("cv"))
+  }
+
+  def qInterarrival(spark: SparkSession, dir: String): DataFrame =
+    interarrival(Tables.events(spark, dir), "event_type", "ts", "event_id")
+      .orderBy("event_type")
+
   /** Longest consecutive-day activity streak per user — the
     * gaps-and-islands idiom: over distinct (user, active day), island
     * anchor = day − row_number (consecutive days share an anchor), one
@@ -886,6 +931,7 @@ object TimeSeriesQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_twap" -> qTwap _,
+    "q_interarrival" -> qInterarrival _,
     "q_streaks" -> qStreaks _,
     "q_cohort_ltv" -> qCohortLtv _,
     "q_funnel_timebound" -> qFunnelTimebound _,
@@ -1013,6 +1059,34 @@ object TimeSeriesQueries {
          |    AS avg_spend
          |FROM s GROUP BY r_score, f_score, m_score
          |ORDER BY r_score, f_score, m_score""".stripMargin,
+    // identical lag/tiebreak window; gaps in exact integer ms (the
+    // twap dms idiom); exact moment sums, mirrored mean/cv expressions
+    "q_interarrival" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    (epoch_us(ts) - epoch_us(lag(ts, 1) OVER
+        |      (PARTITION BY event_type ORDER BY ts, event_id))) // 1000 AS g
+        |  FROM events),
+        |f AS (SELECT event_type, g FROM g WHERE g IS NOT NULL),
+        |a AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+        |    CAST(sum(g) AS BIGINT) AS sg,
+        |    CAST(sum(g * g) AS BIGINT) AS sgg,
+        |    quantile_cont(g, 0.5) AS median_gap_ms
+        |  FROM f GROUP BY event_type)
+        |SELECT event_type, n_gaps,
+        |  floor((CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)) * 1e3 + 0.5)
+        |    / 1e3 AS mean_gap_ms,
+        |  median_gap_ms,
+        |  CASE WHEN n_gaps > 1 AND sg > 0 THEN
+        |    floor((sqrt(greatest(CAST(0.0 AS DOUBLE),
+        |        (CAST(n_gaps AS DOUBLE) * CAST(sgg AS DOUBLE)
+        |          - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+        |        / (CAST(n_gaps AS DOUBLE) * (CAST(n_gaps AS DOUBLE) - 1.0))))
+        |      / (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)))
+        |      * 1e4 + 0.5) / 1e4
+        |  END AS cv
+        |FROM a ORDER BY event_type""".stripMargin,
     // identical lead/tiebreak window; dms in exact integer ms (Spark's
     // nano div 1e6 == Duck's micro div 1e3, the source grain is micro)
     "q_twap" ->

@@ -644,6 +644,13 @@ class PlanSpec extends AnyFunSuite {
       pair("SELECT * FROM curriculum('docs_r12', 'text')",
         graft.queries.TextStats.curriculum(docs, "text"),
         Seq("band"))
+      pair("SELECT * FROM zipf_fit('docs_r12', 'doc_id', 'text', 100)",
+        graft.queries.TextStats.zipfFit(docs, "doc_id", "text", 100),
+        Seq("n_types"))
+      pair("SELECT * FROM interarrival('ev_r12', 'event_type', 'ts', 'event_id')",
+        graft.queries.TimeSeriesQueries.interarrival(
+          ev, "event_type", "ts", "event_id"),
+        Seq("event_type"))
     }
   }
 

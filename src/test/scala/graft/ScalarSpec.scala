@@ -46,6 +46,17 @@ class ScalarSpec extends AnyFunSuite {
     }
   }
 
+  test("zipfFit: an exact 1/rank frequency profile recovers alpha = 1, r2 = 1") {
+    import graft.queries.TextStats
+    // counts 12, 6, 4, 3 = 12/rank -> ln(freq) = ln 12 - 1·ln(rank)
+    val text = ("a " * 12) + ("b " * 6) + ("c " * 4) + ("d " * 3)
+    val docs = Seq((1L, text.trim)).toDF("doc_id", "text")
+    val r = TextStats.zipfFit(docs).collect()(0)
+    assert(r.getLong(0) == 4L)
+    assert(math.abs(r.getDouble(1) - 1.0) <= 2e-4, s"alpha = ${r.getDouble(1)}")
+    assert(math.abs(r.getDouble(2) - 1.0) <= 2e-4, s"r2 = ${r.getDouble(2)}")
+  }
+
   test("approx_count_distinct (HLL) lands within 5% of exact") {
     val li = Tables.lineitem(spark, TestSpark.Sf)
     val (exact, approx) = li.agg(

@@ -251,6 +251,28 @@ class StatSpec extends AnyFunSuite {
       "event_type", "created_at", "value", "p", "n").count() == 2)
   }
 
+  test("interarrival: metronome cv 0, bursty cv by hand, median on ties") {
+    import graft.queries.TimeSeriesQueries
+    def e(id: Long, tpe: String, tsNs: Long) = (tpe, tsNs, id)
+    val ev = Seq(
+      // metronome: gaps 1000 ms each
+      e(1, "m", 0L), e(2, "m", 1000000000L), e(3, "m", 2000000000L),
+      e(4, "m", 3000000000L),
+      // bursty: gaps 0, 0, 3000 ms (ties ordered by event_id)
+      e(5, "b", 0L), e(6, "b", 0L), e(7, "b", 0L), e(8, "b", 3000000000L)
+    ).toDF("event_type", "ts", "event_id")
+    val r = TimeSeriesQueries.interarrival(ev, "event_type", "ts", "event_id")
+      .orderBy("event_type").collect()
+    // b: mean (0+0+3000)/3 = 1000, median 0, cv = sqrt(3e6)/1000
+    assert(r(0).getString(0) == "b" && r(0).getLong(1) == 3L)
+    assert(r(0).getDouble(2) == 1000.0 && r(0).getDouble(3) == 0.0)
+    assert(r(0).getDouble(4) == 1.7321, s"cv = ${r(0).getDouble(4)}")
+    // m: constant gaps -> cv exactly 0
+    assert(r(1).getString(0) == "m" && r(1).getLong(1) == 3L)
+    assert(r(1).getDouble(2) == 1000.0 && r(1).getDouble(3) == 1000.0)
+    assert(r(1).getDouble(4) == 0.0)
+  }
+
   test("twap: holding-interval weights hand-checked, one-event day NULL") {
     import graft.queries.TimeSeriesQueries
     val ms = 1000000L // ns per ms
