@@ -271,6 +271,9 @@ case class ResolveGraftOp(spark: org.apache.spark.sql.SparkSession)
           graft.queries.StatQueries.mannKendall(dfs(0), str(0), str(1))
         case "kruskal_wallis" => // (typeCol, valCol)
           graft.queries.StatQueries.kruskalWallis(dfs(0), str(0), str(1))
+        case "effect_size" => // (typeCol, tsCol, valCol, splitDay)
+          graft.queries.StatQueries.effectSize(
+            dfs(0), str(0), str(1), str(2), lng(3).toInt)
         case "jsd_drift" => // (typeCol, tsCol, valCol, splitDay)
           graft.queries.TrainingDataQueries.jsdDrift(
             dfs(0), str(0), str(1), str(2), lng(3).toInt)
@@ -540,6 +543,8 @@ object GraftFunctions {
     "spearman" -> ("spearman(table, typeCol, tsCol, valCol)", 3),
     "mann_kendall" -> ("mann_kendall(table, typeCol, tsCol)", 2),
     "kruskal_wallis" -> ("kruskal_wallis(table, typeCol, valCol)", 2),
+    "effect_size" ->
+      ("effect_size(table, typeCol, tsCol, valCol, splitDay)", 4),
     "jsd_drift" -> ("jsd_drift(table, typeCol, tsCol, valCol, splitDay)", 4),
     "mode_value" -> ("mode_value(table, typeCol, valCol)", 2),
     "temperature_mix" -> ("temperature_mix(table, langCol, textCol)", 2),

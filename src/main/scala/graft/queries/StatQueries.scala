@@ -651,6 +651,73 @@ object StatQueries {
   def qKruskalWallis(spark: SparkSession, dir: String): DataFrame =
     kruskalWallis(Tables.events(spark, dir), "event_type", "value")
 
+  /** Effect size between the month's halves per group — the "HOW BIG is
+    * the shift" companion to the ks/psi/ab significance tests (at 100 TB
+    * everything is significant; only effect size tells you whether to
+    * care): Cliff's δ = (#(a>b) − #(a<b)) / (n_a·n_b) computed EXACTLY
+    * on the distinct-cents grid — #(a>b) = Σ_v ca(v)·cumB_strictly_below(v)
+    * is an exact integer fold, no pair join — plus Cohen's d from the
+    * shared exact-cent moment helpers ([[meanFromCents]]/[[varFromCents]]).
+    * `magnitude` labels |δ| by the Romano thresholds comparing the
+    * ROUNDED δ (the chi-square flag discipline).
+    *
+    * Scale: the same value-RESOLUTION-bounded grid as [[ksTest]] — the
+    * cumulative window runs over ≤ range·100 rows per group no matter
+    * the corpus; one fact-grain pass. Long-exactness: the pair counts
+    * are ≤ n_a·n_b — exact to ~3·10⁹ rows per side per group. */
+  def effectSize(df: DataFrame, typeCol: String, tsCol: String,
+                 valCol: String, splitDay: Int): DataFrame = {
+    val grid = df
+      .filter(col(valCol).isNotNull)
+      .select(col(typeCol).as("event_type"),
+        when(dayofmonth(dayOf(tsCol)) <= splitDay, 1L).otherwise(0L).as("ina"),
+        centsOf(valCol).as("cents"))
+      .groupBy("event_type", "cents")
+      .agg(sum(col("ina")).as("ca"), sum(lit(1L) - col("ina")).as("cb"),
+        sum(col("ina") * col("cents")).as("sca"),
+        sum((lit(1L) - col("ina")) * col("cents")).as("scb"),
+        sum(col("ina") * col("cents") * col("cents")).as("sqa"),
+        sum((lit(1L) - col("ina")) * col("cents") * col("cents")).as("sqb"))
+    val wBelow = Window.partitionBy("event_type").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wUpto = Window.partitionBy("event_type").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("event_type")
+    val g = grid
+      .withColumn("cb_below", coalesce(sum(col("cb")).over(wBelow), lit(0L)))
+      .withColumn("cb_upto", sum(col("cb")).over(wUpto))
+      .withColumn("nb", sum(col("cb")).over(wAll))
+      .groupBy("event_type")
+      .agg(sum(col("ca")).as("n_a"), max(col("nb")).as("n_b"),
+        sum(col("ca") * col("cb_below")).as("gt"),
+        sum(col("ca") * (col("nb") - col("cb_upto"))).as("lt"),
+        sum(col("sca")).as("sca"), sum(col("scb")).as("scb"),
+        sum(col("sqa")).as("sqa"), sum(col("sqb")).as("sqb"))
+    def d(s: String) = col(s).cast("double")
+    val delta = rnd(when(col("n_a") > 0L && col("n_b") > 0L,
+      (d("gt") - d("lt")) / (d("n_a") * d("n_b"))), 4)
+    val varA = varFromCents(col("n_a"), col("sca"), col("sqa"))
+    val varB = varFromCents(col("n_b"), col("scb"), col("sqb"))
+    val sdPooled = sqrt(
+      ((d("n_a") - 1.0) * varA + (d("n_b") - 1.0) * varB) /
+        (d("n_a") + d("n_b") - 2.0))
+    val cohensD = rnd(when(col("n_a") > 1L && col("n_b") > 1L && sdPooled > 0.0,
+      (meanFromCents(col("n_a"), col("sca")) -
+        meanFromCents(col("n_b"), col("scb"))) / sdPooled), 4)
+    g.select(col("event_type"), col("n_a"), col("n_b"),
+      delta.as("cliffs_delta"), cohensD.as("cohens_d"))
+      .withColumn("magnitude",
+        when(col("cliffs_delta").isNull, lit(null).cast("string"))
+          .when(abs(col("cliffs_delta")) < 0.147, "negligible")
+          .when(abs(col("cliffs_delta")) < 0.33, "small")
+          .when(abs(col("cliffs_delta")) < 0.474, "medium")
+          .otherwise("large"))
+  }
+
+  def qEffectSize(spark: SparkSession, dir: String): DataFrame =
+    effectSize(Tables.events(spark, dir), "event_type", "ts", "value", 15)
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_seasonality_strength" -> qSeasonalityStrength _,
     "q_chi_square" -> qChiSquare _,
@@ -665,6 +732,7 @@ object StatQueries {
     "q_spearman" -> qSpearman _,
     "q_mann_kendall" -> qMannKendall _,
     "q_kruskal_wallis" -> qKruskalWallis _,
+    "q_effect_size" -> qEffectSize _,
   )
 
   /** Shared CTE chain of the two KS oracles ([[qKsTest]] /
@@ -1031,6 +1099,68 @@ object StatQueries {
         |SELECT event_type, n_days, s, z,
         |  abs(z) > CAST(1.96 AS DOUBLE) AS trending
         |FROM z ORDER BY event_type""".stripMargin,
+    // exact pair counts off the cents grid (no pair join), shared
+    // moment helpers for Cohen's d, magnitude labels the ROUNDED δ
+    "q_effect_size" -> {
+      val varA = varFromCentsSql("n_a", "sca", "sqa")
+      val varB = varFromCentsSql("n_b", "scb", "sqb")
+      val sdPooled =
+        s"""sqrt(((CAST(n_a AS DOUBLE) - 1.0) * ($varA)
+           |      + (CAST(n_b AS DOUBLE) - 1.0) * ($varB))
+           |    / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2.0))""".stripMargin
+      val meanDiff =
+        s"(${meanFromCentsSql("n_a", "sca")} - ${meanFromCentsSql("n_b", "scb")})"
+      s"""WITH ev AS (
+         |  SELECT event_type,
+         |    CASE WHEN EXTRACT(day FROM ts) <= 15 THEN 1 ELSE 0 END AS ina,
+         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+         |  FROM events WHERE value IS NOT NULL),
+         |grid AS (
+         |  SELECT event_type, cents,
+         |    CAST(sum(ina) AS BIGINT) AS ca,
+         |    CAST(sum(1 - ina) AS BIGINT) AS cb,
+         |    CAST(sum(ina * cents) AS BIGINT) AS sca,
+         |    CAST(sum((1 - ina) * cents) AS BIGINT) AS scb,
+         |    CAST(sum(ina * cents * cents) AS BIGINT) AS sqa,
+         |    CAST(sum((1 - ina) * cents * cents) AS BIGINT) AS sqb
+         |  FROM ev GROUP BY event_type, cents),
+         |c AS (
+         |  SELECT event_type, ca, sca, scb, sqa, sqb,
+         |    CAST(coalesce(sum(cb) OVER (PARTITION BY event_type ORDER BY cents
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS cb_below,
+         |    CAST(sum(cb) OVER (PARTITION BY event_type ORDER BY cents
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cb_upto,
+         |    CAST(sum(cb) OVER (PARTITION BY event_type) AS BIGINT) AS nb
+         |  FROM grid),
+         |g AS (
+         |  SELECT event_type,
+         |    CAST(sum(ca) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+         |    CAST(sum(ca * cb_below) AS BIGINT) AS gt,
+         |    CAST(sum(ca * (nb - cb_upto)) AS BIGINT) AS lt,
+         |    CAST(sum(sca) AS BIGINT) AS sca, CAST(sum(scb) AS BIGINT) AS scb,
+         |    CAST(sum(sqa) AS BIGINT) AS sqa, CAST(sum(sqb) AS BIGINT) AS sqb
+         |  FROM c GROUP BY event_type),
+         |r AS (
+         |  SELECT event_type, n_a, n_b,
+         |    CASE WHEN n_a > 0 AND n_b > 0 THEN
+         |      floor(((CAST(gt AS DOUBLE) - CAST(lt AS DOUBLE))
+         |        / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+         |        * 1e4 + 0.5) / 1e4
+         |    END AS cliffs_delta,
+         |    CASE WHEN n_a > 1 AND n_b > 1 AND $sdPooled > 0.0 THEN
+         |      floor(($meanDiff / $sdPooled) * 1e4 + 0.5) / 1e4
+         |    END AS cohens_d
+         |  FROM g)
+         |SELECT event_type, n_a, n_b, cliffs_delta, cohens_d,
+         |  CASE WHEN cliffs_delta IS NULL THEN NULL
+         |    WHEN abs(cliffs_delta) < 0.147 THEN 'negligible'
+         |    WHEN abs(cliffs_delta) < 0.33 THEN 'small'
+         |    WHEN abs(cliffs_delta) < 0.474 THEN 'medium'
+         |    ELSE 'large' END AS magnitude
+         |FROM r ORDER BY event_type""".stripMargin
+    },
     // grid-ranked H: 2·avgRank = 2·cumBefore + t + 1 exact on the
     // distinct-cents grid, per-group terms rounded to integer units
     // before the order-free cross-group sum, mirrored final expression

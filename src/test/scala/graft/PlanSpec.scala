@@ -631,6 +631,9 @@ class PlanSpec extends AnyFunSuite {
       pair("SELECT * FROM kruskal_wallis('ev_r12', 'event_type', 'value')",
         graft.queries.StatQueries.kruskalWallis(ev, "event_type", "value"),
         Seq("n"))
+      pair("SELECT * FROM effect_size('ev_r12', 'event_type', 'ts', 'value', 15)",
+        graft.queries.StatQueries.effectSize(ev, "event_type", "ts", "value", 15),
+        Seq("event_type"))
       pair("SELECT * FROM jsd_drift('ev_r12', 'event_type', 'ts', 'value', 15)",
         graft.queries.TrainingDataQueries.jsdDrift(
           ev, "event_type", "ts", "value", 15),

@@ -131,6 +131,25 @@ class StatSpec extends AnyFunSuite {
     assert(r3.isNullAt(2))
   }
 
+  test("effectSize: dominated halves give delta -1, identical give 0") {
+    val ev = Seq(
+      // x: first half {1,2}, second half {3,4} — every a < b
+      ("x", dayNs(1), 1.0), ("x", dayNs(2), 2.0),
+      ("x", dayNs(20), 3.0), ("x", dayNs(21), 4.0),
+      // y: identical halves
+      ("y", dayNs(1), 1.0), ("y", dayNs(2), 2.0),
+      ("y", dayNs(20), 1.0), ("y", dayNs(21), 2.0)
+    ).toDF("event_type", "ts", "value")
+    val r = StatQueries.effectSize(ev, "event_type", "ts", "value", 15)
+      .orderBy("event_type").collect()
+    assert(r(0).getString(0) == "x" && r(0).getDouble(3) == -1.0)
+    assert(r(0).getString(5) == "large")
+    // Cohen's d by hand: (1.5 − 3.5)/sqrt(0.5) = −2.8284
+    assert(r(0).getDouble(4) == -2.8284, s"d = ${r(0).getDouble(4)}")
+    assert(r(1).getString(0) == "y" && r(1).getDouble(3) == 0.0 &&
+      r(1).getDouble(4) == 0.0 && r(1).getString(5) == "negligible")
+  }
+
   test("jsdDrift: identical halves give exactly 0, disjoint halves dominate") {
     import graft.queries.TrainingDataQueries
     val ev = Seq(
