@@ -274,6 +274,9 @@ case class ResolveGraftOp(spark: org.apache.spark.sql.SparkSession)
         case "effect_size" => // (typeCol, tsCol, valCol, splitDay)
           graft.queries.StatQueries.effectSize(
             dfs(0), str(0), str(1), str(2), lng(3).toInt)
+        case "crosscorr" => // (typeCol, tsCol, typeA, typeB, maxLag)
+          graft.queries.StatQueries.crossCorr(
+            dfs(0), str(0), str(1), str(2), str(3), lng(4).toInt)
         case "jsd_drift" => // (typeCol, tsCol, valCol, splitDay)
           graft.queries.TrainingDataQueries.jsdDrift(
             dfs(0), str(0), str(1), str(2), lng(3).toInt)
@@ -545,6 +548,8 @@ object GraftFunctions {
     "kruskal_wallis" -> ("kruskal_wallis(table, typeCol, valCol)", 2),
     "effect_size" ->
       ("effect_size(table, typeCol, tsCol, valCol, splitDay)", 4),
+    "crosscorr" ->
+      ("crosscorr(table, typeCol, tsCol, typeA, typeB, maxLag)", 5),
     "jsd_drift" -> ("jsd_drift(table, typeCol, tsCol, valCol, splitDay)", 4),
     "mode_value" -> ("mode_value(table, typeCol, valCol)", 2),
     "temperature_mix" -> ("temperature_mix(table, langCol, textCol)", 2),

@@ -718,6 +718,58 @@ object StatQueries {
     effectSize(Tables.events(spark, dir), "event_type", "ts", "value", 15)
       .orderBy("event_type")
 
+  /** Lead–lag cross-correlation between two event series — "does series
+    * A lead series B by k days": Pearson r of (x_{t−k}, y_t) over daily
+    * counts for k = 0..maxLag, the cross-series member of the
+    * [[autocorr]] family (same six-integer-sum fold, same lag-window
+    * unroll). The day spine is the UNION of days either series is
+    * active on (full outer join, absent side counts 0) so a series
+    * going dark reads as zeros, not missing rows.
+    *
+    * Scale: two filtered branches of ONE daily rollup joined at the
+    * DAY grain; the lag window runs over the single day-grain series
+    * (#days rows — metadata scale; the one unpartitioned window is
+    * bounded by the calendar, not the corpus). */
+  def crossCorr(df: DataFrame, typeCol: String, tsCol: String,
+                typeA: String, typeB: String, maxLag: Int = 3): DataFrame = {
+    require(maxLag >= 0, s"crossCorr: maxLag must be >= 0 (got $maxLag)")
+    val daily = df
+      .filter(col(typeCol).isin(typeA, typeB))
+      .select(col(typeCol).as("t"), dayOf(tsCol).as("day"))
+      .groupBy("day", "t").agg(count(lit(1)).as("c"))
+    val xa = daily.filter(col("t") === typeA).select(col("day"), col("c").as("x"))
+    val yb = daily.filter(col("t") === typeB).select(col("day"), col("c").as("y"))
+    val j = xa.join(yb, Seq("day"), "full_outer")
+      .select(col("day"), coalesce(col("x"), lit(0L)).as("x"),
+        coalesce(col("y"), lit(0L)).as("y"))
+    val w = Window.orderBy("day")
+    val lagCols = (0 to maxLag).map(k => lag(col("x"), k).over(w).as(s"x$k"))
+    val stacked = j
+      .select(Seq(col("y")) ++ lagCols: _*)
+      .select(col("y"), explode(array((0 to maxLag).map(k =>
+        struct(lit(k).as("lag"), col(s"x$k").as("xp"))): _*)).as("e"))
+      .select(col("e.lag").as("lag"), col("e.xp").as("xp"), col("y"))
+      .filter(col("xp").isNotNull)
+    val g = stacked.groupBy("lag").agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("xp")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("xp") * col("y")).as("sxy"),
+      sum(col("xp") * col("xp")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    def d(s: String) = col(s).cast("double")
+    val varX = d("n_pairs") * d("sxx") - d("sx") * d("sx")
+    val varY = d("n_pairs") * d("syy") - d("sy") * d("sy")
+    g.select(col("lag"), col("n_pairs"),
+      rnd(when(varX > 0.0 && varY > 0.0,
+        (d("n_pairs") * d("sxy") - d("sx") * d("sy")) /
+          sqrt(varX * varY)), 6).as("r"))
+  }
+
+  def qCrossCorr(spark: SparkSession, dir: String): DataFrame =
+    crossCorr(Tables.events(spark, dir), "event_type", "ts",
+      "click", "purchase")
+      .orderBy("lag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_seasonality_strength" -> qSeasonalityStrength _,
     "q_chi_square" -> qChiSquare _,
@@ -733,6 +785,7 @@ object StatQueries {
     "q_mann_kendall" -> qMannKendall _,
     "q_kruskal_wallis" -> qKruskalWallis _,
     "q_effect_size" -> qEffectSize _,
+    "q_crosscorr" -> qCrossCorr _,
   )
 
   /** Shared CTE chain of the two KS oracles ([[qKsTest]] /
@@ -1099,6 +1152,47 @@ object StatQueries {
         |SELECT event_type, n_days, s, z,
         |  abs(z) > CAST(1.96 AS DOUBLE) AS trending
         |FROM z ORDER BY event_type""".stripMargin,
+    // the autocorr six-sum fold over the cross-series lag pairs; the
+    // day spine is the FULL outer join (absent side counts 0)
+    "q_crosscorr" -> {
+      val lagSel = (0 to 3).map(l =>
+        s"""SELECT $l AS lag,
+           |  lag(x, $l) OVER (ORDER BY day) AS xp,
+           |  y FROM j""".stripMargin).mkString("\nUNION ALL\n")
+      s"""WITH daily AS (
+         |  SELECT event_type AS t, CAST(ts AS DATE) AS day,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM events WHERE event_type IN ('click', 'purchase')
+         |  GROUP BY event_type, CAST(ts AS DATE)),
+         |xa AS (SELECT day, c AS x FROM daily WHERE t = 'click'),
+         |yb AS (SELECT day, c AS y FROM daily WHERE t = 'purchase'),
+         |j AS (
+         |  SELECT day, CAST(coalesce(x, 0) AS BIGINT) AS x,
+         |    CAST(coalesce(y, 0) AS BIGINT) AS y
+         |  FROM xa FULL JOIN yb USING (day)),
+         |st AS ($lagSel),
+         |f AS (SELECT * FROM st WHERE xp IS NOT NULL),
+         |g AS (
+         |  SELECT lag, count(*) AS n_pairs,
+         |    CAST(sum(xp) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(xp * y) AS BIGINT) AS sxy,
+         |    CAST(sum(xp * xp) AS BIGINT) AS sxx,
+         |    CAST(sum(y * y) AS BIGINT) AS syy
+         |  FROM f GROUP BY lag),
+         |d AS (
+         |  SELECT lag, n_pairs,
+         |    CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS covnum,
+         |    CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varx,
+         |    CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+         |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vary
+         |  FROM g)
+         |SELECT lag, n_pairs,
+         |  CASE WHEN varx > 0.0 AND vary > 0.0 THEN
+         |    floor((covnum / sqrt(varx * vary)) * 1e6 + 0.5) / 1e6 END AS r
+         |FROM d ORDER BY lag""".stripMargin
+    },
     // exact pair counts off the cents grid (no pair join), shared
     // moment helpers for Cohen's d, magnitude labels the ROUNDED δ
     "q_effect_size" -> {

@@ -634,6 +634,10 @@ class PlanSpec extends AnyFunSuite {
       pair("SELECT * FROM effect_size('ev_r12', 'event_type', 'ts', 'value', 15)",
         graft.queries.StatQueries.effectSize(ev, "event_type", "ts", "value", 15),
         Seq("event_type"))
+      pair("SELECT * FROM crosscorr('ev_r12', 'event_type', 'ts', 'click', 'purchase', 3)",
+        graft.queries.StatQueries.crossCorr(
+          ev, "event_type", "ts", "click", "purchase", 3),
+        Seq("lag"))
       pair("SELECT * FROM jsd_drift('ev_r12', 'event_type', 'ts', 'value', 15)",
         graft.queries.TrainingDataQueries.jsdDrift(
           ev, "event_type", "ts", "value", 15),

@@ -131,6 +131,19 @@ class StatSpec extends AnyFunSuite {
     assert(r3.isNullAt(2))
   }
 
+  test("crossCorr: a one-day-shifted copy reads r=1 at lag 1, r=0 at lag 0") {
+    // click counts 1,2,3,4 on days 1-4; purchase = same shifted to 2-5
+    val clicks = (1 to 4).flatMap(d => (1 to d).map(_ => ("click", dayNs(d))))
+    val buys = (2 to 5).flatMap(d => (1 to (d - 1)).map(_ => ("purchase", dayNs(d))))
+    val ev = (clicks ++ buys).toDF("event_type", "ts")
+    val r = StatQueries.crossCorr(ev, "event_type", "ts", "click", "purchase", 1)
+      .orderBy("lag").collect()
+    // lag 0 over the 5-day union spine: x=(1,2,3,4,0), y=(0,1,2,3,4) -> r=0
+    assert(r(0).getInt(0) == 0 && r(0).getLong(1) == 5L && r(0).getDouble(2) == 0.0)
+    // lag 1: pairs (1,1),(2,2),(3,3),(4,4) -> r=1
+    assert(r(1).getInt(0) == 1 && r(1).getLong(1) == 4L && r(1).getDouble(2) == 1.0)
+  }
+
   test("effectSize: dominated halves give delta -1, identical give 0") {
     val ev = Seq(
       // x: first half {1,2}, second half {3,4} — every a < b
