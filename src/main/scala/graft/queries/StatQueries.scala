@@ -279,18 +279,32 @@ object StatQueries {
     val daily = df
       .select(col(typeCol).as("event_type"), dayOf(tsCol).as("day"))
       .groupBy("event_type", "day").agg(count(lit(1)).as("x"))
-    val w = Window.partitionBy("event_type").orderBy("day")
-    val lagCols = (1 to maxLag).map(l => lag(col("x"), l).over(w).as(s"x$l"))
-    val lagged = daily.select(
-      Seq(col("event_type"), col("x").as("y")) ++ lagCols: _*)
-    val stacked = lagged
-      .select(col("event_type"), col("y"),
-        explode(array((1 to maxLag).map(l =>
-          struct(lit(l).as("lag"), col(s"x$l").as("xp"))): _*)).as("e"))
-      .select(col("event_type"), col("e.lag").as("lag"),
-        col("e.xp").as("xp"), col("y"))
+    laggedPearson(daily.withColumn("y", col("x")),
+      partCols = Seq("event_type"), ordCol = "day", lags = 1 to maxLag)
+  }
+
+  /** Shared lag-unroll + six-integer-sum Pearson fold for the
+    * [[autocorr]]/[[crossCorr]] pair — given a frame with `x`, `y` and
+    * an order column, emits (partCols…, lag, n_pairs, r) for each lag:
+    * xp = lag(x, k), Pearson(xp, y) from exact integer sums in the
+    * mirrored fixed-order expression. ONE definition (review r13:
+    * crossCorr had grown a near-verbatim copy of autocorr's body —
+    * the fold lives once or the two series tests diverge). */
+  private def laggedPearson(series: DataFrame, partCols: Seq[String],
+                            ordCol: String, lags: Range): DataFrame = {
+    val w = {
+      val base = Window.partitionBy(partCols.map(col): _*)
+      base.orderBy(ordCol)
+    }
+    val lagCols = lags.map(l => lag(col("x"), l).over(w).as(s"x$l"))
+    val keep = partCols.map(col) :+ col("y")
+    val stacked = series
+      .select(keep ++ lagCols: _*)
+      .select(keep :+ explode(array(lags.map(l =>
+        struct(lit(l).as("lag"), col(s"x$l").as("xp"))): _*)).as("e"): _*)
+      .select(keep ++ Seq(col("e.lag").as("lag"), col("e.xp").as("xp")): _*)
       .filter(col("xp").isNotNull)
-    val g = stacked.groupBy("event_type", "lag").agg(
+    val g = stacked.groupBy((partCols :+ "lag").map(col): _*).agg(
       count(lit(1)).as("n_pairs"),
       sum(col("xp")).as("sx"), sum(col("y")).as("sy"),
       sum(col("xp") * col("y")).as("sxy"),
@@ -299,10 +313,10 @@ object StatQueries {
     def d(s: String) = col(s).cast("double")
     val varX = d("n_pairs") * d("sxx") - d("sx") * d("sx")
     val varY = d("n_pairs") * d("syy") - d("sy") * d("sy")
-    g.select(col("event_type"), col("lag"), col("n_pairs"),
+    g.select((partCols.map(col) ++ Seq(col("lag"), col("n_pairs"),
       rnd(when(varX > 0.0 && varY > 0.0,
         (d("n_pairs") * d("sxy") - d("sx") * d("sy")) /
-          sqrt(varX * varY)), 6).as("r"))
+          sqrt(varX * varY)), 6).as("r"))): _*)
   }
 
   def qAutocorr(spark: SparkSession, dir: String): DataFrame =
@@ -581,9 +595,15 @@ object StatQueries {
     mannKendall(Tables.events(spark, dir), "event_type", "ts")
       .orderBy("event_type")
 
-  /** Critical value of χ²(4) at α = 0.05 — the [[Chi2Crit6]] sibling
-    * for the 5-group Kruskal–Wallis flag. */
-  val Chi2Crit4 = 9.4877
+  /** χ² critical values at α = 0.05 for dof 1..6 — the Kruskal–Wallis
+    * `significant` flag looks its dof up here (k is DATA-dependent,
+    * unlike the structurally-fixed chi-square dow test — review r13:
+    * a hardwired dof=4 silently reported FALSE for any other group
+    * count); dof outside the table yields a NULL flag, never a wrong
+    * one. */
+  val Chi2Crit05: Map[Int, Double] = Map(
+    1 -> 3.8415, 2 -> 5.9915, 3 -> 7.8147,
+    4 -> 9.4877, 5 -> 11.0705, 6 -> 12.5916)
 
   /** Kruskal–Wallis one-way rank test across ALL groups — "do the k
     * value distributions differ anywhere" (the k-sample complement of
@@ -598,8 +618,9 @@ object StatQueries {
     * IEEE-exact on both engines) before an order-free exact long sum —
     * per-group error ≤ 2⁻¹¹ against a statistic scaled by 12/N², far
     * below the 1e-4 output round for any N ≥ 30. `significant`
-    * compares the ROUNDED H against [[Chi2Crit4]] when dof = 4 (the
-    * chi-square flag discipline).
+    * compares the ROUNDED H against the [[Chi2Crit05]] critical value
+    * for the observed dof (NULL past the table — never a wrong flag;
+    * the chi-square flag discipline).
     *
     * Scale: both aggregates live on the value-RESOLUTION-bounded grid
     * (distinct cents ≤ range·100 rows regardless of corpus size); the
@@ -642,10 +663,13 @@ object StatQueries {
     val corr = lit(1.0) - d(col("tie3")) /
       d(col("n") * col("n") * col("n") - col("n"))
     val h = rnd(when(corr > 0.0, hRaw / corr), 4)
+    val sig = (1 to 6).foldLeft(lit(null).cast("boolean")) { (acc, k) =>
+      when(col("dof") === k.toLong, col("h") > Chi2Crit05(k)).otherwise(acc)
+    }
     agg.crossJoin(broadcast(ties))
       .select(col("n"), col("k_groups"), h.as("h"),
         (col("k_groups") - lit(1L)).as("dof"))
-      .withColumn("significant", col("dof") === 4L && col("h") > Chi2Crit4)
+      .withColumn("significant", sig)
   }
 
   def qKruskalWallis(spark: SparkSession, dir: String): DataFrame =
@@ -721,15 +745,19 @@ object StatQueries {
   /** Lead–lag cross-correlation between two event series — "does series
     * A lead series B by k days": Pearson r of (x_{t−k}, y_t) over daily
     * counts for k = 0..maxLag, the cross-series member of the
-    * [[autocorr]] family (same six-integer-sum fold, same lag-window
-    * unroll). The day spine is the UNION of days either series is
-    * active on (full outer join, absent side counts 0) so a series
-    * going dark reads as zeros, not missing rows.
+    * [[autocorr]] family (the shared [[laggedPearson]] fold). The day
+    * spine is the COMPLETE CALENDAR between the first and last active
+    * day of either series (sequence over the min/max bounds) — a
+    * row-based lag over only-active days would pair values k ROWS
+    * apart, not k DAYS apart, and silently mis-answer the lead
+    * question whenever both series go dark together (review r13);
+    * absent days count 0 on both sides.
     *
-    * Scale: two filtered branches of ONE daily rollup joined at the
-    * DAY grain; the lag window runs over the single day-grain series
-    * (#days rows — metadata scale; the one unpartitioned window is
-    * bounded by the calendar, not the corpus). */
+    * Scale: two filtered branches of ONE daily rollup joined onto the
+    * calendar spine at the DAY grain; the lag window runs over the
+    * single day-grain series (#days rows — metadata scale; the one
+    * unpartitioned window is bounded by the calendar, not the
+    * corpus). Scan count is pinned in PlanSpec. */
   def crossCorr(df: DataFrame, typeCol: String, tsCol: String,
                 typeA: String, typeB: String, maxLag: Int = 3): DataFrame = {
     require(maxLag >= 0, s"crossCorr: maxLag must be >= 0 (got $maxLag)")
@@ -740,29 +768,12 @@ object StatQueries {
     val xa = daily.filter(col("t") === typeA).select(col("day"), col("c").as("x"))
     val yb = daily.filter(col("t") === typeB).select(col("day"), col("c").as("y"))
     val j = xa.join(yb, Seq("day"), "full_outer")
+    val bounds = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val spine = bounds.select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val full = spine.join(j, Seq("day"), "left")
       .select(col("day"), coalesce(col("x"), lit(0L)).as("x"),
         coalesce(col("y"), lit(0L)).as("y"))
-    val w = Window.orderBy("day")
-    val lagCols = (0 to maxLag).map(k => lag(col("x"), k).over(w).as(s"x$k"))
-    val stacked = j
-      .select(Seq(col("y")) ++ lagCols: _*)
-      .select(col("y"), explode(array((0 to maxLag).map(k =>
-        struct(lit(k).as("lag"), col(s"x$k").as("xp"))): _*)).as("e"))
-      .select(col("e.lag").as("lag"), col("e.xp").as("xp"), col("y"))
-      .filter(col("xp").isNotNull)
-    val g = stacked.groupBy("lag").agg(
-      count(lit(1)).as("n_pairs"),
-      sum(col("xp")).as("sx"), sum(col("y")).as("sy"),
-      sum(col("xp") * col("y")).as("sxy"),
-      sum(col("xp") * col("xp")).as("sxx"),
-      sum(col("y") * col("y")).as("syy"))
-    def d(s: String) = col(s).cast("double")
-    val varX = d("n_pairs") * d("sxx") - d("sx") * d("sx")
-    val varY = d("n_pairs") * d("syy") - d("sy") * d("sy")
-    g.select(col("lag"), col("n_pairs"),
-      rnd(when(varX > 0.0 && varY > 0.0,
-        (d("n_pairs") * d("sxy") - d("sx") * d("sy")) /
-          sqrt(varX * varY)), 6).as("r"))
+    laggedPearson(full, partCols = Seq(), ordCol = "day", lags = 0 to maxLag)
   }
 
   def qCrossCorr(spark: SparkSession, dir: String): DataFrame =
@@ -1153,12 +1164,14 @@ object StatQueries {
         |  abs(z) > CAST(1.96 AS DOUBLE) AS trending
         |FROM z ORDER BY event_type""".stripMargin,
     // the autocorr six-sum fold over the cross-series lag pairs; the
-    // day spine is the FULL outer join (absent side counts 0)
+    // day spine is the COMPLETE CALENDAR between the series' bounds
+    // (a row-based lag over active-only days would pair values k ROWS
+    // apart, not k DAYS — review r13), absent days count 0 both sides
     "q_crosscorr" -> {
       val lagSel = (0 to 3).map(l =>
         s"""SELECT $l AS lag,
            |  lag(x, $l) OVER (ORDER BY day) AS xp,
-           |  y FROM j""".stripMargin).mkString("\nUNION ALL\n")
+           |  y FROM full_""".stripMargin).mkString("\nUNION ALL\n")
       s"""WITH daily AS (
          |  SELECT event_type AS t, CAST(ts AS DATE) AS day,
          |    CAST(count(*) AS BIGINT) AS c
@@ -1166,10 +1179,16 @@ object StatQueries {
          |  GROUP BY event_type, CAST(ts AS DATE)),
          |xa AS (SELECT day, c AS x FROM daily WHERE t = 'click'),
          |yb AS (SELECT day, c AS y FROM daily WHERE t = 'purchase'),
-         |j AS (
-         |  SELECT day, CAST(coalesce(x, 0) AS BIGINT) AS x,
+         |j AS (SELECT day, x, y FROM xa FULL JOIN yb USING (day)),
+         |bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+         |spine AS (
+         |  SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+         |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+         |  FROM bounds),
+         |full_ AS (
+         |  SELECT spine.day, CAST(coalesce(x, 0) AS BIGINT) AS x,
          |    CAST(coalesce(y, 0) AS BIGINT) AS y
-         |  FROM xa FULL JOIN yb USING (day)),
+         |  FROM spine LEFT JOIN j USING (day)),
          |st AS ($lagSel),
          |f AS (SELECT * FROM st WHERE xp IS NOT NULL),
          |g AS (
@@ -1298,7 +1317,9 @@ object StatQueries {
          |    END AS h
          |  FROM a, tie)
          |SELECT n, k_groups, h, CAST(k_groups - 1 AS BIGINT) AS dof,
-         |  k_groups - 1 = 4 AND h > $Chi2Crit4 AS significant
+         |  CASE CAST(k_groups - 1 AS BIGINT)
+         |    ${(1 to 6).map(k => s"WHEN $k THEN h > ${Chi2Crit05(k)}").mkString(" ")}
+         |    ELSE NULL END AS significant
          |FROM hh""".stripMargin,
     // ascending-rank Gini as one integer rational per group (tie order
     // provably cancels)

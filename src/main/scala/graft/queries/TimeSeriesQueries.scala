@@ -727,10 +727,14 @@ object TimeSeriesQueries {
     * Poisson, far above 1 is bursty.
     *
     * Scale: one lag window per group at the row grain (the q_lag_lead
-    * shape — chunk-stitch per ChunkedOrder for a monster group), then
-    * one map-side-combinable aggregate. Long-exactness: Σg² ≤
-    * span_ms²·n — exact to ~10⁴ gaps at day-long gaps, ~10⁹ gaps at
-    * second-long gaps; decimal(38,0) is the named widen. */
+    * shape — chunk-stitch per ChunkedOrder for a monster group). The
+    * moment sums combine map-side, but the EXACT median's aggregation
+    * buffer holds every gap of its group — the same priced hazard as
+    * latencyPercentiles: for a monster group swap `percentile` for
+    * `percentile_approx` (the at-tolerance swap; the mean/cv columns
+    * are unaffected). Long-exactness: Σg² ≤ span_ms²·n — exact to
+    * ~10⁴ gaps at day-long gaps, ~10⁹ gaps at second-long gaps;
+    * decimal(38,0) is the named widen. */
   def interarrival(df: DataFrame, typeCol: String, tsCol: String,
                    idCol: String): DataFrame = {
     val w = Window.partitionBy("event_type").orderBy(tsCol, idCol)

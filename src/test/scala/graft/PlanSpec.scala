@@ -675,6 +675,24 @@ class PlanSpec extends AnyFunSuite {
       finalPlan.take(2000))
   }
 
+  test("round-13 multi-consumer stats: scan counts pinned in executed plans") {
+    // the kruskal/crosscorr grids feed multiple bounded rollups — pin
+    // the fact-scan count so a plan regression to extra passes lands
+    // here (the q_mann_kendall discipline; counts are the MEASURED
+    // shapes, documented in the operators' Scaladoc)
+    def executedScans(name: String): Int = {
+      val df = SparkEntry.queries(name)(spark, TestSpark.Sf)
+      df.queryExecution.toRdd.count()
+      val finalPlan = df.queryExecution.executedPlan.toString
+        .split("Initial Plan")(0)
+      "Scan parquet".r.findAllIn(finalPlan).length
+    }
+    assert(executedScans("q_kruskal_wallis") <= 2)
+    assert(executedScans("q_crosscorr") <= 3)
+    assert(executedScans("q_effect_size") == 1)
+    assert(executedScans("q_spearman") == 1)
+  }
+
   test("q_span_dedup executed plan computes the gram explode exactly once") {
     // the r9 shape relied on AQE ReuseExchange to dedupe the gram
     // pipeline under its consumers, but column pruning de-canonicalized

@@ -144,6 +144,24 @@ class StatSpec extends AnyFunSuite {
     assert(r(1).getInt(0) == 1 && r(1).getLong(1) == 4L && r(1).getDouble(2) == 1.0)
   }
 
+  test("crossCorr: lag counts CALENDAR days — a day dark on both sides still counts") {
+    // clicks on days {1,2,5}, purchases the same shifted one day to
+    // {2,3,6}; day 4 has NO events of either type. The calendar spine
+    // runs 1..6, so lag 0 sees 6 pairs (a row-based spine would see 5)
+    // and the one-day shift still reads r=1 at lag 1 THROUGH the hole.
+    val clicks = Seq((1, 1), (2, 2), (5, 5))
+      .flatMap { case (d, n) => (1 to n).map(_ => ("click", dayNs(d))) }
+    val buys = Seq((2, 1), (3, 2), (6, 5))
+      .flatMap { case (d, n) => (1 to n).map(_ => ("purchase", dayNs(d))) }
+    val ev = (clicks ++ buys).toDF("event_type", "ts")
+    val r = StatQueries.crossCorr(ev, "event_type", "ts", "click", "purchase", 1)
+      .orderBy("lag").collect()
+    assert(r(0).getInt(0) == 0 && r(0).getLong(1) == 6L,
+      s"lag-0 spine must be 6 calendar days, got ${r(0).getLong(1)}")
+    assert(r(1).getInt(0) == 1 && r(1).getLong(1) == 5L &&
+      r(1).getDouble(2) == 1.0, s"lag-1 r = ${r(1).getDouble(2)}")
+  }
+
   test("effectSize: dominated halves give delta -1, identical give 0") {
     val ev = Seq(
       // x: first half {1,2}, second half {3,4} — every a < b
