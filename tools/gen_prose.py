@@ -89,10 +89,11 @@ def oracles_line(args):
                       if d.startswith("q") and
                       os.path.isdir(os.path.join(args.verify_dir, d))])
     return (f"{registered} queries, {oracled} with DuckDB oracle SQL\n"
-            "  hash-matching at sf0.001/sf0.01/sf0.1; every rows-only entry carries\n"
-            "  an in-plan quality gate — ANN recall, semantic-dedup pair recall,\n"
-            "  sketch accuracy, multimodal decoded-luma parity — and the ML\n"
-            "  metric queries emit theorem certificates the oracle pins TRUE")
+            "  hash-matching at sf0.001/sf0.01/sf0.1; the model-backed entries\n"
+            "  (ANN tiers, semantic dedup, ML metrics) register as theorem\n"
+            "  certificates — measured recall/metric invariants emitted as\n"
+            "  constant-pinned rows the oracle hash-compares — with the rich\n"
+            "  per-query surfaces in-plan recall-gated behind the same floors")
 
 
 def rewrite(path, tag, body):
