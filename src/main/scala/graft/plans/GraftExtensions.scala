@@ -292,6 +292,13 @@ case class ResolveGraftOp(spark: org.apache.spark.sql.SparkSession)
         case "interarrival" => // (typeCol, tsCol, idCol)
           graft.queries.TimeSeriesQueries.interarrival(
             dfs(0), str(0), str(1), str(2))
+        case "value_entropy" => // (typeCol, valCol)
+          graft.queries.StatQueries.valueEntropy(dfs(0), str(0), str(1))
+        case "power_analysis" => // (typeCol, tsCol, valCol, splitDay)
+          graft.queries.TrainingDataQueries.powerAnalysis(
+            dfs(0), str(0), str(1), str(2), lng(3).toInt)
+        case "readability" => // (idCol, textCol)
+          graft.queries.TextStats.readability(dfs(0), str(0), str(1))
         case "bpe_pairs" => // (idCol, textCol, k)
           graft.queries.TextStats.bpePairs(
             dfs(0), str(0), str(1), lng(2).toInt)
@@ -555,7 +562,11 @@ object GraftFunctions {
     "temperature_mix" -> ("temperature_mix(table, langCol, textCol)", 2),
     "curriculum" -> ("curriculum(table, textCol)", 1),
     "zipf_fit" -> ("zipf_fit(table, idCol, textCol, k)", 3),
-    "interarrival" -> ("interarrival(table, typeCol, tsCol, idCol)", 3))
+    "interarrival" -> ("interarrival(table, typeCol, tsCol, idCol)", 3),
+    "value_entropy" -> ("value_entropy(table, typeCol, valCol)", 2),
+    "power_analysis" ->
+      ("power_analysis(table, typeCol, tsCol, valCol, splitDay)", 4),
+    "readability" -> ("readability(table, idCol, textCol)", 2))
 
   /** Two-table composed-operator TVF registry: name → (usage, scalar
     * arg count AFTER the two table arguments). */

@@ -781,7 +781,47 @@ object StatQueries {
       "click", "purchase")
       .orderBy("lag")
 
+  /** Shannon entropy of the value distribution per group — the
+    * dispersion-shape complement of variance (a two-spike and a
+    * uniform distribution can share a variance; entropy tells them
+    * apart — the drift dashboards' "has the distribution COLLAPSED"
+    * read): H = −Σ p·ln p over the distinct-cents grid, normalized by
+    * ln(#cells) to [0,1]. Each term is nano-rounded to an exact long
+    * (the integer-micro idiom at 1e9 — terms are ≤ 1/e so the finer
+    * unit costs nothing) making the sum order-free; the two output
+    * divisions are mirrored fixed-order doubles.
+    *
+    * Scale: the same value-RESOLUTION-bounded grid as [[ksTest]]; the
+    * per-type total is a window over that grid — one fact pass.
+    * Long-exactness: Σ terms ≤ 0.37e9·cells — exact past 10¹⁰ grid
+    * cells, far beyond any value resolution. */
+  def valueEntropy(df: DataFrame, typeCol: String,
+                   valCol: String): DataFrame = {
+    val grid = df.filter(col(valCol).isNotNull)
+      .select(col(typeCol).as("event_type"), centsOf(valCol).as("cents"))
+      .groupBy("event_type", "cents").agg(count(lit(1)).as("n"))
+    val wAll = Window.partitionBy("event_type")
+    val p = col("n").cast("double") / col("tot").cast("double")
+    val termNano = floor(-(p * log(p)) * 1e9 + 0.5).cast("long")
+    val g = grid
+      .withColumn("tot", sum(col("n")).over(wAll))
+      .select(col("event_type"), col("tot"), termNano.as("t"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_values"), max(col("tot")).as("n_events"),
+        sum(col("t")).as("snano"))
+    def d(s: String) = col(s).cast("double")
+    g.select(col("event_type"), col("n_values"), col("n_events"),
+      rnd(d("snano") / 1e9, 6).as("entropy"),
+      rnd(when(col("n_values") > 1L,
+        (d("snano") / 1e9) / log(d("n_values"))), 4).as("norm_entropy"))
+  }
+
+  def qValueEntropy(spark: SparkSession, dir: String): DataFrame =
+    valueEntropy(Tables.events(spark, dir), "event_type", "value")
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_value_entropy" -> qValueEntropy _,
     "q_seasonality_strength" -> qSeasonalityStrength _,
     "q_chi_square" -> qChiSquare _,
     "q_autocorr" -> qAutocorr _,
@@ -1212,6 +1252,36 @@ object StatQueries {
          |    floor((covnum / sqrt(varx * vary)) * 1e6 + 0.5) / 1e6 END AS r
          |FROM d ORDER BY lag""".stripMargin
     },
+    // nano-rounded −p·ln p terms summed as exact longs over the cents
+    // grid; the per-type total is a window over the same grid
+    "q_value_entropy" ->
+      """WITH grid AS (
+        |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events WHERE value IS NOT NULL
+        |  GROUP BY event_type, 2),
+        |w AS (
+        |  SELECT event_type, n,
+        |    CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+        |  FROM grid),
+        |t AS (
+        |  SELECT event_type, tot,
+        |    CAST(floor(-((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))
+        |      * ln(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))) * 1e9 + 0.5)
+        |      AS BIGINT) AS t
+        |  FROM w),
+        |g AS (
+        |  SELECT event_type, count(*) AS n_values,
+        |    CAST(max(tot) AS BIGINT) AS n_events,
+        |    CAST(sum(t) AS BIGINT) AS snano
+        |  FROM t GROUP BY event_type)
+        |SELECT event_type, n_values, n_events,
+        |  floor((CAST(snano AS DOUBLE) / 1e9) * 1e6 + 0.5) / 1e6 AS entropy,
+        |  CASE WHEN n_values > 1 THEN
+        |    floor(((CAST(snano AS DOUBLE) / 1e9)
+        |      / ln(CAST(n_values AS DOUBLE))) * 1e4 + 0.5) / 1e4
+        |  END AS norm_entropy
+        |FROM g ORDER BY event_type""".stripMargin,
     // exact pair counts off the cents grid (no pair join), shared
     // moment helpers for Cohen's d, magnitude labels the ROUNDED δ
     "q_effect_size" -> {

@@ -615,6 +615,33 @@ import TextStats._
          |SELECT lang, n_docs, n_tokens, mean_quality, dup_docs, pii_docs,
          |  floor((n_tokens / CAST(tot AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS token_share
          |FROM per, tot ORDER BY lang""".stripMargin,
+    // pure integer regexp-match counts (identical Java/RE2 semantics
+    // for these classes) into one mirrored fixed-order expression;
+    // band labels the ROUNDED score
+    "q_readability" ->
+      s"""WITH c AS (
+         |  SELECT doc_id,
+         |    CAST(len($TOKS) AS BIGINT) AS n_words,
+         |    greatest(CAST(1 AS BIGINT),
+         |      CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))
+         |      AS n_sentences,
+         |    CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS BIGINT)
+         |      AS n_syllables
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id, n_words, n_sentences, n_syllables,
+         |    floor((CAST('206.835' AS DOUBLE)
+         |      - CAST('1.015' AS DOUBLE)
+         |        * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+         |      - CAST('84.6' AS DOUBLE)
+         |        * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)))
+         |      * 1e2 + 0.5) / 1e2 AS flesch
+         |  FROM c)
+         |SELECT doc_id, n_words, n_sentences, n_syllables, flesch,
+         |  CASE WHEN flesch >= 60.0 THEN 'easy'
+         |    WHEN flesch >= 30.0 THEN 'standard'
+         |    ELSE 'difficult' END AS band
+         |FROM f ORDER BY doc_id""".stripMargin,
     // per-row micro-rounded ln's, six exact integer OLS sums, the
     // linreg fixed-order slope/r² (micro units cancel in the ratios)
     "q_zipf_fit" ->

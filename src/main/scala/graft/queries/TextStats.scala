@@ -894,6 +894,44 @@ object TextStats {
   def qZipfFit(spark: SparkSession, dir: String): DataFrame =
     zipfFitOf(cachedDocTokens(spark, dir), ZipfTopK)
 
+  /** Crude deterministic Flesch reading ease per doc — the classic
+    * curation signal for audience-level filtering: 206.835 −
+    * 1.015·(words/sentences) − 84.6·(syllables/words), with sentences
+    * = [.!?]+ runs (floored at 1) and syllables ≈ vowel-group runs —
+    * both PURE integer regexp-match counts, identical under Java and
+    * RE2 regex for these classes, so the formula is one mirrored
+    * fixed-order double expression over exact integers. `band` labels
+    * the ROUNDED score (easy ≥ 60 > standard ≥ 30 > difficult). The
+    * vowel-group syllable count under-counts real syllables (silent-e
+    * etc.) — it is the deterministic stand-in, not a linguistics
+    * claim; the BANDS are what curation filters on.
+    *
+    * Scale: three codegen'd regexp counts per row, scan-parallel; no
+    * shuffle at all (the q_text_stats shape). */
+  def readability(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val nW = size(tokens(col(textCol))).cast("long")
+    val nS = greatest(lit(1L),
+      regexp_count(col(textCol), lit("[.!?]+")).cast("long"))
+    val nSyl = regexp_count(col(textCol), lit("[aeiouyAEIOUY]+")).cast("long")
+    val base = docs.select(col(idCol).as("doc_id"), nW.as("n_words"),
+      nS.as("n_sentences"), nSyl.as("n_syllables"))
+    def d(s: String) = col(s).cast("double")
+    val flesch = rnd(lit(206.835) -
+      lit(1.015) * (d("n_words") / d("n_sentences")) -
+      lit(84.6) * (d("n_syllables") / d("n_words")), 2)
+    base
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"), flesch.as("flesch"))
+      .withColumn("band",
+        when(col("flesch") >= 60.0, "easy")
+          .when(col("flesch") >= 30.0, "standard")
+          .otherwise("difficult"))
+  }
+
+  def qReadability(spark: SparkSession, dir: String): DataFrame =
+    readability(Tables.documents(spark, dir)).orderBy("doc_id")
+
   /** Cross-source overlap matrix — how much does source A mirror
     * source B: SimHash near-dup pairs (Hamming ≤ 3, the banded exact
     * candidate contract — EXACT fingerprints are too strict below
@@ -1099,6 +1137,7 @@ object TextStats {
     "q_dataset_card" -> qDatasetCard _,
     "q_curriculum" -> qCurriculum _,
     "q_zipf_fit" -> qZipfFit _,
+    "q_readability" -> qReadability _,
     "q_source_overlap" -> qSourceOverlap _,
     "q_text_stats" -> qTextStats _,
     "q_text_quality" -> qTextQuality _,

@@ -581,6 +581,61 @@ object TrainingDataQueries {
     abTest(Tables.events(spark, dir), "event_type", "ts", "value", 15)
       .orderBy("event_type")
 
+  /** (z_{α/2} + z_{power})² for α = 0.05 two-sided, power = 0.80 — the
+    * EXACT double the Scala runtime computes, interpolated into the
+    * oracle as its shortest round-trip decimal (the benfordP rule). */
+  val PowerZSum2: Double = {
+    val za = 1.959963984540054   // Φ⁻¹(0.975)
+    val zb = 0.8416212335729143  // Φ⁻¹(0.80)
+    (za + zb) * (za + zb)
+  }
+
+  /** Experiment power analysis per group — "how many samples per arm
+    * would the NEXT experiment need to detect the shift we just
+    * observed" (α = 0.05 two-sided, 80% power, Welch form):
+    * n = ⌈(z_{α/2}+z_{0.8})²·(s_a²+s_b²)/δ²⌉ with δ the observed
+    * month-half mean difference and the variances from the shared
+    * exact-cent moment helpers. The experiment-sizing companion to
+    * [[abTest]]: the t-test says whether THIS month moved; this says
+    * what it costs to confirm a move of that size again. δ = 0 (or a
+    * degenerate arm) yields NULL, and a required n beyond 10¹⁵ is
+    * reported NULL rather than a meaninglessly huge ceil.
+    *
+    * Scale: the abTest shape verbatim — one (type × period) moment
+    * aggregate, then a 2-row-per-type self-join at metadata scale. */
+  def powerAnalysis(df: DataFrame, typeCol: String, tsCol: String,
+                    valCol: String, splitDay: Int): DataFrame = {
+    val ev = df.select(col(typeCol).as("event_type"),
+      when(dayofmonth(dayOf(tsCol)) <= splitDay, "a").otherwise("b")
+        .as("period"),
+      centsOf(valCol).as("cents"))
+    val g = ev.groupBy("event_type", "period")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sumc"),
+        sum(col("cents") * col("cents")).as("sumsq"))
+    def m(s: String) = meanFromCents(col(s + ".n"), col(s + ".sumc"))
+    def v(s: String) = varFromCents(col(s + ".n"), col(s + ".sumc"),
+      col(s + ".sumsq"))
+    val a = g.filter(col("period") === "a").as("a")
+    val b = g.filter(col("period") === "b").as("b")
+    val delta = m("a") - m("b")
+    // raw stays a DOUBLE through the guards: δ = 0 makes it Inf on
+    // BOTH engines (never a /0 error for doubles), and ceil is only
+    // evaluated once the finite-range predicate holds — an eager
+    // ceil(Inf)→long would throw under ANSI
+    val raw = lit(PowerZSum2) * (v("a") + v("b")) / (delta * delta)
+    a.join(b, col("a.event_type") === col("b.event_type"))
+      .filter(col("a.n") >= 2 && col("b.n") >= 2)
+      .select(col("a.event_type").as("event_type"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"),
+        rnd(delta, 4).as("observed_delta"),
+        when(abs(delta) > 0.0 && raw <= 1e15, ceil(raw).cast("long"))
+          .as("n_per_arm"))
+  }
+
+  def qPowerAnalysis(spark: SparkSession, dir: String): DataFrame =
+    powerAnalysis(Tables.events(spark, dir), "event_type", "ts", "value", 15)
+      .orderBy("event_type")
+
   /** k for [[qKAnonymity]] / band width — interpolated into BOTH
     * engines so they cannot drift. */
   val AnonK = 5
@@ -676,6 +731,7 @@ object TrainingDataQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_jsd_drift" -> qJsdDrift _,
     "q_temperature_mix" -> qTemperatureMix _,
+    "q_power_analysis" -> qPowerAnalysis _,
     "q_k_anonymity" -> qKAnonymity _,
     "q_dp_counts" -> qDpCounts _,
     "q_psi_drift" -> qPsiDrift _,
@@ -816,6 +872,35 @@ object TrainingDataQueries {
          |  floor(($fold) * 1e6 + 0.5) / 1e6 AS jsd,
          |  floor(($fold) * 1e6 + 0.5) / 1e6 > 0.1 AS drifted
          |FROM agg ORDER BY event_type""".stripMargin
+    },
+    // the abTest moment shape; raw n stays DOUBLE through the guards
+    // (δ=0 → Inf on both engines, predicate false, no /0 error) and
+    // ceil fires only inside the finite range
+    "q_power_analysis" -> {
+      val meanDiff =
+        s"(${meanFromCentsSql("a.n", "a.sumc")} - ${meanFromCentsSql("b.n", "b.sumc")})"
+      val varSum =
+        s"(${varFromCentsSql("a.n", "a.sumc", "a.sumsq")} + ${varFromCentsSql("b.n", "b.sumc", "b.sumsq")})"
+      val raw = s"(CAST('$PowerZSum2' AS DOUBLE) * $varSum / ($meanDiff * $meanDiff))"
+      s"""WITH ev AS (
+         |  SELECT event_type,
+         |    CASE WHEN EXTRACT(day FROM ts) <= 15 THEN 'a' ELSE 'b' END AS period,
+         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+         |  FROM events),
+         |g AS (
+         |  SELECT event_type, period, count(*) AS n,
+         |    CAST(sum(cents) AS BIGINT) AS sumc,
+         |    CAST(sum(cents * cents) AS BIGINT) AS sumsq
+         |  FROM ev GROUP BY event_type, period),
+         |a AS (SELECT * FROM g WHERE period = 'a'),
+         |b AS (SELECT * FROM g WHERE period = 'b')
+         |SELECT a.event_type, a.n AS n_a, b.n AS n_b,
+         |  ${rndSql(meanDiff, 4)} AS observed_delta,
+         |  CASE WHEN abs($meanDiff) > 0.0 AND $raw <= 1e15
+         |    THEN CAST(ceil($raw) AS BIGINT) END AS n_per_arm
+         |FROM a JOIN b ON a.event_type = b.event_type
+         |WHERE a.n >= 2 AND b.n >= 2
+         |ORDER BY a.event_type""".stripMargin
     },
     // sqrt (the one IEEE-exact power) on exact token counts,
     // micro-rounded to longs so the normalizing sums are order-free

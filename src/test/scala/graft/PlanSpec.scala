@@ -658,6 +658,16 @@ class PlanSpec extends AnyFunSuite {
         graft.queries.TimeSeriesQueries.interarrival(
           ev, "event_type", "ts", "event_id"),
         Seq("event_type"))
+      pair("SELECT * FROM value_entropy('ev_r12', 'event_type', 'value')",
+        graft.queries.StatQueries.valueEntropy(ev, "event_type", "value"),
+        Seq("event_type"))
+      pair("SELECT * FROM power_analysis('ev_r12', 'event_type', 'ts', 'value', 15)",
+        graft.queries.TrainingDataQueries.powerAnalysis(
+          ev, "event_type", "ts", "value", 15),
+        Seq("event_type"))
+      pair("SELECT * FROM readability('docs_r12', 'doc_id', 'text')",
+        graft.queries.TextStats.readability(docs, "doc_id", "text"),
+        Seq("doc_id"))
     }
   }
 

@@ -46,6 +46,22 @@ class ScalarSpec extends AnyFunSuite {
     }
   }
 
+  test("readability: hand-counted Flesch, sentence floor, band thresholds") {
+    import graft.queries.TextStats
+    // "go on. we do." -> words 4, sentences 2, vowel groups: o,o,e,o = 4
+    // flesch = 206.835 - 1.015*2 - 84.6*1 = 120.205 -> easy
+    // "xxxxxxxx" -> 1 word, 0 sentence runs floored to 1, 0 vowels
+    // flesch = 206.835 - 1.015*1 - 0 = 205.82 -> easy (floor guard hit)
+    val docs = Seq((1L, "go on. we do."), (2L, "xxxxxxxx"))
+      .toDF("doc_id", "text")
+    val r = TextStats.readability(docs).orderBy("doc_id").collect()
+    assert(r(0).getLong(1) == 4L && r(0).getLong(2) == 2L && r(0).getLong(3) == 4L)
+    assert(r(0).getDouble(4) == 120.21 && r(0).getString(5) == "easy",
+      s"flesch = ${r(0).getDouble(4)}")
+    assert(r(1).getLong(2) == 1L && r(1).getLong(3) == 0L)
+    assert(r(1).getDouble(4) == 205.82)
+  }
+
   test("zipfFit: an exact 1/rank frequency profile recovers alpha = 1, r2 = 1") {
     import graft.queries.TextStats
     // counts 12, 6, 4, 3 = 12/rank -> ln(freq) = ln 12 - 1·ln(rank)

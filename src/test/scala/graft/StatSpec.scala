@@ -162,6 +162,42 @@ class StatSpec extends AnyFunSuite {
       r(1).getDouble(2) == 1.0, s"lag-1 r = ${r(1).getDouble(2)}")
   }
 
+  test("valueEntropy: uniform hits ln(k), a point mass reads 0") {
+    val ev = Seq(
+      // u: four distinct values once each -> H = ln 4, norm = 1
+      ("u", 1.0), ("u", 2.0), ("u", 3.0), ("u", 4.0),
+      // p: a point mass -> H = 0, norm NULL (single cell)
+      ("p", 7.0), ("p", 7.0), ("p", 7.0)
+    ).toDF("event_type", "value")
+    val r = StatQueries.valueEntropy(ev, "event_type", "value")
+      .orderBy("event_type").collect()
+    assert(r(0).getString(0) == "p" && r(0).getLong(1) == 1L &&
+      r(0).getDouble(3) == 0.0 && r(0).isNullAt(4))
+    assert(r(1).getString(0) == "u" && r(1).getLong(1) == 4L)
+    assert(math.abs(r(1).getDouble(3) - math.log(4.0)) < 1e-6)
+    assert(r(1).getDouble(4) == 1.0, s"norm = ${r(1).getDouble(4)}")
+  }
+
+  test("powerAnalysis: textbook n for a unit shift at unit variance; zero delta NULL") {
+    import graft.queries.TrainingDataQueries
+    // arm a: values {9, 11} (var 2.0, mean 10); arm b: {10, 12} (var
+    // 2.0, mean 11): delta = -1, n = ceil(7.849 * 4.0 / 1) = 32
+    val ev = Seq(
+      ("s", dayNs(1), 9.0), ("s", dayNs(2), 11.0),
+      ("s", dayNs(20), 10.0), ("s", dayNs(21), 12.0),
+      // identical arms -> delta 0 -> NULL
+      ("z", dayNs(1), 5.0), ("z", dayNs(2), 7.0),
+      ("z", dayNs(20), 5.0), ("z", dayNs(21), 7.0)
+    ).toDF("event_type", "ts", "value")
+    val r = TrainingDataQueries.powerAnalysis(ev, "event_type", "ts", "value", 15)
+      .orderBy("event_type").collect()
+    assert(r(0).getString(0) == "s" && r(0).getDouble(3) == -1.0)
+    val want = math.ceil(TrainingDataQueries.PowerZSum2 * 4.0).toLong
+    assert(r(0).getLong(4) == want, s"n_per_arm = ${r(0).getLong(4)}")
+    assert(r(1).getString(0) == "z" && r(1).getDouble(3) == 0.0 &&
+      r(1).isNullAt(4))
+  }
+
   test("effectSize: dominated halves give delta -1, identical give 0") {
     val ev = Seq(
       // x: first half {1,2}, second half {3,4} — every a < b
