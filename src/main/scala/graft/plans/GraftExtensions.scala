@@ -299,6 +299,11 @@ case class ResolveGraftOp(spark: org.apache.spark.sql.SparkSession)
             dfs(0), str(0), str(1), str(2), lng(3).toInt)
         case "readability" => // (idCol, textCol)
           graft.queries.TextStats.readability(dfs(0), str(0), str(1))
+        case "quantile_drift" => // (typeCol, tsCol, valCol, splitDay)
+          graft.queries.TrainingDataQueries.quantileDrift(
+            dfs(0), str(0), str(1), str(2), lng(3).toInt)
+        case "token_gini" => // (idCol, textCol)
+          graft.queries.TextStats.tokenGiniDocs(dfs(0), str(0), str(1))
         case "bpe_pairs" => // (idCol, textCol, k)
           graft.queries.TextStats.bpePairs(
             dfs(0), str(0), str(1), lng(2).toInt)
@@ -566,7 +571,10 @@ object GraftFunctions {
     "value_entropy" -> ("value_entropy(table, typeCol, valCol)", 2),
     "power_analysis" ->
       ("power_analysis(table, typeCol, tsCol, valCol, splitDay)", 4),
-    "readability" -> ("readability(table, idCol, textCol)", 2))
+    "readability" -> ("readability(table, idCol, textCol)", 2),
+    "quantile_drift" ->
+      ("quantile_drift(table, typeCol, tsCol, valCol, splitDay)", 4),
+    "token_gini" -> ("token_gini(table, idCol, textCol)", 2))
 
   /** Two-table composed-operator TVF registry: name → (usage, scalar
     * arg count AFTER the two table arguments). */

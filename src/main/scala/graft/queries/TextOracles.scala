@@ -615,6 +615,32 @@ import TextStats._
          |SELECT lang, n_docs, n_tokens, mean_quality, dup_docs, pii_docs,
          |  floor((n_tokens / CAST(tot AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS token_share
          |FROM per, tot ORDER BY lang""".stripMargin,
+    // grid ranks on the frequency-of-frequency frame: a count-c group
+    // contributes the exact integer c·(2·t·cumBefore + t·(t+1)) to
+    // 2·Σ rank·x — the q_gini formula with no token-grain ranking
+    "q_token_gini" ->
+      s"""WITH tf AS (
+         |  SELECT t, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT unnest($TOKS) AS t FROM documents) GROUP BY t),
+         |fof AS (
+         |  SELECT c, CAST(count(*) AS BIGINT) AS t_count
+         |  FROM tf GROUP BY c),
+         |g AS (
+         |  SELECT c, t_count,
+         |    CAST(coalesce(sum(t_count) OVER (ORDER BY c
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cum
+         |  FROM fof),
+         |a AS (
+         |  SELECT CAST(sum(t_count) AS BIGINT) AS n_types,
+         |    CAST(sum(c * t_count) AS BIGINT) AS n_tokens,
+         |    CAST(sum(c * (2 * t_count * cum + t_count * (t_count + 1)))
+         |      AS BIGINT) AS two_srx
+         |  FROM g)
+         |SELECT n_types, n_tokens,
+         |  floor((CAST(two_srx - (n_types + 1) * n_tokens AS DOUBLE)
+         |    / CAST(n_types * n_tokens AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS gini
+         |FROM a""".stripMargin,
     // pure integer regexp-match counts (identical Java/RE2 semantics
     // for these classes) into one mirrored fixed-order expression;
     // band labels the ROUNDED score

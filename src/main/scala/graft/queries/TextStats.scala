@@ -932,6 +932,49 @@ object TextStats {
   def qReadability(spark: SparkSession, dir: String): DataFrame =
     readability(Tables.documents(spark, dir)).orderBy("doc_id")
 
+  /** Token-frequency Gini — how much of the corpus mass the top tokens
+    * hoard (the concentration complement of [[zipfFit]]'s slope: Zipf
+    * says how fast frequency decays by rank; Gini says how unequal the
+    * whole mass ends up). NO token-grain ranking: on the
+    * frequency-of-frequency grid (count value c → t tokens), a
+    * count-c group occupies consecutive ranks after cumBefore, so
+    * 2·Σ rank·x over the group is the EXACT integer
+    * c·(2·t·cumBefore + t·(t+1)) — the Kruskal–Wallis grid-rank trick
+    * applied to the q_gini formula (tie order provably cancels: every
+    * token in a group carries the same x = c).
+    *
+    * Scale: the grid is #distinct count VALUES (Zipf-small — hundreds
+    * for millions of tokens); its one cumulative window is metadata
+    * scale. Long-exactness: 2Σrx ≤ 2·n_types·n_tokens — BIGINT-exact
+    * to ~10⁹ types × 10⁹ occurrences jointly; decimal(38,0) is the
+    * named widen. */
+  def tokenGini(tok: DataFrame): DataFrame = {
+    val tf = tok.select(explode(col("ts")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val fof = tf.groupBy("c").agg(count(lit(1)).as("t_count"))
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy("c")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val g = fof.withColumn("cum",
+      coalesce(sum(col("t_count")).over(wCum), lit(0L)))
+    g.agg(
+      sum(col("t_count")).as("n_types"),
+      sum(col("c") * col("t_count")).as("n_tokens"),
+      sum(col("c") * (lit(2L) * col("t_count") * col("cum") +
+        col("t_count") * (col("t_count") + lit(1L)))).as("two_srx"))
+      .select(col("n_types"), col("n_tokens"),
+        rnd((col("two_srx") - (col("n_types") + lit(1L)) * col("n_tokens"))
+          .cast("double") /
+          (col("n_types") * col("n_tokens")).cast("double"), 6).as("gini"))
+  }
+
+  /** [[tokenGini]] over raw documents (the TVF-facing form). */
+  def tokenGiniDocs(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame =
+    tokenGini(docs.select(col(idCol), tokens(col(textCol)).as("ts")))
+
+  def qTokenGini(spark: SparkSession, dir: String): DataFrame =
+    tokenGini(cachedDocTokens(spark, dir))
+
   /** Cross-source overlap matrix — how much does source A mirror
     * source B: SimHash near-dup pairs (Hamming ≤ 3, the banded exact
     * candidate contract — EXACT fingerprints are too strict below
@@ -1138,6 +1181,7 @@ object TextStats {
     "q_curriculum" -> qCurriculum _,
     "q_zipf_fit" -> qZipfFit _,
     "q_readability" -> qReadability _,
+    "q_token_gini" -> qTokenGini _,
     "q_source_overlap" -> qSourceOverlap _,
     "q_text_stats" -> qTextStats _,
     "q_text_quality" -> qTextQuality _,

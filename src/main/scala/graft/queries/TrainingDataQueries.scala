@@ -636,6 +636,46 @@ object TrainingDataQueries {
     powerAnalysis(Tables.events(spark, dir), "event_type", "ts", "value", 15)
       .orderBy("event_type")
 
+  /** Quartile drift per group between the month's halves — WHERE in the
+    * distribution the shift lives (a mean test can read 0 while the
+    * tails trade places; quartile deltas localize it): p25/p50/p75 of
+    * the exact integer cents per half, interpolating on integral
+    * values (exact quarters on both engines — the q_percentile
+    * precedent), deltas as b − a in value units.
+    *
+    * Scale: the abTest shape — one (type × period) aggregate (the
+    * exact-percentile buffer holds a half's cents per group — the
+    * latencyPercentiles hazard; percentile_approx is the at-tolerance
+    * swap for a monster group), then a 2-row-per-type self-join. */
+  def quantileDrift(df: DataFrame, typeCol: String, tsCol: String,
+                    valCol: String, splitDay: Int): DataFrame = {
+    val ev = df.filter(col(valCol).isNotNull)
+      .select(col(typeCol).as("event_type"),
+        when(dayofmonth(dayOf(tsCol)) <= splitDay, "a").otherwise("b")
+          .as("period"),
+        centsOf(valCol).as("cents"))
+    val g = ev.groupBy("event_type", "period").agg(
+      count(lit(1)).as("n"),
+      expr("percentile(cents, 0.25)").as("p25"),
+      expr("percentile(cents, 0.5)").as("p50"),
+      expr("percentile(cents, 0.75)").as("p75"))
+    val a = g.filter(col("period") === "a").as("a")
+    val b = g.filter(col("period") === "b").as("b")
+    def v(side: String, p: String) = col(s"$side.$p") / 100.0
+    a.join(b, col("a.event_type") === col("b.event_type"))
+      .select(col("a.event_type").as("event_type"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"),
+        rnd(v("a", "p50"), 4).as("median_a"),
+        rnd(v("b", "p50"), 4).as("median_b"),
+        rnd(v("b", "p25") - v("a", "p25"), 4).as("d_p25"),
+        rnd(v("b", "p50") - v("a", "p50"), 4).as("d_p50"),
+        rnd(v("b", "p75") - v("a", "p75"), 4).as("d_p75"))
+  }
+
+  def qQuantileDrift(spark: SparkSession, dir: String): DataFrame =
+    quantileDrift(Tables.events(spark, dir), "event_type", "ts", "value", 15)
+      .orderBy("event_type")
+
   /** k for [[qKAnonymity]] / band width — interpolated into BOTH
     * engines so they cannot drift. */
   val AnonK = 5
@@ -732,6 +772,7 @@ object TrainingDataQueries {
     "q_jsd_drift" -> qJsdDrift _,
     "q_temperature_mix" -> qTemperatureMix _,
     "q_power_analysis" -> qPowerAnalysis _,
+    "q_quantile_drift" -> qQuantileDrift _,
     "q_k_anonymity" -> qKAnonymity _,
     "q_dp_counts" -> qDpCounts _,
     "q_psi_drift" -> qPsiDrift _,
@@ -873,6 +914,30 @@ object TrainingDataQueries {
          |  floor(($fold) * 1e6 + 0.5) / 1e6 > 0.1 AS drifted
          |FROM agg ORDER BY event_type""".stripMargin
     },
+    // exact-quarter interpolation on integral cents both engines (the
+    // q_percentile precedent), mirrored delta expressions
+    "q_quantile_drift" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    CASE WHEN EXTRACT(day FROM ts) <= 15 THEN 'a' ELSE 'b' END AS period,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (
+        |  SELECT event_type, period, CAST(count(*) AS BIGINT) AS n,
+        |    quantile_cont(cents, 0.25) AS p25,
+        |    quantile_cont(cents, 0.5) AS p50,
+        |    quantile_cont(cents, 0.75) AS p75
+        |  FROM ev GROUP BY event_type, period),
+        |a AS (SELECT * FROM g WHERE period = 'a'),
+        |b AS (SELECT * FROM g WHERE period = 'b')
+        |SELECT a.event_type, a.n AS n_a, b.n AS n_b,
+        |  floor((a.p50 / 100.0) * 1e4 + 0.5) / 1e4 AS median_a,
+        |  floor((b.p50 / 100.0) * 1e4 + 0.5) / 1e4 AS median_b,
+        |  floor((b.p25 / 100.0 - a.p25 / 100.0) * 1e4 + 0.5) / 1e4 AS d_p25,
+        |  floor((b.p50 / 100.0 - a.p50 / 100.0) * 1e4 + 0.5) / 1e4 AS d_p50,
+        |  floor((b.p75 / 100.0 - a.p75 / 100.0) * 1e4 + 0.5) / 1e4 AS d_p75
+        |FROM a JOIN b ON a.event_type = b.event_type
+        |ORDER BY a.event_type""".stripMargin,
     // the abTest moment shape; raw n stays DOUBLE through the guards
     // (δ=0 → Inf on both engines, predicate false, no /0 error) and
     // ceil fires only inside the finite range

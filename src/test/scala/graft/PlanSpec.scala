@@ -668,6 +668,13 @@ class PlanSpec extends AnyFunSuite {
       pair("SELECT * FROM readability('docs_r12', 'doc_id', 'text')",
         graft.queries.TextStats.readability(docs, "doc_id", "text"),
         Seq("doc_id"))
+      pair("SELECT * FROM quantile_drift('ev_r12', 'event_type', 'ts', 'value', 15)",
+        graft.queries.TrainingDataQueries.quantileDrift(
+          ev, "event_type", "ts", "value", 15),
+        Seq("event_type"))
+      pair("SELECT * FROM token_gini('docs_r12', 'doc_id', 'text')",
+        graft.queries.TextStats.tokenGiniDocs(docs, "doc_id", "text"),
+        Seq("n_types"))
     }
   }
 

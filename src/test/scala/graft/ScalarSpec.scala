@@ -46,6 +46,18 @@ class ScalarSpec extends AnyFunSuite {
     }
   }
 
+  test("tokenGini: hand-ranked concentration; uniform counts read 0") {
+    import graft.queries.TextStats
+    // counts {a:1, b:2}: ranks 1,2 -> 2*sum(r*x) = 10, G = (10-9)/6
+    val skew = Seq((1L, "a b b")).toDF("doc_id", "text")
+    val r1 = TextStats.tokenGiniDocs(skew).collect()(0)
+    assert(r1.getLong(0) == 2L && r1.getLong(1) == 3L)
+    assert(r1.getDouble(2) == 0.166667, s"gini = ${r1.getDouble(2)}")
+    // equal counts -> perfectly even mass -> 0
+    val even = Seq((1L, "a b")).toDF("doc_id", "text")
+    assert(TextStats.tokenGiniDocs(even).collect()(0).getDouble(2) == 0.0)
+  }
+
   test("readability: hand-counted Flesch, sentence floor, band thresholds") {
     import graft.queries.TextStats
     // "go on. we do." -> words 4, sentences 2, vowel groups: o,o,e,o = 4

@@ -198,6 +198,20 @@ class StatSpec extends AnyFunSuite {
       r(1).isNullAt(4))
   }
 
+  test("quantileDrift: hand quartiles of shifted halves read the shift at every quartile") {
+    import graft.queries.TrainingDataQueries
+    val ev = Seq(
+      ("s", dayNs(1), 1.0), ("s", dayNs(2), 2.0), ("s", dayNs(3), 3.0),
+      ("s", dayNs(20), 11.0), ("s", dayNs(21), 12.0), ("s", dayNs(22), 13.0)
+    ).toDF("event_type", "ts", "value")
+    val r = TrainingDataQueries.quantileDrift(ev, "event_type", "ts", "value", 15)
+      .collect()(0)
+    assert(r.getLong(1) == 3L && r.getLong(2) == 3L)
+    assert(r.getDouble(3) == 2.0 && r.getDouble(4) == 12.0)
+    assert(r.getDouble(5) == 10.0 && r.getDouble(6) == 10.0 &&
+      r.getDouble(7) == 10.0)
+  }
+
   test("effectSize: dominated halves give delta -1, identical give 0") {
     val ev = Seq(
       // x: first half {1,2}, second half {3,4} — every a < b
