@@ -543,15 +543,26 @@ object TrainingDataQueries {
     * (type, period) grid, then a self-join of the 2-row-per-type grid —
     * metadata scale; the seasonal-baseline recipe without even the
     * broadcast-back pass. */
-  def abTest(df: DataFrame, typeCol: String, tsCol: String,
-             valCol: String, splitDay: Int): DataFrame = {
-    val day = to_date(timestamp_micros(expr(s"`$tsCol` div 1000")))
-    val ev = df.select(col(typeCol).as("event_type"),
-      when(dayofmonth(day) <= splitDay, "a").otherwise("b").as("period"),
-      expr(s"CAST(floor(`$valCol` * 100 + 0.5) AS BIGINT)").as("cents"))
-    val g = ev.groupBy("event_type", "period")
+  /** Shared (group × month-half) exact-cent moment frame —
+    * (event_type, period, n, sumc, sumsq) with NULL values filtered on
+    * BOTH engines (review r13 pass 3: an unfiltered count dilutes the
+    * mean/variance against the NULL-skipping sums) — ONE definition
+    * for [[abTest]]/[[powerAnalysis]], mirrored by
+    * [[HalfMomentsCtes]]. */
+  private def halfMoments(df: DataFrame, typeCol: String, tsCol: String,
+                          valCol: String, splitDay: Int): DataFrame =
+    df.filter(col(valCol).isNotNull)
+      .select(col(typeCol).as("event_type"),
+        when(dayofmonth(dayOf(tsCol)) <= splitDay, "a").otherwise("b")
+          .as("period"),
+        centsOf(valCol).as("cents"))
+      .groupBy("event_type", "period")
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("sumc"),
         sum(col("cents") * col("cents")).as("sumsq"))
+
+  def abTest(df: DataFrame, typeCol: String, tsCol: String,
+             valCol: String, splitDay: Int): DataFrame = {
+    val g = halfMoments(df, typeCol, tsCol, valCol, splitDay)
     // moments via the shared cross-engine recipe (see package.scala)
     def nd(s: String)  = col(s + ".n").cast("double")
     def m(s: String)   = meanFromCents(col(s + ".n"), col(s + ".sumc"))
@@ -605,31 +616,32 @@ object TrainingDataQueries {
     * aggregate, then a 2-row-per-type self-join at metadata scale. */
   def powerAnalysis(df: DataFrame, typeCol: String, tsCol: String,
                     valCol: String, splitDay: Int): DataFrame = {
-    val ev = df.select(col(typeCol).as("event_type"),
-      when(dayofmonth(dayOf(tsCol)) <= splitDay, "a").otherwise("b")
-        .as("period"),
-      centsOf(valCol).as("cents"))
-    val g = ev.groupBy("event_type", "period")
-      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sumc"),
-        sum(col("cents") * col("cents")).as("sumsq"))
+    val g = halfMoments(df, typeCol, tsCol, valCol, splitDay)
     def m(s: String) = meanFromCents(col(s + ".n"), col(s + ".sumc"))
     def v(s: String) = varFromCents(col(s + ".n"), col(s + ".sumc"),
       col(s + ".sumsq"))
     val a = g.filter(col("period") === "a").as("a")
     val b = g.filter(col("period") === "b").as("b")
     val delta = m("a") - m("b")
-    // raw stays a DOUBLE through the guards: δ = 0 makes it Inf on
-    // BOTH engines (never a /0 error for doubles), and ceil is only
-    // evaluated once the finite-range predicate holds — an eager
-    // ceil(Inf)→long would throw under ANSI
-    val raw = lit(PowerZSum2) * (v("a") + v("b")) / (delta * delta)
+    // δ = 0 is a /0 on both sides of the oracle pair and NEITHER does
+    // what a double "should": ANSI Spark THROWS on double division by
+    // zero and DuckDB 1.0.0 yields NULL (review r13 pass 3) — so the
+    // division itself sits inside a lazy when(abs(δ) > 0) branch
+    // (CaseWhen only evaluates a branch whose predicate holds) and the
+    // oracle keeps the abs(δ) > 0 conjunct. raw NULL then propagates
+    // NULL through every comparison on both engines. The raw > 0
+    // conjunct NULLs the zero-variance case (ceil(0) = 0 would
+    // "recommend" a zero-sample experiment), and ceil only fires
+    // inside the finite range — ceil(Inf)→long would throw under ANSI
+    val raw = when(abs(delta) > 0.0,
+      lit(PowerZSum2) * (v("a") + v("b")) / (delta * delta))
     a.join(b, col("a.event_type") === col("b.event_type"))
       .filter(col("a.n") >= 2 && col("b.n") >= 2)
       .select(col("a.event_type").as("event_type"),
         col("a.n").as("n_a"), col("b.n").as("n_b"),
         rnd(delta, 4).as("observed_delta"),
-        when(abs(delta) > 0.0 && raw <= 1e15, ceil(raw).cast("long"))
-          .as("n_per_arm"))
+        when(raw > 0.0 && raw <= 1e15,
+          ceil(raw).cast("long")).as("n_per_arm"))
   }
 
   def qPowerAnalysis(spark: SparkSession, dir: String): DataFrame =
@@ -805,6 +817,24 @@ object TrainingDataQueries {
   /** DuckDB twin of TextFunctions.tokenCount. */
   private val MixTokSql = "len(string_split_regex(trim(text), '\\s+'))"
 
+  /** Shared DuckDB CTE chain of the two half-moment oracles
+    * (q_ab_test / q_power_analysis) — the [[halfMoments]] twin,
+    * written once through the a/b split frames. */
+  private def HalfMomentsCtes: String =
+    """WITH ev AS (
+      |  SELECT event_type,
+      |    CASE WHEN EXTRACT(day FROM ts) <= 15
+      |      THEN 'a' ELSE 'b' END AS period,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events WHERE value IS NOT NULL),
+      |g AS (
+      |  SELECT event_type, period, count(*) AS n,
+      |    CAST(sum(cents) AS BIGINT) AS sumc,
+      |    CAST(sum(cents * cents) AS BIGINT) AS sumsq
+      |  FROM ev GROUP BY event_type, period),
+      |am AS (SELECT * FROM g WHERE period = 'a'),
+      |bm AS (SELECT * FROM g WHERE period = 'b')""".stripMargin
+
   /** Shared DuckDB CTE chain of the two drift oracles (q_psi_drift /
     * q_jsd_drift) up through the smoothed per-bin probability frame
     * `probs` — the [[binProbs]] twin, written once (the KsIntsSql
@@ -938,32 +968,22 @@ object TrainingDataQueries {
         |  floor((b.p75 / 100.0 - a.p75 / 100.0) * 1e4 + 0.5) / 1e4 AS d_p75
         |FROM a JOIN b ON a.event_type = b.event_type
         |ORDER BY a.event_type""".stripMargin,
-    // the abTest moment shape; raw n stays DOUBLE through the guards
-    // (δ=0 → Inf on both engines, predicate false, no /0 error) and
-    // ceil fires only inside the finite range
+    // the shared half-moment CTEs; raw stays DOUBLE through the guards
+    // (δ=0 → Inf on Spark but NULL on DuckDB 1.0.0 — the abs(δ) > 0
+    // conjunct short-circuits both before the divergent value matters;
+    // raw > 0 NULLs the zero-variance ceil(0)=0 non-answer)
     "q_power_analysis" -> {
       val meanDiff =
         s"(${meanFromCentsSql("a.n", "a.sumc")} - ${meanFromCentsSql("b.n", "b.sumc")})"
       val varSum =
         s"(${varFromCentsSql("a.n", "a.sumc", "a.sumsq")} + ${varFromCentsSql("b.n", "b.sumc", "b.sumsq")})"
       val raw = s"(CAST('$PowerZSum2' AS DOUBLE) * $varSum / ($meanDiff * $meanDiff))"
-      s"""WITH ev AS (
-         |  SELECT event_type,
-         |    CASE WHEN EXTRACT(day FROM ts) <= 15 THEN 'a' ELSE 'b' END AS period,
-         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
-         |  FROM events),
-         |g AS (
-         |  SELECT event_type, period, count(*) AS n,
-         |    CAST(sum(cents) AS BIGINT) AS sumc,
-         |    CAST(sum(cents * cents) AS BIGINT) AS sumsq
-         |  FROM ev GROUP BY event_type, period),
-         |a AS (SELECT * FROM g WHERE period = 'a'),
-         |b AS (SELECT * FROM g WHERE period = 'b')
+      HalfMomentsCtes + s"""
          |SELECT a.event_type, a.n AS n_a, b.n AS n_b,
          |  ${rndSql(meanDiff, 4)} AS observed_delta,
-         |  CASE WHEN abs($meanDiff) > 0.0 AND $raw <= 1e15
+         |  CASE WHEN abs($meanDiff) > 0.0 AND $raw > 0.0 AND $raw <= 1e15
          |    THEN CAST(ceil($raw) AS BIGINT) END AS n_per_arm
-         |FROM a JOIN b ON a.event_type = b.event_type
+         |FROM am a JOIN bm b ON a.event_type = b.event_type
          |WHERE a.n >= 2 AND b.n >= 2
          |ORDER BY a.event_type""".stripMargin
     },
@@ -1002,17 +1022,7 @@ object TrainingDataQueries {
     // side, every derived quantity in mirrored fixed order; the
     // significance boolean compares the ROUNDED t
     "q_ab_test" ->
-      s"""WITH ev AS (
-         |  SELECT event_type,
-         |    CASE WHEN EXTRACT(day FROM ts) <= 15
-         |      THEN 'a' ELSE 'b' END AS period,
-         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
-         |  FROM events),
-         |g AS (
-         |  SELECT event_type, period, count(*) AS n,
-         |    CAST(sum(cents) AS BIGINT) AS sumc,
-         |    CAST(sum(cents * cents) AS BIGINT) AS sumsq
-         |  FROM ev GROUP BY event_type, period),
+      (HalfMomentsCtes + s""",
          |j AS (
          |  SELECT a.event_type,
          |    a.n AS na, b.n AS nb,
@@ -1020,8 +1030,8 @@ object TrainingDataQueries {
          |    ${meanFromCentsSql("b.n", "b.sumc")} AS mb,
          |    ${varFromCentsSql("a.n", "a.sumc", "a.sumsq")} AS va,
          |    ${varFromCentsSql("b.n", "b.sumc", "b.sumsq")} AS vb
-         |  FROM g a JOIN g b ON a.event_type = b.event_type
-         |  WHERE a.period = 'a' AND b.period = 'b' AND a.n >= 2 AND b.n >= 2),
+         |  FROM am a JOIN bm b ON a.event_type = b.event_type
+         |  WHERE a.n >= 2 AND b.n >= 2),
          |k AS (
          |  SELECT event_type, na, nb,
          |    floor((ma - mb) * 1e4 + 0.5) / 1e4 AS mean_diff,
@@ -1037,7 +1047,7 @@ object TrainingDataQueries {
          |  FROM j)
          |SELECT event_type, na AS n_a, nb AS n_b, mean_diff, t_stat, df,
          |  abs(t_stat) > 1.96 AS significant
-         |FROM k ORDER BY event_type""".stripMargin,
+         |FROM k ORDER BY event_type""".stripMargin),
     // identical fixed-order key arithmetic (one ln over the exact
     // rational u, one division); the LIMIT set is deterministic because
     // adjacent key gaps dwarf libm-ulp noise (see qWeightedSample)

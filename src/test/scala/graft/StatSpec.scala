@@ -185,6 +185,10 @@ class StatSpec extends AnyFunSuite {
     val ev = Seq(
       ("s", dayNs(1), 9.0), ("s", dayNs(2), 11.0),
       ("s", dayNs(20), 10.0), ("s", dayNs(21), 12.0),
+      // zero variance both arms, nonzero delta -> NULL (ceil(0)=0
+      // would "recommend" a zero-sample experiment — review r13)
+      ("v", dayNs(1), 5.0), ("v", dayNs(2), 5.0),
+      ("v", dayNs(20), 7.0), ("v", dayNs(21), 7.0),
       // identical arms -> delta 0 -> NULL
       ("z", dayNs(1), 5.0), ("z", dayNs(2), 7.0),
       ("z", dayNs(20), 5.0), ("z", dayNs(21), 7.0)
@@ -194,8 +198,10 @@ class StatSpec extends AnyFunSuite {
     assert(r(0).getString(0) == "s" && r(0).getDouble(3) == -1.0)
     val want = math.ceil(TrainingDataQueries.PowerZSum2 * 4.0).toLong
     assert(r(0).getLong(4) == want, s"n_per_arm = ${r(0).getLong(4)}")
-    assert(r(1).getString(0) == "z" && r(1).getDouble(3) == 0.0 &&
+    assert(r(1).getString(0) == "v" && r(1).getDouble(3) == -2.0 &&
       r(1).isNullAt(4))
+    assert(r(2).getString(0) == "z" && r(2).getDouble(3) == 0.0 &&
+      r(2).isNullAt(4))
   }
 
   test("quantileDrift: hand quartiles of shifted halves read the shift at every quartile") {
