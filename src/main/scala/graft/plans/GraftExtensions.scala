@@ -271,6 +271,17 @@ case class ResolveGraftOp(spark: org.apache.spark.sql.SparkSession)
           graft.queries.StatQueries.mannKendall(dfs(0), str(0), str(1))
         case "kruskal_wallis" => // (typeCol, valCol)
           graft.queries.StatQueries.kruskalWallis(dfs(0), str(0), str(1))
+        case "theil_sen" => // (typeCol, tsCol)
+          graft.queries.StatQueries.theilSen(dfs(0), str(0), str(1))
+        case "cramers_v" => // (typeCol, tsCol)
+          graft.queries.StatQueries.cramersV(dfs(0), str(0), str(1))
+        case "mutual_info" => // (typeCol, tsCol)
+          graft.queries.StatQueries.mutualInfo(dfs(0), str(0), str(1))
+        case "kaplan_meier" => // (userCol, tsCol, typeCol, eventType)
+          graft.queries.StatQueries.kaplanMeier(
+            dfs(0), str(0), str(1), str(2), str(3))
+        case "brown_forsythe" => // (typeCol, valCol)
+          graft.queries.StatQueries.brownForsythe(dfs(0), str(0), str(1))
         case "effect_size" => // (typeCol, tsCol, valCol, splitDay)
           graft.queries.StatQueries.effectSize(
             dfs(0), str(0), str(1), str(2), lng(3).toInt)
@@ -279,6 +290,9 @@ case class ResolveGraftOp(spark: org.apache.spark.sql.SparkSession)
             dfs(0), str(0), str(1), str(2), str(3), lng(4).toInt)
         case "jsd_drift" => // (typeCol, tsCol, valCol, splitDay)
           graft.queries.TrainingDataQueries.jsdDrift(
+            dfs(0), str(0), str(1), str(2), lng(3).toInt)
+        case "hellinger" => // (typeCol, tsCol, valCol, splitDay)
+          graft.queries.TrainingDataQueries.hellingerDrift(
             dfs(0), str(0), str(1), str(2), lng(3).toInt)
         case "mode_value" => // (typeCol, valCol)
           graft.queries.ScalarQueries.modeValue(dfs(0), str(0), str(1))
@@ -292,6 +306,8 @@ case class ResolveGraftOp(spark: org.apache.spark.sql.SparkSession)
         case "interarrival" => // (typeCol, tsCol, idCol)
           graft.queries.TimeSeriesQueries.interarrival(
             dfs(0), str(0), str(1), str(2))
+        case "completeness" => // (typeCol, tsCol)
+          graft.queries.TimeSeriesQueries.completeness(dfs(0), str(0), str(1))
         case "value_entropy" => // (typeCol, valCol)
           graft.queries.StatQueries.valueEntropy(dfs(0), str(0), str(1))
         case "power_analysis" => // (typeCol, tsCol, valCol, splitDay)
@@ -558,6 +574,14 @@ object GraftFunctions {
     "spearman" -> ("spearman(table, typeCol, tsCol, valCol)", 3),
     "mann_kendall" -> ("mann_kendall(table, typeCol, tsCol)", 2),
     "kruskal_wallis" -> ("kruskal_wallis(table, typeCol, valCol)", 2),
+    "theil_sen" -> ("theil_sen(table, typeCol, tsCol)", 2),
+    "cramers_v" -> ("cramers_v(table, typeCol, tsCol)", 2),
+    "mutual_info" -> ("mutual_info(table, typeCol, tsCol)", 2),
+    "hellinger" -> ("hellinger(table, typeCol, tsCol, valCol, splitDay)", 4),
+    "completeness" -> ("completeness(table, typeCol, tsCol)", 2),
+    "kaplan_meier" ->
+      ("kaplan_meier(table, userCol, tsCol, typeCol, eventType)", 4),
+    "brown_forsythe" -> ("brown_forsythe(table, typeCol, valCol)", 2),
     "effect_size" ->
       ("effect_size(table, typeCol, tsCol, valCol, splitDay)", 4),
     "crosscorr" ->

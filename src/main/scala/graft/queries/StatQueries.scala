@@ -595,6 +595,329 @@ object StatQueries {
     mannKendall(Tables.events(spark, dir), "event_type", "ts")
       .orderBy("event_type")
 
+  /** Theil–Sen robust trend slope per group over daily event counts —
+    * the slope companion to [[mannKendall]] (MK answers "IS there a
+    * monotone trend"; this answers "how steep", with the 29%-breakdown
+    * robustness OLS lacks): the MEDIAN of all pairwise slopes
+    * (x_j − x_i)/(d_j − d_i) over day pairs in time order. Every slope
+    * is ONE IEEE division of exact integers (Δcount/Δdays) —
+    * bit-identical across engines — and the median comes from PINNED
+    * middle elements (rows where 2·rn ∈ [n, n+2] under a slope-ordered
+    * row_number; 2·rn is even so an odd n admits exactly the single
+    * middle 2·rn = n+1) averaged as (lo+hi)/2 — never an engine
+    * median() whose interpolation/tie rules could differ. Tie order
+    * among equal slopes cannot move the answer: positions select from
+    * the sorted multiset of VALUES. A single-day group has no pairs
+    * and reports NULL slope on the [[mannKendall]] spine convention.
+    *
+    * Scale: the MK shape verbatim — the daily rollup is the only
+    * fact-volume pass; the pair join is (#days choose 2) rows per
+    * group and the median window partitions by group over those day
+    * pairs, both metadata-scale regardless of corpus size. */
+  def theilSen(df: DataFrame, typeCol: String, tsCol: String): DataFrame = {
+    val daily = df
+      .select(col(typeCol).as("event_type"), dayOf(tsCol).as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("x"))
+    val a = daily.select(col("event_type"), col("day").as("d1"),
+      col("x").as("x1"))
+    val b = daily.select(col("event_type"), col("day").as("d2"),
+      col("x").as("x2"))
+    val pairs = a.join(b, Seq("event_type"))
+      .filter(col("d1") < col("d2"))
+      .select(col("event_type"),
+        ((col("x2") - col("x1")).cast("double") /
+          datediff(col("d2"), col("d1")).cast("double")).as("slope"))
+    val wOrd = Window.partitionBy("event_type").orderBy("slope")
+    val wAll = Window.partitionBy("event_type")
+    val mids = pairs
+      .withColumn("rn", row_number().over(wOrd).cast("long"))
+      .withColumn("np", count(lit(1)).over(wAll))
+      .filter(col("rn") * lit(2L) >= col("np") &&
+        col("rn") * lit(2L) <= col("np") + lit(2L))
+      .groupBy("event_type")
+      .agg(max(col("np")).as("n_pairs"),
+        min(col("slope")).as("lo"), max(col("slope")).as("hi"))
+    val spine = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"))
+    spine.join(mids, Seq("event_type"), "left")
+      .select(col("event_type"), col("n_days"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        rnd((col("lo") + col("hi")) / 2.0, 6).as("slope"))
+  }
+
+  def qTheilSen(spark: SparkSession, dir: String): DataFrame =
+    theilSen(Tables.events(spark, dir), "event_type", "ts")
+      .orderBy("event_type")
+
+  /** Cramér's V for the (group × weekday) contingency table — the
+    * effect size of [[chiSquare]] (χ² says whether the weekly profile
+    * depends on the group; V says HOW MUCH, scale-free in [0,1] and
+    * comparable across tables): V = √(χ²/(n·min(r−1, c−1))), with the
+    * Cohen-convention strength band labelling the ROUNDED V (the flag
+    * discipline). ONE fact-volume pass folds the 7 per-dow observed
+    * counts per group ([[chiSquare]]'s zero-cells-by-construction
+    * shape); the column margins and grand total are window sums over
+    * that bounded per-group frame (one consumer — the dataset-card
+    * rule, where chiSquare's broadcast scalar join was the pre-r13
+    * precedent); each group's 7-term χ² contribution is a FIXED fold
+    * of exact-integer rationals, nano-rounded to a long so the
+    * cross-group total is an order-free exact sum.
+    *
+    * Long-exactness: o·n ≤ n² holds in BIGINT to n ~ 3·10⁹ rows, and
+    * the nano-scaled contribution ≤ n·10⁹ to n ~ 9·10⁸; decimal(38,0)
+    * is the named widen past either. */
+  def cramersV(df: DataFrame, typeCol: String, tsCol: String): DataFrame = {
+    val dowCol = (dayofweek(dayOf(tsCol)) - lit(1)).cast("long")
+    val byType = df
+      .select(col(typeCol).as("t"), dowCol.as("dow"))
+      .groupBy("t")
+      .agg(sum(when(col("dow") === 0L, 1L).otherwise(0L)).as("o0"),
+        (1 to 6).map(d =>
+          sum(when(col("dow") === d.toLong, 1L).otherwise(0L)).as(s"o$d")): _*)
+    val wAll = Window.partitionBy(lit(1))
+    val withM = (0 to 6).foldLeft(
+      byType.withColumn("__r",
+        (0 to 6).map(d => col(s"o$d")).reduceLeft(_ + _))) {
+      case (f, d) => f.withColumn(s"c$d", sum(col(s"o$d")).over(wAll))
+    }.withColumn("n", sum(col("__r")).over(wAll))
+    def term(d: Int) = {
+      val numd = (col(s"o$d") * col("n") - col("__r") * col(s"c$d"))
+        .cast("double")
+      when(col(s"c$d") > 0L, (numd * numd) /
+        ((col("__r") * col(s"c$d")).cast("double") * col("n").cast("double")))
+        .otherwise(lit(0.0))
+    }
+    val contrib = (0 to 6).map(term).reduceLeft(_ + _)
+    val g = withM
+      .select(col("n"),
+        (0 to 6).map(d => when(col(s"c$d") > 0L, 1L).otherwise(0L))
+          .reduceLeft(_ + _).as("c_levels"),
+        floor(contrib * lit(1e9) + lit(0.5)).cast("long").as("cn"))
+      .agg(max(col("n")).as("n"), count(lit(1)).as("r_levels"),
+        max(col("c_levels")).as("c_levels"), sum(col("cn")).as("snano"))
+    def d(s: String) = col(s).cast("double")
+    val minDof = least(col("r_levels") - lit(1L), col("c_levels") - lit(1L))
+    val v = rnd(when(minDof >= 1L,
+      sqrt((d("snano") / 1e9) / (d("n") * minDof.cast("double")))), 4)
+    g.select(col("n"), col("r_levels"), col("c_levels"),
+      rnd(d("snano") / 1e9, 4).as("chi2"), v.as("v"),
+      when(v.isNull, lit(null).cast("string"))
+        .when(v < 0.1, "negligible").when(v < 0.3, "small")
+        .when(v < 0.5, "medium").otherwise("large").as("strength"))
+  }
+
+  def qCramersV(spark: SparkSession, dir: String): DataFrame =
+    cramersV(Tables.events(spark, dir), "event_type", "ts")
+
+  /** Mutual information (nats) between group and weekday on the same
+    * contingency table — the information-theoretic complement of
+    * [[cramersV]] (V measures departure from independence in χ² units;
+    * MI measures it in shared-information units, the quantity a
+    * feature-selection pass ranks by): MI = Σ p(t,d)·ln(p(t,d)/(p(t)
+    * p(d))), with the marginal entropies H(row), H(col) and the
+    * normalized NMI = MI/min(H_r, H_c). Same one-pass shape as
+    * [[cramersV]]: 7 conditional counts per group, margins as windows
+    * over the bounded frame; every ln term is nano-rounded to an exact
+    * long (the [[valueEntropy]] recipe — ln is the one libm call that
+    * may differ a ulp across engines, and the rounding absorbs it), so
+    * all sums are order-free exact longs. Zero cells contribute 0 by
+    * the o > 0 gate; a degenerate margin yields NULL nmi, never /0. */
+  def mutualInfo(df: DataFrame, typeCol: String, tsCol: String): DataFrame = {
+    val dowCol = (dayofweek(dayOf(tsCol)) - lit(1)).cast("long")
+    val byType = df
+      .select(col(typeCol).as("t"), dowCol.as("dow"))
+      .groupBy("t")
+      .agg(sum(when(col("dow") === 0L, 1L).otherwise(0L)).as("o0"),
+        (1 to 6).map(d =>
+          sum(when(col("dow") === d.toLong, 1L).otherwise(0L)).as(s"o$d")): _*)
+    val wAll = Window.partitionBy(lit(1))
+    val withM = (0 to 6).foldLeft(
+      byType.withColumn("__r",
+        (0 to 6).map(d => col(s"o$d")).reduceLeft(_ + _))) {
+      case (f, d) => f.withColumn(s"c$d", sum(col(s"o$d")).over(wAll))
+    }.withColumn("n", sum(col("__r")).over(wAll))
+    def dd(c: Column) = c.cast("double")
+    def nano(c: Column) = floor(c * lit(1e9) + lit(0.5)).cast("long")
+    // per-cell MI term (o/n)·ln(o·n/(r·c)), nano-rounded per dow so the
+    // per-group 7-term sum and the cross-group sum are exact longs
+    def miTerm(d: Int) =
+      when(col(s"o$d") > 0L,
+        nano((dd(col(s"o$d")) / dd(col("n"))) *
+          log(dd(col(s"o$d")) * dd(col("n")) /
+            (dd(col("__r")) * dd(col(s"c$d")))))).otherwise(lit(0L))
+    val miNano = (0 to 6).map(miTerm).reduceLeft(_ + _)
+    val hRowNano = nano(-(dd(col("__r")) / dd(col("n"))) *
+      log(dd(col("__r")) / dd(col("n"))))
+    def hColTerm(d: Int) =
+      when(col(s"c$d") > 0L,
+        nano(-(dd(col(s"c$d")) / dd(col("n"))) *
+          log(dd(col(s"c$d")) / dd(col("n"))))).otherwise(lit(0L))
+    val hColNano = (0 to 6).map(hColTerm).reduceLeft(_ + _)
+    val g = withM
+      .select(col("n"), miNano.as("mi_n"), hRowNano.as("hr_n"),
+        hColNano.as("hc_n"))
+      .agg(max(col("n")).as("n"), count(lit(1)).as("r_levels"),
+        sum(col("mi_n")).as("mi_nano"), sum(col("hr_n")).as("hr_nano"),
+        max(col("hc_n")).as("hc_nano"))
+    def d(s: String) = col(s).cast("double")
+    val hMin = least(col("hr_nano"), col("hc_nano"))
+    g.select(col("n"), col("r_levels"),
+      rnd(d("mi_nano") / 1e9, 6).as("mi"),
+      rnd(d("hr_nano") / 1e9, 6).as("h_row"),
+      rnd(d("hc_nano") / 1e9, 6).as("h_col"),
+      rnd(when(hMin > 0L, d("mi_nano") / hMin.cast("double")), 4)
+        .as("nmi"))
+  }
+
+  def qMutualInfo(spark: SparkSession, dir: String): DataFrame =
+    mutualInfo(Tables.events(spark, dir), "event_type", "ts")
+
+  /** Kaplan–Meier survival curve for time-to-first-`eventType` with
+    * right censoring — THE conversion statistic naive averages get
+    * wrong (users who haven't converted by the window end aren't
+    * "never"; dropping them biases time-to-convert down, any finite
+    * placeholder biases it up): entry = first activity of any type,
+    * event = first `eventType` day (duration = event − entry),
+    * censored at the horizon (global max day) otherwise. S(t) =
+    * Π_{u ≤ t} (1 − d_u/n_u) over the duration grid — the survival
+    * complement of q_funnel_timebound's fixed-window conversion. Swap
+    * the event predicate for an inactivity test and the same plan is
+    * the churn curve.
+    *
+    * Cross-engine discipline: d, c, n_risk are exact integers; each
+    * factor's ln((n−d)/n) is a libm call on an identical double and is
+    * nano-rounded to an exact long (the [[valueEntropy]] recipe), so
+    * the cumulative log-survival is an exact long window sum; the one
+    * remaining libm step is exp() on that identical double, whose
+    * ≤ 1-ulp spread sits 10⁻¹² below the 1e-4 output round. A step
+    * where everyone at risk converts (d = n) zeroes survival from that
+    * duration on via the zcum counter, never an ln(0).
+    *
+    * Scale: the per-user entry/event rollup is the only fact-volume
+    * pass; the duration grid is bounded by the CALENDAR (≤ span days),
+    * so the risk/cumulative windows over it are metadata-scale. */
+  def kaplanMeier(df: DataFrame, userCol: String, tsCol: String,
+                  typeCol: String, eventType: String): DataFrame = {
+    val base = df.select(col(userCol).as("u"), dayOf(tsCol).as("day"),
+      (col(typeCol) === eventType).cast("long").as("hit"))
+    val users = base.groupBy("u").agg(
+      min(col("day")).as("t0"),
+      min(when(col("hit") === 1L, col("day"))).as("tp"),
+      max(col("day")).as("dmax"))
+    val hz = users.agg(max(col("dmax")).as("hz"))
+    val timed = users.crossJoin(broadcast(hz))
+      .select(col("u"),
+        when(col("tp").isNotNull, 1L).otherwise(0L).as("ev"),
+        when(col("tp").isNotNull, datediff(col("tp"), col("t0")))
+          .otherwise(datediff(col("hz"), col("t0"))).cast("long").as("t"))
+    val grid = timed.groupBy("t")
+      .agg(sum(col("ev")).as("d"), sum(lit(1L) - col("ev")).as("c"))
+    val wRisk = Window.orderBy("t")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wCum = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val risked = grid
+      .withColumn("n_risk", sum(col("d") + col("c")).over(wRisk))
+      .withColumn("tn",
+        when(col("d") < col("n_risk"),
+          floor(log((col("n_risk") - col("d")).cast("double") /
+            col("n_risk").cast("double")) * lit(1e9) + lit(0.5)).cast("long"))
+          .otherwise(lit(0L)))
+      .withColumn("z", when(col("d") === col("n_risk"), 1L).otherwise(0L))
+    risked
+      .withColumn("snano", sum(col("tn")).over(wCum))
+      .withColumn("zcum", sum(col("z")).over(wCum))
+      .filter(col("d") > 0L)
+      .select(col("t").as("duration_days"), col("n_risk"),
+        col("d").as("d_churned"), col("c").as("c_censored"),
+        when(col("zcum") > 0L, lit(0.0))
+          .otherwise(rnd(exp(col("snano").cast("double") / 1e9), 4))
+          .as("survival"))
+  }
+
+  /** Time-to-first-purchase conversion curve. The synthetic fixture
+    * fully converts (every user purchases within the window), so
+    * c_censored reads 0 here; the censoring path is exercised by the
+    * StatSpec hand walk. */
+  def qKaplanMeier(spark: SparkSession, dir: String): DataFrame =
+    kaplanMeier(Tables.events(spark, dir), "user_id", "ts",
+      "event_type", "purchase")
+      .orderBy("duration_days")
+
+  /** Brown–Forsythe variance-equality test across ALL groups — "do the
+    * k groups differ in SPREAD" (the dispersion complement of
+    * [[kruskalWallis]]'s location test, and the assumption check
+    * before pooling variances): the Levene statistic with MEDIAN
+    * centering, W = ((N−k)/(k−1)) · between/within over the absolute
+    * deviations. Deviations are held EXACT by working on the DOUBLED
+    * scale: 2·median of integer cents is lower+upper interpolant —
+    * an exact integer off the distinct-cents grid (cumulative-count
+    * positions (n+1) div 2 and n div 2 + 1) — so z = |2c − 2med| is an
+    * exact integer and the scale factor cancels in the ratio. Per-group
+    * (Σz)²/n terms are rounded to binary 2⁻¹⁰ units for an order-free
+    * exact cross-group sum (the [[kruskalWallis]] recipe); `between`
+    * is clamped at 0 (equal-spread groups can land 2⁻¹¹ negative).
+    * `significant` compares the ROUNDED W against the asymptotic
+    * F(k−1, ∞) = χ²(k−1)/(k−1) critical value from [[Chi2Crit05]],
+    * gated on dof2 ≥ 120 where the asymptote holds to ~2% — outside
+    * the table or the gate the flag is NULL, never wrong.
+    *
+    * Scale: everything lives on the value-RESOLUTION-bounded grid
+    * (the KS/KW class); the cumulative and conditional-min windows
+    * partition per group over that grid. Long-exactness: Σc·z² ≤
+    * n·(2·maxcents)² and the 2⁻¹⁰-scaled (Σz)²/n ≤ 1024·n·(2·maxcents)²
+    * — BIGINT-exact to ~2·10⁵ rows at cent range 10⁵; decimal(38,0)
+    * is the named widen. */
+  def brownForsythe(df: DataFrame, typeCol: String,
+                    valCol: String): DataFrame = {
+    val ev = df.filter(col(valCol).isNotNull)
+      .select(col(typeCol).as("grp"), centsOf(valCol).as("cents"))
+    val cell = ev.groupBy("grp", "cents").agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("grp").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("grp")
+    val g2 = cell
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n_g", sum(col("c")).over(wAll))
+      .withColumn("lo", min(when(col("cum") >= expr("(n_g + 1) div 2"),
+        col("cents"))).over(wAll))
+      .withColumn("hi", min(when(col("cum") >= expr("n_g div 2 + 1"),
+        col("cents"))).over(wAll))
+      .withColumn("z", abs(lit(2L) * col("cents") - (col("lo") + col("hi"))))
+    val per = g2.groupBy("grp").agg(
+      max(col("n_g")).as("n_g"),
+      sum(col("c") * col("z")).as("sz"),
+      sum(col("c") * col("z") * col("z")).as("szz"))
+    val termInt = floor(col("sz").cast("double") * col("sz").cast("double") /
+      col("n_g").cast("double") * 1024.0 + 0.5).cast("long")
+    val a = per
+      .select(col("n_g"), col("sz"), col("szz"), termInt.as("term_i"))
+      .agg(sum(col("n_g")).as("n"), count(lit(1)).as("k_groups"),
+        sum(col("sz")).as("s_all"), sum(col("szz")).as("szz_all"),
+        sum(col("term_i")).as("sum_terms"))
+    def d(c: Column) = c.cast("double")
+    val nD = d(col("n"))
+    val kD = d(col("k_groups"))
+    val terms = d(col("sum_terms")) / 1024.0
+    val between = greatest(lit(0.0),
+      terms - d(col("s_all")) * d(col("s_all")) / nD)
+    val within = d(col("szz_all")) - terms
+    val w = rnd(when(col("k_groups") >= 2L && col("n") > col("k_groups") &&
+      within > 0.0,
+      (between / (kD - 1.0)) / (within / (nD - kD))), 4)
+    val dof1 = col("k_groups") - lit(1L)
+    val dof2 = col("n") - col("k_groups")
+    a.select(col("n"), col("k_groups"), w.as("w"),
+      dof1.as("dof1"), dof2.as("dof2"),
+      when(dof2 < 120L, lit(null).cast("boolean")).otherwise(
+        (1 to 6).foldLeft(lit(null).cast("boolean")) { (acc, k) =>
+          when(dof1 === k.toLong, w > lit(Chi2Crit05(k) / k)).otherwise(acc)
+        }).as("significant"))
+  }
+
+  def qBrownForsythe(spark: SparkSession, dir: String): DataFrame =
+    brownForsythe(Tables.events(spark, dir), "event_type", "value")
+
   /** χ² critical values at α = 0.05 for dof 1..6 — the Kruskal–Wallis
     * `significant` flag looks its dof up here (k is DATA-dependent,
     * unlike the structurally-fixed chi-square dow test — review r13:
@@ -834,6 +1157,11 @@ object StatQueries {
     "q_gini" -> qGini _,
     "q_spearman" -> qSpearman _,
     "q_mann_kendall" -> qMannKendall _,
+    "q_theil_sen" -> qTheilSen _,
+    "q_cramers_v" -> qCramersV _,
+    "q_mutual_info" -> qMutualInfo _,
+    "q_kaplan_meier" -> qKaplanMeier _,
+    "q_brown_forsythe" -> qBrownForsythe _,
     "q_kruskal_wallis" -> qKruskalWallis _,
     "q_effect_size" -> qEffectSize _,
     "q_crosscorr" -> qCrossCorr _,
@@ -1391,6 +1719,261 @@ object StatQueries {
          |    ${(1 to 6).map(k => s"WHEN $k THEN h > ${Chi2Crit05(k)}").mkString(" ")}
          |    ELSE NULL END AS significant
          |FROM hh""".stripMargin,
+    // slopes are IEEE divisions of exact integers; the median comes
+    // from PINNED middle elements (2·rn ∈ [n, n+2]), never an engine
+    // median() — tie order among equal slopes cannot move the values
+    "q_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+        |pairs AS (
+        |  SELECT a.event_type,
+        |    CAST(b.x - a.x AS DOUBLE)
+        |      / CAST(date_diff('day', a.day, b.day) AS DOUBLE) AS slope
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.day < b.day),
+        |r AS (
+        |  SELECT event_type, slope,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY slope)
+        |      AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS np
+        |  FROM pairs),
+        |m AS (
+        |  SELECT event_type, CAST(max(np) AS BIGINT) AS n_pairs,
+        |    min(slope) AS lo, max(slope) AS hi
+        |  FROM r WHERE rn * 2 >= np AND rn * 2 <= np + 2
+        |  GROUP BY event_type),
+        |spine AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+        |  FROM daily GROUP BY event_type)
+        |SELECT spine.event_type, n_days,
+        |  coalesce(n_pairs, CAST(0 AS BIGINT)) AS n_pairs,
+        |  floor(((lo + hi) / CAST(2.0 AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS slope
+        |FROM spine LEFT JOIN m ON spine.event_type = m.event_type
+        |ORDER BY spine.event_type""".stripMargin,
+    // margins as window sums over the bounded per-group frame, the
+    // chi-square fixed 7-term fold nano-rounded per group so the
+    // cross-group total is an order-free exact long sum
+    "q_cramers_v" -> {
+      val aggSel = (0 to 6).map(d =>
+        s"CAST(sum(CASE WHEN dow = $d THEN 1 ELSE 0 END) AS BIGINT) AS o$d")
+        .mkString(",\n    ")
+      val oCols = (0 to 6).map(d => s"o$d").mkString(", ")
+      val rSum = (0 to 6).map(d => s"o$d").mkString(" + ")
+      val cWins = (0 to 6).map(d =>
+        s"CAST(sum(o$d) OVER () AS BIGINT) AS c$d").mkString(",\n    ")
+      val term = (0 to 6).map(d =>
+        s"(CASE WHEN c$d > 0 THEN (CAST(o$d * n - r * c$d AS DOUBLE)" +
+          s" * CAST(o$d * n - r * c$d AS DOUBLE))" +
+          s" / (CAST(r * c$d AS DOUBLE) * CAST(n AS DOUBLE))" +
+          " ELSE CAST(0.0 AS DOUBLE) END)").mkString(" + ")
+      val cLev = (0 to 6).map(d =>
+        s"(CASE WHEN c$d > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH ev AS (
+         |  SELECT event_type AS t,
+         |    CAST(dayofweek(CAST(ts AS DATE)) AS BIGINT) AS dow
+         |  FROM events),
+         |bt AS (SELECT t, $aggSel FROM ev GROUP BY t),
+         |m AS (
+         |  SELECT t, $oCols, ($rSum) AS r,
+         |    $cWins,
+         |    CAST(sum($rSum) OVER () AS BIGINT) AS n
+         |  FROM bt),
+         |g AS (
+         |  SELECT CAST(max(n) AS BIGINT) AS n,
+         |    CAST(count(*) AS BIGINT) AS r_levels,
+         |    CAST(max($cLev) AS BIGINT) AS c_levels,
+         |    CAST(sum(CAST(floor(($term) * 1e9 + 0.5) AS BIGINT)) AS BIGINT)
+         |      AS snano
+         |  FROM m),
+         |f AS (
+         |  SELECT n, r_levels, c_levels,
+         |    floor((CAST(snano AS DOUBLE) / 1e9) * 1e4 + 0.5) / 1e4 AS chi2,
+         |    CASE WHEN least(r_levels - 1, c_levels - 1) >= 1 THEN
+         |      floor(sqrt((CAST(snano AS DOUBLE) / 1e9)
+         |        / (CAST(n AS DOUBLE)
+         |          * CAST(least(r_levels - 1, c_levels - 1) AS DOUBLE)))
+         |        * 1e4 + 0.5) / 1e4 END AS v
+         |  FROM g)
+         |SELECT n, r_levels, c_levels, chi2, v,
+         |  CASE WHEN v IS NULL THEN NULL
+         |    WHEN v < 0.1 THEN 'negligible' WHEN v < 0.3 THEN 'small'
+         |    WHEN v < 0.5 THEN 'medium' ELSE 'large' END AS strength
+         |FROM f""".stripMargin
+    },
+    // every ln term nano-rounded to an exact long (the value_entropy
+    // recipe) so all folds and sums are order-free exact longs
+    "q_mutual_info" -> {
+      val aggSel = (0 to 6).map(d =>
+        s"CAST(sum(CASE WHEN dow = $d THEN 1 ELSE 0 END) AS BIGINT) AS o$d")
+        .mkString(",\n    ")
+      val oCols = (0 to 6).map(d => s"o$d").mkString(", ")
+      val rSum = (0 to 6).map(d => s"o$d").mkString(" + ")
+      val cWins = (0 to 6).map(d =>
+        s"CAST(sum(o$d) OVER () AS BIGINT) AS c$d").mkString(",\n    ")
+      val miFold = (0 to 6).map(d =>
+        s"(CASE WHEN o$d > 0 THEN CAST(floor(((CAST(o$d AS DOUBLE)" +
+          s" / CAST(n AS DOUBLE)) * ln(CAST(o$d AS DOUBLE)" +
+          s" * CAST(n AS DOUBLE) / (CAST(r AS DOUBLE)" +
+          s" * CAST(c$d AS DOUBLE)))) * 1e9 + 0.5) AS BIGINT)" +
+          " ELSE CAST(0 AS BIGINT) END)").mkString(" + ")
+      val hcFold = (0 to 6).map(d =>
+        s"(CASE WHEN c$d > 0 THEN CAST(floor((-(CAST(c$d AS DOUBLE)" +
+          s" / CAST(n AS DOUBLE)) * ln(CAST(c$d AS DOUBLE)" +
+          s" / CAST(n AS DOUBLE))) * 1e9 + 0.5) AS BIGINT)" +
+          " ELSE CAST(0 AS BIGINT) END)").mkString(" + ")
+      s"""WITH ev AS (
+         |  SELECT event_type AS t,
+         |    CAST(dayofweek(CAST(ts AS DATE)) AS BIGINT) AS dow
+         |  FROM events),
+         |bt AS (SELECT t, $aggSel FROM ev GROUP BY t),
+         |m AS (
+         |  SELECT t, $oCols, ($rSum) AS r,
+         |    $cWins,
+         |    CAST(sum($rSum) OVER () AS BIGINT) AS n
+         |  FROM bt),
+         |t2 AS (
+         |  SELECT n,
+         |    ($miFold) AS mi_n,
+         |    CAST(floor((-(CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+         |      * ln(CAST(r AS DOUBLE) / CAST(n AS DOUBLE))) * 1e9 + 0.5)
+         |      AS BIGINT) AS hr_n,
+         |    ($hcFold) AS hc_n
+         |  FROM m),
+         |g AS (
+         |  SELECT CAST(max(n) AS BIGINT) AS n,
+         |    CAST(count(*) AS BIGINT) AS r_levels,
+         |    CAST(sum(mi_n) AS BIGINT) AS mi_nano,
+         |    CAST(sum(hr_n) AS BIGINT) AS hr_nano,
+         |    CAST(max(hc_n) AS BIGINT) AS hc_nano
+         |  FROM t2)
+         |SELECT n, r_levels,
+         |  floor((CAST(mi_nano AS DOUBLE) / 1e9) * 1e6 + 0.5) / 1e6 AS mi,
+         |  floor((CAST(hr_nano AS DOUBLE) / 1e9) * 1e6 + 0.5) / 1e6 AS h_row,
+         |  floor((CAST(hc_nano AS DOUBLE) / 1e9) * 1e6 + 0.5) / 1e6 AS h_col,
+         |  CASE WHEN least(hr_nano, hc_nano) > 0 THEN
+         |    floor((CAST(mi_nano AS DOUBLE)
+         |      / CAST(least(hr_nano, hc_nano) AS DOUBLE)) * 1e4 + 0.5) / 1e4
+         |  END AS nmi
+         |FROM g""".stripMargin
+    },
+    // exact integer d/c/n_risk off the duration grid; each ln factor
+    // nano-rounded so the cumulative log-survival is an exact long
+    // window sum; exp of the identical double, rounded at 1e-4
+    "q_kaplan_meier" ->
+      """WITH base AS (
+        |  SELECT user_id AS u, CAST(ts AS DATE) AS day,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS hit
+        |  FROM events),
+        |users AS (
+        |  SELECT u, min(day) AS t0,
+        |    min(CASE WHEN hit = 1 THEN day END) AS tp,
+        |    max(day) AS dmax
+        |  FROM base GROUP BY u),
+        |hz AS (SELECT max(dmax) AS hz FROM users),
+        |timed AS (
+        |  SELECT u,
+        |    CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev,
+        |    CAST(CASE WHEN tp IS NOT NULL THEN date_diff('day', t0, tp)
+        |      ELSE date_diff('day', t0, hz) END AS BIGINT) AS t
+        |  FROM users, hz),
+         |grid AS (
+         |  SELECT t, CAST(sum(ev) AS BIGINT) AS d,
+         |    CAST(sum(1 - ev) AS BIGINT) AS c
+         |  FROM timed GROUP BY t),
+         |r AS (
+         |  SELECT t, d, c,
+         |    CAST(sum(d + c) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+         |      AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+         |  FROM grid),
+         |r2 AS (
+         |  SELECT t, d, c, n_risk,
+         |    CASE WHEN d < n_risk THEN
+         |      CAST(floor(ln(CAST(n_risk - d AS DOUBLE)
+         |        / CAST(n_risk AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)
+         |    ELSE CAST(0 AS BIGINT) END AS tn,
+         |    CASE WHEN d = n_risk THEN 1 ELSE 0 END AS z
+         |  FROM r),
+         |r3 AS (
+         |  SELECT t, d, c, n_risk,
+         |    CAST(sum(tn) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+         |      AND CURRENT ROW) AS BIGINT) AS snano,
+         |    CAST(sum(z) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+         |      AND CURRENT ROW) AS BIGINT) AS zcum
+         |  FROM r2)
+         |SELECT t AS duration_days, n_risk, d AS d_churned, c AS c_censored,
+         |  CASE WHEN zcum > 0 THEN CAST(0.0 AS DOUBLE)
+         |    ELSE floor(exp(CAST(snano AS DOUBLE) / 1e9) * 1e4 + 0.5) / 1e4
+         |  END AS survival
+         |FROM r3 WHERE d > 0 ORDER BY duration_days""".stripMargin,
+    // exact 2·median interpolants off the cents grid; (Σz)²/n terms in
+    // binary 2⁻¹⁰ units for the order-free cross-group sum; between
+    // clamped at 0; the flag gates on the asymptotic F(k−1, ∞) table
+    "q_brown_forsythe" -> {
+      val critCase = (1 to 6).map(k =>
+        s"WHEN $k THEN w > ${Chi2Crit05(k) / k}").mkString(" ")
+      """WITH ev AS (
+        |  SELECT event_type AS grp,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |cell AS (
+        |  SELECT grp, cents, CAST(count(*) AS BIGINT) AS c
+        |  FROM ev GROUP BY grp, cents),
+        |g1 AS (
+        |  SELECT grp, cents, c,
+        |    CAST(sum(c) OVER (PARTITION BY grp ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER (PARTITION BY grp) AS BIGINT) AS n_g
+        |  FROM cell),
+        |g2 AS (
+        |  SELECT grp, cents, c, n_g,
+        |    CAST(min(CASE WHEN cum >= (n_g + 1) // 2 THEN cents END)
+        |      OVER (PARTITION BY grp) AS BIGINT) AS lo,
+        |    CAST(min(CASE WHEN cum >= n_g // 2 + 1 THEN cents END)
+        |      OVER (PARTITION BY grp) AS BIGINT) AS hi
+        |  FROM g1),
+        |per AS (
+        |  SELECT grp, CAST(max(n_g) AS BIGINT) AS n_g,
+        |    CAST(sum(c * abs(2 * cents - (lo + hi))) AS BIGINT) AS sz,
+        |    CAST(sum(c * abs(2 * cents - (lo + hi))
+        |      * abs(2 * cents - (lo + hi))) AS BIGINT) AS szz
+        |  FROM g2 GROUP BY grp),
+        |a AS (
+        |  SELECT CAST(sum(n_g) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS k_groups,
+        |    CAST(sum(sz) AS BIGINT) AS s_all,
+        |    CAST(sum(szz) AS BIGINT) AS szz_all,
+        |    CAST(sum(CAST(floor(CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)
+        |      / CAST(n_g AS DOUBLE) * 1024.0 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS sum_terms
+        |  FROM per),
+        |f AS (
+        |  SELECT n, k_groups,
+        |    CASE WHEN k_groups >= 2 AND n > k_groups
+        |        AND CAST(szz_all AS DOUBLE)
+        |          - CAST(sum_terms AS DOUBLE) / 1024.0 > 0.0 THEN
+        |      floor(((greatest(CAST(0.0 AS DOUBLE),
+        |          CAST(sum_terms AS DOUBLE) / 1024.0
+        |            - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE)
+        |              / CAST(n AS DOUBLE))
+        |        / (CAST(k_groups AS DOUBLE) - 1.0))
+        |        / ((CAST(szz_all AS DOUBLE)
+        |            - CAST(sum_terms AS DOUBLE) / 1024.0)
+        |          / (CAST(n AS DOUBLE) - CAST(k_groups AS DOUBLE))))
+        |        * 1e4 + 0.5) / 1e4
+        |    END AS w,
+        |    CAST(k_groups - 1 AS BIGINT) AS dof1,
+        |    CAST(n - k_groups AS BIGINT) AS dof2
+        |  FROM a)
+        |SELECT n, k_groups, w, dof1, dof2,
+        |  CASE WHEN dof2 < 120 THEN NULL
+        |    ELSE CASE dof1 """.stripMargin + critCase + """
+        |    ELSE NULL END
+        |  END AS significant
+        |FROM f""".stripMargin
+    },
     // ascending-rank Gini as one integer rational per group (tie order
     // provably cancels)
     "q_gini" ->

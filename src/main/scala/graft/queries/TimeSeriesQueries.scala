@@ -792,6 +792,46 @@ object TimeSeriesQueries {
   def qStreaks(spark: SparkSession, dir: String): DataFrame =
     streaks(Tables.events(spark, dir), "user_id", "ts")
 
+  /** Calendar-completeness audit per group — the freshness/SLA read a
+    * pipeline runs before trusting a source (the complement of
+    * [[interarrival]]'s event-grain health: this is DAY-grain — which
+    * calendar days are silent?): active vs span days, missing-day
+    * count, integer coverage percent (floor of an exact ratio of
+    * exact integers — engine-deterministic with no rounding surface)
+    * and the longest dark gap in days. Every output is an integer or a
+    * date; nothing can drift.
+    *
+    * Scale: the daily rollup is the only fact-volume pass; the lag
+    * window partitions per group over ACTIVE DAYS (≤ calendar days,
+    * bounded) — the [[streaks]] shape. */
+  def completeness(df: DataFrame, typeCol: String, tsCol: String): DataFrame = {
+    val daily = df
+      .select(col(typeCol).as("event_type"), dayOf(tsCol).as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val g = daily
+      .withColumn("gap",
+        (datediff(col("day"), lag(col("day"), 1).over(w)) - lit(1))
+          .cast("long"))
+      .groupBy("event_type")
+      .agg(sum(col("n")).as("n_events"),
+        min(col("day")).as("first_day"), max(col("day")).as("last_day"),
+        count(lit(1)).as("active_days"),
+        coalesce(max(col("gap")), lit(0L)).as("longest_gap_days"))
+    val span = (datediff(col("last_day"), col("first_day")) + lit(1))
+      .cast("long")
+    g.select(col("event_type"), col("n_events"), col("first_day"),
+      col("last_day"), span.as("span_days"), col("active_days"),
+      (span - col("active_days")).as("missing_days"),
+      floor((col("active_days") * lit(100L)).cast("double") /
+        span.cast("double")).cast("long").as("coverage_pct"),
+      col("longest_gap_days"))
+  }
+
+  def qCompleteness(spark: SparkSession, dir: String): DataFrame =
+    completeness(Tables.events(spark, dir), "event_type", "ts")
+      .orderBy("event_type")
+
   /** Max transition gap for [[qFunnelTimebound]] — 7 days in nanos,
     * interpolated into BOTH engines. */
   val FunnelGapNs: Long = 7L * 86400L * 1000000000L
@@ -937,6 +977,7 @@ object TimeSeriesQueries {
     "q_twap" -> qTwap _,
     "q_interarrival" -> qInterarrival _,
     "q_streaks" -> qStreaks _,
+    "q_completeness" -> qCompleteness _,
     "q_cohort_ltv" -> qCohortLtv _,
     "q_funnel_timebound" -> qFunnelTimebound _,
     "q_rfm" -> qRfm _,
@@ -980,6 +1021,36 @@ object TimeSeriesQueries {
       |FROM events ORDER BY event_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // integer/date outputs only — the coverage percent is the floor of
+    // an exact-integer ratio, identical on both engines by construction
+    "q_completeness" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+        |g AS (
+        |  SELECT event_type, day, n,
+        |    CAST(date_diff('day',
+        |      lag(day) OVER (PARTITION BY event_type ORDER BY day), day) - 1
+        |      AS BIGINT) AS gap
+        |  FROM daily),
+        |a AS (
+        |  SELECT event_type, CAST(sum(n) AS BIGINT) AS n_events,
+        |    min(day) AS first_day, max(day) AS last_day,
+        |    CAST(count(*) AS BIGINT) AS active_days,
+        |    CAST(coalesce(max(gap), 0) AS BIGINT) AS longest_gap_days
+        |  FROM g GROUP BY event_type)
+        |SELECT event_type, n_events, first_day, last_day,
+        |  CAST(date_diff('day', first_day, last_day) + 1 AS BIGINT)
+        |    AS span_days,
+        |  active_days,
+        |  CAST(date_diff('day', first_day, last_day) + 1 - active_days
+        |    AS BIGINT) AS missing_days,
+        |  CAST(floor(CAST(active_days * 100 AS DOUBLE)
+        |    / CAST(date_diff('day', first_day, last_day) + 1 AS DOUBLE))
+        |    AS BIGINT) AS coverage_pct,
+        |  longest_gap_days
+        |FROM a ORDER BY event_type""".stripMargin,
     // same anchors, integer week arithmetic, bounded cumulative window
     "q_cohort_ltv" ->
       """WITH ev AS (

@@ -530,6 +530,41 @@ object TrainingDataQueries {
     jsdDrift(Tables.events(spark, dir), "event_type", "ts", "value", 15)
       .orderBy("event_type")
 
+  /** Hellinger distance per group between the month's halves over the
+    * same [[PsiBins]] bins — the metric member of the drift family
+    * (PSI is unbounded, JSD is bounded but not a metric; Hellinger is
+    * a true metric in [0,1], so drift is comparable across groups AND
+    * composable across time): H = √(1 − BC), BC = Σ √(pa·pb) the
+    * Bhattacharyya coefficient, with the shared Laplace smoothing.
+    *
+    * Cross-engine discipline: sqrt is the one IEEE-exact power, the
+    * products are identical doubles, and the 10 per-bin terms fold in
+    * the [[jsdDrift]] FIXED left-associated coalesce chain — no
+    * rounding needed before the fold; a greatest(0, ·) guard keeps an
+    * identical-halves BC = 1 + ε from driving sqrt negative. `drifted`
+    * compares the ROUNDED H. Scale shape: identical to [[psiDrift]]. */
+  def hellingerDrift(df: DataFrame, typeCol: String, tsCol: String,
+                     valCol: String, splitDay: Int): DataFrame = {
+    val terms = binProbs(df, typeCol, tsCol, valCol, splitDay)
+      .withColumn("term", sqrt(col("pa") * col("pb")))
+    val byBin = terms.groupBy("event_type")
+      .agg(max(col("ta")).as("n_first_half"),
+        (max(col("tb")).as("n_second_half") +:
+          (0 until PsiBins).map(b =>
+            max(when(col("bin") === b, col("term"))).as(s"t$b"))): _*)
+    val bc = (0 until PsiBins).map(b => coalesce(col(s"t$b"), lit(0.0)))
+      .reduceLeft(_ + _)
+    byBin
+      .select(col("event_type"), col("n_first_half"), col("n_second_half"),
+        rnd(bc, 6).as("bc"),
+        rnd(sqrt(greatest(lit(0.0), lit(1.0) - bc)), 6).as("hellinger"))
+      .withColumn("drifted", col("hellinger") > 0.1)
+  }
+
+  def qHellingerDrift(spark: SparkSession, dir: String): DataFrame =
+    hellingerDrift(Tables.events(spark, dir), "event_type", "ts", "value", 15)
+      .orderBy("event_type")
+
   /** Welch's two-sample t-test per event_type between the month's
     * halves — the significance complement of [[psiDrift]] (PSI says how
     * much the distribution moved; the t-test says whether the MEAN
@@ -782,6 +817,7 @@ object TrainingDataQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_jsd_drift" -> qJsdDrift _,
+    "q_hellinger" -> qHellingerDrift _,
     "q_temperature_mix" -> qTemperatureMix _,
     "q_power_analysis" -> qPowerAnalysis _,
     "q_quantile_drift" -> qQuantileDrift _,
@@ -1009,6 +1045,32 @@ object TrainingDataQueries {
          |  floor((CAST(w_micro AS DOUBLE) / CAST(tot_w AS DOUBLE))
          |    * 1e6 + 0.5) / 1e6 AS temp_share
          |FROM w2 ORDER BY lang""".stripMargin,
+    // same binning CTEs; sqrt is IEEE-exact so the fixed fold needs no
+    // rounding; greatest(0, ·) mirrors the Spark sqrt guard
+    "q_hellinger" -> {
+      val termSel = (0 until PsiBins).map(b =>
+        s"max(CASE WHEN bin = $b THEN term END) AS t$b").mkString(",\n    ")
+      val fold = (0 until PsiBins).map(b => s"coalesce(t$b, CAST(0.0 AS DOUBLE))")
+        .mkString(" + ")
+      PsiBinProbsCtes + s""",
+         |terms AS (
+         |  SELECT event_type, bin, ta, tb, sqrt(pa * pb) AS term
+         |  FROM probs),
+         |agg AS (
+         |  SELECT event_type, max(ta) AS n_first_half,
+         |    max(tb) AS n_second_half,
+         |    $termSel
+         |  FROM terms GROUP BY event_type),
+         |h AS (
+         |  SELECT event_type, n_first_half, n_second_half,
+         |    floor(($fold) * 1e6 + 0.5) / 1e6 AS bc,
+         |    floor(sqrt(greatest(CAST(0.0 AS DOUBLE),
+         |      CAST(1.0 AS DOUBLE) - ($fold))) * 1e6 + 0.5) / 1e6 AS hellinger
+         |  FROM agg)
+         |SELECT event_type, n_first_half, n_second_half, bc, hellinger,
+         |  hellinger > 0.1 AS drifted
+         |FROM h ORDER BY event_type""".stripMargin
+    },
     "q_psi_drift" ->
       (PsiBinProbsCtes + """,
          |agg AS (

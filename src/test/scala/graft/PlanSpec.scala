@@ -675,6 +675,30 @@ class PlanSpec extends AnyFunSuite {
       pair("SELECT * FROM token_gini('docs_r12', 'doc_id', 'text')",
         graft.queries.TextStats.tokenGiniDocs(docs, "doc_id", "text"),
         Seq("n_types"))
+      pair("SELECT * FROM theil_sen('ev_r12', 'event_type', 'ts')",
+        graft.queries.StatQueries.theilSen(ev, "event_type", "ts"),
+        Seq("event_type"))
+      pair("SELECT * FROM cramers_v('ev_r12', 'event_type', 'ts')",
+        graft.queries.StatQueries.cramersV(ev, "event_type", "ts"),
+        Seq("n"))
+      pair("SELECT * FROM mutual_info('ev_r12', 'event_type', 'ts')",
+        graft.queries.StatQueries.mutualInfo(ev, "event_type", "ts"),
+        Seq("n"))
+      pair("SELECT * FROM hellinger('ev_r12', 'event_type', 'ts', 'value', 15)",
+        graft.queries.TrainingDataQueries.hellingerDrift(
+          ev, "event_type", "ts", "value", 15),
+        Seq("event_type"))
+      pair("SELECT * FROM completeness('ev_r12', 'event_type', 'ts')",
+        graft.queries.TimeSeriesQueries.completeness(ev, "event_type", "ts"),
+        Seq("event_type"))
+      pair("SELECT * FROM kaplan_meier('ev_r12', 'user_id', 'ts', " +
+        "'event_type', 'purchase')",
+        graft.queries.StatQueries.kaplanMeier(
+          ev, "user_id", "ts", "event_type", "purchase"),
+        Seq("duration_days"))
+      pair("SELECT * FROM brown_forsythe('ev_r12', 'event_type', 'value')",
+        graft.queries.StatQueries.brownForsythe(ev, "event_type", "value"),
+        Seq("n"))
     }
   }
 

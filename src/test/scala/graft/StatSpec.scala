@@ -131,6 +131,61 @@ class StatSpec extends AnyFunSuite {
     assert(r3.isNullAt(2))
   }
 
+  test("theilSen: hand medians over pairwise day slopes, single-day NULL") {
+    // up: counts 1,2,4,8 on days 1-4 -> slopes {1, 1.5, 7/3, 2, 3, 4},
+    // even 6 pairs -> median = (2 + 7/3)/2 = 13/6 = 2.166667
+    val up = Seq(1 -> 1, 2 -> 2, 3 -> 4, 4 -> 8)
+      .flatMap { case (d, c) => (1 to c).map(_ => ("up", dayNs(d))) }
+    // mx: counts 1,3,2 on days 1-3 -> slopes {2, 0.5, -1} -> median 0.5
+    val mx = Seq(1 -> 1, 2 -> 3, 3 -> 2)
+      .flatMap { case (d, c) => (1 to c).map(_ => ("mx", dayNs(d))) }
+    val solo = Seq(("solo", dayNs(1)))
+    val ev = (up ++ mx ++ solo).toDF("event_type", "ts")
+    val r = StatQueries.theilSen(ev, "event_type", "ts")
+      .orderBy("event_type").collect()
+    assert(r(0).getString(0) == "mx" && r(0).getLong(2) == 3L &&
+      r(0).getDouble(3) == 0.5)
+    assert(r(1).getString(0) == "solo" && r(1).getLong(1) == 1L &&
+      r(1).getLong(2) == 0L && r(1).isNullAt(3))
+    assert(r(2).getString(0) == "up" && r(2).getLong(2) == 6L &&
+      r(2).getDouble(3) == 2.166667)
+  }
+
+  test("cramersV: perfect 2x2 association reads V=1, independence reads 0") {
+    // a only on day 1, b only on day 2 (distinct weekdays): chi2 = n,
+    // V = sqrt(n/(n*1)) = 1
+    val assoc = Seq(("a", dayNs(1)), ("a", dayNs(1)),
+      ("b", dayNs(2)), ("b", dayNs(2))).toDF("event_type", "ts")
+    val r1 = StatQueries.cramersV(assoc, "event_type", "ts").collect()(0)
+    assert(r1.getLong(0) == 4L && r1.getLong(1) == 2L && r1.getLong(2) == 2L)
+    assert(r1.getDouble(3) == 4.0 && r1.getDouble(4) == 1.0 &&
+      r1.getString(5) == "large")
+    // both types uniform over both days: chi2 = 0, V = 0
+    val indep = Seq(("a", dayNs(1)), ("a", dayNs(2)),
+      ("b", dayNs(1)), ("b", dayNs(2))).toDF("event_type", "ts")
+    val r2 = StatQueries.cramersV(indep, "event_type", "ts").collect()(0)
+    assert(r2.getDouble(3) == 0.0 && r2.getDouble(4) == 0.0 &&
+      r2.getString(5) == "negligible")
+    // one type only -> min(r-1, c-1) = 0 -> NULL V, NULL strength
+    val degen = Seq(("a", dayNs(1)), ("a", dayNs(2)))
+      .toDF("event_type", "ts")
+    val r3 = StatQueries.cramersV(degen, "event_type", "ts").collect()(0)
+    assert(r3.isNullAt(4) && r3.isNullAt(5))
+  }
+
+  test("mutualInfo: perfect 2x2 association reads MI = ln 2, NMI = 1") {
+    val assoc = Seq(("a", dayNs(1)), ("a", dayNs(1)),
+      ("b", dayNs(2)), ("b", dayNs(2))).toDF("event_type", "ts")
+    val r1 = StatQueries.mutualInfo(assoc, "event_type", "ts").collect()(0)
+    assert(r1.getLong(0) == 4L && r1.getLong(1) == 2L)
+    assert(r1.getDouble(2) == 0.693147 && r1.getDouble(3) == 0.693147 &&
+      r1.getDouble(4) == 0.693147 && r1.getDouble(5) == 1.0)
+    val indep = Seq(("a", dayNs(1)), ("a", dayNs(2)),
+      ("b", dayNs(1)), ("b", dayNs(2))).toDF("event_type", "ts")
+    val r2 = StatQueries.mutualInfo(indep, "event_type", "ts").collect()(0)
+    assert(r2.getDouble(2) == 0.0 && r2.getDouble(5) == 0.0)
+  }
+
   test("crossCorr: a one-day-shifted copy reads r=1 at lag 1, r=0 at lag 0") {
     // click counts 1,2,3,4 on days 1-4; purchase = same shifted to 2-5
     val clicks = (1 to 4).flatMap(d => (1 to d).map(_ => ("click", dayNs(d))))
@@ -252,6 +307,95 @@ class StatSpec extends AnyFunSuite {
     // identical per-bin counts -> pa = pb everywhere -> every log is 0
     assert(js == 0.0 && !r(1).getBoolean(4))
     assert(jd > 0.0 && jd <= math.log(2.0) + 1e-9)
+  }
+
+  test("kaplanMeier: hand-walked two-step conversion with a censored tail") {
+    // u1 converts at t=1, u2 at t=2; u3 never converts and is censored
+    // at the horizon (day 5, its own last activity): t=4.
+    // S(1) = 2/3 -> 0.6667, S(2) = (2/3)(1/2) = 1/3 -> 0.3333
+    val ev = Seq(
+      ("u1", 1, "click"), ("u1", 2, "purchase"),
+      ("u2", 1, "click"), ("u2", 3, "purchase"),
+      ("u3", 1, "click"), ("u3", 5, "click")
+    ).map { case (u, d, t) => (u, dayNs(d), t) }
+      .toDF("user_id", "ts", "event_type")
+    val r = StatQueries
+      .kaplanMeier(ev, "user_id", "ts", "event_type", "purchase")
+      .orderBy("duration_days").collect()
+    assert(r.length == 2)
+    assert(r(0).getLong(0) == 1L && r(0).getLong(1) == 3L &&
+      r(0).getLong(2) == 1L && r(0).getLong(3) == 0L &&
+      r(0).getDouble(4) == 0.6667)
+    assert(r(1).getLong(0) == 2L && r(1).getLong(1) == 2L &&
+      r(1).getDouble(4) == 0.3333)
+    // everyone at risk converts at the last step -> survival hits 0
+    val all = Seq(("a", 1, "purchase"), ("b", 1, "purchase"))
+      .map { case (u, d, t) => (u, dayNs(d), t) }
+      .toDF("user_id", "ts", "event_type")
+    val r2 = StatQueries
+      .kaplanMeier(all, "user_id", "ts", "event_type", "purchase").collect()
+    assert(r2.length == 1 && r2(0).getDouble(4) == 0.0)
+  }
+
+  test("brownForsythe: unequal spreads by hand, equal spreads clamp to 0") {
+    import graft.queries.StatQueries
+    // a = {0.00, 0.02, 0.10} cents {0,2,10}: 2·med = 4, z = {4,0,16}
+    // b = {0.04, 0.06} cents {4,6}: 2·med = 10, z = {2,2}
+    val uneq = Seq(("a", 0.0), ("a", 0.02), ("a", 0.10),
+      ("b", 0.04), ("b", 0.06)).toDF("event_type", "value")
+    val r1 = StatQueries.brownForsythe(uneq, "event_type", "value")
+      .collect()(0)
+    // the identical micro-rounded arithmetic, replayed in plain Scala
+    val terms = (math.floor(400.0 / 3 * 1024 + 0.5) +
+      math.floor(16.0 / 2 * 1024 + 0.5)) / 1024.0
+    val between = math.max(0.0, terms - 24.0 * 24.0 / 5.0)
+    val within = 280.0 - terms
+    val want = math.floor((between / 1.0) / (within / 3.0) * 1e4 + 0.5) / 1e4
+    assert(r1.getLong(0) == 5L && r1.getLong(1) == 2L)
+    assert(r1.getDouble(2) == want, s"w = ${r1.getDouble(2)} want $want")
+    assert(r1.isNullAt(5), "dof2 < 120 -> NULL flag, never a wrong one")
+    // mirrored spreads: between lands 2^-11 negative -> clamped to 0
+    val eq = Seq(("a", 0.01), ("a", 0.03), ("a", 0.05),
+      ("b", 0.02), ("b", 0.04), ("b", 0.06)).toDF("event_type", "value")
+    val r2 = StatQueries.brownForsythe(eq, "event_type", "value").collect()(0)
+    assert(r2.getDouble(2) == 0.0)
+  }
+
+  test("completeness: hand-counted span/missing/coverage/gap, single-day 100%") {
+    import graft.queries.TimeSeriesQueries
+    // g: active days {1,2,5,9} -> span 9, missing 5, coverage
+    // floor(400/9) = 44, gaps {0,2,3} -> longest 3
+    val g = Seq(1, 2, 5, 9).map(d => ("g", dayNs(d)))
+    val solo = Seq(("solo", dayNs(3)), ("solo", dayNs(3)))
+    val ev = (g ++ solo).toDF("event_type", "ts")
+    val r = TimeSeriesQueries.completeness(ev, "event_type", "ts")
+      .orderBy("event_type").collect()
+    assert(r(0).getString(0) == "g" && r(0).getLong(1) == 4L)
+    assert(r(0).getLong(4) == 9L && r(0).getLong(5) == 4L &&
+      r(0).getLong(6) == 5L && r(0).getLong(7) == 44L &&
+      r(0).getLong(8) == 3L)
+    assert(r(1).getString(0) == "solo" && r(1).getLong(1) == 2L &&
+      r(1).getLong(4) == 1L && r(1).getLong(6) == 0L &&
+      r(1).getLong(7) == 100L && r(1).getLong(8) == 0L)
+  }
+
+  test("hellingerDrift: identical halves give BC=1 H=0, disjoint halves dominate") {
+    import graft.queries.TrainingDataQueries
+    val ev = Seq(
+      ("d", dayNs(1), 1.0), ("d", dayNs(2), 1.0),
+      ("d", dayNs(20), 100.0), ("d", dayNs(21), 100.0),
+      ("s", dayNs(1), 1.0), ("s", dayNs(2), 100.0),
+      ("s", dayNs(20), 1.0), ("s", dayNs(21), 100.0)
+    ).toDF("event_type", "ts", "value")
+    val r = TrainingDataQueries
+      .hellingerDrift(ev, "event_type", "ts", "value", 15)
+      .orderBy("event_type").collect()
+    // identical per-bin counts -> pa = pb -> BC = Σ pa = 1, H = 0 (the
+    // greatest() guard absorbs a float BC = 1 + ε)
+    assert(r(1).getDouble(3) == 1.0 && r(1).getDouble(4) == 0.0 &&
+      !r(1).getBoolean(5))
+    val hd = r(0).getDouble(4)
+    assert(hd > 0.0 && hd <= 1.0 && r(0).getBoolean(5) == (hd > 0.1))
   }
 
   test("cusumShift: prefix/running-extremum unrolling matches the recursion by hand") {
