@@ -282,6 +282,13 @@ case class ResolveGraftOp(spark: org.apache.spark.sql.SparkSession)
             dfs(0), str(0), str(1), str(2), str(3))
         case "brown_forsythe" => // (typeCol, valCol)
           graft.queries.StatQueries.brownForsythe(dfs(0), str(0), str(1))
+        case "embedding_drift" => // (idCol, vecCol)
+          graft.queries.SimilarityQueries.embeddingDrift(
+            dfs(0), str(0), str(1))
+        case "changepoint" => // (typeCol, tsCol)
+          graft.queries.StatQueries.changepoint(dfs(0), str(0), str(1))
+        case "vocab_drift" => // (idCol, textCol)
+          graft.queries.TextStats.vocabDrift(dfs(0), str(0), str(1))
         case "effect_size" => // (typeCol, tsCol, valCol, splitDay)
           graft.queries.StatQueries.effectSize(
             dfs(0), str(0), str(1), str(2), lng(3).toInt)
@@ -582,6 +589,9 @@ object GraftFunctions {
     "kaplan_meier" ->
       ("kaplan_meier(table, userCol, tsCol, typeCol, eventType)", 4),
     "brown_forsythe" -> ("brown_forsythe(table, typeCol, valCol)", 2),
+    "embedding_drift" -> ("embedding_drift(table, idCol, vecCol)", 2),
+    "changepoint" -> ("changepoint(table, typeCol, tsCol)", 2),
+    "vocab_drift" -> ("vocab_drift(table, idCol, textCol)", 2),
     "effect_size" ->
       ("effect_size(table, typeCol, tsCol, valCol, splitDay)", 4),
     "crosscorr" ->

@@ -674,7 +674,71 @@ object SimilarityQueries {
       RecallRow("q_semantic_dedup", pairRecall, SemanticRecallFloor, corpus, nq))
   }
 
+  /** Embedding-distribution drift between two corpus batches — the
+    * embedding-space member of the drift family (psi/jsd/hellinger
+    * watch a scalar; a shifted EMBEDDING distribution silently degrades
+    * every ANN/dedup/cluster operator downstream): per-dimension
+    * centroids of batch a vs b, their cosine and the L2 centroid
+    * shift. The batch split here is id parity — the deterministic
+    * stand-in for the time-ordered "yesterday's corpus vs today's"
+    * split a deployment wires in.
+    *
+    * Cross-engine discipline: per-element float32 values are exact in
+    * double and micro-rounded on the BINARY 2²⁰ scale (IEEE-exact
+    * multiply), so the per-dimension sums are order-free exact longs;
+    * the per-dimension centroid products are nano-rounded likewise
+    * before the cross-dimension sums; cos/shift are fixed-order
+    * expressions over those longs, NULL-gated on an empty batch
+    * (ANSI Spark throws on double /0 where DuckDB yields inf).
+    *
+    * Scale: ONE explode pass at (rows × dim) grain feeding a map-side
+    * combinable aggregate onto the dim-bounded grid (64 rows); all
+    * later work is constant-size. `drifted` compares the ROUNDED
+    * cosine. */
+  def embeddingDrift(df: DataFrame, idCol: String,
+                     vecCol: String): DataFrame = {
+    val base = df
+      .filter(col(vecCol).isNotNull)
+      .select(pmod(col(idCol), lit(2L)).cast("long").as("b"),
+        posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .select(col("b"), col("pos"),
+        floor(col("v").cast("double") * lit(1048576.0) + lit(0.5))
+          .cast("long").as("m"))
+    val grid = base.groupBy("pos").agg(
+      sum(when(col("b") === 0L, 1L).otherwise(0L)).as("na"),
+      sum(when(col("b") === 1L, 1L).otherwise(0L)).as("nb"),
+      sum(when(col("b") === 0L, col("m")).otherwise(0L)).as("sa"),
+      sum(when(col("b") === 1L, col("m")).otherwise(0L)).as("sb"))
+    def dd(c: Column) = c.cast("double")
+    def nano(c: Column) = floor(c * lit(1e9) + lit(0.5)).cast("long")
+    val ca = dd(col("sa")) / 1048576.0 / dd(col("na"))
+    val cb = dd(col("sb")) / 1048576.0 / dd(col("nb"))
+    val gate = col("na") > 0L && col("nb") > 0L
+    val g = grid
+      .select(col("na"), col("nb"),
+        when(gate, nano(ca * cb)).as("dot_n"),
+        when(gate, nano(ca * ca)).as("aa_n"),
+        when(gate, nano(cb * cb)).as("bb_n"),
+        when(gate, nano((ca - cb) * (ca - cb))).as("d2_n"))
+      .agg(count(lit(1)).as("dim"),
+        max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        sum(col("dot_n")).as("dot"), sum(col("aa_n")).as("aa"),
+        sum(col("bb_n")).as("bb"), sum(col("d2_n")).as("d2"))
+    def d(s: String) = col(s).cast("double")
+    val cos = rnd(when(col("aa") > 0L && col("bb") > 0L,
+      (d("dot") / 1e9) / sqrt((d("aa") / 1e9) * (d("bb") / 1e9))), 6)
+    g.select(col("dim"), col("n_a"), col("n_b"),
+      cos.as("cos_centroid"),
+      rnd(when(col("aa") > 0L && col("bb") > 0L,
+        sqrt(greatest(lit(0.0), d("d2") / 1e9))), 6).as("l2_shift"),
+      (cos < 0.95).as("drifted"))
+  }
+
+  def qEmbeddingDrift(spark: SparkSession, dir: String): DataFrame =
+    embeddingDrift(Tables.embeddings(spark, dir), "vec_id", "embedding")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embedding_drift" -> qEmbeddingDrift _,
     "q_embedding_quantize" -> qEmbeddingQuantize _,
     "q_embedding_norm" -> qEmbeddingNorm _,
     "q_embedding_stats" -> qEmbeddingStats _,
@@ -696,6 +760,70 @@ object SimilarityQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // parallel unnests zip in DuckDB (value beside its 0-based
+    // position); binary 2^20 element scale and nano-rounded centroid
+    // products keep every cross-row/cross-dim sum an exact long
+    "q_embedding_drift" ->
+      """WITH base AS (
+        |  SELECT vec_id % 2 AS b,
+        |    unnest(generate_series(0, len(embedding) - 1)) AS pos,
+        |    unnest(embedding) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |m AS (
+        |  SELECT b, pos,
+        |    CAST(floor(CAST(v AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT) AS m
+        |  FROM base),
+        |grid AS (
+        |  SELECT pos,
+        |    CAST(sum(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(sum(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+        |    CAST(sum(CASE WHEN b = 0 THEN m ELSE 0 END) AS BIGINT) AS sa,
+        |    CAST(sum(CASE WHEN b = 1 THEN m ELSE 0 END) AS BIGINT) AS sb
+        |  FROM m GROUP BY pos),
+        |t AS (
+        |  SELECT na, nb,
+        |    CASE WHEN na > 0 AND nb > 0 THEN CAST(floor(
+        |      ((CAST(sa AS DOUBLE) / 1048576.0 / CAST(na AS DOUBLE))
+        |        * (CAST(sb AS DOUBLE) / 1048576.0 / CAST(nb AS DOUBLE)))
+        |      * 1e9 + 0.5) AS BIGINT) END AS dot_n,
+        |    CASE WHEN na > 0 AND nb > 0 THEN CAST(floor(
+        |      ((CAST(sa AS DOUBLE) / 1048576.0 / CAST(na AS DOUBLE))
+        |        * (CAST(sa AS DOUBLE) / 1048576.0 / CAST(na AS DOUBLE)))
+        |      * 1e9 + 0.5) AS BIGINT) END AS aa_n,
+        |    CASE WHEN na > 0 AND nb > 0 THEN CAST(floor(
+        |      ((CAST(sb AS DOUBLE) / 1048576.0 / CAST(nb AS DOUBLE))
+        |        * (CAST(sb AS DOUBLE) / 1048576.0 / CAST(nb AS DOUBLE)))
+        |      * 1e9 + 0.5) AS BIGINT) END AS bb_n,
+        |    CASE WHEN na > 0 AND nb > 0 THEN CAST(floor(
+        |      ((CAST(sa AS DOUBLE) / 1048576.0 / CAST(na AS DOUBLE)
+        |          - CAST(sb AS DOUBLE) / 1048576.0 / CAST(nb AS DOUBLE))
+        |        * (CAST(sa AS DOUBLE) / 1048576.0 / CAST(na AS DOUBLE)
+        |          - CAST(sb AS DOUBLE) / 1048576.0 / CAST(nb AS DOUBLE)))
+        |      * 1e9 + 0.5) AS BIGINT) END AS d2_n
+        |  FROM grid),
+        |g AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS dim,
+        |    CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+        |    CAST(sum(dot_n) AS BIGINT) AS dot,
+        |    CAST(sum(aa_n) AS BIGINT) AS aa,
+        |    CAST(sum(bb_n) AS BIGINT) AS bb,
+        |    CAST(sum(d2_n) AS BIGINT) AS d2
+        |  FROM t),
+        |f AS (
+        |  SELECT dim, n_a, n_b,
+        |    CASE WHEN aa > 0 AND bb > 0 THEN
+        |      floor(((CAST(dot AS DOUBLE) / 1e9)
+        |        / sqrt((CAST(aa AS DOUBLE) / 1e9)
+        |          * (CAST(bb AS DOUBLE) / 1e9))) * 1e6 + 0.5) / 1e6
+        |    END AS cos_centroid,
+        |    CASE WHEN aa > 0 AND bb > 0 THEN
+        |      floor(sqrt(greatest(CAST(0.0 AS DOUBLE),
+        |        CAST(d2 AS DOUBLE) / 1e9)) * 1e6 + 0.5) / 1e6
+        |    END AS l2_shift
+        |  FROM g)
+        |SELECT dim, n_a, n_b, cos_centroid, l2_shift,
+        |  cos_centroid < 0.95 AS drifted
+        |FROM f""".stripMargin,
     // certificate rows pinned to literals (the ML-cert precedent):
     // n_queries is 20 at every SF (vec_id < 20 over ≥ 500-vector
     // fixtures), floor_pct the exact integer twin of the gate floor

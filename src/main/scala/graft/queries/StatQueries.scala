@@ -233,6 +233,47 @@ object StatQueries {
     cusumShift(Tables.events(spark, dir), "event_type", "ts")
       .orderBy("event_type", "day")
 
+  /** CUSUM changepoint LOCALIZATION per group — [[cusumShift]] says a
+    * level shift happened; this says WHEN: the day maximizing the
+    * absolute scaled deviation prefix |p_t| = |Σ_{j≤t} (D·x_j − T)| is
+    * the classical CUSUM changepoint estimate (the split where the
+    * before/after means differ most). p is the same EXACT integer
+    * prefix cusumShift unrolls, so argmax is an integer comparison
+    * with the earliest-day tiebreak — fully deterministic; a
+    * perfectly level series (max |p| = 0) reports a NULL day and
+    * direction, never an arbitrary one. Direction reads the SIGN of p
+    * at the argmax: a negative dip means the early days ran below the
+    * overall mean, i.e. the level shifted UP there.
+    *
+    * Scale: identical to [[cusumShift]] — daily rollup is the only
+    * fact-volume pass; prefix and argmax windows run at the DAY grain. */
+  def changepoint(df: DataFrame, typeCol: String, tsCol: String): DataFrame = {
+    val daily = df
+      .select(col(typeCol).as("event_type"), dayOf(tsCol).as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("x"))
+    val wAll = Window.partitionBy("event_type")
+    val wCum = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPick = Window.partitionBy("event_type")
+      .orderBy(abs(col("p")).desc, col("day").asc)
+    daily
+      .withColumn("d", count(lit(1)).over(wAll))
+      .withColumn("t", sum(col("x")).over(wAll))
+      .withColumn("p", sum(col("d") * col("x") - col("t")).over(wCum))
+      .withColumn("rn", row_number().over(wPick))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("d").as("n_days"),
+        when(abs(col("p")) > 0L, col("day")).as("change_day"),
+        rnd(abs(col("p")).cast("double") / col("d").cast("double"), 4)
+          .as("max_dev"),
+        when(abs(col("p")) === 0L, lit(null).cast("string"))
+          .when(col("p") < 0L, "up").otherwise("down").as("direction"))
+  }
+
+  def qChangepoint(spark: SparkSession, dir: String): DataFrame =
+    changepoint(Tables.events(spark, dir), "event_type", "ts")
+      .orderBy("event_type")
+
   /** Gini concentration of per-user activity within each group — the
     * inequality summary beside q_hhi_concentration's HHI: with user
     * counts c₍₁₎ ≤ … ≤ c₍ₙ₎ ranked ascending,
@@ -1154,6 +1195,7 @@ object StatQueries {
     "q_ks_test" -> qKsTest _,
     "q_ks_test_dnum" -> qKsTestDnum _,
     "q_cusum_shift" -> qCusumShift _,
+    "q_changepoint" -> qChangepoint _,
     "q_gini" -> qGini _,
     "q_spearman" -> qSpearman _,
     "q_mann_kendall" -> qMannKendall _,
@@ -1907,6 +1949,36 @@ object StatQueries {
          |    ELSE floor(exp(CAST(snano AS DOUBLE) / 1e9) * 1e4 + 0.5) / 1e4
          |  END AS survival
          |FROM r3 WHERE d > 0 ORDER BY duration_days""".stripMargin,
+    // the cusum_shift integer prefix verbatim; argmax is an integer
+    // comparison with the earliest-day tiebreak (QUALIFY row_number)
+    "q_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+        |w AS (
+        |  SELECT event_type, day, x,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS d,
+        |    CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT) AS t
+        |  FROM daily),
+        |p AS (
+        |  SELECT event_type, day, d,
+        |    CAST(sum(d * x - t) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS p
+        |  FROM w),
+        |pick AS (
+        |  SELECT event_type, d, day, p,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY abs(p) DESC, day) AS rn
+        |  FROM p)
+        |SELECT event_type, d AS n_days,
+        |  CASE WHEN abs(p) > 0 THEN day END AS change_day,
+        |  floor((CAST(abs(p) AS DOUBLE) / CAST(d AS DOUBLE)) * 1e4 + 0.5)
+        |    / 1e4 AS max_dev,
+        |  CASE WHEN abs(p) = 0 THEN NULL
+        |    WHEN p < 0 THEN 'up' ELSE 'down' END AS direction
+        |FROM pick WHERE rn = 1 ORDER BY event_type""".stripMargin,
     // exact 2·median interpolants off the cents grid; (Σz)²/n terms in
     // binary 2⁻¹⁰ units for the order-free cross-group sum; between
     // clamped at 0; the flag gates on the asymptotic F(k−1, ∞) table

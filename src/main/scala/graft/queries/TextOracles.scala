@@ -206,6 +206,41 @@ import TextStats._
        |WHERE d.doc_id >= 60 AND d.doc_id < 120 ORDER BY d.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // one tokenize pass onto the vocabulary grid; every output an
+    // exact integer or one division of exact integers
+    "q_vocab_drift" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id % 2 AS b, unnest($TOKS) AS t FROM documents),
+         |tk AS (SELECT b, t FROM tok WHERE t != ''),
+         |grid AS (
+         |  SELECT t,
+         |    CAST(sum(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         |    CAST(sum(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+         |  FROM tk GROUP BY t),
+         |g AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN ca > 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_a,
+         |    CAST(sum(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_b,
+         |    CAST(sum(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS v_shared,
+         |    CAST(sum(CASE WHEN cb > 0 AND ca = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS new_types,
+         |    CAST(sum(CASE WHEN ca > 0 AND cb = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS lost_types,
+         |    CAST(sum(cb) AS BIGINT) AS tokens_b,
+         |    CAST(sum(CASE WHEN ca = 0 THEN cb ELSE 0 END) AS BIGINT)
+         |      AS oov_mass
+         |  FROM grid)
+         |SELECT v_a, v_b, v_shared, new_types, lost_types,
+         |  CASE WHEN v_a + v_b - v_shared > 0 THEN
+         |    floor((CAST(v_shared AS DOUBLE)
+         |      / CAST(v_a + v_b - v_shared AS DOUBLE)) * 1e6 + 0.5) / 1e6
+         |  END AS jaccard,
+         |  CASE WHEN tokens_b > 0 THEN
+         |    floor((CAST(oov_mass AS DOUBLE) / CAST(tokens_b AS DOUBLE))
+         |      * 1e6 + 0.5) / 1e6
+         |  END AS oov_rate
+         |FROM g""".stripMargin,
     // top-K vocab by the same (count desc, token) cut, ANTI JOIN for
     // the per-doc OOV count, one exact rational per doc
     "q_vocab_coverage" ->

@@ -1167,7 +1167,54 @@ object TextStats {
   def qNgramNovelty(spark: SparkSession, dir: String): DataFrame =
     ngramNoveltyOf(cachedDocTokens(spark, dir)).orderBy("doc_id")
 
+  /** Corpus vocabulary drift between two batches — the curation read
+    * before mixing a fresh crawl into a training corpus (a stable
+    * token distribution can still hide a CHANGED vocabulary: new
+    * domains, new spam patterns, a dropped language): type-level
+    * Jaccard overlap, new/lost type counts, and the out-of-vocabulary
+    * TOKEN-MASS share of the new batch (types say breadth; mass says
+    * how much of the new text a model trained on batch a has never
+    * seen). Batch split is id parity — the deterministic stand-in for
+    * the crawl-date split a deployment wires in (the
+    * [[SimilarityQueries.embeddingDrift]] convention).
+    *
+    * Every output is an exact integer or one division of exact
+    * integers. Scale: ONE tokenize pass onto the vocabulary grid
+    * (wordcount-shaped, map-side combinable), then a single-row
+    * rollup — no windows, no joins. */
+  def vocabDrift(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df
+      .select(pmod(col(idCol), lit(2L)).cast("long").as("b"),
+        explode(tokens(col(textCol))).as("t"))
+      .filter(col("t") =!= "")
+    val grid = tok.groupBy("t").agg(
+      sum(when(col("b") === 0L, 1L).otherwise(0L)).as("ca"),
+      sum(when(col("b") === 1L, 1L).otherwise(0L)).as("cb"))
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    val g = grid.agg(
+      cnt(col("ca") > 0L).as("v_a"),
+      cnt(col("cb") > 0L).as("v_b"),
+      cnt(col("ca") > 0L && col("cb") > 0L).as("v_shared"),
+      cnt(col("cb") > 0L && col("ca") === 0L).as("new_types"),
+      cnt(col("ca") > 0L && col("cb") === 0L).as("lost_types"),
+      sum(col("cb")).as("tokens_b"),
+      sum(when(col("ca") === 0L, col("cb")).otherwise(0L)).as("oov_mass"))
+    g.select(col("v_a"), col("v_b"), col("v_shared"),
+      col("new_types"), col("lost_types"),
+      rnd(when(col("v_a") + col("v_b") - col("v_shared") > 0L,
+        col("v_shared").cast("double") /
+          (col("v_a") + col("v_b") - col("v_shared")).cast("double")), 6)
+        .as("jaccard"),
+      rnd(when(col("tokens_b") > 0L,
+        col("oov_mass").cast("double") / col("tokens_b").cast("double")), 6)
+        .as("oov_rate"))
+  }
+
+  def qVocabDrift(spark: SparkSession, dir: String): DataFrame =
+    vocabDrift(Tables.documents(spark, dir), "doc_id", "text")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vocab_drift" -> qVocabDrift _,
     "q_ngram_novelty" -> qNgramNovelty _,
     "q_vocab_coverage" -> qVocabCoverage _,
     "q_bpe_pairs" -> qBpePairs _,

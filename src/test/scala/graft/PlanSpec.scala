@@ -615,6 +615,10 @@ class PlanSpec extends AnyFunSuite {
       pair("SELECT * FROM embedding_quantize('emb_r12', 'vec_id', 'embedding')",
         graft.queries.SimilarityQueries.embeddingQuantize(emb),
         Seq("vec_id"))
+      pair("SELECT * FROM embedding_drift('emb_r12', 'vec_id', 'embedding')",
+        graft.queries.SimilarityQueries.embeddingDrift(
+          emb, "vec_id", "embedding"),
+        Seq("dim"))
       pair("SELECT * FROM cohort_ltv('ev_r12', 'user_id', 'ts', 'value')",
         graft.queries.TimeSeriesQueries.cohortLtv(ev, "user_id", "ts", "value"),
         Seq("cohort_week", "age_week"))
@@ -696,6 +700,12 @@ class PlanSpec extends AnyFunSuite {
         graft.queries.StatQueries.kaplanMeier(
           ev, "user_id", "ts", "event_type", "purchase"),
         Seq("duration_days"))
+      pair("SELECT * FROM changepoint('ev_r12', 'event_type', 'ts')",
+        graft.queries.StatQueries.changepoint(ev, "event_type", "ts"),
+        Seq("event_type"))
+      pair("SELECT * FROM vocab_drift('docs_r12', 'doc_id', 'text')",
+        graft.queries.TextStats.vocabDrift(docs, "doc_id", "text"),
+        Seq("v_a"))
       pair("SELECT * FROM brown_forsythe('ev_r12', 'event_type', 'value')",
         graft.queries.StatQueries.brownForsythe(ev, "event_type", "value"),
         Seq("n"))

@@ -304,6 +304,20 @@ class ScalarSpec extends AnyFunSuite {
     }
   }
 
+  test("vocabDrift: hand-counted type overlap and OOV token mass") {
+    import graft.queries.TextStats
+    // batch a (even ids): types {a,b,c}; batch b (odd): types {a,d,e}
+    // shared {a}, new {d,e}, lost {b,c}, jaccard 1/5, oov mass 4/5
+    val docs = Seq(
+      (0L, "a b b"), (2L, "a c"),
+      (1L, "a d"), (3L, "d d e")
+    ).toDF("doc_id", "text")
+    val r = TextStats.vocabDrift(docs, "doc_id", "text").collect()(0)
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L && r.getLong(2) == 1L)
+    assert(r.getLong(3) == 2L && r.getLong(4) == 2L)
+    assert(r.getDouble(5) == 0.2 && r.getDouble(6) == 0.8)
+  }
+
   test("qBootstrapCi: full reps, ordered brackets around the full-sample mean") {
     import graft.queries.ScalarQueries
     val out = ScalarQueries.qBootstrapCi(spark, TestSpark.Sf)

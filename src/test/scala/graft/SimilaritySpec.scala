@@ -39,6 +39,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(diffs == 0, s"$diffs vectors bucket differently")
   }
 
+  test("embeddingDrift: orthogonal batch centroids read cos 0 / shift sqrt(2)") {
+    // even ids all [1,0], odd ids all [0,1]: centroids are the axes
+    val orth = Seq(
+      (0L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f)), (3L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val r1 = graft.queries.SimilarityQueries
+      .embeddingDrift(orth, "vec_id", "embedding").collect()(0)
+    assert(r1.getLong(0) == 2L && r1.getLong(1) == 2L && r1.getLong(2) == 2L)
+    assert(r1.getDouble(3) == 0.0 && r1.getDouble(4) == 1.414214 &&
+      r1.getBoolean(5))
+    // identical batches: cos 1, shift 0, not drifted
+    val same = Seq(
+      (0L, Array(1.0f, 2.0f)), (1L, Array(1.0f, 2.0f))
+    ).toDF("vec_id", "embedding")
+    val r2 = graft.queries.SimilarityQueries
+      .embeddingDrift(same, "vec_id", "embedding").collect()(0)
+    assert(r2.getDouble(3) == 1.0 && r2.getDouble(4) == 0.0 &&
+      !r2.getBoolean(5))
+  }
+
   test("brute force top-k: k rows per query, self excluded, ranked desc") {
     val emb = Tables.embeddings(spark, TestSpark.Sf)
     val res = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 5), 3)

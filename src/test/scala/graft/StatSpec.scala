@@ -361,6 +361,22 @@ class StatSpec extends AnyFunSuite {
     assert(r2.getDouble(2) == 0.0)
   }
 
+  test("changepoint: argmax |p| localizes the cusum shift, level series NULL") {
+    // daily counts [1,1,1,1,6]: p = [-5,-10,-15,-20,0] -> argmax day 4,
+    // dev 20/5 = 4, direction 'up' (early days ran below the mean)
+    val shift = ((1 to 4).map(d => (d, 1)) :+ ((5, 6)))
+      .flatMap { case (d, n) => (1 to n).map(_ => ("t", dayNs(d))) }
+    val level = (1 to 3).map(d => ("c", dayNs(d)))
+    val ev = (shift ++ level).toDF("event_type", "ts")
+    val r = StatQueries.changepoint(ev, "event_type", "ts")
+      .orderBy("event_type").collect()
+    assert(r(0).getString(0) == "c" && r(0).isNullAt(2) &&
+      r(0).getDouble(3) == 0.0 && r(0).isNullAt(4))
+    assert(r(1).getString(0) == "t" && r(1).getLong(1) == 5L &&
+      r(1).getDate(2).toString == "1970-01-05" &&
+      r(1).getDouble(3) == 4.0 && r(1).getString(4) == "up")
+  }
+
   test("completeness: hand-counted span/missing/coverage/gap, single-day 100%") {
     import graft.queries.TimeSeriesQueries
     // g: active days {1,2,5,9} -> span 9, missing 5, coverage
