@@ -765,7 +765,7 @@ object SimilarityQueries {
     // products keep every cross-row/cross-dim sum an exact long
     "q_embedding_drift" ->
       """WITH base AS (
-        |  SELECT vec_id % 2 AS b,
+        |  SELECT ((vec_id % 2) + 2) % 2 AS b,
         |    unnest(generate_series(0, len(embedding) - 1)) AS pos,
         |    unnest(embedding) AS v
         |  FROM embeddings WHERE embedding IS NOT NULL),

@@ -444,39 +444,52 @@ object StatQueries {
     *
     * dow is Spark's dayofweek − 1 (Sunday = 0), matching DuckDB's
     * dayofweek numbering exactly. */
-  def chiSquare(df: DataFrame, typeCol: String, tsCol: String): DataFrame = {
-    // ONE fact-scan: the 7 per-dow observed counts fold into fixed
-    // conditional sums per group (zero cells are o_d = 0 by
-    // construction — no grid join, no re-referenced aggregate for
-    // ReuseExchange to miss; the review-pass finding on the first cut)
+  /** Shared (group × weekday) contingency frame — ONE fact-volume pass
+    * folds the 7 per-dow observed counts per group (zero cells are
+    * o_d = 0 by construction — no grid-completion join to multiply
+    * scans), with the row margin `__r`, the column margins c0..c6 and
+    * the grand total `n` as window sums over the bounded per-group
+    * frame (one consumer — the dataset-card rule). ONE definition for
+    * [[chiSquare]]/[[cramersV]]/[[mutualInfo]] (review r13 second leg:
+    * three verbatim copies had grown — the contingency recipe lives
+    * once or it drifts), mirrored by the DowContingencyCtes oracle
+    * prefix. */
+  private def dowContingency(df: DataFrame, typeCol: String,
+                             tsCol: String): DataFrame = {
     val dowCol = (dayofweek(dayOf(tsCol)) - lit(1)).cast("long")
     val byType = df
-      .select(col(typeCol).as("event_type"), dowCol.as("dow"))
-      .groupBy("event_type")
+      .select(col(typeCol).as("t"), dowCol.as("dow"))
+      .groupBy("t")
       .agg(sum(when(col("dow") === 0L, 1L).otherwise(0L)).as("o0"),
         (1 to 6).map(d =>
           sum(when(col("dow") === d.toLong, 1L).otherwise(0L)).as(s"o$d")): _*)
-    // column margins + grand total over the bounded per-group frame
-    val tot = byType.agg(
-      sum(col("o0")).as("c0"),
-      (1 to 6).map(d => sum(col(s"o$d")).as(s"c$d")) :+
-        (0 to 6).map(d => sum(col(s"o$d"))).reduceLeft(_ + _).as("n"): _*)
-    val r = (0 to 6).map(d => col(s"o$d")).reduceLeft(_ + _)
-    def term(d: Int) = {
-      val numd = (col(s"o$d") * col("n") - col("__r") * col(s"c$d"))
-        .cast("double")
-      // a dow absent from the WHOLE table (c_d = 0) contributes 0 and
-      // reduces dof, never a /0
-      when(col(s"c$d") > 0L, (numd * numd) /
-        ((col("__r") * col(s"c$d")).cast("double") * col("n").cast("double")))
-        .otherwise(lit(0.0))
-    }
-    val chi2 = (0 to 6).map(term).reduceLeft(_ + _)
+    val wAll = Window.partitionBy(lit(1))
+    (0 to 6).foldLeft(
+      byType.withColumn("__r",
+        (0 to 6).map(d => col(s"o$d")).reduceLeft(_ + _))) {
+      case (f, d) => f.withColumn(s"c$d", sum(col(s"o$d")).over(wAll))
+    }.withColumn("n", sum(col("__r")).over(wAll))
+  }
+
+  /** Per-cell χ² term over the [[dowContingency]] frame — a dow absent
+    * from the WHOLE table (c_d = 0) contributes 0 and reduces dof,
+    * never a /0. Shared by [[chiSquare]] (per-group decomposition) and
+    * [[cramersV]] (whole-table effect size). */
+  private def dowChiTerm(d: Int): Column = {
+    val numd = (col(s"o$d") * col("n") - col("__r") * col(s"c$d"))
+      .cast("double")
+    when(col(s"c$d") > 0L, (numd * numd) /
+      ((col("__r") * col(s"c$d")).cast("double") * col("n").cast("double")))
+      .otherwise(lit(0.0))
+  }
+
+  def chiSquare(df: DataFrame, typeCol: String, tsCol: String): DataFrame = {
+    val withM = dowContingency(df, typeCol, tsCol)
+    val chi2 = (0 to 6).map(dowChiTerm).reduceLeft(_ + _)
     val nDows = (0 to 6).map(d =>
       when(col(s"c$d") > 0L, 1L).otherwise(0L)).reduceLeft(_ + _)
-    byType.crossJoin(broadcast(tot))
-      .withColumn("__r", r)
-      .select(col("event_type"), (nDows - lit(1L)).as("dof"),
+    withM
+      .select(col("t").as("event_type"), (nDows - lit(1L)).as("dof"),
         rnd(chi2, 4).as("chi2"))
       .withColumn("flagged",
         col("dof") === 6L && col("chi2") > Chi2Crit6)
@@ -708,27 +721,8 @@ object StatQueries {
     * the nano-scaled contribution ≤ n·10⁹ to n ~ 9·10⁸; decimal(38,0)
     * is the named widen past either. */
   def cramersV(df: DataFrame, typeCol: String, tsCol: String): DataFrame = {
-    val dowCol = (dayofweek(dayOf(tsCol)) - lit(1)).cast("long")
-    val byType = df
-      .select(col(typeCol).as("t"), dowCol.as("dow"))
-      .groupBy("t")
-      .agg(sum(when(col("dow") === 0L, 1L).otherwise(0L)).as("o0"),
-        (1 to 6).map(d =>
-          sum(when(col("dow") === d.toLong, 1L).otherwise(0L)).as(s"o$d")): _*)
-    val wAll = Window.partitionBy(lit(1))
-    val withM = (0 to 6).foldLeft(
-      byType.withColumn("__r",
-        (0 to 6).map(d => col(s"o$d")).reduceLeft(_ + _))) {
-      case (f, d) => f.withColumn(s"c$d", sum(col(s"o$d")).over(wAll))
-    }.withColumn("n", sum(col("__r")).over(wAll))
-    def term(d: Int) = {
-      val numd = (col(s"o$d") * col("n") - col("__r") * col(s"c$d"))
-        .cast("double")
-      when(col(s"c$d") > 0L, (numd * numd) /
-        ((col("__r") * col(s"c$d")).cast("double") * col("n").cast("double")))
-        .otherwise(lit(0.0))
-    }
-    val contrib = (0 to 6).map(term).reduceLeft(_ + _)
+    val withM = dowContingency(df, typeCol, tsCol)
+    val contrib = (0 to 6).map(dowChiTerm).reduceLeft(_ + _)
     val g = withM
       .select(col("n"),
         (0 to 6).map(d => when(col(s"c$d") > 0L, 1L).otherwise(0L))
@@ -764,19 +758,7 @@ object StatQueries {
     * all sums are order-free exact longs. Zero cells contribute 0 by
     * the o > 0 gate; a degenerate margin yields NULL nmi, never /0. */
   def mutualInfo(df: DataFrame, typeCol: String, tsCol: String): DataFrame = {
-    val dowCol = (dayofweek(dayOf(tsCol)) - lit(1)).cast("long")
-    val byType = df
-      .select(col(typeCol).as("t"), dowCol.as("dow"))
-      .groupBy("t")
-      .agg(sum(when(col("dow") === 0L, 1L).otherwise(0L)).as("o0"),
-        (1 to 6).map(d =>
-          sum(when(col("dow") === d.toLong, 1L).otherwise(0L)).as(s"o$d")): _*)
-    val wAll = Window.partitionBy(lit(1))
-    val withM = (0 to 6).foldLeft(
-      byType.withColumn("__r",
-        (0 to 6).map(d => col(s"o$d")).reduceLeft(_ + _))) {
-      case (f, d) => f.withColumn(s"c$d", sum(col(s"o$d")).over(wAll))
-    }.withColumn("n", sum(col("__r")).over(wAll))
+    val withM = dowContingency(df, typeCol, tsCol)
     def dd(c: Column) = c.cast("double")
     def nano(c: Column) = floor(c * lit(1e9) + lit(0.5)).cast("long")
     // per-cell MI term (o/n)·ln(o·n/(r·c)), nano-rounded per dow so the
@@ -1238,6 +1220,29 @@ object StatQueries {
       |    CAST(max(nb) AS BIGINT) AS n_b,
       |    CAST(max(abs(fa * nb - fb * na)) AS BIGINT) AS dnum
       |  FROM c GROUP BY event_type)""".stripMargin
+
+  /** DuckDB twin of [[dowContingency]] — the shared CTE prefix ending
+    * in `m(t, o0..o6, r, c0..c6, n)`, written once for the
+    * q_cramers_v / q_mutual_info oracle pair. */
+  private def DowContingencyCtes: String = {
+    val aggSel = (0 to 6).map(d =>
+      s"CAST(sum(CASE WHEN dow = $d THEN 1 ELSE 0 END) AS BIGINT) AS o$d")
+      .mkString(",\n    ")
+    val oCols = (0 to 6).map(d => s"o$d").mkString(", ")
+    val rSum = (0 to 6).map(d => s"o$d").mkString(" + ")
+    val cWins = (0 to 6).map(d =>
+      s"CAST(sum(o$d) OVER () AS BIGINT) AS c$d").mkString(",\n    ")
+    s"""WITH ev AS (
+       |  SELECT event_type AS t,
+       |    CAST(dayofweek(CAST(ts AS DATE)) AS BIGINT) AS dow
+       |  FROM events),
+       |bt AS (SELECT t, $aggSel FROM ev GROUP BY t),
+       |m AS (
+       |  SELECT t, $oCols, ($rSum) AS r,
+       |    $cWins,
+       |    CAST(sum($rSum) OVER () AS BIGINT) AS n
+       |  FROM bt)""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     // the same 21 conditional integer partials, grand moments as exact
@@ -1798,13 +1803,6 @@ object StatQueries {
     // chi-square fixed 7-term fold nano-rounded per group so the
     // cross-group total is an order-free exact long sum
     "q_cramers_v" -> {
-      val aggSel = (0 to 6).map(d =>
-        s"CAST(sum(CASE WHEN dow = $d THEN 1 ELSE 0 END) AS BIGINT) AS o$d")
-        .mkString(",\n    ")
-      val oCols = (0 to 6).map(d => s"o$d").mkString(", ")
-      val rSum = (0 to 6).map(d => s"o$d").mkString(" + ")
-      val cWins = (0 to 6).map(d =>
-        s"CAST(sum(o$d) OVER () AS BIGINT) AS c$d").mkString(",\n    ")
       val term = (0 to 6).map(d =>
         s"(CASE WHEN c$d > 0 THEN (CAST(o$d * n - r * c$d AS DOUBLE)" +
           s" * CAST(o$d * n - r * c$d AS DOUBLE))" +
@@ -1812,16 +1810,7 @@ object StatQueries {
           " ELSE CAST(0.0 AS DOUBLE) END)").mkString(" + ")
       val cLev = (0 to 6).map(d =>
         s"(CASE WHEN c$d > 0 THEN 1 ELSE 0 END)").mkString(" + ")
-      s"""WITH ev AS (
-         |  SELECT event_type AS t,
-         |    CAST(dayofweek(CAST(ts AS DATE)) AS BIGINT) AS dow
-         |  FROM events),
-         |bt AS (SELECT t, $aggSel FROM ev GROUP BY t),
-         |m AS (
-         |  SELECT t, $oCols, ($rSum) AS r,
-         |    $cWins,
-         |    CAST(sum($rSum) OVER () AS BIGINT) AS n
-         |  FROM bt),
+      DowContingencyCtes + s""",
          |g AS (
          |  SELECT CAST(max(n) AS BIGINT) AS n,
          |    CAST(count(*) AS BIGINT) AS r_levels,
@@ -1847,13 +1836,6 @@ object StatQueries {
     // every ln term nano-rounded to an exact long (the value_entropy
     // recipe) so all folds and sums are order-free exact longs
     "q_mutual_info" -> {
-      val aggSel = (0 to 6).map(d =>
-        s"CAST(sum(CASE WHEN dow = $d THEN 1 ELSE 0 END) AS BIGINT) AS o$d")
-        .mkString(",\n    ")
-      val oCols = (0 to 6).map(d => s"o$d").mkString(", ")
-      val rSum = (0 to 6).map(d => s"o$d").mkString(" + ")
-      val cWins = (0 to 6).map(d =>
-        s"CAST(sum(o$d) OVER () AS BIGINT) AS c$d").mkString(",\n    ")
       val miFold = (0 to 6).map(d =>
         s"(CASE WHEN o$d > 0 THEN CAST(floor(((CAST(o$d AS DOUBLE)" +
           s" / CAST(n AS DOUBLE)) * ln(CAST(o$d AS DOUBLE)" +
@@ -1865,16 +1847,7 @@ object StatQueries {
           s" / CAST(n AS DOUBLE)) * ln(CAST(c$d AS DOUBLE)" +
           s" / CAST(n AS DOUBLE))) * 1e9 + 0.5) AS BIGINT)" +
           " ELSE CAST(0 AS BIGINT) END)").mkString(" + ")
-      s"""WITH ev AS (
-         |  SELECT event_type AS t,
-         |    CAST(dayofweek(CAST(ts AS DATE)) AS BIGINT) AS dow
-         |  FROM events),
-         |bt AS (SELECT t, $aggSel FROM ev GROUP BY t),
-         |m AS (
-         |  SELECT t, $oCols, ($rSum) AS r,
-         |    $cWins,
-         |    CAST(sum($rSum) OVER () AS BIGINT) AS n
-         |  FROM bt),
+      DowContingencyCtes + s""",
          |t2 AS (
          |  SELECT n,
          |    ($miFold) AS mi_n,

@@ -210,7 +210,8 @@ import TextStats._
     // exact integer or one division of exact integers
     "q_vocab_drift" ->
       s"""WITH tok AS (
-         |  SELECT doc_id % 2 AS b, unnest($TOKS) AS t FROM documents),
+         |  SELECT ((doc_id % 2) + 2) % 2 AS b, unnest($TOKS) AS t
+         |  FROM documents),
          |tk AS (SELECT b, t FROM tok WHERE t != ''),
          |grid AS (
          |  SELECT t,

@@ -50,9 +50,10 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r1.getLong(0) == 2L && r1.getLong(1) == 2L && r1.getLong(2) == 2L)
     assert(r1.getDouble(3) == 0.0 && r1.getDouble(4) == 1.414214 &&
       r1.getBoolean(5))
-    // identical batches: cos 1, shift 0, not drifted
+    // identical batches: cos 1, shift 0, not drifted — the negative id
+    // lands in batch 1 via pmod (the oracle mirrors with ((x%2)+2)%2)
     val same = Seq(
-      (0L, Array(1.0f, 2.0f)), (1L, Array(1.0f, 2.0f))
+      (0L, Array(1.0f, 2.0f)), (-1L, Array(1.0f, 2.0f))
     ).toDF("vec_id", "embedding")
     val r2 = graft.queries.SimilarityQueries
       .embeddingDrift(same, "vec_id", "embedding").collect()(0)
