@@ -287,6 +287,8 @@ case class ResolveGraftOp(spark: org.apache.spark.sql.SparkSession)
             dfs(0), str(0), str(1))
         case "changepoint" => // (typeCol, tsCol)
           graft.queries.StatQueries.changepoint(dfs(0), str(0), str(1))
+        case "runs_test" => // (typeCol, tsCol)
+          graft.queries.StatQueries.runsTest(dfs(0), str(0), str(1))
         case "vocab_drift" => // (idCol, textCol)
           graft.queries.TextStats.vocabDrift(dfs(0), str(0), str(1))
         case "effect_size" => // (typeCol, tsCol, valCol, splitDay)
@@ -591,6 +593,7 @@ object GraftFunctions {
     "brown_forsythe" -> ("brown_forsythe(table, typeCol, valCol)", 2),
     "embedding_drift" -> ("embedding_drift(table, idCol, vecCol)", 2),
     "changepoint" -> ("changepoint(table, typeCol, tsCol)", 2),
+    "runs_test" -> ("runs_test(table, typeCol, tsCol)", 2),
     "vocab_drift" -> ("vocab_drift(table, idCol, textCol)", 2),
     "effect_size" ->
       ("effect_size(table, typeCol, tsCol, valCol, splitDay)", 4),

@@ -274,6 +274,62 @@ object StatQueries {
     changepoint(Tables.events(spark, dir), "event_type", "ts")
       .orderBy("event_type")
 
+  /** Wald–Wolfowitz runs test per group over daily event counts — the
+    * RANDOMNESS screen completing the day-series family ([[mannKendall]]
+    * asks "monotone trend?", [[changepoint]] asks "where did the level
+    * shift?", this asks "is the up/down sequence random at all" —
+    * catching oscillation and clustering that both of those miss):
+    * days are marked above/below the group's exact median (ties
+    * dropped, the textbook convention), R = number of runs, and z
+    * compares R against its exact null moments μ = 1 + 2n₊n₋/n,
+    * σ² = 2n₊n₋(2n₊n₋ − n)/(n²(n−1)).
+    *
+    * Cross-engine discipline: the median interpolates integral daily
+    * counts (exact halves — the q_percentile precedent; the doubled
+    * comparison 2x vs 2·med stays on exactly-represented values), R
+    * and the null-moment inputs are exact integers, z is one mirrored
+    * fixed-order double and `nonrandom` compares the ROUNDED z. A
+    * one-sided group (n₊ or n₋ = 0, σ = 0) reports NULL z.
+    *
+    * Scale: daily rollup is the only fact-volume pass; the median
+    * window and the lag over kept days run per group at the DAY grain
+    * (the percentile buffer holds #days values — calendar-bounded). */
+  def runsTest(df: DataFrame, typeCol: String, tsCol: String): DataFrame = {
+    val daily = df
+      .select(col(typeCol).as("event_type"), dayOf(tsCol).as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("x"))
+    val wAll = Window.partitionBy("event_type")
+    val wDay = Window.partitionBy("event_type").orderBy("day")
+    val marked = daily
+      .withColumn("med2", expr("percentile(x, 0.5)").over(wAll) * 2.0)
+      .withColumn("b",
+        when(col("x") * 2L > col("med2"), 1L)
+          .when(col("x") * 2L < col("med2"), 0L))
+    val kept = marked.filter(col("b").isNotNull)
+      .withColumn("chg",
+        when(lag(col("b"), 1).over(wDay).isNotNull &&
+          col("b") =!= lag(col("b"), 1).over(wDay), 1L).otherwise(0L))
+      .groupBy("event_type")
+      .agg(sum(col("b")).as("n_above"),
+        sum(lit(1L) - col("b")).as("n_below"),
+        (lit(1L) + sum(col("chg"))).as("n_runs"))
+    def d(s: String) = col(s).cast("double")
+    val n = d("n_above") + d("n_below")
+    val two = lit(2.0) * d("n_above") * d("n_below")
+    val mu = lit(1.0) + two / n
+    val vr = (two * (two - n)) / (n * n * (n - 1.0))
+    val z = rnd(when(vr > 0.0, (d("n_runs") - mu) / sqrt(vr)), 4)
+    val spine = daily.groupBy("event_type").agg(count(lit(1)).as("nd"))
+    spine.join(kept, Seq("event_type"), "left")
+      .select(col("event_type"), col("nd").as("n_days"),
+        col("n_above"), col("n_below"), col("n_runs"), z.as("z"),
+        (abs(z) > 1.96).as("nonrandom"))
+  }
+
+  def qRunsTest(spark: SparkSession, dir: String): DataFrame =
+    runsTest(Tables.events(spark, dir), "event_type", "ts")
+      .orderBy("event_type")
+
   /** Gini concentration of per-user activity within each group — the
     * inequality summary beside q_hhi_concentration's HHI: with user
     * counts c₍₁₎ ≤ … ≤ c₍ₙ₎ ranked ascending,
@@ -1178,6 +1234,7 @@ object StatQueries {
     "q_ks_test_dnum" -> qKsTestDnum _,
     "q_cusum_shift" -> qCusumShift _,
     "q_changepoint" -> qChangepoint _,
+    "q_runs_test" -> qRunsTest _,
     "q_gini" -> qGini _,
     "q_spearman" -> qSpearman _,
     "q_mann_kendall" -> qMannKendall _,
@@ -1922,6 +1979,56 @@ object StatQueries {
          |    ELSE floor(exp(CAST(snano AS DOUBLE) / 1e9) * 1e4 + 0.5) / 1e4
          |  END AS survival
          |FROM r3 WHERE d > 0 ORDER BY duration_days""".stripMargin,
+    // exact-half median marks, integer runs count, mirrored fixed-order
+    // null moments; nonrandom compares the ROUNDED z
+    "q_runs_test" -> {
+      val na = "CAST(n_above AS DOUBLE)"
+      val nb = "CAST(n_below AS DOUBLE)"
+      val n = s"($na + $nb)"
+      val two = s"(2.0 * $na * $nb)"
+      val mu = s"(1.0 + $two / $n)"
+      val vr = s"(($two * ($two - $n)) / ($n * $n * ($n - 1.0)))"
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day,
+         |    CAST(count(*) AS BIGINT) AS x
+         |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+         |mk AS (
+         |  SELECT event_type, day, x,
+         |    quantile_cont(x, 0.5) OVER (PARTITION BY event_type) * 2.0
+         |      AS med2
+         |  FROM daily),
+         |b AS (
+         |  SELECT event_type, day,
+         |    CASE WHEN x * 2 > med2 THEN 1
+         |      WHEN x * 2 < med2 THEN 0 END AS b
+         |  FROM mk),
+         |k AS (SELECT * FROM b WHERE b IS NOT NULL),
+         |c AS (
+         |  SELECT event_type, b,
+         |    CASE WHEN lag(b) OVER (PARTITION BY event_type ORDER BY day)
+         |        IS NOT NULL
+         |      AND b != lag(b) OVER (PARTITION BY event_type ORDER BY day)
+         |      THEN 1 ELSE 0 END AS chg
+         |  FROM k),
+         |g AS (
+         |  SELECT event_type, CAST(sum(b) AS BIGINT) AS n_above,
+         |    CAST(sum(1 - b) AS BIGINT) AS n_below,
+         |    CAST(1 + sum(chg) AS BIGINT) AS n_runs
+         |  FROM c GROUP BY event_type),
+         |spine AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+         |  FROM daily GROUP BY event_type),
+         |f AS (
+         |  SELECT spine.event_type, n_days, n_above, n_below, n_runs,
+         |    CASE WHEN $vr > 0.0 THEN
+         |      floor(((CAST(n_runs AS DOUBLE) - $mu) / sqrt($vr))
+         |        * 1e4 + 0.5) / 1e4
+         |    END AS z
+         |  FROM spine LEFT JOIN g ON spine.event_type = g.event_type)
+         |SELECT event_type, n_days, n_above, n_below, n_runs, z,
+         |  abs(z) > 1.96 AS nonrandom
+         |FROM f ORDER BY event_type""".stripMargin
+    },
     // the cusum_shift integer prefix verbatim; argmax is an integer
     // comparison with the earliest-day tiebreak (QUALIFY row_number)
     "q_changepoint" ->

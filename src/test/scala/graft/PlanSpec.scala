@@ -703,6 +703,9 @@ class PlanSpec extends AnyFunSuite {
       pair("SELECT * FROM changepoint('ev_r12', 'event_type', 'ts')",
         graft.queries.StatQueries.changepoint(ev, "event_type", "ts"),
         Seq("event_type"))
+      pair("SELECT * FROM runs_test('ev_r12', 'event_type', 'ts')",
+        graft.queries.StatQueries.runsTest(ev, "event_type", "ts"),
+        Seq("event_type"))
       pair("SELECT * FROM vocab_drift('docs_r12', 'doc_id', 'text')",
         graft.queries.TextStats.vocabDrift(docs, "doc_id", "text"),
         Seq("v_a"))

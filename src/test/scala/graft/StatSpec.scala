@@ -377,6 +377,28 @@ class StatSpec extends AnyFunSuite {
       r(1).getDouble(3) == 4.0 && r(1).getString(4) == "up")
   }
 
+  test("runsTest: alternating series maxes runs, blocky halves minimize, ties NULL") {
+    // alt: counts 1,5 alternating over 8 days -> R = 8, n+ = n- = 4,
+    // mu = 5, var = 768/448; blocky: 1,1,1,5,5,5 -> R = 2; flat -> NULL
+    val alt = (1 to 8).flatMap(d =>
+      (1 to (if (d % 2 == 0) 5 else 1)).map(_ => ("alt", dayNs(d))))
+    val blk = (1 to 6).flatMap(d =>
+      (1 to (if (d <= 3) 1 else 5)).map(_ => ("blk", dayNs(d))))
+    val flat = (1 to 4).map(d => ("flat", dayNs(d)))
+    val ev = (alt ++ blk ++ flat).toDF("event_type", "ts")
+    val r = StatQueries.runsTest(ev, "event_type", "ts")
+      .orderBy("event_type").collect()
+    val zAlt = math.floor((8.0 - 5.0) / math.sqrt(768.0 / 448.0) * 1e4 + 0.5) / 1e4
+    assert(r(0).getString(0) == "alt" && r(0).getLong(2) == 4L &&
+      r(0).getLong(3) == 4L && r(0).getLong(4) == 8L &&
+      r(0).getDouble(5) == zAlt && r(0).getBoolean(6))
+    val zBlk = math.floor((2.0 - 4.0) / math.sqrt(216.0 / 180.0) * 1e4 + 0.5) / 1e4
+    assert(r(1).getString(0) == "blk" && r(1).getLong(4) == 2L &&
+      r(1).getDouble(5) == zBlk)
+    assert(r(2).getString(0) == "flat" && r(2).getLong(1) == 4L &&
+      r(2).isNullAt(5), "an all-tied series has no runs to grade")
+  }
+
   test("completeness: hand-counted span/missing/coverage/gap, single-day 100%") {
     import graft.queries.TimeSeriesQueries
     // g: active days {1,2,5,9} -> span 9, missing 5, coverage
