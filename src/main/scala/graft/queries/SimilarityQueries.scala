@@ -727,9 +727,13 @@ object SimilarityQueries {
     def d(s: String) = col(s).cast("double")
     val cos = rnd(when(col("aa") > 0L && col("bb") > 0L,
       (d("dot") / 1e9) / sqrt((d("aa") / 1e9) * (d("bb") / 1e9))), 6)
+    // the shift is defined whenever both batches are NON-EMPTY (d2's
+    // per-dim gate already encodes that); only the cosine needs the
+    // nonzero-norm gate — an all-zero-centroid batch is maximal drift,
+    // not a NULL (review r13 leg 2)
     g.select(col("dim"), col("n_a"), col("n_b"),
       cos.as("cos_centroid"),
-      rnd(when(col("aa") > 0L && col("bb") > 0L,
+      rnd(when(col("d2").isNotNull,
         sqrt(greatest(lit(0.0), d("d2") / 1e9))), 6).as("l2_shift"),
       (cos < 0.95).as("drifted"))
   }
@@ -816,7 +820,7 @@ object SimilarityQueries {
         |        / sqrt((CAST(aa AS DOUBLE) / 1e9)
         |          * (CAST(bb AS DOUBLE) / 1e9))) * 1e6 + 0.5) / 1e6
         |    END AS cos_centroid,
-        |    CASE WHEN aa > 0 AND bb > 0 THEN
+        |    CASE WHEN d2 IS NOT NULL THEN
         |      floor(sqrt(greatest(CAST(0.0 AS DOUBLE),
         |        CAST(d2 AS DOUBLE) / 1e9)) * 1e6 + 0.5) / 1e6
         |    END AS l2_shift

@@ -208,9 +208,7 @@ object StatQueries {
     * partition is #days, not #rows, so the sort is metadata-scale; the
     * daily rollup underneath is the only full-data pass. */
   def cusumShift(df: DataFrame, typeCol: String, tsCol: String): DataFrame = {
-    val daily = df
-      .select(col(typeCol).as("event_type"), dayOf(tsCol).as("day"))
-      .groupBy("event_type", "day").agg(count(lit(1)).as("x"))
+    val daily = dailyCounts(df, typeCol, tsCol)
     val wAll = Window.partitionBy("event_type")
     val wCum = Window.partitionBy("event_type").orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -248,9 +246,7 @@ object StatQueries {
     * Scale: identical to [[cusumShift]] — daily rollup is the only
     * fact-volume pass; prefix and argmax windows run at the DAY grain. */
   def changepoint(df: DataFrame, typeCol: String, tsCol: String): DataFrame = {
-    val daily = df
-      .select(col(typeCol).as("event_type"), dayOf(tsCol).as("day"))
-      .groupBy("event_type", "day").agg(count(lit(1)).as("x"))
+    val daily = dailyCounts(df, typeCol, tsCol)
     val wAll = Window.partitionBy("event_type")
     val wCum = Window.partitionBy("event_type").orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -295,9 +291,7 @@ object StatQueries {
     * window and the lag over kept days run per group at the DAY grain
     * (the percentile buffer holds #days values — calendar-bounded). */
   def runsTest(df: DataFrame, typeCol: String, tsCol: String): DataFrame = {
-    val daily = df
-      .select(col(typeCol).as("event_type"), dayOf(tsCol).as("day"))
-      .groupBy("event_type", "day").agg(count(lit(1)).as("x"))
+    val daily = dailyCounts(df, typeCol, tsCol)
     val wAll = Window.partitionBy("event_type")
     val wDay = Window.partitionBy("event_type").orderBy("day")
     val marked = daily
@@ -318,7 +312,12 @@ object StatQueries {
     val two = lit(2.0) * d("n_above") * d("n_below")
     val mu = lit(1.0) + two / n
     val vr = (two * (two - n)) / (n * n * (n - 1.0))
-    val z = rnd(when(vr > 0.0, (d("n_runs") - mu) / sqrt(vr)), 4)
+    // the gate must be division-free: a when() PREDICATE is evaluated
+    // eagerly, and vr's denominator is 0 at n = 1 (ANSI Spark throws on
+    // /0 where DuckDB yields NaN — review r13 leg 2). two > n ⟺ vr > 0
+    // given both marks present, and it also implies n > 1.
+    val z = rnd(when(col("n_above") > 0L && col("n_below") > 0L && two > n,
+      (d("n_runs") - mu) / sqrt(vr)), 4)
     val spine = daily.groupBy("event_type").agg(count(lit(1)).as("nd"))
     spine.join(kept, Seq("event_type"), "left")
       .select(col("event_type"), col("nd").as("n_days"),
@@ -373,9 +372,7 @@ object StatQueries {
   def autocorr(df: DataFrame, typeCol: String, tsCol: String,
                maxLag: Int = 3): DataFrame = {
     require(maxLag >= 1, s"autocorr: maxLag must be >= 1 (got $maxLag)")
-    val daily = df
-      .select(col(typeCol).as("event_type"), dayOf(tsCol).as("day"))
-      .groupBy("event_type", "day").agg(count(lit(1)).as("x"))
+    val daily = dailyCounts(df, typeCol, tsCol)
     laggedPearson(daily.withColumn("y", col("x")),
       partCols = Seq("event_type"), ordCol = "day", lags = 1 to maxLag)
   }
@@ -528,13 +525,17 @@ object StatQueries {
   }
 
   /** Per-cell χ² term over the [[dowContingency]] frame — a dow absent
-    * from the WHOLE table (c_d = 0) contributes 0 and reduces dof,
-    * never a /0. Shared by [[chiSquare]] (per-group decomposition) and
-    * [[cramersV]] (whole-table effect size). */
+    * from the WHOLE table (c_d = 0) contributes 0 and reduces dof, and
+    * a ZERO-MASS group (__r = 0 — every timestamp NULL, so all seven
+    * conditional counts are 0) contributes 0 too; both gates keep the
+    * divisor strictly positive (ANSI Spark throws on the 0/0 an
+    * ungated row would hit — review r13 leg 2). Shared by
+    * [[chiSquare]] (per-group decomposition) and [[cramersV]]
+    * (whole-table effect size). */
   private def dowChiTerm(d: Int): Column = {
     val numd = (col(s"o$d") * col("n") - col("__r") * col(s"c$d"))
       .cast("double")
-    when(col(s"c$d") > 0L, (numd * numd) /
+    when(col("__r") > 0L && col(s"c$d") > 0L, (numd * numd) /
       ((col("__r") * col(s"c$d")).cast("double") * col("n").cast("double")))
       .otherwise(lit(0.0))
   }
@@ -669,9 +670,7 @@ object StatQueries {
     * the psi_drift scalar-join precedent, pinned at two scans in
     * PlanSpec so it cannot silently grow. */
   def mannKendall(df: DataFrame, typeCol: String, tsCol: String): DataFrame = {
-    val daily = df
-      .select(col(typeCol).as("event_type"), dayOf(tsCol).as("day"))
-      .groupBy("event_type", "day").agg(count(lit(1)).as("x"))
+    val daily = dailyCounts(df, typeCol, tsCol)
     val a = daily.select(col("event_type"), col("day").as("d1"),
       col("x").as("x1"))
     val b = daily.select(col("event_type"), col("day").as("d2"),
@@ -725,9 +724,7 @@ object StatQueries {
     * group and the median window partitions by group over those day
     * pairs, both metadata-scale regardless of corpus size. */
   def theilSen(df: DataFrame, typeCol: String, tsCol: String): DataFrame = {
-    val daily = df
-      .select(col(typeCol).as("event_type"), dayOf(tsCol).as("day"))
-      .groupBy("event_type", "day").agg(count(lit(1)).as("x"))
+    val daily = dailyCounts(df, typeCol, tsCol)
     val a = daily.select(col("event_type"), col("day").as("d1"),
       col("x").as("x1"))
     val b = daily.select(col("event_type"), col("day").as("d2"),
@@ -825,8 +822,11 @@ object StatQueries {
           log(dd(col(s"o$d")) * dd(col("n")) /
             (dd(col("__r")) * dd(col(s"c$d")))))).otherwise(lit(0L))
     val miNano = (0 to 6).map(miTerm).reduceLeft(_ + _)
-    val hRowNano = nano(-(dd(col("__r")) / dd(col("n"))) *
-      log(dd(col("__r")) / dd(col("n"))))
+    // a zero-mass group (__r = 0) contributes 0 entropy — ungated,
+    // Spark's log(0) reads NULL while DuckDB's ln(0) reads -inf
+    val hRowNano = when(col("__r") > 0L,
+      nano(-(dd(col("__r")) / dd(col("n"))) *
+        log(dd(col("__r")) / dd(col("n"))))).otherwise(lit(0L))
     def hColTerm(d: Int) =
       when(col(s"c$d") > 0L,
         nano(-(dd(col(s"c$d")) / dd(col("n"))) *
@@ -1366,10 +1366,11 @@ object StatQueries {
          |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
          |t AS (
          |  SELECT cells.event_type, cells.dow,
-         |    (CAST(cells.o * tot.n - rows_.r * cols_.c AS DOUBLE)
-         |      * CAST(cells.o * tot.n - rows_.r * cols_.c AS DOUBLE))
-         |      / (CAST(rows_.r * cols_.c AS DOUBLE) * CAST(tot.n AS DOUBLE))
-         |      AS term
+         |    CASE WHEN rows_.r > 0 AND cols_.c > 0 THEN
+         |      (CAST(cells.o * tot.n - rows_.r * cols_.c AS DOUBLE)
+         |        * CAST(cells.o * tot.n - rows_.r * cols_.c AS DOUBLE))
+         |        / (CAST(rows_.r * cols_.c AS DOUBLE) * CAST(tot.n AS DOUBLE))
+         |    ELSE CAST(0.0 AS DOUBLE) END AS term
          |  FROM cells JOIN rows_ USING (event_type)
          |    JOIN cols_ USING (dow) CROSS JOIN tot),
          |g AS (
@@ -1861,7 +1862,7 @@ object StatQueries {
     // cross-group total is an order-free exact long sum
     "q_cramers_v" -> {
       val term = (0 to 6).map(d =>
-        s"(CASE WHEN c$d > 0 THEN (CAST(o$d * n - r * c$d AS DOUBLE)" +
+        s"(CASE WHEN r > 0 AND c$d > 0 THEN (CAST(o$d * n - r * c$d AS DOUBLE)" +
           s" * CAST(o$d * n - r * c$d AS DOUBLE))" +
           s" / (CAST(r * c$d AS DOUBLE) * CAST(n AS DOUBLE))" +
           " ELSE CAST(0.0 AS DOUBLE) END)").mkString(" + ")
@@ -1908,9 +1909,11 @@ object StatQueries {
          |t2 AS (
          |  SELECT n,
          |    ($miFold) AS mi_n,
-         |    CAST(floor((-(CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
-         |      * ln(CAST(r AS DOUBLE) / CAST(n AS DOUBLE))) * 1e9 + 0.5)
-         |      AS BIGINT) AS hr_n,
+         |    CASE WHEN r > 0 THEN
+         |      CAST(floor((-(CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+         |        * ln(CAST(r AS DOUBLE) / CAST(n AS DOUBLE))) * 1e9 + 0.5)
+         |        AS BIGINT)
+         |    ELSE CAST(0 AS BIGINT) END AS hr_n,
          |    ($hcFold) AS hc_n
          |  FROM m),
          |g AS (
@@ -2020,7 +2023,7 @@ object StatQueries {
          |  FROM daily GROUP BY event_type),
          |f AS (
          |  SELECT spine.event_type, n_days, n_above, n_below, n_runs,
-         |    CASE WHEN $vr > 0.0 THEN
+         |    CASE WHEN n_above > 0 AND n_below > 0 AND $two > $n THEN
          |      floor(((CAST(n_runs AS DOUBLE) - $mu) / sqrt($vr))
          |        * 1e4 + 0.5) / 1e4
          |    END AS z

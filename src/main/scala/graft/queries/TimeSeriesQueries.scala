@@ -805,9 +805,7 @@ object TimeSeriesQueries {
     * window partitions per group over ACTIVE DAYS (≤ calendar days,
     * bounded) — the [[streaks]] shape. */
   def completeness(df: DataFrame, typeCol: String, tsCol: String): DataFrame = {
-    val daily = df
-      .select(col(typeCol).as("event_type"), dayOf(tsCol).as("day"))
-      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+    val daily = dailyCounts(df, typeCol, tsCol).withColumnRenamed("x", "n")
     val w = Window.partitionBy("event_type").orderBy("day")
     val g = daily
       .withColumn("gap",

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions.floor
 
 /** Helpers shared by the oracle-compared query groups. */
@@ -35,6 +35,19 @@ package object queries {
   def dayOf(tsCol: String): Column = {
     import org.apache.spark.sql.functions.{expr, timestamp_micros, to_date}
     to_date(timestamp_micros(expr(s"`$tsCol` div 1000")))
+  }
+
+  /** Per-group daily event-count rollup — `(event_type, day, x)` off
+    * ONE fact-volume pass; THE day-series entry point for the
+    * trend / changepoint / runs / autocorrelation / completeness
+    * family (review r13 second leg: seven verbatim copies had grown
+    * across the day-grain operators; like [[dayOf]] itself, the
+    * rollup lives once or it drifts). */
+  def dailyCounts(df: DataFrame, typeCol: String, tsCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    df.select(col(typeCol).as("event_type"), dayOf(tsCol).as("day"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("x"))
   }
 
   /** Hour-of-day (0-23) of a NAMED epoch-nano column — the third member

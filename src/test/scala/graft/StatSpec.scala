@@ -397,6 +397,20 @@ class StatSpec extends AnyFunSuite {
       r(1).getDouble(5) == zBlk)
     assert(r(2).getString(0) == "flat" && r(2).getLong(1) == 4L &&
       r(2).isNullAt(5), "an all-tied series has no runs to grade")
+    // degenerate kept sets must NULL, not ANSI-crash (review r13 leg 2:
+    // the variance denominator is 0 at n = 1 and an eager when()
+    // predicate evaluated it): one survivor after tie-drop, and a
+    // 2-day series whose variance is exactly 0
+    val spike = Seq(1 -> 1, 2 -> 1, 3 -> 5)
+      .flatMap { case (d, c) => (1 to c).map(_ => ("spike", dayNs(d))) }
+    val pair2 = Seq(1 -> 1, 2 -> 5)
+      .flatMap { case (d, c) => (1 to c).map(_ => ("pair", dayNs(d))) }
+    val r2 = StatQueries.runsTest(
+      (spike ++ pair2).toDF("event_type", "ts"), "event_type", "ts")
+      .orderBy("event_type").collect()
+    assert(r2(0).getString(0) == "pair" && r2(0).isNullAt(5))
+    assert(r2(1).getString(0) == "spike" && r2(1).getLong(2) == 1L &&
+      r2(1).getLong(3) == 0L && r2(1).isNullAt(5))
   }
 
   test("completeness: hand-counted span/missing/coverage/gap, single-day 100%") {
