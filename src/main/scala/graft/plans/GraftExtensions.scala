@@ -289,6 +289,12 @@ case class ResolveGraftOp(spark: org.apache.spark.sql.SparkSession)
           graft.queries.StatQueries.changepoint(dfs(0), str(0), str(1))
         case "runs_test" => // (typeCol, tsCol)
           graft.queries.StatQueries.runsTest(dfs(0), str(0), str(1))
+        case "key_skew" => // (keyCol)
+          graft.queries.ScalarQueries.keySkew(dfs(0), str(0))
+        case "hill_tail" => // (typeCol, valCol)
+          graft.queries.StatQueries.hillTail(dfs(0), str(0), str(1))
+        case "dedup_sweep" => // (idCol, textCol)
+          graft.queries.TextDedup.dedupSweep(dfs(0), str(0), str(1))
         case "vocab_drift" => // (idCol, textCol)
           graft.queries.TextStats.vocabDrift(dfs(0), str(0), str(1))
         case "effect_size" => // (typeCol, tsCol, valCol, splitDay)
@@ -594,6 +600,9 @@ object GraftFunctions {
     "embedding_drift" -> ("embedding_drift(table, idCol, vecCol)", 2),
     "changepoint" -> ("changepoint(table, typeCol, tsCol)", 2),
     "runs_test" -> ("runs_test(table, typeCol, tsCol)", 2),
+    "key_skew" -> ("key_skew(table, keyCol)", 1),
+    "hill_tail" -> ("hill_tail(table, typeCol, valCol)", 2),
+    "dedup_sweep" -> ("dedup_sweep(table, idCol, textCol)", 2),
     "vocab_drift" -> ("vocab_drift(table, idCol, textCol)", 2),
     "effect_size" ->
       ("effect_size(table, typeCol, tsCol, valCol, splitDay)", 4),

@@ -756,7 +756,41 @@ object ScalarQueries {
     modeValue(Tables.events(spark, dir), "event_type", "value")
       .orderBy("event_type")
 
+  /** Join-key skew audit — the PLANNING read behind every salted-join /
+    * AQE-skew decision at scale (the operator that tells you whether
+    * q_skew_join's salting is worth its shuffle on THIS key): key
+    * cardinality, max-key share, the skew factor max/mean (a uniform
+    * key reads 1; AQE's skewedPartitionFactor default flags 5×), and
+    * the deterministic top-5 key mass. Every statistic is an exact
+    * integer or one division of exact integers; the salt
+    * recommendation compares the ROUNDED factor (the flag discipline).
+    *
+    * Scale: one hash aggregate at the key grain (map-side combinable),
+    * then a constant-width stats rollup and a TakeOrderedAndProject
+    * top-5 — the per-key aggregate has two consumers, so the plan
+    * carries two fact scans (the mann_kendall scalar-join precedent;
+    * at 100 TB you'd localCheckpoint a SAMPLED key frame instead). */
+  def keySkew(df: DataFrame, keyCol: String): DataFrame = {
+    val per = df.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("c"))
+    val stats = per.agg(count(lit(1)).as("n_keys"),
+      sum(col("c")).as("n_rows"), max(col("c")).as("max_c"))
+    val top5 = per.orderBy(desc("c"), asc("k")).limit(5)
+      .agg(sum(col("c")).as("top5_c"))
+    def d(s: String) = col(s).cast("double")
+    val skew = rnd(d("max_c") * d("n_keys") / d("n_rows"), 4)
+    stats.crossJoin(broadcast(top5))
+      .select(col("n_keys"), col("n_rows"), col("max_c"),
+        rnd(d("max_c") / d("n_rows"), 6).as("max_share"),
+        skew.as("skew_factor"),
+        rnd(d("top5_c") / d("n_rows"), 6).as("top5_share"),
+        (skew > 5.0).as("salt_recommended"))
+  }
+
+  def qKeySkew(spark: SparkSession, dir: String): DataFrame =
+    keySkew(Tables.events(spark, dir), "user_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_key_skew" -> qKeySkew _,
     "q_mode" -> qMode _,
     "q_bootstrap_ci" -> qBootstrapCi _,
     "q_minhash_partials" -> qMinhashPartials _,
@@ -810,6 +844,32 @@ object ScalarQueries {
       .orderBy("c_custkey")
 
   val oracles: Map[String, String] = Map(
+    // exact integer key stats; the top-5 cut is (count desc, key)
+    // deterministic on both engines
+    "q_key_skew" ->
+      """WITH per AS (
+        |  SELECT user_id AS k, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY user_id),
+        |stats AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(sum(c) AS BIGINT) AS n_rows,
+        |    CAST(max(c) AS BIGINT) AS max_c
+        |  FROM per),
+        |top5 AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS top5_c
+        |  FROM (SELECT c FROM per ORDER BY c DESC, k LIMIT 5)),
+        |f AS (
+        |  SELECT n_keys, n_rows, max_c,
+        |    floor((CAST(max_c AS DOUBLE) / CAST(n_rows AS DOUBLE))
+        |      * 1e6 + 0.5) / 1e6 AS max_share,
+        |    floor((CAST(max_c AS DOUBLE) * CAST(n_keys AS DOUBLE)
+        |      / CAST(n_rows AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS skew_factor,
+        |    floor((CAST(top5_c AS DOUBLE) / CAST(n_rows AS DOUBLE))
+        |      * 1e6 + 0.5) / 1e6 AS top5_share
+        |  FROM stats, top5)
+        |SELECT n_keys, n_rows, max_c, max_share, skew_factor, top5_share,
+        |  skew_factor > 5.0 AS salt_recommended
+        |FROM f""".stripMargin,
     // the histogram grid + a deterministic (count desc, cents) cut;
     // the group total is a window over the same bounded grid
     "q_mode" ->

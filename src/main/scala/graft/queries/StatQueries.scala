@@ -329,6 +329,60 @@ object StatQueries {
     runsTest(Tables.events(spark, dir), "event_type", "ts")
       .orderBy("event_type")
 
+  /** Tail-order-statistics count for [[hillTail]] — interpolated into
+    * BOTH engines so they cannot drift. */
+  val HillK: Int = 100
+
+  /** Hill tail-index estimator per group — HOW heavy the value tail is
+    * (the per-value complement of [[benfordAudit]]'s digit audit and
+    * zipf_fit's corpus decay: α ≤ 2 means infinite variance, and a
+    * mean-based monitor on such a column is lying):
+    * α̂ = k / Σ_{i≤k} ln(x₍ᵢ₎/x₍ₖ₊₁₎) over the top-k order statistics.
+    * The order statistics come from the distinct-cents GRID, not a
+    * row sort: a descending cumulative count locates x₍ₖ₊₁₎ as a
+    * conditional window max and gives each grid row its exact tail
+    * multiplicity least(t, k − cumBefore); each ln (an exact-integer
+    * ratio) is nano-rounded to a long and multiplied by that exact
+    * count, so the tail sum is an order-free exact long. A group with
+    * n ≤ k has no (k+1)-th statistic and reports NULL; a degenerate
+    * tail (top k+1 values all equal ⇒ Σ = 0) also NULLs, never /0.
+    *
+    * Scale: the KS/KW grid class — one fact-grain cell aggregate, then
+    * windows over the value-RESOLUTION-bounded grid. */
+  def hillTail(df: DataFrame, typeCol: String, valCol: String): DataFrame = {
+    val k = lit(HillK.toLong)
+    val ev = df.filter(col(valCol).isNotNull)
+      .select(col(typeCol).as("event_type"), centsOf(valCol).as("cents"))
+      .filter(col("cents") > 0L)
+    val grid = ev.groupBy("event_type", "cents").agg(count(lit(1)).as("t"))
+    val wDesc = Window.partitionBy("event_type").orderBy(desc("cents"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy("event_type")
+    val g = grid
+      .withColumn("cumbefore", coalesce(sum(col("t")).over(wDesc), lit(0L)))
+      .withColumn("n_g", sum(col("t")).over(wAll))
+      .withColumn("xref", max(when(col("cumbefore") < k + lit(1L) &&
+        col("cumbefore") + col("t") >= k + lit(1L), col("cents"))).over(wAll))
+    def dd(c: Column) = c.cast("double")
+    val copies = least(col("t"), k - col("cumbefore"))
+    val termN = when(col("cumbefore") < k && col("xref").isNotNull,
+      copies * floor(log(dd(col("cents")) / dd(col("xref"))) * lit(1e9) +
+        lit(0.5)).cast("long")).otherwise(lit(0L))
+    g.select(col("event_type"), col("n_g"), col("xref"), termN.as("tn"))
+      .groupBy("event_type")
+      .agg(max(col("n_g")).as("n"), max(col("xref")).as("xref"),
+        sum(col("tn")).as("snano"))
+      .select(col("event_type"), col("n"),
+        rnd(col("xref").cast("double") / 100.0, 2).as("x_ref"),
+        rnd(when(col("snano") > 0L,
+          lit(HillK.toDouble) * lit(1e9) / col("snano").cast("double")), 4)
+          .as("alpha"))
+  }
+
+  def qHillTail(spark: SparkSession, dir: String): DataFrame =
+    hillTail(Tables.events(spark, dir), "event_type", "value")
+      .orderBy("event_type")
+
   /** Gini concentration of per-user activity within each group — the
     * inequality summary beside q_hhi_concentration's HHI: with user
     * counts c₍₁₎ ≤ … ≤ c₍ₙ₎ ranked ascending,
@@ -1235,6 +1289,7 @@ object StatQueries {
     "q_cusum_shift" -> qCusumShift _,
     "q_changepoint" -> qChangepoint _,
     "q_runs_test" -> qRunsTest _,
+    "q_hill_tail" -> qHillTail _,
     "q_gini" -> qGini _,
     "q_spearman" -> qSpearman _,
     "q_mann_kendall" -> qMannKendall _,
@@ -1982,6 +2037,47 @@ object StatQueries {
          |    ELSE floor(exp(CAST(snano AS DOUBLE) / 1e9) * 1e4 + 0.5) / 1e4
          |  END AS survival
          |FROM r3 WHERE d > 0 ORDER BY duration_days""".stripMargin,
+    // grid order statistics: descending cumulative locates x_(k+1),
+    // exact tail multiplicities weight the nano-rounded ln ratios
+    "q_hill_tail" ->
+      s"""WITH ev AS (
+         |  SELECT event_type,
+         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+         |  FROM events WHERE value IS NOT NULL
+         |    AND CAST(floor(value * 100 + 0.5) AS BIGINT) > 0),
+         |grid AS (
+         |  SELECT event_type, cents, CAST(count(*) AS BIGINT) AS t
+         |  FROM ev GROUP BY event_type, cents),
+         |g1 AS (
+         |  SELECT event_type, cents, t,
+         |    CAST(coalesce(sum(t) OVER (PARTITION BY event_type
+         |      ORDER BY cents DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cumbefore,
+         |    CAST(sum(t) OVER (PARTITION BY event_type) AS BIGINT) AS n_g
+         |  FROM grid),
+         |g2 AS (
+         |  SELECT event_type, cents, t, cumbefore, n_g,
+         |    CAST(max(CASE WHEN cumbefore < $HillK + 1
+         |        AND cumbefore + t >= $HillK + 1 THEN cents END)
+         |      OVER (PARTITION BY event_type) AS BIGINT) AS xref
+         |  FROM g1),
+         |per AS (
+         |  SELECT event_type, CAST(max(n_g) AS BIGINT) AS n,
+         |    CAST(max(xref) AS BIGINT) AS xref,
+         |    CAST(sum(CASE WHEN cumbefore < $HillK AND xref IS NOT NULL
+         |      THEN least(t, $HillK - cumbefore)
+         |        * CAST(floor(ln(CAST(cents AS DOUBLE)
+         |          / CAST(xref AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)
+         |      ELSE 0 END) AS BIGINT) AS snano
+         |  FROM g2 GROUP BY event_type)
+         |SELECT event_type, n,
+         |  floor((CAST(xref AS DOUBLE) / 100.0) * 1e2 + 0.5) / 1e2 AS x_ref,
+         |  CASE WHEN snano > 0 THEN
+         |    floor(((CAST($HillK AS DOUBLE) * 1e9)
+         |      / CAST(snano AS DOUBLE)) * 1e4 + 0.5) / 1e4
+         |  END AS alpha
+         |FROM per ORDER BY event_type""".stripMargin,
     // exact-half median marks, integer runs count, mirrored fixed-order
     // null moments; nonrandom compares the ROUNDED z
     "q_runs_test" -> {

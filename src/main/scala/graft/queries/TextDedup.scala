@@ -66,6 +66,58 @@ object TextDedup {
       .select(col("a"), col("b"), rnd(col("jaccard"), 4).as("jaccard"))
       .orderBy("a", "b")
 
+  /** Thresholds for [[qDedupSweep]] — interpolated into BOTH engines so
+    * they cannot drift. The floor of the sweep is also the pair-join
+    * threshold, so every sweep point filters the SAME exact pair set. */
+  val SweepThresholds: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+
+  /** Dedup-threshold operating curve — the decision input BEFORE
+    * committing a corpus to one Jaccard threshold (0.8 keeps near-exact
+    * copies only; 0.5 sweeps in paraphrases — the right point depends
+    * on THIS corpus's pair-similarity distribution, which this emits):
+    * exact duplicate-pair and affected-doc counts at each sweep
+    * threshold, from ONE exact word-set Jaccard pair computation
+    * (computed once at the sweep floor, then filtered per point — the
+    * raw jaccard doubles are identical engine-to-engine, the
+    * q_dedup_jaccard precedent, so the threshold comparisons are
+    * parity-safe unrounded).
+    *
+    * Scale: the pair set is the bounded q_dedup_jaccard slice
+    * (localCheckpoint'd once for its three consumers); at corpus scale
+    * the same sweep runs over the banded-LSH candidate pairs instead
+    * of the exact join — the operating curve logic is unchanged. */
+  def dedupSweep(docs: DataFrame, idCol: String,
+                 textCol: String): DataFrame = {
+    val nCorpus = docs.agg(count(lit(1)).as("n_corpus"))
+    val pairs = Dedup.jaccardPairs(docs, 1, SweepThresholds.min,
+        idCol, textCol)
+      .select(col("a"), col("b"), col("jaccard"))
+      .localCheckpoint(true)
+    val spine = docs.sparkSession.range(1)
+      .select(explode(array(SweepThresholds.map(lit(_)): _*)).as("threshold"))
+    val th = pairs
+      .select(col("a"), col("b"), col("jaccard"),
+        explode(array(SweepThresholds.map(lit(_)): _*)).as("threshold"))
+      .filter(col("jaccard") >= col("threshold"))
+    val np = th.groupBy("threshold").agg(count(lit(1)).as("n_pairs"))
+    val nd = th.select(col("threshold"),
+        explode(array(col("a"), col("b"))).as("d")).distinct()
+      .groupBy("threshold").agg(count(lit(1)).as("n_docs"))
+    spine.join(np, Seq("threshold"), "left")
+      .join(nd, Seq("threshold"), "left")
+      .crossJoin(broadcast(nCorpus))
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        rnd(coalesce(col("n_docs"), lit(0L)).cast("double") /
+          col("n_corpus").cast("double"), 4).as("dup_frac"))
+      .orderBy("threshold")
+  }
+
+  def qDedupSweep(spark: SparkSession, dir: String): DataFrame =
+    dedupSweep(Tables.documents(spark, dir).filter(col("doc_id") < 100),
+      "doc_id", "text")
+
   /** Directed trigram-shingle containment pairs over a bounded id range
     * — the asymmetric excerpt/quote signal (see
     * [[graft.operators.Dedup.containmentPairs]]). The oracle computes
@@ -524,6 +576,7 @@ object TextDedup {
     "q_span_dedup" -> qSpanDedup _,
     "q_span_dedup_rowhash" -> qSpanDedupRowhash _,
     "q_dedup_jaccard" -> qDedupJaccard _,
+    "q_dedup_sweep" -> qDedupSweep _,
     "q_containment" -> qContainment _,
     "q_ngram_sim" -> qNgramSim _,
     "q_minhash_sig" -> qMinhashSig _,

@@ -398,6 +398,44 @@ import TextStats._
       s"""sh AS (
          |  SELECT DISTINCT doc_id, unnest($TOKS) AS s
          |  FROM documents WHERE doc_id < 100)""".stripMargin, 0.8),
+    // ONE exact pair set at the sweep floor, filtered per threshold;
+    // the raw jaccard doubles are identical engine-to-engine so the
+    // unrounded comparisons are parity-safe (the q_dedup_jaccard
+    // precedent); spine LEFT JOINs keep zero-pair thresholds
+    "q_dedup_sweep" ->
+      s"""WITH sh AS (
+         |  SELECT DISTINCT doc_id, unnest($TOKS) AS s
+         |  FROM documents WHERE doc_id < 100),
+         |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |i AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+         |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2),
+         |j AS (
+         |  SELECT a, b, c * 1.0 / (na.n + nb.n - c) AS jaccard
+         |  FROM i JOIN n na ON na.doc_id = a JOIN n nb ON nb.doc_id = b),
+         |p AS (SELECT a, b, jaccard FROM j
+         |  WHERE jaccard >= ${TextDedup.SweepThresholds.min}),
+         |spine AS (
+         |  SELECT CAST(unnest([${TextDedup.SweepThresholds.mkString(", ")}])
+         |    AS DOUBLE) AS threshold),
+         |q AS (SELECT threshold, a, b FROM spine JOIN p
+         |  ON jaccard >= threshold),
+         |np AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs
+         |  FROM q GROUP BY threshold),
+         |docs AS (SELECT DISTINCT threshold, unnest([a, b]) AS d FROM q),
+         |nd AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM docs GROUP BY threshold),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus
+         |  FROM documents WHERE doc_id < 100)
+         |SELECT spine.threshold,
+         |  CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs,
+         |  CAST(coalesce(n_docs, 0) AS BIGINT) AS n_docs,
+         |  floor((CAST(coalesce(n_docs, 0) AS DOUBLE)
+         |    / CAST(n_corpus AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS dup_frac
+         |FROM spine LEFT JOIN np USING (threshold)
+         |  LEFT JOIN nd USING (threshold) CROSS JOIN tot
+         |ORDER BY threshold""".stripMargin,
     // directed containment, deliberately ALL-PAIRS: the Spark side
     // prosecutes the prefix-filtered join, so a green hash here proves
     // the rare-shingle prefix proposes every qualifying pair (threshold

@@ -32,6 +32,24 @@ class DedupSpec extends AnyFunSuite {
     assert(p.exists { case (a, b, j) => a == 0L && b == 1L && j == 1.0 })
   }
 
+  test("dedupSweep: hand-counted operating curve, zero-pair points kept") {
+    import graft.queries.TextDedup
+    // j(0,1)=1.0, j(0,2)=j(1,2)=0.6: thresholds 0.5/0.6 see 3 pairs over
+    // 3 docs; 0.7+ see only the exact pair; the d3 singleton never joins
+    val d = Seq(
+      (0L, "a b c d"), (1L, "a b c d"), (2L, "a b c e"), (3L, "x y")
+    ).toDF("doc_id", "text")
+    val r = TextDedup.dedupSweep(d, "doc_id", "text")
+      .collect()
+    assert(r.length == 5)
+    assert(r(0).getDouble(0) == 0.5 && r(0).getLong(1) == 3L &&
+      r(0).getLong(2) == 3L && r(0).getDouble(3) == 0.75)
+    assert(r(1).getDouble(0) == 0.6 && r(1).getLong(1) == 3L)
+    assert(r(2).getDouble(0) == 0.7 && r(2).getLong(1) == 1L &&
+      r(2).getLong(2) == 2L && r(2).getDouble(3) == 0.5)
+    assert(r(4).getDouble(0) == 0.9 && r(4).getLong(1) == 1L)
+  }
+
   test("minhash identical word sets give identical signatures") {
     val sig = Dedup.minhashSignatures(docs, 8).orderBy("doc_id").collect()
     val s0 = sig(0).toSeq.drop(1)

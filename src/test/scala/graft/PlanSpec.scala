@@ -706,6 +706,15 @@ class PlanSpec extends AnyFunSuite {
       pair("SELECT * FROM runs_test('ev_r12', 'event_type', 'ts')",
         graft.queries.StatQueries.runsTest(ev, "event_type", "ts"),
         Seq("event_type"))
+      pair("SELECT * FROM key_skew('ev_r12', 'user_id')",
+        graft.queries.ScalarQueries.keySkew(ev, "user_id"),
+        Seq("n_keys"))
+      pair("SELECT * FROM hill_tail('ev_r12', 'event_type', 'value')",
+        graft.queries.StatQueries.hillTail(ev, "event_type", "value"),
+        Seq("event_type"))
+      pair("SELECT * FROM dedup_sweep('docs_r12', 'doc_id', 'text')",
+        graft.queries.TextDedup.dedupSweep(docs, "doc_id", "text"),
+        Seq("threshold"))
       pair("SELECT * FROM vocab_drift('docs_r12', 'doc_id', 'text')",
         graft.queries.TextStats.vocabDrift(docs, "doc_id", "text"),
         Seq("v_a"))

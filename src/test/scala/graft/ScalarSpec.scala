@@ -304,6 +304,21 @@ class ScalarSpec extends AnyFunSuite {
     }
   }
 
+  test("keySkew: hand-counted skew factor, uniform keys read 1.0") {
+    import graft.queries.ScalarQueries
+    // a:6 b:2 c:2 -> max_share 0.6, skew 6*3/10 = 1.8, top5 = all
+    val skewed = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq.fill(2)("c"))
+      .toDF("user_id")
+    val r1 = ScalarQueries.keySkew(skewed, "user_id").collect()(0)
+    assert(r1.getLong(0) == 3L && r1.getLong(1) == 10L &&
+      r1.getLong(2) == 6L)
+    assert(r1.getDouble(3) == 0.6 && r1.getDouble(4) == 1.8 &&
+      r1.getDouble(5) == 1.0 && !r1.getBoolean(6))
+    val uniform = (Seq.fill(5)("a") ++ Seq.fill(5)("b")).toDF("user_id")
+    val r2 = ScalarQueries.keySkew(uniform, "user_id").collect()(0)
+    assert(r2.getDouble(4) == 1.0 && !r2.getBoolean(6))
+  }
+
   test("vocabDrift: hand-counted type overlap and OOV token mass") {
     import graft.queries.TextStats
     // batch a (even ids): types {a,b,c}; batch b (odd): types {a,d,e}

@@ -361,6 +361,28 @@ class StatSpec extends AnyFunSuite {
     assert(r2.getDouble(2) == 0.0)
   }
 
+  test("hillTail: hand tail with one ln2 term, degenerate and short tails NULL") {
+    import graft.queries.StatQueries
+    // t: one 4.00 above 100x 2.00 and one 1.00 -> x_(101) = 2.00, the
+    // only nonzero tail term is ln(400/200) = ln 2 -> alpha = k/ln 2
+    val t = (Seq(4.0) ++ Seq.fill(100)(2.0) ++ Seq(1.0)).map(("t", _))
+    // flat: 102 equal values -> sum of ln ratios 0 -> NULL alpha
+    val flat = Seq.fill(102)(("flat", 3.0))
+    // short: n <= k -> no (k+1)-th statistic -> NULL alpha and x_ref
+    val short = Seq.fill(50)(("short", 2.0))
+    val ev = (t ++ flat ++ short).toDF("event_type", "value")
+    val r = StatQueries.hillTail(ev, "event_type", "value")
+      .orderBy("event_type").collect()
+    assert(r(0).getString(0) == "flat" && r(0).getDouble(2) == 3.0 &&
+      r(0).isNullAt(3))
+    assert(r(1).getString(0) == "short" && r(1).isNullAt(2) &&
+      r(1).isNullAt(3))
+    val want = math.floor(1e11 /
+      math.floor(math.log(2.0) * 1e9 + 0.5) * 1e4 + 0.5) / 1e4
+    assert(r(2).getString(0) == "t" && r(2).getLong(1) == 102L &&
+      r(2).getDouble(2) == 2.0 && r(2).getDouble(3) == want)
+  }
+
   test("changepoint: argmax |p| localizes the cusum shift, level series NULL") {
     // daily counts [1,1,1,1,6]: p = [-5,-10,-15,-20,0] -> argmax day 4,
     // dev 20/5 = 4, direction 'up' (early days ran below the mean)
