@@ -83,7 +83,8 @@ object TextDedup {
     * parity-safe unrounded).
     *
     * Scale: the pair set is the bounded q_dedup_jaccard slice
-    * (localCheckpoint'd once for its three consumers); at corpus scale
+    * (localCheckpoint'd once for its two consumers — the pair and
+    * affected-doc rollups); at corpus scale
     * the same sweep runs over the banded-LSH candidate pairs instead
     * of the exact join — the operating curve logic is unchanged. */
   def dedupSweep(docs: DataFrame, idCol: String,

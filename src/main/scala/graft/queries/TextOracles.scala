@@ -137,25 +137,28 @@ import TextStats._
        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
        |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
        |sh AS (SELECT DISTINCT doc_id, unnest($TOKS) AS s FROM docs),
-       |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-       |i AS (
-       |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
-       |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
-       |  GROUP BY 1, 2),
-       |j AS (
-       |  SELECT a, b, c * 1.0 / (na.n + nb.n - c) AS jaccard
-       |  FROM i JOIN n na ON na.doc_id = a JOIN n nb ON nb.doc_id = b)""".stripMargin
+       |$JaccardNIJ""".stripMargin
+
+  /** Shared n/i/j CTE body — word-set sizes, pairwise intersections and
+    * the exact Jaccard ratio off a preceding `sh(doc_id, s)` CTE. ONE
+    * copy (review r13 leg 3: a third verbatim copy had grown with the
+    * sweep oracle — the pair recipe lives once or the sweep's pair set
+    * silently drifts from the one it claims to share). */
+  // a def, not a val: the consuming CTE strings above initialize first
+  // (a forward val reference would interpolate null at object init)
+  private def JaccardNIJ: String =
+    """n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |i AS (
+      |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+      |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2),
+      |j AS (
+      |  SELECT a, b, c * 1.0 / (na.n + nb.n - c) AS jaccard
+      |  FROM i JOIN n na ON na.doc_id = a JOIN n nb ON nb.doc_id = b)""".stripMargin
 
   private def jaccardSql(shingleCte: String, threshold: Double): String =
     s"""WITH $shingleCte,
-       |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-       |i AS (
-       |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
-       |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
-       |  GROUP BY 1, 2),
-       |j AS (
-       |  SELECT a, b, c * 1.0 / (na.n + nb.n - c) AS jaccard
-       |  FROM i JOIN n na ON na.doc_id = a JOIN n nb ON nb.doc_id = b)
+       |$JaccardNIJ
        |SELECT a, b, floor((jaccard) * 1e4 + 0.5) / 1e4 AS jaccard
        |FROM j WHERE jaccard >= $threshold ORDER BY a, b""".stripMargin
 
@@ -406,14 +409,7 @@ import TextStats._
       s"""WITH sh AS (
          |  SELECT DISTINCT doc_id, unnest($TOKS) AS s
          |  FROM documents WHERE doc_id < 100),
-         |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         |i AS (
-         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
-         |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
-         |  GROUP BY 1, 2),
-         |j AS (
-         |  SELECT a, b, c * 1.0 / (na.n + nb.n - c) AS jaccard
-         |  FROM i JOIN n na ON na.doc_id = a JOIN n nb ON nb.doc_id = b),
+         |$JaccardNIJ,
          |p AS (SELECT a, b, jaccard FROM j
          |  WHERE jaccard >= ${TextDedup.SweepThresholds.min}),
          |spine AS (
