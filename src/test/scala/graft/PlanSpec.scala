@@ -754,6 +754,21 @@ class PlanSpec extends AnyFunSuite {
     assert(executedScans("q_crosscorr") <= 3)
     assert(executedScans("q_effect_size") == 1)
     assert(executedScans("q_spearman") == 1)
+    // second-leg pins: the single-scan grid/window shapes, and the
+    // documented two-scan self-join/scalar-join shapes
+    assert(executedScans("q_brown_forsythe") == 1)
+    assert(executedScans("q_hill_tail") == 1)
+    assert(executedScans("q_cramers_v") == 1)
+    assert(executedScans("q_mutual_info") == 1)
+    assert(executedScans("q_chi_square") == 1)
+    assert(executedScans("q_completeness") == 1)
+    assert(executedScans("q_changepoint") == 1)
+    assert(executedScans("q_theil_sen") <= 2)
+    assert(executedScans("q_runs_test") <= 2)
+    assert(executedScans("q_key_skew") <= 2)
+    assert(executedScans("q_kaplan_meier") <= 2)
+    assert(executedScans("q_vocab_drift") == 1)
+    assert(executedScans("q_embedding_drift") == 1)
   }
 
   test("q_span_dedup executed plan computes the gram explode exactly once") {
