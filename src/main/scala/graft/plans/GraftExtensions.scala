@@ -293,6 +293,10 @@ case class ResolveGraftOp(spark: org.apache.spark.sql.SparkSession)
           graft.queries.ScalarQueries.keySkew(dfs(0), str(0))
         case "hill_tail" => // (typeCol, valCol)
           graft.queries.StatQueries.hillTail(dfs(0), str(0), str(1))
+        case "outlier_iqr" => // (typeCol, valCol)
+          graft.queries.StatQueries.outlierIqr(dfs(0), str(0), str(1))
+        case "dispersion_index" => // (typeCol, tsCol)
+          graft.queries.StatQueries.dispersionIndex(dfs(0), str(0), str(1))
         case "dedup_sweep" => // (idCol, textCol)
           graft.queries.TextDedup.dedupSweep(dfs(0), str(0), str(1))
         case "vocab_drift" => // (idCol, textCol)
@@ -602,6 +606,8 @@ object GraftFunctions {
     "runs_test" -> ("runs_test(table, typeCol, tsCol)", 2),
     "key_skew" -> ("key_skew(table, keyCol)", 1),
     "hill_tail" -> ("hill_tail(table, typeCol, valCol)", 2),
+    "outlier_iqr" -> ("outlier_iqr(table, typeCol, valCol)", 2),
+    "dispersion_index" -> ("dispersion_index(table, typeCol, tsCol)", 2),
     "dedup_sweep" -> ("dedup_sweep(table, idCol, textCol)", 2),
     "vocab_drift" -> ("vocab_drift(table, idCol, textCol)", 2),
     "effect_size" ->

@@ -171,9 +171,40 @@ object SourceQueries {
       .orderBy("event_id")
   }
 
+  private val csvMemo = new SessionMemo[String, String]
+
+  /** S1's oracle-gated form — events written as header CSV and read
+    * back under an EXPLICIT schema (inferSchema's per-run re-parse is
+    * the reference tax this engine exists to avoid), then compared
+    * cell-exact against the parquet source. CSV is a TEXT format: the
+    * long columns round-trip trivially and the double `value` survives
+    * via Java's shortest-round-trip rendering parsed back to identical
+    * bits — the parity-by-identity oracle is the proof. Completes the
+    * format triangle beside q_compaction_roundtrip (parquet) and
+    * q_orc_roundtrip (ORC). */
+  def qCsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = csvMemo.getOrElseUpdate(spark, dir) {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-csv")
+      compactedDirs.add(tmp)
+      val path = tmp.toString + "/events"
+      Tables.events(spark, dir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .write.mode("overwrite").option("header", "true").csv(path)
+      path
+    }
+    spark.read
+      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, " +
+        "value DOUBLE")
+      .option("header", "true").csv(out)
+      .select(col("event_id"), expr("ts DIV 1000").as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_compaction_roundtrip" -> qCompactionRoundtrip _,
     "q_orc_roundtrip" -> qOrcRoundtrip _,
+    "q_csv_roundtrip" -> qCsvRoundtrip _,
     "q_bucketed_join" -> qBucketedJoin _)
 
   val oracles: Map[String, String] = Map(
@@ -182,6 +213,11 @@ object SourceQueries {
         |FROM events ORDER BY event_id""".stripMargin,
     // parity-by-identity through the ORC write/read path
     "q_orc_roundtrip" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
+    // parity-by-identity through the CSV text write/read path (the
+    // double column proves shortest-round-trip rendering fidelity)
+    "q_csv_roundtrip" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
     // the UNbucketed twin: plain parquet join + rollup (HUGEINT cents

@@ -383,6 +383,76 @@ object StatQueries {
     hillTail(Tables.events(spark, dir), "event_type", "value")
       .orderBy("event_type")
 
+  /** Tukey IQR-fence outlier audit per group — the boxplot convention
+    * beside [[hillTail]]'s tail index and outlier_mad's robust z (MAD
+    * asks "how far in robust σ"; the fences ask the analyst's default
+    * "outside 1.5×IQR?"): exact quartiles interpolate on integer cents
+    * (quarter-valued doubles, exact on both engines — the
+    * q_quantile_drift precedent), so the fences are eighth-valued
+    * exact doubles and every count compares exactly. Degenerate
+    * IQR = 0 still counts correctly (fences collapse to the quartiles).
+    *
+    * Scale: stats aggregate + broadcast join back for the conditional
+    * counts — two fact scans (the key_skew two-consumer class); the
+    * exact-percentile buffer holds a group's cents (the
+    * latencyPercentiles hazard; percentile_approx is the swap). */
+  def outlierIqr(df: DataFrame, typeCol: String, valCol: String): DataFrame = {
+    val ev = df.filter(col(valCol).isNotNull)
+      .select(col(typeCol).as("event_type"), centsOf(valCol).as("c"))
+    val st = ev.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      expr("percentile(c, 0.25)").as("q1"),
+      expr("percentile(c, 0.75)").as("q3"))
+    val lo = col("q1") - lit(1.5) * (col("q3") - col("q1"))
+    val hi = col("q3") + lit(1.5) * (col("q3") - col("q1"))
+    def d(c: Column) = c.cast("double")
+    ev.join(broadcast(st), "event_type")
+      .groupBy("event_type")
+      .agg(max(col("n")).as("n"),
+        rnd(max(col("q1")) / 100.0, 4).as("q1"),
+        rnd(max(col("q3")) / 100.0, 4).as("q3"),
+        sum(when(d(col("c")) < lo, 1L).otherwise(0L)).as("n_low"),
+        sum(when(d(col("c")) > hi, 1L).otherwise(0L)).as("n_high"))
+      .select(col("event_type"), col("n"), col("q1"), col("q3"),
+        col("n_low"), col("n_high"),
+        rnd((col("n_low") + col("n_high")).cast("double") /
+          col("n").cast("double"), 4).as("outlier_frac"))
+  }
+
+  def qOutlierIqr(spark: SparkSession, dir: String): DataFrame =
+    outlierIqr(Tables.events(spark, dir), "event_type", "value")
+      .orderBy("event_type")
+
+  /** Daily-count dispersion index per group — D = s²/x̄ over the day
+    * series (Poisson reads 1; the burstiness QUANTIFIER beside
+    * [[runsTest]]'s randomness verdict and [[interarrival]]'s cv):
+    * exact integer day-count moments, one mirrored fixed-order double,
+    * regime bands label the ROUNDED D. Single-day or dark groups NULL.
+    *
+    * Scale: the [[dailyCounts]] rollup is the only fact-volume pass;
+    * the moment fold is one map-side-combinable aggregate. */
+  def dispersionIndex(df: DataFrame, typeCol: String,
+                      tsCol: String): DataFrame = {
+    val daily = dailyCounts(df, typeCol, tsCol)
+    val g = daily.groupBy("event_type").agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("x") * col("x")).as("sxx"))
+    def d(s: String) = col(s).cast("double")
+    val vr = (d("n") * d("sxx") - d("sx") * d("sx")) /
+      (d("n") * (d("n") - 1.0))
+    val mean = d("sx") / d("n")
+    val di = rnd(when(col("n") > 1L && col("sx") > 0L, vr / mean), 4)
+    g.select(col("event_type"), col("n").as("n_days"),
+      rnd(mean, 4).as("mean_daily"), di.as("dispersion"),
+      when(di.isNull, lit(null).cast("string"))
+        .when(di < 0.9, "under").when(di <= 1.1, "poisson")
+        .otherwise("over").as("regime"))
+  }
+
+  def qDispersionIndex(spark: SparkSession, dir: String): DataFrame =
+    dispersionIndex(Tables.events(spark, dir), "event_type", "ts")
+      .orderBy("event_type")
+
   /** Gini concentration of per-user activity within each group — the
     * inequality summary beside q_hhi_concentration's HHI: with user
     * counts c₍₁₎ ≤ … ≤ c₍ₙ₎ ranked ascending,
@@ -1290,6 +1360,8 @@ object StatQueries {
     "q_changepoint" -> qChangepoint _,
     "q_runs_test" -> qRunsTest _,
     "q_hill_tail" -> qHillTail _,
+    "q_outlier_iqr" -> qOutlierIqr _,
+    "q_dispersion_index" -> qDispersionIndex _,
     "q_gini" -> qGini _,
     "q_spearman" -> qSpearman _,
     "q_mann_kendall" -> qMannKendall _,
@@ -2037,6 +2109,61 @@ object StatQueries {
          |    ELSE floor(exp(CAST(snano AS DOUBLE) / 1e9) * 1e4 + 0.5) / 1e4
          |  END AS survival
          |FROM r3 WHERE d > 0 ORDER BY duration_days""".stripMargin,
+    // exact quarter-valued quartiles (the quantile_drift precedent),
+    // eighth-valued fences, exact integer comparisons both engines
+    "q_outlier_iqr" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |st AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    quantile_cont(c, 0.25) AS q1, quantile_cont(c, 0.75) AS q3
+        |  FROM ev GROUP BY event_type),
+        |g AS (
+        |  SELECT ev.event_type, CAST(max(n) AS BIGINT) AS n,
+        |    max(q1) AS q1r, max(q3) AS q3r,
+        |    CAST(sum(CASE WHEN CAST(c AS DOUBLE) < q1 - 1.5 * (q3 - q1)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |    CAST(sum(CASE WHEN CAST(c AS DOUBLE) > q3 + 1.5 * (q3 - q1)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+        |  FROM ev JOIN st USING (event_type) GROUP BY ev.event_type)
+        |SELECT event_type, n,
+        |  floor((q1r / 100.0) * 1e4 + 0.5) / 1e4 AS q1,
+        |  floor((q3r / 100.0) * 1e4 + 0.5) / 1e4 AS q3,
+        |  n_low, n_high,
+        |  floor((CAST(n_low + n_high AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * 1e4 + 0.5) / 1e4 AS outlier_frac
+        |FROM g ORDER BY event_type""".stripMargin,
+    // exact integer day-count moments, one mirrored fixed-order double;
+    // regime bands label the ROUNDED index
+    "q_dispersion_index" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+        |g AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM daily GROUP BY event_type),
+        |f AS (
+        |  SELECT event_type, n,
+        |    floor((CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * 1e4 + 0.5)
+        |      / 1e4 AS mean_daily,
+        |    CASE WHEN n > 1 AND sx > 0 THEN
+        |      floor((((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+        |        / (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+        |        * 1e4 + 0.5) / 1e4
+        |    END AS dispersion
+        |  FROM g)
+        |SELECT event_type, n AS n_days, mean_daily, dispersion,
+        |  CASE WHEN dispersion IS NULL THEN NULL
+        |    WHEN dispersion < 0.9 THEN 'under'
+        |    WHEN dispersion <= 1.1 THEN 'poisson'
+        |    ELSE 'over' END AS regime
+        |FROM f ORDER BY event_type""".stripMargin,
     // grid order statistics: descending cumulative locates x_(k+1),
     // exact tail multiplicities weight the nano-rounded ln ratios
     "q_hill_tail" ->

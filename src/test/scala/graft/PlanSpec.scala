@@ -712,6 +712,12 @@ class PlanSpec extends AnyFunSuite {
       pair("SELECT * FROM hill_tail('ev_r12', 'event_type', 'value')",
         graft.queries.StatQueries.hillTail(ev, "event_type", "value"),
         Seq("event_type"))
+      pair("SELECT * FROM outlier_iqr('ev_r12', 'event_type', 'value')",
+        graft.queries.StatQueries.outlierIqr(ev, "event_type", "value"),
+        Seq("event_type"))
+      pair("SELECT * FROM dispersion_index('ev_r12', 'event_type', 'ts')",
+        graft.queries.StatQueries.dispersionIndex(ev, "event_type", "ts"),
+        Seq("event_type"))
       pair("SELECT * FROM dedup_sweep('docs_r12', 'doc_id', 'text')",
         graft.queries.TextDedup.dedupSweep(docs, "doc_id", "text"),
         Seq("threshold"))

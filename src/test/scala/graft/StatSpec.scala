@@ -361,6 +361,39 @@ class StatSpec extends AnyFunSuite {
     assert(r2.getDouble(2) == 0.0)
   }
 
+  test("outlierIqr: hand fences, IQR=0 collapses to the quartiles") {
+    import graft.queries.StatQueries
+    // o: cents {0, 10x6, 100} -> Q1 = Q3 = 10, fences collapse, one
+    // outlier each side; u: {10,20,30,40} -> fences [-5, 55], none
+    val o = (Seq(0.0) ++ Seq.fill(6)(0.10) ++ Seq(1.0)).map(("o", _))
+    val u = Seq(0.10, 0.20, 0.30, 0.40).map(("u", _))
+    val ev = (o ++ u).toDF("event_type", "value")
+    val r = StatQueries.outlierIqr(ev, "event_type", "value")
+      .orderBy("event_type").collect()
+    assert(r(0).getString(0) == "o" && r(0).getLong(1) == 8L &&
+      r(0).getDouble(2) == 0.1 && r(0).getDouble(3) == 0.1 &&
+      r(0).getLong(4) == 1L && r(0).getLong(5) == 1L &&
+      r(0).getDouble(6) == 0.25)
+    assert(r(1).getString(0) == "u" && r(1).getLong(4) == 0L &&
+      r(1).getLong(5) == 0L && r(1).getDouble(6) == 0.0)
+  }
+
+  test("dispersionIndex: constant days read 0, bursty days exceed 1, single-day NULL") {
+    import graft.queries.StatQueries
+    val p = (1 to 3).flatMap(d => Seq.fill(2)(("p", dayNs(d))))
+    val b = Seq.fill(1)(("b", dayNs(1))) ++ Seq.fill(5)(("b", dayNs(2)))
+    val s = Seq(("s", dayNs(1)))
+    val ev = (p ++ b ++ s).toDF("event_type", "ts")
+    val r = StatQueries.dispersionIndex(ev, "event_type", "ts")
+      .orderBy("event_type").collect()
+    // b: counts {1,5} -> mean 3, var 8 -> D = 2.6667 'over'
+    assert(r(0).getString(0) == "b" && r(0).getDouble(2) == 3.0 &&
+      r(0).getDouble(3) == 2.6667 && r(0).getString(4) == "over")
+    assert(r(1).getString(0) == "p" && r(1).getDouble(3) == 0.0 &&
+      r(1).getString(4) == "under")
+    assert(r(2).getString(0) == "s" && r(2).isNullAt(3) && r(2).isNullAt(4))
+  }
+
   test("hillTail: hand tail with one ln2 term, degenerate and short tails NULL") {
     import graft.queries.StatQueries
     // t: one 4.00 above 100x 2.00 and one 1.00 -> x_(101) = 2.00, the
