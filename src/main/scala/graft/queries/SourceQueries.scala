@@ -139,37 +139,56 @@ object SourceQueries {
       .orderBy("c_mktsegment")
   }
 
+  /** Shared format-roundtrip plumbing (review r13 leg 4: the ORC and
+    * CSV paths had grown near-verbatim copies of the memo + tempdir +
+    * write + read-back + projection recipe — it lives once, like the
+    * shared [[RoundtripOracleSql]]): write the event frame once per
+    * (session, dir) through `write`, read it back through `read`, and
+    * emit the micro-grain comparison projection (DuckDB reads parquet
+    * TIMESTAMP(NANOS) at micro precision, so raw nanos can never
+    * hash-match; the written/reread column is the untouched epoch-nano
+    * long). */
+  private def formatRoundtrip(spark: SparkSession, dir: String,
+                              memo: SessionMemo[String, String],
+                              prefix: String)(
+      write: (DataFrame, String) => Unit,
+      read: String => DataFrame): DataFrame = {
+    val out = memo.getOrElseUpdate(spark, dir) {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft-$prefix")
+      compactedDirs.add(tmp)
+      val path = tmp.toString + "/events"
+      write(Tables.events(spark, dir)
+        .select("event_id", "ts", "user_id", "event_type", "value"), path)
+      path
+    }
+    read(out)
+      .select(col("event_id"), expr("ts DIV 1000").as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))
+      .orderBy("event_id")
+  }
+
+  /** The parity-by-identity oracle every format roundtrip compares
+    * against — ONE copy for parquet/ORC/CSV. */
+  private val RoundtripOracleSql: String =
+    """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+      |FROM events ORDER BY event_id""".stripMargin
+
   /** ORC copy written once per (session, dir) — the format-breadth twin
     * of [[qCompactionRoundtrip]] (S-family: a lakehouse ingests what it
     * is handed; ORC is the other columnar interchange format Spark
     * reads natively). */
   private val orcMemo = new SessionMemo[String, String]
 
-  /** Sink → source roundtrip through ORC: write the event frame as
-    * snappy ORC (the epoch-nano `ts` long survives verbatim — a LONG
-    * column has identical semantics in both formats, so the roundtrip
-    * proves value fidelity, not just schema transport), read it back,
-    * emit everything. Oracle = the parquet source table verbatim, the
-    * qCompactionRoundtrip parity-by-identity recipe. ORC scans give
-    * Catalyst the same pushdown/pruning surface as parquet
-    * (`PushedFilters` in .explain), so the engine's scan layer is
-    * format-agnostic at any scale. */
-  def qOrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = orcMemo.getOrElseUpdate(spark, dir) {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-orc")
-      compactedDirs.add(tmp)
-      val path = tmp.toString + "/events"
-      Tables.events(spark, dir)
-        .select("event_id", "ts", "user_id", "event_type", "value")
-        .write.mode("overwrite").orc(path)
-      path
-    }
-    // micro-grain ts for the oracle compare, as in qCompactionRoundtrip
-    spark.read.orc(out)
-      .select(col("event_id"), expr("ts DIV 1000").as("ts_us"), col("user_id"),
-        col("event_type"), col("value"))
-      .orderBy("event_id")
-  }
+  /** Sink → source roundtrip through ORC: the epoch-nano `ts` long
+    * survives verbatim (a LONG column has identical semantics in both
+    * formats, so the roundtrip proves value fidelity, not just schema
+    * transport). ORC scans give Catalyst the same pushdown/pruning
+    * surface as parquet (`PushedFilters` in .explain), so the engine's
+    * scan layer is format-agnostic at any scale. */
+  def qOrcRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    formatRoundtrip(spark, dir, orcMemo, "orc")(
+      (df, path) => df.write.mode("overwrite").orc(path),
+      path => spark.read.orc(path))
 
   private val csvMemo = new SessionMemo[String, String]
 
@@ -179,27 +198,23 @@ object SourceQueries {
     * cell-exact against the parquet source. CSV is a TEXT format: the
     * long columns round-trip trivially and the double `value` survives
     * via Java's shortest-round-trip rendering parsed back to identical
-    * bits — the parity-by-identity oracle is the proof. Completes the
-    * format triangle beside q_compaction_roundtrip (parquet) and
-    * q_orc_roundtrip (ORC). */
-  def qCsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = csvMemo.getOrElseUpdate(spark, dir) {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-csv")
-      compactedDirs.add(tmp)
-      val path = tmp.toString + "/events"
-      Tables.events(spark, dir)
-        .select("event_id", "ts", "user_id", "event_type", "value")
-        .write.mode("overwrite").option("header", "true").csv(path)
-      path
-    }
-    spark.read
-      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, " +
-        "value DOUBLE")
-      .option("header", "true").csv(out)
-      .select(col("event_id"), expr("ts DIV 1000").as("ts_us"),
-        col("user_id"), col("event_type"), col("value"))
-      .orderBy("event_id")
-  }
+    * bits — the parity-by-identity oracle is the proof. The write-side
+    * whitespace trimming Spark defaults ON is disabled so string cells
+    * survive verbatim (review r13 leg 4 — the fidelity claim must
+    * hold for values the fixture doesn't happen to exercise).
+    * Completes the format triangle beside q_compaction_roundtrip
+    * (parquet) and q_orc_roundtrip (ORC). */
+  def qCsvRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    formatRoundtrip(spark, dir, csvMemo, "csv")(
+      (df, path) => df.write.mode("overwrite")
+        .option("header", "true")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .csv(path),
+      path => spark.read
+        .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, " +
+          "value DOUBLE")
+        .option("header", "true").csv(path))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_compaction_roundtrip" -> qCompactionRoundtrip _,
@@ -208,18 +223,12 @@ object SourceQueries {
     "q_bucketed_join" -> qBucketedJoin _)
 
   val oracles: Map[String, String] = Map(
-    "q_compaction_roundtrip" ->
-      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
-        |FROM events ORDER BY event_id""".stripMargin,
-    // parity-by-identity through the ORC write/read path
-    "q_orc_roundtrip" ->
-      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
-        |FROM events ORDER BY event_id""".stripMargin,
-    // parity-by-identity through the CSV text write/read path (the
-    // double column proves shortest-round-trip rendering fidelity)
-    "q_csv_roundtrip" ->
-      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
-        |FROM events ORDER BY event_id""".stripMargin,
+    // parity-by-identity: the SAME oracle through each format's
+    // write/read path (the CSV leg additionally proves the double
+    // column's shortest-round-trip text rendering)
+    "q_compaction_roundtrip" -> RoundtripOracleSql,
+    "q_orc_roundtrip" -> RoundtripOracleSql,
+    "q_csv_roundtrip" -> RoundtripOracleSql,
     // the UNbucketed twin: plain parquet join + rollup (HUGEINT cents
     // sum cast to BIGINT before the /100.0 per invariant 1)
     "q_bucketed_join" ->

@@ -426,22 +426,33 @@ object StatQueries {
   /** Daily-count dispersion index per group — D = s²/x̄ over the day
     * series (Poisson reads 1; the burstiness QUANTIFIER beside
     * [[runsTest]]'s randomness verdict and [[interarrival]]'s cv):
-    * exact integer day-count moments, one mirrored fixed-order double,
-    * regime bands label the ROUNDED D. Single-day or dark groups NULL.
+    * exact integer day-count moments over the COMPLETE calendar spine
+    * between the group's first and last active day — the observed-days
+    * series is zero-TRUNCATED and reads a sparse burst as "under"
+    * (review r13 leg 4; the q_crosscorr spine lesson) — then one
+    * mirrored fixed-order double; regime bands label the ROUNDED D.
+    * Single-day groups NULL. mean > 0 by construction (the spine ends
+    * at ACTIVE days), so the one division needs no zero gate.
     *
     * Scale: the [[dailyCounts]] rollup is the only fact-volume pass;
-    * the moment fold is one map-side-combinable aggregate. */
+    * the spine explode and moment fold run at calendar scale (#days
+    * rows per group). */
   def dispersionIndex(df: DataFrame, typeCol: String,
                       tsCol: String): DataFrame = {
     val daily = dailyCounts(df, typeCol, tsCol)
-    val g = daily.groupBy("event_type").agg(
+    val spine = daily.groupBy("event_type")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("event_type"), explode(expr("sequence(d0, d1)")).as("day"))
+    val full = spine.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), coalesce(col("x"), lit(0L)).as("x"))
+    val g = full.groupBy("event_type").agg(
       count(lit(1)).as("n"), sum(col("x")).as("sx"),
       sum(col("x") * col("x")).as("sxx"))
     def d(s: String) = col(s).cast("double")
     val vr = (d("n") * d("sxx") - d("sx") * d("sx")) /
       (d("n") * (d("n") - 1.0))
     val mean = d("sx") / d("n")
-    val di = rnd(when(col("n") > 1L && col("sx") > 0L, vr / mean), 4)
+    val di = rnd(when(col("n") > 1L, vr / mean), 4)
     g.select(col("event_type"), col("n").as("n_days"),
       rnd(mean, 4).as("mean_daily"), di.as("dispersion"),
       when(di.isNull, lit(null).cast("string"))
@@ -2134,23 +2145,37 @@ object StatQueries {
         |  floor((CAST(n_low + n_high AS DOUBLE) / CAST(n AS DOUBLE))
         |    * 1e4 + 0.5) / 1e4 AS outlier_frac
         |FROM g ORDER BY event_type""".stripMargin,
-    // exact integer day-count moments, one mirrored fixed-order double;
-    // regime bands label the ROUNDED index
+    // exact integer day-count moments over the COMPLETE calendar spine
+    // (zero-filled dark days — the crosscorr spine recipe), one
+    // mirrored fixed-order double; regime bands label the ROUNDED index
     "q_dispersion_index" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day,
         |    CAST(count(*) AS BIGINT) AS x
         |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+        |bounds AS (
+        |  SELECT event_type, min(day) AS d0, max(day) AS d1
+        |  FROM daily GROUP BY event_type),
+        |spine AS (
+        |  SELECT event_type,
+        |    CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |      CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM bounds),
+        |full_ AS (
+        |  SELECT spine.event_type, CAST(coalesce(x, 0) AS BIGINT) AS x
+        |  FROM spine LEFT JOIN daily
+        |    ON spine.event_type = daily.event_type
+        |    AND spine.day = daily.day),
         |g AS (
         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |    CAST(sum(x) AS BIGINT) AS sx,
         |    CAST(sum(x * x) AS BIGINT) AS sxx
-        |  FROM daily GROUP BY event_type),
+        |  FROM full_ GROUP BY event_type),
         |f AS (
         |  SELECT event_type, n,
         |    floor((CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * 1e4 + 0.5)
         |      / 1e4 AS mean_daily,
-        |    CASE WHEN n > 1 AND sx > 0 THEN
+        |    CASE WHEN n > 1 THEN
         |      floor((((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
         |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
         |        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))

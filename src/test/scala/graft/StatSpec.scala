@@ -378,20 +378,27 @@ class StatSpec extends AnyFunSuite {
       r(1).getLong(5) == 0L && r(1).getDouble(6) == 0.0)
   }
 
-  test("dispersionIndex: constant days read 0, bursty days exceed 1, single-day NULL") {
+  test("dispersionIndex: spined zeros, constant 0, bursty >1, single-day NULL") {
     import graft.queries.StatQueries
     val p = (1 to 3).flatMap(d => Seq.fill(2)(("p", dayNs(d))))
     val b = Seq.fill(1)(("b", dayNs(1))) ++ Seq.fill(5)(("b", dayNs(2)))
     val s = Seq(("s", dayNs(1)))
-    val ev = (p ++ b ++ s).toDF("event_type", "ts")
+    // g: 3 events on day 1 and day 5 only — the zero-TRUNCATED series
+    // {3,3} would read variance 0 'under'; the calendar spine reads
+    // {3,0,0,0,3}: var = 54/20 = 2.7, mean 1.2 -> D = 2.25 'over'
+    val g = Seq.fill(3)(("g", dayNs(1))) ++ Seq.fill(3)(("g", dayNs(5)))
+    val ev = (p ++ b ++ s ++ g).toDF("event_type", "ts")
     val r = StatQueries.dispersionIndex(ev, "event_type", "ts")
       .orderBy("event_type").collect()
     // b: counts {1,5} -> mean 3, var 8 -> D = 2.6667 'over'
     assert(r(0).getString(0) == "b" && r(0).getDouble(2) == 3.0 &&
       r(0).getDouble(3) == 2.6667 && r(0).getString(4) == "over")
-    assert(r(1).getString(0) == "p" && r(1).getDouble(3) == 0.0 &&
-      r(1).getString(4) == "under")
-    assert(r(2).getString(0) == "s" && r(2).isNullAt(3) && r(2).isNullAt(4))
+    assert(r(1).getString(0) == "g" && r(1).getLong(1) == 5L &&
+      r(1).getDouble(2) == 1.2 && r(1).getDouble(3) == 2.25 &&
+      r(1).getString(4) == "over")
+    assert(r(2).getString(0) == "p" && r(2).getDouble(3) == 0.0 &&
+      r(2).getString(4) == "under")
+    assert(r(3).getString(0) == "s" && r(3).isNullAt(3) && r(3).isNullAt(4))
   }
 
   test("hillTail: hand tail with one ln2 term, degenerate and short tails NULL") {
