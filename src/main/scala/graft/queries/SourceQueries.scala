@@ -214,7 +214,15 @@ object SourceQueries {
       path => spark.read
         .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, " +
           "value DOUBLE")
-        .option("header", "true").csv(path))
+        .option("header", "true")
+        // multiLine: a string cell containing a quoted line separator
+        // must not split records (costs line-split read parallelism —
+        // the correctness query pays it; a bulk ingest that bans
+        // embedded newlines would not); FAILFAST: a mangled record
+        // fails LOUDLY instead of PERMISSIVE's silent null padding
+        .option("multiLine", "true")
+        .option("mode", "FAILFAST")
+        .csv(path))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_compaction_roundtrip" -> qCompactionRoundtrip _,

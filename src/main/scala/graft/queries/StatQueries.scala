@@ -439,7 +439,12 @@ object StatQueries {
     * rows per group). */
   def dispersionIndex(df: DataFrame, typeCol: String,
                       tsCol: String): DataFrame = {
-    val daily = dailyCounts(df, typeCol, tsCol)
+    // a NULL group key would zero-fill through the spine's non-null-safe
+    // join (NULL = NULL never matches) and read NaN 'over' on BOTH
+    // engines — the oracle-blind wrong-statistic class (review r13
+    // leg 4); NULL-keyed rows are excluded explicitly, mirrored in SQL
+    val daily = dailyCounts(df.filter(col(typeCol).isNotNull),
+      typeCol, tsCol)
     val spine = daily.groupBy("event_type")
       .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
       .select(col("event_type"), explode(expr("sequence(d0, d1)")).as("day"))
@@ -2152,7 +2157,8 @@ object StatQueries {
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day,
         |    CAST(count(*) AS BIGINT) AS x
-        |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+        |  FROM events WHERE event_type IS NOT NULL
+        |  GROUP BY event_type, CAST(ts AS DATE)),
         |bounds AS (
         |  SELECT event_type, min(day) AS d0, max(day) AS d1
         |  FROM daily GROUP BY event_type),

@@ -775,6 +775,8 @@ class PlanSpec extends AnyFunSuite {
     assert(executedScans("q_kaplan_meier") <= 2)
     assert(executedScans("q_vocab_drift") == 1)
     assert(executedScans("q_embedding_drift") == 1)
+    assert(executedScans("q_outlier_iqr") <= 2)
+    assert(executedScans("q_dispersion_index") <= 2)
   }
 
   test("q_span_dedup executed plan computes the gram explode exactly once") {
