@@ -65,7 +65,7 @@ object RecallProbe {
     for (dir <- dirs) {
       val emb = Tables.embeddings(spark, dir).cache()
       val n = emb.count()
-      val q = emb.filter(col("vec_id") < 20)
+      val q = emb.filter(col("vec_id") < graft.queries.SimilarityQueries.AnnQueryIdBound)
       val brute = Similarity.bruteForceTopK(emb, q, 5).cache()
       brute.count()
       val exactPairs = Similarity.nearDupPairsBlocked(emb, 0.45).cache()
@@ -129,7 +129,7 @@ object RecallProbe {
 
     for (dir <- dirs) {
       val emb = Tables.embeddings(spark, dir)
-      val q = emb.filter(col("vec_id") < 20)
+      val q = emb.filter(col("vec_id") < graft.queries.SimilarityQueries.AnnQueryIdBound)
       val brute = Similarity.bruteForceTopK(emb, q, 5).cache()
       brute.count()
       val p = graft.queries.SimilarityQueries.annParams(emb.count())

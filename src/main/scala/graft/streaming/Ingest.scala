@@ -265,18 +265,24 @@ object Ingest {
                         s: Double, direction: String)
 
   /** O(bins) state per key: reference histogram (frozen after refSize
-    * values) + the current comparison block's histogram. */
+    * values) + the current comparison block's histogram + a running
+    * non-finite counter (NaN/±Inf must never masquerade as mass at an
+    * edge bin — advice r13; they are counted separately and surfaced
+    * on the next report). */
   case class PsiStreamState(ref: Seq[Long], refN: Long,
-                            cur: Seq[Long], curN: Long)
+                            cur: Seq[Long], curN: Long,
+                            nonFinite: Long = 0L)
   case class DriftReport(event_type: String, block_end_id: Long,
                          n_ref: Long, n_cur: Long, psi: Double,
-                         drifted: Boolean)
+                         drifted: Boolean, n_nonfinite: Long = 0L)
 
   /** ST extension: streaming PSI drift monitor — the in-stream twin of
     * the batch q_psi_drift: per key, the FIRST `refSize` values freeze
     * a reference histogram over `bins` equal-width bins on the fixed
-    * [lo, hi) range (out-of-range values clamp to the edge bins — the
-    * monitor's job is to see them pile up there); every subsequent full
+    * [lo, hi) range (FINITE out-of-range values clamp to the edge bins —
+    * the monitor's job is to see them pile up there; NaN/±Inf bypass
+    * the histograms onto a separate n_nonfinite counter reported with
+    * the next block, so bad data never reads as drift); every subsequent full
     * block of `blockSize` values emits one PSI report against the
     * reference (Laplace +1 smoothing — the identical per-bin expression
     * the batch oracle pins) and resets the block. State is O(bins) per
@@ -308,11 +314,19 @@ object Ingest {
             val cur = st.cur.toArray
             var refN = st.refN
             var curN = st.curN
+            var nonFinite = st.nonFinite
             def binOf(v: Double): Int =
               math.min(bins - 1, math.max(0, math.floor((v - lo) / width).toInt))
             val sorted = it.toSeq.sortBy(e => (e.ts, e.event_id))
             val out = sorted.flatMap { e =>
-              if (refN < refSize) {
+              // NaN floors to bin 0 through the clamp — a NaN burst
+              // must read as BAD DATA, not low-value drift (advice
+              // r13): non-finite values bypass the histograms and
+              // accrue on a counter reported with the next block
+              if (!java.lang.Double.isFinite(e.value)) {
+                nonFinite += 1L
+                None
+              } else if (refN < refSize) {
                 ref(binOf(e.value)) += 1L; refN += 1L
                 None
               } else {
@@ -328,14 +342,16 @@ object Ingest {
                     b += 1
                   }
                   val report = DriftReport(key, e.event_id, refN, curN,
-                    psi, psi > threshold)
+                    psi, psi > threshold, nonFinite)
                   java.util.Arrays.fill(cur, 0L)
                   curN = 0L
+                  nonFinite = 0L
                   Some(report)
                 } else None
               }
             }
-            state.update(PsiStreamState(ref.toSeq, refN, cur.toSeq, curN))
+            state.update(PsiStreamState(ref.toSeq, refN, cur.toSeq, curN,
+              nonFinite))
             if (streaming) {
               val maxEventMs = if (sorted.nonEmpty) sorted.last.event_time.getTime else 0L
               state.setTimeoutTimestamp(

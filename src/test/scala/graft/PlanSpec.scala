@@ -491,7 +491,7 @@ class PlanSpec extends AnyFunSuite {
       pair("SELECT * FROM interpolate_hourly('ev_r11', 'event_type', 'ts', 'value', 'event_id')",
         graft.queries.TimeSeriesQueries.interpolateHourly(
           ev, "event_type", "ts", "value", "event_id"),
-        Seq("event_type", "bucket"))
+        Seq("event_type", "bucket_hour"))
       pair("SELECT * FROM seasonal_baseline('ev_r11', 'event_type', 'ts', 'value')",
         graft.queries.TimeSeriesQueries.seasonalBaseline(
           ev, "event_type", "ts", "value"),

@@ -456,6 +456,22 @@ class StreamingSpec extends AnyFunSuite {
       assert(got(0).psi == 0.0 && !got(0).drifted)
       assert(got(1).psi > 0.25 && got(1).drifted)
       assert(got.forall(r => r.n_ref == 10L && r.n_cur == 10L))
+      assert(got.forall(_.n_nonfinite == 0L))
+      // block 3: two NaN + one +Inf interleave with a clean identical
+      // block — they must NOT bin (psi stays 0, n_cur stays 10) and
+      // must surface on the counter instead (advice r13: NaN floors
+      // to bin 0 through a naive clamp and reads as low-value drift)
+      src.addData(ev(31, 1, 1, Double.NaN, 31000L),
+        ev(32, 1, 1, Double.PositiveInfinity, 32000L),
+        ev(33, 1, 1, Double.NaN, 33000L))
+      src.addData((34 to 43).map(i => ev(i, 1, 1, (i - 34) + 0.5, i * 1000L)): _*)
+      q.processAllAvailable()
+      val got2 = spark.table("psi_out").as[Ingest.DriftReport].collect()
+        .sortBy(_.block_end_id)
+      assert(got2.map(_.block_end_id).toSeq == Seq(20L, 30L, 43L),
+        s"got ${got2.toSeq}")
+      assert(got2(2).psi == 0.0 && !got2(2).drifted)
+      assert(got2(2).n_cur == 10L && got2(2).n_nonfinite == 3L)
     } finally q.stop()
   }
 

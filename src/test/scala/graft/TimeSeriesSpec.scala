@@ -165,8 +165,8 @@ class TimeSeriesSpec extends AnyFunSuite {
   test("qInterpolate equals an in-Scala linear walk over the observed closes") {
     import graft.queries.TimeSeriesQueries
     val out = TimeSeriesQueries.qInterpolate(spark, TestSpark.Sf)
-      .select($"event_type", $"bucket", $"observed", $"value_interp")
-      .as[(String, String, Boolean, Double)].collect().toSeq
+      .select($"event_type", $"bucket_hour", $"observed", $"value_interp")
+      .as[(String, Long, Boolean, Double)].collect().toSeq
     assert(out.nonEmpty)
     val gaps = out.count(!_._3)
     assert(gaps > 0, "fixture must contain empty hours or the test is vacuous")
