@@ -178,7 +178,12 @@ object Bench {
       "q_ann_pq",                         // PQ fit + persisted codes artifact
       "q_ann_ivfpq",                      // cell-keyed code table memo
       "q_dedup_indexed",                  // bucketed corpus dedup index build
-      "q_multimodal_decode")              // PNG fixture synthesis + parquet write
+      "q_multimodal_decode",              // PNG fixture synthesis + parquet write
+      // the standing noisy dispersion flag (2.0-2.2x in two of five r13
+      // closing runs): per-row JSON parsing JITs late — one untimed
+      // pass lets its C2 compilation land before the timed reps
+      // (VERDICT r13 ask #6)
+      "q_json_profile")
     val tWarm0 = System.nanoTime()
     (Seq("lineitem", "orders", "customer", "part", "events", "documents", "embeddings")
       .map(t => () => Tables.read(spark, sfDir, t).count()) ++
@@ -343,14 +348,80 @@ object Bench {
           s""""state_rows":$stateRows,"state_bytes":$stateBytes}"""
       }
       val pct = runStream("pct_alerts")(ev => Ingest.statefulPctAlerts(ev))
+      val initial = batch.groupBy("user_id")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
       val tws = runStream("running_counts_tws") { ev =>
         // handoff seed: per-user historical counts, as a cutover would have
-        val initial = batch.groupBy("user_id")
-          .agg(org.apache.spark.sql.functions.count(
-            org.apache.spark.sql.functions.lit(1)).as("n"))
         Ingest.runningCountsTws(ev, initial)
       }
-      s"{$pct,$tws}"
+
+      // Replay-determinism certificates (VERDICT r13 ask #5): the batch
+      // board is oracled; the streaming processors' equivalent gate is
+      // "the same input replayed from a fresh checkpoint produces the
+      // SAME output and the SAME state" — each processor runs TWICE
+      // over the identical file source, and the cert row compares an
+      // order-free output hash (sum of per-row xxhash64 over all
+      // columns stringified), the state row count, and the state bytes.
+      // The default (HDFS-backed) state provider keeps state bytes a
+      // deterministic in-memory measure; RocksDB's memoryUsedBytes
+      // reflects SST layout and is restored after.
+      val certsJson = {
+        import org.apache.spark.sql.functions.{col, lit, pmod, sum => fsum, xxhash64}
+        val HdfsProvider =
+          "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+        val RocksProvider =
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        def certRun(name: String, tag: String)(
+            mk: org.apache.spark.sql.Dataset[Ingest.Event] => org.apache.spark.sql.Dataset[_])
+            : (Long, Long, Long) = {
+          val qn = s"cert_${name}_$tag"
+          val q = mk(src).writeStream.format("memory").queryName(qn)
+            .option("checkpointLocation", s"$tmp/certs/$name/$tag/ckpt")
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+          val stateRows = q.recentProgress
+            .flatMap(_.stateOperators.map(_.numRowsTotal)).maxOption.getOrElse(0L)
+          val stateBytes = q.recentProgress
+            .flatMap(_.stateOperators.map(_.memoryUsedBytes)).maxOption.getOrElse(0L)
+          val out = spark.table(qn)
+          // per-row hashes fold mod a prime: a raw xxhash64 sum
+          // overflows ANSI long arithmetic, and the fold must stay
+          // order-free (sum) for a replay-order-insensitive compare
+          val h = out
+            .select(pmod(xxhash64(
+              out.columns.map(c => col(c).cast("string")): _*),
+              lit(1000000007L)).as("h"))
+            .agg(fsum(col("h"))).head()
+          val hash = if (h.isNullAt(0)) 0L else h.getLong(0)
+          spark.catalog.dropTempView(qn)
+          (hash, stateRows, stateBytes)
+        }
+        def cert(name: String, rocks: Boolean = false)(
+            mk: org.apache.spark.sql.Dataset[Ingest.Event] => org.apache.spark.sql.Dataset[_]): String = {
+          // transformWithState needs RocksDB (multi-column-family state);
+          // everything else certs under the HDFS-backed provider, whose
+          // memoryUsedBytes is a deterministic in-memory measure
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+            if (rocks) RocksProvider else HdfsProvider)
+          val (ha, ra, ba) = certRun(name, "a")(mk)
+          val (hb, rb, bb) = certRun(name, "b")(mk)
+          s""""$name":{"output_match":${ha == hb},"state_rows_match":${ra == rb},""" +
+            s""""state_bytes_match":${ba == bb},"state_rows":$ra,""" +
+            s""""state_bytes":$ba,"output_hash":$ha}"""
+        }
+        val six = Seq(
+          cert("pct_alerts")(ev => Ingest.statefulPctAlerts(ev)),
+          cert("running_counts_tws", rocks = true)(ev =>
+            Ingest.runningCountsTws(ev, initial)),
+          cert("dedup_daily")(ev => Ingest.dedupDaily(ev.toDF())),
+          cert("welford_zscore")(ev => Ingest.streamingZscoreAnomalies(ev)),
+          cert("psi_drift")(ev => Ingest.psiStream(ev, lo = 0.0, hi = 560.0)),
+          cert("cusum")(ev => Ingest.cusumStream(ev, baselineMean = 49.87, h = 500.0)))
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", RocksProvider)
+        six.mkString("{", ",", "}")
+      }
+      s"{$pct,$tws,\"certs\":$certsJson}"
     } catch { case e: Throwable =>
       System.err.println(s"[bench] streaming replay failed: ${e.getMessage}")
       // scrub EVERY JSON-illegal char (quotes, backslashes, all control

@@ -288,7 +288,15 @@ object Dedup {
                                   k: Int, r: Int, threshold: Double,
                                   idCol: String, textCol: String,
                                   checkDisjoint: Boolean): DataFrame = {
-    val exact = batch.select(col(idCol), fingerprint(col(textCol)).as("fp"))
+    // broadcast discipline (r14 tail shave): the BATCH side is small BY
+    // NATURE (a daily batch probes a standing corpus — the corpus side
+    // is the 100 TB one and must stream), and candidate/exact/near
+    // frames are batch-bounded. Post-aggregate size estimates are
+    // unknown to the planner, so without hints these tiny sides plan as
+    // shuffle joins — at fixture scale the query was 30 sequential
+    // single-task stages of pure scheduling latency (JobCount).
+    val exact = broadcast(
+      batch.select(col(idCol), fingerprint(col(textCol)).as("fp")))
       .join(fpCorpus, "fp")
       .groupBy(col(idCol)).agg(min(col("corpus_id")).as("exact_id"))
     val batchBands = bandBuckets(minhashSignatures(batch, k, idCol, textCol), k, r, idCol)
@@ -302,8 +310,11 @@ object Dedup {
     // partition (the bench-scale plan then re-ran the band join per
     // consumer). A production job would persist the candidate table as
     // an artifact anyway; this is the in-plan equivalent.
+    // batch bands broadcast (batch-side small by nature); the corpus
+    // band table streams — at 100 TB it is the bucketed index scan
     val cands = corpusBands.select(col("band"), col("key"), col("corpus_id").as("a"))
-      .join(batchBands.select(col("band"), col("key"), col(idCol).as("b")),
+      .join(broadcast(
+        batchBands.select(col("band"), col("key"), col(idCol).as("b"))),
         Seq("band", "key"))
       .select("a", "b").distinct()
       .repartition(col("a"), col("b"))
@@ -314,18 +325,21 @@ object Dedup {
     // each doc, so restricting the frame cannot change any candidate's
     // jaccard — it only drops work for docs no candidate touches, which
     // at corpus scale is nearly all of the corpus
+    // candidate ids are batch-bounded (≤ bands × batch) — broadcast the
+    // semi-join probe so the 100 TB corpus docs scan filters map-side
     val candIds = cands.select(col("a").as(idCol))
       .union(cands.select(col("b").as(idCol))).distinct()
     val verifyDocs = corpusDocs.unionByName(batch.select(col(idCol), col(textCol)))
-      .join(candIds, Seq(idCol), "left_semi")
+      .join(broadcast(candIds), Seq(idCol), "left_semi")
     val near = jaccardPairs(verifyDocs, 1, threshold, idCol, textCol, Some(cands))
       .groupBy(col("b").as(idCol)).agg(min(col("a")).as("near_id"))
     val statusCol = when(col("exact_id").isNotNull, lit("exact_dup"))
       .when(col("near_id").isNotNull, lit("near_dup"))
       .otherwise(lit("new"))
+    // exact/near are per-batch-doc aggregates — broadcast-right lookups
     val base = batch.select(col(idCol))
-      .join(exact, Seq(idCol), "left")
-      .join(near, Seq(idCol), "left")
+      .join(broadcast(exact), Seq(idCol), "left")
+      .join(broadcast(near), Seq(idCol), "left")
     if (!checkDisjoint)
       base.select(col(idCol), statusCol.as("status"),
         coalesce(col("exact_id"), col("near_id")).as("match_id"))

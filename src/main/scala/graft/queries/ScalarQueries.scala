@@ -499,21 +499,26 @@ object ScalarQueries {
     * [[BootBlock]]; interpolated into BOTH engines. */
   val BootReps = 48
 
-  /** Replica draws per md5: one 128-bit digest yields eight 16-bit
-    * uniforms, so an event computes BootReps/BootBlock = 6 hashes
-    * instead of 48 (the first cut of this operator hashed once per
-    * (event, replica) and md5 dominated its 8 s bench cost). */
-  val BootBlock = 8
+  /** Replica draws per md5: one 128-bit digest yields twelve 10-bit
+    * uniforms (six per decoded 60-bit half), so an event computes
+    * BootReps/BootBlock = 4 hashes instead of 48 (the first cut of
+    * this operator hashed once per (event, replica) and md5 dominated
+    * its 8 s bench cost; the r13 cut drew 8×15 bits per digest and
+    * paid 6 hashes — the 10-bit repack shaved the md5/conv/explode
+    * volume another third for a draw-granularity cost the bootstrap
+    * cannot feel, see [[PoisThresholds]]). */
+  val BootBlock = 12
 
-  /** Cumulative Poisson(1) CDF as LONG thresholds on the 15-bit draw
-    * range: weight k is assigned when draw < floor(P(X<=k)·2^15) first
+  /** Cumulative Poisson(1) CDF as LONG thresholds on the 10-bit draw
+    * range: weight k is assigned when draw < floor(P(X<=k)·2^10) first
     * holds — integer comparisons, so replica weights are
     * engine-identical with no floating-point boundary. Capped at 7
-    * (P(X>7) ≈ 1e-5; the tail mass lands on weight 8). The 2^-15
-    * threshold granularity perturbs each weight probability by < 4e-5 —
-    * part of the DEFINED draw, identical on both engines. 15 bits
+    * (P(X>7) ≈ 1e-5; the tail mass lands on weight 8). The 2^-10
+    * threshold granularity perturbs each weight probability by < 1e-3 —
+    * part of the DEFINED draw, identical on both engines, and far
+    * inside the bootstrap's own Monte-Carlo noise at B = 48. 10 bits
     * because draws are sliced arithmetically out of two 60-bit longs
-    * per digest (4 draws each): hex-decoding one long per digest half
+    * per digest (6 draws each): hex-decoding one long per digest half
     * and shifting is ~8× cheaper than a conv() per draw, which
     * dominated this operator's first cut. */
   val PoisThresholds: Seq[Long] =
@@ -523,7 +528,7 @@ object ScalarQueries {
         (1 to j).foreach(f *= _)
         math.exp(-1.0) / f
       }.sum
-      math.floor(cum * 32768.0).toLong
+      math.floor(cum * 1024.0).toLong
     }
 
   /** Deterministic Poisson bootstrap CI — the DISTRIBUTED bootstrap
@@ -558,17 +563,24 @@ object ScalarQueries {
       // pure shift/mask long arithmetic inside codegen
       .withColumn("h1", expr("CAST(conv(substr(dg, 1, 15), 16, 10) AS BIGINT)"))
       .withColumn("h2", expr("CAST(conv(substr(dg, 16, 15), 16, 10) AS BIGINT)"))
-    // weight = inverse Poisson(1) CDF at slot s's 15-bit draw
+    // weight = inverse Poisson(1) CDF at slot s's 10-bit draw
     def w(s: Int): org.apache.spark.sql.Column = {
-      val src = if (s < 4) "h1" else "h2"
-      val h = expr(s"shiftright($src, ${15 * (s % 4)}) & 32767")
+      val src = if (s < 6) "h1" else "h2"
+      val h = expr(s"shiftright($src, ${10 * (s % 6)}) & 1023")
       PoisThresholds.zipWithIndex.reverse
         .foldLeft(lit(PoisThresholds.size.toLong): org.apache.spark.sql.Column) {
           case (acc, (t, k)) => when(h < t, k.toLong).otherwise(acc)
         }
     }
     val aggs = (0 until BootBlock).flatMap(s =>
-      Seq(sum(w(s) * col("cents")).as(s"swc$s"), sum(w(s)).as(s"sw$s")))
+      Seq(sum(w(s) * col("cents")).as(s"swc$s"), sum(w(s)).as(s"sw$s"))) ++
+      // the full-table stats ride the SAME scan: every (type, blk)
+      // group holds each of the type's events exactly once (the
+      // posexplode is a constant fan-out), so per-group count and
+      // cent-sum ARE the type totals — max() collapses the identical
+      // copies and the second fact scan q_bootstrap_ci used to pay
+      // for n/mean_value is gone (r14 tail shave)
+      Seq(count(lit(1)).as("cnt"), sum(col("cents")).as("sumc"))
     val grid = ev.groupBy("event_type", "blk").agg(aggs.head, aggs.tail: _*)
     val slots = (0 until BootBlock).map(s =>
       struct(col(s"swc$s").as("swc"), col(s"sw$s").as("sw")))
@@ -577,12 +589,9 @@ object ScalarQueries {
       .filter(col("r.sw") > 0)
       .select(col("event_type"),
         ((col("r.swc").cast("double") / col("r.sw").cast("double")) / 100.0).as("m"))
-    val full = Tables.events(spark, dir)
-      .select(col("event_type"),
-        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("n"),
-        ((sum(col("cents")).cast("double") / count(lit(1)).cast("double"))
+    val full = grid.groupBy("event_type")
+      .agg(max(col("cnt")).as("n"),
+        ((max(col("sumc")).cast("double") / max(col("cnt")).cast("double"))
           / 100.0).as("mean_v"))
     val loRank = math.max(1, math.ceil(0.025 * BootReps).toInt)
     val hiRank = math.ceil(0.975 * BootReps).toInt
@@ -957,12 +966,12 @@ object ScalarQueries {
     // exact integer sums, and the CI bounds by exact rank from the
     // sorted replica list — no randomness, no quantile interpolation
     "q_bootstrap_ci" -> {
-      // slot s draws bits 15·(s%4).. of digest half s/4 — identical
+      // slot s draws bits 10·(s%6).. of digest half s/6 — identical
       // shift/mask arithmetic to the Spark side
       val dg = "md5(CAST(event_id AS VARCHAR) || '|boot' " +
         s"|| CAST((b - 1) // $BootBlock AS VARCHAR))"
-      val h = s"((('0x' || substr($dg, 1 + 15 * (((b - 1) % $BootBlock) // 4), 15))::BIGINT" +
-        s" >> (15 * ((b - 1) % 4))) & 32767)"
+      val h = s"((('0x' || substr($dg, 1 + 15 * (((b - 1) % $BootBlock) // 6), 15))::BIGINT" +
+        s" >> (10 * ((b - 1) % 6))) & 1023)"
       val cases = PoisThresholds.zipWithIndex
         .map { case (t, k) => s"WHEN $h < $t THEN $k" }.mkString(" ")
       val loRank = math.max(1, math.ceil(0.025 * BootReps).toInt)

@@ -347,11 +347,11 @@ class ScalarSpec extends AnyFunSuite {
       assert(lo <= hi, s"inverted CI: $r")
       assert(lo <= m && m <= hi, s"CI must bracket the full mean here: $r")
     }
-    // Poisson(1) thresholds are a valid CDF on the 15-bit draw range
+    // Poisson(1) thresholds are a valid CDF on the 10-bit draw range
     val t = ScalarQueries.PoisThresholds
-    assert(t == t.sorted && t.last <= 32768L && t.head > 0)
+    assert(t == t.sorted && t.last <= 1024L && t.head > 0)
     // weight 0 must stay achievable and the CDF must be near-complete
-    assert(t.head < 32768L && t.last > 32700L)
+    assert(t.head < 1024L && t.last > 1021L)
   }
 
   test("Constraints.scalarAudit: completeness/range/set metrics are exact fractions") {
