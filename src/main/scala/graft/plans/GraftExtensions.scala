@@ -297,6 +297,21 @@ case class ResolveGraftOp(spark: org.apache.spark.sql.SparkSession)
           graft.queries.StatQueries.outlierIqr(dfs(0), str(0), str(1))
         case "dispersion_index" => // (typeCol, tsCol)
           graft.queries.StatQueries.dispersionIndex(dfs(0), str(0), str(1))
+        case "anova_f" => // (typeCol, valCol)
+          graft.queries.StatQueries.anovaF(dfs(0), str(0), str(1))
+        case "moment_profile" => // (typeCol, valCol)
+          graft.queries.StatQueries.momentProfile(dfs(0), str(0), str(1))
+        case "markov_entropy" => // (userCol, typeCol, tsCol, idCol)
+          graft.queries.StatQueries.markovEntropy(
+            dfs(0), str(0), str(1), str(2), str(3))
+        case "peak_detection" => // (typeCol, tsCol)
+          graft.queries.StatQueries.peakDetection(dfs(0), str(0), str(1))
+        case "rank_fractions" => // (typeCol, valCol, idCol)
+          graft.queries.ScalarQueries.rankFractions(
+            dfs(0), str(0), str(1), str(2))
+        case "trimmed_mean" => // (typeCol, valCol, idCol, pct)
+          graft.queries.ScalarQueries.trimmedMean(
+            dfs(0), str(0), str(1), str(2), lng(3).toInt)
         case "dedup_sweep" => // (idCol, textCol)
           graft.queries.TextDedup.dedupSweep(dfs(0), str(0), str(1))
         case "vocab_drift" => // (idCol, textCol)
@@ -608,6 +623,13 @@ object GraftFunctions {
     "hill_tail" -> ("hill_tail(table, typeCol, valCol)", 2),
     "outlier_iqr" -> ("outlier_iqr(table, typeCol, valCol)", 2),
     "dispersion_index" -> ("dispersion_index(table, typeCol, tsCol)", 2),
+    "anova_f" -> ("anova_f(table, typeCol, valCol)", 2),
+    "moment_profile" -> ("moment_profile(table, typeCol, valCol)", 2),
+    "markov_entropy" ->
+      ("markov_entropy(table, userCol, typeCol, tsCol, idCol)", 4),
+    "peak_detection" -> ("peak_detection(table, typeCol, tsCol)", 2),
+    "rank_fractions" -> ("rank_fractions(table, typeCol, valCol, idCol)", 3),
+    "trimmed_mean" -> ("trimmed_mean(table, typeCol, valCol, idCol, pct)", 4),
     "dedup_sweep" -> ("dedup_sweep(table, idCol, textCol)", 2),
     "vocab_drift" -> ("vocab_drift(table, idCol, textCol)", 2),
     "effect_size" ->

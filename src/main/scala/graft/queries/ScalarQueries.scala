@@ -735,6 +735,89 @@ object ScalarQueries {
       "event_id", QuantileK)
       .orderBy("event_type", "bucket")
 
+  /** percent_rank / cume_dist per row — the W-family's distribution-
+    * position builtins ([[quantileBuckets]] bins; these place each ROW
+    * on [0,1]): both are exact integer rationals of the deterministic
+    * (cents, id) rank — the ORDER BY key is unique, so rank carries no
+    * tie block and the builtins are engine-identical by definition
+    * ((rank−1)/(n−1) and rank/n). Output is id-bounded for the oracle
+    * diff; the windows run over the FULL per-type partition first, so
+    * the fractions are positions in the whole distribution, not the
+    * slice.
+    *
+    * Scale: one rank window per type partition (bounded by the type's
+    * own volume — the quantileBuckets caveat and its chunk-stitched
+    * swap apply to a single monster type). */
+  def rankFractions(df: DataFrame, typeCol: String, valCol: String,
+                    idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy(col("cents"), col(idCol))
+    // NULL group keys excluded explicitly (the frame-generic TVF rule:
+    // NULL-key semantics are decided, never inherited from whatever
+    // the engines' NULL grouping happens to agree on), mirrored in SQL
+    df.filter(col(valCol).isNotNull && col(typeCol).isNotNull)
+      .select(col(typeCol).as("event_type"), col(idCol),
+        col(valCol).as("value"), centsOf(valCol).as("cents"))
+      .withColumn("pct_rank", rnd(percent_rank().over(w), 6))
+      .withColumn("cume_dist", rnd(cume_dist().over(w), 6))
+      .drop("cents")
+  }
+
+  def qRankFractions(spark: SparkSession, dir: String): DataFrame =
+    rankFractions(Tables.events(spark, dir), "event_type", "value",
+      "event_id")
+      .filter(col("event_id") < 300)
+      .orderBy("event_type", "event_id")
+
+  /** Trim fraction for [[trimmedMean]] — numerator of the integer
+    * rank cut, interpolated into BOTH engines. */
+  val TrimPct = 5
+
+  /** Trimmed mean per group — the robust-location summary beside
+    * q_winsorize (winsorizing CLAMPS the tails; trimming DROPS them):
+    * the lowest and highest ⌊n·[[TrimPct]]/100⌋ rows by the
+    * deterministic (cents, id) order leave, and the kept rows' mean is
+    * one exact integer-cent rational. The cut count is pure integer
+    * arithmetic ((n·pct) div 100 — no floating-point rank boundary),
+    * so the kept multiset is engine-identical; reported beside the raw
+    * mean so the tail influence IS the output.
+    *
+    * Scale: one rank window per type (the rankFractions shape) and a
+    * bounded rollup. */
+  def trimmedMean(df: DataFrame, typeCol: String, valCol: String,
+                  idCol: String, pct: Int = TrimPct): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(pct >= 0 && pct < 50, s"trimmedMean: pct must be in [0, 50), got $pct")
+    val w = Window.partitionBy("event_type").orderBy(col("cents"), col(idCol))
+    val wAll = Window.partitionBy("event_type")
+    // NULL group keys excluded explicitly (the rankFractions rule)
+    val ranked = df.filter(col(valCol).isNotNull && col(typeCol).isNotNull)
+      .select(col(typeCol).as("event_type"), col(idCol),
+        centsOf(valCol).as("cents"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+    val cut = expr(s"(n * $pct) div 100")
+    ranked
+      .groupBy("event_type")
+      .agg(max(col("n")).as("n"),
+        max(cut).as("n_cut_each"),
+        sum(col("cents")).as("sall"),
+        sum(when(col("rn") > cut && col("rn") <= col("n") - cut,
+          col("cents"))).as("skept"),
+        sum(when(col("rn") > cut && col("rn") <= col("n") - cut, 1L)
+          .otherwise(0L)).as("nkept"))
+      .select(col("event_type"), col("n"), col("n_cut_each"),
+        rnd((col("sall").cast("double") / col("n").cast("double")) / 100.0, 4)
+          .as("mean_raw"),
+        rnd(when(col("nkept") > 0L,
+          (col("skept").cast("double") / col("nkept").cast("double")) / 100.0),
+          4).as("mean_trimmed"))
+  }
+
+  def qTrimmedMean(spark: SparkSession, dir: String): DataFrame =
+    trimmedMean(Tables.events(spark, dir), "event_type", "value", "event_id")
+      .orderBy("event_type")
+
   /** Modal value per group (count-desc, value-asc tiebreak) with its
     * share of the group — the A-family member the percentile/histogram
     * pair lacked (quantiles say where the mass SITS; the mode says
@@ -805,6 +888,8 @@ object ScalarQueries {
     keySkew(Tables.events(spark, dir), "user_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rank_fractions" -> qRankFractions _,
+    "q_trimmed_mean" -> qTrimmedMean _,
     "q_key_skew" -> qKeySkew _,
     "q_mode" -> qMode _,
     "q_bootstrap_ci" -> qBootstrapCi _,
@@ -859,6 +944,55 @@ object ScalarQueries {
       .orderBy("c_custkey")
 
   val oracles: Map[String, String] = Map(
+    // both fractions are exact integer rationals of the unique
+    // (cents, id) rank — the builtins are engine-identical with no
+    // tie block; windows over the FULL partition, slice after
+    "q_rank_fractions" ->
+      """WITH ev AS (
+        |  SELECT event_type, event_id, value,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |w AS (
+        |  SELECT event_type, event_id, value,
+        |    floor(percent_rank() OVER (PARTITION BY event_type
+        |      ORDER BY cents, event_id) * 1e6 + 0.5) / 1e6 AS pct_rank,
+        |    floor(cume_dist() OVER (PARTITION BY event_type
+        |      ORDER BY cents, event_id) * 1e6 + 0.5) / 1e6 AS cume_dist
+        |  FROM ev)
+        |SELECT event_type, event_id, value, pct_rank, cume_dist
+        |FROM w WHERE event_id < 300
+        |ORDER BY event_type, event_id""".stripMargin,
+    // integer rank cuts ((n*pct)//100 — no floating-point boundary);
+    // kept-set mean is one exact integer-cent rational
+    "q_trimmed_mean" ->
+      s"""WITH ev AS (
+         |  SELECT event_type, event_id,
+         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+         |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+         |r AS (
+         |  SELECT event_type, cents,
+         |    CAST(row_number() OVER (PARTITION BY event_type
+         |      ORDER BY cents, event_id) AS BIGINT) AS rn,
+         |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+         |  FROM ev),
+         |g AS (
+         |  SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+         |    CAST(max((n * $TrimPct) // 100) AS BIGINT) AS n_cut_each,
+         |    CAST(sum(cents) AS BIGINT) AS sall,
+         |    CAST(sum(CASE WHEN rn > (n * $TrimPct) // 100
+         |      AND rn <= n - (n * $TrimPct) // 100 THEN cents END) AS BIGINT)
+         |      AS skept,
+         |    CAST(sum(CASE WHEN rn > (n * $TrimPct) // 100
+         |      AND rn <= n - (n * $TrimPct) // 100 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS nkept
+         |  FROM r GROUP BY event_type)
+         |SELECT event_type, n, n_cut_each,
+         |  floor(((CAST(sall AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0)
+         |    * 1e4 + 0.5) / 1e4 AS mean_raw,
+         |  CASE WHEN nkept > 0 THEN
+         |    floor(((CAST(skept AS DOUBLE) / CAST(nkept AS DOUBLE)) / 100.0)
+         |      * 1e4 + 0.5) / 1e4 END AS mean_trimmed
+         |FROM g ORDER BY event_type""".stripMargin,
     // exact integer key stats; the top-5 cut is (count desc, key)
     // deterministic on both engines — NULL keys excluded (they never
     // join, and the engines' NULL sort positions differ at the cut)

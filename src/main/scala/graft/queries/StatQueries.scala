@@ -443,13 +443,8 @@ object StatQueries {
     // join (NULL = NULL never matches) and read NaN 'over' on BOTH
     // engines — the oracle-blind wrong-statistic class (review r13
     // leg 4); NULL-keyed rows are excluded explicitly, mirrored in SQL
-    val daily = dailyCounts(df.filter(col(typeCol).isNotNull),
+    val full = zeroFilledDaily(df.filter(col(typeCol).isNotNull),
       typeCol, tsCol)
-    val spine = daily.groupBy("event_type")
-      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
-      .select(col("event_type"), explode(expr("sequence(d0, d1)")).as("day"))
-    val full = spine.join(daily, Seq("event_type", "day"), "left")
-      .select(col("event_type"), coalesce(col("x"), lit(0L)).as("x"))
     val g = full.groupBy("event_type").agg(
       count(lit(1)).as("n"), sum(col("x")).as("sx"),
       sum(col("x") * col("x")).as("sxx"))
@@ -1332,6 +1327,180 @@ object StatQueries {
       "click", "purchase")
       .orderBy("lag")
 
+  /** One-way ANOVA F over the group means — the parametric sibling of
+    * [[kruskalWallis]] (KW asks "do the DISTRIBUTIONS differ" rank-wise;
+    * F asks "do the MEANS differ relative to within-group spread") with
+    * the η² effect size ([[effectSize]]'s d is the two-group special
+    * case). All sums are exact integer cents: per group (n, Σc, Σc²),
+    * the between-groups term Σ_g (Σc_g)²/n_g folds each group's ONE
+    * mirrored double computation rounded to an exact long at the
+    * cent² unit (the valueEntropy order-free idiom — group iteration
+    * order can never move a bit; the double s·s is exact only below
+    * 2⁵³ but is the SAME IEEE value on both engines at any size, so
+    * parity never depends on exactness), and F/η² are mirrored
+    * fixed-order doubles. No significance flag:
+    * the F critical value depends on the OBSERVED dof pair, and a
+    * hardwired fixture dof reports silently-wrong booleans on other
+    * inputs (the chi-square crit lesson) — η² carries the dof-free
+    * Cohen band instead. NULL group keys and NULL values are excluded
+    * explicitly, mirrored in SQL.
+    *
+    * Scale: one fact-volume pass onto the (group)-grain grid, then a
+    * constant-width rollup — the chi-square shape. Overflow bound:
+    * the long-rounded term needs (Σc_g)²/n_g < 2⁶³, i.e. group cent
+    * sums under ~3·10⁹·√n_g — ~3·10⁷ uniform fixture-scale rows, far
+    * more in practice since n grows with Σc; past that the term and
+    * Σc² widen to decimal(38,0). The sub-cent² residue the rounding
+    * drops is ≤ 0.5·k against SS magnitudes of n·Var — invisible at
+    * the 4/6-dp output grain. */
+  def anovaF(df: DataFrame, typeCol: String, valCol: String): DataFrame = {
+    val grid = df.filter(col(valCol).isNotNull && col(typeCol).isNotNull)
+      .select(col(typeCol).as("event_type"), centsOf(valCol).as("c"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("q"))
+    def d(c: Column) = c.cast("double")
+    val term = floor(d(col("s")) * d(col("s")) / d(col("n")) + 0.5)
+      .cast("long")
+    val g = grid
+      .select(col("n"), col("s"), col("q"), term.as("t"))
+      .agg(count(lit(1)).as("k"), sum(col("n")).as("nn"),
+        sum(col("s")).as("tt"), sum(col("q")).as("qq"),
+        sum(col("t")).as("bsum"))
+    val grand = d(col("tt")) * d(col("tt")) / d(col("nn"))
+    val ssb = d(col("bsum")) - grand
+    val sst = d(col("qq")) - grand
+    val ssw = d(col("qq")) - d(col("bsum"))
+    val f = when(col("k") > 1L && col("nn") > col("k") && ssw > 0.0,
+      (ssb / (d(col("k")) - 1.0)) / (ssw / (d(col("nn")) - d(col("k")))))
+    val eta2 = rnd(when(col("k") > 1L && sst > 0.0, ssb / sst), 6)
+    g.select(col("k").as("k_groups"), col("nn").as("n"),
+      rnd(f, 4).as("f_stat"), eta2.as("eta2"),
+      when(eta2.isNull, lit(null).cast("string"))
+        .when(eta2 < 0.01, "negligible").when(eta2 < 0.06, "small")
+        .when(eta2 < 0.14, "medium").otherwise("large").as("strength"))
+  }
+
+  def qAnovaF(spark: SparkSession, dir: String): DataFrame =
+    anovaF(Tables.events(spark, dir), "event_type", "value")
+
+  /** Third/fourth standardized moments per group — skewness g₁ and
+    * excess kurtosis g₂, the distribution-SHAPE profile beside the
+    * location/spread pair every baseline tracks (a drifting tail shows
+    * up here before the mean moves): raw power sums of exact integer
+    * cents (Σc and Σc² as BIGINT; Σc³ and Σc⁴ as decimal(38,0) —
+    * c⁴ ≤ 10²⁰ per row overflows BIGINT immediately), central moments
+    * by the standard raw-moment expansion in ONE mirrored fixed-order
+    * double expression each, then g₁ = m₃/m₂^1.5, g₂ = m₄/m₂² − 3.
+    * Cross-engine: Spark's decimal(38,0)→double and DuckDB's
+    * HUGEINT→double both round the SAME exact integer to
+    * nearest-double, so the inputs to the float path are bit-identical.
+    * Zero-variance groups report NULL shape (m₂ gate).
+    *
+    * Scale: one fact-volume aggregate of six constant-width partials —
+    * the PartialAgg shape; decimal partials are mergeable exactly like
+    * longs. Σc⁴ stays inside 38 digits to ~10¹⁷ rows per group. */
+  def momentProfile(df: DataFrame, typeCol: String,
+                    valCol: String): DataFrame = {
+    val cd = centsOf(valCol).cast("decimal(38,0)")
+    val g = df.filter(col(valCol).isNotNull && col(typeCol).isNotNull)
+      .select(col(typeCol).as("event_type"), centsOf(valCol).as("c"),
+        (cd * cd * cd).as("c3"), (cd * cd * cd * cd).as("c4"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"),
+        sum(col("c") * col("c")).as("s2"),
+        sum(col("c3")).as("s3"), sum(col("c4")).as("s4"))
+    def d(c: Column) = c.cast("double")
+    val n = d(col("n"))
+    val mu = d(col("s1")) / n
+    val m2 = d(col("s2")) / n - mu * mu
+    val m3 = d(col("s3")) / n - lit(3.0) * mu * (d(col("s2")) / n) +
+      lit(2.0) * mu * mu * mu
+    val m4 = d(col("s4")) / n - lit(4.0) * mu * (d(col("s3")) / n) +
+      lit(6.0) * mu * mu * (d(col("s2")) / n) - lit(3.0) * mu * mu * mu * mu
+    g.select(col("event_type"), col("n"),
+      rnd(mu / 100.0, 4).as("mean_value"),
+      rnd(when(m2 > 0.0, m3 / sqrt(m2 * m2 * m2)), 4).as("skewness"),
+      rnd(when(m2 > 0.0, m4 / (m2 * m2) - 3.0), 4).as("excess_kurtosis"))
+  }
+
+  def qMomentProfile(spark: SparkSession, dir: String): DataFrame =
+    momentProfile(Tables.events(spark, dir), "event_type", "value")
+      .orderBy("event_type")
+
+  /** Conditional entropy of the user-journey transition graph — for
+    * each `prev` state, H(next | prev) over the SAME lag-1 transition
+    * counts q_transition_matrix reports (one definition of "transition":
+    * per-user (ts, id)-ordered lag): how PREDICTABLE is the next step
+    * from here, with perplexity exp(H) as the branching-factor read a
+    * curriculum/session model wants. Every term −p·ln p is nano-rounded
+    * to an exact long on the bounded (prev, next) grid (the
+    * valueEntropy idiom), so the per-prev fold is order-free; H and
+    * exp(H) are one mirrored double expression each.
+    *
+    * Scale: the transition pairs are one per-user window at event
+    * grain (the transition_matrix shape); everything after lives on
+    * the (type × type)-bounded grid. */
+  def markovEntropy(df: DataFrame, userCol: String, typeCol: String,
+                    tsCol: String, idCol: String): DataFrame = {
+    val pairs = transitionPairs(df, userCol, typeCol, tsCol, idCol)
+    val wPrev = Window.partitionBy("prev")
+    val p = col("n").cast("double") / col("tot").cast("double")
+    val termNano = floor(-(p * log(p)) * 1e9 + 0.5).cast("long")
+    pairs
+      .withColumn("tot", sum(col("n")).over(wPrev))
+      .select(col("prev"), col("tot"), termNano.as("t"))
+      .groupBy("prev")
+      .agg(max(col("tot")).as("n_transitions"),
+        count(lit(1)).as("n_next_types"),
+        sum(col("t")).as("snano"))
+      .select(col("prev"), col("n_transitions"), col("n_next_types"),
+        rnd(col("snano").cast("double") / 1e9, 6).as("entropy"),
+        rnd(exp(col("snano").cast("double") / 1e9), 4).as("perplexity"))
+  }
+
+  def qMarkovEntropy(spark: SparkSession, dir: String): DataFrame =
+    markovEntropy(Tables.events(spark, dir), "user_id", "event_type",
+      "ts", "event_id")
+      .orderBy("prev")
+
+  /** Local-peak audit of the per-day count series — how many days are
+    * strict local maxima (busier than BOTH neighbours), the burstiness
+    * SHAPE read beside [[dispersionIndex]]'s magnitude (D says "over-
+    * dispersed"; peaks say whether that is one campaign spike or a
+    * sawtooth): computed over the COMPLETE calendar spine (observed-only
+    * days would compare k ROWS apart, not adjacent days — the crosscorr
+    * spine rule), zero-filled, endpoints excluded by the strict
+    * two-sided test (a NULL neighbour comparison coalesces to false).
+    * Exact integer comparisons throughout; NULL group keys excluded
+    * (the spine-join rule).
+    *
+    * Scale: the [[dailyCounts]] rollup is the only fact-volume pass;
+    * the spine windows run at calendar scale per group. */
+  def peakDetection(df: DataFrame, typeCol: String,
+                    tsCol: String): DataFrame = {
+    val full = zeroFilledDaily(df.filter(col(typeCol).isNotNull),
+      typeCol, tsCol)
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val pk = coalesce(
+      col("x") > lag(col("x"), 1).over(w) &&
+        col("x") > lead(col("x"), 1).over(w), lit(false))
+    full
+      .withColumn("pk", pk)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("pk"), 1L).otherwise(0L)).as("n_peaks"),
+        max(when(col("pk"), col("x"))).as("max_peak"))
+      .select(col("event_type"), col("n_days"), col("n_peaks"),
+        col("max_peak"),
+        rnd(col("n_peaks").cast("double") / col("n_days").cast("double"), 4)
+          .as("peak_share"))
+  }
+
+  def qPeakDetection(spark: SparkSession, dir: String): DataFrame =
+    peakDetection(Tables.events(spark, dir), "event_type", "ts")
+      .orderBy("event_type")
+
   /** Shannon entropy of the value distribution per group — the
     * dispersion-shape complement of variance (a two-spike and a
     * uniform distribution can share a variance; entropy tells them
@@ -1372,6 +1541,10 @@ object StatQueries {
       .orderBy("event_type")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_anova_f" -> qAnovaF _,
+    "q_moment_profile" -> qMomentProfile _,
+    "q_markov_entropy" -> qMarkovEntropy _,
+    "q_peak_detection" -> qPeakDetection _,
     "q_value_entropy" -> qValueEntropy _,
     "q_seasonality_strength" -> qSeasonalityStrength _,
     "q_chi_square" -> qChiSquare _,
@@ -1454,6 +1627,141 @@ object StatQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // per-group (n, Σc, Σc²) exact; the between term rounded to an
+    // exact long at the cent² unit per group so the cross-group sum
+    // is order-free; F/η² the same fixed-order doubles
+    "q_anova_f" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |grid AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS q
+        |  FROM ev GROUP BY event_type),
+        |g AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS nn,
+        |    CAST(sum(s) AS BIGINT) AS tt, CAST(sum(q) AS BIGINT) AS qq,
+        |    CAST(sum(CAST(floor(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |      / CAST(n AS DOUBLE) + 0.5) AS BIGINT)) AS BIGINT) AS bsum
+        |  FROM grid),
+        |f AS (
+        |  SELECT k, nn,
+        |    CAST(bsum AS DOUBLE)
+        |      - CAST(tt AS DOUBLE) * CAST(tt AS DOUBLE) / CAST(nn AS DOUBLE) AS ssb,
+        |    CAST(qq AS DOUBLE)
+        |      - CAST(tt AS DOUBLE) * CAST(tt AS DOUBLE) / CAST(nn AS DOUBLE) AS sst,
+        |    CAST(qq AS DOUBLE) - CAST(bsum AS DOUBLE) AS ssw
+        |  FROM g),
+        |z AS (
+        |  SELECT k AS k_groups, nn AS n,
+        |    CASE WHEN k > 1 AND nn > k AND ssw > 0.0 THEN
+        |      floor(((ssb / (CAST(k AS DOUBLE) - 1.0))
+        |        / (ssw / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE))))
+        |        * 1e4 + 0.5) / 1e4 END AS f_stat,
+        |    CASE WHEN k > 1 AND sst > 0.0 THEN
+        |      floor((ssb / sst) * 1e6 + 0.5) / 1e6 END AS eta2
+        |  FROM f)
+        |SELECT k_groups, n, f_stat, eta2,
+        |  CASE WHEN eta2 IS NULL THEN NULL
+        |    WHEN eta2 < 0.01 THEN 'negligible' WHEN eta2 < 0.06 THEN 'small'
+        |    WHEN eta2 < 0.14 THEN 'medium' ELSE 'large' END AS strength
+        |FROM z""".stripMargin,
+    // raw power sums exact (HUGEINT mirrors Spark's decimal(38,0) —
+    // both cast the same exact integer to nearest-double), central
+    // moments the same fixed-order expansion
+    "q_moment_profile" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |g AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(c) AS BIGINT) AS s1,
+        |    CAST(sum(c * c) AS BIGINT) AS s2,
+        |    sum(c::HUGEINT * c * c) AS s3,
+        |    sum(c::HUGEINT * c * c * c) AS s4
+        |  FROM ev GROUP BY event_type),
+        |m AS (
+        |  SELECT event_type, n,
+        |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+        |    CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+        |    CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+        |  FROM g),
+        |c AS (
+        |  SELECT event_type, n, mu,
+        |    r2 - mu * mu AS m2,
+        |    r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3,
+        |    r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2
+        |      - 3.0 * mu * mu * mu * mu AS m4
+        |  FROM m)
+        |SELECT event_type, n,
+        |  floor((mu / 100.0) * 1e4 + 0.5) / 1e4 AS mean_value,
+        |  CASE WHEN m2 > 0.0 THEN
+        |    floor((m3 / sqrt(m2 * m2 * m2)) * 1e4 + 0.5) / 1e4 END AS skewness,
+        |  CASE WHEN m2 > 0.0 THEN
+        |    floor((m4 / (m2 * m2) - 3.0) * 1e4 + 0.5) / 1e4
+        |  END AS excess_kurtosis
+        |FROM c ORDER BY event_type""".stripMargin,
+    // the q_transition_matrix lag-1 pairs; every −p·ln p term
+    // nano-rounded to an exact long on the bounded (prev, next) grid
+    "q_markov_entropy" ->
+      """WITH pairs AS (
+        |  SELECT lag(event_type, 1) OVER (PARTITION BY user_id
+        |           ORDER BY epoch_ns(ts), event_id) AS prev,
+        |    event_type AS next
+        |  FROM events),
+        |c AS (
+        |  SELECT prev, next, CAST(count(*) AS BIGINT) AS n
+        |  FROM pairs WHERE prev IS NOT NULL GROUP BY prev, next),
+        |t AS (
+        |  SELECT prev, CAST(sum(n) AS BIGINT) AS tot,
+        |    CAST(count(*) AS BIGINT) AS n_next
+        |  FROM c GROUP BY prev),
+        |s AS (
+        |  SELECT c.prev, max(t.tot) AS n_transitions,
+        |    max(t.n_next) AS n_next_types,
+        |    CAST(sum(CAST(floor(-((CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE))
+        |      * ln(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE))) * 1e9 + 0.5)
+        |      AS BIGINT)) AS BIGINT) AS snano
+        |  FROM c JOIN t ON c.prev = t.prev GROUP BY c.prev)
+        |SELECT prev, n_transitions, n_next_types,
+        |  floor((CAST(snano AS DOUBLE) / 1e9) * 1e6 + 0.5) / 1e6 AS entropy,
+        |  floor(exp(CAST(snano AS DOUBLE) / 1e9) * 1e4 + 0.5) / 1e4 AS perplexity
+        |FROM s ORDER BY prev""".stripMargin,
+    // the dispersion_index calendar spine, strict two-sided integer
+    // comparisons, endpoint NULL neighbours coalesce to false
+    "q_peak_detection" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events WHERE event_type IS NOT NULL
+        |  GROUP BY event_type, CAST(ts AS DATE)),
+        |bounds AS (
+        |  SELECT event_type, min(day) AS d0, max(day) AS d1
+        |  FROM daily GROUP BY event_type),
+        |spine AS (
+        |  SELECT event_type,
+        |    CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |      CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM bounds),
+        |full_ AS (
+        |  SELECT spine.event_type, spine.day,
+        |    CAST(coalesce(x, 0) AS BIGINT) AS x
+        |  FROM spine LEFT JOIN daily
+        |    ON spine.event_type = daily.event_type
+        |    AND spine.day = daily.day),
+        |w AS (
+        |  SELECT event_type, x,
+        |    coalesce(x > lag(x, 1) OVER (PARTITION BY event_type ORDER BY day)
+        |      AND x > lead(x, 1) OVER (PARTITION BY event_type ORDER BY day),
+        |      FALSE) AS pk
+        |  FROM full_)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(CASE WHEN pk THEN 1 ELSE 0 END) AS BIGINT) AS n_peaks,
+        |  max(CASE WHEN pk THEN x END) AS max_peak,
+        |  floor((CAST(sum(CASE WHEN pk THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS peak_share
+        |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the same 21 conditional integer partials, grand moments as exact
     // integer sums of them, the same fixed left-associated SSW fold
     "q_seasonality_strength" -> {

@@ -675,12 +675,9 @@ object TimeSeriesQueries {
     * probability is an exact rational n/tot in both engines. */
   def transitionMatrix(df: DataFrame, userCol: String, typeCol: String,
                        tsCol: String, idCol: String): DataFrame = {
-    val wu = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
-    val pairs = df
-      .select(col(userCol), col(typeCol).as("next"),
-        lag(col(typeCol), 1).over(wu).as("prev"))
-      .filter(col("prev").isNotNull)
-      .groupBy("prev", "next").agg(count(lit(1)).as("n"))
+    // ONE definition of "transition" shared with markovEntropy (the
+    // dailyCounts rule — review r14)
+    val pairs = transitionPairs(df, userCol, typeCol, tsCol, idCol)
     val totals = pairs.groupBy("prev").agg(sum(col("n")).as("tot"))
     pairs.join(broadcast(totals), "prev")
       .select(col("prev"), col("next"), col("n"),

@@ -50,6 +50,45 @@ package object queries {
       .agg(count(lit(1)).as("x"))
   }
 
+  /** Per-user lag-1 transition counts — `(prev, next, n)` off one
+    * per-user (ts, id)-ordered window; THE definition of "transition"
+    * shared by transitionMatrix and markovEntropy (review r14: the
+    * pair extraction had grown a verbatim copy — like [[dailyCounts]],
+    * the definition lives once or the two operators silently condition
+    * on different graphs). */
+  def transitionPairs(df: DataFrame, userCol: String, typeCol: String,
+                      tsCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, count, lag, lit}
+    val wu = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    df.select(col(userCol), col(typeCol).as("next"),
+        lag(col(typeCol), 1).over(wu).as("prev"))
+      .filter(col("prev").isNotNull)
+      .groupBy("prev", "next").agg(count(lit(1)).as("n"))
+  }
+
+  /** Zero-filled per-group daily counts on the COMPLETE calendar spine
+    * between each group's first and last active day — [[dailyCounts]]
+    * left-joined onto `sequence(min(day), max(day))` with absent days
+    * as 0. THE day-series frame for spine-dependent statistics
+    * (dispersion index, peak detection): the observed-only series is
+    * zero-TRUNCATED and mis-reads sparse bursts (review r13), and the
+    * spine block was growing verbatim copies (review r14 — the
+    * dailyCounts lesson one level up). NULL group keys must be
+    * excluded by the CALLER (the non-null-safe spine join would
+    * zero-fill them into garbage rows both engines agree on). */
+  def zeroFilledDaily(df: DataFrame, typeCol: String,
+                      tsCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, explode, expr, lit, max, min}
+    val daily = dailyCounts(df, typeCol, tsCol)
+    val spine = daily.groupBy("event_type")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("event_type"), explode(expr("sequence(d0, d1)")).as("day"))
+    spine.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("x"), lit(0L)).as("x"))
+  }
+
   /** Hour-of-day (0-23) of a NAMED epoch-nano column — the third member
     * of the truncation-rule family beside [[dayOf]]/[[centsOf]] (review
     * r12: chiSquare and linregClosed had grown hand-rolled copies of

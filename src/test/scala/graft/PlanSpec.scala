@@ -727,6 +727,31 @@ class PlanSpec extends AnyFunSuite {
       pair("SELECT * FROM brown_forsythe('ev_r12', 'event_type', 'value')",
         graft.queries.StatQueries.brownForsythe(ev, "event_type", "value"),
         Seq("n"))
+      // round-14 additions
+      pair("SELECT * FROM anova_f('ev_r12', 'event_type', 'value')",
+        graft.queries.StatQueries.anovaF(ev, "event_type", "value"),
+        Seq("n"))
+      pair("SELECT * FROM moment_profile('ev_r12', 'event_type', 'value')",
+        graft.queries.StatQueries.momentProfile(ev, "event_type", "value"),
+        Seq("event_type"))
+      pair("SELECT * FROM markov_entropy('ev_r12', 'user_id', 'event_type', " +
+        "'ts', 'event_id')",
+        graft.queries.StatQueries.markovEntropy(
+          ev, "user_id", "event_type", "ts", "event_id"),
+        Seq("prev"))
+      pair("SELECT * FROM peak_detection('ev_r12', 'event_type', 'ts')",
+        graft.queries.StatQueries.peakDetection(ev, "event_type", "ts"),
+        Seq("event_type"))
+      pair("SELECT * FROM rank_fractions('ev_r12', 'event_type', 'value', " +
+        "'event_id')",
+        graft.queries.ScalarQueries.rankFractions(
+          ev, "event_type", "value", "event_id"),
+        Seq("event_type", "event_id"))
+      pair("SELECT * FROM trimmed_mean('ev_r12', 'event_type', 'value', " +
+        "'event_id', 5)",
+        graft.queries.ScalarQueries.trimmedMean(
+          ev, "event_type", "value", "event_id", 5),
+        Seq("event_type"))
     }
   }
 

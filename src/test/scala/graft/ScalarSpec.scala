@@ -418,4 +418,31 @@ class ScalarSpec extends AnyFunSuite {
       "fk", "c", parent, "pk").head()
     assert(ri.isNullAt(3) && !ri.getBoolean(5))
   }
+
+  test("rankFractions: exact rationals over the unique (cents, id) order") {
+    import graft.queries.ScalarQueries
+    // values {10, 20, 20, 30} ids 1..4: ranks 1..4 (id tiebreak) ->
+    // pct_rank (rn-1)/3, cume_dist rn/4 — exact rationals
+    val ev = Seq((1L, 10.0), (2L, 20.0), (3L, 20.0), (4L, 30.0))
+      .map { case (id, v) => ("t", id, v) }
+      .toDF("event_type", "event_id", "value")
+    val r = ScalarQueries.rankFractions(ev, "event_type", "value", "event_id")
+      .orderBy("event_id").collect()
+    assert(r.map(_.getDouble(3)).toSeq ==
+      Seq(0.0, 0.333333, 0.666667, 1.0))
+    assert(r.map(_.getDouble(4)).toSeq == Seq(0.25, 0.5, 0.75, 1.0))
+  }
+
+  test("trimmedMean: 5% cut drops exactly one row per tail") {
+    import graft.queries.ScalarQueries
+    // 20 rows: one 0.0, eighteen 10.0, one 100.0 -> cut = (20*5)//100 = 1
+    // per side: trimmed mean 10.0 vs raw (0+180+100)/20 = 14.0
+    val ev = ((1 to 18).map(i => ("t", i.toLong, 10.0)) ++
+      Seq(("t", 19L, 0.0), ("t", 20L, 100.0)))
+      .toDF("event_type", "event_id", "value")
+    val r = ScalarQueries.trimmedMean(ev, "event_type", "value", "event_id")
+      .collect()(0)
+    assert(r.getLong(1) == 20L && r.getLong(2) == 1L)
+    assert(r.getDouble(3) == 14.0 && r.getDouble(4) == 10.0)
+  }
 }

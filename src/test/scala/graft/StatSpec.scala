@@ -832,6 +832,70 @@ class StatSpec extends AnyFunSuite {
       "codes computed over the two non-null elements")
   }
 
+  test("anovaF: two separated groups hand-checked, single group NULL F") {
+    // A = {1, 2, 3}, B = {5, 6, 7} (values -> cents x100): group means
+    // 200/600 cents, grand 400; SSB = 3*200^2*2 = 240000 cents^2,
+    // SSW = 2*(100^2+0+100^2) = 40000 -> F = (240000/1)/(40000/4) = 24,
+    // eta2 = 240000/280000 = 0.857143 (large)
+    val ev = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 5.0), ("b", 6.0), ("b", 7.0)).toDF("event_type", "value")
+    val r = StatQueries.anovaF(ev, "event_type", "value").collect()(0)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 6L)
+    assert(r.getDouble(2) == 24.0, s"F: $r")
+    assert(r.getDouble(3) == 0.857143 && r.getString(4) == "large")
+    // one group: k = 1 -> F and eta2 NULL, no division reached
+    val one = StatQueries.anovaF(
+      Seq(("a", 1.0), ("a", 2.0)).toDF("event_type", "value"),
+      "event_type", "value").collect()(0)
+    assert(one.isNullAt(2) && one.isNullAt(3) && one.isNullAt(4))
+  }
+
+  test("momentProfile: symmetric grid, hand-checked skew, constant NULL") {
+    // sym {1,2,3,4}: m2 = 12500 cents^2, m3 = 0, m4 = 256250000
+    //   -> skew 0, excess kurtosis 1.64 - 3 = -1.36
+    // skw {1,1,4}: m2 = 20000, m3 = 2e6 -> skew = 2e6/20000^1.5 = 0.7071
+    // cst {2,2}: m2 = 0 -> NULL shape
+    val ev = Seq(("sym", 1.0), ("sym", 2.0), ("sym", 3.0), ("sym", 4.0),
+      ("skw", 1.0), ("skw", 1.0), ("skw", 4.0),
+      ("cst", 2.0), ("cst", 2.0)).toDF("event_type", "value")
+    val r = StatQueries.momentProfile(ev, "event_type", "value")
+      .orderBy("event_type").collect()
+    val bySym = r.map(x => x.getString(0) -> x).toMap
+    assert(bySym("sym").getDouble(3) == 0.0)
+    assert(bySym("sym").getDouble(4) == -1.36)
+    assert(bySym("skw").getDouble(3) == 0.7071)
+    assert(bySym("cst").isNullAt(3) && bySym("cst").isNullAt(4))
+  }
+
+  test("markovEntropy: branching state ln 2, deterministic state 0") {
+    // one user walks A -> B -> A -> C: prev A sees {B, C} (H = ln 2,
+    // perplexity 2), prev B sees {A} (H = 0, perplexity 1)
+    val ev = Seq((1L, "A", dayNs(1), 1L), (1L, "B", dayNs(2), 2L),
+      (1L, "A", dayNs(3), 3L), (1L, "C", dayNs(4), 4L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val r = StatQueries.markovEntropy(ev, "user_id", "event_type",
+      "ts", "event_id").orderBy("prev").collect()
+    assert(r.length == 2)
+    assert(r(0).getString(0) == "A" && r(0).getLong(1) == 2L &&
+      r(0).getLong(2) == 2L)
+    assert(r(0).getDouble(3) == 0.693147 && r(0).getDouble(4) == 2.0)
+    assert(r(1).getString(0) == "B" && r(1).getDouble(3) == 0.0 &&
+      r(1).getDouble(4) == 1.0)
+  }
+
+  test("peakDetection: interior strict peak found, gap day zero-fills, endpoints excluded") {
+    // daily counts on the CALENDAR spine: day1 1, day2 3, day3 1,
+    // day4 ABSENT (zero-fills), day5 2 -> series 1,3,1,0,2: one peak
+    // (day2); day5 is an endpoint and cannot peak
+    def ev(day: Int, n: Int) = Seq.fill(n)(("t", dayNs(day)))
+    val df = (ev(1, 1) ++ ev(2, 3) ++ ev(3, 1) ++ ev(5, 2))
+      .toDF("event_type", "ts")
+    val r = StatQueries.peakDetection(df, "event_type", "ts").collect()(0)
+    assert(r.getLong(1) == 5L, s"spine must cover the gap day: $r")
+    assert(r.getLong(2) == 1L && r.getLong(3) == 3L)
+    assert(r.getDouble(4) == 0.2)
+  }
+
   test("giniConcentration: equality gives 0, known split gives 0.25") {
     val ev = (
       // type eq: 3 users x 2 events -> G = 0
