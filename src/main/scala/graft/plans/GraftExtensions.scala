@@ -312,6 +312,15 @@ case class ResolveGraftOp(spark: org.apache.spark.sql.SparkSession)
         case "trimmed_mean" => // (typeCol, valCol, idCol, pct)
           graft.queries.ScalarQueries.trimmedMean(
             dfs(0), str(0), str(1), str(2), lng(3).toInt)
+        case "kendall_tau" => // (typeCol, tsCol)
+          graft.queries.StatQueries.kendallTau(dfs(0), str(0), str(1))
+        case "weekly_power" => // (typeCol, tsCol)
+          graft.queries.StatQueries.weeklyPower(dfs(0), str(0), str(1))
+        case "day_corr_matrix" => // (typeCol, tsCol)
+          graft.queries.StatQueries.dayCorrMatrix(dfs(0), str(0), str(1))
+        case "lexical_diversity" => // (idCol, textCol)
+          graft.queries.TextStats.lexicalDiversityDocs(
+            dfs(0), str(0), str(1))
         case "dedup_sweep" => // (idCol, textCol)
           graft.queries.TextDedup.dedupSweep(dfs(0), str(0), str(1))
         case "vocab_drift" => // (idCol, textCol)
@@ -630,6 +639,10 @@ object GraftFunctions {
     "peak_detection" -> ("peak_detection(table, typeCol, tsCol)", 2),
     "rank_fractions" -> ("rank_fractions(table, typeCol, valCol, idCol)", 3),
     "trimmed_mean" -> ("trimmed_mean(table, typeCol, valCol, idCol, pct)", 4),
+    "kendall_tau" -> ("kendall_tau(table, typeCol, tsCol)", 2),
+    "weekly_power" -> ("weekly_power(table, typeCol, tsCol)", 2),
+    "day_corr_matrix" -> ("day_corr_matrix(table, typeCol, tsCol)", 2),
+    "lexical_diversity" -> ("lexical_diversity(table, idCol, textCol)", 2),
     "dedup_sweep" -> ("dedup_sweep(table, idCol, textCol)", 2),
     "vocab_drift" -> ("vocab_drift(table, idCol, textCol)", 2),
     "effect_size" ->

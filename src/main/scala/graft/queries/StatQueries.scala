@@ -1501,6 +1501,157 @@ object StatQueries {
     peakDetection(Tables.events(spark, dir), "event_type", "ts")
       .orderBy("event_type")
 
+  /** Kendall τ-b of daily counts against time — the EFFECT SIZE
+    * companion to [[mannKendall]] (MK's z says whether a monotone
+    * trend exists; τ-b says HOW MONOTONE on [−1, 1], tie-adjusted):
+    * τ-b = S / √((n₀ − t_x)·n₀) with S the MK pair statistic, n₀ =
+    * n(n−1)/2 and t_x = Σ t(t−1)/2 over tied daily counts (days are
+    * unique so the time-side tie term is zero). S, n₀, t_x are EXACT
+    * integers off the same day-grain pair join as MK; τ is one
+    * mirrored fixed-order double. All-tied series (n₀ = t_x) NULL.
+    * NULL group keys excluded (the MK rule).
+    *
+    * Scale: the mannKendall shape verbatim — day-grain pair join and
+    * tie rollup, metadata scale regardless of corpus size. */
+  def kendallTau(df: DataFrame, typeCol: String, tsCol: String): DataFrame = {
+    val daily = dailyCounts(df.filter(col(typeCol).isNotNull),
+      typeCol, tsCol)
+    val a = daily.select(col("event_type"), col("day").as("d1"),
+      col("x").as("x1"))
+    val b = daily.select(col("event_type"), col("day").as("d2"),
+      col("x").as("x2"))
+    val s = a.join(b, Seq("event_type"))
+      .filter(col("d1") < col("d2"))
+      .groupBy("event_type")
+      .agg(sum(signum(col("x2") - col("x1")).cast("long")).as("s"))
+    val ties = daily.groupBy("event_type", "x")
+      .agg(count(lit(1)).as("t"))
+      .groupBy("event_type")
+      .agg(sum(col("t")).as("n_days"),
+        sum(col("t") * (col("t") - lit(1L))).as("tx2"))
+    val j = ties.join(s, Seq("event_type"), "left")
+      .withColumn("s", coalesce(col("s"), lit(0L)))
+    val n = col("n_days")
+    val n02 = n * (n - lit(1L)) // 2·n₀ — kept doubled so all terms stay integral
+    def d(c: Column) = c.cast("double")
+    val tau = rnd(when(n02 > col("tx2"),
+      d(col("s")) * 2.0 / sqrt(d(n02 - col("tx2")) * d(n02))), 4)
+    j.select(col("event_type"), col("n_days"), col("s"), tau.as("tau"))
+  }
+
+  def qKendallTau(spark: SparkSession, dir: String): DataFrame =
+    kendallTau(Tables.events(spark, dir), "event_type", "ts")
+      .orderBy("event_type")
+
+  /** Weekly Fourier coefficients for [[weeklyPower]] — cos/sin of
+    * 2πk/7 computed ONCE by the Scala runtime and interpolated into
+    * BOTH engines as shortest-round-trip literals (the benfordP
+    * precedent): zero trig calls at query time, so cross-engine libm
+    * drift cannot exist. */
+  private[queries] def weeklyCos(k: Int): Double = math.cos(2.0 * math.Pi * k / 7.0)
+  private[queries] def weeklySin(k: Int): Double = math.sin(2.0 * math.Pi * k / 7.0)
+
+  /** Spectral power at the weekly frequency per group — the
+    * periodogram twin of q_seasonality_strength (that one fits dow
+    * MEANS; this projects the day series onto the period-7 Fourier
+    * pair, catching weekly structure even when the shape within the
+    * week shifts): over the zero-filled calendar day series with
+    * t = days since the group's first day, a = Σ x·cos(2πt/7) and
+    * b = Σ x·sin(2πt/7) — each term is an exact integer count times
+    * one of SEVEN interpolated literal coefficients ([[weeklyCos]]),
+    * micro-rounded to an exact long so the fold is order-free — and
+    * weekly_share = 2·(a² + b²)/n against the series' total sum of
+    * squared deviations, in [0, 1] up to spectral leakage. Flat
+    * series (zero variance) NULL.
+    *
+    * Scale: dailyCounts is the only fact-volume pass; the projection
+    * and moment fold run at calendar scale per group. */
+  def weeklyPower(df: DataFrame, typeCol: String, tsCol: String): DataFrame = {
+    val full = zeroFilledDaily(df.filter(col(typeCol).isNotNull),
+      typeCol, tsCol)
+    val wT = Window.partitionBy("event_type")
+    val t = datediff(col("day"), min(col("day")).over(wT))
+    val k = pmod(t, lit(7))
+    def coefSum(cf: Int => Double): Column = {
+      // 7-branch when chain over the MATERIALIZED k column (the window
+      // expression itself cannot appear inside the aggregate); k = t
+      // mod 7 always matches exactly one branch
+      val term = (1 to 6).foldLeft(
+        when(col("k") === 0, col("x").cast("double") * lit(cf(0)))) {
+        (acc, i) =>
+          acc.when(col("k") === i, col("x").cast("double") * lit(cf(i)))
+      }
+      sum(floor(term * 1e6 + 0.5).cast("long"))
+    }
+    val g = full
+      .select(col("event_type"), col("x"), k.as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"),
+        coefSum(weeklyCos).as("amicro"), coefSum(weeklySin).as("bmicro"))
+    def d(c: Column) = c.cast("double")
+    val a = d(col("amicro")) / 1e6
+    val b = d(col("bmicro")) / 1e6
+    val sse = d(col("sxx")) - d(col("sx")) * d(col("sx")) / d(col("n"))
+    val share = rnd(when(sse > 0.0,
+      (a * a + b * b) * 2.0 / d(col("n")) / sse), 4)
+    g.select(col("event_type"), col("n").as("n_days"),
+      rnd(a, 4).as("a7"), rnd(b, 4).as("b7"), share.as("weekly_share"),
+      when(share.isNull, lit(null).cast("string"))
+        .when(share >= 0.3, "strong").when(share >= 0.1, "moderate")
+        .otherwise("weak").as("periodicity"))
+  }
+
+  def qWeeklyPower(spark: SparkSession, dir: String): DataFrame =
+    weeklyPower(Tables.events(spark, dir), "event_type", "ts")
+      .orderBy("event_type")
+
+  /** Pearson correlation matrix of the per-type daily count series —
+    * the portfolio view [[crossCorr]] gives one pair of: every
+    * unordered type pair's co-movement on the GLOBAL calendar spine
+    * (all series zero-filled over the same day range, so pairs align
+    * even when one type goes dark). Six exact integer sums per pair
+    * feed the same fixed-order Pearson fold as [[laggedPearson]];
+    * zero-variance series NULL against every partner.
+    *
+    * Scale: one fact-volume rollup to the day grain; the spine
+    * cross-join and the pair join both live at (types × days) /
+    * (types² × days) metadata scale. */
+  def dayCorrMatrix(df: DataFrame, typeCol: String,
+                    tsCol: String): DataFrame = {
+    val daily = dailyCounts(df.filter(col(typeCol).isNotNull),
+      typeCol, tsCol)
+    val bounds = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val spine = bounds.select(explode(expr("sequence(d0, d1)")).as("day"))
+    val types = daily.select(col("event_type")).distinct()
+    val grid = types.crossJoin(spine)
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("x"), lit(0L)).as("x"))
+    val pairs = grid.select(col("event_type").as("type_a"),
+        col("day"), col("x").as("xa"))
+      .join(grid.select(col("event_type").as("type_b"), col("day"),
+        col("x").as("xb")), Seq("day"))
+      .filter(col("type_a") < col("type_b"))
+    val g = pairs.groupBy("type_a", "type_b").agg(
+      count(lit(1)).as("n"),
+      sum(col("xa")).as("sa"), sum(col("xb")).as("sb"),
+      sum(col("xa") * col("xb")).as("sab"),
+      sum(col("xa") * col("xa")).as("saa"),
+      sum(col("xb") * col("xb")).as("sbb"))
+    def d(s: String) = col(s).cast("double")
+    val varA = d("n") * d("saa") - d("sa") * d("sa")
+    val varB = d("n") * d("sbb") - d("sb") * d("sb")
+    g.select(col("type_a"), col("type_b"), col("n").as("n_days"),
+      rnd(when(varA > 0.0 && varB > 0.0,
+        (d("n") * d("sab") - d("sa") * d("sb")) / sqrt(varA * varB)), 6)
+        .as("r"))
+  }
+
+  def qDayCorrMatrix(spark: SparkSession, dir: String): DataFrame =
+    dayCorrMatrix(Tables.events(spark, dir), "event_type", "ts")
+      .orderBy("type_a", "type_b")
+
   /** Shannon entropy of the value distribution per group — the
     * dispersion-shape complement of variance (a two-spike and a
     * uniform distribution can share a variance; entropy tells them
@@ -1545,6 +1696,9 @@ object StatQueries {
     "q_moment_profile" -> qMomentProfile _,
     "q_markov_entropy" -> qMarkovEntropy _,
     "q_peak_detection" -> qPeakDetection _,
+    "q_kendall_tau" -> qKendallTau _,
+    "q_weekly_power" -> qWeeklyPower _,
+    "q_day_corr_matrix" -> qDayCorrMatrix _,
     "q_value_entropy" -> qValueEntropy _,
     "q_seasonality_strength" -> qSeasonalityStrength _,
     "q_chi_square" -> qChiSquare _,
@@ -1627,6 +1781,143 @@ object StatQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // the MK pair join + tie rollup; 2n₀ and the doubled tie term stay
+    // integral, τ-b one mirrored fixed-order double
+    "q_kendall_tau" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events WHERE event_type IS NOT NULL
+        |  GROUP BY event_type, CAST(ts AS DATE)),
+        |s AS (
+        |  SELECT a.event_type,
+        |    CAST(sum(CAST(sign(b.x - a.x) AS BIGINT)) AS BIGINT) AS s
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.day < b.day
+        |  GROUP BY a.event_type),
+        |t AS (
+        |  SELECT event_type, x, CAST(count(*) AS BIGINT) AS t
+        |  FROM daily GROUP BY event_type, x),
+        |v AS (
+        |  SELECT event_type, CAST(sum(t) AS BIGINT) AS n_days,
+        |    CAST(sum(t * (t - 1)) AS BIGINT) AS tx2
+        |  FROM t GROUP BY event_type),
+        |j AS (
+        |  SELECT v.event_type, v.n_days,
+        |    coalesce(s.s, CAST(0 AS BIGINT)) AS s,
+        |    v.n_days * (v.n_days - 1) AS n02, v.tx2
+        |  FROM v LEFT JOIN s ON v.event_type = s.event_type)
+        |SELECT event_type, n_days, s,
+        |  CASE WHEN n02 > tx2 THEN
+        |    floor((CAST(s AS DOUBLE) * 2.0
+        |      / sqrt(CAST(n02 - tx2 AS DOUBLE) * CAST(n02 AS DOUBLE)))
+        |      * 1e4 + 0.5) / 1e4 END AS tau
+        |FROM j ORDER BY event_type""".stripMargin,
+    // the dispersion_index calendar spine; each projection term is an
+    // exact integer count times an interpolated literal coefficient,
+    // micro-rounded to an exact long so the fold is order-free
+    "q_weekly_power" -> {
+      def chain(cf: Int => Double): String =
+        "CASE " + (0 to 6).map(i =>
+          s"WHEN k = $i THEN CAST(x AS DOUBLE) * CAST('${cf(i)}' AS DOUBLE)")
+          .mkString(" ") + " END"
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day,
+         |    CAST(count(*) AS BIGINT) AS x
+         |  FROM events WHERE event_type IS NOT NULL
+         |  GROUP BY event_type, CAST(ts AS DATE)),
+         |bounds AS (
+         |  SELECT event_type, min(day) AS d0, max(day) AS d1
+         |  FROM daily GROUP BY event_type),
+         |spine AS (
+         |  SELECT event_type, d0,
+         |    CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+         |      CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+         |  FROM bounds),
+         |full_ AS (
+         |  SELECT spine.event_type,
+         |    CAST(date_diff('day', spine.d0, spine.day) AS BIGINT) % 7 AS k,
+         |    CAST(coalesce(x, 0) AS BIGINT) AS x
+         |  FROM spine LEFT JOIN daily
+         |    ON spine.event_type = daily.event_type
+         |    AND spine.day = daily.day),
+         |g AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx,
+         |    CAST(sum(CAST(floor((${chain(weeklyCos)}) * 1e6 + 0.5) AS BIGINT))
+         |      AS BIGINT) AS amicro,
+         |    CAST(sum(CAST(floor((${chain(weeklySin)}) * 1e6 + 0.5) AS BIGINT))
+         |      AS BIGINT) AS bmicro
+         |  FROM full_ GROUP BY event_type),
+         |f AS (
+         |  SELECT event_type, n,
+         |    CAST(amicro AS DOUBLE) / 1e6 AS a,
+         |    CAST(bmicro AS DOUBLE) / 1e6 AS b,
+         |    CAST(sxx AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+         |      AS sse
+         |  FROM g),
+         |z AS (
+         |  SELECT event_type, n AS n_days,
+         |    floor(a * 1e4 + 0.5) / 1e4 AS a7,
+         |    floor(b * 1e4 + 0.5) / 1e4 AS b7,
+         |    CASE WHEN sse > 0.0 THEN
+         |      floor(((a * a + b * b) * 2.0 / CAST(n AS DOUBLE) / sse)
+         |        * 1e4 + 0.5) / 1e4 END AS weekly_share
+         |  FROM f)
+         |SELECT event_type, n_days, a7, b7, weekly_share,
+         |  CASE WHEN weekly_share IS NULL THEN NULL
+         |    WHEN weekly_share >= 0.3 THEN 'strong'
+         |    WHEN weekly_share >= 0.1 THEN 'moderate'
+         |    ELSE 'weak' END AS periodicity
+         |FROM z ORDER BY event_type""".stripMargin
+    },
+    // GLOBAL calendar spine × type grid, zero-filled; six exact sums
+    // per unordered pair feed the laggedPearson fixed-order fold
+    "q_day_corr_matrix" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events WHERE event_type IS NOT NULL
+        |  GROUP BY event_type, CAST(ts AS DATE)),
+        |bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |spine AS (
+        |  SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM bounds),
+        |types AS (SELECT DISTINCT event_type FROM daily),
+        |grid AS (
+        |  SELECT types.event_type, spine.day,
+        |    CAST(coalesce(x, 0) AS BIGINT) AS x
+        |  FROM types CROSS JOIN spine
+        |  LEFT JOIN daily ON types.event_type = daily.event_type
+        |    AND spine.day = daily.day),
+        |pairs AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    a.x AS xa, b.x AS xb
+        |  FROM grid a JOIN grid b
+        |    ON a.day = b.day AND a.event_type < b.event_type),
+        |g AS (
+        |  SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(xa) AS BIGINT) AS sa, CAST(sum(xb) AS BIGINT) AS sb,
+        |    CAST(sum(xa * xb) AS BIGINT) AS sab,
+        |    CAST(sum(xa * xa) AS BIGINT) AS saa,
+        |    CAST(sum(xb * xb) AS BIGINT) AS sbb
+        |  FROM pairs GROUP BY type_a, type_b)
+        |SELECT type_a, type_b, n AS n_days,
+        |  CASE WHEN CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+        |      - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) > 0.0
+        |    AND CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+        |      - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) > 0.0 THEN
+        |    floor(((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+        |        - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+        |      / sqrt((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+        |          - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+        |        * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+        |          - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))))
+        |      * 1e6 + 0.5) / 1e6 END AS r
+        |FROM g ORDER BY type_a, type_b""".stripMargin,
     // per-group (n, Σc, Σc²) exact; the between term rounded to an
     // exact long at the cent² unit per group so the cross-group sum
     // is order-free; F/η² the same fixed-order doubles

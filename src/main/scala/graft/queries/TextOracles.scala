@@ -688,6 +688,29 @@ import TextStats._
     // grid ranks on the frequency-of-frequency frame: a count-c group
     // contributes the exact integer c·(2·t·cumBefore + t·(t+1)) to
     // 2·Σ rank·x — the q_gini formula with no token-grain ranking
+    // exact integer sums over the term-frequency table; D and the
+    // shares are one mirrored division each
+    "q_lexical_diversity" ->
+      s"""WITH tf AS (
+         |  SELECT t, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT unnest($TOKS) AS t FROM documents) GROUP BY t),
+         |a AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_types,
+         |    CAST(sum(c) AS BIGINT) AS n_tokens,
+         |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS hapax_types,
+         |    CAST(sum(c * (c - 1)) AS BIGINT) AS coinc
+         |  FROM tf)
+         |SELECT n_tokens, n_types, hapax_types,
+         |  floor((CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+         |    * 1e6 + 0.5) / 1e6 AS ttr,
+         |  floor((CAST(hapax_types AS DOUBLE) / CAST(n_types AS DOUBLE))
+         |    * 1e6 + 0.5) / 1e6 AS hapax_share,
+         |  CASE WHEN n_tokens > 1 THEN
+         |    floor((CAST(coinc AS DOUBLE)
+         |      / (CAST(n_tokens AS DOUBLE) * (CAST(n_tokens AS DOUBLE) - 1.0)))
+         |      * 1e9 + 0.5) / 1e9 END AS simpson_d
+         |FROM a""".stripMargin,
     "q_token_gini" ->
       s"""WITH tf AS (
          |  SELECT t, CAST(count(*) AS BIGINT) AS c

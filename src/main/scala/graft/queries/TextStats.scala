@@ -972,6 +972,43 @@ object TextStats {
                     textCol: String = "text"): DataFrame =
     tokenGini(docs.select(col(idCol), tokens(col(textCol)).as("ts")))
 
+  /** Corpus lexical-diversity triple — type/token ratio, hapax share,
+    * and Simpson's D (the probability two random token draws coincide;
+    * 1/D is the "effective vocabulary" size) — the richness summary
+    * beside [[tokenGini]]'s inequality and token_entropy's H (three
+    * different lenses on the same frequency vector; curation wants all
+    * three because a boilerplate-flooded corpus moves them
+    * differently). Every statistic is one division of EXACT integer
+    * sums over the term-frequency table: D = Σ f(f−1) / (N(N−1)).
+    *
+    * Scale: the wordcount shape — token explode, hash aggregate on the
+    * term key, constant-width rollup; Σ f(f−1) stays in BIGINT until a
+    * single term approaches ~3·10⁹ occurrences (decimal is the named
+    * widen, the tokenGini note). */
+  def lexicalDiversity(tokArr: DataFrame): DataFrame = {
+    val tf = tokArr.select(explode(col("ts")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    def d(c: Column) = c.cast("double")
+    tf.agg(
+      count(lit(1)).as("n_types"), sum(col("c")).as("n_tokens"),
+      sum(when(col("c") === 1L, 1L).otherwise(0L)).as("hapax_types"),
+      sum(col("c") * (col("c") - lit(1L))).as("coinc"))
+      .select(col("n_tokens"), col("n_types"), col("hapax_types"),
+        rnd(d(col("n_types")) / d(col("n_tokens")), 6).as("ttr"),
+        rnd(d(col("hapax_types")) / d(col("n_types")), 6).as("hapax_share"),
+        rnd(when(col("n_tokens") > 1L,
+          d(col("coinc")) / (d(col("n_tokens")) * (d(col("n_tokens")) - 1.0))),
+          9).as("simpson_d"))
+  }
+
+  /** [[lexicalDiversity]] over raw documents (the TVF-facing form). */
+  def lexicalDiversityDocs(docs: DataFrame, idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame =
+    lexicalDiversity(docs.select(col(idCol), tokens(col(textCol)).as("ts")))
+
+  def qLexicalDiversity(spark: SparkSession, dir: String): DataFrame =
+    lexicalDiversity(cachedDocTokens(spark, dir))
+
   def qTokenGini(spark: SparkSession, dir: String): DataFrame =
     tokenGini(cachedDocTokens(spark, dir))
 
@@ -1229,6 +1266,7 @@ object TextStats {
     "q_zipf_fit" -> qZipfFit _,
     "q_readability" -> qReadability _,
     "q_token_gini" -> qTokenGini _,
+    "q_lexical_diversity" -> qLexicalDiversity _,
     "q_source_overlap" -> qSourceOverlap _,
     "q_text_stats" -> qTextStats _,
     "q_text_quality" -> qTextQuality _,

@@ -752,6 +752,18 @@ class PlanSpec extends AnyFunSuite {
         graft.queries.ScalarQueries.trimmedMean(
           ev, "event_type", "value", "event_id", 5),
         Seq("event_type"))
+      pair("SELECT * FROM kendall_tau('ev_r12', 'event_type', 'ts')",
+        graft.queries.StatQueries.kendallTau(ev, "event_type", "ts"),
+        Seq("event_type"))
+      pair("SELECT * FROM weekly_power('ev_r12', 'event_type', 'ts')",
+        graft.queries.StatQueries.weeklyPower(ev, "event_type", "ts"),
+        Seq("event_type"))
+      pair("SELECT * FROM day_corr_matrix('ev_r12', 'event_type', 'ts')",
+        graft.queries.StatQueries.dayCorrMatrix(ev, "event_type", "ts"),
+        Seq("type_a", "type_b"))
+      pair("SELECT * FROM lexical_diversity('docs_r12', 'doc_id', 'text')",
+        graft.queries.TextStats.lexicalDiversityDocs(docs, "doc_id", "text"),
+        Seq("n_tokens"))
     }
   }
 

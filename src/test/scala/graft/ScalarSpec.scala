@@ -419,6 +419,17 @@ class ScalarSpec extends AnyFunSuite {
     assert(ri.isNullAt(3) && !ri.getBoolean(5))
   }
 
+  test("lexicalDiversity: hand-counted richness triple") {
+    import graft.queries.TextStats
+    // tokens: a:2, b:1, c:1 -> N=4, V=3, hapax=2,
+    // ttr=0.75, hapax_share=0.666667, D = 2/(4*3) = 0.166666667
+    val docs = Seq((1L, "a a b"), (2L, "c")).toDF("doc_id", "text")
+    val r = TextStats.lexicalDiversityDocs(docs).collect()(0)
+    assert(r.getLong(0) == 4L && r.getLong(1) == 3L && r.getLong(2) == 2L)
+    assert(r.getDouble(3) == 0.75 && r.getDouble(4) == 0.666667)
+    assert(r.getDouble(5) == 0.166666667)
+  }
+
   test("rankFractions: exact rationals over the unique (cents, id) order") {
     import graft.queries.ScalarQueries
     // values {10, 20, 20, 30} ids 1..4: ranks 1..4 (id tiebreak) ->

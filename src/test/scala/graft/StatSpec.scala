@@ -896,6 +896,50 @@ class StatSpec extends AnyFunSuite {
     assert(r.getDouble(4) == 0.2)
   }
 
+  test("kendallTau: monotone series 1, tied pair hand-checked, all-equal NULL") {
+    // inc: daily counts 1,2,3 -> S=3, 2n0=6, tx2=0 -> tau = 1
+    // tie: counts 1,1,2 -> S=2, tx2=2 -> tau = 4/sqrt(4*6) = 0.8165
+    // flt: counts 2,2 -> S=0, 2n0=2=tx2 -> NULL
+    def ev(t: String, day: Int, n: Int) = Seq.fill(n)((t, dayNs(day)))
+    val df = (ev("inc", 1, 1) ++ ev("inc", 2, 2) ++ ev("inc", 3, 3) ++
+      ev("tie", 1, 1) ++ ev("tie", 2, 1) ++ ev("tie", 3, 2) ++
+      ev("flt", 1, 2) ++ ev("flt", 2, 2)).toDF("event_type", "ts")
+    val r = StatQueries.kendallTau(df, "event_type", "ts")
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("inc").getDouble(3) == 1.0)
+    assert(r("tie").getDouble(3) == 0.8165)
+    assert(r("flt").isNullAt(3))
+  }
+
+  test("weeklyPower: 7-day spikes read share 0.5 strong, flat series NULL") {
+    // spk: 1 event on days 1, 8, 15 (all k=0): a=3, b=0, n=15,
+    //   sse = 3 - 9/15 = 2.4, share = 9*2/15/2.4 = 0.5 -> strong
+    // flt: identical count every day -> zero variance -> NULL share
+    def ev(t: String, day: Int, n: Int) = Seq.fill(n)((t, dayNs(day)))
+    val df = (ev("spk", 1, 1) ++ ev("spk", 8, 1) ++ ev("spk", 15, 1) ++
+      (1 to 7).flatMap(d => ev("flt", d, 2))).toDF("event_type", "ts")
+    val r = StatQueries.weeklyPower(df, "event_type", "ts")
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("spk").getLong(1) == 15L)
+    assert(r("spk").getDouble(2) == 3.0 && r("spk").getDouble(3) == 0.0)
+    assert(r("spk").getDouble(4) == 0.5 && r("spk").getString(5) == "strong")
+    assert(r("flt").isNullAt(4) && r("flt").isNullAt(5))
+  }
+
+  test("dayCorrMatrix: parallel series +1, mirrored series -1") {
+    // a: 1,2,3  b: 2,4,6  c: 3,2,1 over the same three days
+    def ev(t: String, day: Int, n: Int) = Seq.fill(n)((t, dayNs(day)))
+    val df = (ev("a", 1, 1) ++ ev("a", 2, 2) ++ ev("a", 3, 3) ++
+      ev("b", 1, 2) ++ ev("b", 2, 4) ++ ev("b", 3, 6) ++
+      ev("c", 1, 3) ++ ev("c", 2, 2) ++ ev("c", 3, 1)).toDF("event_type", "ts")
+    val r = StatQueries.dayCorrMatrix(df, "event_type", "ts")
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x).toMap
+    assert(r(("a", "b")).getDouble(3) == 1.0)
+    assert(r(("a", "c")).getDouble(3) == -1.0)
+    assert(r(("b", "c")).getDouble(3) == -1.0)
+    assert(r.values.forall(_.getLong(2) == 3L))
+  }
+
   test("giniConcentration: equality gives 0, known split gives 0.25") {
     val ev = (
       // type eq: 3 users x 2 events -> G = 0
