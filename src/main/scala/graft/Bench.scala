@@ -172,6 +172,7 @@ object Bench {
       "q_ml_importances", "q_ml_serve",   // feature frame + fits + metric frames
       "q_ml_classifier", "q_ml_regressor", // gated metric memos
       "q_dedup_groups",                   // MinHash pair memo
+      "q_simhash_neardup",                // SimHash pair memo (r14)
       "q_unigram_logprob",                // shared corpus token frame
       "q_span_dedup_rowhash",             // memoized span-dedup output
       "q_ann_ivf_indexed", "q_ann_lsh",   // quantizer + brute ground truth + index
