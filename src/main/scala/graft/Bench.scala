@@ -402,14 +402,21 @@ object Bench {
             mk: org.apache.spark.sql.Dataset[Ingest.Event] => org.apache.spark.sql.Dataset[_]): String = {
           // transformWithState needs RocksDB (multi-column-family state);
           // everything else certs under the HDFS-backed provider, whose
-          // memoryUsedBytes is a deterministic in-memory measure
+          // memoryUsedBytes is a deterministic in-memory measure.
+          // RocksDB's memoryUsedBytes reflects memtable/SST layout whose
+          // timing varies between otherwise-identical replays, so the
+          // rocks-backed cert declares bytes incomparable instead of
+          // risking a false red indistinguishable from real divergence
+          // (review r14)
           spark.conf.set("spark.sql.streaming.stateStore.providerClass",
             if (rocks) RocksProvider else HdfsProvider)
           val (ha, ra, ba) = certRun(name, "a")(mk)
           val (hb, rb, bb) = certRun(name, "b")(mk)
+          val bytesJson =
+            if (rocks) s""""state_bytes_comparable":false,"state_bytes":$ba"""
+            else s""""state_bytes_match":${ba == bb},"state_bytes":$ba"""
           s""""$name":{"output_match":${ha == hb},"state_rows_match":${ra == rb},""" +
-            s""""state_bytes_match":${ba == bb},"state_rows":$ra,""" +
-            s""""state_bytes":$ba,"output_hash":$ha}"""
+            s"""$bytesJson,"state_rows":$ra,"output_hash":$ha}"""
         }
         val six = Seq(
           cert("pct_alerts")(ev => Ingest.statefulPctAlerts(ev)),

@@ -17,9 +17,14 @@ import org.apache.spark.sql.functions._
   * explodes). This main union-replicates `documents`/`embeddings` to a
   * larger factor with RE-SALTED content — replica r > 0 suffixes every
   * token with `x<r>` (within-replica dup/shingle structure preserved
-  * EXACTLY, zero cross-replica collisions) and jitters embeddings by a
-  * deterministic per-(vector, dim, replica) hash so no replica
-  * near-dups its source — then times each operator at 1× and F× on
+  * EXACTLY, zero cross-replica token collisions) and jitters embeddings
+  * by a deterministic per-(vector, dim, replica) hash. NOTE the jitter
+  * (≤ 1e-3 per dim) only breaks EXACT equality: replicas of a
+  * unit-norm vector stay at cosine ≈ 0.99999 to their source, so
+  * cosine-threshold operators legitimately see every replica clique as
+  * near-dups — a documented property of the stress data that inflates
+  * neardup_blocked's OUTPUT rows (see SCALE.md), not an operator
+  * defect — then times each operator at 1× and F× on
   * materialized parquet (same scan path both sides) and reports the
   * observed growth exponent log(t_F/t_1)/log(F) plus result-row and
   * shuffle-byte growth (candidate-count evidence).

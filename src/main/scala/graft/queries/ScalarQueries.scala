@@ -548,19 +548,20 @@ object ScalarQueries {
   def qBootstrapCi(spark: SparkSession, dir: String): DataFrame = {
     val nBlocks = BootReps / BootBlock
     // one row per (event, digest block) — BootBlock× fewer intermediate
-    // rows than a per-replica explode; each block row feeds its 8
-    // replicas as 8 conditional-sum pairs inside ONE aggregate (the
-    // replica sums decompose per block, and exact integer sums make the
-    // regrouping value-invariant, so the oracle's flat per-replica form
-    // states identical numbers)
+    // rows than a per-replica explode; each block row feeds its
+    // BootBlock (12) replicas as 12 conditional-sum pairs inside ONE
+    // aggregate (the replica sums decompose per block, and exact
+    // integer sums make the regrouping value-invariant, so the
+    // oracle's flat per-replica form states identical numbers)
     val digests = array((0 until nBlocks).map(i =>
       md5(concat(col("event_id").cast("string"), lit(s"|boot$i")))): _*)
     val ev = Tables.events(spark, dir)
       .select(col("event_type"),
         expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"),
         posexplode(digests).as(Seq("blk", "dg")))
-      // hex-decode each digest half ONCE; the 8 slot draws below are
-      // pure shift/mask long arithmetic inside codegen
+      // hex-decode each digest half ONCE; the 12 slot draws below (six
+      // 10-bit draws per 60-bit half) are pure shift/mask long
+      // arithmetic inside codegen
       .withColumn("h1", expr("CAST(conv(substr(dg, 1, 15), 16, 10) AS BIGINT)"))
       .withColumn("h2", expr("CAST(conv(substr(dg, 16, 15), 16, 10) AS BIGINT)"))
     // weight = inverse Poisson(1) CDF at slot s's 10-bit draw

@@ -804,19 +804,28 @@ object StatQueries {
     * the plan carries TWO map-side daily rollups of the fact table —
     * the psi_drift scalar-join precedent, pinned at two scans in
     * PlanSpec so it cannot silently grow. */
-  def mannKendall(df: DataFrame, typeCol: String, tsCol: String): DataFrame = {
-    // NULL group keys are excluded like dispersionIndex: the pair
-    // self-join is non-null-safe, so a NULL-keyed group would get zero
-    // pair rows and silently report S=0 — a degenerate statistic BOTH
-    // engines agree on (the oracle-blind class; advice r13)
+  /** Time-ordered day-pair self-join shared by the trend family —
+    * `(event_type, d1, x1, d2, x2)` for every i < j day pair of the
+    * NULL-key-excluded daily series; ONE definition consumed by
+    * [[mannKendall]], [[theilSen]] and [[kendallTau]] (review r14: a
+    * third verbatim copy had grown — the transitionPairs rule one
+    * operator family over; NULL keys are excluded here because the
+    * non-null-safe self-join would silently report degenerate
+    * statistics both engines agree on, advice r13). */
+  private def dayPairs(df: DataFrame, typeCol: String,
+                       tsCol: String): DataFrame = {
     val daily = dailyCounts(df.filter(col(typeCol).isNotNull),
       typeCol, tsCol)
-    val a = daily.select(col("event_type"), col("day").as("d1"),
-      col("x").as("x1"))
-    val b = daily.select(col("event_type"), col("day").as("d2"),
-      col("x").as("x2"))
-    val s = a.join(b, Seq("event_type"))
+    daily.select(col("event_type"), col("day").as("d1"), col("x").as("x1"))
+      .join(daily.select(col("event_type"), col("day").as("d2"),
+        col("x").as("x2")), Seq("event_type"))
       .filter(col("d1") < col("d2"))
+  }
+
+  def mannKendall(df: DataFrame, typeCol: String, tsCol: String): DataFrame = {
+    val daily = dailyCounts(df.filter(col(typeCol).isNotNull),
+      typeCol, tsCol)
+    val s = dayPairs(df, typeCol, tsCol)
       .groupBy("event_type")
       .agg(sum(signum(col("x2") - col("x1")).cast("long")).as("s"))
     // tie groups of equal daily counts: Σ t(t−1)(2t+5) per group
@@ -864,17 +873,9 @@ object StatQueries {
     * group and the median window partitions by group over those day
     * pairs, both metadata-scale regardless of corpus size. */
   def theilSen(df: DataFrame, typeCol: String, tsCol: String): DataFrame = {
-    // NULL keys excluded for the same reason as [[mannKendall]]: the
-    // non-null-safe pair join would yield no pairs and a silent NULL
-    // slope both engines agree on
     val daily = dailyCounts(df.filter(col(typeCol).isNotNull),
       typeCol, tsCol)
-    val a = daily.select(col("event_type"), col("day").as("d1"),
-      col("x").as("x1"))
-    val b = daily.select(col("event_type"), col("day").as("d2"),
-      col("x").as("x2"))
-    val pairs = a.join(b, Seq("event_type"))
-      .filter(col("d1") < col("d2"))
+    val pairs = dayPairs(df, typeCol, tsCol)
       .select(col("event_type"),
         ((col("x2") - col("x1")).cast("double") /
           datediff(col("d2"), col("d1")).cast("double")).as("slope"))
@@ -1516,12 +1517,7 @@ object StatQueries {
   def kendallTau(df: DataFrame, typeCol: String, tsCol: String): DataFrame = {
     val daily = dailyCounts(df.filter(col(typeCol).isNotNull),
       typeCol, tsCol)
-    val a = daily.select(col("event_type"), col("day").as("d1"),
-      col("x").as("x1"))
-    val b = daily.select(col("event_type"), col("day").as("d2"),
-      col("x").as("x2"))
-    val s = a.join(b, Seq("event_type"))
-      .filter(col("d1") < col("d2"))
+    val s = dayPairs(df, typeCol, tsCol)
       .groupBy("event_type")
       .agg(sum(signum(col("x2") - col("x1")).cast("long")).as("s"))
     val ties = daily.groupBy("event_type", "x")
