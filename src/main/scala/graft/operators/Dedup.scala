@@ -551,8 +551,26 @@ object Dedup {
     * corpus (explode from a cached array column is cheap; the regex
     * split is not). */
   def simhashOf(tokRows: DataFrame, bits: Int = 32,
-                idCol: String = "doc_id"): DataFrame = {
-    val tok = tokRows.withColumn("hv", hash32(col("t")))
+                idCol: String = "doc_id"): DataFrame =
+    simhashFromHv(tokRows.withColumn("hv", hash32(col("t"))), bits, idCol)
+
+  /** 60-bit SimHash over exploded token rows — the WIDE variant the
+    * round-14 scale curves prescribed: 32-bit signatures saturate
+    * around ~50k vocabulary-correlated docs (candidate volume grows
+    * quadratically once the fixed 256-bucket band space fills — the
+    * measured SCALE_CURVES limit), while 60 bits banded 4×15 give
+    * 32,768 buckets per band, pushing the same saturation four orders
+    * of magnitude out. Per-token bits come from [[hash60]] (the span-
+    * dedup gram-identity hash), so both engines decode ONE md5. */
+  def simhashWideOf(tokRows: DataFrame, idCol: String = "doc_id"): DataFrame =
+    simhashFromHv(tokRows.withColumn("hv", hash60(col("t"))), 60, idCol)
+
+  /** Shared vote fold behind [[simhashOf]]/[[simhashWideOf]]: per-bit
+    * ±1 vote sums over a frame already carrying the per-token hash
+    * `hv`, signature bit j set when the vote is positive. */
+  private def simhashFromHv(tok: DataFrame, bits: Int,
+                            idCol: String): DataFrame = {
+    require(bits >= 1 && bits <= 62, s"simhash bits must be in [1, 62], got $bits")
     val votes = tok.groupBy(col(idCol)).agg(
       sum(when(shiftright(col("hv"), 0).bitwiseAND(1) === 1, 1).otherwise(-1)).as("b0"),
       (1 until bits).map(j =>
@@ -587,18 +605,33 @@ object Dedup {
     simhashPairsFrom(simhash(docs, 32, idCol, textCol), maxDist, idCol)
   }
 
+  /** [[simhashPairs]] on the WIDE 60-bit signature (4×15-bit bands) —
+    * the corpus-scale form the round-14 SCALE_CURVES measurement
+    * prescribes past ~50k docs; SQL-reachable as `simhash_wide_dedup`. */
+  def simhashPairsWide(docs: DataFrame, maxDist: Int = 3,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    simhashPairsFrom(
+      simhashWideOf(docs.select(col(idCol), explode(tokens(col(textCol))).as("t")), idCol),
+      maxDist, idCol, bandBits = 15)
+
   /** The banding + verify tail of [[simhashPairs]] over a precomputed
     * `(idCol, simhash)` signature frame (e.g. [[simhashOf]] over the
-    * shared token frame). */
+    * shared token frame). `bandBits` widens the four band keys for
+    * wide signatures (15 for [[simhashWideOf]]'s 60-bit form — the
+    * pigeonhole recall argument only needs FOUR bands, whatever their
+    * width: 3 bit errors cannot touch all 4). */
   def simhashPairsFrom(sh: DataFrame, maxDist: Int = 3,
-                       idCol: String = "doc_id"): DataFrame = {
+                       idCol: String = "doc_id", bandBits: Int = 8): DataFrame = {
     require(maxDist >= 0 && maxDist <= 3,
-      s"simhashPairsFrom: maxDist must be in [0, 3] (got $maxDist) — the 4-band×8-bit " +
+      s"simhashPairsFrom: maxDist must be in [0, 3] (got $maxDist) — the 4-band " +
         "bucketing guarantees exact recall only up to Hamming distance 3")
+    require(bandBits >= 1 && bandBits <= 15,
+      s"simhashPairsFrom: bandBits must be in [1, 15], got $bandBits")
+    val mask = (1L << bandBits) - 1L
     val bands = sh.select(col(idCol), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
-          shiftright(col("simhash"), b * 8).bitwiseAND(0xFF).as("key"))): _*)).as("bk"))
+          shiftright(col("simhash"), b * bandBits).bitwiseAND(mask).as("key"))): _*)).as("bk"))
       .select(col(idCol), col("simhash"), col("bk.band"), col("bk.key"))
     bands.select(col("band"), col("key"), col(idCol).as("a"), col("simhash").as("sa"))
       .hint("shuffle_hash")

@@ -374,6 +374,29 @@ object TextDedup {
       .orderBy("degree")
   }
 
+  /** 60-bit WIDE SimHash signatures — the corpus-scale widening the
+    * round-14 SCALE_CURVES measurement prescribed (32-bit signatures
+    * saturate their fixed 256-bucket band space around ~50k
+    * vocabulary-correlated docs; see SCALE.md): same vote fold, per-
+    * token bits from the 60-bit gram hash, banded 4×15 downstream. */
+  def qSimhashWide(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashWideOf(cachedDocTokens(spark, dir)
+      .select(col("doc_id"), explode(col("ts")).as("t")))
+      .orderBy("doc_id")
+
+  /** Near-dup pairs on the wide signature at Hamming ≤ 3 — exact by
+    * the same 4-band pigeonhole as q_simhash_neardup, with 32,768
+    * buckets per band instead of 256 (the measured-candidate-growth
+    * fix); oracled against the brute-force all-pairs SQL, so the gate
+    * proves the wide banding loses nothing either. */
+  def qSimhashWideNeardup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairsFrom(
+      Dedup.simhashWideOf(cachedDocTokens(spark, dir)
+        .select(col("doc_id"), explode(col("ts")).as("t"))),
+      maxDist = 3, bandBits = 15)
+      .select(col("a"), col("b"), col("dist").cast("int").as("dist"))
+      .orderBy("a", "b")
+
   /** THE simhash near-dup pair construction (Hamming ≤ 3 over the
     * memoized token frame) — one definition consumed by
     * q_simhash_neardup, q_neardup_degree, q_editdist_neardup and
@@ -596,6 +619,8 @@ object TextDedup {
     "q_dedup_groups" -> qDedupGroups _,
     "q_simhash" -> qSimhash _,
     "q_simhash_neardup" -> qSimhashNeardup _,
+    "q_simhash_wide" -> qSimhashWide _,
+    "q_simhash_wide_neardup" -> qSimhashWideNeardup _,
     "q_neardup_degree" -> qNeardupDegree _,
     "q_editdist_neardup" -> qEditdistNeardup _,
     "q_decontaminate" -> qDecontaminate _,

@@ -59,21 +59,34 @@ import TextStats._
        |      ' ' ORDER BY pos), '') AS clean_text
        |  FROM cov GROUP BY doc_id)""".stripMargin
 
-  /** DuckDB twin of Dedup.simhash (32-bit majority bit votes) ending in
-    * an `sh(doc_id, simhash)` CTE — ONE copy, shared by the q_simhash
-    * and q_simhash_neardup oracles. */
-  private val SimhashCtes =
-    s"""$TOKHASH,
+  /** DuckDB twin of the SimHash vote fold, ending in an
+    * `sh(doc_id, simhash)` CTE — ONE generator for BOTH widths (review
+    * r14: the wide variant had grown as a near-verbatim copy; a tie-rule
+    * or md5-slice fix applied to one copy would silently desynchronize
+    * the other oracle from its Spark twin): `hexChars` md5 hex digits
+    * decode to the per-token hash (8 ↔ hash32, 15 ↔ hash60), `bits`
+    * vote sums, positive-vote bit assembly. */
+  private def simhashCtes(hexChars: Int, bits: Int): String =
+    s"""tok AS (SELECT doc_id, unnest($TOKS) AS t FROM documents),
+       |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, $hexChars))::BIGINT AS hv FROM tok),
        |v AS (
        |  SELECT doc_id,
-       |    ${(0 until 32).map(j =>
+       |    ${(0 until bits).map(j =>
           s"sum(CASE WHEN (hv >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(",\n    ")}
        |  FROM h GROUP BY doc_id),
        |sh AS (
        |  SELECT doc_id,
-       |    ${(0 until 32).map(j => s"(CASE WHEN b$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
+       |    ${(0 until bits).map(j => s"(CASE WHEN b$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
           .mkString(" + ")} AS simhash
        |  FROM v)""".stripMargin
+
+  /** 32-bit form, shared by q_simhash / q_simhash_neardup /
+    * q_neardup_degree / the editdist candidate CTE. */
+  private val SimhashCtes = simhashCtes(8, 32)
+
+  /** Wide 60-bit form (hash60 decode), shared by q_simhash_wide /
+    * q_simhash_wide_neardup. */
+  private val SimhashWideCtes = simhashCtes(15, 60)
 
   /** DuckDB twin of TextFunctions.qualityScoreOf — ONE copy, shared by
     * the q_text_quality and q_dedup_best oracles (the Scala side both
@@ -969,6 +982,18 @@ import TextStats._
     "q_simhash" ->
       s"""WITH $SimhashCtes
          |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin,
+    "q_simhash_wide" ->
+      s"""WITH $SimhashWideCtes
+         |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin,
+    // brute-force all-pairs twin of the wide 4x15-bit banded shape —
+    // equal by the same pigeonhole recall guarantee
+    "q_simhash_wide_neardup" ->
+      s"""WITH $SimhashWideCtes
+         |SELECT x.doc_id AS a, y.doc_id AS b,
+         |  CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS dist
+         |FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+         |ORDER BY a, b""".stripMargin,
     "q_simhash_neardup" ->
       // brute-force all-pairs twin of the banded Spark shape — equal by
       // the pigeonhole recall guarantee (see qSimhashNeardup)

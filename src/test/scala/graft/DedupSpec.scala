@@ -122,6 +122,39 @@ class DedupSpec extends AnyFunSuite {
     assert(brute.nonEmpty, "fixture should contain at least one near-dup pair")
   }
 
+  test("simhashWide: identical docs share the 60-bit signature; wide banding equals brute force") {
+    // exact dups keep Hamming 0 at any signature width
+    val shw = Dedup.simhashWideOf(docs.select(col("doc_id"),
+      explode(graft.functions.TextFunctions.tokens(col("text"))).as("t")))
+      .orderBy("doc_id").select("simhash").as[Long].collect()
+    assert(shw(0) == shw(1))
+    // 4×15-bit banding reproduces the exact all-pairs answer at ≤3 —
+    // the same pigeonhole as the 32-bit form, wider buckets
+    val d = Tables.documents(spark, TestSpark.Sf).filter(col("doc_id") < 100)
+    val sh = Dedup.simhashWideOf(d.select(col("doc_id"),
+      explode(graft.functions.TextFunctions.tokens(col("text"))).as("t")))
+    val l = sh.select(col("doc_id").as("a"), col("simhash").as("sa"))
+    val r = sh.select(col("doc_id").as("b"), col("simhash").as("sb"))
+    val brute = l.crossJoin(r).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), Dedup.hamming(col("sa"), col("sb")).as("dist"))
+      .filter(col("dist") <= 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val banded = Dedup.simhashPairsWide(d, maxDist = 3)
+      .select(col("a"), col("b"), col("dist").cast("int"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(banded == brute, s"banded ${banded.size} vs brute ${brute.size}")
+    assert(brute.nonEmpty, "fixture should contain at least one wide near-dup pair")
+    // EMPIRICAL selectivity check (not a structural invariant — the
+    // two widths are independent hash projections, so a pair CAN sit
+    // at wide distance <=3 while its 32-bit distance is 4): on this
+    // vocabulary-correlated fixture the 32-bit output is heavily
+    // collision-inflated (512 vs 83k pairs at sf0.1 — SCALE.md), so
+    // the wide set is expected well under the narrow count
+    val narrow = Dedup.simhashPairs(d, maxDist = 3)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(banded.map(p => (p._1, p._2)).size <= narrow.size)
+  }
+
   test("incrementalDedup classifies exact_dup / near_dup / new with min match id") {
     val corpus = Seq(
       (0L, "alpha beta gamma delta"),

@@ -764,6 +764,9 @@ class PlanSpec extends AnyFunSuite {
       pair("SELECT * FROM lexical_diversity('docs_r12', 'doc_id', 'text')",
         graft.queries.TextStats.lexicalDiversityDocs(docs, "doc_id", "text"),
         Seq("n_tokens"))
+      pair("SELECT * FROM simhash_wide_dedup('docs_r12', 'doc_id', 'text', 3)",
+        graft.operators.Dedup.simhashPairsWide(docs, 3, "doc_id", "text"),
+        Seq("a", "b"))
     }
   }
 
