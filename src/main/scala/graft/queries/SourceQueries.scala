@@ -204,6 +204,25 @@ object SourceQueries {
     * hold for values the fixture doesn't happen to exercise).
     * Completes the format triangle beside q_compaction_roundtrip
     * (parquet) and q_orc_roundtrip (ORC). */
+  private val jsonMemo = new SessionMemo[String, String]
+
+  /** S8's source-side twin — events written as JSON LINES and read back
+    * under an EXPLICIT schema (schema inference re-parses the corpus
+    * per run, the CSV rule): the double column proves Spark's
+    * shortest-round-trip JSON rendering parses back to identical bits
+    * and the epoch-nano long survives verbatim, completing the format
+    * family (parquet/ORC/CSV/JSON) on the ONE shared
+    * [[RoundtripOracleSql]] identity oracle. FAILFAST for the same
+    * loud-failure contract as the CSV read. */
+  def qJsonRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    formatRoundtrip(spark, dir, jsonMemo, "json")(
+      (df, path) => df.write.mode("overwrite").json(path),
+      path => spark.read
+        .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, " +
+          "value DOUBLE")
+        .option("mode", "FAILFAST")
+        .json(path))
+
   def qCsvRoundtrip(spark: SparkSession, dir: String): DataFrame =
     formatRoundtrip(spark, dir, csvMemo, "csv")(
       (df, path) => df.write.mode("overwrite")
@@ -227,6 +246,7 @@ object SourceQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_compaction_roundtrip" -> qCompactionRoundtrip _,
     "q_orc_roundtrip" -> qOrcRoundtrip _,
+    "q_json_roundtrip" -> qJsonRoundtrip _,
     "q_csv_roundtrip" -> qCsvRoundtrip _,
     "q_bucketed_join" -> qBucketedJoin _)
 
@@ -236,6 +256,7 @@ object SourceQueries {
     // column's shortest-round-trip text rendering)
     "q_compaction_roundtrip" -> RoundtripOracleSql,
     "q_orc_roundtrip" -> RoundtripOracleSql,
+    "q_json_roundtrip" -> RoundtripOracleSql,
     "q_csv_roundtrip" -> RoundtripOracleSql,
     // the UNbucketed twin: plain parquet join + rollup (HUGEINT cents
     // sum cast to BIGINT before the /100.0 per invariant 1)

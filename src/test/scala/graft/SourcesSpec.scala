@@ -76,6 +76,20 @@ class SourcesSpec extends AnyFunSuite {
     assert(got.zip(want).forall { case (a, b) => a == b })
   }
 
+  test("qJsonRoundtrip: JSON-lines write/read returns the parquet source verbatim") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val got = graft.queries.SourceQueries.qJsonRoundtrip(spark, TestSpark.Sf)
+      .collect()
+    val want = graft.Tables.events(spark, TestSpark.Sf)
+      .select(col("event_id"), expr("ts DIV 1000").as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))
+      .orderBy("event_id").collect()
+    assert(got.length == want.length && got.length > 0)
+    // cell-exact including the double column (Spark's JSON number
+    // rendering is shortest-round-trip like the CSV writer's)
+    assert(got.zip(want).forall { case (a, b) => a == b })
+  }
+
   test("orc round trip preserves data and pushes filters into the scan") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-orc").toString + "/o"
     val df = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5)).toDF("id", "s", "v")
