@@ -81,14 +81,22 @@ object ScaleCurve {
     def docsAt(f: Int): String = {
       val path = s"$tmp/docs_f$f"
       val base = Tables.documents(spark, sfDir)
+      // the salt separator must be a char the base vocabulary cannot
+      // contain, or a base token ending in the salt of a shorter token
+      // (e.g. "ax1" vs replica-1 "a") leaks cross-replica collisions
+      // into the measured candidate counts (advice r14). U+0001 is
+      // non-whitespace (tokens stay intact under the \s+ tokenizer) and
+      // asserted absent from the base corpus before replicating.
+      require(base.filter(col("text").contains("\u0001")).limit(1).count() == 0,
+        "ScaleCurve.docsAt: base corpus contains \\u0001; pick another salt separator")
       val union = (0 until f).map { r =>
         if (r == 0) base
         else base.select(
           (col("doc_id") + lit(r * IdStride)).as("doc_id"),
           // token-suffix salt: replica structure identical, zero
-          // cross-replica shingle/fingerprint collisions
+          // cross-replica shingle/fingerprint collisions by construction
           concat_ws(" ", transform(split(trim(col("text")), "\\s+"),
-            t => concat(t, lit(s"x$r")))).as("text"),
+            t => concat(t, lit("\u0001" + r)))).as("text"),
           col("lang"), col("source"), col("n_chars"))
       }.reduce(_ unionByName _)
       union.write.mode("overwrite").parquet(path)
@@ -208,9 +216,13 @@ object ScaleCurve {
           math.log(b.rows.toDouble / a.rows) /
             math.log(b.factor.toDouble / a.factor)
         else Double.NaN
+      // NaN (guard tripped: equal factors, zero-row or ~0-sec 1x leg)
+      // must render as JSON null — the bare token NaN makes the whole
+      // artifact unparseable (advice r14)
+      def jnum(v: Double): String = if (v.isNaN) "null" else f"$v%.2f"
       f"""{"name":"$name","f":${b.factor},"sec_1x":${a.sec}%.3f,""" +
-        f""""sec_fx":${b.sec}%.3f,"exp_time":${expT}%.2f,""" +
-        f""""rows_1x":${a.rows},"rows_fx":${b.rows},"exp_rows":${expRows}%.2f,""" +
+        f""""sec_fx":${b.sec}%.3f,"exp_time":${jnum(expT)},""" +
+        f""""rows_1x":${a.rows},"rows_fx":${b.rows},"exp_rows":${jnum(expRows)},""" +
         f""""shuffle_1x":${a.shuffleBytes},"shuffle_fx":${b.shuffleBytes}}"""
     }
     val json = summary.mkString("[", ",\n", "]")

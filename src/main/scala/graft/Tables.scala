@@ -11,17 +11,35 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * see reference `ml-algorithms/regression.py:48-53`).
   */
 object Tables {
-  def read(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // Older fixture vintages write events.ts as TIMESTAMP(NANOS), which
-    // Spark's vectorized reader rejects; the legacy flag reads those nanos
-    // as epoch-nano longs. Newer vintages write timestamp[us]
-    // (isAdjustedToUTC=false → TIMESTAMP_NTZ). Set here (not in the
-    // session builder) so driver-created sessions that call queries
-    // directly also get it, then normalize so BOTH vintages surface the
-    // same canonical type (see normalizeTs).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
-  }
+  /** Resolved-relation memo, keyed by (session, dir, table). Resolving a
+    * parquet relation costs ~90 ms of driver time (directory listing +
+    * footer/schema read + DataSource resolution — measured r15, ~10× the
+    * cost of analyzing and planning a whole query on the already-resolved
+    * relation), and the fixture tables are static for a session's
+    * lifetime, so re-resolving per query execution is pure waste — this
+    * is exactly the resolve-once behavior `spark.table()` gets from a
+    * catalog, expressed for path-addressed tables. The memoized
+    * DataFrame is an immutable logical plan (thread-safe, reusable across
+    * any number of queries); the deliberate consequence is that files
+    * REPLACED under a memoized path are not re-listed within a session —
+    * catalog semantics, fine for the static star schema and wrong for
+    * nothing in this repo (every call site reads driver-generated
+    * fixtures, audited r15). */
+  private val relationMemo =
+    new graft.queries.SessionMemo[(String, String), DataFrame]
+
+  def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    relationMemo.getOrElseUpdate(spark, (dir, name)) {
+      // Older fixture vintages write events.ts as TIMESTAMP(NANOS), which
+      // Spark's vectorized reader rejects; the legacy flag reads those nanos
+      // as epoch-nano longs. Newer vintages write timestamp[us]
+      // (isAdjustedToUTC=false → TIMESTAMP_NTZ). Set here (not in the
+      // session builder) so driver-created sessions that call queries
+      // directly also get it, then normalize so BOTH vintages surface the
+      // same canonical type (see normalizeTs).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
+    }
 
   /** Engine invariant: a column named `ts` is an epoch-NANOSECOND long.
     * Ordering, lag/window and interval arithmetic over the long are

@@ -101,11 +101,14 @@ object Dedup {
     * is O(n_docs) rows and must NOT be broadcast at corpus scale.
     *
     * The shingle frame is consumed FOUR times (a-side match join, b-side
-    * match join, `na` sizes, `nb` sizes). `repartition(idCol)` right
-    * after the distinct pins an explicit, canonically-identical Exchange
-    * under every consumer so ReuseExchange computes the
-    * scan→explode→distinct subtree once per execution. The boundary
-    * cannot be left to the distinct's own shuffle: AQE drops that
+    * match join, `na` sizes, `nb` sizes). `repartition(idCol)` directly
+    * above the scan→explode map pins an explicit, canonically-identical
+    * Exchange under every consumer so ReuseExchange computes that
+    * subtree once per execution; the (id, sh) dedup then runs ABOVE the
+    * pinned shuffle with no Exchange of its own (hash-partitioning on
+    * idCol already co-locates equal (id, sh) rows — r15 fusion, one
+    * shuffle where distinct().repartition() paid two). The boundary
+    * cannot be left to a distinct's own shuffle: AQE drops that
     * Exchange entirely when the input coalesces to one partition (the
     * bench-scale plan then rebuilt the whole subtree per consumer — 4
     * Generates, measured 2×+ on q_dedup_indexed), and at corpus scale
@@ -113,15 +116,23 @@ object Dedup {
     * span-dedup r10 lesson). `sizes` counts `col("sh")` — never null by
     * construction, so it equals count(*) — instead of count(1) so the
     * pruned schema above the boundary stays (id, sh) for all four
-    * consumers. The extra shuffle is bounded by the (already
+    * consumers. The pinned shuffle is bounded by the (already
     * candidate-minority) shingle frame and buys back four recomputes. */
   def jaccardPairs(docs: DataFrame, n: Int, threshold: Double,
                    idCol: String = "doc_id", textCol: String = "text",
                    cands: Option[DataFrame] = None): DataFrame = {
+    // repartition BEFORE the dedup: hash-partitioning on idCol satisfies
+    // the (id, sh) dedup aggregate's clustering requirement (same id ⇒
+    // same partition ⇒ same (id, sh) co-located), so dropDuplicates
+    // plans with no second Exchange — the pinned reuse boundary costs
+    // one shuffle instead of the two distinct().repartition() paid
+    // (r15 DAG-depth surgery). Reuse semantics unchanged: the Exchange
+    // sits directly above the scan→explode map with both columns live,
+    // so all four consumers still share one canonical subtree.
     val sh = docs
       .select(col(idCol), explode(shingles(col(textCol), n)).as("sh"))
-      .distinct()
       .repartition(col(idCol))
+      .dropDuplicates()
     val sizes = sh.groupBy(col(idCol)).agg(count(col("sh")).as("n"))
     val inter = cands match {
       case Some(c) =>
@@ -304,20 +315,27 @@ object Dedup {
     // the semi-join bound (three consumers); `repartition(a, b)` pins an
     // explicit Exchange whose partition keys reference every output
     // column, so no consumer's pruning can de-canonicalize it and
-    // ReuseExchange computes the band-join+distinct subtree once per
-    // execution. The distinct's own shuffle cannot serve as the
-    // boundary: AQE deletes it when the input coalesces to one
-    // partition (the bench-scale plan then re-ran the band join per
+    // ReuseExchange computes the band-join subtree once per execution
+    // (each consumer re-runs only the cheap partition-local pair dedup
+    // above the reused shuffle). A bare distinct's own shuffle cannot
+    // serve as the boundary: AQE deletes it when the input coalesces to
+    // one partition (the bench-scale plan then re-ran the band join per
     // consumer). A production job would persist the candidate table as
     // an artifact anyway; this is the in-plan equivalent.
     // batch bands broadcast (batch-side small by nature); the corpus
     // band table streams — at 100 TB it is the bucketed index scan
+    // repartition FIRST, then dedup: hash-partitioning on (a, b) already
+    // satisfies the dedup aggregate's clustering requirement, so the
+    // dropDuplicates plans with NO second Exchange — one pinned shuffle
+    // where distinct().repartition() paid two back-to-back (r15 DAG-depth
+    // surgery; each fused Exchange is one fewer sequential AQE stage)
     val cands = corpusBands.select(col("band"), col("key"), col("corpus_id").as("a"))
       .join(broadcast(
         batchBands.select(col("band"), col("key"), col(idCol).as("b"))),
         Seq("band", "key"))
-      .select("a", "b").distinct()
+      .select("a", "b")
       .repartition(col("a"), col("b"))
+      .dropDuplicates()
     // exact verification: jaccardPairs never reorders cands, so
     // orientation stays (a=corpus, b=batch) regardless of id values.
     // Shingle only candidate-PARTICIPATING docs (semi-join on the
@@ -325,12 +343,19 @@ object Dedup {
     // each doc, so restricting the frame cannot change any candidate's
     // jaccard — it only drops work for docs no candidate touches, which
     // at corpus scale is nearly all of the corpus
-    // candidate ids are batch-bounded (≤ bands × batch) — broadcast the
-    // semi-join probe so the 100 TB corpus docs scan filters map-side
+    // candidate ids are NOT batch-bounded: the corpus-side `a` ids are
+    // bounded by band-bucket match volume, so a hot band bucket on a
+    // boilerplate-heavy corpus can make this set corpus-scale. No
+    // broadcast hint — AQE broadcasts when the runtime size allows and
+    // falls back to a shuffled semi-join when it doesn't, which is the
+    // only shape that survives the hot-bucket case at 100 TB.
+    // no distinct on the probe side: left_semi is idempotent over probe
+    // duplicates, so deduplicating candIds would buy nothing but one
+    // more Exchange stage (r15)
     val candIds = cands.select(col("a").as(idCol))
-      .union(cands.select(col("b").as(idCol))).distinct()
+      .union(cands.select(col("b").as(idCol)))
     val verifyDocs = corpusDocs.unionByName(batch.select(col(idCol), col(textCol)))
-      .join(broadcast(candIds), Seq(idCol), "left_semi")
+      .join(candIds, Seq(idCol), "left_semi")
     val near = jaccardPairs(verifyDocs, 1, threshold, idCol, textCol, Some(cands))
       .groupBy(col("b").as(idCol)).agg(min(col("a")).as("near_id"))
     val statusCol = when(col("exact_id").isNotNull, lit("exact_dup"))
@@ -346,9 +371,14 @@ object Dedup {
     else
       // the guard rides the status column (a plain assertion column
       // would be pruned as unreferenced): any batch id also present in
-      // the corpus raises before a classification can be emitted
+      // the corpus raises before a classification can be emitted. No
+      // distinct on the corpus ids: idCol is the doc key (unique per
+      // side by this operator's own precondition), and even a
+      // hypothetical corpus-internal dup id could only duplicate a base
+      // row that raises anyway — the defensive dedup bought one extra
+      // Exchange stage for nothing (r15)
       base
-        .join(corpusDocs.select(col(idCol)).distinct().withColumn("__corpus_id", lit(1)),
+        .join(corpusDocs.select(col(idCol)).withColumn("__corpus_id", lit(1)),
           Seq(idCol), "left")
         .select(col(idCol),
           when(col("__corpus_id").isNotNull,

@@ -512,11 +512,14 @@ object ScalarQueries {
   /** Cumulative Poisson(1) CDF as LONG thresholds on the 10-bit draw
     * range: weight k is assigned when draw < floor(P(X<=k)·2^10) first
     * holds — integer comparisons, so replica weights are
-    * engine-identical with no floating-point boundary. Capped at 7
-    * (P(X>7) ≈ 1e-5; the tail mass lands on weight 8). The 2^-10
-    * threshold granularity perturbs each weight probability by < 1e-3 —
-    * part of the DEFINED draw, identical on both engines, and far
-    * inside the bootstrap's own Monte-Carlo noise at B = 48. 10 bits
+    * engine-identical with no floating-point boundary. At 10-bit
+    * granularity the thresholds for k = 5, 6, 7 all collapse to 1023
+    * (P(X<=5) ≈ 0.99941 already floors to 1023/1024), so the REALIZED
+    * ladder is 0..5 then a weight-8 fallback absorbing the full top
+    * slice draw = 1023 (1/1024 ≈ 1e-3 vs the true P(X>5) ≈ 5.9e-4):
+    * weights 6 and 7 are unreachable. This is part of the DEFINED
+    * draw, identical on both engines, and far inside the bootstrap's
+    * own Monte-Carlo noise at B = 48 (advice r14 docstring fix). 10 bits
     * because draws are sliced arithmetically out of two 60-bit longs
     * per digest (6 draws each): hex-decoding one long per digest half
     * and shifting is ~8× cheaper than a conv() per draw, which
