@@ -127,13 +127,19 @@ object ScaleCurve {
         Dedup.simhashOf(docs.select(col("doc_id"),
           explode(tokens(col("text"))).as("t"))), maxDist = 3)
 
-    // a FIXED 60-doc batch, id/content-disjoint from every replica
+    // a FIXED 60-doc batch, id/content-disjoint from every replica.
+    // Same U+0001 salt separator as the replicas (review r15: a plain
+    // "xbatch" suffix has the exact collision class the replica salt
+    // fix removed — a base token ending in "xbatch" would alias the
+    // batch-salted form of its prefix); "batch" after the separator
+    // cannot collide with any replica salt (U+0001 + digit) either,
+    // and docsAt's require already pins the base corpus U+0001-free.
     def probeBatch(): DataFrame =
       Tables.documents(spark, sfDir)
         .filter(col("doc_id") >= 60 && col("doc_id") < 120)
         .select((col("doc_id") + lit(100L * IdStride)).as("doc_id"),
           concat_ws(" ", transform(split(trim(col("text")), "\\s+"),
-            t => concat(t, lit("xbatch")))).as("text"))
+            t => concat(t, lit("\u0001batch")))).as("text"))
 
     def queriesOf(emb: DataFrame): DataFrame =
       emb.filter(col("vec_id") < graft.queries.SimilarityQueries.AnnQueryIdBound)
@@ -153,6 +159,16 @@ object ScaleCurve {
       docFactors.flatMap { f =>
         Seq(
           ("simhash_pairs", f, () => simhashPairsOf(docs(f))),
+          // the 60-bit/4×15-bit-band fix the r14 simhash_pairs curve
+          // prescribed (32-bit banding saturates its 256-bucket band
+          // space at ~50k vocabulary-correlated docs): measured on its
+          // own row so the fix has evidence, not just an argument
+          // (VERDICT r15 ask #5). Its own saturation bound: 15-bit bands
+          // → 32768-bucket space per band, so collision domination
+          // starts ~128× later (~6.4M similarly-correlated docs); past
+          // THAT, 64-bit signatures with 4×16-bit bands are the next
+          // step on the same shared banding tail.
+          ("simhash_wide_pairs", f, () => Dedup.simhashPairsWide(docs(f))),
           ("minhash_lsh_pairs", f, () => Dedup.minhashDedupPairs(docs(f))),
           ("span_dedup", f, () => Dedup.spanDedupOf(
             docs(f).select(col("doc_id"), tokens(col("text")).as("ts")))),

@@ -104,11 +104,12 @@ object Dedup {
     * match join, `na` sizes, `nb` sizes). `repartition(idCol)` directly
     * above the scan→explode map pins an explicit, canonically-identical
     * Exchange under every consumer so ReuseExchange computes that
-    * subtree once per execution; the (id, sh) dedup then runs ABOVE the
-    * pinned shuffle with no Exchange of its own (hash-partitioning on
-    * idCol already co-locates equal (id, sh) rows — r15 fusion, one
-    * shuffle where distinct().repartition() paid two). The boundary
-    * cannot be left to a distinct's own shuffle: AQE drops that
+    * subtree once per execution; (id, sh) dedup is two-layer —
+    * array_distinct MAP-SIDE for within-doc repeats (the unbounded
+    * multiplicity), an exchange-free dropDuplicates above the pinned
+    * shuffle for duplicate doc rows under one id (the redelivery case)
+    * — r15 fusion, one shuffle where distinct().repartition() paid two.
+    * The boundary cannot be left to a distinct's own shuffle: AQE drops that
     * Exchange entirely when the input coalesces to one partition (the
     * bench-scale plan then rebuilt the whole subtree per consumer — 4
     * Generates, measured 2×+ on q_dedup_indexed), and at corpus scale
@@ -121,16 +122,23 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, n: Int, threshold: Double,
                    idCol: String = "doc_id", textCol: String = "text",
                    cands: Option[DataFrame] = None): DataFrame = {
-    // repartition BEFORE the dedup: hash-partitioning on idCol satisfies
-    // the (id, sh) dedup aggregate's clustering requirement (same id ⇒
-    // same partition ⇒ same (id, sh) co-located), so dropDuplicates
-    // plans with no second Exchange — the pinned reuse boundary costs
-    // one shuffle instead of the two distinct().repartition() paid
-    // (r15 DAG-depth surgery). Reuse semantics unchanged: the Exchange
-    // sits directly above the scan→explode map with both columns live,
-    // so all four consumers still share one canonical subtree.
+    // (id, sh) dedup in two layers, neither costing a second Exchange:
+    // array_distinct removes within-doc shingle repeats MAP-SIDE before
+    // the explode (review r15: a bare explode would ship one row per
+    // occurrence — unbounded multiplicity on repetitive text), and
+    // dropDuplicates above the pinned shuffle removes cross-row repeats
+    // of the SAME id (redelivered/duplicate doc rows — the streaming
+    // redelivery contract depends on a redelivered doc collapsing to one
+    // shingle set; without this the self-pair's intersection
+    // double-counts and jaccard's denominator hits zero).
+    // hash-partitioning on idCol satisfies the dedup aggregate's
+    // clustering requirement, so it plans exchange-free — one shuffle
+    // total where the old distinct().repartition() paid two. Reuse
+    // semantics unchanged: the Exchange sits directly above the
+    // scan→explode map with both columns live, so all four consumers
+    // share one canonical subtree.
     val sh = docs
-      .select(col(idCol), explode(shingles(col(textCol), n)).as("sh"))
+      .select(col(idCol), explode(array_distinct(shingles(col(textCol), n))).as("sh"))
       .repartition(col(idCol))
       .dropDuplicates()
     val sizes = sh.groupBy(col(idCol)).agg(count(col("sh")).as("n"))
@@ -328,7 +336,12 @@ object Dedup {
     // satisfies the dedup aggregate's clustering requirement, so the
     // dropDuplicates plans with NO second Exchange — one pinned shuffle
     // where distinct().repartition() paid two back-to-back (r15 DAG-depth
-    // surgery; each fused Exchange is one fewer sequential AQE stage)
+    // surgery; each fused Exchange is one fewer sequential AQE stage).
+    // Pre-dedup volume across the pinned shuffle is bounded at ≤ 4× the
+    // distinct pairs (a pair can share at most the k/r = 4 band buckets),
+    // a fixed constant — unlike the jaccardPairs shingle frame, where the
+    // same shape would have shipped unbounded occurrence multiplicity and
+    // the dedup therefore stays map-side (array_distinct) instead.
     val cands = corpusBands.select(col("band"), col("key"), col("corpus_id").as("a"))
       .join(broadcast(
         batchBands.select(col("band"), col("key"), col(idCol).as("b"))),
