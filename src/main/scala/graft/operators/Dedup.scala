@@ -106,9 +106,10 @@ object Dedup {
     * Exchange under every consumer so ReuseExchange computes that
     * subtree once per execution; (id, sh) dedup is two-layer —
     * array_distinct MAP-SIDE for within-doc repeats (the unbounded
-    * multiplicity), an exchange-free dropDuplicates above the pinned
-    * shuffle for duplicate doc rows under one id (the redelivery case)
-    * — r15 fusion, one shuffle where distinct().repartition() paid two.
+    * multiplicity), distinct() below the pinned shuffle for duplicate
+    * doc rows under one id (the redelivery case) — computed ONCE under
+    * the reuse boundary (hoisting it above made all four consumers
+    * re-aggregate the full shingle frame; measured r15).
     * The boundary cannot be left to a distinct's own shuffle: AQE drops that
     * Exchange entirely when the input coalesces to one partition (the
     * bench-scale plan then rebuilt the whole subtree per consumer — 4
@@ -122,25 +123,24 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, n: Int, threshold: Double,
                    idCol: String = "doc_id", textCol: String = "text",
                    cands: Option[DataFrame] = None): DataFrame = {
-    // (id, sh) dedup in two layers, neither costing a second Exchange:
-    // array_distinct removes within-doc shingle repeats MAP-SIDE before
-    // the explode (review r15: a bare explode would ship one row per
-    // occurrence — unbounded multiplicity on repetitive text), and
-    // dropDuplicates above the pinned shuffle removes cross-row repeats
-    // of the SAME id (redelivered/duplicate doc rows — the streaming
-    // redelivery contract depends on a redelivered doc collapsing to one
-    // shingle set; without this the self-pair's intersection
-    // double-counts and jaccard's denominator hits zero).
-    // hash-partitioning on idCol satisfies the dedup aggregate's
-    // clustering requirement, so it plans exchange-free — one shuffle
-    // total where the old distinct().repartition() paid two. Reuse
-    // semantics unchanged: the Exchange sits directly above the
-    // scan→explode map with both columns live, so all four consumers
-    // share one canonical subtree.
+    // (id, sh) dedup in two layers: array_distinct removes within-doc
+    // shingle repeats MAP-SIDE before the explode (a bare explode ships
+    // one row per occurrence — unbounded multiplicity on repetitive
+    // text), and distinct() removes cross-row repeats of the SAME id
+    // (redelivered/duplicate doc rows — the streaming redelivery
+    // contract depends on a redelivered doc collapsing to one shingle
+    // set; without this the self-pair's intersection double-counts and
+    // jaccard's denominator hits zero). The distinct stays BELOW the
+    // pinned repartition deliberately: the deduped frame has FOUR
+    // consumers, and hoisting the dedup above the reuse boundary (the
+    // r15 first-cut fusion) made every consumer recompute the aggregate
+    // over the full shingle frame — measured +24% on the full-corpus
+    // minhash scale-curve leg. One dedup below the boundary beats one
+    // fewer Exchange stage everywhere the frame is non-trivial.
     val sh = docs
       .select(col(idCol), explode(array_distinct(shingles(col(textCol), n))).as("sh"))
+      .distinct()
       .repartition(col(idCol))
-      .dropDuplicates()
     val sizes = sh.groupBy(col(idCol)).agg(count(col("sh")).as("n"))
     val inter = cands match {
       case Some(c) =>
