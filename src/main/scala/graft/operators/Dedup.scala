@@ -104,13 +104,11 @@ object Dedup {
     * match join, `na` sizes, `nb` sizes). `repartition(idCol)` directly
     * above the scan→explode map pins an explicit, canonically-identical
     * Exchange under every consumer so ReuseExchange computes that
-    * subtree once per execution; (id, sh) dedup is two-layer —
-    * array_distinct MAP-SIDE for within-doc repeats (the unbounded
-    * multiplicity), distinct() below the pinned shuffle for duplicate
-    * doc rows under one id (the redelivery case) — computed ONCE under
-    * the reuse boundary (hoisting it above made all four consumers
-    * re-aggregate the full shingle frame; measured r15).
-    * The boundary cannot be left to a distinct's own shuffle: AQE drops that
+    * subtree once per execution; the distinct computes ONCE below the
+    * reuse boundary, with its partial aggregate collapsing occurrence
+    * multiplicity map-side (r15 measured and reverted two "fusions"
+    * here — see the inline comment). The boundary
+    * cannot be left to a distinct's own shuffle: AQE drops that
     * Exchange entirely when the input coalesces to one partition (the
     * bench-scale plan then rebuilt the whole subtree per consumer — 4
     * Generates, measured 2×+ on q_dedup_indexed), and at corpus scale
@@ -123,22 +121,20 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, n: Int, threshold: Double,
                    idCol: String = "doc_id", textCol: String = "text",
                    cands: Option[DataFrame] = None): DataFrame = {
-    // (id, sh) dedup in two layers: array_distinct removes within-doc
-    // shingle repeats MAP-SIDE before the explode (a bare explode ships
-    // one row per occurrence — unbounded multiplicity on repetitive
-    // text), and distinct() removes cross-row repeats of the SAME id
-    // (redelivered/duplicate doc rows — the streaming redelivery
-    // contract depends on a redelivered doc collapsing to one shingle
-    // set; without this the self-pair's intersection double-counts and
-    // jaccard's denominator hits zero). The distinct stays BELOW the
-    // pinned repartition deliberately: the deduped frame has FOUR
-    // consumers, and hoisting the dedup above the reuse boundary (the
-    // r15 first-cut fusion) made every consumer recompute the aggregate
-    // over the full shingle frame — measured +24% on the full-corpus
-    // minhash scale-curve leg. One dedup below the boundary beats one
-    // fewer Exchange stage everywhere the frame is non-trivial.
+    // explode → distinct → repartition, deliberately unchanged (r15
+    // measured both "improvements" and reverted them): distinct()'s
+    // PARTIAL HashAggregate already collapses occurrence multiplicity
+    // map-side before the first wire, so pre-deduping inside the array
+    // (array_distinct before the explode) buys nothing and costs
+    // quadratic per-row work on long token arrays (+~20 s on the
+    // full-corpus minhash scale-curve leg); and hoisting the dedup above
+    // the pinned repartition (fusing the two Exchanges into one) makes
+    // all four consumers recompute the aggregate over the full shingle
+    // frame. distinct() also carries the redelivery contract: duplicate
+    // doc rows under one id must collapse to one shingle set or a
+    // redelivered self-pair's jaccard denominator hits zero.
     val sh = docs
-      .select(col(idCol), explode(array_distinct(shingles(col(textCol), n))).as("sh"))
+      .select(col(idCol), explode(shingles(col(textCol), n)).as("sh"))
       .distinct()
       .repartition(col(idCol))
     val sizes = sh.groupBy(col(idCol)).agg(count(col("sh")).as("n"))
