@@ -27,7 +27,11 @@ object ProbeLatency {
     // per (session, dir, table) — measuring through it would time a
     // TrieMap hit after rep 1 (review r15). This is the raw resolution
     // path the memo exists to avoid; the memoized path is what the
-    // queries below (and the whole query layer) actually pay.
+    // queries below (and the whole query layer) actually pay. The
+    // legacy-nanos flag is part of that path (Tables.read sets it) and
+    // the older TIMESTAMP(NANOS) fixture vintage needs it before the
+    // first footer read — set once here.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val evRaw = () => Tables.normalizeTs(spark.read.parquet(s"$sfDir/events.parquet"))
     val ev = () => Tables.events(spark, sfDir)
     // 0a: relation resolution only (read.parquet + normalizeTs), unmemoized

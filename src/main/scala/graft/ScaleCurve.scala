@@ -16,8 +16,10 @@ import org.apache.spark.sql.functions._
   * sweep, never under the oracle gate (results stay correct, cost
   * explodes). This main union-replicates `documents`/`embeddings` to a
   * larger factor with RE-SALTED content — replica r > 0 suffixes every
-  * token with `x<r>` (within-replica dup/shingle structure preserved
-  * EXACTLY, zero cross-replica token collisions) and jitters embeddings
+  * token with U+0001 + `<r>` (within-replica dup/shingle structure
+  * preserved EXACTLY; the separator cannot occur in the base vocabulary
+  * — asserted — so cross-replica token collisions are impossible by
+  * construction, r15 fix of the bare `x<r>` suffix) and jitters embeddings
   * by a deterministic per-(vector, dim, replica) hash. NOTE the jitter
   * (≤ 1e-3 per dim) only breaks EXACT equality: replicas of a
   * unit-norm vector stay at cosine ≈ 0.99999 to their source, so
@@ -78,17 +80,20 @@ object ScaleCurve {
 
     // ---- replicated fixtures (materialized parquet per factor) ----
     val IdStride = 10000000L
+    // the salt separator must be a char the base vocabulary cannot
+    // contain, or a base token ending in the salt of a shorter token
+    // (e.g. "ax1" vs replica-1 "a") leaks cross-replica collisions
+    // into the measured candidate counts (advice r14). U+0001 is
+    // non-whitespace (tokens stay intact under the \s+ tokenizer) and
+    // asserted absent from the base corpus ONCE per run (review r15:
+    // the base is immutable, so the previous per-docsAt-call scan
+    // re-answered the same question per factor).
+    require(Tables.documents(spark, sfDir)
+      .filter(col("text").contains("\u0001")).limit(1).count() == 0,
+      "ScaleCurve: base corpus contains \\u0001; pick another salt separator")
     def docsAt(f: Int): String = {
       val path = s"$tmp/docs_f$f"
       val base = Tables.documents(spark, sfDir)
-      // the salt separator must be a char the base vocabulary cannot
-      // contain, or a base token ending in the salt of a shorter token
-      // (e.g. "ax1" vs replica-1 "a") leaks cross-replica collisions
-      // into the measured candidate counts (advice r14). U+0001 is
-      // non-whitespace (tokens stay intact under the \s+ tokenizer) and
-      // asserted absent from the base corpus before replicating.
-      require(base.filter(col("text").contains("\u0001")).limit(1).count() == 0,
-        "ScaleCurve.docsAt: base corpus contains \\u0001; pick another salt separator")
       val union = (0 until f).map { r =>
         if (r == 0) base
         else base.select(
@@ -133,7 +138,7 @@ object ScaleCurve {
     // fix removed — a base token ending in "xbatch" would alias the
     // batch-salted form of its prefix); "batch" after the separator
     // cannot collide with any replica salt (U+0001 + digit) either,
-    // and docsAt's require already pins the base corpus U+0001-free.
+    // and the run-start require already pins the base corpus U+0001-free.
     def probeBatch(): DataFrame =
       Tables.documents(spark, sfDir)
         .filter(col("doc_id") >= 60 && col("doc_id") < 120)

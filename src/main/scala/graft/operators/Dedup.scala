@@ -125,9 +125,12 @@ object Dedup {
     // measured both "improvements" and reverted them): distinct()'s
     // PARTIAL HashAggregate already collapses occurrence multiplicity
     // map-side before the first wire, so pre-deduping inside the array
-    // (array_distinct before the explode) buys nothing and costs
-    // quadratic per-row work on long token arrays (+~20 s on the
-    // full-corpus minhash scale-curve leg); and hoisting the dedup above
+    // (array_distinct before the explode) buys nothing and adds
+    // quadratic per-row work on long token arrays (the full-corpus
+    // minhash 1× leg read 81-84 s with it vs 63.8-78.2 s without across
+    // four same-day runs — the bands overlap at the edge, so the
+    // theoretical per-row argument, not the wall delta, carries the
+    // revert); and hoisting the dedup above
     // the pinned repartition (fusing the two Exchanges into one) makes
     // all four consumers recompute the aggregate over the full shingle
     // frame. distinct() also carries the redelivery contract: duplicate
@@ -335,9 +338,10 @@ object Dedup {
     // surgery; each fused Exchange is one fewer sequential AQE stage).
     // Pre-dedup volume across the pinned shuffle is bounded at ≤ 4× the
     // distinct pairs (a pair can share at most the k/r = 4 band buckets),
-    // a fixed constant — unlike the jaccardPairs shingle frame, where the
-    // same shape would have shipped unbounded occurrence multiplicity and
-    // the dedup therefore stays map-side (array_distinct) instead.
+    // a fixed constant — unlike the jaccardPairs shingle frame, whose
+    // unbounded occurrence multiplicity keeps its dedup in distinct()'s
+    // map-side partial HashAggregate BELOW its reuse boundary instead
+    // (see jaccardPairs; the same fusion was tried there and reverted).
     val cands = corpusBands.select(col("band"), col("key"), col("corpus_id").as("a"))
       .join(broadcast(
         batchBands.select(col("band"), col("key"), col(idCol).as("b"))),
