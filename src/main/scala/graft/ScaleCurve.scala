@@ -45,7 +45,9 @@ import org.apache.spark.sql.functions._
   */
 object ScaleCurve {
   private case class Point(name: String, factor: Int, rows: Long,
-                           sec: Double, shuffleBytes: Long)
+                           sec: Double, shuffleBytes: Long,
+                           gcSec: Double, cpuSec: Double, runSec: Double,
+                           memSpill: Long, diskSpill: Long)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -59,16 +61,65 @@ object ScaleCurve {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // r16 fix for the minhash_lsh_pairs wall exponent (1.16 at ×10,
+      // rows exactly linear): the stress fixture's signature/pair
+      // exchanges are byte-TINY (~150 KB carries 5k signatures; 2.7 MB
+      // carries 3M long pairs) while every row above them is CPU-dense
+      // (the fused band-join + jaccard-verify WholeStageCodegen), so
+      // AQE's byte-based coalescing collapsed the whole verify pipeline
+      // to ONE partition — measured wall ≈ executor-run ≈ CPU at both
+      // 1× and ×10 (72.8 / 1049.9 s; zero spill, zero GC growth), a
+      // 32-core box running one thread, with the coalesce also ELIDING
+      // the candidate distinct's exchange (1 partition satisfies any
+      // clustering), lengthening the fused stage further. No byte floor
+      // can express "partition by CPU density" (a 64 KiB
+      // minPartitionSize was measured useless: ~150 KB only spreads
+      // 2-3 ways), so the harness disables coalescing outright —
+      // plan shape is UNCHANGED (same broadcast probes, no join flips,
+      // no extra CPU; contrast the reverted operator-side repartition,
+      // which flipped to shuffle joins at a measured ~10× total-CPU
+      // constant). Production corpora never hit this regime: real
+      // volumes put GBs through these exchanges and byte-based
+      // coalescing then sizes them correctly.
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // shuffle bytes = candidate-volume evidence; GC/CPU/spill decompose
+    // a superlinear WALL leg into its mechanism (r15 verdict ask #2:
+    // minhash_lsh_pairs read exp_time 1.17 with rows exactly linear —
+    // the wall excess had no attributed cause until these counters)
     val shuffleBytes = new AtomicLong
+    val gcMs = new AtomicLong
+    val cpuNs = new AtomicLong
+    val runMs = new AtomicLong
+    val memSpill = new AtomicLong
+    val diskSpill = new AtomicLong
+    // SPARK_GRAFT_SCALE_STAGES=1 additionally prints one line per stage
+    // (task count + run/cpu/gc + spill + shuffle) — names WHICH stage a
+    // serialized or spilling leg spends its wall in
+    val stageDump = sys.env.get("SPARK_GRAFT_SCALE_STAGES").contains("1")
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(stage: SparkListenerStageCompleted): Unit = {
         val m = stage.stageInfo.taskMetrics
-        if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        if (m != null) {
+          shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          gcMs.addAndGet(m.jvmGCTime)
+          cpuNs.addAndGet(m.executorCpuTime)
+          runMs.addAndGet(m.executorRunTime)
+          memSpill.addAndGet(m.memoryBytesSpilled)
+          diskSpill.addAndGet(m.diskBytesSpilled)
+          if (stageDump) {
+            val si = stage.stageInfo
+            println(f"[stage] id=${si.stageId}%4d tasks=${si.numTasks}%3d " +
+              f"run=${m.executorRunTime / 1e3}%8.1fs cpu=${m.executorCpuTime / 1e9}%8.1fs " +
+              f"gc=${m.jvmGCTime / 1e3}%6.1fs spillMB=${(m.memoryBytesSpilled + m.diskBytesSpilled) / 1e6}%8.1f " +
+              f"shufR=${m.shuffleReadMetrics.totalBytesRead / 1e6}%8.2fMB shufW=${m.shuffleWriteMetrics.bytesWritten / 1e6}%8.2fMB " +
+              s"name=${si.name.takeWhile(_ != '\n').take(60)}")
+          }
+        }
       }
     })
 
@@ -155,13 +206,28 @@ object ScaleCurve {
     val embFactors = Seq(1, factor)
     val blockedFactors = Seq(1, blockedFactor)
 
+    // SPARK_GRAFT_SCALE_ONLY=name1,name2 isolates legs for diagnosis
+    // runs (r16: profiling the minhash_lsh_pairs wall exponent must not
+    // pay the other families' fixture writes and quantizer fits — the
+    // 10x embedding KMeans fit alone is minutes). The filter gates
+    // fixture materialization too: doc/emb replicas build lazily below.
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    def wanted(name: String): Boolean = only.forall(_(name))
+
+    val docNames = Set("simhash_pairs", "simhash_wide_pairs",
+      "simhash_wide20_pairs", "minhash_lsh_pairs", "span_dedup",
+      "editdist_pairs", "incremental_probe")
+    val annNames = Set("ann_brute", "ann_lsh", "ann_ivf")
     val measurements: Seq[(String, Int, () => DataFrame)] = {
-      val docPaths = docFactors.map(f => f -> docsAt(f)).toMap
-      val embNeeded = (embFactors ++ blockedFactors).distinct.sorted
-      val embPaths = embNeeded.map(f => f -> embAt(f)).toMap
-      def docs(f: Int) = spark.read.parquet(docPaths(f))
-      def emb(f: Int) = spark.read.parquet(embPaths(f))
-      docFactors.flatMap { f =>
+      // fixtures materialize HERE, outside the timed window — but only
+      // for the families the ONLY filter selects (lazy memoized paths)
+      val docPaths = collection.mutable.Map.empty[Int, String]
+      val embPaths = collection.mutable.Map.empty[Int, String]
+      def docs(f: Int) = spark.read.parquet(docPaths.getOrElseUpdate(f, docsAt(f)))
+      def emb(f: Int) = spark.read.parquet(embPaths.getOrElseUpdate(f, embAt(f)))
+      (if (docNames.exists(wanted)) docFactors.flatMap { f =>
+        docs(f) // materialize the replica parquet before any timed leg
         Seq(
           ("simhash_pairs", f, () => simhashPairsOf(docs(f))),
           // the 60-bit/4×15-bit-band fix the r14 simhash_pairs curve
@@ -174,6 +240,11 @@ object ScaleCurve {
           // THAT, 64-bit signatures with 4×16-bit bands are the next
           // step on the same shared banding tail.
           ("simhash_wide_pairs", f, () => Dedup.simhashPairsWide(docs(f))),
+          // the step PAST the wide form's own ~6.4M-doc bound (r15
+          // verdict ask #3's sanctioned follow-up): same 60-bit
+          // signature, 3×20-bit bands — 1M buckets/band, ~820M-doc
+          // bound, guaranteed radius drops to Hamming ≤ 2
+          ("simhash_wide20_pairs", f, () => Dedup.simhashPairsWide20(docs(f))),
           ("minhash_lsh_pairs", f, () => Dedup.minhashDedupPairs(docs(f))),
           ("span_dedup", f, () => Dedup.spanDedupOf(
             docs(f).select(col("doc_id"), tokens(col("text")).as("ts")))),
@@ -181,7 +252,8 @@ object ScaleCurve {
             graft.queries.TextDedup.editdistPairs(docs(f))),
           ("incremental_probe", f, () =>
             Dedup.incrementalDedup(docs(f), probeBatch())))
-      } ++ embFactors.flatMap { f =>
+      } else Nil) ++
+      (if (annNames.exists(wanted)) embFactors.flatMap { f =>
         // the quantizer fit is a BUILD cost (production fits once and
         // reuses — the q_ann_ivf_indexed artifact); it runs here,
         // OUTSIDE the timed probe window, so ann_ivf's curve measures
@@ -197,29 +269,42 @@ object ScaleCurve {
           ("ann_ivf", f, () =>
             Similarity.ivfTopK(emb(f), queriesOf(emb(f)), 5,
               km, p.nprobe, "vec_id", "embedding")))
-      } ++ blockedFactors.map { f =>
+      } else Nil) ++
+      (if (wanted("neardup_blocked")) blockedFactors.map { f =>
+        emb(f)
         ("neardup_blocked", f, () =>
           Similarity.nearDupPairsBlocked(emb(f), 0.45))
-      }
+      } else Nil)
     }
 
-    def timed(mk: () => DataFrame): (Long, Double, Long) = {
+    case class Timing(rows: Long, sec: Double, shuffle: Long, gcSec: Double,
+                      cpuSec: Double, runSec: Double, mem: Long, disk: Long)
+    def timed(mk: () => DataFrame): Timing = {
       GraftListenerBridge.flushListeners(spark.sparkContext)
-      val before = shuffleBytes.get()
+      val b = (shuffleBytes.get(), gcMs.get(), cpuNs.get(), runMs.get(),
+        memSpill.get(), diskSpill.get())
       val t0 = System.nanoTime()
       val rows = mk().queryExecution.toRdd.count()
       val sec = (System.nanoTime() - t0) / 1e9
       GraftListenerBridge.flushListeners(spark.sparkContext)
-      (rows, sec, shuffleBytes.get() - before)
+      Timing(rows, sec, shuffleBytes.get() - b._1,
+        (gcMs.get() - b._2) / 1e3, (cpuNs.get() - b._3) / 1e9,
+        (runMs.get() - b._4) / 1e3,
+        memSpill.get() - b._5, diskSpill.get() - b._6)
     }
 
-    val points = measurements.map { case (name, f, mk) =>
+    val selected = measurements.filter(m => wanted(m._1))
+
+    val points = selected.map { case (name, f, mk) =>
       System.gc()
       val runs = (1 to reps).map(_ => timed(mk))
-      val best = runs.minBy(_._2) // min-of-reps: stablest for ratios
-      val p = Point(name, f, best._1, best._2, best._3)
+      val best = runs.minBy(_.sec) // min-of-reps: stablest for ratios
+      val p = Point(name, f, best.rows, best.sec, best.shuffle,
+        best.gcSec, best.cpuSec, best.runSec, best.mem, best.disk)
       println(f"[scalecurve] ${p.name}%-20s f=${p.factor}%2d rows=${p.rows}%9d " +
-        f"sec=${p.sec}%7.3f shuffleMB=${p.shuffleBytes / 1e6}%8.2f")
+        f"sec=${p.sec}%7.3f shuffleMB=${p.shuffleBytes / 1e6}%8.2f " +
+        f"gc=${p.gcSec}%6.1f cpu=${p.cpuSec}%7.1f run=${p.runSec}%7.1f " +
+        f"spillMB=${(p.memSpill + p.diskSpill) / 1e6}%8.1f")
       p
     }
 
@@ -237,14 +322,20 @@ object ScaleCurve {
           math.log(b.rows.toDouble / a.rows) /
             math.log(b.factor.toDouble / a.factor)
         else Double.NaN
-      // NaN (guard tripped: equal factors, zero-row or ~0-sec 1x leg)
-      // must render as JSON null — the bare token NaN makes the whole
-      // artifact unparseable (advice r14)
-      def jnum(v: Double): String = if (v.isNaN) "null" else f"$v%.2f"
+      // NaN or ±Infinity (guard tripped: equal factors, zero-row or
+      // 0-sec leg on either side) must render as JSON null — the bare
+      // tokens NaN/-Infinity make the whole artifact unparseable
+      // (advice r14 + r15)
+      def jnum(v: Double): String =
+        if (java.lang.Double.isFinite(v)) f"$v%.2f" else "null"
       f"""{"name":"$name","f":${b.factor},"sec_1x":${a.sec}%.3f,""" +
         f""""sec_fx":${b.sec}%.3f,"exp_time":${jnum(expT)},""" +
         f""""rows_1x":${a.rows},"rows_fx":${b.rows},"exp_rows":${jnum(expRows)},""" +
-        f""""shuffle_1x":${a.shuffleBytes},"shuffle_fx":${b.shuffleBytes}}"""
+        f""""shuffle_1x":${a.shuffleBytes},"shuffle_fx":${b.shuffleBytes},""" +
+        f""""gc_1x":${a.gcSec}%.1f,"gc_fx":${b.gcSec}%.1f,""" +
+        f""""cpu_1x":${a.cpuSec}%.1f,"cpu_fx":${b.cpuSec}%.1f,""" +
+        f""""run_1x":${a.runSec}%.1f,"run_fx":${b.runSec}%.1f,""" +
+        f""""spill_1x":${a.memSpill + a.diskSpill},"spill_fx":${b.memSpill + b.diskSpill}}"""
     }
     val json = summary.mkString("[", ",\n", "]")
     java.nio.file.Files.write(java.nio.file.Paths.get(outJson),

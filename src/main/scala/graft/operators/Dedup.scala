@@ -78,7 +78,21 @@ object Dedup {
   }
 
   /** LSH candidate pairs: band the signature (k/r bands of r rows), bucket
-    * by band hash, emit distinct (a<b) pairs sharing any bucket. */
+    * by band hash, emit distinct (a<b) pairs sharing any bucket.
+    *
+    * The dedup stays a bare distinct() DELIBERATELY (r16, measured both
+    * ways): pinning a repartition(a, b) + dropDuplicates here — the
+    * incrementalDedup shape — blocks AQE's broadcast of the candidate
+    * side of the verify joins above, flipping the whole jaccard verify
+    * from broadcast-probe enumeration to sort/shuffle joins: 2-3×
+    * better wall on the full-corpus ×10 curve but at a measured ~10×
+    * total-CPU constant factor (72.8→36.2 s wall, 71.8→770 s CPU at 1×)
+    * — the wrong trade for a 1000-executor cluster, where CPU is the
+    * bill. The right parallelism lever for the byte-tiny/CPU-dense
+    * candidate exchange is the coalescing FLOOR
+    * (spark.sql.adaptive.coalescePartitions.minPartitionSize — see
+    * ScaleCurve), which spreads the same broadcast-probe plan without
+    * changing its shape. */
   def lshCandidates(sig: DataFrame, k: Int = 8, r: Int = 2, idCol: String = "doc_id"): DataFrame = {
     val buckets = bandBuckets(sig, k, r, idCol)
     val l = buckets.select(col("band"), col("key"), col(idCol).as("a"))
@@ -102,7 +116,7 @@ object Dedup {
     *
     * The shingle frame is consumed FOUR times (a-side match join, b-side
     * match join, `na` sizes, `nb` sizes). `repartition(idCol)` directly
-    * above the scan→explode map pins an explicit, canonically-identical
+    * above the scan→explode→distinct subtree pins an explicit, canonically-identical
     * Exchange under every consumer so ReuseExchange computes that
     * subtree once per execution; the distinct computes ONCE below the
     * reuse boundary, with its partial aggregate collapsing occurrence
@@ -657,22 +671,47 @@ object Dedup {
       simhashWideOf(docs.select(col(idCol), explode(tokens(col(textCol))).as("t")), idCol),
       maxDist, idCol, bandBits = 15)
 
+  /** The SAME 60-bit signature banded 3×20 bits — the step past the
+    * wide form's measured ~6.4M-doc band-space bound (SCALE.md): 2^20 =
+    * 1,048,576 buckets per band pushes collision domination out 32×
+    * (~820M similarly-correlated docs by the same occupancy
+    * arithmetic), trading one unit of guaranteed radius (3 bands are
+    * pigeonhole-exact only to Hamming ≤ 2). The signature, tokenizer,
+    * and md5 decode are [[simhashWideOf]]'s unchanged — only the band
+    * arithmetic moves, so the brute-force oracle twin shares the
+    * signature CTE verbatim. */
+  def simhashPairsWide20(docs: DataFrame, maxDist: Int = 2,
+                         idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    simhashPairsFrom(
+      simhashWideOf(docs.select(col(idCol), explode(tokens(col(textCol))).as("t")), idCol),
+      maxDist, idCol, bandBits = 20, nBands = 3)
+
   /** The banding + verify tail of [[simhashPairs]] over a precomputed
     * `(idCol, simhash)` signature frame (e.g. [[simhashOf]] over the
-    * shared token frame). `bandBits` widens the four band keys for
-    * wide signatures (15 for [[simhashWideOf]]'s 60-bit form — the
-    * pigeonhole recall argument only needs FOUR bands, whatever their
-    * width: 3 bit errors cannot touch all 4). */
+    * shared token frame). `bandBits` widens the band keys for wide
+    * signatures (15 for [[simhashWideOf]]'s 60-bit form); `nBands`
+    * trades guaranteed recall radius for band-space size on the SAME
+    * signature: by pigeonhole, d bit errors can touch at most d bands,
+    * so nBands bands guarantee a shared band exactly up to Hamming
+    * distance nBands − 1. Fewer, wider bands push the measured
+    * band-space saturation bound out exponentially (each extra band
+    * bit doubles the bucket space — SCALE.md's occupancy arithmetic:
+    * 4×15 saturates ~6.4M correlated docs, 3×20 ~820M) at the cost of
+    * one unit of guaranteed radius. */
   def simhashPairsFrom(sh: DataFrame, maxDist: Int = 3,
-                       idCol: String = "doc_id", bandBits: Int = 8): DataFrame = {
-    require(maxDist >= 0 && maxDist <= 3,
-      s"simhashPairsFrom: maxDist must be in [0, 3] (got $maxDist) — the 4-band " +
-        "bucketing guarantees exact recall only up to Hamming distance 3")
-    require(bandBits >= 1 && bandBits <= 15,
-      s"simhashPairsFrom: bandBits must be in [1, 15], got $bandBits")
+                       idCol: String = "doc_id", bandBits: Int = 8,
+                       nBands: Int = 4): DataFrame = {
+    require(nBands >= 1 && nBands <= 8,
+      s"simhashPairsFrom: nBands must be in [1, 8], got $nBands")
+    require(maxDist >= 0 && maxDist <= nBands - 1,
+      s"simhashPairsFrom: maxDist must be in [0, ${nBands - 1}] (got $maxDist) — the " +
+        s"$nBands-band bucketing guarantees exact recall only up to Hamming distance ${nBands - 1}")
+    require(bandBits >= 1 && nBands * bandBits <= 62,
+      s"simhashPairsFrom: nBands*bandBits must fit a positive long signature " +
+        s"(got $nBands x $bandBits = ${nBands * bandBits} > 62)")
     val mask = (1L << bandBits) - 1L
     val bands = sh.select(col(idCol), col("simhash"),
-      explode(array((0 until 4).map(b =>
+      explode(array((0 until nBands).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("simhash"), b * bandBits).bitwiseAND(mask).as("key"))): _*)).as("bk"))
       .select(col(idCol), col("simhash"), col("bk.band"), col("bk.key"))

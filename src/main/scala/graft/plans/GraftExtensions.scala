@@ -182,6 +182,9 @@ case class ResolveGraftOp(spark: org.apache.spark.sql.SparkSession)
         case "simhash_wide_dedup" => // (idCol, textCol, maxDist)
           graft.operators.Dedup.simhashPairsWide(
             dfs(0), maxDist = lng(2).toInt, idCol = str(0), textCol = str(1))
+        case "simhash_wide20_dedup" => // (idCol, textCol, maxDist)
+          graft.operators.Dedup.simhashPairsWide20(
+            dfs(0), maxDist = lng(2).toInt, idCol = str(0), textCol = str(1))
         case "crossdoc_ngram" => // (idCol, textCol, n)
           graft.queries.TextStats.crossdocNgramStats(
             dfs(0), n = lng(2).toInt, idCol = str(0), textCol = str(1))
@@ -558,6 +561,8 @@ object GraftFunctions {
     "simhash_dedup" -> ("simhash_dedup(table, idCol, textCol, maxDist)", 3),
     "simhash_wide_dedup" ->
       ("simhash_wide_dedup(table, idCol, textCol, maxDist)", 3),
+    "simhash_wide20_dedup" ->
+      ("simhash_wide20_dedup(table, idCol, textCol, maxDist)", 3),
     "span_dedup" -> ("span_dedup(table, idCol, textCol, spanLen)", 3),
     "crossdoc_ngram" -> ("crossdoc_ngram(table, idCol, textCol, n)", 3),
     "sample_per_group" -> ("sample_per_group(table, groupCol, idCol, k)", 3),

@@ -397,6 +397,21 @@ object TextDedup {
       .select(col("a"), col("b"), col("dist").cast("int").as("dist"))
       .orderBy("a", "b")
 
+  /** Near-dup pairs on the SAME wide signature banded 3×20 bits at
+    * Hamming ≤ 2 — the step past the 4×15 form's measured ~6.4M-doc
+    * band-space bound (SCALE.md occupancy arithmetic: 2^20 buckets per
+    * band → ~820M docs), trading one unit of guaranteed radius (3
+    * bands are pigeonhole-exact only to ≤ 2). Oracled against the
+    * brute-force all-pairs SQL at ≤ 2 over the shared signature CTE,
+    * so the gate proves the rebanding loses nothing within its radius. */
+  def qSimhashWide20Neardup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairsFrom(
+      Dedup.simhashWideOf(cachedDocTokens(spark, dir)
+        .select(col("doc_id"), explode(col("ts")).as("t"))),
+      maxDist = 2, bandBits = 20, nBands = 3)
+      .select(col("a"), col("b"), col("dist").cast("int").as("dist"))
+      .orderBy("a", "b")
+
   /** THE simhash near-dup pair construction (Hamming ≤ 3 over the
     * memoized token frame) — one definition consumed by
     * q_simhash_neardup, q_neardup_degree, q_editdist_neardup and
@@ -621,6 +636,7 @@ object TextDedup {
     "q_simhash_neardup" -> qSimhashNeardup _,
     "q_simhash_wide" -> qSimhashWide _,
     "q_simhash_wide_neardup" -> qSimhashWideNeardup _,
+    "q_simhash_wide20_neardup" -> qSimhashWide20Neardup _,
     "q_neardup_degree" -> qNeardupDegree _,
     "q_editdist_neardup" -> qEditdistNeardup _,
     "q_decontaminate" -> qDecontaminate _,

@@ -994,6 +994,17 @@ import TextStats._
          |FROM sh x JOIN sh y ON x.doc_id < y.doc_id
          |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
          |ORDER BY a, b""".stripMargin,
+    // brute-force twin of the 3x20-bit rebanding at its guaranteed
+    // radius (Hamming <= 2); the signature CTE is shared VERBATIM with
+    // the 4x15 twin — only the radius moves, because the rebanding
+    // changes candidate generation, never the signature
+    "q_simhash_wide20_neardup" ->
+      s"""WITH $SimhashWideCtes
+         |SELECT x.doc_id AS a, y.doc_id AS b,
+         |  CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS dist
+         |FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 2
+         |ORDER BY a, b""".stripMargin,
     "q_simhash_neardup" ->
       // brute-force all-pairs twin of the banded Spark shape — equal by
       // the pigeonhole recall guarantee (see qSimhashNeardup)

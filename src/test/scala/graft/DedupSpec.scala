@@ -155,6 +155,36 @@ class DedupSpec extends AnyFunSuite {
     assert(banded.map(p => (p._1, p._2)).size <= narrow.size)
   }
 
+  test("simhash 3x20 rebanding equals brute force at Hamming <= 2; radius guard trips at 3") {
+    // same 60-bit signature as the 4x15 form — only the band
+    // arithmetic moves, so equality with brute force at the 3-band
+    // pigeonhole radius (<= 2) is the losslessness proof
+    val d = Tables.documents(spark, TestSpark.Sf).filter(col("doc_id") < 100)
+    val sh = Dedup.simhashWideOf(d.select(col("doc_id"),
+      explode(graft.functions.TextFunctions.tokens(col("text"))).as("t")))
+    val l = sh.select(col("doc_id").as("a"), col("simhash").as("sa"))
+    val r = sh.select(col("doc_id").as("b"), col("simhash").as("sb"))
+    val brute = l.crossJoin(r).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), Dedup.hamming(col("sa"), col("sb")).as("dist"))
+      .filter(col("dist") <= 2)
+      .as[(Long, Long, Int)].collect().toSet
+    val banded = Dedup.simhashPairsWide20(d, maxDist = 2)
+      .select(col("a"), col("b"), col("dist").cast("int"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(banded == brute, s"banded ${banded.size} vs brute ${brute.size}")
+    // 3 bands cannot guarantee Hamming 3 (3 errors can touch all 3
+    // bands) — asking for it must fail loudly, not lose recall silently
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.simhashPairsWide20(d, maxDist = 3)
+    }
+    assert(ex.getMessage.contains("maxDist"))
+    // nBands*bandBits must fit a positive long signature
+    val ex2 = intercept[IllegalArgumentException] {
+      Dedup.simhashPairsFrom(sh, maxDist = 2, bandBits = 16, nBands = 4)
+    }
+    assert(ex2.getMessage.contains("62"))
+  }
+
   test("incrementalDedup classifies exact_dup / near_dup / new with min match id") {
     val corpus = Seq(
       (0L, "alpha beta gamma delta"),

@@ -767,6 +767,9 @@ class PlanSpec extends AnyFunSuite {
       pair("SELECT * FROM simhash_wide_dedup('docs_r12', 'doc_id', 'text', 3)",
         graft.operators.Dedup.simhashPairsWide(docs, 3, "doc_id", "text"),
         Seq("a", "b"))
+      pair("SELECT * FROM simhash_wide20_dedup('docs_r12', 'doc_id', 'text', 2)",
+        graft.operators.Dedup.simhashPairsWide20(docs, 2, "doc_id", "text"),
+        Seq("a", "b"))
     }
   }
 

@@ -96,6 +96,31 @@ def oracles_line(args):
             "  per-query surfaces in-plan recall-gated behind the same floors")
 
 
+def check_operators_complete(verify_dir):
+    """Fail when a registered query name is absent from OPERATORS.md.
+
+    VERDICT r14 found 8 green queries missing from the ledger, caught
+    only by a judge-side script; r15 fixed them by hand and r15's ask #4
+    is this automation. The registered set is the Verify dump dirs (one
+    per SparkEntry.queries entry), so the check runs on exactly what the
+    correctness gate saw. Exit 1 (after still writing the GEN blocks)
+    so the close ritual trips loudly on a deliberate or accidental
+    omission.
+    """
+    registered = sorted(d for d in os.listdir(verify_dir)
+                        if d.startswith("q") and
+                        os.path.isdir(os.path.join(verify_dir, d)))
+    with open(os.path.join(ROOT, "OPERATORS.md")) as fh:
+        text = fh.read()
+    # word-boundary match so q_simhash does not satisfy q_simhash_wide
+    present = set(re.findall(r"\bq[0-9a-z_]+\b", text))
+    missing = [q for q in registered if q not in present]
+    if missing:
+        print(f"OPERATORS.md is missing {len(missing)} registered "
+              f"queries: {', '.join(missing)}", file=sys.stderr)
+    return missing
+
+
 def rewrite(path, tag, body):
     if body is None:
         return False
@@ -132,6 +157,9 @@ def main():
         for tag, body in blocks.items():
             if rewrite(path, tag, body):
                 print(f"updated GEN:{tag} in {os.path.basename(path)}")
+
+    if args.verify_dir and check_operators_complete(args.verify_dir):
+        sys.exit(1)
 
 
 if __name__ == "__main__":
