@@ -217,7 +217,8 @@ object ScaleCurve {
 
     val docNames = Set("simhash_pairs", "simhash_wide_pairs",
       "simhash_wide20_pairs", "minhash_lsh_pairs", "span_dedup",
-      "editdist_pairs", "incremental_probe")
+      "editdist_pairs", "incremental_probe", "containment_pairs",
+      "incremental_indexed_probe")
     val annNames = Set("ann_brute", "ann_lsh", "ann_ivf")
     val measurements: Seq[(String, Int, () => DataFrame)] = {
       // fixtures materialize HERE, outside the timed window — but only
@@ -242,7 +243,7 @@ object ScaleCurve {
           ("simhash_wide_pairs", f, () => Dedup.simhashPairsWide(docs(f))),
           // the step PAST the wide form's own ~6.4M-doc bound (r15
           // verdict ask #3's sanctioned follow-up): same 60-bit
-          // signature, 3×20-bit bands — 1M buckets/band, ~820M-doc
+          // signature, 3×20-bit bands — 1M buckets/band, ~205M-doc
           // bound, guaranteed radius drops to Hamming ≤ 2
           ("simhash_wide20_pairs", f, () => Dedup.simhashPairsWide20(docs(f))),
           ("minhash_lsh_pairs", f, () => Dedup.minhashDedupPairs(docs(f))),
@@ -251,7 +252,26 @@ object ScaleCurve {
           ("editdist_pairs", f, () =>
             graft.queries.TextDedup.editdistPairs(docs(f))),
           ("incremental_probe", f, () =>
-            Dedup.incrementalDedup(docs(f), probeBatch())))
+            Dedup.incrementalDedup(docs(f), probeBatch())),
+          // prefix-filter containment (SSJoin/PPJoin family) — the scale
+          // shape was argued in SCALE.md but unmeasured until r16; the
+          // oracle gate proves exactness at bounded ids, THIS row proves
+          // the rare-shingle prefix join does not go quadratic at ×10
+          ("containment_pairs", f, () =>
+            Dedup.containmentPairs(docs(f), n = 3, threshold = 0.5))) ++
+        // the INDEXED daily-ingest probe — the deployment shape the
+        // 100 TB claim actually rests on (the inline incremental_probe
+        // row re-derives corpus fingerprints per probe; this one reads
+        // the pre-built bucketed index). The index build is the
+        // once-per-corpus-snapshot cost and runs OUTSIDE the timed
+        // window (the quantizer-fit precedent): the leg measures what a
+        // fixed daily batch pays against a standing corpus — it must
+        // track the BATCH, staying near-flat in corpus growth
+        (if (wanted("incremental_indexed_probe")) {
+          Dedup.writeCorpusIndex(docs(f), s"sc_idx_f$f", s"$tmp/sc_idx_f$f")
+          Seq(("incremental_indexed_probe", f, () =>
+            Dedup.incrementalDedupIndexed(spark, s"sc_idx_f$f", probeBatch())))
+        } else Nil)
       } else Nil) ++
       (if (annNames.exists(wanted)) embFactors.flatMap { f =>
         // the quantizer fit is a BUILD cost (production fits once and
@@ -292,6 +312,24 @@ object ScaleCurve {
         (runMs.get() - b._4) / 1e3,
         memSpill.get() - b._5, diskSpill.get() - b._6)
     }
+
+    // a typo'd ONLY name would otherwise skip every branch and
+    // overwrite the artifact with [] at exit 0 (the Verify
+    // SPARK_GRAFT_ONLY guard, same rationale); the full-run equality
+    // check keeps the branch-gate name sets from silently diverging
+    // from the tuples they guard (a leg added to a Seq but not its
+    // gate set would vanish only under ONLY filtering)
+    val knownLegs = docNames ++ annNames + "neardup_blocked"
+    only.foreach { names =>
+      val unknown = names -- knownLegs
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_SCALE_ONLY: unknown leg name(s) ${unknown.mkString(", ")}; " +
+          s"known: ${knownLegs.toSeq.sorted.mkString(", ")}")
+    }
+    if (only.isEmpty)
+      require(measurements.map(_._1).toSet == knownLegs,
+        "ScaleCurve: branch-gate name sets diverged from the declared measurement tuples — " +
+          s"tuples: ${measurements.map(_._1).distinct.sorted.mkString(", ")}")
 
     val selected = measurements.filter(m => wanted(m._1))
 

@@ -89,10 +89,13 @@ object Dedup {
     * total-CPU constant factor (72.8→36.2 s wall, 71.8→770 s CPU at 1×)
     * — the wrong trade for a 1000-executor cluster, where CPU is the
     * bill. The right parallelism lever for the byte-tiny/CPU-dense
-    * candidate exchange is the coalescing FLOOR
-    * (spark.sql.adaptive.coalescePartitions.minPartitionSize — see
-    * ScaleCurve), which spreads the same broadcast-probe plan without
-    * changing its shape. */
+    * candidate exchange is session-level: disable AQE partition
+    * coalescing (spark.sql.adaptive.coalescePartitions.enabled=false —
+    * see ScaleCurve, which adopted it after measuring that a byte FLOOR
+    * cannot help: ~150 KB of signature bytes spreads only 2-3 ways
+    * under a 64 KiB minPartitionSize). That keeps the broadcast-probe
+    * plan byte-identical and restores full-width execution; production
+    * volumes never need it because their exchanges carry real bytes. */
   def lshCandidates(sig: DataFrame, k: Int = 8, r: Int = 2, idCol: String = "doc_id"): DataFrame = {
     val buckets = bandBuckets(sig, k, r, idCol)
     val l = buckets.select(col("band"), col("key"), col(idCol).as("a"))
@@ -674,7 +677,7 @@ object Dedup {
   /** The SAME 60-bit signature banded 3×20 bits — the step past the
     * wide form's measured ~6.4M-doc band-space bound (SCALE.md): 2^20 =
     * 1,048,576 buckets per band pushes collision domination out 32×
-    * (~820M similarly-correlated docs by the same occupancy
+    * (~205M similarly-correlated docs by the same occupancy
     * arithmetic), trading one unit of guaranteed radius (3 bands are
     * pigeonhole-exact only to Hamming ≤ 2). The signature, tokenizer,
     * and md5 decode are [[simhashWideOf]]'s unchanged — only the band
@@ -696,7 +699,7 @@ object Dedup {
     * distance nBands − 1. Fewer, wider bands push the measured
     * band-space saturation bound out exponentially (each extra band
     * bit doubles the bucket space — SCALE.md's occupancy arithmetic:
-    * 4×15 saturates ~6.4M correlated docs, 3×20 ~820M) at the cost of
+    * 4×15 saturates ~6.4M correlated docs, 3×20 ~205M) at the cost of
     * one unit of guaranteed radius. */
   def simhashPairsFrom(sh: DataFrame, maxDist: Int = 3,
                        idCol: String = "doc_id", bandBits: Int = 8,

@@ -400,7 +400,7 @@ object TextDedup {
   /** Near-dup pairs on the SAME wide signature banded 3×20 bits at
     * Hamming ≤ 2 — the step past the 4×15 form's measured ~6.4M-doc
     * band-space bound (SCALE.md occupancy arithmetic: 2^20 buckets per
-    * band → ~820M docs), trading one unit of guaranteed radius (3
+    * band → ~205M docs), trading one unit of guaranteed radius (3
     * bands are pigeonhole-exact only to ≤ 2). Oracled against the
     * brute-force all-pairs SQL at ≤ 2 over the shared signature CTE,
     * so the gate proves the rebanding loses nothing within its radius. */
