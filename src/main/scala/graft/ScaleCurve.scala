@@ -9,6 +9,10 @@ import org.apache.spark.sql.functions._
 
 /** Measured scale curves for the dedup/ANN families:
   * `runMain graft.ScaleCurve [sfDir] [outJson]` (VERDICT r13 ask #3).
+  * `SPARK_GRAFT_SCALE_ONLY=leg1,leg2` isolates legs for diagnosis;
+  * such partial runs write `scale_curves_only.json` unless outJson is
+  * given explicitly, so they can never clobber the committed
+  * full-sweep `scale_curves.json` with a subset at exit 0.
   *
   * SCALE.md ARGUES the shapes (banded candidates, bucketed probes,
   * blocked grids); nothing before this tool MEASURED growth — and a
@@ -51,7 +55,15 @@ object ScaleCurve {
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
-    val outJson = if (args.length > 1) args(1) else "scale_curves.json"
+    // A SPARK_GRAFT_SCALE_ONLY diagnostic run measures a subset of legs;
+    // letting it land on the default path would overwrite the committed
+    // full-sweep artifact with a partial one at exit 0. Divert ONLY runs
+    // to a sibling file unless the caller named an output explicitly.
+    val onlyRun = sys.env.contains("SPARK_GRAFT_SCALE_ONLY")
+    val outJson =
+      if (args.length > 1) args(1)
+      else if (onlyRun) "scale_curves_only.json"
+      else "scale_curves.json"
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
     val blockedFactor =
       sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR_BLOCKED", "3").toInt
@@ -220,6 +232,26 @@ object ScaleCurve {
       "editdist_pairs", "incremental_probe", "containment_pairs",
       "incremental_indexed_probe")
     val annNames = Set("ann_brute", "ann_lsh", "ann_ivf")
+
+    // a typo'd ONLY name would otherwise skip every branch and measure
+    // nothing at exit 0 (the Verify SPARK_GRAFT_ONLY guard, same
+    // rationale). Validated HERE, before `measurements` — the tuple
+    // construction below materializes replica parquet and builds the
+    // bucketed corpus index for every selected family, so a mixed
+    // valid+typo list must abort before paying those, not after.
+    // An all-empty split (ONLY="," etc.) is the same []-artifact bug
+    // in disguise: zero names pass the unknown check vacuously.
+    val knownLegs = docNames ++ annNames + "neardup_blocked"
+    only.foreach { names =>
+      require(names.nonEmpty,
+        "SPARK_GRAFT_SCALE_ONLY is set but names no legs; " +
+          s"known: ${knownLegs.toSeq.sorted.mkString(", ")}")
+      val unknown = names -- knownLegs
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_SCALE_ONLY: unknown leg name(s) ${unknown.mkString(", ")}; " +
+          s"known: ${knownLegs.toSeq.sorted.mkString(", ")}")
+    }
+
     val measurements: Seq[(String, Int, () => DataFrame)] = {
       // fixtures materialize HERE, outside the timed window — but only
       // for the families the ONLY filter selects (lazy memoized paths)
@@ -313,19 +345,9 @@ object ScaleCurve {
         memSpill.get() - b._5, diskSpill.get() - b._6)
     }
 
-    // a typo'd ONLY name would otherwise skip every branch and
-    // overwrite the artifact with [] at exit 0 (the Verify
-    // SPARK_GRAFT_ONLY guard, same rationale); the full-run equality
-    // check keeps the branch-gate name sets from silently diverging
-    // from the tuples they guard (a leg added to a Seq but not its
-    // gate set would vanish only under ONLY filtering)
-    val knownLegs = docNames ++ annNames + "neardup_blocked"
-    only.foreach { names =>
-      val unknown = names -- knownLegs
-      require(unknown.isEmpty,
-        s"SPARK_GRAFT_SCALE_ONLY: unknown leg name(s) ${unknown.mkString(", ")}; " +
-          s"known: ${knownLegs.toSeq.sorted.mkString(", ")}")
-    }
+    // the full-run equality check keeps the branch-gate name sets from
+    // silently diverging from the tuples they guard (a leg added to a
+    // Seq but not its gate set would vanish only under ONLY filtering)
     if (only.isEmpty)
       require(measurements.map(_._1).toSet == knownLegs,
         "ScaleCurve: branch-gate name sets diverged from the declared measurement tuples — " +
