@@ -206,9 +206,17 @@ object StatQueries {
     *
     * Scale: the window partitions by type over the DAY grain — the
     * partition is #days, not #rows, so the sort is metadata-scale; the
-    * daily rollup underneath is the only full-data pass. */
+    * fact-volume passes are the [[zeroFilledDaily]] documented pair
+    * (bounds + fill — materialize the rollup once at corpus scale). */
   def cusumShift(df: DataFrame, typeCol: String, tsCol: String): DataFrame = {
-    val daily = dailyCounts(df, typeCol, tsCol)
+    // zero-FILLED spine (review r16): the observed-only series drops
+    // dark days, so a total outage — the strongest possible downward
+    // level shift — never enters the deviation prefix and s_dn stays
+    // quiet; on the spine a dark day contributes dev = D·0 − T and
+    // trips the flag immediately (the dispersionIndex r13 lesson,
+    // applied to the changepoint family)
+    val daily = zeroFilledDaily(df.filter(col(typeCol).isNotNull),
+      typeCol, tsCol)
     val wAll = Window.partitionBy("event_type")
     val wCum = Window.partitionBy("event_type").orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -243,10 +251,14 @@ object StatQueries {
     * at the argmax: a negative dip means the early days ran below the
     * overall mean, i.e. the level shifted UP there.
     *
-    * Scale: identical to [[cusumShift]] — daily rollup is the only
-    * fact-volume pass; prefix and argmax windows run at the DAY grain. */
+    * Scale: identical to [[cusumShift]] — the [[zeroFilledDaily]]
+    * documented scan pair; prefix and argmax windows at the DAY grain. */
   def changepoint(df: DataFrame, typeCol: String, tsCol: String): DataFrame = {
-    val daily = dailyCounts(df, typeCol, tsCol)
+    // zero-filled spine for the same reason as [[cusumShift]]: a dark
+    // stretch IS the level shift, and dropping those days mislocalizes
+    // the argmax (review r16)
+    val daily = zeroFilledDaily(df.filter(col(typeCol).isNotNull),
+      typeCol, tsCol)
     val wAll = Window.partitionBy("event_type")
     val wCum = Window.partitionBy("event_type").orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -287,11 +299,16 @@ object StatQueries {
     * fixed-order double and `nonrandom` compares the ROUNDED z. A
     * one-sided group (n₊ or n₋ = 0, σ = 0) reports NULL z.
     *
-    * Scale: daily rollup is the only fact-volume pass; the median
-    * window and the lag over kept days run per group at the DAY grain
-    * (the percentile buffer holds #days values — calendar-bounded). */
+    * Scale: fact-volume passes are the [[zeroFilledDaily]] documented
+    * pair (bounds + fill); the median window and the lag over kept
+    * days run per group at the DAY grain (the percentile buffer holds
+    * #days values — calendar-bounded). */
   def runsTest(df: DataFrame, typeCol: String, tsCol: String): DataFrame = {
-    val daily = dailyCounts(df, typeCol, tsCol)
+    // zero-filled spine (review r16): dark days are x = 0 observations
+    // of the day series, and a randomness screen that silently skips
+    // them reads a gappy weekday-only series as a clean run sequence
+    val daily = zeroFilledDaily(df.filter(col(typeCol).isNotNull),
+      typeCol, tsCol)
     val wAll = Window.partitionBy("event_type")
     val wDay = Window.partitionBy("event_type").orderBy("day")
     val marked = daily
@@ -502,12 +519,18 @@ object StatQueries {
     * a sqrt at the end, zero-variance pairs NULL-gated).
     *
     * Scale: the lag windows run on the DAY grain (metadata-scale
-    * partitions, like cusumShift); the only full-data pass is the
-    * daily rollup. */
+    * partitions, like cusumShift); fact-volume passes are the
+    * [[zeroFilledDaily]] documented pair (bounds + fill). */
   def autocorr(df: DataFrame, typeCol: String, tsCol: String,
                maxLag: Int = 3): DataFrame = {
     require(maxLag >= 1, s"autocorr: maxLag must be >= 1 (got $maxLag)")
-    val daily = dailyCounts(df, typeCol, tsCol)
+    // zero-filled spine (review r16): lag k must mean k DAYS, not k
+    // observed rows — exactly the defect crossCorr's docstring names
+    // and fixed for the cross-series case (r13); with dark days the
+    // row-based lag pairs values 9-10 calendar days apart under the
+    // lag-7 seasonality probe
+    val daily = zeroFilledDaily(df.filter(col(typeCol).isNotNull),
+      typeCol, tsCol)
     laggedPearson(daily.withColumn("y", col("x")),
       partCols = Seq("event_type"), ordCol = "day", lags = 1 to maxLag)
   }
@@ -1207,9 +1230,15 @@ object StatQueries {
     def d(c: Column) = c.cast("double")
     val hRaw = lit(12.0) * (d(col("sum_terms")) / 1024.0) /
       (d(col("n")) * (d(col("n")) + 1.0)) - lit(3.0) * (d(col("n")) + 1.0)
-    val corr = lit(1.0) - d(col("tie3")) /
-      d(col("n") * col("n") * col("n") - col("n"))
-    val h = rnd(when(corr > 0.0, hRaw / corr), 4)
+    // the gate must be division-free (the runsTest r13 rule, applied
+    // here by review r16): corr > 0 ⟺ n³−n > tie3 as exact integers —
+    // the old predicate computed tie3/(n³−n) eagerly, which is 0/0 at
+    // n = 1 (single non-null row) where ANSI Spark throws and DuckDB
+    // yields NaN. n³ stays long-exact to n ~ 2·10⁶; past that, widen
+    // to decimal(38,0) (the gini Scaladoc's named swap).
+    val n3n = col("n") * col("n") * col("n") - col("n")
+    val corr = lit(1.0) - d(col("tie3")) / d(n3n)
+    val h = rnd(when(n3n > col("tie3"), hRaw / corr), 4)
     val sig = (1 to 6).foldLeft(lit(null).cast("boolean")) { (acc, k) =>
       when(col("dof") === k.toLong, col("h") > Chi2Crit05(k)).otherwise(acc)
     }
@@ -1552,13 +1581,20 @@ object StatQueries {
     * MEANS; this projects the day series onto the period-7 Fourier
     * pair, catching weekly structure even when the shape within the
     * week shifts): over the zero-filled calendar day series with
-    * t = days since the group's first day, a = Σ x·cos(2πt/7) and
-    * b = Σ x·sin(2πt/7) — each term is an exact integer count times
-    * one of SEVEN interpolated literal coefficients ([[weeklyCos]]),
-    * micro-rounded to an exact long so the fold is order-free — and
-    * weekly_share = 2·(a² + b²)/n against the series' total sum of
-    * squared deviations, in [0, 1] up to spectral leakage. Flat
-    * series (zero variance) NULL.
+    * t = days since the group's first day, the MEAN-CENTERED
+    * projections a = Σ (x−x̄)·cos(2πt/7) and b = Σ (x−x̄)·sin(2πt/7)
+    * — computed one-pass via a = Σx·cos − x̄·Σcos (review r16: the
+    * raw-count projection leaked the series mean through the
+    * non-orthogonal DC component whenever the calendar span is not a
+    * multiple of 7, inflating weekly_share 2-900× on the fixture and
+    * labeling near-constant noise "strong"; centering removes the
+    * leak exactly). Each product term is an exact integer count (or
+    * the bare coefficient, for the Σcos/Σsin legs) times one of SEVEN
+    * interpolated literal coefficients ([[weeklyCos]]), micro-rounded
+    * to an exact long so the fold is order-free — and weekly_share =
+    * 2·(a² + b²)/n against the series' total sum of squared
+    * deviations, in [0, 1] up to spectral leakage. Flat series (zero
+    * variance) NULL.
     *
     * Scale: dailyCounts is the only fact-volume pass; the projection
     * and moment fold run at calendar scale per group. */
@@ -1579,15 +1615,26 @@ object StatQueries {
       }
       sum(floor(term * 1e6 + 0.5).cast("long"))
     }
+    // the bare-coefficient sums Σcos / Σsin over the group's calendar
+    // days — the exact DC-overlap terms the centering subtracts
+    def coefConst(cf: Int => Double): Column = {
+      val term = (1 to 6).foldLeft(
+        when(col("k") === 0, lit(cf(0)))) {
+        (acc, i) => acc.when(col("k") === i, lit(cf(i)))
+      }
+      sum(floor(term * 1e6 + 0.5).cast("long"))
+    }
     val g = full
       .select(col("event_type"), col("x"), k.as("k"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
         sum(col("x") * col("x")).as("sxx"),
-        coefSum(weeklyCos).as("amicro"), coefSum(weeklySin).as("bmicro"))
+        coefSum(weeklyCos).as("amicro"), coefSum(weeklySin).as("bmicro"),
+        coefConst(weeklyCos).as("cmicro"), coefConst(weeklySin).as("smicro"))
     def d(c: Column) = c.cast("double")
-    val a = d(col("amicro")) / 1e6
-    val b = d(col("bmicro")) / 1e6
+    val xbar = d(col("sx")) / d(col("n"))
+    val a = d(col("amicro")) / 1e6 - xbar * (d(col("cmicro")) / 1e6)
+    val b = d(col("bmicro")) / 1e6 - xbar * (d(col("smicro")) / 1e6)
     val sse = d(col("sxx")) - d(col("sx")) * d(col("sx")) / d(col("n"))
     val share = rnd(when(sse > 0.0,
       (a * a + b * b) * 2.0 / d(col("n")) / sse), 4)
@@ -1817,6 +1864,11 @@ object StatQueries {
         "CASE " + (0 to 6).map(i =>
           s"WHEN k = $i THEN CAST(x AS DOUBLE) * CAST('${cf(i)}' AS DOUBLE)")
           .mkString(" ") + " END"
+      // bare-coefficient chain for the Σcos/Σsin centering legs
+      def chainC(cf: Int => Double): String =
+        "CASE " + (0 to 6).map(i =>
+          s"WHEN k = $i THEN CAST('${cf(i)}' AS DOUBLE)")
+          .mkString(" ") + " END"
       s"""WITH daily AS (
          |  SELECT event_type, CAST(ts AS DATE) AS day,
          |    CAST(count(*) AS BIGINT) AS x
@@ -1844,12 +1896,20 @@ object StatQueries {
          |    CAST(sum(CAST(floor((${chain(weeklyCos)}) * 1e6 + 0.5) AS BIGINT))
          |      AS BIGINT) AS amicro,
          |    CAST(sum(CAST(floor((${chain(weeklySin)}) * 1e6 + 0.5) AS BIGINT))
-         |      AS BIGINT) AS bmicro
+         |      AS BIGINT) AS bmicro,
+         |    CAST(sum(CAST(floor((${chainC(weeklyCos)}) * 1e6 + 0.5) AS BIGINT))
+         |      AS BIGINT) AS cmicro,
+         |    CAST(sum(CAST(floor((${chainC(weeklySin)}) * 1e6 + 0.5) AS BIGINT))
+         |      AS BIGINT) AS smicro
          |  FROM full_ GROUP BY event_type),
          |f AS (
          |  SELECT event_type, n,
-         |    CAST(amicro AS DOUBLE) / 1e6 AS a,
-         |    CAST(bmicro AS DOUBLE) / 1e6 AS b,
+         |    CAST(amicro AS DOUBLE) / 1e6
+         |      - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+         |        * (CAST(cmicro AS DOUBLE) / 1e6) AS a,
+         |    CAST(bmicro AS DOUBLE) / 1e6
+         |      - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+         |        * (CAST(smicro AS DOUBLE) / 1e6) AS b,
          |    CAST(sxx AS DOUBLE)
          |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
          |      AS sse
@@ -2088,47 +2148,30 @@ object StatQueries {
     },
     // exact-rational cell terms, margins from the same grid, and the
     // SAME fixed left-associated 7-term fold (no order-sensitive sum)
+    // rebuilt on DowContingencyCtes (review r16): the old DISTINCT-grid
+    // + equality-LEFT-JOIN oracle zeroed out NULL event_type groups
+    // (g.event_type = raw.event_type never matches NULL) and counted a
+    // NULL-ts dow row into n_dows/dof, while the Spark twin keeps NULL
+    // groups' real counts and caps dows at 7 — latent on the null-free
+    // fixture but a gate trip on any null-keyed input; the shared CTEs
+    // ARE the twin, so the mirroring is now structural
     "q_chi_square" -> {
-      val termSel = (0 to 6).map(d =>
-        s"max(CASE WHEN dow = $d THEN term END) AS t$d").mkString(",\n    ")
-      val fold = (0 to 6).map(d => s"coalesce(t$d, CAST(0.0 AS DOUBLE))")
-        .mkString(" + ")
-      s"""WITH raw AS (
-         |  SELECT event_type,
-         |    CAST(dayofweek(CAST(ts AS DATE)) AS BIGINT) AS dow,
-         |    CAST(count(*) AS BIGINT) AS o
-         |  FROM events GROUP BY event_type, 2),
-         |cells AS (
-         |  SELECT g.event_type, g.dow,
-         |    coalesce(raw.o, CAST(0 AS BIGINT)) AS o
-         |  FROM (SELECT t.event_type, d.dow
-         |        FROM (SELECT DISTINCT event_type FROM raw) t,
-         |             (SELECT DISTINCT dow FROM raw) d) g
-         |  LEFT JOIN raw ON g.event_type = raw.event_type
-         |    AND g.dow = raw.dow),
-         |rows_ AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r
-         |  FROM cells GROUP BY event_type),
-         |cols_ AS (SELECT dow, CAST(sum(o) AS BIGINT) AS c
-         |  FROM cells GROUP BY dow),
-         |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
-         |t AS (
-         |  SELECT cells.event_type, cells.dow,
-         |    CASE WHEN rows_.r > 0 AND cols_.c > 0 THEN
-         |      (CAST(cells.o * tot.n - rows_.r * cols_.c AS DOUBLE)
-         |        * CAST(cells.o * tot.n - rows_.r * cols_.c AS DOUBLE))
-         |        / (CAST(rows_.r * cols_.c AS DOUBLE) * CAST(tot.n AS DOUBLE))
-         |    ELSE CAST(0.0 AS DOUBLE) END AS term
-         |  FROM cells JOIN rows_ USING (event_type)
-         |    JOIN cols_ USING (dow) CROSS JOIN tot),
-         |g AS (
-         |  SELECT event_type, count(*) AS n_dows,
-         |    $termSel
-         |  FROM t GROUP BY event_type)
-         |SELECT event_type, CAST(n_dows - 1 AS BIGINT) AS dof,
-         |  floor(($fold) * 1e4 + 0.5) / 1e4 AS chi2,
-         |  n_dows - 1 = 6 AND floor(($fold) * 1e4 + 0.5) / 1e4 > $Chi2Crit6
-         |    AS flagged
-         |FROM g ORDER BY event_type""".stripMargin
+      val term = (0 to 6).map(d =>
+        s"(CASE WHEN r > 0 AND c$d > 0 THEN (CAST(o$d * n - r * c$d AS DOUBLE)" +
+          s" * CAST(o$d * n - r * c$d AS DOUBLE))" +
+          s" / (CAST(r * c$d AS DOUBLE) * CAST(n AS DOUBLE))" +
+          " ELSE CAST(0.0 AS DOUBLE) END)").mkString(" + ")
+      val nDows = (0 to 6).map(d =>
+        s"(CASE WHEN c$d > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+      DowContingencyCtes + s""",
+         |f AS (
+         |  SELECT t AS event_type,
+         |    CAST(($nDows) - 1 AS BIGINT) AS dof,
+         |    floor(($term) * 1e4 + 0.5) / 1e4 AS chi2
+         |  FROM m)
+         |SELECT event_type, dof, chi2,
+         |  dof = 6 AND chi2 > $Chi2Crit6 AS flagged
+         |FROM f ORDER BY event_type""".stripMargin
     },
     // per-lag Pearson r from the same six integer sums, lags unrolled
     // as a UNION ALL generated from the same 1..maxLag range
@@ -2137,10 +2180,25 @@ object StatQueries {
         s"""SELECT event_type, $l AS lag,
            |  lag(x, $l) OVER (PARTITION BY event_type ORDER BY day) AS xp,
            |  x AS y FROM daily""".stripMargin).mkString("\nUNION ALL\n")
-      s"""WITH daily AS (
+      s"""WITH daily0 AS (
          |  SELECT event_type, CAST(ts AS DATE) AS day,
          |    CAST(count(*) AS BIGINT) AS x
-         |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+         |  FROM events WHERE event_type IS NOT NULL
+         |  GROUP BY event_type, CAST(ts AS DATE)),
+         |bounds AS (
+         |  SELECT event_type, min(day) AS d0, max(day) AS d1
+         |  FROM daily0 GROUP BY event_type),
+         |spine AS (
+         |  SELECT event_type,
+         |    CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+         |      CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+         |  FROM bounds),
+         |daily AS (
+         |  SELECT spine.event_type, spine.day,
+         |    CAST(coalesce(x, 0) AS BIGINT) AS x
+         |  FROM spine LEFT JOIN daily0
+         |    ON spine.event_type = daily0.event_type
+         |    AND spine.day = daily0.day),
          |st AS ($lagSel),
          |f AS (SELECT * FROM st WHERE xp IS NOT NULL),
          |g AS (
@@ -2281,10 +2339,25 @@ object StatQueries {
     // prefix-sum/running-extremum unrolling of the CUSUM recursion;
     // integer until the final /D, flags compare integers
     "q_cusum_shift" ->
-      """WITH daily AS (
+      """WITH daily0 AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day,
         |    CAST(count(*) AS BIGINT) AS x
-        |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+        |  FROM events WHERE event_type IS NOT NULL
+        |  GROUP BY event_type, CAST(ts AS DATE)),
+        |bounds AS (
+        |  SELECT event_type, min(day) AS d0, max(day) AS d1
+        |  FROM daily0 GROUP BY event_type),
+        |spine AS (
+        |  SELECT event_type,
+        |    CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |      CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM bounds),
+        |daily AS (
+        |  SELECT spine.event_type, spine.day,
+        |    CAST(coalesce(x, 0) AS BIGINT) AS x
+        |  FROM spine LEFT JOIN daily0
+        |    ON spine.event_type = daily0.event_type
+        |    AND spine.day = daily0.day),
         |w AS (
         |  SELECT event_type, day, x,
         |    count(*) OVER (PARTITION BY event_type) AS d,
@@ -2557,8 +2630,7 @@ object StatQueries {
          |tie AS (SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tie3 FROM g2),
          |hh AS (
          |  SELECT n, k_groups,
-         |    CASE WHEN 1.0 - CAST(tie3 AS DOUBLE)
-         |        / CAST(n * n * n - n AS DOUBLE) > 0.0
+         |    CASE WHEN n * n * n - n > tie3
          |      THEN floor(((12.0 * (CAST(sum_terms AS DOUBLE) / 1024.0)
          |          / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
          |          - 3.0 * (CAST(n AS DOUBLE) + 1.0))
@@ -2851,10 +2923,25 @@ object StatQueries {
       val two = s"(2.0 * $na * $nb)"
       val mu = s"(1.0 + $two / $n)"
       val vr = s"(($two * ($two - $n)) / ($n * $n * ($n - 1.0)))"
-      s"""WITH daily AS (
+      s"""WITH daily0 AS (
          |  SELECT event_type, CAST(ts AS DATE) AS day,
          |    CAST(count(*) AS BIGINT) AS x
-         |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+         |  FROM events WHERE event_type IS NOT NULL
+         |  GROUP BY event_type, CAST(ts AS DATE)),
+         |bounds AS (
+         |  SELECT event_type, min(day) AS d0, max(day) AS d1
+         |  FROM daily0 GROUP BY event_type),
+         |cal AS (
+         |  SELECT event_type,
+         |    CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+         |      CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+         |  FROM bounds),
+         |daily AS (
+         |  SELECT cal.event_type, cal.day,
+         |    CAST(coalesce(x, 0) AS BIGINT) AS x
+         |  FROM cal LEFT JOIN daily0
+         |    ON cal.event_type = daily0.event_type
+         |    AND cal.day = daily0.day),
          |mk AS (
          |  SELECT event_type, day, x,
          |    quantile_cont(x, 0.5) OVER (PARTITION BY event_type) * 2.0
@@ -2895,10 +2982,25 @@ object StatQueries {
     // the cusum_shift integer prefix verbatim; argmax is an integer
     // comparison with the earliest-day tiebreak (QUALIFY row_number)
     "q_changepoint" ->
-      """WITH daily AS (
+      """WITH daily0 AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day,
         |    CAST(count(*) AS BIGINT) AS x
-        |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+        |  FROM events WHERE event_type IS NOT NULL
+        |  GROUP BY event_type, CAST(ts AS DATE)),
+        |bounds AS (
+        |  SELECT event_type, min(day) AS d0, max(day) AS d1
+        |  FROM daily0 GROUP BY event_type),
+        |spine AS (
+        |  SELECT event_type,
+        |    CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |      CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM bounds),
+        |daily AS (
+        |  SELECT spine.event_type, spine.day,
+        |    CAST(coalesce(x, 0) AS BIGINT) AS x
+        |  FROM spine LEFT JOIN daily0
+        |    ON spine.event_type = daily0.event_type
+        |    AND spine.day = daily0.day),
         |w AS (
         |  SELECT event_type, day, x,
         |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS d,

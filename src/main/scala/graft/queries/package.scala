@@ -71,12 +71,21 @@ package object queries {
     * between each group's first and last active day — [[dailyCounts]]
     * left-joined onto `sequence(min(day), max(day))` with absent days
     * as 0. THE day-series frame for spine-dependent statistics
-    * (dispersion index, peak detection): the observed-only series is
-    * zero-TRUNCATED and mis-reads sparse bursts (review r13), and the
-    * spine block was growing verbatim copies (review r14 — the
-    * dailyCounts lesson one level up). NULL group keys must be
-    * excluded by the CALLER (the non-null-safe spine join would
-    * zero-fill them into garbage rows both engines agree on). */
+    * (dispersion index, peak detection; r16 added the changepoint
+    * family + autocorr): the observed-only series is zero-TRUNCATED
+    * and mis-reads sparse bursts (review r13), and the spine block was
+    * growing verbatim copies (review r14 — the dailyCounts lesson one
+    * level up). NULL group keys must be excluded by the CALLER (the
+    * non-null-safe spine join would zero-fill them into garbage rows
+    * both engines agree on).
+    *
+    * Plan shape: TWO fact scans — the bounds agg and the fill join
+    * each re-derive the daily rollup (column pruning de-canonicalizes
+    * the subtrees, so ReuseExchange does not fire; the PlanSpec pins
+    * document `<= 2`). At corpus scale the right shape is to
+    * MATERIALIZE the daily rollup once (it is types × days — tiny) and
+    * feed both legs from the artifact; at fixture scale the second
+    * scan costs less than the write. */
   def zeroFilledDaily(df: DataFrame, typeCol: String,
                       tsCol: String): DataFrame = {
     import org.apache.spark.sql.functions.{coalesce, col, explode, expr, lit, max, min}

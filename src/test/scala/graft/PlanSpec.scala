@@ -811,7 +811,12 @@ class PlanSpec extends AnyFunSuite {
     assert(executedScans("q_mutual_info") == 1)
     assert(executedScans("q_chi_square") == 1)
     assert(executedScans("q_completeness") == 1)
-    assert(executedScans("q_changepoint") == 1)
+    // r16: changepoint moved onto the zeroFilledDaily spine (dark days
+    // are the shift), which is the documented two-scan shape (bounds
+    // agg + fill join re-derive the daily rollup — the dispersionIndex
+    // trade; at corpus scale the daily rollup is the materialize-once
+    // artifact, see zeroFilledDaily's Scaladoc)
+    assert(executedScans("q_changepoint") <= 2)
     assert(executedScans("q_theil_sen") <= 2)
     assert(executedScans("q_runs_test") <= 2)
     assert(executedScans("q_key_skew") <= 2)

@@ -129,6 +129,12 @@ class StatSpec extends AnyFunSuite {
       .toDF("event_type", "value")
     val r3 = StatQueries.kruskalWallis(allTied, "event_type", "value").collect()(0)
     assert(r3.isNullAt(2))
+    // single non-null row: n=1 makes n³−n = 0 — the review-r16 case
+    // where the old predicate computed tie3/(n³−n) = 0/0 eagerly; the
+    // integer gate must yield NULL h without touching the division
+    val one = Seq(("e", 7.0)).toDF("event_type", "value")
+    val r4 = StatQueries.kruskalWallis(one, "event_type", "value").collect()(0)
+    assert(r4.getLong(0) == 1L && r4.getLong(1) == 1L && r4.isNullAt(2))
   }
 
   test("theilSen: hand medians over pairwise day slopes, single-day NULL") {
@@ -528,6 +534,54 @@ class StatSpec extends AnyFunSuite {
     assert(r.map(_.getDouble(4)).toSeq == Seq(1.0, 2.0, 3.0, 4.0, 0.0))
   }
 
+  test("cusumShift: a dark stretch IS the downward shift (zero-filled spine)") {
+    // observed days 1,2,3,10 at x=5; days 4-9 completely dark. On the
+    // spine: x=[5,5,5,0,0,0,0,0,0,5], D=10, T=20, dev=10x-20, P prefix
+    // [30,60,90,70,50,30,10,-10,-30,0], s_dn = runmax(P)-P =
+    // [0,0,0,20,40,60,80,100,120,90] -> flags (5*s_dn>20) from day 4 on.
+    // The pre-r16 zero-TRUNCATED series was [5,5,5,5]: dev=0 everywhere,
+    // the outage invisible, no flag ever — the review-r16 scenario.
+    val ev = (Seq(1, 2, 3, 10).flatMap(d => (1 to 5).map(_ => ("t", dayNs(d)))))
+      .toDF("event_type", "ts")
+    val r = StatQueries.cusumShift(ev, "event_type", "ts")
+      .orderBy("day").collect()
+    assert(r.length == 10, "spine must cover the dark days")
+    assert(r.map(_.getLong(2)).toSeq ==
+      Seq(5L, 5L, 5L, 0L, 0L, 0L, 0L, 0L, 0L, 5L))
+    assert(r.map(_.getDouble(4)).toSeq ==
+      Seq(0.0, 0.0, 0.0, 2.0, 4.0, 6.0, 8.0, 10.0, 12.0, 9.0))
+    assert(r.map(_.getBoolean(6)).toSeq ==
+      Seq(false, false, false, true, true, true, true, true, true, true))
+  }
+
+  test("changepoint: localizes at the edge of a dark stretch") {
+    // same series as the cusum dark-stretch spec: argmax |P| = 90 at
+    // day 3 (the last day before the outage), P > 0 there -> the early
+    // level ran ABOVE the mean, direction "down"; max_dev = 90/10.
+    val ev = (Seq(1, 2, 3, 10).flatMap(d => (1 to 5).map(_ => ("t", dayNs(d)))))
+      .toDF("event_type", "ts")
+    val r = StatQueries.changepoint(ev, "event_type", "ts").collect()(0)
+    assert(r.getLong(1) == 10L)
+    assert(r.getDate(2).toLocalDate.getDayOfMonth == 4, // epoch day 3 = Jan 4 1970
+      s"change_day must be the outage boundary, got ${r.getDate(2)}")
+    assert(r.getDouble(3) == 9.0 && r.getString(4) == "down")
+  }
+
+  test("runsTest: dark days enter as zero-count observations") {
+    // observed days 1,3,5 at x=[1,5,1]; days 2,4 dark. Zero-filled
+    // series [1,0,5,0,1], median 1: day1/day5 tie (dropped), days 2/4
+    // below, day 3 above -> kept [0,1,0], R=3, n+=1, n-=2,
+    // mu=1+4/3, var=4/18, z=(3-7/3)/sqrt(2/9)=sqrt(2)=1.4142. The
+    // zero-truncated series kept only [1,5,1] -> one mark, z NULL.
+    val ev = (Seq((1, 1), (3, 5), (5, 1)).flatMap { case (d, n) =>
+      (1 to n).map(_ => ("t", dayNs(d)))
+    }).toDF("event_type", "ts")
+    val r = StatQueries.runsTest(ev, "event_type", "ts").collect()(0)
+    assert(r.getLong(1) == 5L, "n_days counts the spine")
+    assert(r.getLong(2) == 1L && r.getLong(3) == 2L && r.getLong(4) == 3L)
+    assert(r.getDouble(5) == 1.4142 && !r.getBoolean(6))
+  }
+
   test("autocorr: alternating daily counts give r=-1 at lag 1, r=1 at lag 2") {
     // counts [1,2,1,2,1,2]: lag-1 pairs are perfectly anti-linear
     // (y = 3 - x), lag-2 pairs identical (y = x)
@@ -539,6 +593,21 @@ class StatSpec extends AnyFunSuite {
       .orderBy("lag").collect()
     assert(r(0).getInt(1) == 1 && r(0).getDouble(3) == -1.0)
     assert(r(1).getInt(1) == 2 && r(1).getDouble(3) == 1.0)
+  }
+
+  test("autocorr: lag k means k DAYS, not k observed rows") {
+    // observed days 1,2,4,5 at x=[1,2,1,2]; day 3 dark. Zero-filled
+    // series [1,2,0,1,2]: lag-1 pairs (xp,y) = (1,2),(2,0),(0,1),(1,2)
+    // -> n=4, six sums (4,5,4,6,9) give r = -4/sqrt(8*11) = -0.426401.
+    // The pre-r16 row-based lag saw [1,2,1,2] and reported a perfect
+    // -1.0 from 3 pairs, treating the 2-day gap as adjacent days.
+    val ev = Seq((1, 1), (2, 2), (4, 1), (5, 2)).flatMap { case (d, n) =>
+      (1 to n).map(_ => ("t", dayNs(d)))
+    }.toDF("event_type", "ts")
+    val r = StatQueries.autocorr(ev, "event_type", "ts", maxLag = 1)
+      .collect()(0)
+    assert(r.getLong(2) == 4L, "pairs span the dark day")
+    assert(r.getDouble(3) == -0.426401)
   }
 
   test("benfordAudit: full digit grid, zero digits kept, deviation flags") {
@@ -911,9 +980,15 @@ class StatSpec extends AnyFunSuite {
     assert(r("flt").isNullAt(3))
   }
 
-  test("weeklyPower: 7-day spikes read share 0.5 strong, flat series NULL") {
-    // spk: 1 event on days 1, 8, 15 (all k=0): a=3, b=0, n=15,
-    //   sse = 3 - 9/15 = 2.4, share = 9*2/15/2.4 = 0.5 -> strong
+  test("weeklyPower: 7-day spikes read centered share strong, flat series NULL") {
+    // spk: 1 event on days 1, 8, 15 (all k=0), zero-filled n=15,
+    //   sx=3, x̄=0.2. Raw projection Σx·cos = 3; the centering term:
+    //   Σcos over the spine = two full weeks (exactly 0, even in micro
+    //   units — the rounded coefficients cancel pairwise) + t=14 (k=0,
+    //   cos=1) = 1, so a = 3 − 0.2·1 = 2.8; Σsin = 0 so b = 0.
+    //   sse = 3 − 9/15 = 2.4, share = 2.8²·2/15/2.4 = 0.43555… →
+    //   0.4356 strong (the UNcentered form read 0.5: the DC overlap
+    //   from the 15-day span inflating a — review r16)
     // flt: identical count every day -> zero variance -> NULL share
     def ev(t: String, day: Int, n: Int) = Seq.fill(n)((t, dayNs(day)))
     val df = (ev("spk", 1, 1) ++ ev("spk", 8, 1) ++ ev("spk", 15, 1) ++
@@ -921,9 +996,22 @@ class StatSpec extends AnyFunSuite {
     val r = StatQueries.weeklyPower(df, "event_type", "ts")
       .collect().map(x => x.getString(0) -> x).toMap
     assert(r("spk").getLong(1) == 15L)
-    assert(r("spk").getDouble(2) == 3.0 && r("spk").getDouble(3) == 0.0)
-    assert(r("spk").getDouble(4) == 0.5 && r("spk").getString(5) == "strong")
+    assert(r("spk").getDouble(2) == 2.8 && r("spk").getDouble(3) == 0.0)
+    assert(r("spk").getDouble(4) == 0.4356 && r("spk").getString(5) == "strong")
     assert(r("flt").isNullAt(4) && r("flt").isNullAt(5))
+  }
+
+  test("weeklyPower: constant series on a non-multiple-of-7 span reads zero share") {
+    // the review-r16 leakage case distilled: x = 2 every day for 10
+    // days — no weekly structure whatsoever. The uncentered projection
+    // leaked the mean through the partial-week overlap (Σcos ≠ 0 when
+    // the span is not a multiple of 7) and reported a nonzero share;
+    // centered, a = b = 0 exactly and sse = 0 gates share to NULL.
+    def ev(day: Int, n: Int) = Seq.fill(n)(("c", dayNs(day)))
+    val df = (1 to 10).flatMap(d => ev(d, 2)).toDF("event_type", "ts")
+    val r = StatQueries.weeklyPower(df, "event_type", "ts").collect()(0)
+    assert(r.getDouble(2) == 0.0 && r.getDouble(3) == 0.0)
+    assert(r.isNullAt(4) && r.isNullAt(5))
   }
 
   test("dayCorrMatrix: parallel series +1, mirrored series -1") {
