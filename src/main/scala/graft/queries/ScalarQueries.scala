@@ -34,16 +34,28 @@ object ScalarQueries {
       .orderBy("p_partkey")
   }
 
-  /** CUBE grouping sets (beyond-reference, free from Catalyst). */
-  def qCube(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .cube("l_returnflag", "l_linestatus")
-      .agg(rnd(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("cnt"))
-      .select(
-        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
-        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
-        col("sum_qty"), col("cnt"))
+  /** CUBE grouping sets (beyond-reference, free from Catalyst). The
+    * 'ALL' margin label comes from grouping(), NOT coalesce (review
+    * r16): a NULL-keyed DATA group must stay NULL in the output — the
+    * coalesce form collided it with the rollup margin, two
+    * indistinguishable 'ALL' rows with different sums, and the
+    * mirrored oracle was structurally blind to it. */
+  private[graft] def cubeSummary(li: DataFrame): DataFrame =
+    li.cube("l_returnflag", "l_linestatus")
+      // grouping() is only legal inside the aggregate's expression
+      // list (Catalyst UNSUPPORTED_GROUPING_EXPRESSION in a post-agg
+      // Project), so the labels are agg outputs
+      .agg(
+        when(grouping(col("l_returnflag")) === 1, lit("ALL"))
+          .otherwise(col("l_returnflag")).as("flag"),
+        when(grouping(col("l_linestatus")) === 1, lit("ALL"))
+          .otherwise(col("l_linestatus")).as("status"),
+        rnd(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("cnt"))
+      .select(col("flag"), col("status"), col("sum_qty"), col("cnt"))
       .orderBy("flag", "status")
+
+  def qCube(spark: SparkSession, dir: String): DataFrame =
+    cubeSummary(Tables.lineitem(spark, dir))
 
   /** Mixed GROUPING SETS — the grain combination neither rollup nor
     * cube expresses: the full (flag, status) cross, the status-only
@@ -58,12 +70,14 @@ object ScalarQueries {
         Seq(Seq(col("l_returnflag"), col("l_linestatus")),
           Seq(col("l_linestatus")), Seq.empty),
         col("l_returnflag"), col("l_linestatus"))
-      .agg(rnd(sum(col("l_quantity")), 2).as("sum_qty"),
+      .agg( // grouping()-based margin labels — the cubeSummary rule
+        when(grouping(col("l_returnflag")) === 1, lit("ALL"))
+          .otherwise(col("l_returnflag")).as("flag"),
+        when(grouping(col("l_linestatus")) === 1, lit("ALL"))
+          .otherwise(col("l_linestatus")).as("status"),
+        rnd(sum(col("l_quantity")), 2).as("sum_qty"),
         count(lit(1)).as("cnt"))
-      .select(
-        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
-        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
-        col("sum_qty"), col("cnt"))
+      .select(col("flag"), col("status"), col("sum_qty"), col("cnt"))
       .orderBy("flag", "status")
   }
 
@@ -191,9 +205,14 @@ object ScalarQueries {
         rnd(covar_samp(col("l_quantity"), col("l_discount")), 4).as("cov_qty_disc"))
       .orderBy("l_returnflag")
 
-  /** Row cap for [[qApproxSketch]]'s diagnostic input, interpolated into
-    * BOTH engines. 20k ≫ the 10k sf0.01 fixture, so the cap binds only
-    * at sf0.1+ and the sf0.001/0.01 oracle values are unchanged. */
+  /** Row cap for the sketch-family diagnostic inputs, interpolated
+    * into BOTH engines. For [[qApproxSketch]]'s events input (10k rows
+    * at sf0.01) the cap keeps everything, so small-SF values equal the
+    * uncapped form; for [[qProfile]]'s lineitem input it ALREADY binds
+    * at sf0.01 (60k rows → ~19.6k kept), so q_profile's sf0.01 gate
+    * values are subsample statistics by design, not full-scan values
+    * (review r16 corrected a comment claiming the cap binds only at
+    * sf0.1+ — true for events, not lineitem). */
   val SketchDiagCap = 20000L
 
   /** Sketch family: HyperLogLog++ distinct counts and GK-summary
@@ -311,8 +330,12 @@ object ScalarQueries {
     * oracle-pinned booleans: estimate ≥ exact (a CMS cell only ever
     * adds — deterministic), and estimate ≤ exact + ⌈ε·N⌉ (holds with
     * probability ≥ confidence per probe; at fixture scale the distinct
-    * user count per type is far under the sketch width 2·⌈e/ε⌉, so the
-    * realized error is 0 and the fixed seed makes the gate stable). */
+    * user count per type is far under the sketch width ⌈2/ε⌉ = 4000 at
+    * ε = 0.0005 (spark-sketch CountMinSketchImpl: width = ceil(2/eps),
+    * depth = ceil(−ln(1−conf)/ln 2) = 7 — review r16 corrected an
+    * earlier 2·⌈e/ε⌉ ≈ 10874 claim that overstated collision headroom
+    * 2.7×), so the realized error is 0 and the fixed seed makes the
+    * gate stable). */
   def qHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = Tables.events(spark, dir)
@@ -560,7 +583,7 @@ object ScalarQueries {
       md5(concat(col("event_id").cast("string"), lit(s"|boot$i")))): _*)
     val ev = Tables.events(spark, dir)
       .select(col("event_type"),
-        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"),
+        centsOf("value").as("cents"),
         posexplode(digests).as(Seq("blk", "dg")))
       // hex-decode each digest half ONCE; the 12 slot draws below (six
       // 10-bit draws per 60-bit half) are pure shift/mask long
@@ -719,7 +742,7 @@ object ScalarQueries {
     val w = Window.partitionBy("event_type").orderBy(col("cents"), col(idCol))
     val ev = df
       .select(col(typeCol).as("event_type"), col(idCol), col(valCol).as("value"),
-        expr(s"CAST(floor(`$valCol` * 100 + 0.5) AS BIGINT)").as("cents"))
+        centsOf(valCol).as("cents"))
     val counts = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
     ev.withColumn("rn", row_number().over(w))
       .join(broadcast(counts), "event_type")
@@ -1332,8 +1355,10 @@ object ScalarQueries {
         |      WHEN 'B' THEN 1e9 WHEN 'T' THEN 1e12 ELSE 1.0 END) AS value
         |FROM s ORDER BY p_partkey""".stripMargin,
     "q_cube" ->
-      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
-        |  coalesce(l_linestatus, 'ALL') AS status,
+      """SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL'
+        |    ELSE l_returnflag END AS flag,
+        |  CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL'
+        |    ELSE l_linestatus END AS status,
         |  floor((sum(l_quantity)) * 1e2 + 0.5) / 1e2 AS sum_qty, count(*) AS cnt
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY flag, status""".stripMargin,
@@ -1361,8 +1386,10 @@ object ScalarQueries {
         |FROM events GROUP BY CAST(ts AS DATE), event_type
         |ORDER BY day, event_type""".stripMargin,
     "q_grouping_sets" ->
-      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
-        |  coalesce(l_linestatus, 'ALL') AS status,
+      """SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL'
+        |    ELSE l_returnflag END AS flag,
+        |  CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL'
+        |    ELSE l_linestatus END AS status,
         |  floor((sum(l_quantity)) * 1e2 + 0.5) / 1e2 AS sum_qty, count(*) AS cnt
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())

@@ -864,4 +864,26 @@ class PropertySpec extends AnyFunSuite {
         s"status margin ${m._2} must equal its cross-cell sum")
     }
   }
+
+  test("cubeSummary: a NULL data key stays NULL, distinct from the ALL margin") {
+    // the review-r16 hazard distilled: one NULL-flagged row. The old
+    // coalesce labeling emitted the NULL data group AS 'ALL', giving
+    // two indistinguishable ('ALL', status) rows with different sums;
+    // grouping()-based labels keep them apart.
+    import graft.queries.ScalarQueries
+    val li = Seq(("A", "O", 1.0), ("A", "F", 2.0), (null, "O", 4.0))
+      .toDF("l_returnflag", "l_linestatus", "l_quantity")
+    val rows = ScalarQueries.cubeSummary(li)
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getDouble(2), r.getLong(3)))
+    // the NULL-keyed data group survives as a NULL flag, not "ALL"
+    assert(rows.exists { case (f, s, q, n) =>
+      f.isEmpty && s.contains("O") && q == 4.0 && n == 1L })
+    // the margin row over status O aggregates BOTH the A and NULL rows
+    assert(rows.exists { case (f, s, q, n) =>
+      f.contains("ALL") && s.contains("O") && q == 5.0 && n == 2L })
+    // grand total is unique and complete
+    val grand = rows.filter(r => r._1.contains("ALL") && r._2.contains("ALL"))
+    assert(grand.length == 1 && grand.head._3 == 7.0 && grand.head._4 == 3L)
+  }
 }
