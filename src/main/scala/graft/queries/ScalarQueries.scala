@@ -173,7 +173,8 @@ object ScalarQueries {
     * over the document corpus — split → explode → grouped count. */
   def qWordcount(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+      .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+        .as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
       .orderBy("token")
 
@@ -1408,7 +1409,7 @@ object ScalarQueries {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_wordcount" ->
       """SELECT token, count(*) AS cnt FROM (
-        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS token
         |  FROM documents)
         |GROUP BY token ORDER BY token""".stripMargin,
     "q_pivot" ->

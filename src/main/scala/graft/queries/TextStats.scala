@@ -25,8 +25,11 @@ object TextStats {
       .select(col("doc_id"), col("source"),
         tokenCount(col("text")).as("n_tokens"),
         length(col("text")).as("len_chars"),
+        // nullif: a zero-token doc (empty/whitespace text) must read a
+        // NULL average, not ANSI-throw (review r16, the fertility idiom)
         rnd(length(regexp_replace(col("text"), "\\s", "")).cast("double") /
-          tokenCount(col("text")), 4).as("avg_tok_len"))
+          nullif(tokenCount(col("text")).cast("double"), lit(0.0)), 4)
+          .as("avg_tok_len"))
       .orderBy("doc_id")
 
   /** Max word-piece length for [[qTokenEstimate]] — interpolated into
@@ -199,7 +202,10 @@ object TextStats {
     val tok = cachedDocTokens(spark, dir)
       .select(col("doc_id"), explode(col("ts")).as("t"))
     val freq = tok.groupBy("t").agg(count(lit(1)).as("c"))
-    val tot = tok.agg(count(lit(1)).as("n"))
+    // total derived from the grouped counts (Σc == the explode's row
+    // count — the pmiBigramsOf convention): the second consumer reuses
+    // freq's exchange instead of paying another corpus-wide explode
+    val tot = freq.agg(sum(col("c")).as("n"))
     tok.join(freq, "t").crossJoin(broadcast(tot))
       .withColumn("lp", -log(col("c") / col("n").cast("double")))
       .groupBy("doc_id")
@@ -241,7 +247,8 @@ object TextStats {
     val c1 = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
     val tok = tokArr.select(explode(col("ts")).as("t"))
     val uni = tok.groupBy("t").agg(count(lit(1)).as("cu"))
-    val tot = tok.agg(count(lit(1)).as("n"))
+    // Σcu == token count — the pmiBigramsOf totals convention
+    val tot = uni.agg(sum(col("cu")).as("n"))
     pairs.join(cb, Seq("w1", "w2")).join(c1, Seq("w1"))
       .join(uni.withColumnRenamed("t", "w2"), Seq("w2"))
       .crossJoin(broadcast(tot))
@@ -565,8 +572,11 @@ object TextStats {
     val stats = docs.select(
       col(charsCol).as("n_chars"), col(langCol).as("lang"),
       tokenCount(col(textCol)).as("n_toks"),
+      // nullif: zero-token docs read NULL avg_tok (they fail min_chars
+      // before the token-length band can matter; review r16)
       rnd(length(regexp_replace(col(textCol), "\\s", "")).cast("double") /
-        tokenCount(col(textCol)), 4).as("avg_tok"))
+        nullif(tokenCount(col(textCol)).cast("double"), lit(0.0)), 4)
+        .as("avg_tok"))
     // cumulative conjunctions c1..cN: survivor-of-rules-1..i flags
     val cums = FunnelRules.scanLeft(lit(true): Column) {
       case (acc, (_, p, _)) => acc && p

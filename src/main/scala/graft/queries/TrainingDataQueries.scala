@@ -851,7 +851,7 @@ object TrainingDataQueries {
       " ELSE 0 END AS DOUBLE)"
 
   /** DuckDB twin of TextFunctions.tokenCount. */
-  private val MixTokSql = "len(string_split_regex(trim(text), '\\s+'))"
+  private val MixTokSql = "len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''))"
 
   /** Shared DuckDB CTE chain of the two half-moment oracles
     * (q_ab_test / q_power_analysis) — the [[halfMoments]] twin,
@@ -1146,13 +1146,13 @@ object TrainingDataQueries {
       s"""WITH fp AS (
         |  SELECT doc_id,
         |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS f,
-        |    len(string_split_regex(trim(text), '\\s+')) AS L
+        |    len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS L
         |  FROM documents WHERE doc_id >= 10),
         |keep AS (
         |  SELECT doc_id, L FROM (
         |    SELECT doc_id, L, min(doc_id) OVER (PARTITION BY f) AS m FROM fp) z
         |  WHERE doc_id = m),
-        |t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents),
+        |t AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS ts FROM documents),
         |g AS (
         |  SELECT DISTINCT doc_id,
         |    ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] AS s
@@ -1284,7 +1284,7 @@ object TrainingDataQueries {
     "q_seq_packing" ->
       s"""WITH t AS (
          |  SELECT source, doc_id,
-         |    len(string_split_regex(trim(text), '\\s+')) AS n_tok
+         |    len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS n_tok
          |  FROM documents),
          |c AS (
          |  SELECT source, doc_id, n_tok,

@@ -312,10 +312,10 @@ class PropertySpec extends AnyFunSuite {
       val df = docs.toDF("doc_id", "text")
       for (n <- Seq(1, 2, 3)) {
         // naive reference: per-doc sliding grams → (df, tf) per gram.
-        // NO nonEmpty filter: split("") is [""] on BOTH engines (and in
-        // Scala), so an empty doc legitimately contributes one "" token
+        // r16 token semantics: empty docs contribute ZERO tokens (the
+        // engine's tokens() drops the phantom '' that split("") yields)
         val grams = docs.flatMap { case (id, t) =>
-          val ts = t.trim.split("\\s+").toSeq
+          val ts = t.trim.split("\\s+").filter(_.nonEmpty).toSeq
           ts.sliding(n).filter(_.length == n).map(g => (id, g.mkString(" "))).toSeq
         }
         val ref = grams.groupBy(_._2).map { case (g, occ) =>
@@ -380,18 +380,26 @@ class PropertySpec extends AnyFunSuite {
       .as[(Int, String, Long, Long, Long)].collect().toSeq
     // naive reference: apply each rule to the survivors of the previous
     import graft.queries.TextStats._
-    def avgTok(t: String): Double = {
-      val toks = t.trim.split("\\s+")
-      val nonWs = t.count(!_.isWhitespace).toDouble
-      math.floor(nonWs / toks.length * 1e4 + 0.5) / 1e4
+    // r16 token semantics: empty/whitespace docs have ZERO tokens (the
+    // engine's tokens() drops the phantom ''), and their avg length is
+    // undefined (None), failing the band rule definitively
+    def toksOf(t: String): Array[String] =
+      t.trim.split("\\s+").filter(_.nonEmpty)
+    def avgTok(t: String): Option[Double] = {
+      val n = toksOf(t).length
+      if (n == 0) None
+      else {
+        val nonWs = t.count(!_.isWhitespace).toDouble
+        Some(math.floor(nonWs / n * 1e4 + 0.5) / 1e4)
+      }
     }
     val rules: Seq[(String, ((Long, String, String, Long)) => Boolean)] = Seq(
       "min_chars" -> (d => d._4 >= FunnelMinChars),
       "max_chars" -> (d => d._4 <= FunnelMaxChars),
       "lang_en" -> (d => d._3 == FunnelLang),
-      "min_tokens" -> (d => d._2.trim.split("\\s+").length >= FunnelMinTokens),
-      "tok_len_band" -> (d => avgTok(d._2) >= FunnelTokLenLo.toDouble &&
-        avgTok(d._2) <= FunnelTokLenHi.toDouble))
+      "min_tokens" -> (d => toksOf(d._2).length >= FunnelMinTokens),
+      "tok_len_band" -> (d => avgTok(d._2).exists(a =>
+        a >= FunnelTokLenLo.toDouble && a <= FunnelTokLenHi.toDouble)))
     var surv = docs
     val ref = rules.zipWithIndex.map { case ((name, p), i) =>
       val next = surv.filter(p)

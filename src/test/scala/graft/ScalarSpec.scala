@@ -8,6 +8,23 @@ class ScalarSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   import spark.implicits._
 
+  test("tokens: empty and whitespace-only text yield ZERO tokens, not ['']") {
+    // review r16: split(trim(text), "\\s+") returns [""] on empty input
+    // in Spark and DuckDB alike, so every token-based statistic counted
+    // a phantom token and admitted "" into vocabulary tables — with the
+    // oracle mirroring the same bug. The shared tokens() (and the TOKS
+    // twin in TextOracles) now drop empty strings in lockstep.
+    import graft.functions.TextFunctions.{tokens, tokenCount}
+    val df = Seq(("a", ""), ("b", "   "), ("c", " one  two ")).toDF("id", "text")
+    val r = df.select(col("id"), tokenCount(col("text")).as("n"),
+        tokens(col("text")).as("ts"))
+      .collect().map(x => x.getString(0) -> (x.getInt(1), x.getSeq[String](2)))
+      .toMap
+    assert(r("a")._1 == 0 && r("a")._2.isEmpty)
+    assert(r("b")._1 == 0 && r("b")._2.isEmpty)
+    assert(r("c")._1 == 2 && r("c")._2 == Seq("one", "two"))
+  }
+
   test("modeValue: deterministic mode with count-desc, value-asc tiebreak") {
     import graft.queries.ScalarQueries
     val ev = Seq(("t", 3.0), ("t", 3.0), ("t", 1.0), ("t", 1.0), ("t", 2.0))
