@@ -162,8 +162,14 @@ object ScaleCurve {
         else base.select(
           (col("doc_id") + lit(r * IdStride)).as("doc_id"),
           // token-suffix salt: replica structure identical, zero
-          // cross-replica shingle/fingerprint collisions by construction
-          concat_ws(" ", transform(split(trim(col("text")), "\\s+"),
+          // cross-replica shingle/fingerprint collisions by construction.
+          // Salted over TextFunctions.tokens, NOT a raw split (ADVICE
+          // r17): the raw form gave an empty/whitespace-only base doc a
+          // phantom salted token ("\u0001<r>") in replicas while the
+          // base kept zero tokens under tokens()'s empty-drop — replica
+          // token structure must match the engine tokenizer exactly.
+          concat_ws(" ", transform(
+            graft.functions.TextFunctions.tokens(col("text")),
             t => concat(t, lit("\u0001" + r)))).as("text"),
           col("lang"), col("source"), col("n_chars"))
       }.reduce(_ unionByName _)
@@ -206,7 +212,9 @@ object ScaleCurve {
       Tables.documents(spark, sfDir)
         .filter(col("doc_id") >= 60 && col("doc_id") < 120)
         .select((col("doc_id") + lit(100L * IdStride)).as("doc_id"),
-          concat_ws(" ", transform(split(trim(col("text")), "\\s+"),
+          // same tokens()-based salting as the replicas (ADVICE r17)
+          concat_ws(" ", transform(
+            graft.functions.TextFunctions.tokens(col("text")),
             t => concat(t, lit("\u0001batch")))).as("text"))
 
     def queriesOf(emb: DataFrame): DataFrame =

@@ -15,25 +15,25 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokens with empty strings dropped (review r16): on an
-    * empty or whitespace-only document `split(trim(text), "\\s+")`
-    * returns `[""]` in Spark AND DuckDB alike, so every token-based
-    * statistic counted one phantom token (n_tokens = 1, "" admitted as
-    * a vocabulary type into freq/idf tables, fertility 0.0 instead of
-    * null) — and the mirrored oracle agreed. The guard lives HERE and
-    * in TextOracles.TOKS so the two engines drop it in lockstep.
+  /** Whitespace tokens with ALL empty strings dropped (review r16 +
+    * ADVICE r17): on an empty or whitespace-only document
+    * `split(trim(text), "\\s+")` returns `[""]` in Spark AND DuckDB
+    * alike, so every token-based statistic counted one phantom token
+    * (n_tokens = 1, "" admitted as a vocabulary type into freq/idf
+    * tables, fertility 0.0 instead of null) — and the mirrored oracle
+    * agreed. The guard lives HERE and in TextOracles.TOKS so the two
+    * engines drop it in lockstep.
     *
-    * Implementation note: after trim, a `\s+` split can only produce
-    * an empty string on empty INPUT (leading/trailing space is gone
-    * and interior runs collapse), so the guard is one codegen'd CASE
-    * on the trimmed length — not a per-token higher-order filter()
-    * (HOFs are CodegenFallback; this sits under every token-based
-    * query's explode). */
-  def tokens(c: Column): Column = {
-    val t = trim(c)
-    when(length(t) === 0, array().cast("array<string>"))
-      .otherwise(split(t, "\\s+"))
-  }
+    * Implementation note: Spark's `trim` strips SPACES only, so text
+    * edged by tabs/newlines ("\tfoo") still splits to a leading ""
+    * — the r16 length-0 CASE missed that class while the oracles'
+    * `list_filter(x -> x != '')` dropped it. `array_remove(_, "")`
+    * removes every empty token exactly as list_filter does, and it is
+    * a codegen'd binary expression — not a per-token higher-order
+    * filter() (HOFs are CodegenFallback; this sits under every
+    * token-based query's explode). */
+  def tokens(c: Column): Column =
+    array_remove(split(trim(c), "\\s+"), "")
 
   def tokenCount(c: Column): Column = size(tokens(c))
 

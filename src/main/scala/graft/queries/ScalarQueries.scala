@@ -52,7 +52,12 @@ object ScalarQueries {
           .otherwise(col("l_linestatus")).as("status"),
         rnd(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("cnt"))
       .select(col("flag"), col("status"), col("sum_qty"), col("cnt"))
-      .orderBy("flag", "status")
+      // NULLS LAST pinned on BOTH engines (ADVICE r17): Spark sorts
+      // NULLS FIRST by default, DuckDB NULLS LAST — and the r16
+      // grouping() fix is exactly what lets NULL data keys reach this
+      // orderBy. Latent on the null-free fixture; explicit so any
+      // null-keyed input orders identically.
+      .orderBy(asc_nulls_last("flag"), asc_nulls_last("status"))
 
   def qCube(spark: SparkSession, dir: String): DataFrame =
     cubeSummary(Tables.lineitem(spark, dir))
@@ -78,7 +83,8 @@ object ScalarQueries {
         rnd(sum(col("l_quantity")), 2).as("sum_qty"),
         count(lit(1)).as("cnt"))
       .select(col("flag"), col("status"), col("sum_qty"), col("cnt"))
-      .orderBy("flag", "status")
+      // NULLS LAST on both engines — the cubeSummary rule
+      .orderBy(asc_nulls_last("flag"), asc_nulls_last("status"))
   }
 
   /** Known event types — THE pivot column list shared by [[qPivot]] and
@@ -1362,7 +1368,7 @@ object ScalarQueries {
         |    ELSE l_linestatus END AS status,
         |  floor((sum(l_quantity)) * 1e2 + 0.5) / 1e2 AS sum_qty, count(*) AS cnt
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
-        |ORDER BY flag, status""".stripMargin,
+        |ORDER BY flag NULLS LAST, status NULLS LAST""".stripMargin,
     "q_json_profile" ->
       """WITH d AS (
         |  SELECT event_type,
@@ -1394,7 +1400,7 @@ object ScalarQueries {
         |  floor((sum(l_quantity)) * 1e2 + 0.5) / 1e2 AS sum_qty, count(*) AS cnt
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
-        |ORDER BY flag, status""".stripMargin,
+        |ORDER BY flag NULLS LAST, status NULLS LAST""".stripMargin,
     "q_count_distinct" ->
       """SELECT l_returnflag,
         |  count(DISTINCT l_partkey) AS nd_parts,

@@ -25,6 +25,26 @@ class ScalarSpec extends AnyFunSuite {
     assert(r("c")._1 == 2 && r("c")._2 == Seq("one", "two"))
   }
 
+  test("tokens: tab/newline-edged text yields no phantom empty token") {
+    // ADVICE r17: Spark's trim strips SPACES only, so "\tfoo" survives
+    // trim and split produces a leading "" — the r16 length-0 CASE
+    // missed this class while the oracles' list_filter dropped it. The
+    // array_remove form drops every empty token.
+    import graft.functions.TextFunctions.{tokens, tokenCount}
+    val df = Seq(
+      ("a", "\tfoo"), ("b", "foo\n"), ("c", "\n\t "), ("d", "a\t\nb"),
+      ("e", "x")).toDF("id", "text")
+    val r = df.select(col("id"), tokenCount(col("text")).as("n"),
+        tokens(col("text")).as("ts"))
+      .collect().map(x => x.getString(0) -> (x.getInt(1), x.getSeq[String](2)))
+      .toMap
+    assert(r("a") == (1, Seq("foo")))
+    assert(r("b") == (1, Seq("foo")))
+    assert(r("c")._1 == 0 && r("c")._2.isEmpty)
+    assert(r("d") == (2, Seq("a", "b")))
+    assert(r("e") == ((1, Seq("x"))))
+  }
+
   test("modeValue: deterministic mode with count-desc, value-asc tiebreak") {
     import graft.queries.ScalarQueries
     val ev = Seq(("t", 3.0), ("t", 3.0), ("t", 1.0), ("t", 1.0), ("t", 2.0))
