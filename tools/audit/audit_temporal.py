@@ -36,8 +36,13 @@ a.check('q_asof_join_composed', ref_asof, keys=['event_id'],
 
 # ---- gap sessionization ----
 eu = e.sort_values(['user_id', 'tns', 'event_id']).reset_index(drop=True)
-eu['flag'] = ((eu.tns - eu.groupby('user_id').tns.shift(1)) > GAP) \
-    .astype('int64')
+# exact int64 gap (pandas shift coerces epoch nanos to float64 — the
+# q_twap 256-ns ulp hazard)
+_t = eu.tns.to_numpy()
+_gap = np.full(len(eu), -1, dtype='int64')
+_gap[1:] = np.where(eu.user_id.to_numpy()[1:] ==
+                    eu.user_id.to_numpy()[:-1], _t[1:] - _t[:-1], -1)
+eu['flag'] = (_gap > GAP).astype('int64')
 eu['session_idx'] = eu.groupby('user_id').flag.cumsum()
 sess = eu.groupby(['user_id', 'session_idx']).agg(
     n_events=('event_id', 'size'),

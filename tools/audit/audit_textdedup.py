@@ -273,17 +273,45 @@ def lev(s, t):
     return prev[-1]
 
 
-ed = []
-for x, y, _ in p32:
-    pa, pb = D[x][:250], D[y][:250]
-    if abs(len(pa) - len(pb)) > 50:
-        continue
-    d = lev(pa, pb)
-    if d <= 50:
-        ed.append((x, y, d))
-a.check('q_editdist_neardup',
-        pd.DataFrame(ed, columns=['a', 'b', 'lev']).astype({'lev': 'int32'}),
-        keys=['a', 'b'])
+if len(p32) <= 5000:
+    ed = []
+    for x, y, _ in p32:
+        pa, pb = D[x][:250], D[y][:250]
+        if abs(len(pa) - len(pb)) > 50:
+            continue
+        d = lev(pa, pb)
+        if d <= 50:
+            ed.append((x, y, d))
+    a.check('q_editdist_neardup',
+            pd.DataFrame(ed, columns=['a', 'b', 'lev'])
+            .astype({'lev': 'int32'}),
+            keys=['a', 'b'])
+else:
+    # large-SF guard: a full Python DP over ~100k 250-char candidate
+    # pairs is infeasible — verify a deterministic md5-chosen sample of
+    # 2000 candidates cell-exact against the engine rows instead (the
+    # engine's candidate SET is already proven by q_simhash_neardup)
+    samp = sorted(p32, key=lambda p: md5hex(f'{p[0]}|{p[1]}|edsample'))[:2000]
+    eng = dump('q_editdist_neardup')
+    eng_map = {(r.a, r.b): r.lev for r in eng.itertuples(index=False)}
+    bad = 0
+    for x, y, _ in samp:
+        pa, pb = D[x][:250], D[y][:250]
+        exp = None
+        if abs(len(pa) - len(pb)) <= 50:
+            d = lev(pa, pb)
+            exp = d if d <= 50 else None
+        got = eng_map.get((x, y))
+        if exp != got:
+            bad += 1
+            print(f'FAIL q_editdist_neardup sample pair ({x},{y}): '
+                  f'eng={got} ref={exp}')
+    status = 'ok' if bad == 0 else 'FAIL'
+    a.results.append(('q_editdist_neardup', status,
+                      f'sampled {len(samp)}/{len(p32)} candidates, '
+                      f'{bad} mismatches'))
+    print(f'{"ok  " if bad == 0 else "FAIL"} q_editdist_neardup '
+          f'(sampled {len(samp)} of {len(p32)} candidates)')
 
 # ---- decontamination (5-gram overlap vs bench docs id < 10) ----
 bench_sh = set().union(*(shingles(TOK[i], 5) for i in IDS if i < 10))

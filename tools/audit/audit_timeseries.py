@@ -445,9 +445,17 @@ a.check('q_funnel_timebound',
 tw = e.copy()
 tw['day'] = day_of(tw.tns)
 tw['c'] = cents(tw.value)
-tw = tw.sort_values(['event_type', 'day', 'tns', 'event_id'])
-tw['dns'] = tw.groupby(['event_type', 'day']).tns.shift(-1) - tw.tns
-tw['dms'] = tw.dns // 1_000_000
+tw = tw.sort_values(['event_type', 'day', 'tns', 'event_id']) \
+    .reset_index(drop=True)
+# exact int64 next-row delta: a pandas shift() coerces int64 epoch
+# nanos (~1.7e18 > 2^53) to float64, whose ulp is 256 ns — enough to
+# flip ms-grain holding intervals (caught by this audit at sf0.1)
+_t = tw.tns.to_numpy()
+_same = ((tw.event_type.to_numpy()[:-1] == tw.event_type.to_numpy()[1:]) &
+         (tw.day.to_numpy()[:-1] == tw.day.to_numpy()[1:]))
+_dms = np.full(len(tw), np.nan)
+_dms[:-1][_same] = ((_t[1:] - _t[:-1]) // 1_000_000)[_same]
+tw['dms'] = _dms
 gt = tw.groupby(['event_type', 'day'])
 twr = gt.agg(n_events=('c', 'size'),
              num=('c', lambda s: np.nan),  # filled below
@@ -463,7 +471,8 @@ a.check('q_twap',
 ia = e.sort_values(['event_type', 'tns', 'event_id'])
 ia_rows = []
 for et, g in ia.groupby('event_type'):
-    gaps = (g.tns.diff().dropna().to_numpy() // 1_000_000).astype('int64')
+    _gt = g.tns.to_numpy()  # exact int64 diffs (the q_twap shift hazard)
+    gaps = ((_gt[1:] - _gt[:-1]) // 1_000_000).astype('int64')
     n = len(gaps)
     sg, sgg = int(gaps.sum()), int((gaps.astype(object) ** 2).sum())
     mean = sg / n

@@ -15,11 +15,14 @@ Float columns that the engine rounds to k digits are compared as:
   otherwise                        -> MISMATCH (a real formula defect)
 """
 import json
+import os
 import numpy as np
 import pandas as pd
 
-SF = '/root/testdata/sf0.01'
-DUMP = '/tmp/v1'
+# override per-run: GRAFT_AUDIT_SF=/root/testdata/sf0.1
+#                   GRAFT_AUDIT_DUMP=/tmp/v01x
+SF = os.environ.get('GRAFT_AUDIT_SF', '/root/testdata/sf0.01')
+DUMP = os.environ.get('GRAFT_AUDIT_DUMP', '/tmp/v1')
 
 
 def events():
@@ -107,7 +110,12 @@ class Audit:
                 both_nan = np.isnan(e) & np.isnan(r)
                 eq = (e == r) | both_nan
                 if not eq.all():
-                    step = 0.5 * 10.0 ** (-k) * 1.000001 + 1e-12
+                    # boundary window: half a rounding step, plus a
+                    # relative term for large-magnitude raw double sums
+                    # (order-of-accumulation noise is ~|v|*n*ulp — at
+                    # 5e9 over 600k rows that exceeds a 1e-4 step)
+                    step = (0.5 * 10.0 ** (-k) * 1.000001 + 1e-12 +
+                            np.abs(runr) * 1e-12)
                     near = np.abs(e - runr) <= step
                     hard = ~eq & ~near
                     boundary += int((~eq & near).sum())

@@ -6,8 +6,10 @@
 set -e
 cd "$(dirname "$0")"
 fail=0
+# SF/dump override: GRAFT_AUDIT_SF=/root/testdata/sf0.1 GRAFT_AUDIT_DUMP=/tmp/v01x
 for f in audit_timeseries.py audit_textdedup.py audit_similarity.py \
-         audit_temporal.py audit_relational.py; do
+         audit_temporal.py audit_relational.py audit_trainingdata.py \
+         audit_multimodal_sources.py; do
   echo "== $f"
   python3 "$f" || fail=1
 done
