@@ -15,7 +15,13 @@ import os
 
 
 def load_metric(path):
-    d = json.load(open(path))
+    # a raw Bench capture may hold two metric lines (full + rounded
+    # summary) — the first line is the authoritative record
+    first = open(path).readline().strip()
+    if first.startswith('{"metric"'):
+        d = json.loads(first)
+    else:
+        d = json.load(open(path))
     if 'queries' in d:
         return d
     best = None
