@@ -893,5 +893,14 @@ class PropertySpec extends AnyFunSuite {
     // grand total is unique and complete
     val grand = rows.filter(r => r._1.contains("ALL") && r._2.contains("ALL"))
     assert(grand.length == 1 && grand.head._3 == 7.0 && grand.head._4 == 3L)
+    // ADVICE r17: the output order is pinned NULLS LAST on both engines
+    // (Spark defaults NULLS FIRST, DuckDB LAST) — the NULL-flagged data
+    // row must sort AFTER every non-null flag, exactly as the oracle's
+    // ORDER BY ... NULLS LAST places it
+    val flags = ScalarQueries.cubeSummary(li)
+      .collect().map(r => Option(r.getString(0)))
+    assert(flags.zipWithIndex.filter(_._1.isEmpty).map(_._2)
+      .forall(i => flags.drop(i + 1).forall(_.isEmpty)),
+      s"NULL flags must be last in ${flags.mkString(",")}")
   }
 }
