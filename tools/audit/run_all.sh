@@ -13,4 +13,12 @@ for f in audit_timeseries.py audit_textdedup.py audit_similarity.py \
   echo "== $f"
   python3 "$f" || fail=1
 done
+# ML metric audit needs its own dump:
+#   tools/graft-java.sh graft.MlAudit /root/testdata/sf0.01 /tmp/mlaudit
+if [ -d "${GRAFT_MLAUDIT_DUMP:-/tmp/mlaudit}" ]; then
+  echo "== audit_ml.py"
+  python3 audit_ml.py || fail=1
+else
+  echo "== audit_ml.py SKIPPED (no MlAudit dump — see header)"
+fi
 exit $fail
