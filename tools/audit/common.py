@@ -113,9 +113,15 @@ class Audit:
                     # boundary window: half a rounding step, plus a
                     # relative term for large-magnitude raw double sums
                     # (order-of-accumulation noise is ~|v|*n*ulp — at
-                    # 5e9 over 600k rows that exceeds a 1e-4 step)
-                    step = (0.5 * 10.0 ** (-k) * 1.000001 + 1e-12 +
-                            np.abs(runr) * 1e-12)
+                    # 5e9 over 600k rows that exceeds a 1e-4 step).
+                    # The relative term is CAPPED at 4 rounding steps so
+                    # a genuine last-digit formula defect on a big-sum
+                    # column cannot hide inside the widened window
+                    # (ADVICE r18: uncapped |v|*1e-12 at 5e9 is ~50
+                    # steps wide at k=4).
+                    rel = np.minimum(np.abs(runr) * 1e-12,
+                                     4.0 * 10.0 ** (-k))
+                    step = 0.5 * 10.0 ** (-k) * 1.000001 + 1e-12 + rel
                     near = np.abs(e - runr) <= step
                     hard = ~eq & ~near
                     boundary += int((~eq & near).sum())
@@ -137,10 +143,19 @@ class Audit:
                 if neq:
                     i = neq[0]
                     bad.append((c, i, ev2[i], rv2[i]))
+        # Escalate when boundary cells stop being isolated tie sites:
+        # accumulation noise touches a handful of rows; a systematic
+        # last-digit formula defect touches a large fraction. (ADVICE
+        # r18: without this, such a defect reads as 'ok (N boundary)'.)
+        boundary_cap = max(5, int(0.02 * len(eng)))
+        if not bad and boundary > boundary_cap:
+            bad.append(('<boundary-fraction>', -1, boundary,
+                        f'> cap {boundary_cap} of {len(eng)} rows'))
         if bad:
             c, i, a, b = bad[0]
+            keyinfo = dict(eng.loc[i, keys]) if i >= 0 else '{}'
             msg = (f'{len(bad)} bad col(s); first: col={c} row={i} '
-                   f'keys={dict(eng.loc[i, keys])} eng={a!r} ref={b!r}')
+                   f'keys={keyinfo} eng={a!r} ref={b!r}')
             self.results.append((name, 'FAIL', msg))
             print(f'FAIL {name}: {msg}')
         else:

@@ -19,6 +19,17 @@ if [ -d "${GRAFT_MLAUDIT_DUMP:-/tmp/mlaudit}" ]; then
   echo "== audit_ml.py"
   python3 audit_ml.py || fail=1
 else
-  echo "== audit_ml.py SKIPPED (no MlAudit dump — see header)"
+  # A missing ML dump means the one family DuckDB cannot check went
+  # unaudited — that must show in the exit status, not just stdout
+  # (ADVICE r18). Set GRAFT_AUDIT_ALLOW_SKIP_ML=1 to opt in to a
+  # values-only audit that still exits 0.
+  if [ "${GRAFT_AUDIT_ALLOW_SKIP_ML:-0}" = "1" ]; then
+    echo "== audit_ml.py SKIPPED (no MlAudit dump; allowed by env)"
+  else
+    echo "== audit_ml.py MISSING DUMP -> FAIL (produce it:"
+    echo "   tools/graft-java.sh graft.MlAudit /root/testdata/sf0.01 /tmp/mlaudit"
+    echo "   or set GRAFT_AUDIT_ALLOW_SKIP_ML=1 for a values-only run)"
+    fail=1
+  fi
 fi
 exit $fail

@@ -43,8 +43,24 @@ def main(paths):
     warmups = [r.get('warmup_sec') for r in runs]
     qsets = [r['queries'] for r in runs]
     common = set(qsets[0])
+    union = set(qsets[0])
     for q in qsets[1:]:
         common &= set(q)
+        union |= set(q)
+    # A truncated/partial run must not silently shrink min-sum coverage
+    # and flatter the round-over-round comparison (ADVICE r18): error
+    # when the runs disagree on the query set, unless explicitly allowed.
+    if common != union:
+        missing = {os.path.basename(p): sorted(union - set(q))
+                   for p, q in zip(paths, qsets) if set(q) != union}
+        msg = (f'runs disagree on the query set '
+               f'(common {len(common)} < union {len(union)}): {missing}')
+        if os.environ.get('GRAFT_MINIMA_ALLOW_PARTIAL', '0') == '1':
+            print(f'WARNING: {msg} — min-sum covers the COMMON set only')
+        else:
+            raise SystemExit(
+                f'ERROR: {msg}\n(set GRAFT_MINIMA_ALLOW_PARTIAL=1 to '
+                f'accept a common-set min-sum)')
     minima = {k: min(q[k] for q in qsets) for k in sorted(common)}
     out = {
         'n_runs': len(runs),
