@@ -15,9 +15,19 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** The ONE whitespace class every cross-engine regex uses (hostile
+    * sweep r18). Java's `\s` is `[ \t\n\x0B\f\r]` but RE2's (DuckDB's
+    * engine) omits U+000B — so any `\s` that appears on both sides of
+    * an oracle pair silently diverges on vertical-tab-bearing text.
+    * Writing the class out explicitly makes both engines parse the
+    * identical set; `\x0B` is valid hex-escape syntax in Java and RE2
+    * alike. Sites: [[tokens]], TextOracles.TOKS, the text-stats char
+    * counts, SubwordRe, UrlRe, and the TrainingDataQueries token SQL. */
+  val WsRe: String = "[ \\t\\n\\x0B\\f\\r]"
+
   /** Whitespace tokens with ALL empty strings dropped (review r16 +
     * ADVICE r17): on an empty or whitespace-only document
-    * `split(trim(text), "\\s+")` returns `[""]` in Spark AND DuckDB
+    * `split(trim(text), ws+)` returns `[""]` in Spark AND DuckDB
     * alike, so every token-based statistic counted one phantom token
     * (n_tokens = 1, "" admitted as a vocabulary type into freq/idf
     * tables, fertility 0.0 instead of null) — and the mirrored oracle
@@ -33,7 +43,7 @@ object TextFunctions {
     * filter() (HOFs are CodegenFallback; this sits under every
     * token-based query's explode). */
   def tokens(c: Column): Column =
-    array_remove(split(trim(c), "\\s+"), "")
+    array_remove(split(trim(c), WsRe + "+"), "")
 
   def tokenCount(c: Column): Column = size(tokens(c))
 

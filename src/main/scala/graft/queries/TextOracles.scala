@@ -18,9 +18,11 @@ import TextStats._
 
   private val NORM =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
-  // empty-token filter mirrors TextFunctions.tokens (review r16)
+  // empty-token filter mirrors TextFunctions.tokens (review r16);
+  // whitespace class is the shared explicit WsRe set (hostile sweep
+  // r18 — RE2's `\s` omits U+000B, Java's includes it)
   private val TOKS =
-    "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
+    s"list_filter(string_split_regex(trim(text), '$WsRe+'), x -> x <> '')"
   private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
   private def hitSql(ws: Seq[String]) =
     s"len(list_filter($TOKS, x -> x IN (${inList(ws)})))"
@@ -345,7 +347,7 @@ import TextStats._
       s"""SELECT doc_id, source,
          |  len($TOKS) AS n_tokens,
          |  length(text) AS len_chars,
-         |  floor((length(regexp_replace(text, '\\s', '', 'g')) * 1.0 / nullif(len($TOKS), 0)) * 1e4 + 0.5) / 1e4 AS avg_tok_len
+         |  floor((length(regexp_replace(text, '$WsRe', '', 'g')) * 1.0 / nullif(len($TOKS), 0)) * 1e4 + 0.5) / 1e4 AS avg_tok_len
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q_text_quality" ->
       s"""WITH q AS (
@@ -906,7 +908,7 @@ import TextStats._
           s"s$i - s${i + 1} AS n_dropped, s${i + 1} AS n_out FROM c" }
       s"""WITH f AS (
          |  SELECT n_chars, lang, len($TOKS) AS n_toks,
-         |    ${rndSql(s"length(regexp_replace(text, '\\s', '', 'g')) * 1.0 / nullif(len($TOKS), 0)", 4)} AS avg_tok
+         |    ${rndSql(s"length(regexp_replace(text, '$WsRe', '', 'g')) * 1.0 / nullif(len($TOKS), 0)", 4)} AS avg_tok
          |  FROM documents),
          |c AS (SELECT CAST(count(*) AS BIGINT) AS s0,
          |  ${sums.mkString(",\n  ")} FROM f)

@@ -27,7 +27,7 @@ object TextStats {
         length(col("text")).as("len_chars"),
         // nullif: a zero-token doc (empty/whitespace text) must read a
         // NULL average, not ANSI-throw (review r16, the fertility idiom)
-        rnd(length(regexp_replace(col("text"), "\\s", "")).cast("double") /
+        rnd(length(regexp_replace(col("text"), WsRe, "")).cast("double") /
           nullif(tokenCount(col("text")).cast("double"), lit(0.0)), 4)
           .as("avg_tok_len"))
       .orderBy("doc_id")
@@ -44,13 +44,12 @@ object TextStats {
     * CJK) stands alone, mirroring how byte-level BPE fragments them.
     * Both regexp engines (Java, RE2) resolve the alternation itself
     * identically (disjoint classes, greedy quantifier at a fixed
-    * position). Known cross-engine edge, shared with every `\s`-based
-    * oracle in this file (TOKS, the text-stats char counts): Java's
-    * `\s` includes U+000B vertical tab, RE2's does not — a document
-    * containing U+000B would count it as a subword in DuckDB only. The
-    * fixture corpus has none; a production corpus should normalize
-    * control chars upstream. */
-  val SubwordRe: String = s"[A-Za-z]{1,$SubwordMaxLen}|[0-9]|[^A-Za-z0-9\\s]"
+    * position). The former `\s` edge (Java includes U+000B, RE2 does
+    * not — a U+000B doc counted it as a subword in DuckDB only) is
+    * CLOSED by the shared explicit TextFunctions.WsRe class (hostile
+    * sweep r18); a vertical-tab fixture doc now pins it. */
+  val SubwordRe: String =
+    s"[A-Za-z]{1,$SubwordMaxLen}|[0-9]|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]"
 
   /** Token-count estimation, both grains (the budget arithmetic behind
     * every mixture/packing decision): whitespace tokens (the cheap
@@ -574,7 +573,7 @@ object TextStats {
       tokenCount(col(textCol)).as("n_toks"),
       // nullif: zero-token docs read NULL avg_tok (they fail min_chars
       // before the token-length band can matter; review r16)
-      rnd(length(regexp_replace(col(textCol), "\\s", "")).cast("double") /
+      rnd(length(regexp_replace(col(textCol), WsRe, "")).cast("double") /
         nullif(tokenCount(col(textCol)).cast("double"), lit(0.0)), 4)
         .as("avg_tok"))
     // cumulative conjunctions c1..cN: survivor-of-rules-1..i flags
@@ -600,9 +599,11 @@ object TextStats {
     filterFunnel(Tables.documents(spark, dir)).orderBy("stage")
 
   private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  // \S, not [^ ]: a URL followed by a tab/newline must not swallow the
-  // next token into the redaction (the match may not cross whitespace)
-  private[graft] val UrlRe = "https?://[^\\s]+"
+  // negated-whitespace class, not [^ ]: a URL followed by a tab/newline
+  // must not swallow the next token into the redaction. Written via the
+  // explicit WsRe set (not `\s`): RE2's [^\s] ADMITS U+000B where
+  // Java's excludes it — the same divergence WsRe closes for tokens()
+  private[graft] val UrlRe = s"https?://[^${WsRe.tail}+"
   // NANP-ish phone shape (3-3-4 with -, ., space or parens separators);
   // no lookarounds — the oracle's RE2 engine has none, and the scrub
   // and detect regexes must stay engine-portable

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.TextFunctions.hash32
+import graft.functions.TextFunctions.{hash32, WsRe}
 
 /** Deterministic sampling/splitting for training-data assembly — the
   * operations that turn a landed corpus into a training mix:
@@ -851,7 +851,7 @@ object TrainingDataQueries {
       " ELSE 0 END AS DOUBLE)"
 
   /** DuckDB twin of TextFunctions.tokenCount. */
-  private val MixTokSql = "len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''))"
+  private val MixTokSql = s"len(list_filter(string_split_regex(trim(text), '$WsRe+'), x -> x <> ''))"
 
   /** Shared DuckDB CTE chain of the two half-moment oracles
     * (q_ab_test / q_power_analysis) — the [[halfMoments]] twin,
@@ -1146,13 +1146,13 @@ object TrainingDataQueries {
       s"""WITH fp AS (
         |  SELECT doc_id,
         |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS f,
-        |    len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS L
+        |    len(list_filter(string_split_regex(trim(text), '$WsRe+'), x -> x <> '')) AS L
         |  FROM documents WHERE doc_id >= 10),
         |keep AS (
         |  SELECT doc_id, L FROM (
         |    SELECT doc_id, L, min(doc_id) OVER (PARTITION BY f) AS m FROM fp) z
         |  WHERE doc_id = m),
-        |t AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS ts FROM documents),
+        |t AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '$WsRe+'), x -> x <> '') AS ts FROM documents),
         |g AS (
         |  SELECT DISTINCT doc_id,
         |    ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] AS s
@@ -1284,7 +1284,7 @@ object TrainingDataQueries {
     "q_seq_packing" ->
       s"""WITH t AS (
          |  SELECT source, doc_id,
-         |    len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS n_tok
+         |    len(list_filter(string_split_regex(trim(text), '$WsRe+'), x -> x <> '')) AS n_tok
          |  FROM documents),
          |c AS (
          |  SELECT source, doc_id, n_tok,

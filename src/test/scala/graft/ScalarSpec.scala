@@ -45,6 +45,31 @@ class ScalarSpec extends AnyFunSuite {
     assert(r("e") == ((1, Seq("x"))))
   }
 
+  test("tokens + SubwordRe: U+000B vertical tab is whitespace in BOTH engines (WsRe pin)") {
+    // hostile sweep r18: Java's \s includes U+000B, RE2's (DuckDB's)
+    // does not — under the old `\s`-based regexes a vertical-tab doc
+    // tokenized differently per engine (DuckDB kept the U+000B glued to the word
+    // and counted the control char as a subword). The shared explicit
+    // WsRe class closes it: U+000B splits tokens, is stripped from
+    // char counts, and is NOT a subword match — identically on both
+    // sides (the DuckDB half is pinned by the hostile-fixture board).
+    import graft.functions.TextFunctions.{tokens, tokenCount, WsRe}
+    import graft.queries.TextStats.SubwordRe
+    val df = Seq(("a", "one\u000Btwo"), ("b", "\u000Bedge"), ("c", "x \u000B y"))
+      .toDF("id", "text")
+    val r = df.select(col("id"), tokenCount(col("text")).as("n"),
+        tokens(col("text")).as("ts"),
+        length(regexp_replace(col("text"), WsRe, "")).as("nch"),
+        size(regexp_extract_all(col("text"), lit(SubwordRe), lit(0))).as("nsub"))
+      .collect()
+      .map(x => x.getString(0) ->
+        ((x.getInt(1), x.getSeq[String](2), x.getInt(3), x.getInt(4))))
+      .toMap
+    assert(r("a") == ((2, Seq("one", "two"), 6, 2)))
+    assert(r("b") == ((1, Seq("edge"), 4, 1)))
+    assert(r("c") == ((2, Seq("x", "y"), 2, 2)))
+  }
+
   test("modeValue: deterministic mode with count-desc, value-asc tiebreak") {
     import graft.queries.ScalarQueries
     val ev = Seq(("t", 3.0), ("t", 3.0), ("t", 1.0), ("t", 1.0), ("t", 2.0))
