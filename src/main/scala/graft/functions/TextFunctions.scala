@@ -140,7 +140,9 @@ object TextFunctions {
     * expression that re-runs the regex split per probe — measured ~25%
     * steady-state on langId, worse cold). */
   def stopwordRatioOf(ts: Column, words: Seq[String] = EnStop): Column =
-    hitCountOf(ts, words) / size(ts).cast("double")
+    // nullif: a zero-token doc reads a NULL ratio — ANSI Spark throws
+    // on /0 where DuckDB's division natively yields NULL (hostile r18)
+    hitCountOf(ts, words) / nullif(size(ts), lit(0)).cast("double")
 
   def stopwordRatio(c: Column, words: Seq[String] = EnStop): Column =
     stopwordRatioOf(tokens(c), words)
@@ -149,7 +151,10 @@ object TextFunctions {
     * per language, deterministic argmax with fixed tie order
     * (en, de, es, fr), 'und' (undetermined) when nothing scores. */
   def langIdOf(ts: Column): Column = {
-    val n  = size(ts).cast("double")
+    // nullif: a zero-token doc scores NULL on every language — all four
+    // CASE guards read false and it lands 'und', same as the oracle's
+    // native /0 -> NULL (hostile sweep r18)
+    val n  = nullif(size(ts), lit(0)).cast("double")
     val en = hitCountOf(ts, EnStop) / n
     val de = hitCountOf(ts, DeStop) / n
     val es = hitCountOf(ts, EsStop) / n
@@ -171,7 +176,10 @@ object TextFunctions {
   def qualityScoreOf(c: Column, ts: Column): Column = {
     val n = size(ts).cast("double")
     val lengthScore = least(n / 50.0, lit(1.0))
-    val stopScore   = least(stopwordRatioOf(ts) * 5.0, lit(1.0))
+    // coalesce BEFORE least: a zero-token doc's stop ratio is NULL and
+    // Spark's least() SKIPS nulls (it would read 1.0 — full stopword
+    // credit for an empty doc); pin the component to 0 on both engines
+    val stopScore   = least(coalesce(stopwordRatioOf(ts), lit(0.0)) * 5.0, lit(1.0))
     val cleanScore  = // nullif: ANSI throws on /0 for empty text
       length(regexp_replace(c, "[^a-zA-Z0-9 ]", "")).cast("double") / nullif(length(c), lit(0))
     lengthScore * 0.4 + stopScore * 0.3 + coalesce(cleanScore, lit(0.0)) * 0.3

@@ -89,13 +89,21 @@ object ChunkedOrder {
     val withChunk = df.withColumn("__chunk", chunkCol)
     val rnIn = withChunk.withColumn("__rn_in",
       row_number().over(Window.partitionBy("__chunk").orderBy(orderCols: _*)))
+    // NULL chunk (= NULL leading order key) sorts LAST, matching the
+    // desc / asc_nulls_last orders this operator serves — Spark's asc
+    // default is NULLS FIRST, which silently offset every real chunk
+    // by the NULL-key row count (hostile sweep r18: one NULL-balance
+    // customer shifted the whole page by one rank). The offsets join
+    // is null-safe for the same reason: a null-rejecting key join
+    // left the NULL-chunk rows with a NULL global rank.
     val offsets = withChunk.groupBy("__chunk").agg(count(lit(1)).as("__cnt"))
       .withColumn("__offset", coalesce(
         sum(col("__cnt")).over(
-          Window.orderBy("__chunk").rowsBetween(Long.MinValue, -1)), lit(0L)))
-      .select(col("__chunk"), col("__offset"))
-    rnIn.join(offsets, Seq("__chunk"), "left")
+          Window.orderBy(col("__chunk").asc_nulls_last)
+            .rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .select(col("__chunk").as("__chunk_o"), col("__offset"))
+    rnIn.join(offsets, col("__chunk") <=> col("__chunk_o"), "left")
       .withColumn(rnCol, (col("__offset") + col("__rn_in")).cast("int"))
-      .drop("__chunk", "__rn_in", "__offset")
+      .drop("__chunk", "__chunk_o", "__rn_in", "__offset")
   }
 }

@@ -591,7 +591,10 @@ object Dedup {
             p => !exists(col("starts"),
               s => s <= p && s + lit(spanLen - 1) >= p))))
       .select(col(idCol),
-        size(col("ts")).cast("long").as("n_tokens"),
+        // coalesce: a NULL-text doc carries a NULL token array — its
+        // span-dedup row reads 0 tokens (the oracle's occurrence
+        // count), not NULL (hostile sweep r18)
+        coalesce(size(col("ts")), lit(0)).cast("long").as("n_tokens"),
         when(col("keptIdx").isNotNull,
           (size(col("ts")) - size(col("keptIdx"))).cast("long"))
           .otherwise(lit(0L)).as("n_removed"),

@@ -477,7 +477,7 @@ object ProductQuantization {
     val wTop = Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
     corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), l2Norm(col(vecCol)).as("cn"))
       .join(broadcast(withQ), "neighbor_id")
-      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("cos", Similarity.safeCos(col("qv"), col("cv"), col("qn"), col("cn")))
       .withColumn("rank", row_number().over(wTop))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cos", "rank")

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
@@ -24,6 +24,16 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
+  /** dot/(n1*n2) with the zero-norm case NULLed (hostile sweep r18):
+    * ANSI Spark throws DIVIDE_BY_ZERO where DuckDB natively yields
+    * NULL, so the raw division crashed on an all-zero embedding. NULL
+    * is the right value AND the parity-exact one: every threshold
+    * filter drops it and every DESC ranking orders it last in both
+    * engines — a zero-norm vector is nobody's neighbor. */
+  private[operators] def safeCos(v1: Column, v2: Column,
+                                 n1: Column, n2: Column): Column =
+    dot(v1, v2) / nullif(n1 * n2, lit(0.0))
+
   /** Exact top-k neighbors for each query vector (excludes self-match). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -34,7 +44,7 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       l2Norm(col(vecCol)).as("cn"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("cos", safeCos(col("qv"), col("cv"), col("qn"), col("cn")))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -82,7 +92,7 @@ object Similarity {
       .drop("home"))
     val scored = qb.join(cb, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("cos", safeCos(col("qv"), col("cv"), col("qn"), col("cn")))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -235,7 +245,7 @@ object Similarity {
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
     broadcast(probes).join(cells, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("cos", safeCos(col("qv"), col("cv"), col("qn"), col("cn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cos", "rank")
@@ -306,7 +316,7 @@ object Similarity {
     val a = emb.select(col(idCol).as("a"), col(vecCol).as("va"), l2Norm(col(vecCol)).as("na"))
     val b = emb.select(col(idCol).as("b"), col(vecCol).as("vb"), l2Norm(col(vecCol)).as("nb"))
     a.join(b, col("a") < col("b"))
-      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .withColumn("cos", safeCos(col("va"), col("vb"), col("na"), col("nb")))
       .filter(col("cos") >= threshold)
       .select("a", "b", "cos")
   }
@@ -352,7 +362,7 @@ object Similarity {
       grid.as("ra"), col("blk").as("rb"))
     left.hint("shuffle_hash").join(right, Seq("ra", "rb"))
       .filter(col("a") < col("b"))
-      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .withColumn("cos", safeCos(col("va"), col("vb"), col("na"), col("nb")))
       .filter(col("cos") >= threshold)
       .select("a", "b", "cos")
   }
@@ -389,7 +399,7 @@ object Similarity {
     val r = assigned.select(col("cell"), col("query_id").as("b"), col("qv").as("vb"), col("qn").as("nb"))
     l.hint("shuffle_hash").join(r, Seq("cell"))
       .filter(col("a") < col("b"))
-      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .withColumn("cos", safeCos(col("va"), col("vb"), col("na"), col("nb")))
       .filter(col("cos") >= threshold)
       // a pair sharing BOTH probe cells meets twice — cos is identical,
       // so a plain distinct collapses the duplicates
@@ -422,7 +432,7 @@ object Similarity {
     l.join(r, Seq("band", "key"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"),
-        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+        (safeCos(col("va"), col("vb"), col("na"), col("nb"))).as("cos"))
       // threshold BEFORE distinct: only qualifying pairs pay the dedup
       // shuffle (the optimizer can push a grouping-column predicate
       // through the distinct, but write the intended order explicitly).

@@ -11,6 +11,18 @@ import graft.sources.Sources
   * from integer columns so both engines render identical text. */
 object ScalarQueries {
 
+  /** Single-key equi-join that KEEPS NULL-keyed groups (hostile sweep
+    * r18): the Seq-form join uses null-rejecting `=`, so when both
+    * sides aggregate the same frame and the group key holds NULLs, the
+    * NULL group survives both aggregations and then silently vanishes
+    * at the join — the sketch-vs-exact A/B queries lost their NULL
+    * stratum this way. `<=>` matches the oracles' plain GROUP BY
+    * semantics. Broadcast hints on `right` survive the rename. */
+  private def joinKeyNullSafe(left: DataFrame, right: DataFrame,
+                              key: String): DataFrame =
+    left.join(right.withColumnRenamed(key, "__nsk"),
+      col(key) <=> col("__nsk")).drop("__nsk")
+
   def qDateParts(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .filter(col("o_orderkey") < 100)
@@ -203,14 +215,29 @@ object ScalarQueries {
       .orderBy("bucket")
 
   /** Correlation / covariance statistics per group (irrational outputs —
-    * engine noise is far below the rounding scale). */
-  def qStatsCorr(spark: SparkSession, dir: String): DataFrame =
+    * engine noise is far below the rounding scale).
+    *
+    * Guarded forms, not the corr()/covar_samp() built-ins: on a
+    * single-row or zero-variance group the built-ins' evaluate
+    * expressions divide by zero — ANSI Spark THROWS where DuckDB
+    * yields NULL (hostile sweep r18: the empty-string-flag group has
+    * one row). covar_pop/(stddev_pop*stddev_pop) and
+    * covar_pop*n/(n-1) are the same estimators with the degenerate
+    * case nullif'd to the oracle's NULL; float noise vs the built-ins
+    * is ulp-scale, far below the 1e-4 rounding. */
+  def qStatsCorr(spark: SparkSession, dir: String): DataFrame = {
+    val n = count(col("l_quantity")).cast("double")
+    val corrSafe = covar_pop(col("l_quantity"), col("l_extendedprice")) /
+      nullif(stddev_pop(col("l_quantity")) * stddev_pop(col("l_extendedprice")), lit(0.0))
+    val covSamp = covar_pop(col("l_quantity"), col("l_discount")) * n /
+      nullif(n - 1.0, lit(0.0))
     Tables.lineitem(spark, dir)
       .groupBy("l_returnflag")
       .agg(
-        rnd(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
-        rnd(covar_samp(col("l_quantity"), col("l_discount")), 4).as("cov_qty_disc"))
+        rnd(corrSafe, 4).as("corr_qty_price"),
+        rnd(covSamp, 4).as("cov_qty_disc"))
       .orderBy("l_returnflag")
+  }
 
   /** Row cap for the sketch-family diagnostic inputs, interpolated
     * into BOTH engines. For [[qApproxSketch]]'s events input (10k rows
@@ -273,7 +300,7 @@ object ScalarQueries {
         approx_count_distinct(col("user_id"), 0.01).as("users_approx"),
         percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_approx"),
         expr("percentile(value, 0.5)").as("p50_raw"))
-      .join(broadcast(exactUsers), Seq("event_type"))
+      .transform(joinKeyNullSafe(_, broadcast(exactUsers), "event_type"))
       // abs() on the denominator: a signed divisor would auto-pass every
       // negative-median stratum; the <= form keeps exact-zero medians
       // passing when the sketch agrees exactly
@@ -354,7 +381,7 @@ object ScalarQueries {
     ev.groupBy("event_type", "user_id").agg(count(lit(1)).as("cnt"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
-      .join(broadcast(sketches), Seq("event_type"))
+      .transform(joinKeyNullSafe(_, broadcast(sketches), "event_type"))
       .select(col("event_type"), col("rn"), col("user_id"), col("cnt"),
         (est >= col("cnt")).as("cms_no_undercount"),
         (est <= col("cnt") + ceil(lit(0.0005) * col("n_type")).cast("long"))
@@ -448,7 +475,7 @@ object ScalarQueries {
         expr("hll_sketch_estimate(hll_union_agg(hll, false))").as("nd_est"))
     val exact = li.groupBy("l_returnflag")
       .agg(countDistinct(col("l_partkey")).as("nd_parts"))
-    merged.join(broadcast(exact), Seq("l_returnflag"))
+    joinKeyNullSafe(merged, broadcast(exact), "l_returnflag")
       .select(col("l_returnflag"), col("n_partials"), col("n"), col("nd_parts"),
         (abs(col("nd_est") - col("nd_parts")) <=
           lit(0.05) * col("nd_parts")).as("hll_within"))
@@ -635,8 +662,13 @@ object ScalarQueries {
       .join(broadcast(full), "event_type")
       .select(col("event_type"), col("n"), col("n_reps"),
         rnd(col("mean_v"), 4).as("mean_value"),
-        rnd(element_at(col("ms"), loRank), 4).as("ci_lo"),
-        rnd(element_at(col("ms"), hiRank), 4).as("ci_hi"))
+        // try_element_at: a tiny group can lose zero-weight replicas
+        // (P(W=0) = 1/e per replica at n=1), leaving fewer than
+        // BootReps entries — the fixed percentile rank then reads
+        // out-of-bounds, which must be the oracle's NULL (DuckDB list
+        // indexing past the end), not an ANSI throw (hostile r18)
+        rnd(try_element_at(col("ms"), lit(loRank)), 4).as("ci_lo"),
+        rnd(try_element_at(col("ms"), lit(hiRank)), 4).as("ci_hi"))
       .orderBy("event_type")
   }
 
@@ -747,7 +779,13 @@ object ScalarQueries {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, s"quantileBuckets: k must be >= 1 (got $k)")
     val w = Window.partitionBy("event_type").orderBy(col("cents"), col(idCol))
+    // NULL group keys and NULL values excluded explicitly (the
+    // rankFractions rule: NULL semantics are decided, never inherited —
+    // a NULL cents would land rn=1 under Spark's NULLS-FIRST asc but
+    // LAST under DuckDB's default, shifting every bucket boundary; and
+    // the count join below is null-rejecting), mirrored in SQL
     val ev = df
+      .filter(col(valCol).isNotNull && col(typeCol).isNotNull)
       .select(col(typeCol).as("event_type"), col(idCol), col(valCol).as("value"),
         centsOf(valCol).as("cents"))
     val counts = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
@@ -1179,10 +1217,12 @@ object ScalarQueries {
     // (cents, event_id) rank — no interpolated edge to disagree on;
     // DuckDB // is floor division, matching Spark's div on non-negatives
     "q_quantile_buckets" ->
+      // NULL type/value exclusion mirrors quantileBuckets (hostile r18)
       s"""WITH ev AS (
          |  SELECT event_type, event_id, value,
          |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
-         |  FROM events),
+         |  FROM events
+         |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
          |r AS (
          |  SELECT event_type, value, cents,
          |    row_number() OVER (PARTITION BY event_type
@@ -1389,8 +1429,13 @@ object ScalarQueries {
         |FROM e GROUP BY event_type, 2
         |ORDER BY event_type, k_band""".stripMargin,
     "q_unpivot" ->
-      """SELECT CAST(ts AS DATE) AS day, event_type, CAST(count(*) AS BIGINT) AS n
-        |FROM events GROUP BY CAST(ts AS DATE), event_type
+      // restricted to the pivot's DECLARED column list: a pivot cannot
+      // carry a NULL or unlisted column name, so types outside
+      // EventTypes never reach the wide frame (hostile sweep r18)
+      s"""SELECT CAST(ts AS DATE) AS day, event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM events
+        |WHERE event_type IN (${EventTypes.map(t => s"'$t'").mkString(", ")})
+        |GROUP BY CAST(ts AS DATE), event_type
         |ORDER BY day, event_type""".stripMargin,
     "q_grouping_sets" ->
       """SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL'
@@ -1414,8 +1459,10 @@ object ScalarQueries {
         |  quantile_cont(l_quantity, 0.75) AS p75
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_wordcount" ->
-      """SELECT token, count(*) AS cnt FROM (
-        |  SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS token
+      // whitespace class = the shared explicit WsRe set (hostile r18:
+      // RE2's \s omits U+000B where the engine's Java \s includes it)
+      s"""SELECT token, count(*) AS cnt FROM (
+        |  SELECT unnest(list_filter(string_split_regex(trim(text), '${graft.functions.TextFunctions.WsRe}+'), x -> x <> '')) AS token
         |  FROM documents)
         |GROUP BY token ORDER BY token""".stripMargin,
     "q_pivot" ->

@@ -229,11 +229,21 @@ object SourceQueries {
         .option("header", "true")
         .option("ignoreLeadingWhiteSpace", "false")
         .option("ignoreTrailingWhiteSpace", "false")
+        // a distinct NULL token: with the default nullValue="" the
+        // READER maps BOTH an unquoted empty field and a quoted ""
+        // back to NULL (univocity compares nullValue after unquoting),
+        // silently merging empty-string and NULL cells — the r18
+        // hostile twin's ''-typed event came back NULL. \N in, \N out
+        // keeps the two distinguishable, CSV's only faithful encoding
+        .option("nullValue", "\\N")
+        .option("emptyValue", "\"\"")
         .csv(path),
       path => spark.read
         .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, " +
           "value DOUBLE")
         .option("header", "true")
+        .option("nullValue", "\\N")
+        .option("emptyValue", "")
         // multiLine: a string cell containing a quoted line separator
         // must not split records (costs line-split read parallelism —
         // the correctness query pays it; a bulk ingest that bans

@@ -2249,9 +2249,9 @@ object StatQueries {
          |    floor(abs(CAST(coalesce(obs.c, CAST(0 AS BIGINT)) AS DOUBLE)
          |      / CAST(n.n AS DOUBLE) - e.p) * 1e6 + 0.5) / 1e6 AS dev
          |  FROM grid
-         |  LEFT JOIN obs ON grid.event_type = obs.event_type
+         |  LEFT JOIN obs ON grid.event_type IS NOT DISTINCT FROM obs.event_type
          |    AND grid.digit = obs.digit
-         |  JOIN n ON grid.event_type = n.event_type
+         |  JOIN n ON grid.event_type IS NOT DISTINCT FROM n.event_type
          |  JOIN e ON grid.digit = e.digit)
          |SELECT event_type, digit, n_obs, share, expected, dev,
          |  dev > 0.05 AS flagged

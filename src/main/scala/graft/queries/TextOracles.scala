@@ -97,7 +97,7 @@ import TextStats._
     * mirror is also a single definition). */
   private val QualitySql: String =
     s"""least(len($TOKS) / 50.0, 1.0) * 0.4
-       |      + least((${hitSql(EnStop)} * 1.0 / len($TOKS)) * 5.0, 1.0) * 0.3
+       |      + least(coalesce(${hitSql(EnStop)} * 1.0 / nullif(len($TOKS), 0), 0.0) * 5.0, 1.0) * 0.3
        |      + coalesce(length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) * 1.0 / nullif(length(text), 0), 0.0) * 0.3""".stripMargin
 
   /** DuckDB twin of Dedup.canonicalGroups over the verified MinHash dup
@@ -1055,9 +1055,13 @@ import TextStats._
          |  AND levenshtein(pa.p, pb.p) <= ${TextDedup.EdMax}
          |ORDER BY a, b""".stripMargin,
     "q_multimodal_meta" ->
+      // encode(), not CAST(text AS BLOB): DuckDB's cast ERRORS on any
+      // non-ASCII character ("must be escaped with hex codes") while
+      // encode() is the UTF-8 byte view Spark's octet_length measures
+      // (hostile sweep r18: the unicode fixture doc broke the oracle)
       """SELECT doc_id,
-        |  octet_length(CAST(text AS BLOB)) AS n_bytes,
-        |  CAST(floor((octet_length(CAST(text AS BLOB)) + 255) / 256) AS BIGINT) AS n_frames
+        |  octet_length(encode(text)) AS n_bytes,
+        |  CAST(floor((octet_length(encode(text)) + 255) / 256) AS BIGINT) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

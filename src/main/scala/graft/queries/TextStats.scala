@@ -664,8 +664,13 @@ object TextStats {
     // at least len-stride tokens from s on — without the guard, short
     // tails are strict subsets of their predecessor and downstream
     // fingerprint consumers embed pure duplicates
+    // zero-token guard: sequence(1, 0, stride) THROWS in Spark (step
+    // sign must match direction) where the oracle's generate_series
+    // yields an empty list — an empty/whitespace doc must produce zero
+    // chunks, not crash the stage (hostile sweep r18)
     val starts = filter(
-      sequence(lit(1), size(ts), lit(ChunkStride)),
+      when(size(ts) >= 1, sequence(lit(1), size(ts), lit(ChunkStride)))
+        .otherwise(array().cast("array<int>")),
       s => (s === 1) || (s + lit(ChunkLen - ChunkStride) <= size(ts)))
     val chunks = transform(starts,
       s => struct(
@@ -928,9 +933,12 @@ object TextStats {
     val base = docs.select(col(idCol).as("doc_id"), nW.as("n_words"),
       nS.as("n_sentences"), nSyl.as("n_syllables"))
     def d(s: String) = col(s).cast("double")
+    // nullif: a zero-word doc reads NULL flesch (ANSI Spark would throw
+    // on /0; DuckDB's division is natively NULL) and falls through the
+    // band CASE to 'difficult' on BOTH engines — hostile sweep r18
     val flesch = rnd(lit(206.835) -
       lit(1.015) * (d("n_words") / d("n_sentences")) -
-      lit(84.6) * (d("n_syllables") / d("n_words")), 2)
+      lit(84.6) * (d("n_syllables") / nullif(d("n_words"), lit(0.0))), 2)
     base
       .select(col("doc_id"), col("n_words"), col("n_sentences"),
         col("n_syllables"), flesch.as("flesch"))

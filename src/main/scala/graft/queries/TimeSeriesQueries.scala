@@ -218,7 +218,12 @@ object TimeSeriesQueries {
     * per event type (spark_stream.py's schema-on-read flatten). */
   def qEventJson(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
-      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      // try_cast, not cast: a malformed or non-numeric payload must
+      // land in NULL (visible as a lower count(k)), not ANSI-throw.
+      // get_json_object already NULLs malformed JSON in Spark; the
+      // oracle needs an explicit json_valid guard because DuckDB's
+      // json_extract_string ERRORS on invalid JSON (hostile sweep r18)
+      .withColumn("k", expr("try_cast(get_json_object(props, '$.k') AS INT)"))
       .groupBy("event_type")
       .agg(
         rnd(sum(col("k")) / (count(col("k")) * lit(1.0)), 4).as("avg_k"),
@@ -466,10 +471,14 @@ object TimeSeriesQueries {
         col("ts"))
       .withColumn("cs", sort_array(collect_list(col("cents")).over(wf)))
       .withColumn("k", size(col("cs")))
+      // median over the frame's NON-NULL values (collect_list already
+      // skips NULLs; the oracle's list() keeps them, so it filters
+      // explicitly — hostile r18), NULL when the frame holds none
       .select(col("event_id"), col("user_id"),
-        rnd((((expr("element_at(cs, CAST((k + 1) div 2 AS INT))") +
-          expr("element_at(cs, CAST((k div 2) + 1 AS INT))")) / 2.0)
-          / 100.0), 4).as("med14"))
+        rnd(when(col("k") > 0,
+          ((expr("element_at(cs, CAST((k + 1) div 2 AS INT))") +
+            expr("element_at(cs, CAST((k div 2) + 1 AS INT))")) / 2.0)
+            / 100.0), 4).as("med14"))
       .orderBy("user_id", "event_id")
   }
 
@@ -1363,14 +1372,15 @@ object TimeSeriesQueries {
          |  FROM events),
          |f AS (
          |  SELECT event_id, user_id,
-         |    list_sort(list(cents) OVER ($ORDER
+         |    list_sort(list(cents) FILTER (cents IS NOT NULL) OVER ($ORDER
          |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)) AS cs,
-         |    count(*) OVER ($ORDER
+         |    count(cents) OVER ($ORDER
          |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS k
          |  FROM c)
          |SELECT event_id, user_id,
-         |  floor((((cs[CAST((k + 1) // 2 AS INT)] + cs[CAST((k // 2) + 1 AS INT)]) / 2.0)
-         |    / 100.0) * 1e4 + 0.5) / 1e4 AS med14
+         |  CASE WHEN k > 0 THEN
+         |    floor((((cs[CAST((k + 1) // 2 AS INT)] + cs[CAST((k // 2) + 1 AS INT)]) / 2.0)
+         |      / 100.0) * 1e4 + 0.5) / 1e4 END AS med14
          |FROM f ORDER BY user_id, event_id""".stripMargin,
     // grouped exact percentiles vs quantile_cont — the q_profile recipe
     "q_latency_bands" ->
@@ -1590,11 +1600,15 @@ object TimeSeriesQueries {
         |    AS rolling_sum
         |FROM events ORDER BY user_id, event_id""".stripMargin,
     "q_event_json" ->
-      """SELECT event_type,
-        |  floor((sum(CAST(json_extract_string(props, '$.k') AS INTEGER))
-        |    / (count(CAST(json_extract_string(props, '$.k') AS INTEGER)) * 1.0)) * 1e4 + 0.5) / 1e4 AS avg_k,
+      """WITH j AS (
+        |  SELECT event_type,
+        |    CASE WHEN json_valid(props) THEN
+        |      TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) END AS k
+        |  FROM events)
+        |SELECT event_type,
+        |  floor((sum(k) / (count(k) * 1.0)) * 1e4 + 0.5) / 1e4 AS avg_k,
         |  count(*) AS cnt
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_ml_features" ->
       s"""WITH d AS (
          |  SELECT event_id, user_id, ts, value,
