@@ -61,6 +61,26 @@ class SimilaritySpec extends AnyFunSuite {
       !r2.getBoolean(5))
   }
 
+  test("zero-norm vectors are nobody's neighbor: NULL cos ranks last, no ANSI throw (hostile r18)") {
+    // safeCos: the raw dot/(qn*cn) division ANSI-threw on an all-zero
+    // embedding; the nullif'd form reads NULL — dropped by thresholds,
+    // ordered last by every DESC ranking (DuckDB's /0 is natively NULL,
+    // so the oracles agree without edits)
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" === 0L), 2)
+      .orderBy("rank").select("neighbor_id", "cos")
+      .as[(Long, Option[Double])].collect().toSeq
+    assert(top.map(_._1) == Seq(1L, 2L),
+      s"zero vector must rank after every real neighbor, got $top")
+    assert(top(0)._2.exists(_ > 0.9) && top(1)._2.isEmpty,
+      s"zero vector's cos must be NULL, got $top")
+    val pairs = Similarity.nearDupPairs(emb, 0.45).collect()
+    assert(pairs.forall(r => r.getLong(0) != 2L && r.getLong(1) != 2L),
+      "a zero-norm vector must never appear in threshold pairs")
+  }
+
   test("brute force top-k: k rows per query, self excluded, ranked desc") {
     val emb = Tables.embeddings(spark, TestSpark.Sf)
     val res = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 5), 3)

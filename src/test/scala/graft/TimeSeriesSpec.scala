@@ -71,6 +71,21 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(nChunks > 5, s"must exercise multiple chunks, got $nChunks")
   }
 
+  test("withGlobalRowNumber: NULL order keys rank LAST, shifting no real row (hostile r18)") {
+    // a NULL leading key maps to a NULL chunk; under Spark's
+    // NULLS-FIRST asc default the offsets window counted it BEFORE
+    // every real chunk (each page shifted by one) and the
+    // null-rejecting offsets join left its own rank NULL
+    import graft.operators.ChunkedOrder
+    val df = Seq((1L, Some(9.0)), (2L, None: Option[Double]), (3L, Some(5.0)),
+      (4L, Some(9.0))).toDF("id", "v")
+    val r = ChunkedOrder.withGlobalRowNumber(
+        df, floor(-$"v"), Seq(desc("v"), $"id"), "rn")
+      .select($"id", $"rn").as[(Long, Int)].collect().toMap
+    assert(r == Map(1L -> 1, 4L -> 2, 3L -> 3, 2L -> 4),
+      s"NULL-key row must rank last with real rows unshifted, got $r")
+  }
+
   test("lag is null at partition start and partition-local") {
     val r = df.withColumn("l", lagK($"v", 1, w)).orderBy("g", "i")
       .select("l").as[Option[Double]].collect()
