@@ -139,6 +139,7 @@ object ProductQuantization {
       }
     // limit() after the seeded sample is only the hard cap defense
     val train: Array[Array[Float]] = sampled
+      .filter(col(vecCol).isNotNull) // NULL vectors train nothing (r18)
       .select(col(vecCol).cast("array<float>").as("__v"))
       .limit(trainCap)
       .collect()
@@ -244,7 +245,8 @@ object ProductQuantization {
   /** Map-side PQ encoding: id + `pq_code` array<int> of length m. */
   def pqEncode(corpus: DataFrame, model: PqModel,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    corpus.select(col(idCol), codesExpr(col(vecCol), model).as("pq_code"))
+    corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol), codesExpr(col(vecCol), model).as("pq_code"))
 
   /** Persist the PQ artifact (the [[Similarity.writeIvfIndex]]
     * discipline applied to PQ — VERDICT r6 item 4: without this, every
@@ -405,7 +407,8 @@ object ProductQuantization {
                      km: org.apache.spark.ml.clustering.KMeansModel, model: PqModel,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector
-    km.transform(corpus.withColumn("__features", array_to_vector(col(vecCol))))
+    km.transform(corpus.filter(col(vecCol).isNotNull) // fitQuantizer NULL contract
+        .withColumn("__features", array_to_vector(col(vecCol))))
       .select(col(idCol).as("neighbor_id"), col("__cell").as("cell"),
         codesExpr(col(vecCol), model).as("pq_code"))
   }

@@ -109,9 +109,14 @@ object Similarity {
                    vecCol: String = "embedding"): org.apache.spark.ml.clustering.KMeansModel = {
     import org.apache.spark.ml.functions.array_to_vector
     import org.apache.spark.ml.clustering.KMeans
+    // NULL vectors are excluded from the fit (hostile r18): KMeans
+    // throws on a null feature row, and a row with no embedding can
+    // belong to no cell — the same nobody's-neighbor contract safeCos
+    // gives the scoring tier
     val sampled =
-      if (sampleFraction >= 1.0) corpus
-      else corpus.sample(withReplacement = false, sampleFraction, seed = 42)
+      (if (sampleFraction >= 1.0) corpus
+       else corpus.sample(withReplacement = false, sampleFraction, seed = 42))
+        .filter(col(vecCol).isNotNull)
     new KMeans().setK(nlist).setSeed(42).setFeaturesCol("__features")
       .setPredictionCol("__cell")
       .fit(sampled.withColumn("__features", array_to_vector(col(vecCol))))
@@ -146,6 +151,7 @@ object Similarity {
     val sampled =
       (if (sampleFraction >= 1.0) corpus
        else corpus.sample(withReplacement = false, sampleFraction, seed = 42))
+        .filter(col(vecCol).isNotNull) // the fitQuantizer NULL contract
         .select(array_to_vector(col(vecCol)).as("__features"))
         .cache()
     val n = sampled.count().toDouble
@@ -255,7 +261,9 @@ object Similarity {
               km: org.apache.spark.ml.clustering.KMeansModel, nprobe: Int,
               idCol: String, vecCol: String): DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector
-    val vecs = corpus.withColumn("__features", array_to_vector(col(vecCol)))
+    // transform() also rejects null feature rows — same exclusion
+    val vecs = corpus.filter(col(vecCol).isNotNull)
+      .withColumn("__features", array_to_vector(col(vecCol)))
     val cells = km.transform(vecs)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
         l2Norm(col(vecCol)).as("cn"), col("__cell").as("cell"))
@@ -279,7 +287,8 @@ object Similarity {
                     path: String,
                     idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     import org.apache.spark.ml.functions.array_to_vector
-    km.transform(corpus.withColumn("__features", array_to_vector(col(vecCol))))
+    km.transform(corpus.filter(col(vecCol).isNotNull)
+        .withColumn("__features", array_to_vector(col(vecCol))))
       .select(col(idCol), col(vecCol), l2Norm(col(vecCol)).as("cn"), col("__cell").as("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
   }

@@ -312,6 +312,9 @@ def main(base, out):
         {'vec_id': vk + 2, 'embedding': v0, 'label': 1},
         {'vec_id': vk + 3, 'embedding': ones, 'label': 2},
         {'vec_id': vk + 4, 'embedding': ones, 'label': 2},
+        # E: NULL embedding + NULL label (wave 2, r18): must be excluded
+        # by every fit/encode path and read NULL cos everywhere else
+        {'vec_id': vk + 5, 'embedding': None, 'label': None},
     ], emb.schema)])
     write(out, 'embeddings', emb)
 
