@@ -52,6 +52,25 @@ Hazard classes injected (deterministic — no RNG, no wall clock):
 The twin is a superset mutation: joins stay populated, every query
 still returns rows, and the compare is Spark-vs-DuckDB on the SAME
 file, so any FAIL is a real cross-engine divergence.
+
+DELIBERATELY NOT injected — declared DATA-CONTRACT boundaries rather
+than robustness gaps (r18 wave-2 triage):
+
+  * NaN / +-Inf measures: the two engines' comparison semantics
+    genuinely differ (DuckDB: NaN > everything is TRUE in predicates;
+    Spark: NaN ordered largest but predicate semantics differ) and
+    BOTH engines fail the exact-cents cast (DuckDB range error, Spark
+    ANSI throw) — non-finite measures are out of the landed-data
+    contract; the engine's NaN surface is the declared scrub ops
+    (F20 NaN->0 JSON scrub, q_json_profile's isnan NULL-banding) and
+    a production deployment quarantines non-finite rows at ingest.
+  * Wrong-length embedding vectors: the embeddings table declares a
+    fixed dim; a mixed-dim corpus is a schema violation upstream of
+    every operator (KMeans would reject the fit outright).
+  * Duplicate primary keys / empty tables: key uniqueness and
+    non-empty model-training inputs are contract preconditions
+    (KMeans requires k <= n); an empty-corpus index build should
+    fail loudly, not return an empty index.
 """
 import datetime as dt
 import os
