@@ -263,6 +263,16 @@ def main(base, out):
         # W: exact midnight (day-bucket boundary)
         {'event_id': ek + 11, 'ts': ts('2024-01-16T00:00:00'), 'user_id': 7,
          'event_type': 'view', 'value': 11.0, 'props': '{"k": 11}'},
+        # T/K (wave 3): event types that stress CSV/JSON quoting and
+        # every group key — embedded comma, quote, newline, unicode
+        {'event_id': ek + 18, 'ts': ts('2024-01-19T00:00:01'), 'user_id': 6,
+         'event_type': 'comma,type', 'value': 1.0, 'props': '{"k": 1}'},
+        {'event_id': ek + 19, 'ts': ts('2024-01-19T00:00:02'), 'user_id': 6,
+         'event_type': 'quote"type', 'value': 2.0, 'props': '{"k": 2}'},
+        {'event_id': ek + 20, 'ts': ts('2024-01-19T00:00:03'), 'user_id': 6,
+         'event_type': 'multi\nline', 'value': 3.0, 'props': '{"k": 3}'},
+        {'event_id': ek + 21, 'ts': ts('2024-01-19T00:00:04'), 'user_id': 6,
+         'event_type': 'sémi;colon', 'value': 4.0, 'props': '{"k": "a\\"b"}'},
     ]
     # V: zero-variance user (5 identical values), single-event user
     for i in range(5):
