@@ -319,9 +319,9 @@ object Bench {
       java.nio.file.Files.createSymbolicLink(
         srcDir.resolve("events.parquet"),
         java.nio.file.Paths.get(sfDir, "events.parquet"))
-      def src = Tables.normalizeTs(spark.readStream.schema(rawSchema)
-          .parquet(srcDir.toString))
-        .select("event_id", "ts", "user_id", "event_type", "value").as[Ingest.Event]
+      def src = Ingest.typedEvents(
+        Tables.normalizeTs(spark.readStream.schema(rawSchema)
+          .parquet(srcDir.toString)))
       // each stateful shape replays TWICE against fresh checkpoints: the
       // first (cold) number is the end-to-end story (source listing,
       // RocksDB native init, JIT of the state-processor paths all priced

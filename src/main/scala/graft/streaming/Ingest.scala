@@ -72,6 +72,24 @@ object Ingest {
     iv.months > 0 || iv.days >= 1 || iv.microseconds >= 86400000000L
   }
 
+  /** Typed ingest boundary with NULL quarantine (hostile r18): the
+    * [[Event]] encoding declares non-nullable longs/double, so
+    * `.as[Event]` over a frame carrying a NULL key or measure THROWS
+    * mid-batch — and a streaming query then restart-loops on the same
+    * poisoned batch forever. Rows missing any non-nullable field are
+    * dropped here, once, at the boundary (a production deployment
+    * routes them to a quarantine sink instead — the filter is the
+    * contract point to attach it). NULL event_type survives: String
+    * is nullable and every downstream grouping handles it. */
+  def typedEvents(df: DataFrame): Dataset[Event] = {
+    import df.sparkSession.implicits._
+    df.select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .filter(col("event_id").isNotNull && col("ts").isNotNull &&
+        col("user_id").isNotNull && col("value").isNotNull)
+      .as[Event]
+  }
+
   /** ST3 (threshold form): flag events whose value exceeds `threshold`. */
   def thresholdAlerts(events: DataFrame, threshold: Double = 400.0): DataFrame =
     withEventTime(events).filter(col("value") > threshold)

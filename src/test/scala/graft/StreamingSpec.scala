@@ -121,6 +121,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("typedEvents quarantines NULL-field rows; NULL event_type survives (hostile r18)") {
+    // the Event encoding declares non-nullable longs/double — without
+    // the boundary filter, .as[Event] over a NULL value throws
+    // mid-batch and a streaming query restart-loops on the poisoned
+    // batch. NULL event_type is a nullable String and must pass.
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, 1000L, 7L, "view", 10.0),
+        org.apache.spark.sql.Row(2L, 2000L, 7L, null, 11.0),
+        org.apache.spark.sql.Row(3L, 3000L, 7L, "click", null),
+        org.apache.spark.sql.Row(null, 4000L, 7L, "click", 12.0))),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE"))
+    val got = Ingest.typedEvents(df).collect().sortBy(_.event_id)
+    assert(got.map(_.event_id).toSeq == Seq(1L, 2L),
+      s"NULL-measure/key rows must be quarantined, got ${got.toSeq}")
+    assert(got(1).event_type == null, "NULL event_type must survive the boundary")
+  }
+
+  test("stateful pct alerts are deterministic under duplicate timestamps (hostile r18)") {
+    // same (user, ts) for three events: the processor's batch order is
+    // (ts, event_id) — the alert set must be a pure function of the
+    // data, not of arrival interleaving
+    val src = MemoryStream[Event]
+    val q = Ingest.statefulPctAlerts(src.toDS(), pctThreshold = 5.0)
+      .writeStream.format("memory").queryName("pct_dup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // all at the identical timestamp, added in SHUFFLED order: sorted
+      // by event_id the values run 100 -> 104 (+4%, no) -> 120 (+15%,
+      // alert) -> 90 (-25%, no: only positive spikes alert)
+      src.addData(ev(3, 1, 1, 120.0), ev(1, 1, 1, 100.0),
+        ev(4, 1, 1, 90.0), ev(2, 1, 1, 104.0))
+      q.processAllAvailable()
+      val got = spark.table("pct_dup_out").as[PctAlert].collect()
+      assert(got.map(_.event_id).toSet == Set(3L),
+        s"duplicate-ts batch must alert exactly once (event 3), got ${got.toSeq}")
+      assert(math.abs(got.head.pct - (120.0 - 104.0) / 104.0 * 100.0) < 1e-9)
+    } finally q.stop()
+  }
+
   test("stateful pct-change state evicts idle keys after the event-time TTL") {
     val src = MemoryStream[Event]
     val q = Ingest.statefulPctAlerts(src.toDS(), pctThreshold = 5.0,
