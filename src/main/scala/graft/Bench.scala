@@ -141,6 +141,14 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // FAIR so the parallel warmup's per-family pools share slots
+      // round-robin: under FIFO the GBT chain's hundreds of tiny
+      // latency-critical stages starve behind the dedup/ANN families'
+      // wide stages (measured: q_ml_importances 17s solo -> 117s wall
+      // under FIFO-contended warmup). The timed query loop below is
+      // strictly sequential — one job at a time, where FAIR degenerates
+      // to FIFO — so query medians are unaffected.
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -165,37 +173,71 @@ object Bench {
       (out, shuffleBytes.get() - before, sec)
     }
 
-    // warmup is best-effort: a missing table must not kill the run before
-    // the per-query loop gets to report -1s
-    val memoWarmers = Seq(
-      "q1_pricing_summary", "q_lag_lead", // JIT/codegen + window path
-      "q_ml_importances", "q_ml_serve",   // feature frame + fits + metric frames
-      "q_ml_classifier", "q_ml_regressor", // gated metric memos
-      "q_dedup_groups",                   // MinHash pair memo
-      "q_simhash_neardup",                // SimHash pair memo (r14)
-      "q_unigram_logprob",                // shared corpus token frame
-      "q_span_dedup_rowhash",             // memoized span-dedup output
-      "q_ann_ivf_indexed", "q_ann_lsh",   // quantizer + brute ground truth + index
-      "q_ann_pq",                         // PQ fit + persisted codes artifact
-      "q_ann_ivfpq",                      // cell-keyed code table memo
-      "q_dedup_indexed",                  // bucketed corpus dedup index build
-      "q_multimodal_decode",              // PNG fixture synthesis + parquet write
-      // the standing noisy dispersion flag (2.0-2.2x in two of five r13
-      // closing runs): per-row JSON parsing JITs late — one untimed
-      // pass lets its C2 compilation land before the timed reps
-      // (VERDICT r13 ask #6)
-      "q_json_profile",
-      // r14's only recurring dispersion flag (2.425 on the driver's
-      // loaded run, empty on quiet closes): the _indexed warmer above
-      // builds the quantizer/brute/index memos but never exercises the
-      // in-memory ivfTopK scoring path itself, so its codegen + model
-      // broadcast JIT landed inside the timed reps (VERDICT r15 ask #3)
-      "q_ann_ivf")
+    // Warmup (VERDICT r18 ask #1 — cut the absolute cost): the leg is
+    // the round's era proxy AND its largest fixed wall-clock cost
+    // (fast-era 62-70 s at r18, measured sequential breakdown:
+    // q_ml_importances 17.1 + q_ml_serve 11.2 + the ANN/dedup families
+    // ~22 + scans 5.5 + the rest ~10). At sf0.1 nearly all of that is
+    // STAGE-SCHEDULING LATENCY on tiny data, not CPU — GBT fits are
+    // hundreds of sub-50ms stages — so independent memo FAMILIES now
+    // warm in parallel threads (each family sequential inside, in its
+    // memo-dependency order; Spark's scheduler interleaves the jobs on
+    // the 32 local slots). Cross-family races on a shared memo are
+    // at-most-once-build safe (SessionMemo double-checked locking).
+    // warmup is still best-effort: a missing table must not kill the
+    // run before the per-query loop gets to report -1s.
+    val warmerFamilies: Seq[(String, Seq[String])] = Seq(
+      // feature frame + both fits + metric frames + serving pipeline —
+      // the heavyweight chain, started first
+      "ml" -> Seq("q_ml_importances", "q_ml_serve", "q_ml_classifier", "q_ml_regressor"),
+      // quantizer + brute ground truth + persisted index + PQ fit +
+      // cell-keyed code table; q_ann_ivf last — the _indexed warmer
+      // builds the memos but not the in-memory ivfTopK scoring path's
+      // codegen (VERDICT r15 ask #3)
+      "ann" -> Seq("q_ann_ivf_indexed", "q_ann_lsh", "q_ann_pq", "q_ann_ivfpq", "q_ann_ivf"),
+      // MinHash pair memo, SimHash pair memo (r14), span-dedup output,
+      // bucketed corpus dedup index
+      "dedup" -> Seq("q_dedup_groups", "q_simhash_neardup", "q_span_dedup_rowhash",
+        "q_dedup_indexed"),
+      // shared corpus token frame; q_json_profile's per-row JSON C2
+      // compilation (the standing r13 dispersion flag)
+      "text" -> Seq("q_unigram_logprob", "q_json_profile"),
+      // JIT/codegen + window path + PNG fixture synthesis
+      "core" -> Seq("q1_pricing_summary", "q_lag_lead", "q_multimodal_decode"))
     val tWarm0 = System.nanoTime()
-    (Seq("lineitem", "orders", "customer", "part", "events", "documents", "embeddings")
-      .map(t => () => Tables.read(spark, sfDir, t).count()) ++
-      memoWarmers.map(q => () => SparkEntry.queries(q)(spark, sfDir).queryExecution.toRdd.count()))
-      .foreach(f => try f() catch { case _: Throwable => () })
+    val warmupBreakdown = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        warmerFamilies.size + 1)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      def timed(name: String)(f: => Unit): (String, Double) = {
+        val t0 = System.nanoTime()
+        try f catch { case _: Throwable => () }
+        val sec = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] warmer $name%-28s ${sec}%.2f s")
+        name -> sec
+      }
+      val scansF = Future {
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", "warm_scans")
+        Seq("lineitem", "orders", "customer", "part", "events", "documents", "embeddings")
+          .map(t => timed(s"scan_$t") { Tables.read(spark, sfDir, t).count(); () })
+      }
+      val famFs = warmerFamilies.map { case (fam, qs) =>
+        Future {
+          // one FAIR pool per family (created on demand, weight 1):
+          // slots round-robin across pools, so no chain starves
+          spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"warm_$fam")
+          qs.map(q => timed(q) {
+            SparkEntry.queries(q)(spark, sfDir).queryExecution.toRdd.count(); () })
+        }
+      }
+      try Await.result(Future.sequence(scansF +: famFs), Duration.Inf).flatten
+      finally pool.shutdown()
+    }
+    // per-warmer seconds above are wall-clock UNDER CONCURRENCY (they
+    // overlap; their sum exceeds warmup_sec) — the breakdown attributes
+    // a warmup regression to a named warmer, the total is the gate
     val warmupSec = (System.nanoTime() - tWarm0) / 1e9
 
     // machine-load sampling (VERDICT r5 item 1: the r5 driver run was
@@ -445,7 +487,58 @@ object Bench {
         (six :+ """"restart_specs":"StreamingSpec kill-and-resume x6: pct_alerts, running_counts_tws, dedup_daily, welford_zscore, psi_drift, cusum"""")
           .mkString("{", ",", "}")
       }
-      s"{$pct,$tws,\"certs\":$certsJson}"
+      // Quarantine dead-letter cert (VERDICT r18 ask #4): inject a known
+      // poison census into a staged source — 64 contract-clean rows from
+      // the SF events table + 7 rows each missing exactly one required
+      // field — and run the REAL startQuarantineSink (parquet dead-letter,
+      // batch_id partitions) plus the typed main path over it. The cert
+      // is a row-conservation proof: quarantined == injected poison,
+      // typed == injected good, and a second replay from a fresh
+      // checkpoint writes the identical dead-letter set (order-free
+      // reason+key hash).
+      val quarantineJson = {
+        val qsrc = tmp.resolve("quarantine_src")
+        val good = batch
+          .select("event_id", "ts", "user_id", "event_type", "value").limit(64)
+        val poison = spark.range(7).selectExpr(
+          "IF(id % 4 = 0, CAST(NULL AS LONG), 1000000 + id) AS event_id",
+          "IF(id % 4 = 1, CAST(NULL AS LONG), 1700000000000000000 + id) AS ts",
+          "IF(id % 4 = 2, CAST(NULL AS LONG), 9000 + id) AS user_id",
+          "'poison' AS event_type",
+          "IF(id % 4 = 3, CAST(NULL AS DOUBLE), 1.0) AS value")
+        good.unionByName(poison).coalesce(1).write.parquet(qsrc.toString)
+        val qschema = spark.read.parquet(qsrc.toString).schema
+        def qstream = spark.readStream.schema(qschema).parquet(qsrc.toString)
+        def deadLetterRun(tag: String): (Long, Long) = {
+          val dlq = s"$tmp/quarantine_out/$tag"
+          val q = Ingest.startQuarantineSink(qstream, dlq,
+            trigger = Trigger.AvailableNow(), checkpoint = s"$dlq-ckpt")
+          q.awaitTermination()
+          val written = spark.read.parquet(dlq)
+          import org.apache.spark.sql.functions.{col, lit, pmod, sum => fsum, xxhash64}
+          val h = written.select(pmod(xxhash64(
+              written.columns.filter(_ != "batch_id")
+                .map(c => col(c).cast("string")): _*),
+              lit(1000000007L)).as("h"))
+            .agg(fsum(col("h"))).head()
+          (written.count(), if (h.isNullAt(0)) 0L else h.getLong(0))
+        }
+        val (nQuarA, hashA) = deadLetterRun("a")
+        val (nQuarB, hashB) = deadLetterRun("b")
+        val typedQ = Ingest.typedEvents(qstream).writeStream.format("memory")
+          .queryName("cert_quarantine_typed")
+          .option("checkpointLocation", s"$tmp/quarantine_out/typed-ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        typedQ.awaitTermination()
+        val nTyped = spark.table("cert_quarantine_typed").count()
+        spark.catalog.dropTempView("cert_quarantine_typed")
+        s""""quarantine":{"poison_injected":7,"good_injected":64,""" +
+          s""""quarantined":$nQuarA,"typed":$nTyped,""" +
+          s""""poison_match":${nQuarA == 7L && nTyped == 64L},""" +
+          s""""replay_match":${nQuarA == nQuarB && hashA == hashB},""" +
+          s""""deadletter_hash":$hashA}"""
+      }
+      s"{$pct,$tws,$quarantineJson,\"certs\":$certsJson}"
     } catch { case e: Throwable =>
       System.err.println(s"[bench] streaming replay failed: ${e.getMessage}")
       // scrub EVERY JSON-illegal char (quotes, backslashes, all control
@@ -505,7 +598,9 @@ object Bench {
     // failed write (read-only cwd, full disk) must NOT discard the run:
     // the two stdout lines below carry the measurements regardless
     val fullJson = s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""warmup_sec":$warmupSec,"asof_ab":$ab,"streaming":$streamingJson,""" +
+      s""""warmup_sec":$warmupSec,""" +
+      s""""warmup_breakdown":${jmap(warmupBreakdown.map { case (k, s) => k -> r3(s) })},""" +
+      s""""asof_ab":$ab,"streaming":$streamingJson,""" +
       s""""reps":$reps,"sf":"$sfDir",""" +
       s""""load_start":$loadStart,"load_end":$loadEnd,"load_gate":$loadGateJson,""" +
       s""""dispersion_flagged":${

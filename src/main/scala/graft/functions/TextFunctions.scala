@@ -22,8 +22,15 @@ object TextFunctions {
     * Writing the class out explicitly makes both engines parse the
     * identical set; `\x0B` is valid hex-escape syntax in Java and RE2
     * alike. Sites: [[tokens]], TextOracles.TOKS, the text-stats char
-    * counts, SubwordRe, UrlRe, and the TrainingDataQueries token SQL. */
-  val WsRe: String = "[ \\t\\n\\x0B\\f\\r]"
+    * counts, SubwordRe, UrlRe, and the TrainingDataQueries token SQL.
+    *
+    * [[WsChars]] is the bare class BODY, exposed so derived classes
+    * (TextStats.UrlRe's negated `[^...]`) can be built structurally —
+    * `s"[^$WsChars]"` — instead of slicing brackets off WsRe with
+    * `.tail`, which only formed a valid negated class because the
+    * closing ']' happened to ride along (ADVICE r18). */
+  val WsChars: String = " \\t\\n\\x0B\\f\\r"
+  val WsRe: String = s"[$WsChars]"
 
   /** Whitespace tokens with ALL empty strings dropped (review r16 +
     * ADVICE r17): on an empty or whitespace-only document

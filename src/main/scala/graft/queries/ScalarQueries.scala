@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.sources.Sources
@@ -226,10 +226,24 @@ object ScalarQueries {
     * case nullif'd to the oracle's NULL; float noise vs the built-ins
     * is ulp-scale, far below the 1e-4 rounding. */
   def qStatsCorr(spark: SparkSession, dir: String): DataFrame = {
-    val n = count(col("l_quantity")).cast("double")
-    val corrSafe = covar_pop(col("l_quantity"), col("l_extendedprice")) /
-      nullif(stddev_pop(col("l_quantity")) * stddev_pop(col("l_extendedprice")), lit(0.0))
-    val covSamp = covar_pop(col("l_quantity"), col("l_discount")) * n /
+    // Pairwise-complete moments (ADVICE r18): DuckDB's corr()/
+    // covar_samp() built-ins draw every moment — counts AND marginal
+    // stddevs — from rows where BOTH columns are non-null. Spark's
+    // covar_pop already skips half-null pairs, but stddev_pop(x) and
+    // count(x) see every non-null x; a NULL landing in exactly one of
+    // the pair's columns would diverge. Masking each input through the
+    // pair's joint non-null predicate makes every estimator read the
+    // same pairwise-complete subset as the oracle's built-ins.
+    def pairwise(x: String, other: String): Column =
+      when(col(x).isNotNull && col(other).isNotNull, col(x))
+    val qP = pairwise("l_quantity", "l_extendedprice")
+    val pP = pairwise("l_extendedprice", "l_quantity")
+    val qD = pairwise("l_quantity", "l_discount")
+    val dQ = pairwise("l_discount", "l_quantity")
+    val n = count(qD).cast("double")
+    val corrSafe = covar_pop(qP, pP) /
+      nullif(stddev_pop(qP) * stddev_pop(pP), lit(0.0))
+    val covSamp = covar_pop(qD, dQ) * n /
       nullif(n - 1.0, lit(0.0))
     Tables.lineitem(spark, dir)
       .groupBy("l_returnflag")

@@ -24,6 +24,25 @@ class SessionMemo[K, V] {
       })
       true
     })
-    map.getOrElseUpdate((spark, key), mk)
+    // At-most-once builds (r19, parallel bench warmup): TrieMap's
+    // getOrElseUpdate is atomic on INSERTION but may evaluate `mk`
+    // more than once under a race — for a GBT fit that's a wasted
+    // double-train, and for a cache()d frame the loser leaks a cached
+    // copy. Double-checked locking on the memo instance serializes
+    // builds only; hits stay lock-free. Nested builds (metrics →
+    // classifier → features) acquire DIFFERENT memo instances' locks
+    // in dependency-DAG order, so no cycle exists to deadlock on.
+    map.get((spark, key)) match {
+      case Some(v) => v
+      case None => this.synchronized {
+        map.get((spark, key)) match {
+          case Some(v) => v
+          case None =>
+            val v = mk
+            map.put((spark, key), v)
+            v
+        }
+      }
+    }
   }
 }

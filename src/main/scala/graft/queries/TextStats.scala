@@ -601,9 +601,12 @@ object TextStats {
   private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   // negated-whitespace class, not [^ ]: a URL followed by a tab/newline
   // must not swallow the next token into the redaction. Written via the
-  // explicit WsRe set (not `\s`): RE2's [^\s] ADMITS U+000B where
-  // Java's excludes it — the same divergence WsRe closes for tokens()
-  private[graft] val UrlRe = s"https?://[^${WsRe.tail}+"
+  // explicit WsChars set (not `\s`): RE2's [^\s] ADMITS U+000B where
+  // Java's excludes it — the same divergence WsRe closes for tokens().
+  // Built from the bare class BODY so the negated class is structurally
+  // valid by construction (ADVICE r18: the old `WsRe.tail` form relied
+  // on WsRe's closing ']' riding along in .tail).
+  private[graft] val UrlRe = s"https?://[^$WsChars]+"
   // NANP-ish phone shape (3-3-4 with -, ., space or parens separators);
   // no lookarounds — the oracle's RE2 engine has none, and the scrub
   // and detect regexes must stay engine-portable

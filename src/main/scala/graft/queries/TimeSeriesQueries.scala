@@ -222,8 +222,19 @@ object TimeSeriesQueries {
       // land in NULL (visible as a lower count(k)), not ANSI-throw.
       // get_json_object already NULLs malformed JSON in Spark; the
       // oracle needs an explicit json_valid guard because DuckDB's
-      // json_extract_string ERRORS on invalid JSON (hostile sweep r18)
-      .withColumn("k", expr("try_cast(get_json_object(props, '$.k') AS INT)"))
+      // json_extract_string ERRORS on invalid JSON (hostile sweep r18).
+      // The integral-string RLIKE gate is the shared cross-engine
+      // semantics for FRACTIONAL k (ADVICE r18): Spark's
+      // try_cast('3.7' AS INT) yields NULL while DuckDB's
+      // TRY_CAST('3.7' AS INTEGER) ROUNDS to 4 — both engines now
+      // admit only '-?[0-9]+' strings into the INT cast (the oracle
+      // carries the same regexp_matches gate), and anything else —
+      // fractional, scientific, garbage — is NULL on both sides.
+      // try_cast stays underneath for out-of-INT-range integral
+      // strings, which both engines NULL identically.
+      .withColumn("k", expr(
+        """try_cast(CASE WHEN get_json_object(props, '$.k') RLIKE '^-?[0-9]+$'
+          |  THEN get_json_object(props, '$.k') END AS INT)""".stripMargin))
       .groupBy("event_type")
       .agg(
         rnd(sum(col("k")) / (count(col("k")) * lit(1.0)), 4).as("avg_k"),
@@ -1602,7 +1613,8 @@ object TimeSeriesQueries {
     "q_event_json" ->
       """WITH j AS (
         |  SELECT event_type,
-        |    CASE WHEN json_valid(props) THEN
+        |    CASE WHEN json_valid(props)
+        |      AND regexp_matches(coalesce(json_extract_string(props, '$.k'), ''), '^-?[0-9]+$') THEN
         |      TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) END AS k
         |  FROM events)
         |SELECT event_type,

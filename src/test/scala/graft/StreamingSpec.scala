@@ -9,6 +9,13 @@ import graft.streaming.Ingest.{Event, PctAlert}
 /** Streaming semantics (SURVEY §2.9 / §5.7): MemoryStream-driven day
   * dedup under out-of-order batches, threshold alerts, and the stateful
   * per-user percent-change alert. */
+/** Raw ingest row for the quarantine-sink specs: Option fields so a
+  * MemoryStream can carry NULLs (Event's non-nullable longs can't);
+  * top-level because Spark can't derive encoders for method-local
+  * case classes. */
+case class RawEvent(event_id: Option[Long], ts: Option[Long],
+                    user_id: Option[Long], event_type: String, value: Option[Double])
+
 class StreamingSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   import spark.implicits._
@@ -138,6 +145,66 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.map(_.event_id).toSeq == Seq(1L, 2L),
       s"NULL-measure/key rows must be quarantined, got ${got.toSeq}")
     assert(got(1).event_type == null, "NULL event_type must survive the boundary")
+  }
+
+  test("quarantinedEvents is the exact complement of typedEvents, with per-field reasons") {
+    // the two sides derive from ONE contract predicate — every input
+    // row must land on exactly one side, and the reason column must
+    // name each missing field (multi-NULL rows carry a joined list)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, 1000L, 7L, "view", 10.0),
+        org.apache.spark.sql.Row(2L, 2000L, 7L, null, 11.0),
+        org.apache.spark.sql.Row(3L, null, 7L, "click", null),
+        org.apache.spark.sql.Row(null, 4000L, 7L, "click", 12.0),
+        org.apache.spark.sql.Row(5L, 5000L, null, "tap", 13.0))),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE"))
+    val typed = Ingest.typedEvents(df).collect().map(_.event_id).toSet
+    val quarantined = Ingest.quarantinedEvents(df).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[String]("reason"))).toSet
+    assert(typed == Set(1L, 2L), s"typed side wrong: $typed")
+    assert(quarantined == Set(
+      ("click", "null_ts,null_value"),
+      ("click", "null_event_id"),
+      ("tap", "null_user_id")), s"quarantine side wrong: $quarantined")
+    assert(typed.size + quarantined.size == 5,
+      "typed + quarantined must partition the input")
+  }
+
+  test("startQuarantineSink dead-letters poison across a kill-and-resume, no loss, no dupes") {
+    // RawEvent (top-level): Option fields so the MemoryStream can carry
+    // NULLs; toDF restores the raw ingest shape
+    val src = MemoryStream[RawEvent]
+    val tmp = java.nio.file.Files.createTempDirectory("graft-quarantine")
+    val qPath = s"$tmp/deadletter"
+    try {
+      def start() = Ingest.startQuarantineSink(src.toDF(), qPath,
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L),
+        checkpoint = s"$tmp/ckpt")
+      val q1 = start()
+      try {
+        src.addData(
+          RawEvent(Some(1L), Some(1000L), Some(7L), "view", Some(10.0)),
+          RawEvent(Some(2L), None, Some(7L), "view", Some(11.0)))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      val q2 = start()
+      try {
+        src.addData(RawEvent(None, Some(3000L), Some(8L), "click", Some(12.0)))
+        q2.processAllAvailable()
+      } finally q2.stop()
+      val got = spark.read.parquet(qPath)
+        .select("event_id", "ts", "reason", "batch_id").collect()
+        .map(r => (Option(r.get(0)), Option(r.get(1)), r.getAs[String]("reason")))
+        .toSet
+      // exactly the two poison rows — the good row never dead-letters,
+      // the pre-kill reject survives the restart, the post-restart
+      // reject lands once (checkpoint recovery, not a rebuild)
+      assert(got == Set(
+        (Some(2L), None, "null_ts"),
+        (None, Some(3000L), "null_event_id")), s"dead-letter table wrong: $got")
+    } finally IoUtil.deleteRecursively(tmp)
   }
 
   test("stateful pct alerts are deterministic under duplicate timestamps (hostile r18)") {

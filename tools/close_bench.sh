@@ -35,6 +35,14 @@ while [ "${#accepted[@]}" -lt "$RUNS" ] && [ "$try" -lt "$MAX" ]; do
   if [ -z "$metric" ]; then echo "   no metric line (see $log)"; continue; fi
   warm=$(python3 -c "import json,sys; print(json.loads(sys.argv[1]).get('warmup_sec', -1))" "$metric")
   total=$(python3 -c "import json,sys; print(round(json.loads(sys.argv[1])['value'], 1))" "$metric")
+  # a missing/malformed warmup_sec (-1 sentinel) must NOT pass the gate
+  # by comparing below the threshold — an un-instrumented run is
+  # invalid, not fast-era (ADVICE r18)
+  valid=$(python3 -c "import sys; print(1 if float(sys.argv[1]) >= 0 else 0)" "$warm")
+  if [ "$valid" != "1" ]; then
+    echo "   REJECTED invalid run: warmup_sec missing or negative (${warm}) — not gateable"
+    continue
+  fi
   gated=$(python3 -c "import sys; print(1 if float(sys.argv[1]) > float(sys.argv[2]) else 0)" "$warm" "$GATE")
   if [ "$gated" = "1" ]; then
     echo "   REJECTED slow era: warmup ${warm}s > gate ${GATE}s (total ${total}s)"

@@ -273,6 +273,19 @@ def main(base, out):
          'event_type': 'multi\nline', 'value': 3.0, 'props': '{"k": 3}'},
         {'event_id': ek + 21, 'ts': ts('2024-01-19T00:00:04'), 'user_id': 6,
          'event_type': 'sémi;colon', 'value': 4.0, 'props': '{"k": "a\\"b"}'},
+        # P (wave 4, ADVICE r18): FRACTIONAL / scientific / overflow k —
+        # Spark try_cast('3.7' AS INT) -> NULL but DuckDB TRY_CAST
+        # ROUNDS ('3.7'->4, '-2.5'->-3); both engines now share an
+        # integral-string regex gate, and these rows pin it
+        {'event_id': ek + 22, 'ts': ts('2024-01-19T00:00:05'), 'user_id': 6,
+         'event_type': 'click', 'value': 5.0, 'props': '{"k": 3.7}'},
+        {'event_id': ek + 23, 'ts': ts('2024-01-19T00:00:06'), 'user_id': 6,
+         'event_type': 'click', 'value': 6.0, 'props': '{"k": -2.5}'},
+        {'event_id': ek + 24, 'ts': ts('2024-01-19T00:00:07'), 'user_id': 6,
+         'event_type': 'click', 'value': 7.0, 'props': '{"k": 1e3}'},
+        {'event_id': ek + 25, 'ts': ts('2024-01-19T00:00:08'), 'user_id': 6,
+         'event_type': 'click', 'value': 8.0,
+         'props': '{"k": 99999999999999999999}'},
     ]
     # V: zero-variance user (5 identical values), single-event user
     for i in range(5):
