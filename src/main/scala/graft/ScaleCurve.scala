@@ -239,7 +239,8 @@ object ScaleCurve {
       "simhash_wide20_pairs", "minhash_lsh_pairs", "span_dedup",
       "editdist_pairs", "incremental_probe", "containment_pairs",
       "incremental_indexed_probe")
-    val annNames = Set("ann_brute", "ann_lsh", "ann_ivf")
+    val annNames = Set("ann_brute", "ann_lsh", "ann_ivf", "ann_pq")
+    val eventNames = Set("sessionize")
 
     // a typo'd ONLY name would otherwise skip every branch and measure
     // nothing at exit 0 (the Verify SPARK_GRAFT_ONLY guard, same
@@ -249,7 +250,7 @@ object ScaleCurve {
     // valid+typo list must abort before paying those, not after.
     // An all-empty split (ONLY="," etc.) is the same []-artifact bug
     // in disguise: zero names pass the unknown check vacuously.
-    val knownLegs = docNames ++ annNames + "neardup_blocked"
+    val knownLegs = docNames ++ annNames ++ eventNames + "neardup_blocked"
     only.foreach { names =>
       require(names.nonEmpty,
         "SPARK_GRAFT_SCALE_ONLY is set but names no legs; " +
@@ -314,12 +315,20 @@ object ScaleCurve {
         } else Nil)
       } else Nil) ++
       (if (annNames.exists(wanted)) embFactors.flatMap { f =>
-        // the quantizer fit is a BUILD cost (production fits once and
-        // reuses — the q_ann_ivf_indexed artifact); it runs here,
-        // OUTSIDE the timed probe window, so ann_ivf's curve measures
-        // the per-query probe the way a serving path pays it
+        // the quantizer/PQ fits and the PQ code table are BUILD costs
+        // (production fits once and reuses — the q_ann_ivf_indexed /
+        // q_ann_pq artifacts); they run here, OUTSIDE the timed probe
+        // window, so each curve measures the per-query probe the way a
+        // serving path pays it
         val p = graft.queries.SimilarityQueries.annParams(emb(f).count())
         val km = Similarity.fitQuantizer(emb(f), p.nlist)
+        // ×100-leg guard: fitPq's 65536-row train cap keeps the
+        // codebook fit bounded at any factor (the sampling is seeded)
+        val pqm = graft.operators.ProductQuantization.fitPq(
+          emb(f), m = 16, ksub = 16)
+        val pqCodesPath = s"$tmp/pq_codes_f$f"
+        graft.operators.ProductQuantization.pqEncode(emb(f), pqm)
+          .write.mode("overwrite").parquet(pqCodesPath)
         Seq(
           ("ann_brute", f, () =>
             Similarity.bruteForceTopK(emb(f), queriesOf(emb(f)), 5)),
@@ -328,7 +337,46 @@ object ScaleCurve {
               planes = 8, multiProbe = 3)),
           ("ann_ivf", f, () =>
             Similarity.ivfTopK(emb(f), queriesOf(emb(f)), 5,
-              km, p.nprobe, "vec_id", "embedding")))
+              km, p.nprobe, "vec_id", "embedding")),
+          // the ADC scan reads ONLY the persisted code table; the raw
+          // corpus is touched for the bounded rerank — the q_ann_pq
+          // artifact path (VERDICT r18 ask #5: "IVF/PQ probe" ×100)
+          ("ann_pq", f, () =>
+            graft.operators.ProductQuantization.pqTopKFromCodes(
+              emb(f), spark.read.parquet(pqCodesPath),
+              queriesOf(emb(f)), 5, pqm, rerank = p.rerank)))
+      } else Nil) ++
+      (if (eventNames.exists(wanted)) {
+        // events replicator: DISJOINT user populations per replica
+        // (user_id offset by r·stride), timestamps untouched — every
+        // replica's per-user session structure is identical to the
+        // base, so session output rows scale exactly linearly and the
+        // leg isolates the window+aggregate cost (VERDICT r18 ask #5:
+        // "sessionize" ×100)
+        val evPaths = collection.mutable.Map.empty[Int, String]
+        def ev(f: Int): DataFrame = spark.read.parquet(
+          evPaths.getOrElseUpdate(f, {
+            val path = s"$tmp/events_f$f"
+            val base = Tables.events(spark, sfDir)
+              .select("event_id", "ts", "user_id", "event_type", "value")
+            (0 until f).map { r =>
+              if (r == 0) base
+              else base.select(
+                (col("event_id") + lit(r * IdStride)).as("event_id"),
+                col("ts"),
+                (col("user_id") + lit(r * IdStride)).as("user_id"),
+                col("event_type"), col("value"))
+            }.reduce(_ unionByName _)
+              .write.mode("overwrite").parquet(path)
+            path
+          }))
+        docFactors.map { f =>
+          ev(f)
+          ("sessionize", f, () =>
+            graft.operators.Sessionize.sessionSummary(
+              ev(f), "user_id", "ts",
+              gapNanos = 6L * 3600L * 1000000000L, idCol = "event_id"))
+        }
       } else Nil) ++
       (if (wanted("neardup_blocked")) blockedFactors.map { f =>
         emb(f)

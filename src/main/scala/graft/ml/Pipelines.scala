@@ -117,6 +117,15 @@ object Pipelines {
   def trainClassifier(train: DataFrame, maxIter: Int = 20): (PipelineModel, DataFrame => DataFrame) = {
     val counts = train.groupBy("label").agg(count(lit(1)).as("n_class"))
     val total = train.count().toDouble
+    // Declared loud-failure contract (degenerate sweep r19): a degenerate
+    // fixture (one event per user, all-NULL features) leaves ZERO rows
+    // after feature derivation + na.drop, and the pipeline then dies in
+    // RobustScaler with a cryptic "QuantileSummaries on some features
+    // are missing" — name the contract here, where total is already paid
+    require(total > 0,
+      "trainClassifier: training input is empty after feature derivation " +
+        "(lag/rolling features need per-user history; an empty train set " +
+        "is a declared loud-failure contract, not a model)")
     val weighted = train.join(broadcast(counts), "label")
       .withColumn("weight", lit(total) / (lit(2.0) * col("n_class")))
     val gbt = new GBTClassifier()
@@ -163,6 +172,10 @@ object Pipelines {
     val signCounts = nonZero.withColumn("sgn", signum(col("target")))
       .groupBy("sgn").agg(count(lit(1)).as("n_sign"))
     val total = nonZero.count().toDouble
+    // same declared loud-failure contract as trainClassifier (r19)
+    require(total > 0,
+      "trainRegressor: training input has no non-zero-return rows — " +
+        "an empty train set is a declared loud-failure contract, not a model")
     val weighted = nonZero.withColumn("sgn", signum(col("target")))
       .join(broadcast(signCounts), "sgn")
       .withColumn("weight", lit(total) / (lit(2.0) * col("n_sign")))

@@ -117,6 +117,16 @@ object Similarity {
       (if (sampleFraction >= 1.0) corpus
        else corpus.sample(withReplacement = false, sampleFraction, seed = 42))
         .filter(col(vecCol).isNotNull)
+    // Declared loud-failure contract (degenerate sweep r19): a corpus
+    // with fewer non-NULL vectors than cells cannot build an index —
+    // KMeans dies deep inside an executor task with a bare
+    // ArrayIndexOutOfBounds; name the contract at the boundary instead.
+    // The count is one scan against a fit that runs dozens of jobs.
+    val n = sampled.count()
+    require(n >= nlist,
+      s"fitQuantizer: corpus has $n non-NULL vectors < nlist=$nlist — " +
+        "an IVF coarse quantizer needs at least one vector per cell " +
+        "(empty/sub-nlist corpora are a declared loud-failure contract)")
     new KMeans().setK(nlist).setSeed(42).setFeaturesCol("__features")
       .setPredictionCol("__cell")
       .fit(sampled.withColumn("__features", array_to_vector(col(vecCol))))

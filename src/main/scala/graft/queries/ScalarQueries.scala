@@ -52,6 +52,15 @@ object ScalarQueries {
     * coalesce form collided it with the rollup margin, two
     * indistinguishable 'ALL' rows with different sums, and the
     * mirrored oracle was structurally blind to it. */
+  /** DECLARED ENGINE DIVERGENCE (degenerate sweep r19), shared by every
+    * grouping-set form here (cube/rollup/groupingSets): over an EMPTY
+    * relation Spark's Expand→HashAggregate emits ZERO rows, while the
+    * SQL standard (and DuckDB/PostgreSQL) treats the `()` grouping set
+    * as a global aggregate and emits one grand-total row (count 0).
+    * Restoring the standard row in Spark would take a second scan +
+    * union + dedup — the wrong 100 TB plan for a 0-row edge — so the
+    * divergence is declared and pinned (ScalarSpec) instead: a consumer
+    * gating on the grand-total row must guard the empty-input case. */
   private[graft] def cubeSummary(li: DataFrame): DataFrame =
     li.cube("l_returnflag", "l_linestatus")
       // grouping() is only legal inside the aggregate's expression
@@ -1323,7 +1332,7 @@ object ScalarQueries {
         |    CAST(n_qty AS DOUBLE) / CAST(n AS DOUBLE), 1.0 FROM l
         |  UNION ALL SELECT 'lineitem', 'ref_integrity', 'l_orderkey',
         |    1.0 - CAST(orph AS DOUBLE) / CAST(n AS DOUBLE), 1.0 FROM ri),
-        |mp AS (SELECT *, metric >= threshold AS passed FROM m)
+        |mp AS (SELECT *, coalesce(metric >= threshold, FALSE) AS passed FROM m)
         |SELECT target, chk AS "check", cl AS "column",
         |  floor(metric * 1e6 + 0.5) / 1e6 AS metric,
         |  CAST(threshold AS DOUBLE) AS threshold, passed

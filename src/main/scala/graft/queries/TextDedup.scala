@@ -110,8 +110,11 @@ object TextDedup {
       .select(col("threshold"),
         coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
         coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        // nullif: an EMPTY corpus reads NULL dup_frac on both engines
+        // (ANSI Spark throws on /0, DuckDB natively yields NULL —
+        // degenerate sweep r19)
         rnd(coalesce(col("n_docs"), lit(0L)).cast("double") /
-          col("n_corpus").cast("double"), 4).as("dup_frac"))
+          nullif(col("n_corpus").cast("double"), lit(0.0)), 4).as("dup_frac"))
       .orderBy("threshold")
   }
 
@@ -207,11 +210,23 @@ object TextDedup {
     val cap = Option(benchDocs
       .agg(sum(size(tokens(col("text")))).cast("long"))
       .head().getAs[java.lang.Long](0)).map(_.toLong).getOrElse(0L)
-    val bloom = BloomFunctions.buildLongBloom(
-      bench.select(xxhash64(col("sh")).as("h")), "h", expectedItems = cap, fpp = 0.01)
-    val bloomBytes = BloomFunctions.serialize(bloom)
+    // an EMPTY reference set (degenerate sweep r19: a one-doc corpus
+    // whose bench side has fewer tokens than the shingle width) must
+    // contaminate nothing — stat.bloomFilter over zero rows yields a
+    // null-buffered filter whose probe NPEs deep in the expression
+    // ("Cannot read the array length because buf is null"), so the
+    // probe degrades to lit(false) instead. The emptiness check is one
+    // metadata-scale job at query-construction time, same tier as the
+    // `cap` aggregate above.
+    val probe =
+      if (bench.isEmpty) lit(false)
+      else BloomFunctions.mightContainLong(
+        BloomFunctions.serialize(BloomFunctions.buildLongBloom(
+          bench.select(xxhash64(col("sh")).as("h")), "h",
+          expectedItems = cap, fpp = 0.01)),
+        xxhash64(col("sh")))
     val hits = shingleRows(docs.filter(col("doc_id") >= 10), n)
-      .filter(BloomFunctions.mightContainLong(bloomBytes, xxhash64(col("sh"))))
+      .filter(probe)
       .join(broadcast(bench), Seq("sh"))
       .groupBy("doc_id").agg(count_distinct(col("sh")).as("n_hits"))
     docs.filter(col("doc_id") >= 10)

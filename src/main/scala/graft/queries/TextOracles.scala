@@ -901,8 +901,11 @@ import TextStats._
     "q_filter_funnel" -> {
       val cumSql = (1 to FunnelRules.size).map(i =>
         FunnelRules.take(i).map(_._3).mkString(" AND "))
+      // coalesce mirrors the Spark side's zeros-on-empty declaration
+      // (degenerate sweep r19: sum over ZERO rows is NULL on both
+      // engines, and only Spark had the guard)
       val sums = cumSql.zipWithIndex.map { case (c, i) =>
-        s"CAST(sum(CASE WHEN $c THEN 1 ELSE 0 END) AS BIGINT) AS s${i + 1}" }
+        s"CAST(coalesce(sum(CASE WHEN $c THEN 1 ELSE 0 END), 0) AS BIGINT) AS s${i + 1}" }
       val rows = FunnelRules.zipWithIndex.map { case ((name, _, _), i) =>
         s"SELECT ${i + 1} AS stage, '$name' AS rule, s$i AS n_in, " +
           s"s$i - s${i + 1} AS n_dropped, s${i + 1} AS n_out FROM c" }

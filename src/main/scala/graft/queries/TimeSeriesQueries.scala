@@ -675,7 +675,11 @@ object TimeSeriesQueries {
     val entered = frames.head.agg(count(lit(1)).as("n_entered"))
     counts.crossJoin(broadcast(entered))
       .select(col("stage"), col("name"), col("n"),
-        rnd(col("n") / col("n_entered").cast("double"), 4).as("conv_from_entry"))
+        // nullif: a funnel nobody entered reads NULL conversion on both
+        // engines (ANSI Spark throws on /0 where DuckDB natively yields
+        // NULL — degenerate sweep r19)
+        rnd(col("n") / nullif(col("n_entered").cast("double"), lit(0.0)), 4)
+          .as("conv_from_entry"))
   }
 
   def qFunnelSequence(spark: SparkSession, dir: String): DataFrame =

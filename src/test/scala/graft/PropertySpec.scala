@@ -873,6 +873,21 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("cubeSummary over an EMPTY relation: zero rows (declared engine divergence)") {
+    // degenerate sweep r19: the SQL standard (DuckDB/PostgreSQL) emits
+    // one grand-total row (count 0) for the () grouping set over empty
+    // input; Spark's Expand→HashAggregate emits none. The divergence is
+    // DECLARED (see cubeSummary's Scaladoc) — this pin exists so a
+    // Spark version that changes the behavior surfaces loudly here
+    // instead of as a silent oracle flip in the degenerate sweep.
+    import graft.queries.ScalarQueries
+    val empty = Seq.empty[(String, String, Double)]
+      .toDF("l_returnflag", "l_linestatus", "l_quantity")
+    assert(ScalarQueries.cubeSummary(empty).collect().isEmpty,
+      "Spark cube over empty input emitted rows — the declared divergence " +
+        "(and its oracle triage in tools/degenerate_sweep.py) is now stale")
+  }
+
   test("cubeSummary: a NULL data key stays NULL, distinct from the ALL margin") {
     // the review-r16 hazard distilled: one NULL-flagged row. The old
     // coalesce labeling emitted the NULL data group AS 'ALL', giving
