@@ -732,7 +732,8 @@ object Ingest {
                   trigger: Trigger = Trigger.ProcessingTime("5 minutes"),
                   checkpoint: String = "",
                   alertThreshold: Double = 400.0,
-                  push: Option[PushAdapter] = None): StreamingQuery =
+                  push: Option[PushAdapter] = None,
+                  quarantinePath: String = ""): StreamingQuery =
     dedupDaily(stream)
       .writeStream
       .outputMode("append")
@@ -745,24 +746,48 @@ object Ingest {
         // batch — each replay would otherwise pin a fresh copy until
         // executors spill
         try {
-          batch.withColumn("batch_id", lit(batchId))
+          // dead-letter FIRST (r19): rows failing the Event contract go
+          // to the quarantine table with reasons + batch id, and the
+          // landing write below then carries only contract-clean rows —
+          // the landing table's consumers (every batch query) get the
+          // typed invariant by layout, and nothing is silently dropped
+          // (the reference's ST4 lesson). Same replay-idempotent
+          // batch_id-overwrite contract as the other two sinks. When no
+          // quarantinePath is configured the split is skipped and the
+          // batch lands whole (backward-compatible single-table mode).
+          val landed =
+            if (quarantinePath.isEmpty) batch
+            else {
+              quarantinedEvents(batch)
+                .withColumn("batch_id", lit(batchId))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(quarantinePath)
+              batch.filter(eventContract)
+            }
+          landed.withColumn("batch_id", lit(batchId))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("day", "batch_id")
             .parquet(landingPath)
           // the alert sink is the documented ST3 threshold operator — one
           // definition, no drift between the stream and batch paths
-          thresholdAlerts(batch, alertThreshold)
+          // alert + live-push sinks mirror the LANDED (contract-clean)
+          // side — a quarantined row must not alert or broadcast while
+          // absent from the landing table the alert would point back to
+          thresholdAlerts(landed, alertThreshold)
             .withColumn("batch_id", lit(batchId))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
             .parquet(alertPath)
-          // S6 live push: executor-side, per partition, over the persisted
-          // batch — the driver never materializes row data
+          // S6 live push: executor-side, per partition, over the
+          // landed (contract-clean) side of the persisted batch — the
+          // driver never materializes row data
           push.foreach { p =>
             p.beginBatch(batchId)
-            batch.toJSON.foreachPartition { (it: Iterator[String]) =>
+            landed.toJSON.foreachPartition { (it: Iterator[String]) =>
               p.push(batchId, org.apache.spark.TaskContext.getPartitionId(), it)
             }
           }

@@ -746,6 +746,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("startIngest with a quarantinePath routes poison to the dead-letter, clean rows land") {
+    // the full ST4 dual sink + the r19 quarantine: landing/alert/push
+    // carry ONLY contract-clean rows, the dead-letter carries exactly
+    // the poison with reasons — nothing silently dropped, nothing
+    // double-counted
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ingest-q").toString
+    val src = MemoryStream[RawEvent]
+    // data BEFORE start: AvailableNow snapshots available offsets at
+    // query start, so post-start addData can be (racily) invisible —
+    // the zero-batch run then terminates clean with nothing written
+    src.addData(
+      RawEvent(Some(1L), Some(DayNs), Some(1L), "view", Some(500.0)),
+      RawEvent(Some(2L), Some(2 * DayNs), Some(2L), "view", Some(10.0)),
+      RawEvent(Some(3L), Some(3 * DayNs), Some(3L), "view", None))
+    val q = Ingest.startIngest(src.toDF(), s"$tmp/landing", s"$tmp/alerts",
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      checkpoint = s"$tmp/ckpt",
+      quarantinePath = s"$tmp/deadletter")
+    try {
+      val finished = q.awaitTermination(60000)
+      assert(q.exception.isEmpty, s"stream failed: ${q.exception}")
+      assert(finished, "stream did not finish within 60s")
+      val landing = spark.read.parquet(s"$tmp/landing")
+      assert(landing.select("event_id").as[Long].collect().toSet == Set(1L, 2L),
+        "landing must carry exactly the contract-clean rows")
+      val dead = spark.read.parquet(s"$tmp/deadletter")
+      val deadRows = dead.select("event_id", "reason").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(deadRows == Set((3L, "null_value")), s"dead-letter wrong: $deadRows")
+      val alerts = spark.read.parquet(s"$tmp/alerts")
+      assert(alerts.select("event_id").as[Long].collect().toSet == Set(1L))
+    } finally q.stop()
+  }
+
   test("streaming incremental dedup classifies against the bucketed index like the batch path") {
     import graft.operators.Dedup
     import graft.streaming.DedupStream
