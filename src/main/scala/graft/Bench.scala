@@ -554,6 +554,26 @@ object Bench {
         try IoUtil.deleteRecursively(streamTmp) catch { case _: Throwable => () }
     }
 
+    // Streaming state at PRODUCTION cardinality (VERDICT r19 ask #1):
+    // the certs above replay the raw SF events (1.5k keys) — this block
+    // drives ~1M distinct keys (key-split amplification of the same
+    // table) through welford / daily-dedup / pct-alert state, with an
+    // eviction proof (2-day TTL over a month of event time must shrink
+    // state) and a kill-and-resume at full state. The full 5M-key study
+    // incl. HDFS/RocksDB A/B lives in streaming_scale.json
+    // (graft.StreamScale); this compact leg is the per-round regression
+    // surface. Timed queries are already done — this wall time never
+    // touches the headline total.
+    val streamScaleJson = try {
+      StreamScale.study(spark, sfDir,
+        targetKeys = sys.env.getOrElse("SPARK_GRAFT_STREAM_KEYS", "1000000").toLong,
+        evPerKey = 4, nFiles = 6, compact = true)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] streaming scale leg failed: ${e.getMessage}")
+      s"""{"err":"${Option(e.getMessage).getOrElse(e.getClass.getName)
+        .replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(200)}"}"""
+    }
+
     // native-vs-composed as-of A/B, pinned side by side from the SAME
     // measured reps as the per-query stats (re-running them here would
     // just burn wall-clock and let the two records disagree)
@@ -601,6 +621,7 @@ object Bench {
       s""""warmup_sec":$warmupSec,""" +
       s""""warmup_breakdown":${jmap(warmupBreakdown.map { case (k, s) => k -> r3(s) })},""" +
       s""""asof_ab":$ab,"streaming":$streamingJson,""" +
+      s""""streaming_scale":$streamScaleJson,""" +
       s""""reps":$reps,"sf":"$sfDir",""" +
       s""""load_start":$loadStart,"load_end":$loadEnd,"load_gate":$loadGateJson,""" +
       s""""dispersion_flagged":${
@@ -632,6 +653,7 @@ object Bench {
       s""""queries_truncated":${results.size > slowest.size},"n_queries":${results.size},""" +
       s""""median_query_sec":${r3(medianQ)},"warmup_sec":${r3(warmupSec)},""" +
       s""""asof_ab":$ab,"streaming":$streamingJson,""" +
+      s""""streaming_scale":$streamScaleJson,""" +
       s""""dispersion_flagged":${
         jmap(dispersionFlagged.take(8).map { case (k, s) => k -> r3(s.dispersion) })},""" +
       s""""growth_flagged":${

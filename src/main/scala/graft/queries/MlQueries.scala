@@ -19,9 +19,9 @@ object MlQueries {
     * Bench run that executes all ML queries this is a 3× saving, and it
     * mirrors production, where the feature table and model are artifacts,
     * not per-query recomputations. */
-  private val featureMemo = new SessionMemo[String, DataFrame]
-  private val regressorMemo = new SessionMemo[String, org.apache.spark.ml.PipelineModel]
-  private val classifierMemo = new SessionMemo[String, org.apache.spark.ml.PipelineModel]
+  private val featureMemo = new SessionMemo[String, DataFrame]("featureMemo")
+  private val regressorMemo = new SessionMemo[String, org.apache.spark.ml.PipelineModel]("regressorMemo")
+  private val classifierMemo = new SessionMemo[String, org.apache.spark.ml.PipelineModel]("classifierMemo")
 
   private def cachedFeatures(spark: SparkSession, dir: String): DataFrame =
     featureMemo.getOrElseUpdate(spark, dir) {
@@ -47,8 +47,8 @@ object MlQueries {
     * these (evalClassifier/evalRegressor localCheckpoint their 1-row
     * output, so the memoized frame is a materialized scalar, not a
     * re-scoring plan). */
-  private val clsMetricsMemo = new SessionMemo[String, DataFrame]
-  private val regMetricsMemo = new SessionMemo[String, DataFrame]
+  private val clsMetricsMemo = new SessionMemo[String, DataFrame]("clsMetricsMemo")
+  private val regMetricsMemo = new SessionMemo[String, DataFrame]("regMetricsMemo")
 
   private def cachedClassifierMetrics(spark: SparkSession, dir: String): DataFrame =
     clsMetricsMemo.getOrElseUpdate(spark, dir) {

@@ -92,7 +92,7 @@ object MultimodalQueries {
   /** PNG-bearing parquet fixture, written once per (session, dir) — the
     * stand-in for the binary media columns a production corpus carries
     * (the driver's sf tables are text-only). */
-  private val fixtureMemo = new SessionMemo[String, String]
+  private val fixtureMemo = new SessionMemo[String, String]("fixtureMemo")
 
   // SessionMemo eviction drops only the map entry, so fixture temp dirs
   // must be swept at JVM exit — through ONE static hook draining a shared

@@ -310,7 +310,7 @@ object ScalarQueries {
     * CacheManager registration, so no other query's identical subplan
     * gets silently subsumed (the q_span_dedup lesson). The production
     * twin q_sketch_lean still prices the real one-pass plan fresh. */
-  private val sketchDiagMemo = new SessionMemo[String, DataFrame]
+  private val sketchDiagMemo = new SessionMemo[String, DataFrame]("sketchDiagMemo")
 
   private def sketchDiag(spark: SparkSession, dir: String): DataFrame =
     sketchDiagMemo.getOrElseUpdate(spark, dir) {
@@ -453,7 +453,7 @@ object ScalarQueries {
     * recipe on the other fact table (narrowed to the three profiled
     * measures BEFORE the checkpoint, so the materialized block carries
     * no dead columns). */
-  private val profDiagMemo = new SessionMemo[String, DataFrame]
+  private val profDiagMemo = new SessionMemo[String, DataFrame]("profDiagMemo")
 
   private def profDiag(spark: SparkSession, dir: String): DataFrame =
     profDiagMemo.getOrElseUpdate(spark, dir) {

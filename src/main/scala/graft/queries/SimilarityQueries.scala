@@ -199,7 +199,7 @@ object SimilarityQueries {
 
   /** Corpus row count per (session, dir) — the scalar [[annParams]]
     * keys off; one count, memoized like the quantizer it parameterizes. */
-  private val corpusCountMemo = new SessionMemo[String, java.lang.Long]
+  private val corpusCountMemo = new SessionMemo[String, java.lang.Long]("corpusCountMemo")
 
   private def corpusCount(spark: SparkSession, dir: String): Long =
     corpusCountMemo.getOrElseUpdate(spark, dir) {
@@ -212,11 +212,11 @@ object SimilarityQueries {
   /** Fit-once IVF quantizer per (session, dir, nlist) — the artifact the
     * 100 TB design persists; evicted with the owning session's context. */
   private val quantMemo =
-    new SessionMemo[(String, Int), org.apache.spark.ml.clustering.KMeansModel]
+    new SessionMemo[(String, Int), org.apache.spark.ml.clustering.KMeansModel]("quantMemo")
 
   /** The exact top-5 ground truth both recall gates compare against —
     * computed once per (session, dir) and kept cached (100 rows). */
-  private val bruteMemo = new SessionMemo[String, DataFrame]
+  private val bruteMemo = new SessionMemo[String, DataFrame]("bruteMemo")
 
   private def cachedQuantizer(spark: SparkSession, dir: String, nlist: Int) =
     quantMemo.getOrElseUpdate(spark, (dir, nlist)) {
@@ -257,7 +257,7 @@ object SimilarityQueries {
   /** Materialized IVF index written once per (session, dir) — the memo
     * stores the path; the files are scratch, swept by the shared
     * shutdown hook. */
-  private val ivfIndexMemo = new SessionMemo[String, String]
+  private val ivfIndexMemo = new SessionMemo[String, String]("ivfIndexMemo")
 
   private def cachedIvfIndex(spark: SparkSession, dir: String): String =
     ivfIndexMemo.getOrElseUpdate(spark, dir) {
@@ -403,7 +403,7 @@ object SimilarityQueries {
   /** Fit-once PQ codebooks per (session, dir) — the persisted-artifact
     * discipline of [[cachedQuantizer]]; m·ksub·dsub floats of driver
     * metadata. */
-  private val pqMemo = new SessionMemo[String, ProductQuantization.PqModel]
+  private val pqMemo = new SessionMemo[String, ProductQuantization.PqModel]("pqMemo")
 
   private def cachedPqModel(spark: SparkSession, dir: String): ProductQuantization.PqModel =
     pqMemo.getOrElseUpdate(spark, dir) {
@@ -417,7 +417,7 @@ object SimilarityQueries {
     * Scaladoc promises, and a fresh session pays one bounded read
     * instead of the m concurrent sub-fits. */
   private val pqIndexMemo =
-    new SessionMemo[String, (ProductQuantization.PqModel, DataFrame)]
+    new SessionMemo[String, (ProductQuantization.PqModel, DataFrame)]("pqIndexMemo")
 
   private def cachedPqIndex(spark: SparkSession,
                             dir: String): (ProductQuantization.PqModel, DataFrame) =
@@ -475,7 +475,7 @@ object SimilarityQueries {
     * m·ksub-literal encode tree's PLAN cost on every execution
     * (measured ~3 s/rep on q_ann_ivfpq before memoization — the encode
     * arithmetic itself is trivial at fixture scale). */
-  private val ivfPqCodesMemo = new SessionMemo[String, DataFrame]
+  private val ivfPqCodesMemo = new SessionMemo[String, DataFrame]("ivfPqCodesMemo")
 
   private def cachedIvfPqCellCodes(spark: SparkSession, dir: String): DataFrame =
     ivfPqCodesMemo.getOrElseUpdate(spark, dir) {

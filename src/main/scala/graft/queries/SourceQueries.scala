@@ -24,7 +24,7 @@ object SourceQueries {
   /** Compacted copy written once per (session, dir) — reps in the bench
     * then measure the read-back plan, not a repeated write; the write
     * cost itself is visible in the bench's cold/warmup accounting. */
-  private val compactedMemo = new SessionMemo[String, String]
+  private val compactedMemo = new SessionMemo[String, String]("compactedMemo")
 
   // same sweep discipline as MultimodalQueries' fixture dirs: ONE static
   // shutdown hook draining a shared queue (not one hook per write)
@@ -85,7 +85,7 @@ object SourceQueries {
     * writer task holds exactly one bucket's rows and the layout is one
     * file per bucket (many small files per bucket is the classic
     * bucketed-write mistake; it also voids the sortBy metadata). */
-  private val bucketMemo = new SessionMemo[String, (String, String)]
+  private val bucketMemo = new SessionMemo[String, (String, String)]("bucketMemo")
   private val bucketSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private def cachedBucketedTables(spark: SparkSession, dir: String): (String, String) =
@@ -177,7 +177,7 @@ object SourceQueries {
     * of [[qCompactionRoundtrip]] (S-family: a lakehouse ingests what it
     * is handed; ORC is the other columnar interchange format Spark
     * reads natively). */
-  private val orcMemo = new SessionMemo[String, String]
+  private val orcMemo = new SessionMemo[String, String]("orcMemo")
 
   /** Sink → source roundtrip through ORC: the epoch-nano `ts` long
     * survives verbatim (a LONG column has identical semantics in both
@@ -190,7 +190,7 @@ object SourceQueries {
       (df, path) => df.write.mode("overwrite").orc(path),
       path => spark.read.orc(path))
 
-  private val csvMemo = new SessionMemo[String, String]
+  private val csvMemo = new SessionMemo[String, String]("csvMemo")
 
   /** S1's oracle-gated form — events written as header CSV and read
     * back under an EXPLICIT schema (inferSchema's per-run re-parse is
@@ -204,7 +204,7 @@ object SourceQueries {
     * hold for values the fixture doesn't happen to exercise).
     * Completes the format triangle beside q_compaction_roundtrip
     * (parquet) and q_orc_roundtrip (ORC). */
-  private val jsonMemo = new SessionMemo[String, String]
+  private val jsonMemo = new SessionMemo[String, String]("jsonMemo")
 
   /** S8's source-side twin — events written as JSON LINES and read back
     * under an EXPLICIT schema (schema inference re-parses the corpus
@@ -253,7 +253,47 @@ object SourceQueries {
         .option("mode", "FAILFAST")
         .csv(path))
 
+  private val reconMemo = new SessionMemo[String, String]("reconMemo")
+
+  /** Schema-drift reconstruction (SURVEY §1.3, wave 5 — the reference's
+    * missing-price path, spark_stream.py:123-128): the staged source
+    * holds TWO parquet vintages of the event feed in one directory —
+    * vintage A carries `value_micros` directly; vintage B (every 5th
+    * event) LACKS the column and instead carries the reference-shaped
+    * companion pair (`value_micros_base` + `value_micros_change`, the
+    * Previous_Close + Change analogue). The read merges the vintages
+    * (mergeSchema) and [[Sources.reconstructColumn]] fills the drifted
+    * rows from the companion sum — per-row work is one codegen'd
+    * coalesce. Micros are exact LONGs end-to-end, so reconstruction is
+    * bit-exact and the oracle re-derives the same integer from the
+    * source table. The column-ABSENT branch (single-vintage read, no
+    * merge) is spec-pinned in SourcesSpec. */
+  def qValueRecon(spark: SparkSession, dir: String): DataFrame = {
+    val out = reconMemo.getOrElseUpdate(spark, dir) {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-recon")
+      compactedDirs.add(tmp)
+      val path = tmp.toString + "/events"
+      val ev = Tables.events(spark, dir)
+        .withColumn("value_micros", expr("CAST(round(value * 1000000) AS LONG)"))
+      ev.filter(col("event_id") % 5 =!= 0)
+        .select("event_id", "ts", "user_id", "event_type", "value_micros")
+        .write.mode("overwrite").parquet(path)
+      ev.filter(col("event_id") % 5 === 0)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          (col("value_micros") - 13L).as("value_micros_base"),
+          lit(13L).as("value_micros_change"))
+        .write.mode("append").parquet(path)
+      path
+    }
+    val merged = spark.read.option("mergeSchema", "true").parquet(out)
+    Sources.reconstructColumn(merged, "value_micros",
+        col("value_micros_base") + col("value_micros_change"))
+      .select("event_id", "value_micros")
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_value_recon" -> qValueRecon _,
     "q_compaction_roundtrip" -> qCompactionRoundtrip _,
     "q_orc_roundtrip" -> qOrcRoundtrip _,
     "q_json_roundtrip" -> qJsonRoundtrip _,
@@ -264,6 +304,9 @@ object SourceQueries {
     // parity-by-identity: the SAME oracle through each format's
     // write/read path (the CSV leg additionally proves the double
     // column's shortest-round-trip text rendering)
+    "q_value_recon" ->
+      """SELECT event_id, CAST(round(value * 1000000) AS BIGINT) AS value_micros
+        |FROM events ORDER BY event_id""".stripMargin,
     "q_compaction_roundtrip" -> RoundtripOracleSql,
     "q_orc_roundtrip" -> RoundtripOracleSql,
     "q_json_roundtrip" -> RoundtripOracleSql,

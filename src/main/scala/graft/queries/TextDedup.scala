@@ -41,7 +41,7 @@ object TextDedup {
     * scan. localCheckpoint truncates lineage to executor blocks and
     * registers nothing, so the twin is cheap and the headline stays
     * honest. */
-  private val spanMemo = new SessionMemo[String, DataFrame]
+  private val spanMemo = new SessionMemo[String, DataFrame]("spanMemo")
 
   private def cachedSpanDedup(spark: SparkSession, dir: String): DataFrame =
     spanMemo.getOrElseUpdate(spark, dir) {
@@ -256,7 +256,7 @@ object TextDedup {
     * index NAME (catalog tables); data lives in a temp dir swept by the
     * shared shutdown hook. A per-JVM counter keeps names unique across
     * sessions sharing one external catalog. */
-  private val indexMemo = new SessionMemo[String, String]
+  private val indexMemo = new SessionMemo[String, String]("indexMemo")
   private val indexSeq = new java.util.concurrent.atomic.AtomicInteger(0)
   private val indexDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
   locally {
@@ -408,7 +408,7 @@ object TextDedup {
     * stays priced by [[qSimhashWide]] itself. localCheckpoint, not
     * cache(), so qSimhashWide's identical fresh plan is never subsumed
     * (the q_span_dedup lesson). */
-  private val wideSigMemo = new SessionMemo[String, DataFrame]
+  private val wideSigMemo = new SessionMemo[String, DataFrame]("wideSigMemo")
 
   private def cachedWideSig(spark: SparkSession, dir: String): DataFrame =
     wideSigMemo.getOrElseUpdate(spark, dir) {
@@ -453,7 +453,7 @@ object TextDedup {
     * the pair table once per corpus snapshot anyway. The build is
     * priced visibly in the bench's untimed warmup (memoWarmers), like
     * every other session memo. */
-  private val simhashPairsMemo = new SessionMemo[String, DataFrame]
+  private val simhashPairsMemo = new SessionMemo[String, DataFrame]("simhashPairsMemo")
 
   private[queries] def simhashPairs3(spark: SparkSession, dir: String): DataFrame =
     simhashPairsMemo.getOrElseUpdate(spark, dir) {
@@ -568,7 +568,7 @@ object TextDedup {
   /** The MinHash+LSH dup-pair set shared by q_dedup_minhash and
     * q_dedup_groups — computed once per (session, dir) and kept cached
     * (the pair list is tiny: bounded ids, high threshold). */
-  private val pairsMemo = new SessionMemo[String, DataFrame]
+  private val pairsMemo = new SessionMemo[String, DataFrame]("pairsMemo")
 
   private def cachedMinhashPairs(spark: SparkSession, dir: String): DataFrame =
     pairsMemo.getOrElseUpdate(spark, dir) {
@@ -586,7 +586,7 @@ object TextDedup {
     * no amount of executor parallelism hides. The label table is tiny
     * (≤ one row per doc in any pair); caching it makes both queries
     * measure plan cost, not loop orchestration. */
-  private val labelsMemo = new SessionMemo[String, DataFrame]
+  private val labelsMemo = new SessionMemo[String, DataFrame]("labelsMemo")
 
   private def cachedCanonicalLabels(spark: SparkSession, dir: String): DataFrame =
     labelsMemo.getOrElseUpdate(spark, dir) {

@@ -720,7 +720,7 @@ object TextStats {
     * measures the operator, not the cache. At 100 TB this is exactly
     * the "tokenize once, reuse" artifact a real pipeline materializes
     * as a table. */
-  private val tokArrMemo = new SessionMemo[String, DataFrame]
+  private val tokArrMemo = new SessionMemo[String, DataFrame]("tokArrMemo")
 
   private[queries] def cachedDocTokens(spark: SparkSession, dir: String): DataFrame =
     tokArrMemo.getOrElseUpdate(spark, dir) {

@@ -182,6 +182,20 @@ object Sources {
       .write.mode("overwrite").json(path)
   }
 
+  /** Missing-column reconstruction (SURVEY §1.3, spark_stream.py:123-128:
+    * the reference derives `price` from `Previous_Close_(Rs_)` +
+    * `Change(Rs)` when the record lacks the price field). Generalized
+    * schema-drift tolerance: if `target` is ABSENT from the read schema
+    * entirely (a drifted source vintage), the fallback expression IS the
+    * column; if present, per-row NULLs (mixed vintages merged under
+    * mergeSchema) fall back via coalesce. The decision is made ONCE at
+    * plan time from the schema — the per-row path is a plain codegen'd
+    * coalesce, no reflection in the hot loop. */
+  def reconstructColumn(df: DataFrame, target: String, fallback: Column): DataFrame =
+    if (df.columns.contains(target))
+      df.withColumn(target, coalesce(col(target), fallback))
+    else df.withColumn(target, fallback)
+
   /** F4: multi-format date parse — try yyyy-MM-dd, then yyyyMMdd, then
     * the reference's dd/MMM/yyyy issueDate form (ml_impl.py:22-30). */
   def parseDateMulti(c: Column): Column =

@@ -720,6 +720,19 @@ object Ingest {
     * [[PushAdapter]] additionally broadcasts each batch to live
     * consumers (S6).
     *
+    * Quarantine split is UPSTREAM of the dedup (advice r19): the old
+    * post-dedup split lost NULL-keyed poison before the dead-letter
+    * predicate ever saw it — dropDuplicatesWithinWatermark collapses
+    * NULL (user_id, day) keys into one surviving row and the watermark
+    * path drops NULL event_time rows outright. Here the RAW stream is
+    * split in the streaming plan: the contract-clean side keeps the
+    * cross-batch streaming dedup (a per-batch dedup inside foreachBatch
+    * would re-admit duplicates spanning micro-batches), the poison side
+    * bypasses dedup entirely, and the two branches are self-unioned so
+    * ONE query and ONE checkpoint carry both — `reason IS NULL` marks
+    * the clean side, which is unambiguous because [[quarantinedEvents]]
+    * produces only non-null reasons by construction.
+    *
     * Replay-idempotent: a crash between the parquet write and the
     * checkpoint commit makes Spark re-run the SAME batch id, and a
     * plain append would duplicate it. Writing each batch into its own
@@ -733,8 +746,15 @@ object Ingest {
                   checkpoint: String = "",
                   alertThreshold: Double = 400.0,
                   push: Option[PushAdapter] = None,
-                  quarantinePath: String = ""): StreamingQuery =
-    dedupDaily(stream)
+                  quarantinePath: String = ""): StreamingQuery = {
+    // When no quarantinePath is configured the split is skipped and the
+    // batch lands whole (backward-compatible single-table mode).
+    val planned =
+      if (quarantinePath.isEmpty) dedupDaily(stream)
+      else dedupDaily(stream.filter(eventContract))
+        .withColumn("reason", lit(null).cast("string"))
+        .unionByName(quarantinedEvents(stream), allowMissingColumns = true)
+    planned
       .writeStream
       .outputMode("append")
       .option("checkpointLocation",
@@ -752,19 +772,18 @@ object Ingest {
           // the landing table's consumers (every batch query) get the
           // typed invariant by layout, and nothing is silently dropped
           // (the reference's ST4 lesson). Same replay-idempotent
-          // batch_id-overwrite contract as the other two sinks. When no
-          // quarantinePath is configured the split is skipped and the
-          // batch lands whole (backward-compatible single-table mode).
+          // batch_id-overwrite contract as the other two sinks.
           val landed =
             if (quarantinePath.isEmpty) batch
             else {
-              quarantinedEvents(batch)
+              batch.filter(col("reason").isNotNull)
+                .drop("event_time", "day")
                 .withColumn("batch_id", lit(batchId))
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("batch_id")
                 .parquet(quarantinePath)
-              batch.filter(eventContract)
+              batch.filter(col("reason").isNull).drop("reason")
             }
           landed.withColumn("batch_id", lit(batchId))
             .write.mode("overwrite")
@@ -795,4 +814,5 @@ object Ingest {
         ()
       }
       .start()
+  }
 }

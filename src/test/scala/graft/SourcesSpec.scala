@@ -254,4 +254,22 @@ class SourcesSpec extends AnyFunSuite {
     assert(plan.contains("dynamicpruning"),
       s"fact scan must carry a dynamic partition filter:\n${plan.take(3000)}")
   }
+
+  test("reconstructColumn: absent column is derived, present column only fills NULLs") {
+    // wave 5 (SURVEY §1.3): the reference derives price from
+    // Previous_Close + Change when the record lacks the field
+    // (spark_stream.py:123-128); both drift shapes must work
+    val drifted = Seq((1L, 10L, 3L), (2L, 20L, 3L)).toDF("id", "base", "chg")
+    val derived = Sources.reconstructColumn(drifted, "v", col("base") + col("chg"))
+    assert(derived.columns.contains("v"))
+    assert(derived.select("id", "v").as[(Long, Long)].collect().toSet ==
+      Set((1L, 13L), (2L, 23L)))
+    // present column: NULLs fall back, non-NULLs survive UNTOUCHED
+    // (a reconstruction that rewrites healthy values is corruption)
+    val mixed = Seq((1L, Some(99L), 10L, 3L), (2L, None, 20L, 3L))
+      .toDF("id", "v", "base", "chg")
+    val filled = Sources.reconstructColumn(mixed, "v", col("base") + col("chg"))
+    assert(filled.select("id", "v").as[(Long, Long)].collect().toSet ==
+      Set((1L, 99L), (2L, 23L)))
+  }
 }

@@ -719,12 +719,15 @@ class StreamingSpec extends AnyFunSuite {
   test("batch replay through startIngest writes landing + alert tables and pushes live") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-ingest").toString
     val src = MemoryStream[Event]
+    // data BEFORE start: AvailableNow snapshots available offsets at
+    // query start, so post-start addData can be (racily) invisible —
+    // the zero-batch run then terminates clean with nothing written
+    src.addData(ev(1, 1, 1, 500.0), ev(2, 1, 2, 10.0), ev(3, 2, 1, 20.0))
     val q = Ingest.startIngest(src.toDF(), s"$tmp/landing", s"$tmp/alerts",
       trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
       checkpoint = s"$tmp/ckpt",
       push = Some(new Ingest.LiveDirPush(s"$tmp/live")))
     try {
-      src.addData(ev(1, 1, 1, 500.0), ev(2, 1, 2, 10.0), ev(3, 2, 1, 20.0))
       q.awaitTermination(60000)
       val landing = spark.read.parquet(s"$tmp/landing")
       assert(landing.count() == 3)
@@ -759,7 +762,17 @@ class StreamingSpec extends AnyFunSuite {
     src.addData(
       RawEvent(Some(1L), Some(DayNs), Some(1L), "view", Some(500.0)),
       RawEvent(Some(2L), Some(2 * DayNs), Some(2L), "view", Some(10.0)),
-      RawEvent(Some(3L), Some(3 * DayNs), Some(3L), "view", None))
+      RawEvent(Some(3L), Some(3 * DayNs), Some(3L), "view", None),
+      // NULL-keyed poison (advice r19): before the pre-dedup split,
+      // a NULL ts row was dropped by the watermark path and NULL
+      // user_id rows were collapsed by the dedup's NULL-safe key
+      // equality — neither reached the dead-letter NOR the landing
+      RawEvent(Some(4L), None, Some(4L), "view", Some(20.0)),
+      RawEvent(Some(5L), Some(4 * DayNs), None, "view", Some(30.0)),
+      RawEvent(Some(6L), Some(4 * DayNs + 1000L), None, "view", Some(31.0)),
+      // in-batch duplicate of (user 2, day 2): dedup still applies to
+      // the clean side of the split
+      RawEvent(Some(7L), Some(2 * DayNs + 1000L), Some(2L), "view", Some(11.0)))
     val q = Ingest.startIngest(src.toDF(), s"$tmp/landing", s"$tmp/alerts",
       trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
       checkpoint = s"$tmp/ckpt",
@@ -770,13 +783,45 @@ class StreamingSpec extends AnyFunSuite {
       assert(finished, "stream did not finish within 60s")
       val landing = spark.read.parquet(s"$tmp/landing")
       assert(landing.select("event_id").as[Long].collect().toSet == Set(1L, 2L),
-        "landing must carry exactly the contract-clean rows")
+        "landing must carry exactly the deduped contract-clean rows")
       val dead = spark.read.parquet(s"$tmp/deadletter")
       val deadRows = dead.select("event_id", "reason").collect()
         .map(r => (r.getLong(0), r.getString(1))).toSet
-      assert(deadRows == Set((3L, "null_value")), s"dead-letter wrong: $deadRows")
+      // BOTH null_user_id rows quarantined individually — NULL keys
+      // must not collapse in the dead-letter either
+      assert(deadRows == Set((3L, "null_value"), (4L, "null_ts"),
+        (5L, "null_user_id"), (6L, "null_user_id")),
+        s"dead-letter wrong: $deadRows")
       val alerts = spark.read.parquet(s"$tmp/alerts")
       assert(alerts.select("event_id").as[Long].collect().toSet == Set(1L))
+    } finally q.stop()
+  }
+
+  test("startIngest quarantine mode keeps CROSS-batch daily dedup on the clean side") {
+    // the pre-dedup split self-unions a stateful (deduped) branch with
+    // the stateless quarantine branch; this pins that the stateful
+    // branch still carries dropDuplicatesWithinWatermark state ACROSS
+    // micro-batches — a per-batch dedup would re-admit batch-2's copy
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ingest-xb").toString
+    val src = MemoryStream[RawEvent]
+    val q = Ingest.startIngest(src.toDF(), s"$tmp/landing", s"$tmp/alerts",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L),
+      checkpoint = s"$tmp/ckpt",
+      quarantinePath = s"$tmp/deadletter")
+    try {
+      src.addData(RawEvent(Some(1L), Some(DayNs), Some(1L), "view", Some(10.0)))
+      q.processAllAvailable()
+      src.addData(
+        RawEvent(Some(2L), Some(DayNs + 1000L), Some(1L), "view", Some(20.0)),
+        RawEvent(Some(3L), Some(DayNs), Some(2L), "view", Some(30.0)),
+        RawEvent(Some(4L), None, Some(9L), "view", Some(40.0)))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"stream failed: ${q.exception}")
+      val landing = spark.read.parquet(s"$tmp/landing")
+      assert(landing.select("event_id").as[Long].collect().toSet == Set(1L, 3L),
+        "batch-2 duplicate of (user 1, day 1) must be dropped by streaming state")
+      val dead = spark.read.parquet(s"$tmp/deadletter")
+      assert(dead.select("event_id").as[Long].collect().toSet == Set(4L))
     } finally q.stop()
   }
 

@@ -93,17 +93,23 @@ def main(args):
             print(f"[{t}] expected divergence did not occur (fix landed? "
                   f"update EXPECTED): {q}")
             bad += 1
+        cryptic = 0
         for q in sorted(set(fails) & loud):
             pat = LOUD[q]
             if not re.search(rf"{q} failed: .*(?:{pat})", log):
                 print(f"[{t}] {q} failed WITHOUT the declared contract "
                       f"message — cryptic internal error leaked")
                 bad += 1
+                cryptic += 1
+        # the summary condition must include the contract-message check
+        # (advice r19): printing "ok ... all declared" while a cryptic
+        # internal error leaked is misleading exactly when it matters
+        twin_ok = not (unexpected or missing or cryptic)
         print(f"[{t}] ok: {len(fails)} fails, all declared "
               f"({len(set(fails) & loud)} loud-contract, "
               f"{len(set(fails) & cert)} cert-literal, "
               f"{len(set(fails) & engine)} engine-divergence)"
-              if not (unexpected or missing) else f"[{t}] TRIAGE FAILED")
+              if twin_ok else f"[{t}] TRIAGE FAILED")
     sys.exit(1 if bad else 0)
 
 
