@@ -45,6 +45,15 @@ for q in ('q_compaction_roundtrip', 'q_orc_roundtrip', 'q_json_roundtrip',
           'q_csv_roundtrip'):
     a.check(q, ident, keys=['event_id'], float_exact=('value',))
 
+# ---- q_value_recon (r20 wave 5): the two-vintage reconstruction must
+# return exactly round(value*1e6) for EVERY event — the drifted rows'
+# base+change sum is bit-identical to the direct path by construction
+# (exact longs end-to-end). Values sit ~1e-7 off integers, so rint's
+# half-even vs the engines' half-up can never disagree here.
+recon = pd.DataFrame({'event_id': e.event_id,
+                      'value_micros': np.rint(e.value * 1e6).astype('int64')})
+a.check('q_value_recon', recon, keys=['event_id'])
+
 # ---- bucketed join == plain join + rollup ----
 orders = table('orders')
 cust = table('customer')
