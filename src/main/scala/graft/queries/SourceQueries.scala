@@ -267,7 +267,14 @@ object SourceQueries {
     * coalesce. Micros are exact LONGs end-to-end, so reconstruction is
     * bit-exact and the oracle re-derives the same integer from the
     * source table. The column-ABSENT branch (single-vintage read, no
-    * merge) is spec-pinned in SourcesSpec. */
+    * merge) is spec-pinned in SourcesSpec.
+    *
+    * Contract: event_id is the events PK and non-NULL (the declared
+    * fixture precondition — hostile_fixtures.py's contract list); a
+    * NULL id would satisfy neither vintage filter (NULL % 5 is NULL
+    * under both === and =!=) and vanish from the staged source, which
+    * the identity oracle would immediately flag as a row-count
+    * mismatch — a loud failure, not a silent wrong answer. */
   def qValueRecon(spark: SparkSession, dir: String): DataFrame = {
     val out = reconMemo.getOrElseUpdate(spark, dir) {
       val tmp = java.nio.file.Files.createTempDirectory("graft-recon")
