@@ -90,26 +90,23 @@ object StreamScale {
   }
 
   /** One streaming leg over the staged files: AvailableNow +
-    * maxFilesPerTrigger=1 (time-ordered micro-batches), noop or memory
-    * sink, per-batch state telemetry from StreamingQueryProgress. */
+    * maxFilesPerTrigger=1 (time-ordered micro-batches), noop sink
+    * (the resume leg uses the file sink separately — the memory sink
+    * cannot recover from a checkpoint), per-batch state telemetry
+    * from StreamingQueryProgress. */
   private def runLeg(spark: SparkSession, name: String, srcDir: String,
-                     ckpt: String, provider: String,
-                     sinkTable: Option[String] = None)
+                     ckpt: String, provider: String)
                     (mk: Dataset[Ingest.Event] => Dataset[_]): String = {
-    import spark.implicits._
     spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
     val schema = spark.read.parquet(srcDir).schema
     val src = Ingest.typedEvents(
       spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(srcDir))
     val t0 = System.nanoTime()
-    val writer = mk(src).writeStream
+    val q = mk(src).writeStream
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
-    val q = sinkTable match {
-      case Some(t) => writer.format("memory").queryName(t).start()
-      case None    => writer.format("noop").start()
-    }
+      .format("noop").start()
     q.awaitTermination()
     val wall = (System.nanoTime() - t0) / 1e9
     val prog = q.recentProgress.toSeq
