@@ -164,6 +164,25 @@ object StreamScale {
           ev => Ingest.statefulPctAlerts(ev))
       }
 
+      // 1b. Changelog-checkpointing A/B (STREAMSCALE_CHANGELOG=1, full
+      // mode): by default RocksDB uploads SST snapshots per commit —
+      // at production state sizes the upload IS the commit latency.
+      // Changelog mode (public conf, Spark 3.4+) writes per-batch
+      // deltas instead and snapshots in the background maintenance
+      // thread, trading restart replay for commit latency — the
+      // 100 TB-relevant knob. Measured here as a same-era pair: the
+      // welford leg under each mode (per-batch batch_ms carries the
+      // commit cost) — the resume story for changelog mode is the
+      // SAME file-sink restart path, replaying the delta log.
+      val ChangelogConf =
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+      if (!compact && sys.env.get("STREAMSCALE_CHANGELOG").contains("1")) {
+        spark.conf.set(ChangelogConf, "true")
+        try legs += runLeg(spark, "welford_rocks_changelog", srcDir,
+          ck("wrchg"), RocksProvider)(ev => Ingest.streamingZscoreAnomalies(ev))
+        finally spark.conf.set(ChangelogConf, "false")
+      }
+
       // 2. Daily dedup — state keyed (user, day) WITHIN the watermark:
       // the leg proves the within-watermark variant evicts closed days
       // as the watermark advances (peak state ≪ total distinct pairs).
