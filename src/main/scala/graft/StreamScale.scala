@@ -209,63 +209,72 @@ object StreamScale {
       // conservation check vacuous, as welford's minN=20 does at 4
       // events/key. Output conservation: phase1+phase2 rows/hash ==
       // an uninterrupted run over the same files.
-      val resumeJson = {
+      def resumeLeg(label: String, changelog: Boolean): String = {
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", RocksProvider)
-        val files = new java.io.File(srcDir).listFiles()
-          .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
-        val half = math.max(1, files.length / 2)
-        val linkDir = tmp.resolve("resume_src")
-        java.nio.file.Files.createDirectory(linkDir)
-        def link(fs: Seq[java.io.File]): Unit = fs.foreach { f =>
-          java.nio.file.Files.createSymbolicLink(
-            linkDir.resolve(f.getName), f.toPath)
-        }
-        val schema = spark.read.parquet(srcDir).schema
-        // the memory sink cannot recover from a checkpoint; the FILE
-        // sink is the production restart path anyway — its
-        // _spark_metadata commit log makes the restarted query resume
-        // exactly-once into the same output directory
-        val splitOut = s"$tmp/resume_out_split"
-        def phase(out: String, ckName: String): (Double, Long, Long) = {
-          val src = Ingest.typedEvents(
-            spark.readStream.schema(schema)
-              .option("maxFilesPerTrigger", "1").parquet(linkDir.toString))
-          val t = System.nanoTime()
-          val q = Ingest.statefulPctAlerts(src).writeStream
-            .format("parquet").option("path", out)
-            .option("checkpointLocation", ck(ckName))
-            .trigger(Trigger.AvailableNow()).start()
-          q.awaitTermination()
-          val wall = (System.nanoTime() - t) / 1e9
-          val prog = q.recentProgress.toSeq
-          val peak = prog.map(_.stateOperators.map(_.numRowsTotal).sum)
-            .maxOption.getOrElse(0L)
-          (wall, peak, prog.map(_.numInputRows).sum)
-        }
-        def dirHash(out: String): (Long, Long) = {
-          val df = spark.read.parquet(out)
-          val h = df.select(pmod(xxhash64(
-              df.columns.map(c => col(c).cast("string")): _*),
-              lit(1000000007L)).as("h"))
-            .agg(sum(col("h"))).head()
-          (df.count(), if (h.isNullAt(0)) 0L else h.getLong(0))
-        }
-        link(files.take(half).toSeq)
-        val (w1, state1, rows1) = phase(splitOut, "resume")
-        link(files.drop(half).toSeq)
-        val (w2, state2, rows2) = phase(splitOut, "resume")
-        val (nSplit, hSplit) = dirHash(splitOut)
-        // uninterrupted control over the same via-symlink source dir
-        val ctlOut = s"$tmp/resume_out_ctl"
-        val (_, _, _) = phase(ctlOut, "resume_ctl")
-        val (nc, hc) = dirHash(ctlOut)
-        s""""resume":{"phase1_sec":${r3(w1)},"phase1_rows":$rows1,""" +
-          s""""state_at_kill":$state1,"phase2_sec":${r3(w2)},""" +
-          s""""phase2_rows":$rows2,"state_after_resume":$state2,""" +
-          s""""out_rows_split":$nSplit,"out_rows_uninterrupted":$nc,""" +
-          s""""output_match":${nSplit == nc && hSplit == hc}}"""
+        spark.conf.set(ChangelogConf, changelog.toString)
+        try {
+          val files = new java.io.File(srcDir).listFiles()
+            .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+          val half = math.max(1, files.length / 2)
+          val linkDir = tmp.resolve(s"${label}_src")
+          java.nio.file.Files.createDirectory(linkDir)
+          def link(fs: Seq[java.io.File]): Unit = fs.foreach { f =>
+            java.nio.file.Files.createSymbolicLink(
+              linkDir.resolve(f.getName), f.toPath)
+          }
+          val schema = spark.read.parquet(srcDir).schema
+          // the memory sink cannot recover from a checkpoint; the FILE
+          // sink is the production restart path anyway — its
+          // _spark_metadata commit log makes the restarted query resume
+          // exactly-once into the same output directory
+          val splitOut = s"$tmp/${label}_out_split"
+          def phase(out: String, ckName: String): (Double, Long, Long) = {
+            val src = Ingest.typedEvents(
+              spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1").parquet(linkDir.toString))
+            val t = System.nanoTime()
+            val q = Ingest.statefulPctAlerts(src).writeStream
+              .format("parquet").option("path", out)
+              .option("checkpointLocation", ck(ckName))
+              .trigger(Trigger.AvailableNow()).start()
+            q.awaitTermination()
+            val wall = (System.nanoTime() - t) / 1e9
+            val prog = q.recentProgress.toSeq
+            val peak = prog.map(_.stateOperators.map(_.numRowsTotal).sum)
+              .maxOption.getOrElse(0L)
+            (wall, peak, prog.map(_.numInputRows).sum)
+          }
+          def dirHash(out: String): (Long, Long) = {
+            val df = spark.read.parquet(out)
+            val h = df.select(pmod(xxhash64(
+                df.columns.map(c => col(c).cast("string")): _*),
+                lit(1000000007L)).as("h"))
+              .agg(sum(col("h"))).head()
+            (df.count(), if (h.isNullAt(0)) 0L else h.getLong(0))
+          }
+          link(files.take(half).toSeq)
+          val (w1, state1, rows1) = phase(splitOut, label)
+          link(files.drop(half).toSeq)
+          val (w2, state2, rows2) = phase(splitOut, label)
+          val (nSplit, hSplit) = dirHash(splitOut)
+          // uninterrupted control over the same via-symlink source dir
+          val ctlOut = s"$tmp/${label}_out_ctl"
+          val (_, _, _) = phase(ctlOut, s"${label}_ctl")
+          val (nc, hc) = dirHash(ctlOut)
+          s""""$label":{"phase1_sec":${r3(w1)},"phase1_rows":$rows1,""" +
+            s""""state_at_kill":$state1,"phase2_sec":${r3(w2)},""" +
+            s""""phase2_rows":$rows2,"state_after_resume":$state2,""" +
+            s""""out_rows_split":$nSplit,"out_rows_uninterrupted":$nc,""" +
+            s""""output_match":${nSplit == nc && hSplit == hc}}"""
+        } finally spark.conf.set(ChangelogConf, "false")
       }
-      legs += resumeJson
+      legs += resumeLeg("resume", changelog = false)
+      // changelog-mode restart: the A/B's commit-latency win is only
+      // deployable if a kill at full state resumes THROUGH a delta-log
+      // checkpoint with the same output conservation — measured, not
+      // argued (same env gate as the throughput A/B)
+      if (!compact && sys.env.get("STREAMSCALE_CHANGELOG").contains("1"))
+        legs += resumeLeg("resume_changelog", changelog = true)
 
       s"""{"keys":$nKeys,"rows":$nRows,"files":$nFiles,""" +
         s""""ev_per_key":$evPerKey,"stage_sec":${r3(stageSec)},""" +
