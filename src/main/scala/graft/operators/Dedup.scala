@@ -539,7 +539,17 @@ object Dedup {
     // (gh, doc) grain first: within-doc occurrence positions of each
     // gram, bounded by doc length — never the per-gram corpus-wide list
     // a groupBy(gh).collect_list(doc) would risk on boilerplate grams.
-    val gdoc = grams.groupBy(col("gh"), col(idCol))
+    // repartition(gh) FIRST (r20 optimization): hashpartitioning(gh)
+    // satisfies both the (gh, doc) aggregate's clustering AND the
+    // dup-gram window's partitionBy(gh) below, so the plan holds ONE
+    // exchange on the gram frame where groupBy(gh, doc) + window(gh)
+    // paid two back-to-back (the incrementalClassify cands fusion,
+    // applied here; plans/r20/q_span_dedup_before.txt shows both).
+    // Shuffle bytes are unchanged — collect_list partials carry every
+    // position either way — and the per-gh partition bound is the same
+    // docs-per-gram the window stage already had.
+    val gdoc = grams.repartition(col("gh"))
+      .groupBy(col("gh"), col(idCol))
       .agg(collect_list(col("pos")).as("poss"))
     // dup-gram facts (occurrence count, min-id owner) via WINDOW
     // functions over gdoc, not a separate aggregate + self-join: the

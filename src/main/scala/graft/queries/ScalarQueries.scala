@@ -699,23 +699,33 @@ object ScalarQueries {
     val grid = ev.groupBy("event_type", "blk").agg(aggs.head, aggs.tail: _*)
     val slots = (0 until BootBlock).map(s =>
       struct(col(s"swc$s").as("swc"), col(s"sw$s").as("sw")))
+    // cnt/sumc ride THROUGH the slot explode (r20 optimization): the
+    // old separate `full` aggregate put a second consumer on `grid`,
+    // and its pruned subtree canonicalized differently — ReuseExchange
+    // never fired and the whole md5-digest pipeline (the query's real
+    // compute) ran TWICE per execution (two Scan parquet + two
+    // Generate+HashAggregate chains in plans/r20/
+    // q_bootstrap_ci_before.txt). Every (type, blk) grid row carries
+    // the identical type totals (the posexplode is a constant fan-out),
+    // so any surviving slot row's cnt/sumc IS the type total and
+    // max() over them reads the same value the old full-branch max
+    // did; a type appears in the old inner join iff it has >= 1
+    // surviving replica — exactly this groupBy's row condition.
     val reps = grid
-      .select(col("event_type"), explode(array(slots: _*)).as("r"))
+      .select(col("event_type"), col("cnt"), col("sumc"),
+        explode(array(slots: _*)).as("r"))
       .filter(col("r.sw") > 0)
-      .select(col("event_type"),
+      .select(col("event_type"), col("cnt"), col("sumc"),
         ((col("r.swc").cast("double") / col("r.sw").cast("double")) / 100.0).as("m"))
-    val full = grid.groupBy("event_type")
-      .agg(max(col("cnt")).as("n"),
-        ((max(col("sumc")).cast("double") / max(col("cnt")).cast("double"))
-          / 100.0).as("mean_v"))
     val loRank = math.max(1, math.ceil(0.025 * BootReps).toInt)
     val hiRank = math.ceil(0.975 * BootReps).toInt
     reps.groupBy("event_type")
       .agg(sort_array(collect_list(col("m"))).as("ms"),
-        count(lit(1)).as("n_reps"))
-      .join(broadcast(full), "event_type")
+        count(lit(1)).as("n_reps"),
+        max(col("cnt")).as("n"), max(col("sumc")).as("sumc_t"))
       .select(col("event_type"), col("n"), col("n_reps"),
-        rnd(col("mean_v"), 4).as("mean_value"),
+        rnd((col("sumc_t").cast("double") / col("n").cast("double")) / 100.0, 4)
+          .as("mean_value"),
         // try_element_at: a tiny group can lose zero-weight replicas
         // (P(W=0) = 1/e per replica at n=1), leaving fewer than
         // BootReps entries — the fixed percentile rank then reads

@@ -175,12 +175,29 @@ object TextStats {
     // duplicated corpus) comes back keep = 1 with no warning;
     // SQL-reachable via the crossdoc_ngram TVF, so fail loudly
     require(n >= 1, s"crossdocNgramStats: n must be >= 1 (got $n)")
-    val sh = shingleRowsOf(tokArr, n, idCol)
-    val docFreq = sh.groupBy("sh").agg(count_distinct(col(idCol)).as("nd"))
-    val frac = sh.join(docFreq, "sh")
+    // (sh, doc)-grain aggregate + doc-frequency WINDOW over sh (r20
+    // optimization, the spanDedup window recipe): the old groupBy(sh)
+    // doc-frequency aggregate + sh⋈docFreq join put two consumers on
+    // the shingle subtree with different prunings, so ReuseExchange
+    // never fired and the tokenize+shingle explode — the query's
+    // heaviest map work — ran TWICE per execution (two Generate
+    // pipelines in plans/r20/q_crossdoc_ngram_before.txt). The
+    // (sh, doc) grain keeps per-gram state bounded by docs-per-gram
+    // (never a corpus-wide list), `occ` carries the within-doc
+    // occurrence count, and nd-as-window-count equals the old
+    // count_distinct(doc) because (sh, doc) rows are distinct by
+    // construction (the isNotNull guard mirrors count_distinct's
+    // NULL-id exclusion). occ·length(sh) restates the old
+    // per-occurrence length sums exactly — same longs, same division.
+    import org.apache.spark.sql.expressions.Window
+    val wg = Window.partitionBy("sh")
+    val frac = shingleRowsOf(tokArr, n, idCol)
+      .groupBy(col("sh"), col(idCol))
+      .agg(count(lit(1)).as("occ"))
+      .withColumn("nd", count(when(col(idCol).isNotNull, lit(1))).over(wg))
       .groupBy(idCol)
-      .agg((sum(when(col("nd") >= 2, length(col("sh"))).otherwise(lit(0L))) /
-        sum(length(col("sh"))).cast("double")).as("f"))
+      .agg((sum(when(col("nd") >= 2, col("occ") * length(col("sh"))).otherwise(lit(0L))) /
+        sum(col("occ") * length(col("sh"))).cast("double")).as("f"))
     tokArr.select(col(idCol))
       .join(frac, Seq(idCol), "left")
       .select(col(idCol),

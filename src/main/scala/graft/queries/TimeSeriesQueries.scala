@@ -436,26 +436,40 @@ object TimeSeriesQueries {
         dayofweek(timestamp_micros(expr(s"`$tsCol` div 1000"))).as("dow"),
         hour(timestamp_micros(expr(s"`$tsCol` div 1000"))).as("hod"),
         expr(s"CAST(floor(`$valCol` * 100 + 0.5) AS BIGINT)").as("cents"))
-    val grid = ev.groupBy("event_type", "dow", "hod")
-      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sumc"),
-        sum(col("cents") * col("cents")).as("sumsq"))
-    // n=1 cells have no sample variance — gate BEFORE the division
-    // (ANSI Spark throws on /0 where DuckDB would yield NaN); moments
-    // via the shared cross-engine recipe (see package.scala)
-    val stats = grid.select(col("event_type"), col("dow"), col("hod"), col("n"),
-      meanFromCents(col("n"), col("sumc")).as("mean_v"),
-      when(col("n") >= 2,
-        sqrt(varFromCents(col("n"), col("sumc"), col("sumsq")))).as("std_v"))
-    val anom = ev.join(broadcast(stats), Seq("event_type", "dow", "hod"))
-      .filter(col("n") >= 2 && col("std_v") > 0.0 &&
-        abs(col("value") - col("mean_v")) > lit(3.0) * col("std_v"))
+    // ONE cell-partitioned window + ONE aggregate on the same keys (r20
+    // optimization): the old grid-aggregate → broadcast-stats-back →
+    // anomaly aggregate → stats⋈anom left join planned the fact scan +
+    // cell rollup TWICE (the pushed-down anomaly filter de-canonicalized
+    // the second subtree — plans/r20/q_seasonal_baseline_before.txt) plus
+    // two joins. The window hands every row its own cell's n/sumc/sumsq
+    // (identical integer sums → identical moment doubles), the anomaly
+    // test runs beside it, and the groupBy reuses the window's
+    // partitioning, so the whole query is one exchange. n=1 cells gate
+    // the variance BEFORE the division exactly as before (ANSI /0).
+    // The key-isNotNull conjunct preserves the old inner-join-on-keys
+    // semantics: a NULL-keyed cell never matched the broadcast stats,
+    // so its anomalies counted 0 — the cell row itself still emits.
+    val wc = Window.partitionBy("event_type", "dow", "hod")
+    ev
+      .withColumn("n", count(lit(1)).over(wc))
+      .withColumn("sumc_c", sum(col("cents")).over(wc))
+      .withColumn("sumsq_c", sum(col("cents") * col("cents")).over(wc))
+      .withColumn("mean_v", meanFromCents(col("n"), col("sumc_c")))
+      .withColumn("std_v", when(col("n") >= 2,
+        sqrt(varFromCents(col("n"), col("sumc_c"), col("sumsq_c")))))
       .groupBy("event_type", "dow", "hod")
-      .agg(count(lit(1)).as("n_anom"))
-    stats.join(anom, Seq("event_type", "dow", "hod"), "left")
-      .select(col("event_type"), col("dow"), col("hod"), col("n"),
-        rnd(col("mean_v"), 4).as("mean_value"),
-        rnd(col("std_v"), 4).as("std_value"),
-        coalesce(col("n_anom"), lit(0L)).as("n_anomalies"))
+      .agg(max(col("n")).as("n_out"),
+        max(col("mean_v")).as("mean_out"),
+        max(col("std_v")).as("std_out"),
+        sum(when(col("event_type").isNotNull && col("dow").isNotNull &&
+          col("hod").isNotNull && col("n") >= 2 && col("std_v") > 0.0 &&
+          abs(col("value") - col("mean_v")) > lit(3.0) * col("std_v"),
+          1L).otherwise(0L)).as("n_anom"))
+      .select(col("event_type"), col("dow"), col("hod"),
+        col("n_out").as("n"),
+        rnd(col("mean_out"), 4).as("mean_value"),
+        rnd(col("std_out"), 4).as("std_value"),
+        col("n_anom").as("n_anomalies"))
   }
 
   def qSeasonalBaseline(spark: SparkSession, dir: String): DataFrame =
@@ -527,10 +541,19 @@ object TimeSeriesQueries {
   def liftPairs(df: DataFrame, userCol: String, tsCol: String,
                 typeCol: String): DataFrame = {
     val day = to_date(timestamp_micros(expr(s"`$tsCol` div 1000")))
+    // materialize the distinct basket triples ONCE (r20 optimization,
+    // the qPagerank edges recipe): this frame feeds FOUR plan positions
+    // (basket-count aggregate, per-type supports, both self-join sides)
+    // whose prunings de-canonicalize the distinct's exchange — without
+    // the checkpoint the scan + dedup pipeline ran once per consumer.
+    // The frame is (users × days × types) rows — basket-bounded, tiny
+    // next to the fact table it deduplicates; at 100 TB the basket
+    // table is the persisted artifact this checkpoint stands in for.
     val bask = df
       .select(col(userCol).as("user_id"), day.as("day"),
         col(typeCol).as("event_type"))
       .distinct()
+      .localCheckpoint(true)
     val nBaskets = bask.select("user_id", "day").distinct()
       .agg(count(lit(1)).as("nb"))
     val item = bask.groupBy("event_type").agg(count(lit(1)).as("cnt"))
@@ -581,20 +604,36 @@ object TimeSeriesQueries {
     * 5-node fixture graph keeps the oracle's unrolled-CTE twin exact. */
   def qPagerank(spark: SparkSession, dir: String): DataFrame = {
     val n = lit(5.0)
-    val counts = transitionMatrix(Tables.events(spark, dir), "user_id",
+    // transitionPairs directly (r20 optimization): this query only
+    // needs the raw (prev, next, n) counts — going through
+    // transitionMatrix paid that operator's own totals aggregate +
+    // broadcast join to compute a probability column the very next
+    // select dropped
+    val counts = transitionPairs(Tables.events(spark, dir), "user_id",
       "event_type", "ts", "event_id")
-      .select(col("prev"), col("next"), col("n"))
-    val tots = counts.groupBy("prev").agg(sum(col("n")).as("tot"))
     // materialize the bounded edge list ONCE (|types|² rows): without
     // this, every iteration's plan re-runs the per-user lag window that
     // builds the transition counts — K× the whole upstream for a frame
-    // that is pure metadata
-    val edges = counts.join(broadcast(tots), "prev")
+    // that is pure metadata. Row-normalization via a WINDOW on the same
+    // frame (r20 optimization): the old tots aggregate + broadcast join
+    // consumed `counts` twice, so the checkpoint build ran the whole
+    // transition pipeline once per consumer plus a broadcast round —
+    // the window states the identical per-prev sum (same longs, same
+    // division) inside ONE pipeline. prev is non-NULL by construction
+    // (transitionPairs filters NULL lags), so the window partitioning
+    // and the old using-join agree on every row; NULL next flows
+    // through both forms untouched (the join keyed on prev alone).
+    val wTot = Window.partitionBy("prev")
+    val edges = counts
+      .withColumn("tot", sum(col("n")).over(wTot))
       .select(col("prev"), col("next"),
         (col("n").cast("double") / col("tot").cast("double")).as("pw"))
       .localCheckpoint(true)
-    val nodes = edges.select(col("prev").as("node")).distinct()
-      .unionByName(edges.select(col("next").as("node")).distinct()).distinct()
+    // node set in ONE distinct over both endpoints (r20: the old
+    // distinct-union-distinct chain ran three aggregates / five jobs
+    // over the checkpointed edges; set equality is definitional)
+    val nodes = edges
+      .select(explode(array(col("prev"), col("next"))).as("node")).distinct()
       .localCheckpoint(true)
     var pr = nodes.select(col("node"), (lit(1.0) / n).as("score"))
     for (_ <- 1 to PrIters) {

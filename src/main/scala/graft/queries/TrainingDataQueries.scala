@@ -466,16 +466,39 @@ object TrainingDataQueries {
     val cells = binned.groupBy("event_type", "bin")
       .agg(sum(when(col("period") === "a", 1L).otherwise(0L)).as("na"),
         sum(when(col("period") === "b", 1L).otherwise(0L)).as("nb"))
-    val spine = ev.select("event_type").distinct()
-      .select(col("event_type"),
+    // Bin-fill + totals in ONE downstream aggregate over cells (r20
+    // optimization). The old shape — spine from a THIRD full fact scan
+    // (ev.select(type).distinct()), spine⋈cells left join, tots rollup,
+    // broadcast tots back — held three more exchanges and one more scan
+    // (plans/r20/q_psi_drift_before.txt: 3 Scan parquet in the final
+    // plan). Deriving the spine from cells instead would put a second
+    // consumer on the cells subtree, whose column pruning
+    // de-canonicalizes the exchange and re-runs the binning pipeline
+    // (the q_span_dedup reuse lesson) — so cells folds ONCE per type
+    // into a bin→counts map + totals, and the 0..PsiBins-1 grid
+    // explodes out of that single row. Exactness: na/nb are the same
+    // longs (map lookup vs join), ta/tb sum the same non-NULL-bin
+    // cells the old spine join kept, and the smoothing arithmetic is
+    // untouched. The old final INNER join on event_type dropped
+    // NULL-type rows (NULL keys never match) — the isNotNull filter
+    // states that same contract directly.
+    val perType = cells.filter(col("event_type").isNotNull)
+      .groupBy("event_type")
+      .agg(
+        map_from_entries(collect_list(when(col("bin").isNotNull,
+          struct(col("bin"), struct(col("na"), col("nb")))))).as("m"),
+        sum(when(col("bin").isNotNull, col("na")).otherwise(0L)).as("ta"),
+        sum(when(col("bin").isNotNull, col("nb")).otherwise(0L)).as("tb"))
+    perType
+      .select(col("event_type"), col("ta"), col("tb"), col("m"),
         explode(sequence(lit(0), lit(PsiBins - 1))).as("bin"))
-    val full = spine.join(cells, Seq("event_type", "bin"), "left")
       .select(col("event_type"), col("bin"),
-        coalesce(col("na"), lit(0L)).as("na"),
-        coalesce(col("nb"), lit(0L)).as("nb"))
-    val tots = full.groupBy("event_type")
-      .agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
-    full.join(broadcast(tots), "event_type")
+        // try_element_at: ANSI element_at throws on an absent map key,
+        // and absent bins are exactly the rows the old left join
+        // coalesced to 0
+        coalesce(try_element_at(col("m"), col("bin")).getField("na"), lit(0L)).as("na"),
+        coalesce(try_element_at(col("m"), col("bin")).getField("nb"), lit(0L)).as("nb"),
+        col("ta"), col("tb"))
       .withColumn("pa", (col("na") + 1.0) / (col("ta") + lit(PsiBins.toDouble)))
       .withColumn("pb", (col("nb") + 1.0) / (col("tb") + lit(PsiBins.toDouble)))
   }
@@ -585,35 +608,46 @@ object TrainingDataQueries {
     * for [[abTest]]/[[powerAnalysis]], mirrored by
     * [[HalfMomentsCtes]]. */
   private def halfMoments(df: DataFrame, typeCol: String, tsCol: String,
-                          valCol: String, splitDay: Int): DataFrame =
+                          valCol: String, splitDay: Int): DataFrame = {
+    // ONE conditional aggregate, wide per-type row (r20 optimization):
+    // the per-(type, period) grain + a/b filter self-join planned as
+    // TWO full fact scans — Catalyst pushes each period filter below
+    // its aggregate, de-canonicalizing the subtrees so no exchange is
+    // ever shared (verified in plans/r20/q_ab_test_before.txt: two
+    // Scan parquet + two ObjectHashAggregate pipelines). Conditional
+    // sums over the SAME exact integer cents produce bit-identical
+    // moments in half the scans and drop the join outright. A type
+    // appears in the old inner join iff both periods hold >= 1 row;
+    // consumers' n >= 2 (abTest/powerAnalysis) filters subsume that.
+    val ina = when(dayofmonth(dayOf(tsCol)) <= splitDay, 1L).otherwise(0L)
     df.filter(col(valCol).isNotNull)
-      .select(col(typeCol).as("event_type"),
-        when(dayofmonth(dayOf(tsCol)) <= splitDay, "a").otherwise("b")
-          .as("period"),
+      .select(col(typeCol).as("event_type"), ina.as("ina"),
         centsOf(valCol).as("cents"))
-      .groupBy("event_type", "period")
-      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sumc"),
-        sum(col("cents") * col("cents")).as("sumsq"))
+      .groupBy("event_type")
+      .agg(sum(col("ina")).as("n_a"),
+        sum(col("ina") * col("cents")).as("sumc_a"),
+        sum(col("ina") * col("cents") * col("cents")).as("sumsq_a"),
+        sum(lit(1L) - col("ina")).as("n_b"),
+        sum((lit(1L) - col("ina")) * col("cents")).as("sumc_b"),
+        sum((lit(1L) - col("ina")) * col("cents") * col("cents")).as("sumsq_b"))
+  }
 
   def abTest(df: DataFrame, typeCol: String, tsCol: String,
              valCol: String, splitDay: Int): DataFrame = {
     val g = halfMoments(df, typeCol, tsCol, valCol, splitDay)
     // moments via the shared cross-engine recipe (see package.scala)
-    def nd(s: String)  = col(s + ".n").cast("double")
-    def m(s: String)   = meanFromCents(col(s + ".n"), col(s + ".sumc"))
-    def v(s: String)   = varFromCents(col(s + ".n"), col(s + ".sumc"),
-      col(s + ".sumsq"))
-    val a = g.filter(col("period") === "a").as("a")
-    val b = g.filter(col("period") === "b").as("b")
+    def nd(s: String)  = col(s"n_$s").cast("double")
+    def m(s: String)   = meanFromCents(col(s"n_$s"), col(s"sumc_$s"))
+    def v(s: String)   = varFromCents(col(s"n_$s"), col(s"sumc_$s"),
+      col(s"sumsq_$s"))
     val se2 = v("a") / nd("a") + v("b") / nd("b")
     val t = (m("a") - m("b")) / sqrt(se2)
     val dfw = (se2 * se2) /
       ((v("a") / nd("a")) * (v("a") / nd("a")) / (nd("a") - 1.0) +
         (v("b") / nd("b")) * (v("b") / nd("b")) / (nd("b") - 1.0))
-    a.join(b, col("a.event_type") === col("b.event_type"))
-      .filter(col("a.n") >= 2 && col("b.n") >= 2)
-      .select(col("a.event_type").as("event_type"),
-        col("a.n").as("n_a"), col("b.n").as("n_b"),
+    g.filter(col("n_a") >= 2 && col("n_b") >= 2)
+      .select(col("event_type"),
+        col("n_a"), col("n_b"),
         rnd(m("a") - m("b"), 4).as("mean_diff"),
         // both samples constant -> se2=0 -> no finite t; NULL, not a
         // divide-through-zero that rnd() would mangle per engine
@@ -652,11 +686,9 @@ object TrainingDataQueries {
   def powerAnalysis(df: DataFrame, typeCol: String, tsCol: String,
                     valCol: String, splitDay: Int): DataFrame = {
     val g = halfMoments(df, typeCol, tsCol, valCol, splitDay)
-    def m(s: String) = meanFromCents(col(s + ".n"), col(s + ".sumc"))
-    def v(s: String) = varFromCents(col(s + ".n"), col(s + ".sumc"),
-      col(s + ".sumsq"))
-    val a = g.filter(col("period") === "a").as("a")
-    val b = g.filter(col("period") === "b").as("b")
+    def m(s: String) = meanFromCents(col(s"n_$s"), col(s"sumc_$s"))
+    def v(s: String) = varFromCents(col(s"n_$s"), col(s"sumc_$s"),
+      col(s"sumsq_$s"))
     val delta = m("a") - m("b")
     // δ = 0 is a /0 on both sides of the oracle pair and NEITHER does
     // what a double "should": ANSI Spark THROWS on double division by
@@ -670,10 +702,9 @@ object TrainingDataQueries {
     // inside the finite range — ceil(Inf)→long would throw under ANSI
     val raw = when(abs(delta) > 0.0,
       lit(PowerZSum2) * (v("a") + v("b")) / (delta * delta))
-    a.join(b, col("a.event_type") === col("b.event_type"))
-      .filter(col("a.n") >= 2 && col("b.n") >= 2)
-      .select(col("a.event_type").as("event_type"),
-        col("a.n").as("n_a"), col("b.n").as("n_b"),
+    g.filter(col("n_a") >= 2 && col("n_b") >= 2)
+      .select(col("event_type"),
+        col("n_a"), col("n_b"),
         rnd(delta, 4).as("observed_delta"),
         when(raw > 0.0 && raw <= 1e15,
           ceil(raw).cast("long")).as("n_per_arm"))
@@ -701,22 +732,33 @@ object TrainingDataQueries {
         when(dayofmonth(dayOf(tsCol)) <= splitDay, "a").otherwise("b")
           .as("period"),
         centsOf(valCol).as("cents"))
-    val g = ev.groupBy("event_type", "period").agg(
-      count(lit(1)).as("n"),
-      expr("percentile(cents, 0.25)").as("p25"),
-      expr("percentile(cents, 0.5)").as("p50"),
-      expr("percentile(cents, 0.75)").as("p75"))
-    val a = g.filter(col("period") === "a").as("a")
-    val b = g.filter(col("period") === "b").as("b")
-    def v(side: String, p: String) = col(s"$side.$p") / 100.0
-    a.join(b, col("a.event_type") === col("b.event_type"))
-      .select(col("a.event_type").as("event_type"),
-        col("a.n").as("n_a"), col("b.n").as("n_b"),
-        rnd(v("a", "p50"), 4).as("median_a"),
-        rnd(v("b", "p50"), 4).as("median_b"),
-        rnd(v("b", "p25") - v("a", "p25"), 4).as("d_p25"),
-        rnd(v("b", "p50") - v("a", "p50"), 4).as("d_p50"),
-        rnd(v("b", "p75") - v("a", "p75"), 4).as("d_p75"))
+    // ONE per-type aggregate with FILTER-clause percentiles (r20
+    // optimization, the halfMoments rewrite's percentile sibling): the
+    // (type, period) grain + a/b self-join planned as two full fact
+    // scans + two percentile aggregations (period filter pushed below
+    // each — plans/r20/q_quantile_drift_before.txt). Each FILTERed
+    // percentile sees exactly the rows its old per-period group held,
+    // so every interpolated quartile is bit-identical; the old inner
+    // join kept a type iff both periods held >= 1 row — n_a/n_b > 0
+    // is that same condition.
+    val g = ev.groupBy("event_type").agg(
+      expr("count(*) FILTER (WHERE period = 'a')").as("n_a"),
+      expr("count(*) FILTER (WHERE period = 'b')").as("n_b"),
+      expr("percentile(cents, 0.25) FILTER (WHERE period = 'a')").as("p25_a"),
+      expr("percentile(cents, 0.5) FILTER (WHERE period = 'a')").as("p50_a"),
+      expr("percentile(cents, 0.75) FILTER (WHERE period = 'a')").as("p75_a"),
+      expr("percentile(cents, 0.25) FILTER (WHERE period = 'b')").as("p25_b"),
+      expr("percentile(cents, 0.5) FILTER (WHERE period = 'b')").as("p50_b"),
+      expr("percentile(cents, 0.75) FILTER (WHERE period = 'b')").as("p75_b"))
+    def v(p: String, side: String) = col(s"${p}_$side") / 100.0
+    g.filter(col("n_a") > 0 && col("n_b") > 0)
+      .select(col("event_type"),
+        col("n_a"), col("n_b"),
+        rnd(v("p50", "a"), 4).as("median_a"),
+        rnd(v("p50", "b"), 4).as("median_b"),
+        rnd(v("p25", "b") - v("p25", "a"), 4).as("d_p25"),
+        rnd(v("p50", "b") - v("p50", "a"), 4).as("d_p50"),
+        rnd(v("p75", "b") - v("p75", "a"), 4).as("d_p75"))
   }
 
   def qQuantileDrift(spark: SparkSession, dir: String): DataFrame =
