@@ -84,4 +84,36 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "events")
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
+
+  /** Scale-adaptive pre-shuffle parallelism guard for HEAVY map
+    * pipelines (r20 optimization). The fixture tables are single-file,
+    * SINGLE-ROW-GROUP parquet (verified with pyarrow at sf0.1), so a
+    * scan yields exactly ONE task no matter what
+    * `spark.sql.files.maxPartitionBytes` / `minPartitionNum` say — a
+    * parquet split can't cut a row group. Every expensive map stage
+    * glued below a query's first exchange (md5 fan-outs, tokenize +
+    * shingle explodes, sketch-buffer partial aggregates) therefore ran
+    * on one core of the 32 (StageProf: q_bootstrap_ci's grid stage =
+    * 853 ms wall, 826 ms cpu, tasks=1 — the whole query's compute).
+    * This helper inserts ONE deterministic hash repartition on `key`
+    * iff the frame's planned parallelism is below the session default;
+    * on a production table with >= cores splits it adds NOTHING (the
+    * branch reads partition metadata, no job), so the plan adapts to
+    * the input instead of being tuned for either environment — the
+    * guide's "unsplittable input: repartition immediately after the
+    * read" remedy, made conditional. Hash (not round-robin)
+    * partitioning: deterministic under task retry, no
+    * sortBeforeRepartition cost. */
+  def distributed(df: DataFrame, key: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    // repartition WITH an explicit partition count: a bare
+    // repartition(col) is an AQE-coalescible shuffle, and at fixture
+    // byte sizes AQE folds it straight back to one partition (measured:
+    // the q_bootstrap_ci grid stage stayed tasks=1 behind a keyed
+    // repartition — 1.5 MB < the advisory size). The explicit count is
+    // still config-derived (the session's core budget), not a constant.
+    if (df.rdd.getNumPartitions < target) df.repartition(target, col(key))
+    else df
+  }
 }

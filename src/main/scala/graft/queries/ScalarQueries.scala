@@ -373,6 +373,13 @@ object ScalarQueries {
     * plan exists to avoid; the real ±5% accuracy evidence lives in
     * [[qApproxSketch]]'s oracled A/B booleans. */
   def qSketchLean(spark: SparkSession, dir: String): DataFrame =
+    // NOT Tables.distributed (r20, measured): the single-split scan
+    // does serialize the HLL++/GK buffer updates on one task (StageProf
+    // 342 ms), but distributing them was WORSE (0.71 -> 1.19 s A/B) —
+    // 32 partial buffer sets per group shuffle ~KB..MB of sketch state
+    // and the GK merge cost exceeds the update work it parallelizes at
+    // this group count. At real split counts the partials distribute
+    // anyway; forcing it here pays merge for no win.
     Tables.events(spark, dir)
       .groupBy("event_type")
       .agg(
@@ -519,6 +526,8 @@ object ScalarQueries {
     * ±5% boolean TRUE (lgK=12 ⇒ rsd ≈ 1.6%, so 5% is ≈3σ; the fixed
     * sketch seed makes the realized estimate deterministic). */
   def qHllPartials(spark: SparkSession, dir: String): DataFrame = {
+    // not Tables.distributed: the qSketchLean A/B showed sketch-buffer
+    // merge cost dominating the distributed update win at this scale
     val li = Tables.lineitem(spark, dir)
     val partials = li
       .groupBy(col("l_returnflag"), date_trunc("month", col("l_shipdate")).as("mon"))
@@ -669,7 +678,14 @@ object ScalarQueries {
     // oracle's flat per-replica form states identical numbers)
     val digests = array((0 until nBlocks).map(i =>
       md5(concat(col("event_id").cast("string"), lit(s"|boot$i")))): _*)
-    val ev = Tables.events(spark, dir)
+    // Tables.distributed: the nBlocks-md5 fan-out + posexplode + 26-sum
+    // partial aggregate all sit below this query's first exchange, and
+    // the single-row-group events scan runs that whole pipeline in ONE
+    // task (StageProf: 853 ms wall / 826 ms cpu / tasks=1). One cheap
+    // hash repartition of the 3-column pre-explode rows distributes the
+    // 21x fan-out work across the core budget; no-op at real split
+    // counts.
+    val ev = Tables.distributed(Tables.events(spark, dir), "event_id")
       .select(col("event_type"),
         centsOf("value").as("cents"),
         posexplode(digests).as(Seq("blk", "dg")))

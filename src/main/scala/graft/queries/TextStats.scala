@@ -21,7 +21,7 @@ object TextStats {
 
   /** Token/char statistics per document (token counting op). */
   def qTextStats(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.distributed(Tables.documents(spark, dir), "doc_id")
       .select(col("doc_id"), col("source"),
         tokenCount(col("text")).as("n_tokens"),
         length(col("text")).as("len_chars"),
@@ -68,14 +68,15 @@ object TextStats {
         rnd(col("n_subword_est") / nullif(col("n_ws_tokens").cast("double"), lit(0.0)), 4))
 
   def qTokenEstimate(spark: SparkSession, dir: String): DataFrame =
-    tokenEstimate(Tables.documents(spark, dir)).orderBy("doc_id")
+    tokenEstimate(Tables.distributed(Tables.documents(spark, dir), "doc_id"))
+      .orderBy("doc_id")
 
   /** Composite quality score + bucket (quality-scoring op). */
   def qTextQuality(spark: SparkSession, dir: String): DataFrame = {
     // tokens materialized once (invariant 12: the stopword filters'
     // lambdas must probe an attribute, not a fresh split expression)
     val q = qualityScoreOf(col("text"), col("ts"))
-    Tables.documents(spark, dir)
+    Tables.distributed(Tables.documents(spark, dir), "doc_id")
       .select(col("doc_id"), col("text"), tokens(col("text")).as("ts"))
       .select(col("doc_id"),
         rnd(stopwordRatioOf(col("ts")), 4).as("stop_ratio"),
@@ -86,7 +87,7 @@ object TextStats {
 
   /** Stopword-heuristic language ID vs the declared label. */
   def qLangId(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.distributed(Tables.documents(spark, dir), "doc_id")
       .select(col("doc_id"), col("lang").as("declared"), tokens(col("text")).as("ts"))
       .select(col("doc_id"), col("declared"), langIdOf(col("ts")).as("predicted"))
       .withColumn("agree", (col("declared") === col("predicted")).cast("int"))
@@ -94,7 +95,7 @@ object TextStats {
 
   /** Normalized-content fingerprint per document. */
   def qTextFingerprint(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.distributed(Tables.documents(spark, dir), "doc_id")
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
@@ -252,6 +253,14 @@ object TextStats {
     * scoring join keys on the gram/word (uniform-ish, AQE handles the
     * stopword skew) and the total is one broadcast scalar. */
   def bigramLogprobOf(tokArr: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    // materialize the bigram table ONCE (r20 optimization, StageProf
+    // evidence): `pairs` feeds THREE plan positions (bigram counts,
+    // left-unigram counts, the per-occurrence scoring join) whose
+    // prunings de-canonicalize the subtree, so the arrays_zip + slice
+    // + explode pipeline — the query's heaviest map work — ran three
+    // times per execution (plus two unigram explodes; five 32-task
+    // heavy stages in the profile). The checkpoint is the bigram-table
+    // artifact a production scorer persists anyway.
     val pairs = tokArr
       .filter(size(col("ts")) >= 2)
       .select(col(idCol),
@@ -259,12 +268,17 @@ object TextStats {
           expr("slice(ts, 1, size(ts) - 1)").as("w1"),
           expr("slice(ts, 2, size(ts) - 1)").as("w2"))).as("p"))
       .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .localCheckpoint(true)
     val cb = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
     val c1 = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
     val tok = tokArr.select(explode(col("ts")).as("t"))
     val uni = tok.groupBy("t").agg(count(lit(1)).as("cu"))
-    // Σcu == token count — the pmiBigramsOf totals convention
-    val tot = uni.agg(sum(col("cu")).as("n"))
+    // Σcu == token count — the pmiBigramsOf totals convention; stated
+    // directly as sum(size(ts)) so the unigram explode pipeline keeps
+    // ONE consumer (tot as uni.agg was a second, pruned one): explode
+    // emits exactly size(ts) rows per doc (NULL/empty arrays emit 0
+    // and size() reads NULL/0 for them — sum skips NULLs identically)
+    val tot = tokArr.agg(sum(size(col("ts"))).cast("long").as("n"))
     pairs.join(cb, Seq("w1", "w2")).join(c1, Seq("w1"))
       .join(uni.withColumnRenamed("t", "w2"), Seq("w2"))
       .crossJoin(broadcast(tot))
@@ -613,7 +627,8 @@ object TextStats {
   }
 
   def qFilterFunnel(spark: SparkSession, dir: String): DataFrame =
-    filterFunnel(Tables.documents(spark, dir)).orderBy("stage")
+    filterFunnel(Tables.distributed(Tables.documents(spark, dir), "doc_id"))
+      .orderBy("stage")
 
   private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   // negated-whitespace class, not [^ ]: a URL followed by a tab/newline
@@ -649,7 +664,8 @@ object TextStats {
     * Pure per-row regex work — scan-parallel, no shuffle but the
     * presentation sort. */
   def qPiiRedact(spark: SparkSession, dir: String): DataFrame =
-    piiRedact(Tables.documents(spark, dir)).orderBy("doc_id")
+    piiRedact(Tables.distributed(Tables.documents(spark, dir), "doc_id"))
+      .orderBy("doc_id")
 
   /** Frame-parameterized body of [[qPiiRedact]] (spec-testable on
     * planted-PII docs — the fixture corpus is clean; SQL-reachable as
@@ -741,7 +757,15 @@ object TextStats {
 
   private[queries] def cachedDocTokens(spark: SparkSession, dir: String): DataFrame =
     tokArrMemo.getOrElseUpdate(spark, dir) {
-      val t = Tables.documents(spark, dir)
+      // Tables.distributed BEFORE the tokenize (r20 optimization): the
+      // single-row-group documents file scans as ONE partition, so the
+      // cached frame held one block and EVERY consumer's shingle/
+      // explode/hash map stage — the text family's heaviest work — ran
+      // on one core until its first exchange. Repartitioning the raw
+      // rows once at build time distributes the tokenize itself AND
+      // hands every downstream query a cores-wide cached frame; at
+      // production split counts the helper is a no-op.
+      val t = Tables.distributed(Tables.documents(spark, dir), "doc_id")
         .select(col("doc_id"), tokens(col("text")).as("ts"))
         .cache()
       t.count()
@@ -838,7 +862,8 @@ object TextStats {
   }
 
   def qDatasetCard(spark: SparkSession, dir: String): DataFrame =
-    datasetCard(Tables.documents(spark, dir)).orderBy("lang")
+    datasetCard(Tables.distributed(Tables.documents(spark, dir), "doc_id"))
+      .orderBy("lang")
 
   /** Curriculum report over FIXED quality bands — the table a staged
     * training run is ordered by (low-quality bands early / dropped,
@@ -875,7 +900,8 @@ object TextStats {
   }
 
   def qCurriculum(spark: SparkSession, dir: String): DataFrame =
-    curriculum(Tables.documents(spark, dir)).orderBy("band")
+    curriculum(Tables.distributed(Tables.documents(spark, dir), "doc_id"))
+      .orderBy("band")
 
   /** Top-k vocabulary size for [[zipfFit]] — interpolated into BOTH
     * engines so they cannot drift. */
@@ -969,7 +995,8 @@ object TextStats {
   }
 
   def qReadability(spark: SparkSession, dir: String): DataFrame =
-    readability(Tables.documents(spark, dir)).orderBy("doc_id")
+    readability(Tables.distributed(Tables.documents(spark, dir), "doc_id"))
+      .orderBy("doc_id")
 
   /** Token-frequency Gini — how much of the corpus mass the top tokens
     * hoard (the concentration complement of [[zipfFit]]'s slope: Zipf
@@ -1287,7 +1314,8 @@ object TextStats {
   }
 
   def qVocabDrift(spark: SparkSession, dir: String): DataFrame =
-    vocabDrift(Tables.documents(spark, dir), "doc_id", "text")
+    vocabDrift(Tables.distributed(Tables.documents(spark, dir), "doc_id"),
+      "doc_id", "text")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_vocab_drift" -> qVocabDrift _,

@@ -217,7 +217,10 @@ object TimeSeriesQueries {
   /** F-explode analog: extract the JSON payload key and aggregate it
     * per event type (spark_stream.py's schema-on-read flatten). */
   def qEventJson(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
+    // Tables.distributed: the per-row JSON extraction below is this
+    // query's entire compute and sat in the single-split scan task
+    // (StageProf: 549 ms wall / 509 ms cpu / tasks=1)
+    Tables.distributed(Tables.events(spark, dir), "event_id")
       // try_cast, not cast: a malformed or non-numeric payload must
       // land in NULL (visible as a lower count(k)), not ANSI-throw.
       // get_json_object already NULLs malformed JSON in Spark; the

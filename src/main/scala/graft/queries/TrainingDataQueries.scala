@@ -732,24 +732,30 @@ object TrainingDataQueries {
         when(dayofmonth(dayOf(tsCol)) <= splitDay, "a").otherwise("b")
           .as("period"),
         centsOf(valCol).as("cents"))
-    // ONE per-type aggregate with FILTER-clause percentiles (r20
-    // optimization, the halfMoments rewrite's percentile sibling): the
-    // (type, period) grain + a/b self-join planned as two full fact
+    // ONE per-type aggregate with NULL-skipping conditional percentiles
+    // (r20 optimization, the halfMoments rewrite's percentile sibling):
+    // the (type, period) grain + a/b self-join planned as two full fact
     // scans + two percentile aggregations (period filter pushed below
-    // each — plans/r20/q_quantile_drift_before.txt). Each FILTERed
-    // percentile sees exactly the rows its old per-period group held,
-    // so every interpolated quartile is bit-identical; the old inner
-    // join kept a type iff both periods held >= 1 row — n_a/n_b > 0
-    // is that same condition.
+    // each — plans/r20/q_quantile_drift_before.txt). percentile()
+    // ignores NULL inputs, so percentile(when(period='a', cents)) sees
+    // exactly the rows the old per-period group held and every
+    // interpolated quartile is bit-identical. (A FILTER-clause form was
+    // tried first and measured ~20% SLOWER than the two-scan original —
+    // per-aggregate filter evaluation costs more than the saved scan;
+    // the when() input is one shared projection.) The old inner join
+    // kept a type iff both periods held >= 1 row — n_a/n_b > 0 is that
+    // same condition.
+    val ca = when(col("period") === "a", col("cents"))
+    val cb = when(col("period") === "b", col("cents"))
     val g = ev.groupBy("event_type").agg(
-      expr("count(*) FILTER (WHERE period = 'a')").as("n_a"),
-      expr("count(*) FILTER (WHERE period = 'b')").as("n_b"),
-      expr("percentile(cents, 0.25) FILTER (WHERE period = 'a')").as("p25_a"),
-      expr("percentile(cents, 0.5) FILTER (WHERE period = 'a')").as("p50_a"),
-      expr("percentile(cents, 0.75) FILTER (WHERE period = 'a')").as("p75_a"),
-      expr("percentile(cents, 0.25) FILTER (WHERE period = 'b')").as("p25_b"),
-      expr("percentile(cents, 0.5) FILTER (WHERE period = 'b')").as("p50_b"),
-      expr("percentile(cents, 0.75) FILTER (WHERE period = 'b')").as("p75_b"))
+      count(ca).as("n_a"),
+      count(cb).as("n_b"),
+      percentile(ca, lit(0.25)).as("p25_a"),
+      percentile(ca, lit(0.5)).as("p50_a"),
+      percentile(ca, lit(0.75)).as("p75_a"),
+      percentile(cb, lit(0.25)).as("p25_b"),
+      percentile(cb, lit(0.5)).as("p50_b"),
+      percentile(cb, lit(0.75)).as("p75_b"))
     def v(p: String, side: String) = col(s"${p}_$side") / 100.0
     g.filter(col("n_a") > 0 && col("n_b") > 0)
       .select(col("event_type"),

@@ -837,11 +837,28 @@ class PlanSpec extends AnyFunSuite {
     // gram pass fails here instead of only showing up in the bench.
     val df = SparkEntry.queries("q_span_dedup")(spark, TestSpark.Sf)
     df.queryExecution.toRdd.count() // finalize the AQE plan
-    val plan = df.queryExecution.executedPlan.toString
-    val finalPlan = plan.split("Initial Plan")(0)
-    val nGenerate = "Generate explode".r.findAllIn(finalPlan).size
+    // walk the adaptive plan TREE (not its printed text): the r20
+    // repartition(gh) fusion moved the gram Generate inside an earlier
+    // materialized ShuffleQueryStage, which the final-plan printout
+    // renders as a stage reference — a text match would read 0 while
+    // the explode still executes exactly once. QueryStage subtrees are
+    // entered; ReusedExchange is a leaf (a reused stage is NOT a
+    // second execution).
+    import org.apache.spark.sql.execution.{GenerateExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def countGenerates(p: SparkPlan): Int = {
+      val self = p match { case _: GenerateExec => 1; case _ => 0 }
+      val extra = p match {
+        case q: QueryStageExec => Seq(q.plan)
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case _ => Seq.empty[SparkPlan]
+      }
+      self + (p.children ++ extra).map(countGenerates).sum
+    }
+    val nGenerate = countGenerates(df.queryExecution.executedPlan)
     assert(nGenerate == 1,
-      s"expected exactly 1 gram Generate in the final plan, found $nGenerate:\n${finalPlan.take(3000)}")
+      s"expected exactly 1 gram Generate across the executed plan's stages, found $nGenerate:\n" +
+        df.queryExecution.executedPlan.toString.take(3000))
   }
 
   test("q_bucketed_join: SMJ consumes the bucket layout — no shuffle on the join keys") {
