@@ -104,15 +104,21 @@ object Tables {
     * read" remedy, made conditional. Hash (not round-robin)
     * partitioning: deterministic under task retry, no
     * sortBeforeRepartition cost. */
-  def distributed(df: DataFrame, key: String): DataFrame = {
+  def distributed(df: DataFrame, key: String, parts: Int = 0): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val target = df.sparkSession.sparkContext.defaultParallelism
+    val cores = df.sparkSession.sparkContext.defaultParallelism
     // repartition WITH an explicit partition count: a bare
     // repartition(col) is an AQE-coalescible shuffle, and at fixture
     // byte sizes AQE folds it straight back to one partition (measured:
     // the q_bootstrap_ci grid stage stayed tasks=1 behind a keyed
     // repartition — 1.5 MB < the advisory size). The explicit count is
-    // still config-derived (the session's core budget), not a constant.
+    // config-derived (the session's core budget), optionally capped by
+    // the caller's row-derived `parts` (wave-3 measurement: a 32-way
+    // layout on the 5k-row document corpus cost more per-task overhead
+    // across the text family's ~30 light consumers than it bought the
+    // heavy ones — partition count must track the data grain, not just
+    // the core count).
+    val target = if (parts > 0) math.max(1, math.min(parts, cores)) else cores
     if (df.rdd.getNumPartitions < target) df.repartition(target, col(key))
     else df
   }

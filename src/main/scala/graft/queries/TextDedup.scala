@@ -45,7 +45,15 @@ object TextDedup {
 
   private def cachedSpanDedup(spark: SparkSession, dir: String): DataFrame =
     spanMemo.getOrElseUpdate(spark, dir) {
-      Dedup.spanDedupOf(cachedDocTokens(spark, dir), 5).localCheckpoint(true)
+      // repartition(1) before the checkpoint (r20): the build inherits
+      // the token memo's multi-block layout, but the OUTPUT is a
+      // 5k-row diagnostic artifact whose only consumer does one md5
+      // projection — reading it as 32 blocks cost ~3x the consumer's
+      // wall in task scheduling (bench wave-2: 0.108 -> 0.327 s).
+      // Single-block layout for a tiny artifact; the heavy build
+      // stages above the final shuffle keep their parallelism.
+      Dedup.spanDedupOf(cachedDocTokens(spark, dir), 5)
+        .repartition(1).localCheckpoint(true)
     }
 
   /** [[qSpanDedup]] with clean_text replaced by its md5 — the per-row
@@ -412,9 +420,13 @@ object TextDedup {
 
   private def cachedWideSig(spark: SparkSession, dir: String): DataFrame =
     wideSigMemo.getOrElseUpdate(spark, dir) {
+      // repartition(1): same tiny-artifact layout rationale as
+      // cachedSpanDedup — one signature row per doc, light banding
+      // consumers (wave-2 bench: both wide-neardup twins read ~2.5x
+      // their old wall from multi-block task scheduling alone)
       Dedup.simhashWideOf(cachedDocTokens(spark, dir)
         .select(col("doc_id"), explode(col("ts")).as("t")))
-        .localCheckpoint(true)
+        .repartition(1).localCheckpoint(true)
     }
 
   /** Near-dup pairs on the wide signature at Hamming ≤ 3 — exact by

@@ -21,7 +21,7 @@ object TextStats {
 
   /** Token/char statistics per document (token counting op). */
   def qTextStats(spark: SparkSession, dir: String): DataFrame =
-    Tables.distributed(Tables.documents(spark, dir), "doc_id")
+    Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
         tokenCount(col("text")).as("n_tokens"),
         length(col("text")).as("len_chars"),
@@ -95,7 +95,7 @@ object TextStats {
 
   /** Normalized-content fingerprint per document. */
   def qTextFingerprint(spark: SparkSession, dir: String): DataFrame =
-    Tables.distributed(Tables.documents(spark, dir), "doc_id")
+    Tables.documents(spark, dir)
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
@@ -216,13 +216,19 @@ object TextStats {
     * is a reusable artifact and broadcasts when the vocabulary fits) →
     * per-doc aggregation. */
   def qUnigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    // materialize the token-occurrence frame once (r20, the
+    // bigramLogprobOf recipe): `tok` feeds the frequency aggregate AND
+    // the per-occurrence scoring join, whose prunings de-canonicalize
+    // the explode — it ran twice per execution (two ~0.4 s 32-task
+    // stages in the profile)
     val tok = cachedDocTokens(spark, dir)
       .select(col("doc_id"), explode(col("ts")).as("t"))
+      .localCheckpoint(true)
     val freq = tok.groupBy("t").agg(count(lit(1)).as("c"))
-    // total derived from the grouped counts (Σc == the explode's row
-    // count — the pmiBigramsOf convention): the second consumer reuses
-    // freq's exchange instead of paying another corpus-wide explode
-    val tot = freq.agg(sum(col("c")).as("n"))
+    // total read from the cached token frame (Σ size(ts) == the
+    // explode's row count definitionally), keeping freq at ONE consumer
+    val tot = cachedDocTokens(spark, dir)
+      .agg(sum(size(col("ts"))).cast("long").as("n"))
     tok.join(freq, "t").crossJoin(broadcast(tot))
       .withColumn("lp", -log(col("c") / col("n").cast("double")))
       .groupBy("doc_id")
@@ -339,11 +345,22 @@ object TextStats {
     * doc-keyed shuffles only); the entropy sum aggregates the doc's own
     * DISTINCT tokens — bounded by vocabulary, not length. */
   def tokenEntropyOf(tokArr: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    // ONE pipeline on ONE doc-keyed exchange (r20 optimization): the
+    // old dl-aggregate + tf⋈dl join were a second, differently-pruned
+    // consumer of the tf subtree — the token explode + (doc, t) rollup
+    // ran twice per execution. repartition(doc) up front satisfies the
+    // (doc, t) aggregate, the doc-length window AND the final per-doc
+    // rollup (subset clustering), so the whole statistic is one
+    // exchange; dl/n_distinct from the window are the same longs the
+    // old aggregate produced, and p/entropy are the same doubles.
+    import org.apache.spark.sql.expressions.Window
+    val wd = Window.partitionBy(idCol)
     val tf = tokArr.select(col(idCol), explode(col("ts")).as("t"))
+      .repartition(col(idCol))
       .groupBy(idCol, "t").agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy(idCol)
-      .agg(sum(col("tf")).as("dl"), count(lit(1)).as("n_distinct"))
-    tf.join(dl, idCol)
+    tf
+      .withColumn("dl", sum(col("tf")).over(wd))
+      .withColumn("n_distinct", count(lit(1)).over(wd))
       .withColumn("p", col("tf") / col("dl").cast("double"))
       .groupBy(idCol)
       .agg(max(col("dl")).as("n_tokens"), max(col("n_distinct")).as("n_distinct"),
@@ -627,8 +644,7 @@ object TextStats {
   }
 
   def qFilterFunnel(spark: SparkSession, dir: String): DataFrame =
-    filterFunnel(Tables.distributed(Tables.documents(spark, dir), "doc_id"))
-      .orderBy("stage")
+    filterFunnel(Tables.documents(spark, dir)).orderBy("stage")
 
   private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   // negated-whitespace class, not [^ ]: a URL followed by a tab/newline
@@ -763,9 +779,17 @@ object TextStats {
       // explode/hash map stage — the text family's heaviest work — ran
       // on one core until its first exchange. Repartitioning the raw
       // rows once at build time distributes the tokenize itself AND
-      // hands every downstream query a cores-wide cached frame; at
-      // production split counts the helper is a no-op.
-      val t = Tables.distributed(Tables.documents(spark, dir), "doc_id")
+      // hands every downstream query a multi-block cached frame; at
+      // production split counts the helper is a no-op. Partition count
+      // is ROW-DERIVED (>= ~500 docs per block, cores-capped): the
+      // first cut used the bare core count and a 32-way layout of 5k
+      // docs made the family's ~30 LIGHT consumers pay more per-task
+      // scheduling than the heavy shingle pipelines saved (wave-2
+      // bench: q_bm25 2.5x, q_pmi_bigrams 2.2x, q_wordcount 1.5x) —
+      // the corpus grain, not the core budget, bounds useful fan-out.
+      val raw = Tables.documents(spark, dir)
+      val parts = math.ceil(raw.count() / 500.0).toInt
+      val t = Tables.distributed(raw, "doc_id", parts)
         .select(col("doc_id"), tokens(col("text")).as("ts"))
         .cache()
       t.count()
@@ -780,7 +804,12 @@ object TextStats {
     val docs = Tables.documents(spark, dir)
     val tok = cachedDocTokens(spark, dir)
       .select(col("doc_id"), explode(col("ts")).as("t"))
+    // materialize tf once (r20): it feeds THREE plan positions (doc
+    // lengths, document frequencies, the scoring join) whose prunings
+    // de-canonicalize the explode+rollup subtree — it ran once per
+    // consumer. At 100 TB the tf table is the persisted index artifact.
     val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     // doc length from tf, not a second pass over the token explode
     val dlen = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df"))
@@ -900,8 +929,7 @@ object TextStats {
   }
 
   def qCurriculum(spark: SparkSession, dir: String): DataFrame =
-    curriculum(Tables.distributed(Tables.documents(spark, dir), "doc_id"))
-      .orderBy("band")
+    curriculum(Tables.documents(spark, dir)).orderBy("band")
 
   /** Top-k vocabulary size for [[zipfFit]] — interpolated into BOTH
     * engines so they cannot drift. */
@@ -995,8 +1023,7 @@ object TextStats {
   }
 
   def qReadability(spark: SparkSession, dir: String): DataFrame =
-    readability(Tables.distributed(Tables.documents(spark, dir), "doc_id"))
-      .orderBy("doc_id")
+    readability(Tables.documents(spark, dir)).orderBy("doc_id")
 
   /** Token-frequency Gini — how much of the corpus mass the top tokens
     * hoard (the concentration complement of [[zipfFit]]'s slope: Zipf
@@ -1314,8 +1341,7 @@ object TextStats {
   }
 
   def qVocabDrift(spark: SparkSession, dir: String): DataFrame =
-    vocabDrift(Tables.distributed(Tables.documents(spark, dir), "doc_id"),
-      "doc_id", "text")
+    vocabDrift(Tables.documents(spark, dir), "doc_id", "text")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_vocab_drift" -> qVocabDrift _,

@@ -732,39 +732,33 @@ object TrainingDataQueries {
         when(dayofmonth(dayOf(tsCol)) <= splitDay, "a").otherwise("b")
           .as("period"),
         centsOf(valCol).as("cents"))
-    // ONE per-type aggregate with NULL-skipping conditional percentiles
-    // (r20 optimization, the halfMoments rewrite's percentile sibling):
-    // the (type, period) grain + a/b self-join planned as two full fact
-    // scans + two percentile aggregations (period filter pushed below
-    // each — plans/r20/q_quantile_drift_before.txt). percentile()
-    // ignores NULL inputs, so percentile(when(period='a', cents)) sees
-    // exactly the rows the old per-period group held and every
-    // interpolated quartile is bit-identical. (A FILTER-clause form was
-    // tried first and measured ~20% SLOWER than the two-scan original —
-    // per-aggregate filter evaluation costs more than the saved scan;
-    // the when() input is one shared projection.) The old inner join
-    // kept a type iff both periods held >= 1 row — n_a/n_b > 0 is that
-    // same condition.
-    val ca = when(col("period") === "a", col("cents"))
-    val cb = when(col("period") === "b", col("cents"))
-    val g = ev.groupBy("event_type").agg(
-      count(ca).as("n_a"),
-      count(cb).as("n_b"),
-      percentile(ca, lit(0.25)).as("p25_a"),
-      percentile(ca, lit(0.5)).as("p50_a"),
-      percentile(ca, lit(0.75)).as("p75_a"),
-      percentile(cb, lit(0.25)).as("p25_b"),
-      percentile(cb, lit(0.5)).as("p50_b"),
-      percentile(cb, lit(0.75)).as("p75_b"))
-    def v(p: String, side: String) = col(s"${p}_$side") / 100.0
-    g.filter(col("n_a") > 0 && col("n_b") > 0)
-      .select(col("event_type"),
-        col("n_a"), col("n_b"),
-        rnd(v("p50", "a"), 4).as("median_a"),
-        rnd(v("p50", "b"), 4).as("median_b"),
-        rnd(v("p25", "b") - v("p25", "a"), 4).as("d_p25"),
-        rnd(v("p50", "b") - v("p50", "a"), 4).as("d_p50"),
-        rnd(v("p75", "b") - v("p75", "a"), 4).as("d_p75"))
+    // Deliberately NOT the halfMoments single-aggregate rewrite (r20,
+    // measured and reverted): a one-pass form with per-period
+    // conditional percentiles — both the FILTER-clause and the
+    // NULL-skipping when() variants — read ~5-20% SLOWER than this
+    // two-aggregate shape in interleaved isolation A/Bs (when() form:
+    // +8.8/+7.4/-3.8/+7.3% over four paired rounds) despite halving
+    // the fact scans: six ObjectHashAggregate percentile buffers
+    // updated per input row cost more than the saved scan at any SF
+    // where the scan is page-cached. The conditional-sum rewrite is
+    // kept where the buffers are cheap longs (halfMoments); exact
+    // percentile state is where it stops paying.
+    val g = ev.groupBy("event_type", "period").agg(
+      count(lit(1)).as("n"),
+      expr("percentile(cents, 0.25)").as("p25"),
+      expr("percentile(cents, 0.5)").as("p50"),
+      expr("percentile(cents, 0.75)").as("p75"))
+    val a = g.filter(col("period") === "a").as("a")
+    val b = g.filter(col("period") === "b").as("b")
+    def v(side: String, p: String) = col(s"$side.$p") / 100.0
+    a.join(b, col("a.event_type") === col("b.event_type"))
+      .select(col("a.event_type").as("event_type"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"),
+        rnd(v("a", "p50"), 4).as("median_a"),
+        rnd(v("b", "p50"), 4).as("median_b"),
+        rnd(v("b", "p25") - v("a", "p25"), 4).as("d_p25"),
+        rnd(v("b", "p50") - v("a", "p50"), 4).as("d_p50"),
+        rnd(v("b", "p75") - v("a", "p75"), 4).as("d_p75"))
   }
 
   def qQuantileDrift(spark: SparkSession, dir: String): DataFrame =
