@@ -64,7 +64,8 @@ object StageProf {
         f"stages=${snap.size} stageWallSum=${snap.map(_.wallMs).sum / 1000.0}%.3f s")
       if (rep == reps) snap.sortBy(-_.wallMs).foreach { s =>
         println(f"[stageprof]   stage ${s.id}%4d wall=${s.wallMs}%5d ms run=${s.runMs}%5d ms " +
-          f"cpu=${s.cpuMs}%5d ms tasks=${s.tasks}%3d srB=${s.srBytes}%9d swB=${s.swBytes}%9d ${s.nm}")
+          f"cpu=${s.cpuMs}%5d ms tasks=${s.tasks}%3d srB=${s.srBytes}%9d swB=${s.swBytes}%9d " +
+          f"outRows=${s.outRows}%8d ${s.nm}")
       }
     }
     spark.stop()

@@ -103,7 +103,15 @@ object Tables {
     * guide's "unsplittable input: repartition immediately after the
     * read" remedy, made conditional. Hash (not round-robin)
     * partitioning: deterministic under task retry, no
-    * sortBeforeRepartition cost. */
+    * sortBeforeRepartition cost.
+    *
+    * Intended for SCAN-LEVEL frames only (advice r20): the guard reads
+    * `df.rdd.getNumPartitions`, which instantiates the frame's non-AQE
+    * physical RDD lineage — metadata-cheap for a raw scan or a cached
+    * frame (every current caller), but it would plan the whole subtree
+    * for a complex frame, and the pre-AQE partition count it reads can
+    * differ from what AQE would execute. Pass the table as read, not a
+    * derived pipeline. */
   def distributed(df: DataFrame, key: String, parts: Int = 0): DataFrame = {
     import org.apache.spark.sql.functions.col
     val cores = df.sparkSession.sparkContext.defaultParallelism

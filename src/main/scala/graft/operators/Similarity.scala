@@ -292,7 +292,12 @@ object Similarity {
     * against the broadcast quantizer, the corpus lands PARTITIONED BY
     * cell with per-vector norms precomputed — the layout the 100 TB
     * design statement promises, so a probe reads nprobe/nlist of the
-    * files, not a filtered full scan. */
+    * files, not a filtered full scan.
+    *
+    * WRITE-ONCE PER SESSION per path: [[ivfTopKIndexed]] memoizes the
+    * resolved index relation per (session, path) — rebuild into a FRESH
+    * path (or a new session), never over a path the session has already
+    * probed (see indexRelationMemo). */
   def writeIvfIndex(corpus: DataFrame, km: org.apache.spark.ml.clustering.KMeansModel,
                     path: String,
                     idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
@@ -334,7 +339,17 @@ object Similarity {
   }
 
   /** Resolved-relation memo for [[ivfTopKIndexed]] index paths — the
-    * Tables.relationMemo discipline for operator-owned artifacts. */
+    * Tables.relationMemo discipline for operator-owned artifacts.
+    *
+    * CONTRACT (advice r20): an index path is WRITE-ONCE per session.
+    * The memo pins the file listing resolved at first probe, so
+    * rewriting an index at the same path within one session (the public
+    * API cannot stop write-then-rebuild) would leave later probes on
+    * the stale listing — failed reads after a compaction, or silently
+    * stale neighbors after an append. Rebuilders must write to a fresh
+    * path (every current caller uses per-build temp paths) or start a
+    * new session; [[writeIvfIndex]] documents the same rule at the
+    * write side. */
   private val indexRelationMemo =
     new graft.queries.SessionMemo[String, org.apache.spark.sql.DataFrame]("ivfIndexRelationMemo")
 

@@ -226,9 +226,13 @@ object TextStats {
       .localCheckpoint(true)
     val freq = tok.groupBy("t").agg(count(lit(1)).as("c"))
     // total read from the cached token frame (Σ size(ts) == the
-    // explode's row count definitionally), keeping freq at ONE consumer
+    // explode's row count definitionally), keeping freq at ONE consumer.
+    // size over coalesce(ts, array()) so a NULL token array counts 0
+    // under EVERY config: with ansi off + legacy sizeOfNull, size(NULL)
+    // is -1 and a plain sum would silently undercount the corpus total
+    // (advice r20)
     val tot = cachedDocTokens(spark, dir)
-      .agg(sum(size(col("ts"))).cast("long").as("n"))
+      .agg(sum(size(coalesce(col("ts"), array()))).cast("long").as("n"))
     tok.join(freq, "t").crossJoin(broadcast(tot))
       .withColumn("lp", -log(col("c") / col("n").cast("double")))
       .groupBy("doc_id")
@@ -282,9 +286,11 @@ object TextStats {
     // Σcu == token count — the pmiBigramsOf totals convention; stated
     // directly as sum(size(ts)) so the unigram explode pipeline keeps
     // ONE consumer (tot as uni.agg was a second, pruned one): explode
-    // emits exactly size(ts) rows per doc (NULL/empty arrays emit 0
-    // and size() reads NULL/0 for them — sum skips NULLs identically)
-    val tot = tokArr.agg(sum(size(col("ts"))).cast("long").as("n"))
+    // emits exactly size(ts) rows per doc. size over coalesce(ts,
+    // array()) makes a NULL array count 0 under EVERY config — with
+    // ansi off + legacy sizeOfNull, size(NULL) is -1 and a plain sum
+    // would undercount the total, skewing every logprob (advice r20)
+    val tot = tokArr.agg(sum(size(coalesce(col("ts"), array()))).cast("long").as("n"))
     pairs.join(cb, Seq("w1", "w2")).join(c1, Seq("w1"))
       .join(uni.withColumnRenamed("t", "w2"), Seq("w2"))
       .crossJoin(broadcast(tot))

@@ -620,7 +620,15 @@ object TrainingDataQueries {
     // appears in the old inner join iff both periods hold >= 1 row;
     // consumers' n >= 2 (abTest/powerAnalysis) filters subsume that.
     val ina = when(dayofmonth(dayOf(tsCol)) <= splitDay, 1L).otherwise(0L)
-    df.filter(col(valCol).isNotNull)
+    // NULL-type groups dropped EXPLICITLY (r21, the psiBinned /
+    // seasonalBaseline guard this aggregate missed): the declared oracle
+    // SQL joins the two period aggregates ON a.event_type = b.event_type,
+    // which silently drops a NULL-typed group (NULL = NULL is not true);
+    // the conditional aggregate keeps that group and only the n>=2
+    // consumer filters stood between it and an extra row on data with
+    // NULL-typed values in both halves. Value-neutral on every input the
+    // old join form passed.
+    df.filter(col(valCol).isNotNull && col(typeCol).isNotNull)
       .select(col(typeCol).as("event_type"), ina.as("ina"),
         centsOf(valCol).as("cents"))
       .groupBy("event_type")

@@ -265,6 +265,27 @@ class StatSpec extends AnyFunSuite {
       r(2).isNullAt(4))
   }
 
+  test("abTest: a NULL-typed group with both arms populated emits NO row (oracle join semantics)") {
+    import graft.queries.TrainingDataQueries
+    // NULL event_type carries >= 2 rows in BOTH month halves — the
+    // declared oracle SQL joins the period aggregates ON a.event_type =
+    // b.event_type, which drops the NULL group (NULL = NULL is not
+    // true); the single conditional aggregate must filter it explicitly
+    // (r21 guard) or Spark emits a row DuckDB never produces
+    val ev = Seq(
+      (Option.empty[String], dayNs(1), 9.0), (Option.empty[String], dayNs(2), 11.0),
+      (Option.empty[String], dayNs(20), 10.0), (Option.empty[String], dayNs(21), 12.0),
+      (Some("s"), dayNs(1), 9.0), (Some("s"), dayNs(2), 11.0),
+      (Some("s"), dayNs(20), 10.0), (Some("s"), dayNs(21), 12.0)
+    ).toDF("event_type", "ts", "value")
+    val ab = TrainingDataQueries.abTest(ev, "event_type", "ts", "value", 15).collect()
+    assert(ab.length == 1 && ab(0).getString(0) == "s",
+      s"expected only the 's' row, got ${ab.mkString("; ")}")
+    val pw = TrainingDataQueries.powerAnalysis(ev, "event_type", "ts", "value", 15).collect()
+    assert(pw.length == 1 && pw(0).getString(0) == "s",
+      s"expected only the 's' row, got ${pw.mkString("; ")}")
+  }
+
   test("quantileDrift: hand quartiles of shifted halves read the shift at every quartile") {
     import graft.queries.TrainingDataQueries
     val ev = Seq(
