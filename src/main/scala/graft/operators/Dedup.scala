@@ -767,7 +767,20 @@ object Dedup {
     require(threshold > 0.0 && threshold <= 1.0,
       s"containmentPairs: threshold must be in (0, 1] (got $threshold) — " +
         "at 0 the prefix is the whole shingle set and the join degenerates to all-pairs")
+    // explode → distinct → PINNED repartition(id), the jaccardPairs
+    // boundary recipe applied to this operator's SIX consumers (r21,
+    // StageProf evidence): without the pin the distinct's final-merge
+    // HashAggregate re-ran once per consumer (six ~60 ms single-task
+    // merge stages over the same reused shuffle in the executed plan),
+    // and only the raw exchange was shared. The pinned hash exchange on
+    // the doc id is canonically identical under every consumer, so the
+    // dedup computes ONCE below the reuse boundary — and id-partitioning
+    // additionally serves `sizes`' groupBy(id) and `ranked`'s
+    // window-partitionBy(id) with no further shuffle (guide §2.4 "two
+    // operations keyed the same way share one exchange"). docFreq still
+    // pays its own sh-keyed exchange, as it must.
     val sh = shingleRows(docs, n, idCol, textCol).distinct()
+      .repartition(col(idCol))
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("na"))
     val docFreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     // Exact prefix bound is na - ceil(t*na) + 1 == floor((1-t)*na) + 1, but

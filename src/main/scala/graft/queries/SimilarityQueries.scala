@@ -81,10 +81,28 @@ object SimilarityQueries {
     // NULL elements dropped EXPLICITLY on both engines: Spark's fold
     // would NULL-poison the sums while DuckDB's list_sum skips NULLs —
     // a silent divergence on dirty data (review r12 pass 3)
-    val e = filter(col(vecCol), x => x.isNotNull)
-    val mnd = array_min(e).cast("double")
-    val mxd = array_max(e).cast("double")
-    val sc = (mxd - mnd) / 255.0
+    //
+    // Per-row scalars staged as NAMED COLUMNS (r21, StageProf evidence):
+    // with mn/mx/scale spelled inline, every reference inside the
+    // transform/aggregate lambdas re-evaluated array_min/array_max over
+    // the whole array PER ELEMENT (higher-order functions are
+    // CodegenFallback — interpreted eval, no subexpression elimination),
+    // an O(d²) interpreted walk that clocked ~2.4 ms/row on 64-dim
+    // vectors — twice, because the presentation sort's range-sampling
+    // pass re-ran the projection. Staged as aliases in a lower Project,
+    // the lambdas read bound attributes instead; CollapseProject keeps
+    // the boundary because the aliases are non-cheap and multiply
+    // referenced. Same expressions per row, computed once — values are
+    // bit-identical.
+    val stagedE = filter(col(vecCol), x => x.isNotNull)
+    val staged = df.select(col(idCol), stagedE.as("__e"),
+        array_min(stagedE).cast("double").as("__mn"),
+        array_max(stagedE).cast("double").as("__mx"))
+      .withColumn("__sc", (col("__mx") - col("__mn")) / 255.0)
+    val e = col("__e")
+    val mnd = col("__mn")
+    val mxd = col("__mx")
+    val sc = col("__sc")
     def qd(x: Column) = least(lit(255.0), greatest(lit(0.0),
       floor((x.cast("double") - mnd) / sc + 0.5).cast("double")))
     val qsum = aggregate(
@@ -95,14 +113,23 @@ object SimilarityQueries {
     })
     val mse = aggregate(err, lit(0.0), (acc, v) => acc + v) /
       size(e).cast("double")
-    df.select(col(idCol), rnd(mnd, 6).as("mn"), rnd(mxd, 6).as("mx"),
+    staged.select(col(idCol), rnd(mnd, 6).as("mn"), rnd(mxd, 6).as("mx"),
       when(sc > 0.0, qsum).otherwise(lit(0L)).as("qsum"),
       rnd(when(sc > 0.0, mse).otherwise(lit(0.0)) * 1e6, 6).as("mse_e6"))
   }
 
   def qEmbeddingQuantize(spark: SparkSession, dir: String): DataFrame =
+    // materialize the quantized rows ONCE per execution (r21, StageProf
+    // evidence): the presentation orderBy plans a range exchange whose
+    // SAMPLE pass re-executes the child — scan decode + the interpreted
+    // HOF quantize projection both ran TWICE per rep (two ~300 ms
+    // single-task stages for 100 output rows; the dedupSweep per-rep
+    // checkpoint recipe, honest because each rep still pays the build).
+    // The checkpointed frame is 100 rows — the sort and its sample read
+    // materialized bytes, never the parquet scan.
     embeddingQuantize(
       Tables.embeddings(spark, dir).filter(col("vec_id") < 100))
+      .localCheckpoint(true)
       .orderBy("vec_id")
 
   /** Per-vector L2 norm (bounded ids for the oracle diff). */
@@ -480,10 +507,25 @@ object SimilarityQueries {
   private def cachedIvfPqCellCodes(spark: SparkSession, dir: String): DataFrame =
     ivfPqCodesMemo.getOrElseUpdate(spark, dir) {
       val p = cachedParams(spark, dir)
+      // CELL-partitioned, row-derived multi-block layout (r21): the
+      // memoized code table inherited the single-split embeddings
+      // scan's ONE partition, so every probe's ADC scoring stage ran
+      // on one core (StageProf: 210 ms single-task). Partitioning the
+      // cached blocks BY CELL both distributes the scoring and lets
+      // the InMemoryRelation's per-batch cell stats prune unprobed
+      // cells under the isin filter — the in-memory twin of the
+      // persisted PARTITIONED BY cell index layout. Partition count
+      // tracks the data grain (~500 codes per block, cores-capped),
+      // the cachedDocTokens rule.
+      val nVecs = Tables.embeddings(spark, dir).count()
+      val parts = math.max(1, math.min(
+        math.ceil(nVecs / 500.0).toInt,
+        spark.sparkContext.defaultParallelism))
       val df = ProductQuantization.ivfPqCellCodes(
         Tables.embeddings(spark, dir),
         cachedQuantizer(spark, dir, p.nlist),
-        cachedPqIndex(spark, dir)._1).cache()
+        cachedPqIndex(spark, dir)._1)
+        .repartition(parts, col("cell")).cache()
       df.count()
       df
     }

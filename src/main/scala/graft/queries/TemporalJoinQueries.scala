@@ -155,6 +155,17 @@ object TemporalJoinQueries {
   }
 
   def qSessionPaths(spark: SparkSession, dir: String): DataFrame =
+    // Examined and deliberately left on the AQE layout (r21, measured
+    // and REVERTED): the sessionize→rank→path chain rides ONE
+    // user-keyed exchange that AQE coalesces to 2 tasks at fixture
+    // bytes (~460 ms of window CPU on two cores). Pinning it wider via
+    // Tables.distributed read WORSE in interleaved A/B at both 32 and
+    // 8 blocks (+0.24/+0.01/+0.26 and +0.26/-0.03/+0.17 s): the
+    // four-operator window chain pays per-task overhead on every stage,
+    // and 3-12k-row tasks don't amortize it — the wave-3 data-grain
+    // lesson. At production shuffle bytes AQE stops coalescing and the
+    // chain parallelizes by itself; the plan shape (one exchange) is
+    // already the floor.
     sessionPaths(Tables.events(spark, dir), "user_id", "event_type",
       "ts", "event_id", gapNanos = 6L * 3600L * 1000000000L)
 

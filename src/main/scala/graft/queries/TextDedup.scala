@@ -108,6 +108,17 @@ object TextDedup {
       .select(col("a"), col("b"), col("jaccard"),
         explode(array(SweepThresholds.map(lit(_)): _*)).as("threshold"))
       .filter(col("jaccard") >= col("threshold"))
+    // Two rollups + two spine joins, deliberately kept (r21 measured
+    // and REVERTED the one-aggregate fold): collapsing n_pairs and
+    // n_docs into a single groupBy(threshold) with
+    // count(pos=0)/count_distinct(endpoint) over a posexploded frame
+    // halves the joins but triggers Spark's Expand-based distinct
+    // rewrite (2x the endpoint rows through the partial aggregate) —
+    // interleaved A/B medians read +0.29/+0.06/+0.02/-0.06/+0.04 s
+    // across five paired rounds (mean +0.07): the heavier aggregate
+    // costs more than the saved broadcast join on a query whose wall is
+    // half driver latency. The checkpointed pair set above stays the
+    // round's shape.
     val np = th.groupBy("threshold").agg(count(lit(1)).as("n_pairs"))
     val nd = th.select(col("threshold"),
         explode(array(col("a"), col("b"))).as("d")).distinct()

@@ -552,6 +552,16 @@ object TimeSeriesQueries {
     // The frame is (users × days × types) rows — basket-bounded, tiny
     // next to the fact table it deduplicates; at 100 TB the basket
     // table is the persisted artifact this checkpoint stands in for.
+    // localCheckpoint KEPT over persist(MEMORY_AND_DISK) (r21, measured
+    // and reverted): the lineage-preserving swap read consistently
+    // WORSE in interleaved A/B (+0.21/+0.25/+0.37/+0.96/-0.24 s across
+    // five paired rounds, median +0.25) — the self-join's two sides
+    // racing the first InMemoryRelation build serialize on block locks,
+    // and the columnar encode/decode costs more than the raw
+    // checkpoint-block reads on every consumer. The sibling swaps
+    // (bigram pairs, tfidf tf) measured neutral and kept persist; this
+    // frame is the smallest of the three, so the truncated-lineage
+    // exposure is also the smallest.
     val bask = df
       .select(col(userCol).as("user_id"), day.as("day"),
         col(typeCol).as("event_type"))
