@@ -186,6 +186,20 @@ object Bench {
     // at-most-once-build safe (SessionMemo double-checked locking).
     // warmup is still best-effort: a missing table must not kill the
     // run before the per-query loop gets to report -1s.
+    // Family structure is the r20 shape, MEASURED AND KEPT (r21,
+    // verdict ask #5 — trim the warmup tail): the "ml" family is the
+    // warmup's critical path (q_ml_importances 21.8 + q_ml_serve
+    // 11.6 s, sequential — essentially the classifier then regressor
+    // GBT fits riding the shared feature-frame memo). Splitting it so
+    // the two fits run CONCURRENTLY was tried and read WORSE three
+    // times over — warmup 34.3 s sequential vs 44.0 / 56.5 / 93.9 s
+    // split (the last on a 0.33-loadavg quiet start): a GBT fit is
+    // hundreds of tiny latency-critical stages, and two of them
+    // round-robining FAIR slots against the ANN/dedup families starve
+    // each other far past the 11.6 s the overlap could save. The
+    // importances warmer's cost IS the memoized classifier fit; there
+    // is no fat left beside it. The TIMED query loop below is
+    // untouched.
     val warmerFamilies: Seq[(String, Seq[String])] = Seq(
       // feature frame + both fits + metric frames + serving pipeline —
       // the heavyweight chain, started first
@@ -193,15 +207,21 @@ object Bench {
       // quantizer + brute ground truth + persisted index + PQ fit +
       // cell-keyed code table; q_ann_ivf last — the _indexed warmer
       // builds the memos but not the in-memory ivfTopK scoring path's
-      // codegen (VERDICT r15 ask #3)
+      // codegen (VERDICT r15 ask #3). NOT split further (r21 measured:
+      // an 8-family layout inflated warmup 34.3 -> 44.0 s — slot
+      // contention against the GBT fits; see the ml-family note above)
       "ann" -> Seq("q_ann_ivf_indexed", "q_ann_lsh", "q_ann_pq", "q_ann_ivfpq", "q_ann_ivf"),
       // MinHash pair memo, SimHash pair memo (r14), span-dedup output,
       // bucketed corpus dedup index
       "dedup" -> Seq("q_dedup_groups", "q_simhash_neardup", "q_span_dedup_rowhash",
         "q_dedup_indexed"),
       // shared corpus token frame; q_json_profile's per-row JSON C2
-      // compilation (the standing r13 dispersion flag)
-      "text" -> Seq("q_unigram_logprob", "q_json_profile"),
+      // compilation (the standing r13 dispersion flag); q_repetition's
+      // shingle-aggregate codegen (r21 — its c8 dispersion flag 2.97
+      // was a C2 convergence tail: the isolated 10-rep series decays
+      // monotonically 0.94 → 0.44 s with no layout sensitivity, so warm
+      // the compile like q_json_profile's)
+      "text" -> Seq("q_unigram_logprob", "q_json_profile", "q_repetition"),
       // JIT/codegen + window path + PNG fixture synthesis
       "core" -> Seq("q1_pricing_summary", "q_lag_lead", "q_multimodal_decode"))
     val tWarm0 = System.nanoTime()

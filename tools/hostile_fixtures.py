@@ -286,6 +286,26 @@ def main(base, out):
         {'event_id': ek + 25, 'ts': ts('2024-01-19T00:00:08'), 'user_id': 6,
          'event_type': 'click', 'value': 8.0,
          'props': '{"k": 99999999999999999999}'},
+        # K (r21, verdict ask #3): NULL-typed group with >= 2 non-NULL
+        # values in BOTH month halves — with only ek+4 the halfMoments
+        # NULL hazard (Spark's conditional aggregate keeping a NULL
+        # event_type group the oracle's inner join drops) was never
+        # exercised: the n>=2-per-arm consumer filters hid it. These
+        # three rows complete the twin (first half: ek+4 + ek+26;
+        # second half: ek+27 + ek+28), so q_ab_test/q_power_analysis
+        # diverge on this fixture iff the explicit isNotNull guard is
+        # ever lost.
+        # values cluster near 7 so the NULL group's element-valued GK
+        # median (Spark percentile_approx) stays inside q_approx_sketch's
+        # 5% band around the interpolated exact median on both engines —
+        # the first cut (6.5/7.5/8.5) landed the even-cardinality group
+        # exactly on the element-vs-interpolation disagreement point
+        {'event_id': ek + 26, 'ts': ts('2024-01-15T12:00:07'), 'user_id': 7,
+         'event_type': None, 'value': 6.9, 'props': '{"k": 26}'},
+        {'event_id': ek + 27, 'ts': ts('2024-01-19T06:00:00'), 'user_id': 6,
+         'event_type': None, 'value': 7.1, 'props': '{"k": 27}'},
+        {'event_id': ek + 28, 'ts': ts('2024-01-19T06:00:01'), 'user_id': 6,
+         'event_type': None, 'value': 7.3, 'props': '{"k": 28}'},
     ]
     # V: zero-variance user (5 identical values), single-event user
     for i in range(5):
